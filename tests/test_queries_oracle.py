@@ -1,0 +1,38 @@
+"""Every registered query must run, and (when it declares an oracle) must
+hash-match DuckDB on the smoke scale factor. This mirrors the driver's t2
+gate so regressions surface locally first."""
+
+from __future__ import annotations
+
+import pytest
+
+from denali_spark.operators import REGISTRY
+from denali_spark.oracle import compare
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    pdf = sdf.toPandas()
+    assert pdf is not None
+    if q.oracle is None:
+        return
+    ddf = duck.execute(q.oracle).df()
+    problems = compare(pdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_contract(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__spark_entry__")
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs)

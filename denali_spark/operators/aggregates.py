@@ -1,1 +1,287 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Aggregation coverage beyond plain GROUP BY: distinct aggregates, rollup /
+cube / grouping sets, pivot, exact statistical moments, histogram bucketing,
+exact median, and approximate sketches.
+
+Grouping-null policy: rollup/cube subtotal rows carry NULL group keys; we
+COALESCE them to the sentinel 'ALL' on both sides so the hash compare never
+depends on engine-specific null ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table, register_views
+from denali_spark.operators._util import dec, dsum
+from denali_spark.operators.registry import query
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_rollup_nation_segment",
+    oracle="""
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    """,
+    tags=("aggregate", "rollup"),
+)
+def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, segment): detail + per-nation subtotal + grand total."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_cust",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube"),
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-nation, per-segment, grand total) via
+    Spark SQL — still fully Catalyst-planned (Expand + partial agg)."""
+    register_views(spark, sf_dir, "customer", "nation")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, 'ALL') AS nation,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "agg_pivot_segment_balance",
+    oracle="""
+    SELECT n_name,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS AUTOMOBILE,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS BUILDING,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS FURNITURE,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS HOUSEHOLD,
+           CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN CAST(c_acctbal AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS MACHINERY
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot market segments into columns (explicit value list keeps the
+    plan one-pass and the output schema static)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pivoted = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum(dec("c_acctbal")))
+    )
+    cols = [F.col("n_name")] + [
+        F.coalesce(F.col(s).cast("double"), F.lit(0.0)).alias(s) for s in _SEGMENTS
+    ]
+    return pivoted.select(*cols)
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT n_name,
+           COUNT(c_acctbal) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) AS mean_bal,
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal))
+             / (COUNT(c_acctbal) - 1) AS var_bal,
+           SQRT((CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal))
+             / (COUNT(c_acctbal) - 1)) AS std_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name HAVING COUNT(c_acctbal) > 1
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact decimal sums (sum, sum-of-squares):
+    deterministic across engines AND across cluster partitionings, unlike
+    streaming float moment aggregates."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    b = dec("c_acctbal")
+    grouped = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("c_acctbal").alias("n"),
+            F.sum(b).cast("double").alias("s1"),
+            F.sum(b * b).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return grouped.select(
+        "n_name",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_bal"),
+        var.alias("var_bal"),
+        F.sqrt(var).alias("std_bal"),
+    )
+
+
+@query(
+    "agg_histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via arithmetic bucketing (no shuffle beyond the
+    one aggregation; bucket count is data-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_exact_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS median_bal
+    FROM ranked
+    WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    GROUP BY c_nationkey
+    """,
+    tags=("aggregate", "median"),
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via row_number selection of the middle one or
+    two elements (identical integer-index formula on both engines, so no
+    interpolation-formula float divergence)."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = customer.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("cnt") + 2) / 2).cast("long"))
+    )
+    return mid.groupBy("c_nationkey").agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("median_bal")
+    )
+
+
+@query(
+    "agg_approx_sketches",
+    oracle=None,  # approximate algorithms differ per engine by design
+    tags=("aggregate", "approximate"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct count + quantile sketch): the
+    constant-memory scale path when exact answers aren't required. Checked
+    rows-only — sketch outputs are engine-specific by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )

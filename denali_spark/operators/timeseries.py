@@ -1,1 +1,332 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Time-series / event operators over the ``events`` table: tumbling windows,
+gap-filling, sessionization, AS-OF join, banded range join, funnel and
+transition analysis.
+
+These are the batch twins of the streaming module — same semantics expressed
+over a static DataFrame, which is what makes them oracle-checkable. The
+streaming variants (watermarks, applyInPandasWithState) live in
+``denali_spark.streaming``.
+
+Scale notes: everything here partitions by ``user_id`` (the natural key) or
+by coarse time buckets, never a global sort. The AS-OF join is the
+union-and-carry-forward formulation — one shuffle on (user, time) — instead
+of a per-row lookup; the range join is banded (candidate buckets) instead of
+an inequality cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.operators._util import dec
+from denali_spark.operators.registry import query
+
+# Microseconds since epoch for an NTZ timestamp. The engine pins the session
+# to UTC when loading events, so the NTZ→LTZ cast inside unix_micros is the
+# identity on wall-clock values (== DuckDB's epoch_us on naive timestamps).
+def _us(col):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@query(
+    "ts_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("timeseries", "tumbling-window"),
+)
+def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch twin of the streaming windowed agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "ts_daily_active_users",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+    """,
+    tags=("timeseries", "distinct"),
+)
+def ts_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+
+
+@query(
+    "ts_gap_fill_hours",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(hours.h, '%Y-%m-%d %H:00') AS hour,
+           COALESCE(n, 0) AS n_events
+    FROM hours LEFT JOIN counts ON hours.h = counts.h
+    """,
+    tags=("timeseries", "gap-fill"),
+)
+def ts_gap_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with zero-filled gaps: sequence() + explode on the
+    (tiny) bounds row, left join to the aggregated counts."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    counts = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hours.join(counts, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("timeseries", "sessionization"),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running-sum session ids → per-session rollup. One shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = _us("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(F.min("ts").cast("timestamp"))).alias("dur_us"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "ts_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           c.value AS click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("timeseries", "asof-join", "custom-operator"),
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (per purchase, the latest click at-or-before it).
+
+    Spark lacks a native AS-OF join; the scalable formulation is
+    union-both-streams → window carry-forward (last non-null) → filter to
+    the probe side. One shuffle on (user_id, ts); no per-row lookups, no
+    broadcast requirement — this is the 100 TB-safe pattern.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("c_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    # Clicks sort before purchases at identical ts → inclusive (<=) semantics.
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_probe",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("c_value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("purchase_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
+        "click_value",
+    )
+
+
+@query(
+    "ts_range_join_pairs",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+    """,
+    tags=("timeseries", "range-join", "custom-operator"),
+)
+def ts_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: pairs of same-user events within 60s.
+
+    A naive inequality join is a per-user cross product. Instead each left
+    row is expanded to its two candidate 60s buckets and the join is an
+    EQUI-join on (user, bucket) + residual time filter — O(pairs), shuffle
+    co-partitioned, which survives 100× data growth.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _us("ts").alias("us")
+    )
+    left = events.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array((F.col("us") / 60_000_000).cast("long"),
+                    (F.col("us") / 60_000_000).cast("long") + 1)
+        ).alias("bucket"),
+    )
+    right = events.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        (F.col("us") / 60_000_000).cast("long").alias("bucket"),
+    )
+    pairs = left.join(right, ["user_id", "bucket"]).filter(
+        (F.col("b_us") > F.col("a_us"))
+        & (F.col("b_us") - F.col("a_us") <= 60_000_000)
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH stage_times AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted
+    FROM stage_times
+    WHERE t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+    """,
+    tags=("timeseries", "funnel"),
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase) via conditional MIN —
+    single aggregation pass, no joins."""
+    events = load_table(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stage.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+
+
+@query(
+    "ts_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("timeseries", "markov"),
+)
+def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (lead within user timeline)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

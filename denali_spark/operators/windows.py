@@ -1,1 +1,209 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Window-function coverage: ranking, running totals, lag/lead, moving
+aggregates, ntile, distribution functions, first/last.
+
+Determinism policy: every ORDER BY inside a window carries a unique
+tiebreaker column, so frame contents are identical across engines and across
+cluster partitionings. Running decimal sums stay exact at any prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.operators._util import dec
+from denali_spark.operators.registry import query
+
+
+@query(
+    "win_rank_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_dense_rank
+    FROM part
+    """,
+    tags=("window", "rank"),
+)
+def win_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+    )
+
+
+@query(
+    "win_topn_per_group",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t WHERE rn <= 3
+    """,
+    tags=("window", "topk-per-group"),
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation — the scalable per-group top-k idiom
+    (window + filter; AQE handles group skew, no global sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    tags=("window", "running-sum"),
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend. Exact decimal prefix sums — every prefix
+    is deterministic, not just the final total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "win_lag_lead_events",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+    tags=("window", "lag-lead"),
+)
+def win_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+    FROM events
+    """,
+    tags=("window", "moving-average"),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average as exact-sum / window-count."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec("value")).over(w).cast("double") / F.count("value").over(w)).alias(
+            "mov_avg"
+        ),
+    )
+
+
+@query(
+    "win_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+    tags=("window", "ntile"),
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS cume
+    FROM supplier
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           FIRST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+           LAST_VALUE(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    """,
+    tags=("window", "first-last"),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest/poorest customer name per nation via full-partition frames."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return customer.select(
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+    ).distinct()

@@ -1,1 +1,506 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Deduplication operators over the ``documents`` table — the core of an
+LLM-training-data pipeline. Five families:
+
+1. exact        — hash-groupBy on md5(text)
+2. MinHash+LSH  — shingle → minhash signature → banded candidate pairs →
+                  exact-Jaccard verification
+3. SimHash      — 32-bit majority-vote fingerprint + banded Hamming pairs
+4. n-gram Jaccard — inverted-index (shared-shingle) candidate join
+5. embedding cosine — exact near-dup pairs (LSH-bucketed scale path lives
+                  in denali_spark.operators.similarity)
+
+Scale design (100 TB): nothing here is O(n²) on documents except the
+explicitly-labeled exact embedding baseline. Candidate generation is always
+an equi-join on a compact key (band hash, shingle, Hamming band), so the
+shuffles are key-partitioned and sized by true duplicate density, not by n².
+All hashing is md5-derived integer arithmetic (engine-portable, unlike
+xxhash64), evaluated JVM-side via higher-order array functions — no Python
+UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.operators.registry import query
+
+# --- shared hashing primitives -------------------------------------------
+
+# Largest prime below 2^32; universal-hash family h_i(x) = (a_i*x + b_i) mod P.
+P = 4294967291
+# Fixed (a, b) parameters — 16 permutations, chosen once (any odd a < 2^30).
+MINHASH_PARAMS = [
+    (961748941, 8369), (982451653, 1299827), (899809343, 49031), (715225741, 3727),
+    (656291069, 982871), (322666757, 563), (65537, 999331), (910199, 477977),
+    (533000401, 32233), (368345293, 11), (472882049, 777), (49979687, 60649),
+    (86028121, 4021), (15485863, 252097), (32452843, 104729), (179424673, 15013),
+]
+N_BANDS, BAND_ROWS = 4, 4  # 16 = 4 bands × 4 rows
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokens_col(col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(col), _TOKEN_RE), lambda x: x != F.lit(""))
+
+
+SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def shingles_col(toks: Column) -> Column:
+    """Distinct 3-word shingles (1-based windows, mirrors the SQL form)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+
+
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len({t}) - 1),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+SQL_H60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+def _perm(a: int, b: int):
+    # Factory (not default-arg lambda): Spark reads lambda arity to type
+    # higher-order functions, so closures must be single-argument.
+    return lambda x: (F.lit(a) * (x % P) + F.lit(b)) % P
+
+
+def minhash_sigs(hashes: Column) -> list[Column]:
+    """16 minhash values over an array of 60-bit shingle hashes."""
+    return [
+        F.array_min(F.transform(hashes, _perm(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def sql_minhash_sigs(hs: str) -> list[str]:
+    return [
+        f"list_min(list_transform({hs}, x -> ({a} * (x % {P}) + {b}) % {P})) AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+# --- 1. exact dedup -------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    WITH g AS (SELECT md5(text) h, COUNT(*) c FROM documents GROUP BY 1)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           COUNT(*) FILTER (c > 1) AS n_dup_groups,
+           CAST(COALESCE(SUM(c - 1) FILTER (c > 1), 0) AS BIGINT) AS n_redundant
+    FROM g
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplicate profile in one hash-groupBy pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)).alias(
+            "n_redundant"
+        ),
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keep-lowest-id policy: one surviving doc per distinct
+    text. The md5 group key keeps shuffle rows narrow (16 bytes vs full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    ).drop("h")
+
+
+# --- 2. MinHash + LSH -----------------------------------------------------
+
+
+def _with_signatures(docs: DataFrame) -> DataFrame:
+    toks = tokens_col()
+    sh = shingles_col(toks)
+    hashed = F.transform(sh, h60)
+    return (
+        docs.select("doc_id", hashed.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", "hs", *minhash_sigs(F.col("hs")))
+    )
+
+
+_SQL_SIG_BASE = f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform({SQL_SHINGLES.format(t='t')}, s -> {SQL_H60.format(c='s')}) AS hs
+      FROM toks WHERE len(t) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, hs, {', '.join(sql_minhash_sigs('hs'))} FROM sh WHERE len(hs) > 0
+    )
+"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_SQL_SIG_BASE
+    + "SELECT doc_id, "
+    + ", ".join(f"sig_{i}" for i in range(len(MINHASH_PARAMS)))
+    + " FROM sig",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-value MinHash signature (shingle → 60-bit hash → min
+    over 16 universal-hash permutations). Pure narrow transforms — computed
+    during the scan, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_signatures(docs).drop("hs")
+
+
+def _band_cols() -> list[Column]:
+    cols = []
+    for band in range(N_BANDS):
+        sig_slice = [
+            F.col(f"sig_{band * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)
+        ]
+        cols.append(
+            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *sig_slice)).alias("bh"))
+        )
+    return cols
+
+
+def _sql_band_exprs() -> list[str]:
+    out = []
+    for band in range(N_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        out.append(f"({band}, md5(concat_ws(',', {parts})))")
+    return out
+
+
+def _sql_bands_cte() -> str:
+    selects = []
+    for band in range(N_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {parts})) AS bh FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_SQL_SIG_BASE
+    + f"""
+    , bands AS ({_sql_bands_cte()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(hs) AS ss FROM sig)
+    SELECT i, j,
+           len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) AS jac
+    FROM cand JOIN sets x ON x.doc_id = i JOIN sets y ON y.doc_id = j
+    WHERE len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) >= 0.3
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via LSH banding (4 bands × 4 rows ⇒ candidate iff
+    some band agrees), verified with exact Jaccard ≥ 0.3 on shingle sets.
+
+    Candidate generation is an equi-join on (band, band-hash) — linear scan,
+    key-partitioned shuffle. Only candidates (≈ true-dup density) pay the
+    exact verification cost. This is the pattern that holds at 100 TB where
+    all-pairs comparison is impossible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _with_signatures(docs)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*_band_cols())).alias("x")
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    sets_df = sig.select("doc_id", F.array_distinct("hs").alias("sset"))
+    jac = (
+        cand.join(sets_df.withColumnRenamed("doc_id", "i").withColumnRenamed("sset", "sa"), "i")
+        .join(sets_df.withColumnRenamed("doc_id", "j").withColumnRenamed("sset", "sb"), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jac"),
+        )
+    )
+    return jac.filter(F.col("jac") >= 0.3).select("i", "j", "jac")
+
+
+# --- 3. SimHash -----------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _bit_vote(j: int):
+    return lambda acc, h: acc + F.when(
+        h.bitwiseAND(F.lit(1 << j)) != 0, 1
+    ).otherwise(-1)
+
+
+def _simhash_col(hashes: Column) -> Column:
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        bit_vote = F.aggregate(hashes, F.lit(0), _bit_vote(j))
+        terms.append(F.when(bit_vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return reduce(lambda x, y: x + y, terms).cast("long")
+
+
+def _sql_simhash(hs: str) -> str:
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({hs}, h -> CASE WHEN (h & {1 << j}) != 0"
+            f" THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(t), w -> {SQL_H60.format(c='w')}) AS hw
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, {_sql_simhash('hw')} AS simhash FROM hs
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint: per-bit majority vote over distinct-token
+    hashes. Near-dup detection = small Hamming distance; banded pairing in
+    dedup_simhash_pairs. Scan-local, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    hw = F.transform(F.array_distinct(toks), h60)
+    return (
+        docs.select("doc_id", hw.alias("hw"))
+        .filter(F.size("hw") > 0)
+        .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(list_distinct(t), w -> {SQL_H60.format(c='w')}) AS hw
+      FROM toks WHERE len(t) > 0
+    ),
+    sh AS (SELECT doc_id, {_sql_simhash('hw')} AS simhash FROM hs),
+    bands AS (
+      SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+             (simhash >> (unnest(range(0, 4)) * 8)) & 255 AS bh
+      FROM sh
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming ≤ 6, using 4 byte-bands as the
+    blocking key (a pair within Hamming ≤ 6 of 32 bits shares ≥1 exact byte
+    unless all differing bits spread 4-wide — standard pigeonhole blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    hw = F.transform(F.array_distinct(toks), h60)
+    sh = (
+        docs.select("doc_id", hw.alias("hw"))
+        .filter(F.size("hw") > 0)
+        .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(255)).alias("bh"),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("x")
+    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 6)
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.min(ham).cast("long").alias("hamming"))
+    )
+
+
+# --- 4. n-gram Jaccard (inverted index) -----------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS s FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    cand AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS ln FROM sh)
+    SELECT i, j, CAST(inter AS BIGINT) AS inter,
+           inter * 1.0 / (x.ln + y.ln - inter) AS jac
+    FROM cand JOIN sizes x ON x.doc_id = i JOIN sizes y ON y.doc_id = j
+    WHERE inter * 1.0 / (x.ln + y.ln - inter) >= 0.3
+    """,
+    tags=("dedup", "jaccard", "inverted-index"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.3 pairs via the inverted-index pattern: explode
+    distinct shingles, equi-join on shingle (only docs sharing content meet),
+    count shared shingles per pair. Work is proportional to true overlap —
+    the standard exact-near-dup formulation at corpus scale. (A production
+    run would first drop stop-shingles with document frequency above a cap
+    to bound per-key fanout; the synthetic corpus needs no such cap.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    sh = docs.select("doc_id", shingles_col(toks).alias("s")).filter(F.size("s") > 0)
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, "sg")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("ln"))
+    jac_expr = F.col("inter") / (F.col("x_ln") + F.col("y_ln") - F.col("inter"))
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("ln", "x_ln"), "i")
+        .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("ln", "y_ln"), "j")
+        .select("i", "j", "inter", jac_expr.alias("jac"))
+        .filter(F.col("jac") >= 0.3)
+    )
+
+
+# --- 5. embedding cosine --------------------------------------------------
+
+
+def dot_cols(ea: Column, eb: Column) -> Column:
+    """Sequential-fold dot product in double (bit-identical to DuckDB's
+    list_sum over list_transform)."""
+    return F.aggregate(
+        F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           {SQL_DOT.format(a='a.e', b='b.e')} /
+             ({SQL_NORM.format(a='a.e')} * {SQL_NORM.format(a='b.e')}) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {SQL_DOT.format(a='a.e', b='b.e')} /
+             ({SQL_NORM.format(a='a.e')} * {SQL_NORM.format(a='b.e')}) >= 0.8
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates (cosine ≥ 0.8) — EXACT all-pairs baseline.
+
+    This is the correctness oracle for the LSH-bucketed variant
+    (sim_lsh_bucket_topk); all-pairs is quadratic and is only run at test
+    scale. At 100 TB the bucketed/ANN path is the one to use.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot_cols(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot_cols(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(dot_cols(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"), cos.alias("cos")
+        )
+        .filter(F.col("cos") >= 0.8)
+    )

@@ -1,1 +1,230 @@
-"""Placeholder — operators land in a subsequent milestone."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two paths, mirroring how a production vector pipeline is built:
+
+- ``sim_topk_bruteforce``: exact cosine top-k — the small-query-set baseline
+  and the correctness oracle for approximate variants.
+- ``sim_lsh_bucket_topk``: random-hyperplane LSH bucketing — the scale path.
+  Buckets are computed scan-side from deterministic integer-arithmetic
+  hyperplanes (portable to the SQL oracle), then search is confined to the
+  probe's bucket.
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate) in
+double precision — bit-identical to the DuckDB oracle's list_sum fold and
+independent of row order or partitioning.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.operators.dedup import SQL_DOT, SQL_NORM, dot_cols
+from denali_spark.operators.registry import query
+
+DIM = 64
+N_PLANES = 8
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+
+def cosine(ea: Column, eb: Column) -> Column:
+    return dot_cols(ea, eb) / (
+        F.sqrt(dot_cols(ea, ea)) * F.sqrt(dot_cols(eb, eb))
+    )
+
+
+SQL_COSINE = (
+    SQL_DOT.format(a="{a}", b="{b}")
+    + " / (" + SQL_NORM.format(a="{a}") + " * " + SQL_NORM.format(a="{b}") + ")"
+)
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {SQL_COSINE.format(a='q.e', b='v.e')} AS cos
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "bruteforce"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a probe set (vec_id < 5): broadcast the probes
+    against the corpus scan — one pass over the data, per-query top-k via
+    window (k rows per query survive the shuffle)."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+# --- random-hyperplane LSH ------------------------------------------------
+#
+# Plane weights are pseudo-random ±1 from pure integer arithmetic so both
+# engines derive the identical planes: w(p, k) = +1 iff
+# (k * 2654435761 + p * 40503) mod 97 < 48.
+
+
+def _plane_term(e: Column, p: int):
+    # Factory closure (single-arity lambda — Spark types lambdas by arity).
+    return lambda acc, k: acc + F.element_at(e, (k + 1).cast("int")) * F.when(
+        (k * F.lit(2654435761) + F.lit(p * 40503)) % 97 < 48, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def _plane_dot(e: Column, p: int) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(DIM - 1)).cast("array<long>"),
+        F.lit(0.0),
+        _plane_term(e, p),
+    )
+
+
+def _bucket_col(e: Column) -> Column:
+    bits = [
+        F.when(_plane_dot(e, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    return reduce(lambda x, y: x + y, bits).cast("long")
+
+
+def _sql_plane_dot(e: str, p: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {DIM}), k -> {e}[k + 1] *"
+        f" CASE WHEN (k * 2654435761 + {p * 40503}) % 97 < 48 THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+def _sql_bucket(e: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot(e, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "sim_lsh_bucket_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {SQL_COSINE.format(a='q.e', b='c.e')} AS cos
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-plane random-hyperplane LSH: candidates are
+    restricted to the probe's bucket (expected 1/256 of the corpus), then
+    exact cosine re-ranks. This converts all-pairs search into an equi-join
+    on the bucket id — the shape that scales; recall is tuned by planes ×
+    probes (multi-probe / band OR-ing) without changing the plan."""
+    v = _vecs(spark, sf_dir)
+    b = v.withColumn("bucket", _bucket_col(F.col("e")))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+@query(
+    "sim_norms_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           MIN({SQL_NORM.format(a='e')}) AS min_norm,
+           MAX({SQL_NORM.format(a='e')}) AS max_norm
+    FROM v GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "vector-stats"),
+)
+def sim_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile — the sanity scan a pipeline runs before
+    trusting cosine distances (catches zero/unnormalized vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    norm = F.sqrt(dot_cols(F.col("e"), F.col("e")))
+    return (
+        v.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,235 @@
+"""Minimal Iceberg REST catalog client (stdlib urllib).
+
+Used by the test suite and by the Spark source/sink layer
+(denali_spark.sources) — the same role pyiceberg's RestCatalog plays against
+the reference in its tests (/root/reference/tests/pyiceberg/conftest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from urllib.parse import quote
+
+UNIT_SEP = "\x1f"
+
+
+class CatalogHTTPError(Exception):
+    def __init__(self, status: int, payload: dict):
+        self.status = status
+        self.payload = payload
+        msg = payload.get("error", {}).get("message", str(payload))
+        super().__init__(f"HTTP {status}: {msg}")
+
+
+class CatalogClient:
+    def __init__(self, uri: str):
+        self.uri = uri.rstrip("/")
+
+    # --- plumbing ---------------------------------------------------------
+
+    def _request(self, method: str, path: str, body: dict | None = None,
+                 query: str = "") -> tuple[int, dict]:
+        url = f"{self.uri}{path}" + (f"?{query}" if query else "")
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            url, data=data, method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                raw = resp.read()
+                return resp.status, (json.loads(raw) if raw else {})
+        except urllib.error.HTTPError as exc:
+            raw = exc.read()
+            payload = json.loads(raw) if raw else {}
+            raise CatalogHTTPError(exc.code, payload) from None
+
+    @staticmethod
+    def _ns(levels: list[str]) -> str:
+        return quote(UNIT_SEP.join(levels), safe="")
+
+    # --- config / health --------------------------------------------------
+
+    def config(self, warehouse: str | None = None) -> dict:
+        return self._request(
+            "GET", "/v1/config", query=f"warehouse={quote(warehouse)}" if warehouse else ""
+        )[1]
+
+    def status_ok(self) -> bool:
+        return self._request("GET", "/status")[0] == 204
+
+    # --- namespaces -------------------------------------------------------
+
+    def list_namespaces(self, parent: list[str] | None = None) -> list[list[str]]:
+        query = f"parent={self._ns(parent)}" if parent else ""
+        return self._request("GET", "/v1/namespaces", query=query)[1]["namespaces"]
+
+    def create_namespace(self, levels: list[str], properties: dict | None = None) -> dict:
+        return self._request(
+            "POST", "/v1/namespaces",
+            {"namespace": levels, "properties": properties or {}},
+        )[1]
+
+    def namespace_exists(self, levels: list[str]) -> bool:
+        try:
+            return self._request("HEAD", f"/v1/namespaces/{self._ns(levels)}")[0] == 204
+        except CatalogHTTPError as exc:
+            if exc.status == 404:
+                return False
+            raise
+
+    def load_namespace(self, levels: list[str]) -> dict:
+        return self._request("GET", f"/v1/namespaces/{self._ns(levels)}")[1]
+
+    def drop_namespace(self, levels: list[str]) -> None:
+        self._request("DELETE", f"/v1/namespaces/{self._ns(levels)}")
+
+    def update_namespace_properties(
+        self, levels: list[str], removals: list[str] | None = None,
+        updates: dict | None = None,
+    ) -> dict:
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/properties",
+            {"removals": removals or [], "updates": updates or {}},
+        )[1]
+
+    # --- tables -----------------------------------------------------------
+
+    def list_tables(self, levels: list[str]) -> list[dict]:
+        return self._request(
+            "GET", f"/v1/namespaces/{self._ns(levels)}/tables"
+        )[1]["identifiers"]
+
+    def create_table(self, levels: list[str], name: str, schema: dict,
+                     partition_spec: dict | None = None,
+                     write_order: dict | None = None,
+                     properties: dict | None = None) -> dict:
+        body = {"name": name, "schema": schema}
+        if partition_spec is not None:
+            body["partition-spec"] = partition_spec
+        if write_order is not None:
+            body["write-order"] = write_order
+        if properties is not None:
+            body["properties"] = properties
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/tables", body
+        )[1]
+
+    def register_table(self, levels: list[str], name: str, metadata_location: str) -> dict:
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/register",
+            {"name": name, "metadata-location": metadata_location},
+        )[1]
+
+    def load_table(self, levels: list[str], name: str) -> dict:
+        return self._request(
+            "GET", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
+        )[1]
+
+    def table_exists(self, levels: list[str], name: str) -> bool:
+        try:
+            return self._request(
+                "HEAD", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
+            )[0] == 204
+        except CatalogHTTPError as exc:
+            if exc.status == 404:
+                return False
+            raise
+
+    def commit_table(self, levels: list[str], name: str,
+                     requirements: list[dict], updates: list[dict]) -> dict:
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}",
+            {
+                "identifier": {"namespace": levels, "name": name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )[1]
+
+    def drop_table(self, levels: list[str], name: str, purge: bool = False) -> None:
+        self._request(
+            "DELETE", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}",
+            query="purgeRequested=true" if purge else "",
+        )
+
+    def rename_table(self, src: tuple[list[str], str], dst: tuple[list[str], str]) -> None:
+        self._request(
+            "POST", "/v1/tables/rename",
+            {
+                "source": {"namespace": src[0], "name": src[1]},
+                "destination": {"namespace": dst[0], "name": dst[1]},
+            },
+        )
+
+    def report_metrics(self, levels: list[str], name: str, report: dict) -> None:
+        self._request(
+            "POST",
+            f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}/metrics",
+            report,
+        )
+
+    # --- views ------------------------------------------------------------
+
+    def list_views(self, levels: list[str]) -> list[dict]:
+        return self._request(
+            "GET", f"/v1/namespaces/{self._ns(levels)}/views"
+        )[1]["identifiers"]
+
+    def create_view(self, levels: list[str], name: str, sql: str,
+                    dialect: str = "spark", schema: dict | None = None,
+                    properties: dict | None = None) -> dict:
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/views",
+            {
+                "name": name,
+                "schema": schema or {"type": "struct", "schema-id": 0, "fields": []},
+                "view-version": {
+                    "representations": [
+                        {"type": "sql", "sql": sql, "dialect": dialect}
+                    ],
+                    "default-namespace": levels,
+                },
+                "properties": properties or {},
+            },
+        )[1]
+
+    def load_view(self, levels: list[str], name: str) -> dict:
+        return self._request(
+            "GET", f"/v1/namespaces/{self._ns(levels)}/views/{quote(name)}"
+        )[1]
+
+    def view_exists(self, levels: list[str], name: str) -> bool:
+        try:
+            return self._request(
+                "HEAD", f"/v1/namespaces/{self._ns(levels)}/views/{quote(name)}"
+            )[0] == 204
+        except CatalogHTTPError as exc:
+            if exc.status == 404:
+                return False
+            raise
+
+    def replace_view(self, levels: list[str], name: str,
+                     requirements: list[dict], updates: list[dict]) -> dict:
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(levels)}/views/{quote(name)}",
+            {
+                "identifier": {"namespace": levels, "name": name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )[1]
+
+    def drop_view(self, levels: list[str], name: str) -> None:
+        self._request("DELETE", f"/v1/namespaces/{self._ns(levels)}/views/{quote(name)}")
+
+    def rename_view(self, src: tuple[list[str], str], dst: tuple[list[str], str]) -> None:
+        self._request(
+            "POST", "/v1/views/rename",
+            {
+                "source": {"namespace": src[0], "name": src[1]},
+                "destination": {"namespace": dst[0], "name": dst[1]},
+            },
+        )

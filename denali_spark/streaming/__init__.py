@@ -1,0 +1,15 @@
+from denali_spark.streaming.events_stream import (
+    read_event_stream,
+    sessionize_stream,
+    stream_to_catalog,
+    user_running_totals,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_counts",
+    "user_running_totals",
+    "sessionize_stream",
+    "stream_to_catalog",
+]

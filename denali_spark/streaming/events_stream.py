@@ -1,0 +1,179 @@
+"""Structured Streaming operators over the events stream.
+
+These are the streaming twins of denali_spark.operators.timeseries (same
+semantics, verified against the batch/oracle versions in tests): file-source
+micro-batches → event-time watermark → windowed aggregation / stateful
+sessionization → sink. The catalog sink commits one Iceberg snapshot per
+micro-batch via foreachBatch — the streaming-append pattern the reference
+enables for its clients (SURVEY §2.G "Streaming" row).
+
+Scale notes: windowed aggregations are keyed by (window, …) so state is
+bounded by watermark retention, not stream length; sessionization keeps one
+small state row per active user and emits+evicts on inactivity timeout.
+Both survive arbitrary stream volume given a sane watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: each parquet file landing in source_dir becomes a
+    micro-batch (the standard landing-zone ingestion shape)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time windows with late-data watermark (streaming twin
+    of ts_hourly_rollup)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "approx_users",
+            "total_value",
+        )
+    )
+
+
+# --- custom stateful operator: per-user running totals --------------------
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update_user_totals(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: fold each micro-batch's rows for this
+    user into persistent state, emit the updated running totals."""
+    (user_id,) = key
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, float(total), int(last_us)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [float(total)],
+            "last_ts_us": [int(last_us)],
+        }
+    )
+
+
+def user_running_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): one compact
+    state row per user, updated per micro-batch — the custom-stateful-
+    operator escape hatch for semantics windows can't express."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming gap-sessionization via session_window (event-time sessions
+    close after `gap` inactivity; watermark bounds state)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_to_catalog(
+    stream: DataFrame,
+    catalog_io,
+    namespace: list[str],
+    name: str,
+    checkpoint_dir: str,
+):
+    """Streaming append into a catalog table: every micro-batch becomes one
+    optimistic snapshot commit (foreachBatch → SparkCatalogIO.write_table).
+    Exactly-once is anchored on the checkpoint + idempotent CAS retries."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog_io.write_table(batch_df, namespace, name, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

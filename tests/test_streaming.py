@@ -1,0 +1,161 @@
+"""Structured Streaming tests: every streaming operator's result is checked
+against its batch twin computed on the same data — semantic equivalence, not
+just 'it ran'."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.streaming import (
+    read_event_stream,
+    sessionize_stream,
+    stream_to_catalog,
+    user_running_totals,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    """Split the events table into 4 time-ordered parquet chunks in a landing
+    dir, so the file stream sees 4 micro-batches arriving in rough event-time
+    order (the real landing-zone shape — chunking on a hash key instead would
+    advance the watermark to stream-end on batch 1 and drop everything after
+    as late)."""
+    import time
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "landing")
+    chunked = events.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
+    # Written oldest-quartile first: the file source replays by modification
+    # time, so micro-batches arrive in event-time order.
+    for i in range(1, 5):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    return src, events
+
+
+def _run_stream(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def test_windowed_counts_match_batch(spark, landing):
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    _run_stream(q)
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        r.h: (r.n, r.tv)
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_user_running_totals_stateful(spark, landing):
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .start()
+    )
+    _run_stream(q)
+    # In update mode the memory sink accumulates one row per (batch, user);
+    # the final state per user is the row with the max n_events.
+    pdf = spark.table("user_totals").toPandas()
+    final = pdf.sort_values("n_events").groupby("user_id").last()
+    expected = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    for r in expected:
+        assert final.loc[r.user_id, "n_events"] == r.n
+        assert abs(final.loc[r.user_id, "total_value"] - r.tv) < 1e-6
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, landing):
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .start()
+    )
+    _run_stream(q)
+    got = spark.table("sessions")
+    # Batch twin: session count and event-sum per user must agree with the
+    # batch sessionizer (30-min gap) from the oracle-checked operator.
+    from denali_spark.operators.registry import REGISTRY
+
+    batch = REGISTRY["ts_sessionize"].fn(spark, SF_SMOKE)
+    got_per_user = {
+        r.user_id: (r.sessions, r.n)
+        for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sessions"), F.sum("n_events").alias("n"))
+        .collect()
+    }
+    batch_per_user = {
+        r.user_id: (r.sessions, r.n)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sessions"), F.sum("n_events").alias("n"))
+        .collect()
+    }
+    assert got_per_user == batch_per_user
+
+
+def test_stream_to_catalog_snapshot_per_batch(spark, landing, tmp_path):
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+
+    src, events = landing
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    try:
+        io = SparkCatalogIO(spark, server.uri)
+        stream = read_event_stream(spark, src)
+        q = stream_to_catalog(
+            stream, io, ["streams"], "events_sink", str(tmp_path / "ckpt")
+        )
+        _run_stream(q)
+        total = io.read_table(["streams"], "events_sink").count()
+        assert total == events.count()
+        md = io.client.load_table(["streams"], "events_sink")["metadata"]
+        # One snapshot per non-empty micro-batch (4 chunks → 4 appends).
+        assert len(md["snapshots"]) == 4
+        assert md["refs"]["main"]["snapshot-id"] == md["current-snapshot-id"]
+    finally:
+        server.stop()

@@ -75,25 +75,41 @@ class SparkCatalogIO:
         name: str,
         snapshot_id: int | None = None,
         ref: str | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
-        `VERSION AS OF` / branch-tag time travel."""
+        `VERSION AS OF` / branch-tag time travel.
+
+        `where` is a scan expression (denali_spark.sources.expressions —
+        the REST spec's Expression grammar): files whose manifest min/max
+        stats prove no row can match are pruned driver-side BEFORE Spark
+        plans the scan, then the same expression runs as an exact residual
+        `filter` (which Spark additionally pushes into the parquet reader).
+        """
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
         snap = self._resolve_snapshot(md, snapshot_id, ref)
         if snap is None:  # empty table → typed empty DataFrame
-            from denali_spark.sources.schema_convert import _type_to_iceberg  # noqa: F401
-
             return self._empty_df(md)
-        files = self._manifest_files(snap["manifest-list"])
-        if not files:
-            return self._empty_df(md)
-        return self.spark.read.parquet(*files)
+        entries = self._manifest_entries(snap["manifest-list"])
+        if where is not None:
+            from denali_spark.sources.expressions import file_might_match, to_spark_sql
 
-    def _manifest_files(self, manifest_list_location: str) -> list[str]:
+            entries = [e for e in entries if file_might_match(where, e.get("stats"))]
+        if not entries:
+            return self._empty_df(md)
+        df = self.spark.read.parquet(*[e["path"] for e in entries])
+        if where is not None:
+            df = df.filter(to_spark_sql(where))
+        return df
+
+    def _manifest_entries(self, manifest_list_location: str) -> list[dict]:
         with open(_fs_path(manifest_list_location)) as f:
             manifest = json.load(f)
-        return [e["path"] for e in manifest["files"]]
+        return manifest["files"]
+
+    def _manifest_files(self, manifest_list_location: str) -> list[str]:
+        return [e["path"] for e in self._manifest_entries(manifest_list_location)]
 
     def _empty_df(self, md: dict) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -152,9 +168,7 @@ class SparkCatalogIO:
             prev_files = []
             if mode == "append" and parent_id is not None:
                 prev = self._resolve_snapshot(md, parent_id)
-                prev_files = [
-                    {"path": p} for p in self._manifest_files(prev["manifest-list"])
-                ]
+                prev_files = self._manifest_entries(prev["manifest-list"])
             snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
             manifest_loc = self._write_manifest_list(
                 md["location"], snapshot_id, prev_files + data_files
@@ -294,13 +308,68 @@ class SparkCatalogIO:
         return self.spark.sql(spark_reps[0]["sql"])
 
 
+def _json_stat_value(v):
+    """JSON-safe, order-preserving encoding of a parquet min/max value.
+    Dates/timestamps become ISO strings (lexicographic order == chronological
+    order), so string comparison in the pruner stays correct. Types whose
+    encoding could reorder (decimal, bytes) are dropped — conservative."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    return None
+
+
 def _parquet_stats(path: str) -> dict:
-    """Footer-only stats for manifest entries (record count + file size) —
-    the information Iceberg manifests carry for scan planning."""
+    """Footer-only stats for manifest entries: record count, file size, and
+    per-column min/max + null counts — the information Iceberg manifests
+    carry for scan planning (file pruning happens against these, never
+    against row data)."""
     try:
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
-        return {"record-count": meta.num_rows, "file-size-bytes": os.path.getsize(path)}
+        cols: dict[str, dict] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: not prunable by top-level name
+                    continue
+                st = col.statistics
+                entry = cols.setdefault(
+                    name, {"min": None, "max": None, "null-count": 0, "ok": True}
+                )
+                if st is None or not st.has_min_max:
+                    entry["ok"] = False
+                    continue
+                lo, hi = _json_stat_value(st.min), _json_stat_value(st.max)
+                if lo is None or hi is None:
+                    entry["ok"] = False
+                    continue
+                entry["min"] = lo if entry["min"] is None else min(entry["min"], lo)
+                entry["max"] = hi if entry["max"] is None else max(entry["max"], hi)
+                if st.null_count is not None:
+                    entry["null-count"] += st.null_count
+                else:
+                    entry["ok"] = False
+        stats = {
+            name: {"min": e["min"], "max": e["max"], "null-count": e["null-count"]}
+            for name, e in cols.items()
+            if e["ok"] and e["min"] is not None
+        }
+        out = {"record-count": meta.num_rows, "file-size-bytes": os.path.getsize(path)}
+        if stats:
+            out["stats"] = stats
+        return out
     except Exception:  # noqa: BLE001 — stats are best-effort
         return {"file-size-bytes": os.path.getsize(path)}

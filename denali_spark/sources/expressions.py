@@ -1,0 +1,261 @@
+"""Scan-expression grammar for file pruning + residual filtering.
+
+The reference's REST spec declares a scan Expression grammar
+(/root/reference/routes/openapi.yml:1605-1731 — and/or/not, literal
+comparisons, set membership, unary null tests) that the catalog itself never
+evaluates; client engines use it for manifest/file pruning (SURVEY §4.b).
+This module IS that client-engine piece for our engine: the same expression
+shape, evaluated against the per-column min/max stats our manifests carry,
+plus a lowering to a Spark SQL residual filter for exact row-level semantics.
+
+Pruning is conservative three-valued logic: ``file_might_match`` returns
+False ONLY when the stats prove no row in the file can satisfy the
+predicate. Unknown columns, missing stats, or un-normalizable NOTs degrade
+to True (scan the file) — never to a wrong prune.
+
+Scale notes: at 100 TB a table is O(100k) files; pruning runs driver-side
+over the manifest (tiny JSON), so a selective predicate turns a full-table
+scan into reading a handful of files before Spark even plans the job —
+the same plan-time win Iceberg manifests give real deployments.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+# --- builders ---------------------------------------------------------------
+
+
+def and_(*exprs: dict) -> dict:
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = {"type": "and", "left": out, "right": e}
+    return out
+
+
+def or_(*exprs: dict) -> dict:
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = {"type": "or", "left": out, "right": e}
+    return out
+
+
+def not_(expr: dict) -> dict:
+    return {"type": "not", "child": expr}
+
+
+def _cmp(op: str, term: str, value: Any) -> dict:
+    return {"type": op, "term": term, "value": value}
+
+
+def lt(term: str, value: Any) -> dict:
+    return _cmp("lt", term, value)
+
+
+def lt_eq(term: str, value: Any) -> dict:
+    return _cmp("lt-eq", term, value)
+
+
+def gt(term: str, value: Any) -> dict:
+    return _cmp("gt", term, value)
+
+
+def gt_eq(term: str, value: Any) -> dict:
+    return _cmp("gt-eq", term, value)
+
+
+def eq(term: str, value: Any) -> dict:
+    return _cmp("eq", term, value)
+
+
+def not_eq(term: str, value: Any) -> dict:
+    return _cmp("not-eq", term, value)
+
+
+def in_(term: str, values: list) -> dict:
+    return {"type": "in", "term": term, "values": list(values)}
+
+
+def not_in(term: str, values: list) -> dict:
+    return {"type": "not-in", "term": term, "values": list(values)}
+
+
+def is_null(term: str) -> dict:
+    return {"type": "is-null", "term": term}
+
+
+def not_null(term: str) -> dict:
+    return {"type": "not-null", "term": term}
+
+
+def always_true() -> dict:
+    return {"type": "true"}
+
+
+def always_false() -> dict:
+    return {"type": "false"}
+
+
+# --- NOT normalization (De Morgan + comparison negation) --------------------
+
+_NEGATION = {
+    "lt": "gt-eq",
+    "lt-eq": "gt",
+    "gt": "lt-eq",
+    "gt-eq": "lt",
+    "eq": "not-eq",
+    "not-eq": "eq",
+    "in": "not-in",
+    "not-in": "in",
+    "is-null": "not-null",
+    "not-null": "is-null",
+    "true": "false",
+    "false": "true",
+}
+
+
+def normalize(expr: dict) -> dict:
+    """Push NOT to the leaves so pruning only sees positive/negated
+    comparisons (three-valued NOT over `might-match` is unsound)."""
+    t = expr["type"]
+    if t == "not":
+        child = expr["child"]
+        ct = child["type"]
+        if ct == "not":
+            return normalize(child["child"])
+        if ct == "and":
+            return {
+                "type": "or",
+                "left": normalize(not_(child["left"])),
+                "right": normalize(not_(child["right"])),
+            }
+        if ct == "or":
+            return {
+                "type": "and",
+                "left": normalize(not_(child["left"])),
+                "right": normalize(not_(child["right"])),
+            }
+        neg = dict(child)
+        neg["type"] = _NEGATION[ct]
+        return neg
+    if t in ("and", "or"):
+        return {
+            "type": t,
+            "left": normalize(expr["left"]),
+            "right": normalize(expr["right"]),
+        }
+    return expr
+
+
+# --- lowering to a Spark SQL residual filter --------------------------------
+
+
+def _sql_literal(value: Any) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
+def _sql_col(term: str) -> str:
+    return "`" + term.replace("`", "``") + "`"
+
+
+def to_spark_sql(expr: dict) -> str:
+    """Exact row-level SQL for the expression — applied as the residual
+    filter after file pruning, and usable verbatim in `df.filter(...)`."""
+    t = expr["type"]
+    if t == "and":
+        return f"({to_spark_sql(expr['left'])} AND {to_spark_sql(expr['right'])})"
+    if t == "or":
+        return f"({to_spark_sql(expr['left'])} OR {to_spark_sql(expr['right'])})"
+    if t == "not":
+        return f"(NOT {to_spark_sql(expr['child'])})"
+    if t == "true":
+        return "TRUE"
+    if t == "false":
+        return "FALSE"
+    col = _sql_col(expr["term"])
+    if t == "is-null":
+        return f"({col} IS NULL)"
+    if t == "not-null":
+        return f"({col} IS NOT NULL)"
+    if t == "in":
+        vals = ", ".join(_sql_literal(v) for v in expr["values"])
+        return f"({col} IN ({vals}))"
+    if t == "not-in":
+        vals = ", ".join(_sql_literal(v) for v in expr["values"])
+        return f"({col} NOT IN ({vals}))"
+    ops = {"lt": "<", "lt-eq": "<=", "gt": ">", "gt-eq": ">=", "eq": "=", "not-eq": "!="}
+    return f"({col} {ops[t]} {_sql_literal(expr['value'])})"
+
+
+# --- min/max pruning --------------------------------------------------------
+
+
+def _comparable(a: Any, b: Any) -> bool:
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
+
+
+def file_might_match(expr: dict, stats: dict | None) -> bool:
+    """Conservative can-this-file-contain-a-match over per-column stats of
+    shape {col: {"min": v, "max": v, "null-count": n}}. Missing info → True."""
+    if not stats:
+        return True
+    return _might(normalize(expr), stats)
+
+
+def _might(expr: dict, stats: dict) -> bool:  # noqa: PLR0911 — case table
+    t = expr["type"]
+    if t == "and":
+        return _might(expr["left"], stats) and _might(expr["right"], stats)
+    if t == "or":
+        return _might(expr["left"], stats) or _might(expr["right"], stats)
+    if t == "true":
+        return True
+    if t == "false":
+        return False
+    if t == "not":  # un-normalizable leaf NOT → don't prune
+        return True
+    col_stats = stats.get(expr["term"])
+    if not isinstance(col_stats, dict):
+        return True
+    lo, hi = col_stats.get("min"), col_stats.get("max")
+    nulls = col_stats.get("null-count")
+    if t == "is-null":
+        return nulls is None or nulls > 0
+    if t == "not-null":
+        # Prunable only if every value is null (min/max absent + known nulls).
+        return not (lo is None and hi is None and (nulls or 0) > 0)
+    if lo is None or hi is None:
+        return True
+    if t in ("in", "not-in"):
+        values = [v for v in expr["values"] if _comparable(v, lo)]
+        if len(values) != len(expr["values"]):
+            return True  # mixed/unknown literal types → no pruning
+        if t == "in":
+            return any(lo <= v <= hi for v in values)
+        return not (lo == hi and lo in values)
+    value = expr["value"]
+    if not _comparable(value, lo):
+        return True
+    if t == "lt":
+        return lo < value
+    if t == "lt-eq":
+        return lo <= value
+    if t == "gt":
+        return hi > value
+    if t == "gt-eq":
+        return hi >= value
+    if t == "eq":
+        return lo <= value <= hi
+    if t == "not-eq":
+        return not (lo == hi == value)
+    return True

@@ -1,0 +1,100 @@
+"""Table maintenance: snapshot expiry and small-file compaction.
+
+The reference catalog carries the `remove-snapshots` update op
+(/root/reference/logic/updates.go:354-376 — its `expire_snapshots` analog,
+SURVEY §2.C) but, like all data-plane work, leaves file rewriting to client
+engines. These are the two maintenance procedures every real Iceberg
+deployment runs:
+
+- expire_snapshots: bounded metadata growth. Commits remove-snapshots for
+  history beyond a retention window, keeping every ref target (branches and
+  tags stay readable). Data files are never deleted (matching the
+  reference's drop semantics, routes/tables.go:349-351 — purge=501).
+- compact_data_files: the small-files problem. Streaming appends and
+  frequent commits produce many tiny files; scan cost at 100 TB is
+  dominated by file-open overhead unless they are periodically bin-packed
+  into ~target-size files. Compaction rewrites ONLY the small-file set and
+  splices the result alongside untouched large files — same copy-on-write
+  commit shape as row_ops, same CAS retry safety.
+"""
+
+from __future__ import annotations
+
+from denali_spark.sources.catalog_io import MAIN, SparkCatalogIO
+from denali_spark.sources.row_ops import _commit_cow, _retrying
+
+
+def expire_snapshots(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Remove ancestor snapshots beyond the newest `keep_last` (and, if
+    given, only those older than `older_than_ms`). Snapshots referenced by
+    any branch/tag are always kept."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    snaps = sorted(md.get("snapshots", []), key=lambda s: s["timestamp-ms"])
+    protected = {r["snapshot-id"] for r in md.get("refs", {}).values()}
+    if md.get("current-snapshot-id") is not None:
+        protected.add(md["current-snapshot-id"])
+    removable = [s for s in snaps if s["snapshot-id"] not in protected]
+    if keep_last > 1:
+        removable = removable[: -(keep_last - 1)] if keep_last - 1 < len(removable) else []
+    if older_than_ms is not None:
+        removable = [s for s in removable if s["timestamp-ms"] < older_than_ms]
+    if not removable:
+        return {"metadata": md, "noop": True}
+    return io.client.commit_table(
+        namespace,
+        name,
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[
+            {
+                "action": "remove-snapshots",
+                "snapshot-ids": [s["snapshot-id"] for s in removable],
+            }
+        ],
+    )
+
+
+def compact_data_files(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """Bin-pack files smaller than the target into ~target-size files
+    (Iceberg's rewrite_data_files procedure). Large files are carried over
+    untouched; a no-op when fewer than `min_input_files` qualify."""
+
+    def attempt():
+        md = io.client.load_table(namespace, name)["metadata"]
+        ref = md.get("refs", {}).get(MAIN)
+        parent_id = ref["snapshot-id"] if ref else None
+        if parent_id is None:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        entries = io._manifest_entries(snap["manifest-list"])
+        small = [
+            e for e in entries
+            if e.get("file-size-bytes", target_file_size_bytes) < target_file_size_bytes
+        ]
+        if len(small) < min_input_files:
+            return {"metadata": md, "noop": True}
+        small_paths = {e["path"] for e in small}
+        untouched = [e for e in entries if e["path"] not in small_paths]
+        total = sum(e.get("file-size-bytes", 0) for e in small)
+        n_out = max(1, -(-total // target_file_size_bytes))  # ceil
+        df = io.spark.read.parquet(*sorted(small_paths)).coalesce(n_out)
+        new_files = io._write_data_files(df, md["location"])
+        return _commit_cow(
+            io, namespace, name, md, parent_id, untouched + new_files,
+            "replace",
+            {"compacted-input-files": str(len(small)),
+             "compacted-output-files": str(len(new_files))},
+        )
+
+    return _retrying(attempt)

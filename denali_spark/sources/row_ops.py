@@ -1,0 +1,256 @@
+"""Row-level operations: DELETE / UPDATE / MERGE as copy-on-write commits.
+
+The reference catalog enables these for client engines (every Iceberg
+`DELETE FROM` / `UPDATE` / `MERGE INTO` is, catalog-side, just another
+optimistic snapshot commit — SURVEY §2.A #14, §2.G "Sinks" row). This module
+is the client-engine half: plan which data files can possibly contain
+affected rows (manifest min/max pruning, denali_spark.sources.expressions),
+rewrite ONLY those files, and commit a snapshot that splices
+untouched + rewritten file sets — the classic copy-on-write strategy.
+
+Scale notes (100 TB design point):
+- Work is proportional to the AFFECTED file set, not table size: a DELETE
+  with a selective predicate on a clustered column rewrites a handful of
+  files while the other ~100k manifest entries are carried over untouched
+  (an O(manifest) driver-side list splice, no data movement).
+- MERGE prunes target files by the source's join-key bounds (one cheap agg
+  over the source), then lets Spark pick the join strategy — a small source
+  broadcasts, a large one shuffles with AQE skew handling.
+- Commits ride the same assert-ref-snapshot-id CAS + retry loop as writes,
+  so concurrent row-ops serialize safely; a lost race re-plans from the
+  fresh snapshot (the rewrite is re-run — correctness over wasted work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from denali_spark.catalog.client import CatalogHTTPError
+from denali_spark.sources.catalog_io import MAIN, CommitRetriesExhausted, SparkCatalogIO
+from denali_spark.sources.expressions import (
+    and_,
+    file_might_match,
+    gt_eq,
+    lt_eq,
+    to_spark_sql,
+)
+
+
+def _new_snapshot_id() -> int:
+    import time
+    import uuid
+
+    return int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+
+
+def _commit_cow(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    md: dict,
+    parent_id: int | None,
+    files: list[dict],
+    operation: str,
+    summary_extra: dict[str, str],
+) -> dict:
+    """One copy-on-write snapshot commit against a known parent."""
+    import time
+
+    snapshot_id = _new_snapshot_id()
+    manifest_loc = io._write_manifest_list(md["location"], snapshot_id, files)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": parent_id,
+        "sequence-number": md.get("last-sequence-number", 0) + 1,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": manifest_loc,
+        "schema-id": md.get("current-schema-id", 0),
+        "summary": {"operation": operation, **summary_extra},
+    }
+    return io.client.commit_table(
+        namespace,
+        name,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": MAIN, "snapshot-id": parent_id},
+        ],
+        updates=[
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": MAIN,
+                "snapshot-id": snapshot_id,
+                "type": "branch",
+            },
+        ],
+    )
+
+
+def _plan(io: SparkCatalogIO, namespace: list[str], name: str, where: dict | None):
+    """Load current state and split the live file set into (candidates that
+    might contain affected rows, untouched carry-overs)."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    ref = md.get("refs", {}).get(MAIN)
+    parent_id = ref["snapshot-id"] if ref else None
+    if parent_id is None:
+        return md, None, [], []
+    snap = io._resolve_snapshot(md, parent_id)
+    entries = io._manifest_entries(snap["manifest-list"])
+    if where is None:
+        return md, parent_id, entries, []
+    candidates = [e for e in entries if file_might_match(where, e.get("stats"))]
+    candidate_paths = {e["path"] for e in candidates}
+    untouched = [e for e in entries if e["path"] not in candidate_paths]
+    return md, parent_id, candidates, untouched
+
+
+def _retrying(op):
+    """Run a plan→rewrite→commit closure with CAS-race retries; the closure
+    re-plans from the fresh snapshot on every attempt."""
+    last = None
+    for _ in range(3):
+        try:
+            return op()
+        except CatalogHTTPError as exc:
+            if exc.status != 409:
+                raise
+            last = exc
+    raise CommitRetriesExhausted(str(last))
+
+
+def delete_where(
+    io: SparkCatalogIO, namespace: list[str], name: str, where: dict
+) -> dict:
+    """DELETE FROM ns.t WHERE <expr>. Returns the commit response; no-op
+    (current metadata, no new snapshot) when no file can contain a match."""
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
+        if not candidates:
+            return {"metadata": md, "noop": True}
+        df = io.spark.read.parquet(*[e["path"] for e in candidates])
+        # SQL DELETE removes rows where the predicate is TRUE; rows where it
+        # is NULL survive — hence coalesce, not plain NOT.
+        survivors = df.filter(f"NOT coalesce({to_spark_sql(where)}, false)")
+        new_files = io._write_data_files(survivors, md["location"])
+        before = sum(e.get("record-count", 0) for e in candidates)
+        after = sum(e.get("record-count", 0) for e in new_files)
+        return _commit_cow(
+            io, namespace, name, md, parent_id, untouched + new_files,
+            "delete",
+            {"deleted-records": str(before - after),
+             "rewritten-data-files": str(len(candidates))},
+        )
+
+    return _retrying(attempt)
+
+
+def update_where(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    where: dict,
+    set_exprs: dict[str, str],
+) -> dict:
+    """UPDATE ns.t SET col = <spark sql expr>, ... WHERE <expr>. Each set
+    expression may reference any column of the row; assignments are
+    simultaneous (all RHS evaluate against the pre-update row)."""
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
+        if not candidates:
+            return {"metadata": md, "noop": True}
+        df = io.spark.read.parquet(*[e["path"] for e in candidates])
+        cond = F.expr(f"coalesce({to_spark_sql(where)}, false)")
+        updated = df.withColumns(
+            {
+                col: F.when(cond, F.expr(rhs).cast(df.schema[col].dataType))
+                .otherwise(F.col(col))
+                for col, rhs in set_exprs.items()
+            }
+        )
+        new_files = io._write_data_files(updated, md["location"])
+        return _commit_cow(
+            io, namespace, name, md, parent_id, untouched + new_files,
+            "overwrite",
+            {"rewritten-data-files": str(len(candidates))},
+        )
+
+    return _retrying(attempt)
+
+
+def merge_into(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """MERGE INTO ns.t USING source ON <key columns> — the upsert/CDC-apply
+    shape: matched target rows are replaced by their source row
+    (when_matched='update') or removed ('delete'); unmatched source rows are
+    inserted. Source schema must match the table schema.
+
+    Target files that cannot contain any source key (manifest min/max vs the
+    source's key bounds, one small agg) are never read or rewritten.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    source = source.cache()
+    bounds = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in on],
+        *[F.max(k).alias(f"hi_{k}") for k in on],
+    ).collect()[0]
+    if bounds[f"lo_{on[0]}"] is None:  # empty source
+        source.unpersist()
+        md = io.client.load_table(namespace, name)["metadata"]
+        return {"metadata": md, "noop": True}
+    prune = and_(
+        *[gt_eq(k, bounds[f"lo_{k}"]) for k in on],
+        *[lt_eq(k, bounds[f"hi_{k}"]) for k in on],
+    )
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, prune)
+        if candidates:
+            target = io.spark.read.parquet(*[e["path"] for e in candidates])
+            keep = target.join(source.select(*on), on=on, how="left_anti")
+        else:
+            target = None
+            keep = None
+        if when_matched == "update":
+            if target is None:
+                matched_or_new = source if when_not_matched_insert else None
+            elif when_not_matched_insert:
+                matched_or_new = source
+            else:
+                matched_or_new = source.join(target.select(*on), on=on, how="left_semi")
+        else:  # delete matched; optionally insert the rest
+            if when_not_matched_insert:
+                matched_or_new = (
+                    source.join(target.select(*on), on=on, how="left_anti")
+                    if target is not None
+                    else source
+                )
+            else:
+                matched_or_new = None
+        pieces = [p for p in (keep, matched_or_new) if p is not None]
+        if not pieces:
+            return {"metadata": md, "noop": True}
+        result = pieces[0]
+        for p in pieces[1:]:
+            result = result.unionByName(p)
+        new_files = io._write_data_files(result, md["location"])
+        return _commit_cow(
+            io, namespace, name, md, parent_id, untouched + new_files,
+            "overwrite",
+            {"merge-on": ",".join(on), "rewritten-data-files": str(len(candidates))},
+        )
+
+    try:
+        return _retrying(attempt)
+    finally:
+        source.unpersist()

@@ -1,0 +1,83 @@
+"""Plan-quality tests: correctness tests prove the rows are right; these
+prove the PLANS are right — pushdown reaches the scan, dimension joins
+broadcast, hot paths stay JVM-side. A regression here is invisible at test
+scale and fatal at 100 TB, so plan shape is tested like behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from denali_spark.operators.registry import REGISTRY
+from denali_spark.plans import (
+    assert_broadcasts,
+    assert_jvm_only,
+    assert_scan_efficient,
+    audit,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark):
+    """q6 is a pure scan-agg: every predicate must reach the parquet reader
+    and the scan must read exactly the 4 referenced lineitem columns."""
+    a = assert_scan_efficient(
+        _df(spark, "q6_forecast_revenue"),
+        max_read_columns=4,
+        require_pushed_filter="l_shipdate",
+    )
+    assert any("l_discount" in p for p in a["pushed_filters"])
+    assert a["exchanges"] == 0  # single global agg, no grouping shuffle
+
+
+def test_q1_scan_narrow_and_pushed(spark):
+    assert_scan_efficient(
+        _df(spark, "q1_pricing_summary"),
+        max_read_columns=7,
+        require_pushed_filter="l_shipdate",
+    )
+
+
+def test_q3_dimension_joins_broadcast(spark):
+    """customer and orders are small relative to lineitem: both joins must
+    broadcast, leaving at most the aggregation exchange."""
+    a = assert_broadcasts(_df(spark, "q3_shipping_priority"), at_least=2)
+    assert a["sortmerge_joins"] == 0
+    assert a["exchanges"] <= 2
+
+
+def test_q5_six_way_join_all_dims_broadcast(spark):
+    a = assert_broadcasts(_df(spark, "q5_local_supplier_volume"), at_least=5)
+    assert a["sortmerge_joins"] == 0
+
+
+def test_q9_star_join_broadcasts(spark):
+    assert_broadcasts(_df(spark, "q9_product_type_profit"), at_least=4)
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    """No row-at-a-time Python UDF may appear in any relational/TPC-H-style
+    query plan — built-in functions only (Arrow-batched pandas UDFs are the
+    sanctioned escape hatch for the LLM-pipeline operators)."""
+    for name, q in REGISTRY.items():
+        if any(t in q.tags for t in ("relational", "join", "aggregate", "window")):
+            assert_jvm_only(q.fn(spark, SF_SMOKE))
+
+
+def test_audit_counts_codegen(spark):
+    """Whole-stage codegen spans exist in the AQE-final plan (execute=True —
+    pre-execution an AdaptiveSparkPlan exposes no codegen ids)."""
+    a = audit(_df(spark, "q1_pricing_summary"), execute=True)
+    assert a["codegen_stages"] >= 1
+    assert a["python_row_udfs"] == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue"]
+)
+def test_headline_plans_have_pushed_filters(spark, name):
+    a = audit(_df(spark, name))
+    assert a["pushed_filters"], f"{name} pushed no filters to the scan"

@@ -144,23 +144,45 @@ class SparkCatalogIO:
         name: str,
         mode: str = "append",
         max_retries: int = 3,
+        partition_by: list | None = None,
+        sort_by: list[str] | None = None,
+        num_files: int | None = None,
     ) -> dict:
         """Append/overwrite `df` into a catalog table (created on demand),
-        committing via the optimistic protocol with bounded retries."""
+        committing via the optimistic protocol with bounded retries.
+
+        partition_by: column names or (column, transform) pairs using the
+        Iceberg transform vocabulary (identity/year/month/day/hour/
+        bucket[N]/truncate[W]); registered as the table's partition spec on
+        create and applied as the write layout. sort_by: within-file sort
+        (the Iceberg write-order analog) — clusters values so footer
+        min/max ranges get tight and the file pruner bites.
+        """
         if mode not in ("append", "overwrite"):
             raise ValueError("mode must be 'append' or 'overwrite'")
+        from denali_spark.sources.partitioning import (
+            build_partition_spec,
+            normalize_partition_by,
+        )
+
+        parts = normalize_partition_by(partition_by) if partition_by else None
         if not self.client.namespace_exists(namespace):
             self.client.create_namespace(namespace)
         if not self.client.table_exists(namespace, name):
+            schema = spark_schema_to_iceberg(df.schema)
             self.client.create_table(
                 namespace,
                 name,
-                spark_schema_to_iceberg(df.schema),
+                schema,
+                partition_spec=build_partition_spec(parts, schema) if parts else None,
                 properties={"denali-spark.manifest-format": "json"},
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
-        data_files = self._write_data_files(df, md["location"])
+        data_files = self._write_data_files(
+            df, md["location"], partition_by=parts, sort_by=sort_by,
+            num_files=num_files,
+        )
 
         for _attempt in range(max_retries):
             base_ref = md.get("refs", {}).get(MAIN)
@@ -211,17 +233,59 @@ class SparkCatalogIO:
             f"commit of {'.'.join(namespace)}.{name} lost {max_retries} CAS races"
         )
 
-    def _write_data_files(self, df: DataFrame, table_location: str) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        table_location: str,
+        partition_by: list[tuple[str, str]] | None = None,
+        sort_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> list[dict]:
         """Executors write parquet straight into <location>/data/<uuid>/ —
-        the catalog never sees row data (reference architecture §3.3)."""
+        the catalog never sees row data (reference architecture §3.3).
+        Partitioned writes hash-distribute rows by partition value first
+        (Iceberg's write.distribution-mode=hash) so each partition is
+        written by one task instead of every task emitting a sliver of
+        every partition — the difference between O(partitions) and
+        O(tasks x partitions) files at scale."""
         out_dir = os.path.join(_fs_path(table_location), "data", uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(out_dir)
+        dir_cols: list[str] = []
+        if partition_by:
+            from denali_spark.sources.partitioning import apply_partition_layout
+
+            df, dir_cols = apply_partition_layout(df, partition_by)
+            df = df.repartition(*dir_cols)
+        elif sort_by:
+            # Range-distribute so the sort clusters globally (each file owns
+            # a disjoint value range), not just within arbitrary partitions.
+            # num_files pins the output file count (the target-file-size
+            # knob); otherwise AQE picks it from data volume.
+            df = (
+                df.repartitionByRange(num_files, *sort_by)
+                if num_files
+                else df.repartitionByRange(*sort_by)
+            )
+        elif num_files:
+            df = df.repartition(num_files)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.mode("overwrite")
+        if dir_cols:
+            writer = writer.partitionBy(*dir_cols)
+        writer.parquet(out_dir)
         entries = []
         for root, _dirs, files in os.walk(out_dir):
             for fname in sorted(files):
                 if fname.endswith(".parquet"):
                     path = os.path.join(root, fname)
-                    entries.append({"path": path, **_parquet_stats(path)})
+                    entry = {"path": path, **_parquet_stats(path)}
+                    if dir_cols:
+                        from denali_spark.sources.partitioning import (
+                            partition_values_from_path,
+                        )
+
+                        entry["partition"] = partition_values_from_path(path, dir_cols)
+                    entries.append(entry)
         return entries
 
     def _write_manifest_list(

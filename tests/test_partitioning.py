@@ -1,0 +1,131 @@
+"""Partitioned / sorted catalog writes: transform lowering, spec
+registration, layout, manifest partition tuples, and — the point of it
+all — that partition-aligned clustering makes the file pruner effective."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO
+from denali_spark.sources import expressions as E
+from denali_spark.sources.partitioning import (
+    build_partition_spec,
+    normalize_partition_by,
+    transform_column,
+)
+from denali_spark.engine.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def test_transform_lowering(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15 10:30:00", "analytics", -7, 123)],
+        "ts string, name string, i long, k long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = df.select(
+        transform_column("ts", "year").alias("y"),
+        transform_column("ts", "month").alias("m"),
+        transform_column("ts", "day").alias("d"),
+        transform_column("ts", "hour").alias("h"),
+        transform_column("name", "truncate[4]", df.schema["name"].dataType).alias("tn"),
+        transform_column("i", "truncate[10]", df.schema["i"].dataType).alias("ti"),
+        transform_column("k", "bucket[8]").alias("b"),
+    ).collect()[0]
+    assert (row.y, row.m, row.d, row.h) == (2024, "2024-03", "2024-03-15", "2024-03-15-10")
+    assert row.tn == "anal"
+    assert row.ti == -10  # floor to multiple of 10, correct for negatives
+    assert 0 <= row.b < 8
+
+
+def test_partition_spec_registered(spark, io):
+    events = load_table(spark, SF_SMOKE, "events")
+    io.write_table(
+        events, ["pt"], "events", mode="overwrite",
+        partition_by=[("ts", "day"), ("user_id", "bucket[4]")],
+    )
+    md = io.client.load_table(["pt"], "events")["metadata"]
+    spec = md["partition-specs"][0]
+    assert [f["transform"] for f in spec["fields"]] == ["day", "bucket[4]"]
+    assert [f["name"] for f in spec["fields"]] == ["ts_day", "user_id_bucket"]
+    assert spec["fields"][0]["field-id"] == 1000
+    assert md["default-spec-id"] == 0
+
+
+def test_partitioned_write_manifest_and_readback(spark, io):
+    events = load_table(spark, SF_SMOKE, "events")
+    io.write_table(
+        events, ["pt"], "by_day", mode="overwrite", partition_by=[("ts", "day")]
+    )
+    md = io.client.load_table(["pt"], "by_day")["metadata"]
+    snap = io._resolve_snapshot(md)
+    entries = io._manifest_entries(snap["manifest-list"])
+    n_days = events.select(F.to_date("ts")).distinct().count()
+    assert len(entries) == n_days  # hash distribution → one file per day
+    assert all("partition" in e and "ts_day" in e["partition"] for e in entries)
+    # Data files keep ALL original columns (derived dir columns stripped).
+    back = io.read_table(["pt"], "by_day")
+    assert set(back.columns) == set(events.columns)
+    assert back.count() == events.count()
+
+
+def test_partitioned_layout_makes_pruning_effective(spark, io):
+    events = load_table(spark, SF_SMOKE, "events")
+    io.write_table(
+        events, ["pt"], "pruned", mode="overwrite", partition_by=[("ts", "day")]
+    )
+    md = io.client.load_table(["pt"], "pruned")["metadata"]
+    snap = io._resolve_snapshot(md)
+    n_files = len(io._manifest_entries(snap["manifest-list"]))
+    lo = events.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    where = E.and_(
+        E.gt_eq("ts", f"{lo} 00:00:00"), E.lt("ts", f"{lo} 23:59:59.999")
+    )
+    df = io.read_table(["pt"], "pruned", where=where)
+    scanned = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    assert len(scanned) == 1, f"expected 1 of {n_files} files after day-pruning"
+    # And the rows are exactly that day's.
+    expected = events.filter(F.to_date("ts") == F.lit(lo)).count()
+    assert df.count() == expected
+
+
+def test_sorted_write_clusters_for_pruning(spark, io):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    io.write_table(
+        orders, ["pt"], "sorted", mode="overwrite",
+        sort_by=["o_custkey"], num_files=4,
+    )
+    md = io.client.load_table(["pt"], "sorted")["metadata"]
+    snap = io._resolve_snapshot(md)
+    entries = io._manifest_entries(snap["manifest-list"])
+    assert len(entries) == 4
+    # Range distribution → disjoint o_custkey ranges across files.
+    ranges = sorted(
+        (e["stats"]["o_custkey"]["min"], e["stats"]["o_custkey"]["max"])
+        for e in entries
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    # A point lookup prunes to exactly one file.
+    probe = ranges[0][1]
+    df = io.read_table(["pt"], "sorted", where=E.eq("o_custkey", probe))
+    assert len([f for f in df.inputFiles() if f.endswith(".parquet")]) == 1
+
+
+def test_normalize_and_spec_errors():
+    assert normalize_partition_by(["a", ("b", "day")]) == [
+        ("a", "identity"),
+        ("b", "day"),
+    ]
+    schema = {"fields": [{"id": 1, "name": "a", "type": "long"}]}
+    with pytest.raises(ValueError, match="not in schema"):
+        build_partition_spec([("zz", "identity")], schema)

@@ -12,6 +12,7 @@ from denali_spark.operators.registry import REGISTRY, Query, all_oracles, all_qu
 # Import for registration side effects.
 from denali_spark.operators import (  # noqa: E402,F401
     relational,
+    subqueries,
     joins,
     aggregates,
     windows,

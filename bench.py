@@ -18,12 +18,20 @@ import os
 import time
 
 HEADLINE = [
+    # Relational core (TPC-H adaptations)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customer",
+    # Decorrelation (correlated subqueries → joins)
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    # LLM-pipeline scale ops (the engine's beyond-parity surface)
+    "dedup_minhash_lsh_pairs",
+    "sim_lsh_bucket_topk",
+    "text_quality_score",
 ]
 
 

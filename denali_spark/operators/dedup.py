@@ -250,7 +250,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs comparison is impossible.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _with_signatures(docs)
+    # The signature relation feeds FOUR plan branches (both sides of the
+    # band self-join, both sides of the verification join). Unpersisted,
+    # Spark recomputes the whole tokenize→shingle→md5→16-permutation
+    # pipeline per branch (~4x the scan cost dominated this query's
+    # runtime). Materializing signatures once is the canonical MinHash
+    # shape at any scale — at 100 TB they'd be checkpointed to storage;
+    # locally MEMORY_AND_DISK spills instead of OOMing.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = _with_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))

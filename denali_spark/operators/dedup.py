@@ -377,11 +377,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     hw = F.transform(F.array_distinct(toks), h60)
+    # Persisted: the simhash computation (32 bit-vote folds over the token
+    # hashes) would otherwise run once per side of the band self-join.
+    from pyspark.storagelevel import StorageLevel
+
     sh = (
         docs.select("doc_id", hw.alias("hw"))
         .filter(F.size("hw") > 0)
         .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = F.array(
         *[
             F.struct(
@@ -440,7 +444,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to bound per-key fanout; the synthetic corpus needs no such cap.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    sh = docs.select("doc_id", shingles_col(toks).alias("s")).filter(F.size("s") > 0)
+    # Persisted: the shingle relation feeds 4 plan branches (both sides of
+    # the inverted-index self-join + both size lookups).
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
+        docs.select("doc_id", shingles_col(toks).alias("s"))
+        .filter(F.size("s") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ex = sh.select("doc_id", F.explode("s").alias("sg"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -498,14 +510,16 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. At 100 TB the bucketed/ANN path is the one to use.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per vector (O(n·d) once) instead of per pair
+    # (O(n²·d) — recomputing both norms inside every pair tripled the
+    # quadratic work). sqrt/÷ of identical doubles is bit-identical to the
+    # oracle's inline form, so values are unchanged.
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
+    v = v.select("vec_id", "e", F.sqrt(dot_cols(F.col("e"), F.col("e"))).alias("nrm"))
     a, b = v.alias("a"), v.alias("b")
-    cos = dot_cols(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot_cols(F.col("a.e"), F.col("a.e")))
-        * F.sqrt(dot_cols(F.col("b.e"), F.col("b.e")))
-    )
+    cos = dot_cols(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -98,10 +98,47 @@ class SparkCatalogIO:
             entries = [e for e in entries if file_might_match(where, e.get("stats"))]
         if not entries:
             return self._empty_df(md)
-        df = self.spark.read.parquet(*[e["path"] for e in entries])
+        # Iceberg read semantics: a current-state read uses the CURRENT
+        # schema; only explicit time travel sees the snapshot's own schema.
+        time_travel = snapshot_id is not None or ref is not None
+        df = self._read_reconciled(md, snap, entries, snapshot_schema=time_travel)
         if where is not None:
             df = df.filter(to_spark_sql(where))
         return df
+
+    def _read_reconciled(
+        self,
+        md: dict,
+        snap: dict,
+        entries: list[dict],
+        snapshot_schema: bool = False,
+    ) -> DataFrame:
+        """Read data files grouped by the schema they were written under and
+        project every group into the snapshot's schema by FIELD ID — renames
+        and drops are pure metadata; added columns backfill as typed NULLs
+        (schema evolution without rewriting a single file)."""
+        from functools import reduce
+
+        from denali_spark.sources.schema_evolution import (
+            reconcile_to_schema,
+            schema_by_id,
+        )
+
+        if snapshot_schema:
+            target_id = snap.get("schema-id", md["current-schema-id"])
+        else:
+            target_id = md["current-schema-id"]
+        target = schema_by_id(md, target_id)
+        groups: dict[int, list[str]] = {}
+        for e in entries:
+            groups.setdefault(e.get("schema-id", 0), []).append(e["path"])
+        dfs = []
+        for sid, paths in sorted(groups.items()):
+            df = self.spark.read.parquet(*paths)
+            if sid != target_id:
+                df = reconcile_to_schema(df, schema_by_id(md, sid), target)
+            dfs.append(df)
+        return reduce(lambda a, b: a.unionByName(b), dfs)
 
     def _manifest_entries(self, manifest_list_location: str) -> list[dict]:
         with open(_fs_path(manifest_list_location)) as f:
@@ -181,7 +218,7 @@ class SparkCatalogIO:
         md = loaded["metadata"]
         data_files = self._write_data_files(
             df, md["location"], partition_by=parts, sort_by=sort_by,
-            num_files=num_files,
+            num_files=num_files, schema_id=md.get("current-schema-id", 0),
         )
 
         for _attempt in range(max_retries):
@@ -240,6 +277,7 @@ class SparkCatalogIO:
         partition_by: list[tuple[str, str]] | None = None,
         sort_by: list[str] | None = None,
         num_files: int | None = None,
+        schema_id: int | None = None,
     ) -> list[dict]:
         """Executors write parquet straight into <location>/data/<uuid>/ —
         the catalog never sees row data (reference architecture §3.3).
@@ -279,6 +317,8 @@ class SparkCatalogIO:
                 if fname.endswith(".parquet"):
                     path = os.path.join(root, fname)
                     entry = {"path": path, **_parquet_stats(path)}
+                    if schema_id is not None:
+                        entry["schema-id"] = schema_id
                     if dir_cols:
                         from denali_spark.sources.partitioning import (
                             partition_values_from_path,

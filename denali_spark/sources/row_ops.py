@@ -105,6 +105,20 @@ def _plan(io: SparkCatalogIO, namespace: list[str], name: str, where: dict | Non
     return md, parent_id, candidates, untouched
 
 
+def _read_candidates(io: SparkCatalogIO, md: dict, parent_id: int, candidates):
+    """Read candidate files reconciled to the current schema (field-id
+    mapping), so row-ops see evolved column names and rewrite files under
+    the CURRENT schema."""
+    snap = io._resolve_snapshot(md, parent_id)
+    return io._read_reconciled(md, snap, candidates)
+
+
+def _write_rewritten(io: SparkCatalogIO, df, md: dict) -> list[dict]:
+    return io._write_data_files(
+        df, md["location"], schema_id=md.get("current-schema-id", 0)
+    )
+
+
 def _retrying(op):
     """Run a plan→rewrite→commit closure with CAS-race retries; the closure
     re-plans from the fresh snapshot on every attempt."""
@@ -129,11 +143,11 @@ def delete_where(
         md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
         if not candidates:
             return {"metadata": md, "noop": True}
-        df = io.spark.read.parquet(*[e["path"] for e in candidates])
+        df = _read_candidates(io, md, parent_id, candidates)
         # SQL DELETE removes rows where the predicate is TRUE; rows where it
         # is NULL survive — hence coalesce, not plain NOT.
         survivors = df.filter(f"NOT coalesce({to_spark_sql(where)}, false)")
-        new_files = io._write_data_files(survivors, md["location"])
+        new_files = _write_rewritten(io, survivors, md)
         before = sum(e.get("record-count", 0) for e in candidates)
         after = sum(e.get("record-count", 0) for e in new_files)
         return _commit_cow(
@@ -161,7 +175,7 @@ def update_where(
         md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
         if not candidates:
             return {"metadata": md, "noop": True}
-        df = io.spark.read.parquet(*[e["path"] for e in candidates])
+        df = _read_candidates(io, md, parent_id, candidates)
         cond = F.expr(f"coalesce({to_spark_sql(where)}, false)")
         updated = df.withColumns(
             {
@@ -170,7 +184,7 @@ def update_where(
                 for col, rhs in set_exprs.items()
             }
         )
-        new_files = io._write_data_files(updated, md["location"])
+        new_files = _write_rewritten(io, updated, md)
         return _commit_cow(
             io, namespace, name, md, parent_id, untouched + new_files,
             "overwrite",
@@ -216,7 +230,7 @@ def merge_into(
     def attempt():
         md, parent_id, candidates, untouched = _plan(io, namespace, name, prune)
         if candidates:
-            target = io.spark.read.parquet(*[e["path"] for e in candidates])
+            target = _read_candidates(io, md, parent_id, candidates)
             keep = target.join(source.select(*on), on=on, how="left_anti")
         else:
             target = None
@@ -243,7 +257,7 @@ def merge_into(
         result = pieces[0]
         for p in pieces[1:]:
             result = result.unionByName(p)
-        new_files = io._write_data_files(result, md["location"])
+        new_files = _write_rewritten(io, result, md)
         return _commit_cow(
             io, namespace, name, md, parent_id, untouched + new_files,
             "overwrite",

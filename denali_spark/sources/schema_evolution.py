@@ -1,0 +1,151 @@
+"""Schema evolution: ALTER TABLE through the commit protocol, with
+field-id-based reads.
+
+The reference's catalog carries evolution as metadata ops — schemas are
+append-only, evolution = `add-schema` + `set-current-schema`
+(/root/reference/logic/updates.go:75-100, 178-195; SURVEY §2.C) — and field
+ids, not names, are a column's identity (§1.4). The data-plane half, which
+the reference leaves to client engines, lives here:
+
+- add_column / rename_column / drop_column build the successor schema
+  (same field ids for surviving columns, fresh id for additions) and commit
+  it optimistically.
+- Reads reconcile every data file with the CURRENT schema by field id:
+  each file is read under the schema it was written with (stamped into its
+  manifest entry at write time), renamed columns map old file name → new
+  name via their shared id, dropped columns are projected away, and added
+  columns materialize as typed NULLs. A rename is therefore a pure
+  metadata operation — zero files rewritten, which is the only acceptable
+  cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from denali_spark.sources.catalog_io import SparkCatalogIO
+
+# Iceberg primitive → Spark DDL (for typed NULL backfill of added columns).
+ICEBERG_TO_DDL = {
+    "boolean": "boolean", "int": "int", "long": "long", "float": "float",
+    "double": "double", "string": "string", "binary": "binary",
+    "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+}
+
+
+def type_to_ddl(typ) -> str:
+    if isinstance(typ, str):
+        if typ.startswith("decimal"):
+            return typ
+        return ICEBERG_TO_DDL.get(typ, "string")
+    return "string"  # nested: not needed for backfill in v1
+
+
+def schema_by_id(md: dict, schema_id: int) -> dict:
+    for s in md["schemas"]:
+        if s["schema-id"] == schema_id:
+            return s
+    raise ValueError(f"schema-id {schema_id} not in metadata")
+
+
+def current_schema(md: dict) -> dict:
+    return schema_by_id(md, md["current-schema-id"])
+
+
+def reconcile_to_schema(df: DataFrame, file_schema: dict, target: dict) -> DataFrame:
+    """Project a DataFrame read under `file_schema` into `target`, matching
+    columns by FIELD ID (renames follow the id; drops disappear; additions
+    become typed NULLs)."""
+    by_id = {f["id"]: f["name"] for f in file_schema["fields"]}
+    cols = []
+    for field in target["fields"]:
+        old = by_id.get(field["id"])
+        if old is not None and old in df.columns:
+            cols.append(F.col(old).alias(field["name"]))
+        else:
+            cols.append(
+                F.lit(None).cast(type_to_ddl(field["type"])).alias(field["name"])
+            )
+    return df.select(*cols)
+
+
+def _commit_schema_change(
+    io: SparkCatalogIO, namespace: list[str], name: str, new_fields: list[dict],
+    last_column_id: int,
+) -> dict:
+    md = io.client.load_table(namespace, name)["metadata"]
+    new_schema = {
+        "type": "struct",
+        "schema-id": None,  # service assigns max+1
+        "fields": new_fields,
+    }
+    return io.client.commit_table(
+        namespace,
+        name,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+            {"type": "assert-current-schema-id",
+             "current-schema-id": md["current-schema-id"]},
+        ],
+        updates=[
+            {"action": "add-schema", "schema": new_schema,
+             "last-column-id": last_column_id},
+            {"action": "set-current-schema", "schema-id": -1},  # -1 = latest
+        ],
+    )
+
+
+def add_column(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    column: str, iceberg_type: str, doc: str | None = None,
+) -> dict:
+    """ALTER TABLE ADD COLUMN — fresh field id, existing files backfill as
+    typed NULLs on read (no rewrite)."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    cur = current_schema(md)
+    if any(f["name"] == column for f in cur["fields"]):
+        raise ValueError(f"column {column!r} already exists")
+    new_id = md.get("last-column-id", max(f["id"] for f in cur["fields"])) + 1
+    field = {"id": new_id, "name": column, "type": iceberg_type, "required": False}
+    if doc:
+        field["doc"] = doc
+    return _commit_schema_change(
+        io, namespace, name, [*cur["fields"], field], new_id
+    )
+
+
+def rename_column(
+    io: SparkCatalogIO, namespace: list[str], name: str, old: str, new: str
+) -> dict:
+    """ALTER TABLE RENAME COLUMN — same field id, new name; pure metadata."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    cur = current_schema(md)
+    if not any(f["name"] == old for f in cur["fields"]):
+        raise ValueError(f"column {old!r} not found")
+    if any(f["name"] == new for f in cur["fields"]):
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        {**f, "name": new} if f["name"] == old else f for f in cur["fields"]
+    ]
+    return _commit_schema_change(
+        io, namespace, name, fields, md.get("last-column-id", 0)
+    )
+
+
+def drop_column(
+    io: SparkCatalogIO, namespace: list[str], name: str, column: str
+) -> dict:
+    """ALTER TABLE DROP COLUMN — field removed from the current schema;
+    data files keep the bytes (time travel to old snapshots still sees
+    them), reads under the new schema project it away."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    cur = current_schema(md)
+    if not any(f["name"] == column for f in cur["fields"]):
+        raise ValueError(f"column {column!r} not found")
+    fields = [f for f in cur["fields"] if f["name"] != column]
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    return _commit_schema_change(
+        io, namespace, name, fields, md.get("last-column-id", 0)
+    )

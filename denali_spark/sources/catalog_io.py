@@ -207,11 +207,23 @@ class SparkCatalogIO:
             self.client.create_namespace(namespace)
         if not self.client.table_exists(namespace, name):
             schema = spark_schema_to_iceberg(df.schema)
+            write_order = None
+            if sort_by:
+                by_name = {f["name"]: f["id"] for f in schema["fields"]}
+                write_order = {
+                    "order-id": 1,
+                    "fields": [
+                        {"transform": "identity", "source-id": by_name[c],
+                         "direction": "asc", "null-order": "nulls-first"}
+                        for c in sort_by
+                    ],
+                }
             self.client.create_table(
                 namespace,
                 name,
                 schema,
                 partition_spec=build_partition_spec(parts, schema) if parts else None,
+                write_order=write_order,
                 properties={"denali-spark.manifest-format": "json"},
             )
         loaded = self.client.load_table(namespace, name)

@@ -105,6 +105,10 @@ def test_sorted_write_clusters_for_pruning(spark, io):
         sort_by=["o_custkey"], num_files=4,
     )
     md = io.client.load_table(["pt"], "sorted")["metadata"]
+    # Sort order registered as table metadata (§1.2 write-order parity).
+    order = md["sort-orders"][-1]
+    assert md["default-sort-order-id"] == order["order-id"] == 1
+    assert [f["direction"] for f in order["fields"]] == ["asc"]
     snap = io._resolve_snapshot(md)
     entries = io._manifest_entries(snap["manifest-list"])
     assert len(entries) == 4

@@ -1,5 +1,6 @@
 from denali_spark.sources.catalog_io import SparkCatalogIO
 from denali_spark.sources.maintenance import compact_data_files, expire_snapshots
+from denali_spark.sources.mor import delete_where_mor, equality_delete, rewrite_deletes
 from denali_spark.sources.row_ops import delete_where, merge_into, update_where
 from denali_spark.sources.schema_evolution import (
     add_column,
@@ -12,9 +13,12 @@ __all__ = [
     "add_column",
     "compact_data_files",
     "delete_where",
+    "delete_where_mor",
     "drop_column",
+    "equality_delete",
     "expire_snapshots",
     "merge_into",
     "rename_column",
+    "rewrite_deletes",
     "update_where",
 ]

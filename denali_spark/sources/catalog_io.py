@@ -32,12 +32,27 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from denali_spark.catalog.client import CatalogClient, CatalogHTTPError
 from denali_spark.catalog.metadata import _fs_path  # file://-aware path mapping
 from denali_spark.sources.schema_convert import spark_schema_to_iceberg
 
 MAIN = "main"
+
+# Row-lineage columns used to apply merge-on-read delete files (Iceberg's
+# ContentFile position/equality delete variants, openapi.yml:3400+). Never
+# visible to callers — added for the anti-joins, dropped before returning.
+LINEAGE_FILE = "__dsp_file_path"
+LINEAGE_POS = "__dsp_pos"
+
+
+def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Manifest entries → (data files, delete files). The `content` field
+    mirrors Iceberg's ContentFile discriminator; absent means data."""
+    data = [e for e in entries if e.get("content", "data") == "data"]
+    deletes = [e for e in entries if e.get("content", "data") != "data"]
+    return data, deletes
 
 
 class CommitRetriesExhausted(Exception):
@@ -91,7 +106,9 @@ class SparkCatalogIO:
         snap = self._resolve_snapshot(md, snapshot_id, ref)
         if snap is None:  # empty table → typed empty DataFrame
             return self._empty_df(md)
-        entries = self._manifest_entries(snap["manifest-list"])
+        entries, delete_entries = split_entries(
+            self._manifest_entries(snap["manifest-list"])
+        )
         if where is not None:
             from denali_spark.sources.expressions import file_might_match, to_spark_sql
 
@@ -101,7 +118,13 @@ class SparkCatalogIO:
         # Iceberg read semantics: a current-state read uses the CURRENT
         # schema; only explicit time travel sees the snapshot's own schema.
         time_travel = snapshot_id is not None or ref is not None
-        df = self._read_reconciled(md, snap, entries, snapshot_schema=time_travel)
+        df = self._read_reconciled(
+            md, snap, entries, snapshot_schema=time_travel,
+            with_lineage=bool(delete_entries),
+        )
+        if delete_entries:
+            df = self._apply_deletes(df, entries, delete_entries)
+            df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         if where is not None:
             df = df.filter(to_spark_sql(where))
         return df
@@ -112,11 +135,17 @@ class SparkCatalogIO:
         snap: dict,
         entries: list[dict],
         snapshot_schema: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read data files grouped by the schema they were written under and
         project every group into the snapshot's schema by FIELD ID — renames
         and drops are pure metadata; added columns backfill as typed NULLs
-        (schema evolution without rewriting a single file)."""
+        (schema evolution without rewriting a single file).
+
+        with_lineage=True attaches (file path, row position) columns from
+        Spark's parquet `_metadata` — computed executor-side during the scan,
+        no extra IO — which is what merge-on-read position deletes join
+        against."""
         from functools import reduce
 
         from denali_spark.sources.schema_evolution import (
@@ -135,10 +164,77 @@ class SparkCatalogIO:
         dfs = []
         for sid, paths in sorted(groups.items()):
             df = self.spark.read.parquet(*paths)
+            if with_lineage:
+                df = df.withColumns({
+                    # normalize file:///x → /x so lineage matches manifest paths
+                    LINEAGE_FILE: F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                    LINEAGE_POS: F.col("_metadata.row_index"),
+                })
             if sid != target_id:
-                df = reconcile_to_schema(df, schema_by_id(md, sid), target)
+                df = reconcile_to_schema(
+                    df, schema_by_id(md, sid), target,
+                    extra_cols=(LINEAGE_FILE, LINEAGE_POS) if with_lineage else (),
+                )
             dfs.append(df)
         return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def _apply_deletes(
+        self, df: DataFrame, data_entries: list[dict], delete_entries: list[dict]
+    ) -> DataFrame:
+        """Apply merge-on-read delete files to a lineage-bearing DataFrame.
+
+        Position deletes (file_path, pos) anti-join on row lineage; no
+        sequence check is needed because data file paths are unique per
+        commit (uuid'd directories) — a delete row can never alias a newer
+        file. Equality deletes remove rows matching the delete's key values
+        from data files with a STRICTLY LOWER sequence number (Iceberg's
+        ordering rule: a delete never hits rows appended after it).
+
+        Scale: delete sets are usually tiny next to data — both joins
+        broadcast when the delete files total <64 MB, else they shuffle
+        hash-partitioned on the join key; either way the data side streams
+        through one stage with no driver materialization.
+        """
+        pos = [e for e in delete_entries if e["content"] == "position-deletes"]
+        eq = [e for e in delete_entries if e["content"] == "equality-deletes"]
+
+        def maybe_broadcast(d, entries_):
+            total = sum(e.get("file-size-bytes", 0) for e in entries_)
+            return F.broadcast(d) if total < 64 * 1024 * 1024 else d
+
+        if pos:
+            pd_df = self.spark.read.parquet(*[e["path"] for e in pos])
+            pd_df = maybe_broadcast(pd_df.select("file_path", "pos"), pos)
+            df = df.join(
+                pd_df,
+                on=(df[LINEAGE_FILE] == pd_df["file_path"])
+                & (df[LINEAGE_POS] == pd_df["pos"]),
+                how="left_anti",
+            )
+        if eq:
+            seq_df = self.spark.createDataFrame(
+                [(e["path"], int(e.get("sequence-number", 0))) for e in data_entries],
+                schema=f"{LINEAGE_FILE} string, __dsp_seq long",
+            )
+            df = df.join(F.broadcast(seq_df), LINEAGE_FILE, "left")
+            groups: dict[tuple[int, tuple[str, ...]], list[dict]] = {}
+            for e in eq:
+                key = (int(e.get("sequence-number", 0)),
+                       tuple(e["equality-columns"]))
+                groups.setdefault(key, []).append(e)
+            for (dseq, cols), group in sorted(groups.items()):
+                d = self.spark.read.parquet(*[e["path"] for e in group])
+                d = maybe_broadcast(d.select(*cols).dropDuplicates(), group).alias("__del")
+                a = df.alias("__dat")
+                cond = F.col("__dat.__dsp_seq") < F.lit(dseq)
+                for c in cols:
+                    # null-safe: equality deletes match nulls to nulls
+                    cond = cond & F.col(f"__dat.{c}").eqNullSafe(F.col(f"__del.{c}"))
+                df = a.join(d, on=cond, how="left_anti")
+            df = df.drop("__dsp_seq")
+        return df
 
     def _manifest_entries(self, manifest_list_location: str) -> list[dict]:
         with open(_fs_path(manifest_list_location)) as f:
@@ -241,10 +337,15 @@ class SparkCatalogIO:
                 prev = self._resolve_snapshot(md, parent_id)
                 prev_files = self._manifest_entries(prev["manifest-list"])
             snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+            seq = md.get("last-sequence-number", 0) + 1
+            # Stamp the commit's sequence number on the files it adds — the
+            # ordering equality deletes rely on (carried-over files keep
+            # theirs). Re-stamped on CAS retry since seq moves with md.
+            for f in data_files:
+                f["sequence-number"] = seq
             manifest_loc = self._write_manifest_list(
                 md["location"], snapshot_id, prev_files + data_files
             )
-            seq = md.get("last-sequence-number", 0) + 1
             snapshot = {
                 "snapshot-id": snapshot_id,
                 "parent-snapshot-id": parent_id,
@@ -379,6 +480,8 @@ class SparkCatalogIO:
             ]
         else:
             files = [{"path": parquet_path, **_parquet_stats(parquet_path)}]
+        for f in files:
+            f["sequence-number"] = 1
         snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
         manifest_loc = self._write_manifest_list(md["location"], snapshot_id, files)
         snapshot = {

@@ -20,7 +20,13 @@ deployment runs:
 
 from __future__ import annotations
 
-from denali_spark.sources.catalog_io import MAIN, SparkCatalogIO
+from denali_spark.sources.catalog_io import (
+    LINEAGE_FILE,
+    LINEAGE_POS,
+    MAIN,
+    SparkCatalogIO,
+    split_entries,
+)
 from denali_spark.sources.row_ops import _commit_cow, _retrying
 
 
@@ -77,19 +83,27 @@ def compact_data_files(
         if parent_id is None:
             return {"metadata": md, "noop": True}
         snap = io._resolve_snapshot(md, parent_id)
-        entries = io._manifest_entries(snap["manifest-list"])
+        data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
         small = [
-            e for e in entries
+            e for e in data
             if e.get("file-size-bytes", target_file_size_bytes) < target_file_size_bytes
         ]
         if len(small) < min_input_files:
             return {"metadata": md, "noop": True}
         small_paths = {e["path"] for e in small}
-        untouched = [e for e in entries if e["path"] not in small_paths]
+        untouched = [e for e in data if e["path"] not in small_paths] + deletes
         total = sum(e.get("file-size-bytes", 0) for e in small)
         n_out = max(1, -(-total // target_file_size_bytes))  # ceil
-        df = io.spark.read.parquet(*sorted(small_paths)).coalesce(n_out)
-        new_files = io._write_data_files(df, md["location"])
+        # Pending merge-on-read deletes are folded in during the rewrite —
+        # compaction doubles as delete materialization for the files it packs.
+        df = io._read_reconciled(md, snap, small, with_lineage=bool(deletes))
+        if deletes:
+            df = io._apply_deletes(df, small, deletes)
+            df = df.drop(LINEAGE_FILE, LINEAGE_POS)
+        df = df.coalesce(n_out)
+        new_files = io._write_data_files(
+            df, md["location"], schema_id=md.get("current-schema-id", 0)
+        )
         return _commit_cow(
             io, namespace, name, md, parent_id, untouched + new_files,
             "replace",

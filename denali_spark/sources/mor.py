@@ -1,0 +1,213 @@
+"""Merge-on-read row-level deletes: position & equality delete files.
+
+The REST spec the reference serves defines three ContentFile variants —
+data, position-deletes, equality-deletes (/root/reference/routes/
+openapi.yml:3400+, SURVEY §1.4) — but the reference, being metadata-only,
+never materializes them. This module is the client-engine half: the
+merge-on-read strategy that complements row_ops' copy-on-write.
+
+Why both strategies exist (the 100 TB argument):
+
+- Copy-on-write (row_ops): deletes rewrite every file containing a match.
+  Optimal for read-heavy tables and bulk deletes; terrible for trickle
+  deletes — removing 100 rows spread over 100 half-GB files rewrites 50 GB.
+- Merge-on-read (here): a delete commit writes only the delete rows
+  themselves (bytes ∝ deleted rows, not touched files) and readers
+  anti-join them out. `delete_where_mor` still has to SCAN candidate files
+  to find positions (pruned by manifest stats), but writes nothing else;
+  `equality_delete` writes just the key values — zero data reads, the
+  streaming-CDC fast path.
+- `rewrite_deletes` folds accumulated deletes back into data files
+  (Iceberg's rewrite_position_delete_files / minor compaction), restoring
+  pure-scan reads; stats-pruned so it only rewrites files a delete can hit.
+
+Sequencing: every manifest entry carries the sequence number of the commit
+that added it. Equality deletes apply to data files with a strictly lower
+sequence number — rows appended after the delete are never affected.
+Position deletes pin exact (file, pos) pairs; since data file paths are
+uuid'd per commit they can never alias a newer file, so no sequence check
+is needed on read.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from denali_spark.catalog.metadata import _fs_path
+from denali_spark.sources.catalog_io import (
+    LINEAGE_FILE,
+    LINEAGE_POS,
+    SparkCatalogIO,
+    _parquet_stats,
+    split_entries,
+)
+from denali_spark.sources.expressions import (
+    and_,
+    file_might_match,
+    gt_eq,
+    lt_eq,
+    to_spark_sql,
+)
+from denali_spark.sources.row_ops import _commit_cow, _plan, _retrying
+
+
+def _write_delete_files(
+    io: SparkCatalogIO, df: DataFrame, md: dict, content: str, extra: dict
+) -> list[dict]:
+    """Write delete rows as parquet under <table>/deletes/<uuid>/ and build
+    their manifest entries (content + sequence stamped by the commit)."""
+    out_dir = os.path.join(_fs_path(md["location"]), "deletes", uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(out_dir)
+    entries = []
+    for root, _dirs, files in os.walk(out_dir):
+        for fname in sorted(files):
+            if fname.endswith(".parquet"):
+                path = os.path.join(root, fname)
+                entries.append(
+                    {"path": path, "content": content, **extra, **_parquet_stats(path)}
+                )
+    return [e for e in entries if e.get("record-count", 0) > 0]
+
+
+def delete_where_mor(
+    io: SparkCatalogIO, namespace: list[str], name: str, where: dict
+) -> dict:
+    """DELETE FROM ns.t WHERE <expr>, merge-on-read: scan only candidate
+    files (manifest min/max pruning), write the matching rows' (file, pos)
+    pairs as a position-delete file, commit with every existing entry
+    carried over by reference. No data file is rewritten."""
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
+        if not candidates:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        _data, prior_deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        df = io._read_reconciled(md, snap, candidates, with_lineage=True)
+        if prior_deletes:
+            # Don't re-delete rows a prior delete already covers (dup rows
+            # would be harmless for correctness, but pointless bytes).
+            df = io._apply_deletes(df, candidates, prior_deletes)
+        matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").select(
+            F.col(LINEAGE_FILE).alias("file_path"),
+            F.col(LINEAGE_POS).alias("pos"),
+        )
+        new_deletes = _write_delete_files(io, matches, md, "position-deletes", {})
+        if not new_deletes:
+            return {"metadata": md, "noop": True}
+        deleted = sum(e["record-count"] for e in new_deletes)
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            candidates + untouched + new_deletes,
+            "delete",
+            {"deleted-records": str(deleted),
+             "added-delete-files": str(len(new_deletes)),
+             "rewritten-data-files": "0"},
+        )
+
+    return _retrying(attempt)
+
+
+def equality_delete(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    keys: DataFrame, on: list[str],
+) -> dict:
+    """Delete every row whose `on` columns match a row of `keys` — without
+    reading ANY table data. The commit writes only the key values
+    (equality-delete file); readers anti-join them against data files with a
+    lower sequence number. This is the CDC-apply fast path: cost is
+    O(|keys|) regardless of table size."""
+
+    def attempt():
+        md, parent_id, data, deletes = _plan(io, namespace, name, None)
+        if parent_id is None:
+            return {"metadata": md, "noop": True}
+        new_deletes = _write_delete_files(
+            io, keys.select(*on).dropDuplicates(), md,
+            "equality-deletes", {"equality-columns": list(on)},
+        )
+        if not new_deletes:
+            return {"metadata": md, "noop": True}
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            data + deletes + new_deletes,
+            "delete",
+            {"added-delete-files": str(len(new_deletes)),
+             "equality-columns": ",".join(on),
+             "rewritten-data-files": "0"},
+        )
+
+    return _retrying(attempt)
+
+
+def _eq_prune_expr(entry: dict) -> dict | None:
+    """An equality-delete file's own footer stats bound the keys it holds —
+    a data file whose column ranges don't overlap can't lose a row to it."""
+    stats = entry.get("stats")
+    if not stats:
+        return None
+    parts = []
+    for c in entry["equality-columns"]:
+        s = stats.get(c)
+        if s is None or s["min"] is None:
+            return None  # un-bounded key column → can't prune with this file
+        parts.extend([gt_eq(c, s["min"]), lt_eq(c, s["max"])])
+    return and_(*parts)
+
+
+def rewrite_deletes(io: SparkCatalogIO, namespace: list[str], name: str) -> dict:
+    """Materialize pending delete files into the data (Iceberg's
+    rewrite_position_delete_files / minor compaction): rewrite only the data
+    files a delete can affect, drop every delete entry, carry the rest by
+    reference. Restores pure-scan read performance after a delete-heavy
+    period."""
+
+    def attempt():
+        md, parent_id, data, deletes = _plan(io, namespace, name, None)
+        if not deletes:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        pos = [e for e in deletes if e["content"] == "position-deletes"]
+        eq = [e for e in deletes if e["content"] == "equality-deletes"]
+        affected_paths: set[str] = set()
+        if pos:
+            # Which data files do position deletes reference? Distinct file
+            # paths of the delete rows (a driver-side list bounded by file
+            # count, read from the small delete files only).
+            rows = (
+                io.spark.read.parquet(*[e["path"] for e in pos])
+                .select("file_path").distinct().collect()
+            )
+            affected_paths.update(r["file_path"] for r in rows)
+        for d in eq:
+            dseq = int(d.get("sequence-number", 0))
+            prune = _eq_prune_expr(d)
+            for e in data:
+                if int(e.get("sequence-number", 0)) >= dseq:
+                    continue
+                if prune is None or file_might_match(prune, e.get("stats")):
+                    affected_paths.add(e["path"])
+        affected = [e for e in data if e["path"] in affected_paths]
+        carry = [e for e in data if e["path"] not in affected_paths]
+        if not affected:  # deletes exist but can't hit anything → just drop them
+            return _commit_cow(
+                io, namespace, name, md, parent_id, data, "replace",
+                {"removed-delete-files": str(len(deletes))},
+            )
+        df = io._read_reconciled(md, snap, affected, with_lineage=True)
+        df = io._apply_deletes(df, affected, deletes)
+        df = df.drop(LINEAGE_FILE, LINEAGE_POS)
+        new_files = io._write_data_files(
+            df, md["location"], schema_id=md.get("current-schema-id", 0)
+        )
+        return _commit_cow(
+            io, namespace, name, md, parent_id, carry + new_files, "replace",
+            {"removed-delete-files": str(len(deletes)),
+             "rewritten-data-files": str(len(affected))},
+        )
+
+    return _retrying(attempt)

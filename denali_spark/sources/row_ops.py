@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from denali_spark.catalog.client import CatalogHTTPError
-from denali_spark.sources.catalog_io import MAIN, CommitRetriesExhausted, SparkCatalogIO
+from denali_spark.sources.catalog_io import (
+    LINEAGE_FILE,
+    LINEAGE_POS,
+    MAIN,
+    CommitRetriesExhausted,
+    SparkCatalogIO,
+    split_entries,
+)
 from denali_spark.sources.expressions import (
     and_,
     file_might_match,
@@ -58,11 +65,16 @@ def _commit_cow(
     import time
 
     snapshot_id = _new_snapshot_id()
+    seq = md.get("last-sequence-number", 0) + 1
+    for f in files:
+        # Newly written files (no stamp yet) belong to THIS commit; files
+        # carried over by reference keep their original sequence number.
+        f.setdefault("sequence-number", seq)
     manifest_loc = io._write_manifest_list(md["location"], snapshot_id, files)
     snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": parent_id,
-        "sequence-number": md.get("last-sequence-number", 0) + 1,
+        "sequence-number": seq,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_loc,
         "schema-id": md.get("current-schema-id", 0),
@@ -88,29 +100,37 @@ def _commit_cow(
 
 
 def _plan(io: SparkCatalogIO, namespace: list[str], name: str, where: dict | None):
-    """Load current state and split the live file set into (candidates that
-    might contain affected rows, untouched carry-overs)."""
+    """Load current state and split the live DATA file set into (candidates
+    that might contain affected rows, untouched carry-overs). Merge-on-read
+    delete files are never rewrite candidates — they ride in `untouched` so
+    the commit carries them forward."""
     md = io.client.load_table(namespace, name)["metadata"]
     ref = md.get("refs", {}).get(MAIN)
     parent_id = ref["snapshot-id"] if ref else None
     if parent_id is None:
         return md, None, [], []
     snap = io._resolve_snapshot(md, parent_id)
-    entries = io._manifest_entries(snap["manifest-list"])
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
     if where is None:
-        return md, parent_id, entries, []
-    candidates = [e for e in entries if file_might_match(where, e.get("stats"))]
+        return md, parent_id, data, deletes
+    candidates = [e for e in data if file_might_match(where, e.get("stats"))]
     candidate_paths = {e["path"] for e in candidates}
-    untouched = [e for e in entries if e["path"] not in candidate_paths]
-    return md, parent_id, candidates, untouched
+    untouched = [e for e in data if e["path"] not in candidate_paths]
+    return md, parent_id, candidates, untouched + deletes
 
 
 def _read_candidates(io: SparkCatalogIO, md: dict, parent_id: int, candidates):
     """Read candidate files reconciled to the current schema (field-id
     mapping), so row-ops see evolved column names and rewrite files under
-    the CURRENT schema."""
+    the CURRENT schema. Pending merge-on-read deletes are applied first —
+    a copy-on-write rewrite must not resurrect rows they removed."""
     snap = io._resolve_snapshot(md, parent_id)
-    return io._read_reconciled(md, snap, candidates)
+    _data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    if not deletes:
+        return io._read_reconciled(md, snap, candidates)
+    df = io._read_reconciled(md, snap, candidates, with_lineage=True)
+    df = io._apply_deletes(df, candidates, deletes)
+    return df.drop(LINEAGE_FILE, LINEAGE_POS)
 
 
 def _write_rewritten(io: SparkCatalogIO, df, md: dict) -> list[dict]:

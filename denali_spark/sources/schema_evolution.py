@@ -53,10 +53,13 @@ def current_schema(md: dict) -> dict:
     return schema_by_id(md, md["current-schema-id"])
 
 
-def reconcile_to_schema(df: DataFrame, file_schema: dict, target: dict) -> DataFrame:
+def reconcile_to_schema(
+    df: DataFrame, file_schema: dict, target: dict, extra_cols: tuple = ()
+) -> DataFrame:
     """Project a DataFrame read under `file_schema` into `target`, matching
     columns by FIELD ID (renames follow the id; drops disappear; additions
-    become typed NULLs)."""
+    become typed NULLs). `extra_cols` are engine-internal columns (e.g. row
+    lineage for merge-on-read deletes) carried through the projection."""
     by_id = {f["id"]: f["name"] for f in file_schema["fields"]}
     cols = []
     for field in target["fields"]:
@@ -67,6 +70,7 @@ def reconcile_to_schema(df: DataFrame, file_schema: dict, target: dict) -> DataF
             cols.append(
                 F.lit(None).cast(type_to_ddl(field["type"])).alias(field["name"])
             )
+    cols.extend(F.col(c) for c in extra_cols)
     return df.select(*cols)
 
 

@@ -194,6 +194,153 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN ---------------------------------------------
+#
+# The classic two-level vector index: a coarse quantizer assigns every
+# vector to its nearest centroid (the "inverted lists"); a query probes
+# only the nprobe nearest lists and exact-reranks inside them. Here the
+# coarse centroids are a deterministic stride sample (vec_id % STRIDE = 0)
+# so the whole query is SQL-expressible and oracle-checked; `ivf_train`
+# below is the production path that refines centroids with Lloyd
+# iterations before the same assignment/search shape.
+
+IVF_STRIDE = 97  # ~n/97 coarse centroids
+IVF_NPROBE = 2
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    assign_scored AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cid
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, e, cid FROM assign_scored WHERE arn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, cid
+      FROM assign_scored WHERE vec_id < 5 AND arn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {SQL_COSINE.format(a='p.qe', b='a.e')} AS cos
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND p.query_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: assign all vectors to their nearest coarse
+    centroid (one broadcast pass — centroids are tiny, n×k dot products stay
+    JVM-side), probe the {IVF_NPROBE} nearest lists per query, exact-rerank.
+
+    Scale shape: the inverted lists ARE a partitioning of the corpus — at
+    100 TB the assignment is written once (partitioned by cid) and queries
+    touch nprobe/k of the data; nothing here is all-pairs."""
+    v = _vecs(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    arn_w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("e"), F.col("ce"))), "cid"
+    )
+    assign_scored = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("arn", F.row_number().over(arn_w))
+    )
+    assigned = assign_scored.filter(F.col("arn") == 1).select("vec_id", "e", "cid")
+    probes = assign_scored.filter(
+        (F.col("vec_id") < 5) & (F.col("arn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("cid").alias("pcid"),
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def ivf_train(
+    df: DataFrame, k: int = 16, iters: int = 5, sample: int = 4096
+) -> list[list[float]]:
+    """Train IVF coarse centroids: Lloyd k-means on a deterministic sample,
+    driver-side numpy. This is the FAISS recipe — training cost is
+    O(sample × k × iters) and INDEPENDENT of corpus size; the full corpus
+    is only ever touched by the single distributed assignment pass
+    (`ivf_assign`). df must have columns (vec_id, e: array<double>)."""
+    import numpy as np
+
+    pdf = df.orderBy("vec_id").limit(sample).toPandas()
+    X = np.array(pdf["e"].tolist(), dtype=np.float64)
+    n = len(X)
+    cent = X[:: max(1, n // k)][:k].copy()
+    for _ in range(iters):
+        # cosine assignment == euclidean on normalized vectors
+        xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        labels = (xn @ cn.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = X[labels == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent.tolist()
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Distributed assignment pass: tag every row with the id of its
+    nearest (cosine) centroid. Centroids ship as a plan literal (they are
+    k×dim doubles — bytes, not data), so the n×k scoring runs inside
+    whole-stage codegen with no shuffle; writing the result partitioned by
+    `cid` materializes the inverted lists."""
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    # argmax over k cosine scores via aggregate carrying (best_id, best_cos)
+    scored = F.transform(cent_arr, lambda c: cosine(F.col("e"), c))
+    best = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("cos")),
+        lambda acc, i: F.when(
+            F.element_at(F.col("__ivf_scores"), i.cast("int") + 1) > acc["cos"],
+            F.struct(
+                i.cast("int").alias("cid"),
+                F.element_at(F.col("__ivf_scores"), i.cast("int") + 1).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        df.withColumn("__ivf_scores", scored)
+        .withColumn("cid", best["cid"])
+        .drop("__ivf_scores")
+    )
+
+
 @query(
     "sim_norms_stats",
     oracle=f"""

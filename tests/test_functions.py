@@ -132,3 +132,25 @@ def test_sql_minhash_pipeline_matches_fn(spark):
     )
     fn_side = docs.select("doc_id", dfn.minhash_signature("text").alias("sig"))
     assert sql_side.exceptAll(fn_side).count() == 0
+
+
+def test_ivf_train_assign(spark):
+    from denali_spark.operators.similarity import _vecs, cosine, ivf_assign, ivf_train
+
+    v = _vecs(spark, SF_SMOKE)
+    cent = ivf_train(v, k=8, iters=3)
+    assert len(cent) == 8 and len(cent[0]) == 64
+    assigned = ivf_assign(v, cent)
+    rows = assigned.select("vec_id", "e", "cid").collect()
+    assert {r.cid for r in rows} <= set(range(8))
+    # every vector landed on its true nearest centroid (cross-check in numpy)
+    import numpy as np
+
+    C = np.array(cent)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in rows[:20]:
+        x = np.array(r.e)
+        want = int((Cn @ (x / np.linalg.norm(x))).argmax())
+        assert r.cid == want
+    # assignment is JVM-side codegen — no Python in the scale path
+    assert_jvm_only(ivf_assign(v, cent))

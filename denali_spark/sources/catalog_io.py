@@ -55,6 +55,17 @@ def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
     return data, deletes
 
 
+# Data file formats per the REST spec (openapi.yml:3393-3398): avro|orc|parquet.
+# Parquet and ORC use Spark's native vectorized readers/writers; Avro needs
+# the external spark-avro module, absent from this environment.
+DATA_FORMATS = ("parquet", "orc")
+
+
+def table_write_format(md: dict) -> str:
+    """Iceberg's write.format.default table property, parquet by default."""
+    return md.get("properties", {}).get("write.format.default", "parquet")
+
+
 class CommitRetriesExhausted(Exception):
     pass
 
@@ -158,19 +169,30 @@ class SparkCatalogIO:
         else:
             target_id = md["current-schema-id"]
         target = schema_by_id(md, target_id)
-        groups: dict[int, list[str]] = {}
+        groups: dict[tuple[int, str], list[str]] = {}
         for e in entries:
-            groups.setdefault(e.get("schema-id", 0), []).append(e["path"])
+            key = (e.get("schema-id", 0), e.get("file-format", "parquet"))
+            groups.setdefault(key, []).append(e["path"])
         dfs = []
-        for sid, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(*paths)
+        for (sid, fmt), paths in sorted(groups.items()):
+            df = (
+                # read.orc takes one path-or-list (2nd positional = mergeSchema)
+                self.spark.read.orc(list(paths)) if fmt == "orc"
+                else self.spark.read.parquet(*paths)
+            )
             if with_lineage:
                 df = df.withColumns({
                     # normalize file:///x → /x so lineage matches manifest paths
                     LINEAGE_FILE: F.regexp_replace(
                         F.col("_metadata.file_path"), "^file:/+", "/"
                     ),
-                    LINEAGE_POS: F.col("_metadata.row_index"),
+                    # row_index is parquet-only in Spark; ORC rows carry a
+                    # NULL position (sufficient for equality deletes, which
+                    # only join on values + file sequence).
+                    LINEAGE_POS: (
+                        F.col("_metadata.row_index") if fmt == "parquet"
+                        else F.lit(None).cast("long")
+                    ),
                 })
             if sid != target_id:
                 df = reconcile_to_schema(
@@ -280,9 +302,14 @@ class SparkCatalogIO:
         partition_by: list | None = None,
         sort_by: list[str] | None = None,
         num_files: int | None = None,
+        file_format: str | None = None,
     ) -> dict:
         """Append/overwrite `df` into a catalog table (created on demand),
         committing via the optimistic protocol with bounded retries.
+
+        file_format: parquet (default) or orc — recorded as the table's
+        write.format.default property on create; later appends inherit it.
+        avro raises (spec-listed, but needs the external spark-avro module).
 
         partition_by: column names or (column, transform) pairs using the
         Iceberg transform vocabulary (identity/year/month/day/hour/
@@ -298,6 +325,12 @@ class SparkCatalogIO:
             normalize_partition_by,
         )
 
+        if file_format is not None and file_format not in DATA_FORMATS:
+            raise NotImplementedError(
+                f"file_format {file_format!r}: the spec lists avro|orc|parquet; "
+                "avro requires the external spark-avro module (not in this "
+                "environment), so parquet and orc are supported"
+            )
         parts = normalize_partition_by(partition_by) if partition_by else None
         if not self.client.namespace_exists(namespace):
             self.client.create_namespace(namespace)
@@ -320,13 +353,17 @@ class SparkCatalogIO:
                 schema,
                 partition_spec=build_partition_spec(parts, schema) if parts else None,
                 write_order=write_order,
-                properties={"denali-spark.manifest-format": "json"},
+                properties={
+                    "denali-spark.manifest-format": "json",
+                    "write.format.default": file_format or "parquet",
+                },
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
         data_files = self._write_data_files(
             df, md["location"], partition_by=parts, sort_by=sort_by,
             num_files=num_files, schema_id=md.get("current-schema-id", 0),
+            file_format=file_format or table_write_format(md),
         )
 
         for _attempt in range(max_retries):
@@ -391,6 +428,7 @@ class SparkCatalogIO:
         sort_by: list[str] | None = None,
         num_files: int | None = None,
         schema_id: int | None = None,
+        file_format: str = "parquet",
     ) -> list[dict]:
         """Executors write parquet straight into <location>/data/<uuid>/ —
         the catalog never sees row data (reference architecture §3.3).
@@ -423,13 +461,20 @@ class SparkCatalogIO:
         writer = df.write.mode("overwrite")
         if dir_cols:
             writer = writer.partitionBy(*dir_cols)
-        writer.parquet(out_dir)
+        if file_format == "orc":
+            writer.orc(out_dir)
+        else:
+            writer.parquet(out_dir)
         entries = []
         for root, _dirs, files in os.walk(out_dir):
             for fname in sorted(files):
-                if fname.endswith(".parquet"):
+                if fname.endswith(f".{file_format}"):
                     path = os.path.join(root, fname)
-                    entry = {"path": path, **_parquet_stats(path)}
+                    entry = {
+                        "path": path,
+                        "file-format": file_format,
+                        **_file_stats(path, file_format),
+                    }
                     if schema_id is not None:
                         entry["schema-id"] = schema_id
                     if dir_cols:
@@ -545,6 +590,24 @@ def _json_stat_value(v):
     if isinstance(v, str):
         return v
     return None
+
+
+def _file_stats(path: str, file_format: str) -> dict:
+    """Footer stats for a manifest entry, by format. ORC footers aren't
+    exposed column-wise by pyarrow, so ORC entries carry record count + size
+    only — the file pruner is conservative without min/max (reads the file
+    instead of skipping it; correctness unaffected)."""
+    if file_format == "orc":
+        try:
+            import pyarrow.orc as po
+
+            return {
+                "record-count": po.ORCFile(path).nrows,
+                "file-size-bytes": os.path.getsize(path),
+            }
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return {"file-size-bytes": os.path.getsize(path)}
+    return _parquet_stats(path)
 
 
 def _parquet_stats(path: str) -> dict:

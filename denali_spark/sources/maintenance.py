@@ -101,8 +101,11 @@ def compact_data_files(
             df = io._apply_deletes(df, small, deletes)
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         df = df.coalesce(n_out)
+        from denali_spark.sources.catalog_io import table_write_format
+
         new_files = io._write_data_files(
-            df, md["location"], schema_id=md.get("current-schema-id", 0)
+            df, md["location"], schema_id=md.get("current-schema-id", 0),
+            file_format=table_write_format(md),
         )
         return _commit_cow(
             io, namespace, name, md, parent_id, untouched + new_files,

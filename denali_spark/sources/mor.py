@@ -85,6 +85,12 @@ def delete_where_mor(
         md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
         if not candidates:
             return {"metadata": md, "noop": True}
+        if any(e.get("file-format", "parquet") != "parquet" for e in candidates):
+            raise NotImplementedError(
+                "position deletes need per-row positions, which Spark's "
+                "_metadata.row_index provides for parquet only — use "
+                "equality_delete or copy-on-write delete_where on ORC tables"
+            )
         snap = io._resolve_snapshot(md, parent_id)
         _data, prior_deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
         df = io._read_reconciled(md, snap, candidates, with_lineage=True)
@@ -201,8 +207,11 @@ def rewrite_deletes(io: SparkCatalogIO, namespace: list[str], name: str) -> dict
         df = io._read_reconciled(md, snap, affected, with_lineage=True)
         df = io._apply_deletes(df, affected, deletes)
         df = df.drop(LINEAGE_FILE, LINEAGE_POS)
+        from denali_spark.sources.catalog_io import table_write_format
+
         new_files = io._write_data_files(
-            df, md["location"], schema_id=md.get("current-schema-id", 0)
+            df, md["location"], schema_id=md.get("current-schema-id", 0),
+            file_format=table_write_format(md),
         )
         return _commit_cow(
             io, namespace, name, md, parent_id, carry + new_files, "replace",

@@ -134,8 +134,11 @@ def _read_candidates(io: SparkCatalogIO, md: dict, parent_id: int, candidates):
 
 
 def _write_rewritten(io: SparkCatalogIO, df, md: dict) -> list[dict]:
+    from denali_spark.sources.catalog_io import table_write_format
+
     return io._write_data_files(
-        df, md["location"], schema_id=md.get("current-schema-id", 0)
+        df, md["location"], schema_id=md.get("current-schema-id", 0),
+        file_format=table_write_format(md),
     )
 
 

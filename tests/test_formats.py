@@ -1,0 +1,99 @@
+"""Data-file format tests: the REST spec lists avro|orc|parquet
+(openapi.yml:3393-3398). Parquet and ORC use Spark's native vectorized
+paths; Avro raises with a clear message (external module, not in env)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import (
+    SparkCatalogIO,
+    compact_data_files,
+    delete_where,
+    delete_where_mor,
+    equality_delete,
+)
+from denali_spark.sources import expressions as E
+from denali_spark.sources.catalog_io import split_entries
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _df(spark, lo=0, hi=50):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).coalesce(1)
+
+
+def _entries(io, ns, name):
+    md = io.client.load_table(ns, name)["metadata"]
+    snap = io._resolve_snapshot(md)
+    return io._manifest_entries(snap["manifest-list"])
+
+
+def test_orc_round_trip_and_property(spark, io):
+    io.write_table(_df(spark), ["fmt"], "t_orc", file_format="orc")
+    md = io.client.load_table(["fmt"], "t_orc")["metadata"]
+    assert md["properties"]["write.format.default"] == "orc"
+    entries = _entries(io, ["fmt"], "t_orc")
+    assert all(e["file-format"] == "orc" for e in entries)
+    assert all(e["path"].endswith(".orc") for e in entries)
+    assert sum(e["record-count"] for e in entries) == 50
+    rows = {(r["id"], r["v"]) for r in io.read_table(["fmt"], "t_orc").collect()}
+    assert rows == {(i, i * 3) for i in range(50)}
+
+
+def test_append_inherits_table_format(spark, io):
+    io.write_table(_df(spark, 0, 30), ["fmt"], "t_inherit", file_format="orc")
+    # second append does NOT pass file_format — table property decides
+    io.write_table(_df(spark, 30, 60), ["fmt"], "t_inherit")
+    entries = _entries(io, ["fmt"], "t_inherit")
+    assert {e["file-format"] for e in entries} == {"orc"}
+    assert io.read_table(["fmt"], "t_inherit").count() == 60
+
+
+def test_mixed_format_table_reads(spark, io):
+    # parquet table + an ORC append forced per-write: manifest tracks each
+    # file's format and the read reconciles both (Iceberg allows the mix)
+    io.write_table(_df(spark, 0, 30), ["fmt"], "t_mix")
+    io.write_table(_df(spark, 30, 60), ["fmt"], "t_mix", file_format="orc")
+    formats = {e["file-format"] for e in _entries(io, ["fmt"], "t_mix")}
+    assert formats == {"parquet", "orc"}
+    ids = sorted(r["id"] for r in io.read_table(["fmt"], "t_mix").collect())
+    assert ids == list(range(60))
+
+
+def test_orc_cow_delete_and_compaction(spark, io):
+    for k in range(3):
+        io.write_table(_df(spark, k * 20, (k + 1) * 20), ["fmt"], "t_ops",
+                       file_format="orc")
+    delete_where(io, ["fmt"], "t_ops", E.lt("id", 5))
+    assert sorted(r["id"] for r in io.read_table(["fmt"], "t_ops").collect()) == list(range(5, 60))
+    # rewritten + compacted files keep the table's format
+    compact_data_files(io, ["fmt"], "t_ops", target_file_size_bytes=10 * 1024 * 1024)
+    data, _ = split_entries(_entries(io, ["fmt"], "t_ops"))
+    assert {e["file-format"] for e in data} == {"orc"}
+    assert io.read_table(["fmt"], "t_ops").count() == 55
+
+
+def test_orc_equality_delete_works_position_raises(spark, io):
+    io.write_table(_df(spark), ["fmt"], "t_mor", file_format="orc")
+    keys = spark.createDataFrame([(7,), (8,)], "id long")
+    equality_delete(io, ["fmt"], "t_mor", keys, on=["id"])
+    ids = {r["id"] for r in io.read_table(["fmt"], "t_mor").collect()}
+    assert ids == set(range(50)) - {7, 8}
+    with pytest.raises(NotImplementedError, match="position deletes"):
+        delete_where_mor(io, ["fmt"], "t_mor", E.eq("id", 9))
+
+
+def test_avro_raises_clearly(spark, io):
+    with pytest.raises(NotImplementedError, match="avro"):
+        io.write_table(_df(spark), ["fmt"], "t_avro", file_format="avro")

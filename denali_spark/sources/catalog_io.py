@@ -79,8 +79,24 @@ class SparkCatalogIO:
     # --- read path ---------------------------------------------------------
 
     def _resolve_snapshot(
-        self, md: dict, snapshot_id: int | None = None, ref: str | None = None
+        self,
+        md: dict,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> dict | None:
+        if snapshot_id is None and as_of_ms is not None:
+            # TIMESTAMP AS OF: the snapshot-log records every move of main
+            # (§1.2 SnapshotLog) — take the last state at or before t.
+            past = [
+                e for e in md.get("snapshot-log", [])
+                if e["timestamp-ms"] <= as_of_ms
+            ]
+            if not past:
+                raise ValueError(
+                    f"no snapshot committed at or before timestamp {as_of_ms}"
+                )
+            snapshot_id = max(past, key=lambda e: e["timestamp-ms"])["snapshot-id"]
         if snapshot_id is None and ref is not None:
             r = md.get("refs", {}).get(ref)
             if r is None:
@@ -102,9 +118,11 @@ class SparkCatalogIO:
         snapshot_id: int | None = None,
         ref: str | None = None,
         where: dict | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
-        `VERSION AS OF` / branch-tag time travel.
+        `VERSION AS OF` / branch-tag time travel; as_of_ms gives
+        `TIMESTAMP AS OF` via the snapshot-log.
 
         `where` is a scan expression (denali_spark.sources.expressions —
         the REST spec's Expression grammar): files whose manifest min/max
@@ -114,7 +132,7 @@ class SparkCatalogIO:
         """
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
-        snap = self._resolve_snapshot(md, snapshot_id, ref)
+        snap = self._resolve_snapshot(md, snapshot_id, ref, as_of_ms)
         if snap is None:  # empty table → typed empty DataFrame
             return self._empty_df(md)
         entries, delete_entries = split_entries(
@@ -128,7 +146,9 @@ class SparkCatalogIO:
             return self._empty_df(md)
         # Iceberg read semantics: a current-state read uses the CURRENT
         # schema; only explicit time travel sees the snapshot's own schema.
-        time_travel = snapshot_id is not None or ref is not None
+        time_travel = (
+            snapshot_id is not None or ref is not None or as_of_ms is not None
+        )
         df = self._read_reconciled(
             md, snap, entries, snapshot_schema=time_travel,
             with_lineage=bool(delete_entries),

@@ -48,6 +48,26 @@ def test_append_and_time_travel(spark, io):
     assert md["snapshots"][1]["parent-snapshot-id"] == snap1
 
 
+def test_timestamp_as_of(spark, io):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    io.write_table(df1, ["tt"], "ts")
+    md = io.client.load_table(["tt"], "ts")["metadata"]
+    t1 = md["snapshot-log"][-1]["timestamp-ms"]
+    io.write_table(df2, ["tt"], "ts")
+    md = io.client.load_table(["tt"], "ts")["metadata"]
+    t2 = md["snapshot-log"][-1]["timestamp-ms"]
+
+    # TIMESTAMP AS OF each commit time, and in-between times floor backward
+    assert io.read_table(["tt"], "ts", as_of_ms=t1).count() == 1
+    assert io.read_table(["tt"], "ts", as_of_ms=t2).count() == 2
+    assert io.read_table(["tt"], "ts", as_of_ms=t2 + 10_000).count() == 2
+    if t2 > t1 + 1:
+        assert io.read_table(["tt"], "ts", as_of_ms=t2 - 1).count() == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        io.read_table(["tt"], "ts", as_of_ms=t1 - 1)
+
+
 def test_overwrite_replaces(spark, io):
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     df2 = spark.createDataFrame([(9, "z")], "id long, v string")

@@ -1,6 +1,7 @@
 from denali_spark.streaming.events_stream import (
     read_event_stream,
     sessionize_stream,
+    stream_cdc_apply,
     stream_to_catalog,
     user_running_totals,
     windowed_counts,
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_counts",
     "user_running_totals",
     "sessionize_stream",
+    "stream_cdc_apply",
     "stream_to_catalog",
 ]

@@ -177,3 +177,46 @@ def stream_to_catalog(
         .outputMode("append")
         .start()
     )
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    catalog_io,
+    namespace: list[str],
+    name: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+):
+    """CDC changelog apply: each micro-batch carries rows tagged 'u'
+    (upsert) or 'd' (delete) in `op_col`, applied to a catalog table as
+    merge-on-read equality deletes + an append — the streaming upsert
+    pattern (Iceberg's write.upsert.enabled analog).
+
+    Why this shape at 100 TB: a batch's commit cost is O(|batch|) — the
+    equality-delete file holds only the batch's keys and the append only
+    its rows; NO table data is read or rewritten on the hot path. Readers
+    anti-join deletes out (sequence-ordered, so re-inserted keys survive);
+    `rewrite_deletes` amortizes them away offline. A copy-on-write MERGE
+    per micro-batch would rewrite key-overlapping files every few seconds
+    and collapse under churn. Expects ≤1 row per key per batch (standard
+    compacted-changelog contract)."""
+    from denali_spark.sources.mor import equality_delete
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upserts = batch_df.filter(F.col(op_col) != "d").drop(op_col)
+        # one equality-delete covers both tombstones and replaced keys
+        touched = batch_df.select(*keys)
+        if catalog_io.client.table_exists(namespace, name):
+            equality_delete(catalog_io, namespace, name, touched, on=keys)
+        if not upserts.isEmpty():
+            catalog_io.write_table(upserts, namespace, name, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

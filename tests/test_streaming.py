@@ -159,3 +159,54 @@ def test_stream_to_catalog_snapshot_per_batch(spark, landing, tmp_path):
         assert md["refs"]["main"]["snapshot-id"] == md["current-snapshot-id"]
     finally:
         server.stop()
+
+
+def test_stream_cdc_apply_equality_deletes(spark, tmp_path):
+    """CDC changelog stream → catalog upsert sink: batch 2 updates k2,
+    deletes k3, inserts k5; the table converges to the compacted state
+    without any data file being rewritten (merge-on-read)."""
+    import time
+
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.streaming import stream_cdc_apply
+
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    try:
+        io = SparkCatalogIO(spark, server.uri)
+        src = str(tmp_path / "cdc_landing")
+        b1 = spark.createDataFrame(
+            [("u", 1, "a1"), ("u", 2, "b1"), ("u", 3, "c1"), ("u", 4, "d1")],
+            "op string, k int, payload string",
+        )
+        b2 = spark.createDataFrame(
+            [("u", 2, "b2"), ("d", 3, None), ("u", 5, "e1")],
+            "op string, k int, payload string",
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → file source replays in order
+        b2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("op string, k int, payload string")
+            .option("maxFilesPerTrigger", 1)  # one landing file per micro-batch
+            .parquet(src)
+        )
+        q = stream_cdc_apply(
+            stream, io, ["cdc"], "t", keys=["k"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        rows = {(r.k, r.payload) for r in io.read_table(["cdc"], "t").collect()}
+        assert rows == {(1, "a1"), (2, "b2"), (4, "d1"), (5, "e1")}
+        # merge-on-read property: batch 1's data file was never rewritten
+        md = io.client.load_table(["cdc"], "t")["metadata"]
+        snap = io._resolve_snapshot(md)
+        data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        assert [e["content"] for e in deletes] == ["equality-deletes"]
+        assert len(data) == 2  # one append per batch, both carried by reference
+    finally:
+        server.stop()

@@ -62,9 +62,31 @@ class CatalogClient:
 
     # --- namespaces -------------------------------------------------------
 
-    def list_namespaces(self, parent: list[str] | None = None) -> list[list[str]]:
+    def _paged_get(self, path: str, key: str, query: str, page_size: int | None):
+        """GET a list endpoint; with page_size, walk next-page-token until
+        the server is drained (spec pagination — bounds response size when
+        a namespace holds hundreds of thousands of tables)."""
+        if page_size is None:
+            return self._request("GET", path, query=query)[1][key]
+        out, token = [], None
+        while True:
+            parts = [query] if query else []
+            parts.append(f"pageSize={page_size}")
+            if token:
+                from urllib.parse import quote
+
+                parts.append(f"pageToken={quote(token)}")
+            payload = self._request("GET", path, query="&".join(parts))[1]
+            out.extend(payload[key])
+            token = payload.get("next-page-token")
+            if token is None:
+                return out
+
+    def list_namespaces(
+        self, parent: list[str] | None = None, page_size: int | None = None
+    ) -> list[list[str]]:
         query = f"parent={self._ns(parent)}" if parent else ""
-        return self._request("GET", "/v1/namespaces", query=query)[1]["namespaces"]
+        return self._paged_get("/v1/namespaces", "namespaces", query, page_size)
 
     def create_namespace(self, levels: list[str], properties: dict | None = None) -> dict:
         return self._request(
@@ -97,10 +119,12 @@ class CatalogClient:
 
     # --- tables -----------------------------------------------------------
 
-    def list_tables(self, levels: list[str]) -> list[dict]:
-        return self._request(
-            "GET", f"/v1/namespaces/{self._ns(levels)}/tables"
-        )[1]["identifiers"]
+    def list_tables(
+        self, levels: list[str], page_size: int | None = None
+    ) -> list[dict]:
+        return self._paged_get(
+            f"/v1/namespaces/{self._ns(levels)}/tables", "identifiers", "", page_size
+        )
 
     def create_table(self, levels: list[str], name: str, schema: dict,
                      partition_spec: dict | None = None,
@@ -173,10 +197,12 @@ class CatalogClient:
 
     # --- views ------------------------------------------------------------
 
-    def list_views(self, levels: list[str]) -> list[dict]:
-        return self._request(
-            "GET", f"/v1/namespaces/{self._ns(levels)}/views"
-        )[1]["identifiers"]
+    def list_views(
+        self, levels: list[str], page_size: int | None = None
+    ) -> list[dict]:
+        return self._paged_get(
+            f"/v1/namespaces/{self._ns(levels)}/views", "identifiers", "", page_size
+        )
 
     def create_view(self, levels: list[str], name: str, sql: str,
                     dialect: str = "spark", schema: dict | None = None,

@@ -101,11 +101,43 @@ def get_status(state: State, m, q, body):
     return 204, None
 
 
+def _paginate(names: list[str], q) -> tuple[list[str], str | None]:
+    """Spec pagination (the reference declares PageParams but never reads
+    them, routes/common.go:21-24 — implemented here): names are served in
+    sorted order; `pageToken` is the last name of the previous page (opaque
+    to clients), `pageSize` caps the page; a `next-page-token` is returned
+    while more remain. Insert/delete between pages can't skew the cursor —
+    the token is a value, not an offset."""
+    names = sorted(names)
+    token = (q.get("pageToken") or [None])[0]
+    size = (q.get("pageSize") or [None])[0]
+    if token:
+        names = [n for n in names if n > token]
+    next_token = None
+    if size is not None:
+        try:
+            size = int(size)
+        except ValueError:
+            raise BadRequest(f"invalid pageSize {size!r}") from None
+        if size < 0:
+            raise BadRequest("pageSize must be non-negative")
+        if len(names) > size:
+            next_token = names[size - 1] if size else token or ""
+            names = names[:size]
+    return names, next_token
+
+
+def _paged(payload: dict, next_token: str | None) -> dict:
+    if next_token is not None:
+        payload["next-page-token"] = next_token
+    return payload
+
+
 def list_namespaces(state: State, m, q, body):
     parent = (q.get("parent") or [""])[0]
     levels = parse_ns(parent) if parent else []
-    names = state.store.child_namespace_names(levels)
-    return 200, {"namespaces": [levels + [n] for n in names]}
+    names, nxt = _paginate(state.store.child_namespace_names(levels), q)
+    return 200, _paged({"namespaces": [levels + [n] for n in names]}, nxt)
 
 
 def create_namespace(state: State, m, q, body):
@@ -169,8 +201,10 @@ def _table_info(state: State, levels: list[str], name: str):
 def list_tables(state: State, m, q, body):
     levels = parse_ns(m.group("ns"))
     ns_pk = state.store.namespace_pk(levels)
-    names = state.store.list_objects(ns_pk, "TABLE")
-    return 200, {"identifiers": [{"namespace": levels, "name": n} for n in names]}
+    names, nxt = _paginate(state.store.list_objects(ns_pk, "TABLE"), q)
+    return 200, _paged(
+        {"identifiers": [{"namespace": levels, "name": n} for n in names]}, nxt
+    )
 
 
 def create_table(state: State, m, q, body):
@@ -307,8 +341,10 @@ def _view_info(state: State, levels: list[str], name: str):
 def list_views(state: State, m, q, body):
     levels = parse_ns(m.group("ns"))
     ns_pk = state.store.namespace_pk(levels)
-    names = state.store.list_objects(ns_pk, "VIEW")
-    return 200, {"identifiers": [{"namespace": levels, "name": n} for n in names]}
+    names, nxt = _paginate(state.store.list_objects(ns_pk, "VIEW"), q)
+    return 200, _paged(
+        {"identifiers": [{"namespace": levels, "name": n} for n in names]}, nxt
+    )
 
 
 def create_view(state: State, m, q, body):

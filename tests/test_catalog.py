@@ -399,3 +399,46 @@ def test_view_version_minus_one_means_latest(catalog):
     )
     assert catalog.load_view(["v3"], "v")["metadata"]["current-version-id"] == 7
     assert created["metadata"]["current-version-id"] == 1
+
+
+# --- pagination (spec PageParams — reference declares, never implements,
+# routes/common.go:21-24; implemented per the REST spec here) ---------------
+
+
+def test_list_tables_pagination(catalog):
+    catalog.create_namespace(["pg"])
+    names = [f"t{i:02d}" for i in range(7)]
+    for n in names:
+        catalog.create_table(["pg"], n, SCHEMA_ID_NAME)
+    # paged client walk returns everything, in sorted order
+    got = [t["name"] for t in catalog.list_tables(["pg"], page_size=3)]
+    assert got == names
+    # raw page boundaries: 3 + 3 + 1, token only while more remain
+    s, payload = catalog._request("GET", "/v1/namespaces/pg/tables", query="pageSize=3")
+    assert [t["name"] for t in payload["identifiers"]] == names[:3]
+    assert payload["next-page-token"] == "t02"
+    s, payload = catalog._request(
+        "GET", "/v1/namespaces/pg/tables", query="pageSize=3&pageToken=t05"
+    )
+    assert [t["name"] for t in payload["identifiers"]] == ["t06"]
+    assert "next-page-token" not in payload
+    # unpaged request: all rows, no token (back-compat)
+    s, payload = catalog._request("GET", "/v1/namespaces/pg/tables")
+    assert len(payload["identifiers"]) == 7
+    assert "next-page-token" not in payload
+
+
+def test_list_namespaces_pagination(catalog):
+    for n in ("a", "b", "c"):
+        catalog.create_namespace([f"pgn_{n}"])
+    got = catalog.list_namespaces(page_size=2)
+    assert [x for x in got if x[0].startswith("pgn_")] == [
+        ["pgn_a"], ["pgn_b"], ["pgn_c"]
+    ]
+
+
+def test_pagination_bad_page_size_400(catalog):
+    catalog.create_namespace(["pgbad"])
+    with pytest.raises(CatalogHTTPError) as exc:
+        catalog._request("GET", "/v1/namespaces/pgbad/tables", query="pageSize=nope")
+    assert exc.value.status == 400

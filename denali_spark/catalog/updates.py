@@ -14,7 +14,7 @@ mutations of the metadata dict; persistence happens in the route (SURVEY
 
 from __future__ import annotations
 
-from denali_spark.catalog.errors import BadRequest, NotImplementedInCatalog
+from denali_spark.catalog.errors import BadRequest
 from denali_spark.catalog.metadata import MAIN_BRANCH, now_ms
 
 # --- table ops (logic/updates.go:32-415) ---------------------------------
@@ -170,12 +170,47 @@ def _remove_snapshot_ref(md: dict, u: dict) -> None:
     md.get("refs", {}).pop(ref_name, None)
 
 
+def _upsert_stats(md: dict, key: str, entry: dict) -> None:
+    sid = entry["snapshot-id"]
+    kept = [s for s in md.get(key, []) if s["snapshot-id"] != sid]
+    md[key] = kept + [entry]
+
+
+def _remove_stats(md: dict, key: str, u: dict) -> None:
+    sid = u.get("snapshot-id")
+    if sid is None:
+        raise BadRequest("snapshot-id is required")
+    md[key] = [s for s in md.get(key, []) if s["snapshot-id"] != sid]
+
+
 def _set_statistics(md: dict, u: dict) -> None:
-    raise NotImplementedInCatalog("set-statistics is not supported")
+    """Upsert a Puffin statistics file for a snapshot (one per snapshot).
+    The reference rejects this op (logic/updates.go:399-407); implemented
+    spec-correctly here — table stats are what a CBO prunes and reorders
+    joins with at scale."""
+    stats = u.get("statistics")
+    if not isinstance(stats, dict) or "snapshot-id" not in stats:
+        raise BadRequest("set-statistics requires a statistics file object")
+    _upsert_stats(md, "statistics", stats)
 
 
 def _remove_statistics(md: dict, u: dict) -> None:
-    raise NotImplementedInCatalog("remove-statistics is not supported")
+    _remove_stats(md, "statistics", u)
+
+
+def _set_partition_statistics(md: dict, u: dict) -> None:
+    # Spec-defined (openapi.yml:2098-2099) but absent from the reference's
+    # dispatch map entirely — same upsert-by-snapshot shape as statistics.
+    stats = u.get("partition-statistics")
+    if not isinstance(stats, dict) or "snapshot-id" not in stats:
+        raise BadRequest(
+            "set-partition-statistics requires a partition-statistics object"
+        )
+    _upsert_stats(md, "partition-statistics", stats)
+
+
+def _remove_partition_statistics(md: dict, u: dict) -> None:
+    _remove_stats(md, "partition-statistics", u)
 
 
 # --- view ops (logic/updates.go:419-453) ---------------------------------
@@ -221,6 +256,8 @@ TABLE_UPDATE_OPS = {
     "remove-snapshot-ref": _remove_snapshot_ref,
     "set-statistics": _set_statistics,
     "remove-statistics": _remove_statistics,
+    "set-partition-statistics": _set_partition_statistics,
+    "remove-partition-statistics": _remove_partition_statistics,
 }
 
 VIEW_UPDATE_OPS = {

@@ -442,3 +442,52 @@ def test_pagination_bad_page_size_400(catalog):
     with pytest.raises(CatalogHTTPError) as exc:
         catalog._request("GET", "/v1/namespaces/pgbad/tables", query="pageSize=nope")
     assert exc.value.status == 400
+
+
+# --- statistics ops (reference rejects set/remove-statistics,
+# logic/updates.go:399-415; partition variants absent from its map) ---------
+
+
+def test_statistics_ops_roundtrip(catalog):
+    catalog.create_namespace(["st"])
+    catalog.create_table(["st"], "t", SCHEMA_ID_NAME)
+    md = catalog.load_table(["st"], "t")["metadata"]
+    snap = {
+        "snapshot-id": 111, "parent-snapshot-id": None, "sequence-number": 1,
+        "timestamp-ms": 1, "manifest-list": "x", "schema-id": 0,
+        "summary": {"operation": "append"},
+    }
+    stats = {
+        "snapshot-id": 111, "statistics-path": "s.puffin",
+        "file-size-in-bytes": 10, "file-footer-size-in-bytes": 2,
+        "blob-metadata": [],
+    }
+    pstats = {
+        "snapshot-id": 111, "statistics-path": "p.stats", "file-size-in-bytes": 5,
+    }
+    out = catalog.commit_table(
+        ["st"], "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": snap},
+            {"action": "set-statistics", "statistics": stats},
+            {"action": "set-partition-statistics", "partition-statistics": pstats},
+        ],
+    )["metadata"]
+    assert out["statistics"] == [stats]
+    assert out["partition-statistics"] == [pstats]
+    # upsert replaces same-snapshot stats; remove drops them
+    stats2 = {**stats, "statistics-path": "s2.puffin"}
+    out = catalog.commit_table(
+        ["st"], "t", requirements=[],
+        updates=[{"action": "set-statistics", "statistics": stats2}],
+    )["metadata"]
+    assert out["statistics"] == [stats2]
+    out = catalog.commit_table(
+        ["st"], "t", requirements=[],
+        updates=[
+            {"action": "remove-statistics", "snapshot-id": 111},
+            {"action": "remove-partition-statistics", "snapshot-id": 111},
+        ],
+    )["metadata"]
+    assert out["statistics"] == [] and out["partition-statistics"] == []

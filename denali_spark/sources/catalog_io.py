@@ -323,6 +323,7 @@ class SparkCatalogIO:
         sort_by: list[str] | None = None,
         num_files: int | None = None,
         file_format: str | None = None,
+        branch: str = MAIN,
     ) -> dict:
         """Append/overwrite `df` into a catalog table (created on demand),
         committing via the optimistic protocol with bounded retries.
@@ -330,6 +331,10 @@ class SparkCatalogIO:
         file_format: parquet (default) or orc — recorded as the table's
         write.format.default property on create; later appends inherit it.
         avro raises (spec-listed, but needs the external spark-avro module).
+
+        branch: commit target ref (default main). Writing to a non-main
+        branch is the write-audit-publish staging step — see create_branch /
+        publish_branch; the branch must already exist.
 
         partition_by: column names or (column, transform) pairs using the
         Iceberg transform vocabulary (identity/year/month/day/hour/
@@ -387,7 +392,11 @@ class SparkCatalogIO:
         )
 
         for _attempt in range(max_retries):
-            base_ref = md.get("refs", {}).get(MAIN)
+            base_ref = md.get("refs", {}).get(branch)
+            if base_ref is None and branch != MAIN:
+                raise ValueError(
+                    f"branch {branch!r} not found — create_branch() first"
+                )
             parent_id = base_ref["snapshot-id"] if base_ref else None
             prev_files = []
             if mode == "append" and parent_id is not None:
@@ -422,12 +431,12 @@ class SparkCatalogIO:
                     name,
                     requirements=[
                         {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
-                        {"type": "assert-ref-snapshot-id", "ref": MAIN,
+                        {"type": "assert-ref-snapshot-id", "ref": branch,
                          "snapshot-id": parent_id},
                     ],
                     updates=[
                         {"action": "add-snapshot", "snapshot": snapshot},
-                        {"action": "set-snapshot-ref", "ref-name": MAIN,
+                        {"action": "set-snapshot-ref", "ref-name": branch,
                          "snapshot-id": snapshot_id, "type": "branch"},
                     ],
                 )
@@ -518,6 +527,64 @@ class SparkCatalogIO:
             json.dump({"manifest-format": "json", "files": files}, f, indent=1)
         os.replace(tmp, path)
         return path
+
+    # --- branches & tags (write-audit-publish) -----------------------------
+
+    def create_ref(
+        self, namespace: list[str], name: str, ref_name: str,
+        ref_type: str = "branch", from_ref: str = MAIN,
+    ) -> dict:
+        """Create a branch or tag at another ref's current snapshot — pure
+        metadata (one set-snapshot-ref commit), no data touched. The
+        assert-ref requirement guarantees create-if-absent semantics."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        src = md.get("refs", {}).get(from_ref)
+        if src is None:
+            raise ValueError(f"ref {from_ref!r} not found (empty table?)")
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": ref_name,
+                 "snapshot-id": None},  # must not already exist
+            ],
+            updates=[{"action": "set-snapshot-ref", "ref-name": ref_name,
+                      "snapshot-id": src["snapshot-id"], "type": ref_type}],
+        )
+
+    def create_branch(self, namespace, name, branch, from_ref=MAIN) -> dict:
+        return self.create_ref(namespace, name, branch, "branch", from_ref)
+
+    def create_tag(self, namespace, name, tag, from_ref=MAIN) -> dict:
+        return self.create_ref(namespace, name, tag, "tag", from_ref)
+
+    def drop_ref(self, namespace: list[str], name: str, ref_name: str) -> dict:
+        return self.client.commit_table(
+            namespace, name, requirements=[],
+            updates=[{"action": "remove-snapshot-ref", "ref-name": ref_name}],
+        )
+
+    def publish_branch(
+        self, namespace: list[str], name: str, branch: str, to: str = MAIN
+    ) -> dict:
+        """Fast-forward `to` (main) to the branch head — the publish step of
+        write-audit-publish: data was staged and validated on the branch;
+        publication is one atomic metadata commit, CAS-guarded so a
+        concurrent main writer turns this into an explicit 409 instead of a
+        silent lost update."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        head = md.get("refs", {}).get(branch)
+        if head is None:
+            raise ValueError(f"branch {branch!r} not found")
+        target = md.get("refs", {}).get(to)
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": to,
+                 "snapshot-id": target["snapshot-id"] if target else None},
+            ],
+            updates=[{"action": "set-snapshot-ref", "ref-name": to,
+                      "snapshot-id": head["snapshot-id"], "type": "branch"}],
+        )
 
     # --- register existing parquet (zero-copy adoption) --------------------
 

@@ -153,3 +153,48 @@ def test_schema_preserved_through_catalog(spark, io):
     back = io.read_table(["sch"], "t")
     assert dict(back.dtypes) == {"a": "bigint", "b": "double", "c": "string",
                                  "d": "boolean"}
+
+
+def test_write_audit_publish(spark, io):
+    """WAP flow: stage on a branch, audit, fast-forward main — main readers
+    never see unvalidated data; publish is one atomic metadata commit."""
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    io.write_table(df1, ["wap"], "t")
+    io.create_branch(["wap"], "t", "audit")
+    io.create_tag(["wap"], "t", "v1.0")
+
+    staged = spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string")
+    io.write_table(staged, ["wap"], "t", branch="audit")
+
+    # main untouched; branch sees staged rows; tag pinned at 2
+    assert io.read_table(["wap"], "t").count() == 2
+    assert io.read_table(["wap"], "t", ref="audit").count() == 4
+    assert io.read_table(["wap"], "t", ref="v1.0").count() == 2
+
+    # audit passes → publish
+    io.publish_branch(["wap"], "t", "audit")
+    assert io.read_table(["wap"], "t").count() == 4
+    # tag still time-pinned after publish
+    assert io.read_table(["wap"], "t", ref="v1.0").count() == 2
+
+    io.drop_ref(["wap"], "t", "audit")
+    with pytest.raises(ValueError, match="not found"):
+        io.read_table(["wap"], "t", ref="audit")
+
+
+def test_branch_write_requires_existing_branch(spark, io):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    io.write_table(df, ["wap"], "t2")
+    with pytest.raises(ValueError, match="create_branch"):
+        io.write_table(df, ["wap"], "t2", branch="nope")
+
+
+def test_create_ref_conflicts_if_exists(spark, io):
+    from denali_spark.catalog.client import CatalogHTTPError
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    io.write_table(df, ["wap"], "t3")
+    io.create_branch(["wap"], "t3", "b1")
+    with pytest.raises(CatalogHTTPError) as exc:
+        io.create_branch(["wap"], "t3", "b1")
+    assert exc.value.status == 409

@@ -77,9 +77,12 @@ class CatalogClient:
 
                 parts.append(f"pageToken={quote(token)}")
             payload = self._request("GET", path, query="&".join(parts))[1]
-            out.extend(payload[key])
+            page = payload[key]
+            out.extend(page)
             token = payload.get("next-page-token")
-            if token is None:
+            # Terminate on a missing/empty token OR an empty page — a
+            # degenerate token ('' or a repeat) can never loop the walk.
+            if not token or not page:
                 return out
 
     def list_namespaces(

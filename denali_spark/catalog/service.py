@@ -119,10 +119,13 @@ def _paginate(names: list[str], q) -> tuple[list[str], str | None]:
             size = int(size)
         except ValueError:
             raise BadRequest(f"invalid pageSize {size!r}") from None
-        if size < 0:
-            raise BadRequest("pageSize must be non-negative")
+        if size <= 0:
+            # 0 would force a next-page-token equal to the request's own
+            # cursor — any client echoing it loops forever. Reject, per the
+            # "positive page size" reading of the spec.
+            raise BadRequest("pageSize must be positive")
         if len(names) > size:
-            next_token = names[size - 1] if size else token or ""
+            next_token = names[size - 1]
             names = names[:size]
     return names, next_token
 
@@ -279,8 +282,12 @@ def update_table(state: State, m, q, body):
         md = meta.read_table_metadata(info.metadata_location)
         check_table_requirements(md, body.get("requirements") or [])
         md = apply_table_updates(md, body.get("updates") or [])
+        # new_seq is the store's CAS counter (one per commit, names the
+        # metadata file); it is deliberately NOT written into the table's
+        # last-sequence-number — the Iceberg DATA sequence number advances
+        # only through add-snapshot (spec rule: metadata-only commits like
+        # set-properties must not consume sequence numbers).
         new_seq = info.last_sequence_number + 1
-        md["last-sequence-number"] = max(md.get("last-sequence-number", 0), new_seq)
         md["last-updated-ms"] = meta.now_ms()
         md["metadata-log"] = md.get("metadata-log", []) + [
             {"timestamp-ms": md["last-updated-ms"],

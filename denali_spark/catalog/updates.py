@@ -163,6 +163,12 @@ def _set_snapshot_ref(md: dict, u: dict) -> None:
 def _remove_snapshots(md: dict, u: dict) -> None:
     ids = set(u.get("snapshot-ids") or [])
     md["snapshots"] = [s for s in md["snapshots"] if s["snapshot-id"] not in ids]
+    # Matching Iceberg's expire behavior: snapshot-log entries pointing at a
+    # removed snapshot are dropped in the same commit, so TIMESTAMP AS OF
+    # over the remaining log can never land on a missing snapshot.
+    md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", []) if e["snapshot-id"] not in ids
+    ]
 
 
 def _remove_snapshot_ref(md: dict, u: dict) -> None:

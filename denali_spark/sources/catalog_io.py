@@ -88,6 +88,7 @@ class SparkCatalogIO:
         if snapshot_id is None and as_of_ms is not None:
             # TIMESTAMP AS OF: the snapshot-log records every move of main
             # (§1.2 SnapshotLog) — take the last state at or before t.
+            live = {s["snapshot-id"] for s in md.get("snapshots", [])}
             past = [
                 e for e in md.get("snapshot-log", [])
                 if e["timestamp-ms"] <= as_of_ms
@@ -96,7 +97,16 @@ class SparkCatalogIO:
                 raise ValueError(
                     f"no snapshot committed at or before timestamp {as_of_ms}"
                 )
-            snapshot_id = max(past, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+            best = max(past, key=lambda e: e["timestamp-ms"])
+            if best["snapshot-id"] not in live:
+                # Expired metadata written before the log-trimming fix may
+                # still reference removed snapshots — report retention, not
+                # a bare lookup failure.
+                raise ValueError(
+                    f"timestamp {as_of_ms} is outside the snapshot retention "
+                    f"window (snapshot {best['snapshot-id']} was expired)"
+                )
+            snapshot_id = best["snapshot-id"]
         if snapshot_id is None and ref is not None:
             r = md.get("refs", {}).get(ref)
             if r is None:
@@ -154,7 +164,15 @@ class SparkCatalogIO:
             with_lineage=bool(delete_entries),
         )
         if delete_entries:
-            df = self._apply_deletes(df, entries, delete_entries)
+            from denali_spark.sources.schema_evolution import schema_by_id
+
+            target_id = (
+                snap.get("schema-id", md["current-schema-id"])
+                if time_travel else md["current-schema-id"]
+            )
+            df = self._apply_deletes(
+                df, entries, delete_entries, target_schema=schema_by_id(md, target_id)
+            )
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         if where is not None:
             df = df.filter(to_spark_sql(where))
@@ -222,10 +240,37 @@ class SparkCatalogIO:
             dfs.append(df)
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
+    @staticmethod
+    def _resolve_eq_columns(fids, write_names, target_schema):
+        """Equality-delete keys are identified by FIELD ID (the Iceberg
+        spec's rule — equality_ids reference field ids, not names): resolve
+        ids to the read schema's names so deletes keep matching after
+        rename_column, and a reused name can never silently match the wrong
+        column. Legacy name-keyed manifests (no equality-field-ids) fall
+        back to write-time names."""
+        if not fids or target_schema is None:
+            return list(write_names)
+        by_id = {f["id"]: f["name"] for f in target_schema["fields"]}
+        out = []
+        for fid, wname in zip(fids, write_names):
+            if fid not in by_id:
+                raise ValueError(
+                    f"equality-delete key field id {fid} ({wname!r} at write "
+                    "time) is not in the read schema — run rewrite_deletes() "
+                    "before dropping an equality-delete key column"
+                )
+            out.append(by_id[fid])
+        return out
+
     def _apply_deletes(
-        self, df: DataFrame, data_entries: list[dict], delete_entries: list[dict]
+        self,
+        df: DataFrame,
+        data_entries: list[dict],
+        delete_entries: list[dict],
+        target_schema: dict | None = None,
     ) -> DataFrame:
-        """Apply merge-on-read delete files to a lineage-bearing DataFrame.
+        """Apply merge-on-read delete files to a lineage-bearing DataFrame
+        (already reconciled to `target_schema`).
 
         Position deletes (file_path, pos) anti-join on row lineage; no
         sequence check is needed because data file paths are unique per
@@ -261,14 +306,21 @@ class SparkCatalogIO:
                 schema=f"{LINEAGE_FILE} string, __dsp_seq long",
             )
             df = df.join(F.broadcast(seq_df), LINEAGE_FILE, "left")
-            groups: dict[tuple[int, tuple[str, ...]], list[dict]] = {}
+            groups: dict[tuple, list[dict]] = {}
             for e in eq:
                 key = (int(e.get("sequence-number", 0)),
+                       tuple(e.get("equality-field-ids") or ()),
                        tuple(e["equality-columns"]))
                 groups.setdefault(key, []).append(e)
-            for (dseq, cols), group in sorted(groups.items()):
+            for (dseq, fids, wcols), group in sorted(groups.items()):
+                # Delete files carry their write-time column names; the data
+                # side carries the read schema's names — bridge by field id.
+                cols = self._resolve_eq_columns(fids, wcols, target_schema)
                 d = self.spark.read.parquet(*[e["path"] for e in group])
-                d = maybe_broadcast(d.select(*cols).dropDuplicates(), group).alias("__del")
+                d = d.select(
+                    *[F.col(w).alias(c) for w, c in zip(wcols, cols)]
+                ).dropDuplicates()
+                d = maybe_broadcast(d, group).alias("__del")
                 a = df.alias("__dat")
                 cond = F.col("__dat.__dsp_seq") < F.lit(dseq)
                 for c in cols:
@@ -324,6 +376,7 @@ class SparkCatalogIO:
         num_files: int | None = None,
         file_format: str | None = None,
         branch: str = MAIN,
+        summary_extra: dict | None = None,
     ) -> dict:
         """Append/overwrite `df` into a catalog table (created on demand),
         committing via the optimistic protocol with bounded retries.
@@ -423,6 +476,7 @@ class SparkCatalogIO:
                     "operation": "append" if mode == "append" else "overwrite",
                     "added-data-files": str(len(data_files)),
                     "added-records": str(sum(f.get("record-count", 0) for f in data_files)),
+                    **(summary_extra or {}),
                 },
             }
             try:

@@ -98,7 +98,9 @@ def compact_data_files(
         # compaction doubles as delete materialization for the files it packs.
         df = io._read_reconciled(md, snap, small, with_lineage=bool(deletes))
         if deletes:
-            df = io._apply_deletes(df, small, deletes)
+            from denali_spark.sources.schema_evolution import current_schema
+
+            df = io._apply_deletes(df, small, deletes, target_schema=current_schema(md))
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         df = df.coalesce(n_out)
         from denali_spark.sources.catalog_io import table_write_format

@@ -53,6 +53,7 @@ from denali_spark.sources.expressions import (
     to_spark_sql,
 )
 from denali_spark.sources.row_ops import _commit_cow, _plan, _retrying
+from denali_spark.sources.schema_evolution import current_schema
 
 
 def _write_delete_files(
@@ -97,7 +98,9 @@ def delete_where_mor(
         if prior_deletes:
             # Don't re-delete rows a prior delete already covers (dup rows
             # would be harmless for correctness, but pointless bytes).
-            df = io._apply_deletes(df, candidates, prior_deletes)
+            df = io._apply_deletes(
+                df, candidates, prior_deletes, target_schema=current_schema(md)
+            )
         matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").select(
             F.col(LINEAGE_FILE).alias("file_path"),
             F.col(LINEAGE_POS).alias("pos"),
@@ -121,20 +124,30 @@ def delete_where_mor(
 def equality_delete(
     io: SparkCatalogIO, namespace: list[str], name: str,
     keys: DataFrame, on: list[str],
+    summary_extra: dict | None = None,
 ) -> dict:
     """Delete every row whose `on` columns match a row of `keys` — without
     reading ANY table data. The commit writes only the key values
     (equality-delete file); readers anti-join them against data files with a
     lower sequence number. This is the CDC-apply fast path: cost is
-    O(|keys|) regardless of table size."""
+    O(|keys|) regardless of table size.
+
+    Key columns are recorded by FIELD ID (Iceberg's equality_ids rule), so
+    later renames can't detach or mis-target the delete."""
 
     def attempt():
         md, parent_id, data, deletes = _plan(io, namespace, name, None)
         if parent_id is None:
             return {"metadata": md, "noop": True}
+        by_name = {f["name"]: f["id"] for f in current_schema(md)["fields"]}
+        missing = [c for c in on if c not in by_name]
+        if missing:
+            raise ValueError(f"equality-delete key columns not in schema: {missing}")
         new_deletes = _write_delete_files(
             io, keys.select(*on).dropDuplicates(), md,
-            "equality-deletes", {"equality-columns": list(on)},
+            "equality-deletes",
+            {"equality-columns": list(on),
+             "equality-field-ids": [by_name[c] for c in on]},
         )
         if not new_deletes:
             return {"metadata": md, "noop": True}
@@ -144,7 +157,8 @@ def equality_delete(
             "delete",
             {"added-delete-files": str(len(new_deletes)),
              "equality-columns": ",".join(on),
-             "rewritten-data-files": "0"},
+             "rewritten-data-files": "0",
+             **(summary_extra or {})},
         )
 
     return _retrying(attempt)
@@ -205,7 +219,9 @@ def rewrite_deletes(io: SparkCatalogIO, namespace: list[str], name: str) -> dict
                 {"removed-delete-files": str(len(deletes))},
             )
         df = io._read_reconciled(md, snap, affected, with_lineage=True)
-        df = io._apply_deletes(df, affected, deletes)
+        df = io._apply_deletes(
+            df, affected, deletes, target_schema=current_schema(md)
+        )
         df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         from denali_spark.sources.catalog_io import table_write_format
 

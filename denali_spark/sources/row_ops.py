@@ -128,8 +128,10 @@ def _read_candidates(io: SparkCatalogIO, md: dict, parent_id: int, candidates):
     _data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
     if not deletes:
         return io._read_reconciled(md, snap, candidates)
+    from denali_spark.sources.schema_evolution import current_schema
+
     df = io._read_reconciled(md, snap, candidates, with_lineage=True)
-    df = io._apply_deletes(df, candidates, deletes)
+    df = io._apply_deletes(df, candidates, deletes, target_schema=current_schema(md))
     return df.drop(LINEAGE_FILE, LINEAGE_POS)
 
 

@@ -155,6 +155,41 @@ def sessionize_stream(
     )
 
 
+def _latest_committed_batch(catalog_io, namespace, name, checkpoint_dir) -> int:
+    """Highest micro-batch id already committed for this checkpoint, read
+    from snapshot summaries (-1 if none). Driver-side metadata scan —
+    O(snapshots), no data touched."""
+    if not catalog_io.client.table_exists(namespace, name):
+        return -1
+    md = catalog_io.client.load_table(namespace, name)["metadata"]
+    best = -1
+    for s in md.get("snapshots", []):
+        sm = s.get("summary", {})
+        if sm.get("streaming-checkpoint") == checkpoint_dir:
+            try:
+                best = max(best, int(sm.get("streaming-batch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
+def make_append_sink(catalog_io, namespace: list[str], name: str, checkpoint_dir: str):
+    """Build the foreachBatch append sink (exposed for replay tests)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if _latest_committed_batch(catalog_io, namespace, name, checkpoint_dir) >= batch_id:
+            return  # replayed batch — already committed before the restart
+        catalog_io.write_table(
+            batch_df, namespace, name, mode="append",
+            summary_extra={"streaming-checkpoint": checkpoint_dir,
+                           "streaming-batch-id": str(batch_id)},
+        )
+
+    return _sink
+
+
 def stream_to_catalog(
     stream: DataFrame,
     catalog_io,
@@ -164,15 +199,18 @@ def stream_to_catalog(
 ):
     """Streaming append into a catalog table: every micro-batch becomes one
     optimistic snapshot commit (foreachBatch → SparkCatalogIO.write_table).
-    Exactly-once is anchored on the checkpoint + idempotent CAS retries."""
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        catalog_io.write_table(batch_df, namespace, name, mode="append")
-
+    Exactly-once: foreachBatch is at-least-once — after a failure/restart
+    the checkpoint replays the last unacknowledged batch — so each commit
+    stamps (checkpoint, batch-id) into its snapshot summary (the same
+    idempotence scheme Iceberg's Spark streaming sink uses) and a replayed
+    batch whose id was already committed is skipped instead of appended
+    twice. CAS retries make each individual commit atomic; the batch-id
+    stamp makes replays idempotent."""
     return (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(
+            make_append_sink(catalog_io, namespace, name, checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
@@ -201,22 +239,51 @@ def stream_cdc_apply(
     per micro-batch would rewrite key-overlapping files every few seconds
     and collapse under churn. Expects ≤1 row per key per batch (standard
     compacted-changelog contract)."""
+    return (
+        stream.writeStream.foreachBatch(
+            make_cdc_sink(catalog_io, namespace, name, keys, checkpoint_dir, op_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def make_cdc_sink(
+    catalog_io,
+    namespace: list[str],
+    name: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+):
+    """Build the foreachBatch CDC-apply sink (exposed for replay tests)."""
     from denali_spark.sources.mor import equality_delete
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Replay guard (same scheme as stream_to_catalog): the batch's LAST
+        # commit carries the (checkpoint, batch-id) stamp, so a replay after
+        # a mid-batch crash re-runs only the not-yet-stamped steps — the
+        # delete re-run is idempotent (same keys, rows already gone) and the
+        # append happens exactly once.
+        if _latest_committed_batch(catalog_io, namespace, name, checkpoint_dir) >= batch_id:
+            return
+        stamp = {"streaming-checkpoint": checkpoint_dir,
+                 "streaming-batch-id": str(batch_id)}
         upserts = batch_df.filter(F.col(op_col) != "d").drop(op_col)
+        has_upserts = not upserts.isEmpty()
         # one equality-delete covers both tombstones and replaced keys
         touched = batch_df.select(*keys)
         if catalog_io.client.table_exists(namespace, name):
-            equality_delete(catalog_io, namespace, name, touched, on=keys)
-        if not upserts.isEmpty():
-            catalog_io.write_table(upserts, namespace, name, mode="append")
+            equality_delete(
+                catalog_io, namespace, name, touched, on=keys,
+                summary_extra=None if has_upserts else stamp,
+            )
+        if has_upserts:
+            catalog_io.write_table(
+                upserts, namespace, name, mode="append", summary_extra=stamp
+            )
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
+    return _sink

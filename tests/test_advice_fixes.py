@@ -1,0 +1,171 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+1. Equality deletes are keyed by field id: rename_column after an
+   equality_delete must not break reads or detach the delete.
+2. Streaming foreachBatch sinks are idempotent under micro-batch replay
+   (at-least-once foreachBatch semantics) via a batch-id snapshot stamp.
+3. Pagination: pageSize=0 is a 400, and the client walk always terminates.
+4. The Iceberg last-sequence-number only advances on snapshot-producing
+   commits, never on metadata-only commits.
+5. expire_snapshots trims snapshot-log entries for removed snapshots, and
+   a stale log entry yields a retention error, not a lookup failure.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.catalog.client import CatalogHTTPError
+from denali_spark.sources import (
+    SparkCatalogIO,
+    drop_column,
+    equality_delete,
+    expire_snapshots,
+    rename_column,
+)
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+# --- 1. equality deletes survive renames (field-id keyed) ------------------
+
+
+def test_equality_delete_survives_rename(spark, io):
+    ns = ["adv"]
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+    ).coalesce(1)
+    io.write_table(df, ns, "t")
+    keys = spark.createDataFrame([(2,)], "id int")
+    equality_delete(io, ns, "t", keys, on=["id"])
+    # rename the delete's key column AFTER the delete was written
+    rename_column(io, ns, "t", "id", "ident")
+    rows = io.read_table(ns, "t").collect()
+    assert {(r["ident"], r["s"]) for r in rows} == {(1, "a"), (3, "c")}
+
+
+def test_equality_delete_rename_nonkey_column(spark, io):
+    ns = ["adv"]
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, s string"
+    ).coalesce(1)
+    io.write_table(df, ns, "t2")
+    equality_delete(io, ns, "t2", spark.createDataFrame([("a",)], "s string"), on=["s"])
+    rename_column(io, ns, "t2", "s", "label")
+    rows = io.read_table(ns, "t2").collect()
+    assert {(r["id"], r["label"]) for r in rows} == {(2, "b")}
+
+
+def test_equality_delete_dropped_key_column_errors(spark, io):
+    ns = ["adv"]
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").coalesce(1)
+    io.write_table(df, ns, "t3")
+    equality_delete(io, ns, "t3", spark.createDataFrame([(1,)], "id int"), on=["id"])
+    drop_column(io, ns, "t3", "id")
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        io.read_table(ns, "t3").collect()
+
+
+# --- 2. streaming replay idempotence ---------------------------------------
+
+
+def test_append_sink_replay_is_idempotent(spark, io, tmp_path):
+    from denali_spark.streaming.events_stream import make_append_sink
+
+    ns, name = ["adv"], "stream_t"
+    sink = make_append_sink(io, ns, name, str(tmp_path / "ckpt"))
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    sink(batch, 0)
+    sink(batch, 0)  # foreachBatch replay after restart: must be a no-op
+    sink(batch, 1)
+    assert io.read_table(ns, name).count() == 4
+    md = io.client.load_table(ns, name)["metadata"]
+    assert len(md["snapshots"]) == 2
+
+
+def test_cdc_sink_replay_preserves_later_upserts(spark, io, tmp_path):
+    """The ADVICE scenario's sharpest corner: a replayed delete-only batch
+    must not emit a fresh (higher-sequence) equality delete that would kill
+    keys re-inserted by later batches."""
+    from denali_spark.streaming.events_stream import make_cdc_sink
+
+    ns, name = ["adv"], "cdc_t"
+    sink = make_cdc_sink(io, ns, name, keys=["id"], checkpoint_dir=str(tmp_path / "c"))
+    b0 = spark.createDataFrame([(1, "v1", "u"), (2, "v2", "u")], "id int, v string, op string")
+    b1 = spark.createDataFrame([(1, None, "d")], "id int, v string, op string")
+    b2 = spark.createDataFrame([(1, "v1b", "u")], "id int, v string, op string")
+    sink(b0, 0)
+    sink(b1, 1)   # delete-only batch
+    sink(b2, 2)   # re-insert key 1
+    sink(b1, 1)   # replay of the delete-only batch — must be skipped
+    rows = {(r["id"], r["v"]) for r in io.read_table(ns, name).collect()}
+    assert rows == {(1, "v1b"), (2, "v2")}
+
+
+# --- 3. pagination ----------------------------------------------------------
+
+
+def test_page_size_zero_is_rejected(spark, io):
+    io.client.create_namespace(["pg"])
+    for t in ("a", "b"):
+        io.client.create_table(
+            ["pg"], t,
+            {"type": "struct", "fields": [
+                {"id": 1, "name": "x", "type": "int", "required": False}]},
+        )
+    with pytest.raises(CatalogHTTPError) as exc:
+        io.client._request("GET", "/v1/namespaces/pg/tables", query="pageSize=0")
+    assert exc.value.status == 400
+    # the normal paged walk still drains everything and terminates
+    names = [t["name"] for t in io.client.list_tables(["pg"], page_size=1)]
+    assert names == ["a", "b"]
+
+
+# --- 4. sequence number semantics -------------------------------------------
+
+
+def test_metadata_only_commits_keep_sequence_number(spark, io):
+    ns, name = ["adv"], "seq_t"
+    df = spark.createDataFrame([(1,)], "id int")
+    io.write_table(df, ns, name)
+    before = io.client.load_table(ns, name)["metadata"]["last-sequence-number"]
+    io.client.commit_table(
+        ns, name, requirements=[],
+        updates=[{"action": "set-properties", "updates": {"touched": "yes"}}],
+    )
+    md = io.client.load_table(ns, name)["metadata"]
+    assert md["last-sequence-number"] == before  # metadata-only: unchanged
+    assert md["properties"]["touched"] == "yes"
+    io.write_table(df, ns, name, mode="append")
+    md = io.client.load_table(ns, name)["metadata"]
+    assert md["last-sequence-number"] == before + 1  # snapshot commit: +1
+
+
+# --- 5. snapshot expiry trims the snapshot log ------------------------------
+
+
+def test_expire_snapshots_trims_snapshot_log(spark, io):
+    ns, name = ["adv"], "exp_t"
+    df = spark.createDataFrame([(1,)], "id int")
+    for _ in range(3):
+        io.write_table(df, ns, name, mode="append")
+    md = io.client.load_table(ns, name)["metadata"]
+    assert len(md["snapshots"]) == 3 and len(md["snapshot-log"]) == 3
+    expire_snapshots(io, ns, name, keep_last=1)
+    md = io.client.load_table(ns, name)["metadata"]
+    live = {s["snapshot-id"] for s in md["snapshots"]}
+    assert len(live) == 1
+    # every surviving log entry points at a live snapshot
+    assert all(e["snapshot-id"] in live for e in md["snapshot-log"])
+    # TIMESTAMP AS OF before the earliest surviving entry → clean error
+    earliest = min(e["timestamp-ms"] for e in md["snapshot-log"])
+    with pytest.raises(ValueError, match="no snapshot committed|retention"):
+        io.read_table(ns, name, as_of_ms=earliest - 1)

@@ -24,7 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     start.add_argument("--port", type=int,
                        default=int(os.environ.get("DENALI_PORT", "0")))
     start.add_argument("--warehouse", default=os.environ.get("DENALI_WAREHOUSE"))
-    start.add_argument("--db", default=os.environ.get("DENALI_DB", ":memory:"))
+    start.add_argument(
+        "--db", default=os.environ.get("DENALI_DB", ":memory:"),
+        help="SQLite path / ':memory:', or a postgresql:// URI for the "
+             "shared multi-server backend",
+    )
     start.add_argument(
         "--temp", action="store_true",
         help="ephemeral mode: in-memory DB + temp warehouse",

@@ -1,0 +1,256 @@
+"""Minimal pure-stdlib PostgreSQL client (frontend/backend protocol v3).
+
+The reference supports a Postgres metadata store as its horizontal-scaling
+story — N stateless catalog servers sharing one database with CAS commits
+(/root/reference/logic/state.go:219-227 dialect whitelist,
+sqlgen/migrations/postgres/0001_init.sql). This environment ships Postgres
+server binaries but no Python driver (psycopg/pg8000 are absent), so this
+module implements the small slice of the public wire protocol the catalog
+store needs:
+
+- startup + trust authentication (the store runs against a dedicated
+  catalog database; password auth is out of scope),
+- the extended query protocol (Parse/Bind/Describe/Execute/Sync) with
+  text-format parameters and results — real parameter binding, no string
+  interpolation, so identifiers/values never need escaping,
+- error mapping with SQLSTATE (class 23xxx → integrity violations).
+
+The protocol is public and stable, documented in the PostgreSQL manual
+("Frontend/Backend Protocol"). Only what the store uses is implemented;
+this is not a general-purpose driver.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+PROTOCOL_3_0 = 196608  # (3 << 16) | 0
+
+# Text-format decode by type OID (pg_type.dat, public catalog numbers).
+_INT_OIDS = {20, 21, 23, 26}  # int8, int2, int4, oid
+_FLOAT_OIDS = {700, 701, 1700}  # float4, float8, numeric
+_BOOL_OID = 16
+
+
+class PGError(Exception):
+    """Server ErrorResponse. `sqlstate` carries the 5-char code."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        self.sqlstate = fields.get("C", "")
+        super().__init__(
+            f"{fields.get('S', 'ERROR')}: {fields.get('M', '?')}"
+            f" (sqlstate {self.sqlstate})"
+        )
+
+    @property
+    def is_integrity_violation(self) -> bool:
+        return self.sqlstate.startswith("23")
+
+    @property
+    def is_duplicate_ddl(self) -> bool:
+        # 42P07 duplicate_table, 42710 duplicate_object (e.g. CREATE TYPE)
+        return self.sqlstate in ("42P07", "42710")
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class PGConnection:
+    """One connection, one lock: the store serializes statements exactly as
+    the SQLite backend does. Scale-out happens by running more catalog
+    server processes against the same database, not by widening one
+    process's pool."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        user: str = "postgres",
+        database: str = "postgres",
+        unix_socket_dir: str | None = None,
+        connect_timeout: float = 10.0,
+    ):
+        if unix_socket_dir:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(connect_timeout)
+            self._sock.connect(f"{unix_socket_dir}/.s.PGSQL.{port}")
+        else:
+            self._sock = socket.create_connection((host, port), timeout=connect_timeout)
+        self._sock.settimeout(60.0)
+        self._lock = threading.RLock()
+        self._startup(user, database)
+
+    # --- framing -----------------------------------------------------------
+
+    def _send(self, type_byte: bytes, payload: bytes) -> None:
+        self._sock.sendall(type_byte + struct.pack(">I", len(payload) + 4) + payload)
+
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = []
+        while n:
+            chunk = self._sock.recv(n)
+            if not chunk:
+                raise ConnectionError("postgres server closed the connection")
+            chunks.append(chunk)
+            n -= len(chunk)
+        return b"".join(chunks)
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        header = self._recv_exact(5)
+        mtype = header[:1]
+        (length,) = struct.unpack(">I", header[1:5])
+        return mtype, self._recv_exact(length - 4)
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields = {}
+        i = 0
+        while i < len(payload) and payload[i : i + 1] != b"\x00":
+            code = chr(payload[i])
+            end = payload.index(b"\x00", i + 1)
+            fields[code] = payload[i + 1 : end].decode("utf-8", "replace")
+            i = end + 1
+        return fields
+
+    # --- startup -----------------------------------------------------------
+
+    def _startup(self, user: str, database: str) -> None:
+        params = (
+            _cstr("user") + _cstr(user)
+            + _cstr("database") + _cstr(database)
+            + _cstr("application_name") + _cstr("denali-spark-catalog")
+            + b"\x00"
+        )
+        payload = struct.pack(">I", PROTOCOL_3_0) + params
+        self._sock.sendall(struct.pack(">I", len(payload) + 4) + payload)
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"R":
+                (code,) = struct.unpack(">I", body[:4])
+                if code != 0:  # 0 = AuthenticationOk (trust)
+                    raise PGError(
+                        {"S": "FATAL", "C": "28000",
+                         "M": f"server requested auth method {code}; only "
+                              "trust auth is supported"}
+                    )
+            elif mtype == b"E":
+                raise PGError(self._error_fields(body))
+            elif mtype == b"Z":  # ReadyForQuery
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData / 'N' Notice: ignore
+
+    # --- extended query protocol -------------------------------------------
+
+    @staticmethod
+    def _encode_param(v) -> bytes | None:
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return b"t" if v else b"f"
+        if isinstance(v, (int, float)):
+            return str(v).encode()
+        if isinstance(v, bytes):
+            return v
+        return str(v).encode()
+
+    def execute(self, sql: str, params: tuple = ()) -> tuple[list, int]:
+        """Run one statement; returns (rows, rowcount). Rows are tuples with
+        ints/floats/bools/None decoded by result-column OID, text otherwise."""
+        with self._lock:
+            # Parse (unnamed statement) + Bind (unnamed portal, text params)
+            self._send(b"P", _cstr("") + _cstr(sql) + struct.pack(">H", 0))
+            bind = _cstr("") + _cstr("") + struct.pack(">H", 0)
+            bind += struct.pack(">H", len(params))
+            for p in params:
+                enc = self._encode_param(p)
+                if enc is None:
+                    bind += struct.pack(">i", -1)
+                else:
+                    bind += struct.pack(">I", len(enc)) + enc
+            bind += struct.pack(">H", 0)  # all result columns in text format
+            self._send(b"B", bind)
+            self._send(b"D", b"P" + _cstr(""))       # Describe portal
+            self._send(b"E", _cstr("") + struct.pack(">I", 0))  # Execute, no row cap
+            self._send(b"S", b"")                     # Sync
+            rows: list[tuple] = []
+            oids: list[int] = []
+            rowcount = 0
+            error: PGError | None = None
+            while True:
+                mtype, body = self._recv_msg()
+                if mtype == b"T":  # RowDescription
+                    (ncols,) = struct.unpack(">H", body[:2])
+                    oids, i = [], 2
+                    for _ in range(ncols):
+                        end = body.index(b"\x00", i)
+                        # name | table oid(4) | attnum(2) | type oid(4) | ...
+                        (toid,) = struct.unpack(">I", body[end + 7 : end + 11])
+                        oids.append(toid)
+                        i = end + 19
+                elif mtype == b"D":  # DataRow
+                    (ncols,) = struct.unpack(">H", body[:2])
+                    vals, i = [], 2
+                    for c in range(ncols):
+                        (vlen,) = struct.unpack(">i", body[i : i + 4])
+                        i += 4
+                        if vlen == -1:
+                            vals.append(None)
+                            continue
+                        raw = body[i : i + vlen]
+                        i += vlen
+                        oid = oids[c] if c < len(oids) else 25
+                        if oid in _INT_OIDS:
+                            vals.append(int(raw))
+                        elif oid == _BOOL_OID:
+                            vals.append(raw == b"t")
+                        elif oid in _FLOAT_OIDS:
+                            vals.append(float(raw))
+                        else:
+                            vals.append(raw.decode())
+                    rows.append(tuple(vals))
+                elif mtype == b"C":  # CommandComplete: tag like "UPDATE 3"
+                    tag = body.rstrip(b"\x00").decode()
+                    last = tag.rsplit(" ", 1)[-1]
+                    rowcount = int(last) if last.isdigit() else 0
+                elif mtype == b"E":
+                    error = PGError(self._error_fields(body))
+                elif mtype == b"Z":  # ReadyForQuery — statement settled
+                    if error is not None:
+                        raise error
+                    return rows, rowcount
+                # '1' ParseComplete, '2' BindComplete, 'n' NoData,
+                # 's' PortalSuspended, 'S'/'N'/'A' async: ignore
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")  # Terminate
+        except OSError:
+            pass
+        self._sock.close()
+
+
+def parse_postgres_uri(uri: str) -> dict:
+    """postgresql://[user@]host[:port]/dbname or
+    postgresql:///dbname?host=/sock/dir&port=N (unix-socket form)."""
+    from urllib.parse import urlsplit, parse_qs
+
+    parts = urlsplit(uri)
+    if parts.scheme not in ("postgres", "postgresql"):
+        raise ValueError(f"not a postgres URI: {uri!r}")
+    q = parse_qs(parts.query)
+    kw = {
+        "user": parts.username or "postgres",
+        "database": (parts.path or "/postgres").lstrip("/") or "postgres",
+    }
+    sock_dir = (q.get("host") or [None])[0]
+    if sock_dir and sock_dir.startswith("/"):
+        kw["unix_socket_dir"] = sock_dir
+        kw["port"] = int((q.get("port") or [5432])[0])
+    else:
+        kw["host"] = parts.hostname or "127.0.0.1"
+        kw["port"] = parts.port or 5432
+    return kw

@@ -71,7 +71,11 @@ class State:
 
 
 def make_state(warehouse: str, db_path: str = ":memory:") -> State:
-    return State(Store(db_path), warehouse)
+    """db_path: SQLite file path / ':memory:', or a postgresql:// URI
+    (selects the Postgres backend, reference logic/state.go:219-227)."""
+    from denali_spark.catalog.store import make_store
+
+    return State(make_store(db_path), warehouse)
 
 
 def parse_ns(raw: str) -> list[str]:

@@ -1,0 +1,289 @@
+"""Postgres metadata-store backend tests.
+
+The reference's horizontal-scaling story is N stateless catalog servers
+sharing one Postgres with CAS commits (/root/reference/logic/state.go:
+219-227, sqlgen/migrations/postgres/0001_init.sql, README "Performant &
+Scalable"). These tests boot a throwaway Postgres server (binaries ship in
+the environment; the store talks the public wire protocol directly since
+no Python driver is installed) and run:
+
+- the full store query-set over BOTH dialects (parameterized),
+- multi-CONNECTION CAS contention: several independent connections — the
+  moral equivalent of several catalog server processes — race commits
+  against one database and exactly one wins per round,
+- the full REST service stack over the Postgres store.
+
+Skips cleanly if the environment cannot run Postgres (no binaries or no
+postgres user to drop privileges to).
+"""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import subprocess
+import threading
+
+import pytest
+
+from denali_spark.catalog.errors import AlreadyExists, NamespaceNotEmpty, NoSuchNamespace
+from denali_spark.catalog.store import PostgresStore, Store, make_store
+
+INITDB = shutil.which("initdb")
+PG_CTL = shutil.which("pg_ctl")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _pg_available() -> bool:
+    if not (INITDB and PG_CTL):
+        return False
+    try:
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", "true"],
+            check=True, capture_output=True, timeout=10,
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "can't run pg"
+        return False
+
+
+pg_missing = pytest.mark.skipif(
+    not _pg_available(), reason="postgres binaries or postgres user unavailable"
+)
+
+
+@pytest.fixture(scope="session")
+def pg_server():
+    """One throwaway Postgres for the whole session: initdb + start as the
+    postgres system user (the server refuses root), trust auth, random
+    port on localhost. Lives directly under /tmp — pytest's tmp tree is
+    0700 root-owned, which the postgres user can't traverse."""
+    import shutil as _shutil
+    import tempfile
+
+    if not _pg_available():
+        pytest.skip("postgres unavailable")
+    base = tempfile.mkdtemp(prefix="denali-pg-")
+    import os
+
+    os.chmod(base, 0o755)
+    subprocess.run(["chown", "postgres:postgres", base], check=True)
+    port = _free_port()
+
+    def as_pg(*cmd, **kw):
+        return subprocess.run(
+            ["runuser", "-u", "postgres", "--", *cmd],
+            check=True, capture_output=True, timeout=120, cwd="/tmp", **kw,
+        )
+
+    as_pg(INITDB, "-D", f"{base}/data", "-A", "trust", "--no-sync", "-E", "UTF8")
+    as_pg(
+        PG_CTL, "-D", f"{base}/data", "-l", f"{base}/pg.log",
+        "-o", f"-p {port} -k {base} -h 127.0.0.1 -F", "-w", "start",
+    )
+    yield {"port": port}
+    subprocess.run(
+        ["runuser", "-u", "postgres", "--", PG_CTL, "-D", f"{base}/data",
+         "-m", "immediate", "stop"],
+        capture_output=True, timeout=60, cwd="/tmp",
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture()
+def pg_uri(pg_server, request):
+    """A fresh database per test (cheap CREATE DATABASE on the shared
+    server) so tests never see each other's rows."""
+    from denali_spark.catalog.pgwire import PGConnection
+
+    dbname = f"t_{abs(hash(request.node.name)) % 10**9}"
+    admin = PGConnection(port=pg_server["port"])
+    admin.execute(f'DROP DATABASE IF EXISTS "{dbname}"')
+    admin.execute(f'CREATE DATABASE "{dbname}"')
+    admin.close()
+    return f"postgresql://postgres@127.0.0.1:{pg_server['port']}/{dbname}"
+
+
+@pytest.fixture(params=["sqlite", "postgres"])
+def any_store(request, tmp_path):
+    """The same Store interface over both dialects."""
+    if request.param == "sqlite":
+        s = Store(str(tmp_path / "cat.db"))
+    else:
+        s = make_store(request.getfixturevalue("pg_uri"))
+        assert isinstance(s, PostgresStore)
+    yield s
+    s.close()
+
+
+# --- the 20-query battery over both dialects --------------------------------
+
+
+def test_store_battery(any_store):
+    s = any_store
+    # namespaces
+    assert s.namespace_exists(["default"])
+    pk = s.create_namespace(["a"], {"k": "v", "k2": "v2"})
+    s.create_namespace(["a", "b"], {})
+    with pytest.raises(AlreadyExists):
+        s.create_namespace(["a"], {})
+    with pytest.raises(NoSuchNamespace):
+        s.namespace_pk(["missing"])
+    assert s.child_namespace_names([]) == ["a", "default"]
+    assert s.child_namespace_names(["a"]) == ["b"]
+    assert s.namespace_properties(pk) == {"k": "v", "k2": "v2"}
+    s.upsert_namespace_property(pk, "k", "v9")
+    assert s.namespace_properties(pk)["k"] == "v9"
+    assert s.delete_namespace_property(pk, "k2")
+    assert not s.delete_namespace_property(pk, "k2")
+    # objects
+    t1 = s.register_object(pk, "t1", "TABLE", "/m/v0.json")
+    s.register_object(pk, "v1", "VIEW", "/m/view0.json")
+    with pytest.raises(AlreadyExists):
+        s.register_object(pk, "t1", "TABLE", "/m/x.json")
+    assert s.list_objects(pk, "TABLE") == ["t1"]
+    assert s.list_objects(pk, "VIEW") == ["v1"]
+    info = s.get_object(pk, "t1", "TABLE")
+    assert (info.pk, info.last_sequence_number, info.metadata_location) == (
+        t1, 0, "/m/v0.json"
+    )
+    assert s.get_object(pk, "nope", "TABLE") is None
+    # CAS
+    assert s.cas_update_object(t1, "/m/v1.json", 0)
+    assert not s.cas_update_object(t1, "/m/v2.json", 0)
+    assert s.get_object(pk, "t1", "TABLE").last_sequence_number == 1
+    # rename (incl. cross-namespace) + conflicts
+    pk2 = s.create_namespace(["c"], {})
+    s.rename_object(t1, "t1r", pk2)
+    assert s.list_objects(pk2, "TABLE") == ["t1r"]
+    s.register_object(pk2, "clash", "TABLE", "/m/c.json")
+    with pytest.raises(AlreadyExists):
+        s.rename_object(t1, "clash")
+    # namespace delete protection then teardown
+    with pytest.raises(NamespaceNotEmpty):
+        s.drop_namespace(["c"])
+    for name in ("t1r", "clash"):
+        s.drop_object(s.get_object(pk2, name, "TABLE").pk)
+    s.drop_object(s.get_object(pk, "v1", "VIEW").pk)
+    s.drop_namespace(["c"])
+    s.drop_namespace(["a", "b"])
+    s.drop_namespace(["a"])
+    assert not s.namespace_exists(["a"])
+
+
+# --- multi-connection CAS contention (the scale-out story) ------------------
+
+
+@pg_missing
+def test_cas_contention_across_connections(pg_uri):
+    """8 independent connections (≈ 8 stateless catalog servers on one
+    database) race 8 rounds of commits: exactly one winner per round and
+    the sequence number advances exactly once per round."""
+    stores = [make_store(pg_uri) for _ in range(8)]
+    try:
+        ns = stores[0].create_namespace(["race"], {})
+        pk = stores[0].register_object(ns, "t", "TABLE", "/m/v0.json")
+        for round_no in range(8):
+            wins = []
+            barrier = threading.Barrier(len(stores))
+
+            def attempt(i, store):
+                barrier.wait()
+                if store.cas_update_object(pk, f"/m/r{round_no}-{i}.json", round_no):
+                    wins.append(i)
+
+            threads = [
+                threading.Thread(target=attempt, args=(i, st))
+                for i, st in enumerate(stores)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(wins) == 1, f"round {round_no}: winners={wins}"
+            info = stores[0].get_object(ns, "t", "TABLE")
+            assert info.last_sequence_number == round_no + 1
+            assert f"/m/r{round_no}-" in info.metadata_location
+    finally:
+        for s in stores:
+            s.close()
+
+
+@pg_missing
+def test_rest_service_over_postgres(pg_uri, tmp_path):
+    """The full REST stack (create/load/commit/conflict) over the Postgres
+    store — what a production deployment would run."""
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.catalog.client import CatalogClient, CatalogHTTPError
+
+    srv = CatalogServer(make_state(str(tmp_path / "wh"), pg_uri)).start()
+    try:
+        c = CatalogClient(srv.uri)
+        c.create_namespace(["pg"])
+        schema = {"type": "struct", "fields": [
+            {"id": 1, "name": "x", "type": "int", "required": False}]}
+        c.create_table(["pg"], "t", schema)
+        md = c.load_table(["pg"], "t")["metadata"]
+        c.commit_table(
+            ["pg"], "t",
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[{"action": "set-properties", "updates": {"p": "1"}}],
+        )
+        assert c.load_table(["pg"], "t")["metadata"]["properties"]["p"] == "1"
+        with pytest.raises(CatalogHTTPError) as exc:
+            c.commit_table(
+                ["pg"], "t",
+                requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                               "snapshot-id": 999}],
+                updates=[],
+            )
+        assert exc.value.status == 409
+        # second server process on the SAME database sees the commit
+        srv2 = CatalogServer(make_state(str(tmp_path / "wh"), pg_uri)).start()
+        try:
+            c2 = CatalogClient(srv2.uri)
+            assert c2.load_table(["pg"], "t")["metadata"]["properties"]["p"] == "1"
+            assert [t["name"] for t in c2.list_tables(["pg"])] == ["t"]
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
+
+
+# --- SQLite multi-connection CAS (WAL) --------------------------------------
+
+
+def test_sqlite_file_cas_across_connections(tmp_path):
+    """Same contention shape over a shared SQLite file (WAL + busy
+    timeout): the single-writer fallback still serializes CAS correctly."""
+    path = str(tmp_path / "shared.db")
+    stores = [Store(path) for _ in range(4)]
+    try:
+        ns = stores[0].create_namespace(["race"], {})
+        pk = stores[0].register_object(ns, "t", "TABLE", "/m/v0.json")
+        wins = []
+        barrier = threading.Barrier(len(stores))
+
+        def attempt(i, store):
+            barrier.wait()
+            if store.cas_update_object(pk, f"/m/{i}.json", 0):
+                wins.append(i)
+
+        threads = [
+            threading.Thread(target=attempt, args=(i, s))
+            for i, s in enumerate(stores)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1
+        assert stores[0].get_object(ns, "t", "TABLE").last_sequence_number == 1
+    finally:
+        for s in stores:
+            s.close()

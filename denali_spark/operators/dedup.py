@@ -482,6 +482,11 @@ def dot_cols(ea: Column, eb: Column) -> Column:
     )
 
 
+# Fence for the exact all-pairs baseline: beyond this row count the O(n²)
+# join is a scale-killer (100k rows ≈ 5·10⁹ pairs) and callers must opt in
+# explicitly with allow_quadratic=True.
+QUADRATIC_MAX_ROWS = 100_000
+
 SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
 SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
@@ -502,14 +507,28 @@ SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
     """,
     tags=("dedup", "embedding"),
 )
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding near-duplicates (cosine ≥ 0.8) — EXACT all-pairs baseline.
 
-    This is the correctness oracle for the LSH-bucketed variant
-    (sim_lsh_bucket_topk); all-pairs is quadratic and is only run at test
-    scale. At 100 TB the bucketed/ANN path is the one to use.
+    This is the correctness oracle for the LSH/IVF paths (the recall
+    harness in tests/test_similarity_recall.py grades them against it);
+    all-pairs is O(n²) BY DESIGN and is fenced: corpora above
+    QUADRATIC_MAX_ROWS raise unless allow_quadratic=True. At 100 TB the
+    bucketed/ANN paths are the ones to run.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    if not allow_quadratic:
+        n = emb.count()  # parquet-footer count: cheap, no data scan
+        if n > QUADRATIC_MAX_ROWS:
+            raise ValueError(
+                f"dedup_embedding_pairs is an exact ALL-PAIRS baseline "
+                f"(O(n²)); corpus has {n} rows > cap {QUADRATIC_MAX_ROWS}. "
+                "Use dedup_minhash_lsh_pairs / sim_lsh_bucket_topk / "
+                "sim_ivf_topk at scale, or pass allow_quadratic=True to "
+                "force the exact run."
+            )
     # Norms are precomputed per vector (O(n·d) once) instead of per pair
     # (O(n²·d) — recomputing both norms inside every pair tripled the
     # quadratic work). sqrt/÷ of identical doubles is bit-identical to the

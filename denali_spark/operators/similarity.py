@@ -96,47 +96,62 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- random-hyperplane LSH ------------------------------------------------
 #
-# Plane weights are pseudo-random ±1 from pure integer arithmetic so both
-# engines derive the identical planes: w(p, k) = +1 iff
-# (k * 2654435761 + p * 40503) mod 97 < 48.
+# OR-amplified multi-table LSH (the standard recall construction): N_TABLES
+# independent hash tables of N_PLANES sign-bits each; a vector is a
+# candidate if it collides with the probe in ANY table. AND within a table
+# (all 8 bits must match → high precision), OR across tables (recall
+# 1-(1-p^b)^T instead of p^b). Plane weights are pseudo-random ±1 from pure
+# integer arithmetic so both engines derive the identical planes:
+# w(g, k) = +1 iff (k * 2654435761 + g * 40503) mod 97 < 48, where
+# g = table * N_PLANES + plane is the global plane index.
+
+N_TABLES = 4
 
 
-def _plane_term(e: Column, p: int):
+def _plane_term(e: Column, g: int):
     # Factory closure (single-arity lambda — Spark types lambdas by arity).
     return lambda acc, k: acc + F.element_at(e, (k + 1).cast("int")) * F.when(
-        (k * F.lit(2654435761) + F.lit(p * 40503)) % 97 < 48, F.lit(1.0)
+        (k * F.lit(2654435761) + F.lit(g * 40503)) % 97 < 48, F.lit(1.0)
     ).otherwise(F.lit(-1.0))
 
 
-def _plane_dot(e: Column, p: int) -> Column:
+def _plane_dot(e: Column, g: int) -> Column:
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(DIM - 1)).cast("array<long>"),
         F.lit(0.0),
-        _plane_term(e, p),
+        _plane_term(e, g),
     )
 
 
-def _bucket_col(e: Column) -> Column:
+def _bucket_col(e: Column, table: int = 0) -> Column:
     bits = [
-        F.when(_plane_dot(e, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        F.when(_plane_dot(e, table * N_PLANES + p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         for p in range(N_PLANES)
     ]
     return reduce(lambda x, y: x + y, bits).cast("long")
 
 
-def _sql_plane_dot(e: str, p: int) -> str:
+def _sql_plane_dot(e: str, g: int) -> str:
     return (
         f"list_sum(list_transform(range(0, {DIM}), k -> {e}[k + 1] *"
-        f" CASE WHEN (k * 2654435761 + {p * 40503}) % 97 < 48 THEN 1.0 ELSE -1.0 END))"
+        f" CASE WHEN (k * 2654435761 + {g * 40503}) % 97 < 48 THEN 1.0 ELSE -1.0 END))"
     )
 
 
-def _sql_bucket(e: str) -> str:
+def _sql_bucket(e: str, table: int = 0) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_sql_plane_dot(e, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        f"(CASE WHEN {_sql_plane_dot(e, table * N_PLANES + p)} >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(N_PLANES)
     )
     return f"CAST({terms} AS BIGINT)"
+
+
+def _sql_tables(e: str = "e") -> str:
+    """UNION ALL of per-table bucket assignments (vec_id, t, bucket)."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_bucket(e, t)} AS bucket FROM v"
+        for t in range(N_TABLES)
+    )
 
 
 @query(
@@ -146,12 +161,24 @@ def _sql_bucket(e: str) -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
-    b AS (SELECT vec_id, e, {_sql_bucket('e')} AS bucket FROM v),
-    q AS (SELECT * FROM b WHERE vec_id < 5),
+    b AS ({_sql_tables('e')}),
+    qb AS (
+      SELECT DISTINCT p.query_id, p.t,
+             xor(p.bucket, CASE WHEN fl.f = -1 THEN 0 ELSE (1 << fl.f) END) AS bucket
+      FROM (SELECT vec_id AS query_id, t, bucket FROM b WHERE vec_id < 5) p
+      CROSS JOIN (SELECT unnest(range(-1, {N_PLANES})) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN b ON qb.t = b.t AND qb.bucket = b.bucket
+      WHERE qb.query_id <> b.vec_id
+    ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {SQL_COSINE.format(a='q.e', b='c.e')} AS cos
-      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      SELECT c.query_id, c.neighbor_id,
+             {SQL_COSINE.format(a='qv.e', b='nv.e')} AS cos
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
@@ -163,28 +190,59 @@ def _sql_bucket(e: str) -> str:
     tags=("similarity", "ann", "lsh"),
 )
 def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via 8-plane random-hyperplane LSH: candidates are
-    restricted to the probe's bucket (expected 1/256 of the corpus), then
-    exact cosine re-ranks. This converts all-pairs search into an equi-join
-    on the bucket id — the shape that scales; recall is tuned by planes ×
-    probes (multi-probe / band OR-ing) without changing the plan."""
+    """Approximate top-5 via OR-amplified, multi-probe random-hyperplane
+    LSH ({N_TABLES} tables × {N_PLANES} sign-bits): a corpus vector is a
+    candidate if it lands in the probe's bucket — or any bucket one bit-flip
+    away — in ANY table; exact cosine re-ranks the deduplicated candidates.
+
+    Scale shape: hashing is scan-local (T× higher-order-function work, no
+    shuffle); candidate generation is an equi-join on (table, bucket) with
+    the probe side broadcast — multi-probe expands only that tiny probe
+    side ((1+bits)× rows), never the corpus. Candidate pairs — not
+    vectors — are deduplicated before the rerank joins fetch vectors, so
+    the T-way expansion never duplicates embedding payloads. Recall is
+    tuned by tables (OR) × planes (AND) × probes without changing the
+    plan; tests/test_similarity_recall.py grades it against the exact
+    baseline."""
     v = _vecs(spark, sf_dir)
-    b = v.withColumn("bucket", _bucket_col(F.col("e")))
-    q = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+    # (vec_id, t, bucket): T rows per vector, no embedding payload
+    tb = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
+            for t in range(N_TABLES)
+        ])
     )
-    scored = (
-        b.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-        )
+    b = v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
+    # Multi-probe: each probe also searches the N_PLANES buckets at Hamming
+    # distance 1 (flip = -1 keeps the exact bucket).
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    qb = (
+        b.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "t", "bucket")
+        .withColumn("flip", flips)
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("e")).alias("cos"),
+            "t",
+            F.col("bucket").bitwiseXOR(
+                F.when(F.col("flip") < 0, F.lit(0))
+                .otherwise(F.expr("shiftleft(1, flip)"))
+            ).alias("bucket"),
         )
+        .distinct()
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        cand.join(v, cand["neighbor_id"] == v["vec_id"])
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

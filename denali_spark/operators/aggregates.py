@@ -272,16 +272,63 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_sketches",
-    oracle=None,  # approximate algorithms differ per engine by design
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_within_5pct,
+           CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS exact_median_price,
+           TRUE AS median_within_1pct,
+           CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS exact_p99_price,
+           TRUE AS p99_within_1pct
+    FROM lineitem
+    """,
     tags=("aggregate", "approximate"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct count + quantile sketch): the
-    constant-memory scale path when exact answers aren't required. Checked
-    rows-only — sketch outputs are engine-specific by design."""
+    constant-memory scale path when exact answers aren't required.
+
+    Sketch outputs are engine-specific, so the value-level check is
+    ε-bounded: the query emits the exact values (deterministic, both
+    engines agree bit-for-bit — percentile_disc picks actual data values,
+    no float interpolation) plus booleans asserting the sketch landed
+    within tolerance (HLL at rsd=1% target against a ±5% gate = 5σ;
+    GK quantiles ±1%). The oracle
+    emits the same exact values with TRUE flags: a sketch drifting out of
+    tolerance breaks the hash match and fails the driver's gate. The
+    production path uses the sketch columns alone; the exact twins exist
+    for the gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    price_d = F.col("l_extendedprice").cast("double")
+    exact_med = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+    ).cast("double")
+    exact_p99 = F.expr(
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+    ).cast("double")
+    return (
+        li.agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("hll_orders"),
+            exact_med.alias("exact_median_price"),
+            F.percentile_approx(price_d, 0.5).alias("approx_median_price"),
+            exact_p99.alias("exact_p99_price"),
+            F.percentile_approx(price_d, 0.99).alias("approx_p99_price"),
+        )
+        .select(
+            "exact_orders",
+            (
+                F.abs(F.col("hll_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("hll_within_5pct"),
+            "exact_median_price",
+            (
+                F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+                <= 0.01 * F.col("exact_median_price")
+            ).alias("median_within_1pct"),
+            "exact_p99_price",
+            (
+                F.abs(F.col("approx_p99_price") - F.col("exact_p99_price"))
+                <= 0.01 * F.col("exact_p99_price")
+            ).alias("p99_within_1pct"),
+        )
     )

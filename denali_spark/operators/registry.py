@@ -44,9 +44,70 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The driver's per-round correctness sweep may cap how many queries it
+# reaches (round 1 recorded only the first 50 of 88), so iteration order is
+# a coverage decision: queries changed in the current round lead, then the
+# LLM-pipeline operators (functions/timeseries/dedup/similarity/text/
+# multimodal — the set round 1's artifact never reached), then the
+# long-verified relational battery.
+DRIVER_PRIORITY: list[str] = [
+    # changed this round — highest scrutiny
+    "agg_approx_sketches",
+    "sim_lsh_bucket_topk",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    # not reached by the round-1 driver artifact
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "sim_norms_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "mm_binary_metadata",
+    "mm_image_decode",
+    "mm_frame_sample",
+    "mm_featurize",
+    "ts_hourly_rollup",
+    "ts_daily_active_users",
+    "ts_gap_fill_hours",
+    "ts_sessionize",
+    "ts_asof_join",
+    "ts_range_join_pairs",
+    "ts_funnel",
+    "ts_transitions",
+    "fn_string_kitchen",
+    "fn_string_regex",
+    "fn_datetime_kitchen",
+    "fn_math_kitchen",
+    "fn_conditional",
+    "fn_json_extract",
+    "fn_array_ops",
+    "fn_hash",
+    "setop_intersect_all",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in DRIVER_PRIORITY if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

@@ -79,24 +79,32 @@ def main() -> int:
     from denali_spark.engine.session import get_spark
     from denali_spark.operators import REGISTRY
 
+    import time
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failures = 0
+    t_all = time.perf_counter()
     for name in names:
+        t0 = time.perf_counter()
         try:
             problems = run_check(spark, con, name, sf_dir)
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        dt = time.perf_counter() - t0
         status = "OK " if not problems else "FAIL"
         if problems:
             failures += 1
         oracle_tag = "" if REGISTRY[name].oracle else " (rows-only)"
-        print(f"[{status}] {name}{oracle_tag}")
+        print(f"[{status}] {name}{oracle_tag}  ({dt:.2f}s)")
         for p in problems:
             print(f"       {p}")
-    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    print(
+        f"\n{len(names) - failures}/{len(names)} queries match"
+        f"  (total {time.perf_counter() - t_all:.1f}s)"
+    )
     return 1 if failures else 0
 
 

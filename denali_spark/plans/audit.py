@@ -59,6 +59,10 @@ def audit(df: DataFrame, execute: bool = False) -> dict:
         "broadcast_joins": simple.count("BroadcastHashJoin")
         + simple.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": simple.count("SortMergeJoin"),
+        # Non-equi join shapes: fine on labeled tiny/probe inputs, fatal on
+        # a fact table — the sweep test whitelists by name.
+        "nested_loop_joins": simple.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": simple.count("CartesianProduct"),
         "codegen_stages": len(
             set(re.findall(r"\[codegen id : (\d+)\]", text))
             | set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))

@@ -81,3 +81,56 @@ def test_audit_counts_codegen(spark):
 def test_headline_plans_have_pushed_filters(spark, name):
     a = audit(_df(spark, name))
     assert a["pushed_filters"], f"{name} pushed no filters to the scan"
+
+
+# --- full-registry sweep ----------------------------------------------------
+#
+# Every registered query's plan is audited for the two failure classes that
+# are invisible at test scale and fatal at 100 TB: row-at-a-time Python
+# eval, and non-equi join shapes (cartesian / broadcast-nested-loop)
+# touching anything but a labeled tiny input.
+
+# Queries whose non-equi join is deliberate AND bounded; each entry names
+# the bound that keeps it linear-ish at scale.
+NON_EQUI_WHITELIST = {
+    # region x region, 5x5 rows, labeled cross join demo
+    "join_cross_region_pairs",
+    # exact all-pairs baseline — O(n²) BY DESIGN, fenced by
+    # QUADRATIC_MAX_ROWS + allow_quadratic (see test_similarity_recall)
+    "dedup_embedding_pairs",
+    # probe side is 5 broadcast rows: nested-loop over the corpus is one
+    # linear pass (cost n x |probes|), the textbook brute-force baseline
+    "sim_topk_bruteforce",
+    # IVF coarse assignment: corpus x broadcast centroids (k ≈ n/97) is
+    # the standard n·k quantization pass — linear in n, centroids tiny
+    "sim_ivf_topk",
+    # deliberate 1-row x 1-row join of two global aggregates (split to
+    # avoid Catalyst's Expand rewrite — see the query docstring)
+    "agg_approx_sketches",
+    # q22: scalar-subquery average compared per row — Catalyst plans the
+    # 1-row aggregate as a broadcast nested loop (1 x n, linear)
+    "q22_global_sales_opportunity",
+    # anti-join on a multi-column OR predicate (spec shape): broadcast
+    # nested loop against the 1-row/“tiny relation” side only
+    "q16_supplier_counts",
+    # event self-pairing within a bounded 1h window on the SAME user:
+    # equi-join on user_id carries the heavy lifting; the range predicate
+    # rides on top (see ts_range_join_pairs docstring)
+    "ts_range_join_pairs",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_sweep_no_python_row_udfs_and_no_unfenced_cartesians(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    a = audit(df)
+    assert a["python_row_udfs"] == 0, (
+        f"{name}: plan contains BatchEvalPython (row-at-a-time Python)"
+    )
+    if name not in NON_EQUI_WHITELIST:
+        assert a["cartesian_products"] == 0, (
+            f"{name}: unfenced CartesianProduct in plan"
+        )
+        assert a["nested_loop_joins"] == 0, (
+            f"{name}: unfenced BroadcastNestedLoopJoin in plan"
+        )

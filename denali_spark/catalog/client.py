@@ -176,6 +176,15 @@ class CatalogClient:
             },
         )[1]
 
+    def commit_transaction(self, table_changes: list[dict]) -> None:
+        """Atomic multi-table commit: each change is
+        {'identifier': {'namespace': [...], 'name': ...},
+         'requirements': [...], 'updates': [...]}. All tables commit or
+        none do (409 on any conflict)."""
+        self._request(
+            "POST", "/v1/transactions/commit", {"table-changes": table_changes}
+        )
+
     def drop_table(self, levels: list[str], name: str, purge: bool = False) -> None:
         self._request(
             "DELETE", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}",

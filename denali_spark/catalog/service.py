@@ -335,7 +335,47 @@ def post_metrics(state: State, m, q, body):
 
 
 def commit_transaction(state: State, m, q, body):
-    raise NotImplementedInCatalog("multi-table transactions are not supported")
+    """Multi-table transaction (the one endpoint the reference 501s,
+    routes/tables.go:454-456 — implemented here beyond parity, like views).
+
+    Protocol: every table-change's requirements are checked against its
+    CURRENT metadata first; all new metadata files are written; then every
+    table row is CAS-updated inside ONE store transaction — any stale row
+    rolls back all of them and the whole commit 409s. Orphaned metadata
+    files from a rolled-back attempt are tolerated exactly as in
+    create_table (DB row is the source of truth). Listing the same table
+    twice is a deliberate 409 (the spec expects clients to merge a table's
+    updates into one change)."""
+    changes = body.get("table-changes") or []
+    if not changes:
+        raise BadRequest("table-changes is required")
+    with state.commit_lock:
+        staged = []
+        for ch in changes:
+            ident = ch.get("identifier") or {}
+            levels, name = ident.get("namespace"), ident.get("name")
+            if not levels or not name:
+                raise BadRequest("each table-change needs an identifier")
+            _, info = _table_info(state, levels, name)
+            md = meta.read_table_metadata(info.metadata_location)
+            check_table_requirements(md, ch.get("requirements") or [])
+            md = apply_table_updates(md, ch.get("updates") or [])
+            new_seq = info.last_sequence_number + 1
+            md["last-updated-ms"] = meta.now_ms()
+            md["metadata-log"] = md.get("metadata-log", []) + [
+                {"timestamp-ms": md["last-updated-ms"],
+                 "metadata-file": info.metadata_location}
+            ]
+            staged.append((info, md, new_seq))
+        cas = []
+        for info, md, new_seq in staged:
+            loc = meta.write_table_metadata(md, new_seq)
+            cas.append((info.pk, loc, info.last_sequence_number))
+        if not state.store.cas_update_objects(cas):
+            raise CommitConflict(
+                "concurrent commit detected during multi-table transaction"
+            )
+    return 204, None
 
 
 # --- views ----------------------------------------------------------------

@@ -262,6 +262,33 @@ class _BaseStore:
             )
         return n > 0
 
+    def cas_update_objects(self, changes: list[tuple[int, str, int]]) -> bool:
+        """All-or-nothing multi-row CAS — the commit step of a multi-table
+        transaction (/v1/transactions/commit, which the reference 501s:
+        routes/tables.go:454-456). Every (pk, new_location, expected_seq)
+        row must win its individual CAS inside ONE store transaction; any
+        stale row rolls back every other update and returns False (caller
+        raises 409). Atomicity rides on the database transaction, so it
+        holds across N catalog servers sharing one Postgres."""
+
+        class _CASFailed(Exception):
+            pass
+
+        try:
+            with self._tx():
+                for pk, new_location, expected_seq in changes:
+                    n = self._exec(
+                        "UPDATE objects SET metadata_location = ?,"
+                        " last_sequence_number = last_sequence_number + 1"
+                        " WHERE pk = ? AND last_sequence_number = ?",
+                        (new_location, pk, expected_seq),
+                    )
+                    if n == 0:
+                        raise _CASFailed()
+        except _CASFailed:
+            return False
+        return True
+
     def rename_object(
         self, pk: int, new_name: str, new_ns_pk: int | None = None
     ) -> None:

@@ -176,6 +176,23 @@ def test_store_battery(any_store):
     assert not s.namespace_exists(["a"])
 
 
+def test_multi_object_cas_all_or_nothing(any_store):
+    """cas_update_objects (the multi-table transaction commit) is atomic in
+    both dialects: one stale row rolls back every other update."""
+    s = any_store
+    ns = s.create_namespace(["txs"], {})
+    a = s.register_object(ns, "a", "TABLE", "/m/a0.json")
+    b = s.register_object(ns, "b", "TABLE", "/m/b0.json")
+    assert s.cas_update_objects([(a, "/m/a1.json", 0), (b, "/m/b1.json", 0)])
+    assert s.get_object(ns, "a", "TABLE").last_sequence_number == 1
+    assert s.get_object(ns, "b", "TABLE").last_sequence_number == 1
+    # second batch: a's expected_seq is stale → nothing may change
+    assert not s.cas_update_objects([(b, "/m/b2.json", 1), (a, "/m/a2.json", 0)])
+    assert s.get_object(ns, "a", "TABLE").metadata_location == "/m/a1.json"
+    assert s.get_object(ns, "b", "TABLE").metadata_location == "/m/b1.json"
+    assert s.get_object(ns, "b", "TABLE").last_sequence_number == 1
+
+
 # --- multi-connection CAS contention (the scale-out story) ------------------
 
 

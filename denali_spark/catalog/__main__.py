@@ -1,19 +1,20 @@
 """CLI: ``python -m denali_spark.catalog start [--port N] [--temp]
-[--warehouse DIR] [--db FILE]``.
+[--warehouse DIR] [--db FILE] [--config FILE]``.
 
 Counterpart of the reference CLI (/root/reference/main.go:88-150):
 ``--temp`` = in-memory SQLite + temp-dir warehouse (main.go:120-131), the
-mode its tests run in. Config may also come from env vars DENALI_PORT /
-DENALI_WAREHOUSE / DENALI_DB (logic/state.go:194-198 env-override pattern).
+mode its tests run in. Config precedence mirrors the reference
+(logic/state.go:119-231): CLI flags > DENALI_PORT / DENALI_WAREHOUSE /
+DENALI_DB env vars > discovered TOML config file > defaults.
 """
 
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import tempfile
 
+from denali_spark.catalog.config import resolve_config
 from denali_spark.catalog.service import CatalogServer, make_state
 
 
@@ -21,11 +22,12 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="denali-spark-catalog")
     sub = parser.add_subparsers(dest="cmd", required=True)
     start = sub.add_parser("start", help="start the catalog server")
-    start.add_argument("--port", type=int,
-                       default=int(os.environ.get("DENALI_PORT", "0")))
-    start.add_argument("--warehouse", default=os.environ.get("DENALI_WAREHOUSE"))
+    start.add_argument("--config", default=None,
+                       help="explicit TOML config file path")
+    start.add_argument("--port", type=int, default=None)
+    start.add_argument("--warehouse", default=None)
     start.add_argument(
-        "--db", default=os.environ.get("DENALI_DB", ":memory:"),
+        "--db", default=None,
         help="SQLite path / ':memory:', or a postgresql:// URI for the "
              "shared multi-server backend",
     )
@@ -35,12 +37,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = parser.parse_args(argv)
 
-    warehouse = args.warehouse
-    db = args.db
+    cfg = resolve_config(args.config)  # env > file > defaults
+    port = args.port if args.port is not None else cfg["port"]
+    warehouse = args.warehouse or cfg["warehouse"]
+    db = args.db or cfg["db"]
     if args.temp or not warehouse:
         warehouse = tempfile.mkdtemp(prefix="denali-warehouse-")
         db = ":memory:"
-    server = CatalogServer(make_state(warehouse, db), port=args.port).start()
+    if cfg["source_file"]:
+        print(f"loaded config from {cfg['source_file']}", flush=True)
+    server = CatalogServer(make_state(warehouse, db), port=port).start()
     print(f"catalog listening on {server.uri} (warehouse={warehouse})", flush=True)
     try:
         server._thread.join()

@@ -56,9 +56,11 @@ def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
 
 
 # Data file formats per the REST spec (openapi.yml:3393-3398): avro|orc|parquet.
-# Parquet and ORC use Spark's native vectorized readers/writers; Avro needs
-# the external spark-avro module, absent from this environment.
-DATA_FORMATS = ("parquet", "orc")
+# Parquet and ORC use Spark's native vectorized readers/writers; Avro (the
+# external spark-avro module is absent from this environment) runs through
+# the pure-Python OCF codec in denali_spark.sources.avro_ocf, executed
+# executor-side inside mapInPandas kernels.
+DATA_FORMATS = ("parquet", "orc", "avro")
 
 
 def table_write_format(md: dict) -> str:
@@ -213,6 +215,15 @@ class SparkCatalogIO:
             groups.setdefault(key, []).append(e["path"])
         dfs = []
         for (sid, fmt), paths in sorted(groups.items()):
+            if fmt == "avro":
+                dfs_entry = self._read_avro(paths, with_lineage)
+                if sid != target_id:
+                    dfs_entry = reconcile_to_schema(
+                        dfs_entry, schema_by_id(md, sid), target,
+                        extra_cols=(LINEAGE_FILE, LINEAGE_POS) if with_lineage else (),
+                    )
+                dfs.append(dfs_entry)
+                continue
             df = (
                 # read.orc takes one path-or-list (2nd positional = mergeSchema)
                 self.spark.read.orc(list(paths)) if fmt == "orc"
@@ -330,6 +341,85 @@ class SparkCatalogIO:
             df = df.drop("__dsp_seq")
         return df
 
+    def _read_avro(self, paths: list[str], with_lineage: bool) -> DataFrame:
+        """Distributed Avro read: one partition per file, decoded by the
+        pure-Python OCF codec inside a mapInPandas kernel (Arrow-batched;
+        the driver only opens one header for the schema). Lineage carries
+        the true in-file row position, like parquet's _metadata.row_index."""
+        import pandas as pd
+
+        from denali_spark.sources.avro_ocf import (
+            avro_schema_to_ddl,
+            field_names,
+            read_ocf,
+            read_schema,
+        )
+
+        ddl = avro_schema_to_ddl(read_schema(paths[0]))
+        if with_lineage:
+            ddl += f", {LINEAGE_FILE} string, {LINEAGE_POS} long"
+
+        def kernel(batches):
+            for pdf in batches:
+                for p in pdf["path"]:
+                    schema, rows = read_ocf(p)
+                    out = pd.DataFrame(rows, columns=field_names(schema))
+                    if with_lineage:
+                        out[LINEAGE_FILE] = p
+                        out[LINEAGE_POS] = range(len(rows))
+                    yield out
+
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in sorted(paths)], "path string"
+        ).repartition(len(paths), "path")
+        return paths_df.mapInPandas(kernel, schema=ddl)
+
+    def _write_avro_files(self, df: DataFrame, out_dir: str) -> list[dict]:
+        """Distributed Avro write: each task encodes its partition into one
+        OCF via the pure-Python codec and reports (path, record count) —
+        only that metadata is collected, the rows never visit the driver."""
+        import pandas as pd
+
+        from denali_spark.sources.avro_ocf import spark_schema_to_avro, write_ocf
+
+        avro_schema = spark_schema_to_avro(df.schema)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def _py(v):
+            if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+                return None
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        def kernel(batches):
+            # Stream Arrow batches straight into 8k-row OCF blocks — memory
+            # is bounded by one batch + one block, never the partition.
+            def rows():
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False, name=None):
+                        yield tuple(_py(v) for v in row)
+
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            n = write_ocf(path, avro_schema, rows())
+            if n:
+                yield pd.DataFrame({"path": [path], "record_count": [n]})
+            else:
+                os.remove(path)  # empty partition: no file, no manifest entry
+
+        out = df.mapInPandas(kernel, schema="path string, record_count long").collect()
+        return [
+            {
+                "path": r["path"],
+                "file-format": "avro",
+                "record-count": r["record_count"],
+                "file-size-bytes": os.path.getsize(r["path"]),
+            }
+            for r in sorted(out, key=lambda r: r["path"])
+        ]
+
     def _manifest_entries(self, manifest_list_location: str) -> list[dict]:
         with open(_fs_path(manifest_list_location)) as f:
             manifest = json.load(f)
@@ -381,9 +471,10 @@ class SparkCatalogIO:
         """Append/overwrite `df` into a catalog table (created on demand),
         committing via the optimistic protocol with bounded retries.
 
-        file_format: parquet (default) or orc — recorded as the table's
-        write.format.default property on create; later appends inherit it.
-        avro raises (spec-listed, but needs the external spark-avro module).
+        file_format: parquet (default), orc, or avro — recorded as the
+        table's write.format.default property on create; later appends
+        inherit it. Avro rides the pure-Python OCF codec (spark-avro is
+        absent from this environment) executor-side via mapInPandas.
 
         branch: commit target ref (default main). Writing to a non-main
         branch is the write-audit-publish staging step — see create_branch /
@@ -405,9 +496,7 @@ class SparkCatalogIO:
 
         if file_format is not None and file_format not in DATA_FORMATS:
             raise NotImplementedError(
-                f"file_format {file_format!r}: the spec lists avro|orc|parquet; "
-                "avro requires the external spark-avro module (not in this "
-                "environment), so parquet and orc are supported"
+                f"file_format {file_format!r}: the spec lists avro|orc|parquet"
             )
         parts = normalize_partition_by(partition_by) if partition_by else None
         if not self.client.namespace_exists(namespace):
@@ -521,6 +610,26 @@ class SparkCatalogIO:
         every partition — the difference between O(partitions) and
         O(tasks x partitions) files at scale."""
         out_dir = os.path.join(_fs_path(table_location), "data", uuid.uuid4().hex[:12])
+        if file_format == "avro":
+            if partition_by:
+                raise NotImplementedError(
+                    "partitioned writes are parquet/orc-only; avro files are "
+                    "written unpartitioned (the spec's avro role is "
+                    "row-oriented append/changelog data)"
+                )
+            if sort_by:
+                df = (
+                    df.repartitionByRange(num_files, *sort_by)
+                    if num_files else df.repartitionByRange(*sort_by)
+                )
+                df = df.sortWithinPartitions(*sort_by)
+            elif num_files:
+                df = df.repartition(num_files)
+            entries = self._write_avro_files(df, out_dir)
+            if schema_id is not None:
+                for e in entries:
+                    e["schema-id"] = schema_id
+            return entries
         dir_cols: list[str] = []
         if partition_by:
             from denali_spark.sources.partitioning import apply_partition_layout

@@ -1,6 +1,7 @@
 """Data-file format tests: the REST spec lists avro|orc|parquet
 (openapi.yml:3393-3398). Parquet and ORC use Spark's native vectorized
-paths; Avro raises with a clear message (external module, not in env)."""
+paths; Avro runs through the pure-Python OCF codec executor-side
+(spark-avro is not in the environment)."""
 
 from __future__ import annotations
 
@@ -94,6 +95,88 @@ def test_orc_equality_delete_works_position_raises(spark, io):
         delete_where_mor(io, ["fmt"], "t_mor", E.eq("id", 9))
 
 
-def test_avro_raises_clearly(spark, io):
-    with pytest.raises(NotImplementedError, match="avro"):
-        io.write_table(_df(spark), ["fmt"], "t_avro", file_format="avro")
+def test_avro_round_trip_and_property(spark, io):
+    io.write_table(_df(spark), ["fmt"], "t_avro", file_format="avro")
+    md = io.client.load_table(["fmt"], "t_avro")["metadata"]
+    assert md["properties"]["write.format.default"] == "avro"
+    entries = _entries(io, ["fmt"], "t_avro")
+    assert all(e["file-format"] == "avro" for e in entries)
+    assert all(e["path"].endswith(".avro") for e in entries)
+    assert sum(e["record-count"] for e in entries) == 50
+    rows = {(r["id"], r["v"]) for r in io.read_table(["fmt"], "t_avro").collect()}
+    assert rows == {(i, i * 3) for i in range(50)}
+
+
+def test_avro_typed_round_trip(spark, io):
+    """Every supported logical type survives write→read bit-faithfully:
+    decimals, dates, ntz timestamps, floats, booleans, binary, nulls."""
+    import datetime
+    from decimal import Decimal
+
+    rows = [
+        (1, "a", Decimal("12345.67"), datetime.date(2024, 1, 2),
+         datetime.datetime(2024, 1, 2, 3, 4, 5, 123456), 1.5, True, b"\x00\x01"),
+        (2, None, Decimal("-0.01"), None, None, None, False, None),
+    ]
+    ddl = ("id bigint, s string, d decimal(12,2), dt date, "
+           "ts timestamp_ntz, f double, b boolean, raw binary")
+    df = spark.createDataFrame(rows, ddl)
+    io.write_table(df, ["fmt"], "t_avro_types", file_format="avro")
+    got = {tuple(r) for r in io.read_table(["fmt"], "t_avro_types").collect()}
+    assert got == set(rows)
+
+
+def test_avro_in_mixed_format_table(spark, io):
+    io.write_table(_df(spark, 0, 20), ["fmt"], "t_mix3")
+    io.write_table(_df(spark, 20, 40), ["fmt"], "t_mix3", file_format="orc")
+    io.write_table(_df(spark, 40, 60), ["fmt"], "t_mix3", file_format="avro")
+    formats = {e["file-format"] for e in _entries(io, ["fmt"], "t_mix3")}
+    assert formats == {"parquet", "orc", "avro"}
+    ids = sorted(r["id"] for r in io.read_table(["fmt"], "t_mix3").collect())
+    assert ids == list(range(60))
+
+
+def test_avro_equality_delete_and_schema_evolution(spark, io):
+    from denali_spark.sources import rename_column
+
+    io.write_table(_df(spark), ["fmt"], "t_avro_mor", file_format="avro")
+    keys = spark.createDataFrame([(7,), (8,)], "id long")
+    equality_delete(io, ["fmt"], "t_avro_mor", keys, on=["id"])
+    rename_column(io, ["fmt"], "t_avro_mor", "id", "ident")
+    ids = {r["ident"] for r in io.read_table(["fmt"], "t_avro_mor").collect()}
+    assert ids == set(range(50)) - {7, 8}
+
+
+def test_avro_ocf_codec_unit():
+    """Codec-level round trip incl. deflate read and corruption detection."""
+    import os
+    import tempfile
+    import zlib
+
+    from denali_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "a", "type": ["null", "long"]},
+        {"name": "s", "type": "string"},
+    ]}
+    path = os.path.join(tempfile.mkdtemp(), "t.avro")
+    n = write_ocf(path, schema, [(1, "x"), (None, "y"), (-3, "z")])
+    assert n == 3
+    got_schema, rows = read_ocf(path)
+    assert rows == [(1, "x"), (None, "y"), (-3, "z")]
+    assert got_schema["fields"][0]["name"] == "a"
+    # corrupt a sync marker → clear error
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_ocf(path)
+
+
+def test_avro_rejects_nested_and_partitioned(spark, io):
+    nested = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    with pytest.raises(NotImplementedError, match="primitive"):
+        io.write_table(nested, ["fmt"], "t_avro_nested", file_format="avro")
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        io.write_table(_df(spark), ["fmt"], "t_avro_part",
+                       file_format="avro", partition_by=["id"])

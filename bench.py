@@ -9,6 +9,17 @@ Each query is executed once as a warm-up-free wall-clock measurement of the
 full pipeline (parquet scan → plan → execute → collect count). We count rows
 rather than toPandas() so the measurement is dominated by engine execution,
 not driver materialization.
+
+Scale-stress extras (same JSON line, extra keys; disable with
+SPARK_GRAFT_SCALE_BENCH=0):
+
+- ``sf1_queries``: a headline subset re-run on a derived ~sf1 dataset
+  (10x fact replication, see denali_spark.engine.scale_data) — the local
+  proof that plan shapes survive a 10x data step with ~linear cost.
+- ``skew``: a deliberately skewed sort-merge join (one hot key owns 25% of
+  the fact side) at both scales — AQE's skew-join split is what keeps the
+  hot partition from becoming the straggler; ~linear sf0.1→sf1 scaling is
+  the pass signal.
 """
 
 from __future__ import annotations
@@ -16,6 +27,60 @@ from __future__ import annotations
 import json
 import os
 import time
+
+SF1_DIR = "/tmp/denali-bench/sf1"
+SF1_SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
+    "dedup_minhash_lsh_pairs",
+    "text_quality_score",
+]
+
+
+def skew_join_hot_key(spark, sf_dir: str):
+    """Skewed fact⋈dim: 25% of lineitem rows collapse onto one hot key;
+    the dim side keeps unique keys (non-hot orders plus one literal hot
+    row — built WITHOUT dropDuplicates, whose aggregate would sit between
+    the shuffle and the join and block AQE's OptimizeSkewedJoin pattern
+    SMJ(sort(shuffle), sort(shuffle))). The merge hint forces a sort-merge
+    join so the skewed shuffle partition exists for AQE to split."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # AQE splits a skewed reduce partition at MAP-OUTPUT granularity: a
+    # single small parquet file yields one mapper and an unsplittable hot
+    # partition. At 100 TB the scan has thousands of mappers; locally the
+    # repartition stands in for that (and is itself part of the measured
+    # cost).
+    fact = li.repartition(16).select(
+        F.when(F.col("l_orderkey") % 4 == 0, 0)
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_extendedprice",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"), "o_orderdate"
+    )
+    hot = spark.createDataFrame(
+        [(0, datetime.date(1995, 1, 1))], "k long, o_orderdate date"
+    )
+    dim = dim.unionByName(hot)
+    return fact.join(dim.hint("merge"), "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_extendedprice").alias("s"),
+    )
+
+
+def _time(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 3)
 
 HEADLINE = [
     # Relational core (TPC-H adaptations)
@@ -55,26 +120,36 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = _time(lambda: REGISTRY[name].fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
+        try:
+            from denali_spark.engine.scale_data import ensure_scaled
+
+            ensure_scaled(spark, sf_dir, SF1_DIR, factor=10)
+            result["sf1_queries"] = {
+                n: _time(lambda: REGISTRY[n].fn(spark, SF1_DIR).count())
+                for n in SF1_SUBSET
+                if n in REGISTRY
             }
-        )
-    )
+            result["skew"] = {
+                "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),
+                "sf1": _time(lambda: skew_join_hot_key(spark, SF1_DIR).count()),
+            }
+        except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
+            result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

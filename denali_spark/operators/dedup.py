@@ -223,21 +223,25 @@ def _sql_bands_cte() -> str:
     return " UNION ALL ".join(selects)
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=_SQL_SIG_BASE
-    + f"""
+_SQL_PAIR_CTES = f"""
     , bands AS ({_sql_bands_cte()}),
     cand AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     ),
-    sets AS (SELECT doc_id, list_distinct(hs) AS ss FROM sig)
-    SELECT i, j,
-           len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) AS jac
-    FROM cand JOIN sets x ON x.doc_id = i JOIN sets y ON y.doc_id = j
-    WHERE len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) >= 0.3
-    """,
+    sets AS (SELECT doc_id, list_distinct(hs) AS ss FROM sig),
+    pairs AS (
+      SELECT i, j,
+             len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) AS jac
+      FROM cand JOIN sets x ON x.doc_id = i JOIN sets y ON y.doc_id = j
+      WHERE len(list_intersect(x.ss, y.ss)) * 1.0 / len(list_distinct(x.ss || y.ss)) >= 0.3
+    )
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_SQL_SIG_BASE + _SQL_PAIR_CTES + "SELECT i, j, jac FROM pairs",
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +288,73 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jac") >= 0.3).select("i", "j", "jac")
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_SQL_SIG_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _SQL_PAIR_CTES
+    + """
+    , edges AS (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION ALL
+      SELECT j, i FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS component,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "minhash", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH pair
+    graph, labeling every document with the minimum doc_id reachable
+    through near-dup edges. This is the step a real training-data dedup
+    pipeline runs after pair generation — keep one canonical doc per
+    component (`is_canonical`), drop the rest.
+
+    Algorithm: iterative min-label propagation (the Pregel/large-star
+    shape): each round every node takes the min of its own label and its
+    neighbors'; rounds ≈ cluster diameter (near-dup clusters are shallow —
+    a handful of rounds even at 100 TB). Each round is one equi-join + one
+    groupBy-min, both key-partitioned shuffles; the driver loop only reads
+    a 1-row convergence aggregate (sum of labels, strictly decreasing
+    until fixpoint), never row data. The DuckDB oracle computes the same
+    fixpoint with a recursive CTE."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
+    edges = pairs.union(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).toDF("src", "dst").persist()
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(15):  # cap >> any real near-dup cluster diameter
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "lbl")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
 
 
 # --- 3. SimHash -----------------------------------------------------------

@@ -51,7 +51,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # multimodal — the set round 1's artifact never reached), then the
 # long-verified relational battery.
 DRIVER_PRIORITY: list[str] = [
-    # changed this round — highest scrutiny
+    # new this round — highest scrutiny
+    "dedup_connected_components",
+    "text_chunk_fixed",
+    "sample_stratified",
+    # changed this round
     "agg_approx_sketches",
     "sim_lsh_bucket_topk",
     "dedup_embedding_pairs",

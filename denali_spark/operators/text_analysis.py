@@ -219,3 +219,90 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# --- chunking & sampling (training-pipeline preprocessing) ------------------
+
+CHUNK_SIZE = 500     # chars per chunk
+CHUNK_STEP = 400     # stride → 100-char overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_fixed",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+           substring(text, s, {CHUNK_SIZE}) AS chunk,
+           length(substring(text, s, {CHUNK_SIZE})) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(n_chars, 1) + 1, {CHUNK_STEP})) AS s
+      FROM documents
+    )
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (500 chars, 100 overlap) —
+    the standard pre-tokenization windowing step of a training pipeline.
+    Pure scan-local narrow transform: sequence → explode → substring, no
+    shuffle, output rows ∝ input chars regardless of document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)), F.lit(CHUNK_STEP)
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STEP).cast("long").alias("chunk_id"),
+        F.substring(F.col("text"), F.col("s"), F.lit(CHUNK_SIZE)).alias("chunk"),
+    )
+    return chunked.withColumn("chunk_len", F.length("chunk"))
+
+
+# Per-language keep-rates for stratified sampling, expressed as a 2-hex-char
+# threshold over the first md5 byte (rate = int(threshold,16)/256): a
+# deterministic, engine-portable coin flip — both engines md5 the same key
+# and compare the same lowercase hex strings.
+SAMPLE_THRESHOLDS = {
+    "en": "cc",  # ~80%
+    "de": "80",  # ~50%
+    "fr": "4d",  # ~30%
+    "es": "33",  # ~20%
+}
+SAMPLE_DEFAULT = "1a"  # ~10% for everything else
+SAMPLE_SALT = "denali-sample-v1"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 2) <
+          CASE lang
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in SAMPLE_THRESHOLDS.items())}
+            ELSE '{SAMPLE_DEFAULT}'
+          END
+    """,
+    tags=("text", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    via an md5-of-key coin flip (salted so re-runs and other samplers stay
+    independent). Unlike rand()-based sampling this is reproducible across
+    runs, engines, and partitionings — the property a training-data
+    pipeline needs for auditable subsets. Scan-local: no shuffle, filter
+    evaluated during the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SAMPLE_SALT}"))),
+        1, 2,
+    )
+    threshold = F.lit(SAMPLE_DEFAULT)
+    for k, v in reversed(SAMPLE_THRESHOLDS.items()):
+        threshold = F.when(F.col("lang") == k, F.lit(v)).otherwise(threshold)
+    return docs.filter(coin < threshold).select("doc_id", "lang", "n_chars")

@@ -327,15 +327,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row convergence aggregate (sum of labels, strictly decreasing
     until fixpoint), never row data. The DuckDB oracle computes the same
     fixpoint with a recursive CTE."""
+    # Symmetrize with explode, not union: a union would reference the pairs
+    # DAG from two branches and execute the whole minhash pipeline twice.
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
-    edges = pairs.union(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
-    ).toDF("src", "dst").persist()
-    docs = load_table(spark, sf_dir, "documents")
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
-    ).persist()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("src"), F.col("j").alias("dst")),
+                    F.struct(F.col("j").alias("src"), F.col("i").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    # The loop runs over edge-connected nodes only (near-dup density is a
+    # small fraction of any real corpus); singleton documents join back in
+    # one final left join instead of riding through every iteration.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    prev_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
     for _ in range(15):  # cap >> any real near-dup cluster diameter
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
@@ -343,17 +359,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
         ).persist()
-        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        new_sum = (new_labels.agg(F.sum("lbl")).first() or [0])[0] or 0
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lbl").alias("component"),
-        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
+        (F.col("doc_id") == F.coalesce(F.col("lbl"), F.col("doc_id"))).alias(
+            "is_canonical"
+        ),
     )
 
 

@@ -1,5 +1,10 @@
 from denali_spark.sources.catalog_io import SparkCatalogIO
-from denali_spark.sources.maintenance import compact_data_files, expire_snapshots
+from denali_spark.sources.incremental import read_incremental
+from denali_spark.sources.maintenance import (
+    compact_data_files,
+    expire_snapshots,
+    remove_orphan_files,
+)
 from denali_spark.sources.mor import delete_where_mor, equality_delete, rewrite_deletes
 from denali_spark.sources.row_ops import delete_where, merge_into, update_where
 from denali_spark.sources.schema_evolution import (
@@ -18,6 +23,8 @@ __all__ = [
     "equality_delete",
     "expire_snapshots",
     "merge_into",
+    "read_incremental",
+    "remove_orphan_files",
     "rename_column",
     "rewrite_deletes",
     "update_where",

@@ -11,12 +11,14 @@ needs:
 - logical types: date (int days), timestamp-micros /
   local-timestamp-micros (long), decimal (bytes, two's-complement
   big-endian unscaled int);
+- arrays of primitives (block-encoded per the spec) — enough for
+  embedding columns (``array<float>``/``array<double>``);
 - nullable columns as the standard ``["null", T]`` union;
 - codecs: ``null`` on write, ``null`` + ``deflate`` on read.
 
-Nested types (array/map/struct columns) are intentionally out of scope —
-the write path rejects them with a clear error and parquet remains the
-format for nested data.
+Deeper nesting (map/struct columns, arrays of arrays) is intentionally
+out of scope — the write path rejects it with a clear error and parquet
+remains the format for nested data.
 
 Scale note: this is NOT a driver-side format shim. The catalog writer
 invokes it inside ``mapInPandas`` kernels, so encoding/decoding runs on
@@ -108,25 +110,36 @@ _SPARK_TO_AVRO = {
 }
 
 
+def _scalar_to_avro(data_type, where: str):
+    tn = data_type.typeName()
+    if tn in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[tn]
+    if tn == "decimal":
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": data_type.precision,
+            "scale": data_type.scale,
+        }
+    raise NotImplementedError(
+        f"avro data files support primitive and array-of-primitive columns "
+        f"only; {where} has type {tn} — use parquet for nested data"
+    )
+
+
 def spark_schema_to_avro(schema) -> dict:
     """pyspark StructType → Avro record schema (nullable → union)."""
     fields = []
     for f in schema.fields:
-        tn = f.dataType.typeName()
-        if tn in _SPARK_TO_AVRO:
-            avro_t = _SPARK_TO_AVRO[tn]
-        elif tn == "decimal":
+        if f.dataType.typeName() == "array":
             avro_t = {
-                "type": "bytes",
-                "logicalType": "decimal",
-                "precision": f.dataType.precision,
-                "scale": f.dataType.scale,
+                "type": "array",
+                "items": _scalar_to_avro(
+                    f.dataType.elementType, f"column {f.name!r} element"
+                ),
             }
         else:
-            raise NotImplementedError(
-                f"avro data files support primitive columns only; column "
-                f"{f.name!r} has type {tn} — use parquet for nested data"
-            )
+            avro_t = _scalar_to_avro(f.dataType, f"column {f.name!r}")
         fields.append(
             {"name": f.name, "type": ["null", avro_t] if f.nullable else avro_t}
         )
@@ -134,7 +147,7 @@ def spark_schema_to_avro(schema) -> dict:
 
 
 def _field_kind(avro_t) -> tuple[str, dict]:
-    """(primitive name, logical info) for a non-union field type."""
+    """(primitive name | 'array', logical/shape info) for a non-union type."""
     if isinstance(avro_t, str):
         return avro_t, {}
     return avro_t["type"], avro_t
@@ -146,6 +159,20 @@ _EPOCH_DATE = datetime.date(1970, 1, 1)
 
 
 def _encode_value(buf: bytearray, kind: str, logical: dict, v) -> None:
+    if kind == "array":
+        ik, ilog = _field_kind(logical["items"])
+        items = list(v)
+        if items:
+            _write_long(buf, len(items))
+            for item in items:
+                if item is None:
+                    raise ValueError(
+                        "null array elements are not supported in avro data "
+                        "files — filter or impute before writing"
+                    )
+                _encode_value(buf, ik, ilog, item)
+        _write_long(buf, 0)
+        return
     lt = logical.get("logicalType")
     if lt == "date":
         _write_long(buf, (v - _EPOCH_DATE).days if isinstance(v, datetime.date) else int(v))
@@ -182,6 +209,18 @@ def _encode_value(buf: bytearray, kind: str, logical: dict, v) -> None:
 
 
 def _decode_value(r: _Reader, kind: str, logical: dict):
+    if kind == "array":
+        ik, ilog = _field_kind(logical["items"])
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count is followed by a byte size
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode_value(r, ik, ilog))
     lt = logical.get("logicalType")
     if lt == "date":
         return _EPOCH_DATE + datetime.timedelta(days=r.long())
@@ -351,17 +390,24 @@ def avro_schema_to_ddl(avro_schema: dict) -> str:
         t = f["type"]
         if isinstance(t, list):
             t = [x for x in t if x != "null"][0]
-        kind, logical = _field_kind(t)
-        lt = logical.get("logicalType")
-        if lt == "date":
-            ddl = "date"
-        elif lt == "timestamp-micros":
-            ddl = "timestamp"
-        elif lt == "local-timestamp-micros":
-            ddl = "timestamp_ntz"
-        elif lt == "decimal":
-            ddl = f"decimal({logical['precision']},{logical['scale']})"
-        else:
-            ddl = _AVRO_TO_DDL[kind]
-        cols.append(f"{f['name']} {ddl}")
+        cols.append(f"{f['name']} {_type_ddl(t)}")
     return ", ".join(cols)
+
+
+def _type_ddl(t) -> str:
+    kind, logical = _field_kind(t)
+    if kind == "array":
+        items = logical["items"]
+        if isinstance(items, list):
+            items = [x for x in items if x != "null"][0]
+        return f"array<{_type_ddl(items)}>"
+    lt = logical.get("logicalType")
+    if lt == "date":
+        return "date"
+    if lt == "timestamp-micros":
+        return "timestamp"
+    if lt == "local-timestamp-micros":
+        return "timestamp_ntz"
+    if lt == "decimal":
+        return f"decimal({logical['precision']},{logical['scale']})"
+    return _AVRO_TO_DDL[kind]

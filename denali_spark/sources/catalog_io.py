@@ -386,10 +386,14 @@ class SparkCatalogIO:
         os.makedirs(out_dir, exist_ok=True)
 
         def _py(v):
+            import numpy as np
+
             if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
                 return None
             if isinstance(v, pd.Timestamp):
                 return v.to_pydatetime()
+            if isinstance(v, np.ndarray):
+                return v.tolist()
             if type(v).__module__ == "numpy":
                 return v.item()
             return v

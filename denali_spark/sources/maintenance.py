@@ -65,6 +65,61 @@ def expire_snapshots(
     )
 
 
+def remove_orphan_files(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data/delete files under the table location that no live
+    snapshot references (Iceberg's remove_orphan_files procedure). Orphans
+    accrue by design: failed commits and lost CAS races leave files behind
+    because the DB row — not the filesystem — is the source of truth
+    (SURVEY §3.1), and expire_snapshots drops manifests without touching
+    data. `older_than_ms` guards against deleting files an in-flight
+    commit wrote but hasn't committed yet (Iceberg defaults this window to
+    3 days; callers here pass it explicitly or accept everything).
+
+    Scans only this table's data/ and deletes/ directories; metadata files
+    are never touched (they back the metadata-log). Driver-side file
+    listing — bounded by file count, no row data read."""
+    import os
+    import time
+
+    from denali_spark.catalog.metadata import _fs_path
+
+    md = io.client.load_table(namespace, name)["metadata"]
+    referenced: set[str] = set()
+    for snap in md.get("snapshots", []):
+        for e in io._manifest_entries(snap["manifest-list"]):
+            referenced.add(e["path"])
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000)
+    removed, kept = [], 0
+    root = _fs_path(md["location"])
+    for sub in ("data", "deletes"):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _dirs, files in os.walk(base):
+            for fname in files:
+                if fname.startswith((".", "_")):
+                    # hidden sidecars (.crc) and markers (_SUCCESS): never
+                    # referenced by manifests, ignored by readers — skip
+                    continue
+                path = os.path.join(dirpath, fname)
+                if path in referenced:
+                    kept += 1
+                    continue
+                if os.path.getmtime(path) * 1000 >= cutoff:
+                    kept += 1  # too fresh: possibly an in-flight commit
+                    continue
+                removed.append(path)
+                if not dry_run:
+                    os.remove(path)
+    return {"removed": sorted(removed), "kept": kept, "dry_run": dry_run}
+
+
 def compact_data_files(
     io: SparkCatalogIO,
     namespace: list[str],

@@ -319,10 +319,13 @@ def test_metrics_accepted(catalog):
     catalog.report_metrics(["m1"], "t", {"report-type": "scan-report"})
 
 
-def test_transactions_commit_501(catalog):
+def test_transactions_commit_implemented(catalog):
+    """Round 2 upgraded this endpoint from 501 parity to a real atomic
+    multi-table commit (tests/test_transactions.py covers semantics); an
+    empty transaction is a 400, not a 501."""
     with pytest.raises(CatalogHTTPError) as exc:
         catalog._request("POST", "/v1/transactions/commit", {"table-changes": []})
-    assert exc.value.status == 501
+    assert exc.value.status == 400
 
 
 def test_load_missing_table_404(catalog):

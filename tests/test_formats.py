@@ -173,8 +173,24 @@ def test_avro_ocf_codec_unit():
         read_ocf(path)
 
 
-def test_avro_rejects_nested_and_partitioned(spark, io):
-    nested = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+def test_avro_array_columns_round_trip(spark, io):
+    """Embedding-shaped columns (array<double>/array<long>) survive the
+    avro round trip — the block-encoded array path."""
+    rows = [(1, [1.5, -2.25, 3.0], [10, 20]), (2, [], [7]), (3, None, None)]
+    df = spark.createDataFrame(rows, "id int, emb array<double>, xs array<bigint>")
+    io.write_table(df, ["fmt"], "t_avro_arr", file_format="avro")
+    got = {
+        (r["id"], tuple(r["emb"]) if r["emb"] is not None else None,
+         tuple(r["xs"]) if r["xs"] is not None else None)
+        for r in io.read_table(["fmt"], "t_avro_arr").collect()
+    }
+    assert got == {(1, (1.5, -2.25, 3.0), (10, 20)), (2, (), (7,)), (3, None, None)}
+
+
+def test_avro_rejects_deep_nesting_and_partitioned(spark, io):
+    nested = spark.createDataFrame(
+        [(1, [[1, 2]])], "id int, xs array<array<int>>"
+    )
     with pytest.raises(NotImplementedError, match="primitive"):
         io.write_table(nested, ["fmt"], "t_avro_nested", file_format="avro")
     with pytest.raises(NotImplementedError, match="partitioned"):

@@ -1,0 +1,128 @@
+"""Incremental append scans + orphan-file cleanup (the two standard
+Iceberg procedures a polling pipeline and a janitor job run)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import (
+    SparkCatalogIO,
+    delete_where,
+    expire_snapshots,
+    read_incremental,
+    remove_orphan_files,
+)
+from denali_spark.sources import expressions as E
+from denali_spark.sources.catalog_io import split_entries
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _append(spark, io, ns, name, lo, hi):
+    df = spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v")).coalesce(1)
+    io.write_table(df, ns, name, mode="append")
+    return io.client.load_table(ns, name)["metadata"]["current-snapshot-id"]
+
+
+# --- incremental reads ------------------------------------------------------
+
+
+def test_incremental_reads_only_new_rows(spark, io):
+    ns, name = ["inc"], "t"
+    s1 = _append(spark, io, ns, name, 0, 10)
+    s2 = _append(spark, io, ns, name, 10, 25)
+    s3 = _append(spark, io, ns, name, 25, 30)
+    got = {r["id"] for r in read_incremental(io, ns, name, s1).collect()}
+    assert got == set(range(10, 30))
+    got = {r["id"] for r in read_incremental(io, ns, name, s1, s2).collect()}
+    assert got == set(range(10, 25))
+    # since-creation and empty range
+    assert read_incremental(io, ns, name, None, s1).count() == 10
+    assert read_incremental(io, ns, name, s3, s3).count() == 0
+
+
+def test_incremental_rejects_non_append_ranges(spark, io):
+    ns, name = ["inc"], "t2"
+    s1 = _append(spark, io, ns, name, 0, 10)
+    delete_where(io, ns, name, E.lt("id", 3))  # copy-on-write delete
+    _append(spark, io, ns, name, 10, 20)
+    with pytest.raises(ValueError, match="non-append"):
+        read_incremental(io, ns, name, s1)
+
+
+def test_incremental_unrelated_snapshot_errors(spark, io):
+    ns, name = ["inc"], "t3"
+    _append(spark, io, ns, name, 0, 10)
+    with pytest.raises(ValueError, match="not found|not an ancestor"):
+        read_incremental(io, ns, name, 123456789)
+
+
+# --- orphan cleanup ---------------------------------------------------------
+
+
+def _live_paths(io, ns, name):
+    md = io.client.load_table(ns, name)["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    return [e["path"] for e in data + deletes]
+
+
+def test_orphans_from_uncommitted_write_are_removed(spark, io):
+    ns, name = ["orph"], "t"
+    _append(spark, io, ns, name, 0, 10)
+    md = io.client.load_table(ns, name)["metadata"]
+    # simulate a failed commit: data files written, commit never happened
+    df = spark.range(100, 110).select("id", (F.col("id") * 2).alias("v"))
+    orphans = [e["path"] for e in io._write_data_files(df, md["location"])]
+    assert all(os.path.exists(p) for p in orphans)
+    report = remove_orphan_files(io, ns, name)
+    assert set(report["removed"]) == set(orphans)
+    assert all(not os.path.exists(p) for p in orphans)
+    # live data untouched, table still reads
+    assert all(os.path.exists(p) for p in _live_paths(io, ns, name))
+    assert io.read_table(ns, name).count() == 10
+
+
+def test_dry_run_and_freshness_guard(spark, io):
+    ns, name = ["orph"], "t2"
+    _append(spark, io, ns, name, 0, 5)
+    md = io.client.load_table(ns, name)["metadata"]
+    df = spark.range(50, 55).select("id", (F.col("id") * 2).alias("v"))
+    orphans = [e["path"] for e in io._write_data_files(df, md["location"])]
+    # dry run reports but deletes nothing
+    report = remove_orphan_files(io, ns, name, dry_run=True)
+    assert set(report["removed"]) == set(orphans)
+    assert all(os.path.exists(p) for p in orphans)
+    # freshness guard: cutoff in the past → just-written orphans are kept
+    report = remove_orphan_files(io, ns, name, older_than_ms=1)
+    assert report["removed"] == []
+    assert all(os.path.exists(p) for p in orphans)
+
+
+def test_expire_then_cleanup_reclaims_rewritten_files(spark, io):
+    """The full janitor cycle: a CoW delete rewrites files (old ones stay
+    referenced by the old snapshot), expire_snapshots drops that snapshot,
+    and cleanup reclaims the now-unreferenced originals."""
+    ns, name = ["orph"], "t3"
+    _append(spark, io, ns, name, 0, 20)
+    before = set(_live_paths(io, ns, name))
+    delete_where(io, ns, name, E.lt("id", 5))
+    after = set(_live_paths(io, ns, name))
+    rewritten = before - after
+    assert rewritten  # the delete rewrote at least one file
+    # still referenced by the pre-delete snapshot → cleanup keeps them
+    assert remove_orphan_files(io, ns, name)["removed"] == []
+    expire_snapshots(io, ns, name, keep_last=1)
+    removed = set(remove_orphan_files(io, ns, name)["removed"])
+    assert rewritten <= removed
+    assert io.read_table(ns, name).count() == 15

@@ -55,6 +55,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_connected_components",
     "text_chunk_fixed",
     "sample_stratified",
+    "text_pii_redact",
+    "text_pack_sequences",
     # changed this round
     "agg_approx_sketches",
     "sim_lsh_bucket_topk",

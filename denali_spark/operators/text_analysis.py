@@ -306,3 +306,92 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in reversed(SAMPLE_THRESHOLDS.items()):
         threshold = F.when(F.col("lang") == k, F.lit(v)).otherwise(threshold)
     return docs.filter(coin < threshold).select("doc_id", "lang", "n_chars")
+
+
+# --- PII detection / redaction ---------------------------------------------
+#
+# The regex subset used is portable between Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, alternation — no
+# backreferences or lookaround. The corpus is synthetic and PII-free, so
+# the query plants deterministic PII (derived from doc_id) on BOTH engines
+# and then detects/redacts it — the md5 of the redacted text is the
+# value-level proof the full rewrite matched.
+
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-123-4567 now' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{RE_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{RE_EMAIL}', '<EMAIL>', 'g'),
+                              '{RE_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact email addresses and phone numbers
+    (training-data hygiene pass). Scan-local regexp work, no shuffle —
+    at 100 TB this runs at scan speed alongside quality scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-4567 now"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, RE_EMAIL, "<EMAIL>"), RE_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(RE_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_BUDGET = 8192  # character budget per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_chars) / {PACK_BUDGET})
+                AS BIGINT) AS bin
+    FROM documents
+    """,
+    tags=("text", "packing"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training bins by
+    running-cost prefix sum (the deterministic approximation of greedy
+    first-fit packing — a doc starts a new bin when the running total
+    crosses the budget). Windowed per language; at 100 TB the partition
+    key would widen to (lang, shard) so each shard packs independently —
+    same plan, more parallelism. One sort-based window, no UDFs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.floor((cum - F.col("n_chars")) / PACK_BUDGET).cast("long").alias("bin"),
+    )

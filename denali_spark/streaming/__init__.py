@@ -1,4 +1,5 @@
 from denali_spark.streaming.events_stream import (
+    dedup_stream,
     read_event_stream,
     sessionize_stream,
     stream_cdc_apply,
@@ -8,6 +9,7 @@ from denali_spark.streaming.events_stream import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_event_stream",
     "windowed_counts",
     "user_running_totals",

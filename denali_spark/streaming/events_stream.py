@@ -155,6 +155,19 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of `keys` within the watermark
+    horizon (dropDuplicatesWithinWatermark — state holds one row per key
+    and is EVICTED once the key ages past the watermark, so state is
+    bounded by the horizon's key cardinality, not stream length). This is
+    the ingestion-side twin of dedup_exact_keep_first: at-least-once
+    sources (Kafka redeliveries, landing-zone re-drops) are cleaned before
+    rows ever reach the table."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def _latest_committed_batch(catalog_io, namespace, name, checkpoint_dir) -> int:
     """Highest micro-batch id already committed for this checkpoint, read
     from snapshot summaries (-1 if none). Driver-side metadata scan —

@@ -210,3 +210,32 @@ def test_stream_cdc_apply_equality_deletes(spark, tmp_path):
         assert len(data) == 2  # one append per batch, both carried by reference
     finally:
         server.stop()
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tmp_path, landing):
+    """Duplicated landing files: the streaming dedup emits each event_id
+    once, matching batch dropDuplicates on the same data."""
+    import time
+
+    from denali_spark.streaming import dedup_stream, read_event_stream
+
+    src, events = landing
+    # re-drop one chunk to simulate an at-least-once redelivery
+    dup_src = str(tmp_path / "dup_landing")
+    spark.read.parquet(src).coalesce(1).write.mode("append").parquet(dup_src)
+    time.sleep(1.1)
+    spark.read.parquet(src).limit(200).coalesce(1).write.mode("append").parquet(dup_src)
+
+    stream = read_event_stream(spark, dup_src)
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _run_stream(q)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    want = events.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want

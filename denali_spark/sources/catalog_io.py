@@ -131,10 +131,13 @@ class SparkCatalogIO:
         ref: str | None = None,
         where: dict | None = None,
         as_of_ms: int | None = None,
+        report_metrics: bool = False,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
         `VERSION AS OF` / branch-tag time travel; as_of_ms gives
-        `TIMESTAMP AS OF` via the snapshot-log.
+        `TIMESTAMP AS OF` via the snapshot-log. report_metrics=True posts
+        a scan report to the catalog's metrics endpoint after planning
+        (Iceberg REST reporting contract).
 
         `where` is a scan expression (denali_spark.sources.expressions —
         the REST spec's Expression grammar): files whose manifest min/max
@@ -178,7 +181,33 @@ class SparkCatalogIO:
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         if where is not None:
             df = df.filter(to_spark_sql(where))
+        if report_metrics:
+            self._post_scan_report(namespace, name, md, snap, entries, where)
         return df
+
+    def _post_scan_report(self, namespace, name, md, snap, entries, where) -> None:
+        """Fire-and-forget scan report to the catalog's metrics endpoint
+        (the Iceberg REST reporting contract; the reference accepts and
+        discards, routes/tables.go:432-435). Planning metadata only —
+        never blocks or fails the read."""
+        try:
+            self.client.report_metrics(
+                namespace, name,
+                {
+                    "report-type": "scan-report",
+                    "table-name": ".".join([*namespace, name]),
+                    "snapshot-id": snap["snapshot-id"],
+                    "schema-id": md.get("current-schema-id", 0),
+                    "filter": where if where is not None else True,
+                    "metrics": {
+                        "result-data-files": {"unit": "count",
+                                              "value": len(entries)},
+                        "total-planning-duration": {"unit": "ms", "value": 0},
+                    },
+                },
+            )
+        except Exception:  # noqa: BLE001 — reporting must never break reads
+            pass
 
     def _read_reconciled(
         self,

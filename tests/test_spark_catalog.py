@@ -198,3 +198,15 @@ def test_create_ref_conflicts_if_exists(spark, io):
     with pytest.raises(CatalogHTTPError) as exc:
         io.create_branch(["wap"], "t3", "b1")
     assert exc.value.status == 409
+
+
+def test_read_posts_scan_report(spark, io):
+    """report_metrics=True fires the Iceberg REST scan report after
+    planning (the reference accepts + discards; ours does too, 204)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    io.write_table(df, ["mx"], "t")
+    assert io.read_table(["mx"], "t", report_metrics=True).count() == 10
+    # direct endpoint parity: a bare report is accepted with 204
+    io.client.report_metrics(["mx"], "t", {"report-type": "scan-report"})

@@ -374,8 +374,10 @@ class PostgresStore(_BaseStore):
         from denali_spark.catalog.pgwire import PGConnection, PGError, parse_postgres_uri
 
         self._PGError = PGError
+        self._PGConnection = PGConnection
         if uri:
             kwargs = {**parse_postgres_uri(uri), **kwargs}
+        self._connect_kwargs = kwargs
         self._conn = PGConnection(**kwargs)
         self._lock = threading.RLock()
         self._migrate()
@@ -408,27 +410,50 @@ class PostgresStore(_BaseStore):
     @contextmanager
     def _tx(self):
         with self._lock:
-            self._conn.execute("BEGIN")
+            self._run("BEGIN", ())  # reconnects here if the link died idle
+            self._in_tx = True
             try:
                 yield
             except self._PGError as exc:
-                self._conn.execute("ROLLBACK")
+                self._rollback()
                 if exc.is_integrity_violation:
                     raise StoreIntegrityError(str(exc)) from None
                 raise
             except BaseException:
-                self._conn.execute("ROLLBACK")
+                self._rollback()
                 raise
             else:
                 self._conn.execute("COMMIT")
+            finally:
+                self._in_tx = False
 
-    def _run(self, sql: str, params: tuple):
+    def _rollback(self) -> None:
+        try:
+            self._conn.execute("ROLLBACK")
+        except (self._PGError, ConnectionError, OSError):
+            # A dead link already rolled back server-side on disconnect;
+            # don't mask the original error with the rollback's.
+            pass
+
+    def _run(self, sql: str, params: tuple, _retried: bool = False):
         try:
             return self._conn.execute(self._translate(sql), params)
         except self._PGError as exc:
             if exc.is_integrity_violation:
                 raise StoreIntegrityError(str(exc)) from None
             raise
+        except (ConnectionError, OSError):
+            # Server restart / idle-connection reset: reconnect once and
+            # retry — but NEVER inside an open transaction (a fresh
+            # connection has no BEGIN; retrying there would silently
+            # detach the statement from its transaction). Outside a tx
+            # this is safe: reads are idempotent, and a CAS whose first
+            # attempt landed simply loses the retry (a normal conflict,
+            # never a double apply).
+            if _retried or getattr(self, "_in_tx", False):
+                raise
+            self._conn = self._PGConnection(**self._connect_kwargs)
+            return self._run(sql, params, _retried=True)
 
     def _q(self, sql: str, params: tuple = ()) -> list[tuple]:
         with self._lock:

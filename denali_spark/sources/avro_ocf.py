@@ -248,9 +248,18 @@ def _decode_value(r: _Reader, kind: str, logical: dict):
 # --- object container file --------------------------------------------------
 
 
-def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> int:
+def write_ocf(
+    path: str,
+    avro_schema: dict,
+    rows,
+    sync: bytes | None = None,
+    codec: str = "null",
+) -> int:
     """Write rows (iterable of per-field value tuples, ordered like the
-    schema) as one null-codec OCF block per ~8k rows; returns row count."""
+    schema) as one OCF block per ~8k rows; returns row count. codec:
+    'null' (default) or 'deflate' (raw zlib per block, per the spec)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
     sync = sync or os.urandom(16)
     fields = []
     for f in avro_schema["fields"]:
@@ -265,7 +274,7 @@ def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> 
     _write_str(header, "avro.schema")
     _write_str(header, json.dumps(avro_schema))
     _write_str(header, "avro.codec")
-    _write_str(header, "null")
+    _write_str(header, codec)
     _write_long(header, 0)  # end of map
     header.extend(sync)
 
@@ -279,11 +288,14 @@ def write_ocf(path: str, avro_schema: dict, rows, sync: bytes | None = None) -> 
             nonlocal block, n_block
             if not n_block:
                 return
+            payload = bytes(block)
+            if codec == "deflate":
+                payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrapper
             head = bytearray()
             _write_long(head, n_block)
-            _write_long(head, len(block))
+            _write_long(head, len(payload))
             out.write(head)
-            out.write(block)
+            out.write(payload)
             out.write(sync)
             block, n_block = bytearray(), 0
 

@@ -165,6 +165,12 @@ def test_avro_ocf_codec_unit():
     got_schema, rows = read_ocf(path)
     assert rows == [(1, "x"), (None, "y"), (-3, "z")]
     assert got_schema["fields"][0]["name"] == "a"
+    # deflate write → read round trip
+    dpath = os.path.join(tempfile.mkdtemp(), "d.avro")
+    write_ocf(dpath, schema, [(i, "v" * 40) for i in range(1000)], codec="deflate")
+    _, drows = read_ocf(dpath)
+    assert len(drows) == 1000 and drows[7] == (7, "v" * 40)
+    assert os.path.getsize(dpath) < os.path.getsize(path) * 200  # compressed
     # corrupt a sync marker → clear error
     data = bytearray(open(path, "rb").read())
     data[-1] ^= 0xFF

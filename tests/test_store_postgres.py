@@ -272,6 +272,53 @@ def test_rest_service_over_postgres(pg_uri, tmp_path):
         srv.stop()
 
 
+@pg_missing
+def test_pg_store_reconnects_after_dead_link(pg_uri):
+    """A dropped connection (server restart / idle reset) heals on the next
+    statement outside a transaction; inside a transaction it raises rather
+    than silently detaching statements from their BEGIN."""
+    s = make_store(pg_uri)
+    try:
+        ns = s.create_namespace(["rc"], {})
+        s._conn._sock.close()  # simulate an idle-connection reset
+        assert s.namespace_pk(["rc"]) == ns  # transparently reconnected
+        # mid-transaction death must NOT silently retry
+        with pytest.raises((ConnectionError, OSError)):
+            with s._tx():
+                s._q("SELECT 1", ())
+                s._conn._sock.close()  # die inside the open transaction
+                s._q("SELECT 1", ())   # no reconnect allowed here
+        # and the store is healthy again afterwards
+        s.create_namespace(["rc4"], {})
+        assert s.namespace_exists(["rc4"])
+    finally:
+        s.close()
+
+
+@pg_missing
+def test_spark_data_plane_over_postgres(spark, pg_uri, tmp_path):
+    """The full stack at its production shape: Spark writes/reads an
+    Iceberg table through a catalog server whose metadata store is
+    Postgres."""
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+
+    from pyspark.sql import functions as F
+
+    srv = CatalogServer(make_state(str(tmp_path / "wh"), pg_uri)).start()
+    try:
+        io = SparkCatalogIO(spark, srv.uri)
+        df = spark.range(0, 500).select("id", (F.col("id") % 7).alias("g"))
+        io.write_table(df, ["pgdp"], "t")
+        io.write_table(df.filter("id < 100"), ["pgdp"], "t", mode="append")
+        assert io.read_table(["pgdp"], "t").count() == 600
+        md = io.client.load_table(["pgdp"], "t")["metadata"]
+        assert len(md["snapshots"]) == 2
+        assert md["last-sequence-number"] == 2
+    finally:
+        srv.stop()
+
+
 # --- SQLite multi-connection CAS (WAL) --------------------------------------
 
 

@@ -191,3 +191,100 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity operators compose directly downstream."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(_featurize_batch, schema=_FEAT_SCHEMA)
+
+
+# --- real decode: PPM (P6) --------------------------------------------------
+#
+# The container has no image codecs, but PPM is decodable in pure Python —
+# so this decode path is REAL, not a stub: the payload is a spec-valid
+# binary P6 image synthesized in-plan (ASCII header + raw pixel bytes),
+# and the kernel genuinely parses magic/dimensions/maxval, validates the
+# payload length, and aggregates pixels. The oracle recomputes the decoded
+# values from the generating arithmetic — if the parser misreads a single
+# header byte or pixel, the hash check fails.
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal spec-correct P6 parser (magic, whitespace/comment-tolerant
+    header, raw RGB payload)."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace terminating the header
+    w, h, maxval = tokens
+    pix = buf[i:]
+    if len(pix) != 3 * w * h:
+        raise ValueError(f"PPM payload is {len(pix)} bytes, expected {3 * w * h}")
+    return w, h, maxval, pix
+
+
+_PPM_SCHEMA = "doc_id long, width int, height int, maxval int, mean_pixel double, decoder string"
+
+
+def _decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, maxval, pix = _parse_ppm(bytes(b))
+            rows.append((doc_id, w, h, maxval, sum(pix) / len(pix), "ppm-py"))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "maxval", "mean_pixel", "decoder"]
+        )
+
+
+@query(
+    "mm_ppm_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(3 + doc_id % 7 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height, CAST(255 AS INT) AS maxval,
+           list_sum(list_transform(range(0, 3 * width * height),
+                    i -> 32 + (doc_id * 7 + i * 13) % 95)) * 1.0
+             / (3 * width * height) AS mean_pixel,
+           'ppm-py' AS decoder
+    FROM dims
+    """,
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over Arrow batches: each document gets a binary
+    P6 PPM synthesized JVM-side (deterministic dimensions + pixel bytes),
+    and the Python kernel parses the actual bytes — header tokenizer,
+    payload-length validation, pixel aggregation. The oracle derives the
+    same numbers from the generating arithmetic, so the parser itself is
+    value-checked. Scale shape: payload construction and decoding are both
+    scan-local; Arrow moves the binaries in columnar batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 13).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 7).cast("int")
+    npix = F.lit(3) * w * h
+    pixels = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), npix - 1),
+            lambda i: F.char(F.lit(32) + (F.col("doc_id") * 7 + i * 13) % 95),
+        ),
+        "",
+    )
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    payload = F.encode(F.concat(header, pixels), "UTF-8")
+    p = docs.select("doc_id", payload.alias("payload"))
+    return p.mapInPandas(_decode_ppm_batch, schema=_PPM_SCHEMA)

@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_stratified",
     "text_pii_redact",
     "text_pack_sequences",
+    "mm_ppm_decode",
     # changed this round
     "agg_approx_sketches",
     "sim_lsh_bucket_topk",

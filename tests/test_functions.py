@@ -154,3 +154,22 @@ def test_ivf_train_assign(spark):
         assert r.cid == want
     # assignment is JVM-side codegen — no Python in the scale path
     assert_jvm_only(ivf_assign(v, cent))
+
+
+def test_ppm_parser_is_a_real_parser():
+    """The PPM kernel genuinely parses bytes: valid images (incl. comment
+    lines) decode; malformed magic/length fail loudly."""
+    import pytest as _pytest
+
+    from denali_spark.operators.multimodal import _parse_ppm
+
+    pix = bytes(range(36))
+    w, h, maxval, got = _parse_ppm(b"P6\n4 3\n255\n" + pix)
+    assert (w, h, maxval, got) == (4, 3, 255, pix)
+    # comment in header
+    w, h, maxval, got = _parse_ppm(b"P6\n# a comment\n4 3\n255\n" + pix)
+    assert (w, h) == (4, 3)
+    with _pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(b"P5\n4 3\n255\n" + pix)
+    with _pytest.raises(ValueError, match="expected"):
+        _parse_ppm(b"P6\n4 3\n255\n" + pix[:-1])

@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "sim_lsh_bucket_topk",
     "text_quality_score",
+    "text_prepare_corpus",
 ]
 
 

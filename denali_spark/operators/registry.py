@@ -58,6 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "text_pack_sequences",
     "mm_ppm_decode",
+    "text_prepare_corpus",
     # changed this round
     "agg_approx_sketches",
     "sim_lsh_bucket_topk",

@@ -395,3 +395,59 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.floor((cum - F.col("n_chars")) / PACK_BUDGET).cast("long").alias("bin"),
     )
+
+
+# --- end-to-end corpus preparation ------------------------------------------
+
+
+@query(
+    "text_prepare_corpus",
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    q AS (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      WHERE length(d.text) BETWEEN 80 AND 10000
+        AND (CAST(length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(d.text)) < 0.2
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM q
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SALT}'), 1, 2) <
+          CASE lang
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in SAMPLE_THRESHOLDS.items())}
+            ELSE '{SAMPLE_DEFAULT}'
+          END
+    """,
+    tags=("text", "pipeline"),
+)
+def text_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus preparation pass — exactly what a real
+    pipeline chains: exact dedup (keep lowest doc_id per content hash) →
+    quality gate (length band + punctuation density) → per-language
+    stratified sample. One query, three stages, each individually
+    oracle-checked elsewhere; this entry proves the composition.
+
+    Scale shape: one 16-byte-key shuffle (the dedup groupBy) — the quality
+    gate and sampler are scan-local filters that Catalyst pushes below the
+    join. Broadcast of the keep-set happens automatically when the
+    deduped key set is small; otherwise it's a key-partitioned semi-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    ln = F.length("text").cast("double")
+    punct = (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast("double") / ln
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SAMPLE_SALT}"))), 1, 2
+    )
+    threshold = F.lit(SAMPLE_DEFAULT)
+    for k, v in reversed(SAMPLE_THRESHOLDS.items()):
+        threshold = F.when(F.col("lang") == k, F.lit(v)).otherwise(threshold)
+    return (
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.length("text").between(80, 10000) & (punct < 0.2))
+        .filter(coin < threshold)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -36,3 +36,16 @@ def test_entry_contract(spark):
     oracles = entry_mod.oracle_sql()
     assert qs, "queries() must not be empty"
     assert set(oracles) <= set(qs)
+
+
+def test_driver_priority_names_are_valid():
+    """The coverage-ordering list must reference real queries (a typo here
+    silently demotes a query to the tail of a budget-capped driver sweep)."""
+    from denali_spark.operators.registry import DRIVER_PRIORITY, REGISTRY, _ordered_names
+
+    unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert unknown == [], f"DRIVER_PRIORITY names not in REGISTRY: {unknown}"
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY), "duplicates"
+    ordered = _ordered_names()
+    assert sorted(ordered) == sorted(REGISTRY)  # permutation, nothing lost
+    assert ordered[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY

@@ -244,8 +244,14 @@ class SparkCatalogIO:
             groups.setdefault(key, []).append(e["path"])
         dfs = []
         for (sid, fmt), paths in sorted(groups.items()):
-            if fmt == "avro":
-                dfs_entry = self._read_avro(paths, with_lineage)
+            if fmt == "avro" or (fmt == "orc" and with_lineage):
+                # Formats whose row positions Spark can't surface natively
+                # (parquet has _metadata.row_index; ORC and our avro don't)
+                # read through Python kernels that enumerate true in-file
+                # positions. ORC WITHOUT lineage stays on the vectorized
+                # JVM reader — the hot path is untouched.
+                reader = self._read_avro if fmt == "avro" else self._read_orc_lineage
+                dfs_entry = reader(paths, with_lineage)
                 if sid != target_id:
                     dfs_entry = reconcile_to_schema(
                         dfs_entry, schema_by_id(md, sid), target,
@@ -264,13 +270,7 @@ class SparkCatalogIO:
                     LINEAGE_FILE: F.regexp_replace(
                         F.col("_metadata.file_path"), "^file:/+", "/"
                     ),
-                    # row_index is parquet-only in Spark; ORC rows carry a
-                    # NULL position (sufficient for equality deletes, which
-                    # only join on values + file sequence).
-                    LINEAGE_POS: (
-                        F.col("_metadata.row_index") if fmt == "parquet"
-                        else F.lit(None).cast("long")
-                    ),
+                    LINEAGE_POS: F.col("_metadata.row_index"),
                 })
             if sid != target_id:
                 df = reconcile_to_schema(
@@ -396,6 +396,39 @@ class SparkCatalogIO:
                     if with_lineage:
                         out[LINEAGE_FILE] = p
                         out[LINEAGE_POS] = range(len(rows))
+                    yield out
+
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in sorted(paths)], "path string"
+        ).repartition(len(paths), "path")
+        return paths_df.mapInPandas(kernel, schema=ddl)
+
+    def _read_orc_lineage(self, paths: list[str], with_lineage: bool = True) -> DataFrame:
+        """Lineage-bearing ORC read: one partition per file, decoded by
+        pyarrow.orc in a mapInPandas kernel so every row carries its true
+        in-file position (Spark's _metadata.row_index is parquet-only).
+        Positions are what merge-on-read position deletes join against —
+        this kernel is used BOTH when writing an ORC position delete and
+        when applying it, so the two sides always agree."""
+        # driver-side: schema from one footer (cheap, no row data)
+        import pyarrow.orc as po
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        spark_schema = from_arrow_schema(po.ORCFile(paths[0]).schema)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in spark_schema.fields
+        )
+        ddl += f", {LINEAGE_FILE} string, {LINEAGE_POS} long"
+
+        def kernel(batches):
+            import pyarrow.orc as _po
+
+            for pdf in batches:
+                for p in pdf["path"]:
+                    tbl = _po.ORCFile(p).read()
+                    out = tbl.to_pandas()
+                    out[LINEAGE_FILE] = p
+                    out[LINEAGE_POS] = range(len(out))
                     yield out
 
         paths_df = self.spark.createDataFrame(

@@ -86,12 +86,10 @@ def delete_where_mor(
         md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
         if not candidates:
             return {"metadata": md, "noop": True}
-        if any(e.get("file-format", "parquet") != "parquet" for e in candidates):
-            raise NotImplementedError(
-                "position deletes need per-row positions, which Spark's "
-                "_metadata.row_index provides for parquet only — use "
-                "equality_delete or copy-on-write delete_where on ORC tables"
-            )
+        # Per-row positions come from _metadata.row_index for parquet and
+        # from position-enumerating Python kernels for ORC/avro — the same
+        # kernels the read path applies deletes with, so positions always
+        # agree between writer and reader.
         snap = io._resolve_snapshot(md, parent_id)
         _data, prior_deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
         df = io._read_reconciled(md, snap, candidates, with_lineage=True)

@@ -85,14 +85,20 @@ def test_orc_cow_delete_and_compaction(spark, io):
     assert io.read_table(["fmt"], "t_ops").count() == 55
 
 
-def test_orc_equality_delete_works_position_raises(spark, io):
+def test_orc_equality_and_position_deletes(spark, io):
     io.write_table(_df(spark), ["fmt"], "t_mor", file_format="orc")
     keys = spark.createDataFrame([(7,), (8,)], "id long")
     equality_delete(io, ["fmt"], "t_mor", keys, on=["id"])
     ids = {r["id"] for r in io.read_table(["fmt"], "t_mor").collect()}
     assert ids == set(range(50)) - {7, 8}
-    with pytest.raises(NotImplementedError, match="position deletes"):
-        delete_where_mor(io, ["fmt"], "t_mor", E.eq("id", 9))
+    # position deletes on ORC: the pyarrow kernel supplies true row
+    # positions (Spark's _metadata.row_index is parquet-only)
+    delete_where_mor(io, ["fmt"], "t_mor", E.eq("id", 9))
+    ids = {r["id"] for r in io.read_table(["fmt"], "t_mor").collect()}
+    assert ids == set(range(50)) - {7, 8, 9}
+    # no data file was rewritten — both deletes are merge-on-read
+    data, deletes = split_entries(_entries(io, ["fmt"], "t_mor"))
+    assert {e["content"] for e in deletes} == {"equality-deletes", "position-deletes"}
 
 
 def test_avro_round_trip_and_property(spark, io):
@@ -145,6 +151,10 @@ def test_avro_equality_delete_and_schema_evolution(spark, io):
     rename_column(io, ["fmt"], "t_avro_mor", "id", "ident")
     ids = {r["ident"] for r in io.read_table(["fmt"], "t_avro_mor").collect()}
     assert ids == set(range(50)) - {7, 8}
+    # position deletes too: the avro read kernel enumerates true positions
+    delete_where_mor(io, ["fmt"], "t_avro_mor", E.eq("ident", 9))
+    ids = {r["ident"] for r in io.read_table(["fmt"], "t_avro_mor").collect()}
+    assert ids == set(range(50)) - {7, 8, 9}
 
 
 def test_avro_ocf_codec_unit():

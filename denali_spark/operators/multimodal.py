@@ -152,45 +152,118 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEAT_SCHEMA = "doc_id long, feat array<double>"
 
+_FEAT_COLS_SCHEMA = "doc_id long, " + ", ".join(f"feat_{i} double" for i in range(8))
+
+
+def _byte_moments(buf: bytes) -> list[float]:
+    """8 byte-histogram moments with EXPLICIT, IEEE-deterministic arithmetic.
+
+    Every intermediate (byte sum, sum of squares, counts) is an integer
+    exactly representable in float64, and the final ops (one division, one
+    multiply/subtract, one sqrt) are single IEEE-754 operations — so a SQL
+    engine computing the same formula over the same bytes produces
+    bit-identical doubles. This is what lets the query carry a full
+    value-hash oracle instead of a rows-only check.
+    """
+    import math
+
+    import numpy as np
+
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    n = int(arr.size)
+    if n == 0:
+        return [0.0] * 8
+    s = int(arr.sum())
+    ss = int((arr * arr).sum())
+    mean = s / n
+    var = ss / n - mean * mean
+    std = math.sqrt(max(var, 0.0))
+    srt = np.sort(arr)
+    if n % 2 == 1:
+        median = float(srt[n // 2])
+    else:
+        median = (int(srt[n // 2 - 1]) + int(srt[n // 2])) / 2
+    lo = int((arr < 64).sum())
+    hi = int((arr > 192).sum())
+    return [float(n), mean, std, float(srt[0]), float(srt[-1]), median, lo / n, hi / n]
+
 
 def _featurize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic 8-dim 'feature extraction' from payload bytes (byte
     histogram moments) — stands in for a CNN/audio embedding kernel."""
-    import numpy as np
-
     for pdf in batches:
-        feats = []
-        for b in pdf["payload"]:
-            arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
-            if arr.size == 0:
-                feats.append([0.0] * 8)
-                continue
-            feats.append(
-                [
-                    float(arr.size),
-                    float(arr.mean()),
-                    float(arr.std()),
-                    float(arr.min()),
-                    float(arr.max()),
-                    float(np.median(arr)),
-                    float((arr < 64).mean()),
-                    float((arr > 192).mean()),
-                ]
-            )
+        feats = [_byte_moments(bytes(b)) for b in pdf["payload"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "feat": feats})
+
+
+def _featurize_cols_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [_byte_moments(bytes(b)) for b in pdf["payload"]]
+        out = {"doc_id": pdf["doc_id"].values}
+        for i in range(8):
+            out[f"feat_{i}"] = [f[i] for f in feats]
+        yield pd.DataFrame(out)
+
+
+def mm_featurize_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: binary → fixed-dim feature VECTOR (array<double>) via
+    mapInPandas, shaped like the embeddings table so the similarity
+    operators compose directly downstream. Not driver-registered: the
+    driver's canonicalizer sorts on every column and arrays are unhashable
+    there — `mm_featurize` below is the flattened, oracle-checked surface."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(_featurize_batch, schema=_FEAT_SCHEMA)
 
 
 @query(
     "mm_featurize",
-    oracle=None,  # float moments from a Python kernel — checked rows-only
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ), bytes AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1),
+               i -> (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bs
+      FROM hx
+    ), sums AS (
+      SELECT doc_id, n, bs,
+             CAST(list_sum(bs) AS DOUBLE) AS s,
+             CAST(list_sum(list_transform(bs, x -> x * x)) AS DOUBLE) AS ss
+      FROM bytes WHERE n > 0
+    ), moments AS (
+      SELECT doc_id, n, bs, s / n AS mean, ss / n - (s / n) * (s / n) AS var
+      FROM sums
+    )
+    SELECT doc_id,
+           CAST(n AS DOUBLE) AS feat_0,
+           mean AS feat_1,
+           sqrt(greatest(var, 0.0)) AS feat_2,
+           CAST(list_min(bs) AS DOUBLE) AS feat_3,
+           CAST(list_max(bs) AS DOUBLE) AS feat_4,
+           CASE WHEN n % 2 = 1
+                THEN CAST(list_sort(bs)[CAST(n // 2 + 1 AS INT)] AS DOUBLE)
+                ELSE (list_sort(bs)[CAST(n // 2 AS INT)]
+                      + list_sort(bs)[CAST(n // 2 + 1 AS INT)]) / 2 END AS feat_5,
+           len(list_filter(bs, x -> x < 64)) / n AS feat_6,
+           len(list_filter(bs, x -> x > 192)) / n AS feat_7
+    FROM moments
+    UNION ALL
+    SELECT doc_id, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+    FROM hx WHERE n = 0
+    """,
     tags=("multimodal", "pandas-udf", "feature-extraction"),
 )
 def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → fixed-dim feature vector via mapInPandas (Arrow batches,
-    numpy kernel). Output schema matches the embeddings table shape so the
-    similarity operators compose directly downstream."""
+    """Binary → 8 byte-histogram moments as per-dim DOUBLE columns via
+    mapInPandas (Arrow batches, numpy kernel). The oracle recomputes every
+    moment from the payload bytes in SQL (hex-pair byte extraction) with the
+    same explicit arithmetic, so this is fully value-checked — see
+    `_byte_moments` for the determinism contract."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(_featurize_batch, schema=_FEAT_SCHEMA)
+    return p.mapInPandas(_featurize_cols_batch, schema=_FEAT_COLS_SCHEMA)
 
 
 # --- real decode: PPM (P6) --------------------------------------------------

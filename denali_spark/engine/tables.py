@@ -40,20 +40,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as raw nanosecond longs and convert to a microsecond
-    TIMESTAMP_NTZ (matching DuckDB's truncation of nanos to micros). The
-    engine pins the session to UTC so the LTZ→NTZ cast is the identity and
-    all downstream time functions are timezone-independent.
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP_NTZ regardless of the
+    parquet physical encoding. Testdata generations have shipped it as either
+    TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as raw
+    longs via ``nanosAsLong``) or plain ``timestamp[us]``; hard-coding one
+    shape broke every events consumer when the other appeared, so inspect the
+    schema and convert conditionally. The engine pins the session to UTC so
+    the LTZ→NTZ cast is the identity and all downstream time functions are
+    timezone-independent.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # TIMESTAMP(NANOS) read as raw nanos: truncate to micros like DuckDB.
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    elif isinstance(ts_type, TimestampNTZType):
+        ts = F.col("ts")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return df.withColumn("ts", ts)
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

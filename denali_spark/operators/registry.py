@@ -45,44 +45,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (round 1 recorded only the first 50 of 88), so iteration order is
-# a coverage decision: queries changed in the current round lead, then the
-# LLM-pipeline operators (functions/timeseries/dedup/similarity/text/
-# multimodal — the set round 1's artifact never reached), then the
-# long-verified relational battery.
+# reaches (rounds 1-3 recorded the first 50 of 95), so iteration order is a
+# coverage decision, rotated each round so no query's newest driver-green
+# evidence goes stale: (1) queries fixed or changed in the current round,
+# (2) queries whose only driver evidence is round 1 (the relational/join/
+# agg/window/setop battery was outside rounds 2-3's sweep window),
+# (3) queries green in the most recent sweep (round 3) last.
 DRIVER_PRIORITY: list[str] = [
-    # new this round — highest scrutiny
-    "dedup_connected_components",
-    "text_chunk_fixed",
-    "sample_stratified",
-    "text_pii_redact",
-    "text_pack_sequences",
-    "mm_ppm_decode",
-    "text_prepare_corpus",
-    # changed this round
-    "agg_approx_sketches",
-    "sim_lsh_bucket_topk",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    # not reached by the round-1 driver artifact
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "sim_norms_stats",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_top_bigrams",
-    "mm_binary_metadata",
-    "mm_image_decode",
-    "mm_frame_sample",
-    "mm_featurize",
+    # regressed in r03 (events-loader ts-encoding bug), fixed this round
     "ts_hourly_rollup",
     "ts_daily_active_users",
     "ts_gap_fill_hours",
@@ -91,15 +61,55 @@ DRIVER_PRIORITY: list[str] = [
     "ts_range_join_pairs",
     "ts_funnel",
     "ts_transitions",
-    "fn_string_kitchen",
-    "fn_string_regex",
-    "fn_datetime_kitchen",
-    "fn_math_kitchen",
-    "fn_conditional",
     "fn_json_extract",
-    "fn_array_ops",
-    "fn_hash",
-    "setop_intersect_all",
+    "win_lag_lead_events",
+    "win_moving_avg",
+    # rewritten this round (scale-safe global windows; materialized LSH index)
+    "win_ntile_quartiles",
+    "win_distribution",
+    "sim_lsh_bucket_topk",
+    # only driver evidence is round 1 — refresh oldest-first
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_full_outer_nation_profiles",
+    "join_semi_anti_chain",
+    "join_cross_region_pairs",
+    "join_self_colineitems",
+    "agg_count_distinct",
+    "agg_rollup_nation_segment",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_pivot_segment_balance",
+    "agg_stats_moments",
+    "agg_histogram_buckets",
+    "agg_exact_median",
+    "win_rank_parts_by_price",
+    "win_topn_per_group",
+    "win_running_total",
+    "win_first_last",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
 ]
 
 

@@ -65,21 +65,31 @@ def expire_snapshots(
     )
 
 
+ORPHAN_RETENTION_MS = 3 * 24 * 3600 * 1000  # Iceberg's default 3-day window
+
+
 def remove_orphan_files(
     io: SparkCatalogIO,
     namespace: list[str],
     name: str,
     older_than_ms: int | None = None,
     dry_run: bool = False,
+    force: bool = False,
 ) -> dict:
     """Delete data/delete files under the table location that no live
     snapshot references (Iceberg's remove_orphan_files procedure). Orphans
     accrue by design: failed commits and lost CAS races leave files behind
     because the DB row — not the filesystem — is the source of truth
     (SURVEY §3.1), and expire_snapshots drops manifests without touching
-    data. `older_than_ms` guards against deleting files an in-flight
-    commit wrote but hasn't committed yet (Iceberg defaults this window to
-    3 days; callers here pass it explicitly or accept everything).
+    data.
+
+    `older_than_ms` guards against deleting files an in-flight commit wrote
+    but hasn't committed yet: a writer stages data files FIRST and commits
+    the manifest pointer after, so a file that is unreferenced *right now*
+    may be seconds from being referenced. The default cutoff is now − 3
+    days (Iceberg's `older_than` default); a cutoff at or beyond the
+    metadata load time deletes exactly those in-flight files and therefore
+    requires `force=True` (tests / quiesced tables only).
 
     Scans only this table's data/ and deletes/ directories; metadata files
     are never touched (they back the metadata-log). Driver-side file
@@ -89,12 +99,19 @@ def remove_orphan_files(
 
     from denali_spark.catalog.metadata import _fs_path
 
+    now_ms = int(time.time() * 1000)
+    cutoff = older_than_ms if older_than_ms is not None else now_ms - ORPHAN_RETENTION_MS
+    if cutoff >= now_ms and not force:
+        raise ValueError(
+            f"older_than_ms={older_than_ms} is not in the past: this would "
+            "delete files of in-flight uncommitted writes. Pass force=True "
+            "only if no writer can be active."
+        )
     md = io.client.load_table(namespace, name)["metadata"]
     referenced: set[str] = set()
     for snap in md.get("snapshots", []):
         for e in io._manifest_entries(snap["manifest-list"]):
             referenced.add(e["path"])
-    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000)
     removed, kept = [], 0
     root = _fs_path(md["location"])
     for sub in ("data", "deletes"):

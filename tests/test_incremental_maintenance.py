@@ -77,6 +77,12 @@ def _live_paths(io, ns, name):
     return [e["path"] for e in data + deletes]
 
 
+def _future_ms():
+    import time
+
+    return int(time.time() * 1000) + 60_000
+
+
 def test_orphans_from_uncommitted_write_are_removed(spark, io):
     ns, name = ["orph"], "t"
     _append(spark, io, ns, name, 0, 10)
@@ -85,12 +91,30 @@ def test_orphans_from_uncommitted_write_are_removed(spark, io):
     df = spark.range(100, 110).select("id", (F.col("id") * 2).alias("v"))
     orphans = [e["path"] for e in io._write_data_files(df, md["location"])]
     assert all(os.path.exists(p) for p in orphans)
-    report = remove_orphan_files(io, ns, name)
+    report = remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True)
     assert set(report["removed"]) == set(orphans)
     assert all(not os.path.exists(p) for p in orphans)
     # live data untouched, table still reads
     assert all(os.path.exists(p) for p in _live_paths(io, ns, name))
     assert io.read_table(ns, name).count() == 10
+
+
+def test_default_args_never_touch_inflight_writes(spark, io):
+    """Regression (round-3 VERDICT / round-2 ADVICE medium): a default-args
+    remove_orphan_files must keep the files of an in-flight uncommitted
+    write. The default cutoff is now − 3 days, so anything written recently
+    survives; an explicit cutoff in the future requires force=True."""
+    ns, name = ["orph"], "t_inflight"
+    _append(spark, io, ns, name, 0, 5)
+    md = io.client.load_table(ns, name)["metadata"]
+    df = spark.range(90, 95).select("id", (F.col("id") * 2).alias("v"))
+    inflight = [e["path"] for e in io._write_data_files(df, md["location"])]
+    report = remove_orphan_files(io, ns, name)  # default args = safe
+    assert report["removed"] == []
+    assert all(os.path.exists(p) for p in inflight)
+    with pytest.raises(ValueError, match="in-flight"):
+        remove_orphan_files(io, ns, name, older_than_ms=_future_ms())
+    assert all(os.path.exists(p) for p in inflight)
 
 
 def test_dry_run_and_freshness_guard(spark, io):
@@ -100,7 +124,7 @@ def test_dry_run_and_freshness_guard(spark, io):
     df = spark.range(50, 55).select("id", (F.col("id") * 2).alias("v"))
     orphans = [e["path"] for e in io._write_data_files(df, md["location"])]
     # dry run reports but deletes nothing
-    report = remove_orphan_files(io, ns, name, dry_run=True)
+    report = remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True, dry_run=True)
     assert set(report["removed"]) == set(orphans)
     assert all(os.path.exists(p) for p in orphans)
     # freshness guard: cutoff in the past → just-written orphans are kept
@@ -121,8 +145,8 @@ def test_expire_then_cleanup_reclaims_rewritten_files(spark, io):
     rewritten = before - after
     assert rewritten  # the delete rewrote at least one file
     # still referenced by the pre-delete snapshot → cleanup keeps them
-    assert remove_orphan_files(io, ns, name)["removed"] == []
+    assert remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True)["removed"] == []
     expire_snapshots(io, ns, name, keep_last=1)
-    removed = set(remove_orphan_files(io, ns, name)["removed"])
+    removed = set(remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True)["removed"])
     assert rewritten <= removed
     assert io.read_table(ns, name).count() == 15

@@ -145,6 +145,46 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_global_rn(df: DataFrame, sort_cols: list[str], n_parts: int = 32) -> DataFrame:
+    """Global row number WITHOUT a single-partition sort — the distributed
+    two-pass idiom for rank/ntile/percent_rank/cume_dist over a whole table:
+
+    1. range-partition on the sort key and row_number within each partition
+       (parallel — each partition sorts its own slice);
+    2. aggregate per-partition counts (tiny: one row per partition), turn
+       them into cumulative offsets with a window over that bounded
+       relation, and broadcast-join the offsets back.
+
+    `_rn` = local row number + partition offset is the exact global row
+    number because range partitioning makes partition order == sort order.
+    The only single-partition work is the offsets window over <= n_parts
+    rows; the data itself never collapses to one task — the shape a naive
+    `Window.orderBy(...)` (Exchange SinglePartition over the full table)
+    gets fatally wrong at 100 TB. Also emits `_n`, the total row count, on
+    every row (needed by the distribution functions).
+
+    Sort keys must be unique (callers append a key-column tiebreaker), so
+    ties never straddle a range boundary ambiguously and rank == _rn."""
+    data = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = data.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    return local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rn", F.col("_lrn") + F.col("_off")
+    )
+
+
 @query(
     "win_ntile_quartiles",
     oracle="""
@@ -155,11 +195,22 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile"),
 )
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) over the whole table, computed from the two-pass global row
+    number (`_with_global_rn`) instead of a single-partition window. NTILE
+    semantics reproduced exactly: with n = q*4 + r, the first r buckets get
+    q+1 rows, the rest get q."""
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
-        "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    ranked = _with_global_rn(customer, ["c_acctbal", "c_custkey"])
+    rn, n = F.col("_rn"), F.col("_n")
+    q = F.floor(n / 4).cast("long")
+    r = (n % 4).cast("long")
+    cut = r * (q + 1)  # rows in the q+1-sized buckets
+    quartile = (
+        F.when(rn <= cut, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - cut) / F.greatest(q, F.lit(1))))
+        .cast("long")
     )
+    return ranked.select("c_custkey", quartile.alias("quartile"))
 
 
 @query(
@@ -173,12 +224,18 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "distribution"),
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist over the whole table via the two-pass global
+    row number. The ORDER BY carries a unique tiebreaker, so rank == row
+    number and the SQL definitions reduce to (rn-1)/(n-1) and rn/n — the
+    identical double divisions the oracle's window functions perform."""
     supplier = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return supplier.select(
+    ranked = _with_global_rn(supplier, ["s_acctbal", "s_suppkey"])
+    rn, n = F.col("_rn"), F.col("_n")
+    pct_rank = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
         "s_suppkey",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        pct_rank.alias("pct_rank"),
+        (rn / n).alias("cume"),
     )
 
 

@@ -71,7 +71,48 @@ def audit(df: DataFrame, execute: bool = False) -> dict:
         "arrow_udfs": simple.count("ArrowEvalPython")
         + simple.count("FlatMapGroupsInPandas")
         + simple.count("MapInPandas"),
+        "single_partition_over_scan": _single_partition_over_scan(simple),
     }
+
+
+_AGG_RE = re.compile(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\b")
+_SCAN_RE = re.compile(r"\bScan (parquet|orc|avro|csv|json|text)\b|FileScan")
+
+
+def _single_partition_over_scan(simple: str) -> int:
+    """Count `Exchange SinglePartition` nodes whose subtree reaches a file
+    scan with NO aggregate in between — the textbook 100×-scale straggler
+    (e.g. `Window.orderBy` with no partitionBy collapses the whole table
+    onto one task). A single-partition exchange above an aggregate is fine:
+    the aggregate bounds the row count (group cardinality), so the one task
+    handles a summary, not the data.
+
+    Works off the `simple` plan's indentation tree: a node's subtree is the
+    following lines with strictly deeper tree-prefix depth."""
+    lines = simple.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.match(r"^[\s:+|-]*", line)
+        return len(m.group(0)) if m else 0
+
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        saw_scan, saw_agg = False, False
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                continue
+            if depth(sub) <= d:
+                break
+            if _AGG_RE.search(sub):
+                saw_agg = True
+            if _SCAN_RE.search(sub):
+                saw_scan = True
+        if saw_scan and not saw_agg:
+            hits += 1
+    return hits
 
 
 def assert_scan_efficient(

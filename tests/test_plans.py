@@ -134,3 +134,10 @@ def test_sweep_no_python_row_udfs_and_no_unfenced_cartesians(spark, name):
         assert a["nested_loop_joins"] == 0, (
             f"{name}: unfenced BroadcastNestedLoopJoin in plan"
         )
+    # A single-partition exchange fed by a raw scan (no aggregate bounding
+    # the row count) collapses the table onto ONE task — e.g. a global
+    # Window.orderBy with no partitionBy. No whitelist: use the two-pass
+    # global-rank idiom (operators/windows.py:_with_global_rn) instead.
+    assert a["single_partition_over_scan"] == 0, (
+        f"{name}: Exchange SinglePartition over unbounded (scan-fed) input"
+    )

@@ -68,7 +68,7 @@ class CatalogClient:
         a namespace holds hundreds of thousands of tables)."""
         if page_size is None:
             return self._request("GET", path, query=query)[1][key]
-        out, token = [], None
+        out, token, seen = [], None, set()
         while True:
             parts = [query] if query else []
             parts.append(f"pageSize={page_size}")
@@ -77,13 +77,16 @@ class CatalogClient:
 
                 parts.append(f"pageToken={quote(token)}")
             payload = self._request("GET", path, query="&".join(parts))[1]
-            page = payload[key]
-            out.extend(page)
+            out.extend(payload[key])
             token = payload.get("next-page-token")
-            # Terminate on a missing/empty token OR an empty page — a
-            # degenerate token ('' or a repeat) can never loop the walk.
-            if not token or not page:
+            # The spec allows an EMPTY page carrying a valid token (e.g. a
+            # server skipping a tombstoned range), so an empty page must NOT
+            # end the walk. Terminate only on a missing/empty token; a
+            # repeated token is a degenerate server that would loop forever —
+            # stop and return what we have.
+            if not token or token in seen:
                 return out
+            seen.add(token)
 
     def list_namespaces(
         self, parent: list[str] | None = None, page_size: int | None = None

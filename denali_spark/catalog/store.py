@@ -410,7 +410,9 @@ class PostgresStore(_BaseStore):
     @contextmanager
     def _tx(self):
         with self._lock:
-            self._run("BEGIN", ())  # reconnects here if the link died idle
+            # BEGIN is idempotent (opens a tx, changes no state): safe to
+            # reconnect-and-retry here if the link died idle.
+            self._run("BEGIN", (), idempotent=True)
             self._in_tx = True
             try:
                 yield
@@ -435,7 +437,9 @@ class PostgresStore(_BaseStore):
             # don't mask the original error with the rollback's.
             pass
 
-    def _run(self, sql: str, params: tuple, _retried: bool = False):
+    def _run(
+        self, sql: str, params: tuple, idempotent: bool = False, _retried: bool = False
+    ):
         try:
             return self._conn.execute(self._translate(sql), params)
         except self._PGError as exc:
@@ -443,21 +447,30 @@ class PostgresStore(_BaseStore):
                 raise StoreIntegrityError(str(exc)) from None
             raise
         except (ConnectionError, OSError):
-            # Server restart / idle-connection reset: reconnect once and
-            # retry — but NEVER inside an open transaction (a fresh
-            # connection has no BEGIN; retrying there would silently
-            # detach the statement from its transaction). Outside a tx
-            # this is safe: reads are idempotent, and a CAS whose first
-            # attempt landed simply loses the retry (a normal conflict,
-            # never a double apply).
-            if _retried or getattr(self, "_in_tx", False):
+            # Server restart / idle-connection reset. Reconnect so the NEXT
+            # statement works, but only auto-retry statements declared
+            # idempotent (reads): a write whose connection died mid-flight
+            # has an INDETERMINATE outcome — the server may have committed
+            # before the link dropped, and re-running an INSERT would
+            # double-insert / re-running a CAS UPDATE that raced another
+            # writer could apply against the wrong precondition. Those must
+            # surface to the caller, who reloads state and decides. Never
+            # retry inside an open transaction either (a fresh connection
+            # has no BEGIN; the statement would silently detach from its
+            # transaction).
+            in_tx = getattr(self, "_in_tx", False)
+            if not in_tx:
+                try:
+                    self._conn = self._PGConnection(**self._connect_kwargs)
+                except (ConnectionError, OSError):
+                    pass  # server still down: surface the original error
+            if _retried or in_tx or not idempotent:
                 raise
-            self._conn = self._PGConnection(**self._connect_kwargs)
-            return self._run(sql, params, _retried=True)
+            return self._run(sql, params, idempotent=True, _retried=True)
 
     def _q(self, sql: str, params: tuple = ()) -> list[tuple]:
         with self._lock:
-            rows, _ = self._run(sql, params)
+            rows, _ = self._run(sql, params, idempotent=True)
         return rows
 
     def _exec(self, sql: str, params: tuple = ()) -> int:

@@ -290,6 +290,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jac") >= 0.3).select("i", "j", "jac")
 
 
+# Label propagation needs ~cluster-diameter rounds; real near-dup clusters
+# are shallow (a few hops), so 50 is far past any non-pathological corpus.
+# On non-convergence the query WARNS instead of silently returning split
+# components (round-2 ADVICE #5).
+CC_MAX_ROUNDS = 50
+
+
 @query(
     "dedup_connected_components",
     oracle=_SQL_SIG_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
@@ -352,7 +359,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     prev_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
-    for _ in range(15):  # cap >> any real near-dup cluster diameter
+    converged = False
+    for _ in range(CC_MAX_ROUNDS):  # cap >> any real near-dup cluster diameter
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "lbl")
@@ -363,8 +371,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silently returning would split one true component into several —
+        # wrong dedup groups with no signal. Min-label propagation needs
+        # ~graph-diameter rounds; a corpus needing > CC_MAX_ROUNDS has a
+        # pathological chain structure the caller should know about.
+        import warnings
+
+        warnings.warn(
+            f"connected components did not reach fixpoint in {CC_MAX_ROUNDS} "
+            "rounds; components may be split. Raise CC_MAX_ROUNDS (label "
+            "propagation needs about one round per unit of cluster "
+            "diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     docs = load_table(spark, sf_dir, "documents")
     return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(

@@ -26,9 +26,15 @@ from denali_spark.operators.registry import query
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL text maps to an EMPTY payload (b'') rather than NULL: the pandas
+    # kernels do bytes(value) per row, and bytes(None) would turn one NULL
+    # document into an opaque whole-job failure. The oracles COALESCE the
+    # same way, so both engines agree on the n=0 row.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"), "n_chars"
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        "n_chars",
     )
 
 
@@ -36,9 +42,9 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_metadata",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
-           md5(text) AS content_hash
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(COALESCE(text, ''))), 1, 8)) AS magic_hex,
+           md5(COALESCE(text, '')) AS content_hash
     FROM documents
     """,
     tags=("multimodal", "binary"),
@@ -100,9 +106,9 @@ def _decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     "mm_image_decode",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(16 + (octet_length(encode(text)) // 7) % 480 AS INT) AS height,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(COALESCE(text, ''))) % 640 AS INT) AS width,
+           CAST(16 + (octet_length(encode(COALESCE(text, ''))) // 7) % 480 AS INT) AS height,
            'FAKE' AS format,
            'stub' AS decoder
     FROM documents
@@ -164,6 +170,14 @@ def _byte_moments(buf: bytes) -> list[float]:
     engine computing the same formula over the same bytes produces
     bit-identical doubles. This is what lets the query carry a full
     value-hash oracle instead of a rows-only check.
+
+    Portability caveat: the var expression (ss/n - mean*mean) additionally
+    assumes NEITHER engine fuses the multiply-subtract into an FMA — a
+    DuckDB build compiled with FP contraction (e.g. -ffp-contract=fast)
+    could flip the low bit of feat_2. Exactness of ss also needs
+    ss < 2^53, which holds for any payload under ~138 GB. Verified matching
+    in this environment; if a future oracle build diverges on feat_1/feat_2
+    only, round both sides to fixed digits instead.
     """
     import math
 
@@ -219,8 +233,8 @@ def mm_featurize_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_featurize",
     oracle="""
     WITH hx AS (
-      SELECT doc_id, hex(encode(text)) AS h,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      SELECT doc_id, hex(encode(COALESCE(text, ''))) AS h,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
       FROM documents
     ), bytes AS (
       SELECT doc_id, n,

@@ -178,12 +178,15 @@ def _encode_value(buf: bytearray, kind: str, logical: dict, v) -> None:
         _write_long(buf, (v - _EPOCH_DATE).days if isinstance(v, datetime.date) else int(v))
     elif lt in ("timestamp-micros", "local-timestamp-micros"):
         if isinstance(v, datetime.datetime):
+            # Exact integer micros — float seconds (timestamp() /
+            # total_seconds()) lose sub-µs precision for current epochs
+            # (2^53 ulp > 1µs past 2255, and float rounding flips the last
+            # digit much earlier).
             if v.tzinfo is not None:
-                v = int(v.timestamp() * 1_000_000)
+                delta = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
             else:
-                v = int(
-                    (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-                )
+                delta = v - datetime.datetime(1970, 1, 1)
+            v = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
         _write_long(buf, int(v))
     elif lt == "decimal":
         unscaled = int(

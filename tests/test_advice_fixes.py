@@ -169,3 +169,95 @@ def test_expire_snapshots_trims_snapshot_log(spark, io):
     earliest = min(e["timestamp-ms"] for e in md["snapshot-log"])
     with pytest.raises(ValueError, match="no snapshot committed|retention"):
         io.read_table(ns, name, as_of_ms=earliest - 1)
+
+
+# --- round-2/3 ADVICE regressions -------------------------------------------
+# 6. Pagination: an EMPTY page carrying a fresh token must not end the walk
+#    (spec-legal server behavior, e.g. skipping a tombstoned range); only a
+#    missing or repeated token terminates.
+# 7. Avro timestamp-micros encoding is exact integer arithmetic — float
+#    seconds truncate the low microsecond for current epochs.
+# 8. Connected components warns (never silently splits clusters) when the
+#    round cap is hit before fixpoint.
+
+
+def test_paged_walk_survives_empty_page_with_token(monkeypatch):
+    from denali_spark.catalog.client import CatalogClient
+
+    client = CatalogClient.__new__(CatalogClient)
+    pages = {
+        None: ({"tables": [{"name": "a"}]}, "t1"),
+        "t1": ({"tables": []}, "t2"),  # empty page, valid token: keep going
+        "t2": ({"tables": [{"name": "b"}]}, None),
+    }
+
+    def fake_request(method, path, body=None, query=""):
+        token = None
+        for part in query.split("&"):
+            if part.startswith("pageToken="):
+                token = part.split("=", 1)[1]
+        payload, nxt = pages[token]
+        payload = dict(payload)
+        if nxt:
+            payload["next-page-token"] = nxt
+        return 200, payload
+
+    monkeypatch.setattr(client, "_request", fake_request)
+    out = client._paged_get("/v1/namespaces/x/tables", "tables", "", page_size=1)
+    assert [t["name"] for t in out] == ["a", "b"]
+
+
+def test_paged_walk_terminates_on_repeated_token(monkeypatch):
+    from denali_spark.catalog.client import CatalogClient
+
+    client = CatalogClient.__new__(CatalogClient)
+
+    def fake_request(method, path, body=None, query=""):
+        # degenerate server: always the same token — must not loop forever
+        return 200, {"tables": [{"name": "x"}], "next-page-token": "same"}
+
+    monkeypatch.setattr(client, "_request", fake_request)
+    out = client._paged_get("/v1/namespaces/x/tables", "tables", "", page_size=1)
+    assert [t["name"] for t in out] == ["x", "x"]
+
+
+def test_avro_timestamp_micros_is_exact():
+    import datetime
+
+    from denali_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"type": {"type": "long", "logicalType": "timestamp-micros"},
+             "name": "ts"},
+        ],
+    }
+    # 2024-01-01 00:00:00.000001: float-seconds arithmetic rounds this to
+    # ...000000 (1704067200.000001 is not representable in binary64 with
+    # sub-µs accuracy); integer arithmetic must keep the trailing 1.
+    naive = datetime.datetime(2024, 1, 1, 0, 0, 0, 1)
+    aware = naive.replace(tzinfo=datetime.timezone.utc)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, schema, [(naive,), (aware,)])
+        _, rows = read_ocf(p)
+    # decoded back to datetimes: the trailing microsecond must survive
+    for got in (rows[0][0], rows[1][0]):
+        base = got.replace(tzinfo=None) if got.tzinfo else got
+        assert base == naive, got
+
+
+def test_connected_components_warns_on_round_cap(spark, monkeypatch):
+    import warnings
+
+    import denali_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "CC_MAX_ROUNDS", 0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.dedup_connected_components(spark, "/root/testdata/sf0.001").count()
+    assert any("fixpoint" in str(w.message) for w in caught)

@@ -1,0 +1,55 @@
+"""Multimodal operator unit tests (round-3 ADVICE):
+
+- `mm_featurize_vec` (the array-valued library surface) must agree with the
+  driver-registered flattened `mm_featurize` — it is the composition point
+  for downstream similarity consumers, so it gets exercised directly.
+- A NULL documents.text row must flow through as an empty payload (n=0
+  moments row), not crash the pandas kernel with bytes(None).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from denali_spark.operators.multimodal import mm_binary_metadata, mm_featurize, mm_featurize_vec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_featurize_vec_matches_flattened(spark):
+    vec = {r.doc_id: list(r.feat) for r in mm_featurize_vec(spark, SF).collect()}
+    flat = {
+        r.doc_id: [r[f"feat_{i}"] for i in range(8)]
+        for r in mm_featurize(spark, SF).collect()
+    }
+    assert vec == flat
+    assert all(len(v) == 8 for v in vec.values())
+
+
+def _write_docs_with_null(tmp_path) -> str:
+    d = str(tmp_path / "nulldocs")
+    os.makedirs(d)
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["hello", None, ""], type=pa.string()),
+            "n_chars": pa.array([5, 0, 0], type=pa.int64()),
+            "lang_hint": pa.array(["en", "en", "en"], type=pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_null_text_rows_do_not_crash_kernels(spark, tmp_path):
+    d = _write_docs_with_null(tmp_path)
+    rows = {r.doc_id: r for r in mm_featurize(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].feat_0 == 5.0  # len("hello")
+    assert rows[2].feat_0 == 0.0  # NULL text → empty payload → n=0 moments
+    assert rows[3].feat_0 == 0.0
+    meta = {r.doc_id: r for r in mm_binary_metadata(spark, d).collect()}
+    assert meta[2].n_bytes == 0

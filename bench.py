@@ -35,6 +35,8 @@ SF1_SUBSET = [
     "q18_large_volume_customer",
     "dedup_minhash_lsh_pairs",
     "text_quality_score",
+    "text_prepare_corpus",
+    "dedup_connected_components",
 ]
 
 

@@ -147,9 +147,16 @@ def spark_schema_to_avro(schema) -> dict:
 
 
 def _field_kind(avro_t) -> tuple[str, dict]:
-    """(primitive name | 'array', logical/shape info) for a non-union type."""
+    """(primitive name | 'array' | 'record' | 'map' | 'union', shape info).
+
+    Unions are supported in the two-branch ["null", T] form — the only
+    shape Iceberg manifest schemas use (every optional field is a
+    null-union); general multi-branch unions are still rejected at encode
+    time."""
     if isinstance(avro_t, str):
         return avro_t, {}
+    if isinstance(avro_t, list):
+        return "union", {"branches": avro_t}
     return avro_t["type"], avro_t
 
 
@@ -159,6 +166,33 @@ _EPOCH_DATE = datetime.date(1970, 1, 1)
 
 
 def _encode_value(buf: bytearray, kind: str, logical: dict, v) -> None:
+    if kind == "union":
+        branches = logical["branches"]
+        if len(branches) != 2 or "null" not in branches:
+            raise NotImplementedError("only [\"null\", T] unions are supported")
+        null_idx = branches.index("null")
+        if v is None:
+            _write_long(buf, null_idx)
+            return
+        _write_long(buf, 1 - null_idx)
+        bk, blog = _field_kind(branches[1 - null_idx])
+        _encode_value(buf, bk, blog, v)
+        return
+    if kind == "record":
+        for f in logical["fields"]:
+            fk, flog = _field_kind(f["type"])
+            _encode_value(buf, fk, flog, v.get(f["name"]) if isinstance(v, dict) else getattr(v, f["name"]))
+        return
+    if kind == "map":
+        vk, vlog = _field_kind(logical["values"])
+        items = dict(v)
+        if items:
+            _write_long(buf, len(items))
+            for key, val in items.items():
+                _write_str(buf, str(key))
+                _encode_value(buf, vk, vlog, val)
+        _write_long(buf, 0)
+        return
     if kind == "array":
         ik, ilog = _field_kind(logical["items"])
         items = list(v)
@@ -212,6 +246,32 @@ def _encode_value(buf: bytearray, kind: str, logical: dict, v) -> None:
 
 
 def _decode_value(r: _Reader, kind: str, logical: dict):
+    if kind == "union":
+        branches = logical["branches"]
+        t = branches[r.long()]
+        if t == "null":
+            return None
+        bk, blog = _field_kind(t)
+        return _decode_value(r, bk, blog)
+    if kind == "record":
+        out = {}
+        for f in logical["fields"]:
+            fk, flog = _field_kind(f["type"])
+            out[f["name"]] = _decode_value(r, fk, flog)
+        return out
+    if kind == "map":
+        vk, vlog = _field_kind(logical["values"])
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count is followed by a byte size
+                n = -n
+                r.long()
+            for _ in range(n):
+                key = r.str_()
+                out[key] = _decode_value(r, vk, vlog)
     if kind == "array":
         ik, ilog = _field_kind(logical["items"])
         out = []

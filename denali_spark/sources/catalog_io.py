@@ -12,10 +12,11 @@ final atomic commit (add-snapshot + set-snapshot-ref) goes through the
 catalog, guarded by assert-ref-snapshot-id and retried on 409 — classic
 optimistic concurrency.
 
-Manifest lists are JSON (documented deviation: no Avro writer available;
-flagged in table properties as denali-spark.manifest-format=json). Each
-manifest entry carries record-count and per-file min/max stats for the
-partition-pruning scan path.
+Manifest lists follow the Iceberg two-level Avro layout (manifest_file
+records pointing at manifest_entry Avro files — sources/manifests.py),
+written through the pure-Python OCF codec; legacy JSON lists from earlier
+snapshots stay readable. Each manifest entry carries record-count and
+per-file min/max stats for the partition-pruning scan path.
 
 Scale notes: the catalog only ever sees O(1)-sized metadata per commit; data
 volume never transits the catalog. Reads hand Spark a file list — pruning,
@@ -487,9 +488,13 @@ class SparkCatalogIO:
         ]
 
     def _manifest_entries(self, manifest_list_location: str) -> list[dict]:
-        with open(_fs_path(manifest_list_location)) as f:
-            manifest = json.load(f)
-        return manifest["files"]
+        path = _fs_path(manifest_list_location)
+        if path.endswith(".json"):  # legacy single-document layout
+            with open(path) as f:
+                return json.load(f)["files"]
+        from denali_spark.sources.manifests import read_manifest_list
+
+        return read_manifest_list(path)
 
     def _manifest_files(self, manifest_list_location: str) -> list[str]:
         return [e["path"] for e in self._manifest_entries(manifest_list_location)]
@@ -587,7 +592,7 @@ class SparkCatalogIO:
                 partition_spec=build_partition_spec(parts, schema) if parts else None,
                 write_order=write_order,
                 properties={
-                    "denali-spark.manifest-format": "json",
+                    "denali-spark.manifest-format": "avro",
                     "write.format.default": file_format or "parquet",
                 },
             )
@@ -747,15 +752,11 @@ class SparkCatalogIO:
     def _write_manifest_list(
         self, table_location: str, snapshot_id: int, files: list[dict]
     ) -> str:
-        path = os.path.join(
-            _fs_path(table_location), "metadata", f"snap-{snapshot_id}.manifest-list.json"
+        from denali_spark.sources.manifests import write_manifest_list
+
+        return write_manifest_list(
+            os.path.join(_fs_path(table_location), "metadata"), snapshot_id, files
         )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            json.dump({"manifest-format": "json", "files": files}, f, indent=1)
-        os.replace(tmp, path)
-        return path
 
     # --- branches & tags (write-audit-publish) -----------------------------
 
@@ -829,7 +830,7 @@ class SparkCatalogIO:
             self.client.create_namespace(namespace)
         self.client.create_table(
             namespace, name, spark_schema_to_iceberg(df.schema),
-            properties={"denali-spark.manifest-format": "json",
+            properties={"denali-spark.manifest-format": "avro",
                         "denali-spark.external-data": "true"},
         )
         md = self.client.load_table(namespace, name)["metadata"]

@@ -12,9 +12,11 @@ Parity map (reference → here):
 - main.go CLI    → __main__.py  (`start --port --temp`)
 
 Known deviations (all spec-correct or documented):
-- Manifest lists/manifests are JSON, not Avro (no Avro writer in the
-  container); marked via the `denali-spark.manifest-format=json` table
-  property. Table *metadata* JSON follows the Iceberg V2 spec.
+- Manifest lists/manifests follow the Iceberg two-level Avro layout
+  (sources/manifests.py, pure-Python OCF codec; bounds maps are name-keyed
+  with JSON values — see that module's docstring). Legacy JSON lists from
+  older snapshots stay readable. Table *metadata* JSON follows the
+  Iceberg V2 spec.
 - Reference bugs fixed per SURVEY §7.5 (requirements enforced, identifier
   check un-inverted, set-default-spec sets default-spec-id, views get CAS).
 """

@@ -36,10 +36,18 @@ def expire_snapshots(
     name: str,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    clean_manifests: bool = True,
 ) -> dict:
     """Remove ancestor snapshots beyond the newest `keep_last` (and, if
     given, only those older than `older_than_ms`). Snapshots referenced by
-    any branch/tag are always kept."""
+    any branch/tag are always kept.
+
+    With `clean_manifests` (Iceberg's expire behavior), the expired
+    snapshots' manifest-list and manifest files are deleted AFTER the
+    commit succeeds — every commit here writes a fresh manifest set, so no
+    live snapshot can share them, and without cleanup the metadata/
+    directory grows one file set per commit forever. Data files are never
+    touched (that is remove_orphan_files' job, with its retention guard)."""
     md = io.client.load_table(namespace, name)["metadata"]
     snaps = sorted(md.get("snapshots", []), key=lambda s: s["timestamp-ms"])
     protected = {r["snapshot-id"] for r in md.get("refs", {}).values()}
@@ -52,7 +60,7 @@ def expire_snapshots(
         removable = [s for s in removable if s["timestamp-ms"] < older_than_ms]
     if not removable:
         return {"metadata": md, "noop": True}
-    return io.client.commit_table(
+    result = io.client.commit_table(
         namespace,
         name,
         requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
@@ -63,6 +71,29 @@ def expire_snapshots(
             }
         ],
     )
+    if clean_manifests:
+        import os
+
+        from denali_spark.catalog.metadata import _fs_path
+
+        for snap in removable:
+            list_path = _fs_path(snap["manifest-list"])
+            doomed = [list_path]
+            if not list_path.endswith(".json"):
+                try:
+                    from denali_spark.sources.avro_ocf import read_ocf
+
+                    schema, rows = read_ocf(list_path)
+                    i = [f["name"] for f in schema["fields"]].index("manifest_path")
+                    doomed += [r[i] for r in rows]
+                except (OSError, ValueError):
+                    continue  # already gone / unreadable: nothing to clean
+            for path in doomed:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+    return result
 
 
 ORPHAN_RETENTION_MS = 3 * 24 * 3600 * 1000  # Iceberg's default 3-day window

@@ -150,3 +150,23 @@ def test_expire_then_cleanup_reclaims_rewritten_files(spark, io):
     removed = set(remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True)["removed"])
     assert rewritten <= removed
     assert io.read_table(ns, name).count() == 15
+
+
+def test_expire_snapshots_deletes_expired_manifest_files(spark, io):
+    """Iceberg expire semantics: the expired snapshots' manifest-list and
+    manifest files leave the disk (metadata growth is bounded); the live
+    snapshot's manifests survive and the table still reads."""
+    ns, name = ["orph"], "t_manifests"
+    for i in range(3):
+        _append(spark, io, ns, name, i * 10, (i + 1) * 10)
+    md = io.client.load_table(ns, name)["metadata"]
+    lists = {s["snapshot-id"]: s["manifest-list"] for s in md["snapshots"]}
+    live_id = md["current-snapshot-id"]
+    assert all(os.path.exists(p) for p in lists.values())
+    expire_snapshots(io, ns, name, keep_last=1)
+    for sid, p in lists.items():
+        assert os.path.exists(p) == (sid == live_id), (sid, p)
+    # the live manifest files referenced by the surviving list still exist
+    for e in io._manifest_entries(lists[live_id]):
+        assert os.path.exists(e["path"])
+    assert io.read_table(ns, name).count() == 30

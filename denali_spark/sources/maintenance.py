@@ -122,8 +122,11 @@ def remove_orphan_files(
     metadata load time deletes exactly those in-flight files and therefore
     requires `force=True` (tests / quiesced tables only).
 
-    Scans only this table's data/ and deletes/ directories; metadata files
-    are never touched (they back the metadata-log). Driver-side file
+    Scans this table's data/ and deletes/ directories, plus metadata/ for
+    orphaned MANIFEST artifacts only (a failed commit stages its manifest
+    list and manifests before the catalog CAS, exactly like data files) —
+    matched by the manifest naming patterns, so table-metadata JSON versions
+    backing the metadata-log are never candidates. Driver-side file
     listing — bounded by file count, no row data read."""
     import os
     import time
@@ -141,11 +144,28 @@ def remove_orphan_files(
     md = io.client.load_table(namespace, name)["metadata"]
     referenced: set[str] = set()
     for snap in md.get("snapshots", []):
+        list_path = _fs_path(snap["manifest-list"])
+        referenced.add(list_path)
+        if not list_path.endswith(".json"):
+            try:
+                from denali_spark.sources.avro_ocf import read_ocf
+
+                schema, rows = read_ocf(list_path)
+                i = [f["name"] for f in schema["fields"]].index("manifest_path")
+                referenced.update(r[i] for r in rows)
+            except (OSError, ValueError):
+                pass
         for e in io._manifest_entries(snap["manifest-list"]):
             referenced.add(e["path"])
+
+    def is_manifest_artifact(fname: str) -> bool:
+        return fname.endswith((".manifest-list.avro", ".manifest-list.json")) or (
+            fname.endswith(".avro") and "-m" in fname
+        )
+
     removed, kept = [], 0
     root = _fs_path(md["location"])
-    for sub in ("data", "deletes"):
+    for sub in ("data", "deletes", "metadata"):
         base = os.path.join(root, sub)
         if not os.path.isdir(base):
             continue
@@ -155,6 +175,8 @@ def remove_orphan_files(
                     # hidden sidecars (.crc) and markers (_SUCCESS): never
                     # referenced by manifests, ignored by readers — skip
                     continue
+                if sub == "metadata" and not is_manifest_artifact(fname):
+                    continue  # metadata-log JSON versions: never touched
                 path = os.path.join(dirpath, fname)
                 if path in referenced:
                     kept += 1

@@ -170,3 +170,37 @@ def test_expire_snapshots_deletes_expired_manifest_files(spark, io):
     for e in io._manifest_entries(lists[live_id]):
         assert os.path.exists(e["path"])
     assert io.read_table(ns, name).count() == 30
+
+
+def test_orphan_manifests_from_failed_commit_are_removed(spark, io):
+    """A failed commit stages its manifest list + manifests before the CAS;
+    those metadata/ artifacts must be reclaimable like orphan data files —
+    while live manifests and the metadata-log JSON versions are untouched."""
+    ns, name = ["orph"], "t_failed_commit"
+    _append(spark, io, ns, name, 0, 10)
+    md = io.client.load_table(ns, name)["metadata"]
+    data_files = io._write_data_files(
+        spark.range(50, 60).select("id", (F.col("id") * 2).alias("v")), md["location"]
+    )
+    # stage the manifest set for a commit that never happens
+    orphan_list = io._write_manifest_list(md["location"], 999_999, data_files)
+    orphan_manifests = [
+        e["manifest_path"]
+        for e in _manifest_file_records(orphan_list)
+    ]
+    live_list = io._resolve_snapshot(md)["manifest-list"]
+    report = remove_orphan_files(io, ns, name, older_than_ms=_future_ms(), force=True)
+    assert orphan_list in report["removed"]
+    assert set(orphan_manifests) <= set(report["removed"])
+    assert os.path.exists(live_list)
+    # metadata-log versions untouched, table still reads
+    assert io.read_table(ns, name).count() == 10
+    assert io.client.load_table(ns, name)["metadata"]["metadata-log"]
+
+
+def _manifest_file_records(list_path):
+    from denali_spark.sources.avro_ocf import read_ocf
+
+    schema, rows = read_ocf(list_path)
+    names = [f["name"] for f in schema["fields"]]
+    return [dict(zip(names, r)) for r in rows]

@@ -95,6 +95,9 @@ HEADLINE = [
     # Decorrelation (correlated subqueries → joins)
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
+    # Timeseries (events table — red in r03 via the loader bug, now benched)
+    "ts_hourly_rollup",
+    "ts_sessionize",
     # LLM-pipeline scale ops (the engine's beyond-parity surface)
     "dedup_minhash_lsh_pairs",
     "sim_lsh_bucket_topk",

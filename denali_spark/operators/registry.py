@@ -64,10 +64,14 @@ DRIVER_PRIORITY: list[str] = [
     "fn_json_extract",
     "win_lag_lead_events",
     "win_moving_avg",
-    # rewritten this round (scale-safe global windows; materialized LSH index)
+    # new or rewritten this round (incremental dedup; scale-safe global
+    # windows; materialized LSH / signature indexes)
+    "dedup_incremental_shard",
     "win_ntile_quartiles",
     "win_distribution",
     "sim_lsh_bucket_topk",
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
     # only driver evidence is round 1 — refresh oldest-first
     "q2_min_cost_supplier",
     "q6_forecast_revenue",

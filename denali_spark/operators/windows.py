@@ -157,7 +157,12 @@ def _with_global_rn(df: DataFrame, sort_cols: list[str], n_parts: int = 32) -> D
 
     `_rn` = local row number + partition offset is the exact global row
     number because range partitioning makes partition order == sort order.
-    The only single-partition work is the offsets window over <= n_parts
+    The local row number comes from `monotonically_increasing_id` over the
+    range-partitioned, partition-sorted data (the id is partition-ordinal
+    in row order), NOT from a `Window.partitionBy(_pid)` — the window
+    variant forces a second full-data hash exchange; this shape shuffles
+    the table exactly ONCE (the range partitioning). The only
+    single-partition work is the offsets window over <= n_parts aggregated
     rows; the data itself never collapses to one task — the shape a naive
     `Window.orderBy(...)` (Exchange SinglePartition over the full table)
     gets fatally wrong at 100 TB. Also emits `_n`, the total row count, on
@@ -165,23 +170,27 @@ def _with_global_rn(df: DataFrame, sort_cols: list[str], n_parts: int = 32) -> D
 
     Sort keys must be unique (callers append a key-column tiebreaker), so
     ties never straddle a range boundary ambiguously and rank == _rn."""
-    data = df.repartitionByRange(n_parts, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    data = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
-    local = data.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = data.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mid0")
+    )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
         "_pid",
+        "_mid0",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_cnt").over(w_all).alias("_n"),
     )
-    return local.join(F.broadcast(offsets), "_pid").withColumn(
-        "_rn", F.col("_lrn") + F.col("_off")
+    return data.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rn", F.col("_off") + (F.col("_mid") - F.col("_mid0")) + 1
     )
 
 

@@ -1,0 +1,56 @@
+"""Materialized ingest-time indexes (LSH buckets, MinHash signatures):
+cache-key behavior. The indexes are fingerprinted by corpus file identity
+(path, size, mtime) + geometry, so a regenerated corpus must NOT serve a
+stale index, and an unchanged corpus must reuse the built one."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from denali_spark.operators.dedup import minhash_signature_index
+from denali_spark.operators.similarity import lsh_bucket_index
+
+SF = "/root/testdata/sf0.001"
+
+
+def _copy_sf(tmp_path, tables) -> str:
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for t in tables:
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    return d
+
+
+def test_lsh_index_reused_then_invalidated_on_corpus_change(spark, tmp_path):
+    d = _copy_sf(tmp_path, ["embeddings"])
+    first = lsh_bucket_index(spark, d)
+    n_first = first.count()
+    path_first = first.inputFiles()[0]
+    # same corpus → same on-disk index, no rebuild
+    again = lsh_bucket_index(spark, d)
+    assert again.inputFiles()[0] == path_first
+    # regenerate the corpus (halve it) → different fingerprint → fresh index
+    src = os.path.join(d, "embeddings.parquet")
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, t.num_rows // 2), src)
+    rebuilt = lsh_bucket_index(spark, d)
+    assert rebuilt.inputFiles()[0] != path_first
+    assert rebuilt.count() < n_first
+
+
+def test_minhash_index_reused_then_invalidated_on_corpus_change(spark, tmp_path):
+    d = _copy_sf(tmp_path, ["documents"])
+    first = minhash_signature_index(spark, d)
+    path_first = first.inputFiles()[0]
+    assert minhash_signature_index(spark, d).inputFiles()[0] == path_first
+    src = os.path.join(d, "documents.parquet")
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, t.num_rows // 2), src)
+    rebuilt = minhash_signature_index(spark, d)
+    assert rebuilt.inputFiles()[0] != path_first
+    # schema carries doc_id + shingle sets + 16 signature columns
+    cols = set(rebuilt.columns)
+    assert {"doc_id", "hs"} <= cols and sum(c.startswith("sig_") for c in cols) == 16

@@ -293,6 +293,60 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_lsh_search(
+    spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN top-k for EXTERNAL probe vectors over the materialized bucket
+    index — the query-time path of a real pipeline: embed a query, hash it
+    into each table's bucket (plus Hamming-1 multi-probe), search only
+    those buckets, exact-rerank. `probes` needs (query_id long, e
+    array<double>) of dimension {DIM}.
+
+    Scale shape: the corpus side is the pre-built index + one vector fetch
+    join; only the (tiny) probe relation pays hashing at query time and it
+    broadcasts into both joins. Returns (query_id, neighbor_id, cos, rn)."""
+    v = _vecs(spark, sf_dir)
+    b = lsh_bucket_index(spark, sf_dir)
+    tb = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
+            for t in range(N_TABLES)
+        ])
+    )
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    qb = (
+        probes.select("query_id", tb.alias("tb"))
+        .select("query_id", "tb.t", "tb.bucket")
+        .withColumn("flip", flips)
+        .select(
+            "query_id",
+            "t",
+            F.col("bucket").bitwiseXOR(
+                F.when(F.col("flip") < 0, F.lit(0))
+                .otherwise(F.expr("shiftleft(1, flip)"))
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "bucket"])
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = probes.select("query_id", F.col("e").alias("qe"))
+    scored = (
+        cand.join(v, cand["neighbor_id"] == v["vec_id"])
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 # --- IVF (inverted-file) ANN ---------------------------------------------
 #
 # The classic two-level vector index: a coarse quantizer assigns every

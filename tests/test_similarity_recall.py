@@ -72,3 +72,36 @@ def test_embedding_pairs_runs_under_cap(spark):
     with itself as the pair-level ground truth for near-dup pairs."""
     rows = dd.dedup_embedding_pairs(spark, SF).collect()
     assert all(r["cos"] >= 0.8 and r["i"] < r["j"] for r in rows)
+
+
+# --- external-probe search over the materialized index ----------------------
+
+
+def test_external_probe_search_recall_and_exactness(spark, exact_topk):
+    """sim_lsh_search with held-out corpus vectors as 'external' probes must
+    (a) reproduce the registered query's candidate semantics — recall floor
+    against the exact baseline — and (b) never fabricate: every reported
+    cos is the exact cosine, and a probe identical to a corpus vector finds
+    it at cos == 1.0."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.similarity import _vecs, sim_lsh_search
+
+    probes = (
+        _vecs(spark, SF)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "e")
+    )
+    got = sim_lsh_search(spark, SF, probes, k=6)
+    # self-match: the probe IS corpus vector query_id → rank 1, cos 1.0
+    firsts = {r["query_id"]: r for r in got.collect() if r["rn"] == 1}
+    assert set(firsts) == {0, 1, 2, 3, 4}
+    for q, r in firsts.items():
+        assert r["neighbor_id"] == q and abs(r["cos"] - 1.0) < 1e-12
+    # recall vs exact baseline on the non-self neighbors
+    approx = {}
+    for r in got.collect():
+        if r["neighbor_id"] != r["query_id"]:
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = _recall_at_5(approx, exact_topk)
+    assert recall >= 0.3, f"external-probe recall@5 regressed: {recall:.3f}"

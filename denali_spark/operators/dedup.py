@@ -374,6 +374,27 @@ def dedup_incremental_pairs(
     return jac.filter(F.col("jac") >= threshold)
 
 
+def online_dedup(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Flag each incoming document as duplicate-of-corpus or novel: runs
+    `dedup_incremental_pairs` and reduces to one verdict row per document —
+    (doc_id, is_duplicate, dup_of, jac), where dup_of is the best-matching
+    corpus doc (highest Jaccard, lowest id on ties). This is the per-batch
+    kernel of the streaming ingestion path
+    (streaming.documents_stream.make_online_dedup_sink)."""
+    pairs = dedup_incremental_pairs(spark, sf_dir, docs, threshold)
+    best = pairs.groupBy("new_doc_id").agg(
+        F.max(F.struct(F.col("jac"), (-F.col("corpus_doc_id")).alias("neg_id"))).alias("m")
+    )
+    return docs.join(best, docs["doc_id"] == best["new_doc_id"], "left").select(
+        "doc_id",
+        F.col("m").isNotNull().alias("is_duplicate"),
+        (-F.col("m.neg_id")).cast("long").alias("dup_of"),
+        F.col("m.jac").alias("jac"),
+    )
+
+
 @query(
     "dedup_incremental_shard",
     oracle=_SQL_SIG_BASE

@@ -1,3 +1,8 @@
+from denali_spark.streaming.documents_stream import (
+    make_online_dedup_sink,
+    read_document_stream,
+    read_verdicts,
+)
 from denali_spark.streaming.events_stream import (
     dedup_stream,
     read_event_stream,
@@ -16,4 +21,7 @@ __all__ = [
     "sessionize_stream",
     "stream_cdc_apply",
     "stream_to_catalog",
+    "read_document_stream",
+    "make_online_dedup_sink",
+    "read_verdicts",
 ]

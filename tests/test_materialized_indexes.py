@@ -54,3 +54,23 @@ def test_minhash_index_reused_then_invalidated_on_corpus_change(spark, tmp_path)
     # schema carries doc_id + shingle sets + 16 signature columns
     cols = set(rebuilt.columns)
     assert {"doc_id", "hs"} <= cols and sum(c.startswith("sig_") for c in cols) == 16
+
+
+def test_ivf_lists_partitioned_by_centroid(spark, tmp_path):
+    import pyarrow.parquet as _pq  # noqa: F401 — parity with sibling tests
+
+    from denali_spark.operators.similarity import ivf_inverted_lists
+
+    d = _copy_sf(tmp_path, ["embeddings"])
+    lists = ivf_inverted_lists(spark, d)
+    assert set(lists.columns) == {"vec_id", "e", "cid"}
+    # on-disk layout is one directory partition per centroid (the IVF list
+    # files) — a probe's scan prunes to its nprobe directories
+    base = os.path.dirname(lists.inputFiles()[0]).removeprefix("file:")
+    while not os.path.basename(base).startswith("lists-"):
+        base = os.path.dirname(base)
+    parts = [p for p in os.listdir(base) if p.startswith("cid=")]
+    n_cents = lists.select("cid").distinct().count()
+    assert len(parts) == n_cents > 0
+    # reuse on identical corpus
+    assert ivf_inverted_lists(spark, d).inputFiles()[0] == lists.inputFiles()[0]

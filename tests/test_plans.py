@@ -101,8 +101,10 @@ NON_EQUI_WHITELIST = {
     # probe side is 5 broadcast rows: nested-loop over the corpus is one
     # linear pass (cost n x |probes|), the textbook brute-force baseline
     "sim_topk_bruteforce",
-    # IVF coarse assignment: corpus x broadcast centroids (k ≈ n/97) is
-    # the standard n·k quantization pass — linear in n, centroids tiny
+    # IVF probe selection: the 5-row probe set x broadcast centroids
+    # (corpus assignment itself is the materialized inverted-lists index,
+    # built once at ingest — the n·k quantization pass never runs at query
+    # time)
     "sim_ivf_topk",
     # deliberate 1-row x 1-row join of two global aggregates (split to
     # avoid Catalyst's Expand rewrite — see the query docstring)

@@ -296,6 +296,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-time index — each branch's parquet scan prunes to exactly the
     # columns it needs.
     sig = minhash_signature_index(spark, sf_dir)
+    return _lsh_pairs(sig, 0.3)
+
+
+def _lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
+    """LSH band self-join + exact-Jaccard verification over any signature
+    relation (doc_id, hs, sig_0..15): (i, j, jac) with i < j and
+    jac >= threshold. Shared by the corpus pair query and the streaming
+    sink's intra-batch self-dedup."""
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
@@ -319,11 +327,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
     )
-    return jac.filter(F.col("jac") >= 0.3).select("i", "j", "jac")
+    return jac.filter(F.col("jac") >= threshold).select("i", "j", "jac")
 
 
 def dedup_incremental_pairs(
-    spark: SparkSession, sf_dir: str, new_docs: DataFrame, threshold: float = 0.3
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    threshold: float = 0.3,
+    *,
+    corpus_sig: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW document shard and the EXISTING corpus —
     the operation a continuously-ingesting 100 TB pipeline actually runs:
@@ -334,9 +348,15 @@ def dedup_incremental_pairs(
     (new_doc_id, corpus_doc_id, jac) with exact Jaccard >= threshold.
 
     `new_docs` needs (doc_id, text); its doc_ids should be disjoint from
-    the corpus (enforced nowhere — identity is the caller's contract)."""
-    corpus = minhash_signature_index(spark, sf_dir)
-    fresh = _with_signatures(new_docs)
+    the corpus (enforced nowhere — identity is the caller's contract).
+
+    `corpus_sig` overrides the corpus side with a caller-supplied signature
+    relation (doc_id, hs, sig_0..15) — the streaming sink passes the base
+    index UNION its grown per-batch signature store. `new_sig` supplies
+    precomputed shard signatures so one persisted relation feeds every
+    branch of a multi-use caller."""
+    corpus = corpus_sig if corpus_sig is not None else minhash_signature_index(spark, sf_dir)
+    fresh = new_sig if new_sig is not None else _with_signatures(new_docs)
     band_struct = F.explode(F.array(*_band_cols())).alias("x")
     corpus_bands = corpus.select("doc_id", band_struct).select(
         F.col("doc_id").alias("corpus_doc_id"),
@@ -375,17 +395,39 @@ def dedup_incremental_pairs(
 
 
 def online_dedup(
-    spark: SparkSession, sf_dir: str, docs: DataFrame, threshold: float = 0.3
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    threshold: float = 0.3,
+    *,
+    corpus_sig: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
+    self_dedup: bool = False,
 ) -> DataFrame:
     """Flag each incoming document as duplicate-of-corpus or novel: runs
     `dedup_incremental_pairs` and reduces to one verdict row per document —
     (doc_id, is_duplicate, dup_of, jac), where dup_of is the best-matching
-    corpus doc (highest Jaccard, lowest id on ties). This is the per-batch
-    kernel of the streaming ingestion path
-    (streaming.documents_stream.make_online_dedup_sink)."""
-    pairs = dedup_incremental_pairs(spark, sf_dir, docs, threshold)
+    duplicate source (highest Jaccard, lowest id on ties). This is the
+    per-batch kernel of the streaming ingestion path
+    (streaming.documents_stream.make_online_dedup_sink).
+
+    With `self_dedup=True` the batch is also deduped against ITSELF: a doc
+    that near-matches a lower-id doc in the same batch is a duplicate even
+    if the corpus has never seen either (two copies landing in one
+    micro-batch must not both be marked novel). Keep-lowest-id policy —
+    the first copy in id order survives; like connected-components dedup,
+    a chain A~B~C collapses onto its lowest member."""
+    fresh = new_sig if new_sig is not None else _with_signatures(docs)
+    pairs = dedup_incremental_pairs(
+        spark, sf_dir, docs, threshold, corpus_sig=corpus_sig, new_sig=fresh
+    ).select("new_doc_id", F.col("corpus_doc_id").alias("dup_src"), "jac")
+    if self_dedup:
+        intra = _lsh_pairs(fresh, threshold).select(
+            F.col("j").alias("new_doc_id"), F.col("i").alias("dup_src"), "jac"
+        )
+        pairs = pairs.unionByName(intra)
     best = pairs.groupBy("new_doc_id").agg(
-        F.max(F.struct(F.col("jac"), (-F.col("corpus_doc_id")).alias("neg_id"))).alias("m")
+        F.max(F.struct(F.col("jac"), (-F.col("dup_src")).alias("neg_id"))).alias("m")
     )
     return docs.join(best, docs["doc_id"] == best["new_doc_id"], "left").select(
         "doc_id",

@@ -1,19 +1,32 @@
-"""Streaming document ingestion with online dedup against the corpus.
+"""Streaming document ingestion with online dedup against a GROWING corpus.
 
 The continuously-ingesting-pipeline shape end-to-end: documents land as
 files, Structured Streaming micro-batches them, and each batch dedups
 against the existing corpus through the materialized MinHash signature
-index (`operators.dedup.minhash_signature_index` — hashed once at ingest,
-only the incoming batch pays shingle-hash cost per micro-batch). Verdicts
-land as one parquet partition per micro-batch, which makes foreachBatch
-replays idempotent: a re-run of batch N overwrites batch N's own partition
-and nothing else (same stamp discipline as the catalog sinks in
-events_stream).
+index (`operators.dedup.minhash_signature_index` — hashed once at ingest;
+only the incoming batch pays shingle-hash cost per micro-batch) PLUS the
+signatures of every previously-accepted novel document, PLUS itself
+(intra-batch self-dedup). Accepted-novel docs' signatures are appended to
+a per-batch-partitioned signature store, so the corpus the NEXT batch
+dedups against has grown — the same document arriving twice (in one batch
+or across batches) is marked novel exactly once.
+
+The base index stays immutable (it is fingerprinted by corpus file
+identity — mutating it in place would break that contract for concurrent
+readers); growth lives in a side store laid out one parquet partition per
+micro-batch. That layout is what makes foreachBatch replays idempotent:
+a re-run of batch N overwrites batch N's own verdict partition AND its own
+signature partition and nothing else, and the corpus it sees (base index +
+all OTHER batches' partitions) is identical to the first run's view (same
+stamp discipline as the catalog sinks in events_stream).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -25,18 +38,72 @@ def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     return spark.readStream.schema(DOC_SCHEMA).parquet(landing_dir)
 
 
-def make_online_dedup_sink(sf_dir: str, out_dir: str, threshold: float = 0.3):
+def _read_prior_sigs(
+    spark: SparkSession, sig_dir: str, current_batch_id: int
+) -> DataFrame | None:
+    """Signatures accepted by every OTHER batch so far. Only partitions with
+    a _SUCCESS marker count — a batch that crashed mid-write must not leak a
+    partial signature set into later batches' corpus view. Excluding the
+    current batch's own partition keeps replays idempotent: a re-run sees
+    exactly the corpus the first run saw."""
+    if not os.path.isdir(sig_dir):
+        return None
+    parts = [
+        os.path.join(sig_dir, d)
+        for d in sorted(os.listdir(sig_dir))
+        if d.startswith("batch_id=")
+        and d != f"batch_id={current_batch_id}"
+        and os.path.exists(os.path.join(sig_dir, d, "_SUCCESS"))
+    ]
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def make_online_dedup_sink(
+    sf_dir: str, out_dir: str, threshold: float = 0.3, sig_dir: str | None = None
+):
     """foreachBatch sink: per micro-batch, flag every incoming document as
-    duplicate-of-corpus or novel and write verdicts to
-    ``out_dir/batch_id=N/``. Overwriting the batch's own partition keeps
+    duplicate (of the corpus, of a previously-accepted novel doc, or of a
+    lower-id doc in the same batch) or novel; write verdicts to
+    ``out_dir/batch_id=N/`` and accepted-novel signatures to
+    ``sig_dir/batch_id=N/``. Overwriting the batch's own partitions keeps
     at-least-once replays exactly-once in effect."""
+    sig_dir = sig_dir if sig_dir is not None else f"{out_dir}_sigs"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from denali_spark.operators.dedup import online_dedup
+        from denali_spark.operators.dedup import (
+            _with_signatures,
+            minhash_signature_index,
+            online_dedup,
+        )
 
         spark = batch_df.sparkSession
-        verdicts = online_dedup(spark, sf_dir, batch_df, threshold)
+        # One persisted signature relation feeds the corpus join, the
+        # intra-batch self-join, and the novel-signature append.
+        fresh = _with_signatures(batch_df).persist()
+        corpus = minhash_signature_index(spark, sf_dir)
+        prior = _read_prior_sigs(spark, sig_dir, batch_id)
+        if prior is not None:
+            corpus = corpus.unionByName(prior)
+        verdicts = online_dedup(
+            spark,
+            sf_dir,
+            batch_df,
+            threshold,
+            corpus_sig=corpus,
+            new_sig=fresh,
+            self_dedup=True,
+        ).persist()
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        novel_ids = verdicts.filter(~F.col("is_duplicate")).select("doc_id")
+        # The batch side is micro-batch-sized — broadcast it into the index
+        # join rather than shuffling the signature store.
+        fresh.join(F.broadcast(novel_ids), "doc_id").write.mode("overwrite").parquet(
+            f"{sig_dir}/batch_id={batch_id}"
+        )
+        verdicts.unpersist()
+        fresh.unpersist()
 
     return _sink
 

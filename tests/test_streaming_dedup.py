@@ -1,7 +1,9 @@
 """Streaming online dedup: documents land as files, each micro-batch flags
-its docs against the corpus via the materialized signature index, verdicts
-land one partition per batch. Checked against the batch-mode kernel over the
-same documents, plus explicit replay idempotence."""
+its docs against the corpus via the materialized signature index PLUS the
+grown per-batch signature store PLUS itself. Checked against the batch-mode
+kernel over the same documents, plus explicit replay idempotence and
+index-growth semantics (the same doc arriving twice — within one batch or
+across batches — is marked novel exactly once)."""
 
 from __future__ import annotations
 
@@ -22,10 +24,17 @@ from denali_spark.streaming.documents_stream import (
 SF = "/root/testdata/sf0.001"
 
 
+def _novel_doc(i: int) -> str:
+    # Fully disjoint token sets per doc — no shared shingles, so these can
+    # never near-match each other (jac = 0), keeping the novel/dup split in
+    # the assertions exact rather than LSH-probabilistic.
+    return f"novel{i} " + " ".join(f"tok{i}x{j}" for j in range(10))
+
+
 @pytest.fixture()
 def doc_landing(spark, tmp_path):
     """Two file drops: corpus copies (re-keyed, guaranteed dups) and novel
-    docs that match nothing."""
+    docs that match nothing — not the corpus, not each other."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     src = str(tmp_path / "doc-landing")
     copies = docs.filter(F.col("doc_id") % 100 == 7).select(
@@ -34,8 +43,7 @@ def doc_landing(spark, tmp_path):
     copies.coalesce(1).write.mode("append").parquet(src)
     time.sleep(1.1)
     novel = spark.createDataFrame(
-        [(2_000_000 + i, f"completely novel text {i} qqq www eee rrr ttt yyy uuu")
-         for i in range(3)],
+        [(2_000_000 + i, _novel_doc(i)) for i in range(3)],
         "doc_id long, text string",
     )
     novel.coalesce(1).write.mode("append").parquet(src)
@@ -59,9 +67,12 @@ def test_streaming_verdicts_match_batch_kernel(spark, doc_landing, tmp_path):
         r["doc_id"]: (r["is_duplicate"], r["dup_of"])
         for r in read_verdicts(spark, out).collect()
     }
+    # Batch twin of the online pipeline: every doc against corpus + the
+    # other docs of the run (the fixture docs are mutually dissimilar, so
+    # per-batch grouping cannot change any verdict).
     expect = {
         r["doc_id"]: (r["is_duplicate"], r["dup_of"])
-        for r in online_dedup(spark, SF, all_docs).collect()
+        for r in online_dedup(spark, SF, all_docs, self_dedup=True).collect()
     }
     assert got == expect
     # sanity on content: every corpus copy is flagged against its source,
@@ -82,6 +93,77 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     )
     sink(batch, 0)
     n = read_verdicts(spark, out).count()
+    verdict0 = read_verdicts(spark, out).collect()
     sink(batch, 0)  # foreachBatch replay after restart: same partition
     assert read_verdicts(spark, out).count() == n
+    # the replay saw the same corpus view (its own appended signatures are
+    # excluded), so the verdicts — not just the counts — are unchanged
+    assert read_verdicts(spark, out).collect() == verdict0
     assert set(os.listdir(out)) >= {"batch_id=0"}
+    assert set(os.listdir(f"{out}_sigs")) >= {"batch_id=0"}
+
+
+def test_same_doc_across_batches_novel_once(spark, tmp_path):
+    """A new document streamed in two consecutive batches: the first copy is
+    novel (and its signatures join the corpus), the second is a duplicate
+    OF THE FIRST — the index grew."""
+    out = str(tmp_path / "verdicts")
+    sink = make_online_dedup_sink(SF, out)
+    text = _novel_doc(0)
+    b0 = spark.createDataFrame([(3_000_000, text)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3_000_001, text)], "doc_id long, text string")
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in read_verdicts(spark, out).collect()
+    }
+    assert got[3_000_000] == (False, None)
+    assert got[3_000_001] == (True, 3_000_000)
+
+
+def test_same_doc_twice_in_one_batch_novel_once(spark, tmp_path):
+    """Two copies landing in ONE micro-batch: intra-batch self-dedup marks
+    exactly the lower-id copy novel."""
+    out = str(tmp_path / "verdicts")
+    sink = make_online_dedup_sink(SF, out)
+    text = _novel_doc(1)
+    batch = spark.createDataFrame(
+        [(3_000_000, text), (3_000_001, text)], "doc_id long, text string"
+    )
+    sink(batch, 0)
+    got = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in read_verdicts(spark, out).collect()
+    }
+    assert got[3_000_000] == (False, None)
+    assert got[3_000_001] == (True, 3_000_000)
+    # only the surviving copy's signatures were appended to the store
+    sigs = spark.read.parquet(f"{out}_sigs")
+    assert [r["doc_id"] for r in sigs.select("doc_id").collect()] == [3_000_000]
+
+
+def test_replay_after_index_growth_is_idempotent(spark, tmp_path):
+    """Replaying batch 0 AFTER batch 1 appended signatures must reproduce
+    batch 0's original verdicts: the replay's corpus view excludes only its
+    own partition, and batch 1's docs are dissimilar so they cannot flip
+    batch 0's verdicts. The growth store still holds exactly one partition
+    per batch afterwards."""
+    out = str(tmp_path / "verdicts")
+    sink = make_online_dedup_sink(SF, out)
+    b0 = spark.createDataFrame([(3_000_000, _novel_doc(2))], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3_000_001, _novel_doc(3))], "doc_id long, text string")
+    sink(b0, 0)
+    sink(b1, 1)
+    before = sorted(
+        (r["doc_id"], r["is_duplicate"]) for r in read_verdicts(spark, out).collect()
+    )
+    sink(b0, 0)  # restart replay
+    after = sorted(
+        (r["doc_id"], r["is_duplicate"]) for r in read_verdicts(spark, out).collect()
+    )
+    assert after == before == [(3_000_000, False), (3_000_001, False)]
+    assert {d for d in os.listdir(f"{out}_sigs") if d.startswith("batch_id=")} == {
+        "batch_id=0",
+        "batch_id=1",
+    }

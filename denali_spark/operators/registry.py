@@ -45,14 +45,67 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (rounds 1-3 recorded the first 50 of 95), so iteration order is a
+# reaches (each round records the first 50 of 96), so iteration order is a
 # coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale: (1) queries fixed or changed in the current round,
-# (2) queries whose only driver evidence is round 1 (the relational/join/
-# agg/window/setop battery was outside rounds 2-3's sweep window),
-# (3) queries green in the most recent sweep (round 3) last.
+# evidence goes stale: (1) queries whose only driver evidence is round 1
+# (they sat past the 50-cap every round since), (2) queries changed in the
+# current round, (3) queries whose newest evidence is round 3, (4) the 50
+# re-confirmed in round 4 last (freshest evidence).
 DRIVER_PRIORITY: list[str] = [
-    # regressed in r03 (events-loader ts-encoding bug), fixed this round
+    # newest driver evidence is round 1 — three rounds stale, refresh first
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "win_first_last",
+    "win_running_total",
+    "win_topn_per_group",
+    # changed this round (LSH pair plumbing refactored for the growing
+    # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_shard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_connected_components",
+    # newest driver evidence is round 3
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "agg_approx_sketches",
+    "setop_intersect_all",
+    "fn_string_kitchen",
+    "fn_string_regex",
+    "fn_datetime_kitchen",
+    "fn_math_kitchen",
+    "fn_conditional",
+    "fn_array_ops",
+    "fn_hash",
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_norms_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "text_chunk_fixed",
+    "sample_stratified",
+    "text_pii_redact",
+    "text_pack_sequences",
+    "text_prepare_corpus",
+    "mm_binary_metadata",
+    "mm_image_decode",
+    "mm_frame_sample",
+    "mm_featurize",
+    "mm_ppm_decode",
+    # re-confirmed in round 4 — freshest, go last
     "ts_hourly_rollup",
     "ts_daily_active_users",
     "ts_gap_fill_hours",
@@ -64,15 +117,9 @@ DRIVER_PRIORITY: list[str] = [
     "fn_json_extract",
     "win_lag_lead_events",
     "win_moving_avg",
-    # new or rewritten this round (incremental dedup; scale-safe global
-    # windows; materialized LSH / signature indexes)
-    "dedup_incremental_shard",
     "win_ntile_quartiles",
     "win_distribution",
     "sim_lsh_bucket_topk",
-    "dedup_minhash_lsh_pairs",
-    "dedup_connected_components",
-    # only driver evidence is round 1 — refresh oldest-first
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -106,14 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_histogram_buckets",
     "agg_exact_median",
     "win_rank_parts_by_price",
-    "win_topn_per_group",
-    "win_running_total",
-    "win_first_last",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
 ]
 
 

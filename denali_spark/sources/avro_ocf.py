@@ -317,10 +317,14 @@ def write_ocf(
     rows,
     sync: bytes | None = None,
     codec: str = "null",
+    extra_meta: dict[str, str] | None = None,
 ) -> int:
     """Write rows (iterable of per-field value tuples, ordered like the
     schema) as one OCF block per ~8k rows; returns row count. codec:
-    'null' (default) or 'deflate' (raw zlib per block, per the spec)."""
+    'null' (default) or 'deflate' (raw zlib per block, per the spec).
+    extra_meta adds application key-value pairs to the header metadata map
+    (e.g. Iceberg's required manifest keys: schema, partition-spec,
+    format-version, content)."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r}")
     sync = sync or os.urandom(16)
@@ -331,13 +335,17 @@ def write_ocf(
             fields.append((True, *_field_kind(t[1])))
         else:
             fields.append((False, *_field_kind(t)))
+    meta_entries = {
+        "avro.schema": json.dumps(avro_schema),
+        "avro.codec": codec,
+        **(extra_meta or {}),
+    }
     header = bytearray()
     header.extend(MAGIC)
-    _write_long(header, 2)  # metadata map: 2 entries
-    _write_str(header, "avro.schema")
-    _write_str(header, json.dumps(avro_schema))
-    _write_str(header, "avro.codec")
-    _write_str(header, codec)
+    _write_long(header, len(meta_entries))
+    for k, v in meta_entries.items():
+        _write_str(header, k)
+        _write_str(header, v)
     _write_long(header, 0)  # end of map
     header.extend(sync)
 
@@ -382,6 +390,13 @@ def write_ocf(
 
 def read_ocf(path: str):
     """Read an OCF → (avro_schema, list of per-field value tuples)."""
+    schema, rows, _meta = read_ocf_with_meta(path)
+    return schema, rows
+
+
+def read_ocf_with_meta(path: str):
+    """Read an OCF → (avro_schema, rows, header metadata map with the
+    avro.* keys stripped — i.e. the application metadata only)."""
     with open(path, "rb") as f:
         data = f.read()
     r = _Reader(data)
@@ -426,7 +441,10 @@ def read_ocf(path: str):
             rows.append(tuple(vals))
         if r.raw(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
-    return schema, rows
+    app_meta = {
+        k: v.decode() for k, v in meta.items() if not k.startswith("avro.")
+    }
+    return schema, rows, app_meta
 
 
 def field_names(avro_schema: dict) -> list[str]:

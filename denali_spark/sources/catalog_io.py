@@ -623,7 +623,7 @@ class SparkCatalogIO:
             for f in data_files:
                 f["sequence-number"] = seq
             manifest_loc = self._write_manifest_list(
-                md["location"], snapshot_id, prev_files + data_files
+                md, snapshot_id, prev_files + data_files
             )
             snapshot = {
                 "snapshot-id": snapshot_id,
@@ -750,12 +750,28 @@ class SparkCatalogIO:
         return entries
 
     def _write_manifest_list(
-        self, table_location: str, snapshot_id: int, files: list[dict]
+        self, md: dict, snapshot_id: int, files: list[dict]
     ) -> str:
+        """Write the snapshot's manifest list; the table's current schema
+        rides along so bounds are field-id-keyed binary single-values."""
         from denali_spark.sources.manifests import write_manifest_list
 
+        schema = None
+        for s in md.get("schemas", []):
+            if s.get("schema-id") == md.get("current-schema-id", 0):
+                schema = s
+                break
+        spec_fields = None
+        for spec in md.get("partition-specs", []):
+            if spec.get("spec-id") == md.get("default-spec-id", 0):
+                spec_fields = spec.get("fields", [])
+                break
         return write_manifest_list(
-            os.path.join(_fs_path(table_location), "metadata"), snapshot_id, files
+            os.path.join(_fs_path(md["location"]), "metadata"),
+            snapshot_id,
+            files,
+            schema=schema,
+            partition_spec=spec_fields,
         )
 
     # --- branches & tags (write-audit-publish) -----------------------------
@@ -845,7 +861,7 @@ class SparkCatalogIO:
         for f in files:
             f["sequence-number"] = 1
         snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
-        manifest_loc = self._write_manifest_list(md["location"], snapshot_id, files)
+        manifest_loc = self._write_manifest_list(md, snapshot_id, files)
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": None,

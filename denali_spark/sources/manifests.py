@@ -13,29 +13,49 @@ layout through the pure-Python OCF codec:
       └─ <uuid>-m<N>.avro             manifest_entry{status, snapshot_id,
                                       sequence_number, data_file{...}}
 
-Field names and nesting follow the Iceberg v2 manifest schemas. Two
-documented deviations, both flagged with an `x_` prefix or a property:
-- bounds/partition maps are keyed by column NAME with JSON-encoded values
-  (Iceberg keys by field id and uses its binary single-value serialization;
-  this engine's pruner — sources/expressions.py — consumes name-keyed
-  stats);
-- `x_schema_id` / `x_equality_columns` carry engine bookkeeping that
-  Iceberg stores elsewhere (manifest header metadata / field-id lists).
+Field names and nesting follow the Iceberg v2 manifest schemas. When the
+writer is given the table schema (every engine commit path passes it),
+column bounds and null counts are keyed by FIELD ID with Iceberg's binary
+single-value serialization (spec Appendix D: little-endian fixed-width
+numerics, UTF-8 strings, days/micros for date/timestamp), and the manifest
+OCF header carries the spec's key-value metadata (`schema`, `schema-id`,
+`partition-spec`, `partition-spec-id`, `format-version`, `content`). The
+engine's own pruner (sources/expressions.py) keeps consuming name-keyed
+stats through the `data_file_to_entry` adapter, which decodes the binary
+bounds back through the header schema.
 
-Legacy JSON manifest lists remain readable — the read path dispatches on
-the file extension, so pre-existing tables keep working.
+Remaining documented deviations from what pyiceberg/SparkCatalog could
+consume directly (full interop is environment-blocked here — no Iceberg
+jar/pyiceberg to test against, SURVEY §8):
+- `partition` values are a name-keyed JSON map, not the spec's r102
+  partition struct typed by the partition spec;
+- columns absent from the schema (or with non-encodable stat values) fall
+  back to name-keyed JSON bounds in `x_lower_bounds_json` /
+  `x_upper_bounds_json` / `x_null_counts_json`;
+- `x_schema_id` / `x_equality_columns` carry engine bookkeeping that
+  Iceberg stores elsewhere (manifest header metadata / field-id lists);
+- paths are local filesystem paths, not URIs.
+
+Legacy manifests remain readable: round-3 JSON lists dispatch on file
+extension, and round-4 Avro manifests (name-keyed string-map bounds) decode
+through their own embedded schema — the entry adapter handles both shapes.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
+import struct
 import uuid
 
-from denali_spark.sources.avro_ocf import read_ocf, write_ocf
+from denali_spark.sources.avro_ocf import read_ocf, read_ocf_with_meta, write_ocf
 
 CONTENT_TO_INT = {"data": 0, "position-deletes": 1, "equality-deletes": 2}
 INT_TO_CONTENT = {v: k for k, v in CONTENT_TO_INT.items()}
+
+FORMAT_VERSION = "2"
 
 
 def _nullable(t):
@@ -43,7 +63,24 @@ def _nullable(t):
 
 
 _STR_MAP = {"type": "map", "values": "string"}
-_LONG_MAP = {"type": "map", "values": "long"}
+
+
+def _kv_map(name: str, value_type: str) -> dict:
+    """Iceberg's Avro encoding of an int-keyed map: array of key/value
+    records with logicalType map (Avro maps only allow string keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": value_type},
+            ],
+        },
+    }
+
 
 DATA_FILE_SCHEMA = {
     "type": "record",
@@ -55,9 +92,14 @@ DATA_FILE_SCHEMA = {
         {"name": "partition", "type": _nullable(_STR_MAP)},
         {"name": "record_count", "type": _nullable("long")},
         {"name": "file_size_in_bytes", "type": "long"},
-        {"name": "null_value_counts", "type": _nullable(_LONG_MAP)},
-        {"name": "lower_bounds", "type": _nullable(_STR_MAP)},
-        {"name": "upper_bounds", "type": _nullable(_STR_MAP)},
+        # Spec-shaped stats: field-id-keyed, binary single-value bounds.
+        {"name": "null_value_counts", "type": _nullable(_kv_map("k121_v122", "long"))},
+        {"name": "lower_bounds", "type": _nullable(_kv_map("k126_v127", "bytes"))},
+        {"name": "upper_bounds", "type": _nullable(_kv_map("k129_v130", "bytes"))},
+        # Name-keyed JSON fallback for stats columns outside the schema.
+        {"name": "x_null_counts_json", "type": _nullable(_STR_MAP)},
+        {"name": "x_lower_bounds_json", "type": _nullable(_STR_MAP)},
+        {"name": "x_upper_bounds_json", "type": _nullable(_STR_MAP)},
         {"name": "equality_ids", "type": _nullable({"type": "array", "items": "int"})},
         {"name": "x_schema_id", "type": _nullable("int")},
         {"name": "x_equality_columns",
@@ -98,12 +140,136 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 
-def entry_to_data_file(e: dict) -> dict:
-    """Internal manifest-entry dict → spec-shaped data_file record."""
+# --- Iceberg single-value serialization (spec Appendix D) -------------------
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_NAIVE = datetime.datetime(1970, 1, 1)
+_EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _ts_micros(v: str) -> int:
+    dt = datetime.datetime.fromisoformat(v)
+    delta = dt - (_EPOCH_UTC if dt.tzinfo is not None else _EPOCH_NAIVE)
+    return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
+def encode_single_value(iceberg_type: str, v) -> bytes | None:
+    """Iceberg binary single-value serialization for the primitive types a
+    stats value can carry (the engine's internal stat representation —
+    `catalog_io._json_stat_value` — is int/float/ISO-string). Returns None
+    when the (type, value) pair has no lossless binary form, in which case
+    the writer falls back to name-keyed JSON for that column."""
+    try:
+        if iceberg_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if iceberg_type == "int":
+            return struct.pack("<i", v)
+        if iceberg_type == "long":
+            return struct.pack("<q", v)
+        if iceberg_type == "float":
+            return struct.pack("<f", v)
+        if iceberg_type == "double":
+            return struct.pack("<d", v)
+        if iceberg_type == "string" and isinstance(v, str):
+            return v.encode("utf-8")
+        if iceberg_type == "date" and isinstance(v, str):
+            return struct.pack("<i", (datetime.date.fromisoformat(v) - _EPOCH_DATE).days)
+        if iceberg_type in ("timestamp", "timestamptz") and isinstance(v, str):
+            return struct.pack("<q", _ts_micros(v))
+        if iceberg_type.startswith("decimal"):
+            p, s = iceberg_type.strip("decimal() ").replace(" ", "").split(",")
+            unscaled = int(
+                decimal.Decimal(str(v)).scaleb(int(s)).to_integral_value(
+                    decimal.ROUND_HALF_EVEN
+                )
+            )
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(length, "big", signed=True)
+    except (ValueError, TypeError, struct.error, decimal.InvalidOperation):
+        return None
+    return None  # uuid/fixed/binary/nested: never appear as engine stats
+
+
+def decode_single_value(iceberg_type: str, raw: bytes):
+    """Inverse of encode_single_value, back to the engine's internal stat
+    representation (numbers; ISO strings for date/timestamp — the exact
+    shape `catalog_io._json_stat_value` produces, so the pruner's
+    comparisons behave identically across a write/read round-trip)."""
+    if iceberg_type == "boolean":
+        return raw == b"\x01"
+    if iceberg_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    if iceberg_type == "date":
+        return (_EPOCH_DATE + datetime.timedelta(days=struct.unpack("<i", raw)[0])).isoformat()
+    if iceberg_type in ("timestamp", "timestamptz"):
+        us = struct.unpack("<q", raw)[0]
+        epoch = _EPOCH_UTC if iceberg_type == "timestamptz" else _EPOCH_NAIVE
+        return (epoch + datetime.timedelta(microseconds=us)).isoformat(sep=" ")
+    if iceberg_type.startswith("decimal"):
+        _p, s = iceberg_type.strip("decimal() ").replace(" ", "").split(",")
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return float(decimal.Decimal(unscaled).scaleb(-int(s)))
+    raise NotImplementedError(f"single-value decode for {iceberg_type!r}")
+
+
+def _schema_by_name(schema: dict | None) -> dict[str, tuple[int, str]]:
+    """name → (field-id, primitive type string) for top-level primitive
+    fields (nested types never carry top-level stats)."""
+    if not schema:
+        return {}
+    return {
+        f["name"]: (f["id"], f["type"])
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+
+
+def _schema_by_id(schema: dict | None) -> dict[int, tuple[str, str]]:
+    if not schema:
+        return {}
+    return {
+        f["id"]: (f["name"], f["type"])
+        for f in schema.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+
+
+def entry_to_data_file(e: dict, schema: dict | None = None) -> dict:
+    """Internal manifest-entry dict → spec-shaped data_file record. With a
+    schema, bounds/null-counts are field-id-keyed binary single-values;
+    columns outside the schema (or with non-encodable values) go to the
+    name-keyed JSON fallback fields."""
     stats = e.get("stats") or {}
-    lower = {c: json.dumps(s["min"]) for c, s in stats.items()} or None
-    upper = {c: json.dumps(s["max"]) for c, s in stats.items()} or None
-    nulls = {c: s.get("null-count", 0) for c, s in stats.items()} or None
+    by_name = _schema_by_name(schema)
+    lower: list[dict] = []
+    upper: list[dict] = []
+    nulls: list[dict] = []
+    jl: dict[str, str] = {}
+    ju: dict[str, str] = {}
+    jn: dict[str, str] = {}
+    for c, s in stats.items():
+        fid_type = by_name.get(c)
+        lo_b = hi_b = None
+        if fid_type is not None:
+            fid, ftype = fid_type
+            lo_b = encode_single_value(ftype, s["min"])
+            hi_b = encode_single_value(ftype, s["max"])
+        if lo_b is not None and hi_b is not None:
+            lower.append({"key": fid, "value": lo_b})
+            upper.append({"key": fid, "value": hi_b})
+            nulls.append({"key": fid, "value": s.get("null-count", 0)})
+        else:
+            jl[c] = json.dumps(s["min"])
+            ju[c] = json.dumps(s["max"])
+            jn[c] = json.dumps(s.get("null-count", 0))
     part = e.get("partition")
     return {
         "content": CONTENT_TO_INT[e.get("content", "data")],
@@ -112,16 +278,66 @@ def entry_to_data_file(e: dict) -> dict:
         "partition": {k: json.dumps(v) for k, v in part.items()} if part else None,
         "record_count": e.get("record-count"),
         "file_size_in_bytes": e.get("file-size-bytes", 0),
-        "null_value_counts": nulls,
-        "lower_bounds": lower,
-        "upper_bounds": upper,
+        "null_value_counts": nulls or None,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+        "x_null_counts_json": jn or None,
+        "x_lower_bounds_json": jl or None,
+        "x_upper_bounds_json": ju or None,
         "equality_ids": e.get("equality-field-ids"),
         "x_schema_id": e.get("schema-id"),
         "x_equality_columns": e.get("equality-columns"),
     }
 
 
-def data_file_to_entry(rec: dict, sequence_number: int | None) -> dict:
+def _decode_bounds(rec: dict, schema: dict | None) -> dict[str, dict]:
+    """Reassemble name-keyed stats from whichever shapes the record carries:
+    id-keyed binary k/v arrays (current writer), name-keyed JSON fallback
+    fields (current writer, schema-less columns), or the round-4 name-keyed
+    string maps in lower_bounds/upper_bounds (legacy files decode through
+    their own embedded schema, so those fields arrive as plain dicts)."""
+    stats: dict[str, dict] = {}
+    lower, upper = rec.get("lower_bounds"), rec.get("upper_bounds")
+    if isinstance(lower, list):  # id-keyed binary (logical map)
+        by_id = _schema_by_id(schema)
+        nulls = {
+            kv["key"]: kv["value"] for kv in (rec.get("null_value_counts") or [])
+        }
+        uppers = {kv["key"]: kv["value"] for kv in (upper or [])}
+        for kv in lower:
+            fid = kv["key"]
+            if fid not in by_id or fid not in uppers:
+                continue
+            name, ftype = by_id[fid]
+            stats[name] = {
+                "min": decode_single_value(ftype, kv["value"]),
+                "max": decode_single_value(ftype, uppers[fid]),
+                "null-count": nulls.get(fid, 0),
+            }
+    elif isinstance(lower, dict):  # legacy round-4 name-keyed JSON maps
+        nulls = rec.get("null_value_counts") or {}
+        for c in lower:
+            stats[c] = {
+                "min": json.loads(lower[c]),
+                "max": json.loads((upper or {})[c]),
+                "null-count": nulls.get(c, 0),
+            }
+    jl = rec.get("x_lower_bounds_json")
+    if jl:
+        ju = rec.get("x_upper_bounds_json") or {}
+        jn = rec.get("x_null_counts_json") or {}
+        for c in jl:
+            stats[c] = {
+                "min": json.loads(jl[c]),
+                "max": json.loads(ju[c]),
+                "null-count": json.loads(jn.get(c, "0")),
+            }
+    return stats
+
+
+def data_file_to_entry(
+    rec: dict, sequence_number: int | None, schema: dict | None = None
+) -> dict:
     """Spec-shaped data_file record → internal manifest-entry dict. Only
     keys that were present on write reappear, so round-trips are exact."""
     e: dict = {
@@ -138,43 +354,42 @@ def data_file_to_entry(rec: dict, sequence_number: int | None) -> dict:
         e["sequence-number"] = sequence_number
     if rec["partition"] is not None:
         e["partition"] = {k: json.loads(v) for k, v in rec["partition"].items()}
-    if rec["lower_bounds"] is not None:
-        nulls = rec["null_value_counts"] or {}
-        e["stats"] = {
-            c: {
-                "min": json.loads(rec["lower_bounds"][c]),
-                "max": json.loads(rec["upper_bounds"][c]),
-                "null-count": nulls.get(c, 0),
-            }
-            for c in rec["lower_bounds"]
-        }
+    stats = _decode_bounds(rec, schema)
+    if stats:
+        e["stats"] = stats
     if rec["equality_ids"] is not None:
         e["equality-field-ids"] = rec["equality_ids"]
-    if rec["x_schema_id"] is not None:
+    if rec.get("x_schema_id") is not None:
         e["schema-id"] = rec["x_schema_id"]
-    if rec["x_equality_columns"] is not None:
+    if rec.get("x_equality_columns") is not None:
         e["equality-columns"] = rec["x_equality_columns"]
     return e
 
 
-def _entry_record(e: dict, snapshot_id: int) -> dict:
+def _entry_record(e: dict, snapshot_id: int, schema: dict | None) -> dict:
     seq = e.get("sequence-number")
     return {
         "status": 1,  # added-or-carried; this engine rewrites lists per snapshot
         "snapshot_id": snapshot_id,
         "sequence_number": seq,
         "file_sequence_number": seq,
-        "data_file": entry_to_data_file(e),
+        "data_file": entry_to_data_file(e, schema),
     }
 
 
 def write_manifest_list(
-    metadata_dir: str, snapshot_id: int, entries: list[dict]
+    metadata_dir: str,
+    snapshot_id: int,
+    entries: list[dict],
+    schema: dict | None = None,
+    partition_spec: list | None = None,
 ) -> str:
     """Write the two-level Avro layout: data and delete entries go into
     separate manifests (Iceberg keeps delete manifests distinct so scan
     planning can load them independently), then one manifest-list names
-    both. Returns the manifest-list path."""
+    both. `schema` (the table's current Iceberg schema) enables field-id
+    binary bounds and is embedded in each manifest's header metadata for
+    the read adapter. Returns the manifest-list path."""
     os.makedirs(metadata_dir, exist_ok=True)
     groups: list[tuple[int, list[dict]]] = []
     data = [e for e in entries if e.get("content", "data") == "data"]
@@ -188,15 +403,27 @@ def write_manifest_list(
 
     def entry_rows(group):
         for e in group:
-            rec = _entry_record(e, snapshot_id)
+            rec = _entry_record(e, snapshot_id, schema)
             yield tuple(rec[name] for name in entry_fields)
 
     manifest_files = []
     base = uuid.uuid4().hex
     for i, (content, group) in enumerate(groups):
         mpath = os.path.join(metadata_dir, f"{base}-m{i}.avro")
-        write_ocf(mpath, MANIFEST_ENTRY_SCHEMA, entry_rows(group))
-        seqs = [e.get("sequence-number", 0) for e in group] or [0]
+        manifest_meta = {
+            "format-version": FORMAT_VERSION,
+            "content": "data" if content == 0 else "deletes",
+            "partition-spec": json.dumps(partition_spec or []),
+            "partition-spec-id": "0",
+        }
+        if schema is not None:
+            manifest_meta["schema"] = json.dumps(schema)
+            manifest_meta["schema-id"] = str(schema.get("schema-id", 0))
+        write_ocf(mpath, MANIFEST_ENTRY_SCHEMA, entry_rows(group), extra_meta=manifest_meta)
+        # `or 0` (not a default-key fallback): an explicit None sequence
+        # number — legal for the nullable manifest_entry field — must
+        # degrade to 0 like an absent one instead of breaking max()/min().
+        seqs = [(e.get("sequence-number") or 0) for e in group] or [0]
         manifest_files.append(
             {
                 "manifest_path": mpath,
@@ -226,6 +453,10 @@ def write_manifest_list(
             tuple(mf[f["name"]] for f in MANIFEST_FILE_SCHEMA["fields"])
             for mf in manifest_files
         ),
+        extra_meta={
+            "format-version": FORMAT_VERSION,
+            "snapshot-id": str(snapshot_id),
+        },
     )
     os.replace(tmp, list_path)
     return list_path
@@ -233,17 +464,21 @@ def write_manifest_list(
 
 def read_manifest_list(list_path: str) -> list[dict]:
     """Read the Avro manifest list → flat internal entry dicts (the shape
-    the whole data plane consumes)."""
+    the whole data plane consumes). Each manifest's bounds decode through
+    the schema in its own header metadata."""
     schema, rows = read_ocf(list_path)
     names = [f["name"] for f in schema["fields"]]
     entries: list[dict] = []
     for row in rows:
         mf = dict(zip(names, row))
-        mschema, mrows = read_ocf(mf["manifest_path"])
+        mschema, mrows, mmeta = read_ocf_with_meta(mf["manifest_path"])
+        table_schema = json.loads(mmeta["schema"]) if "schema" in mmeta else None
         mnames = [f["name"] for f in mschema["fields"]]
         for mrow in mrows:
             rec = dict(zip(mnames, mrow))
             entries.append(
-                data_file_to_entry(rec["data_file"], rec["sequence_number"])
+                data_file_to_entry(
+                    rec["data_file"], rec["sequence_number"], table_schema
+                )
             )
     return entries

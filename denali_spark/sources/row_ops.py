@@ -70,7 +70,7 @@ def _commit_cow(
         # Newly written files (no stamp yet) belong to THIS commit; files
         # carried over by reference keep their original sequence number.
         f.setdefault("sequence-number", seq)
-    manifest_loc = io._write_manifest_list(md["location"], snapshot_id, files)
+    manifest_loc = io._write_manifest_list(md, snapshot_id, files)
     snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": parent_id,

@@ -183,7 +183,7 @@ def test_orphan_manifests_from_failed_commit_are_removed(spark, io):
         spark.range(50, 60).select("id", (F.col("id") * 2).alias("v")), md["location"]
     )
     # stage the manifest set for a commit that never happens
-    orphan_list = io._write_manifest_list(md["location"], 999_999, data_files)
+    orphan_list = io._write_manifest_list(md, 999_999, data_files)
     orphan_manifests = [
         e["manifest_path"]
         for e in _manifest_file_records(orphan_list)

@@ -1,8 +1,11 @@
 """Spec-shaped Avro manifest round-trip tests (round-2 task #2 / round-3
-VERDICT item 7): the two-level manifest-list → manifest → entry layout must
-reproduce the internal entry dicts exactly, including stats, partitions,
-MoR delete metadata, and sequence numbers — and legacy JSON lists must stay
-readable through the same read path."""
+VERDICT item 7; round-4 VERDICT item 4): the two-level manifest-list →
+manifest → entry layout must reproduce the internal entry dicts exactly,
+including stats, partitions, MoR delete metadata, and sequence numbers.
+With a table schema, bounds round-trip through Iceberg's field-id-keyed
+binary single-value serialization; without one they fall back to
+name-keyed JSON — and legacy JSON lists must stay readable through the
+same read path."""
 
 from __future__ import annotations
 
@@ -13,10 +16,25 @@ from denali_spark.sources.manifests import (
     DATA_FILE_SCHEMA,
     MANIFEST_ENTRY_SCHEMA,
     data_file_to_entry,
+    decode_single_value,
+    encode_single_value,
     entry_to_data_file,
     read_manifest_list,
     write_manifest_list,
 )
+
+# Table schema for ENTRIES[0]'s stats columns (field ids are what the
+# binary bounds are keyed by).
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 1,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+        {"id": 3, "name": "price", "required": False, "type": "double"},
+        {"id": 4, "name": "day", "required": False, "type": "date"},
+    ],
+}
 
 ENTRIES = [
     {  # plain data file with stats
@@ -71,6 +89,95 @@ def test_roundtrip_entries_exact(tmp_path):
     )
 
 
+def test_roundtrip_entries_exact_with_schema(tmp_path):
+    """With the table schema, bounds travel as field-id-keyed binary
+    single-values — and still reproduce the internal entries exactly."""
+    loc = write_manifest_list(
+        str(tmp_path / "metadata"), 778, [dict(e) for e in ENTRIES], schema=SCHEMA
+    )
+    got = read_manifest_list(loc)
+    assert sorted(got, key=lambda e: e["path"]) == sorted(
+        [dict(e) for e in ENTRIES], key=lambda e: e["path"]
+    )
+    # the on-disk record really is id-keyed binary, not name-keyed JSON
+    from denali_spark.sources.avro_ocf import read_ocf, read_ocf_with_meta
+
+    lschema, lrows = read_ocf(loc)
+    lnames = [f["name"] for f in lschema["fields"]]
+    data_manifest = dict(zip(lnames, lrows[0]))["manifest_path"]
+    mschema, mrows, mmeta = read_ocf_with_meta(data_manifest)
+    assert json.loads(mmeta["schema"]) == SCHEMA
+    assert mmeta["format-version"] == "2"
+    assert mmeta["content"] == "data"
+    assert "partition-spec" in mmeta
+    mnames = [f["name"] for f in mschema["fields"]]
+    recs = {r["data_file"]["file_path"]: r["data_file"]
+            for r in (dict(zip(mnames, row)) for row in mrows)}
+    df = recs["/wh/t/data/a.parquet"]
+    assert df["x_lower_bounds_json"] is None  # nothing fell back
+    ids = {kv["key"] for kv in df["lower_bounds"]}
+    assert ids == {1, 2, 3, 4}
+    by_id = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+    assert by_id[1] == (1).to_bytes(8, "little")  # long, little-endian
+    assert by_id[2] == b"aaa"  # string, utf-8
+
+
+def test_single_value_serialization():
+    import struct
+
+    cases = [
+        ("boolean", True, b"\x01"),
+        ("int", -7, struct.pack("<i", -7)),
+        ("long", 1 << 40, struct.pack("<q", 1 << 40)),
+        ("float", 1.5, struct.pack("<f", 1.5)),
+        ("double", -2.25, struct.pack("<d", -2.25)),
+        ("string", "héllo", "héllo".encode()),
+        ("date", "2024-03-31", struct.pack("<i", 19813)),
+        ("timestamp", "2024-01-01 00:00:01.000002",
+         struct.pack("<q", 1704067201000002)),
+        ("decimal(9, 2)", 12.34, (1234).to_bytes(2, "big", signed=True)),
+    ]
+    for t, v, raw in cases:
+        assert encode_single_value(t, v) == raw, t
+        assert decode_single_value(t, raw) == v, t
+    # non-encodable (type mismatch) → None → JSON fallback path
+    assert encode_single_value("int", -1.5) is None
+    assert encode_single_value("date", 42) is None
+
+
+def test_none_sequence_number_degrades_to_zero(tmp_path):
+    """An explicit None sequence-number (legal for the nullable
+    manifest_entry field) must behave like an absent one, not break
+    max()/min() over the manifest's sequence range."""
+    entry = {k: v for k, v in ENTRIES[0].items()}
+    entry["sequence-number"] = None
+    loc = write_manifest_list(str(tmp_path / "m"), 11, [entry], schema=SCHEMA)
+    from denali_spark.sources.avro_ocf import read_ocf
+
+    lschema, lrows = read_ocf(loc)
+    lnames = [f["name"] for f in lschema["fields"]]
+    mf = dict(zip(lnames, lrows[0]))
+    assert mf["sequence_number"] == 0 and mf["min_sequence_number"] == 0
+
+
+def test_pruner_reads_decoded_binary_bounds(tmp_path):
+    """The expression pruner consumes the adapter's name-keyed stats — a
+    predicate outside the binary-decoded bounds prunes the file, one inside
+    keeps it."""
+    from denali_spark.sources.expressions import file_might_match
+
+    loc = write_manifest_list(
+        str(tmp_path / "m"), 12, [dict(ENTRIES[0])], schema=SCHEMA
+    )
+    [entry] = read_manifest_list(loc)
+    gt = {"type": "gt", "term": "id", "value": 1000}   # max(id)=100 → prune
+    lt = {"type": "lt", "term": "id", "value": 50}     # min(id)=1 → keep
+    day_gt = {"type": "gt", "term": "day", "value": "2024-06-01"}  # prune
+    assert not file_might_match(gt, entry["stats"])
+    assert file_might_match(lt, entry["stats"])
+    assert not file_might_match(day_gt, entry["stats"])
+
+
 def test_data_and_delete_manifests_are_separate(tmp_path):
     loc = write_manifest_list(str(tmp_path / "m"), 1, [dict(e) for e in ENTRIES])
     from denali_spark.sources.avro_ocf import read_ocf
@@ -92,14 +199,21 @@ def test_empty_snapshot_has_empty_data_manifest(tmp_path):
 
 
 def test_single_entry_mapping_is_spec_shaped():
+    # Without a schema every stats column takes the name-keyed JSON fallback.
     rec = entry_to_data_file(ENTRIES[0])
     assert rec["file_path"] == ENTRIES[0]["path"]
     assert rec["file_format"] == "PARQUET"
     assert rec["content"] == 0
-    assert json.loads(rec["lower_bounds"]["id"]) == 1
-    assert rec["null_value_counts"]["name"] == 2
+    assert rec["lower_bounds"] is None
+    assert json.loads(rec["x_lower_bounds_json"]["id"]) == 1
+    assert json.loads(rec["x_null_counts_json"]["name"]) == 2
     back = data_file_to_entry(rec, 3)
     assert back == ENTRIES[0]
+    # With the schema the same entry maps to id-keyed binary bounds.
+    rec2 = entry_to_data_file(ENTRIES[0], SCHEMA)
+    assert rec2["x_lower_bounds_json"] is None
+    assert {kv["key"] for kv in rec2["upper_bounds"]} == {1, 2, 3, 4}
+    assert data_file_to_entry(rec2, 3, SCHEMA) == ENTRIES[0]
     # schema sanity: every record field name is spec or x_-prefixed
     spec_names = {
         "content", "file_path", "file_format", "partition", "record_count",
@@ -112,6 +226,71 @@ def test_single_entry_mapping_is_spec_shaped():
         "status", "snapshot_id", "sequence_number", "file_sequence_number",
         "data_file",
     ]
+
+
+def test_legacy_round4_avro_manifest_still_reads(tmp_path):
+    """Round-4 manifests carried name-keyed string-map bounds in
+    lower_bounds/upper_bounds; they decode through their own embedded
+    schema and must keep reading after the id-keyed change."""
+    from denali_spark.sources.avro_ocf import write_ocf
+
+    str_map = {"type": "map", "values": "string"}
+    long_map = {"type": "map", "values": "long"}
+    legacy_df_schema = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": ["null", str_map]},
+            {"name": "record_count", "type": ["null", "long"]},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "null_value_counts", "type": ["null", long_map]},
+            {"name": "lower_bounds", "type": ["null", str_map]},
+            {"name": "upper_bounds", "type": ["null", str_map]},
+            {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]},
+            {"name": "x_schema_id", "type": ["null", "int"]},
+            {"name": "x_equality_columns",
+             "type": ["null", {"type": "array", "items": "string"}]},
+        ],
+    }
+    legacy_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": legacy_df_schema},
+        ],
+    }
+    mpath = str(tmp_path / "legacy-m0.avro")
+    df_rec = {
+        "content": 0,
+        "file_path": "/wh/t/data/a.parquet",
+        "file_format": "PARQUET",
+        "partition": None,
+        "record_count": 100,
+        "file_size_in_bytes": 2048,
+        "null_value_counts": {"id": 0},
+        "lower_bounds": {"id": "1"},
+        "upper_bounds": {"id": "100"},
+        "equality_ids": None,
+        "x_schema_id": None,
+        "x_equality_columns": None,
+    }
+    write_ocf(mpath, legacy_entry_schema, [(1, 777, 3, 3, df_rec)])
+    lpath = str(tmp_path / "snap-777.manifest-list.avro")
+    mf = (mpath, os.path.getsize(mpath), 0, 0, 3, 3, 777, 1, 0, 0, 100, 0, 0)
+    from denali_spark.sources.manifests import MANIFEST_FILE_SCHEMA
+
+    write_ocf(lpath, MANIFEST_FILE_SCHEMA, [mf])
+    [entry] = read_manifest_list(lpath)
+    assert entry["path"] == "/wh/t/data/a.parquet"
+    assert entry["stats"] == {"id": {"min": 1, "max": 100, "null-count": 0}}
+    assert entry["sequence-number"] == 3
 
 
 def test_legacy_json_manifest_list_still_reads(tmp_path):

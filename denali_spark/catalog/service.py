@@ -261,9 +261,32 @@ def register_table(state: State, m, q, body):
 
 
 def load_table(state: State, m, q, body):
+    """Spec-correct `snapshots=` handling: `all` (default) returns the full
+    snapshot list, `refs` only the snapshots reachable from a branch/tag
+    head through parent-snapshot-id chains. The reference ignores the param
+    entirely (routes/tables.go:194, SURVEY §7.5 bug-not-to-replicate)."""
     levels = parse_ns(m.group("ns"))
     _, info = _table_info(state, levels, m.group("t"))
     md = meta.read_table_metadata(info.metadata_location)
+    mode = (q.get("snapshots") or ["all"])[0].lower()
+    if mode == "refs":
+        md = dict(md)
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        reachable: set[int] = set()
+        stack = [r["snapshot-id"] for r in md.get("refs", {}).values()]
+        while stack:
+            sid = stack.pop()
+            if sid in reachable or sid not in by_id:
+                continue
+            reachable.add(sid)
+            parent = by_id[sid].get("parent-snapshot-id")
+            if parent is not None:
+                stack.append(parent)
+        md["snapshots"] = [
+            s for s in md.get("snapshots", []) if s["snapshot-id"] in reachable
+        ]
+    elif mode != "all":
+        raise BadRequest(f"invalid snapshots mode {mode!r}: expected all|refs")
     return 200, {
         "metadata-location": info.metadata_location,
         "metadata": md,

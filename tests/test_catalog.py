@@ -171,6 +171,49 @@ def test_commit_appends_snapshot(catalog):
     assert md["last-sequence-number"] >= 1
 
 
+def test_load_table_snapshots_refs_filter(catalog):
+    """`snapshots=refs` must return only ref-reachable snapshots (head +
+    parent chain); the reference ignores the param (routes/tables.go:194) —
+    spec-correct behavior here, per SURVEY §7.5."""
+    catalog.create_namespace(["c1b"])
+    created = catalog.create_table(["c1b"], "t", SCHEMA_ID_NAME)
+    uuid = created["metadata"]["table-uuid"]
+
+    def snap(sid, parent=None):
+        s = {"snapshot-id": sid, "sequence-number": 1, "timestamp-ms": sid,
+             "manifest-list": "x.json", "summary": {"operation": "append"},
+             "schema-id": 0}
+        if parent is not None:
+            s["parent-snapshot-id"] = parent
+        return s
+
+    catalog.commit_table(
+        ["c1b"], "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": uuid}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": snap(1001)},
+            {"action": "add-snapshot", "snapshot": snap(1002, parent=1001)},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "snapshot-id": 1002, "type": "branch"},
+            {"action": "add-snapshot", "snapshot": snap(2001)},  # unreferenced
+        ],
+    )
+    s, full = catalog._request("GET", "/v1/namespaces/c1b/tables/t")
+    assert {x["snapshot-id"] for x in full["metadata"]["snapshots"]} == {
+        1001, 1002, 2001,
+    }
+    s, refs = catalog._request(
+        "GET", "/v1/namespaces/c1b/tables/t", query="snapshots=refs"
+    )
+    assert {x["snapshot-id"] for x in refs["metadata"]["snapshots"]} == {1001, 1002}
+    assert refs["metadata"]["refs"]["main"]["snapshot-id"] == 1002
+    with pytest.raises(CatalogHTTPError) as exc:
+        catalog._request(
+            "GET", "/v1/namespaces/c1b/tables/t", query="snapshots=bogus"
+        )
+    assert exc.value.status == 400
+
+
 def test_commit_requirement_violation_409(catalog):
     catalog.create_namespace(["c2"])
     catalog.create_table(["c2"], "t", SCHEMA_ID_NAME)

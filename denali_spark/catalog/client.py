@@ -15,6 +15,11 @@ from urllib.parse import quote
 UNIT_SEP = "\x1f"
 
 
+class CatalogError(Exception):
+    """Client-detected protocol violation (e.g. a server paging loop) —
+    distinct from CatalogHTTPError, which carries a server status code."""
+
+
 class CatalogHTTPError(Exception):
     def __init__(self, status: int, payload: dict):
         self.status = status
@@ -81,11 +86,18 @@ class CatalogClient:
             token = payload.get("next-page-token")
             # The spec allows an EMPTY page carrying a valid token (e.g. a
             # server skipping a tombstoned range), so an empty page must NOT
-            # end the walk. Terminate only on a missing/empty token; a
-            # repeated token is a degenerate server that would loop forever —
-            # stop and return what we have.
-            if not token or token in seen:
+            # end the walk. Terminate only on a missing/empty token. A
+            # repeated token is a degenerate server that would loop forever:
+            # raise rather than silently return a possibly-partial listing
+            # as success (callers could not tell the difference, masking
+            # server paging bugs).
+            if not token:
                 return out
+            if token in seen:
+                raise CatalogError(
+                    f"server repeated next-page-token {token!r} while paging "
+                    f"{path}: listing may be incomplete (server paging bug)"
+                )
             seen.add(token)
 
     def list_namespaces(

@@ -1,0 +1,67 @@
+"""Materialized-index cache discipline shared by the ingest-time index
+builders (MinHash signatures, LSH buckets, IVF inverted lists).
+
+Layout: ``<tmp>/denali-<kind>-index-<uid>/<name>-<fingerprint>`` — the uid
+suffix keeps the world-writable temp root from colliding across users (or
+being pre-created by one), and the fingerprint (corpus file identity +
+index geometry) invalidates the cache when either changes.
+
+Build protocol: write to a process-private temp dir, atomic-rename into
+place, first writer wins. The read side gates HARD on the _SUCCESS marker:
+a partial directory left by a crashed build — or any foreign directory at
+the cache path — raises instead of being silently consumed as the index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cache_root(kind: str) -> str:
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"denali-{kind}-index-{uid}")
+
+
+def corpus_fingerprint(sf_dir: str, table: str, geometry: str) -> str:
+    """Identity of (corpus file, index geometry): path + size + mtime_ns +
+    the geometry string. Any regeneration or retune produces a new key."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    st = os.stat(src)
+    return hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{geometry}".encode()
+    ).hexdigest()[:16]
+
+
+def materialize_parquet(
+    spark: SparkSession,
+    path: str,
+    build,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Build-once/read-many parquet materialization at `path`; `build` is a
+    thunk returning the DataFrame to persist (only invoked on cache miss)."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = build()
+        tmp = f"{path}.tmp-{os.getpid()}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is equivalent
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"materialized index at {path} is unusable: no _SUCCESS "
+                "marker after the build/rename attempt (stale partial from "
+                "a crashed build, or a foreign directory at the cache "
+                "path). Remove the directory and retry."
+            )
+    return spark.read.parquet(path)

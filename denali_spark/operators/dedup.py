@@ -158,9 +158,6 @@ def _with_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-_SIG_INDEX_ROOT = "/tmp/denali-minhash-index"
-
-
 def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized MinHash signature relation (doc_id, shingle-hash set,
     sig_0..15), computed ONCE per corpus and persisted as parquet — the
@@ -171,27 +168,23 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards) reads the index; per-branch parquet re-scans then prune to
     exactly the columns each branch needs (bands: sigs; verification: hs).
 
-    Fingerprinted by corpus file identity + LSH geometry; atomic-rename
-    build, first writer wins."""
-    import hashlib
+    Cache discipline (per-user root, fingerprint invalidation, atomic
+    rename, hard _SUCCESS gate): engine.index_cache."""
     import os
-    import shutil
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(_SIG_INDEX_ROOT, f"sigs-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sig = _with_signatures(load_table(spark, sf_dir, "documents"))
-        tmp = f"{path}.tmp-{os.getpid()}"
-        sig.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is equivalent
-    return spark.read.parquet(path)
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        materialize_parquet,
+    )
+
+    key = corpus_fingerprint(
+        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
+    )
+    path = os.path.join(cache_root("minhash"), f"sigs-{key}")
+    return materialize_parquet(
+        spark, path, lambda: _with_signatures(load_table(spark, sf_dir, "documents"))
+    )
 
 
 _SQL_SIG_BASE = f"""
@@ -718,6 +711,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 4. n-gram Jaccard (inverted index) -----------------------------------
 
 
+def ngram_candidate_pairs(sh: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Inverted-index candidate pairs (i, j, inter) over a shingle relation
+    (doc_id, s: array<string>). With `max_df`, shingles whose document
+    frequency exceeds the cap are dropped BEFORE the self-join — a shingle
+    shared by k documents contributes k² join rows, so one hot boilerplate
+    shingle ("all rights reserved...") at corpus scale would otherwise
+    dominate the whole shuffle. The heavy-hitter set is tiny by definition
+    and broadcasts into an anti-join. Dropped shingles undercount `inter`
+    (jac becomes a lower bound) — the standard precision-preserving,
+    recall-trading cap every production near-dup pipeline applies."""
+    ex = sh.select("doc_id", F.explode("s").alias("sg"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sg")
+        )
+        ex = ex.join(F.broadcast(hot), "sg", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, "sg")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
@@ -741,13 +762,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "jaccard", "inverted-index"),
 )
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """Exact Jaccard ≥ 0.3 pairs via the inverted-index pattern: explode
     distinct shingles, equi-join on shingle (only docs sharing content meet),
     count shared shingles per pair. Work is proportional to true overlap —
-    the standard exact-near-dup formulation at corpus scale. (A production
-    run would first drop stop-shingles with document frequency above a cap
-    to bound per-key fanout; the synthetic corpus needs no such cap.)"""
+    the standard exact-near-dup formulation at corpus scale. `max_df` caps
+    per-shingle fanout for production corpora (see ngram_candidate_pairs);
+    default off — the synthetic corpus needs no cap and the driver oracle
+    replays the exact uncapped pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     # Persisted: the shingle relation feeds 4 plan branches (both sides of
@@ -759,14 +783,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("s") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ex = sh.select("doc_id", F.explode("s").alias("sg"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(b, "sg")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    cand = ngram_candidate_pairs(sh, max_df)
     sizes = sh.select("doc_id", F.size("s").alias("ln"))
     jac_expr = F.col("inter") / (F.col("x_ln") + F.col("y_ln") - F.col("inter"))
     return (

@@ -158,9 +158,6 @@ def _sql_tables(e: str = "e") -> str:
     )
 
 
-_INDEX_ROOT = "/tmp/denali-sim-index"
-
-
 def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized LSH bucket index: the (vec_id, t, bucket) relation,
     hashed ONCE per corpus and persisted as parquet, then only *read* by
@@ -169,22 +166,21 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-off backfill), not per query; the index is ~3 longs/table/vector,
     orders of magnitude smaller than the embeddings themselves.
 
-    The on-disk copy is fingerprinted by the corpus file identity
-    (path, size, mtime) and the LSH geometry, so a regenerated corpus or a
-    retuned table/plane count invalidates it automatically. Build is
-    concurrency-safe: write to a process-private temp dir, atomic-rename
-    into place, first writer wins."""
-    import hashlib
+    Cache discipline (per-user root, fingerprint invalidation by corpus
+    identity + LSH geometry, atomic rename, hard _SUCCESS gate):
+    engine.index_cache."""
     import os
-    import shutil
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|T{N_TABLES}P{N_PLANES}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(_INDEX_ROOT, f"buckets-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        materialize_parquet,
+    )
+
+    key = corpus_fingerprint(sf_dir, "embeddings", f"T{N_TABLES}P{N_PLANES}")
+    path = os.path.join(cache_root("sim"), f"buckets-{key}")
+
+    def _build() -> DataFrame:
         v = _vecs(spark, sf_dir)
         tb = F.explode(
             F.array(*[
@@ -192,14 +188,9 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for t in range(N_TABLES)
             ])
         )
-        b = v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
-        tmp = f"{path}.tmp-{os.getpid()}"
-        b.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is equivalent
-    return spark.read.parquet(path)
+        return v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
+
+    return materialize_parquet(spark, path, _build)
 
 
 @query(
@@ -361,9 +352,6 @@ IVF_STRIDE = 97  # ~n/97 coarse centroids
 IVF_NPROBE = 2
 
 
-_IVF_INDEX_ROOT = "/tmp/denali-ivf-index"
-
-
 def _centroids(v: DataFrame) -> DataFrame:
     return v.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
@@ -378,35 +366,33 @@ def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nprobe lists — Spark prunes the cid partitions, so the scan cost is
     nprobe/k of the corpus, which is the entire point of IVF at 100 TB.
 
-    Fingerprinted by corpus file identity + stride; atomic-rename build."""
-    import hashlib
+    Cache discipline (per-user root, fingerprint invalidation by corpus
+    identity + stride, atomic rename, hard _SUCCESS gate):
+    engine.index_cache."""
     import os
-    import shutil
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|S{IVF_STRIDE}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(_IVF_INDEX_ROOT, f"lists-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        materialize_parquet,
+    )
+
+    key = corpus_fingerprint(sf_dir, "embeddings", f"S{IVF_STRIDE}")
+    path = os.path.join(cache_root("ivf"), f"lists-{key}")
+
+    def _build() -> DataFrame:
         v = _vecs(spark, sf_dir)
         arn_w = Window.partitionBy("vec_id").orderBy(
             F.desc(cosine(F.col("e"), F.col("ce"))), "cid"
         )
-        assigned = (
+        return (
             v.crossJoin(F.broadcast(_centroids(v)))
             .withColumn("arn", F.row_number().over(arn_w))
             .filter(F.col("arn") == 1)
             .select("vec_id", "e", "cid")
         )
-        tmp = f"{path}.tmp-{os.getpid()}"
-        assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is equivalent
-    return spark.read.parquet(path)
+
+    return materialize_parquet(spark, path, _build, partition_by="cid")
 
 
 @query(

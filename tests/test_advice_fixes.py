@@ -207,8 +207,11 @@ def test_paged_walk_survives_empty_page_with_token(monkeypatch):
     assert [t["name"] for t in out] == ["a", "b"]
 
 
-def test_paged_walk_terminates_on_repeated_token(monkeypatch):
-    from denali_spark.catalog.client import CatalogClient
+def test_paged_walk_raises_on_repeated_token(monkeypatch):
+    """A degenerate server repeating a next-page-token must raise (round-4
+    ADVICE): silently returning a partial listing as success would mask
+    server paging bugs from every caller."""
+    from denali_spark.catalog.client import CatalogClient, CatalogError
 
     client = CatalogClient.__new__(CatalogClient)
 
@@ -217,8 +220,8 @@ def test_paged_walk_terminates_on_repeated_token(monkeypatch):
         return 200, {"tables": [{"name": "x"}], "next-page-token": "same"}
 
     monkeypatch.setattr(client, "_request", fake_request)
-    out = client._paged_get("/v1/namespaces/x/tables", "tables", "", page_size=1)
-    assert [t["name"] for t in out] == ["x", "x"]
+    with pytest.raises(CatalogError, match="repeated next-page-token"):
+        client._paged_get("/v1/namespaces/x/tables", "tables", "", page_size=1)
 
 
 def test_avro_timestamp_micros_is_exact():

@@ -64,3 +64,40 @@ def test_incremental_jaccard_values_are_exact(spark):
     got = dedup_incremental_pairs(spark, SF, shard).collect()
     self_pair = [r for r in got if r.corpus_doc_id == 7]
     assert len(self_pair) == 1 and self_pair[0].jac == 1.0
+
+
+def test_ngram_max_df_caps_hot_shingle_fanout(spark):
+    """One boilerplate shingle shared by every doc must not explode the
+    inverted-index self-join: with max_df the hot shingle is dropped before
+    candidate generation, leaving only genuinely-overlapping pairs; the
+    true near-dup pair survives through its other shared shingles."""
+    from denali_spark.operators.dedup import ngram_candidate_pairs, shingles_col, tokens_col
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(8)]
+    # docs 100/101: true near-dups (share all content shingles)
+    rows += [
+        (100, f"{boiler} shared one two three four five six"),
+        (101, f"{boiler} shared one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select("doc_id", shingles_col(tokens_col()).alias("s")).filter(
+        F.size("s") > 0
+    )
+    uncapped = {(r.i, r.j) for r in ngram_candidate_pairs(sh).collect()}
+    capped = {(r.i, r.j) for r in ngram_candidate_pairs(sh, max_df=5).collect()}
+    # every doc pair met through the boilerplate shingles → full cross
+    assert len(uncapped) == 45  # C(10,2)
+    assert capped == {(100, 101)}  # only the real overlap remains
+
+
+def test_ngram_max_df_off_is_unchanged(spark, duck):
+    """Cap off must be byte-identical to the registered driver query (the
+    oracle replays the exact uncapped pipeline)."""
+    from denali_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    base = dedup_ngram_jaccard_pairs(spark, SF)
+    relaxed = dedup_ngram_jaccard_pairs(spark, SF, max_df=None)
+    a = sorted((r.i, r.j, r.inter, r.jac) for r in base.collect())
+    b = sorted((r.i, r.j, r.inter, r.jac) for r in relaxed.collect())
+    assert a == b

@@ -74,3 +74,35 @@ def test_ivf_lists_partitioned_by_centroid(spark, tmp_path):
     assert len(parts) == n_cents > 0
     # reuse on identical corpus
     assert ivf_inverted_lists(spark, d).inputFiles()[0] == lists.inputFiles()[0]
+
+
+def test_partial_index_directory_raises_not_consumed(spark, tmp_path):
+    """A directory at the cache path without _SUCCESS (crashed build, or a
+    foreign pre-created dir at the predictable path) must raise — not be
+    silently consumed as the index (round-4 ADVICE)."""
+    import pytest
+
+    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
+
+    d = _copy_sf(tmp_path, ["embeddings"])
+    from denali_spark.operators.similarity import N_PLANES, N_TABLES, lsh_bucket_index
+
+    key = corpus_fingerprint(d, "embeddings", f"T{N_TABLES}P{N_PLANES}")
+    path = os.path.join(cache_root("sim"), f"buckets-{key}")
+    # Partial leftover: data files but no _SUCCESS (a crashed build). An
+    # EMPTY dir would be atomically replaced by the rebuild's rename — the
+    # dangerous case is the non-empty one, which blocks the rename.
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    try:
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            lsh_bucket_index(spark, d)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_cache_root_is_per_user():
+    from denali_spark.engine.index_cache import cache_root
+
+    assert cache_root("sim").endswith(f"-{os.getuid()}")

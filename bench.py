@@ -84,6 +84,48 @@ def _time(fn, runs: int = 2) -> float:
         best = min(best, time.perf_counter() - start)
     return round(best, 3)
 
+
+def lsh_search_probe(spark, sf_dir: str):
+    """External-probe ANN over the materialized LSH bucket index: the
+    query-time path of a vector pipeline (probe batch hashes, broadcasts
+    into the bucket join, exact-reranks its candidates). ~0.5% of the
+    corpus as the probe batch."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.similarity import sim_lsh_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 197 == 13).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return sim_lsh_search(spark, sf_dir, probes, k=5)
+
+
+def index_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Ingest-time-index economics, logged once per bench run: the one-off
+    cold build of the MinHash signature index vs the per-query warm read.
+    The gap is the entire point of hash-once/query-many — every dedup
+    consumer pays the read, only ingest pays the build."""
+    import shutil
+
+    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
+    from denali_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_PARAMS,
+        N_BANDS,
+        minhash_signature_index,
+    )
+
+    key = corpus_fingerprint(
+        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
+    )
+    path = os.path.join(cache_root("minhash"), f"sigs-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    cold = _time(lambda: minhash_signature_index(spark, sf_dir).count(), runs=1)
+    warm = _time(lambda: minhash_signature_index(spark, sf_dir).count())
+    return {"minhash_cold_build": cold, "minhash_warm_read": warm}
+
 HEADLINE = [
     # Relational core (TPC-H adaptations)
     "q1_pricing_summary",
@@ -100,6 +142,7 @@ HEADLINE = [
     "ts_sessionize",
     # LLM-pipeline scale ops (the engine's beyond-parity surface)
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental_shard",
     "sim_lsh_bucket_topk",
     "text_quality_score",
     "text_prepare_corpus",
@@ -125,8 +168,17 @@ def main() -> None:
     # warm run is the per-query cost that actually scales with data volume.
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    # Ingest-time-index economics first (this also leaves the signature
+    # index warm for the dedup queries below, like a real pipeline would).
+    try:
+        index = index_timings(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — extras must never break the contract line
+        index = None
     for name in names:
         timings[name] = _time(lambda: REGISTRY[name].fn(spark, sf_dir).count())
+    timings["sim_lsh_search_probe"] = _time(
+        lambda: lsh_search_probe(spark, sf_dir).count()
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,6 +189,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    if index is not None:
+        result["index"] = index
 
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         try:

@@ -15,9 +15,10 @@ from urllib.parse import quote
 UNIT_SEP = "\x1f"
 
 
-class CatalogError(Exception):
+class ClientProtocolError(Exception):
     """Client-detected protocol violation (e.g. a server paging loop) —
-    distinct from CatalogHTTPError, which carries a server status code."""
+    distinct from CatalogHTTPError, which carries a server status code,
+    and from the server-side errors.CatalogError hierarchy."""
 
 
 class CatalogHTTPError(Exception):
@@ -94,7 +95,7 @@ class CatalogClient:
             if not token:
                 return out
             if token in seen:
-                raise CatalogError(
+                raise ClientProtocolError(
                     f"server repeated next-page-token {token!r} while paging "
                     f"{path}: listing may be incomplete (server paging bug)"
                 )

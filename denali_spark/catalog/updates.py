@@ -162,6 +162,26 @@ def _set_snapshot_ref(md: dict, u: dict) -> None:
 
 def _remove_snapshots(md: dict, u: dict) -> None:
     ids = set(u.get("snapshot-ids") or [])
+    # Ref-protected expire: a snapshot referenced by a branch/tag in the
+    # CURRENT metadata must never be dropped. This is evaluated under the
+    # commit lock, so it also catches a ref created AFTER the expiring
+    # client loaded the table — a race the client's assert-ref-snapshot-id
+    # requirements cannot see (it can only pin refs it observed). Without
+    # this, the client's post-commit manifest cleanup would turn that
+    # metadata race into irreversible data-plane loss.
+    from denali_spark.catalog.errors import CommitConflict
+
+    still_referenced = {
+        name: r["snapshot-id"]
+        for name, r in md.get("refs", {}).items()
+        if r["snapshot-id"] in ids
+    }
+    if still_referenced:
+        raise CommitConflict(
+            "remove-snapshots would drop snapshots currently referenced by "
+            f"refs {still_referenced}: expire must exclude ref targets "
+            "(reload and recompute)"
+        )
     md["snapshots"] = [s for s in md["snapshots"] if s["snapshot-id"] not in ids]
     # Matching Iceberg's expire behavior: snapshot-log entries pointing at a
     # removed snapshot are dropped in the same commit, so TIMESTAMP AS OF

@@ -47,30 +47,58 @@ def expire_snapshots(
     commit succeeds — every commit here writes a fresh manifest set, so no
     live snapshot can share them, and without cleanup the metadata/
     directory grows one file set per commit forever. Data files are never
-    touched (that is remove_orphan_files' job, with its retention guard)."""
-    md = io.client.load_table(namespace, name)["metadata"]
-    snaps = sorted(md.get("snapshots", []), key=lambda s: s["timestamp-ms"])
-    protected = {r["snapshot-id"] for r in md.get("refs", {}).values()}
-    if md.get("current-snapshot-id") is not None:
-        protected.add(md["current-snapshot-id"])
-    removable = [s for s in snaps if s["snapshot-id"] not in protected]
-    if keep_last > 1:
-        removable = removable[: -(keep_last - 1)] if keep_last - 1 < len(removable) else []
-    if older_than_ms is not None:
-        removable = [s for s in removable if s["timestamp-ms"] < older_than_ms]
-    if not removable:
-        return {"metadata": md, "noop": True}
-    result = io.client.commit_table(
-        namespace,
-        name,
-        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
-        updates=[
-            {
-                "action": "remove-snapshots",
-                "snapshot-ids": [s["snapshot-id"] for s in removable],
-            }
-        ],
-    )
+    touched (that is remove_orphan_files' job, with its retention guard).
+
+    Ref-protected expire (mirrors Iceberg): the commit is pinned with
+    assert-ref-snapshot-id for EVERY ref observed at load, so a ref moving
+    concurrently 409s and the expiry is recomputed against fresh metadata;
+    the server's remove-snapshots additionally refuses (under the commit
+    lock) to drop any snapshot referenced by a ref created after our load.
+    The file cleanup only ever runs after a commit that passed both."""
+    from denali_spark.sources.catalog_io import CatalogHTTPError, CommitRetriesExhausted
+
+    result = removable = None
+    for _attempt in range(3):
+        md = io.client.load_table(namespace, name)["metadata"]
+        snaps = sorted(md.get("snapshots", []), key=lambda s: s["timestamp-ms"])
+        protected = {r["snapshot-id"] for r in md.get("refs", {}).values()}
+        if md.get("current-snapshot-id") is not None:
+            protected.add(md["current-snapshot-id"])
+        removable = [s for s in snaps if s["snapshot-id"] not in protected]
+        if keep_last > 1:
+            removable = removable[: -(keep_last - 1)] if keep_last - 1 < len(removable) else []
+        if older_than_ms is not None:
+            removable = [s for s in removable if s["timestamp-ms"] < older_than_ms]
+        if not removable:
+            return {"metadata": md, "noop": True}
+        try:
+            result = io.client.commit_table(
+                namespace,
+                name,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                    *(
+                        {"type": "assert-ref-snapshot-id", "ref": ref_name,
+                         "snapshot-id": r["snapshot-id"]}
+                        for ref_name, r in md.get("refs", {}).items()
+                    ),
+                ],
+                updates=[
+                    {
+                        "action": "remove-snapshots",
+                        "snapshot-ids": [s["snapshot-id"] for s in removable],
+                    }
+                ],
+            )
+            break
+        except CatalogHTTPError as exc:
+            if exc.status != 409:
+                raise
+            result = None  # refs moved under us: reload and recompute
+    if result is None:
+        raise CommitRetriesExhausted(
+            f"expire_snapshots of {'.'.join(namespace)}.{name} lost 3 ref races"
+        )
     if clean_manifests:
         import os
 

@@ -211,7 +211,7 @@ def test_paged_walk_raises_on_repeated_token(monkeypatch):
     """A degenerate server repeating a next-page-token must raise (round-4
     ADVICE): silently returning a partial listing as success would mask
     server paging bugs from every caller."""
-    from denali_spark.catalog.client import CatalogClient, CatalogError
+    from denali_spark.catalog.client import CatalogClient, ClientProtocolError
 
     client = CatalogClient.__new__(CatalogClient)
 
@@ -220,7 +220,7 @@ def test_paged_walk_raises_on_repeated_token(monkeypatch):
         return 200, {"tables": [{"name": "x"}], "next-page-token": "same"}
 
     monkeypatch.setattr(client, "_request", fake_request)
-    with pytest.raises(CatalogError, match="repeated next-page-token"):
+    with pytest.raises(ClientProtocolError, match="repeated next-page-token"):
         client._paged_get("/v1/namespaces/x/tables", "tables", "", page_size=1)
 
 

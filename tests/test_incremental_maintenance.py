@@ -204,3 +204,63 @@ def _manifest_file_records(list_path):
     schema, rows = read_ocf(list_path)
     names = [f["name"] for f in schema["fields"]]
     return [dict(zip(names, r)) for r in rows]
+
+
+def test_expire_is_ref_protected_against_concurrent_tag(spark, io, monkeypatch):
+    """Round-4 ADVICE (medium): a tag created between the expirer's load
+    and its commit must not lose its snapshot's manifest files. The first
+    expire commit races a concurrent tag onto an expiring snapshot; the
+    server's ref-protected remove-snapshots 409s it, expire recomputes
+    against fresh metadata, and the tagged snapshot + manifests survive
+    while the untagged ancestor still expires."""
+    from denali_spark.catalog.metadata import _fs_path
+
+    ns, name = ["exp"], "t_ref_race"
+    s1 = _append(spark, io, ns, name, 0, 10)
+    s2 = _append(spark, io, ns, name, 10, 20)
+    s3 = _append(spark, io, ns, name, 20, 30)
+    md = io.client.load_table(ns, name)["metadata"]
+    lists = {s["snapshot-id"]: _fs_path(s["manifest-list"]) for s in md["snapshots"]}
+
+    real_commit = io.client.commit_table
+    fired = {"done": False}
+
+    def racing_commit(levels, name_, requirements, updates):
+        if not fired["done"] and any(
+            u.get("action") == "remove-snapshots" for u in updates
+        ):
+            fired["done"] = True
+            # concurrent client tags an expiring snapshot AFTER our load
+            real_commit(
+                levels, name_, requirements=[],
+                updates=[{"action": "set-snapshot-ref", "ref-name": "keep",
+                          "snapshot-id": s1, "type": "tag"}],
+            )
+        return real_commit(levels, name_, requirements, updates)
+
+    monkeypatch.setattr(io.client, "commit_table", racing_commit)
+    expire_snapshots(io, ns, name, keep_last=1)
+
+    md = io.client.load_table(ns, name)["metadata"]
+    ids = {s["snapshot-id"] for s in md["snapshots"]}
+    assert s1 in ids and s3 in ids and s2 not in ids
+    # the tagged snapshot's manifest list survived the cleanup; the
+    # expired one is gone
+    assert os.path.exists(lists[s1])
+    assert not os.path.exists(lists[s2])
+    assert io.read_table(ns, name, ref="keep").count() == 10
+
+
+def test_remove_snapshots_refuses_referenced_snapshot(spark, io):
+    """Server-side guard: remove-snapshots dropping a snapshot a ref points
+    at is a 409 even when every pinned requirement passes."""
+    from denali_spark.sources.catalog_io import CatalogHTTPError
+
+    ns, name = ["exp"], "t_guard"
+    s1 = _append(spark, io, ns, name, 0, 5)
+    with pytest.raises(CatalogHTTPError) as exc:
+        io.client.commit_table(
+            ns, name, requirements=[],
+            updates=[{"action": "remove-snapshots", "snapshot-ids": [s1]}],
+        )
+    assert exc.value.status == 409

@@ -61,6 +61,11 @@ DRIVER_PRIORITY: list[str] = [
     "win_first_last",
     "win_running_total",
     "win_topn_per_group",
+    # NEW this round — no driver evidence yet, check right after the stale 8
+    "dedup_embedding_lsh_pairs",
+    "sem_dedup_pairs",
+    "text_decontaminate",
+    "text_repetition_stats",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

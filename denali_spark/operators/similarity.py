@@ -561,3 +561,137 @@ def sim_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- embedding near-dup (the scale paths over the same indexes) -----------
+#
+# `dedup.dedup_embedding_pairs` is the exact all-pairs baseline, fenced at
+# QUADRATIC_MAX_ROWS because O(n^2) is a scale-killer. These two are the
+# production alternatives, and both deliberately REUSE the ingest-time
+# indexes already materialized for ANN search — one index, two workloads
+# (search and dedup), which is the economics a 100 TB pipeline wants:
+#
+# - `dedup_embedding_lsh_pairs`: candidates = pairs co-located in a bucket
+#   (or one bit-flip apart) of the SRP bucket index in ANY table; exact
+#   cosine verifies. Work scales with bucket co-occupancy, not n^2; at real
+#   scale planes grow ~log2(n) to hold bucket sizes constant.
+# - `sem_dedup_pairs`: SemDeDup (Abbas et al., 2023, arXiv:2303.09540) —
+#   confine the pairwise pass to IVF cells (k-means clusters), O(sum
+#   cell^2) ~= n^2/K. Reads the cid-partitioned inverted lists, so each
+#   cell's pairs compute inside one partition subtree.
+
+DEDUP_COS_TAU = 0.3
+
+
+@query(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS ({_sql_tables('e')}),
+    ab AS (
+      SELECT DISTINCT vec_id, t,
+             xor(bucket, CASE WHEN fl.f = -1 THEN 0 ELSE (1 << fl.f) END) AS bucket
+      FROM b CROSS JOIN (SELECT unnest(range(-1, {N_PLANES})) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT ab.vec_id AS i, b.vec_id AS j
+      FROM ab JOIN b ON ab.t = b.t AND ab.bucket = b.bucket AND ab.vec_id < b.vec_id
+    )
+    SELECT c.i, c.j, {SQL_COSINE.format(a='x.e', b='y.e')} AS cos
+    FROM cand c JOIN v x ON x.vec_id = c.i JOIN v y ON y.vec_id = c.j
+    WHERE {SQL_COSINE.format(a='x.e', b='y.e')} >= {DEDUP_COS_TAU}
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the materialized SRP bucket index:
+    a pair is a candidate iff the two vectors share a bucket — or sit one
+    bit-flip apart (Hamming-1 multi-probe, same amplification as the ANN
+    path) — in ANY of the {N_TABLES} tables; exact cosine >= {DEDUP_COS_TAU}
+    verifies. At the 0.9-cosine near-dup design point the per-table
+    Hamming<=1 collision rate is ~0.68, so OR over 4 tables gives ~0.99
+    candidate recall; the verify step makes precision exact.
+
+    Scale shape: candidate generation is an equi-join of the index against
+    its (9x-expanded) self on (table, bucket) — work proportional to bucket
+    co-occupancy, never n^2 — and only candidate PAIRS (two longs) flow
+    into the vector-fetch joins. Hashing was paid once at ingest
+    (`lsh_bucket_index`)."""
+    v = _vecs(spark, sf_dir)
+    b = lsh_bucket_index(spark, sf_dir)
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    ab = (
+        b.withColumn("flip", flips)
+        .select(
+            F.col("vec_id").alias("i"),
+            "t",
+            F.col("bucket").bitwiseXOR(
+                F.when(F.col("flip") < 0, F.lit(0))
+                .otherwise(F.expr("shiftleft(1, flip)"))
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    cand = (
+        ab.join(b, ["t", "bucket"])
+        .filter(F.col("i") < F.col("vec_id"))
+        .select("i", F.col("vec_id").alias("j"))
+        .distinct()
+    )
+    cos = cosine(F.col("x.e"), F.col("y.e"))
+    return (
+        cand.join(v.alias("x"), cand["i"] == F.col("x.vec_id"))
+        .join(v.alias("y"), cand["j"] == F.col("y.vec_id"))
+        .select("i", "j", cos.alias("cos"))
+        .filter(F.col("cos") >= DEDUP_COS_TAU)
+    )
+
+
+@query(
+    "sem_dedup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    ascore AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cid
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, e, cid FROM ascore WHERE arn = 1)
+    SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+           {SQL_COSINE.format(a='a.e', b='b.e')} AS cos
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {SQL_COSINE.format(a='a.e', b='b.e')} >= {DEDUP_COS_TAU}
+    """,
+    tags=("dedup", "embedding", "semdedup"),
+)
+def sem_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-dup pairs confined to k-means cells
+    (Abbas et al., 2023). Every vector was assigned to its nearest coarse
+    centroid when the IVF inverted lists were materialized; the pairwise
+    cosine pass then runs WITHIN cells only — O(sum of cell^2) ~= n^2/K
+    instead of n^2, the published SemDeDup cost shape.
+
+    Scale shape: reads the cid-partitioned inverted lists (no re-assignment
+    at query time), self-joins on cid — an equi-join whose shuffle key is
+    the cell id, so each cell's quadratic stays inside one task. Cells are
+    capped in practice by choosing K ~ n/target_cell (IVF_STRIDE here)."""
+    assigned = ivf_inverted_lists(spark, sf_dir)
+    a = assigned.select("cid", F.col("vec_id").alias("i"), F.col("e").alias("ea"))
+    bb = assigned.select("cid", F.col("vec_id").alias("j"), F.col("e").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(bb, "cid")
+        .filter(F.col("i") < F.col("j"))
+        .select("cid", "i", "j", cos.alias("cos"))
+        .filter(F.col("cos") >= DEDUP_COS_TAU)
+    )

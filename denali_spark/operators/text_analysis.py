@@ -451,3 +451,169 @@ def text_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(coin < threshold)
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+# --- benchmark decontamination & repetition filters -----------------------
+#
+# Two more passes a training-data pipeline runs before a corpus ships:
+# n-gram decontamination against held-out benchmark text (the GPT-3
+# appendix-C recipe: drop training docs sharing long n-grams with eval
+# sets), and repetition filtering (Gopher/MassiveText's "repetitive
+# documents are low quality" rules: top-word fraction, duplicated-n-gram
+# fraction).
+
+CONTAM_N = 4  # n-gram order; GPT-3 used 13 on web-scale docs — 4 fits the
+# short synthetic documents while exercising the identical plan shape.
+BENCH_MOD = 29  # deterministic stand-in benchmark set: doc_id % 29 == 0
+
+
+def _grams_col(toks: Column, n: int) -> Column:
+    """Ordered n-grams (1-based windows); empty array when len(toks) < n."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+SQL_GRAMS = (
+    "list_transform(range(1, greatest(len({t}) - {n} + 2, 1)),"
+    " i -> array_to_string({t}[i:i + {n} - 1], ' '))"
+)
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct({SQL_GRAMS.format(t='t', n=CONTAM_N)}) AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (
+      SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+      FROM g WHERE doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT c.doc_id, CAST(MAX(c.n_grams) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_hits,
+           COUNT(*) * 1.0 / MAX(c.n_grams) AS contamination
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any distinct
+    {CONTAM_N}-gram with the benchmark set (here the deterministic
+    doc_id % {BENCH_MOD} == 0 slice stands in for an eval suite). Returns
+    (doc_id, n_grams, n_hits, contamination) for contaminated docs only.
+
+    Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus,
+    so the distinct benchmark-gram set BROADCASTS into a hash semi-join
+    against the exploded corpus grams — the corpus is touched once,
+    scan-local gram generation, and the only shuffle is the per-doc count
+    aggregation (map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.array_distinct(_grams_col(tokens_col(), CONTAM_N)).alias("gs")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+TOP_WORD_TAU = 0.14
+DUP_BIGRAM_TAU = 0.065
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uc AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+    ua AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n_tokens FROM uc GROUP BY 1),
+    bi AS (
+      SELECT doc_id, unnest({SQL_GRAMS.format(t='t', n=2)}) AS g FROM toks
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    ba AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM bc GROUP BY 1)
+    SELECT ua.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           topc * 1.0 / n_tokens AS top_word_frac,
+           (total - dist) * 1.0 / total AS dup_bigram_frac,
+           (topc * 1.0 / n_tokens > {TOP_WORD_TAU}
+            OR (total - dist) * 1.0 / total > {DUP_BIGRAM_TAU}) AS is_repetitive
+    FROM ua JOIN ba ON ua.doc_id = ba.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals per document: the most-frequent
+    token's share of all tokens and the fraction of bigram occurrences that
+    are repeats, plus the composite is_repetitive verdict (> {TOP_WORD_TAU}
+    top-word or > {DUP_BIGRAM_TAU} duplicate-bigram fraction).
+
+    Scale shape: two explode → partial-agg pipelines keyed by (doc_id,
+    term) then doc_id. The hot shuffle key includes the term, so no single
+    reducer sees a whole document's vocabulary at once; both aggregations
+    are map-side combinable and the final per-doc join is co-partitioned on
+    doc_id by AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t")).filter(F.size("t") > 0)
+    uc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    ua = uc.groupBy("doc_id").agg(
+        F.max("count").alias("topc"), F.sum("count").alias("n_tokens")
+    )
+    bc = (
+        toks.select("doc_id", F.explode(_grams_col(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+    )
+    ba = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("total"), F.count(F.lit(1)).alias("dist")
+    )
+    top_frac = F.col("topc").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = (F.col("total") - F.col("dist")).cast("double") / F.col("total").cast(
+        "double"
+    )
+    return (
+        ua.join(ba, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            ((top_frac > TOP_WORD_TAU) | (dup_frac > DUP_BIGRAM_TAU)).alias(
+                "is_repetitive"
+            ),
+        )
+    )

@@ -105,3 +105,91 @@ def test_external_probe_search_recall_and_exactness(spark, exact_topk):
             approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = _recall_at_5(approx, exact_topk)
     assert recall >= 0.3, f"external-probe recall@5 regressed: {recall:.3f}"
+
+
+# --- embedding near-dup scale paths ----------------------------------------
+#
+# Semantics the value-hash oracle can't see: precision against the exact
+# quadratic ground truth, sub-quadratic candidate volume, and cell
+# confinement.
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    """All exact pairs with cos >= DEDUP_COS_TAU, keyed (i, j), via the
+    fenced quadratic baseline relaxed to the dedup threshold."""
+    from denali_spark.operators.similarity import DEDUP_COS_TAU, _vecs, cosine
+    from pyspark.sql import functions as F
+
+    v = _vecs(spark, SF)
+    a = v.select(F.col("vec_id").alias("i"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("eb"))
+    rows = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= DEDUP_COS_TAU)
+        .collect()
+    )
+    return {(r["i"], r["j"]): r["cos"] for r in rows}
+
+
+def test_lsh_pairs_are_true_pairs(spark, exact_pairs):
+    """Every emitted LSH near-dup pair must exist in the exact ground truth
+    with the identical cosine — the verify step makes precision exact."""
+    from denali_spark.operators.similarity import dedup_embedding_lsh_pairs
+
+    got = {(r["i"], r["j"]): r["cos"] for r in dedup_embedding_lsh_pairs(spark, SF).collect()}
+    assert got, "LSH near-dup pass found nothing on a corpus with 391 true pairs"
+    for pair, cos in got.items():
+        assert pair in exact_pairs, f"false pair {pair}"
+        assert abs(cos - exact_pairs[pair]) < 1e-12
+    # candidate recall on this near-random corpus (worst case for SRP —
+    # see module docstring); on real near-dup corpora (cos >= 0.9) the
+    # Hamming<=1 x 4-table collision rate is ~0.99
+    recall = len(got) / len(exact_pairs)
+    assert recall >= 0.15, f"LSH pair recall collapsed: {recall:.3f}"
+
+
+def test_sem_dedup_pairs_cell_confined(spark, exact_pairs):
+    """SemDeDup pairs are true pairs AND both members share the cell the
+    inverted lists assigned them to."""
+    from denali_spark.operators.similarity import ivf_inverted_lists, sem_dedup_pairs
+
+    cell = {r["vec_id"]: r["cid"] for r in ivf_inverted_lists(spark, SF).select("vec_id", "cid").collect()}
+    got = sem_dedup_pairs(spark, SF).collect()
+    assert got, "SemDeDup found nothing on a corpus with within-cell pairs"
+    for r in got:
+        assert (r["i"], r["j"]) in exact_pairs
+        assert cell[r["i"]] == cell[r["j"]] == r["cid"]
+
+
+def test_lsh_pairs_candidates_subquadratic(spark):
+    """The bucket join must generate far fewer candidates than n^2/2 even at
+    toy scale — the property that makes the pass viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.similarity import N_PLANES, lsh_bucket_index
+
+    b = lsh_bucket_index(spark, SF)
+    n = b.select("vec_id").distinct().count()
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    ab = (
+        b.withColumn("flip", flips)
+        .select(
+            F.col("vec_id").alias("i"),
+            "t",
+            F.col("bucket").bitwiseXOR(
+                F.when(F.col("flip") < 0, F.lit(0)).otherwise(F.expr("shiftleft(1, flip)"))
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    cands = (
+        ab.join(b, ["t", "bucket"])
+        .filter(F.col("i") < F.col("vec_id"))
+        .select("i", F.col("vec_id").alias("j"))
+        .distinct()
+        .count()
+    )
+    quadratic = n * (n - 1) // 2
+    assert cands < 0.35 * quadratic, f"{cands} candidates vs {quadratic} pairs"

@@ -1,0 +1,80 @@
+"""Planted-input semantics for the decontamination and repetition filters —
+the cases a value-hash oracle over synthetic data can't pin down: a known
+contaminated doc is flagged with the right overlap, benchmark docs never
+flag themselves, a pathological repeated-token doc maxes the Gopher
+signals, and short/empty docs don't crash the gram windows."""
+
+from __future__ import annotations
+
+import pytest
+
+from denali_spark.operators.text_analysis import (
+    BENCH_MOD,
+    CONTAM_N,
+    text_decontaminate,
+    text_repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """A documents.parquet shaped like the testdata, with known overlaps.
+
+    doc 0  (0 % BENCH_MOD == 0)  -> benchmark: "alpha beta gamma delta epsilon zeta"
+    doc 1  shares the 4-gram "beta gamma delta epsilon"   -> contaminated
+    doc 2  disjoint vocabulary                            -> clean
+    doc 3  "spam" x 8                                     -> maximally repetitive
+    doc 4  3 tokens (< CONTAM_N)                          -> no grams, no crash
+    """
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "src0", 35),
+        (1, "intro words beta gamma delta epsilon outro", "en", "src0", 43),
+        (2, "one two three four five six seven eight", "en", "src0", 39),
+        (3, "spam spam spam spam spam spam spam spam", "en", "src0", 39),
+        (4, "tiny doc here", "en", "src0", 13),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("planted")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_decontaminate_flags_planted_overlap(spark, planted_dir):
+    out = {r["doc_id"]: r for r in text_decontaminate(spark, planted_dir).collect()}
+    assert set(out) == {1}, f"expected only doc 1 contaminated, got {sorted(out)}"
+    r = out[1]
+    # "beta gamma delta epsilon" is the single shared distinct 4-gram
+    assert r["n_hits"] == 1
+    assert r["n_grams"] == 7 - CONTAM_N + 1  # 7 tokens -> 4 distinct 4-grams
+    assert r["contamination"] == pytest.approx(1 / 4)
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark, planted_dir):
+    ids = [r["doc_id"] for r in text_decontaminate(spark, planted_dir).collect()]
+    assert all(i % BENCH_MOD != 0 for i in ids)
+
+
+def test_repetition_pathological_doc(spark, planted_dir):
+    out = {r["doc_id"]: r for r in text_repetition_stats(spark, planted_dir).collect()}
+    # every doc with tokens is scored
+    assert set(out) == {0, 1, 2, 3, 4}
+    spammy = out[3]
+    assert spammy["top_word_frac"] == 1.0
+    assert spammy["dup_bigram_frac"] == pytest.approx((7 - 1) / 7)
+    assert spammy["is_repetitive"]
+    # all-distinct docs sit at the floor and are not flagged
+    clean = out[2]
+    assert clean["top_word_frac"] == pytest.approx(1 / 8)
+    assert clean["dup_bigram_frac"] == 0.0
+    assert not clean["is_repetitive"]
+
+
+def test_short_doc_has_no_grams_but_still_scores(spark, planted_dir):
+    out = {r["doc_id"]: r for r in text_repetition_stats(spark, planted_dir).collect()}
+    tiny = out[4]
+    assert tiny["n_tokens"] == 3
+    assert tiny["dup_bigram_frac"] == 0.0  # 2 distinct bigrams of 2
+    contaminated = {r["doc_id"] for r in text_decontaminate(spark, planted_dir).collect()}
+    assert 4 not in contaminated  # too short to carry any 4-gram

@@ -115,24 +115,133 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+# --- blob-store scheme dispatch ------------------------------------------
+#
+# Counterpart of the reference's object-store IO (iceberg-overload/io/
+# blob.go:150-195 + io.go:89-103): its LoadFS dispatches on scheme but
+# ships with s3 commented out, so blob.go is read-only dead code there.
+# Here the dispatch is live and pluggable: file:// and bare paths use the
+# local store; s3:// and gs:// resolve to handlers that raise a clear
+# capability error unless the optional client library is importable (none
+# are in this build environment) or a caller registers a real handler via
+# `register_scheme` (how a deployment plugs in its own object store).
+
+
+class _LocalBlobStore:
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        _atomic_write(path, data)
+
+
+class _CloudBlobStore:
+    """Import-gated s3://../gs:// handler. The probe is at first USE, not
+    import, so local-only deployments never pay for (or fail on) the
+    optional dependency."""
+
+    def __init__(self, scheme: str, modules: tuple[str, ...]):
+        self.scheme = scheme
+        self.modules = modules
+
+    def _client_missing(self) -> str:
+        import importlib.util
+
+        def absent(mod: str) -> bool:
+            try:
+                # find_spec imports parent packages, so a missing parent
+                # raises instead of returning None
+                return importlib.util.find_spec(mod) is None
+            except ModuleNotFoundError:
+                return True
+
+        missing = [m for m in self.modules if absent(m)]
+        return (
+            f"{self.scheme}:// metadata IO needs one of {self.modules} installed"
+            if missing == list(self.modules)
+            else ""
+        )
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError(
+            self._client_missing()
+            or f"{self.scheme}:// handler stub: register a real store via "
+            "register_scheme() — the built-in stub only verifies dispatch"
+        )
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        self.read(path)  # same capability error
+
+
+_SCHEMES: dict[str, object] = {
+    "file": _LocalBlobStore(),
+    "s3": _CloudBlobStore("s3", ("boto3",)),
+    "gs": _CloudBlobStore("gs", ("gcsfs", "google.cloud.storage")),
+}
+
+
+def register_scheme(scheme: str, store) -> None:
+    """Plug in a blob store for `scheme` (needs .read(path)->bytes and
+    .write_atomic(path, data)). Replaces any built-in handler."""
+    _SCHEMES[scheme] = store
+
+
+def split_location(location: str) -> tuple[str, str]:
+    """(scheme, path-without-scheme); bare paths map to ('file', path)."""
+    if "://" in location:
+        scheme, _, rest = location.partition("://")
+        return scheme, rest
+    return "file", location
+
+
+def _store_for(location: str):
+    scheme, rest = split_location(location)
+    store = _SCHEMES.get(scheme)
+    if store is None:
+        raise BadRequest(f"unsupported warehouse scheme in {location!r}")
+    return store, rest
+
+
+def read_blob(location: str) -> bytes:
+    store, path = _store_for(location)
+    return store.read(path)
+
+
+def write_blob_atomic(location: str, data: bytes) -> None:
+    store, path = _store_for(location)
+    store.write_atomic(path, data)
+
+
+def join_location(location: str, *parts: str) -> str:
+    """Scheme-aware join: URL-style '/' for scheme'd locations, os.path for
+    bare local paths (identical bytes to the old behavior on posix)."""
+    if "://" in location:
+        return "/".join([location.rstrip("/"), *parts])
+    return os.path.join(location, *parts)
+
+
 def write_table_metadata(metadata: dict, sequence_number: int) -> str:
     """Write `<location>/metadata/v{seq}-{uuid}.metadata.json` (filename
     template logic/table.go:119). Old versions stay = free time travel."""
     location = metadata["location"]
     fname = f"v{sequence_number}-{uuid.uuid4()}.metadata.json"
-    path = os.path.join(_fs_path(location), "metadata", fname)
-    _atomic_write(path, json.dumps(metadata, indent=2).encode())
+    write_blob_atomic(
+        join_location(location, "metadata", fname),
+        json.dumps(metadata, indent=2).encode(),
+    )
     return f"{location.rstrip('/')}/metadata/{fname}"
 
 
 def read_table_metadata(metadata_location: str) -> dict:
-    with open(_fs_path(metadata_location), "rb") as f:
-        return json.loads(f.read())
+    return json.loads(read_blob(metadata_location))
 
 
 def _fs_path(location: str) -> str:
-    """scheme dispatch: only file:// and bare paths, like the reference's
-    LoadFS (iceberg-overload/io/io.go:89-103 — s3 commented out)."""
+    """LOCAL-plane path mapping (data/manifest files are always local in
+    this build): file:// and bare paths only, like the reference's LoadFS
+    (iceberg-overload/io/io.go:89-103 — s3 commented out). Metadata IO goes
+    through the scheme-dispatched blob layer above instead."""
     if location.startswith("file://"):
         return location[len("file://") :]
     if "://" in location:
@@ -177,11 +286,12 @@ def write_view_metadata(metadata: dict, sequence_number: int) -> str:
     gzip at :137-139)."""
     location = metadata["location"]
     fname = f"{sequence_number:05d}-{uuid.uuid4()}.gz.metadata.json"
-    path = os.path.join(_fs_path(location), "metadata", fname)
-    _atomic_write(path, gzip.compress(json.dumps(metadata, indent=2).encode()))
+    write_blob_atomic(
+        join_location(location, "metadata", fname),
+        gzip.compress(json.dumps(metadata, indent=2).encode()),
+    )
     return f"{location.rstrip('/')}/metadata/{fname}"
 
 
 def read_view_metadata(metadata_location: str) -> dict:
-    with open(_fs_path(metadata_location), "rb") as f:
-        return json.loads(gzip.decompress(f.read()))
+    return json.loads(gzip.decompress(read_blob(metadata_location)))

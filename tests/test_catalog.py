@@ -537,3 +537,72 @@ def test_statistics_ops_roundtrip(catalog):
         ],
     )["metadata"]
     assert out["statistics"] == [] and out["partition-statistics"] == []
+
+
+# --- blob-store scheme dispatch (round 5) ---------------------------------
+#
+# Analog of the reference's object-store IO (iceberg-overload/io/blob.go —
+# dead code there because LoadFS ships with s3 commented out). Here the
+# dispatch is live: local unchanged, cloud schemes import-gated, custom
+# stores pluggable.
+
+
+def test_blob_dispatch_cloud_scheme_is_capability_gated():
+    import pytest as _pytest
+
+    from denali_spark.catalog import metadata as meta
+
+    with _pytest.raises(NotImplementedError, match="s3"):
+        meta.read_blob("s3://bucket/table/metadata/v0.metadata.json")
+    with _pytest.raises(NotImplementedError, match="gs"):
+        meta.write_blob_atomic("gs://bucket/x", b"data")
+
+
+def test_blob_dispatch_unknown_scheme_rejected():
+    import pytest as _pytest
+
+    from denali_spark.catalog.errors import BadRequest
+    from denali_spark.catalog import metadata as meta
+
+    with _pytest.raises(BadRequest):
+        meta.read_blob("ftp://host/x")
+
+
+def test_blob_dispatch_pluggable_store_roundtrip():
+    """register_scheme lets a deployment plug in a real object store; table
+    metadata write/read then flows through it end-to-end."""
+    from denali_spark.catalog import metadata as meta
+
+    class MemStore:
+        def __init__(self):
+            self.blobs = {}
+
+        def read(self, path):
+            return self.blobs[path]
+
+        def write_atomic(self, path, data):
+            self.blobs[path] = data
+
+    store = MemStore()
+    meta.register_scheme("mem", store)
+    try:
+        md = meta.new_table_metadata("mem://wh", {"fields": []})
+        loc = meta.write_table_metadata(md, 0)
+        assert loc.startswith("mem://wh/")
+        assert meta.read_table_metadata(loc) == md
+        assert len(store.blobs) == 1
+    finally:
+        del meta._SCHEMES["mem"]
+
+
+def test_blob_dispatch_local_unchanged(tmp_path):
+    from denali_spark.catalog import metadata as meta
+
+    md = meta.new_table_metadata(f"file://{tmp_path}", {"fields": []})
+    loc = meta.write_table_metadata(md, 0)
+    assert loc.startswith("file://")
+    assert meta.read_table_metadata(loc) == md
+    # and the bytes really are on the local filesystem at the mapped path
+    import os
+
+    assert os.path.exists(meta._fs_path(loc))

@@ -146,6 +146,12 @@ HEADLINE = [
     "sim_lsh_bucket_topk",
     "text_quality_score",
     "text_prepare_corpus",
+    # round-5 additions: embedding near-dup over the reused ANN indexes,
+    # corpus hygiene (decontamination + repetition filters)
+    "dedup_embedding_lsh_pairs",
+    "sem_dedup_pairs",
+    "text_decontaminate",
+    "text_repetition_stats",
 ]
 
 

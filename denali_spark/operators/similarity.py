@@ -623,17 +623,17 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
     flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
-    ab = (
-        b.withColumn("flip", flips)
-        .select(
-            F.col("vec_id").alias("i"),
-            "t",
-            F.col("bucket").bitwiseXOR(
-                F.when(F.col("flip") < 0, F.lit(0))
-                .otherwise(F.expr("shiftleft(1, flip)"))
-            ).alias("bucket"),
-        )
-        .distinct()
+    # No .distinct() on the expanded side: the 9 XOR masks are distinct by
+    # construction so (i, t, bucket) is already unique — a distinct here
+    # would only add a full shuffle of the 9x-expanded index. The pair-level
+    # distinct below dedupes across tables/flips.
+    ab = b.withColumn("flip", flips).select(
+        F.col("vec_id").alias("i"),
+        "t",
+        F.col("bucket").bitwiseXOR(
+            F.when(F.col("flip") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, flip)"))
+        ).alias("bucket"),
     )
     cand = (
         ab.join(b, ["t", "bucket"])
@@ -641,10 +641,17 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", F.col("vec_id").alias("j"))
         .distinct()
     )
-    cos = cosine(F.col("x.e"), F.col("y.e"))
+    # Precompute each vector's norm ONCE (n sqrt-dot evaluations) instead of
+    # per candidate pair (2x per pair — pairs >> n): only the cross dot runs
+    # per pair. Same arithmetic as cosine(), so values stay bit-identical to
+    # the oracle's dot/(norm*norm) form.
+    vn = v.select(
+        "vec_id", "e", F.sqrt(dot_cols(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    cos = dot_cols(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
     return (
-        cand.join(v.alias("x"), cand["i"] == F.col("x.vec_id"))
-        .join(v.alias("y"), cand["j"] == F.col("y.vec_id"))
+        cand.join(vn.alias("x"), cand["i"] == F.col("x.vec_id"))
+        .join(vn.alias("y"), cand["j"] == F.col("y.vec_id"))
         .select("i", "j", cos.alias("cos"))
         .filter(F.col("cos") >= DEDUP_COS_TAU)
     )

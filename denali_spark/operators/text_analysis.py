@@ -8,6 +8,7 @@ property that matters when the corpus is 100 TB of text.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -511,25 +512,27 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_grams, n_hits, contamination) for contaminated docs only.
 
     Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus,
-    so the distinct benchmark-gram set BROADCASTS into a hash join against
-    the exploded corpus grams. The (doc_id, gram) relation is generated ONCE
-    and persisted (spillable) so gram construction — the expensive
-    tokenize/slice/concat work — isn't re-done for each of its three
-    consumers (benchmark side, per-doc sizes, hit counts); measured 6x at
-    sf0.1. Both aggregations are map-side combinable."""
+    so the benchmark-gram set is read from its materialized index
+    (`benchmark_gram_index` — built once per corpus, not per query) and
+    BROADCASTS into a hash join against the exploded corpus grams. The
+    corpus (doc_id, gram) relation is generated ONCE and persisted
+    (spillable) so gram construction — the expensive tokenize/slice/concat
+    work — isn't re-done for its two consumers (per-doc sizes, hit counts);
+    measured 6x at sf0.1. Both aggregations are map-side combinable."""
     from pyspark.storagelevel import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_gram_index(spark, sf_dir)
     # Bind the token array to a column BEFORE the gram transform: inlined,
     # the split expression re-evaluates once per gram index (O(tokens^2)
     # retokenization per doc — measured 9x slower at sf0.1).
-    toks = docs.select("doc_id", tokens_col().alias("t"))
-    g = toks.select(
+    toks = docs.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", tokens_col().alias("t")
+    )
+    corpus = toks.select(
         "doc_id",
         F.explode(F.array_distinct(_grams_col(F.col("t"), CONTAM_N))).alias("gram"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bench = g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
-    corpus = g.filter(F.col("doc_id") % BENCH_MOD != 0)
     sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus.join(F.broadcast(bench), "gram")
@@ -619,5 +622,70 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_frac > TOP_WORD_TAU) | (dup_frac > DUP_BIGRAM_TAU)).alias(
                 "is_repetitive"
             ),
+        )
+    )
+
+
+def benchmark_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized benchmark {CONTAM_N}-gram set: distinct grams of the
+    benchmark slice, built ONCE per corpus and persisted (atomic-rename +
+    _SUCCESS discipline: engine.index_cache). At 100 TB the benchmark suite
+    is tiny but deriving it from the corpus table costs a corpus scan —
+    materializing makes every decontamination pass (batch query or
+    streaming guard) pay only its own corpus-side work."""
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        materialize_parquet,
+    )
+
+    key = corpus_fingerprint(sf_dir, "documents", f"N{CONTAM_N}M{BENCH_MOD}")
+    path = os.path.join(cache_root("bench"), f"grams-{key}")
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % BENCH_MOD == 0
+        )
+        toks = docs.select("doc_id", tokens_col().alias("t"))
+        return (
+            toks.select(F.explode(_grams_col(F.col("t"), CONTAM_N)).alias("gram"))
+            .distinct()
+        )
+
+    return materialize_parquet(spark, path, _build)
+
+
+def decontaminate_batch(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, bench: DataFrame | None = None
+) -> DataFrame:
+    """Contamination verdicts for an arbitrary (doc_id, text) relation
+    against the corpus's benchmark gram index — the kernel behind both the
+    streaming ingest guard and ad-hoc checks. EVERY input doc gets a row:
+    (doc_id, n_grams, n_hits, contaminated); gram-less docs are clean.
+
+    Scale shape: the benchmark gram set is read from the materialized index
+    and broadcasts; only the incoming docs pay tokenize/gram cost."""
+    bench = bench if bench is not None else benchmark_gram_index(spark, sf_dir)
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    g = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_col(F.col("t"), CONTAM_N))).alias("gram"),
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )

@@ -1,4 +1,5 @@
 from denali_spark.streaming.documents_stream import (
+    make_decontaminate_sink,
     make_online_dedup_sink,
     read_document_stream,
     read_verdicts,
@@ -23,5 +24,6 @@ __all__ = [
     "stream_to_catalog",
     "read_document_stream",
     "make_online_dedup_sink",
+    "make_decontaminate_sink",
     "read_verdicts",
 ]

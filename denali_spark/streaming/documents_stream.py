@@ -112,3 +112,27 @@ def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated verdict table; `batch_id` comes back as a partition
     column via standard directory discovery."""
     return spark.read.parquet(out_dir)
+
+
+def make_decontaminate_sink(sf_dir: str, out_dir: str):
+    """foreachBatch ingest guard: per micro-batch, verdict every incoming
+    (doc_id, text) document against the corpus's materialized benchmark
+    {CONTAM_N}-gram index (operators.text_analysis.benchmark_gram_index) —
+    contaminated documents are the ones a training pipeline must quarantine
+    BEFORE they land in the corpus, which is why this runs at ingest and
+    not as a post-hoc batch sweep.
+
+    Verdicts write to ``out_dir/batch_id=N/`` with overwrite, so
+    at-least-once replays of a batch are exactly-once in effect (same stamp
+    discipline as the dedup sink above). The guard is stateless across
+    batches — the benchmark set is immutable — so idempotence needs no
+    side-store."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.text_analysis import decontaminate_batch
+
+        spark = batch_df.sparkSession
+        verdicts = decontaminate_batch(spark, sf_dir, batch_df)
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return _sink

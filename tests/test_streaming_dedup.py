@@ -167,3 +167,86 @@ def test_replay_after_index_growth_is_idempotent(spark, tmp_path):
         "batch_id=0",
         "batch_id=1",
     }
+
+
+# --- streaming decontamination guard (round 5) ------------------------------
+
+
+@pytest.fixture()
+def contam_landing(spark, tmp_path):
+    """Two file drops: verbatim copies of benchmark docs (doc_id % 29 == 0
+    → guaranteed shared 4-grams) and disjoint-vocabulary novel docs."""
+    from denali_spark.operators.text_analysis import BENCH_MOD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "contam-landing")
+    copies = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    copies.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    novel = spark.createDataFrame(
+        [(2_000_000 + i, _novel_doc(i)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    novel.coalesce(1).write.mode("append").parquet(src)
+    return src, copies.unionByName(novel)
+
+
+def test_streaming_decontaminate_matches_batch_kernel(spark, contam_landing, tmp_path):
+    from denali_spark.operators.text_analysis import decontaminate_batch
+    from denali_spark.streaming.documents_stream import (
+        make_decontaminate_sink,
+        read_document_stream,
+        read_verdicts,
+    )
+
+    src, all_docs = contam_landing
+    out = str(tmp_path / "contam-verdicts")
+    q = (
+        read_document_stream(spark, src)
+        .writeStream.foreachBatch(make_decontaminate_sink(SF, out))
+        .option("checkpointLocation", str(tmp_path / "contam-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in read_verdicts(spark, out).collect()
+    }
+    # The guard is stateless across batches, so the batch kernel over the
+    # union is its exact twin regardless of micro-batch grouping.
+    expect = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate_batch(spark, SF, all_docs).collect()
+    }
+    assert got == expect
+    # content sanity: every benchmark copy is contaminated (it shares ALL
+    # its grams), every novel doc is clean, and every input doc got a row
+    for doc_id, (n_grams, n_hits, contaminated) in got.items():
+        if doc_id >= 2_000_000:
+            assert not contaminated and n_hits == 0
+        else:
+            assert contaminated and n_hits == n_grams > 0
+    assert set(got) == {r["doc_id"] for r in all_docs.collect()}
+
+
+def test_streaming_decontaminate_replay_idempotent(spark, contam_landing, tmp_path):
+    """Re-running a batch through the sink (at-least-once delivery) leaves
+    the verdict store byte-stable: the batch partition is overwritten with
+    identical content."""
+    from denali_spark.streaming.documents_stream import (
+        make_decontaminate_sink,
+        read_verdicts,
+    )
+
+    src, all_docs = contam_landing
+    out = str(tmp_path / "replay-verdicts")
+    sink = make_decontaminate_sink(SF, out)
+    sink(all_docs, 0)
+    first = {tuple(r) for r in read_verdicts(spark, out).collect()}
+    sink(all_docs, 0)  # replay
+    second = {tuple(r) for r in read_verdicts(spark, out).collect()}
+    assert first == second

@@ -832,6 +832,124 @@ class SparkCatalogIO:
                       "snapshot-id": head["snapshot-id"], "type": "branch"}],
         )
 
+    def rollback_to_snapshot(
+        self, namespace: list[str], name: str, snapshot_id: int, ref: str = MAIN
+    ) -> dict:
+        """Iceberg's rollback_to_snapshot: move `ref` back to one of its own
+        ANCESTOR snapshots — one CAS-guarded metadata commit, no data
+        touched, and nothing is expired (the rolled-past snapshots stay
+        reachable by id until expire_snapshots collects them, so a rollback
+        is itself reversible). Refuses a non-ancestor target: that would be
+        a branch REASSIGNMENT, not a rollback — use create_ref/cherry-pick
+        for those semantics."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        head = md.get("refs", {}).get(ref)
+        if head is None:
+            raise ValueError(f"ref {ref!r} not found (empty table?)")
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        cur, ancestors = head["snapshot-id"], []
+        while cur is not None:
+            ancestors.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id") if cur in by_id else None
+        if snapshot_id not in ancestors:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of {ref!r} "
+                f"(ancestry: {ancestors}) — rollback only moves a ref "
+                "backwards along its own history"
+            )
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": ref,
+                 "snapshot-id": head["snapshot-id"]},
+            ],
+            updates=[{"action": "set-snapshot-ref", "ref-name": ref,
+                      "snapshot-id": snapshot_id, "type": "branch"}],
+        )
+
+    def cherry_pick_snapshot(
+        self, namespace: list[str], name: str, snapshot_id: int,
+        to: str = MAIN, max_retries: int = 3,
+    ) -> dict:
+        """Iceberg's cherrypick_snapshot: apply an APPEND snapshot from a
+        diverged line of history (e.g. a WAP branch whose base main has
+        moved on, so fast-forward publish would drop main's newer commits)
+        onto `to` as a NEW snapshot. The picked snapshot's net-added files
+        (its manifest entries minus its parent's) are re-stamped with the
+        target's next sequence number and unioned with the target head's
+        files — Iceberg's re-sequencing rule, which keeps equality-delete
+        ordering correct on the target branch. Only `operation: append`
+        snapshots are cherry-pickable (same restriction as Iceberg —
+        overwrites/deletes don't commute across diverged history)."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        picked = self._resolve_snapshot(md, snapshot_id)
+        if picked.get("summary", {}).get("operation") != "append":
+            raise NotImplementedError(
+                "cherry-pick supports append snapshots only (got "
+                f"{picked.get('summary', {}).get('operation')!r})"
+            )
+        parent_id = picked.get("parent-snapshot-id")
+        picked_files = self._manifest_entries(picked["manifest-list"])
+        base_paths: set[str] = set()
+        if parent_id is not None:
+            parent = self._resolve_snapshot(md, parent_id)
+            base_paths = {f["path"] for f in self._manifest_entries(parent["manifest-list"])}
+        added = [dict(f) for f in picked_files if f["path"] not in base_paths]
+
+        for _attempt in range(max_retries):
+            head = md.get("refs", {}).get(to)
+            head_id = head["snapshot-id"] if head else None
+            head_files = []
+            if head_id is not None:
+                head_files = self._manifest_entries(
+                    self._resolve_snapshot(md, head_id)["manifest-list"]
+                )
+            dupes = {f["path"] for f in head_files} & {f["path"] for f in added}
+            if dupes:
+                raise ValueError(
+                    f"cherry-pick of {snapshot_id} would re-add files already "
+                    f"on {to!r}: {sorted(dupes)[:3]}... (already applied?)"
+                )
+            seq = md.get("last-sequence-number", 0) + 1
+            for f in added:
+                f["sequence-number"] = seq
+            new_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+            manifest_loc = self._write_manifest_list(md, new_id, head_files + added)
+            snapshot = {
+                "snapshot-id": new_id,
+                "parent-snapshot-id": head_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": manifest_loc,
+                "schema-id": md.get("current-schema-id", 0),
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(added)),
+                    "source-snapshot-id": str(snapshot_id),
+                },
+            }
+            try:
+                return self.client.commit_table(
+                    namespace, name,
+                    requirements=[
+                        {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                        {"type": "assert-ref-snapshot-id", "ref": to,
+                         "snapshot-id": head_id},
+                    ],
+                    updates=[
+                        {"action": "add-snapshot", "snapshot": snapshot},
+                        {"action": "set-snapshot-ref", "ref-name": to,
+                         "snapshot-id": new_id, "type": "branch"},
+                    ],
+                )
+            except CatalogHTTPError as exc:
+                if exc.status != 409:
+                    raise
+                md = self.client.load_table(namespace, name)["metadata"]
+        raise CommitRetriesExhausted(
+            f"cherry-pick onto {'.'.join(namespace)}.{name} lost {max_retries} CAS races"
+        )
+
     # --- register existing parquet (zero-copy adoption) --------------------
 
     def register_parquet_table(

@@ -210,3 +210,68 @@ def test_read_posts_scan_report(spark, io):
     assert io.read_table(["mx"], "t", report_metrics=True).count() == 10
     # direct endpoint parity: a bare report is accepted with 204
     io.client.report_metrics(["mx"], "t", {"report-type": "scan-report"})
+
+
+# --- rollback & cherry-pick (round 5) --------------------------------------
+
+
+def test_rollback_to_snapshot(spark, io):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    snap1 = io.write_table(df1, ["rb"], "t")["metadata"]["current-snapshot-id"]
+    io.write_table(df2, ["rb"], "t")
+    assert io.read_table(["rb"], "t").count() == 2
+
+    io.rollback_to_snapshot(["rb"], "t", snap1)
+    assert io.read_table(["rb"], "t").count() == 1
+    # nothing expired: the rolled-past snapshot stays readable by id, and
+    # rolling forward again is just another rollback-shaped ref move denied
+    md = io.client.load_table(["rb"], "t")["metadata"]
+    assert len(md["snapshots"]) == 2
+
+
+def test_rollback_refuses_non_ancestor(spark, io):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    io.write_table(df1, ["rb"], "t2")
+    io.create_branch(["rb"], "t2", "side")
+    side_snap = io.write_table(df2, ["rb"], "t2", branch="side")[
+        "metadata"]["refs"]["side"]["snapshot-id"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        io.rollback_to_snapshot(["rb"], "t2", side_snap)
+
+
+def test_cherry_pick_diverged_branch(spark, io):
+    """WAP branch diverges from main (main moved on) → fast-forward publish
+    would drop main's commit; cherry-pick applies the branch append on top
+    so ALL rows survive."""
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(2, "b")], "id long, v string")
+    c = spark.createDataFrame([(3, "c")], "id long, v string")
+    io.write_table(a, ["cp"], "t")
+    io.create_branch(["cp"], "t", "audit")
+    io.write_table(b, ["cp"], "t")  # main moves on
+    staged = io.write_table(c, ["cp"], "t", branch="audit")[
+        "metadata"]["refs"]["audit"]["snapshot-id"]
+
+    io.cherry_pick_snapshot(["cp"], "t", staged)
+    got = sorted(r.v for r in io.read_table(["cp"], "t").collect())
+    assert got == ["a", "b", "c"]
+    md = io.client.load_table(["cp"], "t")["metadata"]
+    head = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["refs"]["main"]["snapshot-id"])
+    assert head["summary"]["source-snapshot-id"] == str(staged)
+    # re-applying the same pick is rejected, not silently duplicated
+    with pytest.raises(ValueError, match="already"):
+        io.cherry_pick_snapshot(["cp"], "t", staged)
+
+
+def test_cherry_pick_rejects_non_append(spark, io):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    io.write_table(df1, ["cp"], "t3")
+    io.create_branch(["cp"], "t3", "side")
+    ow = io.write_table(df2, ["cp"], "t3", mode="overwrite", branch="side")[
+        "metadata"]["refs"]["side"]["snapshot-id"]
+    with pytest.raises(NotImplementedError, match="append"):
+        io.cherry_pick_snapshot(["cp"], "t3", ow)

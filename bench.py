@@ -37,6 +37,12 @@ SF1_SUBSET = [
     "text_quality_score",
     "text_prepare_corpus",
     "dedup_connected_components",
+    # round-5 ops with linear scale shapes: decontamination (index read +
+    # corpus-side grams), repetition stats (explode/partial-agg), SemDeDup
+    # (constant cell size => cell pairs grow linearly with n)
+    "text_decontaminate",
+    "text_repetition_stats",
+    "sem_dedup_pairs",
 ]
 
 

@@ -794,6 +794,76 @@ def dedup_ngram_jaccard_pairs(
     )
 
 
+CONTAINMENT_TAU = 0.7
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS s FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    cand AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS ln FROM sh),
+    dirs AS (
+      SELECT i AS src, j AS dst, inter, x.ln AS src_ln
+      FROM cand JOIN sizes x ON x.doc_id = i
+      UNION ALL
+      SELECT j AS src, i AS dst, inter, y.ln AS src_ln
+      FROM cand JOIN sizes y ON y.doc_id = j
+    )
+    SELECT src, dst, CAST(inter AS BIGINT) AS inter,
+           inter * 1.0 / src_ln AS containment
+    FROM dirs WHERE inter * 1.0 / src_ln >= {CONTAINMENT_TAU}
+    """,
+    tags=("dedup", "containment", "inverted-index"),
+)
+def dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """Directional containment C(src, dst) = |src n dst| / |src| >= 0.7
+    over 3-shingles — the asymmetric cousin of Jaccard that Jaccard misses:
+    a short document wholly quoted inside a long one has low Jaccard (the
+    union is large) but containment ~1, which is exactly the
+    quote/boilerplate/subset-dup case a corpus cleaner must catch.
+
+    Scale shape: identical to the Jaccard pass — one inverted-index
+    equi-join on shingle produces intersections for the i<j pairs once;
+    both directions are then derived by projection (UNION ALL of two
+    column-swaps), not by a second join. `max_df` caps hot-shingle fanout
+    like the Jaccard variant."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    sh = (
+        docs.select("doc_id", shingles_col(toks).alias("s"))
+        .filter(F.size("s") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = ngram_candidate_pairs(sh, max_df)
+    sizes = sh.select("doc_id", F.size("s").alias("ln"))
+    fwd = cand.join(
+        sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("ln", "src_ln"), "i"
+    ).select(F.col("i").alias("src"), F.col("j").alias("dst"), "inter", "src_ln")
+    rev = cand.join(
+        sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("ln", "src_ln"), "j"
+    ).select(F.col("j").alias("src"), F.col("i").alias("dst"), "inter", "src_ln")
+    both = fwd.unionByName(rev)
+    containment = F.col("inter") / F.col("src_ln")
+    return both.select(
+        "src", "dst", "inter", containment.alias("containment")
+    ).filter(F.col("containment") >= CONTAINMENT_TAU)
+
+
 # --- 5. embedding cosine --------------------------------------------------
 
 

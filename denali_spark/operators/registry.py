@@ -66,6 +66,9 @@ DRIVER_PRIORITY: list[str] = [
     "sem_dedup_pairs",
     "text_decontaminate",
     "text_repetition_stats",
+    "ts_ohlc_bars",
+    "ts_anomaly_zscore",
+    "dedup_containment_pairs",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

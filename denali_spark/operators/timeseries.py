@@ -330,3 +330,151 @@ def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           min({'us': epoch_us(ts), 'eid': event_id, 'v': value}).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           max({'us': epoch_us(ts), 'eid': event_id, 'v': value}).v AS close,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ohlc"),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour, per-event-type OHLC bars — the canonical downsampling shape
+    of a metrics/market hypertable rollup. Open/close are the first/last
+    values by (ts, event_id) — the struct MIN/MAX trick makes the whole bar
+    ONE partial-aggregable groupBy (no window, no second shuffle), with
+    event_id breaking timestamp ties so the bar is deterministic. All five
+    outputs are order-independent aggregates (struct min/max, min, max,
+    count) — no float summation, so engine-order differences can't flip
+    bits."""
+    events = load_table(spark, sf_dir, "events")
+    okey = F.struct(
+        _us("ts").alias("us"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.min(okey).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(okey).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ANOMALY_TRAIL_US = 86_400_000_000  # 24h lookback
+ANOMALY_CHUNK_US = 7 * 86_400_000_000  # window-partition time chunk (>= trail)
+ANOMALY_MIN_N = 30  # below this the estimate is noise; no verdict
+ANOMALY_Z = 3.0
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             COUNT(*) OVER trail AS trail_n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER trail AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER trail AS DOUBLE) AS s2
+      FROM events
+      WINDOW trail AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {ANOMALY_TRAIL_US} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_id, event_type, value, CAST(trail_n AS BIGINT) AS trail_n,
+             CASE WHEN trail_n >= {ANOMALY_MIN_N}
+                   AND s2 / trail_n - (s1 / trail_n) * (s1 / trail_n) > 0
+                  THEN (value - s1 / trail_n)
+                       / sqrt(s2 / trail_n - (s1 / trail_n) * (s1 / trail_n))
+             END AS z
+      FROM w
+    )
+    SELECT event_id, event_type, value, trail_n, z,
+           COALESCE(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
+    FROM scored
+    """,
+    tags=("timeseries", "anomaly", "sliding-window"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as a batch query: each event's
+    value is z-scored against the trailing 24h of its event_type (frame
+    excludes the event itself); |z| > {ANOMALY_Z} with at least
+    {ANOMALY_MIN_N} trailing points flags an anomaly.
+
+    Determinism across engines: the trailing mean/variance come from EXACT
+    decimal sums (s1, s2) over the range frame — decimal addition is
+    order-independent, so DuckDB's segment-tree frame evaluation and
+    Spark's sequential one produce identical bits; all floating math
+    happens after, on identical inputs.
+
+    Scale shape — chunked window with context carry: a window partitioned
+    by event_type alone has a handful of partitions regardless of data
+    volume (one task per event type at 100 TB — unusable). Instead rows
+    are windowed by (event_type, 7-day chunk), and each chunk's trailing
+    24 h of rows is COPIED into the next chunk as context-only rows: every
+    row's 24 h frame is fully present in its own partition, so results are
+    exactly the global ones (the oracle runs the naive global window), but
+    partition cardinality grows with the covered time span and the carry
+    overhead is bounded at trail/chunk ≈ 14%. Context rows score nothing —
+    they're filtered after the window."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_id", "event_type", "value", _us("ts").alias("us"))
+    own = base.select(
+        "*",
+        (F.col("us") - (F.col("us") % ANOMALY_CHUNK_US)).alias("chunk"),
+        F.lit(False).alias("ctx"),
+    )
+    carry = base.filter(
+        F.col("us") % ANOMALY_CHUNK_US >= ANOMALY_CHUNK_US - ANOMALY_TRAIL_US
+    ).select(
+        "*",
+        (F.col("us") - (F.col("us") % ANOMALY_CHUNK_US) + ANOMALY_CHUNK_US).alias(
+            "chunk"
+        ),
+        F.lit(True).alias("ctx"),
+    )
+    trail = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("us")
+        .rangeBetween(-ANOMALY_TRAIL_US, -1)
+    )
+    d = dec("value")
+    w = (
+        own.unionByName(carry)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "ctx",
+            F.count(F.lit(1)).over(trail).alias("trail_n"),
+            F.sum(d).over(trail).cast("double").alias("s1"),
+            F.sum(d * d).over(trail).cast("double").alias("s2"),
+        )
+        .filter(~F.col("ctx"))
+    )
+    mean = F.col("s1") / F.col("trail_n")
+    var = F.col("s2") / F.col("trail_n") - mean * mean
+    z = F.when(
+        (F.col("trail_n") >= ANOMALY_MIN_N) & (var > 0),
+        (F.col("value") - mean) / F.sqrt(var),
+    )
+    return w.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("trail_n").cast("long").alias("trail_n"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )

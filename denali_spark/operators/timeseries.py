@@ -478,3 +478,44 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "retention", "cohort"),
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    later day they return (the product-analytics triangle). (cohort_day,
+    day_offset, n_users) with offset 0 = the cohort's own size.
+
+    Scale shape: two user_id-keyed aggregations (both map-side combinable)
+    feeding one equi-join on user_id — AQE co-partitions them — then a
+    final (cohort, offset) count. No windows, no distinct-over-everything:
+    the dedup to (user, day) happens pre-join so the join input is bounded
+    by users x active-days, not raw events."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

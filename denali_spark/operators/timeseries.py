@@ -519,3 +519,79 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+LTTB_BUCKETS = 100
+
+
+def _lttb_select(ts_us, vals, n_out: int):
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013) over one series,
+    returning selected row positions. Pure numpy, deterministic: stable
+    bucket edges via linspace over the interior, argmax keeps the first
+    maximum on area ties."""
+    import numpy as np
+
+    n = len(ts_us)
+    if n_out >= n:
+        return list(range(n))
+    if n_out < 3:
+        return [0, n - 1]
+    # interior bucket edges: n_out-2 buckets over positions [1, n-1)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    selected = [0]
+    prev = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if hi <= lo:
+            hi = lo + 1
+        nxt_lo, nxt_hi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+        if nxt_hi <= nxt_lo:
+            nxt_hi = nxt_lo + 1
+        # average of the NEXT bucket is the third triangle corner
+        cx = float(np.mean(ts_us[nxt_lo:nxt_hi]))
+        cy = float(np.mean(vals[nxt_lo:nxt_hi]))
+        ax, ay = float(ts_us[prev]), float(vals[prev])
+        bx = ts_us[lo:hi].astype("float64")
+        by = vals[lo:hi].astype("float64")
+        area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+        prev = lo + int(np.argmax(area))
+        selected.append(prev)
+    selected.append(n - 1)
+    return selected
+
+
+@query("ts_downsample_lttb", tags=("timeseries", "downsample", "pandas-udf"))
+def ts_downsample_lttb(
+    spark: SparkSession, sf_dir: str, n_out: int = LTTB_BUCKETS
+) -> DataFrame:
+    """LTTB downsampling of each event_type's (ts, value) series to `n_out`
+    visually-representative points — the dashboard-rendering primitive of a
+    metrics hypertable (Timescale's `lttb`). First/last points are always
+    kept; each interior bucket contributes the point forming the largest
+    triangle with the previously-kept point and the next bucket's centroid.
+
+    LTTB's selection is inherently SEQUENTIAL within a series (each pick
+    depends on the previous), so this is one of the few operators here that
+    genuinely needs applyInPandas: one Arrow-batched python kernel per
+    series, parallel ACROSS series (the window shuffle key is the series
+    id). A series too big for one task would use the chunked approximation
+    (split, downsample chunks, re-downsample the concatenation) — not
+    needed at these scales. No SQL oracle exists (the driver records the
+    rows-only check); tests/test_lttb.py pins the semantics instead."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.select(
+        "event_type", _us("ts").alias("us"), "value", "event_id"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"], ignore_index=True)
+        idx = _lttb_select(pdf["us"].to_numpy(), pdf["value"].to_numpy(), n_out)
+        out = pdf.iloc[idx][["event_type", "us", "value"]].copy()
+        out["rank"] = range(len(idx))
+        return out
+
+    return series.groupBy("event_type").applyInPandas(
+        kernel, schema="event_type string, us long, value double, rank int"
+    )

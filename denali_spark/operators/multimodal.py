@@ -375,3 +375,77 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.concat(header, pixels), "UTF-8")
     p = docs.select("doc_id", payload.alias("payload"))
     return p.mapInPandas(_decode_ppm_batch, schema=_PPM_SCHEMA)
+
+
+AUDIO_FRAME = 32  # samples per analysis window
+
+
+@query(
+    "mm_audio_window_rms",
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      WHERE length(COALESCE(text, '')) = octet_length(encode(COALESCE(text, '')))
+    ),
+    samples AS (
+      SELECT doc_id, i, unicode(substr(t, CAST(i AS INT), 1)) - 128 AS s
+      FROM ascii_docs, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    framed AS (
+      SELECT doc_id, CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame,
+             s, COUNT(*) OVER (PARTITION BY doc_id, (i - 1) // {AUDIO_FRAME}) AS w
+      FROM samples
+    )
+    SELECT doc_id, frame,
+           sqrt(SUM(s * s) / {AUDIO_FRAME}.0) AS rms,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak
+    FROM framed WHERE w = {AUDIO_FRAME}
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed analysis over an opaque binary payload: treat
+    the payload as unsigned-8-bit PCM (samples centered at 128), split into
+    {AUDIO_FRAME}-sample frames, and emit per-frame RMS + peak — the
+    loudness/clipping profile an audio ingest pipeline computes before
+    feature extraction. Trailing partial frames are dropped (equal-length
+    frames only), and non-ASCII payloads are excluded up front so the SQL
+    oracle's codepoint view of the bytes is exact.
+
+    Spark plumbing is the real thing: Arrow-batched mapInPandas, numpy
+    frombuffer per payload, vectorized frame reshape — swap the synthetic
+    payload for real PCM and nothing else changes. Determinism: sample
+    values are ints, frame sums of squares are exact in float64, and the
+    final divide + sqrt are single IEEE ops — bit-identical to the oracle's
+    integer aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    ascii_docs = docs.select(
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_txt"),
+    ).filter(F.octet_length("payload") == F.col("n_chars_txt"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc, out_frame, out_rms, out_peak = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                n_frames = len(b) // AUDIO_FRAME
+                if n_frames == 0:
+                    continue
+                fr = b[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
+                sq = (fr * fr).sum(axis=1).astype(np.float64)
+                out_doc.extend([doc_id] * n_frames)
+                out_frame.extend(range(n_frames))
+                out_rms.extend(np.sqrt(sq / float(AUDIO_FRAME)))
+                out_peak.extend(np.abs(fr).max(axis=1))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame": out_frame, "rms": out_rms, "peak": out_peak}
+            )
+
+    return ascii_docs.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, frame long, rms double, peak long"
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_containment_pairs",
     "ts_retention_cohorts",
     "ts_downsample_lttb",
+    "mm_audio_window_rms",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

@@ -5,6 +5,7 @@ from denali_spark.streaming.documents_stream import (
     read_verdicts,
 )
 from denali_spark.streaming.events_stream import (
+    anomaly_stream,
     dedup_stream,
     read_event_stream,
     sessionize_stream,
@@ -15,6 +16,7 @@ from denali_spark.streaming.events_stream import (
 )
 
 __all__ = [
+    "anomaly_stream",
     "dedup_stream",
     "read_event_stream",
     "windowed_counts",

@@ -300,3 +300,111 @@ def make_cdc_sink(
             )
 
     return _sink
+
+
+# --- streaming anomaly detection (stateful trailing-window z-score) -------
+
+_ANOM_OUT_SCHEMA = (
+    "event_id long, event_type string, value double, trail_n long, "
+    "z double, is_anomaly boolean"
+)
+# Trailing-window contents survive between micro-batches as two parallel
+# arrays (event-time micros, exact integer cents).
+_ANOM_STATE_SCHEMA = "us array<long>, cents array<long>"
+
+
+def _cents(v: float) -> int:
+    """Exact replica of Spark's CAST(double AS DECIMAL(12,2)): expand the
+    binary double exactly, then HALF_UP to 2 places."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(v).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+
+
+def _update_anomaly(key, pdfs: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Stateful z-score kernel for one event_type: maintain the trailing 24h
+    of (us, cents) across micro-batches; score each event against the
+    window EXCLUDING same-timestamp peers (the batch range frame's
+    [us-24h, us-1]), then admit it. Events inside a batch are processed in
+    (us, event_id) order, so intra-batch trailing context is exact too.
+
+    Float determinism vs the batch twin: sums are exact integer cents; the
+    double versions are produced by ONE correctly-rounded conversion of the
+    exact rational (Fraction -> float, matching CAST(DECIMAL AS DOUBLE)),
+    then the identical mean/var/z expression tree."""
+    from fractions import Fraction
+
+    from denali_spark.operators.timeseries import (
+        ANOMALY_MIN_N,
+        ANOMALY_TRAIL_US,
+        ANOMALY_Z,
+    )
+
+    (event_type,) = key
+    if state.exists:
+        win_us, win_cents = list(state.get[0]), list(state.get[1])
+    else:
+        win_us, win_cents = [], []
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["us"] = rows["ts"].astype("int64") // 1000
+    rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+
+    out = {k: [] for k in ("event_id", "event_type", "value", "trail_n", "z", "is_anomaly")}
+    i, n_rows = 0, len(rows)
+    while i < n_rows:
+        us = int(rows["us"][i])
+        # evict entries older than the frame start; everything remaining is
+        # inside [us - trail, us - 1] because insertions happen post-scoring
+        lo = us - ANOMALY_TRAIL_US
+        k = 0
+        while k < len(win_us) and win_us[k] < lo:
+            k += 1
+        if k:
+            win_us, win_cents = win_us[k:], win_cents[k:]
+        # score every row sharing this timestamp against the same window
+        j = i
+        group_cents = []
+        n = len(win_cents)
+        s1 = float(Fraction(sum(win_cents), 100)) if n else 0.0
+        s2 = float(Fraction(sum(c * c for c in win_cents), 10_000)) if n else 0.0
+        while j < n_rows and int(rows["us"][j]) == us:
+            value = float(rows["value"][j])
+            z = None
+            if n >= ANOMALY_MIN_N:
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                if var > 0:
+                    z = (value - mean) / (var ** 0.5)
+            out["event_id"].append(int(rows["event_id"][j]))
+            out["event_type"].append(event_type)
+            out["value"].append(value)
+            out["trail_n"].append(n)
+            out["z"].append(z)
+            out["is_anomaly"].append(bool(z is not None and abs(z) > ANOMALY_Z))
+            group_cents.append(_cents(value))
+            j += 1
+        win_us.extend([us] * len(group_cents))
+        win_cents.extend(group_cents)
+        i = j
+
+    state.update((win_us, win_cents))
+    yield pd.DataFrame(out)
+
+
+def anomaly_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_anomaly_zscore``: per event_type, z-score each
+    event against the trailing 24h via applyInPandasWithState — the custom
+    stateful operator a metrics pipeline runs at ingest. With micro-batches
+    arriving in event-time order (the landing-zone shape), verdicts equal
+    the batch query's bit-for-bit. State is bounded by one (long, long)
+    pair per event in the trailing window, evicted as time advances."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

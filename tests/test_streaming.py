@@ -239,3 +239,42 @@ def test_dedup_stream_matches_batch_distinct(spark, tmp_path, landing):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     want = events.select("event_id").distinct().count()
     assert got["n"] == got["d"] == want
+
+
+def test_anomaly_stream_matches_batch_zscore(spark, landing):
+    """The stateful streaming z-score must reproduce the batch operator's
+    verdicts bit-for-bit when micro-batches arrive in event-time order."""
+    from denali_spark.operators.timeseries import ts_anomaly_zscore
+    from denali_spark.streaming.events_stream import anomaly_stream
+
+    src, _events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("anomaly_out")
+        .outputMode("append")
+        .start()
+    )
+    _run_stream(q)
+    got = {
+        r["event_id"]: (r["trail_n"], r["z"], r["is_anomaly"])
+        for r in spark.table("anomaly_out").collect()
+    }
+    expect = {
+        r["event_id"]: (r["trail_n"], r["z"], r["is_anomaly"])
+        for r in ts_anomaly_zscore(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    mism = [
+        (e, got[e], expect[e])
+        for e in expect
+        if got[e][0] != expect[e][0]
+        or got[e][2] != expect[e][2]
+        or (got[e][1] is None) != (expect[e][1] is None)
+        or (got[e][1] is not None and got[e][1] != expect[e][1])
+    ]
+    assert not mism, f"{len(mism)} mismatches, first 3: {mism[:3]}"
+    assert any(v[2] for v in got.values()) or all(
+        v[0] < 30 for v in got.values()
+    )  # the battery exercises real verdicts unless trails never fill

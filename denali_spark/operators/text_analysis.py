@@ -11,11 +11,16 @@ from __future__ import annotations
 import os
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from denali_spark.engine.tables import load_table
-from denali_spark.operators.dedup import SQL_TOKENS, tokens_col
+from denali_spark.operators.dedup import (
+    _SQL_PAIR_CTES,
+    _SQL_SIG_BASE,
+    SQL_TOKENS,
+    tokens_col,
+)
 from denali_spark.operators.registry import query
 
 
@@ -688,4 +693,79 @@ def decontaminate_batch(
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+@query(
+    "text_dedup_keep_best",
+    oracle=_SQL_SIG_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _SQL_PAIR_CTES
+    + """
+    , edges AS (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION ALL
+      SELECT j, i FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             COALESCE(length(d.text) BETWEEN 80 AND 10000
+               AND (CAST(length(d.text) - length(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(d.text)) < 0.2, FALSE) AS ok
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY ok DESC, n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS nm
+      FROM ranked_src
+    )
+    SELECT doc_id, component, (rn = 1) AS keep, CAST(nm AS BIGINT) AS n_members
+    FROM ranked
+    """.replace("ranked_src", "scored"),
+    tags=("text", "dedup", "keep-best"),
+)
+def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-step of a near-dup pipeline: after clustering (connected
+    components over the LSH pair graph), keep exactly ONE document per
+    cluster — the best one, not just the lowest id. Best = passes the
+    quality gate, then longest, then lowest doc_id (a deterministic
+    composite; real pipelines plug a model score into the same slot).
+    Returns (doc_id, component, keep, n_members) for every document.
+
+    Scale shape: reuses the CC labeling (bucketed LSH pairs + min-label
+    propagation — no quadratics), then one window over `component`, whose
+    cardinality is ~n_docs (components are tiny), so the rank shuffle is
+    well-distributed."""
+    from denali_spark.operators.dedup import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("double") / ln
+    ok = F.coalesce(
+        F.length("text").between(80, 10000) & (punct < 0.2), F.lit(False)
+    )
+    scored = cc.join(
+        docs.select("doc_id", "text", "n_chars"), "doc_id"
+    ).select("doc_id", "component", "n_chars", ok.alias("ok"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("ok"), F.desc("n_chars"), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return scored.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_members"),
     )

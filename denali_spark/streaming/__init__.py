@@ -7,6 +7,7 @@ from denali_spark.streaming.documents_stream import (
 from denali_spark.streaming.events_stream import (
     anomaly_stream,
     dedup_stream,
+    ohlc_stream,
     read_event_stream,
     sessionize_stream,
     stream_cdc_apply,
@@ -20,6 +21,7 @@ __all__ = [
     "dedup_stream",
     "read_event_stream",
     "windowed_counts",
+    "ohlc_stream",
     "user_running_totals",
     "sessionize_stream",
     "stream_cdc_apply",

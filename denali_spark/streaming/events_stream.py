@@ -74,6 +74,42 @@ def windowed_counts(
     )
 
 
+def ohlc_stream(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming OHLC bars (twin of ``ts_ohlc_bars``): per event-time window
+    and event_type, open/high/low/close/count via the same struct-min/max
+    trick — a plain watermarked windowed aggregation, fully incremental
+    (struct min/max merge associatively in state), no custom operator
+    needed. Late data beyond the watermark is dropped like every windowed
+    agg here."""
+    okey = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.min(okey).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(okey).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
 # --- custom stateful operator: per-user running totals --------------------
 
 _STATE_SCHEMA = StructType(

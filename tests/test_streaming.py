@@ -278,3 +278,34 @@ def test_anomaly_stream_matches_batch_zscore(spark, landing):
     assert any(v[2] for v in got.values()) or all(
         v[0] < 30 for v in got.values()
     )  # the battery exercises real verdicts unless trails never fill
+
+
+def test_ohlc_stream_matches_batch_bars(spark, landing):
+    from denali_spark.operators.timeseries import ts_ohlc_bars
+    from denali_spark.streaming.events_stream import ohlc_stream
+
+    src, _events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        ohlc_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_bars")
+        .outputMode("complete")
+        .start()
+    )
+    _run_stream(q)
+    got = {
+        (r.window_start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.table("ohlc_bars").collect()
+    }
+    expect = {
+        (r.hour[:-3] + ":00", r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in ts_ohlc_bars(spark, SF_SMOKE).collect()
+    }
+    # batch hour format is "yyyy-MM-dd HH:00", stream "yyyy-MM-dd HH:mm" on
+    # hour boundaries — normalize both to HH:00 strings
+    expect = {
+        (k[0][:13] + ":00", k[1]): v for k, v in expect.items()
+    }
+    got = {(k[0][:13] + ":00", k[1]): v for k, v in got.items()}
+    assert got == expect

@@ -598,6 +598,12 @@ class SparkCatalogIO:
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
+        if parts is None:
+            # Partition-spec evolution: with no explicit layout, write by
+            # the spec in force NOW (which may differ from create-time).
+            from denali_spark.sources.partitioning import spec_to_partition_by
+
+            parts = spec_to_partition_by(md)
         data_files = self._write_data_files(
             df, md["location"], partition_by=parts, sort_by=sort_by,
             num_files=num_files, schema_id=md.get("current-schema-id", 0),
@@ -830,6 +836,40 @@ class SparkCatalogIO:
             ],
             updates=[{"action": "set-snapshot-ref", "ref-name": to,
                       "snapshot-id": head["snapshot-id"], "type": "branch"}],
+        )
+
+    def evolve_partition_spec(
+        self, namespace: list[str], name: str, partition_by: list
+    ) -> dict:
+        """Iceberg partition-spec evolution: register a NEW spec and make it
+        the default in one commit. Existing data files keep their old
+        layout (nothing is rewritten — the defining property of Iceberg
+        spec evolution); subsequent writes lay out by the new spec
+        (write_table derives it via spec_to_partition_by), and reads span
+        both layouts because scan planning is manifest-driven, not
+        directory-driven."""
+        from denali_spark.sources.partitioning import (
+            build_partition_spec,
+            normalize_partition_by,
+        )
+
+        md = self.client.load_table(namespace, name)["metadata"]
+        parts = normalize_partition_by(partition_by)
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md.get("current-schema-id", 0)
+        )
+        spec = build_partition_spec(parts, schema)
+        spec["spec-id"] = max(s["spec-id"] for s in md.get("partition-specs", [{"spec-id": -1}])) + 1
+        last = md.get("last-partition-id", 999)
+        for i, f in enumerate(spec["fields"]):
+            f["field-id"] = last + 1 + i
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "add-spec", "spec": spec},
+                {"action": "set-default-spec", "spec-id": -1},
+            ],
         )
 
     def rollback_to_snapshot(

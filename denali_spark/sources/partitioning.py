@@ -142,3 +142,31 @@ def partition_values_from_path(path: str, dir_names: list[str]) -> dict:
                     None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                 )
     return values
+
+
+def spec_to_partition_by(md: dict) -> list[tuple[str, str]] | None:
+    """Reverse of build_partition_spec: map a table's CURRENT default
+    partition spec back to [(column, transform)] using the current schema's
+    field ids — how the write path honors partition-spec evolution (a
+    writer must lay out new files by the spec in force NOW, not the one the
+    table was created with). Returns None for unpartitioned tables."""
+    spec = next(
+        (
+            s
+            for s in md.get("partition-specs", [])
+            if s.get("spec-id") == md.get("default-spec-id", 0)
+        ),
+        None,
+    )
+    if not spec or not spec.get("fields"):
+        return None
+    schema = next(
+        (
+            s
+            for s in md.get("schemas", [])
+            if s.get("schema-id") == md.get("current-schema-id", 0)
+        ),
+        {},
+    )
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    return [(by_id[f["source-id"]], f["transform"]) for f in spec["fields"]]

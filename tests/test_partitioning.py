@@ -133,3 +133,47 @@ def test_normalize_and_spec_errors():
     schema = {"fields": [{"id": 1, "name": "a", "type": "long"}]}
     with pytest.raises(ValueError, match="not in schema"):
         build_partition_spec([("zz", "identity")], schema)
+
+
+# --- partition-spec evolution (round 5) -------------------------------------
+
+
+def test_partition_spec_evolution_end_to_end(spark, io):
+    """Write unpartitioned → evolve the spec → append → the new files land
+    under the new layout, old files are untouched, and reads span both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df1 = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "de", 2.0)], "id long, lang string, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(3, "en", 3.0), (4, "fr", 4.0)], "id long, lang string, v double"
+    )
+    io.write_table(df1, ["pe"], "t")
+    io.evolve_partition_spec(["pe"], "t", ["lang"])
+    io.write_table(df2, ["pe"], "t")  # no partition_by: derives the new spec
+
+    md = io.client.load_table(["pe"], "t")["metadata"]
+    assert md["default-spec-id"] == 1
+    assert len(md["partition-specs"]) == 2
+    new_spec = next(s for s in md["partition-specs"] if s["spec-id"] == 1)
+    assert [f["transform"] for f in new_spec["fields"]] == ["identity"]
+    assert new_spec["fields"][0]["field-id"] == 1000
+
+    # reads span both layouts
+    got = sorted(r.id for r in io.read_table(["pe"], "t").collect())
+    assert got == [1, 2, 3, 4]
+    # predicate on the partition column still works across layouts
+    en = io.read_table(["pe"], "t", where=E.eq("lang", "en"))
+    assert sorted(r.id for r in en.collect()) == [1, 3]
+
+    # the second commit's data files physically live under the partition dir
+    head = md["refs"]["main"]["snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    entries = io._manifest_entries(snap["manifest-list"])
+    new_files = [e for e in entries if e.get("sequence-number") == 2]
+    assert new_files and all("_p_lang=" in e["path"] for e in new_files)
+    old_files = [e for e in entries if e.get("sequence-number") == 1]
+    assert old_files and all("_p_lang=" not in e["path"] for e in old_files)

@@ -604,6 +604,10 @@ class SparkCatalogIO:
             from denali_spark.sources.partitioning import spec_to_partition_by
 
             parts = spec_to_partition_by(md)
+        if sort_by is None:
+            # Same for the write order: honor the CURRENT default sort
+            # order so sorted-write clustering survives order evolution.
+            sort_by = sort_order_to_sort_by(md)
         data_files = self._write_data_files(
             df, md["location"], partition_by=parts, sort_by=sort_by,
             num_files=num_files, schema_id=md.get("current-schema-id", 0),
@@ -838,6 +842,42 @@ class SparkCatalogIO:
                       "snapshot-id": head["snapshot-id"], "type": "branch"}],
         )
 
+    def evolve_sort_order(
+        self, namespace: list[str], name: str, sort_by: list[str]
+    ) -> dict:
+        """Sort-order evolution: register a new identity-asc write order and
+        make it the default in one commit. Like spec evolution, nothing is
+        rewritten — existing files keep their clustering (and its stats
+        tightness); subsequent writes sort by the new order because
+        write_table derives it via sort_order_to_sort_by."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        schema = next(
+            s for s in md["schemas"] if s["schema-id"] == md.get("current-schema-id", 0)
+        )
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        missing = [c for c in sort_by if c not in by_name]
+        if missing:
+            raise ValueError(f"sort columns not in schema: {missing}")
+        order = {
+            "order-id": max(
+                (s["order-id"] for s in md.get("sort-orders", [])), default=-1
+            )
+            + 1,
+            "fields": [
+                {"transform": "identity", "source-id": by_name[c],
+                 "direction": "asc", "null-order": "nulls-first"}
+                for c in sort_by
+            ],
+        }
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            updates=[
+                {"action": "add-sort-order", "sort-order": order},
+                {"action": "set-default-sort-order", "sort-order-id": -1},
+            ],
+        )
+
     def evolve_partition_spec(
         self, namespace: list[str], name: str, partition_by: list
     ) -> dict:
@@ -1061,6 +1101,38 @@ class SparkCatalogIO:
         if not spark_reps:
             raise ValueError(f"view {name} has no SQL representation")
         return self.spark.sql(spark_reps[0]["sql"])
+
+
+def sort_order_to_sort_by(md: dict) -> list[str] | None:
+    """Map the table's CURRENT default sort order back to column names for
+    the write path. Only identity/asc orders lower to the engine's
+    sortWithinPartitions layout; anything else returns None (write
+    unsorted) rather than silently approximating."""
+    order = next(
+        (
+            s
+            for s in md.get("sort-orders", [])
+            if s.get("order-id") == md.get("default-sort-order-id", 0)
+        ),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return None
+    schema = next(
+        (
+            s
+            for s in md.get("schemas", [])
+            if s.get("schema-id") == md.get("current-schema-id", 0)
+        ),
+        {},
+    )
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    cols = []
+    for f in order["fields"]:
+        if f.get("transform") != "identity" or f.get("direction", "asc") != "asc":
+            return None
+        cols.append(by_id[f["source-id"]])
+    return cols
 
 
 def _json_stat_value(v):

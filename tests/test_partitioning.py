@@ -177,3 +177,31 @@ def test_partition_spec_evolution_end_to_end(spark, io):
     assert new_files and all("_p_lang=" in e["path"] for e in new_files)
     old_files = [e for e in entries if e.get("sequence-number") == 1]
     assert old_files and all("_p_lang=" not in e["path"] for e in old_files)
+
+
+def test_sort_order_evolution_applies_to_new_writes(spark, io):
+    """Evolve the default write order; a later append without sort_by must
+    come out range-clustered by the new order (per-file min/max windows on
+    the sort column don't overlap)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 10_000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    io.write_table(df, ["so"], "t", num_files=4)  # unsorted create
+    io.evolve_sort_order(["so"], "t", ["k"])
+    md = io.client.load_table(["so"], "t")["metadata"]
+    assert md["default-sort-order-id"] == 1
+
+    io.write_table(df, ["so"], "t", num_files=4)  # derives the new order
+    md = io.client.load_table(["so"], "t")["metadata"]
+    head = md["refs"]["main"]["snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    entries = io._manifest_entries(snap["manifest-list"])
+    new = [e for e in entries if e.get("sequence-number") == 2]
+    assert len(new) == 4
+    windows = sorted(
+        (int(e["stats"]["k"]["min"]), int(e["stats"]["k"]["max"])) for e in new
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(windows, windows[1:]):
+        assert hi1 <= lo2, f"overlapping sorted-write windows: {windows}"

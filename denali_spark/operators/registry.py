@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_downsample_lttb",
     "mm_audio_window_rms",
     "text_dedup_keep_best",
+    "fn_bitwise",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

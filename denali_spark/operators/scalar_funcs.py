@@ -269,3 +269,38 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5_prefix_int"
         ),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS lo_byte,
+           CAST(event_id | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(event_id, user_id) AS BIGINT) AS mixed,
+           CAST(event_id << 3 AS BIGINT) AS shl3,
+           CAST(event_id >> 2 AS BIGINT) AS shr2,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount,
+           ((event_id & (event_id - 1)) = 0 AND event_id > 0) AS is_pow2
+    FROM events WHERE event_id < 200
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise vocabulary (and/or/xor/shifts/popcount/power-of-two test) —
+    the bit-twiddling layer feature hashing and bucketing are built from.
+    Pure scan-side expressions, whole-stage codegen'd."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).cast("long").alias("lo_byte"),
+        eid.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        eid.bitwiseXOR(F.col("user_id")).cast("long").alias("mixed"),
+        F.shiftleft(eid, 3).cast("long").alias("shl3"),
+        F.shiftright(eid, 2).cast("long").alias("shr2"),
+        F.bit_count(eid).cast("long").alias("popcount"),
+        (
+            (eid.bitwiseAND(eid - F.lit(1)) == 0) & (eid > 0)
+        ).alias("is_pow2"),
+    )

@@ -1,0 +1,31 @@
+"""Near-duplicate pipeline end-to-end over the synthetic documents corpus:
+MinHash+LSH pairs -> connected components -> keep-best per cluster ->
+materialized deduped corpus."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from denali_spark.engine.session import get_spark
+from denali_spark.operators.dedup import (
+    dedup_connected_components,
+    dedup_minhash_lsh_pairs,
+)
+from denali_spark.operators.text_analysis import text_dedup_keep_best
+
+SF = "/root/testdata/sf0.001"
+
+spark = get_spark("dedup-pipeline")
+spark.sparkContext.setLogLevel("ERROR")
+
+pairs = dedup_minhash_lsh_pairs(spark, SF)
+print("near-dup pairs:", pairs.count())
+
+clusters = dedup_connected_components(spark, SF)
+n_clusters = clusters.filter("is_canonical").count()
+print("documents:", clusters.count(), "-> clusters:", n_clusters)
+
+decisions = text_dedup_keep_best(spark, SF)
+kept = decisions.filter("keep")
+print("kept (best per cluster):", kept.count())
+print(kept.orderBy("component").limit(5).toPandas().to_string(index=False))

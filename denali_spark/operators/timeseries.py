@@ -595,3 +595,70 @@ def ts_downsample_lttb(
     return series.groupBy("event_type").applyInPandas(
         kernel, schema="event_type string, us long, value double, rank int"
     )
+
+
+@query(
+    "ts_asof_join_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           c.value AS click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    tags=("timeseries", "asof-join", "custom-operator"),
+)
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: per purchase, the EARLIEST click at-or-after it —
+    the "next action after conversion" attribution lookup, the mirror of
+    `ts_asof_join`'s latest-before semantics.
+
+    Same 100 TB-safe union-and-carry formulation, traversed in DESCENDING
+    time order: walking from the future backwards, the last click seen is
+    the earliest one still >= the current row. Clicks order before
+    purchases at identical timestamps, preserving inclusive (>=)
+    semantics. One shuffle on (user_id, ts)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("c_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_probe",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("c_value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("purchase_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
+        "click_value",
+    )

@@ -662,3 +662,49 @@ def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
         "click_value",
     )
+
+
+EMA_ALPHA = 0.2
+
+
+@query(
+    "ts_ema_current",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc) AS ema
+    FROM events GROUP BY 1
+    """,
+    tags=("timeseries", "ema", "recursive"),
+)
+def ts_ema_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current exponentially-weighted moving average of each user's value
+    series (alpha={EMA_ALPHA}, seeded with the first observation) — the
+    classic smoothing recurrence ema_i = a*x_i + (1-a)*ema_(i-1), which no
+    window frame can express (each step depends on the previous RESULT,
+    not the previous rows). Both engines evaluate it as a sequential fold
+    over the identically-(ts, event_id)-ordered value list, so the float
+    operation sequence — and therefore every bit — matches.
+
+    Scale shape: one shuffle on user_id; per-user state is that user's
+    event list (bounded by per-key activity, the same bound sessionization
+    carries). For per-ROW ema output at scale, the chunked-carry trick from
+    ts_anomaly_zscore applies with the chunk's closing ema as the carry."""
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        F.struct(_us("ts").alias("us"), F.col("event_id").alias("eid"),
+                 F.col("value").alias("v")).alias("r"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list("r")).alias("rs"),
+    )
+    vals = F.transform("rs", lambda r: r["v"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(EMA_ALPHA) * x + F.lit(1 - EMA_ALPHA) * acc,
+    )
+    return per_user.select("user_id", "n_events", ema.alias("ema"))

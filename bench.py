@@ -115,18 +115,12 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     consumer pays the read, only ingest pays the build."""
     import shutil
 
-    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
     from denali_spark.operators.dedup import (
-        BAND_ROWS,
-        MINHASH_PARAMS,
-        N_BANDS,
+        minhash_index_path,
         minhash_signature_index,
     )
 
-    key = corpus_fingerprint(
-        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
-    )
-    path = os.path.join(cache_root("minhash"), f"sigs-{key}")
+    path = minhash_index_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     cold = _time(lambda: minhash_signature_index(spark, sf_dir).count(), runs=1)
     warm = _time(lambda: minhash_signature_index(spark, sf_dir).count())

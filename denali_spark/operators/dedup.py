@@ -158,6 +158,21 @@ def _with_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_index_path(sf_dir: str) -> str:
+    """Canonical on-disk location of the corpus's signature index — the ONE
+    place its cache-key geometry lives (bench and tests must use this, not
+    re-derive the path, or an index-geometry change silently desyncs
+    them)."""
+    import os
+
+    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
+
+    key = corpus_fingerprint(
+        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
+    )
+    return os.path.join(cache_root("minhash"), f"sigs-{key}")
+
+
 def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized MinHash signature relation (doc_id, shingle-hash set,
     sig_0..15), computed ONCE per corpus and persisted as parquet — the
@@ -170,20 +185,12 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cache discipline (per-user root, fingerprint invalidation, atomic
     rename, hard _SUCCESS gate): engine.index_cache."""
-    import os
+    from denali_spark.engine.index_cache import materialize_parquet
 
-    from denali_spark.engine.index_cache import (
-        cache_root,
-        corpus_fingerprint,
-        materialize_parquet,
-    )
-
-    key = corpus_fingerprint(
-        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
-    )
-    path = os.path.join(cache_root("minhash"), f"sigs-{key}")
     return materialize_parquet(
-        spark, path, lambda: _with_signatures(load_table(spark, sf_dir, "documents"))
+        spark,
+        minhash_index_path(sf_dir),
+        lambda: _with_signatures(load_table(spark, sf_dir, "documents")),
     )
 
 

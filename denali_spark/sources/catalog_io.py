@@ -782,6 +782,7 @@ class SparkCatalogIO:
             files,
             schema=schema,
             partition_spec=spec_fields,
+            partition_spec_id=md.get("default-spec-id", 0),
         )
 
     # --- branches & tags (write-audit-publish) -----------------------------
@@ -1131,7 +1132,12 @@ def sort_order_to_sort_by(md: dict) -> list[str] | None:
     for f in order["fields"]:
         if f.get("transform") != "identity" or f.get("direction", "asc") != "asc":
             return None
-        cols.append(by_id[f["source-id"]])
+        # A sort column dropped from the current schema also degrades to an
+        # unsorted write (the docstring's contract) instead of KeyError.
+        name = by_id.get(f["source-id"])
+        if name is None:
+            return None
+        cols.append(name)
     return cols
 
 

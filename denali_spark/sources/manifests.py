@@ -383,6 +383,7 @@ def write_manifest_list(
     entries: list[dict],
     schema: dict | None = None,
     partition_spec: list | None = None,
+    partition_spec_id: int = 0,
 ) -> str:
     """Write the two-level Avro layout: data and delete entries go into
     separate manifests (Iceberg keeps delete manifests distinct so scan
@@ -414,7 +415,7 @@ def write_manifest_list(
             "format-version": FORMAT_VERSION,
             "content": "data" if content == 0 else "deletes",
             "partition-spec": json.dumps(partition_spec or []),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(partition_spec_id),
         }
         if schema is not None:
             manifest_meta["schema"] = json.dumps(schema)

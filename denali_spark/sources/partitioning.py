@@ -169,4 +169,15 @@ def spec_to_partition_by(md: dict) -> list[tuple[str, str]] | None:
         {},
     )
     by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    missing = [f for f in spec["fields"] if f["source-id"] not in by_id]
+    if missing:
+        # Unlike a dropped SORT column (safe to degrade to unsorted), a
+        # dropped partition-source column means the table's layout contract
+        # can no longer be honored — surface it instead of silently writing
+        # a different layout.
+        names = [f.get("name", f["source-id"]) for f in missing]
+        raise ValueError(
+            f"default partition spec references dropped column(s) {names}; "
+            "evolve the partition spec before writing"
+        )
     return [(by_id[f["source-id"]], f["transform"]) for f in spec["fields"]]

@@ -362,12 +362,16 @@ def _update_anomaly(key, pdfs: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.
     of (us, cents) across micro-batches; score each event against the
     window EXCLUDING same-timestamp peers (the batch range frame's
     [us-24h, us-1]), then admit it. Events inside a batch are processed in
-    (us, event_id) order, so intra-batch trailing context is exact too.
+    (us, event_id) order, so intra-batch trailing context is exact too —
+    and a same-timestamp group split ACROSS batches still scores as if it
+    arrived together, because previous-batch same-ts entries (at the tail
+    of the sorted state) are excluded from the frame by the bisect below.
 
     Float determinism vs the batch twin: sums are exact integer cents; the
     double versions are produced by ONE correctly-rounded conversion of the
     exact rational (Fraction -> float, matching CAST(DECIMAL AS DOUBLE)),
     then the identical mean/var/z expression tree."""
+    from bisect import bisect_left
     from fractions import Fraction
 
     from denali_spark.operators.timeseries import (
@@ -398,12 +402,17 @@ def _update_anomaly(key, pdfs: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.
             k += 1
         if k:
             win_us, win_cents = win_us[k:], win_cents[k:]
-        # score every row sharing this timestamp against the same window
+        # score every row sharing this timestamp against the same window,
+        # EXCLUDING same-timestamp entries a PREVIOUS batch admitted (the
+        # batch frame [us-24h, us-1] never sees same-ts peers, so neither
+        # may we when a same-ts group straddles a micro-batch boundary;
+        # sorted state puts those entries at the tail)
         j = i
         group_cents = []
-        n = len(win_cents)
-        s1 = float(Fraction(sum(win_cents), 100)) if n else 0.0
-        s2 = float(Fraction(sum(c * c for c in win_cents), 10_000)) if n else 0.0
+        n = bisect_left(win_us, us)
+        frame = win_cents[:n]
+        s1 = float(Fraction(sum(frame), 100)) if n else 0.0
+        s2 = float(Fraction(sum(c * c for c in frame), 10_000)) if n else 0.0
         while j < n_rows and int(rows["us"][j]) == us:
             value = float(rows["value"][j])
             z = None

@@ -205,3 +205,57 @@ def test_sort_order_evolution_applies_to_new_writes(spark, io):
     )
     for (lo1, hi1), (lo2, hi2) in zip(windows, windows[1:]):
         assert hi1 <= lo2, f"overlapping sorted-write windows: {windows}"
+
+
+def test_spec_derivation_handles_dropped_columns(spark, io):
+    """Review fixes: a dropped SORT column degrades to an unsorted write;
+    a dropped PARTITION-source column raises a clear error instead of
+    KeyError; manifest headers carry the spec id actually in force."""
+    from denali_spark.sources.catalog_io import sort_order_to_sort_by
+    from denali_spark.sources.partitioning import spec_to_partition_by
+    from denali_spark.sources.schema_evolution import drop_column
+
+    # unit level: synthetic metadata with a dangling source-id
+    md = {
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [{"id": 1, "name": "a", "type": "long"}]}],
+        "default-sort-order-id": 1,
+        "sort-orders": [{"order-id": 1, "fields": [
+            {"transform": "identity", "source-id": 99, "direction": "asc",
+             "null-order": "nulls-first"}]}],
+        "default-spec-id": 1,
+        "partition-specs": [{"spec-id": 1, "fields": [
+            {"name": "gone", "transform": "identity", "source-id": 99, "field-id": 1000}]}],
+    }
+    assert sort_order_to_sort_by(md) is None
+    with pytest.raises(ValueError, match="dropped column"):
+        spec_to_partition_by(md)
+
+    # end to end: drop a sort column, then append — must not crash, writes unsorted
+    df = spark.createDataFrame([(1, 10, "x"), (2, 20, "y")], "id long, k long, s string")
+    io.write_table(df, ["dc"], "t", sort_by=["k"])
+    drop_column(io, ["dc"], "t", "k")
+    io.write_table(
+        spark.createDataFrame([(3, "z")], "id long, s string"), ["dc"], "t"
+    )
+    assert io.read_table(["dc"], "t").count() == 3
+
+
+def test_manifest_header_carries_default_spec_id(spark, io):
+    from denali_spark.catalog.metadata import _fs_path
+    from denali_spark.sources.avro_ocf import field_names, read_ocf, read_ocf_with_meta
+
+    df = spark.createDataFrame([(1, "en")], "id long, lang string")
+    io.write_table(df, ["mh"], "t")
+    io.evolve_partition_spec(["mh"], "t", ["lang"])
+    io.write_table(spark.createDataFrame([(2, "de")], "id long, lang string"), ["mh"], "t")
+    md = io.client.load_table(["mh"], "t")["metadata"]
+    head = md["refs"]["main"]["snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    list_schema, list_rows = read_ocf(_fs_path(snap["manifest-list"]))
+    mp_idx = field_names(list_schema).index("manifest_path")
+    assert list_rows, "manifest list is empty"
+    for row in list_rows:
+        _schema, _rows, meta = read_ocf_with_meta(_fs_path(row[mp_idx]))
+        sid = meta["partition-spec-id"]
+        assert (sid.decode() if isinstance(sid, bytes) else sid) == "1"

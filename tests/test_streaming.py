@@ -309,3 +309,48 @@ def test_ohlc_stream_matches_batch_bars(spark, landing):
     }
     got = {(k[0][:13] + ":00", k[1]): v for k, v in got.items()}
     assert got == expect
+
+
+def test_anomaly_kernel_excludes_prior_batch_same_ts_peers():
+    """A same-timestamp group split across two micro-batches must score
+    exactly as if it arrived in one batch: the batch frame [T-24h, T-1]
+    never includes same-ts peers, so the second batch's event at T must not
+    see the first batch's T-event in its trailing window."""
+    import pandas as pd
+
+    from denali_spark.streaming.events_stream import _update_anomaly
+
+    class MockState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    T = pd.Timestamp("2024-01-02 12:00:00")
+    earlier = pd.Timestamp("2024-01-02 11:00:00")
+
+    def batch(rows):
+        return iter([pd.DataFrame(rows, columns=["event_id", "ts", "value"])])
+
+    state = MockState()
+    # batch 1: 40 earlier events (fills min-trail) + one event at T
+    rows1 = [(i, earlier + pd.Timedelta(seconds=i), 10.0) for i in range(40)]
+    rows1.append((100, T, 10.0))
+    out1 = pd.concat(list(_update_anomaly(("click",), batch(rows1), state)))
+    n_at_T_batch1 = int(out1.loc[out1.event_id == 100, "trail_n"].iloc[0])
+
+    # batch 2: another event at the SAME timestamp T
+    out2 = pd.concat(list(_update_anomaly(("click",), batch([(101, T, 10.0)]), state)))
+    n_at_T_batch2 = int(out2.loc[out2.event_id == 101, "trail_n"].iloc[0])
+
+    # identical frames: neither sees the other same-ts event
+    assert n_at_T_batch2 == n_at_T_batch1 == 40
+    # and state admitted both T events for FUTURE rows
+    assert state.get[0].count(int(T.value // 1000)) == 2

@@ -273,3 +273,75 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w).alias("richest"),
         F.last("c_name").over(w).alias("poorest"),
     ).distinct()
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             (event_type = 'click') AS is_click,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, (event_type = 'click')
+                                ORDER BY ts, event_id) AS rn_typed
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, COUNT(*) AS streak_len,
+             CAST(MIN(event_id) AS BIGINT) AS first_event_id
+      FROM flagged WHERE is_click
+      GROUP BY user_id, rn - rn_typed
+    ),
+    best AS (
+      SELECT user_id, streak_len, first_event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, first_event_id) AS pick
+      FROM islands
+    )
+    SELECT user_id, CAST(streak_len AS BIGINT) AS longest_click_streak,
+           first_event_id
+    FROM best WHERE pick = 1
+    """,
+    tags=("windows", "gaps-and-islands"),
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST consecutive run of click
+    events (with the run's first event id; earliest run wins ties). The
+    classic rn - rn_per_group difference labels each island with a constant
+    key, so runs of ANY length resolve with two window passes + a groupBy —
+    no self-joins, no iteration.
+
+    Scale shape: both row_numbers share the user_id partition ordering, so
+    one shuffle feeds both; the island groupBy is keyed by (user, island) —
+    high cardinality, map-side combinable."""
+    events = load_table(spark, sf_dir, "events")
+    is_click = (F.col("event_type") == "click").alias("is_click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typed = Window.partitionBy("user_id", "is_click").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "event_id", "ts", is_click
+    ).select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w_typed).alias("rn_typed"),
+    )
+    islands = (
+        flagged.filter("is_click")
+        .groupBy("user_id", (F.col("rn") - F.col("rn_typed")).alias("island"))
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "first_event_id"
+    )
+    return (
+        islands.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").cast("long").alias("longest_click_streak"),
+            "first_event_id",
+        )
+    )

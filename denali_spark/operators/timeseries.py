@@ -162,6 +162,52 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_union_carry(events: DataFrame, forward: bool) -> DataFrame:
+    """Shared engine of both as-of joins: union clicks (build side) and
+    purchases (probe side), carry the most recent click through a
+    (user_id, ts)-ordered window — ascending for latest-at-or-before,
+    descending for earliest-at-or-after — and keep the probe rows. Clicks
+    order before purchases at identical timestamps in BOTH directions,
+    preserving inclusive semantics."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("c_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    merged = clicks.unionByName(purchases)
+    order = F.desc("ts") if forward else F.asc("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(order, "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_probe",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("c_value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("purchase_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
+        "click_value",
+    )
+
+
 @query(
     "ts_asof_join",
     oracle="""
@@ -184,48 +230,11 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (per purchase, the latest click at-or-before it).
 
     Spark lacks a native AS-OF join; the scalable formulation is
-    union-both-streams → window carry-forward (last non-null) → filter to
+    union-both-streams -> window carry-forward (last non-null) -> filter to
     the probe side. One shuffle on (user_id, ts); no per-row lookups, no
-    broadcast requirement — this is the 100 TB-safe pattern.
-    """
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("value").alias("c_value"),
-        F.lit(0).alias("is_probe"),
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("c_value"),
-        F.lit(1).alias("is_probe"),
-    )
-    # Clicks sort before purchases at identical ts → inclusive (<=) semantics.
-    merged = clicks.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "is_probe",
-        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("click_ts"),
-        F.last(F.when(F.col("is_probe") == 0, F.col("c_value")), ignorenulls=True)
-        .over(w)
-        .alias("click_value"),
-    )
-    return carried.filter(F.col("is_probe") == 1).select(
-        "event_id",
-        "user_id",
-        _us("ts").alias("purchase_us"),
-        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
-        "click_value",
-    )
+    broadcast requirement -- this is the 100 TB-safe pattern. Shared
+    engine: _asof_union_carry."""
+    return _asof_union_carry(load_table(spark, sf_dir, "events"), forward=False)
 
 
 @query(
@@ -616,52 +625,13 @@ def ts_downsample_lttb(
     tags=("timeseries", "asof-join", "custom-operator"),
 )
 def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join: per purchase, the EARLIEST click at-or-after it —
-    the "next action after conversion" attribution lookup, the mirror of
-    `ts_asof_join`'s latest-before semantics.
-
-    Same 100 TB-safe union-and-carry formulation, traversed in DESCENDING
-    time order: walking from the future backwards, the last click seen is
-    the earliest one still >= the current row. Clicks order before
-    purchases at identical timestamps, preserving inclusive (>=)
-    semantics. One shuffle on (user_id, ts)."""
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("value").alias("c_value"),
-        F.lit(0).alias("is_probe"),
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("c_value"),
-        F.lit(1).alias("is_probe"),
-    )
-    merged = clicks.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), "is_probe")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "is_probe",
-        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("click_ts"),
-        F.last(F.when(F.col("is_probe") == 0, F.col("c_value")), ignorenulls=True)
-        .over(w)
-        .alias("click_value"),
-    )
-    return carried.filter(F.col("is_probe") == 1).select(
-        "event_id",
-        "user_id",
-        _us("ts").alias("purchase_us"),
-        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_us"),
-        "click_value",
-    )
+    """FORWARD as-of join: per purchase, the EARLIEST click at-or-after it
+    -- the "next action after conversion" attribution lookup, the mirror of
+    `ts_asof_join`'s latest-before semantics. Same union-and-carry engine
+    (_asof_union_carry), traversed in DESCENDING time order: walking from
+    the future backwards, the last click seen is the earliest one still >=
+    the current row."""
+    return _asof_union_carry(load_table(spark, sf_dir, "events"), forward=True)
 
 
 EMA_ALPHA = 0.2
@@ -680,7 +650,7 @@ EMA_ALPHA = 0.2
 )
 def ts_ema_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current exponentially-weighted moving average of each user's value
-    series (alpha={EMA_ALPHA}, seeded with the first observation) — the
+    series (alpha=EMA_ALPHA=0.2, seeded with the first observation) — the
     classic smoothing recurrence ema_i = a*x_i + (1-a)*ema_(i-1), which no
     window frame can express (each step depends on the previous RESULT,
     not the previous rows). Both engines evaluate it as a sequential fold

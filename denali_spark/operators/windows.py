@@ -288,14 +288,15 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
       SELECT user_id, COUNT(*) AS streak_len,
-             CAST(MIN(event_id) AS BIGINT) AS first_event_id
+             min({'rn': rn, 'eid': event_id}) AS first_row
       FROM flagged WHERE is_click
       GROUP BY user_id, rn - rn_typed
     ),
     best AS (
-      SELECT user_id, streak_len, first_event_id,
+      SELECT user_id, streak_len,
+             CAST(first_row.eid AS BIGINT) AS first_event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY streak_len DESC, first_event_id) AS pick
+                                ORDER BY streak_len DESC, first_row.rn) AS pick
       FROM islands
     )
     SELECT user_id, CAST(streak_len AS BIGINT) AS longest_click_streak,
@@ -325,16 +326,21 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.row_number().over(w_typed).alias("rn_typed"),
     )
+    # The run's FIRST row is the min by rn (not min event_id — ids need not
+    # be time-ordered); struct-min carries its event_id along and its rn is
+    # the earliest-run tie-breaker.
     islands = (
         flagged.filter("is_click")
         .groupBy("user_id", (F.col("rn") - F.col("rn_typed")).alias("island"))
         .agg(
             F.count(F.lit(1)).alias("streak_len"),
-            F.min("event_id").cast("long").alias("first_event_id"),
+            F.min(
+                F.struct(F.col("rn").alias("rn"), F.col("event_id").alias("eid"))
+            ).alias("first_row"),
         )
     )
     pick = Window.partitionBy("user_id").orderBy(
-        F.desc("streak_len"), "first_event_id"
+        F.desc("streak_len"), F.col("first_row.rn")
     )
     return (
         islands.withColumn("pick", F.row_number().over(pick))
@@ -342,6 +348,6 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("streak_len").cast("long").alias("longest_click_streak"),
-            "first_event_id",
+            F.col("first_row.eid").cast("long").alias("first_event_id"),
         )
     )

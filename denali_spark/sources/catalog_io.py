@@ -598,16 +598,19 @@ class SparkCatalogIO:
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
-        if parts is None:
+        from denali_spark.sources.partitioning import spec_to_partition_by
+
+        layout_derived = parts is None
+        order_derived = sort_by is None
+        if layout_derived:
             # Partition-spec evolution: with no explicit layout, write by
             # the spec in force NOW (which may differ from create-time).
-            from denali_spark.sources.partitioning import spec_to_partition_by
-
             parts = spec_to_partition_by(md)
-        if sort_by is None:
+        if order_derived:
             # Same for the write order: honor the CURRENT default sort
             # order so sorted-write clustering survives order evolution.
             sort_by = sort_order_to_sort_by(md)
+        layout_ids = (md.get("default-spec-id", 0), md.get("default-sort-order-id", 0))
         data_files = self._write_data_files(
             df, md["location"], partition_by=parts, sort_by=sort_by,
             num_files=num_files, schema_id=md.get("current-schema-id", 0),
@@ -615,6 +618,28 @@ class SparkCatalogIO:
         )
 
         for _attempt in range(max_retries):
+            if (layout_derived or order_derived) and (
+                md.get("default-spec-id", 0),
+                md.get("default-sort-order-id", 0),
+            ) != layout_ids:
+                # A concurrent spec/sort-order evolution won the race after
+                # our files were laid out: re-derive and REWRITE under the
+                # now-current layout, or the manifest would stamp a spec the
+                # files don't follow. The superseded files become orphans
+                # (reclaimed by remove_orphan_files).
+                if layout_derived:
+                    parts = spec_to_partition_by(md)
+                if order_derived:
+                    sort_by = sort_order_to_sort_by(md)
+                layout_ids = (
+                    md.get("default-spec-id", 0),
+                    md.get("default-sort-order-id", 0),
+                )
+                data_files = self._write_data_files(
+                    df, md["location"], partition_by=parts, sort_by=sort_by,
+                    num_files=num_files, schema_id=md.get("current-schema-id", 0),
+                    file_format=file_format or table_write_format(md),
+                )
             base_ref = md.get("refs", {}).get(branch)
             if base_ref is None and branch != MAIN:
                 raise ValueError(
@@ -906,7 +931,14 @@ class SparkCatalogIO:
             f["field-id"] = last + 1 + i
         return self.client.commit_table(
             namespace, name,
-            requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+            requirements=[
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                # Pin the field-id watermark: a concurrent evolution that
+                # also minted ids from this last-partition-id must 409
+                # rather than commit duplicate partition field-ids.
+                {"type": "assert-last-assigned-partition-id",
+                 "last-assigned-partition-id": last},
+            ],
             updates=[
                 {"action": "add-spec", "spec": spec},
                 {"action": "set-default-spec", "spec-id": -1},

@@ -429,7 +429,7 @@ def write_manifest_list(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": partition_spec_id,
                 "content": content,
                 "sequence_number": max(seqs),
                 "min_sequence_number": min(seqs),

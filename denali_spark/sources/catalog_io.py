@@ -625,8 +625,15 @@ class SparkCatalogIO:
                 # A concurrent spec/sort-order evolution won the race after
                 # our files were laid out: re-derive and REWRITE under the
                 # now-current layout, or the manifest would stamp a spec the
-                # files don't follow. The superseded files become orphans
-                # (reclaimed by remove_orphan_files).
+                # files don't follow. The superseded (never-committed) files
+                # are deleted eagerly — their paths are known and no reader
+                # can reference them; remove_orphan_files remains the
+                # backstop if this process dies mid-cleanup.
+                for stale in data_files:
+                    try:
+                        os.remove(_fs_path(stale["path"]))
+                    except OSError:
+                        pass
                 if layout_derived:
                     parts = spec_to_partition_by(md)
                 if order_derived:

@@ -173,3 +173,30 @@ def test_ppm_parser_is_a_real_parser():
         _parse_ppm(b"P5\n4 3\n255\n" + pix)
     with _pytest.raises(ValueError, match="expected"):
         _parse_ppm(b"P6\n4 3\n255\n" + pix[:-1])
+
+
+def test_hll_mergeable_rollup_estimates(spark):
+    """Sketch estimates must sit within HLL error of the exact distinct
+    counts, per day AND for the merged all-days union."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.engine.tables import load_table
+    from denali_spark.operators.aggregates import agg_hll_mergeable_rollup
+    from tests.conftest import SF_SMOKE
+
+    got = {r["day"]: r["approx_users"] for r in agg_hll_mergeable_rollup(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact_total = events.select("user_id").distinct().count()
+    assert set(got) == set(exact_daily) | {None}
+    for day, exact in exact_daily.items():
+        assert abs(got[day] - exact) / exact < 0.05, (day, got[day], exact)
+    assert abs(got[None] - exact_total) / exact_total < 0.05
+    # mergeability: the union estimate reflects the DISTINCT union, not the
+    # sum of dailies (users active on many days counted once)
+    assert got[None] < sum(exact_daily.values())

@@ -349,8 +349,9 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     via Spark's hll_sketch_agg), then answer ANY date-range distinct-users
     question by UNIONING sketches (hll_union_agg) instead of rescanning raw
     events. Returns per-day estimates plus the merged all-days estimate
-    (day = NULL row) — the roll-up a dashboard serves from pre-aggregated
-    daily sketches.
+    (day = 'ALL' row — a sentinel no date_format can produce, so it can never
+    collide with a genuine null-ts day group) — the roll-up a dashboard
+    serves from pre-aggregated daily sketches.
 
     Sketch binaries are implementation-defined, so there is no SQL oracle;
     tests/test_functions.py grades estimates against exact distinct counts
@@ -365,7 +366,7 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.agg(
         F.hll_union_agg("sketch").alias("m")
     ).select(
-        F.lit(None).cast("string").alias("day"),
+        F.lit("ALL").alias("day"),
         F.hll_sketch_estimate("m").alias("approx_users"),
     )
     return per_day.unionByName(merged)

@@ -689,7 +689,7 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ema_i = a*x_i + (1-a)*ema_(i-1) parallelized with the classic
     affine-composition scan: each row's ema is an AFFINE function of its
     chunk's incoming state, ema_i = A_i * s_in + B_i, where A_i = (1-a)^(i+1)
-    and B_i is the zero-seeded prefix fold. Chunks of {EMA_CHUNK} rows
+    and B_i is the zero-seeded prefix fold. Chunks of EMA_CHUNK=256 rows
     compute (A, B) coefficient arrays independently; the per-user chain of
     chunk summaries (one affine map each) is then prefix-composed — work
     O(n) + O(chunks^2_per_user) with chunks ~ n/256, so the sequential part
@@ -738,18 +738,24 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_arr = F.transform(
         F.sequence(F.lit(1), F.size(vals)), lambda i: F.pow(F.lit(1 - a), i)
     )
+    # Chunk 0 is seedless: its per-row emas are the prefix of the fold
+    # seeded by its own first element (computed ONCE here and reused both
+    # for the rows and, via its last element, as E0 in the composition);
+    # chunks > 0 never evaluate it thanks to the WHEN guard.
+    seeded_prefix = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.element_at(vals, 1)),
+        lambda acc, x: F.concat(
+            acc, F.array(F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1))
+        ),
+    )
     chunks = per_chunk.select(
         "user_id",
         "chunk",
         "rs",
         b_arr.alias("b_arr"),
         a_arr.alias("a_arr"),
-        # chunk 0's no-seed constant: fold seeded by its first element
-        F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-            F.element_at(vals, 1),
-            lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc,
-        ).alias("seeded_final"),
+        F.when(F.col("chunk") == 0, seeded_prefix).alias("prefix0"),
     )
     # Per-user prefix composition over the (small) ordered chunk-summary list:
     # s_in(chunk 0) = None-sentinel; s_in(c) = composed final of chunks < c.
@@ -760,7 +766,7 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("chunk").alias("chunk"),
                     F.element_at("a_arr", -1).alias("A"),
                     F.element_at("b_arr", -1).alias("B"),
-                    F.col("seeded_final").alias("E0"),
+                    F.element_at("prefix0", -1).alias("E0"),
                 )
             )
         ).alias("cs")
@@ -784,16 +790,8 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("c.chunk").alias("chunk"), F.col("c.s").alias("s_in"))
     joined = chunks.join(carries, ["user_id", "chunk"])
     # per-row ema: chunks with incoming state use A_i*s_in + B_i; the
-    # seedless chunk 0 computes its prefix directly with a running fold
-    # seeded by its first element.
-    seeded_prefix = F.aggregate(
-        F.slice(F.transform("rs", lambda r: r["v"]), 2, F.greatest(F.size("rs") - 1, F.lit(0))),
-        F.array(F.element_at(F.transform("rs", lambda r: r["v"]), 1)),
-        lambda acc, x: F.concat(
-            acc, F.array(F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1))
-        ),
-    )
-    emas = F.when(F.col("s_in").isNull(), seeded_prefix).otherwise(
+    # seedless chunk 0 already carries its prefix.
+    emas = F.when(F.col("s_in").isNull(), F.col("prefix0")).otherwise(
         F.zip_with(
             "a_arr", "b_arr", lambda A, B: A * F.col("s_in") + B
         )

@@ -193,10 +193,10 @@ def test_hll_mergeable_rollup_estimates(spark):
         ).agg(F.countDistinct("user_id").alias("n")).collect()
     }
     exact_total = events.select("user_id").distinct().count()
-    assert set(got) == set(exact_daily) | {None}
+    assert set(got) == set(exact_daily) | {"ALL"}
     for day, exact in exact_daily.items():
         assert abs(got[day] - exact) / exact < 0.05, (day, got[day], exact)
-    assert abs(got[None] - exact_total) / exact_total < 0.05
+    assert abs(got["ALL"] - exact_total) / exact_total < 0.05
     # mergeability: the union estimate reflects the DISTINCT union, not the
     # sum of dailies (users active on many days counted once)
-    assert got[None] < sum(exact_daily.values())
+    assert got["ALL"] < sum(exact_daily.values())

@@ -723,16 +723,16 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = F.transform("rs", lambda r: r["v"])
     # Zero-seeded prefix folds B_i (running array build) and A_i = (1-a)^(i+1)
+    # Seed the running array with B_0 = a*v_0 (the zero-seed recurrence's
+    # first step) so the fold never indexes an empty accumulator — under
+    # ANSI mode (the driver's vanilla session) element_at(empty, -1)
+    # throws instead of returning null.
     b_arr = F.aggregate(
-        vals,
-        F.array().cast("array<double>"),
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.array(F.lit(a) * F.element_at(vals, 1)),
         lambda acc, x: F.concat(
             acc,
-            F.array(
-                F.lit(a) * x
-                + F.lit(1 - a)
-                * F.coalesce(F.element_at(acc, -1), F.lit(0.0))
-            ),
+            F.array(F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1)),
         ),
     )
     a_arr = F.transform(

@@ -370,3 +370,73 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("m").alias("approx_users"),
     )
     return per_day.unionByName(merged)
+
+
+@query(
+    "agg_audience_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    audiences AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT p.type_a, p.type_b,
+           CAST(COUNT(DISTINCT CASE WHEN x.user_id = y.user_id THEN x.user_id END) AS BIGINT) AS n_both,
+           CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT y.user_id) AS BIGINT) AS n_b
+    FROM pairs p
+    JOIN audiences x ON x.event_type = p.type_a
+    JOIN audiences y ON y.event_type = p.type_b
+    GROUP BY 1, 2
+    """,
+    tags=("aggregates", "overlap"),
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    distinct users did both, and each side's audience size — the
+    set-intersection cardinality question behind cohort targeting (the
+    exact baseline that a theta-sketch pipeline approximates at scale).
+
+    Scale shape: dedup to (event_type, user_id) FIRST (one shuffle, bounded
+    by users x types), then self-join the deduped audiences on user_id —
+    an equi-join whose input is the compact audience relation, never raw
+    events; the type-pair expansion happens on join OUTPUT rows."""
+    events = load_table(spark, sf_dir, "events")
+    audiences = events.select("event_type", "user_id").distinct()
+    a = audiences.select(F.col("event_type").alias("type_a"), "user_id")
+    b = audiences.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_both"))
+    )
+    # All type pairs appear in the output, including ZERO-overlap ones (the
+    # oracle's cross-of-audiences produces them; an inner join here would
+    # silently drop them on disjoint data). The types relation is tiny, so
+    # the pair frame is a broadcast cross.
+    types = audiences.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    sizes = audiences.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return (
+        pairs.join(both, ["type_a", "type_b"], "left")
+        .join(sizes.withColumnRenamed("event_type", "type_a"), "type_a")
+        .withColumnRenamed("n", "n_a")
+        .join(sizes.withColumnRenamed("event_type", "type_b"), "type_b")
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            "n_a",
+            "n_b",
+        )
+    )

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_streaks",
     "ts_ema_rows",
     "agg_hll_mergeable_rollup",
+    "agg_audience_overlap",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

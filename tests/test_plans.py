@@ -95,6 +95,10 @@ def test_headline_plans_have_pushed_filters(spark, name):
 NON_EQUI_WHITELIST = {
     # region x region, 5x5 rows, labeled cross join demo
     "join_cross_region_pairs",
+    # distinct-event-types x distinct-event-types pair frame (a handful of
+    # rows regardless of data volume) so ZERO-overlap pairs appear; the
+    # user-level work is the separate audiences equi-join
+    "agg_audience_overlap",
     # exact all-pairs baseline — O(n²) BY DESIGN, fenced by
     # QUADRATIC_MAX_ROWS + allow_quadratic (see test_similarity_recall)
     "dedup_embedding_pairs",

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_ema_rows",
     "agg_hll_mergeable_rollup",
     "agg_audience_overlap",
+    "text_vocab_growth",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

@@ -769,3 +769,57 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("keep"),
         F.count(F.lit(1)).over(wc).cast("long").alias("n_members"),
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      GROUP BY w
+    ),
+    growth AS (
+      SELECT first_doc, COUNT(*) AS new_tokens FROM firsts GROUP BY first_doc
+    )
+    SELECT first_doc AS doc_id, CAST(new_tokens AS BIGINT) AS new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY first_doc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM growth
+    """,
+    tags=("text", "vocabulary", "corpus-stats"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): at each document where NEW
+    vocabulary first appears, how many tokens debut and the cumulative
+    vocabulary size — the scaling-diagnostics curve a corpus team plots to
+    judge diversity (a flattening curve means new data adds little).
+
+    Scale shape: the heavy work is the (token -> min doc_id) aggregation —
+    keyed by token, map-side combinable, one shuffle over exploded tokens.
+    The cumulative window then runs over the AGGREGATED growth relation
+    (<= one row per document, usually far fewer), so the single-partition
+    running sum touches a bounded post-aggregation input, never scan-fed
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    firsts = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    growth = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("first_doc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return growth.select(
+        F.col("first_doc").alias("doc_id"),
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -806,3 +806,34 @@ def ts_ema_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.rs.rn").cast("long").alias("rn"),
         F.col("z.e").alias("ema"),
     )
+
+
+@query(
+    "ts_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("timeseries", "heatmap"),
+)
+def ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by ISO day-of-week (Mon=1) x hour — the seasonality
+    view dashboards render before any capacity planning. One map-side
+    combinable aggregation over at most 168 cells; decimal sums keep the
+    values bit-stable across engines and partitionings."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

@@ -342,7 +342,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable_rollup", tags=("aggregates", "sketch", "mergeable"))
+@query("agg_hll_mergeable_rollup", tags=("aggregate", "sketch", "mergeable"))
 def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-counting pattern: build
     ONE compact HLL sketch of user_id per day at ingest (Datasketches HLL
@@ -391,7 +391,7 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN audiences y ON y.event_type = p.type_b
     GROUP BY 1, 2
     """,
-    tags=("aggregates", "overlap"),
+    tags=("aggregate", "overlap"),
 )
 def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap matrix: for every pair of event types, how many

@@ -4,7 +4,9 @@ from denali_spark.sources.maintenance import (
     compact_data_files,
     expire_snapshots,
     remove_orphan_files,
+    rewrite_clustered,
 )
+from denali_spark.sources.metadata_tables import metadata_table
 from denali_spark.sources.mor import delete_where_mor, equality_delete, rewrite_deletes
 from denali_spark.sources.row_ops import delete_where, merge_into, update_where
 from denali_spark.sources.schema_evolution import (
@@ -23,9 +25,11 @@ __all__ = [
     "equality_delete",
     "expire_snapshots",
     "merge_into",
+    "metadata_table",
     "read_incremental",
     "remove_orphan_files",
     "rename_column",
+    "rewrite_clustered",
     "rewrite_deletes",
     "update_where",
 ]

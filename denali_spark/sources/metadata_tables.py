@@ -1,0 +1,409 @@
+"""Iceberg metadata tables: the `tbl.snapshots` / `tbl.files` / ... surface.
+
+Real Iceberg engines expose every table's metadata as queryable relations
+(`SELECT * FROM cat.db.t.snapshots`); the reference catalog serves the
+metadata JSON those relations are derived from (load-table response,
+/root/reference/routes/tables.go:176-200, openapi.yml `LoadTableResult`)
+but, as a catalog, leaves the inspection surface to client engines. This
+module is that surface for the rebuild: each kind returns a DataFrame
+whose schema mirrors the Iceberg metadata-table of the same name.
+
+Kinds and where their rows come from:
+
+  snapshots             metadata `snapshots` list
+  history               metadata `snapshot-log` (+ ancestor walk for
+                        `is_current_ancestor`)
+  metadata_log_entries  metadata `metadata-log` + current location
+  refs                  metadata `refs` map
+  manifests             the current (or time-travelled) snapshot's Avro
+                        manifest list
+  entries               manifest_entry rows (status / snapshot_id /
+                        sequence numbers + a `data_file` struct)
+  files | data_files | delete_files
+                        live entry rows, flattened to one row per file
+  partitions            files aggregated per partition value
+  all_manifests         manifests of EVERY snapshot, tagged with
+                        `reference_snapshot_id`
+  all_files             entries of every distinct manifest across all
+                        snapshots (like Iceberg's, a file can appear once
+                        per manifest that names it)
+
+Scale shape: snapshots/history/refs/manifests are bounded by metadata-JSON
+size (thousands of rows even on huge tables) and build driver-side. The
+per-manifest entry decode behind entries/files/partitions is the unbounded
+relation — at 100 TB a table holds ~10^6 files across ~10^3 manifests — so
+it is distributed: one Arrow-batched `mapInPandas` task per manifest file,
+exactly Iceberg's one-scan-task-per-manifest planning shape, and
+`partitions` is a Spark groupBy over that distributed relation, never a
+driver fold. (On a multi-node cluster the pure-Python Avro decoder ships
+with the package via the normal --py-files/pip route; nothing here assumes
+local mode.)
+
+Display conventions (documented deviations from Iceberg's binary maps):
+bounds and partition values are decoded through the manifest's embedded
+schema and rendered as JSON strings in `map<string,string>` columns keyed
+by column NAME — friendlier than Iceberg's field-id→binary maps and
+consistent with the engine's name-keyed stat internals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType, TimestampType,
+)
+
+from denali_spark.catalog.metadata import _fs_path
+
+KINDS = (
+    "snapshots", "history", "metadata_log_entries", "refs", "manifests",
+    "entries", "files", "data_files", "delete_files", "partitions",
+    "all_manifests", "all_files",
+)
+
+_SNAPSHOTS_SCHEMA = StructType([
+    StructField("committed_at", TimestampType()),
+    StructField("snapshot_id", LongType()),
+    StructField("parent_id", LongType()),
+    StructField("operation", StringType()),
+    StructField("manifest_list", StringType()),
+    StructField("summary", MapType(StringType(), StringType())),
+])
+
+_HISTORY_SCHEMA = StructType([
+    StructField("made_current_at", TimestampType()),
+    StructField("snapshot_id", LongType()),
+    StructField("parent_id", LongType()),
+    StructField("is_current_ancestor", StringType()),  # "true"/"false"
+])
+
+_METADATA_LOG_SCHEMA = StructType([
+    StructField("timestamp", TimestampType()),
+    StructField("file", StringType()),
+    StructField("latest_snapshot_id", LongType()),
+])
+
+_REFS_SCHEMA = StructType([
+    StructField("name", StringType()),
+    StructField("type", StringType()),  # BRANCH | TAG
+    StructField("snapshot_id", LongType()),
+])
+
+_MANIFESTS_SCHEMA = StructType([
+    StructField("content", IntegerType()),
+    StructField("path", StringType()),
+    StructField("length", LongType()),
+    StructField("partition_spec_id", IntegerType()),
+    StructField("added_snapshot_id", LongType()),
+    StructField("added_data_files_count", IntegerType()),
+    StructField("existing_data_files_count", IntegerType()),
+    StructField("deleted_data_files_count", IntegerType()),
+    StructField("added_rows_count", LongType()),
+    StructField("sequence_number", LongType()),
+    StructField("min_sequence_number", LongType()),
+])
+
+# Flat decode of one manifest_entry; `entries` re-nests the file columns
+# into a data_file struct JVM-side (F.struct), files/partitions project it.
+_ENTRY_FILE_FIELDS = [
+    StructField("content", IntegerType()),
+    StructField("file_path", StringType()),
+    StructField("file_format", StringType()),
+    StructField("record_count", LongType()),
+    StructField("file_size_in_bytes", LongType()),
+    StructField("partition", MapType(StringType(), StringType())),
+    StructField("lower_bounds", MapType(StringType(), StringType())),
+    StructField("upper_bounds", MapType(StringType(), StringType())),
+    StructField("null_value_counts", MapType(StringType(), LongType())),
+    StructField("equality_ids", ArrayType(IntegerType())),
+]
+_ENTRIES_FLAT_SCHEMA = StructType([
+    StructField("status", IntegerType()),
+    StructField("snapshot_id", LongType()),
+    StructField("sequence_number", LongType()),
+    StructField("file_sequence_number", LongType()),
+    *_ENTRY_FILE_FIELDS,
+])
+
+_FILE_COLS = [f.name for f in _ENTRY_FILE_FIELDS]
+
+
+def _decode_manifest_rows(path: str) -> Iterator[dict]:
+    """One manifest Avro (or a legacy whole-list JSON doc) → flat entry
+    dicts matching _ENTRIES_FLAT_SCHEMA. Pure Python; runs on executors."""
+    from denali_spark.sources.manifests import (
+        CONTENT_TO_INT, data_file_to_entry,
+    )
+
+    def flat(e: dict, status: int, snapshot_id: int | None) -> dict:
+        stats = e.get("stats") or {}
+        part = e.get("partition")
+        seq = e.get("sequence-number")
+        return {
+            "status": status,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "content": CONTENT_TO_INT[e.get("content", "data")],
+            "file_path": e["path"],
+            "file_format": e.get("file-format", "parquet").upper(),
+            "record_count": e.get("record-count"),
+            "file_size_in_bytes": e.get("file-size-bytes", 0),
+            "partition": (
+                {k: json.dumps(v) for k, v in part.items()}
+                if part is not None else None
+            ),
+            "lower_bounds": (
+                {c: json.dumps(s["min"]) for c, s in stats.items()} or None
+            ),
+            "upper_bounds": (
+                {c: json.dumps(s["max"]) for c, s in stats.items()} or None
+            ),
+            "null_value_counts": (
+                {c: s.get("null-count", 0) for c, s in stats.items()} or None
+            ),
+            "equality_ids": e.get("equality-field-ids"),
+        }
+
+    if path.endswith(".json"):  # legacy round-3 single-document layout
+        with open(path) as f:
+            doc = json.load(f)
+        for e in doc["files"]:
+            yield flat(e, 1, doc.get("snapshot-id"))
+        return
+
+    from denali_spark.sources.avro_ocf import read_ocf_with_meta
+
+    mschema, mrows, mmeta = read_ocf_with_meta(path)
+    table_schema = json.loads(mmeta["schema"]) if "schema" in mmeta else None
+    names = [f["name"] for f in mschema["fields"]]
+    for mrow in mrows:
+        rec = dict(zip(names, mrow))
+        e = data_file_to_entry(rec["data_file"], rec["sequence_number"], table_schema)
+        yield flat(e, rec["status"], rec["snapshot_id"])
+
+
+def _entries_df(io, manifest_paths: list[str]) -> DataFrame:
+    """Distributed flat-entry relation: one decode task per manifest."""
+    spark = io.spark
+    if not manifest_paths:
+        return spark.createDataFrame([], schema=_ENTRIES_FLAT_SCHEMA)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in manifest_paths], "manifest_path string"
+    ).repartition(min(len(manifest_paths), 64))
+
+    cols = [f.name for f in _ENTRIES_FLAT_SCHEMA.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["manifest_path"]:
+                rows.extend(_decode_manifest_rows(p))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return paths_df.mapInPandas(kernel, schema=_ENTRIES_FLAT_SCHEMA)
+
+
+def _manifest_list_rows(md: dict, snap: dict) -> list[dict]:
+    """manifest-list location → _MANIFESTS_SCHEMA row dicts (driver-side;
+    a manifest list is O(#manifests), small by construction)."""
+    from denali_spark.sources.avro_ocf import read_ocf
+
+    loc = _fs_path(snap["manifest-list"])
+    if loc.endswith(".json"):  # legacy layout: the list IS the one manifest
+        with open(loc) as f:
+            n = len(json.load(f)["files"])
+        return [{
+            "content": 0, "path": loc, "length": os.path.getsize(loc),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "added_snapshot_id": snap["snapshot-id"],
+            "added_data_files_count": n, "existing_data_files_count": 0,
+            "deleted_data_files_count": 0, "added_rows_count": 0,
+            "sequence_number": snap.get("sequence-number", 0),
+            "min_sequence_number": snap.get("sequence-number", 0),
+        }]
+    schema, rows = read_ocf(loc)
+    names = [f["name"] for f in schema["fields"]]
+    out = []
+    for row in rows:
+        mf = dict(zip(names, row))
+        out.append({
+            "content": mf["content"],
+            "path": mf["manifest_path"],
+            "length": mf["manifest_length"],
+            "partition_spec_id": mf["partition_spec_id"],
+            "added_snapshot_id": mf["added_snapshot_id"],
+            "added_data_files_count": mf["added_files_count"],
+            "existing_data_files_count": mf["existing_files_count"],
+            "deleted_data_files_count": mf["deleted_files_count"],
+            "added_rows_count": mf["added_rows_count"],
+            "sequence_number": mf["sequence_number"],
+            "min_sequence_number": mf["min_sequence_number"],
+        })
+    return out
+
+
+def _ts(ms: int):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(ms / 1000, datetime.timezone.utc)
+
+
+def _current_ancestors(md: dict) -> set[int]:
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    out: set[int] = set()
+    cur = md.get("current-snapshot-id")
+    while cur is not None and cur in by_id and cur not in out:
+        out.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return out
+
+
+def metadata_table(
+    io,
+    namespace: list[str],
+    name: str,
+    kind: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """`SELECT * FROM cat.ns.t.<kind>` equivalent. For the snapshot-scoped
+    kinds (manifests/entries/files/partitions), `snapshot_id`/`ref` pick
+    the inspected snapshot exactly like read_table's time travel."""
+    if kind not in KINDS:
+        raise ValueError(f"unknown metadata table {kind!r}; one of {KINDS}")
+    spark = io.spark
+    loaded = io.client.load_table(namespace, name)
+    md = loaded["metadata"]
+
+    if kind == "snapshots":
+        rows = [
+            (
+                _ts(s["timestamp-ms"]), s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+                {k: str(v) for k, v in (s.get("summary") or {}).items()},
+            )
+            for s in md.get("snapshots", [])
+        ]
+        return spark.createDataFrame(rows, schema=_SNAPSHOTS_SCHEMA)
+
+    if kind == "history":
+        ancestors = _current_ancestors(md)
+        parents = {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in md.get("snapshots", [])
+        }
+        rows = [
+            (
+                _ts(e["timestamp-ms"]), e["snapshot-id"],
+                parents.get(e["snapshot-id"]),
+                "true" if e["snapshot-id"] in ancestors else "false",
+            )
+            for e in md.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(rows, schema=_HISTORY_SCHEMA)
+
+    if kind == "metadata_log_entries":
+        rows = [
+            (_ts(e["timestamp-ms"]), e["metadata-file"], None)
+            for e in md.get("metadata-log", [])
+        ]
+        rows.append(
+            (_ts(md["last-updated-ms"]), loaded.get("metadata-location"),
+             md.get("current-snapshot-id"))
+        )
+        return spark.createDataFrame(rows, schema=_METADATA_LOG_SCHEMA)
+
+    if kind == "refs":
+        rows = [
+            (rname, r.get("type", "branch").upper(), r["snapshot-id"])
+            for rname, r in (md.get("refs") or {}).items()
+        ]
+        return spark.createDataFrame(rows, schema=_REFS_SCHEMA)
+
+    if kind == "all_manifests":
+        rows = []
+        for s in md.get("snapshots", []):
+            for m in _manifest_list_rows(md, s):
+                rows.append({**m, "reference_snapshot_id": s["snapshot-id"]})
+        schema = StructType(
+            [*_MANIFESTS_SCHEMA.fields,
+             StructField("reference_snapshot_id", LongType())]
+        )
+        return spark.createDataFrame(
+            [tuple(r[f.name] for f in schema.fields) for r in rows], schema=schema
+        )
+
+    if kind == "all_files":
+        paths: list[str] = []
+        seen: set[str] = set()
+        for s in md.get("snapshots", []):
+            for m in _manifest_list_rows(md, s):
+                if m["path"] not in seen:
+                    seen.add(m["path"])
+                    paths.append(m["path"])
+        return _entries_df(io, paths).where(F.col("status") != 2).drop(
+            "status", "snapshot_id", "file_sequence_number"
+        )
+
+    # snapshot-scoped kinds
+    snap = io._resolve_snapshot(md, snapshot_id, ref)
+    if snap is None:  # empty table: typed empty relations
+        if kind == "manifests":
+            return spark.createDataFrame([], schema=_MANIFESTS_SCHEMA)
+        return _shape_entry_kind(
+            spark.createDataFrame([], schema=_ENTRIES_FLAT_SCHEMA), kind
+        )
+
+    mrows = _manifest_list_rows(md, snap)
+    if kind == "manifests":
+        return spark.createDataFrame(
+            [tuple(m[f.name] for f in _MANIFESTS_SCHEMA.fields) for m in mrows],
+            schema=_MANIFESTS_SCHEMA,
+        )
+
+    flat = _entries_df(io, [m["path"] for m in mrows])
+    return _shape_entry_kind(flat, kind)
+
+
+def _shape_entry_kind(flat: DataFrame, kind: str) -> DataFrame:
+    if kind == "entries":
+        return flat.select(
+            "status", "snapshot_id", "sequence_number", "file_sequence_number",
+            F.struct(*_FILE_COLS).alias("data_file"),
+        )
+    live = flat.where(F.col("status") != 2).select("sequence_number", *_FILE_COLS)
+    if kind == "files":
+        return live
+    if kind == "data_files":
+        return live.where(F.col("content") == 0)
+    if kind == "delete_files":
+        return live.where(F.col("content") != 0)
+    if kind == "partitions":
+        # Iceberg's partitions table: one row per partition value with
+        # data/delete file+record tallies. A distributed groupBy — the
+        # files relation is the unbounded one.
+        data = F.col("content") == 0
+        return (
+            live.groupBy("partition")
+            .agg(
+                F.sum(F.when(data, F.col("record_count")).otherwise(F.lit(0)))
+                .alias("record_count"),
+                F.sum(F.when(data, 1).otherwise(0)).alias("file_count"),
+                F.sum(F.when(data, F.col("file_size_in_bytes")).otherwise(F.lit(0)))
+                .alias("total_data_file_size_in_bytes"),
+                F.sum(F.when(~data, F.col("record_count")).otherwise(F.lit(0)))
+                .alias("delete_record_count"),
+                F.sum(F.when(~data, 1).otherwise(0)).alias("delete_file_count"),
+            )
+        )
+    raise AssertionError(kind)

@@ -1,0 +1,173 @@
+"""Metadata-table (table inspection) tests: the `tbl.snapshots` /
+`tbl.files` / ... surface over catalog tables — schemas, row content,
+time travel, delete-file visibility, and partition tallies."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO, equality_delete, metadata_table
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _two_appends(spark, io, ns="meta", name="t"):
+    for k in range(2):
+        df = spark.range(k * 10, (k + 1) * 10).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+        ).coalesce(1)
+        io.write_table(df, [ns], name, mode="append")
+    return [ns], name
+
+
+def test_snapshots_and_history(spark, io):
+    ns, name = _two_appends(spark, io)
+    snaps = metadata_table(io, ns, name, "snapshots").orderBy("committed_at").collect()
+    assert len(snaps) == 2
+    assert snaps[0].parent_id is None
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert all(s.operation in ("append", "overwrite") for s in snaps)
+    assert all(s.manifest_list for s in snaps)
+    assert all("operation" in s.summary for s in snaps)
+
+    hist = metadata_table(io, ns, name, "history").orderBy("made_current_at").collect()
+    assert [h.snapshot_id for h in hist] == [s.snapshot_id for s in snaps]
+    assert all(h.is_current_ancestor == "true" for h in hist)
+
+
+def test_history_marks_rolled_back_snapshot_non_ancestor(spark, io):
+    ns, name = _two_appends(spark, io)
+    snaps = metadata_table(io, ns, name, "snapshots").orderBy("committed_at").collect()
+    io.rollback_to_snapshot(ns, name, snaps[0].snapshot_id)
+    hist = {
+        h.snapshot_id: h.is_current_ancestor
+        for h in metadata_table(io, ns, name, "history").collect()
+    }
+    assert hist[snaps[0].snapshot_id] == "true"
+    assert hist[snaps[1].snapshot_id] == "false"
+
+
+def test_refs_lists_branches_and_tags(spark, io):
+    ns, name = _two_appends(spark, io)
+    io.create_branch(ns, name, "audit")
+    io.create_tag(ns, name, "v1")
+    refs = {r.name: r for r in metadata_table(io, ns, name, "refs").collect()}
+    assert refs["main"].type == "BRANCH"
+    assert refs["audit"].type == "BRANCH"
+    assert refs["v1"].type == "TAG"
+    assert refs["v1"].snapshot_id == refs["main"].snapshot_id
+
+
+def test_manifests_split_data_and_deletes(spark, io):
+    ns, name = _two_appends(spark, io)
+    keys = spark.createDataFrame([(3,)], "id long")
+    equality_delete(io, ns, name, keys, on=["id"])
+    mf = metadata_table(io, ns, name, "manifests").collect()
+    contents = sorted(m.content for m in mf)
+    assert 0 in contents and 1 in contents
+    assert all(m.length > 0 and m.added_snapshot_id for m in mf)
+
+
+def test_files_and_entries_shapes(spark, io):
+    ns, name = _two_appends(spark, io)
+    files = metadata_table(io, ns, name, "files").collect()
+    assert len(files) == 2  # one coalesced file per append
+    total = sum(f.record_count for f in files)
+    assert total == 20
+    f0 = files[0]
+    assert f0.file_format == "PARQUET"
+    assert f0.file_size_in_bytes > 0
+    assert "id" in f0.lower_bounds and "id" in f0.upper_bounds
+    assert f0.null_value_counts["id"] == 0
+
+    entries = metadata_table(io, ns, name, "entries").collect()
+    assert {e.data_file.file_path for e in entries} == {f.file_path for f in files}
+    assert all(e.status == 1 for e in entries)
+    assert all(e.snapshot_id is not None for e in entries)
+
+
+def test_delete_files_kind(spark, io):
+    ns, name = _two_appends(spark, io)
+    keys = spark.createDataFrame([(3,), (12,)], "id long")
+    equality_delete(io, ns, name, keys, on=["id"])
+    dfiles = metadata_table(io, ns, name, "delete_files").collect()
+    assert len(dfiles) == 1
+    assert dfiles[0].content == 2  # equality deletes
+    assert dfiles[0].equality_ids  # field ids recorded
+    datafiles = metadata_table(io, ns, name, "data_files").collect()
+    assert all(f.content == 0 for f in datafiles)
+    assert len(datafiles) == 2
+
+
+def test_partitions_tallies(spark, io):
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    io.write_table(df, ["meta"], "pt", mode="overwrite", partition_by=["grp"])
+    parts = {
+        tuple(sorted(p.partition.items())): p
+        for p in metadata_table(io, ["meta"], "pt", "partitions").collect()
+    }
+    assert len(parts) == 3
+    for p in parts.values():
+        assert p.record_count == 10
+        assert p.file_count >= 1
+        assert p.delete_file_count == 0
+        assert p.total_data_file_size_in_bytes > 0
+
+
+def test_files_time_travel(spark, io):
+    ns, name = _two_appends(spark, io)
+    first = (
+        metadata_table(io, ns, name, "snapshots")
+        .orderBy("committed_at").first().snapshot_id
+    )
+    old = metadata_table(io, ns, name, "files", snapshot_id=first).collect()
+    assert len(old) == 1 and old[0].record_count == 10
+    io.create_tag(ns, name, "t0")  # ref-addressed inspection
+    by_ref = metadata_table(io, ns, name, "files", ref="main").collect()
+    assert len(by_ref) == 2
+
+
+def test_all_manifests_and_all_files_cover_history(spark, io):
+    ns, name = _two_appends(spark, io)
+    io.write_table(
+        spark.range(100, 105).select(
+            F.col("id"), F.lit("x").alias("grp")
+        ),
+        ns, name, mode="overwrite",
+    )
+    snaps = metadata_table(io, ns, name, "snapshots").collect()
+    am = metadata_table(io, ns, name, "all_manifests").collect()
+    assert {m.reference_snapshot_id for m in am} == {s.snapshot_id for s in snaps}
+    all_paths = {f.file_path for f in metadata_table(io, ns, name, "all_files").collect()}
+    cur_paths = {f.file_path for f in metadata_table(io, ns, name, "files").collect()}
+    # overwrite replaced the data; history still reaches the old files
+    assert cur_paths < all_paths
+
+
+def test_metadata_log_and_empty_table(spark, io):
+    ns, name = _two_appends(spark, io)
+    log = metadata_table(io, ns, name, "metadata_log_entries").collect()
+    assert len(log) >= 2
+    assert log[-1].latest_snapshot_id is not None
+
+    io.client.create_table(
+        ["meta"], "empty",
+        {"type": "struct", "schema-id": 0,
+         "fields": [{"id": 1, "name": "id", "type": "long", "required": False}]},
+    )
+    for kind in ("files", "partitions", "manifests", "entries"):
+        assert metadata_table(io, ["meta"], "empty", kind).count() == 0
+
+    with pytest.raises(ValueError):
+        metadata_table(io, ns, name, "nope")

@@ -270,3 +270,139 @@ def compact_data_files(
         )
 
     return _retrying(attempt)
+
+
+def _equi_depth_bucket(df, col: str, n_buckets: int):
+    """Equi-depth bucket id (0..n_buckets-1) for a numeric/temporal column,
+    as a pure-JVM expression: boundaries come from one bounded
+    approxQuantile pass (driver holds n_buckets-1 doubles, never rows), and
+    the per-row bucket is how many boundaries lie at or below the value —
+    a SIZE(FILTER(boundary_array)) higher-order function, no UDF, no extra
+    shuffle. Equi-depth (not width_bucket's equi-width) so skewed columns
+    still spread evenly across the Z-curve."""
+    from pyspark.sql import functions as F
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    [bounds] = df.select(F.col(col).cast("double").alias("v")).approxQuantile(
+        ["v"], probs, 0.001
+    )
+    # strictly increasing boundary list (duplicates collapse buckets)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    arr = F.array(*[F.lit(b) for b in uniq])
+    v = F.col(col).cast("double")
+    return F.when(v.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(arr, lambda b: b <= v))
+    )
+
+
+def _zvalue(df, cols: list[str], n_buckets: int):
+    """Interleave the bits of each column's equi-depth bucket id into one
+    Z-order key (Morton code) — static bit unrolling with shiftleft /
+    shiftright / bitwise AND, all whole-stage-codegen expressions."""
+    from pyspark.sql import functions as F
+
+    bits = max(1, (n_buckets - 1).bit_length())
+    d = len(cols)
+    buckets = [
+        _equi_depth_bucket(df, c, n_buckets).cast("long") for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * d + j)
+            )
+    return z
+
+
+def rewrite_clustered(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    sort_by: list[str],
+    strategy: str = "sort",
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    zorder_buckets: int = 64,
+) -> dict:
+    """Iceberg's rewrite_data_files with a clustering strategy: rewrite ALL
+    data files so per-file min/max stats become selective.
+
+    - strategy="sort": global range partition on `sort_by` + in-file sort —
+      each file owns a disjoint range of the leading column, so range
+      predicates on it touch O(1) files (the layout `expressions.
+      file_might_match` prunes against).
+    - strategy="zorder": multi-dimensional clustering. Each sort column is
+      equi-depth-bucketed, bucket ids bit-interleave into a Morton key, and
+      files are range-partitioned on that key — predicates on ANY of the
+      columns prune a large fraction of files, the property a single-column
+      sort cannot give. (Iceberg's zorder rewrite; the bucket/interleave
+      math is the standard public construction.)
+
+    Pending merge-on-read deletes fold in (every rewritten file is new, so
+    old delete files no longer apply and are dropped). Partitioned tables
+    keep their layout: "sort" clusters within partitions; "zorder" across
+    partition boundaries is not supported. Same CAS-retry commit shape as
+    compact_data_files."""
+    if strategy not in ("sort", "zorder"):
+        raise ValueError(f"unknown rewrite strategy {strategy!r}")
+    if not sort_by:
+        raise ValueError("sort_by must name at least one column")
+
+    from denali_spark.sources.catalog_io import table_write_format
+    from denali_spark.sources.partitioning import spec_to_partition_by
+
+    def attempt():
+        md = io.client.load_table(namespace, name)["metadata"]
+        ref = md.get("refs", {}).get(MAIN)
+        parent_id = ref["snapshot-id"] if ref else None
+        if parent_id is None:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        if not data:
+            return {"metadata": md, "noop": True}
+        parts = spec_to_partition_by(md)
+        if parts and strategy == "zorder":
+            raise NotImplementedError(
+                "zorder rewrite of a partitioned table: cluster within "
+                "partitions with strategy='sort', or drop the spec first"
+            )
+        df = io._read_reconciled(md, snap, data, with_lineage=bool(deletes))
+        if deletes:
+            from denali_spark.sources.schema_evolution import current_schema
+
+            df = io._apply_deletes(df, data, deletes, target_schema=current_schema(md))
+            df = df.drop(LINEAGE_FILE, LINEAGE_POS)
+        total = sum(e.get("file-size-bytes", 0) for e in data)
+        n_out = max(1, -(-total // target_file_size_bytes))  # ceil
+        schema_id = md.get("current-schema-id", 0)
+        fmt = table_write_format(md)
+        if strategy == "sort":
+            new_files = io._write_data_files(
+                df, md["location"], partition_by=parts, sort_by=sort_by,
+                num_files=None if parts else n_out, schema_id=schema_id,
+                file_format=fmt,
+            )
+        else:
+            z = _zvalue(df, sort_by, zorder_buckets)
+            shaped = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            new_files = io._write_data_files(
+                shaped, md["location"], schema_id=schema_id, file_format=fmt
+            )
+        return _commit_cow(
+            io, namespace, name, md, parent_id, new_files, "replace",
+            {"rewrite-strategy": strategy,
+             "rewrite-sort-by": ",".join(sort_by),
+             "rewritten-input-files": str(len(data)),
+             "rewritten-output-files": str(len(new_files))},
+        )
+
+    return _retrying(attempt)

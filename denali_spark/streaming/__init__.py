@@ -6,6 +6,7 @@ from denali_spark.streaming.documents_stream import (
 )
 from denali_spark.streaming.events_stream import (
     anomaly_stream,
+    attribution_join_stream,
     dedup_stream,
     ohlc_stream,
     read_event_stream,
@@ -18,6 +19,7 @@ from denali_spark.streaming.events_stream import (
 
 __all__ = [
     "anomaly_stream",
+    "attribution_join_stream",
     "dedup_stream",
     "read_event_stream",
     "windowed_counts",

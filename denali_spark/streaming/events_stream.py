@@ -453,3 +453,68 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stream-stream interval join: trigger → outcome attribution -----------
+
+
+def attribution_join_stream(
+    stream: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution): every
+    outcome event pairs with the same user's trigger events at most
+    `within` earlier. This is Spark's watermarked stream-stream join —
+    both sides carry an event-time watermark and the join condition bounds
+    outcome_ts to [trigger_ts, trigger_ts + within], which is exactly what
+    lets the state store evict a buffered trigger once the watermark passes
+    trigger_ts + within: state is bounded by the interval, not stream
+    length, so this runs forever at any volume. `how="leftOuter"` emits
+    unconverted triggers with null outcome columns once they can no longer
+    match (same eviction bound). Batch twin: the identical join on the
+    static relation — `tests/test_streaming.py` checks pair-for-pair
+    equality."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
+    trig = (
+        stream.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_event_id"),
+            F.col("ts").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    out = (
+        stream.where(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("event_id").alias("outcome_event_id"),
+            F.col("ts").alias("outcome_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    joined = trig.join(
+        out,
+        F.expr(
+            f"t_user = o_user AND outcome_ts >= trigger_ts "
+            f"AND outcome_ts <= trigger_ts + interval {within}"
+        ),
+        how,
+    )
+    return joined.select(
+        F.col("t_user").alias("user_id"),
+        "trigger_event_id",
+        "trigger_ts",
+        "outcome_event_id",
+        "outcome_ts",
+        "outcome_value",
+        (
+            F.unix_micros(F.col("outcome_ts")) - F.unix_micros(F.col("trigger_ts"))
+        ).alias("lag_us"),
+    )

@@ -354,3 +354,77 @@ def test_anomaly_kernel_excludes_prior_batch_same_ts_peers():
     assert n_at_T_batch2 == n_at_T_batch1 == 40
     # and state admitted both T events for FUTURE rows
     assert state.get[0].count(int(T.value // 1000)) == 2
+
+
+def test_attribution_join_stream_matches_batch(spark, landing):
+    from denali_spark.streaming import attribution_join_stream
+
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        attribution_join_stream(stream, within="1 hour")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    _run_stream(q)
+    got = {
+        (r.trigger_event_id, r.outcome_event_id, r.lag_us)
+        for r in spark.sql("select * from attrib").collect()
+    }
+
+    trig = events.where("event_type = 'click'").selectExpr(
+        "user_id tu", "event_id te", "ts tts"
+    )
+    out = events.where("event_type = 'purchase'").selectExpr(
+        "user_id ou", "event_id oe", "ts ots"
+    )
+    want = {
+        (r.te, r.oe, r.lag)
+        for r in trig.join(
+            out,
+            F.expr("tu = ou AND ots >= tts AND ots <= tts + interval 1 hour"),
+        )
+        .selectExpr("te", "oe", "unix_micros(ots) - unix_micros(tts) lag")
+        .collect()
+    }
+    assert got == want
+    assert want  # non-vacuous: the smoke data does contain conversions
+
+
+def test_attribution_join_left_outer_emits_unconverted(spark, landing):
+    from denali_spark.streaming import attribution_join_stream
+
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        attribution_join_stream(stream, within="1 hour", how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("attrib_lo")
+        .outputMode("append")
+        .start()
+    )
+    _run_stream(q)
+    rows = spark.sql("select * from attrib_lo").collect()
+    matched = {r.trigger_event_id for r in rows if r.outcome_event_id is not None}
+    unmatched = {r.trigger_event_id for r in rows if r.outcome_event_id is None}
+    # every matched pair also appears in the inner-join set
+    assert matched.isdisjoint(unmatched) or True  # a trigger can have both? no:
+    # a trigger with any match must not ALSO emit a null row
+    assert not (matched & unmatched)
+    # null rows only for triggers the batch join finds unconverted — but the
+    # final micro-batch's triggers may still be buffered (watermark never
+    # passes them), so unmatched ⊆ batch-unconverted rather than equality.
+    trig = events.where("event_type = 'click'").selectExpr(
+        "user_id tu", "event_id te", "ts tts"
+    )
+    out = events.where("event_type = 'purchase'").selectExpr("user_id ou", "ts ots")
+    batch_matched = {
+        r.te
+        for r in trig.join(
+            out, F.expr("tu = ou AND ots >= tts AND ots <= tts + interval 1 hour")
+        ).collect()
+    }
+    assert unmatched.isdisjoint(batch_matched)
+    assert matched == batch_matched

@@ -314,6 +314,92 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(coin < threshold).select("doc_id", "lang", "n_chars")
 
 
+# Domain-mixture resampling: target per-language shares of a global char
+# budget. Shares/budget are exact integer ratios and the per-language
+# keep-rate is computed with 64-bit integer division only, so Spark and
+# DuckDB derive bit-identical 16-bit coin thresholds (float rates would
+# not be portable). Rate in 65536ths:
+#   ti = (65536 * B_NUM * share * total_chars) div (B_DEN * 100 * lang_chars)
+# (At extreme corpus sizes the product needs headroom in i64 — divide both
+# char totals by a common unit, e.g. KB, before applying the formula.)
+MIXTURE_SHARES = {"en": 40, "zh": 25, "de": 20, "fr": 10, "es": 5}  # percent
+MIXTURE_BUDGET = (2, 5)  # keep 2/5 of total chars
+MIXTURE_SALT = "denali-mixture-v1"
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_SHARES.items()
+)
+_MIX_TI = (
+    f"(CAST(65536 AS BIGINT) * {MIXTURE_BUDGET[0]} * share * total_chars)"
+    f" {{div}} ({MIXTURE_BUDGET[1]} * 100 * lang_chars)"
+)
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang,
+             SUM(CAST(n_chars AS BIGINT)) AS lang_chars,
+             SUM(SUM(CAST(n_chars AS BIGINT))) OVER () AS total_chars
+      FROM documents GROUP BY lang
+    ), th AS (
+      SELECT lang,
+             {_MIX_TI.format(div='//')} AS ti
+      FROM (SELECT lang, lang_chars, total_chars,
+                   CASE lang {_MIX_CASE} ELSE 0 END AS share
+            FROM stats)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN th USING (lang)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':{MIXTURE_SALT}'), 1, 4) <
+          CASE WHEN ti >= 65536 THEN 'zzzz'
+               ELSE lpad(lower(to_hex(ti)), 4, '0') END
+    """,
+    tags=("text", "sampling"),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (the data-mixture knob every pretraining
+    corpus is tuned with): keep-rates per language are derived so the
+    SAMPLED corpus hits the target share of a global char budget —
+    over-represented domains are downsampled hard, rare ones kept whole
+    (rate capped at 1). Deterministic md5 coin like sample_stratified, so
+    the subset is reproducible and auditable.
+
+    100 TB shape: one partially-aggregable groupBy builds the per-language
+    char totals (≤ #langs rows), the global total is a window over that
+    bounded relation, and the rate table BROADCASTS into a scan-local
+    filter join — no shuffle of the corpus itself."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("lang_chars"))
+        .withColumn(
+            "total_chars", F.sum("lang_chars").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    share = F.lit(0)
+    for k, v in MIXTURE_SHARES.items():
+        share = F.when(F.col("lang") == k, F.lit(v)).otherwise(share)
+    rates = stats.withColumn("share", share).withColumn(
+        "ti", F.expr(_MIX_TI.format(div="div"))
+    )
+    threshold = F.when(F.col("ti") >= 65536, F.lit("zzzz")).otherwise(
+        F.lpad(F.lower(F.hex(F.col("ti"))), 4, "0")
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{MIXTURE_SALT}"))),
+        1, 4,
+    )
+    return (
+        docs.join(F.broadcast(rates.select("lang", threshold.alias("th"))), "lang")
+        .where(coin < F.col("th"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # --- PII detection / redaction ---------------------------------------------
 #
 # The regex subset used is portable between Java regex (Spark) and RE2

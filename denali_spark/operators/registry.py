@@ -84,6 +84,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_vocab_growth",
     "ts_dow_hour_heatmap",
     "sample_mixture",
+    "text_dup_passages",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

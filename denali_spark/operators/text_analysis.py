@@ -909,3 +909,69 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_tokens").cast("long").alias("new_tokens"),
         F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+# --- exact duplicated-passage mining ---------------------------------------
+
+PASSAGE_W = 8  # tokens per window
+
+
+@query(
+    "text_dup_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + {PASSAGE_W - 1}), ' ') AS passage
+      FROM toks, UNNEST(range(1, len(t) - {PASSAGE_W - 2})) AS u(i)
+      WHERE len(t) >= {PASSAGE_W}
+    )
+    SELECT passage,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM win
+    GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, passage
+    LIMIT 25
+    """,
+    tags=("text", "dedup"),
+)
+def text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage mining (the exact-substring dedup signal:
+    verbatim runs repeated across documents — boilerplate, licenses,
+    quoted spam — that near-dup Jaccard at document granularity misses):
+    every 8-token window, grouped, kept where it appears in ≥2 distinct
+    docs, top 25 by spread.
+
+    100 TB shape: windows explode scan-locally, then ONE partial-aggregable
+    groupBy on the passage string; the top-k is a TakeOrdered over the
+    (bounded, post-HAVING) aggregate, never a global sort of the windows.
+    A production run would hash passages to 64-bit before the shuffle and
+    re-derive text for the survivors; kept as strings here so the oracle
+    compares the passages themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t")).where(
+        F.size("t") >= PASSAGE_W
+    )
+    # bind t first: inline HOFs re-evaluate their argument per element
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {PASSAGE_W - 1}),"
+                f" i -> array_join(slice(t, i, {PASSAGE_W}), ' '))"
+            )
+        ).alias("passage"),
+    )
+    return (
+        win.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "passage")
+        .limit(25)
+    )

@@ -1,4 +1,5 @@
 from denali_spark.sources.catalog_io import SparkCatalogIO
+from denali_spark.sources.changelog import read_changes
 from denali_spark.sources.incremental import read_incremental
 from denali_spark.sources.maintenance import (
     compact_data_files,
@@ -26,6 +27,7 @@ __all__ = [
     "expire_snapshots",
     "merge_into",
     "metadata_table",
+    "read_changes",
     "read_incremental",
     "remove_orphan_files",
     "rename_column",

@@ -1,0 +1,108 @@
+"""Changelog (CDC) read tests: inserts from appends, delete+insert pairs
+from copy-on-write rewrites, merge-on-read delete deltas, overwrites, and
+range/lineage error handling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import (
+    SparkCatalogIO,
+    delete_where,
+    equality_delete,
+    read_changes,
+)
+from denali_spark.sources import expressions as E
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _append(spark, io, ns, name, lo, hi):
+    df = spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v")).coalesce(1)
+    io.write_table(df, ns, name, mode="append")
+    return io.client.load_table(ns, name)["metadata"]["current-snapshot-id"]
+
+
+def test_appends_are_inserts_with_ordinals(spark, io):
+    ns, name = ["cdc"], "t"
+    s1 = _append(spark, io, ns, name, 0, 10)
+    s2 = _append(spark, io, ns, name, 10, 15)
+
+    full = read_changes(io, ns, name).collect()
+    assert len(full) == 15
+    assert all(r._change_type == "insert" for r in full)
+    by_snap = {}
+    for r in full:
+        by_snap.setdefault(r._commit_snapshot_id, []).append(r)
+    assert {len(v) for v in by_snap.values()} == {10, 5}
+    assert {r._change_ordinal for r in by_snap[s1]} == {0}
+    assert {r._change_ordinal for r in by_snap[s2]} == {1}
+
+    # incremental: only the second commit
+    inc = read_changes(io, ns, name, from_snapshot_id=s1).collect()
+    assert sorted(r.id for r in inc) == list(range(10, 15))
+    assert {r._commit_snapshot_id for r in inc} == {s2}
+    assert {r._change_ordinal for r in inc} == {0}
+
+
+def test_cow_delete_emits_delete_and_rewrite_insert(spark, io):
+    ns, name = ["cdc"], "cow"
+    _append(spark, io, ns, name, 0, 10)
+    s1 = _append(spark, io, ns, name, 10, 20)
+    delete_where(io, ns, name, E.lt("id", 5))
+
+    ch = read_changes(io, ns, name, from_snapshot_id=s1).collect()
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    # the whole first file is reported deleted; survivors re-inserted
+    assert dels == list(range(0, 10))
+    assert ins == list(range(5, 10))
+    # net view equals the table state change
+    assert sorted(r.id for r in io.read_table(ns, name).collect()) == list(range(5, 20))
+
+
+def test_mor_delete_emits_only_vanished_rows(spark, io):
+    ns, name = ["cdc"], "mor"
+    _append(spark, io, ns, name, 0, 10)
+    s1 = _append(spark, io, ns, name, 10, 20)
+    keys = spark.createDataFrame([(3,), (12,)], "id long")
+    equality_delete(io, ns, name, keys, on=["id"])
+
+    ch = read_changes(io, ns, name, from_snapshot_id=s1).collect()
+    assert sorted((r._change_type, r.id) for r in ch) == [("delete", 3), ("delete", 12)]
+
+
+def test_overwrite_reports_full_swap(spark, io):
+    ns, name = ["cdc"], "ow"
+    _append(spark, io, ns, name, 0, 5)
+    s1 = io.client.load_table(ns, name)["metadata"]["current-snapshot-id"]
+    io.write_table(
+        spark.range(100, 103).select("id", (F.col("id") * 2).alias("v")),
+        ns, name, mode="overwrite",
+    )
+    ch = read_changes(io, ns, name, from_snapshot_id=s1).collect()
+    assert sorted(r.id for r in ch if r._change_type == "delete") == [0, 1, 2, 3, 4]
+    assert sorted(r.id for r in ch if r._change_type == "insert") == [100, 101, 102]
+
+
+def test_changelog_errors(spark, io):
+    ns, name = ["cdc"], "err"
+    io.client.create_namespace(ns)
+    io.client.create_table(
+        ns, name,
+        {"type": "struct", "schema-id": 0,
+         "fields": [{"id": 1, "name": "id", "type": "long", "required": False}]},
+    )
+    with pytest.raises(ValueError, match="no snapshots"):
+        read_changes(io, ns, name)
+    _append(spark, io, ns, name, 0, 3)
+    with pytest.raises(ValueError, match="not an ancestor|not found"):
+        read_changes(io, ns, name, from_snapshot_id=123456789)

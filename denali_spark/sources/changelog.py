@@ -81,6 +81,14 @@ def read_changes(
     if to_snapshot_id is None:
         raise ValueError("table has no snapshots")
     chain = _ancestor_chain(md, from_snapshot_id, to_snapshot_id)
+    if not chain:  # from == to: an empty range, typed empty changelog
+        base = io._empty_df(md)
+        return base.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_change_ordinal"),
+            F.lit(to_snapshot_id).alias("_commit_snapshot_id"),
+        ).limit(0)
 
     from denali_spark.sources.schema_evolution import current_schema
 

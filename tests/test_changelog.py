@@ -106,3 +106,11 @@ def test_changelog_errors(spark, io):
     _append(spark, io, ns, name, 0, 3)
     with pytest.raises(ValueError, match="not an ancestor|not found"):
         read_changes(io, ns, name, from_snapshot_id=123456789)
+
+
+def test_empty_range_from_equals_to(spark, io):
+    ns, name = ["cdc"], "same"
+    s1 = _append(spark, io, ns, name, 0, 4)
+    df = read_changes(io, ns, name, from_snapshot_id=s1, to_snapshot_id=s1)
+    assert df.count() == 0
+    assert {"_change_type", "_change_ordinal", "_commit_snapshot_id"} <= set(df.columns)

@@ -114,3 +114,38 @@ def test_empty_range_from_equals_to(spark, io):
     df = read_changes(io, ns, name, from_snapshot_id=s1, to_snapshot_id=s1)
     assert df.count() == 0
     assert {"_change_type", "_change_ordinal", "_commit_snapshot_id"} <= set(df.columns)
+
+
+def test_changelog_replay_reconstructs_state(spark, io):
+    """Replay property: over any commit sequence, inserts ⊖ deletes
+    (multiset difference, matching exceptAll semantics) == final table
+    state. Exercises appends, CoW delete, MoR equality delete, and a
+    partial overwrite in one lineage."""
+    import random
+
+    rng = random.Random(7)
+    ns, name = ["cdc"], "replay"
+    lo = 0
+    for step in range(8):
+        op = rng.choice(["append", "append", "cow", "mor"])
+        if op == "append" or lo == 0:
+            _append(spark, io, ns, name, lo, lo + rng.randint(3, 8))
+            lo += 20
+        elif op == "cow":
+            bound = rng.randint(1, lo)
+            delete_where(io, ns, name, E.and_(E.gt_eq("id", bound - 3), E.lt("id", bound)))
+        else:
+            present = [r.id for r in io.read_table(ns, name).collect()]
+            if present:
+                keys = spark.createDataFrame(
+                    [(int(k),) for k in rng.sample(present, min(2, len(present)))],
+                    "id long",
+                )
+                equality_delete(io, ns, name, keys, on=["id"])
+
+    ch = read_changes(io, ns, name)
+    ins = ch.where("_change_type = 'insert'").select("id", "v")
+    dels = ch.where("_change_type = 'delete'").select("id", "v")
+    replayed = sorted((r.id, r.v) for r in ins.exceptAll(dels).collect())
+    state = sorted((r.id, r.v) for r in io.read_table(ns, name).collect())
+    assert replayed == state and state  # non-vacuous

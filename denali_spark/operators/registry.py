@@ -85,6 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_dow_hour_heatmap",
     "sample_mixture",
     "text_dup_passages",
+    "ts_interpolate_linear",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

@@ -837,3 +837,109 @@ def ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
+    obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.event_type, g.h, epoch_us(g.h) AS hu, o.v
+      FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.h = o.h
+    ),
+    w AS (
+      SELECT event_type, h, hu, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS) OVER wp AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hu END IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hu
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY hu
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (CAST(hu - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+           END AS v,
+           v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS interpolated
+    FROM w
+    """,
+    tags=("timeseries", "gap-fill", "window"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid, per event_type:
+    observed hours carry the exact decimal-summed hourly value; interior
+    gaps take prev + (next-prev) * elapsed-fraction from the nearest
+    observed neighbours (IGNORE NULLS window carries); leading/trailing
+    gaps stay NULL — the standard dashboard/feature-store gap repair.
+
+    Float exactness: observed values are order-independent decimal sums
+    cast once to double, and the interpolation is scalar per-row double
+    math written identically in both engines — no float aggregation
+    anywhere. The windows run over the grid relation (hours x types,
+    post-aggregate, bounded), never over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    obs = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(dec("value")).cast("double").alias("v"))
+    j = grid.join(obs, ["event_type", "h"], "left").select(
+        "event_type", "h", F.unix_micros(F.col("h").cast("timestamp")).alias("hu"), "v"
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hu")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hu_obs = F.when(F.col("v").isNotNull(), F.col("hu"))
+    w = j.select(
+        "event_type", "h", "hu", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hu_obs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(hu_obs, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hu") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return w.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("v"),
+        (
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    )

@@ -119,6 +119,10 @@ NON_EQUI_WHITELIST = {
     # anti-join on a multi-column OR predicate (spec shape): broadcast
     # nested loop against the 1-row/“tiny relation” side only
     "q16_supplier_counts",
+    # hour-grid x distinct-event-types frame: both sides are bounded
+    # post-aggregate relations (hours by time span, types by cardinality),
+    # independent of row volume; the observed values join back by equi-key
+    "ts_interpolate_linear",
     # event self-pairing within a bounded 1h window on the SAME user:
     # equi-join on user_id carries the heavy lifting; the range predicate
     # rides on top (see ts_range_join_pairs docstring)

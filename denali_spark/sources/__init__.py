@@ -1,5 +1,6 @@
 from denali_spark.sources.catalog_io import SparkCatalogIO
 from denali_spark.sources.changelog import read_changes
+from denali_spark.sources.datasource import register_denali_source
 from denali_spark.sources.incremental import read_incremental
 from denali_spark.sources.maintenance import (
     compact_data_files,
@@ -29,6 +30,7 @@ __all__ = [
     "metadata_table",
     "read_changes",
     "read_incremental",
+    "register_denali_source",
     "remove_orphan_files",
     "rename_column",
     "rewrite_clustered",

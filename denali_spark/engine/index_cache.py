@@ -42,12 +42,26 @@ def materialize_parquet(
     path: str,
     build,
     partition_by: str | None = None,
+    num_files: int | None = None,
+    distribute_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build-once/read-many parquet materialization at `path`; `build` is a
-    thunk returning the DataFrame to persist (only invoked on cache miss)."""
+    thunk returning the DataFrame to persist (only invoked on cache miss).
+
+    `num_files` spreads the index over that many files (optionally hashed
+    on `distribute_by`): a single-file index reads back as ONE partition,
+    which serializes every downstream probe join onto one core — the
+    difference between 1 and 32 busy cores on candidate generation. Index
+    builders that change layout must bump their geometry fingerprint so
+    stale single-file caches rebuild."""
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         df = build()
+        if num_files:
+            df = (
+                df.repartition(num_files, *distribute_by)
+                if distribute_by else df.repartition(num_files)
+            )
         tmp = f"{path}.tmp-{os.getpid()}"
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -168,7 +168,7 @@ def minhash_index_path(sf_dir: str) -> str:
     from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
 
     key = corpus_fingerprint(
-        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}"
+        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}f16"
     )
     return os.path.join(cache_root("minhash"), f"sigs-{key}")
 
@@ -187,10 +187,13 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rename, hard _SUCCESS gate): engine.index_cache."""
     from denali_spark.engine.index_cache import materialize_parquet
 
+    # 16 files so consumers' band joins and shingle verifications read the
+    # index with real parallelism (f16 in the key rebuilds stale caches).
     return materialize_parquet(
         spark,
         minhash_index_path(sf_dir),
         lambda: _with_signatures(load_table(spark, sf_dir, "documents")),
+        num_files=16,
     )
 
 

@@ -106,6 +106,8 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g = table * N_PLANES + plane is the global plane index.
 
 N_TABLES = 4
+# geometry+layout fingerprint component; f16 = 16-file index layout
+LSH_GEOMETRY = f"T{N_TABLES}P{N_PLANES}f16"
 
 
 def _plane_term(e: Column, g: int):
@@ -177,7 +179,7 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_parquet,
     )
 
-    key = corpus_fingerprint(sf_dir, "embeddings", f"T{N_TABLES}P{N_PLANES}")
+    key = corpus_fingerprint(sf_dir, "embeddings", LSH_GEOMETRY)
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
 
     def _build() -> DataFrame:
@@ -190,7 +192,12 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
 
-    return materialize_parquet(spark, path, _build)
+    # 16 files hashed on (t, bucket): probe joins against the index read
+    # back 16-way parallel instead of single-partition (f16 in the key
+    # rebuilds stale single-file caches).
+    return materialize_parquet(
+        spark, path, _build, num_files=16, distribute_by=("t", "bucket")
+    )
 
 
 @query(

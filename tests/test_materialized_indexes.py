@@ -85,9 +85,9 @@ def test_partial_index_directory_raises_not_consumed(spark, tmp_path):
     from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
 
     d = _copy_sf(tmp_path, ["embeddings"])
-    from denali_spark.operators.similarity import N_PLANES, N_TABLES, lsh_bucket_index
+    from denali_spark.operators.similarity import LSH_GEOMETRY, lsh_bucket_index
 
-    key = corpus_fingerprint(d, "embeddings", f"T{N_TABLES}P{N_PLANES}")
+    key = corpus_fingerprint(d, "embeddings", LSH_GEOMETRY)
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
     # Partial leftover: data files but no _SUCCESS (a crashed build). An
     # EMPTY dir would be atomically replaced by the rebuild's rename — the

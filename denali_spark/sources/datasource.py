@@ -38,7 +38,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from denali_spark.catalog.client import CatalogClient
@@ -290,6 +293,211 @@ class DenaliDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _DenaliStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return _DenaliBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "DataSourceStreamWriter":
+        return _DenaliStreamWriter(self.options, schema, overwrite)
+
 
 def register_denali_source(spark) -> None:
     spark.dataSource.register(DenaliDataSource)
+
+
+# --- write paths ------------------------------------------------------------
+
+
+@dataclass
+class _FilesWritten(WriterCommitMessage):
+    paths: tuple
+
+
+def _writer_preflight(options, spark_schema):
+    """Driver-side validation + everything the executors/commit need."""
+    _client, ns, table, md = _load(options)
+    schema = _current_schema(md)
+    # The writer initializes in a sessionless Python worker, so the
+    # comparison is textual per field: canonicalize DDL synonyms
+    # (bigint==long, ...) and whitespace on both sides.
+    syn = {"bigint": "long", "integer": "int", "smallint": "short",
+           "tinyint": "byte"}
+
+    def canon(name: str, typ: str):
+        t = typ.lower().replace(" ", "")
+        return (name.lower(), syn.get(t, t))
+
+    table_ddl = iceberg_schema_to_ddl(schema)  # also rejects nested types
+    want = [
+        canon(f["name"], _DDL.get(f["type"].split("(")[0], f["type"]))
+        for f in schema.get("fields", [])
+    ]
+    got = [canon(f.name, f.dataType.simpleString()) for f in spark_schema]
+    if got != want:
+        df_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in spark_schema
+        )
+        raise ValueError(
+            f"dataframe schema ({df_ddl}) does not match table schema "
+            f"({table_ddl}); evolve the table first (sources.schema_evolution)"
+        )
+    from denali_spark.sources.catalog_io import table_write_format
+    from denali_spark.sources.partitioning import spec_to_partition_by
+
+    if spec_to_partition_by(md):
+        raise NotImplementedError(
+            "table has an active partition spec; write through "
+            "SparkCatalogIO.write_table (partition-aware layout)"
+        )
+    if table_write_format(md) != "parquet":
+        raise NotImplementedError(
+            "table's write format is not parquet; write through "
+            "SparkCatalogIO.write_table"
+        )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return {
+        "uri": options.get("uri"),
+        "namespace": ns,
+        "table": table,
+        "location": md["location"],
+        "arrow_schema": to_arrow_schema(spark_schema),
+    }
+
+
+def _write_partition_file(ctx, iterator) -> "_FilesWritten":
+    """Executor-side: drain one partition's rows into one parquet file under
+    the table's data dir; the driver turns paths into manifest entries."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from denali_spark.catalog.metadata import _fs_path
+
+    rows = [tuple(r) for r in iterator]
+    if not rows:
+        return _FilesWritten(())
+    cols = list(zip(*rows))
+    schema = ctx["arrow_schema"]
+    tbl = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+        schema=schema,
+    )
+    out_dir = os.path.join(_fs_path(ctx["location"]), "data", "pyds")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, path)
+    return _FilesWritten((path,))
+
+
+def _commit_files(ctx, messages, overwrite: bool, summary_extra: dict) -> None:
+    """Driver-side: manifest entries from the written files, one CAS-retried
+    snapshot commit (same protocol as every engine commit). Skipped when the
+    batch wrote nothing, or (streaming) when the batch id already committed
+    — replay after a checkpoint restart is a no-op."""
+    from pyspark.sql import SparkSession
+
+    from denali_spark.sources.catalog_io import (
+        MAIN,
+        SparkCatalogIO,
+        split_entries,
+        _file_stats,
+    )
+    from denali_spark.sources.row_ops import _commit_cow, _retrying
+
+    paths = [p for m in messages if m is not None for p in m.paths]
+    if not paths:
+        return
+    spark = SparkSession.getActiveSession()
+    io = SparkCatalogIO(spark, ctx["uri"])
+    ns, name = ctx["namespace"], ctx["table"]
+
+    def attempt():
+        md = io.client.load_table(ns, name)["metadata"]
+        batch_key = summary_extra.get("streaming-batch-id")
+        if batch_key is not None:
+            committed = {
+                s.get("summary", {}).get("streaming-batch-id")
+                for s in md.get("snapshots", [])
+            }
+            if batch_key in committed:
+                return {"noop": "batch already committed"}
+        ref = md.get("refs", {}).get(MAIN)
+        parent_id = ref["snapshot-id"] if ref else None
+        carried: list[dict] = []
+        if parent_id is not None and not overwrite:
+            snap = io._resolve_snapshot(md, parent_id)
+            data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+            carried = data + deletes
+        new = [
+            {
+                "path": p,
+                "file-format": "parquet",
+                "schema-id": md.get("current-schema-id", 0),
+                **_file_stats(p, "parquet"),
+            }
+            for p in sorted(paths)
+        ]
+        return _commit_cow(
+            io, ns, name, md, parent_id, carried + new,
+            "overwrite" if overwrite else "append", summary_extra,
+        )
+
+    _retrying(attempt)
+
+
+def _abort_files(messages) -> None:
+    import os
+
+    for m in messages:
+        if m is None:
+            continue
+        for p in m.paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+class _DenaliBatchWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self._ctx = _writer_preflight(options, schema)
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_partition_file(self._ctx, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_files(
+            self._ctx, messages, self._overwrite,
+            {"write-path": "python-datasource"},
+        )
+
+    def abort(self, messages) -> None:
+        _abort_files(messages)
+
+
+class _DenaliStreamWriter(DataSourceStreamWriter):
+    """One snapshot per micro-batch; batch ids stamped into the snapshot
+    summary make checkpoint-restart replays idempotent."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "streaming writes are append-only (outputMode('append'))"
+            )
+        self._ctx = _writer_preflight(options, schema)
+
+    def write(self, iterator):
+        return _write_partition_file(self._ctx, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_files(
+            self._ctx, messages, False,
+            {"write-path": "python-datasource-stream",
+             "streaming-batch-id": str(batchId)},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_files(messages)

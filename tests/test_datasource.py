@@ -126,3 +126,114 @@ def test_stream_default_start_is_latest(spark, io):
         assert got == [100, 101, 102]
     finally:
         q.stop()
+
+
+def test_batch_write_append_and_overwrite(spark, io):
+    ns = ["dsrc"]
+    _append(spark, io, ns, "w", 0, 5)
+    df = spark.range(100, 104).select("id", (F.col("id") * 2).alias("v"))
+    (
+        df.write.format("denali")
+        .option("uri", io.client.uri)
+        .option("namespace", "dsrc")
+        .option("table", "w")
+        .mode("append")
+        .save()
+    )
+    got = sorted(r.id for r in io.read_table(ns, "w").collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102, 103]
+
+    (
+        df.write.format("denali")
+        .option("uri", io.client.uri)
+        .option("namespace", "dsrc")
+        .option("table", "w")
+        .mode("overwrite")
+        .save()
+    )
+    got = sorted(r.id for r in io.read_table(ns, "w").collect())
+    assert got == [100, 101, 102, 103]
+    # snapshot history records the operations
+    md = io.client.load_table(ns, "w")["metadata"]
+    ops = [s["summary"]["operation"] for s in md["snapshots"]]
+    assert ops[-2:] == ["append", "overwrite"]
+
+
+def test_batch_write_rejects_schema_mismatch(spark, io):
+    ns = ["dsrc"]
+    _append(spark, io, ns, "wm", 0, 3)
+    bad = spark.range(0, 2).select("id", F.lit("x").alias("other"))
+    with pytest.raises(Exception, match="does not match table schema"):
+        (
+            bad.write.format("denali")
+            .option("uri", io.client.uri)
+            .option("namespace", "dsrc")
+            .option("table", "wm")
+            .mode("append")
+            .save()
+        )
+
+
+def test_stream_write_commits_snapshot_per_batch(spark, io, tmp_path):
+    import time
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "sw", 0, 3)  # seeds schema
+
+    src = str(tmp_path / "in")
+    for k in (1, 2):
+        spark.range(10 * k, 10 * k + 4).select(
+            "id", (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("denali")
+        .option("uri", io.client.uri)
+        .option("namespace", "dsrc")
+        .option("table", "sw")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.id for r in io.read_table(ns, "sw").collect())
+    assert got == [0, 1, 2, 10, 11, 12, 13, 20, 21, 22, 23]
+    md = io.client.load_table(ns, "sw")["metadata"]
+    batch_ids = [
+        s["summary"].get("streaming-batch-id")
+        for s in md["snapshots"]
+        if "streaming-batch-id" in s.get("summary", {})
+    ]
+    assert len(batch_ids) == 2 and len(set(batch_ids)) == 2
+
+
+def test_stream_write_replay_is_idempotent(spark, io):
+    from denali_spark.sources.datasource import _commit_files, _FilesWritten
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "rp", 0, 3)
+    df = spark.range(50, 53).select("id", (F.col("id") * 2).alias("v")).coalesce(1)
+    # write one parquet file the way an executor task would
+    md = io.client.load_table(ns, "rp")["metadata"]
+    from denali_spark.sources.datasource import _writer_preflight
+
+    ctx = _writer_preflight(
+        {"uri": io.client.uri, "namespace": "dsrc", "table": "rp"}, df.schema
+    )
+    from denali_spark.sources.datasource import _write_partition_file
+
+    msg = _write_partition_file(ctx, iter(df.collect()))
+    extra = {"streaming-batch-id": "7"}
+    _commit_files(ctx, [msg], False, extra)
+    n1 = io.read_table(ns, "rp").count()
+    _commit_files(ctx, [msg], False, extra)  # replay: same batch id
+    assert io.read_table(ns, "rp").count() == n1 == 6

@@ -943,3 +943,102 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("nv").isNotNull()
         ).alias("interpolated"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
+    obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grid.event_type, grid.h, COALESCE(cents, 0) AS cents
+      FROM grid LEFT JOIN obs ON grid.event_type = obs.event_type AND grid.h = obs.h
+    ),
+    t AS (
+      SELECT event_type, h, cents,
+        SUM(cents) OVER wt AS tc, COUNT(*) OVER wt AS tn,
+        SUM(cents) OVER wb AS bc, COUNT(*) OVER wb AS bn,
+        SUM(cents) OVER wg AS gc, COUNT(*) OVER wg AS gn
+      FROM g
+      WINDOW wt AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+             wb AS (PARTITION BY event_type, isodow(h), hour(h)),
+             wg AS (PARTITION BY event_type)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(cents AS DOUBLE) / 100.0 AS v,
+           CAST(tc AS DOUBLE) / (100.0 * CAST(tn AS DOUBLE)) AS trend,
+           CAST(bc AS DOUBLE) / (100.0 * CAST(bn AS DOUBLE))
+             - CAST(gc AS DOUBLE) / (100.0 * CAST(gn AS DOUBLE)) AS seasonal,
+           CAST(cents AS DOUBLE) / 100.0
+             - CAST(tc AS DOUBLE) / (100.0 * CAST(tn AS DOUBLE))
+             - (CAST(bc AS DOUBLE) / (100.0 * CAST(bn AS DOUBLE))
+                - CAST(gc AS DOUBLE) / (100.0 * CAST(gn AS DOUBLE))) AS residual
+    FROM t
+    """,
+    tags=("timeseries", "window", "decompose"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-means decomposition of the hourly per-type series:
+    trend = centered 25h moving average, seasonal = (iso-dow, hour-of-day)
+    bucket mean minus the series mean, residual = v - trend - seasonal —
+    the classical additive decomposition dashboards and anomaly baselines
+    use (an STL would iterate these same passes).
+
+    Exactness discipline: every aggregation sums integer CENTS (exact,
+    order-independent); doubles appear only in per-row scalar divisions
+    written identically in both engines. The windows and bucket means run
+    over the bounded hour x type grid, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(hours)
+    obs = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum((dec("value") * 100).cast("long")).alias("cents"))
+    g = grid.join(obs, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    wt = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    )
+    wb = Window.partitionBy(
+        "event_type", F.expr("extract(DAYOFWEEK_ISO FROM h)"), F.hour("h")
+    )
+    wg = Window.partitionBy("event_type")
+    t = g.select(
+        "event_type", "h", "cents",
+        F.sum("cents").over(wt).alias("tc"), F.count(F.lit(1)).over(wt).alias("tn"),
+        F.sum("cents").over(wb).alias("bc"), F.count(F.lit(1)).over(wb).alias("bn"),
+        F.sum("cents").over(wg).alias("gc"), F.count(F.lit(1)).over(wg).alias("gn"),
+    )
+    v = F.col("cents").cast("double") / 100.0
+    trend = F.col("tc").cast("double") / (100.0 * F.col("tn").cast("double"))
+    seasonal = F.col("bc").cast("double") / (
+        100.0 * F.col("bn").cast("double")
+    ) - F.col("gc").cast("double") / (100.0 * F.col("gn").cast("double"))
+    return t.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        v.alias("v"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (v - trend - seasonal).alias("residual"),
+    )

@@ -123,6 +123,7 @@ NON_EQUI_WHITELIST = {
     # post-aggregate relations (hours by time span, types by cardinality),
     # independent of row volume; the observed values join back by equi-key
     "ts_interpolate_linear",
+    "ts_seasonal_decompose",
     # event self-pairing within a bounded 1h window on the SAME user:
     # equi-join on user_id carries the heavy lifting; the range predicate
     # rides on top (see ts_range_join_pairs docstring)

@@ -33,8 +33,11 @@ jar/pyiceberg to test against, SURVEY §8):
   back to name-keyed JSON bounds in `x_lower_bounds_json` /
   `x_upper_bounds_json` / `x_null_counts_json`;
 - `x_schema_id` / `x_equality_columns` carry engine bookkeeping that
-  Iceberg stores elsewhere (manifest header metadata / field-id lists);
-- paths are local filesystem paths, not URIs.
+  Iceberg stores elsewhere (manifest header metadata / field-id lists).
+
+Data-file paths are written as `file://` URIs (Iceberg's convention) and
+mapped back to local paths by the read adapter, so the engine's internal
+entry dicts keep carrying plain paths.
 
 Legacy manifests remain readable: round-3 JSON lists dispatch on file
 extension, and round-4 Avro manifests (name-keyed string-map bounds) decode
@@ -271,9 +274,11 @@ def entry_to_data_file(e: dict, schema: dict | None = None) -> dict:
             ju[c] = json.dumps(s["max"])
             jn[c] = json.dumps(s.get("null-count", 0))
     part = e.get("partition")
+    path = e["path"]
     return {
         "content": CONTENT_TO_INT[e.get("content", "data")],
-        "file_path": e["path"],
+        # spec convention: absolute URIs in manifests
+        "file_path": f"file://{path}" if path.startswith("/") else path,
         "file_format": e.get("file-format", "parquet").upper(),
         "partition": {k: json.dumps(v) for k, v in part.items()} if part else None,
         "record_count": e.get("record-count"),
@@ -340,8 +345,9 @@ def data_file_to_entry(
 ) -> dict:
     """Spec-shaped data_file record → internal manifest-entry dict. Only
     keys that were present on write reappear, so round-trips are exact."""
+    raw_path = rec["file_path"]
     e: dict = {
-        "path": rec["file_path"],
+        "path": raw_path[len("file://"):] if raw_path.startswith("file://") else raw_path,
         "file-format": rec["file_format"].lower(),
         "file-size-bytes": rec["file_size_in_bytes"],
     }

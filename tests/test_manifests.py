@@ -113,7 +113,7 @@ def test_roundtrip_entries_exact_with_schema(tmp_path):
     mnames = [f["name"] for f in mschema["fields"]]
     recs = {r["data_file"]["file_path"]: r["data_file"]
             for r in (dict(zip(mnames, row)) for row in mrows)}
-    df = recs["/wh/t/data/a.parquet"]
+    df = recs["file:///wh/t/data/a.parquet"]  # URI form on disk
     assert df["x_lower_bounds_json"] is None  # nothing fell back
     ids = {kv["key"] for kv in df["lower_bounds"]}
     assert ids == {1, 2, 3, 4}
@@ -201,7 +201,7 @@ def test_empty_snapshot_has_empty_data_manifest(tmp_path):
 def test_single_entry_mapping_is_spec_shaped():
     # Without a schema every stats column takes the name-keyed JSON fallback.
     rec = entry_to_data_file(ENTRIES[0])
-    assert rec["file_path"] == ENTRIES[0]["path"]
+    assert rec["file_path"] == "file://" + ENTRIES[0]["path"]  # URI convention
     assert rec["file_format"] == "PARQUET"
     assert rec["content"] == 0
     assert rec["lower_bounds"] is None
@@ -302,3 +302,25 @@ def test_legacy_json_manifest_list_still_reads(tmp_path):
     io = SparkCatalogIO.__new__(SparkCatalogIO)
     got = io._manifest_entries(path)
     assert got == [dict(e) for e in ENTRIES]
+
+
+def test_data_file_paths_are_uris_in_avro():
+    """Manifests carry file:// URIs (Iceberg convention); the read adapter
+    hands plain local paths back to the engine."""
+    from denali_spark.sources.avro_ocf import read_ocf_with_meta
+    from denali_spark.sources.manifests import read_manifest_list, write_manifest_list
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    entries = [{"path": "/wh/t/data/a.parquet", "file-format": "parquet",
+                "record-count": 3, "file-size-bytes": 10, "sequence-number": 1}]
+    lst = write_manifest_list(d, 42, entries)
+    schema, rows = __import__("denali_spark.sources.avro_ocf", fromlist=["read_ocf"]).read_ocf(lst)
+    names = [f["name"] for f in schema["fields"]]
+    mf = dict(zip(names, rows[0] if isinstance(rows, list) else next(iter(rows))))
+    mschema, mrows, _ = read_ocf_with_meta(mf["manifest_path"])
+    mnames = [f["name"] for f in mschema["fields"]]
+    rec = dict(zip(mnames, (mrows[0] if isinstance(mrows, list) else next(iter(mrows)))))
+    assert rec["data_file"]["file_path"] == "file:///wh/t/data/a.parquet"
+    back = read_manifest_list(lst)
+    assert back[0]["path"] == "/wh/t/data/a.parquet"

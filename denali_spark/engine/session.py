@@ -47,9 +47,16 @@ def get_spark(app_name: str = "denali_spark", master: str | None = None) -> Spar
         # LSH/MinHash indexes — bin-packs into ONE scan partition and every
         # downstream probe join runs on one core. 16MB splits / 1MB open
         # cost give small relations real parallelism; a 100 TB deployment
-        # keeps the 128MB default (files are big, scans already parallel).
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # keeps the 128MB default (files are big, scans already parallel) —
+        # override via SPARK_GRAFT_MAX_PARTITION_BYTES / SPARK_GRAFT_OPEN_COST.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(1024 * 1024)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

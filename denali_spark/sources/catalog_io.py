@@ -502,26 +502,15 @@ class SparkCatalogIO:
     def _empty_df(self, md: dict) -> DataFrame:
         from pyspark.sql.types import StructType
 
-        # Minimal iceberg→spark: build a DDL string from primitive fields.
-        mapping = {
-            "boolean": "boolean", "int": "int", "long": "long", "float": "float",
-            "double": "double", "string": "string", "binary": "binary",
-            "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
-        }
+        from denali_spark.sources.schema_convert import iceberg_schema_to_ddl
+
         schema = next(
             s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
         )
-        fields = []
-        for f in schema["fields"]:
-            typ = f["type"]
-            if isinstance(typ, str):
-                ddl = mapping.get(typ.split("(")[0], None) or (
-                    typ if typ.startswith("decimal") else "string"
-                )
-            else:
-                ddl = "string"  # nested types: not needed for empty reads
-            fields.append(f"{f['name']} {ddl}")
-        return self.spark.createDataFrame([], schema=StructType.fromDDL(", ".join(fields)))
+        # strict=False: nested/unknown types degrade to string — no data
+        # backs the columns of an empty read anyway.
+        ddl = iceberg_schema_to_ddl(schema, strict=False)
+        return self.spark.createDataFrame([], schema=StructType.fromDDL(ddl))
 
     # --- write path --------------------------------------------------------
 
@@ -1263,3 +1252,21 @@ def _parquet_stats(path: str) -> dict:
         return out
     except Exception:  # noqa: BLE001 — stats are best-effort
         return {"file-size-bytes": os.path.getsize(path)}
+
+
+def resolve_snapshot(
+    md: dict,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    as_of_ms: int | None = None,
+) -> dict | None:
+    """Module-level snapshot resolution (the method body never touches
+    self) — shared with the Python Data Source, which plans without a
+    SparkCatalogIO instance."""
+    return SparkCatalogIO._resolve_snapshot(None, md, snapshot_id, ref, as_of_ms)
+
+
+def manifest_entries(manifest_list_location: str) -> list[dict]:
+    """Module-level manifest-list decode (Avro or legacy JSON by
+    extension) — shared with the Python Data Source."""
+    return SparkCatalogIO._manifest_entries(None, manifest_list_location)

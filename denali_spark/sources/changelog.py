@@ -41,28 +41,51 @@ from denali_spark.sources.catalog_io import (
     SparkCatalogIO,
     split_entries,
 )
+from denali_spark.sources.incremental import _chain
 
 
-def _ancestor_chain(md: dict, from_id: int | None, to_id: int) -> list[dict]:
-    """Snapshots strictly after `from_id` up to and including `to_id`,
-    oldest first. `from_id=None` walks back to the root (full history)."""
-    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-    chain: list[dict] = []
-    cur = to_id
-    while cur is not None:
-        if cur == from_id:
-            return list(reversed(chain))
-        snap = by_id.get(cur)
-        if snap is None:
-            raise ValueError(f"snapshot {cur} not found (expired?)")
-        chain.append(snap)
-        cur = snap.get("parent-snapshot-id")
-    if from_id is not None:
-        raise ValueError(
-            f"snapshot {from_id} is not an ancestor of {to_id}; "
-            "changelogs only span one lineage"
-        )
-    return list(reversed(chain))
+def _stats_overlap(file_stats: dict | None, del_stats: dict | None, col: str) -> bool:
+    """Conservative range-overlap on one column's manifest stats; unknown
+    stats mean 'might overlap'."""
+    a = (file_stats or {}).get(col)
+    b = (del_stats or {}).get(col)
+    if not a or not b:
+        return True
+    try:
+        return not (a["max"] < b["min"] or a["min"] > b["max"])
+    except TypeError:  # mixed-type stats across evolution: stay conservative
+        return True
+
+
+def _mor_candidates(carried: list[dict], new_deletes: list[dict]) -> list[dict]:
+    """Carried data files a new delete entry might affect, pruned on
+    metadata only: equality deletes apply to files with a STRICTLY LOWER
+    sequence number (the _apply_deletes ordering rule) and only where every
+    key column's range overlaps the delete file's key stats; position
+    deletes name explicit file paths, bounded by the delete file's
+    file_path min/max stats. Pruning is conservative — missing stats keep
+    the file."""
+    cand = []
+    for e in carried:
+        e_seq = int(e.get("sequence-number", 0))
+        for d in new_deletes:
+            d_seq = int(d.get("sequence-number", 0))
+            if d.get("content") == "equality-deletes":
+                if d_seq <= e_seq:
+                    continue
+                cols = d.get("equality-columns") or []
+                if all(
+                    _stats_overlap(e.get("stats"), d.get("stats"), c)
+                    for c in cols
+                ):
+                    cand.append(e)
+                    break
+            else:  # position deletes
+                fp = (d.get("stats") or {}).get("file_path")
+                if fp is None or fp["min"] <= e["path"] <= fp["max"]:
+                    cand.append(e)
+                    break
+    return cand
 
 
 def read_changes(
@@ -80,7 +103,8 @@ def read_changes(
         to_snapshot_id = md.get("current-snapshot-id")
     if to_snapshot_id is None:
         raise ValueError("table has no snapshots")
-    chain = _ancestor_chain(md, from_snapshot_id, to_snapshot_id)
+    # same parent-id walk as the incremental append scan (shared helper)
+    chain = _chain(md, from_snapshot_id, to_snapshot_id)
     if not chain:  # from == to: an empty range, typed empty changelog
         base = io._empty_df(md)
         return base.select(
@@ -148,12 +172,16 @@ def read_changes(
             parts.append(tagged(dels, "delete", ordinal, sid))
 
         # MoR delta on carried files: only when this commit grew the
-        # delete-file set (path comparison — delete files are immutable).
+        # delete-file set (path comparison — delete files are immutable),
+        # and only over the carried files the new deletes can actually
+        # touch (stats/sequence pruning) — one targeted position delete
+        # must not trigger a full-table before/after diff.
         prev_del_paths = {e["path"] for e in prev_deletes}
         new_deletes = [e for e in cur_deletes if e["path"] not in prev_del_paths]
-        if carried and new_deletes:
-            before = visible_rows(prev, carried, prev_deletes)
-            after = visible_rows(snap, carried, cur_deletes)
+        cand = _mor_candidates(carried, new_deletes) if new_deletes else []
+        if cand:
+            before = visible_rows(prev, cand, prev_deletes)
+            after = visible_rows(snap, cand, cur_deletes)
             vanished = before.exceptAll(after)
             parts.append(tagged(vanished, "delete", ordinal, sid))
 

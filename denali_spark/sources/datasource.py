@@ -5,6 +5,11 @@ tables as a first-class source: batch reads (with snapshot/ref time travel)
 and a streaming source whose offsets are SNAPSHOT IDS — each micro-batch
 consumes exactly the files appended by the snapshots between two offsets,
 the Iceberg streaming-read contract (cost ∝ new data, never table size).
+The write side completes the loop: `df.write.format("denali")` and
+`writeStream.format("denali")` run the standard two-phase Iceberg write —
+executors write parquet, the driver commits ONE CAS-retried snapshot per
+batch, micro-batch ids stamped into snapshot summaries for replay
+idempotence.
 
     from denali_spark.sources.datasource import register_denali_source
     register_denali_source(spark)
@@ -21,13 +26,18 @@ data file, executor-side, yielding Arrow record batches straight from
 parquet through pyarrow — no JVM round-trip, no driver row materialization.
 
 Scope (documented, enforced with clear errors): parquet data files, no
-pending merge-on-read deletes, single-schema tables. The reconciled paths
-(MoR anti-joins, field-id schema evolution, avro/orc kernels) live in
-`SparkCatalogIO.read_table` / `read_incremental`; this source is the
-spark-idiomatic front door for the common shape. The streaming source
-requires an append-only snapshot range, exactly like Iceberg's streaming
-read (a mid-range overwrite raises rather than silently replaying the
-table).
+pending merge-on-read deletes, single-schema tables, unpartitioned writes.
+The reconciled paths (MoR anti-joins, field-id schema evolution, avro/orc
+kernels, partition-aware layout) live in `SparkCatalogIO.read_table` /
+`write_table` / `read_incremental`; this source is the spark-idiomatic
+front door for the common shape. The streaming source requires an
+append-only snapshot range, exactly like Iceberg's streaming read (a
+mid-range overwrite raises rather than silently replaying the table).
+
+Planning/resolution helpers are the ENGINE's own (catalog_io.
+resolve_snapshot / manifest_entries, schema_evolution.current_schema,
+schema_convert.iceberg_schema_to_ddl) — one implementation, two front
+ends.
 """
 
 from __future__ import annotations
@@ -45,37 +55,13 @@ from pyspark.sql.datasource import (
 )
 
 from denali_spark.catalog.client import CatalogClient
-
-# iceberg primitive → spark DDL (the same mapping the engine's empty-read
-# path uses; nested types are out of this source's declared scope)
-_DDL = {
-    "boolean": "boolean", "int": "int", "long": "long", "float": "float",
-    "double": "double", "string": "string", "binary": "binary",
-    "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
-}
-
-
-def iceberg_schema_to_ddl(schema: dict) -> str:
-    fields = []
-    for f in schema.get("fields", []):
-        typ = f["type"]
-        if not isinstance(typ, str):
-            raise NotImplementedError(
-                f"column {f['name']!r} has a nested type; read this table "
-                "through SparkCatalogIO.read_table"
-            )
-        ddl = _DDL.get(typ.split("(")[0]) or (
-            typ if typ.startswith("decimal") else None
-        )
-        if ddl is None:
-            raise NotImplementedError(f"unsupported column type {typ!r}")
-        fields.append(f"{f['name']} {ddl}")
-    return ", ".join(fields)
+from denali_spark.sources.schema_convert import ICEBERG_TO_DDL, iceberg_schema_to_ddl
 
 
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    # (name, iceberg primitive type) pairs — enough to type null backfills
     columns: tuple
 
 
@@ -92,9 +78,11 @@ def _load(options):
     return client, ns.split("."), table, md
 
 
-def _current_schema(md: dict) -> dict:
-    return next(
-        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+def _schema_pairs(md: dict) -> tuple:
+    from denali_spark.sources.schema_evolution import current_schema
+
+    return tuple(
+        (f["name"], f["type"]) for f in current_schema(md)["fields"]
     )
 
 
@@ -122,48 +110,69 @@ def _checked_entries(md: dict, entries, deletes) -> list[dict]:
     return entries
 
 
+def _pa_type(iceberg_type: str):
+    import pyarrow as pa
+
+    base = {
+        "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(), "string": pa.string(),
+        "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+    }.get(iceberg_type)
+    if base is None and iceberg_type.startswith("decimal"):
+        p, s = iceberg_type.strip("decimal() ").replace(" ", "").split(",")
+        base = pa.decimal128(int(p), int(s))
+    if base is None:
+        raise NotImplementedError(f"unsupported column type {iceberg_type!r}")
+    return base
+
+
 def _read_parquet_batches(partition: _FilePartition):
     """Executor-side: one data file → Arrow record batches."""
     import pyarrow.parquet as pq
 
-    cols = list(partition.columns)
     pf = pq.ParquetFile(partition.path)
-    want = [c for c in cols if c in pf.schema_arrow.names]
+    present = set(pf.schema_arrow.names)
+    want = [c for c, _t in partition.columns if c in present]
     for batch in pf.iter_batches(columns=want):
-        yield _shape_batch(batch, cols)
+        yield _shape_batch(batch, partition.columns)
 
 
-def _shape_batch(batch, cols):
-    """Reorder to the declared schema; backfill absent columns as nulls."""
+def _shape_batch(batch, columns):
+    """Reorder to the declared schema; backfill absent columns as TYPED
+    nulls (an untyped null array would fail Spark's Arrow conversion)."""
     import pyarrow as pa
 
     arrays, names = [], []
-    for c in cols:
+    for c, t in columns:
         names.append(c)
         if c in batch.schema.names:
             arrays.append(batch.column(batch.schema.get_field_index(c)))
         else:
-            arrays.append(pa.nulls(batch.num_rows))
+            arrays.append(pa.nulls(batch.num_rows, type=_pa_type(t)))
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _DenaliBatchReader(DataSourceReader):
-    def __init__(self, options):
-        from denali_spark.sources.catalog_io import split_entries
-
-        _client, _ns, _table, md = _load(options)
-        self._columns = tuple(
-            f["name"] for f in _current_schema(md)["fields"]
+    def __init__(self, options, md: dict):
+        from denali_spark.catalog.metadata import _fs_path
+        from denali_spark.sources.catalog_io import (
+            manifest_entries,
+            resolve_snapshot,
+            split_entries,
         )
-        snap_id = options.get("snapshot_id")
-        ref = options.get("ref")
-        self._entries = []
-        snap = _resolve(md, int(snap_id) if snap_id else None, ref)
-        if snap is not None:
-            from denali_spark.catalog.metadata import _fs_path
 
-            entries = _manifest_entries(_fs_path(snap["manifest-list"]))
-            data, deletes = split_entries(entries)
+        self._columns = _schema_pairs(md)
+        snap_id = options.get("snapshot_id")
+        snap = resolve_snapshot(
+            md, int(snap_id) if snap_id else None, options.get("ref")
+        )
+        self._entries = []
+        if snap is not None:
+            data, deletes = split_entries(
+                manifest_entries(_fs_path(snap["manifest-list"]))
+            )
             self._entries = _checked_entries(md, data, deletes)
 
     def partitions(self):
@@ -177,46 +186,16 @@ class _DenaliBatchReader(DataSourceReader):
         return _read_parquet_batches(partition)
 
 
-def _resolve(md: dict, snapshot_id, ref):
-    if snapshot_id is None and ref is not None:
-        r = md.get("refs", {}).get(ref)
-        if r is None:
-            raise ValueError(f"ref {ref!r} not found")
-        snapshot_id = r["snapshot-id"]
-    if snapshot_id is None:
-        snapshot_id = md.get("current-snapshot-id")
-    if snapshot_id is None:
-        return None
-    for s in md.get("snapshots", []):
-        if s["snapshot-id"] == snapshot_id:
-            return s
-    raise ValueError(f"snapshot {snapshot_id} not found")
-
-
-def _manifest_entries(list_path: str) -> list[dict]:
-    if list_path.endswith(".json"):  # legacy layout
-        import json
-
-        with open(list_path) as f:
-            return json.load(f)["files"]
-    from denali_spark.sources.manifests import read_manifest_list
-
-    return read_manifest_list(list_path)
-
-
 class _DenaliStreamReader(DataSourceStreamReader):
     """Offsets are snapshot ids: micro-batch (start, end] = the data files
     appended by the snapshots between the two, validated append-only —
     the same contract as read_incremental, driven by Spark's trigger."""
 
-    def __init__(self, options):
-        self._options = options
-        _client, ns, table, md = _load(options)
-        self._ns, self._table = ns, table
+    def __init__(self, options, md: dict):
+        self._ns = options.get("namespace").split(".")
+        self._table = options.get("table")
         self._uri = options.get("uri")
-        self._columns = tuple(
-            f["name"] for f in _current_schema(md)["fields"]
-        )
+        self._columns = _schema_pairs(md)
         starting = options.get("starting", "latest")
         sid = options.get("starting_snapshot_id")
         if sid is not None:
@@ -238,9 +217,9 @@ class _DenaliStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._md().get("current-snapshot-id")}
 
     def partitions(self, start: dict, end: dict):
-        from denali_spark.sources.catalog_io import split_entries
-        from denali_spark.sources.incremental import _chain
         from denali_spark.catalog.metadata import _fs_path
+        from denali_spark.sources.catalog_io import manifest_entries, split_entries
+        from denali_spark.sources.incremental import _chain
 
         start_id, end_id = start.get("snapshot_id"), end.get("snapshot_id")
         if end_id is None or start_id == end_id:
@@ -257,8 +236,9 @@ class _DenaliStreamReader(DataSourceStreamReader):
                 "consume overwrites/deletes via read_changes instead"
             )
         seqs = {s["sequence-number"] for s in chain}
-        entries = _manifest_entries(_fs_path(chain[-1]["manifest-list"]))
-        data, deletes = split_entries(entries)
+        data, _deletes = split_entries(
+            manifest_entries(_fs_path(chain[-1]["manifest-list"]))
+        )
         added = [
             e for e in data if int(e.get("sequence-number", 0)) in seqs
         ]
@@ -276,34 +256,6 @@ class _DenaliStreamReader(DataSourceStreamReader):
         pass  # offsets are snapshot ids; nothing to clean up
 
 
-class DenaliDataSource(DataSource):
-    """format("denali"): batch + streaming reads of catalog tables."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "denali"
-
-    def schema(self) -> str:
-        _client, _ns, _table, md = _load(self.options)
-        return iceberg_schema_to_ddl(_current_schema(md))
-
-    def reader(self, schema) -> DataSourceReader:
-        return _DenaliBatchReader(self.options)
-
-    def streamReader(self, schema) -> DataSourceStreamReader:
-        return _DenaliStreamReader(self.options)
-
-    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
-        return _DenaliBatchWriter(self.options, schema, overwrite)
-
-    def streamWriter(self, schema, overwrite: bool) -> "DataSourceStreamWriter":
-        return _DenaliStreamWriter(self.options, schema, overwrite)
-
-
-def register_denali_source(spark) -> None:
-    spark.dataSource.register(DenaliDataSource)
-
-
 # --- write paths ------------------------------------------------------------
 
 
@@ -312,10 +264,16 @@ class _FilesWritten(WriterCommitMessage):
     paths: tuple
 
 
-def _writer_preflight(options, spark_schema):
+def _writer_preflight(options, spark_schema, md: dict | None = None):
     """Driver-side validation + everything the executors/commit need."""
-    _client, ns, table, md = _load(options)
-    schema = _current_schema(md)
+    if md is None:
+        _client, ns, table, md = _load(options)
+    else:
+        ns = options.get("namespace").split(".")
+        table = options.get("table")
+    from denali_spark.sources.schema_evolution import current_schema
+
+    schema = current_schema(md)
     # The writer initializes in a sessionless Python worker, so the
     # comparison is textual per field: canonicalize DDL synonyms
     # (bigint==long, ...) and whitespace on both sides.
@@ -328,7 +286,7 @@ def _writer_preflight(options, spark_schema):
 
     table_ddl = iceberg_schema_to_ddl(schema)  # also rejects nested types
     want = [
-        canon(f["name"], _DDL.get(f["type"].split("(")[0], f["type"]))
+        canon(f["name"], ICEBERG_TO_DDL.get(f["type"].split("(")[0], f["type"]))
         for f in schema.get("fields", [])
     ]
     got = [canon(f.name, f.dataType.simpleString()) for f in spark_schema]
@@ -461,8 +419,8 @@ def _abort_files(messages) -> None:
 
 
 class _DenaliBatchWriter(DataSourceWriter):
-    def __init__(self, options, schema, overwrite: bool):
-        self._ctx = _writer_preflight(options, schema)
+    def __init__(self, options, schema, overwrite: bool, md: dict | None):
+        self._ctx = _writer_preflight(options, schema, md)
         self._overwrite = overwrite
 
     def write(self, iterator):
@@ -482,12 +440,12 @@ class _DenaliStreamWriter(DataSourceStreamWriter):
     """One snapshot per micro-batch; batch ids stamped into the snapshot
     summary make checkpoint-restart replays idempotent."""
 
-    def __init__(self, options, schema, overwrite: bool):
+    def __init__(self, options, schema, overwrite: bool, md: dict | None):
         if overwrite:
             raise NotImplementedError(
                 "streaming writes are append-only (outputMode('append'))"
             )
-        self._ctx = _writer_preflight(options, schema)
+        self._ctx = _writer_preflight(options, schema, md)
 
     def write(self, iterator):
         return _write_partition_file(self._ctx, iterator)
@@ -501,3 +459,42 @@ class _DenaliStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         _abort_files(messages)
+
+
+class DenaliDataSource(DataSource):
+    """format("denali"): batch + streaming reads and writes of catalog
+    tables. The table metadata is loaded ONCE per DataSource instance and
+    shared between schema() and the reader/writer construction — one
+    catalog round-trip per plan, not one per method."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "denali"
+
+    def _metadata(self) -> dict:
+        md = getattr(self, "_md_cache", None)
+        if md is None:
+            _client, _ns, _table, md = _load(self.options)
+            self._md_cache = md
+        return md
+
+    def schema(self) -> str:
+        from denali_spark.sources.schema_evolution import current_schema
+
+        return iceberg_schema_to_ddl(current_schema(self._metadata()))
+
+    def reader(self, schema) -> DataSourceReader:
+        return _DenaliBatchReader(self.options, self._metadata())
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _DenaliStreamReader(self.options, self._metadata())
+
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return _DenaliBatchWriter(self.options, schema, overwrite, self._metadata())
+
+    def streamWriter(self, schema, overwrite: bool) -> "DataSourceStreamWriter":
+        return _DenaliStreamWriter(self.options, schema, overwrite, self._metadata())
+
+
+def register_denali_source(spark) -> None:
+    spark.dataSource.register(DenaliDataSource)

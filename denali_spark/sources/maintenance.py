@@ -272,20 +272,16 @@ def compact_data_files(
     return _retrying(attempt)
 
 
-def _equi_depth_bucket(df, col: str, n_buckets: int):
+def _equi_depth_bucket(bounds: list[float], col: str):
     """Equi-depth bucket id (0..n_buckets-1) for a numeric/temporal column,
-    as a pure-JVM expression: boundaries come from one bounded
-    approxQuantile pass (driver holds n_buckets-1 doubles, never rows), and
-    the per-row bucket is how many boundaries lie at or below the value —
-    a SIZE(FILTER(boundary_array)) higher-order function, no UDF, no extra
+    as a pure-JVM expression: `bounds` are precomputed quantile boundaries
+    (driver holds n_buckets-1 doubles, never rows), and the per-row bucket
+    is how many boundaries lie at or below the value — a
+    SIZE(FILTER(boundary_array)) higher-order function, no UDF, no extra
     shuffle. Equi-depth (not width_bucket's equi-width) so skewed columns
     still spread evenly across the Z-curve."""
     from pyspark.sql import functions as F
 
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    [bounds] = df.select(F.col(col).cast("double").alias("v")).approxQuantile(
-        ["v"], probs, 0.001
-    )
     # strictly increasing boundary list (duplicates collapse buckets)
     uniq: list[float] = []
     for b in bounds:
@@ -301,13 +297,23 @@ def _equi_depth_bucket(df, col: str, n_buckets: int):
 def _zvalue(df, cols: list[str], n_buckets: int):
     """Interleave the bits of each column's equi-depth bucket id into one
     Z-order key (Morton code) — static bit unrolling with shiftleft /
-    shiftright / bitwise AND, all whole-stage-codegen expressions."""
+    shiftright / bitwise AND, all whole-stage-codegen expressions. ALL
+    columns' quantile boundaries come from ONE approxQuantile pass over the
+    table (not one scan per dimension)."""
     from pyspark.sql import functions as F
 
     bits = max(1, (n_buckets - 1).bit_length())
     d = len(cols)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cast = df.select(
+        *[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)]
+    )
+    all_bounds = cast.approxQuantile(
+        [f"__q{i}" for i in range(len(cols))], probs, 0.001
+    )
     buckets = [
-        _equi_depth_bucket(df, c, n_buckets).cast("long") for c in cols
+        _equi_depth_bucket(bounds, c).cast("long")
+        for bounds, c in zip(all_bounds, cols)
     ]
     z = F.lit(0).cast("long")
     for i in range(bits):

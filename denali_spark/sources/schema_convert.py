@@ -80,3 +80,38 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
         "schema-id": 0,
         "fields": [_field_to_iceberg(f, next_id) for f in schema.fields],
     }
+
+
+# iceberg primitive → spark DDL (shared by the engine's empty-read path and
+# the Python Data Source; nested types are the callers' decision via strict)
+ICEBERG_TO_DDL = {
+    "boolean": "boolean", "int": "int", "long": "long", "float": "float",
+    "double": "double", "string": "string", "binary": "binary",
+    "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+}
+
+
+def iceberg_schema_to_ddl(schema: dict, strict: bool = True) -> str:
+    """DDL string for an Iceberg schema dict. strict=True raises on nested
+    or unknown types; strict=False degrades them to string (the empty-read
+    fallback, where no data backs the column anyway)."""
+    fields = []
+    for f in schema.get("fields", []):
+        typ = f["type"]
+        if not isinstance(typ, str):
+            if strict:
+                raise NotImplementedError(
+                    f"column {f['name']!r} has a nested type; read this "
+                    "table through SparkCatalogIO.read_table"
+                )
+            ddl = "string"
+        else:
+            ddl = ICEBERG_TO_DDL.get(typ.split("(")[0]) or (
+                typ if typ.startswith("decimal") else None
+            )
+            if ddl is None:
+                if strict:
+                    raise NotImplementedError(f"unsupported column type {typ!r}")
+                ddl = "string"
+        fields.append(f"{f['name']} {ddl}")
+    return ", ".join(fields)

@@ -149,3 +149,32 @@ def test_changelog_replay_reconstructs_state(spark, io):
     replayed = sorted((r.id, r.v) for r in ins.exceptAll(dels).collect())
     state = sorted((r.id, r.v) for r in io.read_table(ns, name).collect())
     assert replayed == state and state  # non-vacuous
+
+
+def test_mor_candidate_pruning_is_metadata_only():
+    """One targeted delete must not pull every carried file into the
+    before/after diff: sequence and stats pruning confine the candidates."""
+    from denali_spark.sources.changelog import _mor_candidates
+
+    fa = {"path": "/d/a.parquet", "sequence-number": 1,
+          "stats": {"id": {"min": 0, "max": 9}}}
+    fb = {"path": "/d/b.parquet", "sequence-number": 1,
+          "stats": {"id": {"min": 10, "max": 19}}}
+    fc = {"path": "/d/c.parquet", "sequence-number": 6,
+          "stats": {"id": {"min": 0, "max": 99}}}
+    eq = {"path": "/d/eq.parquet", "content": "equality-deletes",
+          "sequence-number": 5, "equality-columns": ["id"],
+          "stats": {"id": {"min": 3, "max": 3}}}
+    # eq delete on id=3: touches a (range overlap), not b (disjoint range),
+    # not c (appended AFTER the delete's sequence number)
+    assert [e["path"] for e in _mor_candidates([fa, fb, fc], [eq])] == ["/d/a.parquet"]
+
+    pos = {"path": "/d/pd.parquet", "content": "position-deletes",
+           "sequence-number": 5,
+           "stats": {"file_path": {"min": "/d/b.parquet", "max": "/d/b.parquet"}}}
+    assert [e["path"] for e in _mor_candidates([fa, fb, fc], [pos])] == ["/d/b.parquet"]
+
+    # missing stats: conservative — everything stays a candidate
+    blind = {"path": "/d/pd2.parquet", "content": "position-deletes",
+             "sequence-number": 5}
+    assert len(_mor_candidates([fa, fb, fc], [blind])) == 3

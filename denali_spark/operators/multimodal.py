@@ -449,3 +449,85 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ascii_docs.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, frame long, rms double, peak long"
     )
+
+
+# --- video-style scene-cut detection ---------------------------------------
+
+SCENE_FRAME = 64       # bytes per synthetic "frame"
+SCENE_CUT_MAD = 30.0   # mean-absolute-difference cut threshold
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      WHERE length(COALESCE(text, '')) = octet_length(encode(COALESCE(text, '')))
+    ),
+    samples AS (
+      SELECT doc_id,
+             CAST((i - 1) // {SCENE_FRAME} AS BIGINT) AS frame,
+             CAST((i - 1) % {SCENE_FRAME} AS BIGINT) AS off,
+             unicode(substr(t, CAST(i AS INT), 1)) AS s
+      FROM ascii_docs, unnest(range(1, length(t) + 1)) AS u(i)
+      WHERE i <= (length(t) // {SCENE_FRAME}) * {SCENE_FRAME}
+    ),
+    diffs AS (
+      SELECT doc_id, frame, off,
+             s - LAG(s) OVER (PARTITION BY doc_id, off ORDER BY frame) AS d
+      FROM samples
+    )
+    SELECT doc_id, frame,
+           CAST(SUM(ABS(d)) AS DOUBLE) / {SCENE_FRAME}.0 AS mad,
+           CAST(SUM(ABS(d)) AS DOUBLE) / {SCENE_FRAME}.0 >= {SCENE_CUT_MAD} AS is_cut
+    FROM diffs WHERE d IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style scene-cut detection over an opaque binary payload: treat
+    the payload as {SCENE_FRAME}-byte frames, score each frame by mean
+    absolute difference against the previous one, and flag cuts above the
+    threshold — the shot-boundary pass a video ingest pipeline runs before
+    sampling keyframes. Trailing partial frames are dropped and non-ASCII
+    payloads excluded up front, as in mm_audio_window_rms.
+
+    100 TB shape: per-document Arrow mapInPandas kernel (frombuffer,
+    reshape, vectorized diff) — scene detection is payload-LOCAL, so the
+    whole pass is scan-side with ZERO shuffles (the oracle's window join
+    formulation would shuffle per byte; the kernel formulation is why the
+    operator belongs on the Arrow path). Determinism: per-frame sums of
+    |int diffs| are exact integers; one double division; one compare."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    ascii_docs = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_txt"),
+    ).filter(F.octet_length("payload") == F.col("n_chars_txt"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc, out_frame, out_mad = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n_frames = len(b) // SCENE_FRAME
+                if n_frames < 2:
+                    continue
+                fr = b[: n_frames * SCENE_FRAME].reshape(n_frames, SCENE_FRAME)
+                sad = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                out_doc.extend([doc_id] * (n_frames - 1))
+                out_frame.extend(range(1, n_frames))
+                out_mad.extend(sad.astype(np.float64) / float(SCENE_FRAME))
+            mad = pd.Series(out_mad, dtype="float64")
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame": out_frame, "mad": mad,
+                 "is_cut": mad >= SCENE_CUT_MAD}
+            )
+
+    return ascii_docs.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, frame long, mad double, is_cut boolean"
+    )

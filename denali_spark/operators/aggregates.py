@@ -9,7 +9,7 @@ depends on engine-specific null ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from denali_spark.engine.tables import load_table, register_views
@@ -439,4 +439,65 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
         )
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, cents,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN cents END) AS DOUBLE) / 100.0 AS p50,
+           CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN cents END) AS DOUBLE) / 100.0 AS p90,
+           CAST(MIN(CASE WHEN cum >= (99 * tot + 99) // 100 THEN cents END) AS DOUBLE) / 100.0 AS p99,
+           CAST(MAX(tot) AS BIGINT) AS n
+    FROM t GROUP BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 per event type (discrete percentiles: the smallest
+    value whose cumulative count reaches ceil(p*n) — all-integer rank
+    arithmetic, no interpolation, no approx sketch).
+
+    100 TB shape: the only pass over raw events is a partially-aggregable
+    (event_type, cents) COUNT — the relation the windows then run over is
+    bounded by VALUE CARDINALITY per group, not row count, so the per-type
+    cumulative sort costs |distinct values|, never a full-type sort of the
+    events themselves (the trap a naive row_number formulation falls into)."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        "event_type", (dec("value") * 100).cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    wt = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type", "cents",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+
+    def pick(rank_expr: str, alias: str):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.expr(rank_expr), F.col("cents"))
+            ).cast("double") / 100.0
+        ).alias(alias)
+
+    return t.groupBy("event_type").agg(
+        pick("(tot + 1) div 2", "p50"),
+        pick("(9 * tot + 9) div 10", "p90"),
+        pick("(99 * tot + 99) div 100", "p99"),
+        F.max("tot").cast("long").alias("n"),
     )

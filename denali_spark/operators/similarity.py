@@ -324,7 +324,10 @@ def sim_lsh_search(
                 .otherwise(F.expr("shiftleft(1, flip)"))
             ).alias("bucket"),
         )
-        .distinct()
+        # no distinct: the 9 XOR masks are distinct by construction, so
+        # (query_id, t, bucket) is already unique (same argument as the
+        # index-side expansion in dedup_embedding_lsh_pairs); the pair-level
+        # distinct below dedupes across tables/flips.
     )
     cand = (
         b.join(F.broadcast(qb), ["t", "bucket"])

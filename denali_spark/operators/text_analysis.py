@@ -975,3 +975,60 @@ def text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "passage")
         .limit(25)
     )
+
+
+# GPT-style pretokenization, in the regex subset portable between Java
+# regex (Spark) and RE2 (DuckDB): letter runs, digit runs capped at 3
+# (the cl100k convention that keeps numbers from exploding the vocab),
+# punctuation runs. Real BPE merges would apply WITHIN these pieces; the
+# pretoken count is the standard cheap proxy for token budget planning.
+RE_BPE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(COALESCE(text, ''), '{RE_BPE}') AS bpe,
+             {SQL_TOKENS.format(c="COALESCE(text, '')")} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS BIGINT) AS n_bpe,
+           CAST(len(ws) AS BIGINT) AS n_ws,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(bpe) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END
+             AS fertility,
+           md5(array_to_string(bpe, ' ')) AS tok_md5
+    FROM toks
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization counts: tokenizer-budget planning needs
+    token counts BEFORE any expensive real tokenizer runs — the GPT-style
+    pretoken regex (letter runs / ≤3-digit runs / punct runs) is the
+    standard proxy, and `fertility` (pretokens per whitespace word) is the
+    mixture signal multilingual pipelines budget with. `tok_md5` proves
+    both engines produced the identical token STREAM, not just counts.
+    Scan-local regex work, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    bound = docs.select(
+        "doc_id",
+        # F.lit pattern (not an F.expr SQL literal — '\\s' would be eaten
+        # by Spark SQL's string-literal escaping)
+        F.regexp_extract_all(t, F.lit(RE_BPE), 0).alias("bpe"),
+        F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != F.lit("")).alias("ws"),
+    )
+    return bound.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe"),
+        F.size("ws").cast("long").alias("n_ws"),
+        F.when(
+            F.size("ws") > 0,
+            F.size("bpe").cast("double") / F.size("ws").cast("double"),
+        ).alias("fertility"),
+        F.md5(F.array_join("bpe", " ")).alias("tok_md5"),
+    )

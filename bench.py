@@ -43,6 +43,10 @@ SF1_SUBSET = [
     "text_decontaminate",
     "text_repetition_stats",
     "sem_dedup_pairs",
+    # late-round-5: passage mining (explode + one partial agg) and exact
+    # percentiles (value-cardinality-bounded) both scale linearly
+    "text_dup_passages",
+    "agg_exact_percentiles",
 ]
 
 
@@ -152,6 +156,9 @@ HEADLINE = [
     "sem_dedup_pairs",
     "text_decontaminate",
     "text_repetition_stats",
+    "text_dup_passages",
+    "agg_exact_percentiles",
+    "ts_seasonal_decompose",
 ]
 
 

@@ -449,7 +449,7 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
              COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     t AS (
       SELECT event_type, cents,
@@ -476,7 +476,9 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by VALUE CARDINALITY per group, not row count, so the per-type
     cumulative sort costs |distinct values|, never a full-type sort of the
     events themselves (the trap a naive row_number formulation falls into)."""
-    events = load_table(spark, sf_dir, "events")
+    # percentiles are over OBSERVED values: NULLs are excluded up front
+    # (otherwise the two engines' opposite NULL orderings skew the ranks)
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     c = events.groupBy(
         "event_type", (dec("value") * 100).cast("long").alias("cents")
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -1020,7 +1020,7 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.lit pattern (not an F.expr SQL literal — '\\s' would be eaten
         # by Spark SQL's string-literal escaping)
         F.regexp_extract_all(t, F.lit(RE_BPE), 0).alias("bpe"),
-        F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != F.lit("")).alias("ws"),
+        tokens_col(t).alias("ws"),
     )
     return bound.select(
         "doc_id",

@@ -44,27 +44,19 @@ from denali_spark.sources.catalog_io import (
 from denali_spark.sources.incremental import _chain
 
 
-def _stats_overlap(file_stats: dict | None, del_stats: dict | None, col: str) -> bool:
-    """Conservative range-overlap on one column's manifest stats; unknown
-    stats mean 'might overlap'."""
-    a = (file_stats or {}).get(col)
-    b = (del_stats or {}).get(col)
-    if not a or not b:
-        return True
-    try:
-        return not (a["max"] < b["min"] or a["min"] > b["max"])
-    except TypeError:  # mixed-type stats across evolution: stay conservative
-        return True
-
-
 def _mor_candidates(carried: list[dict], new_deletes: list[dict]) -> list[dict]:
     """Carried data files a new delete entry might affect, pruned on
     metadata only: equality deletes apply to files with a STRICTLY LOWER
-    sequence number (the _apply_deletes ordering rule) and only where every
-    key column's range overlaps the delete file's key stats; position
-    deletes name explicit file paths, bounded by the delete file's
-    file_path min/max stats. Pruning is conservative — missing stats keep
-    the file."""
+    sequence number (the _apply_deletes ordering rule) and only where the
+    delete file's key-range expression might match the data file's stats —
+    the SAME `_eq_prune_expr` + `file_might_match` pair rewrite_deletes
+    prunes with (incl. its NULL-key conservatism: a delete file holding
+    NULL keys disables range pruning). Position deletes name explicit file
+    paths, bounded by the delete file's file_path min/max stats. Pruning
+    is conservative — missing stats keep the file."""
+    from denali_spark.sources.expressions import file_might_match
+    from denali_spark.sources.mor import _eq_prune_expr
+
     cand = []
     for e in carried:
         e_seq = int(e.get("sequence-number", 0))
@@ -73,11 +65,8 @@ def _mor_candidates(carried: list[dict], new_deletes: list[dict]) -> list[dict]:
             if d.get("content") == "equality-deletes":
                 if d_seq <= e_seq:
                     continue
-                cols = d.get("equality-columns") or []
-                if all(
-                    _stats_overlap(e.get("stats"), d.get("stats"), c)
-                    for c in cols
-                ):
+                prune = _eq_prune_expr(d)
+                if prune is None or file_might_match(prune, e.get("stats")):
                     cand.append(e)
                     break
             else:  # position deletes

@@ -164,7 +164,10 @@ def equality_delete(
 
 def _eq_prune_expr(entry: dict) -> dict | None:
     """An equality-delete file's own footer stats bound the keys it holds —
-    a data file whose column ranges don't overlap can't lose a row to it."""
+    a data file whose column ranges don't overlap can't lose a row to it.
+    A NULL key value is invisible to min/max ranges (delete rows match
+    NULL-keyed data rows via eqNullSafe), so any null-count on a key
+    column disables range pruning for this delete file entirely."""
     stats = entry.get("stats")
     if not stats:
         return None
@@ -173,6 +176,8 @@ def _eq_prune_expr(entry: dict) -> dict | None:
         s = stats.get(c)
         if s is None or s["min"] is None:
             return None  # un-bounded key column → can't prune with this file
+        if s.get("null-count", 0):
+            return None  # NULL keys present → ranges can't bound the match
         parts.extend([gt_eq(c, s["min"]), lt_eq(c, s["max"])])
     return and_(*parts)
 

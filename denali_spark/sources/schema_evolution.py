@@ -27,11 +27,7 @@ from pyspark.sql import functions as F
 from denali_spark.sources.catalog_io import SparkCatalogIO
 
 # Iceberg primitive → Spark DDL (for typed NULL backfill of added columns).
-ICEBERG_TO_DDL = {
-    "boolean": "boolean", "int": "int", "long": "long", "float": "float",
-    "double": "double", "string": "string", "binary": "binary",
-    "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
-}
+from denali_spark.sources.schema_convert import ICEBERG_TO_DDL  # noqa: E402 — one shared map
 
 
 def type_to_ddl(typ) -> str:

@@ -178,3 +178,20 @@ def test_mor_candidate_pruning_is_metadata_only():
     blind = {"path": "/d/pd2.parquet", "content": "position-deletes",
              "sequence-number": 5}
     assert len(_mor_candidates([fa, fb, fc], [blind])) == 3
+
+
+def test_mor_candidate_pruning_null_keys_disable_ranges():
+    """A NULL-keyed equality delete matches NULL rows via eqNullSafe, which
+    min/max ranges cannot see — pruning must keep every older file."""
+    from denali_spark.sources.changelog import _mor_candidates
+
+    fa = {"path": "/d/a.parquet", "sequence-number": 1,
+          "stats": {"id": {"min": 100, "max": 200, "null-count": 3}}}
+    fb = {"path": "/d/b.parquet", "sequence-number": 1,
+          "stats": {"id": {"min": 10, "max": 19, "null-count": 0}}}
+    eq_null = {"path": "/d/eqn.parquet", "content": "equality-deletes",
+               "sequence-number": 5, "equality-columns": ["id"],
+               "stats": {"id": {"min": 5, "max": 5, "null-count": 1}}}
+    assert {e["path"] for e in _mor_candidates([fa, fb], [eq_null])} == {
+        "/d/a.parquet", "/d/b.parquet"
+    }

@@ -187,3 +187,24 @@ def test_mor_after_schema_evolution(spark, io):
     assert {(r["id"], r["label"], r["score"]) for r in rows} == {
         (1, "a", None), (3, "c", None)
     }
+
+
+def test_rewrite_deletes_null_keyed_equality_stays_deleted(spark, io):
+    """Regression: a NULL-keyed equality delete's footer ranges can't bound
+    the match, so rewrite_deletes must NOT range-prune the data files whose
+    only matching rows are NULL — otherwise dropping the delete entries
+    resurrects those rows."""
+    ns, name = ["mor"], "nullkey"
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 300)], "id long, k long"
+    ).coalesce(1)
+    io.write_table(df, ns, name, mode="append")
+    keys = spark.createDataFrame([(None,)], "k long")
+    equality_delete(io, ns, name, keys, on=["k"])
+    assert io.read_table(ns, name).count() == 2  # MoR read drops the NULL row
+
+    rewrite_deletes(io, ns, name)
+    rows = sorted(r.id for r in io.read_table(ns, name).collect())
+    assert rows == [1, 3]  # still deleted after materialization
+    _data, deletes = split_entries(_entries(io, ns, name))
+    assert deletes == []

@@ -154,6 +154,31 @@ def _shape_batch(batch, columns):
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def _filter_to_expr(f):
+    """Spark DataSource Filter → the engine's scan-expression dict (the
+    grammar `expressions.file_might_match` prunes with), or None when the
+    shape has no stats translation. Only simple single-column paths map."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull, LessThan
+
+    from denali_spark.sources import expressions as E
+
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return E.eq(col, f.value)
+    if isinstance(f, GreaterThan):
+        return E.gt(col, f.value)
+    if isinstance(f, LessThan):
+        return E.lt(col, f.value)
+    if isinstance(f, In):
+        return E.in_(col, list(f.value))
+    if isinstance(f, IsNull):
+        return E.is_null(col)
+    return None
+
+
 class _DenaliBatchReader(DataSourceReader):
     def __init__(self, options, md: dict):
         from denali_spark.catalog.metadata import _fs_path
@@ -164,6 +189,7 @@ class _DenaliBatchReader(DataSourceReader):
         )
 
         self._columns = _schema_pairs(md)
+        self._pruning_exprs: list[dict] = []
         snap_id = options.get("snapshot_id")
         snap = resolve_snapshot(
             md, int(snap_id) if snap_id else None, options.get("ref")
@@ -175,9 +201,31 @@ class _DenaliBatchReader(DataSourceReader):
             )
             self._entries = _checked_entries(md, data, deletes)
 
+    def pushFilters(self, filters):
+        """File pruning from manifest min/max stats: translatable filters
+        drop whole files before any task launches (the same driver-side
+        pruning read_table does). Every filter is returned to Spark —
+        stats pruning is conservative (file granularity), so Spark still
+        evaluates the exact predicate over the surviving rows."""
+        for f in filters:
+            expr = _filter_to_expr(f)
+            if expr is not None:
+                self._pruning_exprs.append(expr)
+            yield f
+
     def partitions(self):
+        from denali_spark.sources.expressions import and_, file_might_match
+
+        entries = self._entries
+        if self._pruning_exprs:
+            expr = and_(*self._pruning_exprs) if len(
+                self._pruning_exprs
+            ) > 1 else self._pruning_exprs[0]
+            entries = [
+                e for e in entries if file_might_match(expr, e.get("stats"))
+            ]
         return [
-            _FilePartition(e["path"], self._columns) for e in self._entries
+            _FilePartition(e["path"], self._columns) for e in entries
         ] or [_FilePartition("", self._columns)]
 
     def read(self, partition):
@@ -497,4 +545,8 @@ class DenaliDataSource(DataSource):
 
 
 def register_denali_source(spark) -> None:
+    # The reader implements pushFilters, which Spark refuses to plan unless
+    # python filter pushdown is switched on — enable it with registration
+    # so every session that can see format("denali") can also plan it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DenaliDataSource)

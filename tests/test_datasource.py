@@ -237,3 +237,39 @@ def test_stream_write_replay_is_idempotent(spark, io):
     n1 = io.read_table(ns, "rp").count()
     _commit_files(ctx, [msg], False, extra)  # replay: same batch id
     assert io.read_table(ns, "rp").count() == n1 == 6
+
+
+def test_batch_read_pushdown_prunes_files(spark, io):
+    """Translatable filters drop whole files from the plan via manifest
+    stats (pushFilters), while Spark still applies the exact predicate."""
+    ns = ["dsrc"]
+    for lo, hi in ((0, 10), (100, 110), (200, 210)):
+        _append(spark, io, ns, "pf", lo, hi)
+
+    df = _fmt(spark, io, "pf").load().where("id >= 100 and id < 110")
+    assert sorted(r.id for r in df.collect()) == list(range(100, 110))
+    # plan-level proof: count scan partitions for the filtered read
+    from denali_spark.sources.datasource import _DenaliBatchReader, _filter_to_expr
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull
+
+    md = io.client.load_table(ns, "pf")["metadata"]
+    r = _DenaliBatchReader(
+        {"uri": io.client.uri, "namespace": "dsrc", "table": "pf"}, md
+    )
+    assert len(r.partitions()) == 3  # unfiltered: one per file
+    leftover = list(r.pushFilters([GreaterThan(("id",), 150)]))
+    assert len(leftover) == 1  # every filter returned for exact evaluation
+    assert len(r.partitions()) == 1  # only the 200-210 file survives
+    # untranslatable shapes leave pruning unchanged
+    r2 = _DenaliBatchReader(
+        {"uri": io.client.uri, "namespace": "dsrc", "table": "pf"}, md
+    )
+    list(r2.pushFilters([IsNull(("id",))]))
+    assert len(r2.partitions()) == 0 or all(p.path for p in r2.partitions()) is not None
+    r3 = _DenaliBatchReader(
+        {"uri": io.client.uri, "namespace": "dsrc", "table": "pf"}, md
+    )
+    list(r3.pushFilters([EqualTo(("id",), 5), EqualTo(("id",), 105)]))
+    # contradictory AND: no file can satisfy both → empty scan sentinel
+    parts = r3.partitions()
+    assert len(parts) == 1 and parts[0].path == ""

@@ -503,3 +503,48 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(99 * tot + 99) div 100", "p99"),
         F.max("tot").cast("long").alias("n"),
     )
+
+
+@query(
+    "agg_gini_user_activity",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n, user_id) AS rk
+      FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(n) AS DOUBLE) AS gini
+    FROM r GROUP BY event_type
+    """,
+    tags=("aggregate", "concentration"),
+)
+def agg_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity per event type — the
+    concentration metric corpus audits use to spot a handful of users (or
+    domains) dominating the data. Exactness: per-user counts, the rank
+    weighting, and both Gini terms are all INTEGERS; the single division
+    to double is the only float op (identical on both engines).
+
+    100 TB shape: one partially-aggregable (type, user) count; the rank
+    window and final aggregation run over that bounded post-agg relation,
+    never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    r = c.select("event_type", "n", F.row_number().over(w).alias("rk"))
+    num = 2 * F.sum(F.col("rk") * F.col("n")) - (F.count(F.lit(1)) + 1) * F.sum("n")
+    den = F.count(F.lit(1)) * F.sum("n")
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

@@ -45,11 +45,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (historically the first 50 of the registry, now 123 queries), so
+# reaches (historically the first 50 of the registry, now 124 queries), so
 # iteration order is a coverage decision, rotated each round so no query's
 # newest driver-green evidence goes stale: (1) queries whose only driver
 # evidence is round 1 (they sat past the 50-cap every round since), (2) the
-# 27 NEW round-5 queries plus the four whose plumbing changed this round,
+# 28 NEW round-5 queries plus the four whose plumbing changed this round,
 # (3) queries whose newest evidence is round 3, (4) the 50 re-confirmed in
 # round 4 last (freshest evidence).
 DRIVER_PRIORITY: list[str] = [
@@ -90,6 +90,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm_video_scene_cut",
     "agg_exact_percentiles",
     "text_bpe_pretokenize",
+    "agg_gini_user_activity",
     # changed this round (LSH pair plumbing refactored for the growing
     # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
     "dedup_minhash_lsh_pairs",

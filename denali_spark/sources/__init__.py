@@ -9,7 +9,13 @@ from denali_spark.sources.maintenance import (
     rewrite_clustered,
 )
 from denali_spark.sources.metadata_tables import metadata_table
-from denali_spark.sources.mor import delete_where_mor, equality_delete, rewrite_deletes
+from denali_spark.sources.mor import (
+    convert_deletes_to_dvs,
+    delete_where_dv,
+    delete_where_mor,
+    equality_delete,
+    rewrite_deletes,
+)
 from denali_spark.sources.row_ops import delete_where, merge_into, update_where
 from denali_spark.sources.schema_evolution import (
     add_column,
@@ -22,6 +28,8 @@ __all__ = [
     "add_column",
     "compact_data_files",
     "delete_where",
+    "convert_deletes_to_dvs",
+    "delete_where_dv",
     "delete_where_mor",
     "drop_column",
     "equality_delete",

@@ -325,16 +325,35 @@ class SparkCatalogIO:
         hash-partitioned on the join key; either way the data side streams
         through one stage with no driver materialization.
         """
-        pos = [e for e in delete_entries if e["content"] == "position-deletes"]
+        all_pos = [e for e in delete_entries if e["content"] == "position-deletes"]
+        pos = [e for e in all_pos if e.get("file-format") != "puffin"]
+        dvs = [e for e in all_pos if e.get("file-format") == "puffin"]
         eq = [e for e in delete_entries if e["content"] == "equality-deletes"]
 
         def maybe_broadcast(d, entries_):
             total = sum(e.get("file-size-bytes", 0) for e in entries_)
             return F.broadcast(d) if total < 64 * 1024 * 1024 else d
 
+        pos_parts = []
+        pos_bytes = 0
         if pos:
             pd_df = self.spark.read.parquet(*[e["path"] for e in pos])
-            pd_df = maybe_broadcast(pd_df.select("file_path", "pos"), pos)
+            pos_parts.append(pd_df.select("file_path", "pos"))
+            pos_bytes += sum(e.get("file-size-bytes", 0) for e in pos)
+        if dvs:
+            # Deletion vectors (Iceberg V3): each entry is one roaring-bitmap
+            # blob inside a Puffin file, scoped to one data file. Decode on
+            # EXECUTORS — one ranged blob read per task, positions never
+            # transit the driver. Bitmaps are ~2 bytes/position worst case,
+            # so the broadcast threshold uses the blobs' content sizes.
+            pos_parts.append(self._dv_positions_df(dvs))
+            pos_bytes += sum(e.get("content-size-in-bytes", 0) for e in dvs)
+        if pos_parts:
+            pd_df = pos_parts[0]
+            for p in pos_parts[1:]:
+                pd_df = pd_df.unionByName(p)
+            if pos_bytes < 64 * 1024 * 1024:
+                pd_df = F.broadcast(pd_df)
             df = df.join(
                 pd_df,
                 on=(df[LINEAGE_FILE] == pd_df["file_path"])
@@ -370,6 +389,36 @@ class SparkCatalogIO:
                 df = a.join(d, on=cond, how="left_anti")
             df = df.drop("__dsp_seq")
         return df
+
+    def _dv_positions_df(self, dvs: list[dict]) -> DataFrame:
+        """(file_path, pos) rows from deletion-vector entries. One task per
+        vector: the executor does a ranged read of just its blob (never the
+        whole Puffin file) and expands the bitmap to rows Arrow-batched —
+        the same join shape parquet position deletes use, so the anti-join
+        downstream is shared."""
+        import pandas as pd
+
+        from denali_spark.sources.puffin import read_dv_positions
+
+        rows = [
+            (e["path"], int(e["content-offset"]),
+             int(e["content-size-in-bytes"]), e["referenced-data-file"])
+            for e in dvs
+        ]
+
+        def kernel(batches):
+            for pdf in batches:
+                for p, o, s, ref in zip(pdf["p"], pdf["o"], pdf["s"], pdf["ref"]):
+                    positions = read_dv_positions(p, int(o), int(s))
+                    yield pd.DataFrame(
+                        {"file_path": ref,
+                         "pos": pd.Series(positions, dtype="int64")}
+                    )
+
+        meta = self.spark.createDataFrame(rows, "p string, o long, s long, ref string")
+        if len(rows) > 1:
+            meta = meta.repartition(min(len(rows), 32))
+        return meta.mapInPandas(kernel, "file_path string, pos long")
 
     def _read_avro(self, paths: list[str], with_lineage: bool) -> DataFrame:
         """Distributed Avro read: one partition per file, decoded by the

@@ -70,6 +70,12 @@ def _mor_candidates(carried: list[dict], new_deletes: list[dict]) -> list[dict]:
                     cand.append(e)
                     break
             else:  # position deletes
+                ref = d.get("referenced-data-file")
+                if ref is not None:  # deletion vector: names its file exactly
+                    if ref == e["path"]:
+                        cand.append(e)
+                        break
+                    continue
                 fp = (d.get("stats") or {}).get("file_path")
                 if fp is None or fp["min"] <= e["path"] <= fp["max"]:
                     cand.append(e)

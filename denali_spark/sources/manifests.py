@@ -24,11 +24,19 @@ engine's own pruner (sources/expressions.py) keeps consuming name-keyed
 stats through the `data_file_to_entry` adapter, which decodes the binary
 bounds back through the header schema.
 
+`partition` values are carried in the spec's typed r102 struct (one
+nullable field per partition-spec field, carrying its field-id) whenever a
+spec is known and every entry's tuple fits it — year/bucket/int-source
+identity/truncate values as longs, the rest as strings.
+
 Remaining documented deviations from what pyiceberg/SparkCatalog could
 consume directly (full interop is environment-blocked here — no Iceberg
 jar/pyiceberg to test against, SURVEY §8):
-- `partition` values are a name-keyed JSON map, not the spec's r102
-  partition struct typed by the partition spec;
+- r102 string fields keep the engine's READABLE value encoding
+  (month/day/hour partition values are "2024-01[-02[-15]]" strings, not
+  Iceberg's int encodings), and mixed-spec snapshots (after partition
+  evolution) fall back to a name-keyed JSON map for that manifest —
+  real Iceberg splits manifests per spec-id instead;
 - columns absent from the schema (or with non-encodable stat values) fall
   back to name-keyed JSON bounds in `x_lower_bounds_json` /
   `x_upper_bounds_json` / `x_null_counts_json`;
@@ -104,6 +112,11 @@ DATA_FILE_SCHEMA = {
         {"name": "x_lower_bounds_json", "type": _nullable(_STR_MAP)},
         {"name": "x_upper_bounds_json", "type": _nullable(_STR_MAP)},
         {"name": "equality_ids", "type": _nullable({"type": "array", "items": "int"})},
+        # Iceberg V3 deletion-vector fields (spec ids 143/144/145): set only
+        # on content=position-deletes entries whose file is a Puffin DV.
+        {"name": "referenced_data_file", "type": _nullable("string")},
+        {"name": "content_offset", "type": _nullable("long")},
+        {"name": "content_size_in_bytes", "type": _nullable("long")},
         {"name": "x_schema_id", "type": _nullable("int")},
         {"name": "x_equality_columns",
          "type": _nullable({"type": "array", "items": "string"})},
@@ -245,7 +258,104 @@ def _schema_by_id(schema: dict | None) -> dict[int, tuple[str, str]]:
     }
 
 
-def entry_to_data_file(e: dict, schema: dict | None = None) -> dict:
+def partition_value_types(
+    spec_fields: list | None, schema: dict | None
+) -> dict[str, str] | None:
+    """{partition field name → avro type} for the typed r102 partition
+    struct. `long` only where the engine's readable partition-dir encoding
+    is a canonical integer string (year, bucket[N], identity/truncate over
+    int/long sources); everything else stays `string` (the documented
+    readable-encoding deviation — month/day/hour dirs are date strings)."""
+    if not spec_fields or schema is None:
+        return None
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = {}
+    for pf in spec_fields:
+        t = pf["transform"]
+        src = by_id.get(pf["source-id"])
+        if t == "year" or t.startswith("bucket["):
+            out[pf["name"]] = "long"
+        elif (
+            (t == "identity" or t.startswith("truncate["))
+            and src is not None
+            and src["type"] in ("int", "long")
+        ):
+            out[pf["name"]] = "long"
+        else:
+            out[pf["name"]] = "string"
+    return out
+
+
+def _typed_partition_ok(entries: list[dict], vtypes: dict[str, str]) -> bool:
+    """Can every entry's partition tuple be carried by the typed struct?
+    Requires exact key agreement with the spec and canonical integer
+    strings for long-typed fields, so decode→stringify round-trips are
+    byte-exact with the hive-path-derived internal values."""
+    for e in entries:
+        part = e.get("partition")
+        if part is None:
+            continue
+        if set(part) != set(vtypes):
+            return False
+        for k, v in part.items():
+            if v is None:
+                continue
+            if not isinstance(v, str):
+                return False
+            if vtypes[k] == "long":
+                try:
+                    if str(int(v)) != v:
+                        return False
+                except ValueError:
+                    return False
+    return True
+
+
+def _partition_record_schema(spec_fields: list, vtypes: dict[str, str]) -> dict:
+    """Iceberg's r102 partition struct: one nullable field per partition
+    spec field, carrying the spec's field-id."""
+    return {
+        "type": "record",
+        "name": "r102",  # Iceberg names the partition record "r102"
+        "fields": [
+            {
+                "name": pf["name"],
+                "field-id": pf["field-id"],
+                "type": _nullable(vtypes[pf["name"]]),
+            }
+            for pf in spec_fields
+        ],
+    }
+
+
+def _entry_schema_with_partition(partition_schema: dict) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with data_file.partition typed as the given
+    r102 record instead of the name-keyed string map."""
+    import copy
+
+    s = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    for f in s["fields"][-1]["type"]["fields"]:
+        if f["name"] == "partition":
+            f["type"] = _nullable(partition_schema)
+    return s
+
+
+def _partition_is_typed(manifest_schema: dict) -> bool:
+    """Does this manifest's embedded Avro schema carry the typed r102
+    partition struct (current writer) or the name-keyed map (legacy)?"""
+    try:
+        df = next(f for f in manifest_schema["fields"] if f["name"] == "data_file")
+        pt = next(f for f in df["type"]["fields"] if f["name"] == "partition")["type"]
+    except (KeyError, StopIteration, TypeError):
+        return False
+    inner = pt[1] if isinstance(pt, list) and len(pt) == 2 else pt
+    return isinstance(inner, dict) and inner.get("type") == "record"
+
+
+def entry_to_data_file(
+    e: dict, schema: dict | None = None,
+    partition_vtypes: dict[str, str] | None = None,
+) -> dict:
     """Internal manifest-entry dict → spec-shaped data_file record. With a
     schema, bounds/null-counts are field-id-keyed binary single-values;
     columns outside the schema (or with non-encodable values) go to the
@@ -274,13 +384,24 @@ def entry_to_data_file(e: dict, schema: dict | None = None) -> dict:
             ju[c] = json.dumps(s["max"])
             jn[c] = json.dumps(s.get("null-count", 0))
     part = e.get("partition")
+    if part is None:
+        penc = None
+    elif partition_vtypes is not None:
+        # typed r102 struct: long fields parse their canonical int strings
+        penc = {
+            k: (None if (v := part.get(k)) is None
+                else int(v) if partition_vtypes[k] == "long" else v)
+            for k in partition_vtypes
+        }
+    else:
+        penc = {k: json.dumps(v) for k, v in part.items()}
     path = e["path"]
     return {
         "content": CONTENT_TO_INT[e.get("content", "data")],
         # spec convention: absolute URIs in manifests
         "file_path": f"file://{path}" if path.startswith("/") else path,
         "file_format": e.get("file-format", "parquet").upper(),
-        "partition": {k: json.dumps(v) for k, v in part.items()} if part else None,
+        "partition": penc,
         "record_count": e.get("record-count"),
         "file_size_in_bytes": e.get("file-size-bytes", 0),
         "null_value_counts": nulls or None,
@@ -290,6 +411,12 @@ def entry_to_data_file(e: dict, schema: dict | None = None) -> dict:
         "x_lower_bounds_json": jl or None,
         "x_upper_bounds_json": ju or None,
         "equality_ids": e.get("equality-field-ids"),
+        "referenced_data_file": (
+            f"file://{rdf}" if (rdf := e.get("referenced-data-file")) and
+            rdf.startswith("/") else rdf
+        ),
+        "content_offset": e.get("content-offset"),
+        "content_size_in_bytes": e.get("content-size-in-bytes"),
         "x_schema_id": e.get("schema-id"),
         "x_equality_columns": e.get("equality-columns"),
     }
@@ -341,7 +468,8 @@ def _decode_bounds(rec: dict, schema: dict | None) -> dict[str, dict]:
 
 
 def data_file_to_entry(
-    rec: dict, sequence_number: int | None, schema: dict | None = None
+    rec: dict, sequence_number: int | None, schema: dict | None = None,
+    partition_typed: bool = False,
 ) -> dict:
     """Spec-shaped data_file record → internal manifest-entry dict. Only
     keys that were present on write reappear, so round-trips are exact."""
@@ -359,12 +487,28 @@ def data_file_to_entry(
     if sequence_number is not None:
         e["sequence-number"] = sequence_number
     if rec["partition"] is not None:
-        e["partition"] = {k: json.loads(v) for k, v in rec["partition"].items()}
+        if partition_typed:
+            # typed r102 struct → back to the internal name→string tuple
+            e["partition"] = {
+                k: (str(v) if isinstance(v, int) else v)
+                for k, v in rec["partition"].items()
+            }
+        else:
+            e["partition"] = {k: json.loads(v) for k, v in rec["partition"].items()}
     stats = _decode_bounds(rec, schema)
     if stats:
         e["stats"] = stats
     if rec["equality_ids"] is not None:
         e["equality-field-ids"] = rec["equality_ids"]
+    rdf = rec.get("referenced_data_file")
+    if rdf is not None:
+        e["referenced-data-file"] = (
+            rdf[len("file://"):] if rdf.startswith("file://") else rdf
+        )
+    if rec.get("content_offset") is not None:
+        e["content-offset"] = rec["content_offset"]
+    if rec.get("content_size_in_bytes") is not None:
+        e["content-size-in-bytes"] = rec["content_size_in_bytes"]
     if rec.get("x_schema_id") is not None:
         e["schema-id"] = rec["x_schema_id"]
     if rec.get("x_equality_columns") is not None:
@@ -372,14 +516,17 @@ def data_file_to_entry(
     return e
 
 
-def _entry_record(e: dict, snapshot_id: int, schema: dict | None) -> dict:
+def _entry_record(
+    e: dict, snapshot_id: int, schema: dict | None,
+    partition_vtypes: dict[str, str] | None = None,
+) -> dict:
     seq = e.get("sequence-number")
     return {
         "status": 1,  # added-or-carried; this engine rewrites lists per snapshot
         "snapshot_id": snapshot_id,
         "sequence_number": seq,
         "file_sequence_number": seq,
-        "data_file": entry_to_data_file(e, schema),
+        "data_file": entry_to_data_file(e, schema, partition_vtypes),
     }
 
 
@@ -408,9 +555,15 @@ def write_manifest_list(
 
     entry_fields = [f["name"] for f in MANIFEST_ENTRY_SCHEMA["fields"]]
 
-    def entry_rows(group):
+    # Typed r102 partition struct (per manifest): only when a spec is known
+    # and every entry's partition tuple fits it exactly — otherwise that
+    # manifest keeps the legacy name-keyed JSON map (self-describing either
+    # way via the embedded Avro schema).
+    vtypes = partition_value_types(partition_spec, schema)
+
+    def entry_rows(group, group_vtypes):
         for e in group:
-            rec = _entry_record(e, snapshot_id, schema)
+            rec = _entry_record(e, snapshot_id, schema, group_vtypes)
             yield tuple(rec[name] for name in entry_fields)
 
     manifest_files = []
@@ -426,7 +579,23 @@ def write_manifest_list(
         if schema is not None:
             manifest_meta["schema"] = json.dumps(schema)
             manifest_meta["schema-id"] = str(schema.get("schema-id", 0))
-        write_ocf(mpath, MANIFEST_ENTRY_SCHEMA, entry_rows(group), extra_meta=manifest_meta)
+        # Mixed-layout groups (partition-spec evolution: entries written
+        # under an older spec) fail the exact-key check and keep the
+        # name-keyed map — real Iceberg splits manifests per spec-id.
+        group_vtypes = (
+            vtypes if vtypes and _typed_partition_ok(group, vtypes) else None
+        )
+        entry_schema = (
+            _entry_schema_with_partition(
+                _partition_record_schema(partition_spec, group_vtypes)
+            )
+            if group_vtypes is not None
+            else MANIFEST_ENTRY_SCHEMA
+        )
+        write_ocf(
+            mpath, entry_schema, entry_rows(group, group_vtypes),
+            extra_meta=manifest_meta,
+        )
         # `or 0` (not a default-key fallback): an explicit None sequence
         # number — legal for the nullable manifest_entry field — must
         # degrade to 0 like an absent one instead of breaking max()/min().
@@ -480,12 +649,14 @@ def read_manifest_list(list_path: str) -> list[dict]:
         mf = dict(zip(names, row))
         mschema, mrows, mmeta = read_ocf_with_meta(mf["manifest_path"])
         table_schema = json.loads(mmeta["schema"]) if "schema" in mmeta else None
+        typed_part = _partition_is_typed(mschema)
         mnames = [f["name"] for f in mschema["fields"]]
         for mrow in mrows:
             rec = dict(zip(mnames, mrow))
             entries.append(
                 data_file_to_entry(
-                    rec["data_file"], rec["sequence_number"], table_schema
+                    rec["data_file"], rec["sequence_number"], table_schema,
+                    partition_typed=typed_part,
                 )
             )
     return entries

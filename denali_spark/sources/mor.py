@@ -21,6 +21,18 @@ Why both strategies exist (the 100 TB argument):
   (Iceberg's rewrite_position_delete_files / minor compaction), restoring
   pure-scan reads; stats-pruned so it only rewrites files a delete can hit.
 
+Position deletes come in two physical shapes:
+- parquet files of (file_path, pos) rows (`delete_where_mor`) — V2 style,
+  one file per commit;
+- Iceberg V3 deletion vectors (`delete_where_dv`): one roaring-bitmap blob
+  per affected data file inside a Puffin file (sources/puffin.py), with
+  the manifest entry carrying referenced_data_file + content_offset /
+  content_size_in_bytes. At most one vector exists per data file — a new
+  delete merges and replaces the prior vector — so trickle deletes keep
+  the delete side O(touched files), not O(commits).
+`convert_deletes_to_dvs` migrates shape 1 into shape 2 (the V2→V3 table
+migration); both shapes apply through the same read-side anti-join.
+
 Sequencing: every manifest entry carries the sequence number of the commit
 that added it. Equality deletes apply to data files with a strictly lower
 sequence number — rows appended after the delete are never affected.
@@ -162,6 +174,177 @@ def equality_delete(
     return _retrying(attempt)
 
 
+def _is_dv(entry: dict) -> bool:
+    return (
+        entry.get("content") == "position-deletes"
+        and entry.get("file-format") == "puffin"
+    )
+
+
+def _write_dv_file(
+    io: SparkCatalogIO, matches: DataFrame, md: dict, merge_dvs: list[dict]
+) -> list[dict]:
+    """Aggregate (file_path, pos) rows into ONE roaring-bitmap blob per
+    referenced data file, serialized EXECUTOR-side (applyInPandas keyed by
+    file — positions never transit the driver uncompressed), then write a
+    single Puffin file holding every blob and return one manifest entry per
+    vector. `merge_dvs` are the prior deletion vectors being replaced: V3
+    requires at most one DV per data file, so their positions are unioned
+    into the new bitmaps (their decode is executor-side too, via the same
+    `_dv_positions_df` rows the read path uses).
+
+    The driver materializes only the serialized bitmaps (≤ ~2 bytes per
+    deleted row, one blob per touched file) — the 100 TB-honest bound is
+    "bytes ∝ rows deleted this commit", the same bound Iceberg's own
+    one-Puffin-per-writer-task layout has."""
+    import pandas as pd
+
+    from denali_spark.sources.puffin import (
+        DELETION_VECTOR_V1,
+        encode_dv_blob,
+        write_puffin,
+    )
+
+    if merge_dvs:
+        matches = matches.unionByName(io._dv_positions_df(merge_dvs))
+
+    def kernel(key, pdf):
+        blob, card = encode_dv_blob(pdf["pos"].tolist())
+        return pd.DataFrame([{"ref": key[0], "blob": blob, "card": card}])
+
+    rows = (
+        matches.groupBy("file_path")
+        .applyInPandas(kernel, "ref string, blob binary, card long")
+        .collect()
+    )
+    if not rows:
+        return []
+    out_dir = os.path.join(_fs_path(md["location"]), "deletes", uuid.uuid4().hex[:12])
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:12]}.puffin")
+    rows = sorted(rows, key=lambda r: r["ref"])
+    metas = write_puffin(
+        path,
+        [
+            {
+                "type": DELETION_VECTOR_V1,
+                "data": r["blob"],
+                "properties": {
+                    "referenced-data-file": f"file://{r['ref']}",
+                    "cardinality": str(r["card"]),
+                },
+            }
+            for r in rows
+        ],
+    )
+    size = os.path.getsize(path)
+    return [
+        {
+            "path": path,
+            "content": "position-deletes",
+            "file-format": "puffin",
+            "referenced-data-file": r["ref"],
+            "content-offset": m["offset"],
+            "content-size-in-bytes": m["length"],
+            "record-count": r["card"],
+            "file-size-bytes": size,
+        }
+        for r, m in zip(rows, metas)
+    ]
+
+
+def delete_where_dv(
+    io: SparkCatalogIO, namespace: list[str], name: str, where: dict
+) -> dict:
+    """DELETE ... WHERE, merge-on-read with Iceberg V3 deletion vectors:
+    like `delete_where_mor`, but instead of a parquet file of (file, pos)
+    rows the commit writes one Puffin file holding a roaring-bitmap blob
+    per affected data file. Enforces the V3 replacement rule — a data file
+    carries at most ONE deletion vector, so a prior DV on an affected file
+    is merged into the new bitmap and its entry dropped. Repeated trickle
+    deletes therefore keep the delete side at one bitmap per touched file,
+    where parquet position deletes would accumulate one file per commit."""
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
+        if not candidates:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        _data, prior_deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        df = io._read_reconciled(md, snap, candidates, with_lineage=True)
+        if prior_deletes:
+            df = io._apply_deletes(
+                df, candidates, prior_deletes, target_schema=current_schema(md)
+            )
+        matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").select(
+            F.col(LINEAGE_FILE).alias("file_path"),
+            F.col(LINEAGE_POS).alias("pos"),
+        )
+        cand_paths = {e["path"] for e in candidates}
+        superseded = [
+            e for e in prior_deletes
+            if _is_dv(e) and e["referenced-data-file"] in cand_paths
+        ]
+        new_dvs = _write_dv_file(io, matches, md, superseded)
+        if not new_dvs:
+            return {"metadata": md, "noop": True}
+        # `untouched` carries ALL prior delete entries (row_ops._plan) —
+        # drop the vectors the new bitmaps replaced (V3: one DV per file).
+        superseded_keys = {(e["path"], e["referenced-data-file"]) for e in superseded}
+        kept = [
+            e for e in untouched
+            if not (_is_dv(e)
+                    and (e["path"], e["referenced-data-file"]) in superseded_keys)
+        ]
+        deleted = sum(e["record-count"] for e in new_dvs) - sum(
+            e.get("record-count", 0) for e in superseded
+        )
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            candidates + kept + new_dvs,
+            "delete",
+            {"deleted-records": str(deleted),
+             "added-delete-files": str(len(new_dvs)),
+             "removed-delete-files": str(len(superseded)),
+             "rewritten-data-files": "0"},
+        )
+
+    return _retrying(attempt)
+
+
+def convert_deletes_to_dvs(io: SparkCatalogIO, namespace: list[str], name: str) -> dict:
+    """Migrate accumulated parquet position-delete files to deletion
+    vectors (the Iceberg V2→V3 delete migration): all (file, pos) rows —
+    from parquet delete files AND any existing vectors — are re-aggregated
+    into one bitmap per data file in a single new Puffin file; every old
+    position-delete entry is dropped. Equality deletes are untouched (V3
+    keeps them as files). No data file is read or rewritten."""
+
+    def attempt():
+        md, parent_id, data, deletes = _plan(io, namespace, name, None)
+        pos_parquet = [
+            e for e in deletes
+            if e["content"] == "position-deletes" and not _is_dv(e)
+        ]
+        if not pos_parquet:
+            return {"metadata": md, "noop": True}
+        old_dvs = [e for e in deletes if _is_dv(e)]
+        eq = [e for e in deletes if e["content"] == "equality-deletes"]
+        rows = io.spark.read.parquet(*[e["path"] for e in pos_parquet]).select(
+            "file_path", "pos"
+        )
+        new_dvs = _write_dv_file(io, rows, md, old_dvs)
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            data + eq + new_dvs, "replace",
+            {"removed-delete-files": str(len(pos_parquet) + len(old_dvs)),
+             "added-delete-files": str(len(new_dvs)),
+             "rewritten-data-files": "0"},
+        )
+
+    return _retrying(attempt)
+
+
 def _eq_prune_expr(entry: dict) -> dict | None:
     """An equality-delete file's own footer stats bound the keys it holds —
     a data file whose column ranges don't overlap can't lose a row to it.
@@ -194,9 +377,14 @@ def rewrite_deletes(io: SparkCatalogIO, namespace: list[str], name: str) -> dict
         if not deletes:
             return {"metadata": md, "noop": True}
         snap = io._resolve_snapshot(md, parent_id)
-        pos = [e for e in deletes if e["content"] == "position-deletes"]
+        pos = [e for e in deletes if e["content"] == "position-deletes" and not _is_dv(e)]
         eq = [e for e in deletes if e["content"] == "equality-deletes"]
         affected_paths: set[str] = set()
+        # Deletion vectors name their data file in the manifest entry — no
+        # file read needed to find what they affect.
+        affected_paths.update(
+            e["referenced-data-file"] for e in deletes if _is_dv(e)
+        )
         if pos:
             # Which data files do position deletes reference? Distinct file
             # paths of the delete rows (a driver-side list bounded by file

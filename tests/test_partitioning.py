@@ -349,3 +349,72 @@ def test_write_retry_relayouts_after_concurrent_spec_evolution(spark, io):
     assert new_files and all("_p_lang=" in e["path"] for e in new_files), (
         "retried write must land under the evolved layout"
     )
+
+
+def test_typed_r102_partition_struct_round_trip(spark, io):
+    """Partitioned manifests carry Iceberg's typed r102 partition struct
+    (field-id'd record, long-typed bucket values) — not the legacy
+    name-keyed JSON map — and the read adapter restores the internal
+    name→string tuple byte-exactly."""
+    from denali_spark.sources.avro_ocf import read_ocf_with_meta
+    from denali_spark.sources.manifests import _partition_is_typed
+
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 5).cast("int").alias("k")
+    )
+    io.write_table(
+        df, ["pt"], "typed", mode="overwrite", partition_by=[("k", "bucket[4]")]
+    )
+    md = io.client.load_table(["pt"], "typed")["metadata"]
+    snap = io._resolve_snapshot(md)
+
+    # inspect the written manifest's embedded Avro schema directly
+    lschema, lrows = __import__(
+        "denali_spark.sources.avro_ocf", fromlist=["read_ocf"]
+    ).read_ocf(snap["manifest-list"])
+    lnames = [f["name"] for f in lschema["fields"]]
+    mpath = dict(zip(lnames, lrows[0]))["manifest_path"]
+    mschema, mrows, _ = read_ocf_with_meta(mpath)
+    assert _partition_is_typed(mschema), "typed r102 struct not engaged"
+    dfld = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    pfld = next(f for f in dfld["type"]["fields"] if f["name"] == "partition")
+    r102 = pfld["type"][1]
+    assert r102["name"] == "r102"
+    assert r102["fields"][0]["field-id"] == 1000
+    assert r102["fields"][0]["type"] == ["null", "long"]
+
+    # decoded entries restore the internal string-valued tuple exactly
+    entries = io._manifest_entries(snap["manifest-list"])
+    for e in entries:
+        (k,) = e["partition"].keys()
+        assert k == "k_bucket"
+        assert isinstance(e["partition"][k], str)
+        assert str(int(e["partition"][k])) == e["partition"][k]
+    # and reads (incl. partition-pruned) still work
+    assert io.read_table(["pt"], "typed").count() == 200
+
+
+def test_typed_partition_falls_back_on_mixed_specs(spark, io):
+    """After partition-spec evolution a snapshot carries entries from two
+    layouts — the manifest must fall back to the name-keyed map rather than
+    mis-typing old tuples, and reads stay correct."""
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("j"),
+    )
+    io.write_table(df, ["pt"], "mixed", mode="overwrite",
+                   partition_by=[("k", "identity")])
+    io.evolve_partition_spec(["pt"], "mixed", [("j", "identity")])
+    io.write_table(
+        spark.range(100, 150).select(
+            F.col("id"), (F.col("id") % 7).cast("int").alias("k"),
+            (F.col("id") % 3).cast("int").alias("j"),
+        ),
+        ["pt"], "mixed", mode="append",
+    )
+    assert io.read_table(["pt"], "mixed").count() == 150
+    md = io.client.load_table(["pt"], "mixed")["metadata"]
+    snap = io._resolve_snapshot(md)
+    entries = io._manifest_entries(snap["manifest-list"])
+    parts = {frozenset(e["partition"].keys()) for e in entries if e.get("partition")}
+    assert frozenset({"k"}) in parts and frozenset({"j"}) in parts

@@ -19,6 +19,7 @@ from denali_spark.operators import (  # noqa: E402,F401
     setops,
     scalar_funcs,
     timeseries,
+    graph,
     dedup,
     similarity,
     text_analysis,

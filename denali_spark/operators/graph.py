@@ -1,0 +1,174 @@
+"""Graph analytics over the TPC-H co-purchase graph: PageRank and frequent
+itemset (pair) mining.
+
+The graph: parts are nodes; an undirected edge connects two parts that
+appear in the same order (lineitem self-join on l_orderkey). TPC-H orders
+hold at most 7 lineitems, so the pair expansion is bounded at 21 pairs per
+order — the same bound a real basket pipeline enforces with a basket-size
+cap before pairing.
+
+Integer-exact PageRank: both engines iterate the SAME fixed-point
+recurrence in 64-bit integer arithmetic —
+
+    r0(v)   = SCALE
+    r_{t+1}(v) = 15*SCALE/100 + (85 * Σ_{u→v} (r_t(u) div outdeg(u))) div 100
+
+Every operation (div = integer floor division, order-insensitive integer
+sums) is exact, so Spark and DuckDB produce bit-identical ranks without any
+float-tolerance hand-waving — the same policy the registry applies to
+decimal aggregates. Three iterations are unrolled in the oracle CTEs.
+
+Scale notes: ranks live in a (node, rank) relation shuffled on node — the
+join with the edge list re-uses the same hash partitioning each iteration
+(Pregel's message-passing shape, like dedup_connected_components at
+dedup.py). Nothing is collected driver-side; the iteration count is fixed,
+not convergence-driven, so the plan is static. Top-k selection is a
+TakeOrderedAndProject over the post-aggregation (one-row-per-node)
+relation — per-partition heaps, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denali_spark.engine.tables import load_table
+from denali_spark.operators.registry import query
+
+SCALE = 1_000_000_000  # integer fixed-point unit for PageRank
+BASE = 15 * SCALE // 100  # (1-d) * SCALE with d = 0.85
+N_ITER = 3
+TOP_K = 100
+MIN_SUPPORT = 2  # frequent-pair threshold (orders containing both parts)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed edge list (src, dst), both directions of every
+    co-purchase pair. One self-equi-join on the order key — never a
+    cartesian; the per-order pair count is bounded by the basket size."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+_PAIRS_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey
+"""
+
+
+def _iter_sql(prev: str) -> str:
+    """One unrolled PageRank iteration (DuckDB sums promote to HUGEINT —
+    cast back to BIGINT before the damping multiply, exactly where the
+    Spark side stays in long)."""
+    return f"""
+      SELECT p.dst AS node,
+             {BASE} + (85 * CAST(SUM(r.r // d.outdeg) AS BIGINT)) // 100 AS r
+      FROM pairs p
+      JOIN {prev} r ON p.src = r.node
+      JOIN deg d ON d.src = p.src
+      GROUP BY p.dst
+    """
+
+
+@query(
+    "graph_pagerank_parts",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM deg),
+    it1 AS ({_iter_sql('r0')}),
+    it2 AS ({_iter_sql('it1')}),
+    it3 AS ({_iter_sql('it2')})
+    SELECT part_key, rank_scaled FROM (
+      SELECT node AS part_key, r AS rank_scaled,
+             row_number() OVER (ORDER BY r DESC, node) AS rn
+      FROM it3
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 parts by 3-iteration PageRank over the co-purchase graph.
+    Integer fixed-point arithmetic end to end — see module docstring."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # share(u) is recomputed per iteration from the CURRENT rank; the edge
+    # and degree relations are reused (persisted) across all iterations.
+    edges_deg = edges.join(deg, "src").persist()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r"))
+    for _ in range(N_ITER):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("r div outdeg").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(BASE) + F.expr("(85 * contrib) div 100")).alias("r"),
+        )
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # heaps + a k-row merge, never a single-partition sort of all nodes.
+    return (
+        ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), F.asc("part_key"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "graph_frequent_pairs",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_support AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pair_support
+    WHERE support >= {MIN_SUPPORT}
+    """,
+    tags=("graph", "frequent-itemsets"),
+)
+def graph_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs (basket analysis): canonical (a < b) pairs whose
+    co-purchase support — distinct orders containing both — meets the
+    threshold. The classic a-priori pair step: dedupe to (order, part)
+    baskets first, one self-equi-join on the order key, partial-aggregable
+    count. Support filtering happens AFTER the aggregation (it's a HAVING),
+    so the shuffle carries one row per candidate pair, bounded by
+    21 × orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )

@@ -53,6 +53,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (3) queries whose newest evidence is round 3, (4) the 50 re-confirmed in
 # round 4 last (freshest evidence).
 DRIVER_PRIORITY: list[str] = [
+    # NEW round 6 — no driver evidence yet
+    "graph_pagerank_parts",
+    "graph_frequent_pairs",
+    "ts_changepoint_cusum",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

@@ -1042,3 +1042,84 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (v - trend - seasonal).alias("residual"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, COUNT(*) AS n_hours, SUM(cnt) AS total
+      FROM hourly GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.event_type, h.hour,
+             CAST(h.cnt AS BIGINT) * t.n_hours - t.total AS dev,
+             t.n_hours
+      FROM hourly h JOIN totals t USING (event_type)
+    ),
+    cusum AS (
+      SELECT event_type, hour, n_hours,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM dev
+    )
+    SELECT event_type, hour AS changepoint_hour,
+           abs_cusum AS max_abs_cusum, n_hours
+    FROM (
+      SELECT event_type, hour, n_hours,
+             CAST(ABS(cusum) AS BIGINT) AS abs_cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, hour) AS rn
+      FROM cusum
+    ) WHERE rn = 1
+    """,
+    tags=("timeseries", "changepoint", "cusum"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation of hourly event counts from the series mean peaks
+    (the classic single-changepoint estimator). Deviations are kept in
+    exact integers by scaling counts with the hour count (cnt·H − T sums
+    to zero over the series) instead of subtracting a float mean, so both
+    engines agree bit-for-bit.
+
+    Scale: the raw-event pass is one partial-aggregable groupBy; all
+    windows run over the bounded (event_type × hour) post-aggregation
+    grid, partitioned by event_type — never over raw events."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total")
+    )
+    dev = hourly.join(totals, "event_type").select(
+        "event_type", "hour", "n_hours",
+        (F.col("cnt").cast("long") * F.col("n_hours") - F.col("total")).alias("dev"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.withColumn("cusum", F.sum("dev").over(w_cum))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("hour")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            "n_hours",
+        )
+    )

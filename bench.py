@@ -159,6 +159,9 @@ HEADLINE = [
     "text_dup_passages",
     "agg_exact_percentiles",
     "ts_seasonal_decompose",
+    # round-6 additions: iterative graph analytics + changepoint scan
+    "graph_pagerank_parts",
+    "ts_changepoint_cusum",
 ]
 
 

@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_pagerank_parts",
     "graph_frequent_pairs",
     "ts_changepoint_cusum",
+    "sim_sq_topk",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

@@ -712,3 +712,90 @@ def sem_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "i", "j", cos.alias("cos"))
         .filter(F.col("cos") >= DEDUP_COS_TAU)
     )
+
+
+# --- int8 scalar quantization -----------------------------------------------
+#
+# The memory-reduction path of a 100 TB vector pipeline: float32 corpora are
+# quantized to int8 at ingest (4x smaller, integer SIMD dot products), and
+# search runs over the quantized codes with optional exact rerank. Symmetric
+# scalar quantization with one global scale keeps the transform a pure
+# element-wise map: q_d = floor(x_d * 127 / max|x|). The quantized dot
+# product is all-integer, and the scale derivation is max-only — so the
+# whole query is bit-exact across engines (no float-sum tolerance needed;
+# the only doubles are identically-ordered per-element scalar ops).
+
+SQ_PROBE_MOD = 97
+SQ_K = 5
+
+
+@query(
+    "sim_sq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS gmax FROM v),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x * 127.0 / s.gmax) AS INT)) AS qe
+      FROM v, s
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qe AS pq FROM qv WHERE vec_id % {SQ_PROBE_MOD} = 3
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(p.pq, v.qe),
+                           x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS qdot
+      FROM probes p JOIN qv v ON v.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {SQ_K}
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product for a ~1% probe set.
+
+    Scale shape: the global max|x| is a one-row aggregate broadcast into the
+    element-wise quantization map (scan-local, the ingest-time transform);
+    probes broadcast into the scoring join so the corpus streams through one
+    stage; per-query top-k keeps k rows per query past the shuffle. Integer
+    dot products via zip_with/aggregate — JVM codegen, no UDFs."""
+    v = _vecs(spark, sf_dir)
+    gmax = v.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+    )
+    qv = v.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+        ).alias("qe"),
+    )
+    probes = qv.filter(F.col("vec_id") % SQ_PROBE_MOD == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("pq")
+    )
+    scored = qv.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("pq", "qe", lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SQ_K)
+        .select("query_id", "neighbor_id", "qdot", "rn")
+    )

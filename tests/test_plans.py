@@ -105,6 +105,10 @@ NON_EQUI_WHITELIST = {
     # probe side is 5 broadcast rows: nested-loop over the corpus is one
     # linear pass (cost n x |probes|), the textbook brute-force baseline
     "sim_topk_bruteforce",
+    # two bounded nested loops: the 1-row global-scale aggregate broadcast
+    # into the element-wise quantization map, and the ~1% probe batch
+    # broadcast into the scoring pass (cost n x |probes|, one linear scan)
+    "sim_sq_topk",
     # IVF probe selection: the 5-row probe set x broadcast centroids
     # (corpus assignment itself is the materialized inverted-lists index,
     # built once at ingest — the n·k quantization pass never runs at query

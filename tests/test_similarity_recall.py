@@ -193,3 +193,36 @@ def test_lsh_pairs_candidates_subquadratic(spark):
     )
     quadratic = n * (n - 1) // 2
     assert cands < 0.35 * quadratic, f"{cands} candidates vs {quadratic} pairs"
+
+
+def test_sq_quantized_topk_recall(spark):
+    """int8 scalar quantization must barely perturb the ranking: for the
+    SAME probe set, quantized-dot top-5 vs exact-dot top-5 recall should be
+    near 1 (quantization noise is ~1/254 of the value range, far below the
+    neighbor/background gap even in this worst-case corpus)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.dedup import dot_cols
+    from denali_spark.operators.similarity import (
+        SQ_PROBE_MOD,
+        _vecs,
+        sim_sq_topk,
+    )
+
+    approx = _neighbors(sim_sq_topk(spark, SF))
+
+    v = _vecs(spark, SF)
+    q = v.filter(F.col("vec_id") % SQ_PROBE_MOD == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        dot_cols(F.col("qe"), F.col("e")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    exact = _neighbors(
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+    r = _recall_at_5(approx, exact)
+    assert r >= 0.9, f"quantized recall@5 {r}"

@@ -172,3 +172,74 @@ def graph_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
     )
+
+
+@query(
+    "graph_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS s FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS s_ab
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.s_ab,
+           CAST((1000000 * p.s_ab) // ia.s AS BIGINT) AS conf_a_to_b_ppm,
+           CAST((1000000 * p.s_ab) // ib.s AS BIGINT) AS conf_b_to_a_ppm,
+           CAST((1000000 * p.s_ab * t.n_orders) // (ia.s * ib.s) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN tot t
+    """,
+    tags=("graph", "association-rules"),
+)
+def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the frequent pairs: confidence in both
+    directions and lift, in parts-per-million integer arithmetic
+    (conf = s_ab/s_a, lift = s_ab·N/(s_a·s_b) — every division is integer
+    floor division on counts, so both engines agree exactly; ppm scaling
+    keeps three digits past the usual percent precision).
+
+    Scale: item supports join back to the pair relation on the part key
+    (broadcastable — one row per part); the 1-row basket-count aggregate
+    broadcasts into the projection. The ppm products stay under 2^63 up to
+    ~10^8 orders × 10^4-order pair supports; beyond that the scaling
+    constant drops a digit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    tot = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "s_ab",
+            F.expr("(1000000 * s_ab) div s_a").alias("conf_a_to_b_ppm"),
+            F.expr("(1000000 * s_ab) div s_b").alias("conf_b_to_a_ppm"),
+            F.expr("(1000000 * s_ab * n_orders) div (s_a * s_b)").alias("lift_ppm"),
+        )
+    )

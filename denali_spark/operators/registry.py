@@ -58,6 +58,8 @@ DRIVER_PRIORITY: list[str] = [
     "graph_frequent_pairs",
     "ts_changepoint_cusum",
     "sim_sq_topk",
+    "graph_basket_lift",
+    "ts_interarrival_stats",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

@@ -1123,3 +1123,71 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, (us - prev) // 1000000 AS gap_s
+      FROM seq WHERE prev IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, gap_s, COUNT(*) AS n FROM g GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, gap_s,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    )
+    SELECT event_type,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s,
+           MIN(CASE WHEN cum >= (tot + 1) // 2 THEN gap_s END) AS p50_gap_s,
+           MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN gap_s END) AS p90_gap_s,
+           CAST(MAX(tot) AS BIGINT) AS n_gaps
+    FROM t GROUP BY event_type
+    """,
+    tags=("timeseries", "interarrival", "percentile"),
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: exact min/max and
+    discrete p50/p90 of the whole-second gaps between a user's consecutive
+    events of that type. The per-user LAG shuffles once on the natural
+    (event_type, user_id) key; percentile selection reuses the
+    agg_exact_percentiles idiom — a (type, gap) COUNT relation bounded by
+    VALUE CARDINALITY (seconds in the time span), never a per-type sort of
+    raw events — with all-integer rank arithmetic on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        _us("ts").alias("us"),
+        F.lag(_us("ts")).over(w_seq).alias("prev"),
+    )
+    g = seq.where(F.col("prev").isNotNull()).select(
+        "event_type", F.expr("(us - prev) div 1000000").alias("gap_s")
+    )
+    c = g.groupBy("event_type", "gap_s").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("gap_s")
+    wt = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type", "gap_s",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return t.groupBy("event_type").agg(
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.min(F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("gap_s"))).alias("p50_gap_s"),
+        F.min(F.when(F.col("cum") >= F.expr("(9 * tot + 9) div 10"), F.col("gap_s"))).alias("p90_gap_s"),
+        F.max("tot").cast("long").alias("n_gaps"),
+    )

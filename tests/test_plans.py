@@ -109,6 +109,8 @@ NON_EQUI_WHITELIST = {
     # into the element-wise quantization map, and the ~1% probe batch
     # broadcast into the scoring pass (cost n x |probes|, one linear scan)
     "sim_sq_topk",
+    # the 1-row basket-count aggregate broadcast into the ppm projection
+    "graph_basket_lift",
     # IVF probe selection: the 5-row probe set x broadcast centroids
     # (corpus assignment itself is the materialized inverted-lists index,
     # built once at ingest — the n·k quantization pass never runs at query

@@ -186,6 +186,117 @@ class SparkCatalogIO:
             self._post_scan_report(namespace, name, md, snap, entries, where)
         return df
 
+    def sql(self, query: str, _depth: int = 0) -> DataFrame:
+        """Run Spark SQL whose table references name CATALOG tables/views —
+        the `spark.sql("select * from westeros.my_table")` client flow of
+        the reference (/root/reference/examples/pyspark_example.py:30-36),
+        without needing the Iceberg runtime jar.
+
+        Resolution is catalog-driven, not parser-driven: the catalog's own
+        namespace/table/view listing is matched against the query text
+        (longest qualified name first, identifier-boundary anchored), each
+        hit is loaded through the full read path (MoR deletes, schema
+        evolution, branch state all apply) into a temp view, and the query
+        text is rewritten to the view names. Supports Iceberg SQL time
+        travel per reference: `ns.t FOR VERSION AS OF <snapshot-id>` and
+        `ns.t FOR TIMESTAMP AS OF '<ts>'` (UTC). Views resolve through
+        their stored SQL representation (spark dialect preferred),
+        recursively, with unqualified names in a view body resolved
+        against the view's default-namespace.
+
+        Known limit (documented): matching is textual — a qualified name
+        inside a string literal would also be rewritten. Quote such
+        literals differently or read via read_table directly."""
+        import hashlib
+        import re as _re
+
+        if _depth > 10:
+            raise ValueError("view resolution exceeded depth 10 (cycle?)")
+
+        namespaces = []
+        stack: list[list[str] | None] = [None]
+        while stack:
+            parent = stack.pop()
+            for ns in self.client.list_namespaces(parent):
+                namespaces.append(ns)
+                stack.append(ns)
+
+        refs: dict[str, tuple[str, list[str], str]] = {}
+        for ns in namespaces:
+            for ident in self.client.list_tables(ns):
+                q = ".".join([*ident["namespace"], ident["name"]])
+                refs[q] = ("table", ident["namespace"], ident["name"])
+            for ident in self.client.list_views(ns):
+                q = ".".join([*ident["namespace"], ident["name"]])
+                refs[q] = ("view", ident["namespace"], ident["name"])
+
+        tt = (
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+        )
+        rewritten = query
+        for q in sorted(refs, key=len, reverse=True):
+            kind, ns, name = refs[q]
+            pat = _re.compile(
+                r"(?<![\w.`])" + _re.escape(q) + r"(?![\w.`])" + tt,
+                _re.IGNORECASE,
+            )
+
+            def repl(m, kind=kind, ns=ns, name=name, q=q):
+                snap_id = int(m.group(1)) if m.group(1) else None
+                as_of_ms = None
+                if m.group(2):
+                    import datetime as _dt
+
+                    dt = _dt.datetime.fromisoformat(m.group(2))
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_dt.timezone.utc)
+                    as_of_ms = int(dt.timestamp() * 1000)
+                key = f"{q}|{snap_id}|{as_of_ms}"
+                view = "__denali_" + hashlib.md5(key.encode()).hexdigest()[:10]
+                if kind == "table":
+                    df = self.read_table(
+                        ns, name, snapshot_id=snap_id, as_of_ms=as_of_ms
+                    )
+                else:
+                    if snap_id is not None or as_of_ms is not None:
+                        raise ValueError(f"time travel on view {q!r} unsupported")
+                    df = self._view_df(ns, name, _depth)
+                df.createOrReplaceTempView(view)
+                return view
+
+            rewritten = pat.sub(repl, rewritten)
+        return self.spark.sql(rewritten)
+
+    def _view_df(self, ns: list[str], name: str, depth: int) -> DataFrame:
+        """Materialize a catalog view through its stored SQL representation
+        (spark dialect preferred, else the first), resolving nested
+        references recursively. Unqualified table names in the view body
+        are first qualified with the view's default-namespace."""
+        import re as _re
+
+        md = self.client.load_view(ns, name)["metadata"]
+        current = md["current-version-id"]
+        version = next(v for v in md["versions"] if v["version-id"] == current)
+        reps = version.get("representations", [])
+        if not reps:
+            raise ValueError(f"view {'.'.join([*ns, name])} has no SQL representation")
+        rep = next((r for r in reps if r.get("dialect") == "spark"), reps[0])
+        body = rep["sql"]
+        default_ns = version.get("default-namespace") or ns
+        # qualify bare names that exist in the default namespace
+        for ident in self.client.list_tables(default_ns) + self.client.list_views(
+            default_ns
+        ):
+            bare = ident["name"]
+            qualified = ".".join([*default_ns, bare])
+            body = _re.sub(
+                r"(?<![\w.`])" + _re.escape(bare) + r"(?![\w.`])",
+                qualified,
+                body,
+            )
+        return self.sql(body, _depth=depth + 1)
+
     def _post_scan_report(self, namespace, name, md, snap, entries, where) -> None:
         """Fire-and-forget scan report to the catalog's metrics endpoint
         (the Iceberg REST reporting contract; the reference accepts and

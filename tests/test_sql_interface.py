@@ -1,0 +1,128 @@
+"""SQL over catalog tables: `io.sql("select * from ns.table")` — the
+reference's pyspark client flow (examples/pyspark_example.py) without the
+Iceberg runtime jar. Resolution is catalog-listing-driven; time travel and
+view representations resolve through the same read path as read_table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO, delete_where_dv
+from denali_spark.sources import expressions as E
+
+
+@pytest.fixture(scope="module")
+def io(spark, tmp_path_factory):
+    server = CatalogServer(
+        make_state(str(tmp_path_factory.mktemp("wh")))
+    ).start()
+    io = SparkCatalogIO(spark, server.uri)
+    io.write_table(
+        spark.range(0, 100).select("id", (F.col("id") % 7).alias("k")),
+        ["westeros"], "my_table", mode="overwrite",
+    )
+    io.write_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        ),
+        ["westeros", "north"], "dim", mode="overwrite",
+    )
+    yield io
+    server.stop()
+
+
+def test_sql_plain_select(spark, io):
+    assert io.sql("SELECT COUNT(*) AS n FROM westeros.my_table").collect()[0]["n"] == 100
+
+
+def test_sql_join_across_nested_namespaces(spark, io):
+    out = io.sql(
+        """
+        SELECT d.w, COUNT(*) AS n
+        FROM westeros.my_table t
+        JOIN westeros.north.dim d ON t.k = d.k
+        GROUP BY d.w ORDER BY d.w
+        """
+    ).collect()
+    assert len(out) == 7
+    assert out[0]["w"] == 0 and out[0]["n"] == 15  # k=0: ids 0,7,...,98
+
+
+def test_sql_version_and_timestamp_travel(spark, io):
+    io.write_table(
+        spark.range(1000, 1020).select("id", (F.col("id") % 7).alias("k")),
+        ["tt"], "t", mode="overwrite",
+    )
+    md = io.client.load_table(["tt"], "t")["metadata"]
+    v1 = md["refs"]["main"]["snapshot-id"]
+    io.write_table(
+        spark.range(1020, 1030).select("id", (F.col("id") % 7).alias("k")),
+        ["tt"], "t", mode="append",
+    )
+    md = io.client.load_table(["tt"], "t")["metadata"]
+    ts1 = next(
+        e for e in md["snapshot-log"] if e["snapshot-id"] == v1
+    )["timestamp-ms"]
+    assert io.sql("SELECT COUNT(*) AS n FROM tt.t").collect()[0]["n"] == 30
+    assert (
+        io.sql(f"SELECT COUNT(*) AS n FROM tt.t FOR VERSION AS OF {v1}")
+        .collect()[0]["n"] == 20
+    )
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        ts1 / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    assert (
+        io.sql(f"SELECT COUNT(*) AS n FROM tt.t FOR TIMESTAMP AS OF '{iso}'")
+        .collect()[0]["n"] == 20
+    )
+
+
+def test_sql_sees_mor_deletes(spark, io):
+    io.write_table(
+        spark.range(0, 50).select("id", (F.col("id") % 3).alias("k")),
+        ["sqlmor"], "t", mode="overwrite",
+    )
+    delete_where_dv(io, ["sqlmor"], "t", E.lt("id", 10))
+    assert io.sql("SELECT COUNT(*) AS n FROM sqlmor.t").collect()[0]["n"] == 40
+
+
+def test_sql_view_resolution_and_nesting(spark, io):
+    """View bodies resolve via their default-namespace, recursively
+    (view on view), through the stored SQL representation."""
+    io.client.create_view(
+        ["westeros"], "evens", "SELECT id, k FROM my_table WHERE id % 2 = 0"
+    )
+    io.client.create_view(
+        ["westeros"], "small_evens", "SELECT * FROM evens WHERE id < 20"
+    )
+    assert io.sql("SELECT COUNT(*) AS n FROM westeros.evens").collect()[0]["n"] == 50
+    assert (
+        io.sql("SELECT COUNT(*) AS n FROM westeros.small_evens").collect()[0]["n"]
+        == 10
+    )
+
+
+def test_sql_view_time_travel_rejected(spark, io):
+    with pytest.raises(ValueError, match="time travel on view"):
+        io.sql("SELECT * FROM westeros.evens FOR VERSION AS OF 1")
+
+
+def test_sql_name_boundaries(spark, io):
+    """`westeros.my_table` must not match inside `westeros.my_table2` or a
+    backticked identifier."""
+    io.write_table(
+        spark.range(0, 5).select("id", (F.col("id") % 7).alias("k")),
+        ["westeros"], "my_table2", mode="overwrite",
+    )
+    assert io.sql("SELECT COUNT(*) AS n FROM westeros.my_table2").collect()[0]["n"] == 5
+    # both tables in one query resolve independently
+    out = io.sql(
+        "SELECT (SELECT COUNT(*) FROM westeros.my_table) AS a, "
+        "(SELECT COUNT(*) FROM westeros.my_table2) AS b"
+    ).collect()[0]
+    assert (out["a"], out["b"]) == (100, 5)

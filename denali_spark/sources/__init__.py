@@ -14,7 +14,9 @@ from denali_spark.sources.mor import (
     delete_where_dv,
     delete_where_mor,
     equality_delete,
+    merge_into_mor,
     rewrite_deletes,
+    update_where_mor,
 )
 from denali_spark.sources.row_ops import delete_where, merge_into, update_where
 from denali_spark.sources.schema_evolution import (
@@ -33,6 +35,8 @@ __all__ = [
     "delete_where_mor",
     "drop_column",
     "equality_delete",
+    "merge_into_mor",
+    "update_where_mor",
     "expire_snapshots",
     "merge_into",
     "metadata_table",

@@ -312,6 +312,179 @@ def delete_where_dv(
     return _retrying(attempt)
 
 
+def _mor_write_updates(io: SparkCatalogIO, df: DataFrame, md: dict) -> list[dict]:
+    from denali_spark.sources.catalog_io import table_write_format
+
+    return io._write_data_files(
+        df, md["location"], schema_id=md.get("current-schema-id", 0),
+        file_format=table_write_format(md),
+    )
+
+
+def _supersede(untouched: list[dict], superseded: list[dict]) -> list[dict]:
+    """Drop replaced deletion vectors from the carried delete entries
+    (matched by (puffin path, referenced file) — one puffin holds many
+    vectors, so path alone is not a key)."""
+    keys = {(e["path"], e["referenced-data-file"]) for e in superseded}
+    return [
+        e for e in untouched
+        if not (_is_dv(e) and (e["path"], e["referenced-data-file"]) in keys)
+    ]
+
+
+def update_where_mor(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    where: dict, set_exprs: dict[str, str],
+) -> dict:
+    """UPDATE ... SET, merge-on-read: matched rows become a deletion vector
+    on their file and their updated images are APPENDED as new data files —
+    Iceberg's MoR UPDATE (delete + insert), writing bytes ∝ matched rows
+    while copy-on-write `update_where` rewrites every touched file. Set
+    expressions evaluate against the pre-update row (simultaneous
+    assignment), matching the CoW twin."""
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, where)
+        if not candidates:
+            return {"metadata": md, "noop": True}
+        snap = io._resolve_snapshot(md, parent_id)
+        _data, prior_deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        df = io._read_reconciled(md, snap, candidates, with_lineage=True)
+        if prior_deletes:
+            df = io._apply_deletes(
+                df, candidates, prior_deletes, target_schema=current_schema(md)
+            )
+        matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").persist()
+        positions = matches.select(
+            F.col(LINEAGE_FILE).alias("file_path"), F.col(LINEAGE_POS).alias("pos")
+        )
+        cand_paths = {e["path"] for e in candidates}
+        superseded = [
+            e for e in prior_deletes
+            if _is_dv(e) and e["referenced-data-file"] in cand_paths
+        ]
+        new_dvs = _write_dv_file(io, positions, md, superseded)
+        if not new_dvs:
+            matches.unpersist()
+            return {"metadata": md, "noop": True}
+        updated = matches.withColumns(
+            {
+                col: F.expr(rhs).cast(matches.schema[col].dataType)
+                for col, rhs in set_exprs.items()
+            }
+        ).drop(LINEAGE_FILE, LINEAGE_POS)
+        new_files = _mor_write_updates(io, updated, md)
+        matches.unpersist()
+        updated_count = sum(e.get("record-count", 0) for e in new_files)
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            candidates + _supersede(untouched, superseded) + new_dvs + new_files,
+            "overwrite",
+            {"updated-records": str(updated_count),
+             "added-delete-files": str(len(new_dvs)),
+             "added-data-files": str(len(new_files)),
+             "rewritten-data-files": "0"},
+        )
+
+    return _retrying(attempt)
+
+
+def merge_into_mor(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    source: DataFrame, on: list[str],
+    when_matched: str = "update",
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """MERGE INTO, merge-on-read: matched target rows become deletion
+    vectors; their replacements (when_matched='update') and unmatched
+    source rows (inserts) are appended. The CoW twin (`row_ops.merge_into`)
+    rewrites every candidate file; this writes bytes ∝ |source| — the
+    trickle-upsert shape. Same stats pruning: target files whose key ranges
+    can't contain any source key are never read."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    source = source.cache()
+    bounds = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in on],
+        *[F.max(k).alias(f"hi_{k}") for k in on],
+    ).collect()[0]
+    if bounds[f"lo_{on[0]}"] is None:  # empty source
+        source.unpersist()
+        md = io.client.load_table(namespace, name)["metadata"]
+        return {"metadata": md, "noop": True}
+    prune = and_(
+        *[gt_eq(k, bounds[f"lo_{k}"]) for k in on],
+        *[lt_eq(k, bounds[f"hi_{k}"]) for k in on],
+    )
+
+    def attempt():
+        md, parent_id, candidates, untouched = _plan(io, namespace, name, prune)
+        snap = io._resolve_snapshot(md, parent_id) if parent_id else None
+        prior_deletes = (
+            split_entries(io._manifest_entries(snap["manifest-list"]))[1]
+            if snap else []
+        )
+        matched = None
+        if candidates:
+            target = io._read_reconciled(md, snap, candidates, with_lineage=True)
+            if prior_deletes:
+                target = io._apply_deletes(
+                    target, candidates, prior_deletes,
+                    target_schema=current_schema(md),
+                )
+            matched = target.join(
+                source.select(*on).dropDuplicates(), on=on, how="left_semi"
+            ).persist()
+        if when_matched == "update":
+            appended = source if when_not_matched_insert else (
+                source.join(matched.select(*on), on=on, how="left_semi")
+                if matched is not None else None
+            )
+        else:  # delete matched
+            appended = None
+            if when_not_matched_insert:
+                appended = (
+                    source.join(matched.select(*on), on=on, how="left_anti")
+                    if matched is not None else source
+                )
+        new_dvs: list[dict] = []
+        superseded: list[dict] = []
+        if matched is not None:
+            positions = matched.select(
+                F.col(LINEAGE_FILE).alias("file_path"),
+                F.col(LINEAGE_POS).alias("pos"),
+            )
+            cand_paths = {e["path"] for e in candidates}
+            superseded = [
+                e for e in prior_deletes
+                if _is_dv(e) and e["referenced-data-file"] in cand_paths
+            ]
+            new_dvs = _write_dv_file(io, positions, md, superseded)
+            if not new_dvs:
+                superseded = []
+        new_files = (
+            _mor_write_updates(io, appended, md) if appended is not None else []
+        )
+        if matched is not None:
+            matched.unpersist()
+        if not new_dvs and not new_files:
+            return {"metadata": md, "noop": True}
+        return _commit_cow(
+            io, namespace, name, md, parent_id,
+            candidates + _supersede(untouched, superseded) + new_dvs + new_files,
+            "overwrite",
+            {"merge-on": ",".join(on),
+             "added-delete-files": str(len(new_dvs)),
+             "added-data-files": str(len(new_files)),
+             "rewritten-data-files": "0"},
+        )
+
+    try:
+        return _retrying(attempt)
+    finally:
+        source.unpersist()
+
+
 def convert_deletes_to_dvs(io: SparkCatalogIO, namespace: list[str], name: str) -> dict:
     """Migrate accumulated parquet position-delete files to deletion
     vectors (the Iceberg V2→V3 delete migration): all (file, pos) rows —

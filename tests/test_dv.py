@@ -244,3 +244,70 @@ def test_dv_large_bitmap_spans_containers(spark, io):
     _data, deletes = split_entries(_entries(io, ns, "t"))
     assert sum(e["record-count"] for e in deletes) == 6000
     assert io.read_table(ns, "t").count() == 14000
+
+
+def test_update_where_mor_matches_cow(spark, io):
+    from denali_spark.sources import update_where
+    from denali_spark.sources.mor import update_where_mor
+
+    ns1, _ = _chunked_table(spark, io, ns="upd", name="mor")
+    ns2, _ = _chunked_table(spark, io, ns="upd", name="cow")
+    where = E.and_(E.gt_eq("id", 20), E.lt("id", 60))
+    set_exprs = {"v": "v + 1000", "grp": "concat(grp, '!')"}
+    before_files = {
+        e["path"] for e in split_entries(_entries(io, ["upd"], "mor"))[0]
+    }
+    update_where_mor(io, ["upd"], "mor", where, set_exprs)
+    update_where(io, ["upd"], "cow", where, set_exprs)
+    a = sorted(map(tuple, io.read_table(["upd"], "mor").collect()))
+    b = sorted(map(tuple, io.read_table(["upd"], "cow").collect()))
+    assert a == b
+    # MoR kept every original data file; only DVs + new appends landed
+    data, deletes = split_entries(_entries(io, ["upd"], "mor"))
+    assert before_files <= {e["path"] for e in data}
+    assert deletes and all(_is_dv(e) for e in deletes)
+
+
+def test_merge_into_mor_upsert_matches_cow(spark, io):
+    from denali_spark.sources import merge_into
+    from denali_spark.sources.mor import merge_into_mor
+
+    ns1, _ = _chunked_table(spark, io, ns="mg", name="mor")
+    ns2, _ = _chunked_table(spark, io, ns="mg", name="cow")
+    src = spark.createDataFrame(
+        [(5, 5000, "gX"), (23, 23000, "gY"), (200, 200000, "gZ")],
+        "id long, v long, grp string",
+    )
+    merge_into_mor(io, ["mg"], "mor", src, on=["id"])
+    merge_into(io, ["mg"], "cow", src, on=["id"])
+    a = sorted(map(tuple, io.read_table(["mg"], "mor").collect()))
+    b = sorted(map(tuple, io.read_table(["mg"], "cow").collect()))
+    assert a == b
+    assert len(a) == 101  # 100 rows + 1 true insert
+
+
+def test_merge_into_mor_delete_mode(spark, io):
+    from denali_spark.sources.mor import merge_into_mor
+
+    ns, name = _chunked_table(spark, io, ns="mgd")
+    src = spark.createDataFrame(
+        [(10,), (11,), (999,)], "id long"
+    ).select("id", F.lit(0).alias("v"), F.lit("g0").alias("grp"))
+    merge_into_mor(io, ns, name, src, on=["id"],
+                   when_matched="delete", when_not_matched_insert=False)
+    got = sorted(r["id"] for r in io.read_table(ns, name).collect())
+    assert got == [i for i in range(100) if i not in (10, 11)]
+
+
+def test_update_where_mor_then_dv_delete_compose(spark, io):
+    """A MoR update's DV and a later DV delete on the same file merge
+    correctly (replacement rule across different MoR operations)."""
+    from denali_spark.sources.mor import update_where_mor
+
+    ns, name = _chunked_table(spark, io, ns="updmix")
+    update_where_mor(io, ns, name, E.eq("id", 3), {"v": "-1"})
+    delete_where_dv(io, ns, name, E.eq("id", 4))
+    rows = {r["id"]: r["v"] for r in io.read_table(ns, name).collect()}
+    assert 4 not in rows
+    assert rows[3] == -1
+    assert len(rows) == 99

@@ -3,8 +3,10 @@ from denali_spark.sources.changelog import read_changes
 from denali_spark.sources.datasource import register_denali_source
 from denali_spark.sources.incremental import read_incremental
 from denali_spark.sources.maintenance import (
+    analyze_table,
     compact_data_files,
     expire_snapshots,
+    table_statistics,
     remove_orphan_files,
     rewrite_clustered,
 )
@@ -28,7 +30,9 @@ from denali_spark.sources.schema_evolution import (
 __all__ = [
     "SparkCatalogIO",
     "add_column",
+    "analyze_table",
     "compact_data_files",
+    "table_statistics",
     "delete_where",
     "convert_deletes_to_dvs",
     "delete_where_dv",

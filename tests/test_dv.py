@@ -311,3 +311,42 @@ def test_update_where_mor_then_dv_delete_compose(spark, io):
     assert 4 not in rows
     assert rows[3] == -1
     assert len(rows) == 99
+
+
+# --- Puffin statistics files (ANALYZE TABLE) --------------------------------
+
+
+def test_analyze_table_stats_roundtrip(spark, io):
+    from denali_spark.sources import analyze_table, table_statistics
+
+    ns, name = _chunked_table(spark, io, ns="stats")
+    res = analyze_table(io, ns, name)
+    assert res["row-count"] == 100
+    assert res["ndv"]["id"] == 100  # HLL exact at this cardinality
+    assert res["ndv"]["grp"] == 3
+
+    back = table_statistics(io, ns, name)
+    assert back["row-count"] == 100
+    assert back["columns"]["id"]["ndv"] == 100
+    assert back["columns"]["grp"] == {"ndv": 3, "null-count": 0}
+    # registered on the current snapshot in table metadata
+    md = io.client.load_table(ns, name)["metadata"]
+    sid = md["refs"]["main"]["snapshot-id"]
+    entry = next(s for s in md["statistics"] if s["snapshot-id"] == sid)
+    assert entry["statistics-path"] == res["path"]
+    assert entry["blob-metadata"][0]["type"] == "apache-datasketches-hll-v1"
+
+
+def test_analyze_table_respects_deletes_and_reanalyze(spark, io):
+    from denali_spark.sources import analyze_table, table_statistics
+
+    ns, name = _chunked_table(spark, io, ns="stats2")
+    analyze_table(io, ns, name, columns=["id"])
+    delete_where_dv(io, ns, name, E.lt("id", 50))
+    # stale snapshot → explicit error until re-analyzed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no statistics registered"):
+        table_statistics(io, ns, name)
+    res = analyze_table(io, ns, name, columns=["id"])
+    assert res["row-count"] == 50
+    assert table_statistics(io, ns, name)["columns"]["id"]["ndv"] == 50

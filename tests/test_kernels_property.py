@@ -88,3 +88,51 @@ def test_lttb_flat_series_ties_deterministic():
     b = _lttb_select(ts, vals, 10)
     assert a == b
     assert len(a) == 10
+
+
+# --- roaring bitmap / deletion-vector codecs (round 6) ----------------------
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),       # array/bitmap mix
+            st.integers(min_value=0, max_value=2**40),          # multi-bucket
+        ),
+        max_size=3000,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_roaring64_roundtrip_property(vals):
+    from denali_spark.sources.puffin import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    assert deserialize_roaring64(serialize_roaring64(vals)) == sorted(set(vals))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**33), max_size=1500),
+)
+@settings(max_examples=40, deadline=None)
+def test_dv_blob_roundtrip_property(vals):
+    from denali_spark.sources.puffin import decode_dv_blob, encode_dv_blob
+
+    blob, card = encode_dv_blob(vals)
+    assert card == len(set(vals))
+    assert decode_dv_blob(blob) == sorted(set(vals))
+
+
+@given(st.integers(min_value=4090, max_value=4100))
+@settings(max_examples=11, deadline=None)
+def test_roaring_container_boundary(card):
+    """The array→bitmap container switch at cardinality 4096 must be
+    seamless in both directions."""
+    from denali_spark.sources.puffin import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    vals = list(range(0, card * 3, 3))  # spill across container keys too
+    assert deserialize_roaring64(serialize_roaring64(vals)) == vals

@@ -186,7 +186,27 @@ class SparkCatalogIO:
             self._post_scan_report(namespace, name, md, snap, entries, where)
         return df
 
-    def sql(self, query: str, _depth: int = 0) -> DataFrame:
+    def _catalog_listing(self) -> dict[str, tuple[str, list[str], str]]:
+        """{qualified name → (kind, namespace levels, name)} for every
+        table and view, via a recursive namespace walk."""
+        namespaces = []
+        stack: list[list[str] | None] = [None]
+        while stack:
+            parent = stack.pop()
+            for ns in self.client.list_namespaces(parent):
+                namespaces.append(ns)
+                stack.append(ns)
+        refs: dict[str, tuple[str, list[str], str]] = {}
+        for ns in namespaces:
+            for ident in self.client.list_tables(ns):
+                q = ".".join([*ident["namespace"], ident["name"]])
+                refs[q] = ("table", ident["namespace"], ident["name"])
+            for ident in self.client.list_views(ns):
+                q = ".".join([*ident["namespace"], ident["name"]])
+                refs[q] = ("view", ident["namespace"], ident["name"])
+        return refs
+
+    def sql(self, query: str, _depth: int = 0, _refs: dict | None = None) -> DataFrame:
         """Run Spark SQL whose table references name CATALOG tables/views —
         the `spark.sql("select * from westeros.my_table")` client flow of
         the reference (/root/reference/examples/pyspark_example.py:30-36),
@@ -213,22 +233,10 @@ class SparkCatalogIO:
         if _depth > 10:
             raise ValueError("view resolution exceeded depth 10 (cycle?)")
 
-        namespaces = []
-        stack: list[list[str] | None] = [None]
-        while stack:
-            parent = stack.pop()
-            for ns in self.client.list_namespaces(parent):
-                namespaces.append(ns)
-                stack.append(ns)
-
-        refs: dict[str, tuple[str, list[str], str]] = {}
-        for ns in namespaces:
-            for ident in self.client.list_tables(ns):
-                q = ".".join([*ident["namespace"], ident["name"]])
-                refs[q] = ("table", ident["namespace"], ident["name"])
-            for ident in self.client.list_views(ns):
-                q = ".".join([*ident["namespace"], ident["name"]])
-                refs[q] = ("view", ident["namespace"], ident["name"])
+        # One catalog walk per TOP-LEVEL call; nested view resolution
+        # reuses the listing (a query can't reference objects created
+        # mid-execution, so refetching per recursion buys nothing).
+        refs = _refs if _refs is not None else self._catalog_listing()
 
         tt = (
             r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
@@ -261,18 +269,23 @@ class SparkCatalogIO:
                 else:
                     if snap_id is not None or as_of_ms is not None:
                         raise ValueError(f"time travel on view {q!r} unsupported")
-                    df = self._view_df(ns, name, _depth)
+                    df = self._view_df(ns, name, _depth, refs)
                 df.createOrReplaceTempView(view)
                 return view
 
             rewritten = pat.sub(repl, rewritten)
         return self.spark.sql(rewritten)
 
-    def _view_df(self, ns: list[str], name: str, depth: int) -> DataFrame:
+    def _view_df(
+        self, ns: list[str], name: str, depth: int, refs: dict
+    ) -> DataFrame:
         """Materialize a catalog view through its stored SQL representation
         (spark dialect preferred, else the first), resolving nested
         references recursively. Unqualified table names in the view body
-        are first qualified with the view's default-namespace."""
+        are qualified with the view's default-namespace — only in
+        FROM/JOIN position (so a COLUMN that happens to share a table's
+        name is left alone) and case-insensitively (SQL identifiers),
+        replaced with the catalog's stored casing."""
         import re as _re
 
         md = self.client.load_view(ns, name)["metadata"]
@@ -284,18 +297,16 @@ class SparkCatalogIO:
         rep = next((r for r in reps if r.get("dialect") == "spark"), reps[0])
         body = rep["sql"]
         default_ns = version.get("default-namespace") or ns
-        # qualify bare names that exist in the default namespace
-        for ident in self.client.list_tables(default_ns) + self.client.list_views(
-            default_ns
-        ):
-            bare = ident["name"]
-            qualified = ".".join([*default_ns, bare])
+        for q, (_kind, ident_ns, bare) in refs.items():
+            if ident_ns != default_ns:
+                continue
             body = _re.sub(
-                r"(?<![\w.`])" + _re.escape(bare) + r"(?![\w.`])",
-                qualified,
+                r"(\b(?:FROM|JOIN)\s+)" + _re.escape(bare) + r"(?![\w.`])",
+                lambda m, q=q: m.group(1) + q,
                 body,
+                flags=_re.IGNORECASE,
             )
-        return self.sql(body, _depth=depth + 1)
+        return self.sql(body, _depth=depth + 1, _refs=refs)
 
     def _post_scan_report(self, namespace, name, md, snap, entries, where) -> None:
         """Fire-and-forget scan report to the catalog's metrics endpoint

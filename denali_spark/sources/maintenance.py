@@ -474,7 +474,10 @@ def analyze_table(
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         col = F.col(c)
-        if by_name[c]["type"] not in direct:
+        t = by_name[c]["type"]
+        # nested types (list/struct/map) arrive as dicts — they go through
+        # the string rendering too, like non-direct primitives
+        if not (isinstance(t, str) and t in direct):
             col = col.cast("string")
         aggs.append(F.hll_sketch_agg(col).alias(f"__sk_{c}"))
         aggs.append(

@@ -279,23 +279,25 @@ def delete_where_dv(
         matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").select(
             F.col(LINEAGE_FILE).alias("file_path"),
             F.col(LINEAGE_POS).alias("pos"),
-        )
-        cand_paths = {e["path"] for e in candidates}
-        superseded = [
-            e for e in prior_deletes
-            if _is_dv(e) and e["referenced-data-file"] in cand_paths
-        ]
-        new_dvs = _write_dv_file(io, matches, md, superseded)
+        ).persist()
+        try:
+            # Idempotence: a predicate matching zero NEW rows must not
+            # re-encode the prior vectors into a fresh commit.
+            if matches.isEmpty():
+                return {"metadata": md, "noop": True}
+            cand_paths = {e["path"] for e in candidates}
+            superseded = [
+                e for e in prior_deletes
+                if _is_dv(e) and e["referenced-data-file"] in cand_paths
+            ]
+            new_dvs = _write_dv_file(io, matches, md, superseded)
+        finally:
+            matches.unpersist()
         if not new_dvs:
             return {"metadata": md, "noop": True}
         # `untouched` carries ALL prior delete entries (row_ops._plan) —
         # drop the vectors the new bitmaps replaced (V3: one DV per file).
-        superseded_keys = {(e["path"], e["referenced-data-file"]) for e in superseded}
-        kept = [
-            e for e in untouched
-            if not (_is_dv(e)
-                    and (e["path"], e["referenced-data-file"]) in superseded_keys)
-        ]
+        kept = _supersede(untouched, superseded)
         deleted = sum(e["record-count"] for e in new_dvs) - sum(
             e.get("record-count", 0) for e in superseded
         )
@@ -355,6 +357,9 @@ def update_where_mor(
                 df, candidates, prior_deletes, target_schema=current_schema(md)
             )
         matches = df.filter(f"coalesce({to_spark_sql(where)}, false)").persist()
+        if matches.isEmpty():  # zero matched rows → nothing to update
+            matches.unpersist()
+            return {"metadata": md, "noop": True}
         positions = matches.select(
             F.col(LINEAGE_FILE).alias("file_path"), F.col(LINEAGE_POS).alias("pos")
         )
@@ -449,7 +454,9 @@ def merge_into_mor(
                 )
         new_dvs: list[dict] = []
         superseded: list[dict] = []
-        if matched is not None:
+        # No matched rows → skip the vector write entirely (otherwise prior
+        # DVs would be pointlessly re-encoded into a fresh puffin file).
+        if matched is not None and not matched.isEmpty():
             positions = matched.select(
                 F.col(LINEAGE_FILE).alias("file_path"),
                 F.col(LINEAGE_POS).alias("pos"),

@@ -350,3 +350,38 @@ def test_analyze_table_respects_deletes_and_reanalyze(spark, io):
     res = analyze_table(io, ns, name, columns=["id"])
     assert res["row-count"] == 50
     assert table_statistics(io, ns, name)["columns"]["id"]["ndv"] == 50
+
+
+def test_dv_delete_idempotent_noop(spark, io):
+    """Re-running a delete whose predicate matches nothing new must be a
+    no-op — not a fresh commit re-encoding the same vectors."""
+    ns, name = _chunked_table(spark, io, ns="idem")
+    delete_where_dv(io, ns, name, E.and_(E.gt_eq("id", 10), E.lt("id", 20)))
+    md1 = io.client.load_table(ns, name)["metadata"]
+    res = delete_where_dv(io, ns, name, E.and_(E.gt_eq("id", 10), E.lt("id", 20)))
+    assert res.get("noop")
+    md2 = io.client.load_table(ns, name)["metadata"]
+    assert md1["refs"]["main"]["snapshot-id"] == md2["refs"]["main"]["snapshot-id"]
+
+
+def test_update_where_mor_zero_match_noop(spark, io):
+    from denali_spark.sources.mor import update_where_mor
+
+    ns, name = _chunked_table(spark, io, ns="idem2")
+    delete_where_dv(io, ns, name, E.eq("id", 3))
+    # candidates overlap on stats, but no live row matches id=3 anymore
+    res = update_where_mor(io, ns, name, E.eq("id", 3), {"v": "0"})
+    assert res.get("noop")
+
+
+def test_analyze_table_handles_nested_columns(spark, io):
+    from denali_spark.sources import analyze_table
+
+    df = spark.range(0, 40).select(
+        "id", F.array(F.col("id"), F.col("id") % 5).alias("arr")
+    )
+    io.write_table(df, ["stats3"], "t", mode="overwrite")
+    res = analyze_table(io, ["stats3"], "t")
+    assert res["row-count"] == 40
+    assert res["ndv"]["id"] == 40
+    assert res["ndv"]["arr"] == 40  # each array value unique via id

@@ -171,3 +171,32 @@ def test_metadata_log_and_empty_table(spark, io):
 
     with pytest.raises(ValueError):
         metadata_table(io, ns, name, "nope")
+
+
+def test_files_table_over_typed_partition_manifests(spark, io):
+    """The files/entries metadata tables must decode manifests written with
+    the typed r102 partition struct (regression: the second manifest reader
+    missed the partition_typed flag and crashed in json.loads)."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.sources.metadata_tables import metadata_table
+
+    df = spark.range(0, 60).select(
+        "id", (F.col("id") % 4).cast("int").alias("k"),
+        F.to_timestamp(F.lit("2024-03-05 10:00:00")).alias("ts"),
+    )
+    io.write_table(
+        df, ["mtp"], "t", mode="overwrite",
+        partition_by=[("k", "bucket[4]"), ("ts", "month")],
+    )
+    files = metadata_table(io, ["mtp"], "t", "files")
+    rows = files.collect()
+    assert rows
+    import json
+
+    for r in rows:
+        part = r["partition"]  # map<string,string>: values JSON-encoded
+        assert set(part.keys()) == {"k_bucket", "ts_month"}
+        assert json.loads(part["ts_month"]) == "2024-03"
+        assert isinstance(json.loads(part["k_bucket"]), str)
+        assert json.loads(part["k_bucket"]).isdigit()

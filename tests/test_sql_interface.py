@@ -126,3 +126,25 @@ def test_sql_name_boundaries(spark, io):
         "(SELECT COUNT(*) FROM westeros.my_table2) AS b"
     ).collect()[0]
     assert (out["a"], out["b"]) == (100, 5)
+
+
+def test_view_column_name_collision_with_table(spark, io):
+    """A COLUMN whose name equals a sibling table's must not be qualified
+    inside a view body (only FROM/JOIN position is rewritten)."""
+    io.write_table(
+        spark.range(0, 6).select(F.col("id"), F.col("id").alias("orders")),
+        ["coll"], "users", mode="overwrite",
+    )
+    io.write_table(
+        spark.range(0, 3).select(F.col("id")), ["coll"], "orders", mode="overwrite"
+    )
+    io.client.create_view(["coll"], "v", "SELECT orders FROM users WHERE id < 4")
+    out = io.sql("SELECT COUNT(*) AS n, SUM(orders) AS s FROM coll.v").collect()[0]
+    assert (out["n"], out["s"]) == (4, 6)
+
+
+def test_view_body_case_insensitive_table_names(spark, io):
+    io.client.create_view(
+        ["westeros"], "upper_ref", "SELECT COUNT(*) AS n FROM MY_TABLE"
+    )
+    assert io.sql("SELECT n FROM westeros.upper_ref").collect()[0]["n"] == 100

@@ -60,6 +60,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_sq_topk",
     "graph_basket_lift",
     "ts_interarrival_stats",
+    "text_tfidf_topterms",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

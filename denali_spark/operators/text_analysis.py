@@ -1032,3 +1032,64 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         F.md5(F.array_join("bpe", " ")).alias("tok_md5"),
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, unnest(t) AS term FROM toks
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+    SELECT lang, term, tf, df,
+           CAST(score AS BIGINT) AS score_scaled
+    FROM (
+      SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+             tf.tf * ((n.n_docs * 1000000) // dfreq.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.lang
+               ORDER BY tf.tf * ((n.n_docs * 1000000) // dfreq.df) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most TF-IDF-distinctive terms per language: term frequency
+    within the language weighted by an integer-scaled inverse document
+    frequency, score = tf · ((N·10⁶) div df) — every operation is integer,
+    so both engines rank identically (the float-log idf variant would hang
+    cross-engine agreement on libm rounding; the reciprocal keeps the same
+    ordering for fixed N).
+
+    Scale shape: one explode feeding two partial-aggregable groupBys
+    (per-language tf, corpus df); the 1-row doc count broadcasts into the
+    projection; the ranking window runs over the bounded post-aggregation
+    (lang × vocab) relation, never raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("term")
+    ).persist()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang", "term", "tf", "df",
+            F.expr("tf * ((n_docs * 1000000) div df)").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tf", "df", "score_scaled")
+    )

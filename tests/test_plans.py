@@ -111,6 +111,8 @@ NON_EQUI_WHITELIST = {
     "sim_sq_topk",
     # the 1-row basket-count aggregate broadcast into the ppm projection
     "graph_basket_lift",
+    # the 1-row corpus doc count broadcast into the tf-idf projection
+    "text_tfidf_topterms",
     # IVF probe selection: the 5-row probe set x broadcast centroids
     # (corpus assignment itself is the materialized inverted-lists index,
     # built once at ingest — the n·k quantization pass never runs at query

@@ -25,8 +25,11 @@ against the catalog — bounded by manifest size; row reads are one task per
 data file, executor-side, yielding Arrow record batches straight from
 parquet through pyarrow — no JVM round-trip, no driver row materialization.
 
-Scope (documented, enforced with clear errors): parquet data files, no
-pending merge-on-read deletes, single-schema tables, unpartitioned writes.
+Scope (documented, enforced with clear errors): parquet data files,
+single-schema tables, unpartitioned writes. V3 deletion vectors ARE read
+natively — each file's task applies its own bitmap as a positional mask,
+no join needed; parquet position deletes and equality deletes still point
+at the reconciled path (or `convert_deletes_to_dvs`).
 The reconciled paths (MoR anti-joins, field-id schema evolution, avro/orc
 kernels, partition-aware layout) live in `SparkCatalogIO.read_table` /
 `write_table` / `read_incremental`; this source is the spark-idiomatic
@@ -63,6 +66,10 @@ class _FilePartition(InputPartition):
     path: str
     # (name, iceberg primitive type) pairs — enough to type null backfills
     columns: tuple
+    # deletion vector for this file: (puffin path, offset, length) or None.
+    # V3 DVs are per-file by construction, so the delete side of a scan
+    # ships as ONE tuple per partition — no join, no broadcast.
+    dv: tuple | None = None
 
 
 def _load(options):
@@ -86,13 +93,27 @@ def _schema_pairs(md: dict) -> tuple:
     )
 
 
-def _checked_entries(md: dict, entries, deletes) -> list[dict]:
-    """Enforce the source's declared scope with actionable errors."""
-    if deletes:
+def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
+    """Enforce the source's declared scope with actionable errors. Returns
+    (data entries, {data path → (puffin path, offset, length)}) — V3
+    deletion vectors ARE in scope (each is a per-file bitmap the file's
+    read task applies locally); parquet position deletes and equality
+    deletes still require the reconciled read path."""
+    from denali_spark.sources.mor import _is_dv
+
+    dv_by_path = {
+        e["referenced-data-file"]: (
+            e["path"], int(e["content-offset"]), int(e["content-size-in-bytes"])
+        )
+        for e in deletes if _is_dv(e)
+    }
+    others = [e for e in deletes if not _is_dv(e)]
+    if others:
         raise NotImplementedError(
-            "table has pending merge-on-read delete files; read it through "
-            "SparkCatalogIO.read_table (which applies them), or materialize "
-            "them with rewrite_deletes/compact_data_files first"
+            "table has pending non-vector merge-on-read delete files; read "
+            "it through SparkCatalogIO.read_table (which applies them), "
+            "migrate position deletes with convert_deletes_to_dvs, or "
+            "materialize with rewrite_deletes/compact_data_files"
         )
     cur = md.get("current-schema-id", 0)
     stale = [e["path"] for e in entries if e.get("schema-id", cur) != cur]
@@ -107,7 +128,7 @@ def _checked_entries(md: dict, entries, deletes) -> list[dict]:
             "non-parquet data files present; read through "
             "SparkCatalogIO.read_table"
         )
-    return entries
+    return entries, dv_by_path
 
 
 def _pa_type(iceberg_type: str):
@@ -129,14 +150,39 @@ def _pa_type(iceberg_type: str):
 
 
 def _read_parquet_batches(partition: _FilePartition):
-    """Executor-side: one data file → Arrow record batches."""
+    """Executor-side: one data file → Arrow record batches. A deletion
+    vector, when present, is decoded from its blob with one ranged read
+    and applied as a positional mask while streaming — file row order is
+    exactly the position space the vector was written against."""
     import pyarrow.parquet as pq
+
+    deleted = None
+    if partition.dv is not None:
+        import numpy as np
+
+        from denali_spark.sources.puffin import read_dv_positions
+
+        p, off, length = partition.dv
+        deleted = np.asarray(read_dv_positions(p, off, length), dtype=np.int64)
 
     pf = pq.ParquetFile(partition.path)
     present = set(pf.schema_arrow.names)
     want = [c for c, _t in partition.columns if c in present]
+    row = 0
     for batch in pf.iter_batches(columns=want):
-        yield _shape_batch(batch, partition.columns)
+        n = batch.num_rows
+        if deleted is not None:
+            import numpy as np
+            import pyarrow as pa
+
+            lo, hi = np.searchsorted(deleted, [row, row + n])
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[deleted[lo:hi] - row] = False
+                batch = batch.filter(pa.array(mask))
+        row += n
+        if batch.num_rows:
+            yield _shape_batch(batch, partition.columns)
 
 
 def _shape_batch(batch, columns):
@@ -199,7 +245,9 @@ class _DenaliBatchReader(DataSourceReader):
             data, deletes = split_entries(
                 manifest_entries(_fs_path(snap["manifest-list"]))
             )
-            self._entries = _checked_entries(md, data, deletes)
+            self._entries, self._dv_by_path = _checked_entries(md, data, deletes)
+        else:
+            self._dv_by_path = {}
 
     def pushFilters(self, filters):
         """File pruning from manifest min/max stats: translatable filters
@@ -225,7 +273,10 @@ class _DenaliBatchReader(DataSourceReader):
                 e for e in entries if file_might_match(expr, e.get("stats"))
             ]
         return [
-            _FilePartition(e["path"], self._columns) for e in entries
+            _FilePartition(
+                e["path"], self._columns, dv=self._dv_by_path.get(e["path"])
+            )
+            for e in entries
         ] or [_FilePartition("", self._columns)]
 
     def read(self, partition):
@@ -290,7 +341,7 @@ class _DenaliStreamReader(DataSourceStreamReader):
         added = [
             e for e in data if int(e.get("sequence-number", 0)) in seqs
         ]
-        added = _checked_entries(md, added, [])
+        added, _ = _checked_entries(md, added, [])
         return [
             _FilePartition(e["path"], self._columns) for e in added
         ] or [_FilePartition("", self._columns)]

@@ -273,3 +273,38 @@ def test_batch_read_pushdown_prunes_files(spark, io):
     # contradictory AND: no file can satisfy both → empty scan sentinel
     parts = r3.partitions()
     assert len(parts) == 1 and parts[0].path == ""
+
+
+def test_batch_read_applies_deletion_vectors(spark, io):
+    """format("denali") reads tables with V3 deletion vectors natively:
+    each file's task masks its own bitmap — no reconciled-path fallback."""
+    from denali_spark.sources import delete_where_dv
+    from denali_spark.sources import expressions as E
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "dv", 0, 50)
+    _append(spark, io, ns, "dv", 50, 100)
+    delete_where_dv(io, ns, "dv", E.and_(E.gt_eq("id", 10), E.lt("id", 60)))
+
+    df = _fmt(spark, io, "dv").load()
+    got = sorted(r.id for r in df.collect())
+    assert got == [i for i in range(100) if not (10 <= i < 60)]
+    # agrees with the reconciled path
+    assert got == sorted(r.id for r in io.read_table(ns, "dv").collect())
+    # pushdown pruning composes with vectors: only the second file survives
+    pruned = _fmt(spark, io, "dv").load().filter("id >= 60")
+    assert pruned.count() == 40
+
+
+def test_batch_read_dv_then_parquet_delete_refuses(spark, io):
+    """A parquet positional delete alongside vectors still refuses, and the
+    message names the migration."""
+    from denali_spark.sources import delete_where_dv, delete_where_mor
+    from denali_spark.sources import expressions as E
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "mix", 0, 20)
+    delete_where_dv(io, ns, "mix", E.eq("id", 1))
+    delete_where_mor(io, ns, "mix", E.eq("id", 2))
+    with pytest.raises(Exception, match="convert_deletes_to_dvs"):
+        _fmt(spark, io, "mix").load().collect()

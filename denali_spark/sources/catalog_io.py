@@ -155,9 +155,13 @@ class SparkCatalogIO:
             self._manifest_entries(snap["manifest-list"])
         )
         if where is not None:
+            from denali_spark.sources.bloom import bloom_prune
             from denali_spark.sources.expressions import file_might_match, to_spark_sql
 
             entries = [e for e in entries if file_might_match(where, e.get("stats"))]
+            # point-predicate pruning via per-file bloom blobs, when an
+            # analyze_table(bloom_columns=...) index exists for this snapshot
+            entries = bloom_prune(self, md, snap, where, entries)
         if not entries:
             return self._empty_df(md)
         # Iceberg read semantics: a current-state read uses the CURRENT

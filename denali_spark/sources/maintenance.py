@@ -422,6 +422,8 @@ HLL_BLOB_TYPE = "apache-datasketches-hll-v1"
 def analyze_table(
     io: SparkCatalogIO, namespace: list[str], name: str,
     columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> dict:
     """ANALYZE TABLE: one aggregation pass computes, per column, an Apache
     DataSketches HLL sketch (Spark's `hll_sketch_agg` — mergeable, so a
@@ -438,6 +440,12 @@ def analyze_table(
     standard ndv blob is a theta sketch; HLL is what Spark exposes
     natively, and the estimate also rides in the blob properties so
     non-Spark readers need no sketch decode).
+
+    With `bloom_columns`, the same statistics file additionally carries a
+    PER-FILE bloom filter blob for each named column (int/long/string
+    only) — the point-predicate file-pruning index `read_table` consults
+    for `eq` conjuncts (sources/bloom.py). Build cost is one extra pass
+    grouped by file; the blobs are a few KB per (file, column).
 
     Returns {"path", "snapshot-id", "row-count", "ndv": {col: int}}.
     """
@@ -488,6 +496,71 @@ def analyze_table(
         )
     row = df.agg(*aggs).collect()[0]
 
+    bloom_blobs = []
+    if bloom_columns:
+        import pandas as pd
+
+        from denali_spark.sources.bloom import (
+            BLOOM_BLOB_TYPE,
+            BLOOMABLE_TYPES,
+            build_bloom,
+        )
+
+        bad = [
+            c for c in bloom_columns
+            if c not in by_name or by_name[c]["type"] not in BLOOMABLE_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_columns must be int/long/string schema columns; got {bad}"
+            )
+        entries = [
+            e for e in io._manifest_entries(snap["manifest-list"])
+            if e.get("content", "data") == "data"
+            and e.get("file-format", "parquet") == "parquet"
+        ]
+        if entries:
+            bcols = list(bloom_columns)
+
+            def bloom_kernel(key, pdf):
+                fpath = key[0]
+                if fpath.startswith("file://"):
+                    fpath = fpath[len("file://"):]
+                rows_out = []
+                for c in bcols:
+                    vals = pdf[c].dropna()
+                    if pd.api.types.is_integer_dtype(vals.dtype):
+                        rendered = [str(int(v)) for v in vals.unique()]
+                    else:
+                        rendered = [str(v) for v in vals.unique()]
+                    rows_out.append(
+                        {"f": fpath, "c": c,
+                         "blob": build_bloom(rendered, bloom_fpp)}
+                    )
+                return pd.DataFrame(rows_out)
+
+            src = io.spark.read.parquet(*[e["path"] for e in entries]).select(
+                F.input_file_name().alias("_f"), *bcols
+            )
+            for r in (
+                src.groupBy("_f")
+                .applyInPandas(bloom_kernel, "f string, c string, blob binary")
+                .collect()
+            ):
+                bloom_blobs.append(
+                    {
+                        "type": BLOOM_BLOB_TYPE,
+                        "data": bytes(r["blob"]),
+                        "fields": [by_name[r["c"]]["id"]],
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "file": r["f"], "column": r["c"],
+                            "fpp": str(bloom_fpp),
+                        },
+                    }
+                )
+
     blobs = []
     for c in cols:
         sketch = row[f"__sk_{c}"]
@@ -505,6 +578,7 @@ def analyze_table(
                 },
             }
         )
+    blobs += bloom_blobs
     stats_dir = os.path.join(_fs_path(md["location"]), "metadata")
     os.makedirs(stats_dir, exist_ok=True)
     path = os.path.join(stats_dir, f"{snapshot_id}-{uuid.uuid4().hex[:8]}.stats.puffin")

@@ -1,0 +1,123 @@
+"""Per-file bloom-filter pruning: the point-predicate index for columns
+min/max stats cannot prune (high-cardinality identifiers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO, analyze_table
+from denali_spark.sources import expressions as E
+from denali_spark.sources.bloom import (
+    bloom_might_contain,
+    bloom_params,
+    build_bloom,
+    conjunctive_eqs,
+)
+
+
+# --- kernel level -----------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fpp():
+    vals = [f"user-{i:06d}" for i in range(5000)]
+    blob = build_bloom(vals, fpp=0.01)
+    assert all(bloom_might_contain(blob, v) for v in vals)  # soundness
+    fp = sum(
+        bloom_might_contain(blob, f"absent-{i}") for i in range(10000)
+    )
+    assert fp < 300  # ~1% target, 3x headroom
+
+
+def test_bloom_params_scale():
+    m1, _ = bloom_params(100)
+    m2, _ = bloom_params(10000)
+    assert m2 > m1 and m1 % 8 == 0 and m2 % 8 == 0
+
+
+def test_conjunctive_eq_extraction():
+    e = E.and_(E.eq("a", 1), E.and_(E.gt("b", 5), E.eq("c", "x")))
+    assert sorted(conjunctive_eqs(e)) == [("a", 1), ("c", "x")]
+    # eq under OR must NOT be extracted
+    assert conjunctive_eqs(E.or_(E.eq("a", 1), E.eq("c", "x"))) == []
+    assert conjunctive_eqs(None) == []
+
+
+# --- table level ------------------------------------------------------------
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _uuid_table(spark, io, ns, name, n_files=6, rows=500):
+    """High-cardinality string keys interleaved across files, so min/max
+    ranges overlap completely and stats pruning is useless."""
+    for k in range(n_files):
+        df = spark.range(k, n_files * rows, n_files).select(
+            F.md5(F.col("id").cast("string")).alias("key"),
+            F.col("id").alias("v"),
+        ).coalesce(1)
+        io.write_table(df, ns, name, mode="append")
+
+
+def test_bloom_prunes_point_lookup_to_one_file(spark, io):
+    ns = ["bl"]
+    _uuid_table(spark, io, ns, "t")
+    res = analyze_table(io, ns, "t", columns=["key"], bloom_columns=["key"])
+    assert res["row-count"] == 3000
+
+    probe = spark.sql("SELECT md5(CAST(17 AS STRING)) AS h").collect()[0]["h"]
+    df = io.read_table(ns, "t", where=E.eq("key", probe))
+    files = {f for f in df.inputFiles() if f.endswith(".parquet")}
+    assert len(files) <= 2  # 6 without blooms; ~1 + rare false positives
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 17
+
+    # soundness: every present key must be found despite pruning
+    for vid in (0, 999, 2500):
+        h = spark.sql(f"SELECT md5(CAST({vid} AS STRING)) AS h").collect()[0]["h"]
+        assert io.read_table(ns, "t", where=E.eq("key", h)).count() == 1
+
+
+def test_bloom_index_goes_stale_conservatively(spark, io):
+    """After a new commit the snapshot changes: blooms no longer apply (no
+    pruning), but results stay correct."""
+    ns = ["bl2"]
+    _uuid_table(spark, io, ns, "t", n_files=3)
+    analyze_table(io, ns, "t", columns=["key"], bloom_columns=["key"])
+    io.write_table(
+        spark.range(0, 5).select(
+            F.lit("brand-new-key").alias("key"), F.col("id").alias("v")
+        ).coalesce(1),
+        ns, "t", mode="append",
+    )
+    df = io.read_table(ns, "t", where=E.eq("key", "brand-new-key"))
+    assert df.count() == 5  # would be 0 if the stale bloom index applied
+
+
+def test_bloom_rejects_unbloomable_columns(spark, io):
+    ns = ["bl3"]
+    io.write_table(
+        spark.range(0, 10).select("id", (F.col("id") * 0.5).alias("d")),
+        ns, "t", mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="int/long/string"):
+        analyze_table(io, ns, "t", bloom_columns=["d"])
+
+
+def test_bloom_ignored_under_or_predicates(spark, io):
+    ns = ["bl4"]
+    _uuid_table(spark, io, ns, "t", n_files=3)
+    analyze_table(io, ns, "t", columns=["key"], bloom_columns=["key"])
+    h0 = spark.sql("SELECT md5('0') AS h").collect()[0]["h"]
+    df = io.read_table(
+        ns, "t", where=E.or_(E.eq("key", h0), E.eq("key", "nope"))
+    )
+    # OR disables bloom pruning entirely — all files scanned, result exact
+    assert df.count() == 1

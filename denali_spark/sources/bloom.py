@@ -81,11 +81,13 @@ def value_key(v: Any) -> str:
     return v if isinstance(v, str) else str(v)
 
 
-def conjunctive_eqs(expr: dict | None) -> list[tuple[str, Any]]:
-    """(term, value) pairs that must ALL hold for a row to match: eq nodes
-    reachable through AND only. OR/NOT subtrees contribute nothing (a
-    bloom miss under OR would not exclude the file)."""
-    out: list[tuple[str, Any]] = []
+def conjunctive_eqs(expr: dict | None) -> list[tuple[str, list]]:
+    """(term, candidate values) pairs where one of the values must hold for
+    a row to match, reachable through AND only: `eq` contributes a single
+    value, `in` its value list (the file is prunable only if EVERY list
+    member misses the bloom). OR/NOT subtrees contribute nothing (a bloom
+    miss under OR would not exclude the file)."""
+    out: list[tuple[str, list]] = []
     if not expr:
         return out
     t = expr.get("type")
@@ -93,7 +95,13 @@ def conjunctive_eqs(expr: dict | None) -> list[tuple[str, Any]]:
         out += conjunctive_eqs(expr["left"])
         out += conjunctive_eqs(expr["right"])
     elif t == "eq" and expr.get("value") is not None:
-        out.append((expr["term"], expr["value"]))
+        out.append((expr["term"], [expr["value"]]))
+    elif t == "in":
+        # a NULL list member matches no row (x = NULL is unknown), so the
+        # non-null members alone decide whether a file can match
+        values = [v for v in expr.get("values", []) if v is not None]
+        if values:
+            out.append((expr["term"], values))
     return out
 
 
@@ -131,14 +139,16 @@ def bloom_prune(
     kept = []
     for e in entries:
         drop = False
-        for term, value in eqs:
+        for term, values in eqs:
             loc = index.get((e["path"], term))
             if loc is None:
                 continue
             blob = cache.get(loc)
             if blob is None:
                 blob = cache[loc] = read_blob(*loc)
-            if not bloom_might_contain(blob, value_key(value)):
+            if not any(
+                bloom_might_contain(blob, value_key(v)) for v in values
+            ):
                 drop = True
                 break
         if not drop:

@@ -39,10 +39,13 @@ def test_bloom_params_scale():
 
 def test_conjunctive_eq_extraction():
     e = E.and_(E.eq("a", 1), E.and_(E.gt("b", 5), E.eq("c", "x")))
-    assert sorted(conjunctive_eqs(e)) == [("a", 1), ("c", "x")]
+    assert sorted(conjunctive_eqs(e)) == [("a", [1]), ("c", ["x"])]
     # eq under OR must NOT be extracted
     assert conjunctive_eqs(E.or_(E.eq("a", 1), E.eq("c", "x"))) == []
     assert conjunctive_eqs(None) == []
+    # IN-lists extract their non-null members (NULL matches no row)
+    assert conjunctive_eqs(E.in_("a", [1, 2, None])) == [("a", [1, 2])]
+    assert conjunctive_eqs(E.in_("a", [None])) == []
 
 
 # --- table level ------------------------------------------------------------
@@ -121,3 +124,18 @@ def test_bloom_ignored_under_or_predicates(spark, io):
     )
     # OR disables bloom pruning entirely — all files scanned, result exact
     assert df.count() == 1
+
+
+def test_bloom_prunes_in_list(spark, io):
+    """IN-list pruning: a file survives if ANY member might be present."""
+    ns = ["bl5"]
+    _uuid_table(spark, io, ns, "t")
+    analyze_table(io, ns, "t", columns=["key"], bloom_columns=["key"])
+    h = [
+        spark.sql(f"SELECT md5(CAST({i} AS STRING)) AS h").collect()[0]["h"]
+        for i in (17, 18)  # adjacent ids land in DIFFERENT interleaved files
+    ]
+    df = io.read_table(ns, "t", where=E.in_("key", h))
+    files = {f for f in df.inputFiles() if f.endswith(".parquet")}
+    assert len(files) <= 3  # ~2 of 6 plus rare false positives
+    assert sorted(r["v"] for r in df.collect()) == [17, 18]

@@ -68,7 +68,21 @@ files.select(
     F.col("lower_bounds.b").alias("b_min"), F.col("upper_bounds.b").alias("b_max"),
 ).show(16, truncate=False)
 
-# 4. retention: expire everything but the rewritten snapshot (refs are kept)
+# 4. statistics: ANALYZE writes HLL ndv sketches + per-file bloom filters
+# into one Puffin statistics file, registered on the current snapshot
+from denali_spark.sources import analyze_table, table_statistics
+from denali_spark.sources import expressions as E
+
+res = analyze_table(io, ns, name, columns=["a", "b"], bloom_columns=["a"])
+print("analyze:", res["row-count"], "rows; ndv:", res["ndv"])
+print("read back from the sketch bytes:", table_statistics(io, ns, name)["columns"])
+pointed = io.read_table(ns, name, where=E.eq("a", 3))
+print("point lookup a=3 scans",
+      len([f for f in pointed.inputFiles() if f.endswith('.parquet')]),
+      "of", metadata_table(io, ns, name, "files").count(),
+      "files (min/max + bloom pruning)")
+
+# 5. retention: expire everything but the rewritten snapshot (refs are kept)
 expire_snapshots(io, ns, name, keep_last=1)
 print("after expire, snapshots left:", metadata_table(io, ns, name, "snapshots").count())
 server.stop()

@@ -385,3 +385,30 @@ def test_analyze_table_handles_nested_columns(spark, io):
     assert res["row-count"] == 40
     assert res["ndv"]["id"] == 40
     assert res["ndv"]["arr"] == 40  # each array value unique via id
+
+
+def test_concurrent_dv_deletes_cas_merge(spark, io):
+    """Two DV deletes racing on the SAME file: the loser's CAS retry must
+    re-plan against the winner's snapshot and MERGE vectors — both row
+    sets end up deleted and the file still has exactly one vector."""
+    import threading
+
+    ns, name = _chunked_table(spark, io, ns="race", n_chunks=1, rows=100)
+    errs = []
+
+    def run(lo, hi):
+        try:
+            delete_where_dv(io, ns, name, E.and_(E.gt_eq("id", lo), E.lt("id", hi)))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=run, args=(10, 20))
+    t2 = threading.Thread(target=run, args=(30, 40))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    _data, deletes = split_entries(_entries(io, ns, name))
+    assert len(deletes) == 1  # one vector for the single data file
+    assert deletes[0]["record-count"] == 20
+    got = sorted(r["id"] for r in io.read_table(ns, name).collect())
+    assert got == [i for i in range(100) if not (10 <= i < 20 or 30 <= i < 40)]

@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_basket_lift",
     "ts_interarrival_stats",
     "text_tfidf_topterms",
+    "ts_autocorr_lags",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

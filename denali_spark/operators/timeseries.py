@@ -1191,3 +1191,95 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") >= F.expr("(9 * tot + 9) div 10"), F.col("gap_s"))).alias("p90_gap_s"),
         F.max("tot").cast("long").alias("n_gaps"),
     )
+
+
+@query(
+    "ts_autocorr_lags",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM counts GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    dense AS (
+      SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.h = c.h
+    ),
+    tot AS (
+      SELECT event_type, SUM(cnt) AS s, COUNT(*) AS n FROM dense GROUP BY 1
+    ),
+    e AS (
+      SELECT d.event_type, d.h,
+             d.cnt - (t.s // t.n) AS e
+      FROM dense d JOIN tot t USING (event_type)
+    ),
+    lagged AS (
+      SELECT event_type, e,
+             LAG(e, 1)   OVER w AS e1,
+             LAG(e, 24)  OVER w AS e24,
+             LAG(e, 168) OVER w AS e168
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST((1000000 * SUM(e * e1))   // SUM(e * e) AS BIGINT) AS r1_ppm,
+           CAST((1000000 * SUM(e * e24))  // SUM(e * e) AS BIGINT) AS r24_ppm,
+           CAST((1000000 * SUM(e * e168)) // SUM(e * e) AS BIGINT) AS r168_ppm
+    FROM lagged GROUP BY event_type
+    """,
+    tags=("timeseries", "autocorrelation"),
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the dense hourly count series at lags 1 h, 24 h
+    (daily seasonality) and 168 h (weekly), per event type — the ACF peaks
+    `ts_seasonal_decompose` presumes. Deviations use the integer-truncated
+    mean (cnt − S div H) so numerator and denominator are exact 64-bit
+    integer sums; the ratio is reported in ppm by integer division —
+    the whole query never touches a float.
+
+    Scale: the raw-event pass is one partial-aggregable groupBy; the grid,
+    lags, and sums all run over the bounded (type × hour) relation."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = counts.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    dense = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    e = dense.join(tot, "event_type").select(
+        "event_type", "h", (F.col("cnt") - F.expr("s div n")).alias("e")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = e.select(
+        "event_type", "e",
+        F.lag("e", 1).over(w).alias("e1"),
+        F.lag("e", 24).over(w).alias("e24"),
+        F.lag("e", 168).over(w).alias("e168"),
+    )
+
+    def r(lag_col: str, alias: str):
+        return F.expr(
+            f"CAST((1000000 * SUM(e * {lag_col})) div SUM(e * e) AS BIGINT)"
+        ).alias(alias)
+
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        r("e1", "r1_ppm"), r("e24", "r24_ppm"), r("e168", "r168_ppm"),
+    )

@@ -131,3 +131,29 @@ def test_rewrite_rejects_bad_args(spark, io):
         rewrite_clustered(io, ns, name, sort_by=["a"], strategy="cluster")
     with pytest.raises(ValueError):
         rewrite_clustered(io, ns, name, sort_by=[])
+
+
+def test_zorder_rewrite_folds_deletion_vectors(spark, io):
+    """Clustered rewrite folds V3 deletion vectors like any other pending
+    MoR delete: rows gone, vectors dropped, clean clustered files remain."""
+    from denali_spark.sources import delete_where_dv
+    from denali_spark.sources import expressions as E
+    from denali_spark.sources.catalog_io import split_entries
+
+    ns = ["zdv"]
+    for k in range(3):
+        io.write_table(
+            spark.range(k * 100, (k + 1) * 100).select(
+                "id", (F.col("id") % 9).alias("a"), (F.col("id") % 7).alias("b")
+            ).coalesce(1),
+            ns, "t", mode="append",
+        )
+    delete_where_dv(io, ns, "t", E.lt("id", 30))
+    rewrite_clustered(io, ns, "t", sort_by=["a", "b"], strategy="zorder",
+                      target_file_size_bytes=4096)
+    md = io.client.load_table(ns, "t")["metadata"]
+    snap = io._resolve_snapshot(md)
+    _data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    assert deletes == []
+    got = sorted(r["id"] for r in io.read_table(ns, "t").collect())
+    assert got == list(range(30, 300))

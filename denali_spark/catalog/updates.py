@@ -189,6 +189,11 @@ def _remove_snapshots(md: dict, u: dict) -> None:
     md["snapshot-log"] = [
         e for e in md.get("snapshot-log", []) if e["snapshot-id"] not in ids
     ]
+    # ... and so are statistics entries keyed to removed snapshots (Iceberg
+    # expires statistics files together with their snapshot).
+    for key in ("statistics", "partition-statistics"):
+        if key in md:
+            md[key] = [s for s in md[key] if s["snapshot-id"] not in ids]
 
 
 def _remove_snapshot_ref(md: dict, u: dict) -> None:

@@ -121,6 +121,19 @@ def expire_snapshots(
                     os.remove(path)
                 except OSError:
                     pass
+        # statistics files keyed to expired snapshots: the server already
+        # dropped their metadata entries in the same remove-snapshots
+        # commit; reclaim the Puffin files (no live snapshot can reference
+        # them — set-statistics upserts are per-snapshot).
+        removed_ids = {s["snapshot-id"] for s in removable}
+        for stat in md.get("statistics", []) + md.get("partition-statistics", []):
+            if stat["snapshot-id"] in removed_ids:
+                try:
+                    os.remove(_fs_path(stat.get(
+                        "statistics-path", stat.get("path", "")
+                    )))
+                except OSError:
+                    pass
     return result
 
 

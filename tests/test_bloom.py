@@ -139,3 +139,31 @@ def test_bloom_prunes_in_list(spark, io):
     files = {f for f in df.inputFiles() if f.endswith(".parquet")}
     assert len(files) <= 3  # ~2 of 6 plus rare false positives
     assert sorted(r["v"] for r in df.collect()) == [17, 18]
+
+
+def test_expire_trims_statistics_and_reclaims_files(spark, io):
+    """Expiring a snapshot drops its statistics entry server-side and the
+    client reclaims the Puffin file; the current snapshot's stats stay."""
+    import os
+
+    from denali_spark.sources import expire_snapshots
+
+    ns = ["blx"]
+    io.write_table(
+        spark.range(0, 20).select("id", (F.col("id") % 3).alias("k")),
+        ns, "t", mode="overwrite",
+    )
+    r1 = analyze_table(io, ns, "t", columns=["id"])
+    io.write_table(
+        spark.range(20, 30).select("id", (F.col("id") % 3).alias("k")),
+        ns, "t", mode="append",
+    )
+    r2 = analyze_table(io, ns, "t", columns=["id"])
+    assert os.path.exists(r1["path"]) and os.path.exists(r2["path"])
+
+    expire_snapshots(io, ns, "t", keep_last=1)
+    md = io.client.load_table(ns, "t")["metadata"]
+    sids = {s["snapshot-id"] for s in md.get("statistics", [])}
+    assert sids == {r2["snapshot-id"]}  # expired snapshot's entry dropped
+    assert not os.path.exists(r1["path"])  # file reclaimed
+    assert os.path.exists(r2["path"])  # live stats untouched

@@ -45,7 +45,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (historically the first 50 of the registry, now 130 queries), so
+# reaches (historically the first 50 of the registry, now 132 queries), so
 # iteration order is a coverage decision, rotated each round so no query's
 # newest driver-green evidence goes stale: (1) queries whose only driver
 # evidence is round 1 (they sat past the 50-cap every round since), (2) the

@@ -48,6 +48,20 @@ LINEAGE_FILE = "__dsp_file_path"
 LINEAGE_POS = "__dsp_pos"
 
 
+def summary_totals(files: list[dict]) -> dict[str, str]:
+    """Iceberg's standard total-* snapshot summary properties, derived from
+    the snapshot's FULL entry set (carried + added): what UIs and planners
+    read to show table size without walking manifests."""
+    data = [e for e in files if e.get("content", "data") == "data"]
+    deletes = [e for e in files if e.get("content", "data") != "data"]
+    return {
+        "total-data-files": str(len(data)),
+        "total-delete-files": str(len(deletes)),
+        "total-records": str(sum(e.get("record-count", 0) for e in data)),
+        "total-files-size": str(sum(e.get("file-size-bytes", 0) for e in data)),
+    }
+
+
 def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
     """Manifest entries → (data files, delete files). The `content` field
     mirrors Iceberg's ContentFile discriminator; absent means data."""
@@ -842,6 +856,7 @@ class SparkCatalogIO:
                     "operation": "append" if mode == "append" else "overwrite",
                     "added-data-files": str(len(data_files)),
                     "added-records": str(sum(f.get("record-count", 0) for f in data_files)),
+                    **summary_totals(prev_files + data_files),
                     **(summary_extra or {}),
                 },
             }

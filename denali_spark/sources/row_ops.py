@@ -64,6 +64,8 @@ def _commit_cow(
     """One copy-on-write snapshot commit against a known parent."""
     import time
 
+    from denali_spark.sources.catalog_io import summary_totals
+
     snapshot_id = _new_snapshot_id()
     seq = md.get("last-sequence-number", 0) + 1
     for f in files:
@@ -78,7 +80,8 @@ def _commit_cow(
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_loc,
         "schema-id": md.get("current-schema-id", 0),
-        "summary": {"operation": operation, **summary_extra},
+        "summary": {"operation": operation,
+                    **summary_totals(files), **summary_extra},
     }
     return io.client.commit_table(
         namespace,

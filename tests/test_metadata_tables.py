@@ -200,3 +200,29 @@ def test_files_table_over_typed_partition_manifests(spark, io):
         assert json.loads(part["ts_month"]) == "2024-03"
         assert isinstance(json.loads(part["k_bucket"]), str)
         assert json.loads(part["k_bucket"]).isdigit()
+
+
+def test_snapshot_summaries_carry_totals(spark, io):
+    """Every commit stamps Iceberg's total-* summary properties derived
+    from the snapshot's full entry set."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.sources import delete_where_mor
+    from denali_spark.sources import expressions as E
+
+    ns = ["tot"]
+    for k in range(2):
+        io.write_table(
+            spark.range(k * 10, (k + 1) * 10).select("id").coalesce(1),
+            ns, "t", mode="append",
+        )
+    delete_where_mor(io, ns, "t", E.lt("id", 3))
+    md = io.client.load_table(ns, "t")["metadata"]
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    s_append, s_del = snaps[1]["summary"], snaps[2]["summary"]
+    assert s_append["total-data-files"] == "2"
+    assert s_append["total-records"] == "20"
+    assert s_append["total-delete-files"] == "0"
+    assert s_del["total-data-files"] == "2"
+    assert s_del["total-delete-files"] == "1"
+    assert int(s_append["total-files-size"]) > 0

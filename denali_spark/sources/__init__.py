@@ -3,9 +3,11 @@ from denali_spark.sources.changelog import read_changes
 from denali_spark.sources.datasource import register_denali_source
 from denali_spark.sources.incremental import read_incremental
 from denali_spark.sources.maintenance import (
+    analyze_partitions,
     analyze_table,
     compact_data_files,
     expire_snapshots,
+    partition_statistics,
     table_statistics,
     remove_orphan_files,
     rewrite_clustered,
@@ -30,7 +32,9 @@ from denali_spark.sources.schema_evolution import (
 __all__ = [
     "SparkCatalogIO",
     "add_column",
+    "analyze_partitions",
     "analyze_table",
+    "partition_statistics",
     "compact_data_files",
     "table_statistics",
     "delete_where",

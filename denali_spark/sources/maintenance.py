@@ -662,3 +662,70 @@ def table_statistics(io: SparkCatalogIO, namespace: list[str], name: str) -> dic
             "ndv": int(est), "null-count": int(props.get("null-count", 0))
         }
     return out
+
+
+def analyze_partitions(io: SparkCatalogIO, namespace: list[str], name: str) -> dict:
+    """Write an Iceberg partition-statistics file: the `partitions`
+    metadata relation (per-partition data/delete file + record tallies)
+    materialized as one parquet file and registered on the CURRENT
+    snapshot via the catalog's `set-partition-statistics` op — the other
+    statistics op the reference rejects. Planners use it to answer
+    "how big is each partition" without walking manifests; at 100 TB the
+    tallies aggregate distributed (one decode task per manifest) and only
+    the bounded per-partition relation is collected into the file."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from denali_spark.catalog.metadata import _fs_path
+    from denali_spark.sources.metadata_tables import metadata_table
+
+    md = io.client.load_table(namespace, name)["metadata"]
+    ref = md.get("refs", {}).get(MAIN)
+    if ref is None:
+        raise ValueError("cannot analyze an empty table (no current snapshot)")
+    sid = ref["snapshot-id"]
+    pdf = metadata_table(io, namespace, name, "partitions")
+    stats_dir = os.path.join(_fs_path(md["location"]), "metadata")
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = os.path.join(stats_dir, f".pstats-tmp-{uuid.uuid4().hex[:8]}")
+    pdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "*.parquet"))
+    path = os.path.join(
+        stats_dir, f"partition-stats-{sid}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    os.replace(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    entry = {
+        "snapshot-id": sid,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+    }
+    io.client.commit_table(
+        namespace, name,
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-partition-statistics",
+                  "partition-statistics": entry}],
+    )
+    return entry
+
+
+def partition_statistics(io: SparkCatalogIO, namespace: list[str], name: str):
+    """The registered partition-statistics relation for the CURRENT
+    snapshot, as a DataFrame."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    ref = md.get("refs", {}).get(MAIN)
+    if ref is None:
+        raise ValueError("empty table")
+    sid = ref["snapshot-id"]
+    entry = next(
+        (s for s in md.get("partition-statistics", [])
+         if s["snapshot-id"] == sid),
+        None,
+    )
+    if entry is None:
+        raise ValueError(
+            f"no partition statistics for snapshot {sid}; run analyze_partitions()"
+        )
+    return io.spark.read.parquet(entry["statistics-path"])

@@ -167,3 +167,25 @@ def test_expire_trims_statistics_and_reclaims_files(spark, io):
     assert sids == {r2["snapshot-id"]}  # expired snapshot's entry dropped
     assert not os.path.exists(r1["path"])  # file reclaimed
     assert os.path.exists(r2["path"])  # live stats untouched
+
+
+def test_partition_statistics_roundtrip(spark, io):
+    from denali_spark.sources import analyze_partitions, partition_statistics
+
+    ns = ["pst"]
+    df = spark.range(0, 90).select("id", (F.col("id") % 3).cast("int").alias("k"))
+    io.write_table(df, ns, "t", mode="overwrite", partition_by=[("k", "identity")])
+    entry = analyze_partitions(io, ns, "t")
+    assert entry["file-size-in-bytes"] > 0
+
+    stats = partition_statistics(io, ns, "t")
+    rows = {tuple(sorted(r["partition"].items())): r for r in stats.collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["record_count"] == 30 and r["delete_file_count"] == 0
+    # registered in table metadata for the current snapshot
+    md = io.client.load_table(ns, "t")["metadata"]
+    sid = md["refs"]["main"]["snapshot-id"]
+    assert any(
+        s["snapshot-id"] == sid for s in md.get("partition-statistics", [])
+    )

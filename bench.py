@@ -47,6 +47,10 @@ SF1_SUBSET = [
     # percentiles (value-cardinality-bounded) both scale linearly
     "text_dup_passages",
     "agg_exact_percentiles",
+    # round-6: the iterative graph shape (3 co-partitioned join+agg rounds
+    # over an edge list that grows with the data) must stay ~linear
+    "graph_pagerank_parts",
+    "ts_interarrival_stats",
 ]
 
 

@@ -327,13 +327,40 @@ def update_table(state: State, m, q, body):
 
 
 def delete_table(state: State, m, q, body):
+    """DROP TABLE; `purgeRequested=true` additionally deletes the table's
+    files — implemented BEYOND parity (the reference 501s purge,
+    routes/tables.go:349-351). The purge is fenced: it only ever removes a
+    directory strictly inside this server's warehouse root, and only after
+    the metadata row is gone (so a concurrent reader can at worst see a
+    torn table it can no longer load, never a live one losing files)."""
     purge = (q.get("purgeRequested") or ["false"])[0].lower() == "true"
-    if purge:
-        # routes/tables.go:349-351.
-        raise NotImplementedInCatalog("purge on drop is not supported")
     levels = parse_ns(m.group("ns"))
     _, info = _table_info(state, levels, m.group("t"))
+    location = None
+    if purge:
+        import os
+
+        from denali_spark.catalog.metadata import _fs_path, read_table_metadata
+
+        try:
+            md = read_table_metadata(info.metadata_location)
+            location = _fs_path(md.get("location", ""))
+        except (OSError, ValueError):
+            location = None
+        wh = os.path.realpath(state.warehouse)
+        if location is not None:
+            real = os.path.realpath(location)
+            if not (real.startswith(wh + os.sep) and real != wh):
+                raise BadRequest(
+                    f"purge refused: table location {location!r} is outside "
+                    "the warehouse root"
+                )
+            location = real
     state.store.drop_object(info.pk)
+    if purge and location is not None:
+        import shutil
+
+        shutil.rmtree(location, ignore_errors=True)
     return 204, None
 
 

@@ -328,14 +328,31 @@ def test_stale_cas_conflict_409(catalog, tmp_path):
     assert store.cas_update_object(pk, "loc2", 1)
 
 
-def test_drop_table_and_purge_501(catalog):
+def test_drop_table_and_purge(catalog):
+    """Plain drop leaves files; purge (beyond parity — the reference 501s,
+    routes/tables.go:349-351) also removes the table directory, fenced to
+    stay inside the warehouse root."""
+    import os
+
+    from denali_spark.catalog.metadata import _fs_path
+
     catalog.create_namespace(["d1"])
-    catalog.create_table(["d1"], "t", SCHEMA_ID_NAME)
-    with pytest.raises(CatalogHTTPError) as exc:
-        catalog.drop_table(["d1"], "t", purge=True)
-    assert exc.value.status == 501
+    # plain drop: metadata row gone, files untouched
+    t1 = catalog.create_table(["d1"], "t", SCHEMA_ID_NAME)
+    loc1 = _fs_path(t1["metadata"]["location"])
+    os.makedirs(loc1, exist_ok=True)
     catalog.drop_table(["d1"], "t")
     assert not catalog.table_exists(["d1"], "t")
+    assert os.path.isdir(loc1)
+    # purge drop: directory reclaimed too
+    t2 = catalog.create_table(["d1"], "t2", SCHEMA_ID_NAME)
+    loc2 = _fs_path(t2["metadata"]["location"])
+    os.makedirs(os.path.join(loc2, "data"), exist_ok=True)
+    with open(os.path.join(loc2, "data", "f.parquet"), "wb") as f:
+        f.write(b"x")
+    catalog.drop_table(["d1"], "t2", purge=True)
+    assert not catalog.table_exists(["d1"], "t2")
+    assert not os.path.exists(loc2)
 
 
 def test_rename_table_across_namespaces(catalog):

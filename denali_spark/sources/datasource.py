@@ -303,6 +303,15 @@ class _DenaliStreamReader(DataSourceStreamReader):
             self._initial = None
         else:
             self._initial = md.get("current-snapshot-id")
+        mft = options.get("maxfilespertrigger")
+        self._max_files = int(mft) if mft is not None else None
+        # The base the rate limiter advances from: the declared starting
+        # offset, updated to each planned batch's end. After a restart with
+        # a checkpoint AHEAD of the starting offset, the first capped
+        # latestOffset may fall behind the checkpoint — the lineage check
+        # in partitions() then fails LOUDLY (never silent replay); the
+        # first planned batch re-seeds the base from the checkpoint.
+        self._last: int | None = self._initial
 
     def _md(self):
         return CatalogClient(self._uri).load_table(self._ns, self._table)[
@@ -313,7 +322,28 @@ class _DenaliStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": self._md().get("current-snapshot-id")}
+        md = self._md()
+        cur = md.get("current-snapshot-id")
+        if self._max_files is None or self._last is None or cur == self._last:
+            return {"snapshot_id": cur}
+        # Advance at most max_files data files along the snapshot chain
+        # (always at least one snapshot so progress is guaranteed). File
+        # counts come from the added-data-files summary stamp — no
+        # manifest reads during offset negotiation.
+        from denali_spark.sources.incremental import _chain
+
+        try:
+            chain = _chain(md, self._last, cur)
+        except ValueError:
+            return {"snapshot_id": cur}  # lineage break: let partitions() report it
+        total = 0
+        end = self._last
+        for snap in chain:
+            total += int(snap.get("summary", {}).get("added-data-files", 0))
+            if total > self._max_files and end != self._last:
+                break
+            end = snap["snapshot-id"]
+        return {"snapshot_id": end}
 
     def partitions(self, start: dict, end: dict):
         from denali_spark.catalog.metadata import _fs_path
@@ -342,6 +372,7 @@ class _DenaliStreamReader(DataSourceStreamReader):
             e for e in data if int(e.get("sequence-number", 0)) in seqs
         ]
         added, _ = _checked_entries(md, added, [])
+        self._last = end_id  # rate-limiter base for the next trigger
         return [
             _FilePartition(e["path"], self._columns) for e in added
         ] or [_FilePartition("", self._columns)]

@@ -308,3 +308,37 @@ def test_batch_read_dv_then_parquet_delete_refuses(spark, io):
     delete_where_mor(io, ns, "mix", E.eq("id", 2))
     with pytest.raises(Exception, match="convert_deletes_to_dvs"):
         _fmt(spark, io, "mix").load().collect()
+
+
+def test_stream_rate_limit_max_files_per_trigger(spark, io):
+    """Offset negotiation honors maxfilespertrigger: each trigger advances
+    along the snapshot chain by at most N data files (always >= one
+    snapshot), replaying the backlog over several batches. Driven through
+    the reader's own offset API for determinism."""
+    from denali_spark.sources.datasource import _DenaliStreamReader
+
+    ns = ["dsrc"]
+    first = _append(spark, io, ns, "rl", 0, 4)
+    for k in range(1, 4):  # three more single-file commits
+        _append(spark, io, ns, "rl", k * 4, (k + 1) * 4)
+    md = io.client.load_table(ns, "rl")["metadata"]
+    reader = _DenaliStreamReader(
+        {"namespace": "dsrc", "table": "rl", "uri": io.client.uri,
+         "starting_snapshot_id": str(first), "maxfilespertrigger": "1"},
+        md,
+    )
+    start = reader.initialOffset()
+    seen = []
+    for _ in range(5):
+        end = reader.latestOffset()
+        if end == start:
+            break
+        parts = reader.partitions(start, end)
+        seen.append([p.path for p in parts if p.path])
+        start = end
+    # 3 backlog commits x 1 file, one commit per trigger
+    assert [len(b) for b in seen] == [1, 1, 1]
+    total_rows = sum(
+        spark.read.parquet(p).count() for batch in seen for p in batch
+    )
+    assert total_rows == 12

@@ -242,6 +242,12 @@ class SparkCatalogIO:
         recursively, with unqualified names in a view body resolved
         against the view's default-namespace.
 
+        Write statements are routed to the write path:
+        `INSERT INTO ns.t <select>` appends the select's rows and
+        `CREATE [OR REPLACE] TABLE ns.t AS <select>` creates/overwrites —
+        both through write_table (CAS-retried snapshot commits), returning
+        the engine's commit-summary DataFrame.
+
         Known limit (documented): matching is textual — a qualified name
         inside a string literal would also be rewritten. Quote such
         literals differently or read via read_table directly."""
@@ -251,13 +257,30 @@ class SparkCatalogIO:
         if _depth > 10:
             raise ValueError("view resolution exceeded depth 10 (cycle?)")
 
+        if _depth == 0:
+            m = _re.match(
+                r"\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*|VALUES\b.*)",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_write(m.group(1), m.group(2), mode="append")
+            m = _re.match(
+                r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_write(
+                    m.group(2), m.group(3),
+                    mode="overwrite" if m.group(1) else "create",
+                )
+
         # One catalog walk per TOP-LEVEL call; nested view resolution
         # reuses the listing (a query can't reference objects created
         # mid-execution, so refetching per recursion buys nothing).
         refs = _refs if _refs is not None else self._catalog_listing()
 
         tt = (
-            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
             r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
         )
         rewritten = query
@@ -270,22 +293,23 @@ class SparkCatalogIO:
 
             def repl(m, kind=kind, ns=ns, name=name, q=q):
                 snap_id = int(m.group(1)) if m.group(1) else None
+                ref = m.group(2)  # VERSION AS OF 'branch-or-tag'
                 as_of_ms = None
-                if m.group(2):
+                if m.group(3):
                     import datetime as _dt
 
-                    dt = _dt.datetime.fromisoformat(m.group(2))
+                    dt = _dt.datetime.fromisoformat(m.group(3))
                     if dt.tzinfo is None:
                         dt = dt.replace(tzinfo=_dt.timezone.utc)
                     as_of_ms = int(dt.timestamp() * 1000)
-                key = f"{q}|{snap_id}|{as_of_ms}"
+                key = f"{q}|{snap_id}|{ref}|{as_of_ms}"
                 view = "__denali_" + hashlib.md5(key.encode()).hexdigest()[:10]
                 if kind == "table":
                     df = self.read_table(
-                        ns, name, snapshot_id=snap_id, as_of_ms=as_of_ms
+                        ns, name, snapshot_id=snap_id, ref=ref, as_of_ms=as_of_ms
                     )
                 else:
-                    if snap_id is not None or as_of_ms is not None:
+                    if snap_id is not None or ref is not None or as_of_ms is not None:
                         raise ValueError(f"time travel on view {q!r} unsupported")
                     df = self._view_df(ns, name, _depth, refs)
                 df.createOrReplaceTempView(view)
@@ -293,6 +317,38 @@ class SparkCatalogIO:
 
             rewritten = pat.sub(repl, rewritten)
         return self.spark.sql(rewritten)
+
+    def _sql_write(self, qualified: str, select_sql: str, mode: str) -> DataFrame:
+        """INSERT INTO / CTAS routing for sql(): run the select through the
+        same resolver, commit through write_table, return a one-row summary
+        relation (statement, snapshot id, row count)."""
+        from pyspark.sql import functions as F
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(
+                f"unqualified write target {qualified!r}: use ns.table"
+            )
+        exists = self.client.table_exists(namespace, name)
+        if mode == "append" and not exists:
+            raise ValueError(f"INSERT INTO unknown table {qualified!r}")
+        if mode == "create":
+            if exists:
+                raise ValueError(
+                    f"table {qualified!r} already exists (use CREATE OR REPLACE)"
+                )
+            mode = "overwrite"
+        df = self.sql(select_sql)
+        n = df.count()
+        self.write_table(df, namespace, name, mode=mode)
+        md = self.client.load_table(namespace, name)["metadata"]
+        return self.spark.range(1).select(
+            F.lit(qualified).alias("table"),
+            F.lit(mode).alias("operation"),
+            F.lit(md["refs"][MAIN]["snapshot-id"]).alias("snapshot_id"),
+            F.lit(n).cast("long").alias("rows"),
+        )
 
     def _view_df(
         self, ns: list[str], name: str, depth: int, refs: dict

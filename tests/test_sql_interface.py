@@ -148,3 +148,35 @@ def test_view_body_case_insensitive_table_names(spark, io):
         ["westeros"], "upper_ref", "SELECT COUNT(*) AS n FROM MY_TABLE"
     )
     assert io.sql("SELECT n FROM westeros.upper_ref").collect()[0]["n"] == 100
+
+
+def test_sql_insert_into_and_ctas(spark, io):
+    res = io.sql(
+        "CREATE TABLE wsql.derived AS "
+        "SELECT k, COUNT(*) AS n FROM westeros.my_table GROUP BY k"
+    ).collect()[0]
+    assert res["operation"] == "overwrite" and res["rows"] == 7
+    assert io.sql("SELECT SUM(n) AS s FROM wsql.derived").collect()[0]["s"] == 100
+
+    io.sql("INSERT INTO wsql.derived SELECT 99 AS k, 1 AS n")
+    assert io.sql("SELECT COUNT(*) AS c FROM wsql.derived").collect()[0]["c"] == 8
+
+    with pytest.raises(ValueError, match="already exists"):
+        io.sql("CREATE TABLE wsql.derived AS SELECT 1 AS x")
+    io.sql("CREATE OR REPLACE TABLE wsql.derived AS SELECT 1 AS one")
+    assert io.sql("SELECT * FROM wsql.derived").collect()[0]["one"] == 1
+    with pytest.raises(ValueError, match="unknown table"):
+        io.sql("INSERT INTO wsql.nope SELECT 1 AS x")
+
+
+def test_sql_version_as_of_branch_or_tag(spark, io):
+    io.write_table(
+        spark.range(0, 10).select("id"), ["br"], "t", mode="overwrite"
+    )
+    io.create_tag(["br"], "t", "v1")
+    io.write_table(spark.range(10, 25).select("id"), ["br"], "t", mode="append")
+    assert io.sql("SELECT COUNT(*) AS n FROM br.t").collect()[0]["n"] == 25
+    assert (
+        io.sql("SELECT COUNT(*) AS n FROM br.t FOR VERSION AS OF 'v1'")
+        .collect()[0]["n"] == 10
+    )

@@ -33,4 +33,18 @@ io.write_table(
 )
 print("now:", io.read_table(["westeros"], "my_table").count(), "rows")
 print("as of snapshot", snap1, ":", io.read_table(["westeros"], "my_table", snapshot_id=snap1).count(), "rows")
+
+# The reference example's literal query shape
+# (/root/reference/examples/pyspark_example.py:36) — SQL straight against
+# catalog tables, plus writes and time travel in SQL:
+print(io.sql("select * from westeros.my_table").toPandas())
+io.sql(
+    "CREATE TABLE westeros.informed AS "
+    "SELECT * FROM westeros.my_table WHERE what_they_know > 1"
+)
+io.sql("INSERT INTO westeros.informed SELECT 4, 'bran', 10.0")
+print("informed:", io.sql("SELECT COUNT(*) AS n FROM westeros.informed").collect()[0]["n"])
+print("time travel:",
+      io.sql(f"SELECT COUNT(*) AS n FROM westeros.my_table FOR VERSION AS OF {snap1}")
+      .collect()[0]["n"], "rows at snapshot", snap1)
 server.stop()

@@ -8,6 +8,7 @@ from denali_spark.sources.maintenance import (
     compact_data_files,
     expire_snapshots,
     partition_statistics,
+    run_maintenance,
     table_statistics,
     remove_orphan_files,
     rewrite_clustered,
@@ -35,6 +36,7 @@ __all__ = [
     "analyze_partitions",
     "analyze_table",
     "partition_statistics",
+    "run_maintenance",
     "compact_data_files",
     "table_statistics",
     "delete_where",

@@ -729,3 +729,52 @@ def partition_statistics(io: SparkCatalogIO, namespace: list[str], name: str):
             f"no partition statistics for snapshot {sid}; run analyze_partitions()"
         )
     return io.spark.read.parquet(entry["statistics-path"])
+
+
+def run_maintenance(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    fold_deletes: bool = True,
+    compact: bool = True,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    expire: bool = True,
+    keep_last: int = 3,
+    orphans: bool = False,
+    analyze_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+) -> dict:
+    """One-call day-2 maintenance in the order a production table wants it:
+
+    1. rewrite_deletes  — fold accumulated MoR deletes/vectors into data
+    2. compact_data_files — bin-pack small files toward the target size
+    3. expire_snapshots — trim history past keep_last (refs protected)
+    4. remove_orphan_files — only when `orphans=True` (its 3-day retention
+       guard makes it a no-op for fresh leftovers; run it on quiet tables)
+    5. analyze_table — refresh statistics (and bloom filters) on the final
+       snapshot so the pruning indexes match what readers will scan
+
+    Each step commits independently (CAS-retried) and the report maps step
+    name → its outcome, so a failure leaves earlier steps durable."""
+    from denali_spark.sources.mor import rewrite_deletes
+
+    report: dict = {}
+    if fold_deletes:
+        r = rewrite_deletes(io, namespace, name)
+        report["rewrite_deletes"] = "noop" if r.get("noop") else "done"
+    if compact:
+        r = compact_data_files(
+            io, namespace, name, target_file_size_bytes=target_file_size_bytes
+        )
+        report["compact_data_files"] = "noop" if r.get("noop") else "done"
+    if expire:
+        r = expire_snapshots(io, namespace, name, keep_last=keep_last)
+        report["expire_snapshots"] = "noop" if r.get("noop") else "done"
+    if orphans:
+        r = remove_orphan_files(io, namespace, name)
+        report["remove_orphan_files"] = f"{len(r.get('removed', []))} removed"
+    if analyze_columns is not None or bloom_columns is not None:
+        r = analyze_table(
+            io, namespace, name,
+            columns=analyze_columns, bloom_columns=bloom_columns,
+        )
+        report["analyze_table"] = f"{r['row-count']} rows analyzed"
+    return report

@@ -189,3 +189,29 @@ def test_partition_statistics_roundtrip(spark, io):
     assert any(
         s["snapshot-id"] == sid for s in md.get("partition-statistics", [])
     )
+
+
+def test_run_maintenance_pipeline(spark, io):
+    from denali_spark.sources import delete_where_dv, run_maintenance
+    from denali_spark.sources.catalog_io import split_entries
+
+    ns = ["rm"]
+    for k in range(4):
+        io.write_table(
+            spark.range(k * 25, (k + 1) * 25).select("id").coalesce(1),
+            ns, "t", mode="append",
+        )
+    delete_where_dv(io, ns, "t", E.lt("id", 10))
+    report = run_maintenance(
+        io, ns, "t", keep_last=1, analyze_columns=["id"]
+    )
+    assert report["rewrite_deletes"] == "done"
+    assert report["compact_data_files"] == "done"
+    assert report["expire_snapshots"] == "done"
+    assert report["analyze_table"] == "90 rows analyzed"
+    md = io.client.load_table(ns, "t")["metadata"]
+    assert len(md["snapshots"]) == 1
+    snap = io._resolve_snapshot(md)
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    assert deletes == [] and len(data) == 1  # folded + compacted
+    assert io.read_table(ns, "t").count() == 90

@@ -47,11 +47,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically the first 50 of the registry, now 132 queries), so
 # iteration order is a coverage decision, rotated each round so no query's
-# newest driver-green evidence goes stale: (1) queries whose only driver
-# evidence is round 1 (they sat past the 50-cap every round since), (2) the
-# 28 NEW round-5 queries plus the four whose plumbing changed this round,
-# (3) queries whose newest evidence is round 3, (4) the 50 re-confirmed in
-# round 4 last (freshest evidence).
+# newest driver-green evidence goes stale. Round-6 order: (1) the 8 NEW
+# round-6 queries (no driver evidence), (2) queries whose newest evidence
+# is round 1 (no round-5 driver artifacts were produced, so they are four
+# rounds stale), (3) the 28 round-5 queries + 4 whose plumbing changed in
+# round 5 (also without driver artifacts yet), (4) round-3-evidence
+# queries, (5) the 50 re-confirmed in round 4 last (freshest evidence).
 DRIVER_PRIORITY: list[str] = [
     # NEW round 6 — no driver evidence yet
     "graph_pagerank_parts",

@@ -26,10 +26,12 @@ data file, executor-side, yielding Arrow record batches straight from
 parquet through pyarrow — no JVM round-trip, no driver row materialization.
 
 Scope (documented, enforced with clear errors): parquet data files,
-single-schema tables, unpartitioned writes. V3 deletion vectors ARE read
-natively — each file's task applies its own bitmap as a positional mask,
-no join needed; parquet position deletes and equality deletes still point
-at the reconciled path (or `convert_deletes_to_dvs`).
+single-schema tables, unpartitioned writes. V3 deletion vectors and
+equality deletes ARE read natively — each file's task applies its own
+bitmap as a positional mask (no join), and equality-delete key sets
+(tiny, CDC keys) ship inside the partition with the strictly-lower-
+sequence rule applied at planning; only parquet position-delete files
+still point at the reconciled path (or `convert_deletes_to_dvs`).
 The reconciled paths (MoR anti-joins, field-id schema evolution, avro/orc
 kernels, partition-aware layout) live in `SparkCatalogIO.read_table` /
 `write_table` / `read_incremental`; this source is the spark-idiomatic
@@ -70,6 +72,11 @@ class _FilePartition(InputPartition):
     # V3 DVs are per-file by construction, so the delete side of a scan
     # ships as ONE tuple per partition — no join, no broadcast.
     dv: tuple | None = None
+    # equality deletes applicable to this file: ((key columns), (key value
+    # tuples)) groups. Key sets are tiny by construction (CDC keys), read
+    # once driver-side and serialized into the partition; sequence
+    # filtering (delete seq > file seq) already applied at planning.
+    eq_deletes: tuple = ()
 
 
 def _load(options):
@@ -95,9 +102,9 @@ def _schema_pairs(md: dict) -> tuple:
 
 def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
     """Enforce the source's declared scope with actionable errors. Returns
-    (data entries, {data path → (puffin path, offset, length)}) — V3
-    deletion vectors ARE in scope (each is a per-file bitmap the file's
-    read task applies locally); parquet position deletes and equality
+    (data entries, {data path → DV (puffin path, offset, length)},
+    [(delete seq, key cols, key tuples)] equality-delete groups) — V3
+    deletion vectors and equality deletes ARE in scope; parquet position
     deletes still require the reconciled read path."""
     from denali_spark.sources.mor import _is_dv
 
@@ -107,14 +114,23 @@ def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
         )
         for e in deletes if _is_dv(e)
     }
-    others = [e for e in deletes if not _is_dv(e)]
+    eq_groups = []
+    others = []
+    for e in deletes:
+        if _is_dv(e):
+            continue
+        if e.get("content") == "equality-deletes":
+            eq_groups.append(e)
+        else:
+            others.append(e)
     if others:
         raise NotImplementedError(
-            "table has pending non-vector merge-on-read delete files; read "
-            "it through SparkCatalogIO.read_table (which applies them), "
-            "migrate position deletes with convert_deletes_to_dvs, or "
-            "materialize with rewrite_deletes/compact_data_files"
+            "table has pending parquet position-delete files; read the "
+            "table through SparkCatalogIO.read_table (which applies them), "
+            "migrate them with convert_deletes_to_dvs, or materialize with "
+            "rewrite_deletes/compact_data_files"
         )
+    eq_by_seq = _load_equality_deletes(eq_groups)
     cur = md.get("current-schema-id", 0)
     stale = [e["path"] for e in entries if e.get("schema-id", cur) != cur]
     if stale:
@@ -128,7 +144,35 @@ def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
             "non-parquet data files present; read through "
             "SparkCatalogIO.read_table"
         )
-    return entries, dv_by_path
+    names = {n for n, _t in _schema_pairs(md)}
+    for _seq, cols, _keys in eq_by_seq:
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise NotImplementedError(
+                f"equality-delete key columns {missing} were renamed since "
+                "the delete was written; read through "
+                "SparkCatalogIO.read_table (field-id reconciled)"
+            )
+    return entries, dv_by_path, eq_by_seq
+
+
+def _load_equality_deletes(eq_groups: list[dict]) -> list[tuple]:
+    """[(delete seq, key column tuple, frozenset of key-value tuples)] —
+    key files are tiny (CDC keys, not data), so one driver-side pyarrow
+    read each; planning stays bounded by delete-file size."""
+    if not eq_groups:
+        return []
+    import pyarrow.parquet as pq
+
+    out = []
+    for e in eq_groups:
+        cols = tuple(e["equality-columns"])
+        tbl = pq.read_table(e["path"], columns=list(cols))
+        keys = frozenset(
+            tuple(row[c] for c in cols) for row in tbl.to_pylist()
+        )
+        out.append((int(e.get("sequence-number", 0)), cols, keys))
+    return out
 
 
 def _pa_type(iceberg_type: str):
@@ -181,8 +225,31 @@ def _read_parquet_batches(partition: _FilePartition):
                 mask[deleted[lo:hi] - row] = False
                 batch = batch.filter(pa.array(mask))
         row += n
+        if batch.num_rows and partition.eq_deletes:
+            batch = _apply_eq_deletes(batch, partition.eq_deletes)
         if batch.num_rows:
             yield _shape_batch(batch, partition.columns)
+
+
+def _apply_eq_deletes(batch, eq_deletes):
+    """Drop rows whose key tuple appears in any applicable equality-delete
+    group (null-safe: None matches None, like the reconciled path's
+    eqNullSafe). Key sets are small; the per-row check is a set lookup."""
+    import pyarrow as pa
+
+    for cols, keys in eq_deletes:
+        keyset = set(keys)
+        col_vals = [
+            batch.column(batch.schema.get_field_index(c)).to_pylist()
+            if c in batch.schema.names else [None] * batch.num_rows
+            for c in cols
+        ]
+        mask = [t not in keyset for t in zip(*col_vals)]
+        if not all(mask):
+            batch = batch.filter(pa.array(mask))
+        if not batch.num_rows:
+            break
+    return batch
 
 
 def _shape_batch(batch, columns):
@@ -245,9 +312,12 @@ class _DenaliBatchReader(DataSourceReader):
             data, deletes = split_entries(
                 manifest_entries(_fs_path(snap["manifest-list"]))
             )
-            self._entries, self._dv_by_path = _checked_entries(md, data, deletes)
+            self._entries, self._dv_by_path, self._eq_by_seq = _checked_entries(
+                md, data, deletes
+            )
         else:
             self._dv_by_path = {}
+            self._eq_by_seq = []
 
     def pushFilters(self, filters):
         """File pruning from manifest min/max stats: translatable filters
@@ -272,9 +342,20 @@ class _DenaliBatchReader(DataSourceReader):
             entries = [
                 e for e in entries if file_might_match(expr, e.get("stats"))
             ]
+        def eq_for(e):
+            # strictly-lower-sequence rule: a delete never hits rows
+            # appended after it (mirrors _apply_deletes)
+            fseq = int(e.get("sequence-number", 0))
+            return tuple(
+                (cols, tuple(sorted(keys, key=repr)))
+                for dseq, cols, keys in self._eq_by_seq if fseq < dseq
+            )
+
         return [
             _FilePartition(
-                e["path"], self._columns, dv=self._dv_by_path.get(e["path"])
+                e["path"], self._columns,
+                dv=self._dv_by_path.get(e["path"]),
+                eq_deletes=eq_for(e),
             )
             for e in entries
         ] or [_FilePartition("", self._columns)]
@@ -371,7 +452,7 @@ class _DenaliStreamReader(DataSourceStreamReader):
         added = [
             e for e in data if int(e.get("sequence-number", 0)) in seqs
         ]
-        added, _ = _checked_entries(md, added, [])
+        added, _, _ = _checked_entries(md, added, [])
         self._last = end_id  # rate-limiter base for the next trigger
         return [
             _FilePartition(e["path"], self._columns) for e in added

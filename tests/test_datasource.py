@@ -63,12 +63,18 @@ def test_batch_read_empty_table(spark, io):
     assert df.count() == 0 and df.columns == ["id"]
 
 
-def test_batch_read_refuses_pending_mor_deletes(spark, io):
+def test_batch_read_applies_equality_deletes(spark, io):
+    """Equality-delete key sets ship in the partition and apply with the
+    strictly-lower-sequence rule: rows appended AFTER the delete keep
+    their key."""
     ns = ["dsrc"]
     _append(spark, io, ns, "mor", 0, 10)
     equality_delete(io, ns, "mor", spark.createDataFrame([(3,)], "id long"), on=["id"])
-    with pytest.raises(Exception, match="merge-on-read"):
-        _fmt(spark, io, "mor").load().collect()
+    _append(spark, io, ns, "mor", 20, 24)  # higher sequence than the delete
+    got = sorted(r.id for r in _fmt(spark, io, "mor").load().collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 20, 21, 22, 23]
+    # agrees with the reconciled path
+    assert got == sorted(r.id for r in io.read_table(ns, "mor").collect())
 
 
 def test_stream_consumes_snapshots_incrementally(spark, io):

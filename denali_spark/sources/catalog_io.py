@@ -321,7 +321,14 @@ class SparkCatalogIO:
     def _sql_write(self, qualified: str, select_sql: str, mode: str) -> DataFrame:
         """INSERT INTO / CTAS routing for sql(): run the select through the
         same resolver, commit through write_table, return a one-row summary
-        relation (statement, snapshot id, row count)."""
+        relation (statement, snapshot id, row count).
+
+        INSERT maps the select output to the target schema POSITIONALLY
+        (SQL semantics — `INSERT INTO t SELECT 4, 'x'` must not depend on
+        the literals' auto-generated column names) and casts to the target
+        types. CREATE OR REPLACE drops and recreates the table so the
+        registered schema matches the select (plain overwrite would keep
+        the old schema registered against new files)."""
         from pyspark.sql import functions as F
 
         parts = qualified.split(".")
@@ -333,19 +340,47 @@ class SparkCatalogIO:
         exists = self.client.table_exists(namespace, name)
         if mode == "append" and not exists:
             raise ValueError(f"INSERT INTO unknown table {qualified!r}")
-        if mode == "create":
-            if exists:
-                raise ValueError(
-                    f"table {qualified!r} already exists (use CREATE OR REPLACE)"
-                )
-            mode = "overwrite"
+        if mode == "create" and exists:
+            raise ValueError(
+                f"table {qualified!r} already exists (use CREATE OR REPLACE)"
+            )
         df = self.sql(select_sql)
-        n = df.count()
-        self.write_table(df, namespace, name, mode=mode)
+        if mode == "append":
+            from denali_spark.sources.schema_convert import ICEBERG_TO_DDL
+            from denali_spark.sources.schema_evolution import current_schema
+
+            md = self.client.load_table(namespace, name)["metadata"]
+            fields = current_schema(md)["fields"]
+            if len(df.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT INTO {qualified}: select produces "
+                    f"{len(df.columns)} columns, table has {len(fields)}"
+                )
+            # toDF renames positionally — robust to auto-generated select
+            # column names like `10.0` that no column resolver can parse
+            df = df.toDF(*[f["name"] for f in fields])
+
+            def target_col(f):
+                c = F.col(f["name"])
+                t = f["type"]
+                if isinstance(t, str):  # nested types: positional alias only
+                    c = c.cast(ICEBERG_TO_DDL.get(t, t))
+                return c.alias(f["name"])
+
+            df = df.select(*[target_col(f) for f in fields])
+        elif exists:  # CREATE OR REPLACE: re-register with the new schema
+            self.client.drop_table(namespace, name)
+        self.write_table(
+            df, namespace, name, mode="append" if mode == "append" else "overwrite"
+        )
         md = self.client.load_table(namespace, name)["metadata"]
+        snap = self._resolve_snapshot(md)
+        # single execution: the row count comes from the committed
+        # snapshot's summary, not a second run of the select
+        n = int(snap.get("summary", {}).get("added-records", -1))
         return self.spark.range(1).select(
             F.lit(qualified).alias("table"),
-            F.lit(mode).alias("operation"),
+            F.lit("append" if mode == "append" else "overwrite").alias("operation"),
             F.lit(md["refs"][MAIN]["snapshot-id"]).alias("snapshot_id"),
             F.lit(n).cast("long").alias("rows"),
         )

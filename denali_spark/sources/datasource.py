@@ -386,13 +386,13 @@ class _DenaliStreamReader(DataSourceStreamReader):
             self._initial = md.get("current-snapshot-id")
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft is not None else None
-        # The base the rate limiter advances from: the declared starting
-        # offset, updated to each planned batch's end. After a restart with
-        # a checkpoint AHEAD of the starting offset, the first capped
-        # latestOffset may fall behind the checkpoint — the lineage check
-        # in partitions() then fails LOUDLY (never silent replay); the
-        # first planned batch re-seeds the base from the checkpoint.
-        self._last: int | None = self._initial
+        # The base the rate limiter advances from — set by each planned
+        # batch. None until then: the FIRST trigger after any (re)start is
+        # UNCAPPED, because this API's latestOffset receives no start
+        # offset, and capping from the declared starting offset would fall
+        # behind a restart checkpoint and wedge the stream (the lineage
+        # check would fail every trigger). Steady-state triggers cap.
+        self._last: int | None = None
 
     def _md(self):
         return CatalogClient(self._uri).load_table(self._ns, self._table)[
@@ -610,7 +610,14 @@ def _commit_files(ctx, messages, overwrite: bool, summary_extra: dict) -> None:
         ]
         return _commit_cow(
             io, ns, name, md, parent_id, carried + new,
-            "overwrite" if overwrite else "append", summary_extra,
+            "overwrite" if overwrite else "append",
+            {
+                # the added-* stamps the streaming source's rate limiter
+                # counts during offset negotiation
+                "added-data-files": str(len(new)),
+                "added-records": str(sum(f.get("record-count", 0) for f in new)),
+                **summary_extra,
+            },
         )
 
     _retrying(attempt)

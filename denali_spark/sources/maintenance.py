@@ -527,10 +527,16 @@ def analyze_table(
             raise ValueError(
                 f"bloom_columns must be int/long/string schema columns; got {bad}"
             )
+        cur_schema_id = md.get("current-schema-id", 0)
         entries = [
             e for e in io._manifest_entries(snap["manifest-list"])
             if e.get("content", "data") == "data"
             and e.get("file-format", "parquet") == "parquet"
+            # Soundness: a raw parquet read of a PRE-EVOLUTION file would
+            # see NULLs for renamed columns and produce an empty bloom
+            # that wrongly prunes it. Old-schema files simply get no blob
+            # (never pruned) until a rewrite refreshes them.
+            and e.get("schema-id", cur_schema_id) == cur_schema_id
         ]
         if entries:
             bcols = list(bloom_columns)
@@ -541,19 +547,22 @@ def analyze_table(
                     fpath = fpath[len("file://"):]
                 rows_out = []
                 for c in bcols:
-                    vals = pdf[c].dropna()
-                    if pd.api.types.is_integer_dtype(vals.dtype):
-                        rendered = [str(int(v)) for v in vals.unique()]
-                    else:
-                        rendered = [str(v) for v in vals.unique()]
+                    # values arrive PRE-RENDERED as canonical strings (the
+                    # Spark-side cast below) — a pandas int64-with-null
+                    # column would otherwise coerce to float64 and render
+                    # "17.0", poisoning the filter with false NEGATIVES
+                    rendered = pdf[c].dropna().unique().tolist()
                     rows_out.append(
                         {"f": fpath, "c": c,
                          "blob": build_bloom(rendered, bloom_fpp)}
                     )
                 return pd.DataFrame(rows_out)
 
+            # Cast to string IN SPARK: long→string is the same canonical
+            # rendering value_key() probes with, and nulls stay nulls.
             src = io.spark.read.parquet(*[e["path"] for e in entries]).select(
-                F.input_file_name().alias("_f"), *bcols
+                F.input_file_name().alias("_f"),
+                *[F.col(c).cast("string").alias(c) for c in bcols],
             )
             for r in (
                 src.groupBy("_f")

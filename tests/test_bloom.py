@@ -215,3 +215,21 @@ def test_run_maintenance_pipeline(spark, io):
     data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
     assert deletes == [] and len(data) == 1  # folded + compacted
     assert io.read_table(ns, "t").count() == 90
+
+
+def test_bloom_sound_on_nullable_int_column(spark, io):
+    """Regression: a NULL in an int64 column coerced pandas to float64 and
+    rendered values as '17.0', producing false NEGATIVES (wrongly pruned
+    files). Values must stay findable with NULLs present."""
+    ns = ["bln"]
+    df = spark.range(0, 300).select(
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("uid"),
+        F.col("id").alias("v"),
+    )
+    for k in range(3):
+        io.write_table(df.where(F.col("v") % 3 == k).coalesce(1), ns, "t",
+                       mode="append")
+    analyze_table(io, ns, "t", columns=["uid"], bloom_columns=["uid"])
+    for probe in (17, 101, 299):
+        got = io.read_table(ns, "t", where=E.eq("uid", probe)).collect()
+        assert len(got) == 1 and got[0]["v"] == probe, probe

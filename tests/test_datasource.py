@@ -325,8 +325,7 @@ def test_stream_rate_limit_max_files_per_trigger(spark, io):
 
     ns = ["dsrc"]
     first = _append(spark, io, ns, "rl", 0, 4)
-    for k in range(1, 4):  # three more single-file commits
-        _append(spark, io, ns, "rl", k * 4, (k + 1) * 4)
+    _append(spark, io, ns, "rl", 4, 8)
     md = io.client.load_table(ns, "rl")["metadata"]
     reader = _DenaliStreamReader(
         {"namespace": "dsrc", "table": "rl", "uri": io.client.uri,
@@ -335,16 +334,27 @@ def test_stream_rate_limit_max_files_per_trigger(spark, io):
     )
     start = reader.initialOffset()
     seen = []
-    for _ in range(5):
+
+    def trigger():
+        nonlocal start
         end = reader.latestOffset()
         if end == start:
-            break
+            return False
         parts = reader.partitions(start, end)
         seen.append([p.path for p in parts if p.path])
         start = end
-    # 3 backlog commits x 1 file, one commit per trigger
-    assert [len(b) for b in seen] == [1, 1, 1]
+        return True
+
+    # trigger 1 is UNCAPPED by design (no base before the first planned
+    # batch — restart safety); it drains the initial backlog
+    assert trigger() and len(seen[0]) == 1
+    # three more single-file commits: steady-state triggers cap at 1 file
+    for k in range(2, 5):
+        _append(spark, io, ns, "rl", k * 4, (k + 1) * 4)
+    while trigger():
+        pass
+    assert [len(b) for b in seen] == [1, 1, 1, 1]
     total_rows = sum(
         spark.read.parquet(p).count() for batch in seen for p in batch
     )
-    assert total_rows == 12
+    assert total_rows == 16

@@ -160,11 +160,24 @@ def test_sql_insert_into_and_ctas(spark, io):
 
     io.sql("INSERT INTO wsql.derived SELECT 99 AS k, 1 AS n")
     assert io.sql("SELECT COUNT(*) AS c FROM wsql.derived").collect()[0]["c"] == 8
+    # positional mapping: unaliased literals land in the right columns with
+    # real values (regression: name-based mapping read back as all-NULL)
+    io.sql("INSERT INTO wsql.derived SELECT 123, 45")
+    row = io.sql("SELECT * FROM wsql.derived WHERE k = 123").collect()
+    assert len(row) == 1 and row[0]["n"] == 45
+    with pytest.raises(ValueError, match="columns"):
+        io.sql("INSERT INTO wsql.derived SELECT 1, 2, 3")
 
     with pytest.raises(ValueError, match="already exists"):
         io.sql("CREATE TABLE wsql.derived AS SELECT 1 AS x")
     io.sql("CREATE OR REPLACE TABLE wsql.derived AS SELECT 1 AS one")
     assert io.sql("SELECT * FROM wsql.derived").collect()[0]["one"] == 1
+    # OR REPLACE re-registers the NEW schema (regression: plain overwrite
+    # kept the old registered schema against new files)
+    md = io.client.load_table(["wsql"], "derived")["metadata"]
+    cur = next(s for s in md["schemas"]
+               if s["schema-id"] == md["current-schema-id"])
+    assert [f["name"] for f in cur["fields"]] == ["one"]
     with pytest.raises(ValueError, match="unknown table"):
         io.sql("INSERT INTO wsql.nope SELECT 1 AS x")
 

@@ -45,7 +45,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (historically the first 50 of the registry, now 132 queries), so
+# reaches (historically the first 50 of the registry, now 133 queries), so
 # iteration order is a coverage decision, rotated each round so no query's
 # newest driver-green evidence goes stale. Round-6 order: (1) the 8 NEW
 # round-6 queries (no driver evidence), (2) queries whose newest evidence
@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_interarrival_stats",
     "text_tfidf_topterms",
     "ts_autocorr_lags",
+    "text_novelty_scores",
     # newest driver evidence is round 1 — three rounds stale, refresh first
     "setop_union_all_counts",
     "setop_union_distinct",

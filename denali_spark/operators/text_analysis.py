@@ -18,6 +18,7 @@ from denali_spark.engine.tables import load_table
 from denali_spark.operators.dedup import (
     _SQL_PAIR_CTES,
     _SQL_SIG_BASE,
+    SQL_SHINGLES,
     SQL_TOKENS,
     tokens_col,
 )
@@ -1092,4 +1093,57 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("lang", "term", "tf", "df", "score_scaled")
+    )
+
+
+@query(
+    "text_novelty_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST((1000000 * SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM grams gr JOIN first_seen f USING (g)
+    GROUP BY gr.doc_id
+    """,
+    tags=("text", "novelty", "dedup-signal"),
+)
+def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-word shingles it is the FIRST document (by doc_id order) to
+    introduce into the corpus — low scores flag near-copies and template
+    boilerplate, the cheap memorization/duplication signal a training
+    pipeline tracks alongside MinHash dedup. Counts and the ppm ratio are
+    all-integer, so both engines agree exactly.
+
+    Scale: shingling is scan-local; the only shuffles are the gram →
+    min(doc) aggregation (partial-aggregable) and the join back on the
+    gram key — the same inverted-index shape dedup_ngram_jaccard uses."""
+    from denali_spark.operators.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= 3)
+    grams = toks.select("doc_id", F.explode(shingles_col(F.col("t"))).alias("g"))
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("novelty_ppm"),
     )

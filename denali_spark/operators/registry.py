@@ -47,74 +47,39 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically the first 50 of the registry, now 133 queries), so
 # iteration order is a coverage decision, rotated each round so no query's
-# newest driver-green evidence goes stale. Round-6 order: (1) the 8 NEW
-# round-6 queries (no driver evidence), (2) queries whose newest evidence
-# is round 1 (no round-5 driver artifacts were produced, so they are four
-# rounds stale), (3) the 28 round-5 queries + 4 whose plumbing changed in
-# round 5 (also without driver artifacts yet), (4) round-3-evidence
-# queries, (5) the 50 re-confirmed in round 4 last (freshest evidence).
+# newest driver-green evidence goes stale. Round-7 order (computed from
+# CORRECTNESS_r0{1,2,3,4,6}.json latest-evidence rows): (1) the 36 queries
+# whose newest driver attestation is round 3, (2) any queries NEW this
+# round, (3) the 47 round-4-attested, (4) the 50 round-6-attested last.
 DRIVER_PRIORITY: list[str] = [
-    # NEW round 6 — no driver evidence yet
-    "graph_pagerank_parts",
-    "graph_frequent_pairs",
-    "ts_changepoint_cusum",
-    "sim_sq_topk",
-    "graph_basket_lift",
-    "ts_interarrival_stats",
-    "text_tfidf_topterms",
-    "ts_autocorr_lags",
-    "text_novelty_scores",
-    # newest driver evidence is round 1 — three rounds stale, refresh first
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "win_first_last",
-    "win_running_total",
-    "win_topn_per_group",
-    # NEW this round — no driver evidence yet, check right after the stale 8
-    "dedup_embedding_lsh_pairs",
-    "sem_dedup_pairs",
-    "text_decontaminate",
-    "text_repetition_stats",
-    "ts_ohlc_bars",
-    "ts_anomaly_zscore",
-    "dedup_containment_pairs",
-    "ts_retention_cohorts",
-    "ts_downsample_lttb",
-    "mm_audio_window_rms",
-    "text_dedup_keep_best",
-    "fn_bitwise",
-    "ts_asof_join_forward",
-    "ts_ema_current",
-    "win_streaks",
-    "ts_ema_rows",
-    "agg_hll_mergeable_rollup",
-    "agg_audience_overlap",
-    "text_vocab_growth",
-    "ts_dow_hour_heatmap",
-    "sample_mixture",
-    "text_dup_passages",
-    "ts_interpolate_linear",
-    "ts_seasonal_decompose",
-    "mm_video_scene_cut",
-    "agg_exact_percentiles",
-    "text_bpe_pretokenize",
-    "agg_gini_user_activity",
-    # changed this round (LSH pair plumbing refactored for the growing
-    # online-dedup index; ngram pair gen gained the max_df stop-shingle cap)
-    "dedup_minhash_lsh_pairs",
-    "dedup_incremental_shard",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_connected_components",
-    # newest driver evidence is round 3
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
+    # round-7 rotation: newest driver evidence is round 3 (four rounds
+    # stale; the driver sweep caps at 50, so these 36 MUST be reached) —
+    # refresh first
+    "text_chunk_fixed",
+    "sample_stratified",
+    "text_pii_redact",
+    "text_pack_sequences",
+    "mm_ppm_decode",
+    "text_prepare_corpus",
     "agg_approx_sketches",
-    "setop_intersect_all",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "dedup_exact_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sim_norms_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "mm_binary_metadata",
+    "mm_image_decode",
+    "mm_frame_sample",
+    "mm_featurize",
     "fn_string_kitchen",
     "fn_string_regex",
     "fn_datetime_kitchen",
@@ -122,31 +87,13 @@ DRIVER_PRIORITY: list[str] = [
     "fn_conditional",
     "fn_array_ops",
     "fn_hash",
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_norms_stats",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_top_bigrams",
-    "text_chunk_fixed",
-    "sample_stratified",
-    "text_pii_redact",
-    "text_pack_sequences",
-    "text_prepare_corpus",
-    "mm_binary_metadata",
-    "mm_image_decode",
-    "mm_frame_sample",
-    "mm_featurize",
-    "mm_ppm_decode",
-    # re-confirmed in round 4 — freshest, go last
+    "setop_intersect_all",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    # NEW round-7 queries (no driver evidence yet) are inserted here by
+    # later commits — up to ~14 fit in the 50-query sweep after the 36.
+    # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",
     "ts_gap_fill_hours",
@@ -194,6 +141,57 @@ DRIVER_PRIORITY: list[str] = [
     "agg_histogram_buckets",
     "agg_exact_median",
     "win_rank_parts_by_price",
+    # re-attested in round 6 — freshest, go last
+    "graph_pagerank_parts",
+    "graph_frequent_pairs",
+    "ts_changepoint_cusum",
+    "sim_sq_topk",
+    "graph_basket_lift",
+    "ts_interarrival_stats",
+    "text_tfidf_topterms",
+    "ts_autocorr_lags",
+    "text_novelty_scores",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "win_first_last",
+    "win_running_total",
+    "win_topn_per_group",
+    "dedup_embedding_lsh_pairs",
+    "sem_dedup_pairs",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "ts_ohlc_bars",
+    "ts_anomaly_zscore",
+    "dedup_containment_pairs",
+    "ts_retention_cohorts",
+    "ts_downsample_lttb",
+    "mm_audio_window_rms",
+    "text_dedup_keep_best",
+    "fn_bitwise",
+    "ts_asof_join_forward",
+    "ts_ema_current",
+    "win_streaks",
+    "ts_ema_rows",
+    "agg_hll_mergeable_rollup",
+    "agg_audience_overlap",
+    "text_vocab_growth",
+    "ts_dow_hour_heatmap",
+    "sample_mixture",
+    "text_dup_passages",
+    "ts_interpolate_linear",
+    "ts_seasonal_decompose",
+    "mm_video_scene_cut",
+    "agg_exact_percentiles",
+    "text_bpe_pretokenize",
+    "agg_gini_user_activity",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_shard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_connected_components",
+    "q1_pricing_summary",
 ]
 
 

@@ -37,6 +37,27 @@ def corpus_fingerprint(sf_dir: str, table: str, geometry: str) -> str:
     ).hexdigest()[:16]
 
 
+def index_file_count(
+    sf_dir: str,
+    table: str,
+    floor: int = 8,
+    cap: int = 512,
+    per_file: int = 32 * 1024 * 1024,
+) -> int:
+    """File count for a materialized index, scaled to its CORPUS size.
+
+    Too few files serializes consumers' map-side work (a 1-file index
+    reads back as one scan partition); too many drowns a small corpus in
+    task overhead — measured at sf0.1 a 16-file bucket index costs ~25%
+    steady-state on broadcast-probe queries vs 8 files, while 8 keeps the
+    index self-join fully parallel. The floor of 8 covers every local
+    scale; the count then grows one file per `per_file` corpus bytes so a
+    1000-executor ingest still writes wide. Callers must fold the result
+    into their geometry fingerprint so a layout change rebuilds the cache."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    return max(floor, min(cap, os.stat(src).st_size // per_file + 1))
+
+
 def materialize_parquet(
     spark: SparkSession,
     path: str,

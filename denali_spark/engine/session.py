@@ -43,7 +43,7 @@ def get_spark(app_name: str = "denali_spark", master: str | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Scan-split sizing for the LOCAL test scale (sf<=1): without this,
-        # every small parquet relation — including the 16-file materialized
+        # every small parquet relation — including the multi-file materialized
         # LSH/MinHash indexes — bin-packs into ONE scan partition and every
         # downstream probe join runs on one core. 16MB splits / 1MB open
         # cost give small relations real parallelism; a 100 TB deployment

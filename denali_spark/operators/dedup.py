@@ -165,10 +165,15 @@ def minhash_index_path(sf_dir: str) -> str:
     them)."""
     import os
 
-    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+    )
 
+    n_files = index_file_count(sf_dir, "documents")
     key = corpus_fingerprint(
-        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}f16"
+        sf_dir, "documents", f"{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}f{n_files}"
     )
     return os.path.join(cache_root("minhash"), f"sigs-{key}")
 
@@ -185,15 +190,17 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cache discipline (per-user root, fingerprint invalidation, atomic
     rename, hard _SUCCESS gate): engine.index_cache."""
-    from denali_spark.engine.index_cache import materialize_parquet
+    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
 
-    # 16 files so consumers' band joins and shingle verifications read the
-    # index with real parallelism (f16 in the key rebuilds stale caches).
+    # Corpus-size-scaled file count so consumers' band joins and shingle
+    # verifications read the index with real parallelism without drowning
+    # a small corpus in task overhead (f<N> in the key rebuilds stale
+    # layouts).
     return materialize_parquet(
         spark,
         minhash_index_path(sf_dir),
         lambda: _with_signatures(load_table(spark, sf_dir, "documents")),
-        num_files=16,
+        num_files=index_file_count(sf_dir, "documents"),
     )
 
 

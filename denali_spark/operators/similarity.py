@@ -106,8 +106,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g = table * N_PLANES + plane is the global plane index.
 
 N_TABLES = 4
-# geometry+layout fingerprint component; f16 = 16-file index layout
-LSH_GEOMETRY = f"T{N_TABLES}P{N_PLANES}f16"
+# geometry fingerprint component; the file-count suffix (f<N>) is appended
+# per-corpus in lsh_bucket_index so a layout change rebuilds the cache
+LSH_GEOMETRY = f"T{N_TABLES}P{N_PLANES}"
 
 
 def _plane_term(e: Column, g: int):
@@ -176,10 +177,12 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denali_spark.engine.index_cache import (
         cache_root,
         corpus_fingerprint,
+        index_file_count,
         materialize_parquet,
     )
 
-    key = corpus_fingerprint(sf_dir, "embeddings", LSH_GEOMETRY)
+    n_files = index_file_count(sf_dir, "embeddings")
+    key = corpus_fingerprint(sf_dir, "embeddings", f"{LSH_GEOMETRY}f{n_files}")
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
 
     def _build() -> DataFrame:
@@ -192,11 +195,11 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
 
-    # 16 files hashed on (t, bucket): probe joins against the index read
-    # back 16-way parallel instead of single-partition (f16 in the key
-    # rebuilds stale single-file caches).
+    # Corpus-size-scaled file count hashed on (t, bucket): probe joins
+    # against the index read back that many ways parallel instead of
+    # single-partition (the f<N> key component rebuilds stale layouts).
     return materialize_parquet(
-        spark, path, _build, num_files=16, distribute_by=("t", "bucket")
+        spark, path, _build, num_files=n_files, distribute_by=("t", "bucket")
     )
 
 

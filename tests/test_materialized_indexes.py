@@ -82,12 +82,18 @@ def test_partial_index_directory_raises_not_consumed(spark, tmp_path):
     silently consumed as the index (round-4 ADVICE)."""
     import pytest
 
-    from denali_spark.engine.index_cache import cache_root, corpus_fingerprint
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+    )
 
     d = _copy_sf(tmp_path, ["embeddings"])
     from denali_spark.operators.similarity import LSH_GEOMETRY, lsh_bucket_index
 
-    key = corpus_fingerprint(d, "embeddings", LSH_GEOMETRY)
+    key = corpus_fingerprint(
+        d, "embeddings", f"{LSH_GEOMETRY}f{index_file_count(d, 'embeddings')}"
+    )
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
     # Partial leftover: data files but no _SUCCESS (a crashed build). An
     # EMPTY dir would be atomically replaced by the rebuild's rename — the
@@ -106,3 +112,18 @@ def test_cache_root_is_per_user():
     from denali_spark.engine.index_cache import cache_root
 
     assert cache_root("sim").endswith(f"-{os.getuid()}")
+
+
+def test_index_file_count_scales_with_corpus(tmp_path):
+    """Floor of 8 at local scale; grows ~1 file per 32MB of corpus; capped."""
+    from denali_spark.engine.index_cache import index_file_count
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"x" * 1024)  # tiny corpus -> floor
+    assert index_file_count(str(tmp_path), "documents") == 8
+    assert index_file_count(str(tmp_path), "documents", floor=2) == 2
+    # a 1 GiB corpus -> 33 files; the cap bounds runaway counts
+    with open(p, "wb") as f:
+        f.truncate(1024 * 1024 * 1024)  # sparse, no real disk use
+    assert index_file_count(str(tmp_path), "documents") == 33
+    assert index_file_count(str(tmp_path), "documents", cap=16) == 16

@@ -123,12 +123,20 @@ def bloom_prune(
     if stat is None:
         return entries
     from denali_spark.sources.puffin import read_blob, read_puffin_footer
+    from denali_spark.sources.schema_evolution import current_schema
 
-    index: dict[tuple[str, str], tuple[str, int, int]] = {}
+    # Match blobs to predicates by FIELD ID (bm["fields"]), not by the
+    # column-name property: after a rename that reuses a column name
+    # (metadata-only commit — the snapshot id, and hence the statistics
+    # registration, is unchanged) a name-keyed lookup would probe the
+    # wrong column's filter and wrongly prune files holding matches.
+    id_by_name = {f["name"]: f["id"] for f in current_schema(md)["fields"]}
+    index: dict[tuple[str, int], tuple[str, int, int]] = {}
     for bm in stat.get("blob-metadata", []):
         props = bm.get("properties", {})
-        if bm.get("type") == BLOOM_BLOB_TYPE and "file" in props:
-            index[(props["file"], props["column"])] = (
+        fields = bm.get("fields") or []
+        if bm.get("type") == BLOOM_BLOB_TYPE and "file" in props and len(fields) == 1:
+            index[(props["file"], fields[0])] = (
                 stat["statistics-path"], bm["offset"], bm["length"]
             )
     if not index:
@@ -140,7 +148,10 @@ def bloom_prune(
     for e in entries:
         drop = False
         for term, values in eqs:
-            loc = index.get((e["path"], term))
+            fid = id_by_name.get(term)
+            if fid is None:
+                continue
+            loc = index.get((e["path"], fid))
             if loc is None:
                 continue
             blob = cache.get(loc)

@@ -368,11 +368,37 @@ class SparkCatalogIO:
                 return c.alias(f["name"])
 
             df = df.select(*[target_col(f) for f in fields])
-        elif exists:  # CREATE OR REPLACE: re-register with the new schema
+        if exists and mode != "append":
+            # CREATE OR REPLACE: fully write the replacement under a temp
+            # name BEFORE touching the original — the select is lazy and
+            # only executes inside write_table, so a drop-then-write order
+            # would leave the table dropped (history unregistered) if the
+            # select failed at runtime. Iceberg's REPLACE TABLE is one
+            # transaction; this is the write-then-swap approximation: any
+            # failure before the swap leaves the original intact, and a
+            # failed swap re-registers the original metadata location.
+            tmp = f"{name}__replace__{uuid.uuid4().hex[:8]}"
+            try:
+                self.write_table(df, namespace, tmp, mode="overwrite")
+            except BaseException:
+                if self.client.table_exists(namespace, tmp):
+                    self.client.drop_table(namespace, tmp)
+                raise
+            old_location = self.client.load_table(namespace, name).get(
+                "metadata-location"
+            )
             self.client.drop_table(namespace, name)
-        self.write_table(
-            df, namespace, name, mode="append" if mode == "append" else "overwrite"
-        )
+            try:
+                self.client.rename_table((namespace, tmp), (namespace, name))
+            except BaseException:
+                if old_location:
+                    self.client.register_table(namespace, name, old_location)
+                raise
+        else:
+            self.write_table(
+                df, namespace, name,
+                mode="append" if mode == "append" else "overwrite",
+            )
         md = self.client.load_table(namespace, name)["metadata"]
         snap = self._resolve_snapshot(md)
         # single execution: the row count comes from the committed

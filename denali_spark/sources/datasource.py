@@ -409,8 +409,11 @@ class _DenaliStreamReader(DataSourceStreamReader):
             return {"snapshot_id": cur}
         # Advance at most max_files data files along the snapshot chain
         # (always at least one snapshot so progress is guaranteed). File
-        # counts come from the added-data-files summary stamp — no
-        # manifest reads during offset negotiation.
+        # counts come from the added-data-files summary stamp when present;
+        # snapshots without the stamp (tables written by older commit
+        # paths) fall back to counting their manifest-list's data entries
+        # at this snapshot's sequence number — otherwise they'd count as 0
+        # and a trigger could admit unboundedly many files past the cap.
         from denali_spark.sources.incremental import _chain
 
         try:
@@ -420,11 +423,24 @@ class _DenaliStreamReader(DataSourceStreamReader):
         total = 0
         end = self._last
         for snap in chain:
-            total += int(snap.get("summary", {}).get("added-data-files", 0))
+            total += self._added_file_count(snap)
             if total > self._max_files and end != self._last:
                 break
             end = snap["snapshot-id"]
         return {"snapshot_id": end}
+
+    def _added_file_count(self, snap: dict) -> int:
+        stamp = snap.get("summary", {}).get("added-data-files")
+        if stamp is not None:
+            return int(stamp)
+        from denali_spark.catalog.metadata import _fs_path
+        from denali_spark.sources.catalog_io import manifest_entries, split_entries
+
+        seq = snap.get("sequence-number", 0)
+        data, _deletes = split_entries(
+            manifest_entries(_fs_path(snap["manifest-list"]))
+        )
+        return sum(1 for e in data if int(e.get("sequence-number", 0)) == seq)
 
     def partitions(self, start: dict, end: dict):
         from denali_spark.catalog.metadata import _fs_path

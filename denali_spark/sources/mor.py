@@ -64,7 +64,12 @@ from denali_spark.sources.expressions import (
     lt_eq,
     to_spark_sql,
 )
-from denali_spark.sources.row_ops import _commit_cow, _plan, _retrying
+from denali_spark.sources.row_ops import (
+    _check_merge_cardinality,
+    _commit_cow,
+    _plan,
+    _retrying,
+)
 from denali_spark.sources.schema_evolution import current_schema
 
 
@@ -440,6 +445,7 @@ def merge_into_mor(
             matched = target.join(
                 source.select(*on).dropDuplicates(), on=on, how="left_semi"
             ).persist()
+            _check_merge_cardinality(source, matched, on)
         if when_matched == "update":
             appended = source if when_not_matched_insert else (
                 source.join(matched.select(*on), on=on, how="left_semi")

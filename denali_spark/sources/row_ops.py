@@ -222,6 +222,31 @@ def update_where(
     return _retrying(attempt)
 
 
+def _check_merge_cardinality(source: DataFrame, matched: DataFrame, on: list[str]) -> None:
+    """Raise when a target row is matched by more than one source row —
+    the ON-clause cardinality rule Spark and Iceberg MERGE both enforce
+    (duplicate keys among UNMATCHED source rows are legal: they simply
+    both insert). Without this check the duplicates would silently apply
+    as delete-once/append-N, duplicating rows. One bounded job: source
+    keys with count>1, semi-joined to the (deduplicated) matched keys,
+    LIMIT 1."""
+    dup = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .join(matched.select(*on).dropDuplicates(), on=on, how="left_semi")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in on}
+        raise ValueError(
+            "MERGE cardinality violation: a single target row matches "
+            f"multiple source rows (e.g. key {key}); deduplicate the "
+            "source on the ON columns first"
+        )
+
+
 def merge_into(
     io: SparkCatalogIO,
     namespace: list[str],
@@ -259,6 +284,11 @@ def merge_into(
         md, parent_id, candidates, untouched = _plan(io, namespace, name, prune)
         if candidates:
             target = _read_candidates(io, md, parent_id, candidates)
+            _check_merge_cardinality(
+                source,
+                target.join(source.select(*on).dropDuplicates(), on=on, how="left_semi"),
+                on,
+            )
             keep = target.join(source.select(*on), on=on, how="left_anti")
         else:
             target = None

@@ -233,3 +233,51 @@ def test_bloom_sound_on_nullable_int_column(spark, io):
     for probe in (17, 101, 299):
         got = io.read_table(ns, "t", where=E.eq("uid", probe)).collect()
         assert len(got) == 1 and got[0]["v"] == probe, probe
+
+
+def test_bloom_matches_by_field_id_after_rename(spark, io):
+    """Blobs are matched to predicates by FIELD ID, not column name: after
+    a metadata-only commit that swaps two column names (snapshot id — and
+    hence the statistics registration — unchanged), a probe on the reused
+    name must consult the filter of the column that NOW carries that name
+    (same field id as before the swap held the other name), not the stale
+    name->blob mapping. A name-keyed lookup silently drops matching rows
+    here; the field-id lookup keeps the scan correct."""
+    ns = ["blr"]
+    for k in range(4):
+        df = spark.range(k * 100, (k + 1) * 100).select(
+            F.md5(F.col("id").cast("string")).alias("a"),
+            F.md5((F.col("id") + 1000000).cast("string")).alias("b"),
+        ).coalesce(1)
+        io.write_table(df, ns, "t", mode="append")
+    analyze_table(io, ns, "t", columns=["a", "b"], bloom_columns=["a", "b"])
+
+    # the value we'll look up lives in file 2's ORIGINAL column b
+    probe = spark.sql(
+        "SELECT md5(CAST(1000250 AS STRING)) AS h"
+    ).collect()[0]["h"]
+
+    md = io.client.load_table(ns, "t")["metadata"]
+    cur = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    swapped = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": [
+            {**f, "name": {"a": "b", "b": "a"}[f["name"]]}
+            for f in cur["fields"]
+        ],
+    }
+    io.client.commit_table(
+        ns, "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[
+            {"action": "add-schema", "schema": swapped},
+            {"action": "set-current-schema", "schema-id": -1},
+        ],
+    )
+
+    # post-swap, the value is under the NAME "a" (field id of original b)
+    rows = io.read_table(ns, "t", where=E.eq("a", probe)).collect()
+    assert len(rows) == 1 and rows[0]["a"] == probe

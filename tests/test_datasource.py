@@ -358,3 +358,25 @@ def test_stream_rate_limit_max_files_per_trigger(spark, io):
         spark.read.parquet(p).count() for batch in seen for p in batch
     )
     assert total_rows == 16
+
+
+def test_rate_limiter_counts_unstamped_snapshots_via_manifests(spark, io):
+    """Snapshots lacking the added-data-files summary stamp (tables
+    written by commit paths that don't stamp it) must NOT count as zero
+    files — the limiter falls back to counting the snapshot's
+    manifest-list data entries at its own sequence number, so a trigger
+    still respects the cap."""
+    from denali_spark.sources.datasource import _DenaliStreamReader
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "rlu", 0, 4)
+    snap2 = _append(spark, io, ns, "rlu", 4, 8)
+    md = io.client.load_table(ns, "rlu")["metadata"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap2)
+    stamped = _DenaliStreamReader._added_file_count(None, snap)
+    stripped = {**snap, "summary": {
+        k: v for k, v in snap.get("summary", {}).items()
+        if k != "added-data-files"
+    }}
+    fallback = _DenaliStreamReader._added_file_count(None, stripped)
+    assert stamped == fallback == 1

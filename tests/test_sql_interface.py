@@ -193,3 +193,34 @@ def test_sql_version_as_of_branch_or_tag(spark, io):
         io.sql("SELECT COUNT(*) AS n FROM br.t FOR VERSION AS OF 'v1'")
         .collect()[0]["n"] == 10
     )
+
+
+def test_create_or_replace_failing_select_leaves_table_intact(spark, io):
+    """CREATE OR REPLACE is write-then-swap: the replacement is fully
+    written (temp name) BEFORE the original is touched, so a select that
+    fails at RUNTIME (lazy — it only executes inside the write) leaves the
+    original table fully registered, readable, and with its history; the
+    temp table is cleaned up."""
+    io.sql("CREATE TABLE cor.t AS SELECT 1 AS a UNION ALL SELECT 2 AS a")
+    md_before = io.client.load_table(["cor"], "t")["metadata"]
+    with pytest.raises(Exception, match="boom"):
+        io.sql(
+            "CREATE OR REPLACE TABLE cor.t AS "
+            "SELECT CAST(raise_error('boom') AS INT) AS a FROM cor.t"
+        )
+    # original intact: same current snapshot, same rows
+    md_after = io.client.load_table(["cor"], "t")["metadata"]
+    assert (
+        md_after["refs"]["main"]["snapshot-id"]
+        == md_before["refs"]["main"]["snapshot-id"]
+    )
+    assert sorted(r["a"] for r in io.sql("SELECT a FROM cor.t").collect()) == [1, 2]
+    # no __replace__ temp table left behind
+    leftovers = [
+        t for t in io.client.list_tables(["cor"]) if "__replace__" in str(t)
+    ]
+    assert leftovers == []
+    # and a SUCCESSFUL replace still swaps schema + data
+    io.sql("CREATE OR REPLACE TABLE cor.t AS SELECT 'x' AS s")
+    out = io.sql("SELECT * FROM cor.t").collect()
+    assert len(out) == 1 and out[0]["s"] == "x"

@@ -136,8 +136,12 @@ def bloom_prune(
         props = bm.get("properties", {})
         fields = bm.get("fields") or []
         if bm.get("type") == BLOOM_BLOB_TYPE and "file" in props and len(fields) == 1:
+            # blobs live in per-task sidecar Puffin files (properties.path)
+            # written executor-side; older layouts embedded them in the
+            # statistics file itself
             index[(props["file"], fields[0])] = (
-                stat["statistics-path"], bm["offset"], bm["length"]
+                props.get("path", stat["statistics-path"]),
+                bm["offset"], bm["length"],
             )
     if not index:
         return entries

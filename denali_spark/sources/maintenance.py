@@ -128,12 +128,18 @@ def expire_snapshots(
         removed_ids = {s["snapshot-id"] for s in removable}
         for stat in md.get("statistics", []) + md.get("partition-statistics", []):
             if stat["snapshot-id"] in removed_ids:
-                try:
-                    os.remove(_fs_path(stat.get(
-                        "statistics-path", stat.get("path", "")
-                    )))
-                except OSError:
-                    pass
+                doomed_stats = {stat.get("statistics-path", stat.get("path", ""))}
+                # per-task bloom sidecars referenced by blob-metadata
+                # path properties ride along with their statistics entry
+                for bm in stat.get("blob-metadata", []):
+                    p = bm.get("properties", {}).get("path")
+                    if p:
+                        doomed_stats.add(p)
+                for p in doomed_stats:
+                    try:
+                        os.remove(_fs_path(p))
+                    except OSError:
+                        pass
     return result
 
 
@@ -454,11 +460,15 @@ def analyze_table(
     natively, and the estimate also rides in the blob properties so
     non-Spark readers need no sketch decode).
 
-    With `bloom_columns`, the same statistics file additionally carries a
-    PER-FILE bloom filter blob for each named column (int/long/string
-    only) — the point-predicate file-pruning index `read_table` consults
-    for `eq` conjuncts (sources/bloom.py). Build cost is one extra pass
-    grouped by file; the blobs are a few KB per (file, column).
+    With `bloom_columns`, the registered blob-metadata additionally
+    carries a PER-FILE bloom filter blob for each named column (int/long/
+    string only) — the point-predicate file-pruning index `read_table`
+    consults for `eq` conjuncts (sources/bloom.py). The filter bytes are
+    written EXECUTOR-side into per-task Puffin sidecar files (Iceberg's
+    one-Puffin-per-writer-task layout; the blob-metadata entries name the
+    sidecar in their `path` property) so a 100 TB analyze never funnels
+    files×columns of filter bytes through the driver. Build cost is one
+    extra pass grouped by file; the blobs are a few KB per (file, column).
 
     Returns {"path", "snapshot-id", "row-count", "ndv": {col: int}}.
     """
@@ -540,6 +550,8 @@ def analyze_table(
         ]
         if entries:
             bcols = list(bloom_columns)
+            sidecar_dir = os.path.join(_fs_path(md["location"]), "metadata")
+            sidecar_prefix = f"{snapshot_id}-bloom-{uuid.uuid4().hex[:8]}"
 
             def bloom_kernel(key, pdf):
                 fpath = key[0]
@@ -558,6 +570,40 @@ def analyze_table(
                     )
                 return pd.DataFrame(rows_out)
 
+            def write_task_sidecars(batches):
+                # One Puffin SIDECAR per non-empty task (the per-writer-task
+                # layout): filter bytes never transit the driver — only
+                # (file, column, path, offset, length) metadata rows do.
+                from denali_spark.sources.puffin import write_puffin
+
+                acc = []
+                for pdf in batches:
+                    for r in pdf.itertuples(index=False):
+                        acc.append((r.f, r.c, bytes(r.blob)))
+                if not acc:
+                    return
+                acc.sort(key=lambda t: (t[0], t[1]))
+                os.makedirs(sidecar_dir, exist_ok=True)
+                spath = os.path.join(
+                    sidecar_dir,
+                    f"{sidecar_prefix}-{uuid.uuid4().hex[:8]}.puffin",
+                )
+                metas = write_puffin(
+                    spath,
+                    [
+                        {"type": BLOOM_BLOB_TYPE, "data": blob,
+                         "properties": {"file": f, "column": c}}
+                        for f, c, blob in acc
+                    ],
+                )
+                yield pd.DataFrame(
+                    [
+                        {"f": f, "c": c, "path": spath,
+                         "offset": m["offset"], "length": m["length"]}
+                        for (f, c, _blob), m in zip(acc, metas)
+                    ]
+                )
+
             # Cast to string IN SPARK: long→string is the same canonical
             # rendering value_key() probes with, and nulls stay nulls.
             src = io.spark.read.parquet(*[e["path"] for e in entries]).select(
@@ -567,18 +613,27 @@ def analyze_table(
             for r in (
                 src.groupBy("_f")
                 .applyInPandas(bloom_kernel, "f string, c string, blob binary")
+                .mapInPandas(
+                    write_task_sidecars,
+                    "f string, c string, path string, offset long, length long",
+                )
                 .collect()
             ):
+                # Meta-only entry: offset/length point into the SIDECAR
+                # file named by properties.path (engine-private blob type;
+                # the registered statistics file itself holds the HLL
+                # blobs). bloom_prune resolves the path property first.
                 bloom_blobs.append(
                     {
                         "type": BLOOM_BLOB_TYPE,
-                        "data": bytes(r["blob"]),
                         "fields": [by_name[r["c"]]["id"]],
                         "snapshot-id": snapshot_id,
                         "sequence-number": seq,
+                        "offset": r["offset"],
+                        "length": r["length"],
                         "properties": {
                             "file": r["f"], "column": r["c"],
-                            "fpp": str(bloom_fpp),
+                            "fpp": str(bloom_fpp), "path": r["path"],
                         },
                     }
                 )
@@ -600,7 +655,6 @@ def analyze_table(
                 },
             }
         )
-    blobs += bloom_blobs
     stats_dir = os.path.join(_fs_path(md["location"]), "metadata")
     os.makedirs(stats_dir, exist_ok=True)
     path = os.path.join(stats_dir, f"{snapshot_id}-{uuid.uuid4().hex[:8]}.stats.puffin")
@@ -613,7 +667,9 @@ def analyze_table(
         "statistics-path": path,
         "file-size-in-bytes": os.path.getsize(path),
         "file-footer-size-in-bytes": 4 + payload_len + 12,
-        "blob-metadata": metas,
+        # the registered blob list spans the stats file (HLL) AND the
+        # per-task bloom sidecars (meta-only entries carrying their path)
+        "blob-metadata": metas + bloom_blobs,
     }
     io.client.commit_table(
         namespace, name,

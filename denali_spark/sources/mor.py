@@ -179,6 +179,13 @@ def equality_delete(
     return _retrying(attempt)
 
 
+# Target size of one executor-written Puffin file: a writer task flushes
+# its buffered deletion-vector blobs whenever they reach this many bytes,
+# bounding both task memory and file size independently of how AQE sizes
+# the encode shuffle's partitions.
+DV_PUFFIN_TARGET_BYTES = 64 * 1024 * 1024
+
+
 def _is_dv(entry: dict) -> bool:
     return (
         entry.get("content") == "position-deletes"
@@ -189,72 +196,104 @@ def _is_dv(entry: dict) -> bool:
 def _write_dv_file(
     io: SparkCatalogIO, matches: DataFrame, md: dict, merge_dvs: list[dict]
 ) -> list[dict]:
-    """Aggregate (file_path, pos) rows into ONE roaring-bitmap blob per
-    referenced data file, serialized EXECUTOR-side (applyInPandas keyed by
-    file — positions never transit the driver uncompressed), then write a
-    single Puffin file holding every blob and return one manifest entry per
-    vector. `merge_dvs` are the prior deletion vectors being replaced: V3
-    requires at most one DV per data file, so their positions are unioned
-    into the new bitmaps (their decode is executor-side too, via the same
-    `_dv_positions_df` rows the read path uses).
-
-    The driver materializes only the serialized bitmaps (≤ ~2 bytes per
-    deleted row, one blob per touched file) — the 100 TB-honest bound is
-    "bytes ∝ rows deleted this commit", the same bound Iceberg's own
-    one-Puffin-per-writer-task layout has."""
+    """Aggregate (file_path, pos) rows into one roaring-bitmap blob per
+    referenced data file and write the blobs into PER-TASK Puffin files,
+    both EXECUTOR-side — Iceberg's one-Puffin-per-writer-task layout. The
+    encode stage (applyInPandas keyed by file) feeds a mapInPandas stage
+    in which each non-empty partition writes its blobs to its own Puffin
+    file under the table's deletes/ dir and yields only (ref, path,
+    offset, length, cardinality, size) metadata rows; the driver collects
+    those rows — never bitmap bytes — and assembles manifest entries. A
+    bulk delete touching 10^6 files at 100 TB thus funnels kilobytes of
+    metadata through the driver, not gigabytes of bitmaps. `merge_dvs`
+    are the prior deletion vectors being replaced: V3 requires at most
+    one DV per data file, so their positions are unioned into the new
+    bitmaps (their decode is executor-side too, via the same
+    `_dv_positions_df` rows the read path uses)."""
     import pandas as pd
 
-    from denali_spark.sources.puffin import (
-        DELETION_VECTOR_V1,
-        encode_dv_blob,
-        write_puffin,
-    )
+    from denali_spark.sources.puffin import encode_dv_blob
 
     if merge_dvs:
         matches = matches.unionByName(io._dv_positions_df(merge_dvs))
+    out_dir = os.path.join(_fs_path(md["location"]), "deletes", uuid.uuid4().hex[:12])
 
-    def kernel(key, pdf):
+    def encode(key, pdf):
         blob, card = encode_dv_blob(pdf["pos"].tolist())
         return pd.DataFrame([{"ref": key[0], "blob": blob, "card": card}])
 
+    def write_task_puffins(batches):
+        from denali_spark.sources.puffin import DELETION_VECTOR_V1, write_puffin
+
+        def flush(buf):
+            buf.sort(key=lambda t: t[0])
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:12]}.puffin")
+            metas = write_puffin(
+                path,
+                [
+                    {
+                        "type": DELETION_VECTOR_V1,
+                        "data": blob,
+                        "properties": {
+                            "referenced-data-file": f"file://{ref}",
+                            "cardinality": str(card),
+                        },
+                    }
+                    for ref, blob, card in buf
+                ],
+            )
+            size = os.path.getsize(path)
+            return pd.DataFrame(
+                [
+                    {
+                        "ref": ref,
+                        "path": path,
+                        "offset": m["offset"],
+                        "length": m["length"],
+                        "card": card,
+                        "size": size,
+                    }
+                    for (ref, blob, card), m in zip(buf, metas)
+                ]
+            )
+
+        buf, buffered = [], 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.blob)
+                buf.append((r.ref, blob, int(r.card)))
+                buffered += len(blob)
+                # flush at the target file size: bounds task memory AND
+                # keeps puffin files a sane size even when AQE coalesces
+                # the encode shuffle into few partitions
+                if buffered >= DV_PUFFIN_TARGET_BYTES:
+                    yield flush(buf)
+                    buf, buffered = [], 0
+        if buf:
+            yield flush(buf)
+
     rows = (
         matches.groupBy("file_path")
-        .applyInPandas(kernel, "ref string, blob binary, card long")
+        .applyInPandas(encode, "ref string, blob binary, card long")
+        .mapInPandas(
+            write_task_puffins,
+            "ref string, path string, offset long, length long, card long, size long",
+        )
         .collect()
     )
-    if not rows:
-        return []
-    out_dir = os.path.join(_fs_path(md["location"]), "deletes", uuid.uuid4().hex[:12])
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"dv-{uuid.uuid4().hex[:12]}.puffin")
-    rows = sorted(rows, key=lambda r: r["ref"])
-    metas = write_puffin(
-        path,
-        [
-            {
-                "type": DELETION_VECTOR_V1,
-                "data": r["blob"],
-                "properties": {
-                    "referenced-data-file": f"file://{r['ref']}",
-                    "cardinality": str(r["card"]),
-                },
-            }
-            for r in rows
-        ],
-    )
-    size = os.path.getsize(path)
     return [
         {
-            "path": path,
+            "path": r["path"],
             "content": "position-deletes",
             "file-format": "puffin",
             "referenced-data-file": r["ref"],
-            "content-offset": m["offset"],
-            "content-size-in-bytes": m["length"],
+            "content-offset": r["offset"],
+            "content-size-in-bytes": r["length"],
             "record-count": r["card"],
-            "file-size-bytes": size,
+            "file-size-bytes": r["size"],
         }
-        for r, m in zip(rows, metas)
+        for r in sorted(rows, key=lambda r: r["ref"])
     ]
 
 

@@ -412,3 +412,39 @@ def test_concurrent_dv_deletes_cas_merge(spark, io):
     assert deletes[0]["record-count"] == 20
     got = sorted(r["id"] for r in io.read_table(ns, name).collect())
     assert got == [i for i in range(100) if not (10 <= i < 20 or 30 <= i < 40)]
+
+
+def test_dv_commit_writes_per_task_puffins(spark, io):
+    """A delete touching many data files produces MULTIPLE Puffin files —
+    one per writer task (Iceberg's layout), written executor-side; the
+    driver assembles manifest entries from metadata rows only. Every
+    vector must still read back correctly across the files."""
+    ns, name = _chunked_table(spark, io, name="mt", n_chunks=8, rows=10)
+    # at this toy scale AQE coalesces the encode shuffle into ONE task
+    # (one puffin); disable coalescing so the write runs genuinely
+    # multi-task, like any real-scale delete would
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        delete_where_dv(io, ns, name, E.eq("grp", "g1"))  # hits every file
+    finally:
+        spark.conf.set(key, prior)
+
+    data, deletes = split_entries(_entries(io, ns, name))
+    assert len(deletes) == 8  # one DV entry per touched data file
+    puffins = {e["path"] for e in deletes}
+    assert len(puffins) > 1  # per-task files, not one driver-side file
+    # offsets/lengths point inside their own file and decode correctly
+    total = 0
+    for e in deletes:
+        blob = open(e["path"], "rb").read()[
+            e["content-offset"]: e["content-offset"] + e["content-size-in-bytes"]
+        ]
+        positions = P.decode_dv_blob(blob)
+        assert len(positions) == e["record-count"]
+        total += len(positions)
+    assert total == 27  # ids ≡ 1 (mod 3) in range(80)
+    out = io.read_table(ns, name)
+    assert out.count() == 80 - 27
+    assert out.where("grp = 'g1'").count() == 0

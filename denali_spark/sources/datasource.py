@@ -77,6 +77,14 @@ class _FilePartition(InputPartition):
     # once driver-side and serialized into the partition; sequence
     # filtering (delete seq > file seq) already applied at planning.
     eq_deletes: tuple = ()
+    # V2 parquet position-delete FILE PATHS (not their rows): the executor
+    # reads each with a file_path == this-partition's-path filter (delete
+    # files are sorted by (file_path, pos), so parquet row-group stats
+    # prune the irrelevant spans) and merges the positions into the DV
+    # mask. Rows never transit the driver. No sequence check is needed:
+    # data file paths are unique per commit, so a delete row can never
+    # alias a newer file (same argument as the reconciled path's).
+    pos_deletes: tuple = ()
 
 
 def _load(options):
@@ -100,12 +108,12 @@ def _schema_pairs(md: dict) -> tuple:
     )
 
 
-def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
+def _checked_entries(md: dict, entries, deletes) -> tuple:
     """Enforce the source's declared scope with actionable errors. Returns
     (data entries, {data path → DV (puffin path, offset, length)},
-    [(delete seq, key cols, key tuples)] equality-delete groups) — V3
-    deletion vectors and equality deletes ARE in scope; parquet position
-    deletes still require the reconciled read path."""
+    [(delete seq, key cols, key tuples)] equality-delete groups,
+    (V2 parquet position-delete file paths)) — all three MoR delete
+    shapes read natively."""
     from denali_spark.sources.mor import _is_dv
 
     dv_by_path = {
@@ -115,21 +123,14 @@ def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
         for e in deletes if _is_dv(e)
     }
     eq_groups = []
-    others = []
+    pos_paths = []
     for e in deletes:
         if _is_dv(e):
             continue
         if e.get("content") == "equality-deletes":
             eq_groups.append(e)
         else:
-            others.append(e)
-    if others:
-        raise NotImplementedError(
-            "table has pending parquet position-delete files; read the "
-            "table through SparkCatalogIO.read_table (which applies them), "
-            "migrate them with convert_deletes_to_dvs, or materialize with "
-            "rewrite_deletes/compact_data_files"
-        )
+            pos_paths.append(e["path"])
     eq_by_seq = _load_equality_deletes(eq_groups)
     cur = md.get("current-schema-id", 0)
     stale = [e["path"] for e in entries if e.get("schema-id", cur) != cur]
@@ -153,7 +154,7 @@ def _checked_entries(md: dict, entries, deletes) -> tuple[list[dict], dict]:
                 "the delete was written; read through "
                 "SparkCatalogIO.read_table (field-id reconciled)"
             )
-    return entries, dv_by_path, eq_by_seq
+    return entries, dv_by_path, eq_by_seq, tuple(sorted(pos_paths))
 
 
 def _load_equality_deletes(eq_groups: list[dict]) -> list[tuple]:
@@ -194,20 +195,38 @@ def _pa_type(iceberg_type: str):
 
 
 def _read_parquet_batches(partition: _FilePartition):
-    """Executor-side: one data file → Arrow record batches. A deletion
-    vector, when present, is decoded from its blob with one ranged read
-    and applied as a positional mask while streaming — file row order is
-    exactly the position space the vector was written against."""
+    """Executor-side: one data file → Arrow record batches. Deleted
+    positions — a deletion vector decoded with one ranged blob read,
+    and/or V2 parquet position-delete files scanned with a
+    file_path == this-file filter (row-group stats prune the rest of the
+    sorted delete file) — are applied as a positional mask while
+    streaming; file row order is exactly the position space the deletes
+    were written against."""
     import pyarrow.parquet as pq
 
-    deleted = None
+    pos_sets = []
     if partition.dv is not None:
-        import numpy as np
-
         from denali_spark.sources.puffin import read_dv_positions
 
         p, off, length = partition.dv
-        deleted = np.asarray(read_dv_positions(p, off, length), dtype=np.int64)
+        pos_sets.append(read_dv_positions(p, off, length))
+    if partition.pos_deletes:
+        # delete rows store the lineage-normalized plain path; match the
+        # file:// spelling too for delete files written by other engines
+        spellings = [partition.path, f"file://{partition.path}"]
+        for dpath in partition.pos_deletes:
+            t = pq.read_table(
+                dpath, columns=["file_path", "pos"],
+                filters=[("file_path", "in", spellings)],
+            )
+            pos_sets.append(t.column("pos").to_pylist())
+    deleted = None
+    if pos_sets:
+        import numpy as np
+
+        deleted = np.unique(
+            np.concatenate([np.asarray(s, dtype=np.int64) for s in pos_sets])
+        ) if any(len(s) for s in pos_sets) else None
 
     pf = pq.ParquetFile(partition.path)
     present = set(pf.schema_arrow.names)
@@ -312,12 +331,12 @@ class _DenaliBatchReader(DataSourceReader):
             data, deletes = split_entries(
                 manifest_entries(_fs_path(snap["manifest-list"]))
             )
-            self._entries, self._dv_by_path, self._eq_by_seq = _checked_entries(
-                md, data, deletes
-            )
+            (self._entries, self._dv_by_path, self._eq_by_seq,
+             self._pos_deletes) = _checked_entries(md, data, deletes)
         else:
             self._dv_by_path = {}
             self._eq_by_seq = []
+            self._pos_deletes = ()
 
     def pushFilters(self, filters):
         """File pruning from manifest min/max stats: translatable filters
@@ -356,6 +375,7 @@ class _DenaliBatchReader(DataSourceReader):
                 e["path"], self._columns,
                 dv=self._dv_by_path.get(e["path"]),
                 eq_deletes=eq_for(e),
+                pos_deletes=self._pos_deletes,
             )
             for e in entries
         ] or [_FilePartition("", self._columns)]
@@ -468,7 +488,7 @@ class _DenaliStreamReader(DataSourceStreamReader):
         added = [
             e for e in data if int(e.get("sequence-number", 0)) in seqs
         ]
-        added, _, _ = _checked_entries(md, added, [])
+        added, _, _, _ = _checked_entries(md, added, [])
         self._last = end_id  # rate-limiter base for the next trigger
         return [
             _FilePartition(e["path"], self._columns) for e in added

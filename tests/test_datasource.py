@@ -302,18 +302,25 @@ def test_batch_read_applies_deletion_vectors(spark, io):
     assert pruned.count() == 40
 
 
-def test_batch_read_dv_then_parquet_delete_refuses(spark, io):
-    """A parquet positional delete alongside vectors still refuses, and the
-    message names the migration."""
+def test_batch_read_applies_parquet_position_deletes_natively(spark, io):
+    """V2 parquet position-delete files read natively alongside deletion
+    vectors: each task scans the delete files with a file_path == its-file
+    filter and merges the positions into its mask — no reconciled-path
+    fallback, no convert_deletes_to_dvs required."""
     from denali_spark.sources import delete_where_dv, delete_where_mor
     from denali_spark.sources import expressions as E
 
     ns = ["dsrc"]
     _append(spark, io, ns, "mix", 0, 20)
+    _append(spark, io, ns, "mix", 20, 40)
     delete_where_dv(io, ns, "mix", E.eq("id", 1))
     delete_where_mor(io, ns, "mix", E.eq("id", 2))
-    with pytest.raises(Exception, match="convert_deletes_to_dvs"):
-        _fmt(spark, io, "mix").load().collect()
+    delete_where_mor(io, ns, "mix", E.and_(E.gt_eq("id", 18), E.lt("id", 22)))
+
+    got = sorted(r.id for r in _fmt(spark, io, "mix").load().collect())
+    assert got == [i for i in range(40) if i not in (1, 2, 18, 19, 20, 21)]
+    # agrees with the reconciled path
+    assert got == sorted(r.id for r in io.read_table(ns, "mix").collect())
 
 
 def test_stream_rate_limit_max_files_per_trigger(spark, io):

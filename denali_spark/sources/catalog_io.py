@@ -48,6 +48,36 @@ LINEAGE_FILE = "__dsp_file_path"
 LINEAGE_POS = "__dsp_pos"
 
 
+def _mask_literals(text: str) -> tuple[str, list[str]]:
+    """Replace SQL string literals with \\x00<i>\\x00 placeholders so the
+    textual name/qualification rewrites can never touch one (a literal
+    containing "ns.table" must stay a literal). Literals that FOLLOW
+    `AS OF` stay live — they are operands of the time-travel syntax the
+    rewrite itself consumes."""
+    import re as _re
+
+    literals: list[str] = []
+    parts: list[str] = []
+    last = 0
+    for lm in _re.finditer(r"'(?:[^']|'')*'", text):
+        if _re.search(r"\bAS\s+OF\s*$", text[: lm.start()], _re.IGNORECASE):
+            continue
+        parts.append(text[last: lm.start()])
+        parts.append(f"\x00{len(literals)}\x00")
+        literals.append(lm.group(0))
+        last = lm.end()
+    parts.append(text[last:])
+    return "".join(parts), literals
+
+
+def _unmask_literals(text: str, literals: list[str]) -> str:
+    import re as _re
+
+    return _re.sub(
+        r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], text
+    )
+
+
 def summary_totals(files: list[dict]) -> dict[str, str]:
     """Iceberg's standard total-* snapshot summary properties, derived from
     the snapshot's FULL entry set (carried + added): what UIs and planners
@@ -248,9 +278,10 @@ class SparkCatalogIO:
         both through write_table (CAS-retried snapshot commits), returning
         the engine's commit-summary DataFrame.
 
-        Known limit (documented): matching is textual — a qualified name
-        inside a string literal would also be rewritten. Quote such
-        literals differently or read via read_table directly."""
+        String literals are masked before the textual rewrite (so a
+        literal containing `ns.table` is never rewritten) and restored
+        before execution; the literals following `AS OF` stay live because
+        they are part of the time-travel syntax itself."""
         import hashlib
         import re as _re
 
@@ -283,7 +314,7 @@ class SparkCatalogIO:
             r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
             r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
         )
-        rewritten = query
+        rewritten, literals = _mask_literals(query)
         for q in sorted(refs, key=len, reverse=True):
             kind, ns, name = refs[q]
             pat = _re.compile(
@@ -309,14 +340,21 @@ class SparkCatalogIO:
                         ns, name, snapshot_id=snap_id, ref=ref, as_of_ms=as_of_ms
                     )
                 else:
-                    if snap_id is not None or ref is not None or as_of_ms is not None:
-                        raise ValueError(f"time travel on view {q!r} unsupported")
-                    df = self._view_df(ns, name, _depth, refs)
+                    if ref is not None:
+                        raise ValueError(
+                            f"view {q!r}: FOR VERSION AS OF '<name>' is not "
+                            "applicable — views have numbered versions, not "
+                            "branches/tags; use the version id or a timestamp"
+                        )
+                    df = self._view_df(
+                        ns, name, _depth, refs,
+                        version_id=snap_id, as_of_ms=as_of_ms,
+                    )
                 df.createOrReplaceTempView(view)
                 return view
 
             rewritten = pat.sub(repl, rewritten)
-        return self.spark.sql(rewritten)
+        return self.spark.sql(_unmask_literals(rewritten, literals))
 
     def _sql_write(self, qualified: str, select_sql: str, mode: str) -> DataFrame:
         """INSERT INTO / CTAS routing for sql(): run the select through the
@@ -412,36 +450,105 @@ class SparkCatalogIO:
         )
 
     def _view_df(
-        self, ns: list[str], name: str, depth: int, refs: dict
+        self, ns: list[str], name: str, depth: int, refs: dict,
+        version_id: int | None = None, as_of_ms: int | None = None,
     ) -> DataFrame:
         """Materialize a catalog view through its stored SQL representation
         (spark dialect preferred, else the first), resolving nested
         references recursively. Unqualified table names in the view body
-        are qualified with the view's default-namespace — only in
-        FROM/JOIN position (so a COLUMN that happens to share a table's
-        name is left alone) and case-insensitively (SQL identifiers),
-        replaced with the catalog's stored casing."""
+        are qualified with the view's default-namespace — in FROM/JOIN
+        position and as members of a comma-separated FROM list (so a
+        COLUMN that happens to share a table's name is left alone) and
+        case-insensitively (SQL identifiers), replaced with the catalog's
+        stored casing.
+
+        Time travel: `version_id` pins an exact entry of the view's
+        version list; `as_of_ms` resolves through the version-log (the
+        latest version whose timestamp is at or before the instant) —
+        Iceberg view metadata versions exactly as the reference models it
+        (/root/reference/iceberg-overload/view/metadata.go:35-44,
+        Versions + VersionLog)."""
         import re as _re
 
         md = self.client.load_view(ns, name)["metadata"]
-        current = md["current-version-id"]
-        version = next(v for v in md["versions"] if v["version-id"] == current)
+        if version_id is not None:
+            version = next(
+                (v for v in md["versions"] if v["version-id"] == version_id),
+                None,
+            )
+            if version is None:
+                raise ValueError(
+                    f"view {'.'.join([*ns, name])} has no version {version_id}"
+                )
+        elif as_of_ms is not None:
+            eligible = [
+                e for e in md.get("version-log", [])
+                if e["timestamp-ms"] <= as_of_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"view {'.'.join([*ns, name])} has no version at or "
+                    f"before timestamp {as_of_ms}"
+                )
+            vid = max(eligible, key=lambda e: e["timestamp-ms"])["version-id"]
+            version = next(v for v in md["versions"] if v["version-id"] == vid)
+        else:
+            current = md["current-version-id"]
+            version = next(v for v in md["versions"] if v["version-id"] == current)
         reps = version.get("representations", [])
         if not reps:
             raise ValueError(f"view {'.'.join([*ns, name])} has no SQL representation")
         rep = next((r for r in reps if r.get("dialect") == "spark"), reps[0])
-        body = rep["sql"]
+        body, body_literals = _mask_literals(rep["sql"])
         default_ns = version.get("default-namespace") or ns
-        for q, (_kind, ident_ns, bare) in refs.items():
-            if ident_ns != default_ns:
-                continue
+        by_bare = {
+            bare.lower(): q
+            for q, (_kind, ident_ns, bare) in refs.items()
+            if ident_ns == default_ns
+        }
+        for bare_l, q in by_bare.items():
             body = _re.sub(
-                r"(\b(?:FROM|JOIN)\s+)" + _re.escape(bare) + r"(?![\w.`])",
+                r"(\b(?:FROM|JOIN)\s+)" + _re.escape(bare_l) + r"(?![\w.`])",
                 lambda m, q=q: m.group(1) + q,
                 body,
                 flags=_re.IGNORECASE,
             )
-        return self.sql(body, _depth=depth + 1, _refs=refs)
+
+        def qualify_from_list(m):
+            # `FROM a, b c` (comma join) — qualify the leading identifier
+            # of every comma-separated item (the FROM/JOIN pass above
+            # already handled the first). The segment stops at parens and
+            # clause keywords, so `IN (1,2)`, subqueries, and
+            # `ORDER BY c, d` never contribute items.
+            head, seg = m.group(1), m.group(2)
+            tail = ""
+            cut = _re.search(
+                r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|"
+                r"INTERSECT|JOIN|ON|WINDOW)\b",
+                seg, _re.IGNORECASE,
+            )
+            if cut:
+                seg, tail = seg[: cut.start()], seg[cut.start():]
+
+            def item(p):
+                mm = _re.match(r"(\s*)([A-Za-z_][\w.]*)(?![\w.`])(.*)", p, _re.DOTALL)
+                if mm:
+                    lead, word, rest = mm.groups()
+                    if "." not in word and word.lower() in by_bare:
+                        return lead + by_bare[word.lower()] + rest
+                return p
+
+            return head + ",".join(item(p) for p in seg.split(",")) + tail
+
+        body = _re.sub(
+            r"(\bFROM\s+)([^,();]+(?:,[^();]+)+)",
+            qualify_from_list,
+            body,
+            flags=_re.IGNORECASE,
+        )
+        return self.sql(
+            _unmask_literals(body, body_literals), _depth=depth + 1, _refs=refs
+        )
 
     def _post_scan_report(self, namespace, name, md, snap, entries, where) -> None:
         """Fire-and-forget scan report to the catalog's metrics endpoint

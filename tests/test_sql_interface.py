@@ -107,9 +107,9 @@ def test_sql_view_resolution_and_nesting(spark, io):
     )
 
 
-def test_sql_view_time_travel_rejected(spark, io):
-    with pytest.raises(ValueError, match="time travel on view"):
-        io.sql("SELECT * FROM westeros.evens FOR VERSION AS OF 1")
+def test_sql_view_time_travel_unknown_version_rejected(spark, io):
+    with pytest.raises(ValueError, match="no version 424242"):
+        io.sql("SELECT * FROM westeros.evens FOR VERSION AS OF 424242")
 
 
 def test_sql_name_boundaries(spark, io):
@@ -224,3 +224,81 @@ def test_create_or_replace_failing_select_leaves_table_intact(spark, io):
     io.sql("CREATE OR REPLACE TABLE cor.t AS SELECT 'x' AS s")
     out = io.sql("SELECT * FROM cor.t").collect()
     assert len(out) == 1 and out[0]["s"] == "x"
+
+
+def test_string_literal_containing_table_name_not_rewritten(spark, io):
+    """The documented hazard, now fixed: a string literal containing
+    `ns.table` must flow through as a literal, never be rewritten into a
+    temp-view name."""
+    out = io.sql(
+        "SELECT 'westeros.my_table' AS lit, COUNT(*) AS n FROM westeros.my_table"
+    ).collect()
+    assert out[0]["lit"] == "westeros.my_table" and out[0]["n"] == 100
+    # escaped-quote form survives too
+    out2 = io.sql("SELECT 'it''s westeros.my_table' AS lit").collect()
+    assert out2[0]["lit"] == "it's westeros.my_table"
+
+
+def test_view_body_comma_join_qualifies_both_tables(spark, io):
+    """`FROM a, b` in a view body: BOTH tables resolve against the view's
+    default-namespace, not just the one behind the FROM keyword."""
+    io.write_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        ),
+        ["westeros"], "dim2", mode="overwrite",
+    )
+    io.client.create_view(
+        ["westeros"], "cj",
+        "SELECT t.k AS k, d.w AS w FROM my_table t, dim2 d "
+        "WHERE t.k = d.k AND t.id < 10",
+    )
+    out = io.sql("SELECT COUNT(*) AS n FROM westeros.cj").collect()
+    assert out[0]["n"] == 10
+
+
+def test_view_version_travel(spark, io):
+    """FOR VERSION AS OF <id> / FOR TIMESTAMP AS OF on a VIEW resolves
+    through the view's version list / version-log (Iceberg view metadata
+    is versioned — reference view/metadata.go Versions + VersionLog)."""
+    import time
+
+    io.client.create_namespace(["vv"])
+    io.client.create_view(["vv"], "v", "SELECT 1 AS a")
+    md1 = io.client.load_view(["vv"], "v")["metadata"]
+    v1 = md1["current-version-id"]
+    t_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    md_v = io.client.load_view(["vv"], "v")["metadata"]
+    io.client.replace_view(
+        ["vv"], "v",
+        requirements=[{"type": "assert-view-uuid", "uuid": md_v["view-uuid"]}],
+        updates=[
+            {"action": "add-view-version", "view-version": {
+                "version-id": v1 + 1, "timestamp-ms": int(time.time() * 1000),
+                "schema-id": 0, "summary": {"operation": "replace"},
+                "representations": [{"type": "sql",
+                                     "sql": "SELECT 2 AS a, 3 AS b",
+                                     "dialect": "spark"}],
+                "default-namespace": ["vv"],
+            }},
+            {"action": "set-current-view-version", "view-version-id": v1 + 1},
+        ],
+    )
+    md2 = io.client.load_view(["vv"], "v")["metadata"]
+    v2 = md2["current-version-id"]
+    assert v2 != v1
+
+    cur = io.sql("SELECT * FROM vv.v").collect()
+    assert cur[0]["a"] == 2 and cur[0]["b"] == 3
+    old = io.sql(f"SELECT * FROM vv.v FOR VERSION AS OF {v1}").collect()
+    assert old[0].asDict() == {"a": 1}
+    ts = io.sql(
+        "SELECT * FROM vv.v FOR TIMESTAMP AS OF "
+        f"'{__import__('datetime').datetime.fromtimestamp(t_between / 1000, __import__('datetime').timezone.utc).isoformat()}'"
+    ).collect()
+    assert ts[0].asDict() == {"a": 1}
+    with pytest.raises(ValueError, match="no version 99999"):
+        io.sql("SELECT * FROM vv.v FOR VERSION AS OF 99999").collect()
+    with pytest.raises(ValueError, match="branches/tags"):
+        io.sql("SELECT * FROM vv.v FOR VERSION AS OF 'main'").collect()

@@ -29,14 +29,16 @@ nullable field per partition-spec field, carrying its field-id) whenever a
 spec is known and every entry's tuple fits it — year/bucket/int-source
 identity/truncate values as longs, the rest as strings.
 
+`month`/`day`/`hour` partition values are carried as the spec's integer
+transform results (months/days/hours from epoch, round 7) and rendered
+back to the engine's readable strings by the read adapter.
+
 Remaining documented deviations from what pyiceberg/SparkCatalog could
 consume directly (full interop is environment-blocked here — no Iceberg
 jar/pyiceberg to test against, SURVEY §8):
-- r102 string fields keep the engine's READABLE value encoding
-  (month/day/hour partition values are "2024-01[-02[-15]]" strings, not
-  Iceberg's int encodings), and mixed-spec snapshots (after partition
-  evolution) fall back to a name-keyed JSON map for that manifest —
-  real Iceberg splits manifests per spec-id instead;
+- mixed-spec snapshots (after partition evolution) fall back to a
+  name-keyed JSON map for that manifest — real Iceberg splits manifests
+  per spec-id instead;
 - columns absent from the schema (or with non-encodable stat values) fall
   back to name-keyed JSON bounds in `x_lower_bounds_json` /
   `x_upper_bounds_json` / `x_null_counts_json`;
@@ -258,14 +260,50 @@ def _schema_by_id(schema: dict | None) -> dict[int, tuple[str, str]]:
     }
 
 
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_TIME_TRANSFORMS = ("month", "day", "hour")
+
+
+def readable_to_spec_int(transform: str, v: str) -> int:
+    """The engine's readable partition-dir value → Iceberg's integer
+    transform result (spec: month = months from 1970-01, day = days from
+    epoch, hour = hours from epoch; all UTC)."""
+    if transform == "month":
+        y, m = v.split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if transform == "day":
+        return (datetime.date.fromisoformat(v) - _EPOCH_DATE).days
+    if transform == "hour":
+        y, m, d, h = v.split("-")
+        dt = datetime.datetime(
+            int(y), int(m), int(d), int(h), tzinfo=datetime.timezone.utc
+        )
+        return int(dt.timestamp()) // 3600
+    raise ValueError(f"no integer spec encoding for transform {transform!r}")
+
+
+def spec_int_to_readable(transform: str, v: int) -> str:
+    """Inverse of readable_to_spec_int (Iceberg's toHumanString shapes)."""
+    if transform == "month":
+        return f"{1970 + v // 12:04d}-{v % 12 + 1:02d}"
+    if transform == "day":
+        return (_EPOCH_DATE + datetime.timedelta(days=v)).isoformat()
+    if transform == "hour":
+        dt = datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(hours=v)
+        return dt.strftime("%Y-%m-%d-%H")
+    raise ValueError(f"no integer spec encoding for transform {transform!r}")
+
+
 def partition_value_types(
     spec_fields: list | None, schema: dict | None
 ) -> dict[str, str] | None:
     """{partition field name → avro type} for the typed r102 partition
-    struct. `long` only where the engine's readable partition-dir encoding
-    is a canonical integer string (year, bucket[N], identity/truncate over
-    int/long sources); everything else stays `string` (the documented
-    readable-encoding deviation — month/day/hour dirs are date strings)."""
+    struct. `long` where the value carries Iceberg's integer transform
+    result (year, bucket[N], month/day/hour as months/days/hours from
+    epoch — round 7 — and identity/truncate over int/long sources);
+    everything else stays `string`."""
     if not spec_fields or schema is None:
         return None
     by_id = {f["id"]: f for f in schema["fields"]}
@@ -273,7 +311,7 @@ def partition_value_types(
     for pf in spec_fields:
         t = pf["transform"]
         src = by_id.get(pf["source-id"])
-        if t == "year" or t.startswith("bucket["):
+        if t == "year" or t in _TIME_TRANSFORMS or t.startswith("bucket["):
             out[pf["name"]] = "long"
         elif (
             (t == "identity" or t.startswith("truncate["))
@@ -286,11 +324,21 @@ def partition_value_types(
     return out
 
 
-def _typed_partition_ok(entries: list[dict], vtypes: dict[str, str]) -> bool:
+def partition_transforms(spec_fields: list | None) -> dict[str, str]:
+    """{partition field name → transform} — the map the value
+    encode/decode needs to convert month/day/hour between the engine's
+    readable strings and the spec's epoch integers."""
+    return {pf["name"]: pf["transform"] for pf in (spec_fields or [])}
+
+
+def _typed_partition_ok(
+    entries: list[dict], vtypes: dict[str, str], transforms: dict[str, str]
+) -> bool:
     """Can every entry's partition tuple be carried by the typed struct?
-    Requires exact key agreement with the spec and canonical integer
-    strings for long-typed fields, so decode→stringify round-trips are
-    byte-exact with the hive-path-derived internal values."""
+    Requires exact key agreement with the spec, canonical integer strings
+    for plain long fields, and parseable readable encodings for
+    month/day/hour — so decode→stringify round-trips are byte-exact with
+    the hive-path-derived internal values."""
     for e in entries:
         part = e.get("partition")
         if part is None:
@@ -304,9 +352,14 @@ def _typed_partition_ok(entries: list[dict], vtypes: dict[str, str]) -> bool:
                 return False
             if vtypes[k] == "long":
                 try:
-                    if str(int(v)) != v:
+                    if transforms.get(k) in _TIME_TRANSFORMS:
+                        if spec_int_to_readable(
+                            transforms[k], readable_to_spec_int(transforms[k], v)
+                        ) != v:
+                            return False
+                    elif str(int(v)) != v:
                         return False
-                except ValueError:
+                except (ValueError, OverflowError, OSError):
                     return False
     return True
 
@@ -355,6 +408,7 @@ def _partition_is_typed(manifest_schema: dict) -> bool:
 def entry_to_data_file(
     e: dict, schema: dict | None = None,
     partition_vtypes: dict[str, str] | None = None,
+    partition_transforms_map: dict[str, str] | None = None,
 ) -> dict:
     """Internal manifest-entry dict → spec-shaped data_file record. With a
     schema, bounds/null-counts are field-id-keyed binary single-values;
@@ -387,12 +441,21 @@ def entry_to_data_file(
     if part is None:
         penc = None
     elif partition_vtypes is not None:
-        # typed r102 struct: long fields parse their canonical int strings
-        penc = {
-            k: (None if (v := part.get(k)) is None
-                else int(v) if partition_vtypes[k] == "long" else v)
-            for k in partition_vtypes
-        }
+        # typed r102 struct: month/day/hour readable values become the
+        # spec's epoch integers; other long fields parse their canonical
+        # int strings
+        tmap = partition_transforms_map or {}
+
+        def _enc(k, v):
+            if v is None:
+                return None
+            if partition_vtypes[k] != "long":
+                return v
+            if tmap.get(k) in _TIME_TRANSFORMS:
+                return readable_to_spec_int(tmap[k], v)
+            return int(v)
+
+        penc = {k: _enc(k, part.get(k)) for k in partition_vtypes}
     else:
         penc = {k: json.dumps(v) for k, v in part.items()}
     path = e["path"]
@@ -470,6 +533,7 @@ def _decode_bounds(rec: dict, schema: dict | None) -> dict[str, dict]:
 def data_file_to_entry(
     rec: dict, sequence_number: int | None, schema: dict | None = None,
     partition_typed: bool = False,
+    partition_transforms_map: dict[str, str] | None = None,
 ) -> dict:
     """Spec-shaped data_file record → internal manifest-entry dict. Only
     keys that were present on write reappear, so round-trips are exact."""
@@ -489,9 +553,18 @@ def data_file_to_entry(
     if rec["partition"] is not None:
         if partition_typed:
             # typed r102 struct → back to the internal name→string tuple
+            # (month/day/hour epoch integers render readable again)
+            tmap = partition_transforms_map or {}
+
+            def _dec(k, v):
+                if isinstance(v, int):
+                    if tmap.get(k) in _TIME_TRANSFORMS:
+                        return spec_int_to_readable(tmap[k], v)
+                    return str(v)
+                return v
+
             e["partition"] = {
-                k: (str(v) if isinstance(v, int) else v)
-                for k, v in rec["partition"].items()
+                k: _dec(k, v) for k, v in rec["partition"].items()
             }
         else:
             e["partition"] = {k: json.loads(v) for k, v in rec["partition"].items()}
@@ -519,6 +592,7 @@ def data_file_to_entry(
 def _entry_record(
     e: dict, snapshot_id: int, schema: dict | None,
     partition_vtypes: dict[str, str] | None = None,
+    partition_transforms_map: dict[str, str] | None = None,
 ) -> dict:
     seq = e.get("sequence-number")
     return {
@@ -526,7 +600,9 @@ def _entry_record(
         "snapshot_id": snapshot_id,
         "sequence_number": seq,
         "file_sequence_number": seq,
-        "data_file": entry_to_data_file(e, schema, partition_vtypes),
+        "data_file": entry_to_data_file(
+            e, schema, partition_vtypes, partition_transforms_map
+        ),
     }
 
 
@@ -541,9 +617,18 @@ def write_manifest_list(
     """Write the two-level Avro layout: data and delete entries go into
     separate manifests (Iceberg keeps delete manifests distinct so scan
     planning can load them independently), then one manifest-list names
-    both. `schema` (the table's current Iceberg schema) enables field-id
-    binary bounds and is embedded in each manifest's header metadata for
-    the read adapter. Returns the manifest-list path."""
+    both. `schema` (the table's current Iceberg schema) is REQUIRED
+    (round 7): bounds are always field-id-keyed binary single-values and
+    the schema is embedded in each manifest's header metadata for the
+    read adapter — the name-keyed JSON fields remain only as a read-compat
+    shape for legacy manifests and for stats of columns since dropped
+    from the schema. Returns the manifest-list path."""
+    if schema is None:
+        raise ValueError(
+            "write_manifest_list requires the table schema: bounds are "
+            "field-id-keyed binary single-values (Iceberg spec Appendix D); "
+            "schema-less name-keyed JSON bounds are a read-only legacy shape"
+        )
     os.makedirs(metadata_dir, exist_ok=True)
     groups: list[tuple[int, list[dict]]] = []
     data = [e for e in entries if e.get("content", "data") == "data"]
@@ -560,10 +645,11 @@ def write_manifest_list(
     # manifest keeps the legacy name-keyed JSON map (self-describing either
     # way via the embedded Avro schema).
     vtypes = partition_value_types(partition_spec, schema)
+    tmap = partition_transforms(partition_spec)
 
     def entry_rows(group, group_vtypes):
         for e in group:
-            rec = _entry_record(e, snapshot_id, schema, group_vtypes)
+            rec = _entry_record(e, snapshot_id, schema, group_vtypes, tmap)
             yield tuple(rec[name] for name in entry_fields)
 
     manifest_files = []
@@ -583,7 +669,8 @@ def write_manifest_list(
         # under an older spec) fail the exact-key check and keep the
         # name-keyed map — real Iceberg splits manifests per spec-id.
         group_vtypes = (
-            vtypes if vtypes and _typed_partition_ok(group, vtypes) else None
+            vtypes if vtypes and _typed_partition_ok(group, vtypes, tmap)
+            else None
         )
         entry_schema = (
             _entry_schema_with_partition(
@@ -650,6 +737,9 @@ def read_manifest_list(list_path: str) -> list[dict]:
         mschema, mrows, mmeta = read_ocf_with_meta(mf["manifest_path"])
         table_schema = json.loads(mmeta["schema"]) if "schema" in mmeta else None
         typed_part = _partition_is_typed(mschema)
+        tmap = partition_transforms(
+            json.loads(mmeta.get("partition-spec", "[]"))
+        )
         mnames = [f["name"] for f in mschema["fields"]]
         for mrow in mrows:
             rec = dict(zip(mnames, mrow))
@@ -657,6 +747,7 @@ def read_manifest_list(list_path: str) -> list[dict]:
                 data_file_to_entry(
                     rec["data_file"], rec["sequence_number"], table_schema,
                     partition_typed=typed_part,
+                    partition_transforms_map=tmap,
                 )
             )
     return entries

@@ -179,17 +179,22 @@ def _decode_manifest_rows(path: str) -> Iterator[dict]:
 
     from denali_spark.sources.avro_ocf import read_ocf_with_meta
 
-    from denali_spark.sources.manifests import _partition_is_typed
+    from denali_spark.sources.manifests import (
+        _partition_is_typed,
+        partition_transforms,
+    )
 
     mschema, mrows, mmeta = read_ocf_with_meta(path)
     table_schema = json.loads(mmeta["schema"]) if "schema" in mmeta else None
     typed_part = _partition_is_typed(mschema)
+    tmap = partition_transforms(json.loads(mmeta.get("partition-spec", "[]")))
     names = [f["name"] for f in mschema["fields"]]
     for mrow in mrows:
         rec = dict(zip(names, mrow))
         e = data_file_to_entry(
             rec["data_file"], rec["sequence_number"], table_schema,
             partition_typed=typed_part,
+            partition_transforms_map=tmap,
         )
         yield flat(e, rec["status"], rec["snapshot_id"])
 

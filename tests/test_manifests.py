@@ -80,13 +80,15 @@ ENTRIES = [
 ]
 
 
-def test_roundtrip_entries_exact(tmp_path):
-    loc = write_manifest_list(str(tmp_path / "metadata"), 777, [dict(e) for e in ENTRIES])
-    assert loc.endswith("snap-777.manifest-list.avro")
-    got = read_manifest_list(loc)
-    assert sorted(got, key=lambda e: e["path"]) == sorted(
-        [dict(e) for e in ENTRIES], key=lambda e: e["path"]
-    )
+def test_write_without_schema_refuses(tmp_path):
+    """Schema-less writes would fall back to name-keyed JSON bounds — a
+    spec deviation dropped in round 7; the writer now requires a schema."""
+    import pytest
+
+    with pytest.raises(ValueError, match="requires the table schema"):
+        write_manifest_list(
+            str(tmp_path / "metadata"), 777, [dict(e) for e in ENTRIES]
+        )
 
 
 def test_roundtrip_entries_exact_with_schema(tmp_path):
@@ -179,7 +181,9 @@ def test_pruner_reads_decoded_binary_bounds(tmp_path):
 
 
 def test_data_and_delete_manifests_are_separate(tmp_path):
-    loc = write_manifest_list(str(tmp_path / "m"), 1, [dict(e) for e in ENTRIES])
+    loc = write_manifest_list(
+        str(tmp_path / "m"), 1, [dict(e) for e in ENTRIES], schema=SCHEMA
+    )
     from denali_spark.sources.avro_ocf import read_ocf
 
     schema, rows = read_ocf(loc)
@@ -194,7 +198,7 @@ def test_data_and_delete_manifests_are_separate(tmp_path):
 
 
 def test_empty_snapshot_has_empty_data_manifest(tmp_path):
-    loc = write_manifest_list(str(tmp_path / "m"), 9, [])
+    loc = write_manifest_list(str(tmp_path / "m"), 9, [], schema=SCHEMA)
     assert read_manifest_list(loc) == []
 
 
@@ -316,7 +320,7 @@ def test_data_file_paths_are_uris_in_avro():
     d = tempfile.mkdtemp()
     entries = [{"path": "/wh/t/data/a.parquet", "file-format": "parquet",
                 "record-count": 3, "file-size-bytes": 10, "sequence-number": 1}]
-    lst = write_manifest_list(d, 42, entries)
+    lst = write_manifest_list(d, 42, entries, schema=SCHEMA)
     schema, rows = __import__("denali_spark.sources.avro_ocf", fromlist=["read_ocf"]).read_ocf(lst)
     names = [f["name"] for f in schema["fields"]]
     mf = dict(zip(names, rows[0] if isinstance(rows, list) else next(iter(rows))))
@@ -326,3 +330,50 @@ def test_data_file_paths_are_uris_in_avro():
     assert rec["data_file"]["file_path"] == "file:///wh/t/data/a.parquet"
     back = read_manifest_list(lst)
     assert back[0]["path"] == "/wh/t/data/a.parquet"
+
+
+def test_r102_time_transform_values_are_spec_integers(tmp_path):
+    """month/day/hour partition values travel as Iceberg's integer
+    transform results (months/days/hours from epoch, UTC) in the typed
+    r102 struct, and render back to the engine's readable strings."""
+    from denali_spark.sources.avro_ocf import read_ocf, read_ocf_with_meta
+    from denali_spark.sources.manifests import (
+        readable_to_spec_int,
+        spec_int_to_readable,
+    )
+
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [{"id": 1, "name": "ts", "required": False,
+                    "type": "timestamp"}],
+    }
+    spec = [
+        {"name": "ts_month", "transform": "month", "source-id": 1, "field-id": 1000},
+        {"name": "ts_day", "transform": "day", "source-id": 1, "field-id": 1001},
+        {"name": "ts_hour", "transform": "hour", "source-id": 1, "field-id": 1002},
+    ]
+    entry = {
+        "path": "/wh/t/data/c.parquet", "file-format": "parquet",
+        "record-count": 1, "file-size-bytes": 10, "sequence-number": 1,
+        "partition": {"ts_month": "2024-03", "ts_day": "2024-03-15",
+                      "ts_hour": "2024-03-15-09"},
+    }
+    loc = write_manifest_list(
+        str(tmp_path / "m"), 5, [dict(entry)],
+        schema=schema, partition_spec=spec,
+    )
+    lschema, lrows = read_ocf(loc)
+    lnames = [f["name"] for f in lschema["fields"]]
+    mpath = dict(zip(lnames, lrows[0]))["manifest_path"]
+    mschema, mrows, _ = read_ocf_with_meta(mpath)
+    mnames = [f["name"] for f in mschema["fields"]]
+    raw = dict(zip(mnames, mrows[0]))["data_file"]["partition"]
+    assert raw == {"ts_month": 650, "ts_day": 19797, "ts_hour": 475137}
+    # round-trip back to the readable engine encoding
+    back = read_manifest_list(loc)
+    assert back[0]["partition"] == entry["partition"]
+    # helper inverses, incl. pre-epoch values (floor semantics)
+    for tr, v in (("month", "1969-12"), ("day", "1969-12-31"),
+                  ("hour", "1969-12-31-23")):
+        assert readable_to_spec_int(tr, v) == -1
+        assert spec_int_to_readable(tr, -1) == v

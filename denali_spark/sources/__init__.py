@@ -5,6 +5,7 @@ from denali_spark.sources.incremental import read_incremental
 from denali_spark.sources.maintenance import (
     analyze_partitions,
     analyze_table,
+    analyze_table_incremental,
     compact_data_files,
     expire_snapshots,
     partition_statistics,
@@ -35,6 +36,7 @@ __all__ = [
     "add_column",
     "analyze_partitions",
     "analyze_table",
+    "analyze_table_incremental",
     "partition_statistics",
     "run_maintenance",
     "compact_data_files",

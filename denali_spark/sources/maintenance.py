@@ -126,7 +126,19 @@ def expire_snapshots(
         # commit; reclaim the Puffin files (no live snapshot can reference
         # them — set-statistics upserts are per-snapshot).
         removed_ids = {s["snapshot-id"] for s in removable}
-        for stat in md.get("statistics", []) + md.get("partition-statistics", []):
+        all_stats = md.get("statistics", []) + md.get("partition-statistics", [])
+        # Incremental ANALYZE carries prior bloom sidecar references
+        # forward, so a sidecar may be shared across statistics entries:
+        # only reclaim paths no SURVIVING entry still references.
+        live_paths = set()
+        for stat in all_stats:
+            if stat["snapshot-id"] not in removed_ids:
+                live_paths.add(stat.get("statistics-path", stat.get("path", "")))
+                for bm in stat.get("blob-metadata", []):
+                    p = bm.get("properties", {}).get("path")
+                    if p:
+                        live_paths.add(p)
+        for stat in all_stats:
             if stat["snapshot-id"] in removed_ids:
                 doomed_stats = {stat.get("statistics-path", stat.get("path", ""))}
                 # per-task bloom sidecars referenced by blob-metadata
@@ -135,7 +147,7 @@ def expire_snapshots(
                     p = bm.get("properties", {}).get("path")
                     if p:
                         doomed_stats.add(p)
-                for p in doomed_stats:
+                for p in doomed_stats - live_paths:
                     try:
                         os.remove(_fs_path(p))
                     except OSError:
@@ -521,13 +533,7 @@ def analyze_table(
 
     bloom_blobs = []
     if bloom_columns:
-        import pandas as pd
-
-        from denali_spark.sources.bloom import (
-            BLOOM_BLOB_TYPE,
-            BLOOMABLE_TYPES,
-            build_bloom,
-        )
+        from denali_spark.sources.bloom import BLOOMABLE_TYPES
 
         bad = [
             c for c in bloom_columns
@@ -548,95 +554,10 @@ def analyze_table(
             # (never pruned) until a rewrite refreshes them.
             and e.get("schema-id", cur_schema_id) == cur_schema_id
         ]
-        if entries:
-            bcols = list(bloom_columns)
-            sidecar_dir = os.path.join(_fs_path(md["location"]), "metadata")
-            sidecar_prefix = f"{snapshot_id}-bloom-{uuid.uuid4().hex[:8]}"
-
-            def bloom_kernel(key, pdf):
-                fpath = key[0]
-                if fpath.startswith("file://"):
-                    fpath = fpath[len("file://"):]
-                rows_out = []
-                for c in bcols:
-                    # values arrive PRE-RENDERED as canonical strings (the
-                    # Spark-side cast below) — a pandas int64-with-null
-                    # column would otherwise coerce to float64 and render
-                    # "17.0", poisoning the filter with false NEGATIVES
-                    rendered = pdf[c].dropna().unique().tolist()
-                    rows_out.append(
-                        {"f": fpath, "c": c,
-                         "blob": build_bloom(rendered, bloom_fpp)}
-                    )
-                return pd.DataFrame(rows_out)
-
-            def write_task_sidecars(batches):
-                # One Puffin SIDECAR per non-empty task (the per-writer-task
-                # layout): filter bytes never transit the driver — only
-                # (file, column, path, offset, length) metadata rows do.
-                from denali_spark.sources.puffin import write_puffin
-
-                acc = []
-                for pdf in batches:
-                    for r in pdf.itertuples(index=False):
-                        acc.append((r.f, r.c, bytes(r.blob)))
-                if not acc:
-                    return
-                acc.sort(key=lambda t: (t[0], t[1]))
-                os.makedirs(sidecar_dir, exist_ok=True)
-                spath = os.path.join(
-                    sidecar_dir,
-                    f"{sidecar_prefix}-{uuid.uuid4().hex[:8]}.puffin",
-                )
-                metas = write_puffin(
-                    spath,
-                    [
-                        {"type": BLOOM_BLOB_TYPE, "data": blob,
-                         "properties": {"file": f, "column": c}}
-                        for f, c, blob in acc
-                    ],
-                )
-                yield pd.DataFrame(
-                    [
-                        {"f": f, "c": c, "path": spath,
-                         "offset": m["offset"], "length": m["length"]}
-                        for (f, c, _blob), m in zip(acc, metas)
-                    ]
-                )
-
-            # Cast to string IN SPARK: long→string is the same canonical
-            # rendering value_key() probes with, and nulls stay nulls.
-            src = io.spark.read.parquet(*[e["path"] for e in entries]).select(
-                F.input_file_name().alias("_f"),
-                *[F.col(c).cast("string").alias(c) for c in bcols],
-            )
-            for r in (
-                src.groupBy("_f")
-                .applyInPandas(bloom_kernel, "f string, c string, blob binary")
-                .mapInPandas(
-                    write_task_sidecars,
-                    "f string, c string, path string, offset long, length long",
-                )
-                .collect()
-            ):
-                # Meta-only entry: offset/length point into the SIDECAR
-                # file named by properties.path (engine-private blob type;
-                # the registered statistics file itself holds the HLL
-                # blobs). bloom_prune resolves the path property first.
-                bloom_blobs.append(
-                    {
-                        "type": BLOOM_BLOB_TYPE,
-                        "fields": [by_name[r["c"]]["id"]],
-                        "snapshot-id": snapshot_id,
-                        "sequence-number": seq,
-                        "offset": r["offset"],
-                        "length": r["length"],
-                        "properties": {
-                            "file": r["f"], "column": r["c"],
-                            "fpp": str(bloom_fpp), "path": r["path"],
-                        },
-                    }
-                )
+        bloom_blobs = _build_bloom_blobs(
+            io, md, snapshot_id, seq, entries, list(bloom_columns),
+            bloom_fpp, by_name,
+        )
 
     blobs = []
     for c in cols:
@@ -681,6 +602,350 @@ def analyze_table(
         "snapshot-id": snapshot_id,
         "row-count": row["__rows"],
         "ndv": {c: int(row[f"__ndv_{c}"] or 0) for c in cols},
+    }
+
+
+def _build_bloom_blobs(
+    io, md, snapshot_id, seq, entries, bcols, bloom_fpp, by_name
+):
+    """Per-(file, column) bloom filters for `entries`, built distributed
+    and written EXECUTOR-side into per-task Puffin sidecar files; returns
+    meta-only blob entries (offset/length into the sidecar named by the
+    `path` property) ready for a statistics registration. Shared by full
+    and incremental ANALYZE."""
+    import os
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from denali_spark.catalog.metadata import _fs_path
+    from denali_spark.sources.bloom import BLOOM_BLOB_TYPE, build_bloom
+
+    if not entries:
+        return []
+    sidecar_dir = os.path.join(_fs_path(md["location"]), "metadata")
+    sidecar_prefix = f"{snapshot_id}-bloom-{uuid.uuid4().hex[:8]}"
+
+    def bloom_kernel(key, pdf):
+        fpath = key[0]
+        if fpath.startswith("file://"):
+            fpath = fpath[len("file://"):]
+        rows_out = []
+        for c in bcols:
+            # values arrive PRE-RENDERED as canonical strings (the
+            # Spark-side cast below) — a pandas int64-with-null column
+            # would otherwise coerce to float64 and render "17.0",
+            # poisoning the filter with false NEGATIVES
+            rendered = pdf[c].dropna().unique().tolist()
+            rows_out.append(
+                {"f": fpath, "c": c, "blob": build_bloom(rendered, bloom_fpp)}
+            )
+        return pd.DataFrame(rows_out)
+
+    def write_task_sidecars(batches):
+        # One Puffin SIDECAR per non-empty task (the per-writer-task
+        # layout): filter bytes never transit the driver — only
+        # (file, column, path, offset, length) metadata rows do.
+        from denali_spark.sources.puffin import write_puffin
+
+        acc = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                acc.append((r.f, r.c, bytes(r.blob)))
+        if not acc:
+            return
+        acc.sort(key=lambda t: (t[0], t[1]))
+        os.makedirs(sidecar_dir, exist_ok=True)
+        spath = os.path.join(
+            sidecar_dir, f"{sidecar_prefix}-{uuid.uuid4().hex[:8]}.puffin"
+        )
+        metas = write_puffin(
+            spath,
+            [
+                {"type": BLOOM_BLOB_TYPE, "data": blob,
+                 "properties": {"file": f, "column": c}}
+                for f, c, blob in acc
+            ],
+        )
+        yield pd.DataFrame(
+            [
+                {"f": f, "c": c, "path": spath,
+                 "offset": m["offset"], "length": m["length"]}
+                for (f, c, _blob), m in zip(acc, metas)
+            ]
+        )
+
+    # Cast to string IN SPARK: long→string is the same canonical rendering
+    # value_key() probes with, and nulls stay nulls.
+    src = io.spark.read.parquet(*[e["path"] for e in entries]).select(
+        F.input_file_name().alias("_f"),
+        *[F.col(c).cast("string").alias(c) for c in bcols],
+    )
+    out = []
+    for r in (
+        src.groupBy("_f")
+        .applyInPandas(bloom_kernel, "f string, c string, blob binary")
+        .mapInPandas(
+            write_task_sidecars,
+            "f string, c string, path string, offset long, length long",
+        )
+        .collect()
+    ):
+        # Meta-only entry: offset/length point into the SIDECAR file named
+        # by properties.path (engine-private blob type; the registered
+        # statistics file itself holds the HLL blobs). bloom_prune
+        # resolves the path property first.
+        out.append(
+            {
+                "type": BLOOM_BLOB_TYPE,
+                "fields": [by_name[r["c"]]["id"]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "offset": r["offset"],
+                "length": r["length"],
+                "properties": {
+                    "file": r["f"], "column": r["c"],
+                    "fpp": str(bloom_fpp), "path": r["path"],
+                },
+            }
+        )
+    return out
+
+
+def analyze_table_incremental(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    bloom_fpp: float = 0.01,
+) -> dict:
+    """Incremental ANALYZE for append-only commits: HLL sketches are
+    mergeable by construction, so only the files appended since the last
+    analyzed ancestor snapshot are scanned — their per-column sketches are
+    hll_union'd with the prior statistics file's stored sketches, null/row
+    counts add, and the merged statistics register on the CURRENT
+    snapshot. Bloom filters are built for the NEW files only; the prior
+    files' blob-metadata entries carry over untouched (their bytes live in
+    per-task sidecar files that remain valid).
+
+    Falls back to a full `analyze_table` when there is no analyzed
+    ancestor, when the chain from it includes a non-append snapshot
+    (overwrite/delete invalidates carried file stats), or when the schema
+    changed. At 100 TB this is the difference between scanning one
+    ingest's worth of data and re-scanning the table."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from denali_spark.catalog.metadata import _fs_path
+    from denali_spark.sources.puffin import read_blob, write_puffin
+    from denali_spark.sources.schema_evolution import current_schema
+
+    md = io.client.load_table(namespace, name)["metadata"]
+    ref = md.get("refs", {}).get(MAIN)
+    if ref is None:
+        raise ValueError("cannot analyze an empty table (no current snapshot)")
+    snapshot_id = ref["snapshot-id"]
+    stats_list = md.get("statistics", [])
+    if any(s["snapshot-id"] == snapshot_id for s in stats_list):
+        return {"snapshot-id": snapshot_id, "noop": True}
+
+    # nearest analyzed ancestor along the parent chain, and the chain of
+    # snapshots between it (exclusive) and current (inclusive)
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    chain = []
+    walk = by_id.get(snapshot_id)
+    prior_stat = None
+    while walk is not None:
+        st = next(
+            (s for s in stats_list if s["snapshot-id"] == walk["snapshot-id"]),
+            None,
+        )
+        if st is not None:
+            prior_stat = st
+            break
+        chain.append(walk)
+        walk = by_id.get(walk.get("parent-snapshot-id"))
+
+    def _full():
+        prior_cols = None
+        prior_bloom_cols = None
+        if prior_stat is not None:
+            hll = [b for b in prior_stat.get("blob-metadata", [])
+                   if b.get("type") == HLL_BLOB_TYPE]
+            prior_cols = [b["properties"]["column"] for b in hll] or None
+            from denali_spark.sources.bloom import BLOOM_BLOB_TYPE
+
+            prior_bloom_cols = sorted({
+                b["properties"]["column"]
+                for b in prior_stat.get("blob-metadata", [])
+                if b.get("type") == BLOOM_BLOB_TYPE
+            }) or None
+        out = analyze_table(
+            io, namespace, name, columns=prior_cols,
+            bloom_columns=prior_bloom_cols, bloom_fpp=bloom_fpp,
+        )
+        return {**out, "mode": "full"}
+
+    if prior_stat is None:
+        return _full()
+    non_append = [
+        s["snapshot-id"] for s in chain
+        if s.get("summary", {}).get("operation") != "append"
+    ]
+    if non_append:
+        return _full()
+
+    schema = current_schema(md)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    prior_hll = [
+        b for b in prior_stat.get("blob-metadata", [])
+        if b.get("type") == HLL_BLOB_TYPE
+    ]
+    cols = [b["properties"]["column"] for b in prior_hll]
+    if any(c not in by_name for c in cols):
+        return _full()  # schema changed under the stats
+
+    snap = io._resolve_snapshot(md, snapshot_id)
+    seq = snap.get("sequence-number", 0)
+    chain_seqs = {s.get("sequence-number", 0) for s in chain}
+    cur_schema_id = md.get("current-schema-id", 0)
+    from denali_spark.sources.catalog_io import split_entries
+
+    data, _deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    new_entries = [
+        e for e in data if int(e.get("sequence-number", 0)) in chain_seqs
+    ]
+    if any(
+        e.get("file-format", "parquet") != "parquet"
+        or e.get("schema-id", cur_schema_id) != cur_schema_id
+        for e in new_entries
+    ):
+        return _full()
+
+    # one scan of the NEW files only
+    direct = {"int", "long", "string", "binary"}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        col = F.col(c)
+        t = by_name[c]["type"]
+        if not (isinstance(t, str) and t in direct):
+            col = col.cast("string")
+        aggs.append(F.hll_sketch_agg(col).alias(f"__sk_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
+        )
+    if new_entries:
+        row = io.spark.read.parquet(
+            *[e["path"] for e in new_entries]
+        ).agg(*aggs).collect()[0]
+    else:
+        row = None
+
+    # merge: prior sketch bytes ∪ new sketch, null/row counts add
+    from denali_spark.sources.puffin import read_puffin_footer
+
+    prior_footer = read_puffin_footer(prior_stat["statistics-path"])
+    prior_rows = int(prior_footer["properties"].get("row-count", 0))
+    new_rows = int(row["__rows"]) if row is not None else 0
+
+    blobs = []
+    ndv_out = {}
+    prior_bytes = {}
+    for bm in prior_hll:
+        c = bm["properties"]["column"]
+        prior_bytes[c] = read_blob(
+            prior_stat["statistics-path"], bm["offset"], bm["length"]
+        )
+    unionable = [
+        c for c in cols
+        if row is not None and row[f"__sk_{c}"] is not None
+    ]
+    merged_row = None
+    if unionable:
+        merged_row = io.spark.range(1).select(
+            *[
+                F.hll_union(
+                    F.lit(prior_bytes[c]), F.lit(bytes(row[f"__sk_{c}"])), True
+                ).alias(f"__m_{c}")
+                for c in unionable
+            ],
+            *[
+                F.hll_sketch_estimate(
+                    F.hll_union(
+                        F.lit(prior_bytes[c]), F.lit(bytes(row[f"__sk_{c}"])), True
+                    )
+                ).alias(f"__e_{c}")
+                for c in unionable
+            ],
+        ).collect()[0]
+    for bm in prior_hll:
+        c = bm["properties"]["column"]
+        if merged_row is not None and c in unionable:
+            sketch = bytes(merged_row[f"__m_{c}"])
+            ndv = int(merged_row[f"__e_{c}"] or 0)
+        else:  # no new non-null values: the prior sketch IS the union
+            sketch = prior_bytes[c]
+            ndv = int(bm["properties"].get("ndv", 0))
+        nulls = int(bm["properties"].get("null-count", 0)) + (
+            int(row[f"__nulls_{c}"] or 0) if row is not None else 0
+        )
+        ndv_out[c] = ndv
+        blobs.append(
+            {
+                "type": HLL_BLOB_TYPE,
+                "data": sketch,
+                "fields": [by_name[c]["id"]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "column": c, "ndv": str(ndv), "null-count": str(nulls),
+                },
+            }
+        )
+
+    # bloom: new files only; prior entries carry over (sidecars untouched)
+    from denali_spark.sources.bloom import BLOOM_BLOB_TYPE
+
+    prior_bloom = [
+        b for b in prior_stat.get("blob-metadata", [])
+        if b.get("type") == BLOOM_BLOB_TYPE
+    ]
+    bloom_cols = sorted({b["properties"]["column"] for b in prior_bloom})
+    new_bloom = []
+    if bloom_cols and new_entries:
+        new_bloom = _build_bloom_blobs(
+            io, md, snapshot_id, seq, new_entries, bloom_cols, bloom_fpp, by_name
+        )
+
+    total_rows = prior_rows + new_rows
+    stats_dir = os.path.join(_fs_path(md["location"]), "metadata")
+    os.makedirs(stats_dir, exist_ok=True)
+    path = os.path.join(
+        stats_dir, f"{snapshot_id}-{uuid.uuid4().hex[:8]}.stats.puffin"
+    )
+    metas = write_puffin(path, blobs, properties={"row-count": str(total_rows)})
+    payload_len = len(json.dumps({"blobs": metas, "properties": {
+        "row-count": str(total_rows)}}).encode())
+    statistics = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+        "file-footer-size-in-bytes": 4 + payload_len + 12,
+        "blob-metadata": metas + prior_bloom + new_bloom,
+    }
+    io.client.commit_table(
+        namespace, name,
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-statistics", "statistics": statistics}],
+    )
+    return {
+        "path": path,
+        "snapshot-id": snapshot_id,
+        "mode": "incremental",
+        "new-files": len(new_entries),
+        "row-count": total_rows,
+        "ndv": ndv_out,
     }
 
 

@@ -281,3 +281,71 @@ def test_bloom_matches_by_field_id_after_rename(spark, io):
     # post-swap, the value is under the NAME "a" (field id of original b)
     rows = io.read_table(ns, "t", where=E.eq("a", probe)).collect()
     assert len(rows) == 1 and rows[0]["a"] == probe
+
+
+def test_incremental_analyze_merges_sketches_and_reuses_blooms(spark, io):
+    """append → incremental analyze: NDV from the merged HLL sketches
+    equals a full recompute, row/null counts add, bloom blobs exist for
+    the new files WITHOUT rebuilding the old files' (their sidecar paths
+    and offsets carry over bit-identical)."""
+    from denali_spark.sources import analyze_table_incremental, table_statistics
+    from denali_spark.sources.bloom import BLOOM_BLOB_TYPE
+
+    ns = ["inc"]
+    _uuid_table(spark, io, ns, "t", n_files=3, rows=200)
+    analyze_table(io, ns, "t", columns=["key", "v"], bloom_columns=["key"])
+    md1 = io.client.load_table(ns, "t")["metadata"]
+    stat1 = next(
+        s for s in md1["statistics"]
+        if s["snapshot-id"] == md1["refs"]["main"]["snapshot-id"]
+    )
+    old_blooms = {
+        (b["properties"]["file"], b["properties"]["path"], b["offset"])
+        for b in stat1["blob-metadata"] if b.get("type") == BLOOM_BLOB_TYPE
+    }
+    assert len(old_blooms) == 3
+
+    # two appends with overlapping + new keys
+    for k in range(2):
+        df = spark.range(600 + k * 100, 700 + k * 100).select(
+            F.md5((F.col("id") % 650).cast("string")).alias("key"),
+            F.col("id").alias("v"),
+        ).coalesce(1)
+        io.write_table(df, ns, "t", mode="append")
+
+    res = analyze_table_incremental(io, ns, "t")
+    assert res["mode"] == "incremental" and res["new-files"] == 2
+    assert res["row-count"] == 3 * 200 + 200
+
+    # the registered blob list = old bloom entries CARRIED (same sidecar
+    # path + offset, no rebuild) + blooms for the 2 new files
+    md2 = io.client.load_table(ns, "t")["metadata"]
+    stat2 = next(
+        s for s in md2["statistics"]
+        if s["snapshot-id"] == md2["refs"]["main"]["snapshot-id"]
+    )
+    blooms2 = {
+        (b["properties"]["file"], b["properties"]["path"], b["offset"])
+        for b in stat2["blob-metadata"] if b.get("type") == BLOOM_BLOB_TYPE
+    }
+    assert old_blooms <= blooms2 and len(blooms2) == 5
+    # and the probe path still prunes through the carried + new filters
+    probe = spark.sql("SELECT md5(CAST(17 AS STRING)) AS h").collect()[0]["h"]
+    assert io.read_table(ns, "t", where=E.eq("key", probe)).count() >= 1
+
+    # NDV matches a full recompute (union-merged sketches carry the same
+    # accuracy class; the union operator's estimate can differ from a
+    # single-pass sketch by a hair — observed 802 vs 803 on n=800 — so
+    # compare within 1%, far tighter than HLL's own error bound)
+    full = analyze_table(io, ns, "t", columns=["key", "v"])
+    for c in ("key", "v"):
+        a, b = res["ndv"][c], full["ndv"][c]
+        assert abs(a - b) <= max(1, b // 100), (c, a, b)
+
+    # statistics read-back proves the merged sketches are genuine
+    stats = table_statistics(io, ns, "t")
+    assert stats["row-count"] == 800
+
+    # unchanged table: incremental is a no-op
+    again = analyze_table_incremental(io, ns, "t")
+    assert again.get("noop") is True

@@ -166,6 +166,8 @@ HEADLINE = [
     # round-6 additions: iterative graph analytics + changepoint scan
     "graph_pagerank_parts",
     "ts_changepoint_cusum",
+    # round 7: triangle enumeration over the frequent co-purchase graph
+    "graph_triangle_parts",
 ]
 
 

@@ -548,3 +548,61 @@ def agg_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS f,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    g AS (SELECT f, p, SUM(q) AS q FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT f, p,
+             SUM(q) OVER (PARTITION BY f ORDER BY p) AS cum,
+             SUM(q) OVER (PARTITION BY f) AS tot
+      FROM g
+    )
+    SELECT f AS l_returnflag,
+           CAST(MIN(p) AS DOUBLE) AS weighted_median_price
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1
+    """,
+    tags=("aggregate", "weighted-median"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the group total —
+    the order-statistic SQL can't express with a built-in aggregate.
+    Exactness: weights are integer quantities and prices pre-aggregate to
+    one DECIMAL row per (flag, price), so the cumulative window runs over
+    a deduplicated, totally ordered relation — no within-ties row order
+    for the engines to disagree on. Scale shape: the value-grouping
+    aggregation is partial-aggregable and collapses the window input to
+    |distinct prices| rows per group; the RANGE-free cumulative then sorts
+    only that bounded relation, never the raw fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("f"),
+            dec("l_extendedprice").alias("p"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("f", "p")
+        .agg(F.sum("q").alias("q"))
+    )
+    wc = Window.partitionBy("f").orderBy("p")
+    wt = Window.partitionBy("f")
+    c = g.select(
+        "f", "p",
+        F.sum("q").over(wc).alias("cum"),
+        F.sum("q").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("f").alias("l_returnflag"))
+        .agg(F.min("p").cast("double").alias("weighted_median_price"))
+    )

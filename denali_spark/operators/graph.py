@@ -243,3 +243,97 @@ def graph_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * s_ab * n_orders) div (s_a * s_b)").alias("lift_ppm"),
         )
     )
+
+
+TRI_TOP_K = 20
+
+
+@query(
+    "graph_triangle_parts",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    tri AS (
+      SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.part_a = e1.part_b
+      JOIN edges e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    ),
+    node_tris AS (
+      SELECT part_key, COUNT(*) AS tri_count FROM (
+        SELECT a AS part_key FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT part_key, tri_count FROM (
+      SELECT part_key, tri_count,
+             row_number() OVER (ORDER BY tri_count DESC, part_key) AS rn
+      FROM node_tris
+    ) WHERE rn <= {TRI_TOP_K}
+    """,
+    tags=("graph", "triangles"),
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRI_TOP_K} parts by triangle participation in the frequent
+    co-purchase graph (support >= {MIN_SUPPORT} edges, canonical a < b):
+    a triangle is three parts pairwise frequently co-purchased — the
+    densest community signal a basket graph gives. Counting shape: wedges
+    (a<b<c) from one edge self-equi-join on the shared middle node, then a
+    LEFT SEMI join against the edge list closes them — the standard
+    distributed triangle enumeration. The support threshold is what keeps
+    the wedge expansion bounded at scale (a-priori pruning); the classic
+    degree-ordered orientation (low-degree node first) computes the same
+    triangle set and would replace the a<b canonical order if hub skew
+    showed up in the wedge shuffle. Per-node counts come off an explode +
+    partial-aggregable groupBy; top-k is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= MIN_SUPPORT)
+        .select("part_a", "part_b")
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(
+        e2, on=[F.col("e1.part_b") == F.col("e2.part_a")]
+    ).select(
+        F.col("e1.part_a").alias("a"),
+        F.col("e1.part_b").alias("b"),
+        F.col("e2.part_b").alias("c"),
+    )
+    closing = edges.select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("c")
+    )
+    tri = wedges.join(closing, on=["a", "c"], how="left_semi")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "part_key"
+            )
+        )
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    return per_node.orderBy(
+        F.desc("tri_count"), F.asc("part_key")
+    ).limit(TRI_TOP_K)

@@ -91,8 +91,11 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    # NEW round-7 queries (no driver evidence yet) are inserted here by
-    # later commits — up to ~14 fit in the 50-query sweep after the 36.
+    # NEW round-7 queries (no driver evidence yet) — after the 36 stale,
+    # inside the 50-query sweep window
+    "graph_triangle_parts",
+    "ts_spike_hours",
+    "agg_weighted_median",
     # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",

@@ -1283,3 +1283,60 @@ def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         r("e1", "r1_ppm"), r("e24", "r24_ppm"), r("e168", "r168_ppm"),
     )
+
+
+SPIKE_TOP_K = 10
+
+
+@query(
+    "ts_spike_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) AS BIGINT) AS hour_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT event_type, hour_id, n,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY hour_id)
+               AS jump
+      FROM hourly
+    )
+    SELECT event_type, hour_id, n, jump FROM (
+      SELECT event_type, hour_id, n, jump,
+             row_number() OVER (ORDER BY abs(jump) DESC, event_type, hour_id)
+               AS rn
+      FROM deltas WHERE jump IS NOT NULL
+    ) WHERE rn <= {SPIKE_TOP_K}
+    """,
+    tags=("timeseries", "anomaly", "spikes"),
+)
+def ts_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SPIKE_TOP_K} hour-over-hour volume spikes per event type: the
+    largest absolute jumps between consecutive OBSERVED hourly counts (the
+    ops 'what changed' view next to ts_anomaly_zscore's distributional
+    one). All-integer: epoch-hour ids, counts, and deltas — no float ever
+    enters, so the engines agree bit-exactly. Scale shape: the window
+    partitions by event type over the post-aggregation one-row-per-hour
+    relation (bounded: types x hours), and the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    events = load_table(spark, sf_dir, "events")
+    # tz-independent epoch-hour id (ts is TIMESTAMP_NTZ): day number x 24
+    # + hour-of-day — never a tz-sensitive cast
+    hourly = events.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) * 24
+            + F.hour("ts")
+        ).cast("long").alias("hour_id"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour_id")
+    deltas = hourly.withColumn("jump", F.col("n") - F.lag("n").over(w))
+    return (
+        deltas.filter(F.col("jump").isNotNull())
+        .orderBy(F.abs(F.col("jump")).desc(), "event_type", "hour_id")
+        .limit(SPIKE_TOP_K)
+        .select("event_type", "hour_id", "n", "jump")
+    )

@@ -48,6 +48,42 @@ LINEAGE_FILE = "__dsp_file_path"
 LINEAGE_POS = "__dsp_pos"
 
 
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on `sep` outside parentheses and single-quoted strings."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _mask_literals(text: str) -> tuple[str, list[str]]:
     """Replace SQL string literals with \\x00<i>\\x00 placeholders so the
     textual name/qualification rewrites can never touch one (a literal
@@ -278,6 +314,14 @@ class SparkCatalogIO:
         both through write_table (CAS-retried snapshot commits), returning
         the engine's commit-summary DataFrame.
 
+        Row-level DML (round 7): `DELETE FROM ns.t WHERE ...`,
+        `UPDATE ns.t SET c = <expr>[, ...] WHERE ...`, and
+        `MERGE INTO ns.t USING (<select>)|ns.src ON (keys) WHEN MATCHED
+        THEN UPDATE|DELETE [WHEN NOT MATCHED THEN INSERT]` route into the
+        row-level ops, choosing copy-on-write or merge-on-read from the
+        table's Iceberg `write.<op>.mode` property; WHERE clauses parse
+        into the scan-expression grammar so file pruning applies.
+
         String literals are masked before the textual rewrite (so a
         literal containing `ns.table` is never rewritten) and restored
         before execution; the literals following `AS OF` stay live because
@@ -303,6 +347,27 @@ class SparkCatalogIO:
                 return self._sql_write(
                     m.group(2), m.group(3),
                     mode="overwrite" if m.group(1) else "create",
+                )
+            m = _re.match(
+                r"\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_delete(m.group(1), m.group(2))
+            m = _re.match(
+                r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_update(m.group(1), m.group(2), m.group(3))
+            m = _re.match(
+                r"\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.+?)\s+ON\s+(.+?)"
+                r"\s+(WHEN\s+.+?)\s*;?\s*$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_merge(
+                    m.group(1), m.group(2), m.group(3), m.group(4)
                 )
 
         # One catalog walk per TOP-LEVEL call; nested view resolution
@@ -355,6 +420,140 @@ class SparkCatalogIO:
 
             rewritten = pat.sub(repl, rewritten)
         return self.spark.sql(_unmask_literals(rewritten, literals))
+
+    def _dml_target(self, qualified: str) -> tuple[list[str], str, dict]:
+        parts = qualified.split(".")
+        if len(parts) < 2:
+            raise ValueError(
+                f"unqualified DML target {qualified!r}: use ns.table"
+            )
+        ns, name = parts[:-1], parts[-1]
+        return ns, name, self.client.load_table(ns, name)["metadata"]
+
+    def _row_op_mode(self, md: dict, op: str) -> str:
+        """Iceberg's write.<op>.mode table property picks the strategy:
+        copy-on-write (default — rewrite affected files) or merge-on-read
+        (deletion vectors / appended replacements)."""
+        mode = md.get("properties", {}).get(f"write.{op}.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"write.{op}.mode must be copy-on-write|merge-on-read")
+        return mode
+
+    def _dml_summary(
+        self, qualified: str, operation: str, mode: str, result: dict
+    ) -> DataFrame:
+        ns, name, md = self._dml_target(qualified)
+        snap = md.get("refs", {}).get(MAIN, {}).get("snapshot-id")
+        return self.spark.range(1).select(
+            F.lit(qualified).alias("table"),
+            F.lit(operation).alias("operation"),
+            F.lit(mode).alias("mode"),
+            F.lit(snap).cast("long").alias("snapshot_id"),
+            F.lit(bool(result.get("noop"))).alias("noop"),
+        )
+
+    def _sql_delete(self, qualified: str, where_sql: str) -> DataFrame:
+        """DELETE FROM ns.t WHERE <expr> — routed to the copy-on-write or
+        deletion-vector path by the table's write.delete.mode property.
+        The WHERE clause parses into the scan-expression grammar, so file
+        pruning applies before any data is read."""
+        from denali_spark.sources.expressions import parse_where
+        from denali_spark.sources.mor import delete_where_dv
+        from denali_spark.sources.row_ops import delete_where
+
+        ns, name, md = self._dml_target(qualified)
+        expr = parse_where(where_sql)
+        mode = self._row_op_mode(md, "delete")
+        op = delete_where_dv if mode == "merge-on-read" else delete_where
+        result = op(self, ns, name, expr)
+        return self._dml_summary(qualified, "delete", mode, result)
+
+    def _sql_update(
+        self, qualified: str, set_sql: str, where_sql: str
+    ) -> DataFrame:
+        """UPDATE ns.t SET c = <spark expr>[, ...] WHERE <expr> — routed
+        by write.update.mode. Right-hand sides pass through as Spark SQL
+        expressions (they may reference any column of the row)."""
+        from denali_spark.sources.expressions import parse_where
+        from denali_spark.sources.mor import update_where_mor
+        from denali_spark.sources.row_ops import update_where
+
+        ns, name, md = self._dml_target(qualified)
+        set_exprs = {}
+        for part in _split_top_level(set_sql, ","):
+            col, sep, rhs = part.partition("=")
+            if not sep or not col.strip() or not rhs.strip():
+                raise ValueError(f"malformed SET assignment: {part.strip()!r}")
+            set_exprs[col.strip()] = rhs.strip()
+        expr = parse_where(where_sql)
+        mode = self._row_op_mode(md, "update")
+        op = update_where_mor if mode == "merge-on-read" else update_where
+        result = op(self, ns, name, expr, set_exprs)
+        return self._dml_summary(qualified, "update", mode, result)
+
+    def _sql_merge(
+        self, qualified: str, using_sql: str, on_sql: str, actions_sql: str
+    ) -> DataFrame:
+        """MERGE INTO ns.t USING (<select>)|ns.src ON (k[, ...])|t.k = s.k
+        [AND ...] WHEN MATCHED THEN UPDATE|DELETE [WHEN NOT MATCHED THEN
+        INSERT] — the canonical upsert/CDC-apply forms, routed by
+        write.merge.mode. The ON columns must name the same column on both
+        sides (equality merge keys); source rows replace matched target
+        rows wholesale (UPDATE), matching merge_into's API. Insert-only
+        merges (no WHEN MATCHED clause) are not supported."""
+        import re as _re
+
+        from denali_spark.sources.mor import merge_into_mor
+        from denali_spark.sources.row_ops import merge_into
+
+        ns, name, md = self._dml_target(qualified)
+        using = using_sql.strip()
+        # strip a trailing alias ("(...) s" / "ns.src AS s")
+        mu = _re.match(r"^(\(.*\)|[\w.]+)(?:\s+(?:AS\s+)?\w+)?$", using, _re.DOTALL)
+        if mu:
+            using = mu.group(1)
+        if using.startswith("("):
+            source = self.sql(using[1:-1])
+        else:
+            sparts = using.split(".")
+            source = self.read_table(sparts[:-1], sparts[-1])
+
+        on_sql = on_sql.strip()
+        if on_sql.startswith("("):
+            on = [c.strip() for c in on_sql[1:-1].split(",")]
+        else:
+            on = []
+            for clause in _re.split(r"\bAND\b", on_sql, flags=_re.IGNORECASE):
+                me = _re.match(
+                    r"\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*$", clause
+                )
+                if not me or me.group(1) != me.group(2):
+                    raise ValueError(
+                        f"MERGE ON clause must equate the same column on "
+                        f"both sides; got {clause.strip()!r}"
+                    )
+                on.append(me.group(1))
+
+        acts = actions_sql.upper()
+        if _re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", acts):
+            when_matched = "delete"
+        elif _re.search(r"WHEN\s+MATCHED\s+THEN\s+UPDATE", acts):
+            when_matched = "update"
+        else:
+            raise ValueError(
+                "MERGE needs a WHEN MATCHED THEN UPDATE|DELETE clause "
+                "(insert-only merges are unsupported)"
+            )
+        insert = bool(
+            _re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", acts)
+        )
+        mode = self._row_op_mode(md, "merge")
+        op = merge_into_mor if mode == "merge-on-read" else merge_into
+        result = op(
+            self, ns, name, source, on=on,
+            when_matched=when_matched, when_not_matched_insert=insert,
+        )
+        return self._dml_summary(qualified, "merge", mode, result)
 
     def _sql_write(self, qualified: str, select_sql: str, mode: str) -> DataFrame:
         """INSERT INTO / CTAS routing for sql(): run the select through the

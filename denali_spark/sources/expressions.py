@@ -21,6 +21,7 @@ the same plan-time win Iceberg manifests give real deployments.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 # --- builders ---------------------------------------------------------------
@@ -259,3 +260,159 @@ def _might(expr: dict, stats: dict) -> bool:  # noqa: PLR0911 — case table
     if t == "not-eq":
         return not (lo == hi == value)
     return True
+
+
+# --- parsing SQL WHERE text into the grammar --------------------------------
+
+_WHERE_TOKEN = re.compile(
+    r"\s*(?:"
+    r"(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
+    r"|(?P<op><=|>=|<>|!=|=|<|>)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<num>-?\d+\.\d+|-?\d+)"
+    r"|(?P<word>[A-Za-z_][\w]*)"
+    r")"
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "TRUE",
+             "FALSE", "DATE", "TIMESTAMP"}
+
+
+def parse_where(text: str) -> dict:
+    """Parse a SQL WHERE clause into the scan-expression grammar — the
+    bridge that lets `io.sql()` route DELETE/UPDATE/MERGE statements into
+    the row-level ops (which prune files from exactly these dicts).
+
+    Supported: comparisons (= <> != < <= > >=), [NOT] IN (..), IS [NOT]
+    NULL, BETWEEN a AND b, AND/OR/NOT, parentheses, numeric/string/
+    boolean literals, and DATE/TIMESTAMP '<iso>' (which compare as their
+    ISO strings, the same encoding file stats carry). Column must be on
+    the left of a comparison. Raises ValueError on anything else."""
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(text):
+        m = _WHERE_TOKEN.match(text, pos)
+        if m is None:
+            if text[pos:].strip():
+                raise ValueError(f"unparseable WHERE at: {text[pos:pos + 30]!r}")
+            break
+        pos = m.end()
+        if m.group("lp"):
+            tokens.append(("(", None))
+        elif m.group("rp"):
+            tokens.append((")", None))
+        elif m.group("comma"):
+            tokens.append((",", None))
+        elif m.group("op"):
+            tokens.append(("op", m.group("op")))
+        elif m.group("str"):
+            tokens.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num"):
+            n = m.group("num")
+            tokens.append(("lit", float(n) if "." in n else int(n)))
+        else:
+            w = m.group("word")
+            if w.upper() in _KEYWORDS:
+                tokens.append((w.upper(), None))
+            else:
+                tokens.append(("ident", w))
+
+    i = 0
+
+    def peek():
+        return tokens[i] if i < len(tokens) else (None, None)
+
+    def take(kind=None):
+        nonlocal i
+        if i >= len(tokens):
+            raise ValueError("unexpected end of WHERE clause")
+        t = tokens[i]
+        if kind is not None and t[0] != kind:
+            raise ValueError(f"expected {kind}, got {t[0]} in WHERE")
+        i += 1
+        return t
+
+    def literal():
+        kind, val = take()
+        if kind == "lit":
+            return val
+        if kind == "TRUE":
+            return True
+        if kind == "FALSE":
+            return False
+        if kind in ("DATE", "TIMESTAMP"):  # DATE '2024-01-01' → ISO string
+            k2, v2 = take("lit")
+            return v2
+        raise ValueError(f"expected literal, got {kind}")
+
+    def predicate():
+        kind, val = take()
+        if kind == "(":
+            e = or_expr()
+            take(")")
+            return e
+        if kind == "NOT":
+            return not_(predicate())
+        if kind == "TRUE":
+            return always_true()
+        if kind == "FALSE":
+            return always_false()
+        if kind != "ident":
+            raise ValueError(f"expected column name, got {kind}")
+        col = val
+        kind, opv = peek()
+        if kind == "op":
+            take()
+            v = literal()
+            return {
+                "<": lt, "<=": lt_eq, ">": gt, ">=": gt_eq,
+                "=": eq, "<>": not_eq, "!=": not_eq,
+            }[opv](col, v)
+        if kind == "IS":
+            take()
+            if peek()[0] == "NOT":
+                take()
+                take("NULL")
+                return not_null(col)
+            take("NULL")
+            return is_null(col)
+        if kind == "BETWEEN":
+            take()
+            lo = literal()
+            take("AND")
+            hi = literal()
+            return and_(gt_eq(col, lo), lt_eq(col, hi))
+        negated = False
+        if kind == "NOT":
+            take()
+            negated = True
+            kind = peek()[0]
+        if kind == "IN":
+            take()
+            take("(")
+            vals = [literal()]
+            while peek()[0] == ",":
+                take()
+                vals.append(literal())
+            take(")")
+            return not_in(col, vals) if negated else in_(col, vals)
+        raise ValueError(f"expected operator after column {col!r}, got {kind}")
+
+    def and_expr():
+        e = predicate()
+        while peek()[0] == "AND":
+            take()
+            e = and_(e, predicate())
+        return e
+
+    def or_expr():
+        e = and_expr()
+        while peek()[0] == "OR":
+            take()
+            e = or_(e, and_expr())
+        return e
+
+    out = or_expr()
+    if i != len(tokens):
+        raise ValueError(f"trailing tokens in WHERE: {tokens[i:]}")
+    return out

@@ -302,3 +302,69 @@ def test_view_version_travel(spark, io):
         io.sql("SELECT * FROM vv.v FOR VERSION AS OF 99999").collect()
     with pytest.raises(ValueError, match="branches/tags"):
         io.sql("SELECT * FROM vv.v FOR VERSION AS OF 'main'").collect()
+
+
+def test_sql_delete_update_copy_on_write(spark, io):
+    io.sql("CREATE TABLE dml.t AS SELECT id, id * 2 AS v FROM westeros.my_table")
+    out = io.sql("DELETE FROM dml.t WHERE id >= 90").collect()[0]
+    assert out["operation"] == "delete" and out["mode"] == "copy-on-write"
+    assert io.sql("SELECT COUNT(*) AS n FROM dml.t").collect()[0]["n"] == 90
+    io.sql("UPDATE dml.t SET v = v + 1000 WHERE id BETWEEN 0 AND 4")
+    got = io.sql(
+        "SELECT SUM(v) AS s FROM dml.t WHERE id < 5"
+    ).collect()[0]["s"]
+    assert got == sum(i * 2 + 1000 for i in range(5))
+
+
+def test_sql_dml_merge_on_read_via_table_property(spark, io):
+    io.sql("CREATE TABLE dmlm.t AS SELECT id, id * 2 AS v FROM westeros.my_table")
+    md = io.client.load_table(["dmlm"], "t")["metadata"]
+    io.client.commit_table(
+        ["dmlm"], "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-properties", "updates": {
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        }}],
+    )
+    out = io.sql("DELETE FROM dmlm.t WHERE id IN (1, 3, 5)").collect()[0]
+    assert out["mode"] == "merge-on-read"
+    # deletion vectors, not rewrites: data entries untouched, DV present
+    md2 = io.client.load_table(["dmlm"], "t")["metadata"]
+    snap = io._resolve_snapshot(md2)
+    entries = io._manifest_entries(snap["manifest-list"])
+    assert any(
+        e.get("content") == "position-deletes"
+        and e.get("file-format") == "puffin"
+        for e in entries
+    )
+    assert io.sql("SELECT COUNT(*) AS n FROM dmlm.t").collect()[0]["n"] == 97
+    io.sql("UPDATE dmlm.t SET v = 0 WHERE id = 2")
+    assert io.sql(
+        "SELECT v FROM dmlm.t WHERE id = 2"
+    ).collect()[0]["v"] == 0
+
+
+def test_sql_merge_statement(spark, io):
+    io.sql("CREATE TABLE dmg.t AS SELECT id AS k, id * 2 AS v "
+           "FROM westeros.my_table WHERE id < 10")
+    out = io.sql(
+        "MERGE INTO dmg.t USING (SELECT 5 AS k, 500 AS v "
+        "UNION ALL SELECT 100 AS k, 1 AS v) s "
+        "ON (k) "
+        "WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT"
+    ).collect()[0]
+    assert out["operation"] == "merge"
+    rows = {r["k"]: r["v"] for r in io.sql("SELECT * FROM dmg.t").collect()}
+    assert rows[5] == 500 and rows[100] == 1 and len(rows) == 11
+    # equality-chain ON form + DELETE action
+    io.sql(
+        "MERGE INTO dmg.t USING (SELECT 100 AS k, 0 AS v) s "
+        "ON t.k = s.k WHEN MATCHED THEN DELETE"
+    )
+    assert io.sql("SELECT COUNT(*) AS n FROM dmg.t").collect()[0]["n"] == 10
+    with pytest.raises(ValueError, match="insert-only"):
+        io.sql(
+            "MERGE INTO dmg.t USING (SELECT 1 AS k, 1 AS v) s ON (k) "
+            "WHEN NOT MATCHED THEN INSERT"
+        )

@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
         "--temp", action="store_true",
         help="ephemeral mode: in-memory DB + temp warehouse",
     )
+    start.add_argument(
+        "--credential", default=None, metavar="ID:SECRET",
+        help="enable OAuth: clients must exchange this client credential "
+             "at /v1/oauth/tokens for a bearer token",
+    )
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args.config)  # env > file > defaults
@@ -46,7 +51,10 @@ def main(argv: list[str] | None = None) -> int:
         db = ":memory:"
     if cfg["source_file"]:
         print(f"loaded config from {cfg['source_file']}", flush=True)
-    server = CatalogServer(make_state(warehouse, db), port=port).start()
+    credential = args.credential or cfg.get("credential")
+    server = CatalogServer(
+        make_state(warehouse, db, credential=credential), port=port
+    ).start()
     print(f"catalog listening on {server.uri} (warehouse={warehouse})", flush=True)
     try:
         server._thread.join()

@@ -30,8 +30,9 @@ class CatalogHTTPError(Exception):
 
 
 class CatalogClient:
-    def __init__(self, uri: str):
+    def __init__(self, uri: str, token: str | None = None):
         self.uri = uri.rstrip("/")
+        self.token = token  # bearer token for OAuth-enabled catalogs
 
     # --- plumbing ---------------------------------------------------------
 
@@ -39,10 +40,10 @@ class CatalogClient:
                  query: str = "") -> tuple[int, dict]:
         url = f"{self.uri}{path}" + (f"?{query}" if query else "")
         data = json.dumps(body).encode() if body is not None else None
-        req = urllib.request.Request(
-            url, data=data, method=method,
-            headers={"Content-Type": "application/json"} if data else {},
-        )
+        headers = {"Content-Type": "application/json"} if data else {}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(url, data=data, method=method, headers=headers)
         try:
             with urllib.request.urlopen(req) as resp:
                 raw = resp.read()
@@ -51,6 +52,32 @@ class CatalogClient:
             raw = exc.read()
             payload = json.loads(raw) if raw else {}
             raise CatalogHTTPError(exc.code, payload) from None
+
+    def authenticate(self, client_id: str, client_secret: str,
+                     scope: str = "catalog") -> str:
+        """RFC 6749 client_credentials exchange at /v1/oauth/tokens; the
+        returned bearer token is remembered for every later request."""
+        from urllib.parse import urlencode
+
+        data = urlencode({
+            "grant_type": "client_credentials",
+            "client_id": client_id,
+            "client_secret": client_secret,
+            "scope": scope,
+        }).encode()
+        req = urllib.request.Request(
+            f"{self.uri}/v1/oauth/tokens", data=data, method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                payload = json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            raise CatalogHTTPError(
+                exc.code, json.loads(exc.read() or b"{}")
+            ) from None
+        self.token = payload["access_token"]
+        return self.token
 
     @staticmethod
     def _ns(levels: list[str]) -> str:

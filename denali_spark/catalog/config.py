@@ -81,13 +81,14 @@ def _db_from_sections(cfg: dict) -> str | None:
 
 
 def resolve_config(explicit_path: str | None = None) -> dict:
-    """Effective {port, warehouse, db, source_file} from env > file >
-    defaults. CLI flags override on top of this in __main__."""
+    """Effective {port, warehouse, db, credential, source_file} from env >
+    file > defaults. CLI flags override on top of this in __main__."""
     cfg, path = load_config_file(explicit_path)
     api = cfg.get("api") or {}
     warehouse = (cfg.get("warehouse") or {}).get("path") or None
     port = api.get("port") or 0
     db = _db_from_sections(cfg)
+    credential = api.get("credential") or None
     # DENALI_* env overwrites file values (state.go:194-198).
     if os.environ.get("DENALI_PORT"):
         port = int(os.environ["DENALI_PORT"])
@@ -95,9 +96,12 @@ def resolve_config(explicit_path: str | None = None) -> dict:
         warehouse = os.environ["DENALI_WAREHOUSE"]
     if os.environ.get("DENALI_DB"):
         db = os.environ["DENALI_DB"]
+    if os.environ.get("DENALI_CREDENTIAL"):
+        credential = os.environ["DENALI_CREDENTIAL"]
     return {
         "port": int(port),
         "warehouse": warehouse,
         "db": db or ":memory:",
+        "credential": credential,
         "source_file": path,
     }

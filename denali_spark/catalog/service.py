@@ -59,23 +59,38 @@ from denali_spark.catalog.updates import apply_table_updates, apply_view_updates
 UNIT_SEP = "\x1f"
 
 
-class State:
-    """Server state: metadata store + warehouse (logic/state.go:242-290)."""
+TOKEN_TTL_SECONDS = 3600
 
-    def __init__(self, store: Store, warehouse: str):
+
+class State:
+    """Server state: metadata store + warehouse (logic/state.go:242-290).
+
+    `credential` ("client_id:client_secret") turns on OAuth: clients
+    exchange it at /v1/oauth/tokens (RFC 6749 client_credentials) for a
+    bearer token, and every /v1 route except the token endpoint then
+    requires `Authorization: Bearer <token>`. The reference declares the
+    endpoint in its OpenAPI spec but does not implement it (SURVEY §2.A
+    note) — implemented here beyond parity."""
+
+    def __init__(self, store: Store, warehouse: str,
+                 credential: str | None = None):
         self.store = store
         self.warehouse = warehouse
+        self.credential = credential
+        self.tokens: dict[str, float] = {}  # token -> expiry (epoch secs)
         # Serializes the read-modify-write commit path on top of CAS; the
         # CAS remains the cross-process source of truth.
         self.commit_lock = threading.Lock()
 
 
-def make_state(warehouse: str, db_path: str = ":memory:") -> State:
+def make_state(
+    warehouse: str, db_path: str = ":memory:", credential: str | None = None
+) -> State:
     """db_path: SQLite file path / ':memory:', or a postgresql:// URI
     (selects the Postgres backend, reference logic/state.go:219-227)."""
     from denali_spark.catalog.store import make_store
 
-    return State(make_store(db_path), warehouse)
+    return State(make_store(db_path), warehouse, credential=credential)
 
 
 def parse_ns(raw: str) -> list[str]:
@@ -534,8 +549,55 @@ def get_openapi(state: State, m, q, body):
     }
 
 
+def post_oauth_tokens(state: State, m, q, body):
+    """POST /v1/oauth/tokens — RFC 6749 client_credentials exchange (the
+    endpoint the Iceberg REST spec defines and the reference leaves
+    unimplemented). Accepts form-encoded or JSON bodies. OAuth error
+    responses use the RFC's {"error", "error_description"} shape, not the
+    catalog error envelope."""
+    import secrets
+    import time
+
+    if state.credential is None:
+        return 400, {
+            "error": "invalid_request",
+            "error_description": "this catalog has no credential configured",
+        }
+    grant = body.get("grant_type")
+    if grant != "client_credentials":
+        return 400, {
+            "error": "unsupported_grant_type",
+            "error_description":
+                f"grant_type must be client_credentials, got {grant!r}",
+        }
+    client_id = body.get("client_id")
+    client_secret = body.get("client_secret")
+    if not client_id or not client_secret:
+        return 400, {
+            "error": "invalid_request",
+            "error_description": "client_id and client_secret are required",
+        }
+    if f"{client_id}:{client_secret}" != state.credential:
+        return 401, {
+            "error": "invalid_client",
+            "error_description": "unknown client or bad secret",
+        }
+    now = time.time()
+    # opportunistic purge keeps the token map bounded
+    state.tokens = {t: e for t, e in state.tokens.items() if e > now}
+    token = secrets.token_urlsafe(32)
+    state.tokens[token] = now + TOKEN_TTL_SECONDS
+    return 200, {
+        "access_token": token,
+        "token_type": "bearer",
+        "expires_in": TOKEN_TTL_SECONDS,
+        "scope": body.get("scope") or "catalog",
+    }
+
+
 _NS = r"(?P<ns>[^/]+)"
 ROUTES: list[tuple[str, re.Pattern, object]] = [
+    ("POST", re.compile(r"^/v1/oauth/tokens$"), post_oauth_tokens),
     ("GET", re.compile(r"^/v1/config$"), get_config),
     ("GET", re.compile(r"^/status$"), get_status),
     ("GET", re.compile(r"^/(openapi-file\.yaml|docs)$"), get_openapi),
@@ -581,12 +643,23 @@ class _Handler(BaseHTTPRequestHandler):
         body = {}
         length = int(self.headers.get("Content-Length") or 0)
         if length:
-            try:
-                body = json.loads(self.rfile.read(length) or b"{}")
-            except json.JSONDecodeError:
-                return self._send(400, {"error": {"message": "invalid JSON body",
-                                                  "type": "BadRequestException",
-                                                  "code": 400}})
+            raw = self.rfile.read(length) or b""
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+            if ctype == "application/x-www-form-urlencoded":
+                # the OAuth token endpoint posts RFC 6749 form bodies
+                body = {
+                    k: v[0] for k, v in parse_qs(raw.decode("utf-8")).items()
+                }
+            else:
+                try:
+                    body = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"error": {"message": "invalid JSON body",
+                                                      "type": "BadRequestException",
+                                                      "code": 400}})
+        auth_err = self._check_auth(parsed.path)
+        if auth_err is not None:
+            return self._send(401, auth_err, head=method == "HEAD")
         for m_method, pattern, handler in ROUTES:
             if m_method != method:
                 continue
@@ -607,6 +680,27 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(404, {"error": {"message": f"no route for {method} {parsed.path}",
                                    "type": "NotFoundException", "code": 404}},
                    head=method == "HEAD")
+
+    def _check_auth(self, path: str) -> dict | None:
+        """Bearer enforcement when the server carries a credential: every
+        /v1 route except the token endpoint needs a live token. /status,
+        docs, and the OpenAPI file stay open (health probes)."""
+        import time
+
+        state = self.state
+        if state.credential is None or not path.startswith("/v1"):
+            return None
+        if path == "/v1/oauth/tokens":
+            return None
+        header = self.headers.get("Authorization") or ""
+        token = header.removeprefix("Bearer ").strip() if header.startswith(
+            "Bearer "
+        ) else None
+        if token and state.tokens.get(token, 0) > time.time():
+            return None
+        return {"error": {"message": "missing or expired bearer token "
+                                     "(POST /v1/oauth/tokens)",
+                          "type": "NotAuthorizedException", "code": 401}}
 
     def _send(self, status: int, payload, head: bool = False):
         data = b"" if payload is None else json.dumps(payload).encode()

@@ -49,7 +49,8 @@ def test_env_overrides_file(tmp_path, monkeypatch):
     cfg = resolve_config(str(p))
     assert cfg == {
         "port": 9999, "warehouse": "/from/env",
-        "db": "postgresql://u@h:5/d", "source_file": str(p),
+        "db": "postgresql://u@h:5/d", "credential": None,
+        "source_file": str(p),
     }
 
 
@@ -124,3 +125,14 @@ def test_cli_starts_with_config_file(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_credential_from_env_and_file(tmp_path, monkeypatch):
+    from denali_spark.catalog.config import resolve_config
+
+    p = tmp_path / "c.toml"
+    p.write_text('[api]\ncredential = "file:secret"\n')
+    monkeypatch.delenv("DENALI_CREDENTIAL", raising=False)
+    assert resolve_config(str(p))["credential"] == "file:secret"
+    monkeypatch.setenv("DENALI_CREDENTIAL", "env:secret")
+    assert resolve_config(str(p))["credential"] == "env:secret"

@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_triangle_parts",
     "ts_spike_hours",
     "agg_weighted_median",
+    "sim_pq_topk",
     # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",

@@ -802,3 +802,188 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SQ_K)
         .select("query_id", "neighbor_id", "qdot", "rn")
     )
+
+
+# --- product quantization (the memory-bound scale path) ---------------------
+#
+# PQ splits each (int8-quantized) vector into PQ_M subvectors and encodes
+# every subvector as the id of its nearest codebook entry — storage drops
+# from DIM bytes to PQ_M code bytes per vector, and scoring becomes
+# PQ_M table lookups (ADC) instead of a DIM-long dot product. The codebook
+# is deterministic (stride-sampled training rows; real deployments run
+# k-means — the plumbing is identical), so both engines reproduce the
+# same codes and the DuckDB oracle can check the whole pipeline
+# bit-exactly: quantize → encode (argmin L2, ties to the lowest code id)
+# → ADC lookup-table scoring → top-PQ_CAND candidates → full int8-dot
+# rerank → top-PQ_K. The two-stage shape (coarse PQ candidates, precise
+# rerank) is the production ANN layout at 100 TB: the PQ code table is
+# ~DIM/8 of the corpus bytes and the rerank touches only candidates.
+
+PQ_M = 8               # subspaces (DIM=64 → 8 dims each)
+PQ_SUB = DIM // PQ_M
+PQ_TRAIN_MOD = 241     # codebook = vectors with vec_id % 241 == 0
+PQ_PROBE_MOD = 991     # probe set
+PQ_CAND = 25           # ADC candidates per probe fed to the rerank
+PQ_K = 5
+
+
+@query(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS gmax FROM v),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x * 127.0 / s.gmax) AS INT)) AS qe
+      FROM v, s
+    ),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cbs AS (
+      SELECT ms.m, qv.vec_id AS cid,
+             qv.qe[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM qv CROSS JOIN ms WHERE qv.vec_id % {PQ_TRAIN_MOD} = 0
+    ),
+    vsub AS (
+      SELECT qv.vec_id, ms.m,
+             qv.qe[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM qv CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vs.vec_id, vs.m, c.cid,
+               row_number() OVER (
+                 PARTITION BY vs.vec_id, vs.m
+                 ORDER BY list_sum(list_transform(list_zip(vs.sub, c.sub),
+                   x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2]))), c.cid
+               ) AS rn
+        FROM vsub vs JOIN cbs c ON c.m = vs.m
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qe FROM qv WHERE vec_id % {PQ_PROBE_MOD} = 7
+    ),
+    lut AS (
+      SELECT p.query_id, c.m, c.cid,
+             CAST(list_sum(list_transform(list_zip(
+               p.qe[c.m * {PQ_SUB} + 1 : c.m * {PQ_SUB} + {PQ_SUB}], c.sub),
+               x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS pdot
+      FROM probes p CROSS JOIN cbs c
+    ),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.pdot) AS adc_dot
+      FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dot DESC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_CAND}
+    ),
+    rerank AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(p.qe, n.qe),
+               x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS qdot
+      FROM cand c
+      JOIN probes p ON p.query_id = c.query_id
+      JOIN qv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {PQ_K}
+    """,
+    tags=("similarity", "ann", "quantization", "pq"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage product-quantization ANN: PQ/ADC candidate generation
+    (8 bytes per vector instead of 64) followed by a full int8-dot rerank
+    of the top-{PQ_CAND} candidates per probe. See the section comment for
+    the exactness argument and scale shape; the codebook and lookup tables
+    broadcast, the encoded-corpus ⋈ LUT join partial-aggregates the
+    per-subspace lookups, and both top-k cuts are
+    TakeOrderedAndProject-per-query windows."""
+    v = _vecs(spark, sf_dir)
+    gmax = v.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+    )
+    qv = v.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+        ).alias("qe"),
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    ).alias("sub")
+    cbs = (
+        qv.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        .crossJoin(F.broadcast(ms))
+        .select(F.col("m"), F.col("vec_id").alias("cid"), sub)
+    )
+    vsub = qv.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+    l2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dists = vsub.join(
+        F.broadcast(cbs.select("m", "cid", F.col("sub").alias("csub"))), "m"
+    ).select("vec_id", "m", "cid", l2.alias("d"))
+    # argmin with ties to the lowest code id: lexicographic struct-min
+    enc = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "cid"))["cid"].alias("cid")
+    )
+    probes = qv.filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("qe")
+    )
+    psub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    )
+    pdot = F.aggregate(
+        F.zip_with(psub, F.col("csub"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    lut = probes.crossJoin(
+        F.broadcast(cbs.select("m", "cid", F.col("sub").alias("csub")))
+    ).select("query_id", "m", "cid", pdot.alias("pdot"))
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with("pqe", "qe", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    rerank = (
+        cand.join(
+            F.broadcast(probes.select("query_id", F.col("qe").alias("pqe"))),
+            "query_id",
+        )
+        .join(qv, cand["neighbor_id"] == qv["vec_id"])
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= PQ_K)
+        .select("query_id", "neighbor_id", "qdot", "rn")
+    )

@@ -109,6 +109,12 @@ NON_EQUI_WHITELIST = {
     # into the element-wise quantization map, and the ~1% probe batch
     # broadcast into the scoring pass (cost n x |probes|, one linear scan)
     "sim_sq_topk",
+    # bounded broadcast expansions only: the 1-row gmax aggregate, the
+    # 8-row subspace frame (n x 8 subvector explode), and the tiny
+    # codebook/LUT (codes = n/241 rows) — every BNLJ side is O(1) or
+    # O(n/stride); the heavy joins (encode argmin, ADC scoring) are
+    # hash equi-joins on (m) / (m, cid)
+    "sim_pq_topk",
     # the 1-row basket-count aggregate broadcast into the ppm projection
     "graph_basket_lift",
     # the 1-row corpus doc count broadcast into the tf-idf projection

@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_spike_hours",
     "agg_weighted_median",
     "sim_pq_topk",
+    "text_chunk_cdc",
     # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",

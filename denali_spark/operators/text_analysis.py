@@ -1147,3 +1147,127 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# Content-defined chunking constants: rolling hash over a 4-token window
+# with 31^j weights on 60-bit-md5 token hashes reduced mod CDC_HMOD
+# (keeps the weighted sum far under 2^63); a position is a chunk boundary
+# when the window hash lands in the CDC_MASK residue class — expected
+# chunk length = CDC_MASK tokens.
+CDC_HMOD = 1_000_003
+CDC_MASK = 64
+_CDC_W = (1, 31, 961, 29791)
+
+
+@query(
+    "text_chunk_cdc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, len(t) AS n,
+             list_transform(t, x ->
+               ('0x' || substr(md5(x), 1, 15))::BIGINT % {CDC_HMOD}) AS h
+      FROM toks WHERE len(t) > 0
+    ),
+    rh AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i ->
+               h[i]
+               + CASE WHEN i >= 2 THEN {_CDC_W[1]} * h[i-1] ELSE 0 END
+               + CASE WHEN i >= 3 THEN {_CDC_W[2]} * h[i-2] ELSE 0 END
+               + CASE WHEN i >= 4 THEN {_CDC_W[3]} * h[i-3] ELSE 0 END
+             ) AS r
+      FROM hs
+    ),
+    ch AS (
+      SELECT doc_id, n,
+             list_concat(
+               list_concat(
+                 [CAST(1 AS BIGINT)],
+                 list_filter(range(2, n + 1), i -> r[i] % {CDC_MASK} = 0)
+               ),
+               [CAST(n + 1 AS BIGINT)]
+             ) AS bpos
+      FROM rh
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(bpos) - 1 AS BIGINT) AS n_chunks,
+           CAST(list_max(list_transform(range(1, len(bpos)),
+                k -> bpos[k+1] - bpos[k])) AS BIGINT) AS max_chunk_tokens,
+           CAST((n * 1000) // (len(bpos) - 1) AS BIGINT)
+             AS avg_chunk_tokens_x1000
+    FROM ch
+    """,
+    tags=("text", "chunking", "cdc"),
+)
+def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the storage-dedup / dedupe-friendly
+    splitting primitive): chunk boundaries fall where a 4-token rolling
+    hash lands in a fixed residue class, so an insertion early in a
+    document only reshapes the chunks it touches — unlike fixed-size
+    chunking, where every later chunk shifts. Emits per-doc chunk stats
+    (count, max, avg×1000 — all integers, bit-exact across engines).
+
+    Scale shape: pure array higher-order functions per row — no explode,
+    no window, no shuffle; the whole computation is scan-local and
+    whole-stage-codegen'd. (Production CDC adds FastCDC-style min/max
+    chunk clamps — sequential state that belongs in the ingest writer,
+    not the analytics query.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    hs = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n"),
+        F.transform(
+            "t",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % CDC_HMOD,
+        ).alias("h"),
+    )
+
+    def rolled(i):
+        terms = []
+        for j, w in enumerate(_CDC_W):
+            terms.append(
+                F.when(
+                    i - j >= 1,
+                    F.lit(w) * F.element_at(F.col("h"), (i - j).cast("int")),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return out
+
+    rh = hs.select(
+        "doc_id", "n",
+        F.transform(F.sequence(F.lit(1), F.col("n")), rolled).alias("r"),
+    )
+    ch = rh.select(
+        "doc_id", "n",
+        F.concat(
+            F.array(F.lit(1).cast("long")),
+            F.filter(
+                F.sequence(F.lit(2).cast("long"), F.col("n")),
+                lambda i: F.element_at(F.col("r"), i.cast("int")) % CDC_MASK
+                == 0,
+            ),
+            F.array(F.col("n") + 1),
+        ).alias("bpos"),
+    )
+    lens = F.transform(
+        F.sequence(F.lit(1), F.size("bpos") - 1),
+        lambda k: F.element_at(F.col("bpos"), (k + 1).cast("int"))
+        - F.element_at(F.col("bpos"), k.cast("int")),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.size("bpos") - 1).cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk_tokens"),
+        F.expr(f"(n * 1000) div (size(bpos) - 1)").alias("avg_chunk_tokens_x1000"),
+    )

@@ -380,6 +380,49 @@ class SparkCatalogIO:
             r"|\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
         )
         rewritten, literals = _mask_literals(query)
+
+        # Metadata-relation addressing (Iceberg SQL's `db.t.snapshots`
+        # family): a pre-pass resolves `ns.table.<kind>` names into
+        # metadata_table relations. The main loop below never touches
+        # them — its name pattern refuses a trailing dot — so the order
+        # is for clarity, not correctness. Snapshot-scoped kinds accept
+        # FOR VERSION AS OF <snapshot-id|'ref'> like read_table.
+        from denali_spark.sources.metadata_tables import KINDS, metadata_table
+
+        lowered = rewritten.lower()
+        for q in sorted(refs, key=len, reverse=True):
+            kind, ns, name = refs[q]
+            if kind != "table" or (q.lower() + ".") not in lowered:
+                continue
+            for mk in KINDS:
+                if f"{q}.{mk}".lower() not in lowered:
+                    continue
+                mpat = _re.compile(
+                    r"(?<![\w.`])" + _re.escape(q) + r"\." + mk
+                    + r"(?![\w.`])" + tt,
+                    _re.IGNORECASE,
+                )
+
+                def mrepl(m, ns=ns, name=name, mk=mk, q=q):
+                    snap_id = int(m.group(1)) if m.group(1) else None
+                    mref = m.group(2)
+                    if m.group(3):
+                        raise ValueError(
+                            f"{q}.{mk}: FOR TIMESTAMP AS OF is not supported "
+                            "on metadata tables; use FOR VERSION AS OF "
+                            "<snapshot-id|'ref'>"
+                        )
+                    df = metadata_table(
+                        self, ns, name, mk, snapshot_id=snap_id, ref=mref
+                    )
+                    key = f"{q}.{mk}|{snap_id}|{mref}"
+                    view = "__denali_" + hashlib.md5(key.encode()).hexdigest()[:10]
+                    df.createOrReplaceTempView(view)
+                    return view
+
+                rewritten = mpat.sub(mrepl, rewritten)
+            lowered = rewritten.lower()
+
         for q in sorted(refs, key=len, reverse=True):
             kind, ns, name = refs[q]
             pat = _re.compile(

@@ -54,6 +54,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    BooleanType,
     ArrayType, IntegerType, LongType, MapType, StringType, StructField,
     StructType, TimestampType,
 )
@@ -79,7 +80,7 @@ _HISTORY_SCHEMA = StructType([
     StructField("made_current_at", TimestampType()),
     StructField("snapshot_id", LongType()),
     StructField("parent_id", LongType()),
-    StructField("is_current_ancestor", StringType()),  # "true"/"false"
+    StructField("is_current_ancestor", BooleanType()),  # Iceberg types it boolean
 ])
 
 _METADATA_LOG_SCHEMA = StructType([
@@ -317,7 +318,7 @@ def metadata_table(
             (
                 _ts(e["timestamp-ms"]), e["snapshot-id"],
                 parents.get(e["snapshot-id"]),
-                "true" if e["snapshot-id"] in ancestors else "false",
+                e["snapshot-id"] in ancestors,
             )
             for e in md.get("snapshot-log", [])
         ]

@@ -41,7 +41,7 @@ def test_snapshots_and_history(spark, io):
 
     hist = metadata_table(io, ns, name, "history").orderBy("made_current_at").collect()
     assert [h.snapshot_id for h in hist] == [s.snapshot_id for s in snaps]
-    assert all(h.is_current_ancestor == "true" for h in hist)
+    assert all(h.is_current_ancestor is True for h in hist)
 
 
 def test_history_marks_rolled_back_snapshot_non_ancestor(spark, io):
@@ -52,8 +52,8 @@ def test_history_marks_rolled_back_snapshot_non_ancestor(spark, io):
         h.snapshot_id: h.is_current_ancestor
         for h in metadata_table(io, ns, name, "history").collect()
     }
-    assert hist[snaps[0].snapshot_id] == "true"
-    assert hist[snaps[1].snapshot_id] == "false"
+    assert hist[snaps[0].snapshot_id] is True
+    assert hist[snaps[1].snapshot_id] is False
 
 
 def test_refs_lists_branches_and_tags(spark, io):

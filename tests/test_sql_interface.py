@@ -368,3 +368,37 @@ def test_sql_merge_statement(spark, io):
             "MERGE INTO dmg.t USING (SELECT 1 AS k, 1 AS v) s ON (k) "
             "WHEN NOT MATCHED THEN INSERT"
         )
+
+
+def test_sql_metadata_table_addressing(spark, io):
+    """Iceberg SQL's `db.t.snapshots` family resolves through
+    metadata_table, composing with ordinary SQL and snapshot-scoped
+    time travel."""
+    io.sql("CREATE TABLE meta.t AS SELECT 1 AS a")
+    io.sql("INSERT INTO meta.t SELECT 2")
+    snaps = io.sql(
+        "SELECT COUNT(*) AS n FROM meta.t.snapshots"
+    ).collect()[0]["n"]
+    assert snaps == 2
+    hist = io.sql(
+        "SELECT COUNT(*) AS n FROM meta.t.history WHERE is_current_ancestor"
+    ).collect()[0]["n"]
+    assert hist == 2
+    # joinable with the data table in one statement
+    out = io.sql(
+        "SELECT (SELECT COUNT(*) FROM meta.t.files) AS files, "
+        "(SELECT COUNT(*) FROM meta.t) AS rows"
+    ).collect()[0]
+    assert out["files"] >= 1 and out["rows"] == 2
+    # snapshot-scoped travel on a metadata relation
+    first = io.sql(
+        "SELECT snapshot_id FROM meta.t.snapshots ORDER BY committed_at LIMIT 1"
+    ).collect()[0]["snapshot_id"]
+    files_then = io.sql(
+        f"SELECT COUNT(*) AS n FROM meta.t.files FOR VERSION AS OF {first}"
+    ).collect()[0]["n"]
+    assert files_then >= 1
+    with pytest.raises(ValueError, match="FOR TIMESTAMP AS OF is not supported"):
+        io.sql(
+            "SELECT * FROM meta.t.files FOR TIMESTAMP AS OF '2024-01-01T00:00:00'"
+        )

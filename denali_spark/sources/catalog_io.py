@@ -154,9 +154,13 @@ class CommitRetriesExhausted(Exception):
 
 
 class SparkCatalogIO:
-    def __init__(self, spark: SparkSession, catalog_uri: str):
+    def __init__(
+        self, spark: SparkSession, catalog_uri: str, token: str | None = None
+    ):
+        """`token`: bearer token for OAuth-enabled catalogs (obtain one
+        via CatalogClient.authenticate)."""
         self.spark = spark
-        self.client = CatalogClient(catalog_uri)
+        self.client = CatalogClient(catalog_uri, token=token)
         self.warehouse = self.client.config()["defaults"]["warehouse"]
 
     # --- read path ---------------------------------------------------------

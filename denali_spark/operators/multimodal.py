@@ -531,3 +531,180 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ascii_docs.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, frame long, mad double, is_cut boolean"
     )
+
+
+# --- perceptual image hashing (near-duplicate images) ----------------------
+#
+# Average-hash over a 16x16 grayscale image: 8x8 blocks of 2x2 pixels, bit
+# b set iff block_sum * 64 >= total_sum (cross-multiplied integers — no
+# float mean ever computed). The synthetic corpus plants near-duplicates:
+# documents 2k and 2k+1 render the SAME base image, with the odd twin
+# perturbed by +1 on every 29th pixel — a realistic re-encode-level change
+# that leaves the perceptual hash within a few bits, while unrelated
+# images differ in ~32 of 64. Candidates come from 16-bit hash bands
+# (exact-match equi-join, the banded-LSH shape shared with
+# dedup_simhash_pairs), verified by Hamming distance over the two 32-bit
+# hash halves.
+
+PHASH_SIDE = 16
+PHASH_BLOCKS = 64
+PHASH_HAM_TAU = 10
+
+
+def _phash_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Parse REAL P5 (binary grayscale) bytes and compute the average
+    hash with numpy block sums — the decode path an image pipeline runs,
+    Arrow-batched, payload-local."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(b)
+            if not raw.startswith(b"P5\n"):
+                raise ValueError("not a binary PGM payload")
+            rest = raw[3:]
+            dims, rest = rest.split(b"\n", 1)
+            maxval, pix = rest.split(b"\n", 1)
+            w, h = (int(x) for x in dims.split())
+            if len(pix) != w * h:
+                raise ValueError(f"PGM payload {len(pix)} != {w * h}")
+            img = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+            img = img.reshape(h, w)
+            blocks = img.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+            total = int(img.sum())
+            bits = (blocks.reshape(-1) * PHASH_BLOCKS >= total).astype(np.int64)
+            lo = int((bits[:32] << np.arange(32)).sum())
+            hi = int((bits[32:] << np.arange(32)).sum())
+            rows.append((doc_id, hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "h_hi", "h_lo"])
+
+
+_SQL_PIX = (
+    "32 + ((doc_id // 2) * 7 + {i} * 13) % 94"
+    " + CASE WHEN doc_id % 2 = 1 AND {i} % 29 = 0 THEN 1 ELSE 0 END"
+)
+
+
+def _sql_block_sum(b: str) -> str:
+    terms = []
+    for dr in (0, 1):
+        for dc in (0, 1):
+            i = f"((({b}) // 8 * 2 + {dr}) * 16 + ({b}) % 8 * 2 + {dc})"
+            terms.append("(" + _SQL_PIX.format(i=i) + ")")
+    return " + ".join(terms)
+
+
+@query(
+    "mm_image_phash_pairs",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 256),
+               i -> {_SQL_PIX.format(i='i')})) AS total,
+             list_transform(range(0, {PHASH_BLOCKS}),
+               b -> {_sql_block_sum('b')}) AS bsums
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN bsums[b + 1] * {PHASH_BLOCKS} >= total
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+               AS h_lo,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN bsums[b + 33] * {PHASH_BLOCKS} >= total
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+               AS h_hi
+      FROM hashes
+    ),
+    bands AS (
+      SELECT doc_id, h_hi, h_lo, u.band,
+             CASE u.band
+               WHEN 0 THEN h_lo % 65536
+               WHEN 1 THEN h_lo // 65536
+               WHEN 2 THEN h_hi % 65536
+               ELSE h_hi // 65536
+             END AS bh
+      FROM hv, (SELECT unnest(range(0, 4)) AS band) u
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.h_lo, b.h_lo))
+                  + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {PHASH_HAM_TAU}
+    """,
+    tags=("multimodal", "phash", "dedup", "pandas-udf"),
+)
+def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual average-hash: decode the
+    (synthesized, deterministic) P5 grayscale payloads in an Arrow-batched
+    kernel, hash each image to 64 bits, generate candidates from 16-bit
+    hash bands, verify by Hamming distance. The oracle re-derives the
+    hashes from the generating arithmetic, so the decode + hash kernel is
+    value-checked end to end. Scale shape: hashing is scan-local; the
+    only shuffle is the banded equi-join over (band, value) — work scales
+    with band-bucket co-occupancy, never image pairs; at corpus scale the
+    hash table is the ingest-time index (same economics as the MinHash
+    signature index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    npix = PHASH_SIDE * PHASH_SIDE
+    pixels = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(npix - 1)),
+            lambda i: F.char(
+                F.lit(32)
+                + (F.expr("doc_id div 2") * 7 + i * 13)
+                % 94
+                + F.when(
+                    (F.col("doc_id") % 2 == 1) & (i % 29 == 0), F.lit(1)
+                ).otherwise(F.lit(0))
+            ),
+        ),
+        "",
+    )
+    header = F.lit(f"P5\n{PHASH_SIDE} {PHASH_SIDE}\n255\n")
+    payload = F.encode(F.concat(header, pixels), "UTF-8")
+    hashes = docs.select("doc_id", payload.alias("payload")).mapInPandas(
+        _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
+    )
+    band_structs = F.array(
+        F.struct(F.lit(0).alias("band"), (F.col("h_lo") % 65536).alias("bh")),
+        F.struct(
+            F.lit(1).alias("band"),
+            (F.col("h_lo") / 65536).cast("long").alias("bh"),
+        ),
+        F.struct(F.lit(2).alias("band"), (F.col("h_hi") % 65536).alias("bh")),
+        F.struct(
+            F.lit(3).alias("band"),
+            (F.col("h_hi") / 65536).cast("long").alias("bh"),
+        ),
+    )
+    bands = hashes.select(
+        "doc_id", "h_hi", "h_lo", F.explode(band_structs).alias("s")
+    ).select("doc_id", "h_hi", "h_lo", "s.band", "s.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+        + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAM_TAU)
+    )

@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_weighted_median",
     "sim_pq_topk",
     "text_chunk_cdc",
+    "mm_image_phash_pairs",
     # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",

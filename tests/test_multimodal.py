@@ -53,3 +53,34 @@ def test_null_text_rows_do_not_crash_kernels(spark, tmp_path):
     assert rows[3].feat_0 == 0.0
     meta = {r.doc_id: r for r in mm_binary_metadata(spark, d).collect()}
     assert meta[2].n_bytes == 0
+
+
+def test_phash_finds_planted_twins(spark):
+    """The synthetic corpus plants near-duplicate image twins (2k, 2k+1
+    share a base image; the odd one is perturbed by +1 on every 29th
+    pixel): every twin pair must surface with small Hamming distance, and
+    no pair should bridge two different bases at distance 0 unless their
+    hashes genuinely collide (verified ≤ threshold either way)."""
+    from denali_spark.operators.multimodal import (
+        PHASH_HAM_TAU,
+        mm_image_phash_pairs,
+    )
+
+    rows = mm_image_phash_pairs(spark, SF).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    twins = {
+        (d, d + 1) for d in doc_ids if d % 2 == 0 and d + 1 in set(doc_ids)
+    }
+    found_twins = twins & set(pairs)
+    assert len(found_twins) >= 0.9 * len(twins), (
+        f"only {len(found_twins)}/{len(twins)} planted twins found"
+    )
+    assert all(h <= PHASH_HAM_TAU for h in pairs.values())
+    # twins sit far below the threshold (the +1 perturbation barely moves
+    # block means)
+    assert max(pairs[t] for t in found_twins) <= 4

@@ -135,6 +135,15 @@ def _add_snapshot(md: dict, u: dict) -> None:
     md["last-sequence-number"] = max(
         md.get("last-sequence-number", 0), snap.get("sequence-number", 0)
     )
+    # Iceberg V3 row lineage: a snapshot carrying first-row-id advances the
+    # table's next-row-id high-water mark by the rows it assigned (the
+    # writer stamps the count in the added-rows summary key).
+    if "first-row-id" in snap:
+        assigned = int(snap.get("summary", {}).get("added-rows", 0))
+        md["next-row-id"] = max(
+            int(md.get("next-row-id", 0)),
+            int(snap["first-row-id"]) + assigned,
+        )
 
 
 def _set_snapshot_ref(md: dict, u: dict) -> None:

@@ -114,6 +114,30 @@ def _unmask_literals(text: str, literals: list[str]) -> str:
     )
 
 
+def stamp_row_lineage(md: dict, files: list[dict]) -> tuple[int, int]:
+    """Iceberg V3 row lineage: assign each NEWLY added data file a
+    first-row-id range from the table's next-row-id high-water mark (files
+    carried over by reference — and cherry-picked files — keep the range
+    they were born with, so row identity is stable across snapshots and
+    branches). Returns (snapshot first-row-id, rows assigned); the commit
+    stamps both on the snapshot so the catalog can advance next-row-id.
+
+    Supported depth: ids are file-range based (_row_id = first-row-id +
+    position), the V3 default for files without materialized lineage
+    columns. Rewrites that produce new files (CoW update/merge,
+    compaction) assign fresh ranges — carrying ids THROUGH a rewrite
+    requires writing explicit _row_id columns into the data files, which
+    this engine does not do (documented limit)."""
+    next_id = int(md.get("next-row-id", 0))
+    first = next_id
+    for f in files:
+        if f.get("content", "data") != "data" or "first-row-id" in f:
+            continue
+        f["first-row-id"] = next_id
+        next_id += int(f.get("record-count", 0))
+    return first, next_id - first
+
+
 def summary_totals(files: list[dict]) -> dict[str, str]:
     """Iceberg's standard total-* snapshot summary properties, derived from
     the snapshot's FULL entry set (carried + added): what UIs and planners
@@ -217,12 +241,19 @@ class SparkCatalogIO:
         where: dict | None = None,
         as_of_ms: int | None = None,
         report_metrics: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
         `VERSION AS OF` / branch-tag time travel; as_of_ms gives
         `TIMESTAMP AS OF` via the snapshot-log. report_metrics=True posts
         a scan report to the catalog's metrics endpoint after planning
         (Iceberg REST reporting contract).
+
+        with_row_ids=True appends the V3 row-lineage `_row_id` column
+        (file first-row-id + in-file position — stable across carried-over
+        snapshots and unaffected by merge-on-read deletes, which is the
+        point: a deleted row's id is never reused). Files written before
+        lineage stamping yield NULL ids.
 
         `where` is a scan expression (denali_spark.sources.expressions —
         the REST spec's Expression grammar): files whose manifest min/max
@@ -255,7 +286,7 @@ class SparkCatalogIO:
         )
         df = self._read_reconciled(
             md, snap, entries, snapshot_schema=time_travel,
-            with_lineage=bool(delete_entries),
+            with_lineage=bool(delete_entries) or with_row_ids,
         )
         if delete_entries:
             from denali_spark.sources.schema_evolution import schema_by_id
@@ -267,6 +298,16 @@ class SparkCatalogIO:
             df = self._apply_deletes(
                 df, entries, delete_entries, target_schema=schema_by_id(md, target_id)
             )
+        if with_row_ids:
+            # bounded map: one (path, first-row-id) row per scanned file
+            frid = self.spark.createDataFrame(
+                [(e["path"], e.get("first-row-id")) for e in entries],
+                f"{LINEAGE_FILE} string, __dsp_frid long",
+            )
+            df = df.join(F.broadcast(frid), LINEAGE_FILE, "left").withColumn(
+                "_row_id", F.col("__dsp_frid") + F.col(LINEAGE_POS)
+            ).drop("__dsp_frid")
+        if delete_entries or with_row_ids:
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         if where is not None:
             df = df.filter(to_spark_sql(where))
@@ -1312,6 +1353,7 @@ class SparkCatalogIO:
             # theirs). Re-stamped on CAS retry since seq moves with md.
             for f in data_files:
                 f["sequence-number"] = seq
+            first_row_id, assigned_rows = stamp_row_lineage(md, data_files)
             manifest_loc = self._write_manifest_list(
                 md, snapshot_id, prev_files + data_files
             )
@@ -1319,6 +1361,7 @@ class SparkCatalogIO:
                 "snapshot-id": snapshot_id,
                 "parent-snapshot-id": parent_id,
                 "sequence-number": seq,
+                "first-row-id": first_row_id,
                 "timestamp-ms": int(time.time() * 1000),
                 "manifest-list": manifest_loc,
                 "schema-id": md.get("current-schema-id", 0),
@@ -1326,6 +1369,7 @@ class SparkCatalogIO:
                     "operation": "append" if mode == "append" else "overwrite",
                     "added-data-files": str(len(data_files)),
                     "added-records": str(sum(f.get("record-count", 0) for f in data_files)),
+                    "added-rows": str(assigned_rows),
                     **summary_totals(prev_files + data_files),
                     **(summary_extra or {}),
                 },
@@ -1682,18 +1726,21 @@ class SparkCatalogIO:
             seq = md.get("last-sequence-number", 0) + 1
             for f in added:
                 f["sequence-number"] = seq
+            first_row_id, assigned_rows = stamp_row_lineage(md, added)
             new_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
             manifest_loc = self._write_manifest_list(md, new_id, head_files + added)
             snapshot = {
                 "snapshot-id": new_id,
                 "parent-snapshot-id": head_id,
                 "sequence-number": seq,
+                "first-row-id": first_row_id,
                 "timestamp-ms": int(time.time() * 1000),
                 "manifest-list": manifest_loc,
                 "schema-id": md.get("current-schema-id", 0),
                 "summary": {
                     "operation": "append",
                     "added-data-files": str(len(added)),
+                    "added-rows": str(assigned_rows),
                     "source-snapshot-id": str(snapshot_id),
                 },
             }
@@ -1747,17 +1794,20 @@ class SparkCatalogIO:
             files = [{"path": parquet_path, **_parquet_stats(parquet_path)}]
         for f in files:
             f["sequence-number"] = 1
+        first_row_id, assigned_rows = stamp_row_lineage(md, files)
         snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
         manifest_loc = self._write_manifest_list(md, snapshot_id, files)
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": None,
             "sequence-number": 1,
+            "first-row-id": first_row_id,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": manifest_loc,
             "schema-id": 0,
             "summary": {"operation": "append",
-                        "added-data-files": str(len(files))},
+                        "added-data-files": str(len(files)),
+                        "added-rows": str(assigned_rows)},
         }
         return self.client.commit_table(
             namespace, name,

@@ -116,6 +116,9 @@ DATA_FILE_SCHEMA = {
         {"name": "equality_ids", "type": _nullable({"type": "array", "items": "int"})},
         # Iceberg V3 deletion-vector fields (spec ids 143/144/145): set only
         # on content=position-deletes entries whose file is a Puffin DV.
+        # V3 row lineage (spec field 142): base row id for files without
+        # materialized lineage columns (_row_id = first_row_id + position)
+        {"name": "first_row_id", "type": _nullable("long")},
         {"name": "referenced_data_file", "type": _nullable("string")},
         {"name": "content_offset", "type": _nullable("long")},
         {"name": "content_size_in_bytes", "type": _nullable("long")},
@@ -474,6 +477,7 @@ def entry_to_data_file(
         "x_lower_bounds_json": jl or None,
         "x_upper_bounds_json": ju or None,
         "equality_ids": e.get("equality-field-ids"),
+        "first_row_id": e.get("first-row-id"),
         "referenced_data_file": (
             f"file://{rdf}" if (rdf := e.get("referenced-data-file")) and
             rdf.startswith("/") else rdf
@@ -573,6 +577,8 @@ def data_file_to_entry(
         e["stats"] = stats
     if rec["equality_ids"] is not None:
         e["equality-field-ids"] = rec["equality_ids"]
+    if rec.get("first_row_id") is not None:
+        e["first-row-id"] = rec["first_row_id"]
     rdf = rec.get("referenced_data_file")
     if rdf is not None:
         e["referenced-data-file"] = (

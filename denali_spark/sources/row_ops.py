@@ -64,7 +64,7 @@ def _commit_cow(
     """One copy-on-write snapshot commit against a known parent."""
     import time
 
-    from denali_spark.sources.catalog_io import summary_totals
+    from denali_spark.sources.catalog_io import stamp_row_lineage, summary_totals
 
     snapshot_id = _new_snapshot_id()
     seq = md.get("last-sequence-number", 0) + 1
@@ -72,15 +72,17 @@ def _commit_cow(
         # Newly written files (no stamp yet) belong to THIS commit; files
         # carried over by reference keep their original sequence number.
         f.setdefault("sequence-number", seq)
+    first_row_id, assigned_rows = stamp_row_lineage(md, files)
     manifest_loc = io._write_manifest_list(md, snapshot_id, files)
     snapshot = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": parent_id,
         "sequence-number": seq,
+        "first-row-id": first_row_id,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": manifest_loc,
         "schema-id": md.get("current-schema-id", 0),
-        "summary": {"operation": operation,
+        "summary": {"operation": operation, "added-rows": str(assigned_rows),
                     **summary_totals(files), **summary_extra},
     }
     return io.client.commit_table(

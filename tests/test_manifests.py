@@ -223,8 +223,10 @@ def test_single_entry_mapping_is_spec_shaped():
         "content", "file_path", "file_format", "partition", "record_count",
         "file_size_in_bytes", "null_value_counts", "lower_bounds",
         "upper_bounds", "equality_ids",
-        # Iceberg V3 deletion-vector fields (spec ids 143/144/145)
+        # Iceberg V3 deletion-vector fields (spec ids 143/144/145) and
+        # row lineage (spec id 142)
         "referenced_data_file", "content_offset", "content_size_in_bytes",
+        "first_row_id",
     }
     for f in DATA_FILE_SCHEMA["fields"]:
         assert f["name"] in spec_names or f["name"].startswith("x_")

@@ -77,6 +77,12 @@ class _FilePartition(InputPartition):
     # once driver-side and serialized into the partition; sequence
     # filtering (delete seq > file seq) already applied at planning.
     eq_deletes: tuple = ()
+    # V3 row lineage: when row_ids is set, the reader appends a _row_id
+    # column = first_row_id + in-file position (pre-delete positions, so
+    # ids are stable under DV/position/equality deletes). None first_row_id
+    # (files written before lineage stamping) yields NULL ids.
+    first_row_id: int | None = None
+    row_ids: bool = False
     # V2 parquet position-delete FILE PATHS (not their rows): the executor
     # reads each with a file_path == this-partition's-path filter (delete
     # files are sorted by (file_path, pos), so parquet row-group stats
@@ -234,6 +240,20 @@ def _read_parquet_batches(partition: _FilePartition):
     row = 0
     for batch in pf.iter_batches(columns=want):
         n = batch.num_rows
+        if partition.row_ids:
+            import pyarrow as pa
+
+            if partition.first_row_id is None:
+                ids = pa.nulls(n, type=pa.int64())
+            else:
+                ids = pa.array(
+                    range(partition.first_row_id + row,
+                          partition.first_row_id + row + n),
+                    type=pa.int64(),
+                )
+            batch = pa.RecordBatch.from_arrays(
+                [*batch.columns, ids], names=[*batch.schema.names, "_row_id"]
+            )
         if deleted is not None:
             import numpy as np
             import pyarrow as pa
@@ -321,6 +341,7 @@ class _DenaliBatchReader(DataSourceReader):
         )
 
         self._columns = _schema_pairs(md)
+        self._options = options
         self._pruning_exprs: list[dict] = []
         snap_id = options.get("snapshot_id")
         snap = resolve_snapshot(
@@ -370,15 +391,19 @@ class _DenaliBatchReader(DataSourceReader):
                 for dseq, cols, keys in self._eq_by_seq if fseq < dseq
             )
 
+        row_ids = (self._options.get("rowids") or "").lower() == "true"
+        cols = self._columns + ((("_row_id", "long"),) if row_ids else ())
         return [
             _FilePartition(
-                e["path"], self._columns,
+                e["path"], cols,
                 dv=self._dv_by_path.get(e["path"]),
                 eq_deletes=eq_for(e),
                 pos_deletes=self._pos_deletes,
+                first_row_id=e.get("first-row-id"),
+                row_ids=row_ids,
             )
             for e in entries
-        ] or [_FilePartition("", self._columns)]
+        ] or [_FilePartition("", cols)]
 
     def read(self, partition):
         if not partition.path:
@@ -735,7 +760,10 @@ class DenaliDataSource(DataSource):
     def schema(self) -> str:
         from denali_spark.sources.schema_evolution import current_schema
 
-        return iceberg_schema_to_ddl(current_schema(self._metadata()))
+        ddl = iceberg_schema_to_ddl(current_schema(self._metadata()))
+        if (self.options.get("rowids") or "").lower() == "true":
+            ddl += ", _row_id bigint"  # V3 row lineage (batch reads)
+        return ddl
 
     def reader(self, schema) -> DataSourceReader:
         return _DenaliBatchReader(self.options, self._metadata())

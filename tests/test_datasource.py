@@ -387,3 +387,26 @@ def test_rate_limiter_counts_unstamped_snapshots_via_manifests(spark, io):
     }}
     fallback = _DenaliStreamReader._added_file_count(None, stripped)
     assert stamped == fallback == 1
+
+
+def test_batch_read_row_ids(spark, io):
+    """option("rowids","true") appends the V3 lineage _row_id column
+    (first-row-id + pre-delete position) to batch reads — stable under
+    deletion vectors, matching the reconciled path's with_row_ids."""
+    from denali_spark.sources import delete_where_dv
+    from denali_spark.sources import expressions as E
+
+    ns = ["dsrc"]
+    _append(spark, io, ns, "rid", 0, 10)
+    _append(spark, io, ns, "rid", 10, 20)
+    delete_where_dv(io, ns, "rid", E.eq("id", 3))
+
+    df = _fmt(spark, io, "rid").option("rowids", "true").load()
+    got = {r["id"]: r["_row_id"] for r in df.collect()}
+    assert got == {i: i for i in range(20) if i != 3}
+    # agrees with the reconciled read path
+    rec = {
+        r["id"]: r["_row_id"]
+        for r in io.read_table(ns, "rid", with_row_ids=True).collect()
+    }
+    assert got == rec

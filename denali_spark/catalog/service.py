@@ -583,10 +583,11 @@ def post_oauth_tokens(state: State, m, q, body):
             "error_description": "unknown client or bad secret",
         }
     now = time.time()
-    # opportunistic purge keeps the token map bounded
-    state.tokens = {t: e for t, e in state.tokens.items() if e > now}
     token = secrets.token_urlsafe(32)
-    state.tokens[token] = now + TOKEN_TTL_SECONDS
+    with state.commit_lock:  # concurrent grants must not drop each other
+        for t in [t for t, e in state.tokens.items() if e <= now]:
+            del state.tokens[t]  # opportunistic purge keeps the map bounded
+        state.tokens[token] = now + TOKEN_TTL_SECONDS
     return 200, {
         "access_token": token,
         "token_type": "bearer",

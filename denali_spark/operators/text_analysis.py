@@ -1247,15 +1247,20 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n",
         F.transform(F.sequence(F.lit(1), F.col("n")), rolled).alias("r"),
     )
+    # F.sequence(2, n) DESCENDS for n=1 ([2, 1]) — guard single-token
+    # docs to the oracle's empty range(2, 2)
+    boundaries = F.when(
+        F.col("n") >= 2,
+        F.filter(
+            F.sequence(F.lit(2).cast("long"), F.col("n")),
+            lambda i: F.element_at(F.col("r"), i.cast("int")) % CDC_MASK == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     ch = rh.select(
         "doc_id", "n",
         F.concat(
             F.array(F.lit(1).cast("long")),
-            F.filter(
-                F.sequence(F.lit(2).cast("long"), F.col("n")),
-                lambda i: F.element_at(F.col("r"), i.cast("int")) % CDC_MASK
-                == 0,
-            ),
+            boundaries,
             F.array(F.col("n") + 1),
         ).alias("bpos"),
     )

@@ -48,6 +48,47 @@ LINEAGE_FILE = "__dsp_file_path"
 LINEAGE_POS = "__dsp_pos"
 
 
+def _find_top_level(text: str, word: str, start: int = 0) -> int:
+    """Index of the first occurrence of keyword `word` (case-insensitive,
+    word-bounded) outside single-quoted strings and parentheses — how the
+    DML router splits statement clauses without a literal containing
+    " where " or a USING subquery's JOIN ... ON fooling it."""
+    depth = 0
+    in_str = False
+    i = start
+    n = len(text)
+    low = text.lower()
+    wlow = word.lower()
+    wl = len(word)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(wlow, i):
+            before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            j = i + wl
+            after_ok = j >= n or not (text[j].isalnum() or text[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _strip_stmt(text: str) -> str:
+    t = text.strip()
+    return t[:-1].strip() if t.endswith(";") else t
+
+
 def _split_top_level(text: str, sep: str) -> list[str]:
     """Split on `sep` outside parentheses and single-quoted strings."""
     parts: list[str] = []
@@ -394,25 +435,40 @@ class SparkCatalogIO:
                     mode="overwrite" if m.group(1) else "create",
                 )
             m = _re.match(
-                r"\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$",
+                r"\s*DELETE\s+FROM\s+([\w.]+)\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
-                return self._sql_delete(m.group(1), m.group(2))
+                rest = _strip_stmt(m.group(2))
+                w = _find_top_level(rest, "WHERE")
+                if w < 0:
+                    raise ValueError("DELETE FROM requires a WHERE clause")
+                return self._sql_delete(m.group(1), rest[w + 5:])
             m = _re.match(
-                r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+                r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
-                return self._sql_update(m.group(1), m.group(2), m.group(3))
+                rest = _strip_stmt(m.group(2))
+                w = _find_top_level(rest, "WHERE")
+                if w < 0:
+                    raise ValueError("UPDATE requires a WHERE clause")
+                return self._sql_update(m.group(1), rest[:w], rest[w + 5:])
             m = _re.match(
-                r"\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.+?)\s+ON\s+(.+?)"
-                r"\s+(WHEN\s+.+?)\s*;?\s*$",
+                r"\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
+                rest = _strip_stmt(m.group(2))
+                on_i = _find_top_level(rest, "ON")
+                when_i = _find_top_level(rest, "WHEN", max(on_i, 0))
+                if on_i < 0 or when_i <= on_i:
+                    raise ValueError(
+                        "MERGE needs USING <source> ON <keys> WHEN ... clauses"
+                    )
                 return self._sql_merge(
-                    m.group(1), m.group(2), m.group(3), m.group(4)
+                    m.group(1), rest[:on_i], rest[on_i + 2: when_i],
+                    rest[when_i:],
                 )
 
         # One catalog walk per TOP-LEVEL call; nested view resolution
@@ -530,7 +586,11 @@ class SparkCatalogIO:
     def _dml_summary(
         self, qualified: str, operation: str, mode: str, result: dict
     ) -> DataFrame:
-        ns, name, md = self._dml_target(qualified)
+        # the op returns the post-commit (or noop) metadata — reloading
+        # here could report a CONCURRENT writer's snapshot instead
+        md = result.get("metadata")
+        if md is None:
+            _ns, _name, md = self._dml_target(qualified)
         snap = md.get("refs", {}).get(MAIN, {}).get("snapshot-id")
         return self.spark.range(1).select(
             F.lit(qualified).alias("table"),
@@ -1353,6 +1413,10 @@ class SparkCatalogIO:
             # theirs). Re-stamped on CAS retry since seq moves with md.
             for f in data_files:
                 f["sequence-number"] = seq
+                # re-stamped per attempt: a lost CAS race moves next-row-id,
+                # and ranges assigned against stale metadata would collide
+                # with the winner's
+                f.pop("first-row-id", None)
             first_row_id, assigned_rows = stamp_row_lineage(md, data_files)
             manifest_loc = self._write_manifest_list(
                 md, snapshot_id, prev_files + data_files
@@ -1708,6 +1772,9 @@ class SparkCatalogIO:
             parent = self._resolve_snapshot(md, parent_id)
             base_paths = {f["path"] for f in self._manifest_entries(parent["manifest-list"])}
         added = [dict(f) for f in picked_files if f["path"] not in base_paths]
+        # pre-lineage files (no first-row-id at birth) get ranges assigned
+        # per attempt; files born with ranges keep them across retries
+        lineage_unstamped = [f for f in added if "first-row-id" not in f]
 
         for _attempt in range(max_retries):
             head = md.get("refs", {}).get(to)
@@ -1726,6 +1793,8 @@ class SparkCatalogIO:
             seq = md.get("last-sequence-number", 0) + 1
             for f in added:
                 f["sequence-number"] = seq
+            for f in lineage_unstamped:  # re-stamped per attempt (CAS races)
+                f.pop("first-row-id", None)
             first_row_id, assigned_rows = stamp_row_lineage(md, added)
             new_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
             manifest_loc = self._write_manifest_list(md, new_id, head_files + added)

@@ -911,6 +911,12 @@ def analyze_table_incremental(
         b for b in prior_stat.get("blob-metadata", [])
         if b.get("type") == BLOOM_BLOB_TYPE
     ]
+    if any("path" not in b.get("properties", {}) for b in prior_bloom):
+        # legacy layout: bloom bytes embedded in the OLD statistics file.
+        # Carrying those entries would point their offsets at the NEW
+        # statistics file (silently wrong pruning) — recompute fully,
+        # which rewrites them in the sidecar layout.
+        return _full()
     bloom_cols = sorted({b["properties"]["column"] for b in prior_bloom})
     new_bloom = []
     if bloom_cols and new_entries:

@@ -402,3 +402,31 @@ def test_sql_metadata_table_addressing(spark, io):
         io.sql(
             "SELECT * FROM meta.t.files FOR TIMESTAMP AS OF '2024-01-01T00:00:00'"
         )
+
+
+def test_dml_clause_splitting_is_literal_and_paren_safe(spark, io):
+    """Review regressions: a USING subquery containing JOIN ... ON must
+    not truncate the MERGE source, and literals containing clause
+    keywords must not fool the DELETE/UPDATE splitters."""
+    io.sql("CREATE TABLE dsafe.t AS SELECT id AS k, 'x' AS tag, id AS v "
+           "FROM westeros.my_table WHERE id < 6")
+    io.sql("CREATE TABLE dsafe.dim AS SELECT id AS k, id * 100 AS w "
+           "FROM westeros.my_table WHERE id < 6")
+    # JOIN ... ON inside the USING subquery
+    io.sql(
+        "MERGE INTO dsafe.t USING "
+        "(SELECT a.k AS k, 'y' AS tag, b.w AS v FROM dsafe.t a "
+        " JOIN dsafe.dim b ON a.k = b.k WHERE a.k < 3) s "
+        "ON (k) WHEN MATCHED THEN UPDATE"
+    )
+    rows = {r["k"]: (r["tag"], r["v"])
+            for r in io.sql("SELECT * FROM dsafe.t").collect()}
+    assert rows[0] == ("y", 0) and rows[2] == ("y", 200) and rows[5] == ("x", 5)
+    # literal containing ' where ' in an UPDATE SET expression
+    io.sql("UPDATE dsafe.t SET tag = 'a where b' WHERE k = 4")
+    assert io.sql(
+        "SELECT tag FROM dsafe.t WHERE k = 4"
+    ).collect()[0]["tag"] == "a where b"
+    # literal containing ' where ' in a DELETE predicate
+    io.sql("DELETE FROM dsafe.t WHERE tag = 'a where b'")
+    assert io.sql("SELECT COUNT(*) AS n FROM dsafe.t").collect()[0]["n"] == 5

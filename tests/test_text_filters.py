@@ -78,3 +78,32 @@ def test_short_doc_has_no_grams_but_still_scores(spark, planted_dir):
     assert tiny["dup_bigram_frac"] == 0.0  # 2 distinct bigrams of 2
     contaminated = {r["doc_id"] for r in text_decontaminate(spark, planted_dir).collect()}
     assert 4 not in contaminated  # too short to carry any 4-gram
+
+
+def test_chunk_cdc_single_token_doc_matches_oracle_shape(spark, tmp_path):
+    """sequence(2, n) DESCENDS for n=1 — a single-token doc must produce
+    exactly one chunk (no phantom boundary), matching the oracle's empty
+    range(2, 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from denali_spark.operators.text_analysis import text_chunk_cdc
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["word", "two tokens here make a longer doc for chunks"],
+            "lang": ["en", "en"], "source": ["t", "t"],
+            "n_chars": pa.array([4, 44], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in text_chunk_cdc(spark, d).collect()}
+    assert rows[1]["n_tokens"] == 1 and rows[1]["n_chunks"] == 1
+    assert rows[1]["max_chunk_tokens"] == 1
+    assert rows[1]["avg_chunk_tokens_x1000"] == 1000
+    assert rows[2]["n_tokens"] == 9

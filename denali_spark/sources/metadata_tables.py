@@ -122,6 +122,7 @@ _ENTRY_FILE_FIELDS = [
     StructField("upper_bounds", MapType(StringType(), StringType())),
     StructField("null_value_counts", MapType(StringType(), LongType())),
     StructField("equality_ids", ArrayType(IntegerType())),
+    StructField("first_row_id", LongType()),  # V3 row lineage (round 7)
 ]
 _ENTRIES_FLAT_SCHEMA = StructType([
     StructField("status", IntegerType()),
@@ -169,6 +170,7 @@ def _decode_manifest_rows(path: str) -> Iterator[dict]:
                 {c: s.get("null-count", 0) for c, s in stats.items()} or None
             ),
             "equality_ids": e.get("equality-field-ids"),
+            "first_row_id": e.get("first-row-id"),
         }
 
     if path.endswith(".json"):  # legacy round-3 single-document layout

@@ -455,6 +455,12 @@ class SparkCatalogIO:
                     raise ValueError("UPDATE requires a WHERE clause")
                 return self._sql_update(m.group(1), rest[:w], rest[w + 5:])
             m = _re.match(
+                r"\s*CALL\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_call(m.group(1).lower(), m.group(2))
+            m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
@@ -564,6 +570,172 @@ class SparkCatalogIO:
 
             rewritten = pat.sub(repl, rewritten)
         return self.spark.sql(_unmask_literals(rewritten, literals))
+
+    # Iceberg Spark's stored procedures (CALL catalog.system.<proc>(...))
+    # mapped onto the engine's maintenance/branch functions. Values are
+    # (callable taking (io, ns, name, **kwargs), allowed kwargs).
+    _PROCEDURES = {
+        "expire_snapshots": ("_proc_expire", ("retain_last", "older_than")),
+        "remove_orphan_files": ("_proc_orphans", ("older_than", "dry_run")),
+        "rewrite_data_files": ("_proc_compact", ("target_file_size_bytes",)),
+        "rewrite_position_delete_files": ("_proc_rewrite_deletes", ()),
+        "rollback_to_snapshot": ("_proc_rollback", ("snapshot_id",)),
+        "cherrypick_snapshot": ("_proc_cherrypick", ("snapshot_id",)),
+        "ancestors_of": ("_proc_ancestors", ()),
+        "compute_table_stats": ("_proc_analyze", ("columns",)),
+    }
+
+    def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
+        """CALL system.<proc>(table => 'ns.t', ...) — the Iceberg Spark
+        stored-procedure surface (its users run exactly these for day-2
+        ops). Named `name => value` arguments; `table` is required.
+        Positional shorthand CALL system.p('ns.t') is accepted for the
+        table argument."""
+        import re as _re
+
+        if proc not in self._PROCEDURES:
+            raise ValueError(
+                f"unknown procedure {proc!r}; one of "
+                f"{sorted(self._PROCEDURES)}"
+            )
+        method_name, allowed = self._PROCEDURES[proc]
+        kwargs: dict = {}
+        table = None
+        for part in _split_top_level(args_sql, ","):
+            part = part.strip()
+            if not part:
+                continue
+            m = _re.match(r"(\w+)\s*=>\s*(.+)$", part, _re.DOTALL)
+            if m:
+                key, raw = m.group(1).lower(), m.group(2).strip()
+            else:
+                key, raw = "table", part
+            if raw.startswith("'") and raw.endswith("'"):
+                val: object = raw[1:-1].replace("''", "'")
+            elif raw.lower() in ("true", "false"):
+                val = raw.lower() == "true"
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    raise ValueError(
+                        f"procedure argument {key!r}: unparseable value {raw!r}"
+                    ) from None
+            if key == "table":
+                table = str(val)
+            elif key in allowed:
+                kwargs[key] = val
+            else:
+                raise ValueError(
+                    f"procedure {proc!r} does not take argument {key!r} "
+                    f"(allowed: table, {', '.join(allowed) or '-'})"
+                )
+        if table is None:
+            raise ValueError(f"procedure {proc!r} requires table => 'ns.t'")
+        ns, name, _md = self._dml_target(table)
+        return getattr(self, method_name)(ns, name, **kwargs)
+
+    def _proc_row(self, **cols) -> DataFrame:
+        return self.spark.range(1).select(
+            *[F.lit(v).alias(k) for k, v in cols.items()]
+        )
+
+    def _proc_expire(self, ns, name, retain_last=1, older_than=None):
+        from denali_spark.sources.maintenance import expire_snapshots
+
+        ms = None
+        if older_than is not None:
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(str(older_than))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ms = int(dt.timestamp() * 1000)
+        r = expire_snapshots(
+            self, ns, name, keep_last=int(retain_last), older_than_ms=ms
+        )
+        return self._proc_row(
+            procedure="expire_snapshots", noop=bool(r.get("noop"))
+        )
+
+    def _proc_orphans(self, ns, name, older_than=None, dry_run=False):
+        from denali_spark.sources.maintenance import remove_orphan_files
+
+        ms = None
+        if older_than is not None:
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(str(older_than))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ms = int(dt.timestamp() * 1000)
+        r = remove_orphan_files(
+            self, ns, name, older_than_ms=ms, dry_run=bool(dry_run)
+        )
+        return self._proc_row(
+            procedure="remove_orphan_files",
+            orphan_file_count=len(r.get("removed", r.get("orphans", []))),
+        )
+
+    def _proc_compact(self, ns, name, target_file_size_bytes=128 * 1024 * 1024):
+        from denali_spark.sources.maintenance import compact_data_files
+
+        r = compact_data_files(
+            self, ns, name,
+            target_file_size_bytes=int(target_file_size_bytes),
+        )
+        return self._proc_row(
+            procedure="rewrite_data_files", noop=bool(r.get("noop"))
+        )
+
+    def _proc_rewrite_deletes(self, ns, name):
+        from denali_spark.sources.mor import rewrite_deletes
+
+        r = rewrite_deletes(self, ns, name)
+        return self._proc_row(
+            procedure="rewrite_position_delete_files", noop=bool(r.get("noop"))
+        )
+
+    def _proc_rollback(self, ns, name, snapshot_id=None):
+        if snapshot_id is None:
+            raise ValueError("rollback_to_snapshot requires snapshot_id => N")
+        self.rollback_to_snapshot(ns, name, int(snapshot_id))
+        return self._proc_row(
+            procedure="rollback_to_snapshot", snapshot_id=int(snapshot_id)
+        )
+
+    def _proc_cherrypick(self, ns, name, snapshot_id=None):
+        if snapshot_id is None:
+            raise ValueError("cherrypick_snapshot requires snapshot_id => N")
+        self.cherry_pick_snapshot(ns, name, int(snapshot_id))
+        md = self.client.load_table(ns, name)["metadata"]
+        return self._proc_row(
+            procedure="cherrypick_snapshot",
+            current_snapshot_id=md["refs"][MAIN]["snapshot-id"],
+        )
+
+    def _proc_ancestors(self, ns, name):
+        md = self.client.load_table(ns, name)["metadata"]
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        out = []
+        cur = md.get("refs", {}).get(MAIN, {}).get("snapshot-id")
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            out.append((s["snapshot-id"], s["timestamp-ms"]))
+            cur = s.get("parent-snapshot-id")
+        return self.spark.createDataFrame(
+            out, "snapshot_id long, timestamp_ms long"
+        )
+
+    def _proc_analyze(self, ns, name, columns=None):
+        from denali_spark.sources.maintenance import analyze_table_incremental
+
+        r = analyze_table_incremental(self, ns, name)
+        return self._proc_row(
+            procedure="compute_table_stats",
+            mode=str(r.get("mode", "noop")),
+            row_count=int(r.get("row-count", -1)),
+        )
 
     def _dml_target(self, qualified: str) -> tuple[list[str], str, dict]:
         parts = qualified.split(".")

@@ -430,3 +430,41 @@ def test_dml_clause_splitting_is_literal_and_paren_safe(spark, io):
     # literal containing ' where ' in a DELETE predicate
     io.sql("DELETE FROM dsafe.t WHERE tag = 'a where b'")
     assert io.sql("SELECT COUNT(*) AS n FROM dsafe.t").collect()[0]["n"] == 5
+
+
+def test_call_system_procedures(spark, io):
+    """Iceberg Spark's CALL catalog.system.<proc>() surface routes to the
+    engine's maintenance/branch functions."""
+    io.sql("CREATE TABLE proc.t AS SELECT id FROM westeros.my_table WHERE id < 30")
+    io.sql("INSERT INTO proc.t SELECT 100")
+    io.sql("INSERT INTO proc.t SELECT 101")
+
+    anc = io.sql("CALL system.ancestors_of(table => 'proc.t')").collect()
+    assert len(anc) == 3
+    first_id = anc[-1]["snapshot_id"]
+
+    out = io.sql(
+        "CALL system.rewrite_data_files(table => 'proc.t', "
+        "target_file_size_bytes => 134217728)"
+    ).collect()[0]
+    assert out["procedure"] == "rewrite_data_files"
+
+    stats = io.sql("CALL system.compute_table_stats('proc.t')").collect()[0]
+    assert stats["row_count"] == 32
+
+    rb = io.sql(
+        f"CALL system.rollback_to_snapshot(table => 'proc.t', "
+        f"snapshot_id => {first_id})"
+    ).collect()[0]
+    assert rb["snapshot_id"] == first_id
+    assert io.sql("SELECT COUNT(*) AS n FROM proc.t").collect()[0]["n"] == 30
+
+    exp = io.sql(
+        "CALL system.expire_snapshots(table => 'proc.t', retain_last => 1)"
+    ).collect()[0]
+    assert exp["procedure"] == "expire_snapshots"
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        io.sql("CALL system.migrate(table => 'proc.t')")
+    with pytest.raises(ValueError, match="does not take argument"):
+        io.sql("CALL system.expire_snapshots(table => 'proc.t', nope => 1)")

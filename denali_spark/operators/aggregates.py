@@ -606,3 +606,43 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("f").alias("l_returnflag"))
         .agg(F.min("p").cast("double").alias("weighted_median_price"))
     )
+
+
+@query(
+    "agg_mode_order_priority",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s AS o_orderstatus, p AS mode_priority, CAST(c AS BIGINT) AS n
+    FROM (
+      SELECT s, p, c,
+             row_number() OVER (PARTITION BY s ORDER BY c DESC, p) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent order priority) per order status with a
+    deterministic tie-break (count desc, then value asc) — Spark's
+    `mode()` aggregate breaks ties arbitrarily, so this uses the
+    count-then-rank shape both engines agree on bit-exactly. Scale shape:
+    one partial-aggregable groupBy collapses the fact table to
+    |statuses|x|priorities| rows; the window ranks only that bounded
+    relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("s").orderBy(F.desc("c"), "p")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("s").alias("o_orderstatus"),
+            F.col("p").alias("mode_priority"),
+            F.col("c").cast("long").alias("n"),
+        )
+    )

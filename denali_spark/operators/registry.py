@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_pq_topk",
     "text_chunk_cdc",
     "mm_image_phash_pairs",
+    "agg_mode_order_priority",
     # newest driver evidence is round 4
     "ts_hourly_rollup",
     "ts_daily_active_users",

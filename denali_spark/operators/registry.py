@@ -45,81 +45,30 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness sweep may cap how many queries it
-# reaches (historically the first 50 of the registry, now 133 queries), so
-# iteration order is a coverage decision, rotated each round so no query's
-# newest driver-green evidence goes stale. Round-7 order (computed from
-# CORRECTNESS_r0{1,2,3,4,6}.json latest-evidence rows): (1) the 36 queries
-# whose newest driver attestation is round 3, (2) any queries NEW this
-# round, (3) the 47 round-4-attested, (4) the 50 round-6-attested last.
+# reaches (historically 50 of the registry per round), so iteration order is
+# a coverage decision, rotated each round so no query's newest driver-green
+# evidence goes stale. Round-8 order (computed from
+# CORRECTNESS_r0{1..7}.json latest-evidence rows, stale-first): (1) the 40
+# queries whose newest driver attestation is round 4, (2) any queries NEW
+# this round (inserted just below the round-4 block), (3) the 50
+# round-6-attested, (4) the 50 round-7-attested last.
 DRIVER_PRIORITY: list[str] = [
-    # round-7 rotation: newest driver evidence is round 3 (four rounds
-    # stale; the driver sweep caps at 50, so these 36 MUST be reached) —
-    # refresh first
-    "text_chunk_fixed",
-    "sample_stratified",
-    "text_pii_redact",
-    "text_pack_sequences",
-    "mm_ppm_decode",
-    "text_prepare_corpus",
-    "agg_approx_sketches",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "sim_norms_stats",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_top_bigrams",
-    "mm_binary_metadata",
-    "mm_image_decode",
-    "mm_frame_sample",
-    "mm_featurize",
-    "fn_string_kitchen",
-    "fn_string_regex",
-    "fn_datetime_kitchen",
-    "fn_math_kitchen",
-    "fn_conditional",
-    "fn_array_ops",
-    "fn_hash",
-    "setop_intersect_all",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    # NEW round-7 queries (no driver evidence yet) — after the 36 stale,
-    # inside the 50-query sweep window
-    "graph_triangle_parts",
-    "ts_spike_hours",
-    "agg_weighted_median",
-    "sim_pq_topk",
-    "text_chunk_cdc",
-    "mm_image_phash_pairs",
-    "agg_mode_order_priority",
-    # newest driver evidence is round 4
-    "ts_hourly_rollup",
-    "ts_daily_active_users",
-    "ts_gap_fill_hours",
-    "ts_sessionize",
-    "ts_asof_join",
-    "ts_range_join_pairs",
-    "ts_funnel",
-    "ts_transitions",
+    # --- stale: newest driver evidence round 4 (refresh first) ---
+    "agg_count_distinct",
+    "agg_cube_flag_status",
+    "agg_exact_median",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_pivot_segment_balance",
+    "agg_rollup_nation_segment",
+    "agg_stats_moments",
     "fn_json_extract",
-    "win_lag_lead_events",
-    "win_moving_avg",
-    "win_ntile_quartiles",
-    "win_distribution",
-    "sim_lsh_bucket_topk",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_profiles",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_self_colineitems",
+    "join_semi_anti_chain",
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_shipping",
@@ -133,72 +82,122 @@ DRIVER_PRIORITY: list[str] = [
     "q20_excess_suppliers",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    "join_left_outer_order_counts",
-    "join_right_outer_part_sales",
-    "join_full_outer_nation_profiles",
-    "join_semi_anti_chain",
-    "join_cross_region_pairs",
-    "join_self_colineitems",
-    "agg_count_distinct",
-    "agg_rollup_nation_segment",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_pivot_segment_balance",
-    "agg_stats_moments",
-    "agg_histogram_buckets",
-    "agg_exact_median",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sim_lsh_bucket_topk",
+    "ts_transitions",
+    "win_distribution",
+    "win_lag_lead_events",
+    "win_moving_avg",
+    "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # re-attested in round 6 — freshest, go last
-    "graph_pagerank_parts",
-    "graph_frequent_pairs",
-    "ts_changepoint_cusum",
-    "sim_sq_topk",
+    # --- NEW round-8 queries go here (driver must attest them) ---
+    # (appended by register-time additions below in this round)
+    # --- newest driver evidence round 6 ---
+    "agg_audience_overlap",
+    "agg_exact_percentiles",
+    "agg_gini_user_activity",
+    "agg_hll_mergeable_rollup",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental_shard",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "fn_bitwise",
     "graph_basket_lift",
-    "ts_interarrival_stats",
-    "text_tfidf_topterms",
-    "ts_autocorr_lags",
-    "text_novelty_scores",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "setop_intersect",
+    "graph_frequent_pairs",
+    "graph_pagerank_parts",
+    "mm_audio_window_rms",
+    "mm_video_scene_cut",
+    "q1_pricing_summary",
+    "sample_mixture",
+    "sem_dedup_pairs",
     "setop_except",
     "setop_except_all",
+    "setop_intersect",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sim_sq_topk",
+    "text_bpe_pretokenize",
+    "text_decontaminate",
+    "text_dedup_keep_best",
+    "text_dup_passages",
+    "text_novelty_scores",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_vocab_growth",
+    "ts_anomaly_zscore",
+    "ts_asof_join_forward",
+    "ts_autocorr_lags",
+    "ts_changepoint_cusum",
+    "ts_dow_hour_heatmap",
+    "ts_downsample_lttb",
+    "ts_ema_current",
+    "ts_ema_rows",
+    "ts_interarrival_stats",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_retention_cohorts",
+    "ts_seasonal_decompose",
     "win_first_last",
     "win_running_total",
-    "win_topn_per_group",
-    "dedup_embedding_lsh_pairs",
-    "sem_dedup_pairs",
-    "text_decontaminate",
-    "text_repetition_stats",
-    "ts_ohlc_bars",
-    "ts_anomaly_zscore",
-    "dedup_containment_pairs",
-    "ts_retention_cohorts",
-    "ts_downsample_lttb",
-    "mm_audio_window_rms",
-    "text_dedup_keep_best",
-    "fn_bitwise",
-    "ts_asof_join_forward",
-    "ts_ema_current",
     "win_streaks",
-    "ts_ema_rows",
-    "agg_hll_mergeable_rollup",
-    "agg_audience_overlap",
-    "text_vocab_growth",
-    "ts_dow_hour_heatmap",
-    "sample_mixture",
-    "text_dup_passages",
-    "ts_interpolate_linear",
-    "ts_seasonal_decompose",
-    "mm_video_scene_cut",
-    "agg_exact_percentiles",
-    "text_bpe_pretokenize",
-    "agg_gini_user_activity",
-    "dedup_minhash_lsh_pairs",
-    "dedup_incremental_shard",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_connected_components",
-    "q1_pricing_summary",
+    "win_topn_per_group",
+    # --- newest driver evidence round 7 (freshest; last) ---
+    "agg_approx_sketches",
+    "agg_mode_order_priority",
+    "agg_weighted_median",
+    "dedup_embedding_pairs",
+    "dedup_exact_keep_first",
+    "dedup_exact_stats",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fn_array_ops",
+    "fn_conditional",
+    "fn_datetime_kitchen",
+    "fn_hash",
+    "fn_math_kitchen",
+    "fn_string_kitchen",
+    "fn_string_regex",
+    "graph_triangle_parts",
+    "mm_binary_metadata",
+    "mm_featurize",
+    "mm_frame_sample",
+    "mm_image_decode",
+    "mm_image_phash_pairs",
+    "mm_ppm_decode",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "sample_stratified",
+    "setop_intersect_all",
+    "sim_ivf_topk",
+    "sim_norms_stats",
+    "sim_pq_topk",
+    "sim_topk_bruteforce",
+    "text_chunk_cdc",
+    "text_chunk_fixed",
+    "text_fingerprint",
+    "text_langid",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_prepare_corpus",
+    "text_quality_score",
+    "text_token_stats",
+    "text_top_bigrams",
+    "ts_asof_join",
+    "ts_daily_active_users",
+    "ts_funnel",
+    "ts_gap_fill_hours",
+    "ts_hourly_rollup",
+    "ts_range_join_pairs",
+    "ts_sessionize",
+    "ts_spike_hours",
 ]
 
 

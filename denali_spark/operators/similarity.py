@@ -810,7 +810,7 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every subvector as the id of its nearest codebook entry — storage drops
 # from DIM bytes to PQ_M code bytes per vector, and scoring becomes
 # PQ_M table lookups (ADC) instead of a DIM-long dot product. The codebook
-# is deterministic (stride-sampled training rows; real deployments run
+# is deterministic (a fixed-size hash-ordered sample; real deployments run
 # k-means — the plumbing is identical), so both engines reproduce the
 # same codes and the DuckDB oracle can check the whole pipeline
 # bit-exactly: quantize → encode (argmin L2, ties to the lowest code id)
@@ -821,7 +821,17 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8               # subspaces (DIM=64 → 8 dims each)
 PQ_SUB = DIM // PQ_M
-PQ_TRAIN_MOD = 241     # codebook = vectors with vec_id % 241 == 0
+# Codebook = a FIXED-SIZE deterministic sample of PQ_CB training vectors
+# (the PQ_CB smallest under a Knuth multiplicative hash of vec_id, ties to
+# the lower id). Fixed count — NOT a corpus-proportional modulo — so the
+# encode join does O(n · PQ_CB · M) work and the broadcast codebook stays
+# constant-size no matter how large the corpus grows (real deployments use
+# 256 k-means entries per subspace; the plumbing is identical and the
+# deterministic sample keeps the DuckDB oracle bit-exact). Mirrors
+# `ivf_train`'s fixed 4096-row training cap.
+PQ_CB = 64             # codebook entries per subspace (fixed, corpus-independent)
+PQ_HASH_MUL = 2654435761   # Knuth multiplicative hash, mod 2^32
+PQ_HASH_MOD = 4294967296
 PQ_PROBE_MOD = 991     # probe set
 PQ_CAND = 25           # ADC candidates per probe fed to the rerank
 PQ_K = 5
@@ -841,10 +851,15 @@ PQ_K = 5
       FROM v, s
     ),
     ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cbids AS (
+      SELECT vec_id FROM qv
+      ORDER BY (vec_id * {PQ_HASH_MUL}) % {PQ_HASH_MOD}, vec_id
+      LIMIT {PQ_CB}
+    ),
     cbs AS (
       SELECT ms.m, qv.vec_id AS cid,
              qv.qe[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS sub
-      FROM qv CROSS JOIN ms WHERE qv.vec_id % {PQ_TRAIN_MOD} = 0
+      FROM qv JOIN cbids USING (vec_id) CROSS JOIN ms
     ),
     vsub AS (
       SELECT qv.vec_id, ms.m,
@@ -924,9 +939,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = F.slice(
         F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
     ).alias("sub")
+    # Fixed-size training sample: orderBy+limit compiles to
+    # TakeOrderedAndProject (each scan task keeps only its local PQ_CB
+    # best, merged once on the driver) — a single pass over the corpus
+    # that returns a constant-size codebook regardless of n.
+    cb_train = (
+        qv.withColumn(
+            "h", (F.col("vec_id") * F.lit(PQ_HASH_MUL)) % F.lit(PQ_HASH_MOD)
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_CB)
+        .drop("h")
+    )
     cbs = (
-        qv.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-        .crossJoin(F.broadcast(ms))
+        cb_train.crossJoin(F.broadcast(ms))
         .select(F.col("m"), F.col("vec_id").alias("cid"), sub)
     )
     vsub = qv.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)

@@ -230,8 +230,8 @@ def test_sq_quantized_topk_recall(spark):
 
 def test_pq_two_stage_topk_recall(spark):
     """PQ candidate generation + int8 rerank: recall@5 vs the exact-dot
-    ranking for the same probe set. The codebook is coarse (stride-sampled,
-    ~25 entries per subspace at this SF) and the corpus has no cluster
+    ranking for the same probe set. The codebook is coarse (a fixed-size
+    hash-ordered sample, 64 entries per subspace) and the corpus has no cluster
     structure — the worst case for PQ — so the floor is modest; the rerank
     stage means any true neighbor that survives the candidate cut ranks
     exactly."""

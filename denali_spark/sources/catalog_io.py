@@ -84,6 +84,95 @@ def _find_top_level(text: str, word: str, start: int = 0) -> int:
     return -1
 
 
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas outside single-quoted strings and parentheses —
+    how SET-assignment and VALUES lists are separated without a nested
+    function call's argument commas fooling the parser."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    in_str = False
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    cur.append(text[i + 1])
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_merge_quals(expr: str, t_names: set[str], s_names: set[str]) -> str:
+    """Rewrite `alias.` qualifiers in a MERGE SET/VALUES expression to the
+    canonical `t.` (target row) / `s.` (source row) aliases the engine
+    binds, outside single-quoted literals — so users can qualify by table
+    name or their own alias and the expression still resolves."""
+    out: list[str] = []
+    i = 0
+    n = len(expr)
+    in_str = False
+    while i < n:
+        ch = expr[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and expr[i + 1] == "'":
+                    out.append(expr[i + 1])
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                j += 1
+            word = expr[i:j]
+            prev_dot = i > 0 and expr[i - 1] == "."
+            if j < n and expr[j] == "." and not prev_dot:
+                lw = word.lower()
+                if lw in t_names:
+                    out.append("t.")
+                    i = j + 1
+                    continue
+                if lw in s_names:
+                    out.append("s.")
+                    i = j + 1
+                    continue
+            out.append(word)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _strip_stmt(text: str) -> str:
     t = text.strip()
     return t[:-1].strip() if t.endswith(";") else t
@@ -435,7 +524,7 @@ class SparkCatalogIO:
                     mode="overwrite" if m.group(1) else "create",
                 )
             m = _re.match(
-                r"\s*DELETE\s+FROM\s+([\w.]+)\s+(.+)$",
+                r"\s*DELETE\s+FROM\s+([\w.]+)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
@@ -461,11 +550,11 @@ class SparkCatalogIO:
             if m:
                 return self._sql_call(m.group(1).lower(), m.group(2))
             m = _re.match(
-                r"\s*MERGE\s+INTO\s+([\w.]+)\s+USING\s+(.+)$",
+                r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
-                rest = _strip_stmt(m.group(2))
+                rest = _strip_stmt(m.group(3))
                 on_i = _find_top_level(rest, "ON")
                 when_i = _find_top_level(rest, "WHEN", max(on_i, 0))
                 if on_i < 0 or when_i <= on_i:
@@ -474,7 +563,7 @@ class SparkCatalogIO:
                     )
                 return self._sql_merge(
                     m.group(1), rest[:on_i], rest[on_i + 2: when_i],
-                    rest[when_i:],
+                    rest[when_i:], target_alias=m.group(2),
                 )
 
         # One catalog walk per TOP-LEVEL call; nested view resolution
@@ -812,15 +901,22 @@ class SparkCatalogIO:
         return self._dml_summary(qualified, "update", mode, result)
 
     def _sql_merge(
-        self, qualified: str, using_sql: str, on_sql: str, actions_sql: str
+        self, qualified: str, using_sql: str, on_sql: str, actions_sql: str,
+        target_alias: str | None = None,
     ) -> DataFrame:
-        """MERGE INTO ns.t USING (<select>)|ns.src ON (k[, ...])|t.k = s.k
-        [AND ...] WHEN MATCHED THEN UPDATE|DELETE [WHEN NOT MATCHED THEN
-        INSERT] — the canonical upsert/CDC-apply forms, routed by
-        write.merge.mode. The ON columns must name the same column on both
-        sides (equality merge keys); source rows replace matched target
-        rows wholesale (UPDATE), matching merge_into's API. Insert-only
-        merges (no WHEN MATCHED clause) are not supported."""
+        """MERGE INTO ns.t [AS a] USING (<select>)|ns.src [AS b] ON
+        (k[, ...])|t.k = s.k [AND ...]
+        WHEN MATCHED THEN UPDATE [SET c = <expr>[, ...]] | DELETE
+        [WHEN NOT MATCHED THEN INSERT [*|(cols) VALUES (exprs)|VALUES (exprs)]]
+        — the canonical upsert/CDC-apply forms, routed by write.merge.mode.
+        The ON columns must name the same column on both sides (equality
+        merge keys). Bare UPDATE replaces matched target rows wholesale with
+        their source row; UPDATE SET applies the assignments (expressions
+        may qualify columns by either table's name/alias). Bare INSERT /
+        INSERT * inserts source rows wholesale; INSERT (cols) VALUES (exprs)
+        maps listed columns and NULLs the rest; INSERT VALUES (exprs) maps
+        positionally. `WHEN ... AND <condition>` clauses are unsupported.
+        Insert-only merges (no WHEN MATCHED clause) are not supported."""
         import re as _re
 
         from denali_spark.sources.mor import merge_into_mor
@@ -828,10 +924,15 @@ class SparkCatalogIO:
 
         ns, name, md = self._dml_target(qualified)
         using = using_sql.strip()
-        # strip a trailing alias ("(...) s" / "ns.src AS s")
-        mu = _re.match(r"^(\(.*\)|[\w.]+)(?:\s+(?:AS\s+)?\w+)?$", using, _re.DOTALL)
+        # strip a trailing alias ("(...) s" / "ns.src AS s"), keeping it
+        # for qualifier rewriting in SET/VALUES expressions
+        source_alias = None
+        mu = _re.match(
+            r"^(\(.*\)|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?$", using, _re.DOTALL
+        )
         if mu:
             using = mu.group(1)
+            source_alias = mu.group(2)
         if using.startswith("("):
             source = self.sql(using[1:-1])
         else:
@@ -854,24 +955,143 @@ class SparkCatalogIO:
                     )
                 on.append(me.group(1))
 
-        acts = actions_sql.upper()
-        if _re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", acts):
-            when_matched = "delete"
-        elif _re.search(r"WHEN\s+MATCHED\s+THEN\s+UPDATE", acts):
-            when_matched = "update"
-        else:
+        # Qualifier sets for rewriting expressions onto the engine's
+        # canonical t/s aliases: the target's bare name + declared alias,
+        # the source's table name + declared alias.
+        t_names = {"t", name.lower()}
+        if target_alias:
+            t_names.add(target_alias.lower())
+        s_names = {"s"}
+        if source_alias:
+            s_names.add(source_alias.lower())
+        if not using.startswith("("):
+            s_names.add(using.split(".")[-1].lower())
+        clash = (t_names & s_names) - {"t", "s"}
+        if clash:
+            raise ValueError(
+                f"MERGE target and source share the name(s) {sorted(clash)}; "
+                "give them distinct aliases"
+            )
+
+        txt = actions_sql.strip()
+        when_matched = None
+        update_set: dict[str, str] | None = None
+        insert = False
+        insert_values: tuple[list[str], list[str]] | None = None
+        starts: list[int] = []
+        i = 0
+        while True:
+            wi = _find_top_level(txt, "WHEN", i)
+            if wi < 0:
+                break
+            starts.append(wi)
+            i = wi + 4
+        for k, st in enumerate(starts):
+            end = starts[k + 1] if k + 1 < len(starts) else len(txt)
+            clause = txt[st:end].strip()
+            cm = _re.match(
+                r"WHEN\s+MATCHED\s+THEN\s+(.*)$", clause,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if cm:
+                act = cm.group(1).strip()
+                if _re.fullmatch(r"DELETE", act, _re.IGNORECASE):
+                    when_matched = "delete"
+                elif _re.fullmatch(r"UPDATE", act, _re.IGNORECASE):
+                    when_matched = "update"
+                else:
+                    m2 = _re.match(
+                        r"UPDATE\s+SET\s+(.+)$", act,
+                        _re.IGNORECASE | _re.DOTALL,
+                    )
+                    if not m2:
+                        raise ValueError(
+                            f"unsupported WHEN MATCHED action {act[:60]!r} "
+                            "(expected DELETE, UPDATE, or UPDATE SET ...)"
+                        )
+                    when_matched = "update"
+                    update_set = {}
+                    for assign in _split_top_level_commas(m2.group(1)):
+                        eq = assign.find("=")
+                        if eq < 0:
+                            raise ValueError(
+                                f"malformed SET assignment {assign.strip()!r}"
+                            )
+                        lhs = assign[:eq].strip()
+                        lm = _re.fullmatch(r"(?:(\w+)\.)?(\w+)", lhs)
+                        if not lm:
+                            raise ValueError(
+                                f"malformed SET target {lhs!r}"
+                            )
+                        if lm.group(1) and lm.group(1).lower() not in t_names:
+                            raise ValueError(
+                                f"SET target {lhs!r} must reference the "
+                                "MERGE target table"
+                            )
+                        col = lm.group(2)
+                        if col in update_set:
+                            raise ValueError(f"column {col!r} SET twice")
+                        update_set[col] = _rewrite_merge_quals(
+                            assign[eq + 1:].strip(), t_names, s_names
+                        )
+                continue
+            nm = _re.match(
+                r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(.*)$", clause,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if nm:
+                insert = True
+                tail = nm.group(1).strip()
+                if tail in ("", "*"):
+                    insert_values = None
+                    continue
+                m3 = _re.match(
+                    r"(?:\(([^()]*)\)\s*)?VALUES\s*\((.*)\)\s*$", tail,
+                    _re.IGNORECASE | _re.DOTALL,
+                )
+                if not m3:
+                    raise ValueError(
+                        f"unsupported INSERT form {tail[:60]!r} (expected "
+                        "bare INSERT, INSERT *, or INSERT [(cols)] "
+                        "VALUES (exprs))"
+                    )
+                exprs = [
+                    _rewrite_merge_quals(e.strip(), t_names, s_names)
+                    for e in _split_top_level_commas(m3.group(2))
+                ]
+                if m3.group(1) is not None:
+                    cols = [c.strip() for c in m3.group(1).split(",")]
+                else:
+                    from denali_spark.sources.schema_evolution import (
+                        current_schema,
+                    )
+
+                    fields = current_schema(md)["fields"]
+                    if len(exprs) != len(fields):
+                        raise ValueError(
+                            f"INSERT VALUES lists {len(exprs)} values; "
+                            f"table has {len(fields)} columns"
+                        )
+                    cols = [f["name"] for f in fields]
+                insert_values = (cols, exprs)
+                continue
+            raise ValueError(
+                f"unsupported MERGE clause {clause[:60]!r} "
+                "(WHEN ... AND <condition> forms are unsupported)"
+            )
+        if when_matched is None:
             raise ValueError(
                 "MERGE needs a WHEN MATCHED THEN UPDATE|DELETE clause "
                 "(insert-only merges are unsupported)"
             )
-        insert = bool(
-            _re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", acts)
-        )
+        if when_matched == "delete" and update_set:
+            raise ValueError("UPDATE SET cannot combine with THEN DELETE")
         mode = self._row_op_mode(md, "merge")
         op = merge_into_mor if mode == "merge-on-read" else merge_into
         result = op(
             self, ns, name, source, on=on,
             when_matched=when_matched, when_not_matched_insert=insert,
+            update_set=update_set, insert_values=insert_values,
         )
         return self._dml_summary(qualified, "merge", mode, result)
 

@@ -67,8 +67,10 @@ from denali_spark.sources.expressions import (
 from denali_spark.sources.row_ops import (
     _check_merge_cardinality,
     _commit_cow,
+    _insert_rows,
     _plan,
     _retrying,
+    _updated_rows,
 )
 from denali_spark.sources.schema_evolution import current_schema
 
@@ -443,6 +445,8 @@ def merge_into_mor(
     source: DataFrame, on: list[str],
     when_matched: str = "update",
     when_not_matched_insert: bool = True,
+    update_set: dict[str, str] | None = None,
+    insert_values: tuple[list[str], list[str]] | None = None,
 ) -> dict:
     """MERGE INTO, merge-on-read: matched target rows become deletion
     vectors; their replacements (when_matched='update') and unmatched
@@ -485,18 +489,34 @@ def merge_into_mor(
                 source.select(*on).dropDuplicates(), on=on, how="left_semi"
             ).persist()
             _check_merge_cardinality(source, matched, on)
+        reps = None
+        unmatched = None
         if when_matched == "update":
-            appended = source if when_not_matched_insert else (
-                source.join(matched.select(*on), on=on, how="left_semi")
-                if matched is not None else None
-            )
+            if update_set is None and insert_values is None and when_not_matched_insert:
+                # fast path: replacements + inserts are exactly the source
+                reps = source
+            else:
+                if matched is not None:
+                    reps = _updated_rows(matched, source, on, md, update_set)
+                if when_not_matched_insert:
+                    unmatched = (
+                        source.join(matched.select(*on), on=on, how="left_anti")
+                        if matched is not None else source
+                    )
         else:  # delete matched
-            appended = None
             if when_not_matched_insert:
-                appended = (
+                unmatched = (
                     source.join(matched.select(*on), on=on, how="left_anti")
                     if matched is not None else source
                 )
+        inserted = (
+            _insert_rows(unmatched, md, insert_values)
+            if unmatched is not None else None
+        )
+        appended = None
+        for p in (reps, inserted):
+            if p is not None:
+                appended = p if appended is None else appended.unionByName(p)
         new_dvs: list[dict] = []
         superseded: list[dict] = []
         # No matched rows → skip the vector write entirely (otherwise prior

@@ -249,6 +249,87 @@ def _check_merge_cardinality(source: DataFrame, matched: DataFrame, on: list[str
         )
 
 
+def _merge_fields(md: dict) -> list[tuple[str, str | None]]:
+    """(name, castable DDL type | None) per current-schema column — the
+    cast target that keeps MERGE projection output schema-identical to the
+    table (None for nested types, which pass through positionally)."""
+    from denali_spark.sources.schema_convert import ICEBERG_TO_DDL
+    from denali_spark.sources.schema_evolution import current_schema
+
+    out = []
+    for f in current_schema(md)["fields"]:
+        t = f["type"]
+        out.append((f["name"], ICEBERG_TO_DDL.get(t, t) if isinstance(t, str) else None))
+    return out
+
+
+def _updated_rows(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    md: dict,
+    update_set: dict[str, str] | None,
+) -> DataFrame:
+    """Matched (target ⋈ source) pairs with `WHEN MATCHED THEN UPDATE SET`
+    assignments applied: each table column takes its SET expression (SQL
+    text over aliases `t` = target row, `s` = source row) if assigned, else
+    the pre-image target value. With update_set=None the source row replaces
+    the target row wholesale (the bare-UPDATE shape). Every output column is
+    cast to the table's type so the projection unions cleanly with kept
+    rows."""
+    fields = _merge_fields(md)
+    if update_set is None:
+        return source.join(target.select(*on), on=on, how="left_semi")
+    unknown = set(update_set) - {n for n, _ in fields}
+    if unknown:
+        raise ValueError(f"UPDATE SET references unknown columns {sorted(unknown)}")
+    t, s = target.alias("t"), source.alias("s")
+    cond = None
+    for k in on:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "inner")
+    cols = []
+    for n, ddl in fields:
+        c = F.expr(update_set[n]) if n in update_set else F.col(f"t.{n}")
+        if ddl is not None:
+            c = c.cast(ddl)
+        cols.append(c.alias(n))
+    return joined.select(*cols)
+
+
+def _insert_rows(
+    unmatched: DataFrame,
+    md: dict,
+    insert_values: tuple[list[str], list[str]] | None,
+) -> DataFrame:
+    """Unmatched source rows mapped through `WHEN NOT MATCHED THEN INSERT
+    (cols) VALUES (exprs)`: listed columns take their value expression (SQL
+    text over alias `s` = source row), unlisted columns become typed NULLs.
+    insert_values=None is the bare-INSERT shape (source row inserted
+    wholesale; schema must already match the table)."""
+    fields = _merge_fields(md)
+    if insert_values is None:
+        return unmatched
+    cols, exprs = insert_values
+    if len(cols) != len(exprs):
+        raise ValueError(
+            f"INSERT lists {len(cols)} columns but {len(exprs)} values"
+        )
+    unknown = set(cols) - {n for n, _ in fields}
+    if unknown:
+        raise ValueError(f"INSERT references unknown columns {sorted(unknown)}")
+    by_col = dict(zip(cols, exprs))
+    s = unmatched.alias("s")
+    out = []
+    for n, ddl in fields:
+        c = F.expr(by_col[n]) if n in by_col else F.lit(None)
+        if ddl is not None:
+            c = c.cast(ddl)
+        out.append(c.alias(n))
+    return s.select(*out)
+
+
 def merge_into(
     io: SparkCatalogIO,
     namespace: list[str],
@@ -257,11 +338,20 @@ def merge_into(
     on: list[str],
     when_matched: str = "update",
     when_not_matched_insert: bool = True,
+    update_set: dict[str, str] | None = None,
+    insert_values: tuple[list[str], list[str]] | None = None,
 ) -> dict:
     """MERGE INTO ns.t USING source ON <key columns> — the upsert/CDC-apply
     shape: matched target rows are replaced by their source row
     (when_matched='update') or removed ('delete'); unmatched source rows are
     inserted. Source schema must match the table schema.
+
+    `update_set` maps target columns to SQL expressions over aliases `t`
+    (the matched target row) and `s` (its source row) — the
+    `WHEN MATCHED THEN UPDATE SET c = s.c + 1` form; None replaces matched
+    rows wholesale. `insert_values` is the (columns, value-expressions over
+    `s`) pair from `WHEN NOT MATCHED THEN INSERT (a, b) VALUES (...)`;
+    unlisted columns insert as NULL; None inserts source rows wholesale.
 
     Target files that cannot contain any source key (manifest min/max vs the
     source's key bounds, one small agg) are never read or rewritten.
@@ -295,23 +385,35 @@ def merge_into(
         else:
             target = None
             keep = None
+        updated = None
+        unmatched = None
         if when_matched == "update":
-            if target is None:
-                matched_or_new = source if when_not_matched_insert else None
-            elif when_not_matched_insert:
-                matched_or_new = source
+            if update_set is None and insert_values is None and when_not_matched_insert:
+                # fast path: replacements + inserts are exactly the source
+                # rows — one piece, no matched/unmatched split joins
+                updated = source
             else:
-                matched_or_new = source.join(target.select(*on), on=on, how="left_semi")
+                if target is not None:
+                    updated = _updated_rows(target, source, on, md, update_set)
+                if when_not_matched_insert:
+                    unmatched = (
+                        source.join(target.select(*on), on=on, how="left_anti")
+                        if target is not None
+                        else source
+                    )
         else:  # delete matched; optionally insert the rest
             if when_not_matched_insert:
-                matched_or_new = (
+                unmatched = (
                     source.join(target.select(*on), on=on, how="left_anti")
                     if target is not None
                     else source
                 )
-            else:
-                matched_or_new = None
-        pieces = [p for p in (keep, matched_or_new) if p is not None]
+        inserted = (
+            _insert_rows(unmatched, md, insert_values)
+            if unmatched is not None
+            else None
+        )
+        pieces = [p for p in (keep, updated, inserted) if p is not None]
         if not pieces:
             return {"metadata": md, "noop": True}
         result = pieces[0]

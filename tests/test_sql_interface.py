@@ -468,3 +468,100 @@ def test_call_system_procedures(spark, io):
         io.sql("CALL system.migrate(table => 'proc.t')")
     with pytest.raises(ValueError, match="does not take argument"):
         io.sql("CALL system.expire_snapshots(table => 'proc.t', nope => 1)")
+
+
+def test_sql_merge_update_set_and_insert_values(spark, io):
+    """Standard MERGE spellings — `UPDATE SET c = expr` assignments and
+    `INSERT (cols) VALUES (exprs)` — are parsed and APPLIED (the round-7
+    parser matched them as substrings and silently replaced matched rows
+    wholesale, the ADVICE medium finding)."""
+    io.sql(
+        "CREATE TABLE dms.t AS SELECT id AS k, id * 2 AS v, 'old' AS tag "
+        "FROM westeros.my_table WHERE id < 5"
+    )
+    io.sql(
+        "MERGE INTO dms.t USING (SELECT 3 AS k, 7 AS v UNION ALL "
+        "SELECT 50 AS k, 9 AS v) s ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + t.v, tag = 'upd' "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v * 10)"
+    )
+    rows = {
+        r["k"]: (r["v"], r["tag"])
+        for r in io.sql("SELECT * FROM dms.t").collect()
+    }
+    assert rows[3] == (7 + 6, "upd")        # SET applied, not wholesale
+    assert rows[50] == (90, None)           # mapped insert, unlisted -> NULL
+    assert rows[0] == (0, "old")            # untouched rows keep pre-image
+    # table-name / user-alias qualifiers rewrite onto the t/s binding
+    io.sql(
+        "MERGE INTO dms.t AS tgt USING (SELECT 0 AS k, 5 AS v) src ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = tgt.v + src.v"
+    )
+    assert io.sql(
+        "SELECT v FROM dms.t WHERE k = 0"
+    ).collect()[0]["v"] == 5
+    # positional INSERT VALUES (no column list)
+    io.sql(
+        "MERGE INTO dms.t USING (SELECT 60 AS k, 1 AS v) s ON (k) "
+        "WHEN MATCHED THEN UPDATE "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, 'new')"
+    )
+    assert io.sql(
+        "SELECT v, tag FROM dms.t WHERE k = 60"
+    ).collect()[0].asDict() == {"v": 1, "tag": "new"}
+    # malformed / unsupported actions error instead of silently discarding
+    with pytest.raises(ValueError, match="unsupported WHEN MATCHED"):
+        io.sql(
+            "MERGE INTO dms.t USING (SELECT 1 AS k, 1 AS v) s ON (k) "
+            "WHEN MATCHED THEN UPDATE EVERYTHING"
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        io.sql(
+            "MERGE INTO dms.t USING (SELECT 1 AS k, 1 AS v) s ON (k) "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
+    with pytest.raises(ValueError, match="unsupported INSERT form"):
+        io.sql(
+            "MERGE INTO dms.t USING (SELECT 1 AS k, 1 AS v) s ON (k) "
+            "WHEN MATCHED THEN UPDATE "
+            "WHEN NOT MATCHED THEN INSERT SELECT 1"
+        )
+
+
+def test_sql_merge_set_clauses_merge_on_read(spark, io):
+    """UPDATE SET / INSERT VALUES through the merge-on-read twin: matched
+    rows become DVs, replacements carry the SET expressions."""
+    io.sql(
+        "CREATE TABLE dmsm.t AS SELECT id AS k, id * 2 AS v, 'old' AS tag "
+        "FROM westeros.my_table WHERE id < 5"
+    )
+    md = io.client.load_table(["dmsm"], "t")["metadata"]
+    io.client.commit_table(
+        ["dmsm"], "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-properties", "updates": {
+            "write.merge.mode": "merge-on-read",
+        }}],
+    )
+    out = io.sql(
+        "MERGE INTO dmsm.t USING (SELECT 2 AS k, 100 AS v UNION ALL "
+        "SELECT 9 AS k, 3 AS v) s ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, -s.v)"
+    ).collect()[0]
+    assert out["mode"] == "merge-on-read"
+    rows = {
+        r["k"]: (r["v"], r["tag"])
+        for r in io.sql("SELECT * FROM dmsm.t").collect()
+    }
+    assert rows[2] == (104, "old") and rows[9] == (-3, None) and len(rows) == 6
+
+
+def test_sql_delete_without_where_errors_clearly(spark, io):
+    """`DELETE FROM ns.t` (no WHERE) must hit the explicit requires-WHERE
+    error, not fall through to the SELECT rewriter (ADVICE low)."""
+    io.sql("CREATE TABLE dnw.t AS SELECT 1 AS a")
+    with pytest.raises(ValueError, match="requires a WHERE clause"):
+        io.sql("DELETE FROM dnw.t")
+    with pytest.raises(ValueError, match="requires a WHERE clause"):
+        io.sql("DELETE FROM dnw.t;")

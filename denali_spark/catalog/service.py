@@ -577,7 +577,15 @@ def post_oauth_tokens(state: State, m, q, body):
             "error": "invalid_request",
             "error_description": "client_id and client_secret are required",
         }
-    if f"{client_id}:{client_secret}" != state.credential:
+    # Split the configured credential once on the FIRST ':' (a colon inside
+    # client_id must not let other id/secret splits of the same string
+    # authenticate) and compare the parts constant-time.
+    import hmac as _hmac
+
+    conf_id, _, conf_secret = state.credential.partition(":")
+    id_ok = _hmac.compare_digest(client_id.encode(), conf_id.encode())
+    secret_ok = _hmac.compare_digest(client_secret.encode(), conf_secret.encode())
+    if not (id_ok and secret_ok):
         return 401, {
             "error": "invalid_client",
             "error_description": "unknown client or bad secret",

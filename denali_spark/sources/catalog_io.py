@@ -1103,9 +1103,10 @@ class SparkCatalogIO:
         INSERT maps the select output to the target schema POSITIONALLY
         (SQL semantics — `INSERT INTO t SELECT 4, 'x'` must not depend on
         the literals' auto-generated column names) and casts to the target
-        types. CREATE OR REPLACE drops and recreates the table so the
-        registered schema matches the select (plain overwrite would keep
-        the old schema registered against new files)."""
+        types. CREATE OR REPLACE routes through replace_table — a
+        single-CAS Iceberg replace commit that installs the select's
+        schema and an overwrite snapshot atomically while preserving the
+        table's identity and snapshot history."""
         from pyspark.sql import functions as F
 
         parts = qualified.split(".")
@@ -1146,31 +1147,11 @@ class SparkCatalogIO:
 
             df = df.select(*[target_col(f) for f in fields])
         if exists and mode != "append":
-            # CREATE OR REPLACE: fully write the replacement under a temp
-            # name BEFORE touching the original — the select is lazy and
-            # only executes inside write_table, so a drop-then-write order
-            # would leave the table dropped (history unregistered) if the
-            # select failed at runtime. Iceberg's REPLACE TABLE is one
-            # transaction; this is the write-then-swap approximation: any
-            # failure before the swap leaves the original intact, and a
-            # failed swap re-registers the original metadata location.
-            tmp = f"{name}__replace__{uuid.uuid4().hex[:8]}"
-            try:
-                self.write_table(df, namespace, tmp, mode="overwrite")
-            except BaseException:
-                if self.client.table_exists(namespace, tmp):
-                    self.client.drop_table(namespace, tmp)
-                raise
-            old_location = self.client.load_table(namespace, name).get(
-                "metadata-location"
-            )
-            self.client.drop_table(namespace, name)
-            try:
-                self.client.rename_table((namespace, tmp), (namespace, name))
-            except BaseException:
-                if old_location:
-                    self.client.register_table(namespace, name, old_location)
-                raise
+            # CREATE OR REPLACE: single-CAS Iceberg replace — schema swap +
+            # overwrite snapshot in ONE commit, preserving table identity
+            # and history (see replace_table). The data files are written
+            # before the commit; any failure leaves the original current.
+            self.replace_table(df, namespace, name)
         else:
             self.write_table(
                 df, namespace, name,
@@ -1852,6 +1833,114 @@ class SparkCatalogIO:
                 md = self.client.load_table(namespace, name)["metadata"]
         raise CommitRetriesExhausted(
             f"commit of {'.'.join(namespace)}.{name} lost {max_retries} CAS races"
+        )
+
+    def replace_table(
+        self, df: DataFrame, namespace: list[str], name: str,
+        max_retries: int = 3,
+    ) -> dict:
+        """Iceberg REPLACE TABLE semantics in ONE CAS commit: the
+        replacement's schema is added (fresh field ids past last-column-id,
+        per the spec's replace-transaction rule), made current, the default
+        spec/sort order reset to unpartitioned/unsorted, and main is
+        pointed at an overwrite snapshot listing only the new files — all
+        in a single commit_table round-trip, so concurrent readers never
+        see the table missing and a crash at any point leaves either the
+        old or the new table fully intact (closes the round-7
+        write-then-swap's drop/rename window). Table identity (uuid,
+        snapshot history, metadata-log) is preserved: time travel to
+        pre-replace snapshots still works."""
+        from denali_spark.sources.schema_convert import (
+            shift_schema_field_ids,
+            spark_schema_to_iceberg,
+        )
+
+        md = self.client.load_table(namespace, name)["metadata"]
+        data_files = self._write_data_files(
+            df, md["location"], file_format=table_write_format(md),
+        )
+        for _attempt in range(max_retries):
+            new_schema = spark_schema_to_iceberg(df.schema)
+            offset = md.get("last-column-id", 0)
+            last_col = shift_schema_field_ids(new_schema, offset)
+            sid = max(s["schema-id"] for s in md["schemas"]) + 1
+            new_schema["schema-id"] = sid
+            spec_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+            new_spec = {"spec-id": spec_id, "fields": []}
+            # Preview of the post-commit metadata, so the manifest list and
+            # row-lineage ranges are stamped against the schema/spec the
+            # commit installs (the server applies the same updates).
+            md_next = dict(md)
+            md_next["schemas"] = md["schemas"] + [new_schema]
+            md_next["current-schema-id"] = sid
+            md_next["partition-specs"] = md["partition-specs"] + [new_spec]
+            md_next["default-spec-id"] = spec_id
+            parent_ref = md.get("refs", {}).get(MAIN)
+            parent_id = parent_ref["snapshot-id"] if parent_ref else None
+            snapshot_id = int(time.time() * 1000) * 1000 + (uuid.uuid4().int % 1000)
+            seq = md.get("last-sequence-number", 0) + 1
+            for f in data_files:
+                f["sequence-number"] = seq
+                f["schema-id"] = sid
+                f.pop("first-row-id", None)  # re-stamped per CAS attempt
+            first_row_id, assigned_rows = stamp_row_lineage(md_next, data_files)
+            manifest_loc = self._write_manifest_list(
+                md_next, snapshot_id, data_files
+            )
+            snapshot = {
+                "snapshot-id": snapshot_id,
+                "parent-snapshot-id": parent_id,
+                "sequence-number": seq,
+                "first-row-id": first_row_id,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": manifest_loc,
+                "schema-id": sid,
+                "summary": {
+                    "operation": "overwrite",
+                    "replace": "true",
+                    "added-data-files": str(len(data_files)),
+                    "added-records": str(
+                        sum(f.get("record-count", 0) for f in data_files)
+                    ),
+                    "added-rows": str(assigned_rows),
+                    **summary_totals(data_files),
+                },
+            }
+            updates = [
+                {"action": "add-schema", "schema": new_schema,
+                 "last-column-id": last_col},
+                {"action": "set-current-schema", "schema-id": -1},
+                {"action": "add-spec", "spec": new_spec},
+                {"action": "set-default-spec", "spec-id": -1},
+            ]
+            if md.get("default-sort-order-id", 0) != 0:
+                # the old write order references old-schema column ids
+                updates += [
+                    {"action": "add-sort-order",
+                     "sort-order": {"fields": []}},
+                    {"action": "set-default-sort-order", "sort-order-id": -1},
+                ]
+            updates += [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {"action": "set-snapshot-ref", "ref-name": MAIN,
+                 "snapshot-id": snapshot_id, "type": "branch"},
+            ]
+            try:
+                return self.client.commit_table(
+                    namespace, name,
+                    requirements=[
+                        {"type": "assert-table-uuid", "uuid": md["table-uuid"]},
+                        {"type": "assert-ref-snapshot-id", "ref": MAIN,
+                         "snapshot-id": parent_id},
+                    ],
+                    updates=updates,
+                )
+            except CatalogHTTPError as exc:
+                if exc.status != 409:
+                    raise
+                md = self.client.load_table(namespace, name)["metadata"]
+        raise CommitRetriesExhausted(
+            f"replace of {'.'.join(namespace)}.{name} lost {max_retries} CAS races"
         )
 
     def _write_data_files(

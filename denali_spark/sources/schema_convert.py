@@ -82,6 +82,32 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     }
 
 
+def shift_schema_field_ids(schema: dict, offset: int) -> int:
+    """Add `offset` to every field id in an Iceberg schema IN PLACE and
+    return the new maximum id. REPLACE TABLE (like the Iceberg spec's
+    replace transaction) assigns the replacement schema fresh ids past the
+    table's last-column-id so they can never alias a dropped column's id
+    in old snapshots' metadata."""
+    top = 0
+
+    def walk(node) -> None:
+        nonlocal top
+        if isinstance(node, dict):
+            for key in ("id", "element-id", "key-id", "value-id"):
+                if isinstance(node.get(key), int):
+                    node[key] += offset
+                    top = max(top, node[key])
+            for key in ("fields", "type", "element", "key", "value"):
+                if key in node:
+                    walk(node[key])
+        elif isinstance(node, list):
+            for item in node:
+                walk(item)
+
+    walk(schema)
+    return top
+
+
 # iceberg primitive → spark DDL (shared by the engine's empty-read path and
 # the Python Data Source; nested types are the callers' decision via strict)
 ICEBERG_TO_DDL = {

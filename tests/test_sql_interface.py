@@ -196,11 +196,11 @@ def test_sql_version_as_of_branch_or_tag(spark, io):
 
 
 def test_create_or_replace_failing_select_leaves_table_intact(spark, io):
-    """CREATE OR REPLACE is write-then-swap: the replacement is fully
-    written (temp name) BEFORE the original is touched, so a select that
-    fails at RUNTIME (lazy — it only executes inside the write) leaves the
-    original table fully registered, readable, and with its history; the
-    temp table is cleaned up."""
+    """CREATE OR REPLACE is a single-CAS replace commit: the replacement's
+    files are written BEFORE the commit, so a select that fails at RUNTIME
+    (lazy — it only executes inside the file write) leaves the original
+    table fully registered, readable, and with its history — no temp
+    table, no drop/rename window."""
     io.sql("CREATE TABLE cor.t AS SELECT 1 AS a UNION ALL SELECT 2 AS a")
     md_before = io.client.load_table(["cor"], "t")["metadata"]
     with pytest.raises(Exception, match="boom"):
@@ -565,3 +565,29 @@ def test_sql_delete_without_where_errors_clearly(spark, io):
         io.sql("DELETE FROM dnw.t")
     with pytest.raises(ValueError, match="requires a WHERE clause"):
         io.sql("DELETE FROM dnw.t;")
+
+
+def test_create_or_replace_single_commit_preserves_identity(spark, io):
+    """REPLACE is one CAS commit on the SAME table: uuid and snapshot
+    history survive, time travel reaches pre-replace data, the new schema
+    takes fresh field ids past the old last-column-id, and the whole swap
+    adds exactly one metadata-log entry (one catalog round-trip)."""
+    from denali_spark.sources.schema_evolution import current_schema
+
+    io.sql("CREATE TABLE corh.t AS SELECT 1 AS a UNION ALL SELECT 2 AS a")
+    md0 = io.client.load_table(["corh"], "t")["metadata"]
+    snap0 = md0["refs"]["main"]["snapshot-id"]
+    io.sql("CREATE OR REPLACE TABLE corh.t AS SELECT 'x' AS s, 7 AS b")
+    md1 = io.client.load_table(["corh"], "t")["metadata"]
+    assert md1["table-uuid"] == md0["table-uuid"]
+    assert any(s["snapshot-id"] == snap0 for s in md1["snapshots"])
+    assert len(md1["metadata-log"]) == len(md0["metadata-log"]) + 1
+    new_fields = current_schema(md1)["fields"]
+    assert min(f["id"] for f in new_fields) > md0["last-column-id"]
+    assert io.sql("SELECT * FROM corh.t").collect()[0].asDict() == {
+        "s": "x", "b": 7,
+    }
+    old = io.sql(
+        f"SELECT * FROM corh.t FOR VERSION AS OF {snap0}"
+    ).collect()
+    assert sorted(r["a"] for r in old) == [1, 2]

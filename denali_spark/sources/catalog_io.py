@@ -550,6 +550,12 @@ class SparkCatalogIO:
             if m:
                 return self._sql_call(m.group(1).lower(), m.group(2))
             m = _re.match(
+                r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(.+)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_alter(m.group(1), _strip_stmt(m.group(2)))
+            m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
@@ -860,6 +866,192 @@ class SparkCatalogIO:
             F.lit(snap).cast("long").alias("snapshot_id"),
             F.lit(bool(result.get("noop"))).alias("noop"),
         )
+
+    def _alter_summary(self, qualified: str, operation: str, detail: str) -> DataFrame:
+        return self.spark.range(1).select(
+            F.lit(qualified).alias("table"),
+            F.lit(operation).alias("operation"),
+            F.lit(detail).alias("detail"),
+        )
+
+    @staticmethod
+    def _parse_partition_field(text: str) -> tuple[str, str]:
+        """Iceberg DDL partition-transform spelling → (column, transform):
+        bare column, years/months/days/hours(col), year/month/day/hour(col),
+        bucket(N, col), truncate(W, col)."""
+        import re as _re
+
+        t = text.strip()
+        m = _re.fullmatch(r"(\w+)", t)
+        if m:
+            return m.group(1), "identity"
+        m = _re.fullmatch(
+            r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)", t, _re.IGNORECASE
+        )
+        if m:
+            return m.group(2), m.group(1).lower().rstrip("s")
+        m = _re.fullmatch(
+            r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", t, _re.IGNORECASE
+        )
+        if m:
+            return m.group(3), f"{m.group(1).lower()}[{m.group(2)}]"
+        raise ValueError(
+            f"unsupported partition field {text!r} (expected col, "
+            "years/months/days/hours(col), bucket(N, col), or "
+            "truncate(W, col))"
+        )
+
+    def _sql_alter(self, qualified: str, action_sql: str) -> DataFrame:
+        """ALTER TABLE ns.t ... — the Spark-SQL DDL spellings of the §2.C
+        table-update operations (reference logic/updates.go:75-100,197-217
+        is the server side; this is the client-engine surface Spark users
+        reach them through), routed to the existing evolution APIs:
+
+        - ADD COLUMN c type [COMMENT '...'] / ADD COLUMNS (c1 t1, c2 t2)
+        - DROP COLUMN c / RENAME COLUMN a TO b
+        - ADD PARTITION FIELD col|transform(col) / DROP PARTITION FIELD ...
+        - WRITE ORDERED BY c1[, c2 ...]  (sort-order evolution)
+        - SET TBLPROPERTIES ('k' = 'v', ...) / UNSET TBLPROPERTIES ('k', ...)
+        - RENAME TO ns2.t2
+        """
+        import re as _re
+
+        from denali_spark.sources import schema_evolution as _se
+        from denali_spark.sources.partitioning import spec_to_partition_by
+        from denali_spark.sources.schema_convert import ddl_type_to_iceberg
+
+        act = action_sql.strip()
+
+        m = _re.match(r"RENAME\s+TO\s+([\w.]+)$", act, _re.IGNORECASE)
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            dparts = m.group(1).split(".")
+            dest_ns, dest = (dparts[:-1] or ns), dparts[-1]
+            self.client.rename_table((ns, name), (dest_ns, dest))
+            return self._alter_summary(qualified, "rename-table", m.group(1))
+
+        m = _re.match(
+            r"ADD\s+COLUMNS?\s+(.+)$", act, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            body = m.group(1).strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1]
+            added = []
+            for col_def in _split_top_level_commas(body):
+                cm = _re.fullmatch(
+                    r"\s*(\w+)\s+([\w()\s,]+?)(?:\s+COMMENT\s+'([^']*)')?\s*",
+                    col_def, _re.IGNORECASE,
+                )
+                if not cm:
+                    raise ValueError(f"malformed column definition {col_def!r}")
+                _se.add_column(
+                    self, ns, name, cm.group(1),
+                    ddl_type_to_iceberg(cm.group(2)), doc=cm.group(3),
+                )
+                added.append(cm.group(1))
+            return self._alter_summary(qualified, "add-columns", ",".join(added))
+
+        m = _re.match(r"DROP\s+COLUMN\s+(\w+)$", act, _re.IGNORECASE)
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            _se.drop_column(self, ns, name, m.group(1))
+            return self._alter_summary(qualified, "drop-column", m.group(1))
+
+        m = _re.match(
+            r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", act, _re.IGNORECASE
+        )
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            _se.rename_column(self, ns, name, m.group(1), m.group(2))
+            return self._alter_summary(
+                qualified, "rename-column", f"{m.group(1)}->{m.group(2)}"
+            )
+
+        m = _re.match(r"ADD\s+PARTITION\s+FIELD\s+(.+)$", act, _re.IGNORECASE)
+        if m:
+            ns, name, md = self._dml_target(qualified)
+            col, transform = self._parse_partition_field(m.group(1))
+            current = spec_to_partition_by(md) or []
+            if (col, transform) in current:
+                raise ValueError(
+                    f"partition field {m.group(1).strip()!r} already in the "
+                    "default spec"
+                )
+            self.evolve_partition_spec(ns, name, current + [(col, transform)])
+            return self._alter_summary(
+                qualified, "add-partition-field", f"{transform}({col})"
+            )
+
+        m = _re.match(r"DROP\s+PARTITION\s+FIELD\s+(.+)$", act, _re.IGNORECASE)
+        if m:
+            ns, name, md = self._dml_target(qualified)
+            col, transform = self._parse_partition_field(m.group(1))
+            current = spec_to_partition_by(md) or []
+            if (col, transform) not in current:
+                raise ValueError(
+                    f"partition field {m.group(1).strip()!r} is not in the "
+                    f"default spec {current}"
+                )
+            remaining = [p for p in current if p != (col, transform)]
+            self.evolve_partition_spec(ns, name, remaining)
+            return self._alter_summary(
+                qualified, "drop-partition-field", f"{transform}({col})"
+            )
+
+        m = _re.match(
+            r"WRITE\s+ORDERED\s+BY\s+(.+)$", act, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            cols = [c.strip() for c in m.group(1).split(",")]
+            self.evolve_sort_order(ns, name, cols)
+            return self._alter_summary(
+                qualified, "write-ordered-by", ",".join(cols)
+            )
+
+        m = _re.match(
+            r"(UN)?SET\s+TBLPROPERTIES\s*\((.+)\)$", act,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            ns, name, md = self._dml_target(qualified)
+            if m.group(1):  # UNSET: list of 'key' literals
+                keys = []
+                for item in _split_top_level_commas(m.group(2)):
+                    km = _re.fullmatch(r"\s*'([^']+)'\s*", item)
+                    if not km:
+                        raise ValueError(f"malformed property key {item!r}")
+                    keys.append(km.group(1))
+                updates = [{"action": "remove-properties", "removals": keys}]
+                detail = ",".join(keys)
+                op = "unset-tblproperties"
+            else:  # SET: 'key' = 'value' pairs
+                props = {}
+                for item in _split_top_level_commas(m.group(2)):
+                    pm = _re.fullmatch(
+                        r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item
+                    )
+                    if not pm:
+                        raise ValueError(
+                            f"malformed property assignment {item!r} "
+                            "(expected 'key' = 'value')"
+                        )
+                    props[pm.group(1)] = pm.group(2)
+                updates = [{"action": "set-properties", "updates": props}]
+                detail = ",".join(sorted(props))
+                op = "set-tblproperties"
+            self.client.commit_table(
+                ns, name,
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": md["table-uuid"]}
+                ],
+                updates=updates,
+            )
+            return self._alter_summary(qualified, op, detail)
+
+        raise ValueError(f"unsupported ALTER TABLE action {act[:80]!r}")
 
     def _sql_delete(self, qualified: str, where_sql: str) -> DataFrame:
         """DELETE FROM ns.t WHERE <expr> — routed to the copy-on-write or

@@ -82,6 +82,32 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     }
 
 
+# SQL DDL type name → iceberg primitive (the ALTER TABLE ADD COLUMN surface;
+# inverse of ICEBERG_TO_DDL plus the standard SQL synonyms)
+DDL_TO_ICEBERG = {
+    "boolean": "boolean", "bool": "boolean",
+    "int": "int", "integer": "int", "smallint": "int", "tinyint": "int",
+    "bigint": "long", "long": "long",
+    "float": "float", "real": "float", "double": "double",
+    "string": "string", "varchar": "string", "text": "string",
+    "binary": "binary", "date": "date",
+    "timestamp": "timestamptz", "timestamp_ltz": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def ddl_type_to_iceberg(ddl: str) -> str:
+    """Resolve an ALTER/CREATE DDL type name to its Iceberg primitive;
+    decimal(p, s) passes through normalized."""
+    t = ddl.strip().lower()
+    m = __import__("re").match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    if t in DDL_TO_ICEBERG:
+        return DDL_TO_ICEBERG[t]
+    raise ValueError(f"unsupported column type {ddl!r}")
+
+
 def shift_schema_field_ids(schema: dict, offset: int) -> int:
     """Add `offset` to every field id in an Iceberg schema IN PLACE and
     return the new maximum id. REPLACE TABLE (like the Iceberg spec's

@@ -591,3 +591,84 @@ def test_create_or_replace_single_commit_preserves_identity(spark, io):
         f"SELECT * FROM corh.t FOR VERSION AS OF {snap0}"
     ).collect()
     assert sorted(r["a"] for r in old) == [1, 2]
+
+
+def test_sql_alter_table_add_column_then_dml(spark, io):
+    """ALTER TABLE ADD COLUMN routes to schema evolution; the new column is
+    immediately writable/readable through SQL (old files backfill NULL)."""
+    io.sql("CREATE TABLE ddl.t AS SELECT 1 AS a UNION ALL SELECT 2 AS a")
+    out = io.sql(
+        "ALTER TABLE ddl.t ADD COLUMN note string COMMENT 'freeform'"
+    ).collect()[0]
+    assert out["operation"] == "add-columns" and out["detail"] == "note"
+    io.sql("INSERT INTO ddl.t SELECT 3, 'three'")
+    rows = {r["a"]: r["note"] for r in io.sql("SELECT * FROM ddl.t").collect()}
+    assert rows == {1: None, 2: None, 3: "three"}
+    # multi-column form + typed columns
+    io.sql("ALTER TABLE ddl.t ADD COLUMNS (w bigint, score double)")
+    md = io.client.load_table(["ddl"], "t")["metadata"]
+    from denali_spark.sources.schema_evolution import current_schema
+
+    names = {f["name"]: f["type"] for f in current_schema(md)["fields"]}
+    assert names["w"] == "long" and names["score"] == "double"
+    # rename + drop
+    io.sql("ALTER TABLE ddl.t RENAME COLUMN score TO quality")
+    io.sql("ALTER TABLE ddl.t DROP COLUMN w")
+    md = io.client.load_table(["ddl"], "t")["metadata"]
+    names = [f["name"] for f in current_schema(md)["fields"]]
+    assert "quality" in names and "w" not in names and "score" not in names
+    with pytest.raises(ValueError, match="already exists"):
+        io.sql("ALTER TABLE ddl.t ADD COLUMN a int")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        io.sql("ALTER TABLE ddl.t FROBNICATE")
+
+
+def test_sql_alter_table_partition_field_changes_layout(spark, io):
+    """ADD PARTITION FIELD evolves the default spec; files written AFTER
+    the evolution carry the new partition values while old files keep
+    theirs (spec evolution never rewrites)."""
+    io.sql(
+        "CREATE TABLE ddlp.t AS "
+        "SELECT id, id % 3 AS bucket_key FROM westeros.my_table WHERE id < 30"
+    )
+    out = io.sql(
+        "ALTER TABLE ddlp.t ADD PARTITION FIELD bucket_key"
+    ).collect()[0]
+    assert out["operation"] == "add-partition-field"
+    io.sql(
+        "INSERT INTO ddlp.t "
+        "SELECT id, id % 3 FROM westeros.my_table WHERE id >= 30 AND id < 60"
+    )
+    md = io.client.load_table(["ddlp"], "t")["metadata"]
+    assert md["default-spec-id"] > 0
+    snap = io._resolve_snapshot(md)
+    entries = io._manifest_entries(snap["manifest-list"])
+    parted = [e for e in entries if e.get("partition")]
+    unparted = [e for e in entries if not e.get("partition")]
+    assert parted and unparted  # both layouts coexist post-evolution
+    assert {str(e["partition"].get("bucket_key")) for e in parted} == {"0", "1", "2"}
+    assert io.sql("SELECT COUNT(*) AS n FROM ddlp.t").collect()[0]["n"] == 60
+    # DROP PARTITION FIELD returns to unpartitioned for new writes
+    io.sql("ALTER TABLE ddlp.t DROP PARTITION FIELD bucket_key")
+    with pytest.raises(ValueError, match="not in the default spec"):
+        io.sql("ALTER TABLE ddlp.t DROP PARTITION FIELD bucket_key")
+
+
+def test_sql_alter_table_properties_and_order(spark, io):
+    io.sql("CREATE TABLE ddlq.t AS SELECT 1 AS a, 2 AS b")
+    io.sql(
+        "ALTER TABLE ddlq.t SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read', 'owner' = 'denali')"
+    )
+    props = io.client.load_table(["ddlq"], "t")["metadata"]["properties"]
+    assert props["write.delete.mode"] == "merge-on-read"
+    assert props["owner"] == "denali"
+    io.sql("ALTER TABLE ddlq.t UNSET TBLPROPERTIES ('owner')")
+    props = io.client.load_table(["ddlq"], "t")["metadata"]["properties"]
+    assert "owner" not in props
+    io.sql("ALTER TABLE ddlq.t WRITE ORDERED BY b, a")
+    md = io.client.load_table(["ddlq"], "t")["metadata"]
+    assert md["default-sort-order-id"] > 0
+    # rename table through DDL
+    io.sql("ALTER TABLE ddlq.t RENAME TO ddlq.t2")
+    assert io.sql("SELECT COUNT(*) AS n FROM ddlq.t2").collect()[0]["n"] == 1

@@ -90,13 +90,29 @@ def skew_join_hot_key(spark, sf_dir: str):
     )
 
 
-def _time(fn, runs: int = 2) -> float:
-    best = float("inf")
+def _time(fn, runs: int = 2, stat: str = "min") -> float:
+    """Time `fn` over `runs` executions. stat='min' (legacy extras) or
+    'median' — the headline queries report median-of-3 so one scheduler
+    hiccup on a shared box can't shift the round-over-round comparison
+    (the r7 bench drift post-mortem: sub-second queries show ±25%
+    bench-position noise; the median is robust to a single outlier while
+    still excluding the first run's one-time codegen cost)."""
+    samples = []
     for _ in range(runs):
         start = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - start)
-    return round(best, 3)
+        samples.append(time.perf_counter() - start)
+    samples.sort()
+    if stat == "median":
+        mid = len(samples) // 2
+        v = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+    else:
+        v = samples[0]
+    return round(v, 3)
 
 
 def lsh_search_probe(spark, sf_dir: str):
@@ -183,11 +199,13 @@ def main() -> None:
     # the engine, not first-touch initialization.
     spark.range(1).count()
 
-    # Steady-state measurement: each query runs twice and the faster run is
-    # reported. The first execution of a plan pays one-time JIT + whole-stage
-    # codegen compilation (~2-5x the steady-state cost locally) which
-    # amortizes to zero in the long-running jobs this engine targets; the
-    # warm run is the per-query cost that actually scales with data volume.
+    # Steady-state measurement: each headline query runs 3x and the MEDIAN
+    # is reported (noise-robust — see _time). The first execution of a plan
+    # pays one-time JIT + whole-stage codegen compilation (~2-5x the
+    # steady-state cost locally) which amortizes to zero in the
+    # long-running jobs this engine targets; the median of three therefore
+    # reflects the per-query cost that actually scales with data volume
+    # while tolerating one scheduler hiccup in either direction.
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     # Ingest-time-index economics first (this also leaves the signature
@@ -197,9 +215,13 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — extras must never break the contract line
         index = None
     for name in names:
-        timings[name] = _time(lambda: REGISTRY[name].fn(spark, sf_dir).count())
+        timings[name] = _time(
+            lambda: REGISTRY[name].fn(spark, sf_dir).count(),
+            runs=3, stat="median",
+        )
     timings["sim_lsh_search_probe"] = _time(
-        lambda: lsh_search_probe(spark, sf_dir).count()
+        lambda: lsh_search_probe(spark, sf_dir).count(),
+        runs=3, stat="median",
     )
 
     total = round(sum(timings.values()), 3)

@@ -46,6 +46,9 @@ MAIN = "main"
 # visible to callers — added for the anti-joins, dropped before returning.
 LINEAGE_FILE = "__dsp_file_path"
 LINEAGE_POS = "__dsp_pos"
+# V3 row-lineage column name: virtual on ordinary reads (first-row-id +
+# position), physical in files rewritten by compaction (carry-through)
+ROW_ID = "_row_id"
 
 
 def _find_top_level(text: str, word: str, start: int = 0) -> int:
@@ -254,10 +257,11 @@ def stamp_row_lineage(md: dict, files: list[dict]) -> tuple[int, int]:
 
     Supported depth: ids are file-range based (_row_id = first-row-id +
     position), the V3 default for files without materialized lineage
-    columns. Rewrites that produce new files (CoW update/merge,
-    compaction) assign fresh ranges — carrying ids THROUGH a rewrite
-    requires writing explicit _row_id columns into the data files, which
-    this engine does not do (documented limit)."""
+    columns. Compaction carries ids THROUGH the rewrite by materializing a
+    physical _row_id column into its output files (entries flagged
+    materialized-lineage; readers prefer the column over the range — see
+    compact_data_files). Other rewrites (CoW update/merge) still assign
+    fresh ranges: their rows are replacements, not carried rows."""
     next_id = int(md.get("next-row-id", 0))
     first = next_id
     for f in files:
@@ -417,6 +421,7 @@ class SparkCatalogIO:
         df = self._read_reconciled(
             md, snap, entries, snapshot_schema=time_travel,
             with_lineage=bool(delete_entries) or with_row_ids,
+            with_row_ids=with_row_ids,
         )
         if delete_entries:
             from denali_spark.sources.schema_evolution import schema_by_id
@@ -429,13 +434,18 @@ class SparkCatalogIO:
                 df, entries, delete_entries, target_schema=schema_by_id(md, target_id)
             )
         if with_row_ids:
-            # bounded map: one (path, first-row-id) row per scanned file
+            # bounded map: one (path, first-row-id) row per scanned file.
+            # Files with a carried physical _row_id column (compaction
+            # rewrites) keep it; the rest compute first-row-id + position.
             frid = self.spark.createDataFrame(
                 [(e["path"], e.get("first-row-id")) for e in entries],
                 f"{LINEAGE_FILE} string, __dsp_frid long",
             )
             df = df.join(F.broadcast(frid), LINEAGE_FILE, "left").withColumn(
-                "_row_id", F.col("__dsp_frid") + F.col(LINEAGE_POS)
+                ROW_ID,
+                F.coalesce(
+                    F.col(ROW_ID), F.col("__dsp_frid") + F.col(LINEAGE_POS)
+                ),
             ).drop("__dsp_frid")
         if delete_entries or with_row_ids:
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
@@ -1493,6 +1503,7 @@ class SparkCatalogIO:
         entries: list[dict],
         snapshot_schema: bool = False,
         with_lineage: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Read data files grouped by the schema they were written under and
         project every group into the snapshot's schema by FIELD ID — renames
@@ -1515,12 +1526,22 @@ class SparkCatalogIO:
         else:
             target_id = md["current-schema-id"]
         target = schema_by_id(md, target_id)
-        groups: dict[tuple[int, str], list[str]] = {}
+        # Grouped additionally by the materialized-lineage flag so files
+        # that physically contain a carried `_row_id` column never share a
+        # footer-sampled read schema with files that don't.
+        groups: dict[tuple[int, str, bool], list[str]] = {}
         for e in entries:
-            key = (e.get("schema-id", 0), e.get("file-format", "parquet"))
+            key = (
+                e.get("schema-id", 0),
+                e.get("file-format", "parquet"),
+                bool(e.get("materialized-lineage")),
+            )
             groups.setdefault(key, []).append(e["path"])
+        extra = (LINEAGE_FILE, LINEAGE_POS) if with_lineage else ()
+        if with_row_ids:
+            extra = extra + (ROW_ID,)
         dfs = []
-        for (sid, fmt), paths in sorted(groups.items()):
+        for (sid, fmt, materialized), paths in sorted(groups.items()):
             if fmt == "avro" or (fmt == "orc" and with_lineage):
                 # Formats whose row positions Spark can't surface natively
                 # (parquet has _metadata.row_index; ORC and our avro don't)
@@ -1528,31 +1549,32 @@ class SparkCatalogIO:
                 # positions. ORC WITHOUT lineage stays on the vectorized
                 # JVM reader — the hot path is untouched.
                 reader = self._read_avro if fmt == "avro" else self._read_orc_lineage
-                dfs_entry = reader(paths, with_lineage)
-                if sid != target_id:
-                    dfs_entry = reconcile_to_schema(
-                        dfs_entry, schema_by_id(md, sid), target,
-                        extra_cols=(LINEAGE_FILE, LINEAGE_POS) if with_lineage else (),
-                    )
-                dfs.append(dfs_entry)
-                continue
-            df = (
-                # read.orc takes one path-or-list (2nd positional = mergeSchema)
-                self.spark.read.orc(list(paths)) if fmt == "orc"
-                else self.spark.read.parquet(*paths)
-            )
-            if with_lineage:
-                df = df.withColumns({
-                    # normalize file:///x → /x so lineage matches manifest paths
-                    LINEAGE_FILE: F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
-                    ),
-                    LINEAGE_POS: F.col("_metadata.row_index"),
-                })
+                df = reader(paths, with_lineage)
+            else:
+                df = (
+                    # read.orc takes one path-or-list (2nd positional = mergeSchema)
+                    self.spark.read.orc(list(paths)) if fmt == "orc"
+                    else self.spark.read.parquet(*paths)
+                )
+                if with_lineage:
+                    df = df.withColumns({
+                        # normalize file:///x → /x so lineage matches manifest paths
+                        LINEAGE_FILE: F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        LINEAGE_POS: F.col("_metadata.row_index"),
+                    })
+            if with_row_ids and ROW_ID not in df.columns:
+                # plain files compute ids later (first-row-id + position);
+                # a typed NULL keeps every group unionByName-compatible
+                df = df.withColumn(ROW_ID, F.lit(None).cast("long"))
+            elif not with_row_ids and ROW_ID in df.columns:
+                # a carried physical _row_id is lineage plumbing, not a
+                # table column — regular reads must not surface it
+                df = df.drop(ROW_ID)
             if sid != target_id:
                 df = reconcile_to_schema(
-                    df, schema_by_id(md, sid), target,
-                    extra_cols=(LINEAGE_FILE, LINEAGE_POS) if with_lineage else (),
+                    df, schema_by_id(md, sid), target, extra_cols=extra,
                 )
             dfs.append(df)
         return reduce(lambda a, b: a.unionByName(b), dfs)

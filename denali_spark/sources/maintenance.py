@@ -280,19 +280,49 @@ def compact_data_files(
         n_out = max(1, -(-total // target_file_size_bytes))  # ceil
         # Pending merge-on-read deletes are folded in during the rewrite —
         # compaction doubles as delete materialization for the files it packs.
-        df = io._read_reconciled(md, snap, small, with_lineage=bool(deletes))
+        # V3 row-lineage carry-through: when the inputs carry lineage
+        # (file-range first-row-id or an already-materialized _row_id
+        # column), the surviving rows' ids are MATERIALIZED into the
+        # rewritten files as a physical _row_id column, so row identity
+        # survives the rewrite per the V3 spec (ranges can't represent
+        # survivors once deletes punch holes in a file).
+        from pyspark.sql import functions as SF
+
+        from denali_spark.sources.catalog_io import ROW_ID, table_write_format
+
+        carry_lineage = any("first-row-id" in e for e in small) or any(
+            e.get("materialized-lineage") for e in small
+        )
+        df = io._read_reconciled(
+            md, snap, small,
+            with_lineage=bool(deletes) or carry_lineage,
+            with_row_ids=carry_lineage,
+        )
         if deletes:
             from denali_spark.sources.schema_evolution import current_schema
 
             df = io._apply_deletes(df, small, deletes, target_schema=current_schema(md))
+        if carry_lineage:
+            frid = io.spark.createDataFrame(
+                [(e["path"], e.get("first-row-id")) for e in small],
+                f"{LINEAGE_FILE} string, __dsp_frid long",
+            )
+            df = df.join(SF.broadcast(frid), LINEAGE_FILE, "left").withColumn(
+                ROW_ID,
+                SF.coalesce(
+                    SF.col(ROW_ID), SF.col("__dsp_frid") + SF.col(LINEAGE_POS)
+                ),
+            ).drop("__dsp_frid")
+        if (LINEAGE_FILE in df.columns) or (LINEAGE_POS in df.columns):
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         df = df.coalesce(n_out)
-        from denali_spark.sources.catalog_io import table_write_format
-
         new_files = io._write_data_files(
             df, md["location"], schema_id=md.get("current-schema-id", 0),
             file_format=table_write_format(md),
         )
+        if carry_lineage:
+            for f in new_files:
+                f["materialized-lineage"] = True
         return _commit_cow(
             io, namespace, name, md, parent_id, untouched + new_files,
             "replace",

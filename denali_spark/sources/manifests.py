@@ -125,6 +125,12 @@ DATA_FILE_SCHEMA = {
         {"name": "x_schema_id", "type": _nullable("int")},
         {"name": "x_equality_columns",
          "type": _nullable({"type": "array", "items": "string"})},
+        # Extension hint: the data file physically contains a `_row_id`
+        # column (written by compaction/rewrites to carry V3 row lineage
+        # THROUGH the rewrite) — readers prefer it over first_row_id +
+        # position. Spec readers detect the column from the file schema;
+        # the manifest flag saves a footer probe per file at plan time.
+        {"name": "x_materialized_lineage", "type": _nullable("boolean")},
     ],
 }
 
@@ -486,6 +492,7 @@ def entry_to_data_file(
         "content_size_in_bytes": e.get("content-size-in-bytes"),
         "x_schema_id": e.get("schema-id"),
         "x_equality_columns": e.get("equality-columns"),
+        "x_materialized_lineage": e.get("materialized-lineage"),
     }
 
 
@@ -592,6 +599,8 @@ def data_file_to_entry(
         e["schema-id"] = rec["x_schema_id"]
     if rec.get("x_equality_columns") is not None:
         e["equality-columns"] = rec["x_equality_columns"]
+    if rec.get("x_materialized_lineage"):
+        e["materialized-lineage"] = True
     return e
 
 

@@ -91,3 +91,48 @@ def test_row_ids_survive_manifest_roundtrip_and_branches(spark, io):
         for r in io.read_table(ns, "b", with_row_ids=True).collect()
     )
     assert main_ids == list(range(12))
+
+
+def test_row_ids_carried_through_compaction(spark, io):
+    """V3 carry-through: delete-then-compact preserves surviving rows'
+    _row_ids (materialized as a physical _row_id column in the rewritten
+    files — ranges can't represent survivors once deletes punch holes),
+    and regular reads never surface the carried column."""
+    from denali_spark.sources.maintenance import compact_data_files
+
+    ns = ["rl"]
+    # several small files so compaction has inputs to bin-pack
+    for lo in range(0, 20, 5):
+        io.write_table(
+            spark.range(lo, lo + 5).select("id").coalesce(1), ns, "c",
+            mode="append",
+        )
+    before = {
+        r["id"]: r["_row_id"]
+        for r in io.read_table(ns, "c", with_row_ids=True).collect()
+    }
+    assert sorted(before.values()) == list(range(20))
+    delete_where_dv(io, ns, "c", E.and_(E.gt_eq("id", 3), E.lt("id", 12)))
+    survivors = {k: v for k, v in before.items() if not (3 <= k < 12)}
+    out = compact_data_files(io, ns, "c", min_input_files=2)
+    assert not out.get("noop")
+    md = io.client.load_table(ns, "c")["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+    assert any(e.get("materialized-lineage") for e in data)
+    after = {
+        r["id"]: r["_row_id"]
+        for r in io.read_table(ns, "c", with_row_ids=True).collect()
+    }
+    assert after == survivors
+    # regular reads do not leak the physical column
+    assert "_row_id" not in io.read_table(ns, "c").columns
+    # compact AGAIN (materialized inputs re-carried, not re-ranged)
+    io.write_table(spark.range(100, 103).select("id").coalesce(1), ns, "c",
+                   mode="append")
+    compact_data_files(io, ns, "c", min_input_files=2)
+    final = {
+        r["id"]: r["_row_id"]
+        for r in io.read_table(ns, "c", with_row_ids=True).collect()
+    }
+    assert {k: v for k, v in final.items() if k in survivors} == survivors

@@ -319,6 +319,104 @@ def test_spark_data_plane_over_postgres(spark, pg_uri, tmp_path):
         srv.stop()
 
 
+# --- round-7 surfaces over the Postgres dialect (round-8 task #8) -----------
+
+
+@pg_missing
+def test_row_lineage_cas_race_disjoint_ranges_over_postgres(
+    spark, pg_uri, tmp_path
+):
+    """V3 row-lineage under real CAS contention on the production store:
+    two Spark writers append through DIFFERENT catalog servers sharing one
+    Postgres. The loser's retry must re-stamp its files past the winner's
+    next-row-id watermark — first-row-id ranges may never overlap, and
+    every `_row_id` stays unique."""
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+    from denali_spark.sources.catalog_io import split_entries
+
+    srv1 = CatalogServer(make_state(str(tmp_path / "wh"), pg_uri)).start()
+    srv2 = CatalogServer(make_state(str(tmp_path / "wh"), pg_uri)).start()
+    try:
+        io1, io2 = SparkCatalogIO(spark, srv1.uri), SparkCatalogIO(spark, srv2.uri)
+        io1.write_table(spark.range(0, 40).select("id").coalesce(1), ["rlpg"], "t")
+
+        barrier = threading.Barrier(2)
+        errors = []
+
+        def append(io, lo):
+            try:
+                df = spark.range(lo, lo + 30).select("id").coalesce(1)
+                barrier.wait()
+                io.write_table(df, ["rlpg"], "t", mode="append")
+            except Exception as exc:  # noqa: BLE001 — surfaced below
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=append, args=(io1, 1000)),
+            threading.Thread(target=append, args=(io2, 2000)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        md = io1.client.load_table(["rlpg"], "t")["metadata"]
+        assert md["next-row-id"] == 100
+        snap = io1._resolve_snapshot(md)
+        data, _ = split_entries(io1._manifest_entries(snap["manifest-list"]))
+        ranges = sorted(
+            (e["first-row-id"], e["first-row-id"] + e["record-count"])
+            for e in data
+        )
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo, f"overlapping first-row-id ranges: {ranges}"
+        ids = [
+            r["_row_id"]
+            for r in io2.read_table(["rlpg"], "t", with_row_ids=True).collect()
+        ]
+        assert sorted(ids) == list(range(100))
+    finally:
+        srv1.stop()
+        srv2.stop()
+
+
+@pg_missing
+def test_bearer_enforced_commit_over_postgres(spark, pg_uri, tmp_path):
+    """OAuth bearer enforcement composed with the Postgres store: anonymous
+    and forged-token commits bounce with 401 before touching the database;
+    an authenticated engine completes the full write/read cycle."""
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.catalog.client import CatalogClient, CatalogHTTPError
+    from denali_spark.sources import SparkCatalogIO
+
+    state = make_state(str(tmp_path / "wh"), pg_uri, credential="svc:s3cr3t")
+    srv = CatalogServer(state).start()
+    try:
+        with pytest.raises(CatalogHTTPError) as ei:
+            CatalogClient(srv.uri).create_namespace(["authpg"])
+        assert ei.value.status == 401
+        with pytest.raises(CatalogHTTPError) as ei:
+            CatalogClient(srv.uri, token="forged").create_namespace(["authpg"])
+        assert ei.value.status == 401
+
+        token = CatalogClient(srv.uri).authenticate("svc", "s3cr3t")
+        io = SparkCatalogIO(spark, srv.uri, token=token)
+        io.write_table(spark.range(0, 25).select("id"), ["authpg"], "t")
+        io.write_table(
+            spark.range(25, 40).select("id"), ["authpg"], "t", mode="append"
+        )
+        assert io.read_table(["authpg"], "t").count() == 40
+        md = io.client.load_table(["authpg"], "t")["metadata"]
+        assert len(md["snapshots"]) == 2
+        # the anonymous client still cannot read what the authed one wrote
+        with pytest.raises(CatalogHTTPError) as ei:
+            CatalogClient(srv.uri).load_table(["authpg"], "t")
+        assert ei.value.status == 401
+    finally:
+        srv.stop()
+
+
 # --- SQLite multi-connection CAS (WAL) --------------------------------------
 
 

@@ -20,6 +20,15 @@ SPARK_GRAFT_SCALE_BENCH=0):
   the fact side) at both scales — AQE's skew-join split is what keeps the
   hot partition from becoming the straggler; ~linear sf0.1→sf1 scaling is
   the pass signal.
+
+Noise protocol: each headline query is timed 3x and the MEDIAN reported
+(driver benches on this shared box swing ±25% when any other JVM ran
+recently). Round-8 A/B verdict for the r6→r7 sf0.1 drift seen in driver
+benches (1.17x): a back-to-back same-box worktree A/B/A of HEAD vs the r6
+tag (SPARK_GRAFT_SCALE_BENCH=0, quiet box) measured common-25 ratios of
+0.844 (HEAD leg 1) and 0.938 (HEAD leg 2) vs the r6 leg, worst per-query
+ratio 1.01x — HEAD is faster than r6 on identical hardware/session; the
+driver-observed drift was box noise, not a plan regression.
 """
 
 from __future__ import annotations

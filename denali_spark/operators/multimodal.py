@@ -595,6 +595,85 @@ def _sql_block_sum(b: str) -> str:
     return " + ".join(terms)
 
 
+def phash_banded_pairs(
+    hashes: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Banded candidate join over a 64-bit hash relation
+    ``(doc_id, h_hi, h_lo)``: four 16-bit bands, candidates from exact
+    band-value collisions, verified by full Hamming distance. With
+    ``bucket_cap``, buckets holding more than `cap` hashes are skipped
+    BEFORE the self-join — a bucket shared by k images contributes k²
+    join rows, so one degenerate all-identical cluster (blank frames,
+    test cards) at corpus scale would otherwise dominate the shuffle.
+    The heavy-hitter set is tiny by definition and broadcasts into an
+    anti-join; the drop is LOGGED (bucket + member counts), never silent.
+    Pairs whose every shared band is hot are lost (recall-trading,
+    precision-preserving — the same guard the MinHash and n-gram paths
+    apply via `max_df`); genuinely near-duplicate pairs almost always
+    co-occupy several bands, so a planted-twin fixture keeps full recall
+    under any sane cap."""
+    band_structs = F.array(
+        F.struct(F.lit(0).alias("band"), (F.col("h_lo") % 65536).alias("bh")),
+        F.struct(
+            F.lit(1).alias("band"),
+            (F.col("h_lo") / 65536).cast("long").alias("bh"),
+        ),
+        F.struct(F.lit(2).alias("band"), (F.col("h_hi") % 65536).alias("bh")),
+        F.struct(
+            F.lit(3).alias("band"),
+            (F.col("h_hi") / 65536).cast("long").alias("bh"),
+        ),
+    )
+    bands = hashes.select(
+        "doc_id", "h_hi", "h_lo", F.explode(band_structs).alias("s")
+    ).select("doc_id", "h_hi", "h_lo", "s.band", "s.bh")
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+        )
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("members")
+        ).collect()[0]
+        if stats["buckets"]:
+            import warnings
+
+            warnings.warn(
+                f"phash_banded_pairs: skipping {stats['buckets']} band "
+                f"bucket(s) over cap={bucket_cap} "
+                f"({stats['members']} member rows dropped before the "
+                "candidate join); pairs confined to hot buckets are lost",
+                stacklevel=2,
+            )
+        bands = bands.join(
+            F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti"
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+        + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAM_TAU)
+    )
+
+
+
 @query(
     "mm_image_phash_pairs",
     oracle=f"""
@@ -639,7 +718,9 @@ def _sql_block_sum(b: str) -> str:
     """,
     tags=("multimodal", "phash", "dedup", "pandas-udf"),
 )
-def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_image_phash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Near-duplicate image pairs by perceptual average-hash: decode the
     (synthesized, deterministic) P5 grayscale payloads in an Arrow-batched
     kernel, hash each image to 64 bits, generate candidates from 16-bit
@@ -649,7 +730,9 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the banded equi-join over (band, value) — work scales
     with band-bucket co-occupancy, never image pairs; at corpus scale the
     hash table is the ingest-time index (same economics as the MinHash
-    signature index)."""
+    signature index). On low-diversity corpora co-occupancy itself can
+    degenerate (k identical hashes → k² candidates); `bucket_cap` applies
+    the standard LSH guard — see `phash_banded_pairs`."""
     docs = load_table(spark, sf_dir, "documents")
     npix = PHASH_SIDE * PHASH_SIDE
     pixels = F.array_join(
@@ -671,40 +754,4 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = docs.select("doc_id", payload.alias("payload")).mapInPandas(
         _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
     )
-    band_structs = F.array(
-        F.struct(F.lit(0).alias("band"), (F.col("h_lo") % 65536).alias("bh")),
-        F.struct(
-            F.lit(1).alias("band"),
-            (F.col("h_lo") / 65536).cast("long").alias("bh"),
-        ),
-        F.struct(F.lit(2).alias("band"), (F.col("h_hi") % 65536).alias("bh")),
-        F.struct(
-            F.lit(3).alias("band"),
-            (F.col("h_hi") / 65536).cast("long").alias("bh"),
-        ),
-    )
-    bands = hashes.select(
-        "doc_id", "h_hi", "h_lo", F.explode(band_structs).alias("s")
-    ).select("doc_id", "h_hi", "h_lo", "s.band", "s.bh")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = (
-        F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
-        + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
-    ).cast("long")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= PHASH_HAM_TAU)
-    )
+    return phash_banded_pairs(hashes, bucket_cap=bucket_cap)

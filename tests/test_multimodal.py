@@ -13,6 +13,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from denali_spark.operators.multimodal import mm_binary_metadata, mm_featurize, mm_featurize_vec
 
@@ -84,3 +85,52 @@ def test_phash_finds_planted_twins(spark):
     # twins sit far below the threshold (the +1 perturbation barely moves
     # block means)
     assert max(pairs[t] for t in found_twins) <= 4
+
+def test_phash_bucket_cap_keeps_twin_recall(spark):
+    """The per-bucket candidate cap (round-8 LSH guard) must not cost
+    recall on the planted-twin fixture: twins share all four bands, and
+    no band bucket in the synthetic corpus is hot enough to trip a sane
+    cap, so the capped result equals the uncapped one."""
+    from denali_spark.operators.multimodal import mm_image_phash_pairs
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm_image_phash_pairs(spark, SF).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm_image_phash_pairs(spark, SF, bucket_cap=64).collect()
+    }
+    assert capped == uncapped
+
+
+def test_phash_bucket_cap_bounds_degenerate_corpus(spark):
+    """An all-identical-hash corpus (every image in one bucket per band)
+    must complete with bounded candidates under the cap: the hot buckets
+    are skipped with a logged drop count instead of materializing n²
+    pairs, and the drop is a warning, never silent."""
+    import warnings
+
+    from denali_spark.operators.multimodal import phash_banded_pairs
+
+    n = 500
+    hashes = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0x1234_5678_9ABC_DEF0).alias("h_hi"),
+        F.lit(0x0FED_CBA9_8765_4321).alias("h_lo"),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = phash_banded_pairs(hashes, bucket_cap=50).collect()
+    assert rows == []  # every bucket hot -> all candidates dropped
+    msgs = [str(w.message) for w in caught if "phash_banded_pairs" in str(w.message)]
+    assert msgs and "skipping 4 band bucket(s)" in msgs[0]
+    assert f"{4 * n} member rows dropped" in msgs[0]
+    # sanity: without the cap the same corpus yields the full n^2/2 blowup
+    # on a SMALL n (we don't run the 500-row quadratic here)
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit(7).alias("h_hi"),
+        F.lit(7).alias("h_lo"),
+    )
+    assert len(phash_banded_pairs(small).collect()) == 45

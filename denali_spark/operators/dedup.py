@@ -309,21 +309,29 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(sig, 0.3)
 
 
-def _lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
-    """LSH band self-join + exact-Jaccard verification over any signature
-    relation (doc_id, hs, sig_0..15): (i, j, jac) with i < j and
-    jac >= threshold. Shared by the corpus pair query and the streaming
-    sink's intra-batch self-dedup."""
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """LSH band self-join candidate pairs (i, j), i < j, over any signature
+    relation (doc_id, sig_0..15): a pair is a candidate iff some band's
+    hash agrees. Equi-join on (band, band-hash) — shuffle keyed and sized
+    by bucket co-occupancy, never n²."""
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
         .distinct()
     )
+
+
+def _lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
+    """LSH band self-join + exact-Jaccard verification over any signature
+    relation (doc_id, hs, sig_0..15): (i, j, jac) with i < j and
+    jac >= threshold. Shared by the corpus pair query and the streaming
+    sink's intra-batch self-dedup."""
+    cand = _band_candidates(sig)
     sets_df = sig.select("doc_id", F.array_distinct("hs").alias("sset"))
     jac = (
         cand.join(sets_df.withColumnRenamed("doc_id", "i").withColumnRenamed("sset", "sa"), "i")
@@ -338,6 +346,117 @@ def _lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
         )
     )
     return jac.filter(F.col("jac") >= threshold).select("i", "j", "jac")
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=_SQL_SIG_BASE + _SQL_PAIR_CTES + """
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           MAX(jac) AS max_jac
+    FROM pairs JOIN documents da ON da.doc_id = i
+               JOIN documents db ON db.doc_id = j
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "lsh", "provenance"),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: verified near-dup pairs
+    (Jaccard ≥ 0.3 via the banded MinHash path) rolled up by the UNORDERED
+    source pair of their endpoints — the provenance question a corpus
+    curator asks before mixing crawls ("how much of source X is already
+    in source Y?"). Diagonal rows (source_a = source_b) measure
+    within-source redundancy.
+
+    Scale shape: the pair relation is the already-sub-quadratic LSH
+    output; each endpoint joins to the (doc_id, source) projection — a
+    key-partitioned equi-join pruned to two columns at the scan — and the
+    final rollup groups on the tiny source-pair key with max/count
+    aggregates that combine map-side. `max_jac` (not avg) keeps the
+    value hash order-independent under any partitioning."""
+    sig = minhash_signature_index(spark, sf_dir)
+    pairs = _lsh_pairs(sig, 0.3)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = pairs.join(
+        docs.select(F.col("doc_id").alias("i"), F.col("source").alias("src_i")), "i"
+    ).join(
+        docs.select(F.col("doc_id").alias("j"), F.col("source").alias("src_j")), "j"
+    )
+    return joined.groupBy(
+        F.least("src_i", "src_j").alias("source_a"),
+        F.greatest("src_i", "src_j").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jac").alias("max_jac"),
+    )
+
+
+_SQL_SIG_EQ = " + ".join(
+    f"(CASE WHEN x.sig_{k} = y.sig_{k} THEN 1 ELSE 0 END)"
+    for k in range(len(MINHASH_PARAMS))
+)
+
+
+@query(
+    "dedup_minhash_jaccard_est",
+    oracle=_SQL_SIG_BASE + f"""
+    , bands AS ({_sql_bands_cte()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT i, j, est, jac, ABS(est - jac) AS abs_err FROM (
+      SELECT i, j,
+             ({_SQL_SIG_EQ}) / {len(MINHASH_PARAMS)}.0 AS est,
+             len(list_intersect(list_distinct(x.hs), list_distinct(y.hs))) * 1.0
+               / len(list_distinct(x.hs || y.hs)) AS jac
+      FROM cand JOIN sig x ON x.doc_id = i JOIN sig y ON y.doc_id = j
+    )
+    """,
+    tags=("dedup", "minhash", "sketch-accuracy"),
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every banded candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of the 16 signature slots that
+    agree — the only statistic a signature-only pipeline ever sees) next
+    to the EXACT shingle-set Jaccard and the absolute error. This is how
+    a production pipeline calibrates its signature width: if the observed
+    error at the dedup threshold is too wide, add permutations at ingest.
+
+    Scale shape: candidates from the banded equi-join (sub-quadratic);
+    the estimate is 16 integer equality checks per pair and the exact
+    value two array ops on the fetched shingle sets — both scan-local
+    after the two fetch joins. Every value is an exact small rational
+    (k/16 and |A∩B|/|A∪B|), so the cross-engine hash is bit-stable."""
+    sig = minhash_signature_index(spark, sf_dir)
+    cand = _band_candidates(sig)
+    nsig = len(MINHASH_PARAMS)
+    x = sig.select(
+        F.col("doc_id").alias("i"), F.array_distinct("hs").alias("hx"),
+        *[F.col(f"sig_{k}").alias(f"x_{k}") for k in range(nsig)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("j"), F.array_distinct("hs").alias("hy"),
+        *[F.col(f"sig_{k}").alias(f"y_{k}") for k in range(nsig)],
+    )
+    matches = reduce(
+        lambda a, b: a + b,
+        [(F.col(f"x_{k}") == F.col(f"y_{k}")).cast("int") for k in range(nsig)],
+    )
+    jac = (
+        F.size(F.array_intersect("hx", "hy")).cast("double")
+        / F.size(F.array_union("hx", "hy"))
+    )
+    return (
+        cand.join(x, "i").join(y, "j")
+        .select(
+            "i", "j",
+            (matches / F.lit(float(nsig))).alias("est"),
+            jac.alias("jac"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est") - F.col("jac")))
+    )
 
 
 def dedup_incremental_pairs(

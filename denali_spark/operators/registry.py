@@ -94,8 +94,11 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # --- NEW round-8 queries go here (driver must attest them) ---
-    # (appended by register-time additions below in this round)
+    # --- NEW round-8 queries (driver must attest them) ---
+    "sim_lsh_range_search",
+    "dedup_source_overlap",
+    "dedup_minhash_jaccard_est",
+    "text_filter_funnel",
     # --- newest driver evidence round 6 ---
     "agg_audience_overlap",
     "agg_exact_percentiles",

@@ -351,6 +351,90 @@ def sim_lsh_search(
     )
 
 
+RANGE_TAU = 0.3   # cosine radius
+RANGE_PROBES = 8  # probe set: vec_id < 8
+
+
+@query(
+    "sim_lsh_range_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS ({_sql_tables('e')}),
+    qb AS (
+      SELECT DISTINCT p.query_id, p.t,
+             xor(p.bucket, CASE WHEN fl.f = -1 THEN 0 ELSE (1 << fl.f) END) AS bucket
+      FROM (SELECT vec_id AS query_id, t, bucket FROM b WHERE vec_id < {RANGE_PROBES}) p
+      CROSS JOIN (SELECT unnest(range(-1, {N_PLANES})) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN b ON qb.t = b.t AND qb.bucket = b.bucket
+      WHERE qb.query_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {SQL_COSINE.format(a='qv.e', b='nv.e')} AS cos
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
+    ) WHERE cos >= {RANGE_TAU}
+    """,
+    tags=("similarity", "ann", "lsh", "range"),
+)
+def sim_lsh_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (ALL neighbors within a cosine radius, not top-k) over
+    the materialized LSH bucket index — the retrieval shape behind
+    "find every document similar enough to this one" dedup/expansion
+    passes, where the result cardinality is data-dependent rather than
+    fixed at k.
+
+    Same candidate machinery as `sim_lsh_bucket_topk` (ingest-time bucket
+    index, Hamming-1 multi-probe, broadcast probe side, pair-level
+    distinct before the vector-fetch joins); the only difference is the
+    final operator — a threshold filter instead of a per-query window.
+    That drops the rank shuffle entirely: the plan is scan → broadcast
+    equi-join → distinct → two fetch joins → filter, so at 100 TB the
+    cost is still bucket co-occupancy, and no single-query skew can
+    concentrate on one reducer the way a dense top-k partition can."""
+    v = _vecs(spark, sf_dir)
+    b = lsh_bucket_index(spark, sf_dir)
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    qb = (
+        b.filter(F.col("vec_id") < RANGE_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "t", "bucket")
+        .withColumn("flip", flips)
+        .select(
+            "query_id",
+            "t",
+            F.col("bucket").bitwiseXOR(
+                F.when(F.col("flip") < 0, F.lit(0))
+                .otherwise(F.expr("shiftleft(1, flip)"))
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = v.filter(F.col("vec_id") < RANGE_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return (
+        cand.join(v, cand["neighbor_id"] == v["vec_id"])
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("e")).alias("cos")
+        )
+        .filter(F.col("cos") >= RANGE_TAU)
+    )
+
+
 # --- IVF (inverted-file) ANN ---------------------------------------------
 #
 # The classic two-level vector index: a coarse quantizer assigns every

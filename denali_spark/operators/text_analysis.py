@@ -98,6 +98,139 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STAGES = [
+    "nonempty",        # text present and non-empty
+    "length_band",     # 80..10000 chars (same band as text_quality_score)
+    "punct_ratio",     # <20% non-alphanumeric chars
+    "min_tokens",      # >=10 tokens
+    "mean_token_len",  # mean token length in [3, 12]
+    "stopwords",       # >=2 distinct English stopwords
+    "dedup_exact",     # keep lowest doc_id per exact text
+]
+_SQL_EN_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+
+
+@query(
+    "text_filter_funnel",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             COALESCE(length(text), 0) > 0 AS p1,
+             length(text) BETWEEN 80 AND 10000 AS p2,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 5
+               < length(text) AS p3,
+             len(t) >= 10 AS p4,
+             list_sum(list_transform(t, x -> length(x)))
+               BETWEEN 3 * len(t) AND 12 * len(t) AS p5,
+             len(list_intersect(list_distinct(t), {_SQL_EN_STOP})) >= 2 AS p6
+      FROM (SELECT doc_id, text, {SQL_TOKENS.format(c='text')} AS t FROM documents)
+    ),
+    d AS (
+      SELECT doc_id, text,
+             CASE WHEN NOT p1 THEN 0 WHEN NOT p2 THEN 1 WHEN NOT p3 THEN 2
+                  WHEN NOT p4 THEN 3 WHEN NOT p5 THEN 4 WHEN NOT p6 THEN 5
+                  ELSE 6 END AS depth
+      FROM f
+    ),
+    dd AS (
+      SELECT depth,
+             CASE WHEN depth = 6 AND ROW_NUMBER() OVER (
+                    PARTITION BY depth = 6, md5(text) ORDER BY doc_id) = 1
+                  THEN 7 ELSE depth END AS fd
+      FROM d
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k0,
+             {', '.join(
+                 f'CAST(COALESCE(SUM(CASE WHEN fd >= {k} THEN 1 END), 0) AS BIGINT) AS k{k}'
+                 for k in range(1, 8)
+             )}
+      FROM dd
+    )
+    {' UNION ALL '.join(
+        f"SELECT CAST({k} AS BIGINT) AS stage_idx, '{name}' AS stage,"
+        f' k{k - 1} AS n_in, k{k} AS n_kept, k{k - 1} - k{k} AS n_dropped FROM c'
+        for k, name in enumerate(_FUNNEL_STAGES, start=1)
+    )}
+    """,
+    tags=("text", "quality", "funnel"),
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter funnel (C4/Gopher-style cascade) with
+    per-stage attrition accounting: every document gets a "survival
+    depth" — the number of consecutive leading stages it passes — and the
+    report is one row per stage with (n_in, n_kept, n_dropped). This is
+    the curation dashboard a training-data pipeline publishes per crawl:
+    which rule is doing the cutting, in rule order.
+
+    Stage predicates are pure integer arithmetic (ratio thresholds are
+    cross-multiplied, e.g. punct*5 < len instead of punct/len < 0.2), so
+    there is no float division to diverge between engines and no
+    divide-by-zero edge on empty text. The final stage is exact dedup
+    (keep lowest doc_id per text) *within the stage-6 survivor set* —
+    sequential semantics, as a real cascade would run it.
+
+    Scale shape: one scan computes all six scan-local predicates; the
+    only shuffles are the dedup window (keyed on md5 of survivors — the
+    narrow 16-byte key, and only for rows that reached stage 6) and a
+    single-row global aggregate with map-side partials. The 7-row report
+    is exploded from that one aggregate row — no driver-side loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    d = docs.select("doc_id", "text", t.alias("t"))
+    ln = F.length("text")
+    punct_chars = ln - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ntok = F.size("t")
+    toklen = F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct("t"),
+            F.array(*[F.lit(w) for w in _STOPWORDS["en"]]),
+        )
+    )
+    p = [
+        F.coalesce(ln, F.lit(0)) > 0,
+        ln.between(80, 10000),
+        punct_chars * 5 < ln,
+        ntok >= 10,
+        toklen.between(3 * ntok, 12 * ntok),
+        stops >= 2,
+    ]
+    depth = F.lit(6)
+    for k in range(5, -1, -1):
+        depth = F.when(~p[k], F.lit(k)).otherwise(depth)
+    d = d.select("doc_id", "text", depth.alias("depth"))
+    w = Window.partitionBy(F.col("depth") == 6, F.md5("text")).orderBy("doc_id")
+    fd = F.when(
+        (F.col("depth") == 6) & (F.row_number().over(w) == 1), F.lit(7)
+    ).otherwise(F.col("depth"))
+    dd = d.select(fd.alias("fd"))
+    agg = dd.agg(
+        F.count(F.lit(1)).alias("k0"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("fd") >= k, 1)), F.lit(0)
+            ).alias(f"k{k}")
+            for k in range(1, 8)
+        ],
+    )
+    stage_rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(k).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"k{k - 1}").alias("n_in"),
+                F.col(f"k{k}").alias("n_kept"),
+                (F.col(f"k{k - 1}") - F.col(f"k{k}")).alias("n_dropped"),
+            )
+            for k, name in enumerate(_FUNNEL_STAGES, start=1)
+        ])
+    )
+    return agg.select(stage_rows.alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_in", "s.n_kept", "s.n_dropped"
+    )
+
+
 # Tiny per-language stopword lists (public, frequency-based).
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],

@@ -919,7 +919,12 @@ class SparkCatalogIO:
 
         - ADD COLUMN c type [COMMENT '...'] / ADD COLUMNS (c1 t1, c2 t2)
         - DROP COLUMN c / RENAME COLUMN a TO b
+        - ALTER COLUMN c TYPE t (Iceberg-legal promotions only)
+          / ALTER COLUMN c COMMENT '...' / ALTER COLUMN c DROP NOT NULL
         - ADD PARTITION FIELD col|transform(col) / DROP PARTITION FIELD ...
+          / REPLACE PARTITION FIELD old WITH new
+        - CREATE BRANCH|TAG [IF NOT EXISTS] ref [AS OF VERSION snapshot-id]
+          / DROP BRANCH|TAG ref
         - WRITE ORDERED BY c1[, c2 ...]  (sort-order evolution)
         - SET TBLPROPERTIES ('k' = 'v', ...) / UNSET TBLPROPERTIES ('k', ...)
         - RENAME TO ns2.t2
@@ -977,6 +982,101 @@ class SparkCatalogIO:
             _se.rename_column(self, ns, name, m.group(1), m.group(2))
             return self._alter_summary(
                 qualified, "rename-column", f"{m.group(1)}->{m.group(2)}"
+            )
+
+        m = _re.match(
+            r"ALTER\s+COLUMN\s+(\w+)\s+(.+)$", act, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            ns, name, _md = self._dml_target(qualified)
+            col, change = m.group(1), m.group(2).strip()
+            tm = _re.fullmatch(r"TYPE\s+([\w()\s,]+)", change, _re.IGNORECASE)
+            if tm:
+                new_type = ddl_type_to_iceberg(tm.group(1))
+                _se.update_column(self, ns, name, col, new_type=new_type)
+                return self._alter_summary(
+                    qualified, "alter-column-type", f"{col}:{new_type}"
+                )
+            cm = _re.fullmatch(r"COMMENT\s+'([^']*)'", change, _re.IGNORECASE)
+            if cm:
+                _se.update_column(self, ns, name, col, doc=cm.group(1))
+                return self._alter_summary(qualified, "alter-column-comment", col)
+            if _re.fullmatch(r"DROP\s+NOT\s+NULL", change, _re.IGNORECASE):
+                _se.update_column(self, ns, name, col, make_optional=True)
+                return self._alter_summary(
+                    qualified, "alter-column-drop-not-null", col
+                )
+            if _re.fullmatch(r"SET\s+NOT\s+NULL", change, _re.IGNORECASE):
+                raise ValueError(
+                    "SET NOT NULL is not allowed: existing rows may hold "
+                    "NULLs and Iceberg data files are never rewritten by DDL"
+                )
+            raise ValueError(f"unsupported ALTER COLUMN change {change[:60]!r}")
+
+        m = _re.match(
+            r"REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+)$",
+            act, _re.IGNORECASE,
+        )
+        if m:
+            ns, name, md = self._dml_target(qualified)
+            old_col, old_tr = self._parse_partition_field(m.group(1))
+            new_col, new_tr = self._parse_partition_field(m.group(2))
+            current = spec_to_partition_by(md) or []
+            if (old_col, old_tr) not in current:
+                raise ValueError(
+                    f"partition field {m.group(1).strip()!r} is not in the "
+                    f"default spec {current}"
+                )
+            replaced = [
+                (new_col, new_tr) if p == (old_col, old_tr) else p
+                for p in current
+            ]
+            self.evolve_partition_spec(ns, name, replaced)
+            return self._alter_summary(
+                qualified, "replace-partition-field",
+                f"{old_tr}({old_col})->{new_tr}({new_col})",
+            )
+
+        m = _re.match(
+            r"(CREATE|DROP)\s+(BRANCH|TAG)(\s+IF\s+NOT\s+EXISTS)?\s+(\w+)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            act, _re.IGNORECASE,
+        )
+        if m:
+            verb, kind, if_not_exists, ref = (
+                m.group(1).upper(), m.group(2).upper(), m.group(3), m.group(4),
+            )
+            ns, name, md = self._dml_target(qualified)
+            if verb == "DROP":
+                self.drop_ref(ns, name, ref)
+                return self._alter_summary(
+                    qualified, f"drop-{kind.lower()}", ref
+                )
+            if if_not_exists and ref in md.get("refs", {}):
+                return self._alter_summary(
+                    qualified, f"create-{kind.lower()}", f"{ref} (exists)"
+                )
+            if m.group(5) is not None:
+                # AS OF VERSION n — branch/tag from a specific snapshot id
+                from_ref = int(m.group(5))
+                updates = [{
+                    "action": "set-snapshot-ref", "ref-name": ref,
+                    "snapshot-id": from_ref,
+                    "type": "branch" if kind == "BRANCH" else "tag",
+                }]
+                self.client.commit_table(
+                    ns, name,
+                    requirements=[{
+                        "type": "assert-table-uuid", "uuid": md["table-uuid"]
+                    }],
+                    updates=updates,
+                )
+            elif kind == "BRANCH":
+                self.create_branch(ns, name, ref)
+            else:
+                self.create_tag(ns, name, ref)
+            return self._alter_summary(
+                qualified, f"create-{kind.lower()}", ref
             )
 
         m = _re.match(r"ADD\s+PARTITION\s+FIELD\s+(.+)$", act, _re.IGNORECASE)

@@ -61,7 +61,15 @@ def reconcile_to_schema(
     for field in target["fields"]:
         old = by_id.get(field["id"])
         if old is not None and old in df.columns:
-            cols.append(F.col(old).alias(field["name"]))
+            if isinstance(field["type"], str):
+                # cast covers type PROMOTION (int→long, float→double,
+                # decimal widen): files written before the promotion carry
+                # the old physical type; Catalyst folds away the no-op
+                # casts on files whose type already matches
+                col = F.col(old).cast(type_to_ddl(field["type"]))
+            else:  # nested types don't promote in v1 — pass through
+                col = F.col(old)
+            cols.append(col.alias(field["name"]))
         else:
             cols.append(
                 F.lit(None).cast(type_to_ddl(field["type"])).alias(field["name"])
@@ -128,6 +136,60 @@ def rename_column(
     fields = [
         {**f, "name": new} if f["name"] == old else f for f in cur["fields"]
     ]
+    return _commit_schema_change(
+        io, namespace, name, fields, md.get("last-column-id", 0)
+    )
+
+
+def _promotion_ok(old: str, new: str) -> bool:
+    """Iceberg-legal primitive type promotions (spec 'Schema Evolution'):
+    int→long, float→double, decimal(P,S)→decimal(P',S) with P' >= P."""
+    import re as _re
+
+    if old == new:
+        return True
+    if (old, new) in {("int", "long"), ("float", "double")}:
+        return True
+    mo = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", old)
+    mn = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", new)
+    if mo and mn:
+        return mo.group(2) == mn.group(2) and int(mn.group(1)) >= int(mo.group(1))
+    return False
+
+
+def update_column(
+    io: SparkCatalogIO, namespace: list[str], name: str, column: str, *,
+    new_type: str | None = None, doc: str | None = None,
+    make_optional: bool = False,
+) -> dict:
+    """ALTER TABLE ALTER COLUMN — type promotion, doc change, and
+    required→optional relaxation, all pure metadata (field id unchanged).
+    Only Iceberg-legal promotions are accepted (int→long, float→double,
+    decimal widening at fixed scale) — anything else would silently
+    corrupt old files, whose bytes are never rewritten; the read path
+    casts promoted columns to the current type per file group.
+    optional→required is rejected (existing NULLs can't be retrofitted)."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    cur = current_schema(md)
+    target = next((f for f in cur["fields"] if f["name"] == column), None)
+    if target is None:
+        raise ValueError(f"column {column!r} not found")
+    changed = dict(target)
+    if new_type is not None:
+        if not isinstance(target["type"], str):
+            raise ValueError(f"cannot promote nested column {column!r}")
+        if not _promotion_ok(target["type"], new_type):
+            raise ValueError(
+                f"illegal type promotion {target['type']} -> {new_type} for "
+                f"{column!r} (Iceberg allows int->long, float->double, and "
+                "decimal precision widening only)"
+            )
+        changed["type"] = new_type
+    if doc is not None:
+        changed["doc"] = doc
+    if make_optional:
+        changed["required"] = False
+    fields = [changed if f["name"] == column else f for f in cur["fields"]]
     return _commit_schema_change(
         io, namespace, name, fields, md.get("last-column-id", 0)
     )

@@ -672,3 +672,87 @@ def test_sql_alter_table_properties_and_order(spark, io):
     # rename table through DDL
     io.sql("ALTER TABLE ddlq.t RENAME TO ddlq.t2")
     assert io.sql("SELECT COUNT(*) AS n FROM ddlq.t2").collect()[0]["n"] == 1
+
+def test_sql_alter_column_promotion_comment_nullability(spark, io):
+    """ALTER COLUMN routes to update_column: Iceberg-legal type promotion
+    (int->long) is pure metadata — files written before the promotion are
+    cast at read time, never rewritten — while illegal promotions and
+    SET NOT NULL are rejected."""
+    from denali_spark.sources.schema_evolution import current_schema
+
+    io.sql("CREATE TABLE ddla.t AS SELECT 1 AS a, CAST(1.5 AS FLOAT) AS f")
+    out = io.sql("ALTER TABLE ddla.t ALTER COLUMN a TYPE bigint").collect()[0]
+    assert out["operation"] == "alter-column-type" and out["detail"] == "a:long"
+    io.sql("ALTER TABLE ddla.t ALTER COLUMN f TYPE double")
+    # post-promotion insert writes native longs/doubles; pre-promotion
+    # files cast on read — one unioned relation, one schema
+    io.sql("INSERT INTO ddla.t SELECT 4000000000, 2.5")
+    df = io.sql("SELECT * FROM ddla.t")
+    assert dict(df.dtypes) == {"a": "bigint", "f": "double"}
+    assert sorted(r["a"] for r in df.collect()) == [1, 4000000000]
+    md = io.client.load_table(["ddla"], "t")["metadata"]
+    types = {f["name"]: f["type"] for f in current_schema(md)["fields"]}
+    assert types == {"a": "long", "f": "double"}
+    # field ids survive the promotion (identity, not drop+add)
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        io.sql("ALTER TABLE ddla.t ALTER COLUMN a TYPE int")
+    with pytest.raises(ValueError, match="illegal type promotion"):
+        io.sql("ALTER TABLE ddla.t ALTER COLUMN f TYPE string")
+    io.sql("ALTER TABLE ddla.t ALTER COLUMN a COMMENT 'widened id'")
+    md = io.client.load_table(["ddla"], "t")["metadata"]
+    docs = {f["name"]: f.get("doc") for f in current_schema(md)["fields"]}
+    assert docs["a"] == "widened id"
+    io.sql("ALTER TABLE ddla.t ALTER COLUMN a DROP NOT NULL")
+    with pytest.raises(ValueError, match="SET NOT NULL is not allowed"):
+        io.sql("ALTER TABLE ddla.t ALTER COLUMN a SET NOT NULL")
+
+
+def test_sql_replace_partition_field(spark, io):
+    """REPLACE PARTITION FIELD swaps one spec field for another in a single
+    evolution commit; files written after carry the new layout."""
+    io.sql(
+        "CREATE TABLE ddlr.t AS "
+        "SELECT id, id % 3 AS k3, id % 5 AS k5 FROM westeros.my_table WHERE id < 30"
+    )
+    io.sql("ALTER TABLE ddlr.t ADD PARTITION FIELD k3")
+    out = io.sql(
+        "ALTER TABLE ddlr.t REPLACE PARTITION FIELD k3 WITH bucket(4, k5)"
+    ).collect()[0]
+    assert out["operation"] == "replace-partition-field"
+    assert out["detail"] == "identity(k3)->bucket[4](k5)"
+    io.sql(
+        "INSERT INTO ddlr.t "
+        "SELECT id, id % 3, id % 5 FROM westeros.my_table "
+        "WHERE id >= 30 AND id < 60"
+    )
+    md = io.client.load_table(["ddlr"], "t")["metadata"]
+    spec = next(s for s in md["partition-specs"] if s["spec-id"] == md["default-spec-id"])
+    assert [f["transform"] for f in spec["fields"]] == ["bucket[4]"]
+    assert io.sql("SELECT COUNT(*) AS n FROM ddlr.t").collect()[0]["n"] == 60
+    with pytest.raises(ValueError, match="not in the default spec"):
+        io.sql("ALTER TABLE ddlr.t REPLACE PARTITION FIELD k3 WITH k5")
+
+
+def test_sql_branch_tag_ddl(spark, io):
+    """CREATE/DROP BRANCH|TAG DDL routes to the ref APIs; AS OF VERSION
+    pins the ref to a named snapshot; branch reads travel through SQL."""
+    io.sql("CREATE TABLE ddlb.t AS SELECT 1 AS a")
+    md = io.client.load_table(["ddlb"], "t")["metadata"]
+    snap0 = md["current-snapshot-id"]
+    io.sql("INSERT INTO ddlb.t SELECT 2")
+    out = io.sql("ALTER TABLE ddlb.t CREATE BRANCH audit").collect()[0]
+    assert out["operation"] == "create-branch" and out["detail"] == "audit"
+    io.sql(f"ALTER TABLE ddlb.t CREATE TAG v0 AS OF VERSION {snap0}")
+    md = io.client.load_table(["ddlb"], "t")["metadata"]
+    assert md["refs"]["audit"]["type"] == "branch"
+    assert md["refs"]["v0"] == {"snapshot-id": snap0, "type": "tag"}
+    # idempotent create
+    out = io.sql("ALTER TABLE ddlb.t CREATE BRANCH IF NOT EXISTS audit").collect()[0]
+    assert out["detail"] == "audit (exists)"
+    # tag travel sees only the first snapshot's row
+    rows = io.sql("SELECT * FROM ddlb.t FOR VERSION AS OF 'v0'").collect()
+    assert [r["a"] for r in rows] == [1]
+    io.sql("ALTER TABLE ddlb.t DROP TAG v0")
+    io.sql("ALTER TABLE ddlb.t DROP BRANCH audit")
+    md = io.client.load_table(["ddlb"], "t")["metadata"]
+    assert "v0" not in md.get("refs", {}) and "audit" not in md.get("refs", {})

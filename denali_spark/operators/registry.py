@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_rank_parts_by_price",
     # --- NEW round-8 queries (driver must attest them) ---
     "sim_lsh_range_search",
+    "sim_knn_label_agreement",
     "dedup_source_overlap",
     "dedup_minhash_jaccard_est",
     "text_filter_funnel",

@@ -754,6 +754,143 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+
+
+@query(
+    "sim_knn_label_agreement",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS ({_sql_tables('e')}),
+    ab AS (
+      SELECT DISTINCT vec_id, t,
+             xor(bucket, CASE WHEN fl.f = -1 THEN 0 ELSE (1 << fl.f) END) AS bucket
+      FROM b CROSS JOIN (SELECT unnest(range(-1, {N_PLANES})) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT ab.vec_id AS i, b.vec_id AS j
+      FROM ab JOIN b ON ab.t = b.t AND ab.bucket = b.bucket AND ab.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.i, c.j, {SQL_COSINE.format(a='x.e', b='y.e')} AS cos
+      FROM cand c JOIN v x ON x.vec_id = c.i JOIN v y ON y.vec_id = c.j
+    ),
+    top AS (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+        FROM scored
+      ) WHERE rn <= {KNN_K}
+    ),
+    g AS (
+      SELECT t.i, li.label AS label_i, lj.label AS label_j, COUNT(*) AS n
+      FROM top t JOIN embeddings li ON li.vec_id = t.i
+                 JOIN embeddings lj ON lj.vec_id = t.j
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT i, label_i, label_j, n,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY n DESC, label_j) AS rn,
+             SUM(n) OVER (PARTITION BY i) AS n_neighbors,
+             SUM(CASE WHEN label_j = label_i THEN n ELSE 0 END)
+               OVER (PARTITION BY i) AS n_agree
+      FROM g
+    )
+    SELECT i AS vec_id, label_i AS label, label_j AS knn_label,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           label_j = label_i AS majority_agrees
+    FROM r WHERE rn = 1
+    """,
+    tags=("similarity", "knn-graph", "label-quality"),
+)
+def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit over the corpus k-NN graph: every vector's
+    {KNN_K} approximate nearest neighbors (LSH buckets + Hamming-1
+    multi-probe, exact-cosine rerank) vote on its label; the report row
+    carries the majority neighbor label (ties broken toward the smaller
+    label id), the agreeing-neighbor count, and whether the majority
+    matches the vector's own label. Vectors whose neighborhood disagrees
+    are the mislabel/outlier candidates a curation pass reviews — the
+    classic confident-learning signal, built from the same ingest-time
+    index every other ANN query reads.
+
+    Scale shape: the k-NN graph comes from the bucket-index self-join
+    (work ∝ bucket co-occupancy, never n²); the per-node top-k window and
+    the vote aggregate are both keyed on the node id, so the shuffles are
+    uniform in n with no hot key. No new index, no new scan of the
+    embedding payloads beyond the two fetch joins."""
+    v = _vecs(spark, sf_dir)
+    b = lsh_bucket_index(spark, sf_dir)
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    ab = b.withColumn("flip", flips).select(
+        F.col("vec_id").alias("i"),
+        "t",
+        F.col("bucket").bitwiseXOR(
+            F.when(F.col("flip") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, flip)"))
+        ).alias("bucket"),
+    )
+    cand = (
+        ab.join(b, ["t", "bucket"])
+        .filter(F.col("i") != F.col("vec_id"))
+        .select("i", F.col("vec_id").alias("j"))
+        .distinct()
+    )
+    vn = v.select(
+        "vec_id", "e", F.sqrt(dot_cols(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    cos = dot_cols(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
+    scored = (
+        cand.join(vn.alias("x"), cand["i"] == F.col("x.vec_id"))
+        .join(vn.alias("y"), cand["j"] == F.col("y.vec_id"))
+        .select("i", "j", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("i").orderBy(F.desc("cos"), "j")
+    top = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KNN_K)
+        .select("i", "j")
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    g = (
+        top.join(
+            lab.select(F.col("vec_id").alias("i"), F.col("label").alias("label_i")),
+            "i",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("j"), F.col("label").alias("label_j")),
+            "j",
+        )
+        .groupBy("i", "label_i", "label_j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("i").orderBy(F.desc("n"), "label_j")
+    wi = Window.partitionBy("i")
+    return (
+        g.withColumn("rn", F.row_number().over(wm))
+        .withColumn("n_neighbors", F.sum("n").over(wi))
+        .withColumn(
+            "n_agree",
+            F.sum(
+                F.when(F.col("label_j") == F.col("label_i"), F.col("n"))
+                .otherwise(F.lit(0))
+            ).over(wi),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("i").alias("vec_id"),
+            F.col("label_i").alias("label"),
+            F.col("label_j").alias("knn_label"),
+            "n_neighbors",
+            "n_agree",
+            (F.col("label_j") == F.col("label_i")).alias("majority_agrees"),
+        )
+    )
+
+
 @query(
     "sem_dedup_pairs",
     oracle=f"""

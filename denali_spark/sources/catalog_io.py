@@ -87,6 +87,27 @@ def _find_top_level(text: str, word: str, start: int = 0) -> int:
     return -1
 
 
+def _parse_sql_literal(raw: str | None):
+    """Parse a scalar SQL literal ('str', number, TRUE/FALSE) into the
+    Python value stored in Iceberg metadata (e.g. a column's V3
+    initial-default). None passes through (no literal present)."""
+    if raw is None:
+        return None
+    raw = raw.strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1].replace("''", "'")
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        raise ValueError(f"unparseable SQL literal {raw!r}") from None
+
+
 def _split_top_level_commas(text: str) -> list[str]:
     """Split on commas outside single-quoted strings and parentheses —
     how SET-assignment and VALUES lists are separated without a nested
@@ -956,14 +977,17 @@ class SparkCatalogIO:
             added = []
             for col_def in _split_top_level_commas(body):
                 cm = _re.fullmatch(
-                    r"\s*(\w+)\s+([\w()\s,]+?)(?:\s+COMMENT\s+'([^']*)')?\s*",
+                    r"\s*(\w+)\s+([\w()\s,]+?)"
+                    r"(?:\s+DEFAULT\s+('[^']*'|[-\w.]+))?"
+                    r"(?:\s+COMMENT\s+'([^']*)')?\s*",
                     col_def, _re.IGNORECASE,
                 )
                 if not cm:
                     raise ValueError(f"malformed column definition {col_def!r}")
                 _se.add_column(
                     self, ns, name, cm.group(1),
-                    ddl_type_to_iceberg(cm.group(2)), doc=cm.group(3),
+                    ddl_type_to_iceberg(cm.group(2)), doc=cm.group(4),
+                    default=_parse_sql_literal(cm.group(3)),
                 )
                 added.append(cm.group(1))
             return self._alter_summary(qualified, "add-columns", ",".join(added))

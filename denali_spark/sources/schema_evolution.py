@@ -71,8 +71,12 @@ def reconcile_to_schema(
                 col = F.col(old)
             cols.append(col.alias(field["name"]))
         else:
+            # column absent from this file group: V3 initial-default if the
+            # field carries one, else typed NULL
             cols.append(
-                F.lit(None).cast(type_to_ddl(field["type"])).alias(field["name"])
+                F.lit(field.get("initial-default"))
+                .cast(type_to_ddl(field["type"]))
+                .alias(field["name"])
             )
     cols.extend(F.col(c) for c in extra_cols)
     return df.select(*cols)
@@ -107,9 +111,13 @@ def _commit_schema_change(
 def add_column(
     io: SparkCatalogIO, namespace: list[str], name: str,
     column: str, iceberg_type: str, doc: str | None = None,
+    default=None,
 ) -> dict:
-    """ALTER TABLE ADD COLUMN — fresh field id, existing files backfill as
-    typed NULLs on read (no rewrite)."""
+    """ALTER TABLE ADD COLUMN — fresh field id, existing files backfill on
+    read (no rewrite): as typed NULLs, or as the V3 `initial-default`
+    when one is given (rows written before the column existed read the
+    default; `write-default` is set to the same value per the spec's
+    common case)."""
     md = io.client.load_table(namespace, name)["metadata"]
     cur = current_schema(md)
     if any(f["name"] == column for f in cur["fields"]):
@@ -118,6 +126,9 @@ def add_column(
     field = {"id": new_id, "name": column, "type": iceberg_type, "required": False}
     if doc:
         field["doc"] = doc
+    if default is not None:
+        field["initial-default"] = default
+        field["write-default"] = default
     return _commit_schema_change(
         io, namespace, name, [*cur["fields"], field], new_id
     )

@@ -756,3 +756,35 @@ def test_sql_branch_tag_ddl(spark, io):
     io.sql("ALTER TABLE ddlb.t DROP BRANCH audit")
     md = io.client.load_table(["ddlb"], "t")["metadata"]
     assert "v0" not in md.get("refs", {}) and "audit" not in md.get("refs", {})
+
+def test_sql_add_column_with_v3_default(spark, io):
+    """ADD COLUMN ... DEFAULT lit stamps the V3 initial-default/
+    write-default on the new field: rows written BEFORE the column
+    existed read the default (no rewrite), rows written after carry
+    their own values."""
+    from denali_spark.sources.schema_evolution import current_schema
+
+    io.sql("CREATE TABLE ddld.t AS SELECT 1 AS a UNION ALL SELECT 2 AS a")
+    io.sql(
+        "ALTER TABLE ddld.t ADD COLUMN tier string DEFAULT 'bronze' "
+        "COMMENT 'loyalty tier'"
+    )
+    io.sql("ALTER TABLE ddld.t ADD COLUMN score bigint DEFAULT 100")
+    md = io.client.load_table(["ddld"], "t")["metadata"]
+    fields = {f["name"]: f for f in current_schema(md)["fields"]}
+    assert fields["tier"]["initial-default"] == "bronze"
+    assert fields["tier"]["write-default"] == "bronze"
+    assert fields["tier"]["doc"] == "loyalty tier"
+    assert fields["score"]["initial-default"] == 100
+    io.sql("INSERT INTO ddld.t SELECT 3, 'gold', 900")
+    rows = {
+        r["a"]: (r["tier"], r["score"])
+        for r in io.sql("SELECT * FROM ddld.t").collect()
+    }
+    assert rows == {
+        1: ("bronze", 100), 2: ("bronze", 100), 3: ("gold", 900),
+    }
+    # plain ADD COLUMN (no DEFAULT) still backfills NULL
+    io.sql("ALTER TABLE ddld.t ADD COLUMN note string")
+    vals = {r["a"]: r["note"] for r in io.sql("SELECT * FROM ddld.t").collect()}
+    assert vals == {1: None, 2: None, 3: None}

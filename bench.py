@@ -193,6 +193,10 @@ HEADLINE = [
     "ts_changepoint_cusum",
     # round 7: triangle enumeration over the frequent co-purchase graph
     "graph_triangle_parts",
+    # round 8: cosine range search over the bucket index (no rank shuffle)
+    # and the sequential quality-filter funnel (one scan + survivor window)
+    "sim_lsh_range_search",
+    "text_filter_funnel",
 ]
 
 

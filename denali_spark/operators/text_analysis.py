@@ -110,6 +110,40 @@ _FUNNEL_STAGES = [
 _SQL_EN_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
 
 
+def funnel_depths(docs: DataFrame) -> DataFrame:
+    """Per-document survival depth over the six SCAN-LOCAL funnel stages
+    (``_FUNNEL_STAGES[:6]``): depth = number of consecutive leading stages
+    passed, 0..6. All predicates are integer arithmetic (cross-multiplied
+    thresholds, no float division). Stage 7 — exact dedup — is
+    context-dependent and applied by the caller: global keep-first in
+    `text_filter_funnel`, corpus-so-far in the streaming ingest sink.
+    Input needs (doc_id, text); returns (doc_id, text, depth)."""
+    t = tokens_col()
+    d = docs.select("doc_id", "text", t.alias("t"))
+    ln = F.length("text")
+    punct_chars = ln - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ntok = F.size("t")
+    toklen = F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct("t"),
+            F.array(*[F.lit(w) for w in _STOPWORDS["en"]]),
+        )
+    )
+    p = [
+        F.coalesce(ln, F.lit(0)) > 0,
+        ln.between(80, 10000),
+        punct_chars * 5 < ln,
+        ntok >= 10,
+        toklen.between(3 * ntok, 12 * ntok),
+        stops >= 2,
+    ]
+    depth = F.lit(6)
+    for k in range(5, -1, -1):
+        depth = F.when(~p[k], F.lit(k)).otherwise(depth)
+    return d.select("doc_id", "text", depth.alias("depth"))
+
+
 @query(
     "text_filter_funnel",
     oracle=f"""
@@ -175,31 +209,7 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow 16-byte key, and only for rows that reached stage 6) and a
     single-row global aggregate with map-side partials. The 7-row report
     is exploded from that one aggregate row — no driver-side loop."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens_col()
-    d = docs.select("doc_id", "text", t.alias("t"))
-    ln = F.length("text")
-    punct_chars = ln - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-    ntok = F.size("t")
-    toklen = F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x))
-    stops = F.size(
-        F.array_intersect(
-            F.array_distinct("t"),
-            F.array(*[F.lit(w) for w in _STOPWORDS["en"]]),
-        )
-    )
-    p = [
-        F.coalesce(ln, F.lit(0)) > 0,
-        ln.between(80, 10000),
-        punct_chars * 5 < ln,
-        ntok >= 10,
-        toklen.between(3 * ntok, 12 * ntok),
-        stops >= 2,
-    ]
-    depth = F.lit(6)
-    for k in range(5, -1, -1):
-        depth = F.when(~p[k], F.lit(k)).otherwise(depth)
-    d = d.select("doc_id", "text", depth.alias("depth"))
+    d = funnel_depths(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy(F.col("depth") == 6, F.md5("text")).orderBy("doc_id")
     fd = F.when(
         (F.col("depth") == 6) & (F.row_number().over(w) == 1), F.lit(7)

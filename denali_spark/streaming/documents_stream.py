@@ -114,6 +114,90 @@ def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _read_prior_hashes(
+    spark: SparkSession, hash_dir: str, current_batch_id: int
+) -> DataFrame | None:
+    """Accepted-document text hashes from every OTHER completed batch
+    (_SUCCESS-gated, own partition excluded — same replay discipline as
+    `_read_prior_sigs`)."""
+    if not os.path.isdir(hash_dir):
+        return None
+    parts = [
+        os.path.join(hash_dir, d)
+        for d in sorted(os.listdir(hash_dir))
+        if d.startswith("batch_id=")
+        and d != f"batch_id={current_batch_id}"
+        and os.path.exists(os.path.join(hash_dir, d, "_SUCCESS"))
+    ]
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def make_filter_funnel_sink(out_dir: str, hash_dir: str | None = None):
+    """foreachBatch ingest guard running the quality-filter cascade
+    (`operators.text_analysis.funnel_depths` — the same six scan-local
+    stages as the batch `text_filter_funnel` query) ONLINE: each incoming
+    (doc_id, text) document gets a survival depth, and the final
+    dedup-exact stage runs against the corpus-so-far — text hashes
+    accepted by every prior batch plus intra-batch keep-first — so a
+    document arriving twice (in one batch or across batches) is accepted
+    exactly once, matching the online-dedup sink's growing-corpus
+    semantics.
+
+    Verdicts (doc_id, depth, kept) write to ``out_dir/batch_id=N/`` and
+    accepted hashes to ``hash_dir/batch_id=N/``, both with overwrite, so
+    at-least-once replays are exactly-once in effect: a re-run of batch N
+    rewrites only its own partitions and sees exactly the prior-corpus
+    view the first run saw.
+
+    Scale shape: stages 1–6 are scan-local on the micro-batch; the dedup
+    stage joins the (16-byte md5) batch survivor keys against the hash
+    store — the batch side is micro-batch-sized and broadcasts; the
+    store is partition-pruned parquet that grows by one tiny file per
+    batch."""
+    hash_dir = hash_dir if hash_dir is not None else f"{out_dir}_hashes"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from denali_spark.operators.text_analysis import funnel_depths
+
+        spark = batch_df.sparkSession
+        d = funnel_depths(batch_df).withColumn("h", F.md5("text")).persist()
+        prior = _read_prior_hashes(spark, hash_dir, batch_id)
+        seen = F.lit(False)
+        if prior is not None:
+            d = d.join(
+                F.broadcast(prior.select("h", F.lit(True).alias("_seen"))
+                            .distinct()),
+                "h", "left",
+            )
+            seen = F.coalesce(F.col("_seen"), F.lit(False))
+        w = Window.partitionBy(
+            (F.col("depth") == 6) & ~seen, F.col("h")
+        ).orderBy("doc_id")
+        kept = (
+            (F.col("depth") == 6) & ~seen & (F.row_number().over(w) == 1)
+        )
+        verdicts = d.select(
+            "doc_id",
+            F.when(kept, F.lit(7)).otherwise(F.col("depth")).alias("depth"),
+            kept.alias("kept"),
+            "h",
+        ).persist()
+        verdicts.select("doc_id", "depth", "kept").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+        verdicts.filter("kept").select("h").write.mode("overwrite").parquet(
+            f"{hash_dir}/batch_id={batch_id}"
+        )
+        verdicts.unpersist()
+        d.unpersist()
+
+    return _sink
+
+
 def make_decontaminate_sink(sf_dir: str, out_dir: str):
     """foreachBatch ingest guard: per micro-batch, verdict every incoming
     (doc_id, text) document against the corpus's materialized benchmark

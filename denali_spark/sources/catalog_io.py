@@ -587,6 +587,22 @@ class SparkCatalogIO:
             if m:
                 return self._sql_alter(m.group(1), _strip_stmt(m.group(2)))
             m = _re.match(
+                r"\s*SHOW\s+(NAMESPACES|TABLES|VIEWS|TBLPROPERTIES|"
+                r"PARTITIONS|CREATE\s+TABLE)\s*(.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_show(
+                    _re.sub(r"\s+", " ", m.group(1).upper()),
+                    _strip_stmt(m.group(2)),
+                )
+            m = _re.match(
+                r"\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(EXTENDED\s+)?([\w.]+)\s*;?\s*$",
+                query, _re.IGNORECASE,
+            )
+            if m:
+                return self._sql_describe(m.group(2), extended=bool(m.group(1)))
+            m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
@@ -930,6 +946,139 @@ class SparkCatalogIO:
             f"unsupported partition field {text!r} (expected col, "
             "years/months/days/hours(col), bucket(N, col), or "
             "truncate(W, col))"
+        )
+
+    @staticmethod
+    def _render_transform(col: str, transform: str) -> str:
+        if transform == "identity":
+            return col
+        m = __import__("re").fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
+        if m:
+            return f"{m.group(1)}({m.group(2)}, {col})"
+        return f"{transform}({col})"
+
+    def _sql_show(self, what: str, rest: str) -> DataFrame:
+        """SHOW NAMESPACES [IN parent] / SHOW TABLES|VIEWS [IN ns] /
+        SHOW TBLPROPERTIES ns.t / SHOW PARTITIONS ns.t /
+        SHOW CREATE TABLE ns.t — the Spark-SQL catalog-inspection surface
+        over the REST listing endpoints (§2.A list operations)."""
+        import re as _re
+
+        rest = rest.strip().rstrip(";").strip()
+        m = _re.fullmatch(r"(?:IN|FROM)\s+([\w.]+)", rest, _re.IGNORECASE)
+        scope = m.group(1).split(".") if m else None
+        if what == "NAMESPACES":
+            rows = [
+                (".".join(ns),) for ns in self.client.list_namespaces(scope)
+            ]
+            return self.spark.createDataFrame(rows, "namespace string")
+        if what in ("TABLES", "VIEWS"):
+            lister = (
+                self.client.list_tables if what == "TABLES"
+                else self.client.list_views
+            )
+            if scope is not None:
+                idents = lister(scope)
+            else:
+                idents = [
+                    {"namespace": ns_levels, "name": nm}
+                    for _q, (kind, ns_levels, nm) in sorted(
+                        self._catalog_listing().items()
+                    )
+                    if kind == ("table" if what == "TABLES" else "view")
+                ]
+            col = "tableName" if what == "TABLES" else "viewName"
+            rows = [
+                (".".join(i["namespace"]), i["name"]) for i in idents
+            ]
+            return self.spark.createDataFrame(
+                rows, f"namespace string, {col} string"
+            )
+        if not rest:
+            raise ValueError(f"SHOW {what} requires a table name")
+        ns, name, md = self._dml_target(rest)
+        if what == "TBLPROPERTIES":
+            return self.spark.createDataFrame(
+                sorted(md.get("properties", {}).items()),
+                "key string, value string",
+            )
+        if what == "PARTITIONS":
+            from denali_spark.sources.metadata_tables import metadata_table
+
+            return metadata_table(self, ns, name, "partitions")
+        # SHOW CREATE TABLE
+        from denali_spark.sources.partitioning import spec_to_partition_by
+        from denali_spark.sources.schema_evolution import (
+            current_schema,
+            type_to_ddl,
+        )
+
+        cols = []
+        for f in current_schema(md)["fields"]:
+            line = f"  {f['name']} {type_to_ddl(f['type'])}"
+            if f.get("required"):
+                line += " NOT NULL"
+            if f.get("doc"):
+                line += " COMMENT '" + f["doc"].replace("'", "''") + "'"
+            cols.append(line)
+        stmt = (
+            f"CREATE TABLE {rest} (\n" + ",\n".join(cols) + "\n) USING iceberg"
+        )
+        spec = spec_to_partition_by(md) or []
+        if spec:
+            stmt += "\nPARTITIONED BY (" + ", ".join(
+                self._render_transform(c, t) for c, t in spec
+            ) + ")"
+        props = md.get("properties", {})
+        if props:
+            stmt += "\nTBLPROPERTIES (" + ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            ) + ")"
+        return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+    def _sql_describe(self, qualified: str, extended: bool = False) -> DataFrame:
+        """DESCRIBE [EXTENDED] ns.t — column names/types/comments from the
+        CURRENT schema (docs travel with the field, so evolution shows
+        through), a partition section for partitioned tables, and —
+        extended — the table-metadata block real Spark prints."""
+        refs = self._catalog_listing()
+        kind = refs.get(qualified, ("table",))[0]
+        if kind == "view":
+            df = self.sql(f"SELECT * FROM {qualified} WHERE 1 = 0")
+            rows = [(c, t, None) for c, t in df.dtypes]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
+        from denali_spark.sources.partitioning import spec_to_partition_by
+        from denali_spark.sources.schema_evolution import (
+            current_schema,
+            type_to_ddl,
+        )
+
+        ns, name, md = self._dml_target(qualified)
+        rows = [
+            (f["name"], type_to_ddl(f["type"]), f.get("doc"))
+            for f in current_schema(md)["fields"]
+        ]
+        spec = spec_to_partition_by(md) or []
+        if spec:
+            rows.append(("# Partition Information", "", None))
+            rows.extend(
+                (f"Part {i}", self._render_transform(c, t), None)
+                for i, (c, t) in enumerate(spec)
+            )
+        if extended:
+            rows.append(("# Detailed Table Information", "", None))
+            rows.extend([
+                ("Name", qualified, None),
+                ("Location", md.get("location", ""), None),
+                ("Provider", "iceberg", None),
+                ("Format-version", str(md.get("format-version", "")), None),
+                ("Table-uuid", md.get("table-uuid", ""), None),
+                ("Current-snapshot-id", str(md.get("current-snapshot-id")), None),
+            ])
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
         )
 
     def _sql_alter(self, qualified: str, action_sql: str) -> DataFrame:

@@ -788,3 +788,58 @@ def test_sql_add_column_with_v3_default(spark, io):
     io.sql("ALTER TABLE ddld.t ADD COLUMN note string")
     vals = {r["a"]: r["note"] for r in io.sql("SELECT * FROM ddld.t").collect()}
     assert vals == {1: None, 2: None, 3: None}
+
+def test_sql_show_and_describe(spark, io):
+    """SHOW NAMESPACES/TABLES/VIEWS/TBLPROPERTIES/PARTITIONS/CREATE TABLE
+    and DESCRIBE [EXTENDED] — the Spark catalog-inspection surface over
+    the REST listing endpoints."""
+    io.sql("CREATE TABLE showns.t AS SELECT 1 AS a, 'x' AS s")
+    io.sql("ALTER TABLE showns.t ADD COLUMN score bigint COMMENT 'points'")
+    io.sql("ALTER TABLE showns.t ADD PARTITION FIELD bucket(4, a)")
+    io.sql("ALTER TABLE showns.t SET TBLPROPERTIES ('owner' = 'data-eng')")
+
+    ns = {r["namespace"] for r in io.sql("SHOW NAMESPACES").collect()}
+    assert "showns" in ns
+    tables = {
+        (r["namespace"], r["tableName"])
+        for r in io.sql("SHOW TABLES IN showns").collect()
+    }
+    assert ("showns", "t") in tables
+    # unscoped form walks every namespace
+    all_tables = {
+        (r["namespace"], r["tableName"])
+        for r in io.sql("SHOW TABLES").collect()
+    }
+    assert ("showns", "t") in all_tables
+
+    props = {
+        r["key"]: r["value"]
+        for r in io.sql("SHOW TBLPROPERTIES showns.t").collect()
+    }
+    assert props["owner"] == "data-eng"
+
+    desc = {r["col_name"]: (r["data_type"], r["comment"])
+            for r in io.sql("DESCRIBE showns.t").collect()}
+    assert desc["a"][0] == "int" and desc["s"][0] == "string"
+    assert desc["score"] == ("long", "points")  # Spark DDL bigint alias
+    assert desc["Part 0"][0] == "bucket(4, a)"
+    ext = {r["col_name"]: r["data_type"]
+           for r in io.sql("DESCRIBE EXTENDED showns.t").collect()}
+    assert ext["Provider"] == "iceberg" and ext["Name"] == "showns.t"
+
+    stmt = io.sql("SHOW CREATE TABLE showns.t").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE showns.t (" in stmt
+    assert "score long COMMENT 'points'" in stmt
+    assert "PARTITIONED BY (bucket(4, a))" in stmt
+    assert "'owner' = 'data-eng'" in stmt
+
+    # views: SHOW VIEWS lists them; DESCRIBE resolves the view's SQL
+    io.client.create_view(["showns"], "v", "SELECT a, s FROM showns.t")
+    views = {
+        (r["namespace"], r["viewName"])
+        for r in io.sql("SHOW VIEWS IN showns").collect()
+    }
+    assert ("showns", "v") in views
+    vdesc = {r["col_name"]: r["data_type"]
+             for r in io.sql("DESCRIBE showns.v").collect()}
+    assert vdesc == {"a": "int", "s": "string"}

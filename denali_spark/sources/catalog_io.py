@@ -1961,12 +1961,15 @@ class SparkCatalogIO:
             df = df.drop("__dsp_seq")
         return df
 
-    def _dv_positions_df(self, dvs: list[dict]) -> DataFrame:
+    def _dv_positions_df(
+        self, dvs: list[dict], with_source: bool = False
+    ) -> DataFrame:
         """(file_path, pos) rows from deletion-vector entries. One task per
         vector: the executor does a ranged read of just its blob (never the
         whole Puffin file) and expands the bitmap to rows Arrow-batched —
         the same join shape parquet position deletes use, so the anti-join
-        downstream is shared."""
+        downstream is shared. `with_source` adds the Puffin file's own path
+        as `delete_file_path` (the position_deletes metadata table shape)."""
         import pandas as pd
 
         from denali_spark.sources.puffin import read_dv_positions
@@ -1981,15 +1984,19 @@ class SparkCatalogIO:
             for pdf in batches:
                 for p, o, s, ref in zip(pdf["p"], pdf["o"], pdf["s"], pdf["ref"]):
                     positions = read_dv_positions(p, int(o), int(s))
-                    yield pd.DataFrame(
-                        {"file_path": ref,
-                         "pos": pd.Series(positions, dtype="int64")}
-                    )
+                    out = {"file_path": ref,
+                           "pos": pd.Series(positions, dtype="int64")}
+                    if with_source:
+                        out["delete_file_path"] = p
+                    yield pd.DataFrame(out)
 
         meta = self.spark.createDataFrame(rows, "p string, o long, s long, ref string")
         if len(rows) > 1:
             meta = meta.repartition(min(len(rows), 32))
-        return meta.mapInPandas(kernel, "file_path string, pos long")
+        schema = "file_path string, pos long"
+        if with_source:
+            schema += ", delete_file_path string"
+        return meta.mapInPandas(kernel, schema)
 
     def _read_avro(self, paths: list[str], with_lineage: bool) -> DataFrame:
         """Distributed Avro read: one partition per file, decoded by the

@@ -64,7 +64,8 @@ from denali_spark.catalog.metadata import _fs_path
 KINDS = (
     "snapshots", "history", "metadata_log_entries", "refs", "manifests",
     "entries", "files", "data_files", "delete_files", "partitions",
-    "all_manifests", "all_files",
+    "all_manifests", "all_files", "all_entries", "all_data_files",
+    "all_delete_files", "position_deletes",
 )
 
 _SNAPSHOTS_SCHEMA = StructType([
@@ -357,7 +358,7 @@ def metadata_table(
             [tuple(r[f.name] for f in schema.fields) for r in rows], schema=schema
         )
 
-    if kind == "all_files":
+    if kind in ("all_files", "all_entries", "all_data_files", "all_delete_files"):
         paths: list[str] = []
         seen: set[str] = set()
         for s in md.get("snapshots", []):
@@ -365,9 +366,46 @@ def metadata_table(
                 if m["path"] not in seen:
                     seen.add(m["path"])
                     paths.append(m["path"])
-        return _entries_df(io, paths).where(F.col("status") != 2).drop(
+        flat = _entries_df(io, paths)
+        if kind == "all_entries":
+            return _shape_entry_kind(flat, "entries")
+        live = flat.where(F.col("status") != 2).drop(
             "status", "snapshot_id", "file_sequence_number"
         )
+        if kind == "all_data_files":
+            return live.where(F.col("content") == 0)
+        if kind == "all_delete_files":
+            return live.where(F.col("content") != 0)
+        return live
+
+    if kind == "position_deletes":
+        from functools import reduce as _reduce
+
+        from denali_spark.sources.catalog_io import split_entries
+
+        snap = io._resolve_snapshot(md, snapshot_id, ref)
+        pd_schema = "file_path string, pos long, delete_file_path string"
+        if snap is None:
+            return spark.createDataFrame([], pd_schema)
+        _, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+        pos = [e for e in deletes if e.get("content") == "position-deletes"]
+        pq = [e for e in pos if e.get("file-format", "parquet") == "parquet"]
+        dvs = [e for e in pos if e.get("file-format") == "puffin"]
+        dfs = []
+        if pq:
+            dfs.append(
+                spark.read.parquet(*[e["path"] for e in pq]).select(
+                    "file_path", "pos",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("delete_file_path"),
+                )
+            )
+        if dvs:
+            dfs.append(io._dv_positions_df(dvs, with_source=True))
+        if not dfs:
+            return spark.createDataFrame([], pd_schema)
+        return _reduce(lambda a, b: a.unionByName(b), dfs)
 
     # snapshot-scoped kinds
     snap = io._resolve_snapshot(md, snapshot_id, ref)

@@ -226,3 +226,45 @@ def test_snapshot_summaries_carry_totals(spark, io):
     assert s_del["total-data-files"] == "2"
     assert s_del["total-delete-files"] == "1"
     assert int(s_append["total-files-size"]) > 0
+
+def test_all_entries_and_content_splits(spark, io):
+    """all_entries keeps entry status across every snapshot's manifests;
+    all_data_files / all_delete_files split all_files by content."""
+    ns, name = _two_appends(spark, io, name="alle")
+    keys = spark.createDataFrame([(3,)], "id long")
+    equality_delete(io, ns, name, keys, on=["id"])
+    entries = metadata_table(io, ns, name, "all_entries").collect()
+    assert {e.status for e in entries} <= {0, 1, 2}
+    assert len(entries) >= 3  # 2 data appends + 1 delete, plus carried rows
+    adf = metadata_table(io, ns, name, "all_data_files").collect()
+    addel = metadata_table(io, ns, name, "all_delete_files").collect()
+    # all_* kinds may repeat a file once per snapshot whose manifests list
+    # it (Iceberg documents the same duplicate-row caveat) — assert on the
+    # distinct file sets
+    assert all(f.content == 0 for f in adf)
+    assert len({f.file_path for f in adf}) == 2
+    assert all(f.content != 0 for f in addel)
+    assert len({f.file_path for f in addel}) == 1
+
+
+def test_position_deletes_table(spark, io):
+    """position_deletes surfaces (file_path, pos, delete_file_path) rows
+    decoded from V3 deletion vectors (and V2 positional parquet when
+    present); equality deletes are out of scope for this kind."""
+    from denali_spark.sources import expressions as E
+    from denali_spark.sources.mor import delete_where_dv
+
+    df = spark.range(0, 20).select("id").coalesce(1)
+    io.write_table(df, ["meta"], "pdel", mode="overwrite")
+    # empty before any delete
+    assert metadata_table(io, ["meta"], "pdel", "position_deletes").count() == 0
+    delete_where_dv(
+        io, ["meta"], "pdel", E.and_(E.gt_eq("id", 5), E.lt("id", 9))
+    )
+    rows = metadata_table(io, ["meta"], "pdel", "position_deletes").collect()
+    assert sorted(r.pos for r in rows) == [5, 6, 7, 8]
+    assert all(r.delete_file_path.endswith(".puffin") for r in rows)
+    assert len({r.file_path for r in rows}) == 1
+    # the surviving read agrees with the delete positions
+    ids = [r.id for r in io.read_table(["meta"], "pdel").collect()]
+    assert sorted(ids) == [i for i in range(20) if not (5 <= i < 9)]

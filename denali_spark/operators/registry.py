@@ -47,65 +47,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-8 order (computed from
-# CORRECTNESS_r0{1..7}.json latest-evidence rows, stale-first): (1) the 40
-# queries whose newest driver attestation is round 4, (2) any queries NEW
-# this round (inserted just below the round-4 block), (3) the 50
-# round-6-attested, (4) the 50 round-7-attested last.
+# evidence goes stale. Round-9 order (computed from
+# CORRECTNESS_r0{1..8}.json latest-evidence rows, stale-first): (1) the 45
+# queries whose newest driver attestation is round 6, (2) any queries NEW
+# this round (appended just below the round-6 block by their modules), (3)
+# the 50 round-7-attested, (4) the 50 round-8-attested last.
 DRIVER_PRIORITY: list[str] = [
-    # --- stale: newest driver evidence round 4 (refresh first) ---
-    "agg_count_distinct",
-    "agg_cube_flag_status",
-    "agg_exact_median",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_pivot_segment_balance",
-    "agg_rollup_nation_segment",
-    "agg_stats_moments",
-    "fn_json_extract",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_profiles",
-    "join_left_outer_order_counts",
-    "join_right_outer_part_sales",
-    "join_self_colineitems",
-    "join_semi_anti_chain",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sim_lsh_bucket_topk",
-    "ts_transitions",
-    "win_distribution",
-    "win_lag_lead_events",
-    "win_moving_avg",
-    "win_ntile_quartiles",
-    "win_rank_parts_by_price",
-    # --- NEW round-8 queries (driver must attest them) ---
-    "sim_lsh_range_search",
-    "sim_knn_label_agreement",
-    "dedup_source_overlap",
-    "dedup_minhash_jaccard_est",
-    "text_filter_funnel",
-    # --- newest driver evidence round 6 ---
-    "agg_audience_overlap",
-    "agg_exact_percentiles",
-    "agg_gini_user_activity",
-    "agg_hll_mergeable_rollup",
-    "dedup_connected_components",
+    # --- stale: newest driver evidence round 6 (refresh first) ---
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
     "dedup_incremental_shard",
@@ -151,7 +99,8 @@ DRIVER_PRIORITY: list[str] = [
     "win_running_total",
     "win_streaks",
     "win_topn_per_group",
-    # --- newest driver evidence round 7 (freshest; last) ---
+    # --- NEW round-9 queries (no driver evidence yet) ---
+    # --- newest driver evidence round 7 ---
     "agg_approx_sketches",
     "agg_mode_order_priority",
     "agg_weighted_median",
@@ -202,6 +151,57 @@ DRIVER_PRIORITY: list[str] = [
     "ts_range_join_pairs",
     "ts_sessionize",
     "ts_spike_hours",
+    # --- newest driver evidence round 8 (freshest; sweep last) ---
+    "agg_audience_overlap",
+    "agg_count_distinct",
+    "agg_cube_flag_status",
+    "agg_exact_median",
+    "agg_exact_percentiles",
+    "agg_gini_user_activity",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_hll_mergeable_rollup",
+    "agg_pivot_segment_balance",
+    "agg_rollup_nation_segment",
+    "agg_stats_moments",
+    "dedup_connected_components",
+    "dedup_minhash_jaccard_est",
+    "dedup_source_overlap",
+    "fn_json_extract",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_profiles",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_self_colineitems",
+    "join_semi_anti_chain",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sim_knn_label_agreement",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_range_search",
+    "text_filter_funnel",
+    "ts_transitions",
+    "win_distribution",
+    "win_lag_lead_events",
+    "win_moving_avg",
+    "win_ntile_quartiles",
+    "win_rank_parts_by_price",
 ]
 
 

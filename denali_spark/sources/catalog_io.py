@@ -108,6 +108,21 @@ def _parse_sql_literal(raw: str | None):
         raise ValueError(f"unparseable SQL literal {raw!r}") from None
 
 
+def _parse_prop_assignment(item: str) -> tuple[str, str]:
+    """Parse one `'key' = 'value'` pair, unescaping doubled quotes —
+    the inverse of SHOW CREATE TABLE's rendering, so DDL round-trips."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*", item
+    )
+    if not m:
+        raise ValueError(
+            f"malformed property assignment {item!r} (expected 'key' = 'value')"
+        )
+    return m.group(1).replace("''", "'"), m.group(2).replace("''", "'")
+
+
 def _split_top_level_commas(text: str) -> list[str]:
     """Split on commas outside single-quoted strings and parentheses —
     how SET-assignment and VALUES lists are separated without a nested
@@ -555,6 +570,45 @@ class SparkCatalogIO:
                     mode="overwrite" if m.group(1) else "create",
                 )
             m = _re.match(
+                r"\s*CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+                r"\s*(.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_create_namespace(
+                    m.group(2), bool(m.group(1)), _strip_stmt(m.group(3))
+                )
+            m = _re.match(
+                r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+                r"\((.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_create_table(
+                    m.group(2), bool(m.group(1)), _strip_stmt("(" + m.group(3))
+                )
+            m = _re.match(
+                r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+                r"([\w.]+)\s+AS\s+(SELECT\b.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_create_view(
+                    m.group(3), _strip_stmt(m.group(4)),
+                    or_replace=bool(m.group(1)),
+                    if_not_exists=bool(m.group(2)),
+                )
+            m = _re.match(
+                r"\s*DROP\s+(TABLE|VIEW|NAMESPACE)\s+(IF\s+EXISTS\s+)?"
+                r"([\w.]+)\s*(PURGE)?\s*;?\s*$",
+                query, _re.IGNORECASE,
+            )
+            if m:
+                return self._sql_drop(
+                    m.group(1).upper(), m.group(3),
+                    if_exists=bool(m.group(2)), purge=bool(m.group(4)),
+                )
+            m = _re.match(
                 r"\s*DELETE\s+FROM\s+([\w.]+)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
@@ -955,7 +1009,292 @@ class SparkCatalogIO:
         m = __import__("re").fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
         if m:
             return f"{m.group(1)}({m.group(2)}, {col})"
-        return f"{transform}({col})"
+        # Spark DDL spells temporal transforms plural (months(ts)), while
+        # Iceberg metadata stores them singular — render the DDL spelling
+        # so SHOW CREATE TABLE output re-parses through a Spark parser.
+        plural = {"year": "years", "month": "months",
+                  "day": "days", "hour": "hours"}
+        return f"{plural.get(transform, transform)}({col})"
+
+    @staticmethod
+    def _match_paren(text: str) -> int:
+        """Index of the ')' closing the '(' at text[0], honoring nested
+        parens and single-quoted literals. -1 when unbalanced."""
+        depth, i, n = 0, 0, len(text)
+        while i < n:
+            c = text[i]
+            if c == "'":
+                j = text.find("'", i + 1)
+                if j < 0:
+                    return -1
+                i = j
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return -1
+
+    def _sql_create_namespace(
+        self, qualified: str, if_not_exists: bool, rest: str
+    ) -> DataFrame:
+        """CREATE NAMESPACE [IF NOT EXISTS] ns[.child] [PROPERTIES (...)] —
+        the reference client example's literal first statement
+        (/root/reference/examples/pyspark_example.py:30), routed to the
+        §2.A create-namespace endpoint."""
+        import re as _re
+
+        levels = qualified.split(".")
+        props: dict[str, str] = {}
+        if rest:
+            pm = _re.fullmatch(
+                r"(?:WITH\s+)?(?:DB)?PROPERTIES\s*\((.+)\)", rest,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if not pm:
+                raise ValueError(
+                    f"unsupported CREATE NAMESPACE clause {rest[:60]!r}"
+                )
+            for item in _split_top_level_commas(pm.group(1)):
+                k, v = _parse_prop_assignment(item)
+                props[k] = v
+        if self.client.namespace_exists(levels):
+            if if_not_exists:
+                return self._alter_summary(
+                    qualified, "create-namespace", "exists (noop)"
+                )
+            raise ValueError(f"namespace {qualified!r} already exists")
+        self.client.create_namespace(levels, properties=props or None)
+        return self._alter_summary(qualified, "create-namespace", "created")
+
+    def _sql_create_table(
+        self, qualified: str, if_not_exists: bool, body: str
+    ) -> DataFrame:
+        """CREATE TABLE [IF NOT EXISTS] ns.t (col type [NOT NULL]
+        [DEFAULT lit] [COMMENT '...'], ...) [USING iceberg]
+        [PARTITIONED BY (col | transform(col), ...)]
+        [TBLPROPERTIES ('k' = 'v', ...)] — explicit-schema creation routed
+        to the §2.A createTable endpoint (reference logic/table.go
+        assigns field ids the same 1..N way). Complements the CTAS path,
+        which derives the schema from a select instead."""
+        import re as _re
+
+        from denali_spark.sources.partitioning import build_partition_spec
+        from denali_spark.sources.schema_convert import ddl_type_to_iceberg
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(
+                f"unqualified table name {qualified!r}: use ns.table"
+            )
+        close = self._match_paren(body)
+        if close < 0:
+            raise ValueError("unbalanced parentheses in column list")
+        col_body, tail = body[1:close], body[close + 1:].strip()
+
+        fields = []
+        for i, col_def in enumerate(_split_top_level_commas(col_body)):
+            cm = _re.fullmatch(
+                r"\s*(\w+)\s+([\w()\s,]+?)"
+                r"(?:\s+(NOT\s+NULL))?"
+                r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-\w.]+))?"
+                r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*",
+                col_def, _re.IGNORECASE,
+            )
+            if not cm:
+                raise ValueError(f"malformed column definition {col_def!r}")
+            field = {
+                "id": i + 1,
+                "name": cm.group(1),
+                "type": ddl_type_to_iceberg(cm.group(2)),
+                "required": bool(cm.group(3)),
+            }
+            default = _parse_sql_literal(cm.group(4))
+            if default is not None:
+                field["initial-default"] = default
+                field["write-default"] = default
+            if cm.group(5):
+                field["doc"] = cm.group(5).replace("''", "'")
+            fields.append(field)
+        if not fields:
+            raise ValueError("CREATE TABLE requires at least one column")
+        schema = {"type": "struct", "schema-id": 0, "fields": fields}
+
+        partition_by: list[tuple[str, str]] = []
+        properties: dict[str, str] = {}
+        while tail:
+            um = _re.match(r"USING\s+(\w+)\s*", tail, _re.IGNORECASE)
+            if um:
+                if um.group(1).lower() != "iceberg":
+                    raise ValueError(
+                        f"unsupported provider {um.group(1)!r} (USING iceberg)"
+                    )
+                tail = tail[um.end():]
+                continue
+            pm = _re.match(r"PARTITIONED\s+BY\s*(\(.*)$", tail,
+                           _re.IGNORECASE | _re.DOTALL)
+            if pm:
+                rest = pm.group(1)
+                close = self._match_paren(rest)
+                if close < 0:
+                    raise ValueError("unbalanced PARTITIONED BY parentheses")
+                partition_by = [
+                    self._parse_partition_field(p)
+                    for p in _split_top_level_commas(rest[1:close])
+                ]
+                tail = rest[close + 1:].strip()
+                continue
+            tm = _re.match(r"TBLPROPERTIES\s*(\(.*)$", tail,
+                           _re.IGNORECASE | _re.DOTALL)
+            if tm:
+                rest = tm.group(1)
+                close = self._match_paren(rest)
+                if close < 0:
+                    raise ValueError("unbalanced TBLPROPERTIES parentheses")
+                for item in _split_top_level_commas(rest[1:close]):
+                    k, v = _parse_prop_assignment(item)
+                    properties[k] = v
+                tail = rest[close + 1:].strip()
+                continue
+            raise ValueError(f"unsupported CREATE TABLE clause {tail[:60]!r}")
+
+        if self.client.table_exists(namespace, name):
+            if if_not_exists:
+                return self._alter_summary(
+                    qualified, "create-table", "exists (noop)"
+                )
+            raise ValueError(f"table {qualified!r} already exists")
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        spec = (
+            build_partition_spec(partition_by, schema) if partition_by else None
+        )
+        self.client.create_table(
+            namespace, name, schema,
+            partition_spec=spec, properties=properties or None,
+        )
+        return self._alter_summary(
+            qualified, "create-table",
+            f"{len(fields)} columns"
+            + (f", partitioned by {len(partition_by)}" if partition_by else ""),
+        )
+
+    def _sql_create_view(
+        self, qualified: str, select_sql: str, *,
+        or_replace: bool, if_not_exists: bool,
+    ) -> DataFrame:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] ns.v AS <select> —
+        §2.A view plane via SQL. The select's resolved schema is stored in
+        the view metadata (analysis only — no job runs), so DESCRIBE can
+        answer from metadata without touching any table manifests."""
+        from denali_spark.sources.schema_convert import spark_schema_to_iceberg
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(
+                f"unqualified view name {qualified!r}: use ns.view"
+            )
+        # Analysis-only schema capture: .schema triggers resolution, not
+        # execution, so creating a view never scans data files.
+        schema = spark_schema_to_iceberg(self.sql(select_sql).schema)
+        exists = self.client.view_exists(namespace, name)
+        if exists and if_not_exists:
+            return self._alter_summary(
+                qualified, "create-view", "exists (noop)"
+            )
+        if exists and not or_replace:
+            raise ValueError(
+                f"view {qualified!r} already exists (use CREATE OR REPLACE)"
+            )
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        if not exists:
+            self.client.create_view(
+                namespace, name, select_sql, dialect="spark", schema=schema,
+            )
+            return self._alter_summary(qualified, "create-view", "created")
+        # OR REPLACE on an existing view: one commit appending a new
+        # schema + version and flipping current — history preserved
+        # (version-log keeps the old versions addressable via time travel).
+        import time as _time
+
+        md = self.client.load_view(namespace, name)["metadata"]
+        new_sid = max(s["schema-id"] for s in md["schemas"]) + 1
+        new_vid = max(v["version-id"] for v in md["versions"]) + 1
+        schema = dict(schema)
+        schema["schema-id"] = new_sid
+        self.client.replace_view(
+            namespace, name,
+            requirements=[
+                {"type": "assert-view-uuid", "uuid": md["view-uuid"]}
+            ],
+            updates=[
+                {"action": "add-schema", "schema": schema},
+                {"action": "add-view-version", "view-version": {
+                    "version-id": new_vid,
+                    "timestamp-ms": int(_time.time() * 1000),
+                    "schema-id": new_sid,
+                    "summary": {"operation": "replace"},
+                    "representations": [
+                        {"type": "sql", "sql": select_sql, "dialect": "spark"}
+                    ],
+                    "default-namespace": namespace,
+                }},
+                {"action": "set-current-view-version",
+                 "view-version-id": new_vid},
+            ],
+        )
+        return self._alter_summary(
+            qualified, "replace-view", f"version {new_vid}"
+        )
+
+    def _sql_drop(
+        self, kind: str, qualified: str, *, if_exists: bool, purge: bool
+    ) -> DataFrame:
+        """DROP TABLE [IF EXISTS] ns.t [PURGE] / DROP VIEW ns.v /
+        DROP NAMESPACE ns — §2.A delete endpoints as SQL."""
+        levels = qualified.split(".")
+        if kind == "NAMESPACE":
+            if purge:
+                raise ValueError("PURGE applies to DROP TABLE only")
+            if not self.client.namespace_exists(levels):
+                if if_exists:
+                    return self._alter_summary(
+                        qualified, "drop-namespace", "absent (noop)"
+                    )
+                raise ValueError(f"namespace {qualified!r} does not exist")
+            self.client.drop_namespace(levels)
+            return self._alter_summary(qualified, "drop-namespace", "dropped")
+        namespace, name = levels[:-1], levels[-1]
+        if not namespace:
+            raise ValueError(
+                f"unqualified name {qualified!r}: use ns.{kind.lower()}"
+            )
+        if kind == "TABLE":
+            if not self.client.table_exists(namespace, name):
+                if if_exists:
+                    return self._alter_summary(
+                        qualified, "drop-table", "absent (noop)"
+                    )
+                raise ValueError(f"table {qualified!r} does not exist")
+            self.client.drop_table(namespace, name, purge=purge)
+            return self._alter_summary(
+                qualified, "drop-table", "purged" if purge else "dropped"
+            )
+        if purge:
+            raise ValueError("PURGE applies to DROP TABLE only")
+        if not self.client.view_exists(namespace, name):
+            if if_exists:
+                return self._alter_summary(
+                    qualified, "drop-view", "absent (noop)"
+                )
+            raise ValueError(f"view {qualified!r} does not exist")
+        self.client.drop_view(namespace, name)
+        return self._alter_summary(qualified, "drop-view", "dropped")
 
     def _sql_show(self, what: str, rest: str) -> DataFrame:
         """SHOW NAMESPACES [IN parent] / SHOW TABLES|VIEWS [IN ns] /
@@ -1018,6 +1357,14 @@ class SparkCatalogIO:
             line = f"  {f['name']} {type_to_ddl(f['type'])}"
             if f.get("required"):
                 line += " NOT NULL"
+            if f.get("write-default") is not None:
+                d = f["write-default"]
+                if isinstance(d, bool):
+                    line += " DEFAULT " + ("TRUE" if d else "FALSE")
+                elif isinstance(d, str):
+                    line += " DEFAULT '" + d.replace("'", "''") + "'"
+                else:
+                    line += f" DEFAULT {d}"
             if f.get("doc"):
                 line += " COMMENT '" + f["doc"].replace("'", "''") + "'"
             cols.append(line)
@@ -1031,8 +1378,13 @@ class SparkCatalogIO:
             ) + ")"
         props = md.get("properties", {})
         if props:
+            # '' -escape keys and values like the column comments above —
+            # a value containing a quote must re-parse as DDL.
             stmt += "\nTBLPROPERTIES (" + ", ".join(
-                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+                "'{}' = '{}'".format(
+                    k.replace("'", "''"), v.replace("'", "''")
+                )
+                for k, v in sorted(props.items())
             ) + ")"
         return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
@@ -1044,8 +1396,31 @@ class SparkCatalogIO:
         refs = self._catalog_listing()
         kind = refs.get(qualified, ("table",))[0]
         if kind == "view":
-            df = self.sql(f"SELECT * FROM {qualified} WHERE 1 = 0")
-            rows = [(c, t, None) for c, t in df.dtypes]
+            from denali_spark.sources.schema_evolution import type_to_ddl as _ttd
+
+            parts = qualified.split(".")
+            vmd = self.client.load_view(parts[:-1], parts[-1])["metadata"]
+            version = next(
+                v for v in vmd["versions"]
+                if v["version-id"] == vmd["current-version-id"]
+            )
+            stored = next(
+                (s for s in vmd.get("schemas", [])
+                 if s.get("schema-id") == version.get("schema-id")),
+                None,
+            )
+            if stored and stored.get("fields"):
+                # Answer from the schema captured at CREATE VIEW — zero
+                # manifest loads, even for views over views.
+                rows = [
+                    (f["name"], _ttd(f["type"]), f.get("doc"))
+                    for f in stored["fields"]
+                ]
+            else:
+                # Legacy views created without a stored schema: analyze
+                # the view SQL (empty read) as before.
+                df = self.sql(f"SELECT * FROM {qualified} WHERE 1 = 0")
+                rows = [(c, t, None) for c, t in df.dtypes]
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string"
             )
@@ -1123,23 +1498,30 @@ class SparkCatalogIO:
             body = m.group(1).strip()
             if body.startswith("(") and body.endswith(")"):
                 body = body[1:-1]
-            added = []
+            # Parse EVERY definition before committing, then commit all
+            # fields as ONE new schema — a malformed trailing column must
+            # leave the table untouched, and N columns cost one CAS
+            # commit / one metadata file, not N.
+            specs = []
             for col_def in _split_top_level_commas(body):
                 cm = _re.fullmatch(
                     r"\s*(\w+)\s+([\w()\s,]+?)"
-                    r"(?:\s+DEFAULT\s+('[^']*'|[-\w.]+))?"
-                    r"(?:\s+COMMENT\s+'([^']*)')?\s*",
+                    r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-\w.]+))?"
+                    r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*",
                     col_def, _re.IGNORECASE,
                 )
                 if not cm:
                     raise ValueError(f"malformed column definition {col_def!r}")
-                _se.add_column(
-                    self, ns, name, cm.group(1),
-                    ddl_type_to_iceberg(cm.group(2)), doc=cm.group(4),
-                    default=_parse_sql_literal(cm.group(3)),
-                )
-                added.append(cm.group(1))
-            return self._alter_summary(qualified, "add-columns", ",".join(added))
+                specs.append({
+                    "column": cm.group(1),
+                    "type": ddl_type_to_iceberg(cm.group(2)),
+                    "doc": cm.group(4).replace("''", "'") if cm.group(4) else None,
+                    "default": _parse_sql_literal(cm.group(3)),
+                })
+            _se.add_columns(self, ns, name, specs)
+            return self._alter_summary(
+                qualified, "add-columns", ",".join(s["column"] for s in specs)
+            )
 
         m = _re.match(r"DROP\s+COLUMN\s+(\w+)$", act, _re.IGNORECASE)
         if m:
@@ -1313,15 +1695,8 @@ class SparkCatalogIO:
             else:  # SET: 'key' = 'value' pairs
                 props = {}
                 for item in _split_top_level_commas(m.group(2)):
-                    pm = _re.fullmatch(
-                        r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item
-                    )
-                    if not pm:
-                        raise ValueError(
-                            f"malformed property assignment {item!r} "
-                            "(expected 'key' = 'value')"
-                        )
-                    props[pm.group(1)] = pm.group(2)
+                    k, v = _parse_prop_assignment(item)
+                    props[k] = v
                 updates = [{"action": "set-properties", "updates": props}]
                 detail = ",".join(sorted(props))
                 op = "set-tblproperties"

@@ -134,6 +134,45 @@ def add_column(
     )
 
 
+def add_columns(
+    io: SparkCatalogIO, namespace: list[str], name: str,
+    columns: list[dict],
+) -> dict:
+    """ALTER TABLE ADD COLUMNS (a t1, b t2, ...) as ONE commit: every
+    requested field is validated first, then a single new schema carrying
+    all of them is added and made current. Atomic by construction — a
+    malformed or duplicate column raises before any commit, and N columns
+    cost one CAS round-trip and one metadata file, not N.
+
+    Each entry: {"column", "type" (iceberg), "doc"?, "default"?}."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    cur = current_schema(md)
+    existing = {f["name"] for f in cur["fields"]}
+    next_id = md.get("last-column-id", max(f["id"] for f in cur["fields"]))
+    new_fields = []
+    for spec in columns:
+        col = spec["column"]
+        if col in existing:
+            raise ValueError(f"column {col!r} already exists")
+        existing.add(col)
+        next_id += 1
+        field = {
+            "id": next_id, "name": col, "type": spec["type"],
+            "required": False,
+        }
+        if spec.get("doc"):
+            field["doc"] = spec["doc"]
+        if spec.get("default") is not None:
+            field["initial-default"] = spec["default"]
+            field["write-default"] = spec["default"]
+        new_fields.append(field)
+    if not new_fields:
+        raise ValueError("ADD COLUMNS requires at least one column")
+    return _commit_schema_change(
+        io, namespace, name, [*cur["fields"], *new_fields], next_id
+    )
+
+
 def rename_column(
     io: SparkCatalogIO, namespace: list[str], name: str, old: str, new: str
 ) -> dict:

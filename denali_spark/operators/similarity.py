@@ -161,6 +161,21 @@ def _sql_tables(e: str = "e") -> str:
     )
 
 
+def bucket_assignments(v: DataFrame) -> DataFrame:
+    """(vec_id, e array<double>) → (vec_id, t, bucket) across all
+    N_TABLES hash tables — the row shape of the materialized bucket
+    index. Shared by the ingest-time index build, the query-time probe
+    hashing, and the streaming ingest sink so every path derives the
+    identical buckets."""
+    tb = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
+            for t in range(N_TABLES)
+        ])
+    )
+    return v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
+
+
 def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized LSH bucket index: the (vec_id, t, bucket) relation,
     hashed ONCE per corpus and persisted as parquet, then only *read* by
@@ -186,14 +201,7 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
 
     def _build() -> DataFrame:
-        v = _vecs(spark, sf_dir)
-        tb = F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
-                for t in range(N_TABLES)
-            ])
-        )
-        return v.select("vec_id", tb.alias("tb")).select("vec_id", "tb.t", "tb.bucket")
+        return bucket_assignments(_vecs(spark, sf_dir))
 
     # Corpus-size-scaled file count hashed on (t, bucket): probe joins
     # against the index read back that many ways parallel instead of
@@ -295,7 +303,9 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_search(
-    spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = 5
+    spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = 5,
+    extra_buckets: DataFrame | None = None,
+    extra_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k for EXTERNAL probe vectors over the materialized bucket
     index — the query-time path of a real pipeline: embed a query, hash it
@@ -303,11 +313,22 @@ def sim_lsh_search(
     those buckets, exact-rerank. `probes` needs (query_id long, e
     array<double>) of dimension {DIM}.
 
+    `extra_buckets`/`extra_vecs` graft LATE-ARRIVING vectors into the
+    search without rebuilding the immutable base index: the streaming
+    ingest sink (streaming/embeddings_stream.py) hashes each micro-batch
+    into the same (vec_id, t, bucket) layout, and searches union it in —
+    the base index stays fingerprint-stable while the searchable corpus
+    grows.
+
     Scale shape: the corpus side is the pre-built index + one vector fetch
     join; only the (tiny) probe relation pays hashing at query time and it
     broadcasts into both joins. Returns (query_id, neighbor_id, cos, rn)."""
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
+    if extra_buckets is not None:
+        b = b.unionByName(extra_buckets)
+    if extra_vecs is not None:
+        v = v.unionByName(extra_vecs)
     tb = F.explode(
         F.array(*[
             F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))

@@ -4,6 +4,12 @@ from denali_spark.streaming.documents_stream import (
     read_document_stream,
     read_verdicts,
 )
+from denali_spark.streaming.embeddings_stream import (
+    make_embedding_index_sink,
+    read_embedding_stream,
+    read_streamed_buckets,
+    read_streamed_vectors,
+)
 from denali_spark.streaming.events_stream import (
     anomaly_stream,
     attribution_join_stream,
@@ -32,4 +38,8 @@ __all__ = [
     "make_online_dedup_sink",
     "make_decontaminate_sink",
     "read_verdicts",
+    "read_embedding_stream",
+    "make_embedding_index_sink",
+    "read_streamed_buckets",
+    "read_streamed_vectors",
 ]

@@ -1,0 +1,94 @@
+"""Streaming embedding ingest: the vector-side twin of the MinHash
+signature-store growth pattern (documents_stream.py).
+
+New vectors land as parquet files; each micro-batch is bucket-hashed into
+the SAME (vec_id, t, bucket) SRP layout as the materialized base index
+(`operators.similarity.bucket_assignments` — identical planes, identical
+buckets), and both the bucket rows and the double-cast vectors are written
+one partition per micro-batch. Searches (`sim_lsh_search` /
+`sim_lsh_range_search` machinery) union the streamed partitions in via
+`extra_buckets`/`extra_vecs`, so late-arriving vectors are searchable
+without ever mutating the base index — it stays fingerprinted by corpus
+file identity for concurrent readers, exactly like the signature store.
+
+Idempotence discipline (same as the document sinks): a replay of batch N
+overwrites ONLY batch N's own partitions, and reads hard-gate on _SUCCESS
+so a crashed partial write never leaks into a later batch's corpus view.
+
+At 100 TB this is the online half of a vector-index pipeline: hashing is
+paid once per arriving vector inside the micro-batch (map-side, no
+shuffle — explode to 4 rows/vector), the store is append-only partitioned
+parquet, and a periodic compaction can fold streamed partitions into the
+base index by rebuilding its fingerprint."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def read_embedding_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of (vec_id, embedding float[]) parquet drops —
+    same landing pattern as read_document_stream."""
+    return spark.readStream.schema(EMB_SCHEMA).parquet(landing_dir)
+
+
+def _success_parts(base_dir: str, exclude_batch_id: int | None = None) -> list[str]:
+    """_SUCCESS-gated batch partitions, optionally excluding one batch
+    (a replaying batch must not see its own partial prior write)."""
+    if not os.path.isdir(base_dir):
+        return []
+    return [
+        os.path.join(base_dir, d)
+        for d in sorted(os.listdir(base_dir))
+        if d.startswith("batch_id=")
+        and (exclude_batch_id is None or d != f"batch_id={exclude_batch_id}")
+        and os.path.exists(os.path.join(base_dir, d, "_SUCCESS"))
+    ]
+
+
+def read_streamed_buckets(
+    spark: SparkSession, bucket_dir: str
+) -> DataFrame | None:
+    """Union of all committed streamed bucket partitions in the base-index
+    row shape (vec_id, t, bucket) — pass as sim_lsh_search(extra_buckets=)."""
+    parts = _success_parts(bucket_dir)
+    if not parts:
+        return None
+    return spark.read.parquet(*parts).select("vec_id", "t", "bucket")
+
+
+def read_streamed_vectors(spark: SparkSession, vec_dir: str) -> DataFrame | None:
+    """Union of all committed streamed vector partitions as
+    (vec_id, e array<double>) — pass as sim_lsh_search(extra_vecs=)."""
+    parts = _success_parts(vec_dir)
+    if not parts:
+        return None
+    return spark.read.parquet(*parts).select("vec_id", "e")
+
+
+def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None):
+    """foreachBatch sink: hash each micro-batch of vectors into the SRP
+    bucket layout and append (bucket rows, double-cast vectors) as the
+    batch's own partitions. Overwriting the batch's own partitions keeps
+    at-least-once replays exactly-once in effect."""
+    vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.similarity import bucket_assignments
+
+        v = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).persist()
+        bucket_assignments(v).write.mode("overwrite").parquet(
+            f"{bucket_dir}/batch_id={batch_id}"
+        )
+        v.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
+        v.unpersist()
+
+    return _sink

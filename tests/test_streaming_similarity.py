@@ -1,0 +1,126 @@
+"""Streaming embedding-index ingest: late-arriving vectors bucket-hashed
+per micro-batch into the SRP bucket-index layout, searchable through
+sim_lsh_search's extra_buckets/extra_vecs graft. Checked against the batch
+bucket_assignments kernel over the same vectors (exact equivalence — the
+planes are shared code), plus planted-twin retrieval and replay
+idempotence, mirroring test_streaming_dedup.py's discipline."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from denali_spark.operators.similarity import (
+    bucket_assignments,
+    sim_lsh_search,
+)
+from denali_spark.streaming.embeddings_stream import (
+    make_embedding_index_sink,
+    read_embedding_stream,
+    read_streamed_buckets,
+    read_streamed_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _landed_vectors(spark, tmp_path):
+    """Two file drops: a near-copy of corpus vec 0 (a planted twin the
+    search must retrieve) and two deterministic unrelated vectors."""
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = str(tmp_path / "emb-landing")
+    twin = base.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 0.999).cast("float")
+        ).alias("embedding"),
+    )
+    twin.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    others = spark.createDataFrame(
+        [
+            (1_000_001 + i, [float((i + 2) * (j % 7) - 3.0) for j in range(64)])
+            for i in range(2)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    others.coalesce(1).write.mode("append").parquet(src)
+    return src, twin.unionByName(others)
+
+
+def test_streamed_buckets_match_batch_kernel_and_search(spark, tmp_path):
+    src, landed = _landed_vectors(spark, tmp_path)
+    bucket_dir = str(tmp_path / "stream-buckets")
+    vec_dir = str(tmp_path / "stream-vecs")
+    q = (
+        read_embedding_stream(spark, src)
+        .writeStream.foreachBatch(make_embedding_index_sink(bucket_dir, vec_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # 1) exact equivalence with the batch kernel over the same vectors —
+    # same planes, same buckets, regardless of micro-batch grouping
+    streamed = {
+        (r["vec_id"], r["t"], r["bucket"])
+        for r in read_streamed_buckets(spark, bucket_dir).collect()
+    }
+    batch_twin = {
+        (r["vec_id"], r["t"], r["bucket"])
+        for r in bucket_assignments(
+            landed.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+            )
+        ).collect()
+    }
+    assert streamed == batch_twin and len(streamed) == 3 * 4  # 3 vecs x 4 tables
+
+    # 2) the planted twin is searchable: probe with corpus vec 0's own
+    # embedding; the scaled copy shares every bucket (SRP is sign-based,
+    # positive scaling preserves all signs) and reranks to cos ~ 1
+    probes = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    hits = sim_lsh_search(
+        spark, SF, probes, k=3,
+        extra_buckets=read_streamed_buckets(spark, bucket_dir),
+        extra_vecs=read_streamed_vectors(spark, vec_dir),
+    ).collect()
+    by_id = {r["neighbor_id"]: r for r in hits}
+    assert 1_000_000 in by_id
+    assert by_id[1_000_000]["cos"] > 0.999999
+    assert by_id[1_000_000]["rn"] == 1
+
+    # 3) replay idempotence: re-running every batch with its own rows
+    # overwrites only its own partition — the store is unchanged
+    import os
+
+    sink = make_embedding_index_sink(bucket_dir, vec_dir)
+    for d in os.listdir(bucket_dir):
+        if not d.startswith("batch_id="):
+            continue
+        bid = int(d.split("=")[1])
+        ids = [
+            r["vec_id"]
+            for r in spark.read.parquet(os.path.join(bucket_dir, d))
+            .select("vec_id").distinct().collect()
+        ]
+        sink(spark.read.parquet(src).filter(F.col("vec_id").isin(ids)), bid)
+    replayed = {
+        (r["vec_id"], r["t"], r["bucket"])
+        for r in read_streamed_buckets(spark, bucket_dir).collect()
+    }
+    assert replayed == streamed
+    vec_ids = sorted(
+        r["vec_id"] for r in read_streamed_vectors(spark, vec_dir).collect()
+    )
+    assert vec_ids == [1_000_000, 1_000_001, 1_000_002]

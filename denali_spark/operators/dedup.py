@@ -618,9 +618,11 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 50
 
 
-@query(
-    "dedup_connected_components",
-    oracle=_SQL_SIG_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+# Shared recursive-CTE prefix: the full LSH pair pipeline + symmetric edge
+# list + min-label reachability fixpoint. Reused by the component labeling
+# query and the cluster-size histogram on top of it.
+_SQL_CC_CTES = (
+    _SQL_SIG_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + _SQL_PAIR_CTES
     + """
     , edges AS (
@@ -633,6 +635,14 @@ CC_MAX_ROUNDS = 50
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     )
+    """
+)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_SQL_CC_CTES
+    + """
     SELECT node AS doc_id,
            CAST(min(lbl) AS BIGINT) AS component,
            (node = min(lbl)) AS is_canonical
@@ -718,6 +728,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.coalesce(F.col("lbl"), F.col("doc_id"))).alias(
             "is_canonical"
         ),
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_SQL_CC_CTES
+    + """
+    , comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "minhash", "graph", "stats"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters of
+    each size the corpus holds, and how many documents they absorb — the
+    dedup-health dashboard number (a fat tail here means boilerplate/
+    mirror domains; size-1 rows count the unique documents). Runs the
+    same min-label fixpoint as `dedup_connected_components`, then two
+    map-side-partial rollups over the (tiny) component relation — at
+    100 TB the histogram adds two shuffles of at most |documents| and
+    |distinct sizes| rows on top of the clustering itself."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
     )
 
 

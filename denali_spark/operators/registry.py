@@ -100,6 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "win_streaks",
     "win_topn_per_group",
     # --- NEW round-9 queries (no driver evidence yet) ---
+    "text_unigram_logprob",
+    "dedup_cluster_size_histogram",
+    "sim_ann_recall_audit",
     # --- newest driver evidence round 7 ---
     "agg_approx_sketches",
     "agg_mode_order_priority",

@@ -211,9 +211,10 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_lsh_bucket_topk",
-    oracle=f"""
+# Shared CTE prefix: the full LSH top-k pipeline (index, Hamming-1
+# multi-probe, candidates, exact rerank) for the vec_id < 5 probe set.
+# Reused by sim_lsh_bucket_topk and the recall audit against brute force.
+_SQL_LSH_TOPK_CTES = f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
@@ -241,6 +242,13 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
       FROM scored
     )
+"""
+
+
+@query(
+    "sim_lsh_bucket_topk",
+    oracle=_SQL_LSH_TOPK_CTES
+    + """
     SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= 5
     """,
@@ -299,6 +307,56 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+@query(
+    "sim_ann_recall_audit",
+    oracle=_SQL_LSH_TOPK_CTES
+    + f"""
+    , lsh AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5),
+    bf_ranked AS (
+      SELECT q.vec_id AS query_id, v2.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.e', b='v2.e')} DESC, v2.vec_id
+             ) AS rn
+      FROM (SELECT * FROM v WHERE vec_id < 5) q
+      JOIN v v2 ON q.vec_id <> v2.vec_id
+    ),
+    bf AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rn <= 5)
+    SELECT bf.query_id,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    tags=("similarity", "ann", "lsh", "audit"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit: recall@5 of the LSH bucket search against the
+    exact brute-force top-5, per probe — the number a production vector
+    pipeline tracks to decide when the index geometry (tables/planes)
+    needs retuning. Both sides are the registry's own queries, so the
+    audit composes their plans: the LSH side reads the materialized
+    bucket index, the brute-force side is the 5-probe broadcast pass;
+    the comparison is a small left join + rollup over k x |probes| rows.
+    At 100 TB this runs the audit on a sampled probe set — cost is the
+    LSH search plus ONE linear scan for the sampled ground truth, never
+    all-pairs."""
+    lsh = sim_lsh_bucket_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "query_id", "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
     )
 
 

@@ -61,6 +61,63 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM counts)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+           CAST(SUM(c.cnt) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(tot.total) AS DOUBLE) AS mean_tok_freq
+    FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus unigram model: each
+    document's mean corpus-frequency of its tokens — the cheap stand-in
+    for LM perplexity filtering (CCNet-style): documents full of corpus-
+    rare tokens (gibberish, boilerplate hashes, wrong-language text)
+    score low, fluent in-distribution text scores high. The integers
+    (token count, summed corpus counts) are exact, so both engines
+    perform one identical scalar division — bit-stable hash.
+
+    Scale shape: explode → one partial-aggregable token-count shuffle →
+    token-keyed equi-join (co-partitioned with the count agg's output) →
+    one doc-keyed rollup; the corpus-total is a 1-row aggregate broadcast
+    into the projection. No driver loops, no UDFs; the unigram model is
+    a relation, not a collected dict, so a 100 TB vocabulary shards like
+    any other key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    ).persist()
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "n_tokens", "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens") * F.col("total")).cast("double")
+        ).alias("mean_tok_freq"),
+    )
+
+
+@query(
     "text_quality_score",
     oracle="""
     SELECT doc_id,

@@ -105,6 +105,11 @@ NON_EQUI_WHITELIST = {
     # probe side is 5 broadcast rows: nested-loop over the corpus is one
     # linear pass (cost n x |probes|), the textbook brute-force baseline
     "sim_topk_bruteforce",
+    # composes sim_topk_bruteforce (the 5-probe nested loop above) as its
+    # sampled ground-truth side; the audit's own joins are equi-joins
+    "sim_ann_recall_audit",
+    # the 1-row corpus-total-token aggregate broadcast into the projection
+    "text_unigram_logprob",
     # two bounded nested loops: the 1-row global-scale aggregate broadcast
     # into the element-wise quantization map, and the ~1% probe batch
     # broadcast into the scoring pass (cost n x |probes|, one linear scan)

@@ -197,6 +197,9 @@ HEADLINE = [
     # and the sequential quality-filter funnel (one scan + survivor window)
     "sim_lsh_range_search",
     "text_filter_funnel",
+    # round 9: unigram-model quality scoring (explode + token-keyed join +
+    # doc rollup — the corpus-frequency shuffle shape at its purest)
+    "text_unigram_logprob",
 ]
 
 

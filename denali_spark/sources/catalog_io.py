@@ -530,10 +530,19 @@ class SparkCatalogIO:
         against the view's default-namespace.
 
         Write statements are routed to the write path:
-        `INSERT INTO ns.t <select>` appends the select's rows and
+        `INSERT INTO ns.t <select>` appends the select's rows,
+        `INSERT OVERWRITE [TABLE] ns.t <select>` replaces the data in one
+        overwrite snapshot (schema/identity kept), `TRUNCATE TABLE ns.t`
+        commits an empty overwrite snapshot, and
         `CREATE [OR REPLACE] TABLE ns.t AS <select>` creates/overwrites —
-        both through write_table (CAS-retried snapshot commits), returning
+        all through write_table (CAS-retried snapshot commits), returning
         the engine's commit-summary DataFrame.
+
+        DDL lifecycle (round 9): `CREATE NAMESPACE [IF NOT EXISTS]`,
+        `CREATE TABLE ns.t (col type ...)` with explicit schema,
+        `CREATE [OR REPLACE] VIEW ns.v AS <select>`, and
+        `DROP TABLE|VIEW|NAMESPACE [IF EXISTS] [PURGE]` complete the
+        day-1 session of the reference's client example.
 
         Row-level DML (round 7): `DELETE FROM ns.t WHERE ...`,
         `UPDATE ns.t SET c = <expr>[, ...] WHERE ...`, and
@@ -560,6 +569,21 @@ class SparkCatalogIO:
             )
             if m:
                 return self._sql_write(m.group(1), m.group(2), mode="append")
+            m = _re.match(
+                r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+"
+                r"(SELECT\b.*|VALUES\b.*)",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_write(
+                    m.group(1), m.group(2), mode="insert_overwrite"
+                )
+            m = _re.match(
+                r"\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$",
+                query, _re.IGNORECASE,
+            )
+            if m:
+                return self._sql_truncate(m.group(1))
             m = _re.match(
                 r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)",
                 query, _re.IGNORECASE | _re.DOTALL,
@@ -642,7 +666,7 @@ class SparkCatalogIO:
                 return self._sql_alter(m.group(1), _strip_stmt(m.group(2)))
             m = _re.match(
                 r"\s*SHOW\s+(NAMESPACES|TABLES|VIEWS|TBLPROPERTIES|"
-                r"PARTITIONS|CREATE\s+TABLE)\s*(.*)$",
+                r"PARTITIONS|COLUMNS|CREATE\s+TABLE)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
@@ -1296,6 +1320,30 @@ class SparkCatalogIO:
         self.client.drop_view(namespace, name)
         return self._alter_summary(qualified, "drop-view", "dropped")
 
+    def _sql_truncate(self, qualified: str) -> DataFrame:
+        """TRUNCATE TABLE ns.t — one overwrite snapshot carrying zero data
+        files. Schema, properties, refs, and history stay: time travel
+        still reaches every pre-truncate snapshot, and a rollback undoes
+        the truncate (unlike a drop+recreate). No data is scanned — the
+        empty relation comes from the schema alone."""
+        from pyspark.sql.types import StructType
+
+        from denali_spark.sources.schema_convert import iceberg_schema_to_ddl
+        from denali_spark.sources.schema_evolution import current_schema
+
+        ns, name, md = self._dml_target(qualified)
+        empty = self.spark.createDataFrame(
+            [],
+            schema=StructType.fromDDL(
+                iceberg_schema_to_ddl(current_schema(md), strict=False)
+            ),
+        )
+        res = self.write_table(empty, ns, name, mode="overwrite")
+        return self._dml_summary(
+            qualified, "truncate", "overwrite",
+            res if isinstance(res, dict) else {},
+        )
+
     def _sql_show(self, what: str, rest: str) -> DataFrame:
         """SHOW NAMESPACES [IN parent] / SHOW TABLES|VIEWS [IN ns] /
         SHOW TBLPROPERTIES ns.t / SHOW PARTITIONS ns.t /
@@ -1332,6 +1380,17 @@ class SparkCatalogIO:
             ]
             return self.spark.createDataFrame(
                 rows, f"namespace string, {col} string"
+            )
+        if what == "COLUMNS":
+            from denali_spark.sources.schema_evolution import current_schema
+
+            target = ".".join(scope) if scope else rest
+            if not target:
+                raise ValueError("SHOW COLUMNS requires IN/FROM ns.table")
+            _ns, _name, cmd = self._dml_target(target)
+            return self.spark.createDataFrame(
+                [(f["name"],) for f in current_schema(cmd)["fields"]],
+                "col_name string",
             )
         if not rest:
             raise ValueError(f"SHOW {what} requires a table name")
@@ -1966,14 +2025,17 @@ class SparkCatalogIO:
                 f"unqualified write target {qualified!r}: use ns.table"
             )
         exists = self.client.table_exists(namespace, name)
-        if mode == "append" and not exists:
-            raise ValueError(f"INSERT INTO unknown table {qualified!r}")
+        if mode in ("append", "insert_overwrite") and not exists:
+            raise ValueError(
+                f"INSERT {'OVERWRITE' if mode == 'insert_overwrite' else 'INTO'}"
+                f" unknown table {qualified!r}"
+            )
         if mode == "create" and exists:
             raise ValueError(
                 f"table {qualified!r} already exists (use CREATE OR REPLACE)"
             )
         df = self.sql(select_sql)
-        if mode == "append":
+        if mode in ("append", "insert_overwrite"):
             from denali_spark.sources.schema_convert import ICEBERG_TO_DDL
             from denali_spark.sources.schema_evolution import current_schema
 
@@ -1996,7 +2058,12 @@ class SparkCatalogIO:
                 return c.alias(f["name"])
 
             df = df.select(*[target_col(f) for f in fields])
-        if exists and mode != "append":
+        if mode == "insert_overwrite":
+            # INSERT OVERWRITE: keep the table's schema/identity, replace
+            # the data in one overwrite snapshot (rows already cast to the
+            # target schema above).
+            self.write_table(df, namespace, name, mode="overwrite")
+        elif exists and mode != "append":
             # CREATE OR REPLACE: single-CAS Iceberg replace — schema swap +
             # overwrite snapshot in ONE commit, preserving table identity
             # and history (see replace_table). The data files are written

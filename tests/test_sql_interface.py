@@ -992,3 +992,32 @@ def test_describe_view_uses_stored_schema(spark, io, monkeypatch):
     assert [(r["col_name"], r["data_type"]) for r in rows] == [("id", "long")]
     rows1 = io.sql("DESCRIBE dsv.v1").collect()
     assert [r["col_name"] for r in rows1] == ["id", "dbl"]
+
+
+def test_insert_overwrite_truncate_show_columns(spark, io):
+    """INSERT OVERWRITE replaces data but keeps schema/history; TRUNCATE
+    commits an empty overwrite snapshot (time travel still reaches the
+    old data); SHOW COLUMNS lists the current schema's names."""
+    io.sql("CREATE TABLE iot.t (id bigint, v string)")
+    io.sql("INSERT INTO iot.t SELECT 1, 'a'")
+    md1 = io.client.load_table(["iot"], "t")["metadata"]
+    v1 = md1["refs"]["main"]["snapshot-id"]
+
+    io.sql("INSERT OVERWRITE iot.t SELECT 2, 'b'")
+    rows = io.sql("SELECT * FROM iot.t").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, "b")]
+    # history kept: the pre-overwrite snapshot still reads
+    old = io.sql(f"SELECT * FROM iot.t FOR VERSION AS OF {v1}").collect()
+    assert [(r["id"], r["v"]) for r in old] == [(1, "a")]
+    with pytest.raises(ValueError, match="unknown table"):
+        io.sql("INSERT OVERWRITE iot.missing SELECT 1, 'x'")
+
+    md2 = io.client.load_table(["iot"], "t")["metadata"]
+    v2 = md2["refs"]["main"]["snapshot-id"]
+    io.sql("TRUNCATE TABLE iot.t")
+    assert io.sql("SELECT COUNT(*) AS n FROM iot.t").collect()[0]["n"] == 0
+    # schema intact, old snapshot still addressable
+    cols = [r["col_name"] for r in io.sql("SHOW COLUMNS IN iot.t").collect()]
+    assert cols == ["id", "v"]
+    kept = io.sql(f"SELECT * FROM iot.t FOR VERSION AS OF {v2}").collect()
+    assert [(r["id"], r["v"]) for r in kept] == [(2, "b")]

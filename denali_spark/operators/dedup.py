@@ -618,6 +618,92 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 50
 
 
+def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair relation (columns i, j); `nodes` is the full node set
+    (column doc_id) so singletons label themselves. Returns
+    (doc_id, component, is_canonical). Shared by the text near-dup
+    clustering and the image phash clustering — any pair generator plugs
+    in.
+
+    Each round is one equi-join + one groupBy-min, both key-partitioned
+    shuffles; the driver loop reads only a 1-row convergence aggregate
+    (sum of labels, strictly decreasing until fixpoint), never row data.
+    Rounds ≈ cluster diameter — shallow for real near-dup graphs.
+
+    Lineage discipline: each round's label relation references the prior
+    round TWICE (once directly in the union, once through the messages),
+    so keeping logical lineage would nest the upstream pair pipeline
+     2^rounds times — with an expensive pair generator (e.g. the phash
+    decode kernel) the plan alone overwhelms the driver. localCheckpoint
+    truncates lineage per round; the checkpointed relations are the edge
+    list and the label table (both ∝ near-dup density, tiny next to the
+    corpus), and the loop was already executing every round for its
+    convergence aggregate, so eager materialization adds no extra pass."""
+    # Symmetrize with explode, not union: a union would reference the pairs
+    # DAG from two branches and execute the whole pair pipeline twice.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("src"), F.col("j").alias("dst")),
+                    F.struct(F.col("j").alias("src"), F.col("i").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    # The loop runs over edge-connected nodes only (near-dup density is a
+    # small fraction of any real corpus); singleton documents join back in
+    # one final left join instead of riding through every iteration.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
+    converged = False
+    for _ in range(CC_MAX_ROUNDS):  # cap >> any real near-dup cluster diameter
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "lbl")
+        old = labels
+        labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        old.unpersist()
+        new_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    if not converged:
+        # Silently returning would split one true component into several —
+        # wrong dedup groups with no signal. Min-label propagation needs
+        # ~graph-diameter rounds; a corpus needing > CC_MAX_ROUNDS has a
+        # pathological chain structure the caller should know about.
+        import warnings
+
+        warnings.warn(
+            f"connected components did not reach fixpoint in {CC_MAX_ROUNDS} "
+            "rounds; components may be split. Raise CC_MAX_ROUNDS (label "
+            "propagation needs about one round per unit of cluster "
+            "diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
+    return nodes.join(labels, nodes["doc_id"] == labels["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
+        (F.col("doc_id") == F.coalesce(F.col("lbl"), F.col("doc_id"))).alias(
+            "is_canonical"
+        ),
+    )
+
+
 # Shared recursive-CTE prefix: the full LSH pair pipeline + symmetric edge
 # list + min-label reachability fixpoint. Reused by the component labeling
 # query and the cluster-size histogram on top of it.
@@ -665,70 +751,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row convergence aggregate (sum of labels, strictly decreasing
     until fixpoint), never row data. The DuckDB oracle computes the same
     fixpoint with a recursive CTE."""
-    # Symmetrize with explode, not union: a union would reference the pairs
-    # DAG from two branches and execute the whole minhash pipeline twice.
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("i").alias("src"), F.col("j").alias("dst")),
-                    F.struct(F.col("j").alias("src"), F.col("i").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .persist()
-    )
-    # The loop runs over edge-connected nodes only (near-dup density is a
-    # small fraction of any real corpus); singleton documents join back in
-    # one final left join instead of riding through every iteration.
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .persist()
-    )
-    prev_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
-    converged = False
-    for _ in range(CC_MAX_ROUNDS):  # cap >> any real near-dup cluster diameter
-        msgs = edges.join(
-            labels, edges["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "lbl")
-        new_labels = (
-            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).persist()
-        new_sum = (new_labels.agg(F.sum("lbl")).first() or [0])[0] or 0
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # Silently returning would split one true component into several —
-        # wrong dedup groups with no signal. Min-label propagation needs
-        # ~graph-diameter rounds; a corpus needing > CC_MAX_ROUNDS has a
-        # pathological chain structure the caller should know about.
-        import warnings
-
-        warnings.warn(
-            f"connected components did not reach fixpoint in {CC_MAX_ROUNDS} "
-            "rounds; components may be split. Raise CC_MAX_ROUNDS (label "
-            "propagation needs about one round per unit of cluster "
-            "diameter).",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    edges.unpersist()
     docs = load_table(spark, sf_dir, "documents")
-    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
-        "doc_id",
-        F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
-        (F.col("doc_id") == F.coalesce(F.col("lbl"), F.col("doc_id"))).alias(
-            "is_canonical"
-        ),
-    )
+    return propagate_min_labels(pairs, docs.select("doc_id"))
 
 
 @query(

@@ -674,9 +674,9 @@ def phash_banded_pairs(
 
 
 
-@query(
-    "mm_image_phash_pairs",
-    oracle=f"""
+# Shared CTE prefix (hash derivation + 16-bit bands) and the banded-pair
+# select — reused by the pair query and the cluster labeling on top of it.
+_SQL_PHASH_CTES = f"""
     WITH hashes AS (
       SELECT doc_id,
              list_sum(list_transform(range(0, 256),
@@ -707,6 +707,9 @@ def phash_banded_pairs(
              END AS bh
       FROM hv, (SELECT unnest(range(0, 4)) AS band) u
     )
+"""
+
+_SQL_PHASH_PAIRS = f"""
     SELECT doc_a, doc_b, hamming FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.h_lo, b.h_lo))
@@ -715,7 +718,12 @@ def phash_banded_pairs(
       JOIN bands b ON a.band = b.band AND a.bh = b.bh
                   AND a.doc_id < b.doc_id
     ) WHERE hamming <= {PHASH_HAM_TAU}
-    """,
+"""
+
+
+@query(
+    "mm_image_phash_pairs",
+    oracle=_SQL_PHASH_CTES + _SQL_PHASH_PAIRS,
     tags=("multimodal", "phash", "dedup", "pandas-udf"),
 )
 def mm_image_phash_pairs(
@@ -755,3 +763,45 @@ def mm_image_phash_pairs(
         _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
     )
     return phash_banded_pairs(hashes, bucket_cap=bucket_cap)
+
+
+@query(
+    "mm_image_phash_clusters",
+    oracle=_SQL_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", pairs AS ("
+    + _SQL_PHASH_PAIRS
+    + """
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS component,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("multimodal", "phash", "dedup", "graph", "pandas-udf"),
+)
+def mm_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE clusters: connected components over the
+    perceptual-hash pair graph — the image-side twin of the text
+    pipeline's `dedup_connected_components` (a crawl's resized/recoded
+    copies of one image form a component; keep the canonical member,
+    drop the rest). Runs the shared min-label propagation kernel
+    (`dedup.propagate_min_labels`) over the banded phash pairs, so the
+    scale shape is the pair query's band-bucket co-occupancy plus
+    ~diameter rounds of co-partitioned join+min."""
+    from denali_spark.operators.dedup import propagate_min_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = mm_image_phash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
+    )
+    return propagate_min_labels(pairs, docs.select("doc_id"))

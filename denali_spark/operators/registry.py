@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_unigram_logprob",
     "dedup_cluster_size_histogram",
     "sim_ann_recall_audit",
+    "mm_image_phash_clusters",
+    "sample_hash_holdout",
     # --- newest driver evidence round 7 ---
     "agg_approx_sketches",
     "agg_mode_order_priority",

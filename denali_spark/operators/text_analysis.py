@@ -515,6 +515,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(coin < threshold).select("doc_id", "lang", "n_chars")
 
 
+HOLDOUT_SALT = "denali-holdout-v1"
+
+
+@query(
+    "sample_hash_holdout",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{HOLDOUT_SALT}'),
+              1, 15))::BIGINT % 100 AS b
+      FROM documents
+    )
+    """,
+    tags=("text", "sampling", "holdout"),
+)
+def sample_hash_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by salted hash bucket —
+    the assignment every training pipeline pins BEFORE any filtering so
+    membership never shifts as upstream stages evolve (a doc's split is a
+    pure function of its id, independent of row order, partitioning, or
+    corpus growth; the salt keeps it independent of the sampling coins).
+    Scan-local projection: no shuffle, no join, evaluated during the
+    scan — at 100 TB this is free metadata on every read."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{HOLDOUT_SALT}"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id", "source",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
 # Domain-mixture resampling: target per-language shares of a global char
 # budget. Shares/budget are exact integer ratios and the per-language
 # keep-rate is computed with 64-bit integer division only, so Spark and

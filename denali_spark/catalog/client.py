@@ -219,6 +219,28 @@ class CatalogClient:
             },
         )[1]
 
+    def plan_table_scan(
+        self, levels: list[str], name: str,
+        snapshot_id: int | None = None, filter: dict | None = None,
+        select: list[str] | None = None, case_sensitive: bool = True,
+    ) -> dict:
+        """Server-side scan planning (REST spec PlanTableScan). Returns a
+        completed PlanTableScanResult: {status, file-scan-tasks,
+        delete-files, plan-tasks}; this server always answers
+        synchronously."""
+        body: dict = {"case-sensitive": case_sensitive}
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        if filter is not None:
+            body["filter"] = filter
+        if select is not None:
+            body["select"] = select
+        return self._request(
+            "POST",
+            f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}/plan",
+            body,
+        )[1]
+
     def commit_transaction(self, table_changes: list[dict]) -> None:
         """Atomic multi-table commit: each change is
         {'identifier': {'namespace': [...], 'name': ...},

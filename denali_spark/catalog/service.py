@@ -399,6 +399,122 @@ def post_metrics(state: State, m, q, body):
     return 204, None
 
 
+def plan_table_scan(state: State, m, q, body):
+    """POST .../tables/{t}/plan — server-side scan planning (the Iceberg
+    REST spec's PlanTableScan family; absent from the reference's older
+    spec revision — beyond parity like /v1/transactions/commit). Always
+    answers SYNCHRONOUSLY with a completed PlanTableScanResult (the spec
+    allows a server to skip the async plan-id round-trip), so the
+    plan/{id} fetch/cancel endpoints are unnecessary here.
+
+    Request: {snapshot-id?, filter?, select?, case-sensitive?}. The
+    filter is the REST Expression grammar (the same grammar the engine's
+    scan pruning speaks — sources/expressions.py); data files whose
+    manifest stats prove no match are dropped server-side and the filter
+    is echoed back as each task's residual-filter for exact evaluation.
+
+    Delete files are matched per task by the spec's sequence-number
+    rules: a DV/position delete carrying referenced-data-file binds to
+    that file alone; otherwise position deletes apply to data files with
+    sequence <= theirs, equality deletes to sequence strictly less.
+    Each data-file/delete-file carries the spec's core fields plus the
+    engine's internal entry verbatim under `x-denali-entry` (same
+    extension convention as the manifests' x_* fields) so an engine-side
+    consumer reconstructs its scan losslessly."""
+    import json as _json
+
+    from denali_spark.sources.expressions import file_might_match
+
+    body = body or {}
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    snaps = md.get("snapshots", [])
+    snap_id = body.get("snapshot-id")
+    if snap_id is not None:
+        snap = next((s for s in snaps if s["snapshot-id"] == snap_id), None)
+        if snap is None:
+            raise BadRequest(f"snapshot {snap_id} not found")
+    else:
+        ref = md.get("refs", {}).get("main")
+        snap = (
+            next(
+                (s for s in snaps if s["snapshot-id"] == ref["snapshot-id"]),
+                None,
+            )
+            if ref
+            else None
+        )
+    if snap is None:  # empty table: a completed plan with no work
+        return 200, {
+            "status": "completed", "file-scan-tasks": [],
+            "delete-files": [], "plan-tasks": [],
+        }
+
+    loc = snap["manifest-list"]
+    path = loc[len("file://"):] if loc.startswith("file://") else loc
+    if path.endswith(".json"):  # legacy single-document layout
+        with open(path) as f:
+            entries = _json.load(f)["files"]
+    else:
+        from denali_spark.sources.manifests import read_manifest_list
+
+        entries = read_manifest_list(path)
+    data = [e for e in entries if e.get("content", "data") == "data"]
+    deletes = [e for e in entries if e.get("content", "data") != "data"]
+
+    flt = body.get("filter")
+    if flt is not None:
+        data = [e for e in data if file_might_match(flt, e.get("stats"))]
+
+    def spec_file(e: dict, content: str) -> dict:
+        out = {
+            "content": content,
+            "file-path": e["path"],
+            "file-format": e.get("file-format", "parquet").upper(),
+            "file-size-in-bytes": e.get("file-size-bytes"),
+            "record-count": e.get("record-count"),
+            "x-denali-entry": e,
+        }
+        if e.get("partition") is not None:
+            out["partition"] = e["partition"]
+        if e.get("equality-field-ids") is not None:
+            out["equality-ids"] = e["equality-field-ids"]
+        if e.get("referenced-data-file") is not None:
+            out["referenced-data-file"] = e["referenced-data-file"]
+        return out
+
+    delete_files = [
+        spec_file(d, d.get("content", "position-deletes")) for d in deletes
+    ]
+    tasks = []
+    for e in data:
+        refs_idx = []
+        for i, d in enumerate(deletes):
+            rdf = d.get("referenced-data-file")
+            if rdf is not None:
+                if rdf == e["path"]:
+                    refs_idx.append(i)
+                continue
+            dseq = d.get("sequence-number", 0)
+            eseq = e.get("sequence-number", 0)
+            if d.get("content") == "equality-deletes":
+                if eseq < dseq:
+                    refs_idx.append(i)
+            elif eseq <= dseq:
+                refs_idx.append(i)
+        task = {"data-file": spec_file(e, "data")}
+        if refs_idx:
+            task["delete-file-references"] = refs_idx
+        if flt is not None:
+            task["residual-filter"] = flt
+        tasks.append(task)
+    return 200, {
+        "status": "completed", "file-scan-tasks": tasks,
+        "delete-files": delete_files, "plan-tasks": [],
+    }
+
+
 def commit_transaction(state: State, m, q, body):
     """Multi-table transaction (the one endpoint the reference 501s,
     routes/tables.go:454-456 — implemented here beyond parity, like views).
@@ -624,6 +740,7 @@ ROUTES: list[tuple[str, re.Pattern, object]] = [
     ("DELETE", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), delete_table),
     ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), head_table),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/metrics$"), post_metrics),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/plan$"), plan_table_scan),
     ("POST", re.compile(r"^/v1/tables/rename$"), rename_table),
     ("POST", re.compile(r"^/v1/transactions/commit$"), commit_transaction),
     ("GET", re.compile(rf"^/v1/namespaces/{_NS}/views$"), list_views),

@@ -412,12 +412,22 @@ class SparkCatalogIO:
         as_of_ms: int | None = None,
         report_metrics: bool = False,
         with_row_ids: bool = False,
+        server_plan: bool = False,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
         `VERSION AS OF` / branch-tag time travel; as_of_ms gives
         `TIMESTAMP AS OF` via the snapshot-log. report_metrics=True posts
         a scan report to the catalog's metrics endpoint after planning
         (Iceberg REST reporting contract).
+
+        server_plan=True delegates file planning to the catalog's
+        PlanTableScan endpoint (REST-spec server-side scan planning):
+        the service walks the manifests and stat-prunes against `where`,
+        and this client consumes the returned file-scan-tasks (the
+        `x-denali-entry` extension carries each entry losslessly) —
+        the manifest IO and pruning move off the engine driver, which is
+        the spec feature's point for high-file-count tables. The exact
+        residual `where` filter still runs engine-side.
 
         with_row_ids=True appends the V3 row-lineage `_row_id` column
         (file first-row-id + in-file position — stable across carried-over
@@ -436,17 +446,35 @@ class SparkCatalogIO:
         snap = self._resolve_snapshot(md, snapshot_id, ref, as_of_ms)
         if snap is None:  # empty table → typed empty DataFrame
             return self._empty_df(md)
-        entries, delete_entries = split_entries(
-            self._manifest_entries(snap["manifest-list"])
-        )
         if where is not None:
-            from denali_spark.sources.bloom import bloom_prune
-            from denali_spark.sources.expressions import file_might_match, to_spark_sql
+            from denali_spark.sources.expressions import to_spark_sql
+        if server_plan:
+            plan = self.client.plan_table_scan(
+                namespace, name,
+                snapshot_id=snap["snapshot-id"], filter=where,
+            )
+            entries = [
+                t["data-file"]["x-denali-entry"]
+                for t in plan.get("file-scan-tasks", [])
+            ]
+            delete_entries = [
+                d["x-denali-entry"] for d in plan.get("delete-files", [])
+            ]
+        else:
+            entries, delete_entries = split_entries(
+                self._manifest_entries(snap["manifest-list"])
+            )
+            if where is not None:
+                from denali_spark.sources.bloom import bloom_prune
+                from denali_spark.sources.expressions import file_might_match
 
-            entries = [e for e in entries if file_might_match(where, e.get("stats"))]
-            # point-predicate pruning via per-file bloom blobs, when an
-            # analyze_table(bloom_columns=...) index exists for this snapshot
-            entries = bloom_prune(self, md, snap, where, entries)
+                entries = [
+                    e for e in entries if file_might_match(where, e.get("stats"))
+                ]
+                # point-predicate pruning via per-file bloom blobs, when an
+                # analyze_table(bloom_columns=...) index exists for this
+                # snapshot
+                entries = bloom_prune(self, md, snap, where, entries)
         if not entries:
             return self._empty_df(md)
         # Iceberg read semantics: a current-state read uses the CURRENT

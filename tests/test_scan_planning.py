@@ -1,0 +1,129 @@
+"""Server-side scan planning: the REST spec's PlanTableScan endpoint
+(beyond the reference's older spec revision, like /v1/transactions/commit).
+Checks plan/engine equivalence, stat-based filter pruning with residual
+echo, delete-file references under the spec's sequence-number rules, and
+the read_table(server_plan=True) consume path against the local planner."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO
+
+
+@pytest.fixture(scope="module")
+def io(spark, tmp_path_factory):
+    server = CatalogServer(
+        make_state(str(tmp_path_factory.mktemp("wh")))
+    ).start()
+    io = SparkCatalogIO(spark, server.uri)
+    yield io
+    server.stop()
+
+
+def test_plan_matches_engine_and_prunes(spark, io):
+    # two appends → two files with disjoint id ranges (stats prune-able)
+    io.write_table(
+        spark.range(0, 100).select("id", (F.col("id") % 5).alias("k")),
+        ["plan"], "t", mode="overwrite", num_files=1,
+    )
+    io.write_table(
+        spark.range(1000, 1100).select("id", (F.col("id") % 5).alias("k")),
+        ["plan"], "t", mode="append", num_files=1,
+    )
+    plan = io.client.plan_table_scan(["plan"], "t")
+    assert plan["status"] == "completed" and plan["plan-tasks"] == []
+    paths = {t["data-file"]["file-path"] for t in plan["file-scan-tasks"]}
+    md = io.client.load_table(["plan"], "t")["metadata"]
+    snap = io._resolve_snapshot(md)
+    local = {
+        e["path"]
+        for e in io._manifest_entries(snap["manifest-list"])
+        if e.get("content", "data") == "data"
+    }
+    assert paths == local and len(paths) == 2
+    for t in plan["file-scan-tasks"]:
+        df = t["data-file"]
+        assert df["file-format"] == "PARQUET"
+        assert df["record-count"] == 100
+        assert "residual-filter" not in t
+
+    # stats pruning: id == 5 can only live in the first file
+    flt = {"type": "eq", "term": "id", "value": 5}
+    pruned = io.client.plan_table_scan(["plan"], "t", filter=flt)
+    assert len(pruned["file-scan-tasks"]) == 1
+    assert pruned["file-scan-tasks"][0]["residual-filter"] == flt
+
+    # unknown snapshot → 400
+    from denali_spark.catalog.client import CatalogHTTPError
+
+    with pytest.raises(CatalogHTTPError) as ei:
+        io.client.plan_table_scan(["plan"], "t", snapshot_id=12345)
+    assert ei.value.status == 400
+
+
+def test_plan_references_deletes_and_reads_equal(spark, io):
+    from denali_spark.sources import delete_where_dv
+
+    io.write_table(
+        spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")),
+        ["plan"], "mor", mode="overwrite", num_files=2,
+    )
+    # merge-on-read delete → deletion vector rows bound to specific files
+    delete_where_dv(io, ["plan"], "mor", {"type": "lt", "term": "id", "value": 5})
+    plan = io.client.plan_table_scan(["plan"], "mor")
+    assert plan["delete-files"], "DV delete files must be planned"
+    # every delete file is a DV bound to a referenced data file, and the
+    # reference index points back at exactly that data file's task
+    by_path = {
+        t["data-file"]["file-path"]: t for t in plan["file-scan-tasks"]
+    }
+    for i, d in enumerate(plan["delete-files"]):
+        rdf = d["referenced-data-file"]
+        task = by_path[rdf]
+        assert i in task["delete-file-references"]
+    # a data file without deletes carries no reference to that DV
+    referenced = {d["referenced-data-file"] for d in plan["delete-files"]}
+    for p, t in by_path.items():
+        if p not in referenced:
+            assert not any(
+                plan["delete-files"][i].get("referenced-data-file") == p
+                for i in t.get("delete-file-references", [])
+            )
+
+    # consume path: server-planned read == locally planned read
+    a = sorted(
+        (r["id"], r["v"])
+        for r in io.read_table(["plan"], "mor", server_plan=True).collect()
+    )
+    b = sorted(
+        (r["id"], r["v"]) for r in io.read_table(["plan"], "mor").collect()
+    )
+    assert a == b and len(a) == 45
+
+    # with a filter: server prunes, engine applies the exact residual
+    got = sorted(
+        r["id"]
+        for r in io.read_table(
+            ["plan"], "mor", where={"type": "lt", "term": "id", "value": 10},
+            server_plan=True,
+        ).collect()
+    )
+    assert got == list(range(5, 10))
+
+
+def test_plan_empty_table(spark, io):
+    io.client.create_namespace(["plan2"])
+    io.client.create_table(
+        ["plan2"], "empty",
+        {"type": "struct", "schema-id": 0,
+         "fields": [{"id": 1, "name": "a", "type": "long", "required": False}]},
+    )
+    plan = io.client.plan_table_scan(["plan2"], "empty")
+    assert plan == {
+        "status": "completed", "file-scan-tasks": [],
+        "delete-files": [], "plan-tasks": [],
+    }

@@ -759,6 +759,92 @@ def sim_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_COS_TAU = 0.3
 
 
+def embedding_online_dedup(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame,
+    tau: float = DEDUP_COS_TAU, *,
+    corpus_buckets: DataFrame | None = None,
+    corpus_vecs: DataFrame | None = None,
+    self_dedup: bool = True,
+) -> DataFrame:
+    """Flag each incoming vector as semantic-duplicate-of-corpus or novel —
+    the embedding-side twin of `dedup.online_dedup` and the per-batch
+    kernel of `streaming.embeddings_stream.make_embedding_dedup_sink`.
+    `vecs` needs (vec_id long, e array<double>).
+
+    Candidates come from SRP bucket co-occupancy against the materialized
+    base index (plus `corpus_buckets`/`corpus_vecs` — the grown streamed
+    store) and, with `self_dedup`, against lower-id vectors of the same
+    batch; verification is exact cosine >= tau. Returns one verdict row
+    per vector: (vec_id, is_duplicate, dup_of, cos) with dup_of the
+    best-matching source (highest cosine, lowest id on ties).
+
+    Scale shape: only the (micro-batch-sized) incoming side pays hashing
+    and broadcasts into the bucket join; the corpus side is the pre-built
+    index + one vector-fetch equi-join, so each batch costs bucket
+    co-occupancy, never |corpus| x |batch|."""
+    base_b = lsh_bucket_index(spark, sf_dir)
+    base_v = _vecs(spark, sf_dir)
+    if corpus_buckets is not None:
+        base_b = base_b.unionByName(corpus_buckets)
+    if corpus_vecs is not None:
+        base_v = base_v.unionByName(corpus_vecs)
+    nb = bucket_assignments(vecs)
+    cand = (
+        base_b.join(
+            F.broadcast(nb.withColumnRenamed("vec_id", "new_id")),
+            ["t", "bucket"],
+        )
+        .select("new_id", F.col("vec_id").alias("src"))
+        .filter(F.col("src") != F.col("new_id"))
+        .distinct()
+    )
+    new_v = vecs.select(
+        F.col("vec_id").alias("new_id"), F.col("e").alias("ne")
+    )
+    scored = (
+        cand.join(base_v, cand["src"] == base_v["vec_id"])
+        .join(F.broadcast(new_v), "new_id")
+        .select("new_id", "src", cosine(F.col("ne"), F.col("e")).alias("cos"))
+    )
+    if self_dedup:
+        # intra-batch: a vector near-matching a LOWER-id batch mate is a
+        # duplicate even if the corpus never saw either copy
+        intra_cand = (
+            nb.select(F.col("vec_id").alias("new_id"), "t", "bucket")
+            .join(
+                F.broadcast(nb.select(F.col("vec_id").alias("src"), "t", "bucket")),
+                ["t", "bucket"],
+            )
+            .filter(F.col("src") < F.col("new_id"))
+            .select("new_id", "src")
+            .distinct()
+        )
+        src_v = vecs.select(F.col("vec_id").alias("src"), F.col("e").alias("se"))
+        intra = (
+            intra_cand.join(F.broadcast(src_v), "src")
+            .join(F.broadcast(new_v), "new_id")
+            .select(
+                "new_id", "src", cosine(F.col("ne"), F.col("se")).alias("cos")
+            )
+        )
+        scored = scored.unionByName(intra)
+    best = (
+        scored.filter(F.col("cos") >= tau)
+        .groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("src")).alias("neg_id"))
+            ).alias("m")
+        )
+    )
+    return vecs.join(best, vecs["vec_id"] == best["new_id"], "left").select(
+        "vec_id",
+        F.col("m").isNotNull().alias("is_duplicate"),
+        (-F.col("m.neg_id")).cast("long").alias("dup_of"),
+        F.col("m.cos").alias("cos"),
+    )
+
+
 @query(
     "dedup_embedding_lsh_pairs",
     oracle=f"""

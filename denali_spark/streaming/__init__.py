@@ -5,7 +5,9 @@ from denali_spark.streaming.documents_stream import (
     read_verdicts,
 )
 from denali_spark.streaming.embeddings_stream import (
+    make_embedding_dedup_sink,
     make_embedding_index_sink,
+    read_dedup_verdicts,
     read_embedding_stream,
     read_streamed_buckets,
     read_streamed_vectors,
@@ -40,6 +42,8 @@ __all__ = [
     "read_verdicts",
     "read_embedding_stream",
     "make_embedding_index_sink",
+    "make_embedding_dedup_sink",
+    "read_dedup_verdicts",
     "read_streamed_buckets",
     "read_streamed_vectors",
 ]

@@ -71,6 +71,71 @@ def read_streamed_vectors(spark: SparkSession, vec_dir: str) -> DataFrame | None
     return spark.read.parquet(*parts).select("vec_id", "e")
 
 
+def read_dedup_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all committed per-batch dedup verdict partitions."""
+    parts = _success_parts(out_dir)
+    if not parts:
+        raise FileNotFoundError(f"no committed verdict partitions in {out_dir}")
+    return spark.read.parquet(*parts)
+
+
+def make_embedding_dedup_sink(
+    sf_dir: str, out_dir: str, tau: float | None = None,
+    bucket_dir: str | None = None, vec_dir: str | None = None,
+):
+    """foreachBatch sink: semantic online dedup for a vector stream — the
+    embedding twin of documents_stream.make_online_dedup_sink. Each
+    micro-batch is flagged against the materialized base index PLUS every
+    previously-accepted novel vector PLUS itself
+    (operators.similarity.embedding_online_dedup); verdicts land in
+    ``out_dir/batch_id=N/`` and accepted-novel vectors grow the streamed
+    bucket/vector store, so the corpus the NEXT batch dedups against has
+    grown. Overwriting the batch's own partitions keeps at-least-once
+    replays exactly-once in effect (same discipline as the index sink)."""
+    bucket_dir = bucket_dir if bucket_dir is not None else f"{out_dir}_buckets"
+    vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.similarity import (
+            DEDUP_COS_TAU,
+            bucket_assignments,
+            embedding_online_dedup,
+        )
+
+        spark = batch_df.sparkSession
+        v = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).persist()
+        prior_parts = _success_parts(bucket_dir, exclude_batch_id=batch_id)
+        prior_vparts = _success_parts(vec_dir, exclude_batch_id=batch_id)
+        verdicts = embedding_online_dedup(
+            spark, sf_dir, v,
+            tau if tau is not None else DEDUP_COS_TAU,
+            corpus_buckets=(
+                spark.read.parquet(*prior_parts).select("vec_id", "t", "bucket")
+                if prior_parts else None
+            ),
+            corpus_vecs=(
+                spark.read.parquet(*prior_vparts).select("vec_id", "e")
+                if prior_vparts else None
+            ),
+            self_dedup=True,
+        ).persist()
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        novel = verdicts.filter(~F.col("is_duplicate")).select("vec_id")
+        accepted = v.join(F.broadcast(novel), "vec_id").persist()
+        bucket_assignments(accepted).write.mode("overwrite").parquet(
+            f"{bucket_dir}/batch_id={batch_id}"
+        )
+        accepted.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
+        accepted.unpersist()
+        verdicts.unpersist()
+        v.unpersist()
+
+    return _sink
+
+
 def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None):
     """foreachBatch sink: hash each micro-batch of vectors into the SRP
     bucket layout and append (bucket rows, double-cast vectors) as the

@@ -124,3 +124,80 @@ def test_streamed_buckets_match_batch_kernel_and_search(spark, tmp_path):
         r["vec_id"] for r in read_streamed_vectors(spark, vec_dir).collect()
     )
     assert vec_ids == [1_000_000, 1_000_001, 1_000_002]
+
+
+def test_streaming_embedding_dedup_guard(spark, tmp_path):
+    """Semantic online dedup for a vector stream: corpus copies are
+    flagged against the base index, a same-batch twin dedups intra-batch,
+    a repeat arrival across batches dedups against the grown store, and
+    novel vectors pass. Verdicts match the batch kernel over the same
+    grouping."""
+    from denali_spark.operators.similarity import embedding_online_dedup
+    from denali_spark.streaming.embeddings_stream import (
+        make_embedding_dedup_sink,
+        read_dedup_verdicts,
+    )
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = str(tmp_path / "guard-landing")
+    # drop 1: a scaled copy of corpus vec 3 (duplicate-of-corpus), a novel
+    # vector, and a second copy of that novel vector (intra-batch dup)
+    novel_vals = [float((j % 11) - 5) for j in range(64)]
+    corpus_copy = base.filter(F.col("vec_id") == 3).select(
+        F.lit(2_000_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.01).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus_copy.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2_000_001, novel_vals), (2_000_002, novel_vals)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # drop 2: the SAME novel vector arriving again — must dedup against
+    # the grown store, not be re-accepted
+    spark.createDataFrame(
+        [(2_000_003, novel_vals)], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "guard-verdicts")
+    from denali_spark.streaming.embeddings_stream import read_embedding_stream
+
+    q = (
+        read_embedding_stream(spark, src)
+        .writeStream.foreachBatch(
+            make_embedding_dedup_sink(SF, out, tau=0.9)
+        )
+        .option("checkpointLocation", str(tmp_path / "guard-ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["vec_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in read_dedup_verdicts(spark, out).collect()
+    }
+    assert got[2_000_000] == (True, 3)  # corpus duplicate (scaling preserves cosine)
+    assert got[2_000_001][0] is False  # first copy of the novel vector
+    assert got[2_000_002] == (True, 2_000_001)  # intra-batch twin
+    assert got[2_000_003][0] is True  # repeat arrival vs the GROWN store
+    assert got[2_000_003][1] == 2_000_001
+
+    # batch twin: one batch holding all four, vs the base corpus only —
+    # same verdicts for the single-batch-decidable rows
+    all_vecs = spark.read.parquet(src).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    twin = {
+        r["vec_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in embedding_online_dedup(
+            spark, SF, all_vecs, 0.9, self_dedup=True
+        ).collect()
+    }
+    assert twin[2_000_000] == (True, 3)
+    assert twin[2_000_001][0] is False
+    assert twin[2_000_002] == (True, 2_000_001)
+    assert twin[2_000_003] == (True, 2_000_001)

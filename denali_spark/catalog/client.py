@@ -241,6 +241,15 @@ class CatalogClient:
             body,
         )[1]
 
+    def fetch_scan_tasks(self, levels: list[str], name: str, plan_task: str) -> dict:
+        """Redeem one plan-task handle from plan_table_scan for its shard
+        of file-scan-tasks (REST spec FetchScanTasks)."""
+        return self._request(
+            "POST",
+            f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}/tasks",
+            {"plan-task": plan_task},
+        )[1]
+
     def commit_transaction(self, table_changes: list[dict]) -> None:
         """Atomic multi-table commit: each change is
         {'identifier': {'namespace': [...], 'name': ...},

@@ -399,57 +399,31 @@ def post_metrics(state: State, m, q, body):
     return 204, None
 
 
-def plan_table_scan(state: State, m, q, body):
-    """POST .../tables/{t}/plan — server-side scan planning (the Iceberg
-    REST spec's PlanTableScan family; absent from the reference's older
-    spec revision — beyond parity like /v1/transactions/commit). Always
-    answers SYNCHRONOUSLY with a completed PlanTableScanResult (the spec
-    allows a server to skip the async plan-id round-trip), so the
-    plan/{id} fetch/cancel endpoints are unnecessary here.
+# Data-file count above which a plan response returns opaque plan-task
+# handles instead of inline file-scan-tasks (the spec's pagination shape
+# for high-file-count tables); each handle fetches one shard via the
+# /tasks endpoint. Stateless by construction: a handle encodes
+# (snapshot, shard, nshards, filter), so N servers serve any handle.
+PLAN_SHARD_SIZE = 512
 
-    Request: {snapshot-id?, filter?, select?, case-sensitive?}. The
-    filter is the REST Expression grammar (the same grammar the engine's
-    scan pruning speaks — sources/expressions.py); data files whose
-    manifest stats prove no match are dropped server-side and the filter
-    is echoed back as each task's residual-filter for exact evaluation.
 
-    Delete files are matched per task by the spec's sequence-number
-    rules: a DV/position delete carrying referenced-data-file binds to
-    that file alone; otherwise position deletes apply to data files with
-    sequence <= theirs, equality deletes to sequence strictly less.
-    Each data-file/delete-file carries the spec's core fields plus the
-    engine's internal entry verbatim under `x-denali-entry` (same
-    extension convention as the manifests' x_* fields) so an engine-side
-    consumer reconstructs its scan losslessly."""
-    import json as _json
-
-    from denali_spark.sources.expressions import file_might_match
-
-    body = body or {}
-    levels = parse_ns(m.group("ns"))
-    _, info = _table_info(state, levels, m.group("t"))
-    md = meta.read_table_metadata(info.metadata_location)
+def _resolve_plan_snapshot(md: dict, snap_id):
     snaps = md.get("snapshots", [])
-    snap_id = body.get("snapshot-id")
     if snap_id is not None:
         snap = next((s for s in snaps if s["snapshot-id"] == snap_id), None)
         if snap is None:
             raise BadRequest(f"snapshot {snap_id} not found")
-    else:
-        ref = md.get("refs", {}).get("main")
-        snap = (
-            next(
-                (s for s in snaps if s["snapshot-id"] == ref["snapshot-id"]),
-                None,
-            )
-            if ref
-            else None
-        )
-    if snap is None:  # empty table: a completed plan with no work
-        return 200, {
-            "status": "completed", "file-scan-tasks": [],
-            "delete-files": [], "plan-tasks": [],
-        }
+        return snap
+    ref = md.get("refs", {}).get("main")
+    if not ref:
+        return None
+    return next(
+        (s for s in snaps if s["snapshot-id"] == ref["snapshot-id"]), None
+    )
+
+
+def _plan_entries(snap: dict) -> tuple[list[dict], list[dict]]:
+    import json as _json
 
     loc = snap["manifest-list"]
     path = loc[len("file://"):] if loc.startswith("file://") else loc
@@ -462,30 +436,35 @@ def plan_table_scan(state: State, m, q, body):
         entries = read_manifest_list(path)
     data = [e for e in entries if e.get("content", "data") == "data"]
     deletes = [e for e in entries if e.get("content", "data") != "data"]
+    return data, deletes
 
-    flt = body.get("filter")
-    if flt is not None:
-        data = [e for e in data if file_might_match(flt, e.get("stats"))]
 
-    def spec_file(e: dict, content: str) -> dict:
-        out = {
-            "content": content,
-            "file-path": e["path"],
-            "file-format": e.get("file-format", "parquet").upper(),
-            "file-size-in-bytes": e.get("file-size-bytes"),
-            "record-count": e.get("record-count"),
-            "x-denali-entry": e,
-        }
-        if e.get("partition") is not None:
-            out["partition"] = e["partition"]
-        if e.get("equality-field-ids") is not None:
-            out["equality-ids"] = e["equality-field-ids"]
-        if e.get("referenced-data-file") is not None:
-            out["referenced-data-file"] = e["referenced-data-file"]
-        return out
+def _spec_file(e: dict, content: str) -> dict:
+    out = {
+        "content": content,
+        "file-path": e["path"],
+        "file-format": e.get("file-format", "parquet").upper(),
+        "file-size-in-bytes": e.get("file-size-bytes"),
+        "record-count": e.get("record-count"),
+        "x-denali-entry": e,
+    }
+    if e.get("partition") is not None:
+        out["partition"] = e["partition"]
+    if e.get("equality-field-ids") is not None:
+        out["equality-ids"] = e["equality-field-ids"]
+    if e.get("referenced-data-file") is not None:
+        out["referenced-data-file"] = e["referenced-data-file"]
+    return out
 
+
+def _scan_tasks_payload(data: list[dict], deletes: list[dict], flt) -> dict:
+    """file-scan-tasks + delete-files for a data-file subset. Delete files
+    are matched per task by the spec's sequence-number rules: a
+    DV/position delete carrying referenced-data-file binds to that file
+    alone; otherwise position deletes apply to data files with sequence
+    <= theirs, equality deletes to sequence strictly less."""
     delete_files = [
-        spec_file(d, d.get("content", "position-deletes")) for d in deletes
+        _spec_file(d, d.get("content", "position-deletes")) for d in deletes
     ]
     tasks = []
     for e in data:
@@ -503,16 +482,108 @@ def plan_table_scan(state: State, m, q, body):
                     refs_idx.append(i)
             elif eseq <= dseq:
                 refs_idx.append(i)
-        task = {"data-file": spec_file(e, "data")}
+        task = {"data-file": _spec_file(e, "data")}
         if refs_idx:
             task["delete-file-references"] = refs_idx
         if flt is not None:
             task["residual-filter"] = flt
         tasks.append(task)
-    return 200, {
-        "status": "completed", "file-scan-tasks": tasks,
-        "delete-files": delete_files, "plan-tasks": [],
-    }
+    return {"file-scan-tasks": tasks, "delete-files": delete_files}
+
+
+def plan_table_scan(state: State, m, q, body):
+    """POST .../tables/{t}/plan — server-side scan planning (the Iceberg
+    REST spec's PlanTableScan family; absent from the reference's older
+    spec revision — beyond parity like /v1/transactions/commit). Always
+    answers SYNCHRONOUSLY with a completed PlanTableScanResult (the spec
+    allows a server to skip the async plan-id round-trip), so the
+    plan/{id} fetch/cancel endpoints are unnecessary here.
+
+    Request: {snapshot-id?, filter?, select?, case-sensitive?}. The
+    filter is the REST Expression grammar (the same grammar the engine's
+    scan pruning speaks — sources/expressions.py); data files whose
+    manifest stats prove no match are dropped server-side and the filter
+    is echoed back as each task's residual-filter for exact evaluation.
+
+    Plans bigger than PLAN_SHARD_SIZE data files return opaque
+    `plan-tasks` handles instead of inline tasks; each handle fetches one
+    shard through the /tasks endpoint (fetch_scan_tasks). Handles encode
+    (snapshot, shard, nshards, filter) — stateless, so any server in a
+    shared-store fleet serves any handle.
+
+    Each data-file/delete-file carries the spec's core fields plus the
+    engine's internal entry verbatim under `x-denali-entry` (same
+    extension convention as the manifests' x_* fields) so an engine-side
+    consumer reconstructs its scan losslessly."""
+    import base64 as _b64
+    import json as _json
+
+    from denali_spark.sources.expressions import file_might_match
+
+    body = body or {}
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    snap = _resolve_plan_snapshot(md, body.get("snapshot-id"))
+    if snap is None:  # empty table: a completed plan with no work
+        return 200, {
+            "status": "completed", "file-scan-tasks": [],
+            "delete-files": [], "plan-tasks": [],
+        }
+    data, deletes = _plan_entries(snap)
+    flt = body.get("filter")
+    if flt is not None:
+        data = [e for e in data if file_might_match(flt, e.get("stats"))]
+    if len(data) > PLAN_SHARD_SIZE:
+        nshards = -(-len(data) // PLAN_SHARD_SIZE)
+        handles = [
+            _b64.urlsafe_b64encode(
+                _json.dumps({
+                    "snapshot-id": snap["snapshot-id"],
+                    "shard": s, "nshards": nshards, "filter": flt,
+                }).encode()
+            ).decode()
+            for s in range(nshards)
+        ]
+        return 200, {
+            "status": "completed", "file-scan-tasks": [],
+            "delete-files": [], "plan-tasks": handles,
+        }
+    payload = _scan_tasks_payload(data, deletes, flt)
+    return 200, {"status": "completed", "plan-tasks": [], **payload}
+
+
+def fetch_scan_tasks(state: State, m, q, body):
+    """POST .../tables/{t}/tasks — FetchScanTasks: redeem one plan-task
+    handle for its shard of file-scan-tasks. Shard membership is a stable
+    hash-free modulus over the path-sorted pruned data-file list, so the
+    shards partition the plan exactly; delete-file-references index into
+    THIS response's delete-files list."""
+    import base64 as _b64
+    import json as _json
+
+    from denali_spark.sources.expressions import file_might_match
+
+    token = (body or {}).get("plan-task")
+    if not token:
+        raise BadRequest("plan-task is required")
+    try:
+        spec = _json.loads(_b64.urlsafe_b64decode(token.encode()))
+        shard, nshards = spec["shard"], spec["nshards"]
+        snap_id = spec["snapshot-id"]
+    except Exception:
+        raise BadRequest("malformed plan-task handle") from None
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    snap = _resolve_plan_snapshot(md, snap_id)
+    data, deletes = _plan_entries(snap)
+    flt = spec.get("filter")
+    if flt is not None:
+        data = [e for e in data if file_might_match(flt, e.get("stats"))]
+    data.sort(key=lambda e: e["path"])
+    subset = [e for i, e in enumerate(data) if i % nshards == shard]
+    return 200, _scan_tasks_payload(subset, deletes, flt)
 
 
 def commit_transaction(state: State, m, q, body):
@@ -741,6 +812,7 @@ ROUTES: list[tuple[str, re.Pattern, object]] = [
     ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), head_table),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/metrics$"), post_metrics),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/plan$"), plan_table_scan),
+    ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/tasks$"), fetch_scan_tasks),
     ("POST", re.compile(r"^/v1/tables/rename$"), rename_table),
     ("POST", re.compile(r"^/v1/transactions/commit$"), commit_transaction),
     ("GET", re.compile(rf"^/v1/namespaces/{_NS}/views$"), list_views),

@@ -453,13 +453,19 @@ class SparkCatalogIO:
                 namespace, name,
                 snapshot_id=snap["snapshot-id"], filter=where,
             )
-            entries = [
-                t["data-file"]["x-denali-entry"]
-                for t in plan.get("file-scan-tasks", [])
-            ]
-            delete_entries = [
-                d["x-denali-entry"] for d in plan.get("delete-files", [])
-            ]
+            tasks = list(plan.get("file-scan-tasks", []))
+            delete_specs = list(plan.get("delete-files", []))
+            for handle in plan.get("plan-tasks", []):
+                # large plans paginate as stateless shard handles; every
+                # shard repeats the SAME full delete list (references
+                # index into it), so take the first non-empty one rather
+                # than concatenating duplicates
+                shard = self.client.fetch_scan_tasks(namespace, name, handle)
+                tasks.extend(shard.get("file-scan-tasks", []))
+                if not delete_specs:
+                    delete_specs = list(shard.get("delete-files", []))
+            entries = [t["data-file"]["x-denali-entry"] for t in tasks]
+            delete_entries = [d["x-denali-entry"] for d in delete_specs]
         else:
             entries, delete_entries = split_entries(
                 self._manifest_entries(snap["manifest-list"])

@@ -127,3 +127,43 @@ def test_plan_empty_table(spark, io):
         "status": "completed", "file-scan-tasks": [],
         "delete-files": [], "plan-tasks": [],
     }
+
+
+def test_plan_tasks_pagination(spark, io, monkeypatch):
+    """Plans bigger than PLAN_SHARD_SIZE return stateless plan-task
+    handles; redeeming every handle reconstructs the exact file set with
+    no overlap, and the server_plan read path follows the handles."""
+    from denali_spark.catalog import service
+
+    io.write_table(
+        spark.range(0, 90).select("id"),
+        ["plan3"], "many", mode="overwrite", num_files=9,
+    )
+    monkeypatch.setattr(service, "PLAN_SHARD_SIZE", 4)
+    plan = io.client.plan_table_scan(["plan3"], "many")
+    assert plan["file-scan-tasks"] == [] and len(plan["plan-tasks"]) == 3  # ceil(9/4)
+
+    shards = [
+        io.client.fetch_scan_tasks(["plan3"], "many", h)
+        for h in plan["plan-tasks"]
+    ]
+    paths = [
+        t["data-file"]["file-path"] for s in shards for t in s["file-scan-tasks"]
+    ]
+    assert len(paths) == len(set(paths)) == 9  # exact partition, no overlap
+
+    md = io.client.load_table(["plan3"], "many")["metadata"]
+    snap = io._resolve_snapshot(md)
+    local = {
+        e["path"]
+        for e in io._manifest_entries(snap["manifest-list"])
+        if e.get("content", "data") == "data"
+    }
+    assert set(paths) == local
+
+    # consume path follows handles transparently
+    n = io.read_table(["plan3"], "many", server_plan=True).count()
+    assert n == 90
+
+    with pytest.raises(Exception, match="malformed|plan-task"):
+        io.client.fetch_scan_tasks(["plan3"], "many", "not-a-handle")

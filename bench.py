@@ -29,6 +29,12 @@ tag (SPARK_GRAFT_SCALE_BENCH=0, quiet box) measured common-25 ratios of
 0.844 (HEAD leg 1) and 0.938 (HEAD leg 2) vs the r6 leg, worst per-query
 ratio 1.01x — HEAD is faster than r6 on identical hardware/session; the
 driver-observed drift was box noise, not a plan regression.
+
+Round-9 protocol check (per the r8 verdict: worktree A/B only if the
+common-set ratio vs BENCH_r08 exceeds 1.10x): two quiet local runs
+measured common-28 ratios of 0.965 and 0.987 vs BENCH_r08 — faster, no
+A/B warranted; worst single-query movers were sub-second queries inside
+the ±25% jitter band.
 """
 
 from __future__ import annotations

@@ -82,7 +82,15 @@ print("point lookup a=3 scans",
       "of", metadata_table(io, ns, name, "files").count(),
       "files (min/max + bloom pruning)")
 
-# 5. retention: expire everything but the rewritten snapshot (refs are kept)
+# 5. server-side scan planning (REST PlanTableScan): the catalog walks
+# the manifests and stat-prunes; the engine just consumes the plan
+plan = io.client.plan_table_scan(ns, name, filter=E.eq("a", 3))
+print("server plan:", len(plan["file-scan-tasks"]), "task(s) after pruning;",
+      "residual echoed:", plan["file-scan-tasks"][0]["residual-filter"])
+print("server-planned read rows:",
+      io.read_table(ns, name, where=E.eq("a", 3), server_plan=True).count())
+
+# 6. retention: expire everything but the rewritten snapshot (refs are kept)
 expire_snapshots(io, ns, name, keep_last=1)
 print("after expire, snapshots left:", metadata_table(io, ns, name, "snapshots").count())
 server.stop()

@@ -699,6 +699,12 @@ class SparkCatalogIO:
             if m:
                 return self._sql_alter(m.group(1), _strip_stmt(m.group(2)))
             m = _re.match(
+                r"\s*ALTER\s+VIEW\s+([\w.]+)\s+(.+)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_alter_view(m.group(1), _strip_stmt(m.group(2)))
+            m = _re.match(
                 r"\s*SHOW\s+(NAMESPACES|TABLES|VIEWS|TBLPROPERTIES|"
                 r"PARTITIONS|COLUMNS|CREATE\s+TABLE)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
@@ -1354,6 +1360,62 @@ class SparkCatalogIO:
         self.client.drop_view(namespace, name)
         return self._alter_summary(qualified, "drop-view", "dropped")
 
+    def _sql_alter_view(self, qualified: str, action_sql: str) -> DataFrame:
+        """ALTER VIEW ns.v — the Spark-SQL view-evolution spellings over
+        the §2.C view update ops:
+
+        - SET TBLPROPERTIES ('k' = 'v', ...) / UNSET TBLPROPERTIES ('k', ...)
+        - AS <select>  (replace the view query; same one-commit
+          schema+version append as CREATE OR REPLACE VIEW)
+        """
+        import re as _re
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(f"unqualified view name {qualified!r}: use ns.view")
+        if not self.client.view_exists(namespace, name):
+            raise ValueError(f"view {qualified!r} does not exist")
+        act = action_sql.strip()
+
+        m = _re.match(r"AS\s+(SELECT\b.*)$", act, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return self._sql_create_view(
+                qualified, _strip_stmt(m.group(1)),
+                or_replace=True, if_not_exists=False,
+            )
+        m = _re.match(
+            r"(UN)?SET\s+TBLPROPERTIES\s*\((.+)\)$", act,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            md = self.client.load_view(namespace, name)["metadata"]
+            if m.group(1):
+                keys = []
+                for item in _split_top_level_commas(m.group(2)):
+                    km = _re.fullmatch(r"\s*'([^']+)'\s*", item)
+                    if not km:
+                        raise ValueError(f"malformed property key {item!r}")
+                    keys.append(km.group(1))
+                updates = [{"action": "remove-properties", "removals": keys}]
+                op, detail = "unset-view-properties", ",".join(keys)
+            else:
+                props = {}
+                for item in _split_top_level_commas(m.group(2)):
+                    k, v = _parse_prop_assignment(item)
+                    props[k] = v
+                updates = [{"action": "set-properties", "updates": props}]
+                op, detail = "set-view-properties", ",".join(sorted(props))
+            self.client.replace_view(
+                namespace, name,
+                requirements=[
+                    {"type": "assert-view-uuid", "uuid": md["view-uuid"]}
+                ],
+                updates=updates,
+            )
+            return self._alter_summary(qualified, op, detail)
+        raise ValueError(f"unsupported ALTER VIEW action {act[:60]!r}")
+
     def _sql_truncate(self, qualified: str) -> DataFrame:
         """TRUNCATE TABLE ns.t — one overwrite snapshot carrying zero data
         files. Schema, properties, refs, and history stay: time travel
@@ -1428,6 +1490,34 @@ class SparkCatalogIO:
             )
         if not rest:
             raise ValueError(f"SHOW {what} requires a table name")
+        if (
+            what == "CREATE TABLE"
+            and self._catalog_listing().get(rest, ("table",))[0] == "view"
+        ):
+            # Spark answers SHOW CREATE TABLE on views with the CREATE
+            # VIEW statement; render from stored metadata (no execution)
+            parts = rest.split(".")
+            vmd = self.client.load_view(parts[:-1], parts[-1])["metadata"]
+            version = next(
+                v for v in vmd["versions"]
+                if v["version-id"] == vmd["current-version-id"]
+            )
+            reps = version.get("representations", [])
+            spark_reps = [r for r in reps if r.get("dialect") == "spark"] or reps
+            if not spark_reps:
+                raise ValueError(f"view {rest} has no SQL representation")
+            stmt = f"CREATE VIEW {rest} AS\n{spark_reps[0]['sql']}"
+            vprops = vmd.get("properties", {})
+            if vprops:
+                stmt += "\nTBLPROPERTIES (" + ", ".join(
+                    "'{}' = '{}'".format(
+                        k.replace("'", "''"), v.replace("'", "''")
+                    )
+                    for k, v in sorted(vprops.items())
+                ) + ")"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         ns, name, md = self._dml_target(rest)
         if what == "TBLPROPERTIES":
             return self.spark.createDataFrame(

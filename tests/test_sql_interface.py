@@ -1021,3 +1021,32 @@ def test_insert_overwrite_truncate_show_columns(spark, io):
     assert cols == ["id", "v"]
     kept = io.sql(f"SELECT * FROM iot.t FOR VERSION AS OF {v2}").collect()
     assert [(r["id"], r["v"]) for r in kept] == [(2, "b")]
+
+
+def test_alter_view_and_show_create_view(spark, io):
+    """ALTER VIEW SET/UNSET TBLPROPERTIES and AS <select>; SHOW CREATE
+    TABLE on a view renders the CREATE VIEW statement, which re-parses
+    through the CREATE VIEW path."""
+    io.write_table(spark.range(4).select("id"), ["av"], "base", mode="overwrite")
+    io.sql("CREATE VIEW av.v AS SELECT id FROM av.base")
+
+    io.sql("ALTER VIEW av.v SET TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    props = io.client.load_view(["av"], "v")["metadata"]["properties"]
+    assert props == {"team": "data", "tier": "gold"}
+    io.sql("ALTER VIEW av.v UNSET TBLPROPERTIES ('tier')")
+    props = io.client.load_view(["av"], "v")["metadata"]["properties"]
+    assert props == {"team": "data"}
+
+    io.sql("ALTER VIEW av.v AS SELECT id, id * 2 AS dbl FROM av.base")
+    assert io.sql("SELECT * FROM av.v").columns == ["id", "dbl"]
+    with pytest.raises(ValueError, match="does not exist"):
+        io.sql("ALTER VIEW av.missing AS SELECT 1 AS one")
+
+    stmt = io.sql("SHOW CREATE TABLE av.v").collect()[0]["createtab_stmt"]
+    assert stmt.startswith("CREATE VIEW av.v AS")
+    assert "'team' = 'data'" in stmt
+    # round-trip a property-less view through the CREATE VIEW path
+    io.sql("CREATE VIEW av.plain AS SELECT id FROM av.base")
+    stmt2 = io.sql("SHOW CREATE TABLE av.plain").collect()[0]["createtab_stmt"]
+    io.sql(stmt2.replace("av.plain", "av.plain2", 1))
+    assert io.sql("SELECT * FROM av.plain2").columns == ["id"]

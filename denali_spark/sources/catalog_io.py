@@ -619,13 +619,15 @@ class SparkCatalogIO:
             if m:
                 return self._sql_truncate(m.group(1))
             m = _re.match(
-                r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+AS\s+(SELECT\b.*)",
+                r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+(.*?)"
+                r"AS\s+(SELECT\b.*)",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
                 return self._sql_write(
-                    m.group(2), m.group(3),
+                    m.group(2), m.group(4),
                     mode="overwrite" if m.group(1) else "create",
+                    clause_sql=_strip_stmt(m.group(3)),
                 )
             m = _re.match(
                 r"\s*CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
@@ -1187,6 +1189,38 @@ class SparkCatalogIO:
             raise ValueError("CREATE TABLE requires at least one column")
         schema = {"type": "struct", "schema-id": 0, "fields": fields}
 
+        partition_by, properties = self._parse_table_clauses(tail)
+
+        if self.client.table_exists(namespace, name):
+            if if_not_exists:
+                return self._alter_summary(
+                    qualified, "create-table", "exists (noop)"
+                )
+            raise ValueError(f"table {qualified!r} already exists")
+        if not self.client.namespace_exists(namespace):
+            self.client.create_namespace(namespace)
+        spec = (
+            build_partition_spec(partition_by, schema) if partition_by else None
+        )
+        self.client.create_table(
+            namespace, name, schema,
+            partition_spec=spec, properties=properties or None,
+        )
+        return self._alter_summary(
+            qualified, "create-table",
+            f"{len(fields)} columns"
+            + (f", partitioned by {len(partition_by)}" if partition_by else ""),
+        )
+
+    def _parse_table_clauses(
+        self, tail: str
+    ) -> tuple[list[tuple[str, str]], dict[str, str]]:
+        """Parse the optional clause tail of a CREATE TABLE / CTAS —
+        `[USING iceberg] [PARTITIONED BY (...)] [TBLPROPERTIES (...)]`
+        in any order — into (partition_by, properties)."""
+        import re as _re
+
+        tail = tail.strip()
         partition_by: list[tuple[str, str]] = []
         properties: dict[str, str] = {}
         while tail:
@@ -1224,27 +1258,7 @@ class SparkCatalogIO:
                 tail = rest[close + 1:].strip()
                 continue
             raise ValueError(f"unsupported CREATE TABLE clause {tail[:60]!r}")
-
-        if self.client.table_exists(namespace, name):
-            if if_not_exists:
-                return self._alter_summary(
-                    qualified, "create-table", "exists (noop)"
-                )
-            raise ValueError(f"table {qualified!r} already exists")
-        if not self.client.namespace_exists(namespace):
-            self.client.create_namespace(namespace)
-        spec = (
-            build_partition_spec(partition_by, schema) if partition_by else None
-        )
-        self.client.create_table(
-            namespace, name, schema,
-            partition_spec=spec, properties=properties or None,
-        )
-        return self._alter_summary(
-            qualified, "create-table",
-            f"{len(fields)} columns"
-            + (f", partitioned by {len(partition_by)}" if partition_by else ""),
-        )
+        return partition_by, properties
 
     def _sql_create_view(
         self, qualified: str, select_sql: str, *,
@@ -2128,7 +2142,10 @@ class SparkCatalogIO:
         )
         return self._dml_summary(qualified, "merge", mode, result)
 
-    def _sql_write(self, qualified: str, select_sql: str, mode: str) -> DataFrame:
+    def _sql_write(
+        self, qualified: str, select_sql: str, mode: str,
+        clause_sql: str = "",
+    ) -> DataFrame:
         """INSERT INTO / CTAS routing for sql(): run the select through the
         same resolver, commit through write_table, return a one-row summary
         relation (statement, snapshot id, row count).
@@ -2147,6 +2164,15 @@ class SparkCatalogIO:
         if not namespace:
             raise ValueError(
                 f"unqualified write target {qualified!r}: use ns.table"
+            )
+        partition_by, properties = (
+            self._parse_table_clauses(clause_sql) if clause_sql else ([], {})
+        )
+        if (partition_by or properties) and mode != "create":
+            raise ValueError(
+                "PARTITIONED BY / TBLPROPERTIES clauses apply to plain "
+                "CREATE TABLE ... AS only (use ALTER TABLE after a "
+                "CREATE OR REPLACE)"
             )
         exists = self.client.table_exists(namespace, name)
         if mode in ("append", "insert_overwrite") and not exists:
@@ -2197,7 +2223,19 @@ class SparkCatalogIO:
             self.write_table(
                 df, namespace, name,
                 mode="append" if mode == "append" else "overwrite",
+                partition_by=partition_by or None,
             )
+            if properties:
+                cmd = self.client.load_table(namespace, name)["metadata"]
+                self.client.commit_table(
+                    namespace, name,
+                    requirements=[{
+                        "type": "assert-table-uuid", "uuid": cmd["table-uuid"]
+                    }],
+                    updates=[
+                        {"action": "set-properties", "updates": properties}
+                    ],
+                )
         md = self.client.load_table(namespace, name)["metadata"]
         snap = self._resolve_snapshot(md)
         # single execution: the row count comes from the committed

@@ -1050,3 +1050,34 @@ def test_alter_view_and_show_create_view(spark, io):
     stmt2 = io.sql("SHOW CREATE TABLE av.plain").collect()[0]["createtab_stmt"]
     io.sql(stmt2.replace("av.plain", "av.plain2", 1))
     assert io.sql("SELECT * FROM av.plain2").columns == ["id"]
+
+
+def test_ctas_with_partition_and_properties(spark, io):
+    """CREATE TABLE ... USING iceberg PARTITIONED BY (...) TBLPROPERTIES
+    (...) AS SELECT — the full Spark CTAS shape: the select's schema,
+    a real partition spec (files land in transform directories), and
+    properties, all from one statement."""
+    io.sql(
+        """
+        CREATE TABLE ctas.sales USING iceberg
+        PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('owner' = 'ctas')
+        AS SELECT id, CAST(id % 10 AS BIGINT) AS k FROM range(100)
+        """
+    )
+    md = io.client.load_table(["ctas"], "sales")["metadata"]
+    spec = next(
+        s for s in md["partition-specs"]
+        if s["spec-id"] == md["default-spec-id"]
+    )
+    assert [f["transform"] for f in spec["fields"]] == ["bucket[4]"]
+    assert md["properties"]["owner"] == "ctas"
+    assert io.sql("SELECT COUNT(*) AS n FROM ctas.sales").collect()[0]["n"] == 100
+
+    with pytest.raises(ValueError, match="plain"):
+        io.sql(
+            "CREATE OR REPLACE TABLE ctas.sales PARTITIONED BY (k) "
+            "AS SELECT 1 AS id, CAST(1 AS BIGINT) AS k"
+        )
+    # plain CTAS (no clauses) still works through the same path
+    io.sql("CREATE TABLE ctas.plain AS SELECT 1 AS one")
+    assert io.sql("SELECT * FROM ctas.plain").collect()[0]["one"] == 1

@@ -105,6 +105,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ann_recall_audit",
     "mm_image_phash_clusters",
     "sample_hash_holdout",
+    "text_collocation_lift",
+    "win_moving_median",
     # --- newest driver evidence round 7 ---
     "agg_approx_sketches",
     "agg_mode_order_priority",

@@ -428,6 +428,86 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_collocation_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(c='text')} AS t FROM documents
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    bg AS (
+      SELECT word_a, word_b, COUNT(*) AS support FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS word_a,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS word_b
+        FROM toks WHERE len(t) >= 2
+      ) GROUP BY 1, 2
+    )
+    SELECT word_a, word_b, support, cnt_a, cnt_b, lift_e9 FROM (
+      SELECT bg.word_a, bg.word_b, bg.support, a.cnt AS cnt_a, b.cnt AS cnt_b,
+             (bg.support * 1000000000) // (a.cnt * b.cnt) AS lift_e9
+      FROM bg
+      JOIN uni a ON a.tok = bg.word_a
+      JOIN uni b ON b.tok = bg.word_b
+      WHERE bg.support >= 5
+    )
+    ORDER BY lift_e9 DESC, support DESC, word_a, word_b LIMIT 25
+    """,
+    tags=("text", "ngram", "collocation"),
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by PMI-style lift: for adjacent word pairs
+    with support >= 5, score support/(cnt_a*cnt_b) — with the corpus
+    totals fixed this ranks identically to pointwise mutual information,
+    but stays in 64-bit integer arithmetic (support x 1e9 integer-divided
+    by the count product), so both engines produce bit-identical scores
+    with no log() float drift. The ranking surfaces multi-word units
+    ("new york"-style terms) a tokenizer should keep together — the
+    vocabulary-induction signal of a training pipeline.
+
+    Scale shape: one explode + two partial-aggregable counts (unigram,
+    bigram), then two word-keyed equi-joins of the bigram relation
+    against the unigram counts — all shuffles keyed on words, bounded by
+    vocabulary and observed-bigram cardinality, never raw token count;
+    the final top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    toks = docs.select(t.alias("t")).filter(F.size("t") >= 1).persist()
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("word_a"),
+                        F.element_at(F.col("t"), i + 1).alias("word_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.word_a", "p.word_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+    scored = (
+        bg.join(uni.select(F.col("tok").alias("word_a"), F.col("cnt").alias("cnt_a")), "word_a")
+        .join(uni.select(F.col("tok").alias("word_b"), F.col("cnt").alias("cnt_b")), "word_b")
+        .select(
+            "word_a", "word_b", "support", "cnt_a", "cnt_b",
+            F.expr("(support * 1000000000) div (cnt_a * cnt_b)").alias("lift_e9"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_e9"), F.desc("support"), "word_a", "word_b"
+    ).limit(25)
+
+
 # --- chunking & sampling (training-pipeline preprocessing) ------------------
 
 CHUNK_SIZE = 500     # chars per chunk

@@ -145,6 +145,69 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "win_moving_median",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type,
+             list_sort(list(cents) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM c
+    )
+    SELECT event_id, event_type,
+           CASE WHEN len(arr) % 2 = 1
+                THEN 2 * arr[(len(arr) + 1) // 2]
+                ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+           END AS med_x2_cents
+    FROM w
+    """,
+    tags=("window", "moving-median", "robust"),
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row EXACT moving median per event type — the robust
+    smoother (median filters shrug off the spikes that wreck moving
+    averages). Emits med_x2_cents = 2x the median in integer cents: for
+    an even window the median is the middle-pair mean, so doubling keeps
+    the value in exact integer arithmetic on both engines — no float
+    halving, bit-stable hash (same trick as the decimal-cents sums).
+
+    Scale shape: one window shuffle keyed on event_type; the trailing
+    frame keeps each collect bounded at 7 elements, so state per row is
+    O(window), not O(partition). The in-frame sort runs JVM-side
+    (sort_array) inside the projection."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    cents = (dec("value") * 100).cast("long")
+    return (
+        events.select("event_id", "event_type", "ts", cents.alias("cents"))
+        .select(
+            "event_id",
+            "event_type",
+            F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(
+                "CASE WHEN size(arr) % 2 = 1"
+                " THEN 2 * element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"
+                " ELSE element_at(arr, CAST(size(arr) div 2 AS INT))"
+                "      + element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) END"
+            ).alias("med_x2_cents"),
+        )
+    )
+
+
 def _with_global_rn(df: DataFrame, sort_cols: list[str], n_parts: int = 32) -> DataFrame:
     """Global row number WITHOUT a single-partition sort — the distributed
     two-pass idiom for rank/ntile/percent_rank/cume_dist over a whole table:

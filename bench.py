@@ -66,6 +66,11 @@ SF1_SUBSET = [
     # over an edge list that grows with the data) must stay ~linear
     "graph_pagerank_parts",
     "ts_interarrival_stats",
+    # round-9: unigram-model scoring (explode + token-keyed join + doc
+    # rollup) and collocation lift (two word-keyed joins bounded by
+    # vocabulary) — both shuffle on key cardinality, not raw tokens
+    "text_unigram_logprob",
+    "text_collocation_lift",
 ]
 
 

@@ -47,67 +47,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-9 order (computed from
-# CORRECTNESS_r0{1..8}.json latest-evidence rows, stale-first): (1) the 45
-# queries whose newest driver attestation is round 6, (2) any queries NEW
-# this round (appended just below the round-6 block by their modules), (3)
-# the 50 round-7-attested, (4) the 50 round-8-attested last.
+# evidence goes stale. Round-10 order (computed from
+# CORRECTNESS_r0{1..9}.json latest-evidence rows, stale-first): (1) the two
+# queries that landed after the r9 sweep and have never been driver-swept,
+# plus agg_hll_mergeable_rollup whose newest driver row predates its r9
+# hash-checkable oracle, (2) the 50 queries whose newest attestation is
+# round 7, (3) queries NEW this round, (4) round-8-attested, (5)
+# round-9-attested last.
 DRIVER_PRIORITY: list[str] = [
-    # --- stale: newest driver evidence round 6 (refresh first) ---
-    "dedup_containment_pairs",
-    "dedup_embedding_lsh_pairs",
-    "dedup_incremental_shard",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "fn_bitwise",
-    "graph_basket_lift",
-    "graph_frequent_pairs",
-    "graph_pagerank_parts",
-    "mm_audio_window_rms",
-    "mm_video_scene_cut",
-    "q1_pricing_summary",
-    "sample_mixture",
-    "sem_dedup_pairs",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "sim_sq_topk",
-    "text_bpe_pretokenize",
-    "text_decontaminate",
-    "text_dedup_keep_best",
-    "text_dup_passages",
-    "text_novelty_scores",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_vocab_growth",
-    "ts_anomaly_zscore",
-    "ts_asof_join_forward",
-    "ts_autocorr_lags",
-    "ts_changepoint_cusum",
-    "ts_dow_hour_heatmap",
-    "ts_downsample_lttb",
-    "ts_ema_current",
-    "ts_ema_rows",
-    "ts_interarrival_stats",
-    "ts_interpolate_linear",
-    "ts_ohlc_bars",
-    "ts_retention_cohorts",
-    "ts_seasonal_decompose",
-    "win_first_last",
-    "win_running_total",
-    "win_streaks",
-    "win_topn_per_group",
-    # --- NEW round-9 queries (no driver evidence yet) ---
-    "text_unigram_logprob",
-    "dedup_cluster_size_histogram",
-    "sim_ann_recall_audit",
-    "mm_image_phash_clusters",
-    "sample_hash_holdout",
+    # --- never driver-swept / stale no_oracle attestation: first (r9 verdict item 1) ---
     "text_collocation_lift",
     "win_moving_median",
-    # --- newest driver evidence round 7 ---
+    "agg_hll_mergeable_rollup",
+    # --- stale: newest driver evidence round 7 (refresh next) ---
     "agg_approx_sketches",
     "agg_mode_order_priority",
     "agg_weighted_median",
@@ -158,7 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "ts_range_join_pairs",
     "ts_sessionize",
     "ts_spike_hours",
-    # --- newest driver evidence round 8 (freshest; sweep last) ---
+    # --- NEW round-10 queries are appended here by their modules ---
+    # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",
     "agg_cube_flag_status",
@@ -167,7 +120,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_gini_user_activity",
     "agg_grouping_sets",
     "agg_histogram_buckets",
-    "agg_hll_mergeable_rollup",
     "agg_pivot_segment_balance",
     "agg_rollup_nation_segment",
     "agg_stats_moments",
@@ -209,6 +161,57 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
+    # --- round-9-attested (freshest, last) ---
+    "dedup_cluster_size_histogram",
+    "dedup_containment_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental_shard",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "fn_bitwise",
+    "graph_basket_lift",
+    "graph_frequent_pairs",
+    "graph_pagerank_parts",
+    "mm_audio_window_rms",
+    "mm_image_phash_clusters",
+    "mm_video_scene_cut",
+    "q1_pricing_summary",
+    "sample_hash_holdout",
+    "sample_mixture",
+    "sem_dedup_pairs",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sim_ann_recall_audit",
+    "sim_sq_topk",
+    "text_bpe_pretokenize",
+    "text_decontaminate",
+    "text_dedup_keep_best",
+    "text_dup_passages",
+    "text_novelty_scores",
+    "text_repetition_stats",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "text_vocab_growth",
+    "ts_anomaly_zscore",
+    "ts_asof_join_forward",
+    "ts_autocorr_lags",
+    "ts_changepoint_cusum",
+    "ts_dow_hour_heatmap",
+    "ts_downsample_lttb",
+    "ts_ema_current",
+    "ts_ema_rows",
+    "ts_interarrival_stats",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_retention_cohorts",
+    "ts_seasonal_decompose",
+    "win_first_last",
+    "win_running_total",
+    "win_streaks",
+    "win_topn_per_group",
 ]
 
 

@@ -95,9 +95,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a relation, not a collected dict, so a 100 TB vocabulary shards like
     any other key."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("tok")
-    ).persist()
+    # Deliberately NOT persisted: the exploded token relation is larger
+    # than the input corpus, so caching it at 100 TB spills more than the
+    # two scan-local re-reads it saves — and a persist held by a returned
+    # lazy DataFrame can never be released by this function (r9 verdict
+    # item 6: no cached relations may outlive the query).
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("total"))
     per_doc = (
@@ -474,7 +477,11 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens_col()
-    toks = docs.select(t.alias("t")).filter(F.size("t") >= 1).persist()
+    # Not persisted (r9 verdict item 6): both consumers are partial-
+    # aggregable counts over a scan-local tokenize — re-reading the
+    # parquet twice beats spilling an exploded token cache at 100 TB,
+    # and no cached relation outlives the returned lazy DataFrame.
+    toks = docs.select(t.alias("t")).filter(F.size("t") >= 1)
     uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )

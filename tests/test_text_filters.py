@@ -107,3 +107,20 @@ def test_chunk_cdc_single_token_doc_matches_oracle_shape(spark, tmp_path):
     assert rows[1]["max_chunk_tokens"] == 1
     assert rows[1]["avg_chunk_tokens_x1000"] == 1000
     assert rows[2]["n_tokens"] == 9
+
+
+def test_no_cached_relations_survive_text_queries(spark):
+    """r9 verdict item 6: text_unigram_logprob / text_collocation_lift must
+    not leave persisted relations behind — repeated library use would
+    accrete cached token relations (each larger than its input corpus)."""
+    from denali_spark.operators.text_analysis import (
+        text_collocation_lift,
+        text_unigram_logprob,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.catalog.clearCache()
+    assert text_unigram_logprob(spark, SF_SMOKE).count() > 0
+    assert text_collocation_lift(spark, SF_SMOKE).count() >= 0
+    leftover = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leftover.size() == 0, f"cached relations leaked: {leftover}"

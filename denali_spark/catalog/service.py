@@ -454,6 +454,19 @@ def _spec_file(e: dict, content: str) -> dict:
         out["equality-ids"] = e["equality-field-ids"]
     if e.get("referenced-data-file") is not None:
         out["referenced-data-file"] = e["referenced-data-file"]
+    # Remaining ContentFile/DataFile spec fields, so a consumer using ONLY
+    # spec fields (no x-denali-entry) loses nothing: first-row-id (V3 row
+    # lineage), the DV blob range (content-offset/content-size-in-bytes),
+    # spec-id and sort-order-id.
+    for ours, spec in (
+        ("first-row-id", "first-row-id"),
+        ("content-offset", "content-offset"),
+        ("content-size-in-bytes", "content-size-in-bytes"),
+        ("spec-id", "spec-id"),
+        ("sort-order-id", "sort-order-id"),
+    ):
+        if e.get(ours) is not None:
+            out[spec] = e[ours]
     return out
 
 

@@ -322,6 +322,92 @@ def summary_totals(files: list[dict]) -> dict[str, str]:
     }
 
 
+def entries_from_spec_plan(
+    tasks: list[dict],
+    delete_specs: list[dict],
+    schema_id: int,
+    target_schema: dict | None,
+) -> tuple[list[dict], list[dict]]:
+    """Reconstruct internal scan entries from the spec's own FileScanTask /
+    ContentFile fields ONLY — `x-denali-entry` is deliberately never read.
+    This is the consumption path a NON-denali engine would take, proving
+    the PlanTableScan response is complete per the spec's interop intent
+    (r9 verdict item 3; same reasoning as the golden spec-Avro manifests).
+
+    The one spec subtlety: the plan carries NO sequence numbers — delete
+    applicability is pre-resolved into each task's delete-file-references.
+    The engine's apply step compares sequence numbers, so this function
+    reconstructs a RELATIVE order that reproduces the references exactly:
+    an equality delete's reference count #{data file D : seq(D) < seq(d)}
+    is monotone in seq(d), so dense-ranking equality deletes by reference
+    count recovers their order, and each data file's synthetic sequence is
+    the highest rank among equality deletes it does NOT reference (it sits
+    just above everything that no longer applies to it). Position deletes
+    and DVs need no order — they bind by (file, pos) / referenced-data-file.
+
+    Spec-only limits (documented, extension path covers them): files are
+    assumed to be on the plan's snapshot schema (real engines project by
+    the field IDs embedded in the data file — our parquet records the
+    write schema-id in the manifest instead), and equality-delete key
+    names resolve via the current schema (a key column renamed AFTER the
+    delete was written needs `x-denali-entry`)."""
+    ref_sets = [set(t.get("delete-file-references") or ()) for t in tasks]
+    eq_idx = [
+        i for i, d in enumerate(delete_specs)
+        if d.get("content") == "equality-deletes"
+    ]
+    refcount = {i: sum(1 for rs in ref_sets if i in rs) for i in eq_idx}
+    rank = {
+        cnt: r
+        for r, cnt in enumerate(sorted(set(refcount.values())), start=1)
+    }
+    eq_rank = {i: rank[refcount[i]] for i in eq_idx}
+
+    def _base(spec: dict, content: str) -> dict:
+        e = {
+            "content": content,
+            "path": spec["file-path"],
+            "file-format": spec.get("file-format", "PARQUET").lower(),
+        }
+        for theirs, ours in (
+            ("file-size-in-bytes", "file-size-bytes"),
+            ("record-count", "record-count"),
+            ("partition", "partition"),
+            ("first-row-id", "first-row-id"),
+            ("content-offset", "content-offset"),
+            ("content-size-in-bytes", "content-size-in-bytes"),
+            ("referenced-data-file", "referenced-data-file"),
+        ):
+            if spec.get(theirs) is not None:
+                e[ours] = spec[theirs]
+        return e
+
+    data_entries = []
+    referenced: set[int] = set().union(*ref_sets) if ref_sets else set()
+    for t, rs in zip(tasks, ref_sets):
+        e = _base(t["data-file"], "data")
+        e["schema-id"] = schema_id
+        e["sequence-number"] = max(
+            (eq_rank[i] for i in eq_idx if i not in rs), default=0
+        )
+        data_entries.append(e)
+    delete_entries = []
+    by_id = {
+        f["id"]: f["name"] for f in (target_schema or {}).get("fields", [])
+    }
+    for i, d in enumerate(delete_specs):
+        if i not in referenced:
+            continue  # prune-dropped data files took their deletes with them
+        e = _base(d, d.get("content", "position-deletes"))
+        if d.get("equality-ids") is not None:
+            fids = list(d["equality-ids"])
+            e["equality-field-ids"] = fids
+            e["equality-columns"] = [by_id[f] for f in fids]
+            e["sequence-number"] = eq_rank[i]
+        delete_entries.append(e)
+    return data_entries, delete_entries
+
+
 def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
     """Manifest entries → (data files, delete files). The `content` field
     mirrors Iceberg's ContentFile discriminator; absent means data."""
@@ -412,7 +498,7 @@ class SparkCatalogIO:
         as_of_ms: int | None = None,
         report_metrics: bool = False,
         with_row_ids: bool = False,
-        server_plan: bool = False,
+        server_plan: bool | str = False,
     ) -> DataFrame:
         """spark.table('cat.ns.t') equivalent; snapshot_id/ref give
         `VERSION AS OF` / branch-tag time travel; as_of_ms gives
@@ -428,6 +514,10 @@ class SparkCatalogIO:
         the manifest IO and pruning move off the engine driver, which is
         the spec feature's point for high-file-count tables. The exact
         residual `where` filter still runs engine-side.
+        server_plan="spec" additionally forbids the extension: the scan
+        is reconstructed from the spec's own FileScanTask/ContentFile
+        fields alone (entries_from_spec_plan) — the path a non-denali
+        engine consuming the plan would take.
 
         with_row_ids=True appends the V3 row-lineage `_row_id` column
         (file first-row-id + in-file position — stable across carried-over
@@ -464,8 +554,16 @@ class SparkCatalogIO:
                 tasks.extend(shard.get("file-scan-tasks", []))
                 if not delete_specs:
                     delete_specs = list(shard.get("delete-files", []))
-            entries = [t["data-file"]["x-denali-entry"] for t in tasks]
-            delete_entries = [d["x-denali-entry"] for d in delete_specs]
+            if server_plan == "spec":
+                from denali_spark.sources.schema_evolution import schema_by_id
+
+                sid = snap.get("schema-id", md["current-schema-id"])
+                entries, delete_entries = entries_from_spec_plan(
+                    tasks, delete_specs, sid, schema_by_id(md, sid)
+                )
+            else:
+                entries = [t["data-file"]["x-denali-entry"] for t in tasks]
+                delete_entries = [d["x-denali-entry"] for d in delete_specs]
         else:
             entries, delete_entries = split_entries(
                 self._manifest_entries(snap["manifest-list"])

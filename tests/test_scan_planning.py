@@ -167,3 +167,74 @@ def test_plan_tasks_pagination(spark, io, monkeypatch):
 
     with pytest.raises(Exception, match="malformed|plan-task"):
         io.client.fetch_scan_tasks(["plan3"], "many", "not-a-handle")
+
+
+def test_spec_only_plan_consumption(spark, io, monkeypatch):
+    """r9 verdict item 3: server_plan="spec" reconstructs the scan from
+    the spec's FileScanTask/ContentFile fields ALONE — the test strips
+    `x-denali-entry` from every plan response, so any read of it would
+    KeyError. Covers the hard part: no sequence numbers in the spec, so
+    equality-delete applicability must be recovered from the reference
+    matrix (append A → eq-delete 1 → append B: the delete must hit A's
+    rows but NOT B's re-insert of the same key), plus DV position
+    deletes bound by referenced-data-file."""
+    from denali_spark.sources import delete_where_dv, equality_delete
+
+    io.write_table(
+        spark.range(0, 30).select("id", (F.col("id") * 10).alias("v")),
+        ["plan"], "speconly", mode="overwrite", num_files=2,
+    )
+    # equality delete ids {3, 7} — applies to the first append only
+    equality_delete(
+        io, ["plan"], "speconly",
+        spark.createDataFrame([(3,), (7,)], "id long"), on=["id"],
+    )
+    # re-insert id=3 AFTER the delete: spec sequence rules say it survives
+    io.write_table(
+        spark.createDataFrame([(3, 999)], "id long, v long"),
+        ["plan"], "speconly", mode="append", num_files=1,
+    )
+    # DV position delete on top
+    delete_where_dv(
+        io, ["plan"], "speconly", {"type": "lt", "term": "id", "value": 2}
+    )
+
+    def strip(obj):
+        if isinstance(obj, dict):
+            return {
+                k: strip(v) for k, v in obj.items() if k != "x-denali-entry"
+            }
+        if isinstance(obj, list):
+            return [strip(v) for v in obj]
+        return obj
+
+    real_plan = io.client.plan_table_scan
+    real_fetch = io.client.fetch_scan_tasks
+    monkeypatch.setattr(
+        io.client, "plan_table_scan",
+        lambda *a, **kw: strip(real_plan(*a, **kw)),
+    )
+    monkeypatch.setattr(
+        io.client, "fetch_scan_tasks",
+        lambda *a, **kw: strip(real_fetch(*a, **kw)),
+    )
+
+    got = sorted(
+        (r["id"], r["v"])
+        for r in io.read_table(["plan"], "speconly", server_plan="spec").collect()
+    )
+    want = sorted(
+        [(i, i * 10) for i in range(2, 30) if i not in (3, 7)] + [(3, 999)]
+    )
+    assert got == want
+
+    # filtered spec-only read: server prunes + engine residual still exact
+    got2 = sorted(
+        r["id"]
+        for r in io.read_table(
+            ["plan"], "speconly",
+            where={"type": "lt", "term": "id", "value": 6},
+            server_plan="spec",
+        ).collect()
+    )
+    assert got2 == [2, 3, 4, 5]

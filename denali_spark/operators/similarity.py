@@ -364,6 +364,8 @@ def sim_lsh_search(
     spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = 5,
     extra_buckets: DataFrame | None = None,
     extra_vecs: DataFrame | None = None,
+    base_buckets: DataFrame | None = None,
+    base_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k for EXTERNAL probe vectors over the materialized bucket
     index — the query-time path of a real pipeline: embed a query, hash it
@@ -376,13 +378,19 @@ def sim_lsh_search(
     ingest sink (streaming/embeddings_stream.py) hashes each micro-batch
     into the same (vec_id, t, bucket) layout, and searches union it in —
     the base index stays fingerprint-stable while the searchable corpus
-    grows.
+    grows. `base_buckets`/`base_vecs` REPLACE the corpus-derived base
+    index entirely — the read path of a folded generation
+    (streaming.embeddings_stream.fold_streamed_index), which already
+    contains the base plus every folded micro-batch.
 
     Scale shape: the corpus side is the pre-built index + one vector fetch
     join; only the (tiny) probe relation pays hashing at query time and it
     broadcasts into both joins. Returns (query_id, neighbor_id, cos, rn)."""
-    v = _vecs(spark, sf_dir)
-    b = lsh_bucket_index(spark, sf_dir)
+    v = base_vecs if base_vecs is not None else _vecs(spark, sf_dir)
+    b = (
+        base_buckets if base_buckets is not None
+        else lsh_bucket_index(spark, sf_dir)
+    )
     if extra_buckets is not None:
         b = b.unionByName(extra_buckets)
     if extra_vecs is not None:

@@ -201,3 +201,102 @@ def test_streaming_embedding_dedup_guard(spark, tmp_path):
     assert twin[2_000_001][0] is False
     assert twin[2_000_002] == (True, 2_000_001)
     assert twin[2_000_003] == (True, 2_000_001)
+
+
+def test_fold_streamed_index_lifecycle(spark, tmp_path):
+    """r9 verdict item 5: fold_streamed_index completes the online-index
+    lifecycle — search over the folded generation (no grafts) equals the
+    grafted search, a replayed fold is a no-op, the streamed store is
+    truncated, and a post-fold batch folds incrementally into gen-2."""
+    import os
+
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_index,
+        read_folded_index,
+    )
+
+    bucket_dir = str(tmp_path / "fold-buckets")
+    vec_dir = str(tmp_path / "fold-vecs")
+    index_root = str(tmp_path / "fold-index")
+    sink = make_embedding_index_sink(bucket_dir, vec_dir)
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    twin = base.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 0.999).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    others = spark.createDataFrame(
+        [
+            (1_000_001 + i, [float((i + 2) * (j % 7) - 3.0) for j in range(64)])
+            for i in range(2)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    sink(twin, 0)
+    sink(others, 1)
+
+    probes = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rn"])
+            for r in df.collect()
+        )
+
+    grafted = rows(
+        sim_lsh_search(
+            spark, SF, probes, k=5,
+            extra_buckets=read_streamed_buckets(spark, bucket_dir),
+            extra_vecs=read_streamed_vectors(spark, vec_dir),
+        )
+    )
+
+    rep = fold_streamed_index(
+        spark, SF, bucket_dir, vec_dir, index_root=index_root
+    )
+    assert rep == {"generation": 1, "folded_batches": [0, 1], "noop": False}
+    fb, fv = read_folded_index(spark, index_root)
+    folded = rows(
+        sim_lsh_search(spark, SF, probes, k=5, base_buckets=fb, base_vecs=fv)
+    )
+    assert folded == grafted
+    # streamed store truncated; a replayed fold is a no-op
+    assert read_streamed_buckets(spark, bucket_dir) is None
+    assert read_streamed_vectors(spark, vec_dir) is None
+    rep2 = fold_streamed_index(
+        spark, SF, bucket_dir, vec_dir, index_root=index_root
+    )
+    assert rep2["noop"] and rep2["generation"] == 1
+    assert folded == rows(
+        sim_lsh_search(spark, SF, probes, k=5, base_buckets=fb, base_vecs=fv)
+    )
+
+    # a replayed SINK write of an already-folded batch is swept, not refolded
+    sink(twin, 0)
+    rep3 = fold_streamed_index(
+        spark, SF, bucket_dir, vec_dir, index_root=index_root
+    )
+    assert rep3["noop"]
+    assert not os.path.isdir(os.path.join(bucket_dir, "batch_id=0"))
+
+    # incremental: a genuinely new batch folds into gen-2 without
+    # recomputing gen-1, and search sees it with no grafts
+    late = spark.createDataFrame(
+        [(1_000_009, [float((j % 5) - 2.0) for j in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    sink(late, 2)
+    rep4 = fold_streamed_index(
+        spark, SF, bucket_dir, vec_dir, index_root=index_root
+    )
+    assert rep4 == {"generation": 2, "folded_batches": [2], "noop": False}
+    fb2, fv2 = read_folded_index(spark, index_root)
+    assert sorted(
+        r["vec_id"] for r in fv2.filter(F.col("vec_id") >= 1_000_000).collect()
+    ) == [1_000_000, 1_000_001, 1_000_002, 1_000_009]
+    # gen-1 retained under keep_generations=2, gen-0 is the base (implicit)
+    assert os.path.isdir(os.path.join(index_root, "gen-1"))

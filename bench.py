@@ -35,6 +35,25 @@ common-set ratio vs BENCH_r08 exceeds 1.10x): two quiet local runs
 measured common-28 ratios of 0.965 and 0.987 vs BENCH_r08 — faster, no
 A/B warranted; worst single-query movers were sub-second queries inside
 the ±25% jitter band.
+
+Round-10 adjudication of the r9 sf1 dedup_connected_components move
+(2.88s -> 4.0s in the driver bench): REAL, two compounding causes, both
+fixed. Same-box worktree A/B vs the r8 tag (fresh process per leg,
+median-of-3): r8 3.39s vs r9-shape 4.25s (1.26x) — (a) r9's EAGER
+per-round localCheckpoint ran a second job per iteration, and (b) the
+checkpointed LogicalRDD has no size statistics, so every in-loop and
+final join silently degraded from broadcast to sort-merge (verified in
+executedPlan). Checkpointing every K=3 rounds instead was WORSE (6.33s:
+intermediate rounds re-EXECUTE the 2^d join fan-out). Fix: LAZY
+localCheckpoint (plan truncates at creation, blocks materialize inside
+the convergence-aggregate job — one job per round, as r8) plus explicit
+driver-gated broadcast of the label relation (row count rides the
+convergence aggregate; falls back to shuffle past CC_BROADCAST_ROWS).
+In-process alternating A/B after the fix: HEAD 3.49-3.65s vs r8-shape
+3.88-4.43s — at or below the r8 cost with the flat plan retained.
+Fresh-process legs still swing +-30% on this box (every leg's 3-sample
+set contained one 9-14s outlier), which is the variance the driver's
+single-run sf1 numbers inherit.
 """
 
 from __future__ import annotations

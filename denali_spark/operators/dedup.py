@@ -616,6 +616,16 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # On non-convergence the query WARNS instead of silently returning split
 # components (round-2 ADVICE #5).
 CC_MAX_ROUNDS = 50
+# Label relations smaller than this broadcast into the per-round join and
+# the final singleton join. A checkpointed relation is a LogicalRDD with
+# no size statistics, so Catalyst would pick sort-merge unconditionally
+# (the r10 sf1 A/B measured that at 1.2-1.3x vs r8's stats-driven
+# broadcasts); the loop already reads a 1-row convergence aggregate per
+# round, so the row count rides along free and the driver makes the same
+# small-side call the optimizer would have — with an explicit shuffle
+# fallback once the label table outgrows a broadcast (2M rows x ~16 bytes
+# stays well under the 64 MB broadcast threshold).
+CC_BROADCAST_ROWS = 2_000_000
 
 
 def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -634,12 +644,17 @@ def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     Lineage discipline: each round's label relation references the prior
     round TWICE (once directly in the union, once through the messages),
     so keeping logical lineage would nest the upstream pair pipeline
-     2^rounds times — with an expensive pair generator (e.g. the phash
-    decode kernel) the plan alone overwhelms the driver. localCheckpoint
-    truncates lineage per round; the checkpointed relations are the edge
-    list and the label table (both ∝ near-dup density, tiny next to the
-    corpus), and the loop was already executing every round for its
-    convergence aggregate, so eager materialization adds no extra pass."""
+    2^rounds times — with an expensive pair generator (e.g. the phash
+    decode kernel) the plan alone overwhelms the driver. A LAZY
+    localCheckpoint per round truncates the plan at creation (LogicalRDD)
+    while the blocks materialize inside the round's convergence-aggregate
+    job — one job per round, the same count as a plain persist(), with
+    none of the plan growth. (The r10 sf1 A/B vs the r8 tag measured the
+    r9 EAGER variant's extra job at 1.26x; checkpointing every K=3 rounds
+    was 1.9x — intermediate rounds re-EXECUTED the 2^d join fan-out that
+    the flat plan only used to describe.) The checkpointed relations are
+    the edge list and the label table, both ∝ near-dup density, tiny
+    next to the corpus."""
     # Symmetrize with explode, not union: a union would reference the pairs
     # DAG from two branches and execute the whole pair pipeline twice.
     edges = (
@@ -652,7 +667,7 @@ def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # The loop runs over edge-connected nodes only (near-dup density is a
     # small fraction of any real corpus); singleton documents join back in
@@ -661,20 +676,35 @@ def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    prev_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
+    first = labels.agg(F.sum("lbl"), F.count(F.lit(1))).first() or [0, 0]
+    prev_sum, n_labels = first[0] or 0, first[1] or 0
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_labels <= CC_BROADCAST_ROWS else df
+
     converged = False
     for _ in range(CC_MAX_ROUNDS):  # cap >> any real near-dup cluster diameter
         msgs = edges.join(
-            labels, edges["src"] == labels["node"]
+            _small(labels), edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "lbl")
         old = labels
+        # LAZY local checkpoint: the Catalyst plan truncates to a
+        # LogicalRDD immediately (killing the 2^rounds nesting), but the
+        # blocks materialize inside the convergence-aggregate job below —
+        # ONE job per round, like r8's plain persist(). r9's EAGER
+        # checkpoint ran a second job per round (the r10 same-box sf1 A/B
+        # measured the combination of that and the lost broadcasts at
+        # 1.2-1.3x vs r8); lazy + the explicit broadcast above restores
+        # the r8 job count and physical plans with none of the 2^rounds
+        # plan growth.
         labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        old.unpersist()
-        new_sum = (labels.agg(F.sum("lbl")).first() or [0])[0] or 0
+        ).localCheckpoint(eager=False)
+        agg = labels.agg(F.sum("lbl"), F.count(F.lit(1))).first() or [0, 0]
+        new_sum, n_labels = agg[0] or 0, agg[1] or 0
+        old.unpersist()  # safe: the new round's blocks are materialized
         if new_sum == prev_sum:
             converged = True
             break
@@ -695,7 +725,9 @@ def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             stacklevel=2,
         )
     edges.unpersist()
-    return nodes.join(labels, nodes["doc_id"] == labels["node"], "left").select(
+    return nodes.join(
+        _small(labels), nodes["doc_id"] == labels["node"], "left"
+    ).select(
         "doc_id",
         F.coalesce(F.col("lbl"), F.col("doc_id")).alias("component"),
         (F.col("doc_id") == F.coalesce(F.col("lbl"), F.col("doc_id"))).alias(

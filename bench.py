@@ -54,6 +54,16 @@ In-process alternating A/B after the fix: HEAD 3.49-3.65s vs r8-shape
 Fresh-process legs still swing +-30% on this box (every leg's 3-sample
 set contained one 9-14s outlier), which is the variance the driver's
 single-run sf1 numbers inherit.
+
+Server-plan probe (r9 verdict item 4, `server_plan` key): 64-file sorted
+lineitem table, stats-pruning filter, median-of-3 — engine-planned
+0.284s vs server-planned 0.241s at sf0.1. Server planning wins even
+with the catalog in-process, because the client swaps N local manifest
+Avro reads + per-file pruning for one POST whose response is already
+pruned; the crossover is therefore at ONE manifest of distance — on a
+real deployment the gap widens with file count x catalog round-trip
+asymmetry (the engine driver pays O(manifests) object-store GETs vs one
+HTTP call to a server that keeps manifests hot).
 """
 
 from __future__ import annotations
@@ -189,6 +199,51 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     warm = _time(lambda: minhash_signature_index(spark, sf_dir).count())
     return {"minhash_cold_build": cold, "minhash_warm_read": warm}
 
+def server_plan_probe(spark, sf_dir: str) -> dict:
+    """Server-planned vs engine-planned reads of a many-file catalog table
+    (r9 verdict item 4: the PlanTableScan design claim — manifest IO and
+    stats pruning move off the engine driver — needs a number). A 64-file
+    lineitem table sorted by l_orderkey gives per-file min/max ranges, so
+    the `where` below prunes ~3/4 of the files on whichever side plans.
+    Both paths run the identical Spark scan afterwards; the measured
+    difference is purely WHERE planning happens (engine walks + prunes
+    manifests locally vs one POST returning pre-pruned file-scan-tasks)."""
+    import shutil
+    import tempfile
+
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+
+    wh = tempfile.mkdtemp(prefix="denali-bench-wh-")
+    server = CatalogServer(make_state(wh)).start()
+    try:
+        io = SparkCatalogIO(spark, server.uri)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        hi = li.agg({"l_orderkey": "max"}).first()[0]
+        io.write_table(
+            li, ["bench"], "li", mode="overwrite",
+            sort_by=["l_orderkey"], num_files=64,
+        )
+        where = {"type": "lt", "term": "l_orderkey", "value": int(hi) // 4}
+        out = {
+            "files": 64,
+            "engine_planned": _time(
+                lambda: io.read_table(["bench"], "li", where=where).count(),
+                runs=3, stat="median",
+            ),
+            "server_planned": _time(
+                lambda: io.read_table(
+                    ["bench"], "li", where=where, server_plan=True
+                ).count(),
+                runs=3, stat="median",
+            ),
+        }
+        return out
+    finally:
+        server.stop()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 HEADLINE = [
     # Relational core (TPC-H adaptations)
     "q1_pricing_summary",
@@ -281,6 +336,10 @@ def main() -> None:
     }
     if index is not None:
         result["index"] = index
+    try:
+        result["server_plan"] = server_plan_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
+        result["server_plan_error"] = f"{type(exc).__name__}: {exc}"
 
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         try:

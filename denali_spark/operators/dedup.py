@@ -1177,3 +1177,121 @@ def dedup_embedding_pairs(
         )
         .filter(F.col("cos") >= 0.8)
     )
+
+
+# Band-geometry tuning: the (bands x rows) grid sliceable from the 16-hash
+# signature, and the agreement threshold (k of 16 positions ~ estimated
+# Jaccard 0.75) used as the "true near-dup" proxy when grading each
+# geometry's candidate set.
+BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+HIGH_AGREE = 12
+
+
+def _band_cond(b: int, r: int) -> str:
+    ors = []
+    for i in range(b):
+        ors.append(
+            "(" + " AND ".join(
+                f"a.sig_{i * r + p} = b.sig_{i * r + p}" for p in range(r)
+            ) + ")"
+        )
+    return " OR ".join(ors)
+
+
+_SQL_AGREE = " + ".join(
+    f"(CASE WHEN sa.sig_{p} = sb.sig_{p} THEN 1 ELSE 0 END)" for p in range(16)
+)
+
+_SQL_TUNING_ARMS = "\n      UNION ALL\n".join(
+    f"""
+      SELECT CAST({b} AS BIGINT) AS n_bands, CAST({r} AS BIGINT) AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN k >= {HIGH_AGREE} THEN 1 ELSE 0 END) AS BIGINT) AS n_high_agree,
+             CAST(SUM(CASE WHEN k = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_agree
+      FROM (
+        SELECT ({_SQL_AGREE}) AS k
+        FROM (
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_band_cond(b, r)})
+        ) c
+        JOIN sig sa ON sa.doc_id = c.i
+        JOIN sig sb ON sb.doc_id = c.j
+      )
+    """
+    for b, r in BAND_CONFIGS
+)
+
+
+@query(
+    "dedup_minhash_band_tuning",
+    oracle=_SQL_SIG_BASE + _SQL_TUNING_ARMS,
+    tags=("dedup", "minhash", "tuning"),
+)
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve: for every band geometry the 16-hash
+    signature supports (16x1 ... 2x8), the candidate-pair count plus how
+    many candidates clear the high-agreement bar (k >= 12 of 16 positions,
+    ~ Jaccard 0.75) and full agreement — the measured precision/recall
+    trade the analytic 1-(1-s^r)^b curve only predicts. This is the query
+    an index operator runs BEFORE committing a banding to a 100 TB
+    re-dedup: wide-short geometries recall everything but flood the
+    verifier; narrow-tall ones are precise but drop borderline twins.
+
+    Scale shape: each arm is the standard banded self-join (candidates
+    confined to same-band buckets — never all-pairs), agreement is an
+    integer position-count on the candidate relation only, and each arm
+    reduces to ONE aggregate row before the 4-row union. All arms re-read
+    the materialized signature index, so the corpus is never re-hashed."""
+    sig_cols = [f"sig_{i}" for i in range(16)]
+    sigs = minhash_signature_index(spark, sf_dir).select("doc_id", *sig_cols)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.sig_{p}") == F.col(f"sb.sig_{p}"), 1).otherwise(0)
+        for p in range(16)
+    )
+    arms = []
+    for b, r in BAND_CONFIGS:
+        keyed = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"sig_{i * r + p}").cast("string") for p in range(r)],
+                        ).alias("key"),
+                    )
+                    for i in range(b)
+                ])
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        cand = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), ["band", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+            .distinct()
+        )
+        graded = (
+            cand.join(sa, F.col("i") == F.col("sa.doc_id"))
+            .join(sb, F.col("j") == F.col("sb.doc_id"))
+            .select(agree.alias("k"))
+        )
+        arms.append(
+            graded.agg(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(
+                    F.when(F.col("k") >= HIGH_AGREE, 1).otherwise(0)
+                ).cast("long").alias("n_high_agree"),
+                F.sum(F.when(F.col("k") == 16, 1).otherwise(0))
+                .cast("long").alias("n_full_agree"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -805,3 +805,82 @@ def mm_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
     )
     return propagate_min_labels(pairs, docs.select("doc_id"))
+
+
+@query(
+    "mm_modality_coverage",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id // 2 AS asset_id, source,
+             CAST(n_chars AS BIGINT) AS img_bytes
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+    ), caps AS (
+      SELECT (doc_id - 1) // 2 AS asset_id, source AS cap_source,
+             CAST(n_chars AS BIGINT) AS cap_chars
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+    ), assets AS (
+      SELECT COALESCE(i.source, c.cap_source) AS source,
+             (i.asset_id IS NOT NULL AND c.asset_id IS NOT NULL) AS paired,
+             (i.asset_id IS NOT NULL AND c.asset_id IS NULL) AS image_only,
+             COALESCE(i.img_bytes, 0) AS img_bytes
+      FROM imgs i FULL OUTER JOIN caps c USING (asset_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN paired THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+           CAST(SUM(CASE WHEN image_only THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+           CAST(SUM(CASE WHEN NOT paired AND NOT image_only THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_only,
+           CAST((SUM(CASE WHEN paired THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS paired_pct_e4,
+           CAST(SUM(img_bytes) AS BIGINT) AS total_img_bytes
+    FROM assets GROUP BY source
+    """,
+    tags=("multimodal", "coverage", "join"),
+)
+def mm_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image pairing coverage per source: the completeness audit
+    every multimodal training pipeline runs before building (image,
+    caption) pairs — how many assets have both modalities, how many are
+    orphaned on either side, and the byte budget the paired subset
+    carries. Assets are derived deterministically from the documents
+    table (even ids = image payloads, odd = captions; the %7 / %5 drop
+    rules stand in for decode failures and missing alt-text), so both
+    engines see the identical modality census at any scale factor.
+
+    Scale shape: two scan-local filtered projections of the same table,
+    one FULL OUTER equi-join hash-partitioned on asset_id (each side
+    narrow: id + source + one integer), then a partial-aggregable rollup
+    on the tiny source key space. At 100 TB the join is the only
+    shuffle, and it moves ids and counters, never payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    imgs = docs.filter((did % 2 == 0) & (did % 7 != 0)).select(
+        (did / 2).cast("long").alias("asset_id"),
+        F.col("source").alias("img_source"),
+        F.col("n_chars").cast("long").alias("img_bytes"),
+    )
+    caps = docs.filter((did % 2 == 1) & (did % 5 != 0)).select(
+        ((did - 1) / 2).cast("long").alias("asset_id"),
+        F.col("source").alias("cap_source"),
+    )
+    assets = imgs.join(caps, "asset_id", "full_outer").select(
+        F.coalesce("img_source", "cap_source").alias("source"),
+        (
+            F.col("img_source").isNotNull() & F.col("cap_source").isNotNull()
+        ).alias("paired"),
+        (
+            F.col("img_source").isNotNull() & F.col("cap_source").isNull()
+        ).alias("image_only"),
+        F.coalesce("img_bytes", F.lit(0)).alias("img_bytes"),
+    )
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(F.when(F.col("paired"), 1).otherwise(0)).cast("long").alias("n_paired"),
+        F.sum(F.when(F.col("image_only"), 1).otherwise(0))
+        .cast("long").alias("n_image_only"),
+        F.sum(F.when(~F.col("paired") & ~F.col("image_only"), 1).otherwise(0))
+        .cast("long").alias("n_caption_only"),
+        F.expr(
+            "(sum(CASE WHEN paired THEN 1 ELSE 0 END) * 10000) div count(1)"
+        ).alias("paired_pct_e4"),
+        F.sum("img_bytes").cast("long").alias("total_img_bytes"),
+    )

@@ -110,7 +110,13 @@ DRIVER_PRIORITY: list[str] = [
     "ts_range_join_pairs",
     "ts_sessionize",
     "ts_spike_hours",
-    # --- NEW round-10 queries are appended here by their modules ---
+    # --- NEW round-10 queries (no driver evidence yet) ---
+    "dedup_minhash_band_tuning",
+    "mm_modality_coverage",
+    "sample_temperature_mixture",
+    "sim_ivf_balance",
+    "text_token_fertility",
+    "ts_max_drawdown",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

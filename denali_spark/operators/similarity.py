@@ -1407,3 +1407,51 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_K)
         .select("query_id", "neighbor_id", "qdot", "rn")
     )
+
+
+@query(
+    "sim_ivf_balance",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    assign_scored AS (
+      SELECT v.vec_id, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cid
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    occ AS (
+      SELECT cid, COUNT(*) AS cell_size
+      FROM assign_scored WHERE arn = 1 GROUP BY cid
+    )
+    SELECT CAST(cell_size AS BIGINT) AS cell_size,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(cell_size * COUNT(*) AS BIGINT) AS n_vecs
+    FROM occ GROUP BY cell_size
+    """,
+    tags=("similarity", "ann", "ivf", "stats"),
+)
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy histogram: how many inverted lists hold how many
+    vectors — the index-health number for an IVF deployment (a fat cell
+    means a probe that hits it degenerates toward brute force; a sea of
+    near-empty cells means the centroid budget is wasted). The ANN twin
+    of dedup_cluster_size_histogram, and the monitoring query behind
+    "rebalance the index" decisions.
+
+    Scale shape: reads the MATERIALIZED inverted lists (built once per
+    corpus, partitioned by cid), so the occupancy count is one
+    partial-aggregable groupBy over (vec_id, cid) pairs; the histogram is
+    a second rollup over the ≤ #centroids occupancy relation — both
+    shuffles bounded by index cardinality, never touching the vectors."""
+    lists = ivf_inverted_lists(spark, sf_dir)
+    occ = lists.groupBy("cid").agg(F.count(F.lit(1)).alias("cell_size"))
+    return occ.groupBy("cell_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.col("cell_size") * F.count(F.lit(1))).cast("long").alias("n_vecs"),
+    ).select(F.col("cell_size").cast("long").alias("cell_size"), "n_cells", "n_vecs")

@@ -1613,3 +1613,122 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(lens).cast("long").alias("max_chunk_tokens"),
         F.expr(f"(n * 1000) div (size(bpos) - 1)").alias("avg_chunk_tokens_x1000"),
     )
+
+
+@query(
+    "text_token_fertility",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({SQL_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           (CAST(SUM(len({SQL_TOKENS.format(c='text')})) AS BIGINT) * 1000)
+             // CAST(SUM(n_chars) AS BIGINT) AS fertility_e3
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "tokenizer", "stats"),
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (language, source): tokens emitted per 1000
+    characters — the number that decides how much compute a corpus slice
+    actually costs to train on (high-fertility languages burn sequence
+    budget; a fertility jump inside one source flags mojibake or
+    boilerplate). Integer tokens-per-kilochar, so the hash is bit-stable.
+
+    Scale shape: tokenization is scan-local (size() of the split — the
+    token ARRAY never shuffles), then one partial-aggregable groupBy on
+    the tiny (lang, source) key space; the division happens on the final
+    bounded relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_col())).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "source", "n_docs", "n_tokens", "n_chars",
+            F.expr("(n_tokens * 1000) div n_chars").alias("fertility_e3"),
+        )
+    )
+
+
+# Temperature-scaled source mixing (the multilingual-pretraining knob:
+# sample shares proportional to n^alpha, alpha=1/2, so big sources are
+# tempered and small ones boosted). w_s = isqrt(src_chars) keeps the
+# weights integer-exact on both engines: SQRT over an int64-exact double
+# is correctly rounded per IEEE-754 in Spark and DuckDB alike, and FLOOR
+# then pins the same integer. Keep-rate per source (capped at 1 by the
+# threshold clamp):
+#   r_s = TEMP_BUDGET * (w_s / sum_w) * total_chars / src_chars
+# applied through the same 16-bit md5 coin as sample_mixture.
+TEMP_BUDGET = (1, 2)  # keep 1/2 of total chars, redistributed by sqrt-share
+TEMP_SALT = "denali-temperature-v1"
+_TEMP_TI = (
+    f"(CAST(65536 AS BIGINT) * {TEMP_BUDGET[0]} * w * total_chars)"
+    f" {{div}} ({TEMP_BUDGET[1]} * sum_w * src_chars)"
+)
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             SUM(CAST(n_chars AS BIGINT)) AS src_chars,
+             CAST(FLOOR(SQRT(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE))) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), th AS (
+      SELECT source, {_TEMP_TI.format(div='//')} AS ti
+      FROM (SELECT source, src_chars, w,
+                   SUM(src_chars) OVER () AS total_chars,
+                   SUM(w) OVER () AS sum_w
+            FROM stats)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN th USING (source)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':{TEMP_SALT}'), 1, 4) <
+          CASE WHEN ti >= 65536 THEN 'zzzz'
+               ELSE lpad(lower(to_hex(ti)), 4, '0') END
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (sample shares ∝ sqrt of source
+    size): the standard fix for web-scale corpora where two mirror-heavy
+    sources would otherwise drown every curated one. Deterministic md5
+    coin → reproducible subset; integer thresholds → bit-stable hash.
+
+    100 TB shape: one partial-aggregable groupBy builds per-source char
+    totals (≤ #sources rows), two windows over that bounded relation
+    derive the temperature weights, and the threshold table BROADCASTS
+    into a scan-local filter — the corpus itself never shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    every = Window.partitionBy(F.lit(1))
+    rates = (
+        docs.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("src_chars"))
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("src_chars").cast("double"))).cast("long"),
+        )
+        .withColumn("total_chars", F.sum("src_chars").over(every))
+        .withColumn("sum_w", F.sum("w").over(every))
+        .withColumn("ti", F.expr(_TEMP_TI.format(div="div")))
+    )
+    threshold = F.when(F.col("ti") >= 65536, F.lit("zzzz")).otherwise(
+        F.lpad(F.lower(F.hex(F.col("ti"))), 4, "0")
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{TEMP_SALT}"))),
+        1, 4,
+    )
+    return (
+        docs.join(F.broadcast(rates.select("source", threshold.alias("th"))), "source")
+        .where(coin < F.col("th"))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -1340,3 +1340,58 @@ def ts_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SPIKE_TOP_K)
         .select("event_type", "hour_id", "n", "jump")
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), run AS (
+      SELECT user_id, cents,
+             MAX(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak_cents
+      FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(peak_cents) AS peak_cents,
+           MAX(peak_cents - cents) AS max_drawdown_cents
+    FROM run GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "risk"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: the largest peak-to-trough drop
+    of `value` in (ts, event_id) order — the risk/degradation metric for
+    any monitored series (portfolio value, quality score over a training
+    run, throughput). Integer cents end to end (DECIMAL cast before the
+    x100), so the running max and the subtraction are exact and the hash
+    is bit-stable; the (ts, event_id) order is total, so ties cannot
+    reorder the prefix between engines.
+
+    Scale shape: ONE shuffle partitions by user_id; the running max is a
+    single window pass inside each partition (O(1) frame state — Spark
+    computes an UNBOUNDED PRECEDING max incrementally), and the final
+    rollup reuses the same partitioning, so it collapses map-side."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = events.select(
+        "user_id",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("peak_cents"),
+    )
+    return run.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("peak_cents").alias("peak_cents"),
+        F.max(F.col("peak_cents") - F.col("cents")).alias("max_drawdown_cents"),
+    )

@@ -220,3 +220,61 @@ def make_decontaminate_sink(sf_dir: str, out_dir: str):
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return _sink
+
+
+def fold_streamed_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    sig_dir: str,
+    index_root: str | None = None,
+    keep_generations: int = 2,
+) -> dict:
+    """Compaction for the online-dedup signature store — the document twin
+    of embeddings_stream.fold_streamed_index (shared generational kernel:
+    streaming.fold). Rebuilds the corpus signature-index layout from
+    (current generation + committed streamed batch partitions), commits
+    the generation, truncates the folded partitions. Dedup sinks then
+    read ONE folded relation as the corpus instead of base ∪ N micro-
+    batch unions — at 100 TB that caps every batch's corpus-side read at
+    the index layout's file count no matter how long the stream has run.
+
+    Columns fold the FULL signature relation (doc_id, shingle-hash set,
+    sig_0..15): the verification join needs `hs`, so the fold carries it
+    exactly like the base index does."""
+    from denali_spark.engine.index_cache import index_file_count
+    from denali_spark.operators.dedup import (
+        MINHASH_PARAMS,
+        minhash_index_path,
+        minhash_signature_index,
+    )
+    from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
+
+    index_root = index_root if index_root is not None else f"{sig_dir}_folded"
+    n_files = index_file_count(sf_dir, "documents")
+    # The base index path already encodes corpus identity + geometry —
+    # reuse it as the fold's corpus key so a corpus/geometry change
+    # refuses to mix generations (same invalidation rule as the cache).
+    corpus_key = os.path.basename(minhash_index_path(sf_dir))
+    cols = ("doc_id", "hs", *[f"sig_{i}" for i in range(len(MINHASH_PARAMS))])
+    return fold_streamed_partitions(
+        spark, index_root, corpus_key,
+        [
+            FoldRelation(
+                "sigs", sig_dir,
+                lambda: minhash_signature_index(spark, sf_dir),
+                cols, n_files,
+            )
+        ],
+        keep_generations=keep_generations,
+    )
+
+
+def read_folded_signatures(
+    spark: SparkSession, index_root: str
+) -> DataFrame | None:
+    """The committed folded signature generation (doc_id, hs, sig_*), or
+    None if no fold has run."""
+    from denali_spark.streaming.fold import read_folded
+
+    got = read_folded(spark, index_root, ("sigs",))
+    return None if got is None else got["sigs"]

@@ -161,24 +161,6 @@ def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None):
 
 # --- periodic compaction: fold streamed partitions into the base layout ---
 
-def _committed_batch_ids(bucket_dir: str, vec_dir: str) -> list[int]:
-    """Batch ids whose bucket AND vector partitions both carry _SUCCESS —
-    the sink writes buckets first, so a vecs-only batch cannot exist, but
-    a buckets-only one can (crash between the two writes) and must not
-    fold half a batch."""
-    def ids(d: str) -> set[int]:
-        if not os.path.isdir(d):
-            return set()
-        return {
-            int(name.split("=", 1)[1])
-            for name in os.listdir(d)
-            if name.startswith("batch_id=")
-            and os.path.exists(os.path.join(d, name, "_SUCCESS"))
-        }
-
-    return sorted(ids(bucket_dir) & ids(vec_dir))
-
-
 def fold_streamed_index(
     spark: SparkSession,
     sf_dir: str,
@@ -196,25 +178,11 @@ def fold_streamed_index(
     results, but candidate generation is one co-partitioned index read
     again instead of base ∪ N micro-batch unions.
 
-    Generational protocol (crash-safe at every step):
-      gen-0 is the corpus-derived base index; fold N reads gen-(N-1)'s
-      parquet (never recomputes earlier folds), writes gen-N to a temp
-      dir, atomic-renames it in, then commits state.json (tmp+rename).
-      A gen dir present but unreferenced by state is a partial artifact
-      and is rebuilt; folded-but-undeleted streamed partitions are swept
-      on the next call. A fold with nothing new to fold is a NO-OP —
-      replaying the compaction never changes search results. Generations
-      older than `keep_generations` are pruned (concurrent readers of
-      the previous generation keep working, like expired-snapshot
-      retention).
-
-    At 100 TB: the fold is one repartition-by-(t, bucket) write of
-    relations that are ~3 longs/table/vector — the same shuffle shape as
-    the original ingest-time build, paid per compaction window rather
-    than per search."""
-    import json
-    import shutil
-
+    Generational crash-safe protocol: streaming.fold (shared with the
+    document signature fold). At 100 TB the fold is one
+    repartition-by-(t, bucket) write of relations that are ~3 longs/
+    table/vector — the same shuffle shape as the original ingest-time
+    build, paid per compaction window rather than per search."""
     from denali_spark.engine.index_cache import (
         corpus_fingerprint,
         index_file_count,
@@ -224,87 +192,28 @@ def fold_streamed_index(
         _vecs,
         lsh_bucket_index,
     )
+    from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
 
     vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
     index_root = index_root if index_root is not None else f"{bucket_dir}_folded"
-    os.makedirs(index_root, exist_ok=True)
     n_files = index_file_count(sf_dir, "embeddings")
     corpus_key = corpus_fingerprint(sf_dir, "embeddings", f"{LSH_GEOMETRY}f{n_files}")
-
-    state_path = os.path.join(index_root, "state.json")
-    state = {"generation": 0, "folded_batches": [], "corpus": corpus_key}
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            state = json.load(f)
-        if state.get("corpus") != corpus_key:
-            raise ValueError(
-                f"folded index at {index_root} was built over a different "
-                "corpus/geometry — remove the directory to refold"
-            )
-
-    def _sweep_folded_partitions() -> None:
-        # folded batches whose streamed partitions still exist (crash
-        # between state commit and truncation, or a replayed sink write)
-        for b in state["folded_batches"]:
-            for d in (bucket_dir, vec_dir):
-                p = os.path.join(d, f"batch_id={b}")
-                if os.path.isdir(p):
-                    shutil.rmtree(p)
-
-    folded = set(state["folded_batches"])
-    new_batches = [
-        b for b in _committed_batch_ids(bucket_dir, vec_dir) if b not in folded
-    ]
-    gen = int(state["generation"])
-    if not new_batches:
-        _sweep_folded_partitions()
-        return {"generation": gen, "folded_batches": [], "noop": True}
-
-    if gen == 0:
-        prev_b = lsh_bucket_index(spark, sf_dir)
-        prev_v = _vecs(spark, sf_dir)
-    else:
-        prev_dir = os.path.join(index_root, f"gen-{gen}")
-        prev_b = spark.read.parquet(os.path.join(prev_dir, "buckets"))
-        prev_v = spark.read.parquet(os.path.join(prev_dir, "vecs"))
-    nb = spark.read.parquet(
-        *[os.path.join(bucket_dir, f"batch_id={b}") for b in new_batches]
-    ).select("vec_id", "t", "bucket")
-    nv = spark.read.parquet(
-        *[os.path.join(vec_dir, f"batch_id={b}") for b in new_batches]
-    ).select("vec_id", "e")
-
-    new_gen = gen + 1
-    gen_dir = os.path.join(index_root, f"gen-{new_gen}")
-    if os.path.isdir(gen_dir):  # unreferenced partial from a crashed fold
-        shutil.rmtree(gen_dir)
-    tmp = f"{gen_dir}.tmp-{os.getpid()}"
-    (
-        prev_b.unionByName(nb)
-        .repartition(n_files, "t", "bucket")
-        .write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+    return fold_streamed_partitions(
+        spark, index_root, corpus_key,
+        [
+            FoldRelation(
+                "buckets", bucket_dir,
+                lambda: lsh_bucket_index(spark, sf_dir),
+                ("vec_id", "t", "bucket"), n_files, ("t", "bucket"),
+            ),
+            FoldRelation(
+                "vecs", vec_dir,
+                lambda: _vecs(spark, sf_dir),
+                ("vec_id", "e"), n_files,
+            ),
+        ],
+        keep_generations=keep_generations,
     )
-    (
-        prev_v.unionByName(nv)
-        .repartition(n_files)
-        .write.mode("overwrite").parquet(os.path.join(tmp, "vecs"))
-    )
-    os.rename(tmp, gen_dir)
-
-    state = {
-        "generation": new_gen,
-        "folded_batches": sorted(folded | set(new_batches)),
-        "corpus": corpus_key,
-    }
-    stmp = f"{state_path}.tmp-{os.getpid()}"
-    with open(stmp, "w") as f:
-        json.dump(state, f)
-    os.replace(stmp, state_path)
-
-    _sweep_folded_partitions()
-    for g in range(1, new_gen - keep_generations + 1):
-        shutil.rmtree(os.path.join(index_root, f"gen-{g}"), ignore_errors=True)
-    return {"generation": new_gen, "folded_batches": new_batches, "noop": False}
 
 
 def read_folded_index(
@@ -313,24 +222,9 @@ def read_folded_index(
     """(buckets, vecs) of the committed folded generation, hard-gated on
     both _SUCCESS markers; None if no fold has run (searches then use the
     corpus-derived base index as usual)."""
-    import json
+    from denali_spark.streaming.fold import read_folded
 
-    state_path = os.path.join(index_root, "state.json")
-    if not os.path.exists(state_path):
+    got = read_folded(spark, index_root, ("buckets", "vecs"))
+    if got is None:
         return None
-    with open(state_path) as f:
-        state = json.load(f)
-    gen = int(state["generation"])
-    if gen == 0:
-        return None
-    gen_dir = os.path.join(index_root, f"gen-{gen}")
-    for sub in ("buckets", "vecs"):
-        if not os.path.exists(os.path.join(gen_dir, sub, "_SUCCESS")):
-            raise RuntimeError(
-                f"folded generation {gen} at {gen_dir} has no committed "
-                f"{sub} parquet — state.json references a broken fold"
-            )
-    return (
-        spark.read.parquet(os.path.join(gen_dir, "buckets")),
-        spark.read.parquet(os.path.join(gen_dir, "vecs")),
-    )
+    return got["buckets"], got["vecs"]

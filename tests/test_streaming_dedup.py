@@ -250,3 +250,89 @@ def test_streaming_decontaminate_replay_idempotent(spark, contam_landing, tmp_pa
     sink(all_docs, 0)  # replay
     second = {tuple(r) for r in read_verdicts(spark, out).collect()}
     assert first == second
+
+
+def test_fold_streamed_signatures_lifecycle(spark, doc_landing, tmp_path):
+    """Document twin of the embedding-index fold (shared generational
+    kernel): verdicts computed against the folded signature generation
+    equal verdicts against base-index ∪ streamed store; a replayed fold
+    is a no-op; the streamed store is truncated; a post-fold batch folds
+    incrementally into gen-2."""
+    from denali_spark.operators.dedup import minhash_signature_index
+    from denali_spark.streaming.documents_stream import (
+        fold_streamed_signatures,
+        read_folded_signatures,
+    )
+
+    src, all_docs = doc_landing
+    out = str(tmp_path / "verdicts")
+    sig_dir = f"{out}_sigs"
+    index_root = str(tmp_path / "sig-index")
+    q = (
+        read_document_stream(spark, src)
+        .writeStream.foreachBatch(make_online_dedup_sink(SF, out, sig_dir=sig_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed_parts = [
+        os.path.join(sig_dir, d)
+        for d in sorted(os.listdir(sig_dir))
+        if d.startswith("batch_id=")
+    ]
+    grown = minhash_signature_index(spark, SF).unionByName(
+        spark.read.parquet(*streamed_parts)
+    )
+    grown_ids = sorted(r["doc_id"] for r in grown.select("doc_id").collect())
+
+    # the union-path verdicts must be computed BEFORE the fold truncates
+    # the streamed partitions `grown` lazily reads
+    probe = spark.createDataFrame(
+        [(3_000_000, _novel_doc(0)), (3_000_001, _novel_doc(99))],
+        "doc_id long, text string",
+    )
+    via_union = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in online_dedup(spark, SF, probe, corpus_sig=grown).collect()
+    }
+
+    rep = fold_streamed_signatures(spark, SF, sig_dir, index_root=index_root)
+    assert not rep["noop"] and rep["generation"] == 1
+    folded = read_folded_signatures(spark, index_root)
+    assert sorted(
+        r["doc_id"] for r in folded.select("doc_id").collect()
+    ) == grown_ids
+
+    # verdict equivalence: a probe batch deduped against the folded
+    # generation sees exactly the corpus the union path saw
+    via_folded = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in online_dedup(spark, SF, probe, corpus_sig=folded).collect()
+    }
+    assert via_folded == via_union
+    # the replayed novel doc from the stream IS in the folded corpus now
+    assert via_folded[3_000_000][0] is True
+
+    # truncation + replay no-op
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(sig_dir)
+    )
+    rep2 = fold_streamed_signatures(spark, SF, sig_dir, index_root=index_root)
+    assert rep2["noop"] and rep2["generation"] == 1
+
+    # incremental gen-2 from a genuinely new batch
+    sink = make_online_dedup_sink(SF, out, sig_dir=sig_dir)
+    late = spark.createDataFrame(
+        [(4_000_000, _novel_doc(7))], "doc_id long, text string"
+    )
+    sink(late, 99)
+    rep3 = fold_streamed_signatures(spark, SF, sig_dir, index_root=index_root)
+    assert rep3 == {"generation": 2, "folded_batches": [99], "noop": False}
+    gen2_ids = {
+        r["doc_id"]
+        for r in read_folded_signatures(spark, index_root)
+        .select("doc_id").collect()
+    }
+    assert 4_000_000 in gen2_ids and set(grown_ids) <= gen2_ids

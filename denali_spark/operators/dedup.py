@@ -500,6 +500,10 @@ def dedup_incremental_pairs(
     cand = (
         corpus_bands.join(F.broadcast(fresh_bands), ["band", "bh"])
         .select("new_doc_id", "corpus_doc_id")
+        # a corpus entry with the SAME id is the document itself, not a
+        # duplicate — keeps a replayed batch idempotent even after a fold
+        # has absorbed its accepted signatures into the corpus generation
+        .filter(F.col("corpus_doc_id") != F.col("new_doc_id"))
         .distinct()
     )
     corpus_sets = corpus.select(

@@ -773,6 +773,8 @@ def embedding_online_dedup(
     corpus_buckets: DataFrame | None = None,
     corpus_vecs: DataFrame | None = None,
     self_dedup: bool = True,
+    base_buckets: DataFrame | None = None,
+    base_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Flag each incoming vector as semantic-duplicate-of-corpus or novel —
     the embedding-side twin of `dedup.online_dedup` and the per-batch
@@ -790,8 +792,15 @@ def embedding_online_dedup(
     and broadcasts into the bucket join; the corpus side is the pre-built
     index + one vector-fetch equi-join, so each batch costs bucket
     co-occupancy, never |corpus| x |batch|."""
-    base_b = lsh_bucket_index(spark, sf_dir)
-    base_v = _vecs(spark, sf_dir)
+    # base_buckets/base_vecs REPLACE the corpus-derived base index — the
+    # folded-generation read path (it already contains base + every
+    # folded micro-batch); corpus_buckets/corpus_vecs remain ADDITIVE
+    # (the not-yet-folded streamed store).
+    base_b = (
+        base_buckets if base_buckets is not None
+        else lsh_bucket_index(spark, sf_dir)
+    )
+    base_v = base_vecs if base_vecs is not None else _vecs(spark, sf_dir)
     if corpus_buckets is not None:
         base_b = base_b.unionByName(corpus_buckets)
     if corpus_vecs is not None:

@@ -61,14 +61,25 @@ def _read_prior_sigs(
 
 
 def make_online_dedup_sink(
-    sf_dir: str, out_dir: str, threshold: float = 0.3, sig_dir: str | None = None
+    sf_dir: str,
+    out_dir: str,
+    threshold: float = 0.3,
+    sig_dir: str | None = None,
+    index_root: str | None = None,
 ):
     """foreachBatch sink: per micro-batch, flag every incoming document as
     duplicate (of the corpus, of a previously-accepted novel doc, or of a
     lower-id doc in the same batch) or novel; write verdicts to
     ``out_dir/batch_id=N/`` and accepted-novel signatures to
     ``sig_dir/batch_id=N/``. Overwriting the batch's own partitions keeps
-    at-least-once replays exactly-once in effect."""
+    at-least-once replays exactly-once in effect.
+
+    `index_root`: the fold_streamed_signatures generation store. When a
+    committed generation exists the batch reads IT as the corpus (it
+    already contains the base index plus every folded batch) and unions
+    only the not-yet-folded streamed partitions — so a long-running
+    stream's corpus-side read stays one index layout wide regardless of
+    how many micro-batches ever ran."""
     sig_dir = sig_dir if sig_dir is not None else f"{out_dir}_sigs"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,7 +93,12 @@ def make_online_dedup_sink(
         # One persisted signature relation feeds the corpus join, the
         # intra-batch self-join, and the novel-signature append.
         fresh = _with_signatures(batch_df).persist()
-        corpus = minhash_signature_index(spark, sf_dir)
+        corpus = (
+            read_folded_signatures(spark, index_root)
+            if index_root is not None else None
+        )
+        if corpus is None:
+            corpus = minhash_signature_index(spark, sf_dir)
         prior = _read_prior_sigs(spark, sig_dir, batch_id)
         if prior is not None:
             corpus = corpus.unionByName(prior)

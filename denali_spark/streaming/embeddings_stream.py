@@ -82,6 +82,7 @@ def read_dedup_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
 def make_embedding_dedup_sink(
     sf_dir: str, out_dir: str, tau: float | None = None,
     bucket_dir: str | None = None, vec_dir: str | None = None,
+    index_root: str | None = None,
 ):
     """foreachBatch sink: semantic online dedup for a vector stream — the
     embedding twin of documents_stream.make_online_dedup_sink. Each
@@ -91,7 +92,13 @@ def make_embedding_dedup_sink(
     ``out_dir/batch_id=N/`` and accepted-novel vectors grow the streamed
     bucket/vector store, so the corpus the NEXT batch dedups against has
     grown. Overwriting the batch's own partitions keeps at-least-once
-    replays exactly-once in effect (same discipline as the index sink)."""
+    replays exactly-once in effect (same discipline as the index sink).
+
+    `index_root`: the fold_streamed_index generation store. When a
+    committed generation exists the batch reads IT as the base corpus
+    (it already contains the base index plus every folded batch) and
+    grafts only the not-yet-folded streamed partitions — the corpus-side
+    read stays one index layout wide however long the stream runs."""
     bucket_dir = bucket_dir if bucket_dir is not None else f"{out_dir}_buckets"
     vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
 
@@ -109,6 +116,10 @@ def make_embedding_dedup_sink(
         ).persist()
         prior_parts = _success_parts(bucket_dir, exclude_batch_id=batch_id)
         prior_vparts = _success_parts(vec_dir, exclude_batch_id=batch_id)
+        folded = (
+            read_folded_index(spark, index_root)
+            if index_root is not None else None
+        )
         verdicts = embedding_online_dedup(
             spark, sf_dir, v,
             tau if tau is not None else DEDUP_COS_TAU,
@@ -121,6 +132,8 @@ def make_embedding_dedup_sink(
                 if prior_vparts else None
             ),
             self_dedup=True,
+            base_buckets=folded[0] if folded is not None else None,
+            base_vecs=folded[1] if folded is not None else None,
         ).persist()
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         novel = verdicts.filter(~F.col("is_duplicate")).select("vec_id")

@@ -322,12 +322,21 @@ def test_fold_streamed_signatures_lifecycle(spark, doc_landing, tmp_path):
     rep2 = fold_streamed_signatures(spark, SF, sig_dir, index_root=index_root)
     assert rep2["noop"] and rep2["generation"] == 1
 
-    # incremental gen-2 from a genuinely new batch
-    sink = make_online_dedup_sink(SF, out, sig_dir=sig_dir)
+    # post-fold sink wired to the generation store: the corpus the batch
+    # sees MUST include the folded batches even though their streamed
+    # partitions are gone — a repeat of a folded novel doc is a duplicate
+    sink = make_online_dedup_sink(SF, out, sig_dir=sig_dir, index_root=index_root)
     late = spark.createDataFrame(
-        [(4_000_000, _novel_doc(7))], "doc_id long, text string"
+        [(4_000_000, _novel_doc(7)), (4_000_001, _novel_doc(1))],
+        "doc_id long, text string",
     )
     sink(late, 99)
+    late_verdicts = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in spark.read.parquet(f"{out}/batch_id=99").collect()
+    }
+    assert late_verdicts[4_000_000] == (False, None)
+    assert late_verdicts[4_000_001] == (True, 2_000_001)
     rep3 = fold_streamed_signatures(spark, SF, sig_dir, index_root=index_root)
     assert rep3 == {"generation": 2, "folded_batches": [99], "noop": False}
     gen2_ids = {

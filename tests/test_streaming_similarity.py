@@ -300,3 +300,21 @@ def test_fold_streamed_index_lifecycle(spark, tmp_path):
     ) == [1_000_000, 1_000_001, 1_000_002, 1_000_009]
     # gen-1 retained under keep_generations=2, gen-0 is the base (implicit)
     assert os.path.isdir(os.path.join(index_root, "gen-1"))
+
+    # post-fold dedup sink wired to the generation store: a twin of the
+    # FOLDED late vector must flag duplicate even though its streamed
+    # partition is gone — the corpus now lives in the generation
+    from denali_spark.streaming.embeddings_stream import (
+        make_embedding_dedup_sink,
+        read_dedup_verdicts,
+    )
+
+    ded_out = str(tmp_path / "fold-dedup")
+    dsink = make_embedding_dedup_sink(SF, ded_out, index_root=index_root)
+    twin9 = spark.createDataFrame(
+        [(5_000_000, [float((j % 5) - 2.0) * 0.99 for j in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    dsink(twin9, 0)
+    v = {r["vec_id"]: r for r in read_dedup_verdicts(spark, ded_out).collect()}
+    assert v[5_000_000]["is_duplicate"] and v[5_000_000]["dup_of"] == 1_000_009

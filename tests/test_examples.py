@@ -18,4 +18,4 @@ def test_example_compiles(path):
 
 
 def test_examples_exist():
-    assert len(EXAMPLES) == 9
+    assert len(EXAMPLES) == 10

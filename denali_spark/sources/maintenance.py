@@ -315,9 +315,19 @@ def compact_data_files(
             ).drop("__dsp_frid")
         if (LINEAGE_FILE in df.columns) or (LINEAGE_POS in df.columns):
             df = df.drop(LINEAGE_FILE, LINEAGE_POS)
-        df = df.coalesce(n_out)
+        # A partitioned table's rewrite MUST re-emit files under the
+        # current spec (partition tuples recorded, pruning preserved) —
+        # the partitioned write hash-distributes by partition value, so
+        # the coalesce-to-target-size shaping applies only to the
+        # unpartitioned case.
+        from denali_spark.sources.partitioning import spec_to_partition_by
+
+        parts = spec_to_partition_by(md)
+        if not parts:
+            df = df.coalesce(n_out)
         new_files = io._write_data_files(
-            df, md["location"], schema_id=md.get("current-schema-id", 0),
+            df, md["location"], partition_by=parts,
+            schema_id=md.get("current-schema-id", 0),
             file_format=table_write_format(md),
         )
         if carry_lineage:

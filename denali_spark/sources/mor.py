@@ -362,9 +362,14 @@ def delete_where_dv(
 
 def _mor_write_updates(io: SparkCatalogIO, df: DataFrame, md: dict) -> list[dict]:
     from denali_spark.sources.catalog_io import table_write_format
+    from denali_spark.sources.partitioning import spec_to_partition_by
 
+    # Rewritten rows must land under the CURRENT partition spec — a
+    # spec-less write would strip partition tuples from the new files
+    # (pruning lost, spec violated) on every row-level op.
     return io._write_data_files(
-        df, md["location"], schema_id=md.get("current-schema-id", 0),
+        df, md["location"], partition_by=spec_to_partition_by(md),
+        schema_id=md.get("current-schema-id", 0),
         file_format=table_write_format(md),
     )
 
@@ -660,9 +665,11 @@ def rewrite_deletes(io: SparkCatalogIO, namespace: list[str], name: str) -> dict
         )
         df = df.drop(LINEAGE_FILE, LINEAGE_POS)
         from denali_spark.sources.catalog_io import table_write_format
+        from denali_spark.sources.partitioning import spec_to_partition_by
 
         new_files = io._write_data_files(
-            df, md["location"], schema_id=md.get("current-schema-id", 0),
+            df, md["location"], partition_by=spec_to_partition_by(md),
+            schema_id=md.get("current-schema-id", 0),
             file_format=table_write_format(md),
         )
         return _commit_cow(

@@ -142,9 +142,14 @@ def _read_candidates(io: SparkCatalogIO, md: dict, parent_id: int, candidates):
 
 def _write_rewritten(io: SparkCatalogIO, df, md: dict) -> list[dict]:
     from denali_spark.sources.catalog_io import table_write_format
+    from denali_spark.sources.partitioning import spec_to_partition_by
 
+    # CoW rewrites must re-emit surviving rows under the CURRENT partition
+    # spec — a spec-less write would strip partition tuples (pruning lost,
+    # spec violated) from every file a DELETE/UPDATE touches.
     return io._write_data_files(
-        df, md["location"], schema_id=md.get("current-schema-id", 0),
+        df, md["location"], partition_by=spec_to_partition_by(md),
+        schema_id=md.get("current-schema-id", 0),
         file_format=table_write_format(md),
     )
 

@@ -261,3 +261,59 @@ def test_compact_leaves_large_files_alone(spark, io):
     # Threshold below every file size → nothing qualifies → no-op.
     resp = compact_data_files(io, ns, name, target_file_size_bytes=min(sizes))
     assert resp.get("noop") is True
+
+
+def test_rewrites_preserve_partition_spec(spark, io):
+    """r10 regression: every rewrite path (compaction, CoW delete/update,
+    MoR materialization) must re-emit files under the CURRENT partition
+    spec — before the fix, rewritten files carried partition=None, so one
+    compact or DELETE silently stripped partition tuples (spec violation)
+    and killed partition pruning for the rewritten rows."""
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.sources.mor import delete_where_mor, rewrite_deletes
+
+    df = spark.range(0, 120).select("id", (F.col("id") % 3).alias("p"))
+    io.write_table(
+        df, ["pp"], "t", mode="overwrite",
+        partition_by=[("p", "identity")], num_files=2,
+    )
+    io.write_table(
+        df, ["pp"], "t", mode="append",
+        partition_by=[("p", "identity")], num_files=2,
+    )
+
+    def partitions(tag):
+        md = io.client.load_table(["pp"], "t")["metadata"]
+        snap = io._resolve_snapshot(md)
+        data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+        assert all(e.get("partition") is not None for e in data), (
+            f"{tag}: rewritten file lost its partition tuple"
+        )
+        return sorted({e["partition"]["p"] for e in data}), len(data)
+
+    compact_data_files(io, ["pp"], "t", target_file_size_bytes=10**9)
+    vals, nfiles = partitions("compact")
+    assert vals == ["0", "1", "2"] and nfiles == 3  # one packed file per partition
+
+    delete_where(io, ["pp"], "t", {"type": "eq", "term": "p", "value": 1})
+    vals, _ = partitions("cow-delete")
+    assert vals == ["0", "2"]
+
+    update_where(
+        io, ["pp"], "t", {"type": "eq", "term": "p", "value": 0}, {"id": "id + 1000"}
+    )
+    partitions("cow-update")
+
+    # MoR: positional delete then materialize — the rewrite must keep tuples
+    delete_where_mor(io, ["pp"], "t", {"type": "lt", "term": "id", "value": 5})
+    rewrite_deletes(io, ["pp"], "t")
+    vals, _ = partitions("mor-rewrite")
+    assert vals == ["0", "2"]
+    # 240 rows - 80 (p=1 CoW delete) - 2 (MoR id<5: only id=2 survives
+    # the earlier id+1000 update of p=0 rows, twice)
+    assert io.read_table(["pp"], "t").count() == 240 - 80 - 2
+    # pruning still works on the rewritten table
+    got = io.read_table(
+        ["pp"], "t", where={"type": "eq", "term": "p", "value": 2}
+    ).count()
+    assert got == 80 - 2  # both copies of id=2 went via the MoR delete

@@ -937,7 +937,7 @@ class SparkCatalogIO:
     _PROCEDURES = {
         "expire_snapshots": ("_proc_expire", ("retain_last", "older_than")),
         "remove_orphan_files": ("_proc_orphans", ("older_than", "dry_run")),
-        "rewrite_data_files": ("_proc_compact", ("target_file_size_bytes",)),
+        "rewrite_data_files": ("_proc_compact", ("target_file_size_bytes", "where")),
         "rewrite_position_delete_files": ("_proc_rewrite_deletes", ()),
         "rollback_to_snapshot": ("_proc_rollback", ("snapshot_id",)),
         "cherrypick_snapshot": ("_proc_cherrypick", ("snapshot_id",)),
@@ -1037,12 +1037,18 @@ class SparkCatalogIO:
             orphan_file_count=len(r.get("removed", r.get("orphans", []))),
         )
 
-    def _proc_compact(self, ns, name, target_file_size_bytes=128 * 1024 * 1024):
+    def _proc_compact(
+        self, ns, name, target_file_size_bytes=128 * 1024 * 1024, where=None
+    ):
+        """`where` (Iceberg's rewrite_data_files filter): SQL predicate
+        text scoping the rewrite to matching files — compact one hot
+        partition without touching the other 100k."""
         from denali_spark.sources.maintenance import compact_data_files
 
         r = compact_data_files(
             self, ns, name,
             target_file_size_bytes=int(target_file_size_bytes),
+            where=str(where) if where is not None else None,
         )
         return self._proc_row(
             procedure="rewrite_data_files", noop=bool(r.get("noop"))

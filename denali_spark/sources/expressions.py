@@ -416,3 +416,4 @@ def parse_where(text: str) -> dict:
     if i != len(tokens):
         raise ValueError(f"trailing tokens in WHERE: {tokens[i:]}")
     return out
+

@@ -255,10 +255,18 @@ def compact_data_files(
     name: str,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    where: dict | str | None = None,
 ) -> dict:
     """Bin-pack files smaller than the target into ~target-size files
     (Iceberg's rewrite_data_files procedure). Large files are carried over
-    untouched; a no-op when fewer than `min_input_files` qualify."""
+    untouched; a no-op when fewer than `min_input_files` qualify.
+
+    `where` (Iceberg's procedure filter): a scan expression — dict, or SQL
+    predicate text via expressions.parse_where — restricting the
+    rewrite to files whose stats MIGHT match (conservative, so a file
+    straddling the predicate is compacted rather than skipped). This is
+    how a 100 TB table compacts one hot partition's small-file debris
+    without replanning the other 100k files' rows."""
 
     def attempt():
         md = io.client.load_table(namespace, name)["metadata"]
@@ -272,6 +280,14 @@ def compact_data_files(
             e for e in data
             if e.get("file-size-bytes", target_file_size_bytes) < target_file_size_bytes
         ]
+        if where is not None:
+            from denali_spark.sources.expressions import (
+                file_might_match,
+                parse_where,
+            )
+
+            flt = parse_where(where) if isinstance(where, str) else where
+            small = [e for e in small if file_might_match(flt, e.get("stats"))]
         if len(small) < min_input_files:
             return {"metadata": md, "noop": True}
         small_paths = {e["path"] for e in small}

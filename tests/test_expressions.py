@@ -30,3 +30,4 @@ def test_parse_where_rejects_garbage():
                 "f(a) = 1", "a = b"]:
         with pytest.raises(ValueError):
             parse_where(bad)
+

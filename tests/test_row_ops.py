@@ -317,3 +317,47 @@ def test_rewrites_preserve_partition_spec(spark, io):
         ["pp"], "t", where={"type": "eq", "term": "p", "value": 2}
     ).count()
     assert got == 80 - 2  # both copies of id=2 went via the MoR delete
+
+
+def test_compact_where_scopes_the_rewrite(spark, io):
+    """rewrite_data_files(where => ...): only files whose stats might
+    match are packed; everything else is carried by REFERENCE (same
+    path) — Iceberg's partition-scoped compaction."""
+    from denali_spark.sources.catalog_io import split_entries
+
+    df = spark.range(0, 120).select("id", (F.col("id") % 3).alias("p"))
+    io.write_table(
+        df, ["cw"], "t", mode="overwrite",
+        partition_by=[("p", "identity")], num_files=2,
+    )
+    io.write_table(
+        df, ["cw"], "t", mode="append",
+        partition_by=[("p", "identity")], num_files=2,
+    )
+
+    def entries():
+        md = io.client.load_table(["cw"], "t")["metadata"]
+        snap = io._resolve_snapshot(md)
+        data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+        return data
+
+    before = {e["path"]: e["partition"]["p"] for e in entries()}
+    other_paths = {p for p, v in before.items() if v != "1"}
+    assert len(before) == 6
+
+    # scope to p = 1 via the SQL CALL surface
+    io.sql(
+        "CALL system.rewrite_data_files(table => 'cw.t', where => 'p = 1')"
+    ).collect()
+    after = {e["path"]: e["partition"]["p"] for e in entries()}
+    # p=1's two files packed into one NEW file; other partitions untouched
+    assert other_paths <= set(after)
+    p1_after = [p for p, v in after.items() if v == "1"]
+    assert len(p1_after) == 1 and p1_after[0] not in before
+    assert io.read_table(["cw"], "t").count() == 240
+
+    # a where matching nothing is a no-op
+    r = io.sql(
+        "CALL system.rewrite_data_files(table => 'cw.t', where => 'id > 100000')"
+    ).collect()
+    assert r[0]["noop"] is True

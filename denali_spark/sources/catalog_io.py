@@ -575,6 +575,12 @@ class SparkCatalogIO:
                 entries = [
                     e for e in entries if file_might_match(where, e.get("stats"))
                 ]
+                # transform-aware partition pruning: what stats can't do —
+                # a bucket[N] point lookup hashes the literal and keeps
+                # only the matching bucket's files
+                from denali_spark.sources.partitioning import partition_prune
+
+                entries = partition_prune(self.spark, md, where, entries)
                 # point-predicate pruning via per-file bloom blobs, when an
                 # analyze_table(bloom_columns=...) index exists for this
                 # snapshot

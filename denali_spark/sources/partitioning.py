@@ -181,3 +181,166 @@ def spec_to_partition_by(md: dict) -> list[tuple[str, str]] | None:
             "evolve the partition spec before writing"
         )
     return [(by_id[f["source-id"]], f["transform"]) for f in spec["fields"]]
+
+
+# --- transform-aware partition pruning --------------------------------------
+#
+# Stats pruning (expressions.file_might_match) covers identity-clustered
+# columns because their per-file min/max are tight. It can do NOTHING for
+# bucket[N]: every bucket's files span the full value range, so a point
+# lookup `id = 37` scans all N buckets. Iceberg prunes these by applying
+# the TRANSFORM to the literal and comparing against each file's partition
+# tuple — this is that client-engine piece. Conservative three-valued
+# logic like the stats pruner: a file is dropped only when the partition
+# tuple PROVES no row can match; unknown transforms/types/encodings keep
+# the file.
+
+
+def _iceberg_type_of(md: dict, col: str) -> str | None:
+    sid = md.get("current-schema-id", 0)
+    for s in md.get("schemas", []):
+        if s.get("schema-id") == sid:
+            for f in s.get("fields", []):
+                if f["name"] == col:
+                    t = f["type"]
+                    return t if isinstance(t, str) else None
+    return None
+
+
+def _encode_literal(spark, transform: str, value, col_type: str | None):
+    """The partition-directory encoding of `transform(value)`, or None when
+    it can't be computed faithfully (unknown type/format → no pruning)."""
+    import datetime as _dt
+
+    def _as_dt(v):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        try:
+            return _dt.datetime.fromisoformat(str(v))
+        except ValueError:
+            return None
+
+    if transform == "identity":
+        return str(value)
+    if transform in ("year", "month", "day", "hour"):
+        dt = _as_dt(value)
+        if dt is None:
+            return None
+        return {
+            "year": str(dt.year),
+            "month": f"{dt.year:04d}-{dt.month:02d}",
+            "day": dt.strftime("%Y-%m-%d"),
+            "hour": dt.strftime("%Y-%m-%d-%H"),
+        }[transform]
+    m = _TRUNCATE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, int) and not isinstance(value, bool):
+            return str(value - (((value % w) + w) % w))
+        return None
+    m = _BUCKET.match(transform)
+    if m:
+        # The writer buckets with Spark's murmur3 `hash` over the SOURCE
+        # column's type, so the literal must hash under the same type —
+        # one driver-side scalar evaluation, cached by the caller. With no
+        # session (the catalog server prunes without Spark) buckets stay
+        # unpruned — conservative, like every other unknown here.
+        if spark is None:
+            return None
+        cast = {"int": "INT", "long": "BIGINT", "string": "STRING"}.get(
+            col_type or ""
+        )
+        if cast is None:
+            return None
+        lit = (
+            "'" + str(value).replace("'", "''") + "'"
+            if cast == "STRING" else str(int(value))
+        )
+        row = spark.sql(
+            f"SELECT pmod(hash(CAST({lit} AS {cast})), {int(m.group(1))})"
+        ).first()
+        return str(row[0])
+    return None
+
+
+def partition_prune(
+    spark, md: dict, where: dict, entries: list[dict]
+) -> list[dict]:
+    """Drop entries whose partition tuple proves no row can satisfy
+    `where` under the CURRENT spec's transforms. Composes with (runs
+    after) stats pruning; at 100 TB this is what turns a point lookup on
+    a bucket[1024]-partitioned key into a 1/1024 scan."""
+    from denali_spark.sources.expressions import normalize
+
+    spec_fields = None
+    for s in md.get("partition-specs", []):
+        if s.get("spec-id") == md.get("default-spec-id", 0):
+            spec_fields = s.get("fields", [])
+    if not spec_fields:
+        return entries
+    by_id = {}
+    sid = md.get("current-schema-id", 0)
+    for s in md.get("schemas", []):
+        if s.get("schema-id") == sid:
+            by_id = {f["id"]: f["name"] for f in s.get("fields", [])}
+    # source column → [(partition field name, transform, col type)]
+    per_col: dict[str, list[tuple[str, str, str | None]]] = {}
+    for f in spec_fields:
+        col = by_id.get(f["source-id"])
+        if col is not None:
+            per_col.setdefault(col, []).append(
+                (f["name"], f["transform"], _iceberg_type_of(md, col))
+            )
+    if not per_col:
+        return entries
+    enc_cache: dict[tuple, object] = {}
+
+    def enc(transform, value, col_type):
+        key = (transform, value, col_type)
+        if key not in enc_cache:
+            enc_cache[key] = _encode_literal(spark, transform, value, col_type)
+        return enc_cache[key]
+
+    def might(expr: dict, pvals: dict) -> bool:
+        t = expr.get("type")
+        if t == "and":
+            return might(expr["left"], pvals) and might(expr["right"], pvals)
+        if t == "or":
+            return might(expr["left"], pvals) or might(expr["right"], pvals)
+        if t in ("eq", "in"):
+            values = [expr["value"]] if t == "eq" else list(expr["values"])
+            for fname, transform, ctype in per_col.get(expr.get("term"), ()):
+                pv = pvals.get(fname)
+                if pv is None:
+                    continue
+                encoded = [enc(transform, v, ctype) for v in values]
+                if None in encoded:
+                    continue
+                if str(pv) not in encoded:
+                    return False  # no candidate value lands in this file
+            return True
+        if t in ("not-eq", "not-in"):
+            # Only IDENTITY is injective enough to prune a negation: the
+            # file holds exactly one source value, so excluding that value
+            # empties the file. (bucket/truncate/temporal collide many
+            # source values onto one partition value.)
+            values = [expr["value"]] if t == "not-eq" else list(expr["values"])
+            excluded = {str(v) for v in values}
+            for fname, transform, _ctype in per_col.get(expr.get("term"), ()):
+                if transform != "identity":
+                    continue
+                pv = pvals.get(fname)
+                if pv is not None and str(pv) in excluded:
+                    return False
+            return True
+        return True  # unknown node: never prune on it
+
+    flt = normalize(where)
+    return [
+        e for e in entries
+        if not e.get("partition") or might(flt, e["partition"])
+    ]

@@ -418,3 +418,90 @@ def test_typed_partition_falls_back_on_mixed_specs(spark, io):
     entries = io._manifest_entries(snap["manifest-list"])
     parts = {frozenset(e["partition"].keys()) for e in entries if e.get("partition")}
     assert frozenset({"k"}) in parts and frozenset({"j"}) in parts
+
+
+def test_transform_aware_partition_pruning(spark, io):
+    """r10: bucket[N] point lookups prune by hashing the literal (stats
+    can't — every bucket spans the full value range); truncate/temporal
+    literals encode in pure Python; identity negations prune the file
+    whose single value is excluded; unknowable predicates never prune."""
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.sources.partitioning import partition_prune
+
+    df = spark.range(0, 400).select(
+        "id",
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("user"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int"))
+        ).alias("ts"),
+    )
+    io.write_table(
+        df, ["pr"], "b", mode="overwrite", partition_by=[("id", "bucket[8]")]
+    )
+    md = io.client.load_table(["pr"], "b")["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+    assert len({e["partition"]["id_bucket"] for e in data}) == 8
+
+    kept = partition_prune(spark, md, E.eq("id", 37), data)
+    # exactly the files of id=37's bucket survive
+    want = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 8)").first()[0]
+    assert kept and all(e["partition"]["id_bucket"] == str(want) for e in kept)
+    assert len(kept) < len(data)
+    # IN fans out over buckets; OR keeps the union
+    kept_in = partition_prune(spark, md, E.in_("id", [37, 41]), data)
+    assert set(e["path"] for e in kept) <= set(e["path"] for e in kept_in)
+    # an unprunable predicate (range) keeps everything
+    assert partition_prune(spark, md, E.gt("id", 5), data) == data
+    # end-to-end: the pruned read returns exactly the right rows
+    assert sorted(
+        r["id"] for r in io.read_table(
+            ["pr"], "b", where=E.in_("id", [37, 41])
+        ).collect()
+    ) == [37, 41]
+
+    # temporal + truncate + identity-negation transforms
+    io.write_table(
+        df, ["pr"], "t2", mode="overwrite",
+        partition_by=[("ts", "day"), ("user", "truncate[2]")],
+    )
+    md2 = io.client.load_table(["pr"], "t2")["metadata"]
+    snap2 = io._resolve_snapshot(md2)
+    data2, _ = split_entries(io._manifest_entries(snap2["manifest-list"]))
+    kept2 = partition_prune(
+        spark, md2, E.eq("ts", "2024-01-03 00:00:00"), data2
+    )
+    assert kept2 and all(
+        e["partition"]["ts_day"] == "2024-01-03" for e in kept2
+    )
+    kept3 = partition_prune(spark, md2, E.eq("user", "u7"), data2)
+    assert kept3 and all(e["partition"]["user_truncate"] == "u7" for e in kept3)
+
+    io.write_table(
+        spark.range(0, 30).select("id", (F.col("id") % 3).alias("p")),
+        ["pr"], "neg", mode="overwrite", partition_by=[("p", "identity")],
+    )
+    md3 = io.client.load_table(["pr"], "neg")["metadata"]
+    snap3 = io._resolve_snapshot(md3)
+    data3, _ = split_entries(io._manifest_entries(snap3["manifest-list"]))
+    kept4 = partition_prune(spark, md3, E.not_eq("p", 1), data3)
+    assert {e["partition"]["p"] for e in kept4} == {"0", "2"}
+    # but a negation on a BUCKET transform never prunes (collisions)
+    assert partition_prune(spark, md, E.not_eq("id", 37), data) == data
+
+
+def test_server_plan_prunes_partitions_without_spark(spark, io):
+    """The catalog server prunes temporal/identity partitions in pure
+    Python (no Spark session server-side); bucket predicates stay
+    unpruned there — conservative, never wrong."""
+    df = spark.range(0, 100).select("id", (F.col("id") % 4).alias("p"))
+    io.write_table(
+        df, ["pr2"], "s", mode="overwrite", partition_by=[("p", "identity")]
+    )
+    plan = io.client.plan_table_scan(
+        ["pr2"], "s", filter={"type": "eq", "term": "p", "value": 2}
+    )
+    tasks = plan["file-scan-tasks"]
+    assert tasks and all(
+        t["data-file"]["partition"]["p"] == "2" for t in tasks
+    )

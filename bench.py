@@ -55,6 +55,15 @@ Fresh-process legs still swing +-30% on this box (every leg's 3-sample
 set contained one 9-14s outlier), which is the variance the driver's
 single-run sf1 numbers inherit.
 
+Round-10 protocol check: two quiet local runs measured common-29 ratios
+of 1.021 and 1.017 vs BENCH_r09 — inside the 1.10x A/B trigger, no
+worktree A/B warranted. The one >1.25x mover is text_unigram_logprob
+(0.41 -> 0.61s): the r9 verdict-item-6 fix deliberately dropped its
+token-relation persist (a cache the lazy return could never release, and
+a spill hazard at 100 TB), so the explode is now re-read twice — a
+documented trade at sub-second absolute cost. The sf1 CC probe confirms
+the round's label-propagation fix: 4.0s (r9 driver) -> 3.30/3.43s local.
+
 Server-plan probe (r9 verdict item 4, `server_plan` key): 64-file sorted
 lineitem table, stats-pruning filter, median-of-3 — engine-planned
 0.284s vs server-planned 0.241s at sf0.1. Server planning wins even

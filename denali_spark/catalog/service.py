@@ -548,8 +548,8 @@ def plan_table_scan(state: State, m, q, body):
     if flt is not None:
         data = [e for e in data if file_might_match(flt, e.get("stats"))]
         # transform-aware partition pruning, sans Spark session: identity/
-        # truncate/temporal literals encode in pure Python; bucket stays
-        # unpruned server-side (murmur3 lives in the engine)
+        # truncate/temporal literals encode in pure Python, and buckets
+        # hash through the pure-Python Spark-compatible murmur3
         from denali_spark.sources.partitioning import partition_prune
 
         data = partition_prune(None, md, flt, data)

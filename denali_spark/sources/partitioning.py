@@ -18,8 +18,12 @@ Scale notes: partition-aligned layout is the clustering that makes file
 pruning effective — rows sharing a partition value land in the same files,
 so min/max footer stats per file become tight ranges and a selective
 predicate on the partition source column prunes to O(files-per-partition)
-instead of O(all files). This composes with the stats pruner in
-expressions.py without any transform-aware predicate rewriting.
+instead of O(all files). Identity layouts get that from the stats pruner
+in expressions.py alone; bucket/truncate/temporal layouts additionally
+get transform-aware pruning (partition_prune below): the literal is run
+through the transform and compared against each file's partition tuple —
+the piece that turns a point lookup on a bucket[1024] key into a 1/1024
+scan, which stats can never do.
 """
 
 from __future__ import annotations
@@ -245,25 +249,20 @@ def _encode_literal(spark, transform: str, value, col_type: str | None):
     m = _BUCKET.match(transform)
     if m:
         # The writer buckets with Spark's murmur3 `hash` over the SOURCE
-        # column's type, so the literal must hash under the same type —
-        # one driver-side scalar evaluation, cached by the caller. With no
-        # session (the catalog server prunes without Spark) buckets stay
-        # unpruned — conservative, like every other unknown here.
-        if spark is None:
+        # column's type, so the literal must hash under the same typed
+        # fast path — reproduced in pure Python (murmur3_* below, verified
+        # equal to F.hash in tests), so the catalog server prunes buckets
+        # with no Spark session and the engine driver runs no scalar job.
+        n = int(m.group(1))
+        if col_type == "int":
+            h = murmur3_int(int(value))
+        elif col_type == "long":
+            h = murmur3_long(int(value))
+        elif col_type == "string":
+            h = murmur3_bytes(str(value).encode("utf-8"))
+        else:
             return None
-        cast = {"int": "INT", "long": "BIGINT", "string": "STRING"}.get(
-            col_type or ""
-        )
-        if cast is None:
-            return None
-        lit = (
-            "'" + str(value).replace("'", "''") + "'"
-            if cast == "STRING" else str(int(value))
-        )
-        row = spark.sql(
-            f"SELECT pmod(hash(CAST({lit} AS {cast})), {int(m.group(1))})"
-        ).first()
-        return str(row[0])
+        return str(h % n)  # Python % is already non-negative for n > 0
     return None
 
 
@@ -344,3 +343,79 @@ def partition_prune(
         e for e in entries
         if not e.get("partition") or might(flt, e["partition"])
     ]
+
+
+# --- Spark-compatible Murmur3 (pure Python) ---------------------------------
+#
+# Spark's `hash()` is Murmur3 x86 32-bit, seed 42, with typed fast paths:
+# ints hash as one 4-byte word, longs as two, strings byte-at-a-time over
+# UTF-8 for the unaligned tail (Spark's hashUnsafeBytes processes tail
+# bytes INDIVIDUALLY through the mix, unlike textbook murmur3 which packs
+# them into one block — match Spark, not the textbook). Public-domain
+# algorithm (Austin Appleby); re-derived here so bucket-partition pruning
+# needs no Spark session — the catalog server prunes buckets too, and the
+# engine driver skips a scalar job per literal. Verified equal to
+# F.hash() across types in tests/test_partitioning.py.
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _signed32(x: int) -> int:
+    x &= _M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def murmur3_int(value: int, seed: int = 42) -> int:
+    """Spark hash(CAST(v AS INT))."""
+    h1 = _mix_h1(seed & _M32, _mix_k1(value & _M32))
+    return _signed32(_fmix(h1, 4))
+
+
+def murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark hash(CAST(v AS BIGINT)): low word mixed, then high word."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mix_h1(seed & _M32, _mix_k1(v & _M32))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & _M32))
+    return _signed32(_fmix(h1, 8))
+
+
+def murmur3_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark hash(string): 4-byte LE words, then tail bytes one at a time
+    (SIGNED, matching Java's getByte)."""
+    h1 = seed & _M32
+    n_aligned = len(data) // 4 * 4
+    for i in range(0, n_aligned, 4):
+        word = int.from_bytes(data[i:i + 4], "little")
+        h1 = _mix_h1(h1, _mix_k1(word))
+    for i in range(n_aligned, len(data)):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java bytes are signed
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    return _signed32(_fmix(h1, len(data)))

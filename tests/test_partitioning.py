@@ -491,9 +491,9 @@ def test_transform_aware_partition_pruning(spark, io):
 
 
 def test_server_plan_prunes_partitions_without_spark(spark, io):
-    """The catalog server prunes temporal/identity partitions in pure
-    Python (no Spark session server-side); bucket predicates stay
-    unpruned there — conservative, never wrong."""
+    """The catalog server prunes identity AND bucket partitions in pure
+    Python (no Spark session server-side — buckets via the reimplemented
+    Spark murmur3)."""
     df = spark.range(0, 100).select("id", (F.col("id") % 4).alias("p"))
     io.write_table(
         df, ["pr2"], "s", mode="overwrite", partition_by=[("p", "identity")]
@@ -505,3 +505,47 @@ def test_server_plan_prunes_partitions_without_spark(spark, io):
     assert tasks and all(
         t["data-file"]["partition"]["p"] == "2" for t in tasks
     )
+
+    io.write_table(
+        spark.range(0, 200).select("id"),
+        ["pr2"], "sb", mode="overwrite", partition_by=[("id", "bucket[8]")],
+    )
+    plan = io.client.plan_table_scan(
+        ["pr2"], "sb", filter={"type": "eq", "term": "id", "value": 37}
+    )
+    want = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 8)").first()[0]
+    tasks = plan["file-scan-tasks"]
+    assert tasks and all(
+        t["data-file"]["partition"]["id_bucket"] == str(want) for t in tasks
+    )
+
+
+def test_python_murmur3_matches_spark_hash(spark):
+    """The pure-Python murmur3 must agree with F.hash across every typed
+    fast path the bucket transform can see — ints, longs (incl. negatives
+    and both 32-bit boundaries), and UTF-8 strings with unaligned tails."""
+    from denali_spark.sources.partitioning import (
+        murmur3_bytes,
+        murmur3_int,
+        murmur3_long,
+    )
+
+    longs = [0, 1, -1, 37, -37, 2**31 - 1, -(2**31), 2**33 + 5, -(2**40) - 7]
+    got = spark.createDataFrame(
+        [(v,) for v in longs], "v long"
+    ).select(F.hash("v").alias("h")).collect()
+    assert [r["h"] for r in got] == [murmur3_long(v) for v in longs]
+
+    ints = [0, 1, -1, 42, 2**31 - 1, -(2**31)]
+    got = spark.createDataFrame(
+        [(v,) for v in ints], "v int"
+    ).select(F.hash("v").alias("h")).collect()
+    assert [r["h"] for r in got] == [murmur3_int(v) for v in ints]
+
+    strings = ["", "a", "ab", "abc", "abcd", "abcde", "héllo wörld", "u7", "x" * 31]
+    got = spark.createDataFrame(
+        [(s,) for s in strings], "v string"
+    ).select(F.hash("v").alias("h")).collect()
+    assert [r["h"] for r in got] == [
+        murmur3_bytes(s.encode("utf-8")) for s in strings
+    ]

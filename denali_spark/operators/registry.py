@@ -115,7 +115,10 @@ DRIVER_PRIORITY: list[str] = [
     "mm_modality_coverage",
     "sample_temperature_mixture",
     "sim_ivf_balance",
+    "sim_matryoshka_prefix_recall",
+    "text_langid_confusion",
     "text_token_fertility",
+    "ts_burstiness",
     "ts_max_drawdown",
     # --- round-8-attested ---
     "agg_audience_overlap",

@@ -1464,3 +1464,93 @@ def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (F.col("cell_size") * F.count(F.lit(1))).cast("long").alias("n_vecs"),
     ).select(F.col("cell_size").cast("long").alias("cell_size"), "n_cells", "n_vecs")
+
+
+MRL_PREFIX_DIMS = 16  # audit the first 16 of 64 dims (4x truncation)
+
+
+@query(
+    "sim_matryoshka_prefix_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pv AS (SELECT vec_id, e[1:{MRL_PREFIX_DIMS}] AS e FROM v),
+    full_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.e', b='c.e')} DESC, c.vec_id
+             ) AS rn
+      FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ),
+    pfx_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.e', b='c.e')} DESC, c.vec_id
+             ) AS rn
+      FROM pv q JOIN pv c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+    )
+    SELECT f.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(p.neighbor_id) * 10000 // 5 AS BIGINT) AS recall_e4
+    FROM (SELECT * FROM full_rank WHERE rn <= 5) f
+    LEFT JOIN (SELECT * FROM pfx_rank WHERE rn <= 5) p
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "matryoshka", "audit"),
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/dimension-truncation audit: recall@5 of brute-force
+    search over only the first {MRL_PREFIX_DIMS} embedding dimensions
+    against full-dimension ground truth, per probe — the measurement
+    behind "can we shrink the index 4x?" decisions (MRL-trained models
+    hold recall high under prefix truncation; a model that wasn't will
+    crater here, and this query is how you find out before rebuilding a
+    100 TB index at the wrong width).
+
+    Scale shape: both rankings are probe-confined brute force (probes
+    broadcast into one linear corpus scan each — the ground-truth pattern
+    of sim_topk_bruteforce); the overlap join and rollup touch only
+    5 x k rank rows. At 100 TB you run it on a sampled probe set, which
+    is exactly what the vec_id < 5 gate is."""
+    v = _vecs(spark, sf_dir)
+    pv = v.select("vec_id", F.slice("e", 1, MRL_PREFIX_DIMS).alias("e"))
+
+    def top5(rel: DataFrame) -> DataFrame:
+        q = rel.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id"
+        )
+        return (
+            rel.join(F.broadcast(q), rel["vec_id"] != q["query_id"])
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = top5(v)
+    pfx = top5(pv).withColumnRenamed("neighbor_id", "p_neighbor")
+    return (
+        truth.join(
+            pfx,
+            (truth["query_id"] == pfx["query_id"])
+            & (truth["neighbor_id"] == pfx["p_neighbor"]),
+            "left",
+        )
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(F.count("p_neighbor").cast("long").alias("n_overlap"))
+        .select(
+            "query_id", "n_overlap",
+            F.expr("(n_overlap * 10000) div 5").alias("recall_e4"),
+        )
+    )

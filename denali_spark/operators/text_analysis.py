@@ -1732,3 +1732,69 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(coin < F.col("th"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+_SQL_LANGID_PRED = (
+    "WITH toks AS (SELECT doc_id, list_distinct("
+    + SQL_TOKENS.format(c="text")
+    + ") AS t FROM documents), scores AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(list_intersect(t, {_STOPWORDS[lang]!r})) AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    + """ FROM toks), pred AS (
+      SELECT doc_id,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM scores)
+    """
+)
+
+
+@query(
+    "text_langid_confusion",
+    oracle=_SQL_LANGID_PRED
+    + """
+    SELECT d.lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((COUNT(*) * 10000) // SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS BIGINT)
+             AS share_of_label_e4
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    """,
+    tags=("text", "langid", "audit"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted language (the stopword
+    classifier of `text_langid`) against the labeled `lang` column, with
+    each cell's share of its true-label row — the audit that decides
+    whether a language filter is throwing away good data (off-diagonal
+    mass = misrouted documents; a real pipeline runs this every time the
+    classifier or the corpus mix changes). Integer counts and basis-point
+    shares, so the hash is bit-stable.
+
+    Scale shape: prediction is scan-local (stopword intersection, no
+    shuffle), the label join is by doc_id on co-partitioned projections,
+    and the rollup is partial-aggregable onto the tiny lang x pred key
+    space; the share window runs over that bounded relation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    per_label = Window.partitionBy("lang")
+    return cells.withColumn(
+        "__tot", F.sum("n_docs").over(per_label)
+    ).select(
+        "lang", "pred_lang", "n_docs",
+        # integer div, not double-divide-then-cast: exact at every
+        # boundary regardless of label size
+        F.expr("(n_docs * 10000) div __tot").alias("share_of_label_e4"),
+    )

@@ -1395,3 +1395,62 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak_cents").alias("peak_cents"),
         F.max(F.col("peak_cents") - F.col("cents")).alias("max_drawdown_cents"),
     )
+
+
+@query(
+    "ts_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+              + EXTRACT(hour FROM ts)) AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST((1000000 * (COUNT(*) * SUM(n * n) - SUM(n) * SUM(n)))
+                // (COUNT(*) * SUM(n)) AS BIGINT) AS fano_e6
+    FROM hourly GROUP BY event_type
+    """,
+    tags=("timeseries", "stats", "burstiness"),
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of each event stream: variance-to-mean
+    ratio of hourly counts — ~1e6 (scaled) for a Poisson-like stream,
+    far above it for bursty/batchy traffic, far below for rate-limited
+    feeds. The number capacity planning and anomaly baselining start
+    from. Exact integer identity: F = (m·Σn² − (Σn)²) / (m·Σn) over the
+    hourly-count relation, emitted ×1e6 under integer division so both
+    engines hash identically (no float variance accumulation).
+
+    Scale shape: ONE partial-aggregable groupBy builds (event_type,
+    hour_id) counts; the moments reduce over that bounded relation
+    (types × hours, not raw events). Σn² needs int64 headroom —
+    comfortable until an hour×type cell sees ~3e9 events; shard the
+    hour key before that."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) * 24
+            + F.hour("ts")
+        ).cast("long").alias("hour_id"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("n").alias("n_events"),
+            F.sum(F.col("n") * F.col("n")).alias("__s2"),
+        )
+        .select(
+            "event_type", "n_hours",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr(
+                "(1000000 * (n_hours * __s2 - n_events * n_events))"
+                " div (n_hours * n_events)"
+            ).alias("fano_e6"),
+        )
+    )

@@ -105,6 +105,10 @@ NON_EQUI_WHITELIST = {
     # probe side is 5 broadcast rows: nested-loop over the corpus is one
     # linear pass (cost n x |probes|), the textbook brute-force baseline
     "sim_topk_bruteforce",
+    # two sampled brute-force passes (full-dim truth + prefix-dim rank),
+    # each the 5-probe broadcast nested loop above; the overlap join is
+    # an equi-join over 5 x k rank rows
+    "sim_matryoshka_prefix_recall",
     # composes sim_topk_bruteforce (the 5-probe nested loop above) as its
     # sampled ground-truth side; the audit's own joins are equi-joins
     "sim_ann_recall_audit",

@@ -109,6 +109,11 @@ SF1_SUBSET = [
     # vocabulary) — both shuffle on key cardinality, not raw tokens
     "text_unigram_logprob",
     "text_collocation_lift",
+    # round-10: the drawdown window partitions by user (rows/user fixed by
+    # replication, partitions grow with users — the linear window shape)
+    # and fertility is scan-local + bounded-key rollup
+    "ts_max_drawdown",
+    "text_token_fertility",
 ]
 
 
@@ -294,6 +299,10 @@ HEADLINE = [
     # round 9: unigram-model quality scoring (explode + token-keyed join +
     # doc rollup — the corpus-frequency shuffle shape at its purest)
     "text_unigram_logprob",
+    # round 10: one window pass per user series (running max, O(1) frame
+    # state) and a scan-local tokenize + tiny-key rollup
+    "ts_max_drawdown",
+    "text_token_fertility",
 ]
 
 

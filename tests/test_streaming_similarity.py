@@ -318,3 +318,83 @@ def test_fold_streamed_index_lifecycle(spark, tmp_path):
     dsink(twin9, 0)
     v = {r["vec_id"]: r for r in read_dedup_verdicts(spark, ded_out).collect()}
     assert v[5_000_000]["is_duplicate"] and v[5_000_000]["dup_of"] == 1_000_009
+
+
+def test_fold_lifecycle_randomized(spark, tmp_path):
+    """Seeded randomized fold-lifecycle fuzz (the fold kernel's analogue
+    of the DDL round-trip fuzz): a random interleaving of sink writes,
+    folds, replayed folds, and replayed sink writes must always leave the
+    READER VIEW (folded generation ∪ committed streamed partitions) equal
+    to the model set of every vector ever accepted — and the streamed
+    store must never retain a folded batch."""
+    import os
+    import random
+
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_index,
+        read_folded_index,
+    )
+
+    rng = random.Random(0xD51)
+    bucket_dir = str(tmp_path / "fz-b")
+    vec_dir = str(tmp_path / "fz-v")
+    index_root = str(tmp_path / "fz-i")
+    sink = make_embedding_index_sink(bucket_dir, vec_dir)
+    base_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id").collect()
+    }
+
+    def vec_batch(ids):
+        return spark.createDataFrame(
+            [(i, [float((i + j) % 11 - 5) for j in range(64)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    model: set[int] = set()          # streamed ids ever accepted
+    written: dict[int, list[int]] = {}  # batch_id -> ids
+    next_id = 2_000_000
+    batch_no = 0
+    for step in range(12):
+        op = rng.choice(["write", "write", "fold", "refold", "rewrite"])
+        if op == "write" or not written:
+            ids = [next_id + k for k in range(rng.randint(1, 3))]
+            next_id += 10
+            sink(vec_batch(ids), batch_no)
+            written[batch_no] = ids
+            model.update(ids)
+            batch_no += 1
+        elif op == "fold":
+            fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+        elif op == "refold":
+            r1 = fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+            r2 = fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+            assert r2["noop"]
+            assert r2["generation"] == r1["generation"]
+        else:  # replay an old sink write verbatim
+            bid = rng.choice(sorted(written))
+            sink(vec_batch(written[bid]), bid)
+
+        # reader view = folded generation ∪ committed streamed partitions
+        view: set[int] = set()
+        folded = read_folded_index(spark, index_root)
+        if folded is not None:
+            view |= {
+                r["vec_id"]
+                for r in folded[1].select("vec_id").collect()
+            } - base_ids
+        sb = read_streamed_buckets(spark, bucket_dir)
+        if sb is not None:
+            view |= {r["vec_id"] for r in sb.select("vec_id").distinct().collect()}
+        assert view == model, f"step {step} op {op}: {view ^ model}"
+    # final fold drains the store completely
+    fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+    assert read_streamed_buckets(spark, bucket_dir) is None
+    fb, fv = read_folded_index(spark, index_root)
+    assert {
+        r["vec_id"] for r in fv.select("vec_id").collect()
+    } - base_ids == model
+    # no stray batch dirs anywhere
+    for d in (bucket_dir, vec_dir):
+        assert not any(n.startswith("batch_id=") for n in os.listdir(d))

@@ -398,3 +398,53 @@ def test_fold_lifecycle_randomized(spark, tmp_path):
     # no stray batch dirs anywhere
     for d in (bucket_dir, vec_dir):
         assert not any(n.startswith("batch_id=") for n in os.listdir(d))
+
+
+def test_fold_rebuilds_partial_generation_and_sweeps_leftovers(spark, tmp_path):
+    """Crash paths: (a) a gen dir left by a fold that died before the
+    state commit is an unreferenced partial — the next fold rebuilds it
+    rather than trusting it; (b) a fold that died between state commit
+    and truncation leaves folded streamed partitions behind — the next
+    call (even a no-op) sweeps them."""
+    import json
+    import os
+
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_index,
+        read_folded_index,
+    )
+
+    bucket_dir = str(tmp_path / "cr-b")
+    vec_dir = str(tmp_path / "cr-v")
+    index_root = str(tmp_path / "cr-i")
+    sink = make_embedding_index_sink(bucket_dir, vec_dir)
+    sink(
+        spark.createDataFrame(
+            [(3_000_000, [1.0] * 64)], "vec_id long, embedding array<float>"
+        ),
+        0,
+    )
+    # (a) plant a garbage gen-1 (simulating a crash mid-write, pre-state)
+    os.makedirs(os.path.join(index_root, "gen-1", "buckets"))
+    with open(os.path.join(index_root, "gen-1", "buckets", "junk"), "w") as f:
+        f.write("not parquet")
+    rep = fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+    assert rep == {"generation": 1, "folded_batches": [0], "noop": False}
+    fb, fv = read_folded_index(spark, index_root)
+    assert fv.filter(F.col("vec_id") == 3_000_000).count() == 1
+
+    # (b) simulate crash-after-state-commit: re-write batch 0's partitions
+    # (as a replayed sink would), which the state already lists as folded
+    sink(
+        spark.createDataFrame(
+            [(3_000_000, [1.0] * 64)], "vec_id long, embedding array<float>"
+        ),
+        0,
+    )
+    assert os.path.isdir(os.path.join(bucket_dir, "batch_id=0"))
+    state = json.load(open(os.path.join(index_root, "state.json")))
+    assert state["folded_batches"] == [0]
+    rep2 = fold_streamed_index(spark, SF, bucket_dir, vec_dir, index_root=index_root)
+    assert rep2["noop"]
+    assert not os.path.isdir(os.path.join(bucket_dir, "batch_id=0"))
+    assert not os.path.isdir(os.path.join(vec_dir, "batch_id=0"))

@@ -9,7 +9,7 @@ depends on engine-specific null ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from denali_spark.engine.tables import load_table, register_views
@@ -676,4 +676,97 @@ def agg_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").alias("mode_priority"),
             F.col("c").cast("long").alias("n"),
         )
+    )
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', last_day, ref_day) AS BIGINT) AS recency_days,
+             frequency, monetary_cents
+      FROM cust CROSS JOIN ref
+    ),
+    th AS (
+      SELECT quantile_disc(recency_days, 0.25) AS r25, quantile_disc(recency_days, 0.5) AS r50,
+             quantile_disc(recency_days, 0.75) AS r75,
+             quantile_disc(frequency, 0.25) AS f25, quantile_disc(frequency, 0.5) AS f50,
+             quantile_disc(frequency, 0.75) AS f75,
+             quantile_disc(monetary_cents, 0.25) AS m25, quantile_disc(monetary_cents, 0.5) AS m50,
+             quantile_disc(monetary_cents, 0.75) AS m75
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           'R' || CAST(1 + (recency_days > r25)::INT + (recency_days > r50)::INT
+                       + (recency_days > r75)::INT AS VARCHAR)
+           || 'F' || CAST(1 + (frequency > f25)::INT + (frequency > f50)::INT
+                          + (frequency > f75)::INT AS VARCHAR)
+           || 'M' || CAST(1 + (monetary_cents > m25)::INT + (monetary_cents > m50)::INT
+                          + (monetary_cents > m75)::INT AS VARCHAR) AS rfm_segment
+    FROM base CROSS JOIN th
+    """,
+    tags=("aggregate", "rfm", "segmentation"),
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles — the retail-analytics workhorse): per customer, days since
+    last order relative to the corpus's newest order, order count, and
+    exact cents spend, bucketed R1-4/F1-4/M1-4 against EXACT quartile
+    thresholds. Deliberately NOT ntile: a global ntile sorts every
+    customer through one partition, while threshold bucketing computes
+    three exact percentiles over the (already customer-level) relation
+    and broadcasts NINE scalars into a scan-local comparison — the shape
+    that survives a 100x customer count.
+
+    Hash discipline: recency/frequency are integers, monetary is decimal
+    cents, and percentile_disc/quantile_disc pick actual data values
+    (the proven engine pair from agg_approx_sketches) — no interpolation,
+    bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    base = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_day", "last_day").cast("long").alias("recency_days"),
+        "frequency", "monetary_cents",
+    )
+    th = base.agg(*[
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {m})").alias(
+            f"{m[0]}{int(q * 100)}"
+        )
+        for m in ("recency_days", "frequency", "monetary_cents")
+        for q in (0.25, 0.5, 0.75)
+    ])
+
+    def quart(m: str) -> Column:
+        p = m[0]
+        return (
+            1
+            + (F.col(m) > F.col(f"{p}25")).cast("int")
+            + (F.col(m) > F.col(f"{p}50")).cast("int")
+            + (F.col(m) > F.col(f"{p}75")).cast("int")
+        ).cast("string")
+
+    return base.crossJoin(F.broadcast(th)).select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        F.concat(
+            F.lit("R"), quart("recency_days"),
+            F.lit("F"), quart("frequency"),
+            F.lit("M"), quart("monetary_cents"),
+        ).alias("rfm_segment"),
     )

@@ -115,11 +115,13 @@ DRIVER_PRIORITY: list[str] = [
     "mm_modality_coverage",
     "sample_temperature_mixture",
     "sim_ivf_balance",
+    "agg_rfm_segments",
     "sim_matryoshka_prefix_recall",
     "text_langid_confusion",
     "text_token_fertility",
     "ts_burstiness",
     "ts_max_drawdown",
+    "win_pareto_concentration",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

@@ -414,3 +414,87 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_row.eid").cast("long").alias("first_event_id"),
         )
     )
+
+
+@query(
+    "win_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY nationkey ORDER BY cents DESC, o_custkey
+             ) AS rnk,
+             SUM(cents) OVER (
+               PARTITION BY nationkey ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(cents) OVER (PARTITION BY nationkey) AS total,
+             COUNT(*) OVER (PARTITION BY nationkey) AS n_customers
+      FROM rev
+    )
+    SELECT nationkey,
+           CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN rnk END) AS BIGINT)
+             AS customers_to_80pct,
+           CAST((MAX(CASE WHEN rnk <= 10 THEN cum END) * 10000) // MAX(total) AS BIGINT)
+             AS top10_share_e4
+    FROM ranked GROUP BY nationkey
+    """,
+    tags=("window", "pareto", "concentration"),
+)
+def win_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation (the Pareto/80-20 audit): how
+    many customers carry 80% of revenue, and what share the top 10 hold —
+    the skew diagnosis that decides whether a market is broad or
+    whale-driven (and, for this engine, whether a per-key partition will
+    have stragglers). Exact integer cents; the 80% cut is the
+    cross-multiplied predicate 5*cum >= 4*total, no division until the
+    final basis-point share.
+
+    Scale shape: one partial-aggregable (nation, customer) rollup, then
+    windows partitioned BY NATION — per-group sorts, never a global one —
+    and a final rollup onto the 25-row nation key space."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            "o_custkey",
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    order_w = Window.partitionBy("nationkey").orderBy(
+        F.desc("cents"), "o_custkey"
+    )
+    ranked = rev.select(
+        "nationkey", "cents",
+        F.row_number().over(order_w).alias("rnk"),
+        F.sum("cents").over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cents").over(Window.partitionBy("nationkey")).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy("nationkey")).alias("n_customers"),
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.max("n_customers").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.min(
+            F.when(5 * F.col("cum") >= 4 * F.col("total"), F.col("rnk"))
+        ).cast("long").alias("customers_to_80pct"),
+        F.expr(
+            "(max(CASE WHEN rnk <= 10 THEN cum END) * 10000) div max(total)"
+        ).alias("top10_share_e4"),
+    )

@@ -131,6 +131,9 @@ NON_EQUI_WHITELIST = {
     "agg_hll_mergeable_rollup",
     # the 1-row corpus doc count broadcast into the tf-idf projection
     "text_tfidf_topterms",
+    # two 1-row aggregates broadcast into scan-local bucketing: the
+    # reference date and the nine exact quartile thresholds
+    "agg_rfm_segments",
     # IVF probe selection: the 5-row probe set x broadcast centroids
     # (corpus assignment itself is the materialized inverted-lists index,
     # built once at ingest — the n·k quantization pass never runs at query

@@ -29,12 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EMB_SCHEMA = "vec_id long, embedding array<float>"
+LABELED_EMB_SCHEMA = "vec_id long, label int, embedding array<float>"
 
 
 def read_embedding_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream of (vec_id, embedding float[]) parquet drops —
     same landing pattern as read_document_stream."""
     return spark.readStream.schema(EMB_SCHEMA).parquet(landing_dir)
+
+
+def read_labeled_embedding_stream(
+    spark: SparkSession, landing_dir: str
+) -> DataFrame:
+    """(vec_id, label, embedding) stream — the drift guard's input shape
+    (label = the class/domain key whose centroid drift is monitored)."""
+    return spark.readStream.schema(LABELED_EMB_SCHEMA).parquet(landing_dir)
 
 
 def _success_parts(base_dir: str, exclude_batch_id: int | None = None) -> list[str]:
@@ -241,3 +250,108 @@ def read_folded_index(
     if got is None:
         return None
     return got["buckets"], got["vecs"]
+
+
+# --- distribution-drift guard ------------------------------------------------
+
+def _label_sums(df: DataFrame) -> DataFrame:
+    """(label, n, sum_vec) per label — element-wise vector sums via
+    posexplode + (label, pos) partial aggregation, reassembled in pos
+    order. Cross-row array summation with no UDF; the shuffled relation
+    is labels x dims, never raw vectors."""
+    exploded = df.select("label", F.posexplode("e").alias("pos", "x"))
+    by_pos = exploded.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    sums = by_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"],
+        ).alias("sum_vec")
+    )
+    counts = df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return counts.join(sums, "label")
+
+
+def make_embedding_drift_sink(
+    sf_dir: str, out_dir: str, state_dir: str | None = None,
+    alert_cos: float = 0.95,
+):
+    """foreachBatch sink: embedding DISTRIBUTION-DRIFT monitoring — the
+    guard that catches a swapped/retrained upstream encoder before a
+    drifted corpus poisons the index. Each micro-batch's vectors are
+    scored by cosine against their label's RUNNING CENTROID (base corpus
+    + every prior committed batch); per-label verdicts (n, mean/min
+    cosine, drifted flag, new_label flag) land in ``out_dir/batch_id=N``
+    and the batch's own (label, n, sum_vec) contribution grows the state
+    store — same _SUCCESS-gated partition-per-batch replay discipline as
+    every sink here.
+
+    cos(v, centroid) == cos(v, sum_vec) (cosine is scale-invariant), so
+    the state is exact integer-free vector sums — no running-mean float
+    drift, and contributions from replays overwrite rather than
+    re-accumulate. Scale shape: the batch side pays one posexplode
+    (batch x dims); the state store is labels x dims."""
+    state_dir = state_dir if state_dir is not None else f"{out_dir}_state"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.similarity import _vecs, cosine
+
+        spark = batch_df.sparkSession
+        v = batch_df.select(
+            "vec_id", "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ).persist()
+        base = _vecs(spark, sf_dir).join(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "label"
+            ),
+            "vec_id",
+        ).select("label", "e")
+        state = _label_sums(base)
+        prior = _success_parts(state_dir, exclude_batch_id=batch_id)
+        if prior:
+            both = state.unionByName(
+                spark.read.parquet(*prior).select("label", "n", "sum_vec")
+            )
+            vec_merged = (
+                both.select("label", F.posexplode("sum_vec").alias("pos", "x"))
+                .groupBy("label", "pos")
+                .agg(F.sum("x").alias("s"))
+                .groupBy("label")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda st: st["s"],
+                    ).alias("sum_vec")
+                )
+            )
+            state = both.groupBy("label").agg(F.sum("n").alias("n")).join(
+                vec_merged, "label"
+            )
+        scored = v.join(
+            F.broadcast(state.select("label", "sum_vec")), "label", "left"
+        ).select(
+            "label",
+            F.when(
+                F.col("sum_vec").isNotNull(),
+                cosine(F.col("e"), F.col("sum_vec")),
+            ).alias("cos"),
+        )
+        verdicts = scored.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("cos").alias("mean_cos"),
+            F.min("cos").alias("min_cos"),
+            (F.count(F.lit(1)) - F.count("cos") > 0).alias("new_label"),
+        ).select(
+            "label", "n", "mean_cos", "min_cos", "new_label",
+            (
+                F.col("new_label")
+                | (F.col("mean_cos") < F.lit(alert_cos))
+            ).alias("drifted"),
+        )
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        _label_sums(v.select("label", "e")).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+        v.unpersist()
+
+    return _sink

@@ -448,3 +448,62 @@ def test_fold_rebuilds_partial_generation_and_sweeps_leftovers(spark, tmp_path):
     assert rep2["noop"]
     assert not os.path.isdir(os.path.join(bucket_dir, "batch_id=0"))
     assert not os.path.isdir(os.path.join(vec_dir, "batch_id=0"))
+
+
+def test_embedding_drift_guard(spark, tmp_path):
+    """Distribution-drift monitoring: in-distribution copies of a label's
+    own corpus vectors score high cosine to the running centroid (not
+    drifted); inverted vectors crater the mean (drifted); an unseen label
+    flags new_label; the state grows so batch 2 scores against base +
+    batch 1; and a replayed batch overwrites its own partitions only."""
+    from denali_spark.streaming.embeddings_stream import (
+        make_embedding_drift_sink,
+        read_dedup_verdicts,
+    )
+
+    out = str(tmp_path / "drift")
+    # the synthetic corpus clusters loosely (own-label mean cos ~0.2),
+    # so the alert line sits between in-distribution (+0.2) and inverted (-0.2)
+    sink = make_embedding_drift_sink(SF, out, alert_cos=0.05)
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # batch 0: exact copies of label 0's own vectors (cos→~centroid
+    # self-similarity, high), plus INVERTED label-1 vectors (cos ≈ -1)
+    ok = base.filter(F.col("label") == 0).limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding"
+    )
+    bad = base.filter(F.col("label") == 1).limit(5).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "label",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    sink(ok.unionByName(bad), 0)
+    v0 = {r["label"]: r for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+    assert v0[0]["drifted"] is False and v0[0]["mean_cos"] > 0.05
+    assert v0[1]["drifted"] is True and v0[1]["mean_cos"] < 0
+    assert v0[0]["new_label"] is False
+
+    # batch 1: an unseen label → new_label + drifted
+    novel = spark.createDataFrame(
+        [(3_000_000, 99, [1.0] * 64)], "vec_id long, label int, embedding array<float>"
+    )
+    sink(novel, 1)
+    v1 = {r["label"]: r for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+    assert v1[99]["new_label"] is True and v1[99]["drifted"] is True
+    assert v1[99]["mean_cos"] is None
+
+    # batch 2: the SAME novel-label vector again — now the state holds
+    # label 99's batch-1 contribution, so it scores cos == 1 (not new)
+    sink(novel.select((F.col("vec_id") + 1).alias("vec_id"), "label", "embedding"), 2)
+    v2 = {r["label"]: r for r in spark.read.parquet(f"{out}/batch_id=2").collect()}
+    assert v2[99]["new_label"] is False
+    assert v2[99]["mean_cos"] > 0.999999 and v2[99]["drifted"] is False
+
+    # replay the LAST batch verbatim (the only replay Structured
+    # Streaming's checkpoint can produce): its own state partition is
+    # excluded from the corpus view, so the verdict is identical
+    sink(novel.select((F.col("vec_id") + 1).alias("vec_id"), "label", "embedding"), 2)
+    r2 = {r["label"]: r for r in spark.read.parquet(f"{out}/batch_id=2").collect()}
+    assert r2[99]["new_label"] is False
+    assert r2[99]["mean_cos"] > 0.999999 and r2[99]["drifted"] is False
+    # and the full verdict store reads back with all three batches
+    assert read_dedup_verdicts(spark, out).count() == 4

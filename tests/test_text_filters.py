@@ -119,8 +119,12 @@ def test_no_cached_relations_survive_text_queries(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    spark.catalog.clearCache()
+    # Other suites running earlier in this shared session leave
+    # localCheckpoint blocks behind (by design — a checkpointed relation
+    # returned lazily must keep its blocks), so assert NO NEW persistent
+    # RDDs rather than an absolutely empty registry.
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert text_unigram_logprob(spark, SF_SMOKE).count() > 0
     assert text_collocation_lift(spark, SF_SMOKE).count() >= 0
-    leftover = spark.sparkContext._jsc.getPersistentRDDs()
-    assert leftover.size() == 0, f"cached relations leaked: {leftover}"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"cached relations leaked: {after - before}"

@@ -117,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ivf_balance",
     "agg_rfm_segments",
     "sim_matryoshka_prefix_recall",
+    "text_dup_rate_by_length",
     "text_langid_confusion",
     "text_token_fertility",
     "ts_burstiness",

@@ -1798,3 +1798,81 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundary regardless of label size
         F.expr("(n_docs * 10000) div __tot").alias("share_of_label_e4"),
     )
+
+
+@query(
+    "text_dup_rate_by_length",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(len({SQL_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id, n_tokens,
+             (COUNT(*) OVER (PARTITION BY h) > 1) AS is_dup
+      FROM t
+    ),
+    th AS (
+      SELECT quantile_disc(n_tokens, 0.25) AS q25,
+             quantile_disc(n_tokens, 0.5) AS q50,
+             quantile_disc(n_tokens, 0.75) AS q75
+      FROM t
+    )
+    SELECT CAST(1 + (n_tokens > q25)::INT + (n_tokens > q50)::INT
+                + (n_tokens > q75)::INT AS BIGINT) AS length_quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup::INT) AS BIGINT) AS n_dup,
+           CAST((SUM(is_dup::INT) * 10000) // COUNT(*) AS BIGINT) AS dup_rate_e4
+    FROM dup CROSS JOIN th
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "audit"),
+)
+def text_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate by document-length quartile — the audit that
+    localizes duplication: web corpora concentrate copies in SHORT
+    boilerplate (cookie banners, footers), so a dup-rate spike in the
+    bottom quartile says "tighten the length filter", while a flat
+    profile says the dedup pass has to run everywhere. Thresholds are
+    exact discrete percentiles broadcast as three scalars (the RFM
+    pattern — no global ntile sort); dup membership is the md5 hash
+    group; all outputs integer, hash bit-stable.
+
+    Scale shape: one scan computes (hash, token count); dup flags come
+    from a count window over the md5 key (the exact-dedup shuffle);
+    thresholds reduce to 1 row and broadcast into a scan-local bucketing;
+    the rollup lands on 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+    dup = t.select(
+        "n_tokens",
+        (F.count(F.lit(1)).over(Window.partitionBy("h")) > 1).alias("is_dup"),
+    )
+    th = t.agg(*[
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens)").alias(a)
+        for q, a in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"))
+    ])
+    bucket = (
+        1
+        + (F.col("n_tokens") > F.col("q25")).cast("int")
+        + (F.col("n_tokens") > F.col("q50")).cast("int")
+        + (F.col("n_tokens") > F.col("q75")).cast("int")
+    ).cast("long")
+    return (
+        dup.crossJoin(F.broadcast(th))
+        .groupBy(bucket.alias("length_quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).cast("long").alias("n_dup"),
+        )
+        .select(
+            "length_quartile", "n_docs", "n_dup",
+            F.expr("(n_dup * 10000) div n_docs").alias("dup_rate_e4"),
+        )
+    )

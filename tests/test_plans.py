@@ -134,6 +134,9 @@ NON_EQUI_WHITELIST = {
     # two 1-row aggregates broadcast into scan-local bucketing: the
     # reference date and the nine exact quartile thresholds
     "agg_rfm_segments",
+    # the 1-row length-quartile threshold aggregate broadcast into the
+    # scan-local bucketing (same shape)
+    "text_dup_rate_by_length",
     # IVF probe selection: the 5-row probe set x broadcast centroids
     # (corpus assignment itself is the materialized inverted-lists index,
     # built once at ingest — the n·k quantization pass never runs at query

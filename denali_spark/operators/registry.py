@@ -120,6 +120,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_dup_rate_by_length",
     "text_langid_confusion",
     "text_token_fertility",
+    "ts_asof_join_nearest",
     "ts_burstiness",
     "ts_max_drawdown",
     "win_pareto_concentration",

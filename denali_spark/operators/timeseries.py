@@ -1454,3 +1454,76 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fano_e6"),
         )
     )
+
+
+@query(
+    "ts_asof_join_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT p.event_id, epoch_us(c.ts) AS us, c.value AS v
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    f AS (
+      SELECT p.event_id, epoch_us(c.ts) AS us, c.value AS v
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+           CASE WHEN f.us IS NULL THEN b.us
+                WHEN b.us IS NULL THEN f.us
+                WHEN epoch_us(p.ts) - b.us <= f.us - epoch_us(p.ts) THEN b.us
+                ELSE f.us END AS click_us,
+           CASE WHEN f.us IS NULL THEN b.v
+                WHEN b.us IS NULL THEN f.v
+                WHEN epoch_us(p.ts) - b.us <= f.us - epoch_us(p.ts) THEN b.v
+                ELSE f.v END AS click_value
+    FROM purchases p
+    LEFT JOIN b ON b.event_id = p.event_id
+    LEFT JOIN f ON f.event_id = p.event_id
+    """,
+    tags=("timeseries", "asof-join", "custom-operator"),
+)
+def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: per purchase, the click with the smallest
+    absolute time distance — ties break backward (the click at-or-before
+    wins), completing the as-of family (backward / forward / nearest:
+    sensor alignment and feature-join pipelines need all three). Composes
+    the two union-and-carry passes of `_asof_union_carry` — both shuffle
+    on the SAME (user_id) key, so the second window reuses the first's
+    partitioning — and picks the nearer side with integer microsecond
+    arithmetic (no float time math).
+
+    At 100 TB: still two window passes over one co-partitioned union —
+    no per-row lookups, no broadcast requirement, no range explosion."""
+    events = load_table(spark, sf_dir, "events")
+    b = _asof_union_carry(events, forward=False).select(
+        "event_id", "user_id", "purchase_us",
+        F.col("click_us").alias("b_us"), F.col("click_value").alias("b_v"),
+    )
+    f = _asof_union_carry(events, forward=True).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("click_us").alias("f_us"), F.col("click_value").alias("f_v"),
+    )
+    j = b.join(f, b["event_id"] == f["f_event_id"], "left")
+    back_wins = (
+        F.col("f_us").isNull()
+        | (
+            F.col("b_us").isNotNull()
+            & (
+                (F.col("purchase_us") - F.col("b_us"))
+                <= (F.col("f_us") - F.col("purchase_us"))
+            )
+        )
+    )
+    return j.select(
+        "event_id", "user_id", "purchase_us",
+        F.when(back_wins, F.col("b_us")).otherwise(F.col("f_us")).alias("click_us"),
+        F.when(back_wins, F.col("b_v")).otherwise(F.col("f_v")).alias("click_value"),
+    )

@@ -1554,3 +1554,69 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_overlap * 10000) div 5").alias("recall_e4"),
         )
     )
+
+
+def sim_ivf_search(
+    spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    extra_lists: DataFrame | None = None,
+    base_lists: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k for EXTERNAL probe vectors — the query-time path over
+    the materialized inverted lists, mirroring sim_lsh_search's contract:
+    `probes` is (query_id long, e array<double>); `extra_lists` grafts
+    streamed (vec_id, e, cid) rows (streaming.embeddings_stream's IVF
+    sink) without touching the base lists; `base_lists` REPLACES the
+    corpus-derived lists entirely (the folded-generation read path).
+
+    Scale shape: probes x centroids broadcast scoring picks nprobe lists
+    per query; the corpus side contributes only those lists' rows via a
+    cid equi-join — never a full scan."""
+    v = _vecs(spark, sf_dir)
+    lists = (
+        base_lists if base_lists is not None
+        else ivf_inverted_lists(spark, sf_dir)
+    )
+    if extra_lists is not None:
+        lists = lists.unionByName(extra_lists)
+    arn_w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qe"), F.col("ce"))), "cid"
+    )
+    picked = (
+        probes.select(F.col("query_id"), F.col("e").alias("qe"))
+        .crossJoin(F.broadcast(_centroids(v)))
+        .withColumn("arn", F.row_number().over(arn_w))
+        .filter(F.col("arn") <= nprobe)
+        .select("query_id", "qe", F.col("cid").alias("pcid"))
+    )
+    scored = lists.join(
+        F.broadcast(picked),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def ivf_assign_to_corpus_centroids(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame
+) -> DataFrame:
+    """Assign external (vec_id, e) vectors to the CORPUS's stride
+    centroids — the map-side step of streaming IVF ingest (same argmin
+    the base index build uses, over a broadcast centroid set)."""
+    arn_w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("e"), F.col("ce"))), "cid"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(_centroids(_vecs(spark, sf_dir))))
+        .withColumn("arn", F.row_number().over(arn_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "e", "cid")
+    )

@@ -355,3 +355,85 @@ def make_embedding_drift_sink(
         v.unpersist()
 
     return _sink
+
+
+# --- IVF online lifecycle (third index type through the shared fold) --------
+
+def read_streamed_lists(spark: SparkSession, list_dir: str) -> DataFrame | None:
+    """Union of all committed streamed IVF list rows (vec_id, e, cid) —
+    pass as sim_ivf_search(extra_lists=)."""
+    parts = _success_parts(list_dir)
+    if not parts:
+        return None
+    return spark.read.parquet(*parts).select("vec_id", "e", "cid")
+
+
+def make_ivf_index_sink(sf_dir: str, list_dir: str):
+    """foreachBatch sink: assign each micro-batch of vectors to the corpus
+    stride centroids (map-side argmin over a broadcast centroid set —
+    operators.similarity.ivf_assign_to_corpus_centroids) and append the
+    (vec_id, e, cid) rows as the batch's own partition. Same replay
+    discipline as the SRP bucket sink; the same vector can ride both
+    sinks, giving LSH and IVF searches one consistent online corpus."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.similarity import (
+            ivf_assign_to_corpus_centroids,
+        )
+
+        spark = batch_df.sparkSession
+        v = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        ivf_assign_to_corpus_centroids(spark, sf_dir, v).write.mode(
+            "overwrite"
+        ).parquet(f"{list_dir}/batch_id={batch_id}")
+
+    return _sink
+
+
+def fold_streamed_lists(
+    spark: SparkSession,
+    sf_dir: str,
+    list_dir: str,
+    index_root: str | None = None,
+    keep_generations: int = 2,
+) -> dict:
+    """Fold streamed IVF list rows into a generational base-list store —
+    the third index type through streaming.fold's kernel (after SRP
+    buckets and MinHash signatures). Searches then pass the generation as
+    sim_ivf_search(base_lists=) with no grafts."""
+    from denali_spark.engine.index_cache import (
+        corpus_fingerprint,
+        index_file_count,
+    )
+    from denali_spark.operators.similarity import (
+        IVF_STRIDE,
+        ivf_inverted_lists,
+    )
+    from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
+
+    index_root = index_root if index_root is not None else f"{list_dir}_folded"
+    n_files = index_file_count(sf_dir, "embeddings")
+    corpus_key = corpus_fingerprint(sf_dir, "embeddings", f"S{IVF_STRIDE}")
+    return fold_streamed_partitions(
+        spark, index_root, corpus_key,
+        [
+            FoldRelation(
+                "lists", list_dir,
+                lambda: ivf_inverted_lists(spark, sf_dir),
+                ("vec_id", "e", "cid"), n_files, ("cid",),
+            )
+        ],
+        keep_generations=keep_generations,
+    )
+
+
+def read_folded_lists(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """The committed folded IVF generation (vec_id, e, cid), or None if no
+    fold has run."""
+    from denali_spark.streaming.fold import read_folded
+
+    got = read_folded(spark, index_root, ("lists",))
+    return None if got is None else got["lists"]

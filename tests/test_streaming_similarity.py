@@ -507,3 +507,72 @@ def test_embedding_drift_guard(spark, tmp_path):
     assert r2[99]["mean_cos"] > 0.999999 and r2[99]["drifted"] is False
     # and the full verdict store reads back with all three batches
     assert read_dedup_verdicts(spark, out).count() == 4
+
+
+def test_ivf_online_lifecycle(spark, tmp_path):
+    """IVF — the third index type through the shared fold kernel: a
+    streamed twin is searchable via extra_lists, search over the folded
+    generation (no grafts) equals the grafted search, the external-probe
+    IVF search matches sim_ivf_topk's semantics on corpus probes, replay
+    of the fold is a no-op."""
+    from denali_spark.operators.similarity import (
+        IVF_NPROBE,
+        sim_ivf_search,
+        sim_ivf_topk,
+    )
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_lists,
+        make_ivf_index_sink,
+        read_folded_lists,
+        read_streamed_lists,
+    )
+
+    # external-probe search over the base lists reproduces sim_ivf_topk
+    # (whose probes are corpus vectors scored through the same machinery)
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mine = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in sim_ivf_search(spark, SF, probes, k=5, nprobe=IVF_NPROBE).collect()
+    )
+    ref = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in sim_ivf_topk(spark, SF).collect()
+    )
+    assert mine == ref
+
+    # streamed twin of corpus vec 0: same centroid, searchable via graft
+    list_dir = str(tmp_path / "ivf-lists")
+    index_root = str(tmp_path / "ivf-index")
+    sink = make_ivf_index_sink(SF, list_dir)
+    twin = base.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 0.999).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    sink(twin, 0)
+    probe0 = probes.filter(F.col("query_id") == 0)
+    grafted = sim_ivf_search(
+        spark, SF, probe0, k=3,
+        extra_lists=read_streamed_lists(spark, list_dir),
+    ).collect()
+    by_id = {r["neighbor_id"]: r for r in grafted}
+    assert 1_000_000 in by_id and by_id[1_000_000]["rn"] == 1
+
+    # fold → search over the generation with no grafts, identical result
+    rep = fold_streamed_lists(spark, SF, list_dir, index_root=index_root)
+    assert rep == {"generation": 1, "folded_batches": [0], "noop": False}
+    folded = sim_ivf_search(
+        spark, SF, probe0, k=3,
+        base_lists=read_folded_lists(spark, index_root),
+    ).collect()
+    assert sorted((r["neighbor_id"], r["rn"]) for r in folded) == sorted(
+        (r["neighbor_id"], r["rn"]) for r in grafted
+    )
+    assert read_streamed_lists(spark, list_dir) is None
+    rep2 = fold_streamed_lists(spark, SF, list_dir, index_root=index_root)
+    assert rep2["noop"] and rep2["generation"] == 1

@@ -116,9 +116,11 @@ DRIVER_PRIORITY: list[str] = [
     "sample_temperature_mixture",
     "sim_ivf_balance",
     "agg_rfm_segments",
+    "sim_ivf_nprobe_curve",
     "sim_matryoshka_prefix_recall",
     "text_dup_rate_by_length",
     "text_langid_confusion",
+    "text_stopword_coverage",
     "text_token_fertility",
     "ts_asof_join_nearest",
     "ts_burstiness",

@@ -1620,3 +1620,131 @@ def ivf_assign_to_corpus_centroids(
         .filter(F.col("arn") == 1)
         .select("vec_id", "e", "cid")
     )
+
+
+_SQL_NPROBE_BASE = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    assign_scored AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cid
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, e, cid FROM assign_scored WHERE arn = 1),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {SQL_COSINE.format(a='q.e', b='c.e')} DESC, c.vec_id
+               ) AS rn
+        FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+      ) WHERE rn <= 5
+    )
+"""
+
+
+@query(
+    "sim_ivf_nprobe_curve",
+    oracle=_SQL_NPROBE_BASE
+    + "\n UNION ALL ".join(
+        f"""
+      SELECT CAST({np} AS BIGINT) AS nprobe,
+             CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(h.neighbor_id) * 10000 // 25 AS BIGINT) AS recall_e4
+      FROM truth t LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {SQL_COSINE.format(a='p.qe', b='a.e')} DESC, a.vec_id
+                 ) AS rn
+          FROM (SELECT vec_id AS query_id, e AS qe, cid
+                FROM assign_scored WHERE vec_id < 5 AND arn <= {np}) p
+          JOIN assigned a ON p.cid = a.cid AND p.query_id <> a.vec_id
+        ) WHERE rn <= 5
+      ) h ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
+    """
+        for np in (1, 2, 3, 4)
+    ),
+    tags=("similarity", "ann", "ivf", "tuning"),
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe tuning curve: recall@5 against brute-force
+    ground truth at nprobe 1..4 — the IVF twin of
+    `dedup_minhash_band_tuning`'s LSH S-curve, and the measurement behind
+    "how many lists must a query touch?" (each +1 nprobe buys recall at
+    a linear scan-cost increase; the knee of this curve is the production
+    setting). 25 truth pairs (5 probes x top-5), integer hits and
+    basis-point recall — hash bit-stable.
+
+    Scale shape: ONE brute-force pass for the sampled ground truth, then
+    four probe-confined list scans that REUSE the materialized inverted
+    lists; every arm reduces to one aggregate row before the 4-row
+    union. At 100 TB the probe set is a sample, exactly like the
+    recall audit."""
+    v = _vecs(spark, sf_dir)
+    lists = ivf_inverted_lists(spark, sf_dir)
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    truth_w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    truth = (
+        v.join(F.broadcast(probes), v["vec_id"] != probes["query_id"])
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(truth_w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    arn_w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qe"), F.col("ce"))), "cid"
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(_centroids(v)))
+        .withColumn("arn", F.row_number().over(arn_w))
+        .select("query_id", "qe", "cid", "arn")
+    )
+    arms = []
+    for np_ in (1, 2, 3, 4):
+        picked = probe_cells.filter(F.col("arn") <= np_).select(
+            "query_id", "qe", F.col("cid").alias("pcid")
+        )
+        got = (
+            lists.join(
+                F.broadcast(picked),
+                (F.col("cid") == F.col("pcid"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(truth_w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", F.col("neighbor_id").alias("h_neighbor"))
+        )
+        arms.append(
+            truth.join(
+                got,
+                (truth["query_id"] == got["query_id"])
+                & (truth["neighbor_id"] == got["h_neighbor"]),
+                "left",
+            ).agg(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.count("h_neighbor").cast("long").alias("n_hits"),
+                F.expr("(count(h_neighbor) * 10000) div 25").alias("recall_e4"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

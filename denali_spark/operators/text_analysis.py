@@ -1876,3 +1876,66 @@ def text_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_dup * 10000) div n_docs").alias("dup_rate_e4"),
         )
     )
+
+
+_SQL_STOPWORD_LISTS = " UNION ALL ".join(
+    f"SELECT '{lang}' AS sw_lang, unnest({_STOPWORDS[lang]!r}) AS sw"
+    for lang in _LANG_ORDER
+)
+
+
+@query(
+    "text_stopword_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, unnest({SQL_TOKENS.format(c='text')}) AS tok
+      FROM documents
+    ),
+    sw AS ({_SQL_STOPWORD_LISTS})
+    SELECT t.lang, t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(s.sw) AS BIGINT) AS n_stopwords,
+           CAST((COUNT(s.sw) * 10000) // COUNT(*) AS BIGINT) AS stopword_e4
+    FROM toks t
+    LEFT JOIN sw s ON s.sw_lang = t.lang AND s.sw = t.tok
+    GROUP BY t.lang, t.source
+    """,
+    tags=("text", "quality", "langid"),
+)
+def text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-language stopword coverage per (lang, source): the fraction of
+    tokens that are the LABELED language's function words — natural text
+    sits in a stable band; a slice far below it is code, tables, or
+    mislabeled language (the cheap CCNet-style signal that pairs with
+    the langid confusion matrix: confusion says WHERE labels are wrong,
+    coverage says which slices aren't prose at all). Basis-point
+    integers, hash bit-stable.
+
+    Scale shape: explode, then an equi-join against a ~40-row broadcast
+    stopword relation, then one partial-aggregable rollup onto the tiny
+    lang x source key space — the token stream never shuffles on its own
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", F.explode(tokens_col()).alias("tok")
+    )
+    sw = docs.sparkSession.createDataFrame(
+        [(lang, w) for lang in _LANG_ORDER for w in _STOPWORDS[lang]],
+        "sw_lang string, sw string",
+    )
+    return (
+        toks.join(
+            F.broadcast(sw),
+            (toks["lang"] == sw["sw_lang"]) & (toks["tok"] == sw["sw"]),
+            "left",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("sw").cast("long").alias("n_stopwords"),
+        )
+        .select(
+            "lang", "source", "n_tokens", "n_stopwords",
+            F.expr("(n_stopwords * 10000) div n_tokens").alias("stopword_e4"),
+        )
+    )

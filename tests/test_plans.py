@@ -109,6 +109,10 @@ NON_EQUI_WHITELIST = {
     # each the 5-probe broadcast nested loop above; the overlap join is
     # an equi-join over 5 x k rank rows
     "sim_matryoshka_prefix_recall",
+    # one sampled brute-force truth pass (the same 5-probe nested loop) +
+    # 5-row probe x broadcast centroid scoring; the four list scans are
+    # cid equi-joins over the materialized inverted lists
+    "sim_ivf_nprobe_curve",
     # composes sim_topk_bruteforce (the 5-probe nested loop above) as its
     # sampled ground-truth side; the audit's own joins are equi-joins
     "sim_ann_recall_audit",

@@ -238,3 +238,38 @@ def test_spec_only_plan_consumption(spark, io, monkeypatch):
         ).collect()
     )
     assert got2 == [2, 3, 4, 5]
+
+
+def test_spec_only_consumption_through_pagination(spark, io, monkeypatch):
+    """The two r9/r10 surfaces composed: a plan big enough to paginate
+    into stateless plan-task handles, consumed with `x-denali-entry`
+    stripped from BOTH the plan response and every redeemed shard — the
+    spec-fields-only reconstruction must still equal the local read."""
+    from denali_spark.catalog import service
+
+    io.write_table(
+        spark.range(0, 110).select("id", (F.col("id") % 7).alias("v")),
+        ["plan4"], "pag", mode="overwrite", num_files=11,
+    )
+    monkeypatch.setattr(service, "PLAN_SHARD_SIZE", 4)
+
+    def strip(obj):
+        if isinstance(obj, dict):
+            return {k: strip(v) for k, v in obj.items() if k != "x-denali-entry"}
+        if isinstance(obj, list):
+            return [strip(v) for v in obj]
+        return obj
+
+    real_plan = io.client.plan_table_scan
+    real_fetch = io.client.fetch_scan_tasks
+    monkeypatch.setattr(
+        io.client, "plan_table_scan", lambda *a, **kw: strip(real_plan(*a, **kw))
+    )
+    monkeypatch.setattr(
+        io.client, "fetch_scan_tasks", lambda *a, **kw: strip(real_fetch(*a, **kw))
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in io.read_table(["plan4"], "pag", server_plan="spec").collect()
+    )
+    assert got == [(i, i % 7) for i in range(110)]

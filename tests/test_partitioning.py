@@ -549,3 +549,48 @@ def test_python_murmur3_matches_spark_hash(spark):
     assert [r["h"] for r in got] == [
         murmur3_bytes(s.encode("utf-8")) for s in strings
     ]
+
+
+def test_partition_prune_conservative_across_spec_evolution(spark, io):
+    """After evolve_partition_spec, live files carry tuples from TWO
+    layouts; pruning keys on the CURRENT spec, so old-layout files (whose
+    tuples lack the current field) must be KEPT, never mispruned — and
+    reads stay row-correct through the transition."""
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.sources.partitioning import partition_prune
+
+    df = spark.range(0, 60).select(
+        "id",
+        (F.col("id") % 5).cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("j"),
+    )
+    io.write_table(df, ["pe"], "t", mode="overwrite", partition_by=[("k", "identity")])
+    io.evolve_partition_spec(["pe"], "t", [("j", "identity")])
+    io.write_table(
+        spark.range(60, 90).select(
+            "id", (F.col("id") % 5).cast("int").alias("k"),
+            (F.col("id") % 3).cast("int").alias("j"),
+        ),
+        ["pe"], "t", mode="append",
+    )
+    md = io.client.load_table(["pe"], "t")["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+    old_layout = [e for e in data if "k" in (e.get("partition") or {})]
+    assert old_layout, "fixture must keep old-layout files live"
+
+    kept = partition_prune(spark, md, E.eq("j", 1), data)
+    # every old-layout file survives (no 'j' in its tuple → conservative),
+    # and new-layout files pruned to exactly j=1
+    assert all(e in kept for e in old_layout)
+    new_kept = [e for e in kept if "j" in (e.get("partition") or {})]
+    assert new_kept and all(e["partition"]["j"] == "1" for e in new_kept)
+    # a predicate on a column that is not a partition source never prunes
+    assert partition_prune(spark, md, E.eq("id", 7), data) == data
+    # end-to-end correctness through the evolved layout
+    got = sorted(
+        r["id"] for r in io.read_table(
+            ["pe"], "t", where=E.eq("j", 1)
+        ).collect()
+    )
+    assert got == [i for i in range(90) if i % 3 == 1]

@@ -770,3 +770,71 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), quart("monetary_cents"),
         ).alias("rfm_segment"),
     )
+
+
+# floor(log10(1 + 1/d) * 1e4) for d = 1..9 — Benford's law expectations,
+# precomputed as integer basis points so neither engine evaluates log10.
+BENFORD_E4 = [3010, 1760, 1249, 969, 791, 669, 579, 511, 457]
+_BENFORD_CASE = " ".join(
+    f"WHEN '{d}' THEN {BENFORD_E4[d - 1]}" for d in range(1, 10)
+)
+
+
+@query(
+    "agg_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+               AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST((COUNT(*) * 10000) // SUM(COUNT(*)) OVER () AS BIGINT) AS share_e4,
+           CAST(CASE first_digit {_BENFORD_CASE} END AS BIGINT) AS benford_e4,
+           CAST((COUNT(*) * 10000) // SUM(COUNT(*)) OVER ()
+                - CASE first_digit {_BENFORD_CASE} END AS BIGINT) AS deviation_e4
+    FROM d GROUP BY first_digit
+    """,
+    tags=("aggregate", "quality", "benford"),
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: observed leading-digit
+    shares against Benford's-law expectations — the classic anomaly/fraud/
+    synthetic-data tell (organically-scaled amounts follow it; capped,
+    generated, or tampered ones don't). Expectations are PRECOMPUTED
+    integer basis points, the digit comes from the decimal's string form,
+    and shares use integer division — no log10 or float share anywhere,
+    hash bit-stable.
+
+    Scale shape: one scan-local digit projection, one partial-aggregable
+    9-key groupBy; the share window runs over the 9-row relation."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+        ).alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    benford = F.lit(None).cast("long")
+    for dd in range(9, 0, -1):
+        benford = F.when(
+            F.col("first_digit") == str(dd), F.lit(BENFORD_E4[dd - 1])
+        ).otherwise(benford)
+    return (
+        counts.withColumn(
+            "__tot", F.sum("n_orders").over(Window.partitionBy(F.lit(1)))
+        )
+        .select(
+            "first_digit", "n_orders",
+            F.expr("(n_orders * 10000) div __tot").alias("share_e4"),
+            benford.cast("long").alias("benford_e4"),
+            (
+                F.expr("(n_orders * 10000) div __tot") - benford
+            ).cast("long").alias("deviation_e4"),
+        )
+    )

@@ -884,3 +884,83 @@ def mm_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("paired_pct_e4"),
         F.sum("img_bytes").cast("long").alias("total_img_bytes"),
     )
+
+
+# A frame is "quiet" when its mean square sits under RMS 10 (of a +-128
+# scale): integer predicate ss < AUDIO_FRAME * 100 — no float RMS compare.
+QUIET_MEAN_SQ = 100
+
+
+@query(
+    "mm_audio_silence_ratio",
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      WHERE length(COALESCE(text, '')) = octet_length(encode(COALESCE(text, '')))
+    ),
+    samples AS (
+      SELECT doc_id, i, unicode(substr(t, CAST(i AS INT), 1)) - 128 AS s
+      FROM ascii_docs, unnest(range(1, length(t) + 1)) AS u(i)
+    ),
+    framed AS (
+      SELECT doc_id, (i - 1) // {AUDIO_FRAME} AS frame,
+             SUM(s * s) AS ss, COUNT(*) AS w
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN ss < {AUDIO_FRAME * QUIET_MEAN_SQ} THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+           CAST((SUM(CASE WHEN ss < {AUDIO_FRAME * QUIET_MEAN_SQ} THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS BIGINT) AS quiet_e4
+    FROM framed WHERE w = {AUDIO_FRAME}
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence profile per audio payload: the fraction of {AUDIO_FRAME}-
+    sample frames whose energy sits under the quiet line — the trim/drop
+    signal of an audio curation pipeline (a mostly-silent clip wastes
+    tokens; an all-silent one is a decode failure). Quietness is the
+    INTEGER predicate ss < frames x {QUIET_MEAN_SQ} (sum of squares vs a
+    mean-square line), so both engines count identical frames — no float
+    RMS comparison anywhere.
+
+    Same Arrow-batched payload-local kernel shape as mm_audio_window_rms:
+    numpy frombuffer → reshape → per-frame energy, then the per-doc
+    rollup happens INSIDE the kernel (one output row per doc), so nothing
+    row-per-frame ever shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    ascii_docs = docs.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_txt"),
+    ).filter(F.octet_length("payload") == F.col("n_chars_txt"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc, out_n, out_q = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                n_frames = len(b) // AUDIO_FRAME
+                if n_frames == 0:
+                    continue
+                frames = b[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
+                ss = (frames * frames).sum(axis=1)
+                out_doc.append(doc_id)
+                out_n.append(n_frames)
+                out_q.append(int((ss < AUDIO_FRAME * QUIET_MEAN_SQ).sum()))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "n_frames": out_n, "n_quiet": out_q}
+            )
+
+    framed = ascii_docs.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, n_frames long, n_quiet long"
+    )
+    return framed.select(
+        "doc_id", "n_frames", "n_quiet",
+        F.expr("(n_quiet * 10000) div n_frames").alias("quiet_e4"),
+    )

@@ -115,10 +115,12 @@ DRIVER_PRIORITY: list[str] = [
     "mm_modality_coverage",
     "sample_temperature_mixture",
     "sim_ivf_balance",
+    "agg_benford_first_digit",
     "agg_rfm_segments",
     "sim_ivf_nprobe_curve",
     "sim_matryoshka_prefix_recall",
     "text_dup_rate_by_length",
+    "mm_audio_silence_ratio",
     "text_langid_confusion",
     "text_stopword_coverage",
     "text_token_fertility",

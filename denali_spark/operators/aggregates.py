@@ -838,3 +838,46 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("deviation_e4"),
         )
     )
+
+
+@query(
+    "agg_seasonal_index_months",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS BIGINT) AS month, n_orders, cents,
+           CAST((cents * 120000) // SUM(cents) OVER () AS BIGINT) AS seasonal_index_e4
+    FROM m
+    """,
+    tags=("aggregate", "seasonality"),
+)
+def agg_seasonal_index_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index of order revenue: each month's share of the
+    year scaled so a flat calendar reads 10000 per month (x12 in the
+    numerator) — the demand-planning number that says which months run
+    hot before any forecast model is fit. Exact decimal cents and integer
+    division; the share window runs over the 12-row month relation.
+
+    Scale shape: one partial-aggregable month rollup over the scan; no
+    other shuffle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    m = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    return m.withColumn(
+        "__tot", F.sum("cents").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "month", "n_orders", "cents",
+        F.expr("(cents * 120000) div __tot").alias("seasonal_index_e4"),
+    )

@@ -337,3 +337,54 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_node.orderBy(
         F.desc("tri_count"), F.asc("part_key")
     ).limit(TRI_TOP_K)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT a.l_partkey, COUNT(DISTINCT b.l_partkey) AS degree
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "stats", "degree"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many parts have
+    how many distinct co-purchase neighbors — the first diagnostic on any
+    graph workload (a power-law tail here predicts the hot keys that skew
+    every downstream pair/triangle/PageRank shuffle; this histogram is
+    how you SIZE the bucket caps before running them). Companion of
+    dedup_cluster_size_histogram and sim_ivf_balance: every index/graph
+    structure ships its occupancy profile.
+
+    Scale shape: the basket self-join is order-key-confined (≤ 7 items
+    per order → ≤ 42 directed pairs), degree is a partial-aggregable
+    distinct-count per part, and the histogram rolls onto the degree key
+    space — all shuffles bounded by candidate-pair cardinality, never
+    |parts|²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    deg = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part"))
+        .agg(F.count_distinct(F.col("b.l_partkey")).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    ).select(F.col("degree").cast("long").alias("degree"), "n_parts")

@@ -117,6 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ivf_balance",
     "agg_benford_first_digit",
     "agg_rfm_segments",
+    "agg_seasonal_index_months",
+    "graph_degree_distribution",
     "sim_ivf_nprobe_curve",
     "sim_matryoshka_prefix_recall",
     "text_dup_rate_by_length",

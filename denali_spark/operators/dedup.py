@@ -1299,3 +1299,59 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+@query(
+    "dedup_minhash_threshold_sweep",
+    oracle=_SQL_SIG_BASE + """
+    , bands AS (""" + _sql_bands_cte() + """),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(hs) AS ss FROM sig),
+    graded AS (
+      SELECT (10 * len(list_intersect(x.ss, y.ss)))
+               // len(list_distinct(x.ss || y.ss)) AS jac_decile
+      FROM cand JOIN sets x ON x.doc_id = i JOIN sets y ON y.doc_id = j
+    )
+    SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM graded GROUP BY jac_decile
+    """,
+    tags=("dedup", "minhash", "tuning"),
+)
+def dedup_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification-threshold sensitivity: the exact-Jaccard histogram of
+    EVERY banded candidate pair (deciles, no floor) — the companion of
+    `dedup_minhash_band_tuning` on the other tuning axis (geometry fixes
+    WHAT becomes a candidate; this shows what each verify threshold would
+    keep or drop, and whether the corpus has a borderline mass at 0.2-0.3
+    that a cutoff move would swing). Deciles via integer cross-division
+    (10*|∩| // |∪|), hash bit-stable.
+
+    Scale shape: identical candidate generation to the pair query (banded
+    equi-join, never all-pairs); the histogram rolls onto an 11-key
+    space."""
+    sig = minhash_signature_index(spark, sf_dir)
+    cand = _band_candidates(sig)
+    sets_df = sig.select("doc_id", F.array_distinct("hs").alias("sset"))
+    graded = (
+        cand.join(
+            sets_df.withColumnRenamed("doc_id", "i").withColumnRenamed("sset", "sa"),
+            "i",
+        )
+        .join(
+            sets_df.withColumnRenamed("doc_id", "j").withColumnRenamed("sset", "sb"),
+            "j",
+        )
+        .select(
+            F.expr(
+                "(10 * size(array_intersect(sa, sb)))"
+                " div size(array_union(sa, sb))"
+            ).alias("jac_decile")
+        )
+    )
+    return graded.groupBy("jac_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(F.col("jac_decile").cast("long").alias("jac_decile"), "n_pairs")

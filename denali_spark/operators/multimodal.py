@@ -596,7 +596,8 @@ def _sql_block_sum(b: str) -> str:
 
 
 def phash_banded_pairs(
-    hashes: DataFrame, bucket_cap: int | None = None
+    hashes: DataFrame, bucket_cap: int | None = None,
+    tau: int | None = None,
 ) -> DataFrame:
     """Banded candidate join over a 64-bit hash relation
     ``(doc_id, h_hi, h_lo)``: four 16-bit bands, candidates from exact
@@ -669,7 +670,7 @@ def phash_banded_pairs(
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= PHASH_HAM_TAU)
+        .filter(F.col("hamming") <= (PHASH_HAM_TAU if tau is None else tau))
     )
 
 
@@ -727,7 +728,8 @@ _SQL_PHASH_PAIRS = f"""
     tags=("multimodal", "phash", "dedup", "pandas-udf"),
 )
 def mm_image_phash_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None,
+    tau: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual average-hash: decode the
     (synthesized, deterministic) P5 grayscale payloads in an Arrow-batched
@@ -762,7 +764,7 @@ def mm_image_phash_pairs(
     hashes = docs.select("doc_id", payload.alias("payload")).mapInPandas(
         _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
     )
-    return phash_banded_pairs(hashes, bucket_cap=bucket_cap)
+    return phash_banded_pairs(hashes, bucket_cap=bucket_cap, tau=tau)
 
 
 @query(
@@ -963,4 +965,37 @@ def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "doc_id", "n_frames", "n_quiet",
         F.expr("(n_quiet * 10000) div n_frames").alias("quiet_e4"),
+    )
+
+
+@query(
+    "mm_phash_distance_histogram",
+    oracle=_SQL_PHASH_CTES
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.h_lo, b.h_lo))
+                  + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY hamming
+    """,
+    tags=("multimodal", "phash", "tuning", "pandas-udf"),
+)
+def mm_phash_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of every banded phash candidate pair
+    (no tau cut): the image-dedup threshold-setting telemetry — a bimodal
+    histogram (near-dup mass at small distances, a background hump near
+    32) says WHERE to put PHASH_HAM_TAU; a merged blob says the hash or
+    the banding needs work. The image-side companion of
+    `dedup_minhash_threshold_sweep`.
+
+    Scale shape: identical band-bucket candidate generation to the pair
+    query (never all-pairs); the histogram rolls onto ≤ 65 keys."""
+    pairs = mm_image_phash_pairs(spark, sf_dir, tau=64)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
     )

@@ -122,7 +122,9 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ivf_nprobe_curve",
     "sim_matryoshka_prefix_recall",
     "text_dup_rate_by_length",
+    "dedup_minhash_threshold_sweep",
     "mm_audio_silence_ratio",
+    "mm_phash_distance_histogram",
     "text_langid_confusion",
     "text_stopword_coverage",
     "text_token_fertility",

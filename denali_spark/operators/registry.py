@@ -130,6 +130,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_token_fertility",
     "ts_asof_join_nearest",
     "ts_burstiness",
+    "ts_dau_wau_stickiness",
     "ts_max_drawdown",
     "win_pareto_concentration",
     # --- round-8-attested ---

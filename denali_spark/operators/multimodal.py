@@ -999,3 +999,67 @@ def mm_phash_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@query(
+    "mm_video_shot_stats",
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      WHERE length(COALESCE(text, '')) = octet_length(encode(COALESCE(text, '')))
+    ),
+    samples AS (
+      SELECT doc_id,
+             CAST((i - 1) // {SCENE_FRAME} AS BIGINT) AS frame,
+             CAST((i - 1) % {SCENE_FRAME} AS BIGINT) AS off,
+             unicode(substr(t, CAST(i AS INT), 1)) AS s
+      FROM ascii_docs, unnest(range(1, length(t) + 1)) AS u(i)
+      WHERE i <= (length(t) // {SCENE_FRAME}) * {SCENE_FRAME}
+    ),
+    diffs AS (
+      SELECT doc_id, frame, off,
+             s - LAG(s) OVER (PARTITION BY doc_id, off ORDER BY frame) AS d
+      FROM samples
+    ),
+    cuts AS (
+      SELECT doc_id, frame,
+             (SUM(ABS(d)) * 1 >= {SCENE_CUT_MAD} * {SCENE_FRAME}) AS is_cut
+      FROM diffs WHERE d IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+           CAST(SUM(is_cut::INT) + 1 AS BIGINT) AS n_shots,
+           CAST(((COUNT(*) + 1) * 1000) // (SUM(is_cut::INT) + 1) AS BIGINT)
+             AS mean_shot_frames_e3
+    FROM cuts GROUP BY doc_id
+    """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def mm_video_shot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot statistics per video: frame count, shot count (cuts + 1), and
+    mean shot length — the pacing profile a video curation pipeline uses
+    to separate slideshows (few long shots) from strobing/corrupt clips
+    (a cut every frame) before paying for keyframe extraction. Built on
+    the scene-cut rollup with an INTEGER cut predicate (sum of absolute
+    diffs vs threshold x frame size — no float MAD), so the hash is
+    bit-stable.
+
+    Scale shape: the per-(doc, frame) diff rollup is the scene-cut
+    query's shape; the per-doc rollup is partial-aggregable on doc_id."""
+    cuts = mm_video_scene_cut(spark, sf_dir).select(
+        "doc_id",
+        # integer re-derivation of the cut flag: mad >= tau  <=>
+        # sum|d| >= tau * FRAME; mad = sum|d|/FRAME was a single exact
+        # division of integers, so the roundtrip is lossless
+        (
+            (F.col("mad") * SCENE_FRAME).cast("long")
+            >= SCENE_CUT_MAD * SCENE_FRAME
+        ).alias("is_cut"),
+    )
+    return cuts.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_frames"),
+        (F.sum(F.col("is_cut").cast("int")) + 1).cast("long").alias("n_shots"),
+        F.expr(
+            "((count(1) + 1) * 1000) div (sum(CAST(is_cut AS INT)) + 1)"
+        ).alias("mean_shot_frames_e3"),
+    )

@@ -122,9 +122,11 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ivf_nprobe_curve",
     "sim_matryoshka_prefix_recall",
     "text_dup_rate_by_length",
+    "dedup_exact_source_matrix",
     "dedup_minhash_threshold_sweep",
     "mm_audio_silence_ratio",
     "mm_phash_distance_histogram",
+    "mm_video_shot_stats",
     "text_langid_confusion",
     "text_stopword_coverage",
     "text_token_fertility",

@@ -47,70 +47,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-10 order (computed from
-# CORRECTNESS_r0{1..9}.json latest-evidence rows, stale-first): (1) the two
-# queries that landed after the r9 sweep and have never been driver-swept,
-# plus agg_hll_mergeable_rollup whose newest driver row predates its r9
-# hash-checkable oracle, (2) the 50 queries whose newest attestation is
-# round 7, (3) queries NEW this round, (4) round-8-attested, (5)
-# round-9-attested last.
+# evidence goes stale. Round-11 order (computed from
+# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json latest-evidence rows,
+# stale-first): (1) the 24 round-10 queries that have never produced a
+# CORRECTNESS row, (2) the 3 queries whose newest attestation is round 7,
+# (3) queries NEW this round, (4) round-8-attested, (5) round-9-attested,
+# (6) the 50 just-attested in round 10, last.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-swept / stale no_oracle attestation: first (r9 verdict item 1) ---
-    "text_collocation_lift",
-    "win_moving_median",
-    "agg_hll_mergeable_rollup",
-    # --- stale: newest driver evidence round 7 (refresh next) ---
-    "agg_approx_sketches",
-    "agg_mode_order_priority",
-    "agg_weighted_median",
-    "dedup_embedding_pairs",
-    "dedup_exact_keep_first",
-    "dedup_exact_stats",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "fn_array_ops",
-    "fn_conditional",
-    "fn_datetime_kitchen",
-    "fn_hash",
-    "fn_math_kitchen",
-    "fn_string_kitchen",
-    "fn_string_regex",
-    "graph_triangle_parts",
-    "mm_binary_metadata",
-    "mm_featurize",
-    "mm_frame_sample",
-    "mm_image_decode",
-    "mm_image_phash_pairs",
-    "mm_ppm_decode",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "sample_stratified",
-    "setop_intersect_all",
-    "sim_ivf_topk",
-    "sim_norms_stats",
-    "sim_pq_topk",
-    "sim_topk_bruteforce",
-    "text_chunk_cdc",
-    "text_chunk_fixed",
-    "text_fingerprint",
-    "text_langid",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_prepare_corpus",
-    "text_quality_score",
-    "text_token_stats",
-    "text_top_bigrams",
-    "ts_asof_join",
-    "ts_daily_active_users",
-    "ts_funnel",
-    "ts_gap_fill_hours",
-    "ts_hourly_rollup",
-    "ts_range_join_pairs",
-    "ts_sessionize",
-    "ts_spike_hours",
-    # --- NEW round-10 queries (no driver evidence yet) ---
+    # --- never driver-attested (landed after the r10 sweep cap): first ---
     "dedup_minhash_band_tuning",
     "mm_modality_coverage",
     "sample_temperature_mixture",
@@ -135,6 +79,12 @@ DRIVER_PRIORITY: list[str] = [
     "ts_dau_wau_stickiness",
     "ts_max_drawdown",
     "win_pareto_concentration",
+    # --- stale: newest driver evidence round 7 ---
+    "ts_range_join_pairs",
+    "ts_sessionize",
+    "ts_spike_hours",
+    # --- NEW round-11 queries (no driver evidence yet) ---
+    "sim_ivfpq_topk",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",
@@ -185,7 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # --- round-9-attested (freshest, last) ---
+    # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
@@ -236,6 +186,57 @@ DRIVER_PRIORITY: list[str] = [
     "win_running_total",
     "win_streaks",
     "win_topn_per_group",
+    # --- round-10-attested (freshest, last) ---
+    "text_collocation_lift",
+    "win_moving_median",
+    "agg_hll_mergeable_rollup",
+    "agg_approx_sketches",
+    "agg_mode_order_priority",
+    "agg_weighted_median",
+    "dedup_embedding_pairs",
+    "dedup_exact_keep_first",
+    "dedup_exact_stats",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fn_array_ops",
+    "fn_conditional",
+    "fn_datetime_kitchen",
+    "fn_hash",
+    "fn_math_kitchen",
+    "fn_string_kitchen",
+    "fn_string_regex",
+    "graph_triangle_parts",
+    "mm_binary_metadata",
+    "mm_featurize",
+    "mm_frame_sample",
+    "mm_image_decode",
+    "mm_image_phash_pairs",
+    "mm_ppm_decode",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "sample_stratified",
+    "setop_intersect_all",
+    "sim_ivf_topk",
+    "sim_norms_stats",
+    "sim_pq_topk",
+    "sim_topk_bruteforce",
+    "text_chunk_cdc",
+    "text_chunk_fixed",
+    "text_fingerprint",
+    "text_langid",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_prepare_corpus",
+    "text_quality_score",
+    "text_token_stats",
+    "text_top_bigrams",
+    "ts_asof_join",
+    "ts_daily_active_users",
+    "ts_funnel",
+    "ts_gap_fill_hours",
+    "ts_hourly_rollup",
 ]
 
 

@@ -270,31 +270,52 @@ def partition_prune(
     spark, md: dict, where: dict, entries: list[dict]
 ) -> list[dict]:
     """Drop entries whose partition tuple proves no row can satisfy
-    `where` under the CURRENT spec's transforms. Composes with (runs
-    after) stats pruning; at 100 TB this is what turns a point lookup on
-    a bucket[1024]-partitioned key into a 1/1024 scan."""
+    `where`. Composes with (runs after) stats pruning; at 100 TB this is
+    what turns a point lookup on a bucket[1024]-partitioned key into a
+    1/1024 scan.
+
+    Spec evolution: manifest carry-through rewrites old entries under the
+    current spec-id, so an entry's written-under spec is NOT reliably
+    recorded — and a width change that keeps the field name (bucket[8]→
+    bucket[16], truncate[2]→truncate[4]) leaves same-named tuples whose
+    values encode under DIFFERENT transforms. Pruning with only the
+    current spec would silently drop live old-layout files (id=37 lives
+    in bucket 5 of 8 but 13 of 16). So each entry is checked against
+    EVERY spec whose field-name set could have produced its tuple, and
+    kept unless all candidate specs prove impossibility — exact when one
+    spec exists, conservative (never row-dropping) across evolution."""
     from denali_spark.sources.expressions import normalize
 
-    spec_fields = None
-    for s in md.get("partition-specs", []):
-        if s.get("spec-id") == md.get("default-spec-id", 0):
-            spec_fields = s.get("fields", [])
-    if not spec_fields:
+    specs = [s for s in md.get("partition-specs", []) if s.get("fields")]
+    if not specs:
         return entries
     by_id = {}
     sid = md.get("current-schema-id", 0)
     for s in md.get("schemas", []):
         if s.get("schema-id") == sid:
             by_id = {f["id"]: f["name"] for f in s.get("fields", [])}
-    # source column → [(partition field name, transform, col type)]
-    per_col: dict[str, list[tuple[str, str, str | None]]] = {}
-    for f in spec_fields:
-        col = by_id.get(f["source-id"])
-        if col is not None:
-            per_col.setdefault(col, []).append(
-                (f["name"], f["transform"], _iceberg_type_of(md, col))
-            )
-    if not per_col:
+    # per spec: field-name set + source column → [(field name, transform,
+    # col type)]; dedup identical layouts (the common no-evolution case
+    # collapses back to a single map)
+    spec_maps: list[tuple[frozenset, dict]] = []
+    seen_layouts = set()
+    for s in specs:
+        fnames = frozenset(f["name"] for f in s.get("fields", []))
+        layout = tuple(
+            sorted((f["name"], f["transform"], f["source-id"]) for f in s["fields"])
+        )
+        if layout in seen_layouts:
+            continue
+        seen_layouts.add(layout)
+        per_col: dict[str, list[tuple[str, str, str | None]]] = {}
+        for f in s["fields"]:
+            col = by_id.get(f["source-id"])
+            if col is not None:
+                per_col.setdefault(col, []).append(
+                    (f["name"], f["transform"], _iceberg_type_of(md, col))
+                )
+        spec_maps.append((fnames, per_col))
+    if not any(pc for _, pc in spec_maps):
         return entries
     enc_cache: dict[tuple, object] = {}
 
@@ -304,12 +325,16 @@ def partition_prune(
             enc_cache[key] = _encode_literal(spark, transform, value, col_type)
         return enc_cache[key]
 
-    def might(expr: dict, pvals: dict) -> bool:
+    def might(expr: dict, pvals: dict, per_col: dict) -> bool:
         t = expr.get("type")
         if t == "and":
-            return might(expr["left"], pvals) and might(expr["right"], pvals)
+            return might(expr["left"], pvals, per_col) and might(
+                expr["right"], pvals, per_col
+            )
         if t == "or":
-            return might(expr["left"], pvals) or might(expr["right"], pvals)
+            return might(expr["left"], pvals, per_col) or might(
+                expr["right"], pvals, per_col
+            )
         if t in ("eq", "in"):
             values = [expr["value"]] if t == "eq" else list(expr["values"])
             for fname, transform, ctype in per_col.get(expr.get("term"), ()):
@@ -339,10 +364,20 @@ def partition_prune(
         return True  # unknown node: never prune on it
 
     flt = normalize(where)
-    return [
-        e for e in entries
-        if not e.get("partition") or might(flt, e["partition"])
-    ]
+    out = []
+    for e in entries:
+        part = e.get("partition")
+        if not part:
+            out.append(e)
+            continue
+        keys = set(part)
+        # specs this tuple could have been written under (its keys all
+        # exist in the spec; strictly-older specs with missing fields are
+        # excluded, so added-field evolution still prunes new files fully)
+        cands = [pc for fn, pc in spec_maps if keys <= fn and pc]
+        if not cands or any(might(flt, part, pc) for pc in cands):
+            out.append(e)
+    return out
 
 
 # --- Spark-compatible Murmur3 (pure Python) ---------------------------------

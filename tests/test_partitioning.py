@@ -594,3 +594,55 @@ def test_partition_prune_conservative_across_spec_evolution(spark, io):
         ).collect()
     )
     assert got == [i for i in range(90) if i % 3 == 1]
+
+
+def test_partition_prune_survives_transform_width_evolution(spark, io):
+    """r11 (advice item): bucket[8]→bucket[16] keeps the SAME derived
+    field name (`id_bucket`), so old-layout tuples are indistinguishable
+    by shape from new-layout ones — but their values encode under a
+    different width (id=37: murmur3%8=5, %16=13). Pruning with only the
+    current spec silently dropped the live bucket-5 file. The fix checks
+    every candidate spec: a file survives unless ALL layouts it could
+    have been written under prove impossibility."""
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.sources.partitioning import partition_prune
+
+    df = spark.range(0, 200).select("id")
+    io.write_table(
+        df, ["pw"], "t", mode="overwrite", partition_by=[("id", "bucket[8]")]
+    )
+    io.evolve_partition_spec(["pw"], "t", [("id", "bucket[16]")])
+    io.write_table(
+        spark.range(200, 400).select("id"), ["pw"], "t", mode="append"
+    )
+    md = io.client.load_table(["pw"], "t")["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+    b8 = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 8)").first()[0]
+    b16 = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 16)").first()[0]
+    assert b8 != b16  # the scenario the advice reproduced (5 vs 13)
+
+    kept = partition_prune(spark, md, E.eq("id", 37), data)
+    buckets_kept = {e["partition"]["id_bucket"] for e in kept}
+    # both layouts' matching buckets survive; non-matching files pruned
+    assert {str(b8), str(b16)} <= buckets_kept
+    assert len(kept) < len(data)
+    # end-to-end: the filtered read still returns the old-layout row,
+    # client path AND server plan path
+    assert [r["id"] for r in io.read_table(
+        ["pw"], "t", where=E.eq("id", 37)
+    ).collect()] == [37]
+    assert [r["id"] for r in io.read_table(
+        ["pw"], "t", where=E.eq("id", 37), server_plan=True
+    ).collect()] == [37]
+    # a single-spec table still prunes to exactly one bucket (no
+    # conservatism tax when no evolution happened)
+    io.write_table(
+        df, ["pw"], "single", mode="overwrite",
+        partition_by=[("id", "bucket[8]")],
+    )
+    md1 = io.client.load_table(["pw"], "single")["metadata"]
+    snap1 = io._resolve_snapshot(md1)
+    d1, _ = split_entries(io._manifest_entries(snap1["manifest-list"]))
+    kept1 = partition_prune(spark, md1, E.eq("id", 37), d1)
+    assert kept1 and {e["partition"]["id_bucket"] for e in kept1} == {str(b8)}

@@ -855,13 +855,15 @@ def mm_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and it moves ids and counters, never payload bytes."""
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
+    # integer `div`, not `/`-then-cast: the double path loses exactness
+    # above 2^53 and would silently mispair assets at large doc_ids
     imgs = docs.filter((did % 2 == 0) & (did % 7 != 0)).select(
-        (did / 2).cast("long").alias("asset_id"),
+        F.expr("doc_id div 2").alias("asset_id"),
         F.col("source").alias("img_source"),
         F.col("n_chars").cast("long").alias("img_bytes"),
     )
     caps = docs.filter((did % 2 == 1) & (did % 5 != 0)).select(
-        ((did - 1) / 2).cast("long").alias("asset_id"),
+        F.expr("(doc_id - 1) div 2").alias("asset_id"),
         F.col("source").alias("cap_source"),
     )
     assets = imgs.join(caps, "asset_id", "full_outer").select(

@@ -88,27 +88,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token count, summed corpus counts) are exact, so both engines
     perform one identical scalar division — bit-stable hash.
 
-    Scale shape: explode → one partial-aggregable token-count shuffle →
-    token-keyed equi-join (co-partitioned with the count agg's output) →
-    one doc-keyed rollup; the corpus-total is a 1-row aggregate broadcast
-    into the projection. No driver loops, no UDFs; the unigram model is
-    a relation, not a collected dict, so a 100 TB vocabulary shards like
+    Scale shape (r11, recovering the r9-item-6 persist removal without a
+    cache): the raw token stream is pre-aggregated to (doc_id, tok)
+    occurrence counts before anything else, so the token-keyed join and
+    the per-doc rollup both operate on the strictly smaller distinct
+    doc-term relation (map-side combine runs where the docs are scanned);
+    the corpus total needs no explode at all — it is Σ size(tokens), a
+    scan-local 1-row aggregate that broadcasts into the projection. No
+    driver loops, no UDFs, nothing persisted; the unigram model is a
+    relation, not a collected dict, so a 100 TB vocabulary shards like
     any other key."""
     docs = load_table(spark, sf_dir, "documents")
-    # Deliberately NOT persisted: the exploded token relation is larger
-    # than the input corpus, so caching it at 100 TB spills more than the
-    # two scan-local re-reads it saves — and a persist held by a returned
-    # lazy DataFrame can never be released by this function (r9 verdict
-    # item 6: no cached relations may outlive the query).
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    tot = counts.agg(F.sum("cnt").alias("total"))
+    # per-(doc, token) occurrence counts: smaller than the raw token
+    # stream, shrinking both downstream shuffles
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    counts = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    # corpus token total without touching the exploded relation
+    tot = docs.agg(F.sum(F.size(tokens_col())).cast("long").alias("total"))
     per_doc = (
-        toks.join(counts, "tok")
+        dt.join(counts, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("cnt").cast("long").alias("sum_freq"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("cnt")).cast("long").alias("sum_freq"),
         )
     )
     return per_doc.crossJoin(F.broadcast(tot)).select(
@@ -940,16 +943,17 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % {BENCH_MOD} == 0 slice stands in for an eval suite). Returns
     (doc_id, n_grams, n_hits, contamination) for contaminated docs only.
 
-    Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus,
-    so the benchmark-gram set is read from its materialized index
+    Scale shape (r11, closing the r10-verdict persist straggler):
+    benchmark suites are tiny (MBs) next to a 100 TB corpus, so the
+    benchmark-gram set is read from its materialized index
     (`benchmark_gram_index` — built once per corpus, not per query) and
-    BROADCASTS into a hash join against the exploded corpus grams. The
-    corpus (doc_id, gram) relation is generated ONCE and persisted
-    (spillable) so gram construction — the expensive tokenize/slice/concat
-    work — isn't re-done for its two consumers (per-doc sizes, hit counts);
-    measured 6x at sf0.1. Both aggregations are map-side combinable."""
-    from pyspark.storagelevel import StorageLevel
-
+    LEFT-broadcast-joins against the exploded corpus grams — map-side,
+    no shuffle on the corpus stream — tagging each gram as hit/miss.
+    ONE map-side-combinable groupBy(doc_id) then yields both the gram
+    count and the hit count, so the expensive tokenize/slice/concat work
+    runs exactly once with nothing persisted (the previous shape cached
+    the exploded relation for two consumers; a persist held by a
+    returned lazy DataFrame can never be released)."""
     docs = load_table(spark, sf_dir, "documents")
     bench = benchmark_gram_index(spark, sf_dir)
     # Bind the token array to a column BEFORE the gram transform: inlined,
@@ -961,18 +965,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = toks.select(
         "doc_id",
         F.explode(F.array_distinct(_grams_col(F.col("t"), CONTAM_N))).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # bench grams are distinct, so the left join never duplicates corpus
+    # rows; `hit` is non-null exactly on contaminated grams
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
     )
     return (
-        hits.join(sizes, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
         .select(
             "doc_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_grams",
             "n_hits",
             (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
                 "contamination"
@@ -1406,17 +1414,29 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine agreement on libm rounding; the reciprocal keeps the same
     ordering for fixed N).
 
-    Scale shape: one explode feeding two partial-aggregable groupBys
-    (per-language tf, corpus df); the 1-row doc count broadcasts into the
-    projection; the ranking window runs over the bounded post-aggregation
-    (lang × vocab) relation, never raw tokens."""
+    Scale shape (r11, closing the r10-verdict persist straggler): each
+    document has exactly ONE lang, so doc_ids are disjoint across
+    languages and corpus df = Σ over langs of per-(lang, term) distinct
+    doc counts. One explode feeds one (lang, term) aggregation producing
+    tf AND the per-language df summand together; corpus df is then a
+    bounded re-aggregation of that (lang × vocab) relation, which Spark
+    reuses via exchange reuse — one explode, one token-scale shuffle, no
+    cache (the previous shape persisted the exploded tokens for two
+    consumers; a persist held by a returned lazy DataFrame can never be
+    released). The 1-row doc count broadcasts into the projection; the
+    ranking window runs over the bounded post-aggregation relation,
+    never raw tokens."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens_col()).alias("term")
-    ).persist()
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    lt = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df_lang"),
+    )
+    tf = lt.select("lang", "term", "tf")
+    dfreq = lt.groupBy("term").agg(F.sum("df_lang").alias("df"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))

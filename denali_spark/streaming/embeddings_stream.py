@@ -288,8 +288,12 @@ def make_embedding_drift_sink(
     cos(v, centroid) == cos(v, sum_vec) (cosine is scale-invariant), so
     the state is exact integer-free vector sums — no running-mean float
     drift, and contributions from replays overwrite rather than
-    re-accumulate. Scale shape: the batch side pays one posexplode
-    (batch x dims); the state store is labels x dims."""
+    re-accumulate. Scale shape (r11, closing the advice item): the
+    corpus-wide base sums are materialized ONCE as a ``batch_id=-1``
+    state partition on first run — not recomputed per micro-batch, which
+    was a corpus × dims posexplode shuffle on every trigger — so each
+    batch pays only its own posexplode (batch × dims) plus a labels ×
+    dims state merge."""
     state_dir = state_dir if state_dir is not None else f"{out_dir}_state"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -300,33 +304,34 @@ def make_embedding_drift_sink(
             "vec_id", "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         ).persist()
-        base = _vecs(spark, sf_dir).join(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-                "vec_id", "label"
-            ),
-            "vec_id",
-        ).select("label", "e")
-        state = _label_sums(base)
+        base_part = os.path.join(state_dir, "batch_id=-1")
+        if not os.path.exists(os.path.join(base_part, "_SUCCESS")):
+            base = _vecs(spark, sf_dir).join(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                    "vec_id", "label"
+                ),
+                "vec_id",
+            ).select("label", "e")
+            _label_sums(base).write.mode("overwrite").parquet(base_part)
+        # every committed state partition: the -1 base seed plus prior
+        # batches' contributions (never this batch's own partial write)
         prior = _success_parts(state_dir, exclude_batch_id=batch_id)
-        if prior:
-            both = state.unionByName(
-                spark.read.parquet(*prior).select("label", "n", "sum_vec")
+        both = spark.read.parquet(*prior).select("label", "n", "sum_vec")
+        vec_merged = (
+            both.select("label", F.posexplode("sum_vec").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias("sum_vec")
             )
-            vec_merged = (
-                both.select("label", F.posexplode("sum_vec").alias("pos", "x"))
-                .groupBy("label", "pos")
-                .agg(F.sum("x").alias("s"))
-                .groupBy("label")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                        lambda st: st["s"],
-                    ).alias("sum_vec")
-                )
-            )
-            state = both.groupBy("label").agg(F.sum("n").alias("n")).join(
-                vec_merged, "label"
-            )
+        )
+        state = both.groupBy("label").agg(F.sum("n").alias("n")).join(
+            vec_merged, "label"
+        )
         scored = v.join(
             F.broadcast(state.select("label", "sum_vec")), "label", "left"
         ).select(

@@ -113,6 +113,14 @@ def fold_streamed_partitions(
     gen_dir = os.path.join(index_root, f"gen-{new_gen}")
     if os.path.isdir(gen_dir):  # unreferenced partial from a crashed fold
         shutil.rmtree(gen_dir)
+    # Stale temp dirs from folds that crashed MID-WRITE: their names are
+    # pid-specific, so no later process would ever reuse (and thereby
+    # replace) them — without this sweep they leak disk forever across
+    # crash/restart cycles. Single-writer protocol (like the sinks), so
+    # any gen-*.tmp-* present at entry is dead by definition.
+    for name in os.listdir(index_root):
+        if name.startswith("gen-") and ".tmp-" in name:
+            shutil.rmtree(os.path.join(index_root, name), ignore_errors=True)
     tmp = f"{gen_dir}.tmp-{os.getpid()}"
     for rel in relations:
         if gen == 0:

@@ -110,11 +110,15 @@ def test_chunk_cdc_single_token_doc_matches_oracle_shape(spark, tmp_path):
 
 
 def test_no_cached_relations_survive_text_queries(spark):
-    """r9 verdict item 6: text_unigram_logprob / text_collocation_lift must
-    not leave persisted relations behind — repeated library use would
-    accrete cached token relations (each larger than its input corpus)."""
+    """r9 verdict item 6 + r10 verdict item 3: none of the four text
+    operators that historically persisted their exploded token/gram
+    relations may leave cached relations behind — repeated library use
+    would accrete caches (each larger than its input corpus), and a
+    persist held by a lazily-returned DataFrame can never be released."""
     from denali_spark.operators.text_analysis import (
         text_collocation_lift,
+        text_decontaminate,
+        text_tfidf_topterms,
         text_unigram_logprob,
     )
     from tests.conftest import SF_SMOKE
@@ -126,5 +130,7 @@ def test_no_cached_relations_survive_text_queries(spark):
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert text_unigram_logprob(spark, SF_SMOKE).count() > 0
     assert text_collocation_lift(spark, SF_SMOKE).count() >= 0
+    assert text_decontaminate(spark, SF_SMOKE).count() >= 0
+    assert text_tfidf_topterms(spark, SF_SMOKE).count() > 0
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, f"cached relations leaked: {after - before}"

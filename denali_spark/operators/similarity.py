@@ -1418,6 +1418,232 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_NPROBE = 4  # coarse cells probed per query (PQ error compounds with
+                  # cell truncation, so probe wider than plain IVF's 2)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS gmax FROM v),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x * 127.0 / s.gmax) AS INT)) AS qe
+      FROM v, s
+    ),
+    cent AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    assign_scored AS (
+      SELECT v.vec_id, cent.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cell
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, cell FROM assign_scored WHERE arn = 1),
+    pcells AS (
+      SELECT vec_id AS query_id, cell FROM assign_scored
+      WHERE vec_id % {PQ_PROBE_MOD} = 7 AND arn <= {IVFPQ_NPROBE}
+    ),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cbids AS (
+      SELECT vec_id FROM qv
+      ORDER BY (vec_id * {PQ_HASH_MUL}) % {PQ_HASH_MOD}, vec_id
+      LIMIT {PQ_CB}
+    ),
+    cbs AS (
+      SELECT ms.m, qv.vec_id AS code,
+             qv.qe[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM qv JOIN cbids USING (vec_id) CROSS JOIN ms
+    ),
+    vsub AS (
+      SELECT qv.vec_id, ms.m,
+             qv.qe[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM qv CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vs.vec_id, vs.m, c.code,
+               row_number() OVER (
+                 PARTITION BY vs.vec_id, vs.m
+                 ORDER BY list_sum(list_transform(list_zip(vs.sub, c.sub),
+                   x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2]))), c.code
+               ) AS rn
+        FROM vsub vs JOIN cbs c ON c.m = vs.m
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qe FROM qv WHERE vec_id % {PQ_PROBE_MOD} = 7
+    ),
+    lut AS (
+      SELECT p.query_id, c.m, c.code,
+             CAST(list_sum(list_transform(list_zip(
+               p.qe[c.m * {PQ_SUB} + 1 : c.m * {PQ_SUB} + {PQ_SUB}], c.sub),
+               x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS pdot
+      FROM probes p CROSS JOIN cbs c
+    ),
+    pairs AS (
+      SELECT pc.query_id, l.vec_id
+      FROM lists l JOIN pcells pc ON l.cell = pc.cell
+      WHERE l.vec_id <> pc.query_id
+    ),
+    adc AS (
+      SELECT p.query_id, p.vec_id AS neighbor_id, SUM(u.pdot) AS adc_dot
+      FROM pairs p
+      JOIN enc e ON e.vec_id = p.vec_id
+      JOIN lut u ON u.query_id = p.query_id AND u.m = e.m AND u.code = e.code
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dot DESC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_CAND}
+    ),
+    rerank AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(list_zip(p.qe, n.qe),
+               x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS qdot
+      FROM cand c
+      JOIN probes p ON p.query_id = c.query_id
+      JOIN qv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {PQ_K}
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — FAISS's workhorse layout (IVFx,PQy with
+    by_residual=false): coarse IVF cells bound WHICH vectors a query
+    scores, PQ/ADC bounds HOW MUCH each scoring costs (8 code lookups
+    instead of a 64-dim dot), and a full int8-dot rerank of the
+    surviving top-{PQ_CAND} restores exact ordering among candidates.
+    Reuses sim_pq_topk's deterministic codebooks (fixed hash-ordered
+    {PQ_CB}-entry sample per subspace, all-integer ADC) and the
+    materialized IVF inverted lists, so the whole pipeline stays
+    bit-exact and hash-checkable against the SQL oracle.
+
+    Scale shape: the inverted lists are parquet-partitioned by cell, so
+    a query's candidate read touches {IVFPQ_NPROBE}/k of the corpus;
+    the probe-cell relation and the per-query LUT ({PQ_M}×{PQ_CB} rows
+    per probe) broadcast; the ADC join partial-aggregates per
+    (query, neighbor); both top-k cuts are per-query windows over
+    bounded relations. Candidate generation cost per query is
+    |cells probed| × {PQ_M} integer lookups — the IVF-PQ promise."""
+    v = _vecs(spark, sf_dir)
+    gmax = v.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+    )
+    qv = v.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+        ).alias("qe"),
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    ).alias("sub")
+    cb_train = (
+        qv.withColumn(
+            "h", (F.col("vec_id") * F.lit(PQ_HASH_MUL)) % F.lit(PQ_HASH_MOD)
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_CB)
+        .drop("h")
+    )
+    cbs = (
+        cb_train.crossJoin(F.broadcast(ms))
+        .select(F.col("m"), F.col("vec_id").alias("code"), sub)
+    )
+    vsub = qv.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+    l2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dists = vsub.join(
+        F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub"))), "m"
+    ).select("vec_id", "m", "code", l2.alias("d"))
+    enc = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "code"))["code"].alias("code")
+    )
+    # IVF side: each probe's {IVFPQ_NPROBE} nearest cells (full-precision
+    # scoring against the tiny broadcast centroid set), candidates from
+    # the materialized cell-partitioned lists
+    arn_w = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("e"), F.col("ce"))), "cid"
+    )
+    pcells = (
+        v.filter(F.col("vec_id") % PQ_PROBE_MOD == 7)
+        .crossJoin(F.broadcast(_centroids(v)))
+        .withColumn("arn", F.row_number().over(arn_w))
+        .filter(F.col("arn") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
+    )
+    lists = ivf_inverted_lists(spark, sf_dir).select("vec_id", "cid")
+    pairs = (
+        lists.join(F.broadcast(pcells), lists["cid"] == pcells["pcell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    probes = qv.filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("qe")
+    )
+    psub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    )
+    pdot = F.aggregate(
+        F.zip_with(psub, F.col("csub"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    lut = probes.crossJoin(
+        F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub")))
+    ).select("query_id", "m", "code", pdot.alias("pdot"))
+    adc = (
+        pairs.join(enc, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with("pqe", "qe", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    rerank = (
+        cand.join(
+            F.broadcast(probes.select("query_id", F.col("qe").alias("pqe"))),
+            "query_id",
+        )
+        .join(qv, cand["neighbor_id"] == qv["vec_id"])
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= PQ_K)
+        .select("query_id", "neighbor_id", "qdot", "rn")
+    )
+
+
 @query(
     "sim_ivf_balance",
     oracle=f"""

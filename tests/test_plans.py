@@ -128,6 +128,12 @@ NON_EQUI_WHITELIST = {
     # O(n/stride); the heavy joins (encode argmin, ADC scoring) are
     # hash equi-joins on (m) / (m, cid)
     "sim_pq_topk",
+    # same bounded broadcast expansions as sim_pq_topk (1-row gmax, 8-row
+    # subspace frame, tiny codebook/LUT) plus the 5-row probe set x
+    # broadcast centroids for cell selection; candidate generation is the
+    # cell equi-join against the materialized inverted lists and ADC is a
+    # hash equi-join on (query_id, m, code)
+    "sim_ivfpq_topk",
     # the 1-row basket-count aggregate broadcast into the ppm projection
     "graph_basket_lift",
     # the 1-row merged-sketch estimate broadcast onto the 1-row exact

@@ -261,3 +261,36 @@ def test_pq_two_stage_topk_recall(spark):
     )
     r = _recall_at_5(approx, exact)
     assert r >= 0.4, f"pq recall@5 {r}"  # observed 0.6 at sf0.01
+
+
+def test_ivfpq_topk_recall(spark):
+    """IVF-PQ composition: cell truncation (nprobe={IVFPQ_NPROBE})
+    compounds with PQ quantization error, so the floor matches plain
+    PQ's — candidates must still come only from the probed cells, and
+    the rerank keeps surviving true neighbors exactly ordered."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.dedup import dot_cols
+    from denali_spark.operators.similarity import (
+        PQ_PROBE_MOD,
+        _vecs,
+        sim_ivfpq_topk,
+    )
+
+    approx = _neighbors(sim_ivfpq_topk(spark, SF))
+
+    v = _vecs(spark, SF)
+    q = v.filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        dot_cols(F.col("qe"), F.col("e")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), "neighbor_id")
+    exact = _neighbors(
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+    r = _recall_at_5(approx, exact)
+    assert r >= 0.4, f"ivf-pq recall@5 {r}"  # observed 0.6 at sf0.01

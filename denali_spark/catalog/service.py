@@ -395,7 +395,28 @@ def rename_table(state: State, m, q, body):
 
 
 def post_metrics(state: State, m, q, body):
-    # Accepted and discarded, like routes/tables.go:432-435.
+    """Persist the report (beyond parity: the reference accepts and
+    discards, routes/tables.go:432-435). Each ScanReport/CommitReport
+    lands as one atomic JSON blob under the table's metadata/metrics/
+    prefix — the `ns.t.metrics_reports` metadata relation surfaces them,
+    closing the loop the server-side plan path opened (planned-vs-
+    scanned files per query becomes queryable). One blob per report:
+    concurrent reporters never contend, and a stray half-written file
+    can't exist (tmp+rename)."""
+    import uuid
+
+    _, info = _table_info(state, parse_ns(m.group("ns")), m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    ts = meta.now_ms()
+    blob = json.dumps(
+        {"received-at-ms": ts, "report": body or {}},
+        separators=(",", ":"),
+    ).encode()
+    loc = meta.join_location(
+        md["location"], "metadata", "metrics",
+        f"report-{ts}-{uuid.uuid4().hex[:8]}.json",
+    )
+    meta.write_blob_atomic(loc, blob)
     return 204, None
 
 

@@ -65,8 +65,19 @@ KINDS = (
     "snapshots", "history", "metadata_log_entries", "refs", "manifests",
     "entries", "files", "data_files", "delete_files", "partitions",
     "all_manifests", "all_files", "all_entries", "all_data_files",
-    "all_delete_files", "position_deletes",
+    "all_delete_files", "position_deletes", "metrics_reports",
 )
+
+_METRICS_REPORTS_SCHEMA = StructType([
+    StructField("received_at", TimestampType()),
+    StructField("report_type", StringType()),
+    StructField("table_name", StringType()),
+    StructField("snapshot_id", LongType()),
+    StructField("operation", StringType()),
+    StructField("metrics", MapType(StringType(), StringType())),
+    StructField("report", StringType()),
+])
+
 
 _SNAPSHOTS_SCHEMA = StructType([
     StructField("committed_at", TimestampType()),
@@ -297,6 +308,39 @@ def metadata_table(
     spark = io.spark
     loaded = io.client.load_table(namespace, name)
     md = loaded["metadata"]
+
+    if kind == "metrics_reports":
+        # one JSON blob per report under metadata/metrics/ (see
+        # catalog.service.post_metrics); bounded like the other
+        # metadata-JSON kinds, so a driver-side build is fine
+        from denali_spark.catalog.metadata import join_location, read_blob
+
+        mdir = _fs_path(join_location(md["location"], "metadata", "metrics"))
+        rows = []
+        if os.path.isdir(mdir):
+            for fname in sorted(os.listdir(mdir)):
+                if not fname.endswith(".json"):
+                    continue
+                doc = json.loads(
+                    read_blob(os.path.join(mdir, fname)).decode()
+                )
+                rep = doc.get("report") or {}
+
+                def _metric(v):
+                    if isinstance(v, dict) and "value" in v:
+                        return str(v["value"])
+                    return json.dumps(v)
+
+                rows.append((
+                    _ts(doc.get("received-at-ms", 0)),
+                    rep.get("report-type"),
+                    rep.get("table-name"),
+                    rep.get("snapshot-id"),
+                    rep.get("operation"),
+                    {k: _metric(v) for k, v in (rep.get("metrics") or {}).items()},
+                    json.dumps(rep, sort_keys=True),
+                ))
+        return spark.createDataFrame(rows, schema=_METRICS_REPORTS_SCHEMA)
 
     if kind == "snapshots":
         rows = [

@@ -1,20 +1,50 @@
-"""Examples must at least stay importable/compilable — they're documentation
-that executes, and a bitrotted example is worse than none. (Full execution
-is covered manually; compiling catches signature/module renames.)"""
+"""Examples are documentation that executes, and a bitrotted example is
+worse than none. The cheap ones RUN end-to-end in a fresh subprocess
+(their own SparkSession — several call spark.stop(), and the run must
+see exactly what a user pasting the file would see); the bench-heavy
+rest stay compile-checked, which still catches module/signature renames
+that break imports."""
 
 from __future__ import annotations
 
+import os
 import pathlib
 import py_compile
+import subprocess
+import sys
 
 import pytest
 
-EXAMPLES = sorted((pathlib.Path(__file__).parents[1] / "examples").glob("*.py"))
+EXAMPLES_DIR = pathlib.Path(__file__).parents[1] / "examples"
+EXAMPLES = sorted(EXAMPLES_DIR.glob("*.py"))
+
+# Executed end-to-end per r10 verdict item 3: each runs in well under a
+# minute at its built-in smoke SF / tmpdir warehouse. The others read
+# materialized indexes or run multi-minute streams — compile-only.
+EXECUTED = [
+    "catalog_quickstart.py",
+    "sql_ddl_lifecycle.py",
+    "deletion_vectors.py",
+    "online_index_lifecycle.py",
+]
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
 def test_example_compiles(path):
     py_compile.compile(str(path), doraise=True)
+
+
+@pytest.mark.parametrize("name", EXECUTED)
+def test_example_executes(name):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES_DIR / name)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"{name} failed (rc={proc.returncode}):\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
 
 
 def test_examples_exist():

@@ -268,3 +268,42 @@ def test_position_deletes_table(spark, io):
     # the surviving read agrees with the delete positions
     ids = [r.id for r in io.read_table(["meta"], "pdel").collect()]
     assert sorted(ids) == [i for i in range(20) if not (5 <= i < 9)]
+
+
+def test_metrics_reports_round_trip(spark, io):
+    """r10 verdict item 8: the metrics endpoint PERSISTS reports (the
+    reference accepts-and-discards, routes/tables.go:432-435) and the
+    `metrics_reports` relation surfaces them — a read with
+    report_metrics=True makes planned-file counts queryable, and a
+    posted CommitReport lands alongside."""
+    ns, name = _two_appends(spark, io)
+    # empty before any report
+    assert metadata_table(io, ns, name, "metrics_reports").count() == 0
+
+    io.read_table(ns, name, report_metrics=True).count()
+    snap = io.client.load_table(ns, name)["metadata"]["current-snapshot-id"]
+    io.client.report_metrics(ns, name, {
+        "report-type": "commit-report",
+        "table-name": f"{ns[0]}.{name}",
+        "snapshot-id": snap,
+        "operation": "append",
+        "metrics": {"added-data-files": {"unit": "count", "value": 3}},
+    })
+
+    rows = metadata_table(io, ns, name, "metrics_reports").orderBy(
+        "received_at"
+    ).collect()
+    assert [r.report_type for r in rows] == ["scan-report", "commit-report"]
+    scan, commit = rows
+    # the scan report's planned-file count is queryable (2 appends = 2 files)
+    assert scan.metrics["result-data-files"] == "2"
+    assert scan.snapshot_id == snap
+    assert commit.operation == "append"
+    assert commit.metrics["added-data-files"] == "3"
+    assert all(r.table_name == f"{ns[0]}.{name}" for r in rows)
+
+    # SQL-addressable like every other metadata relation
+    got = io.sql(
+        f"SELECT report_type, metrics FROM {ns[0]}.{name}.metrics_reports"
+    ).collect()
+    assert {r.report_type for r in got} == {"scan-report", "commit-report"}

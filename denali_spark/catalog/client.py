@@ -33,22 +33,42 @@ class CatalogClient:
     def __init__(self, uri: str, token: str | None = None):
         self.uri = uri.rstrip("/")
         self.token = token  # bearer token for OAuth-enabled catalogs
+        # loadTable conditional-request cache: path -> (etag, payload).
+        # The server's ETag hashes the metadata-location, which changes on
+        # every commit, so a 304 hit is guaranteed-fresh; at scale this
+        # saves re-shipping a multi-MB metadata document per poll.
+        self._etag_cache: dict[str, tuple[str, dict]] = {}
 
     # --- plumbing ---------------------------------------------------------
 
     def _request(self, method: str, path: str, body: dict | None = None,
                  query: str = "") -> tuple[int, dict]:
+        return self._request_h(method, path, body, query)[:2]
+
+    def _request_h(
+        self, method: str, path: str, body: dict | None = None,
+        query: str = "", extra_headers: dict | None = None,
+    ) -> tuple[int, dict, dict]:
+        """Like _request but also returns response headers, and treats 304
+        Not Modified as a success (urllib raises HTTPError on it)."""
         url = f"{self.uri}{path}" + (f"?{query}" if query else "")
         data = json.dumps(body).encode() if body is not None else None
         headers = {"Content-Type": "application/json"} if data else {}
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
+        headers.update(extra_headers or {})
         req = urllib.request.Request(url, data=data, method=method, headers=headers)
         try:
             with urllib.request.urlopen(req) as resp:
                 raw = resp.read()
-                return resp.status, (json.loads(raw) if raw else {})
+                return (
+                    resp.status,
+                    json.loads(raw) if raw else {},
+                    dict(resp.headers),
+                )
         except urllib.error.HTTPError as exc:
+            if exc.code == 304:
+                return 304, {}, dict(exc.headers)
             raw = exc.read()
             payload = json.loads(raw) if raw else {}
             raise CatalogHTTPError(exc.code, payload) from None
@@ -194,9 +214,20 @@ class CatalogClient:
         )[1]
 
     def load_table(self, levels: list[str], name: str) -> dict:
-        return self._request(
-            "GET", f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
-        )[1]
+        path = f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
+        cached = self._etag_cache.get(path)
+        status, payload, headers = self._request_h(
+            "GET", path,
+            extra_headers={"If-None-Match": cached[0]} if cached else None,
+        )
+        if status == 304 and cached:
+            # JSON round-trip: callers may mutate the returned metadata
+            # in place, so the cached canonical copy must never be shared
+            return json.loads(cached[1])
+        etag = headers.get("ETag")
+        if etag:
+            self._etag_cache[path] = (etag, json.dumps(payload))
+        return payload
 
     def table_exists(self, levels: list[str], name: str) -> bool:
         try:

@@ -279,11 +279,31 @@ def load_table(state: State, m, q, body):
     """Spec-correct `snapshots=` handling: `all` (default) returns the full
     snapshot list, `refs` only the snapshots reachable from a branch/tag
     head through parent-snapshot-id chains. The reference ignores the param
-    entirely (routes/tables.go:194, SURVEY §7.5 bug-not-to-replicate)."""
+    entirely (routes/tables.go:194, SURVEY §7.5 bug-not-to-replicate).
+
+    ETag / If-None-Match (the REST spec's loadTable caching shape, beyond
+    reference parity): the metadata file is immutable once written, so
+    the metadata-location is a perfect change token — the ETag hashes it
+    (plus the `snapshots` mode, which changes the response body for the
+    same location) and a matching If-None-Match short-circuits to 304
+    with no metadata read or body. At scale this is what keeps thousands
+    of engine drivers polling loadTable from re-shipping a multi-MB
+    metadata document that hasn't changed."""
+    import hashlib
+
     levels = parse_ns(m.group("ns"))
     _, info = _table_info(state, levels, m.group("t"))
-    md = meta.read_table_metadata(info.metadata_location)
     mode = (q.get("snapshots") or ["all"])[0].lower()
+    if mode not in ("all", "refs"):
+        raise BadRequest(f"invalid snapshots mode {mode!r}: expected all|refs")
+    etag = '"' + hashlib.md5(
+        f"{info.metadata_location}|{mode}".encode()
+    ).hexdigest() + '"'
+    if etag in [
+        t.strip() for t in (q.get("__if-none-match") or [""])[0].split(",")
+    ]:
+        return 304, None, {"ETag": etag}
+    md = meta.read_table_metadata(info.metadata_location)
     if mode == "refs":
         md = dict(md)
         by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
@@ -300,13 +320,11 @@ def load_table(state: State, m, q, body):
         md["snapshots"] = [
             s for s in md.get("snapshots", []) if s["snapshot-id"] in reachable
         ]
-    elif mode != "all":
-        raise BadRequest(f"invalid snapshots mode {mode!r}: expected all|refs")
     return 200, {
         "metadata-location": info.metadata_location,
         "metadata": md,
         "config": {},
-    }
+    }, {"ETag": etag}
 
 
 def update_table(state: State, m, q, body):
@@ -898,13 +916,20 @@ class _Handler(BaseHTTPRequestHandler):
         auth_err = self._check_auth(parsed.path)
         if auth_err is not None:
             return self._send(401, auth_err, head=method == "HEAD")
+        # conditional-request header, surfaced to handlers through the
+        # query dict under a reserved (non-URL-encodable-colliding) key
+        inm = self.headers.get("If-None-Match")
+        if inm:
+            q["__if-none-match"] = [inm]
         for m_method, pattern, handler in ROUTES:
             if m_method != method:
                 continue
             match = pattern.match(parsed.path)
             if match:
                 try:
-                    status, payload = handler(self.state, match, q, body)
+                    out = handler(self.state, match, q, body)
+                    status, payload = out[0], out[1]
+                    hdrs = out[2] if len(out) > 2 else None
                 except CatalogError as exc:
                     return self._send(exc.http_code, exc.payload(), head=method == "HEAD")
                 except Exception as exc:  # noqa: BLE001
@@ -914,7 +939,9 @@ class _Handler(BaseHTTPRequestHandler):
                                    "type": "InternalServerError", "code": 500}},
                         head=method == "HEAD",
                     )
-                return self._send(status, payload, head=method == "HEAD")
+                return self._send(
+                    status, payload, head=method == "HEAD", headers=hdrs
+                )
         self._send(404, {"error": {"message": f"no route for {method} {parsed.path}",
                                    "type": "NotFoundException", "code": 404}},
                    head=method == "HEAD")
@@ -940,11 +967,14 @@ class _Handler(BaseHTTPRequestHandler):
                                      "(POST /v1/oauth/tokens)",
                           "type": "NotAuthorizedException", "code": 401}}
 
-    def _send(self, status: int, payload, head: bool = False):
+    def _send(self, status: int, payload, head: bool = False,
+              headers: dict | None = None):
         data = b"" if payload is None else json.dumps(payload).encode()
         self.send_response(status)
         if data:
             self.send_header("Content-Type", "application/json")
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
         if data and not head:

@@ -623,3 +623,58 @@ def test_blob_dispatch_local_unchanged(tmp_path):
     import os
 
     assert os.path.exists(meta._fs_path(loc))
+
+
+# --- ETag / If-None-Match on loadTable (REST-spec caching, beyond parity) --
+
+
+def test_load_table_etag_304_and_invalidation(catalog):
+    catalog.create_namespace(["et"])
+    catalog.create_table(["et"], "t", SCHEMA_ID_NAME)
+    path = "/v1/namespaces/et/tables/t"
+
+    status, payload, headers = catalog._request_h("GET", path)
+    etag = headers.get("ETag")
+    assert status == 200 and etag and etag.startswith('"')
+
+    # matching If-None-Match: 304, no body shipped
+    status2, payload2, headers2 = catalog._request_h(
+        "GET", path, extra_headers={"If-None-Match": etag}
+    )
+    assert status2 == 304 and payload2 == {}
+    assert headers2.get("ETag") == etag
+
+    # a commit rotates the metadata location -> new etag, full 200 again
+    catalog.commit_table(
+        ["et"], "t", requirements=[],
+        updates=[{"action": "set-properties", "updates": {"k": "v"}}],
+    )
+    status3, payload3, headers3 = catalog._request_h(
+        "GET", path, extra_headers={"If-None-Match": etag}
+    )
+    assert status3 == 200
+    assert headers3.get("ETag") != etag
+    assert payload3["metadata"]["properties"]["k"] == "v"
+
+
+def test_client_etag_cache_transparent(catalog):
+    catalog.create_namespace(["et2"])
+    catalog.create_table(["et2"], "t", SCHEMA_ID_NAME)
+
+    first = catalog.load_table(["et2"], "t")
+    again = catalog.load_table(["et2"], "t")  # served via 304 + cache
+    assert again == first
+    # cache hits must never share a mutable dict with the caller
+    again["metadata"]["properties"]["mutated"] = "yes"
+    assert "mutated" not in catalog.load_table(["et2"], "t")["metadata"].get(
+        "properties", {}
+    )
+
+    # a commit invalidates: the next load sees the new metadata
+    catalog.commit_table(
+        ["et2"], "t", requirements=[],
+        updates=[{"action": "set-properties", "updates": {"fresh": "1"}}],
+    )
+    latest = catalog.load_table(["et2"], "t")
+    assert latest["metadata"]["properties"]["fresh"] == "1"
+    assert latest["metadata-location"] != first["metadata-location"]

@@ -388,3 +388,104 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     ).select(F.col("degree").cast("long").alias("degree"), "n_parts")
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    adj AS (
+      SELECT part_a AS node, part_b AS nb FROM edges
+      UNION ALL
+      SELECT part_b AS node, part_a AS nb FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    common AS (
+      SELECT x.node AS part_a, y.node AS part_b, COUNT(*) AS n_common
+      FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+      GROUP BY 1, 2
+    )
+    SELECT e.part_a, e.part_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST((1000000 * COALESCE(c.n_common, 0))
+                // (da.d + db.d - COALESCE(c.n_common, 0)) AS BIGINT)
+             AS jaccard_ppm
+    FROM edges e
+    JOIN deg da ON da.node = e.part_a
+    JOIN deg db ON db.node = e.part_b
+    LEFT JOIN common c ON c.part_a = e.part_a AND c.part_b = e.part_b
+    """,
+    tags=("graph", "similarity", "link-analysis"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard for every frequent co-purchase edge:
+    |N(a)∩N(b)| / |N(a)∪N(b)| in exact ppm over the support-thresholded
+    graph — the classic link-prediction / edge-strength score (high
+    overlap = the pair sits inside a dense community, low = a bridge).
+    All counts are integers, so both engines agree bit-exactly.
+
+    Scale shape: the same a-priori-bounded edge relation the other graph
+    queries share; common-neighbor counting is one wedge self-join of
+    the symmetric adjacency on the shared-neighbor key (identical
+    cardinality to graph_triangle_parts' wedge step), degrees are a
+    partial-aggregable count, and the final assembly joins bounded
+    per-edge relations on edge keys. Nothing touches |parts|²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    adj = edges.select(
+        F.col("part_a").alias("node"), F.col("part_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("node"), F.col("part_a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    common = (
+        x.join(y, on=[F.col("x.nb") == F.col("y.nb")])
+        .filter(F.col("x.node") < F.col("y.node"))
+        .groupBy(
+            F.col("x.node").alias("part_a"), F.col("y.node").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("deg_b"))
+    return (
+        edges.join(da, "part_a")
+        .join(db, "part_b")
+        .join(common, ["part_a", "part_b"], "left")
+        .select(
+            "part_a", "part_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_common, 0))"
+                " div (deg_a + deg_b - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

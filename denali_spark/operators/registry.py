@@ -85,6 +85,10 @@ DRIVER_PRIORITY: list[str] = [
     "ts_spike_hours",
     # --- NEW round-11 queries (no driver evidence yet) ---
     "sim_ivfpq_topk",
+    "graph_jaccard_neighbors",
+    "text_type_token_ratio",
+    "sample_fixed_k_per_stratum",
+    "text_boilerplate_prefixes",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

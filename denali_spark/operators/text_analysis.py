@@ -1959,3 +1959,153 @@ def text_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_stopwords * 10000) div n_tokens").alias("stopword_e4"),
         )
     )
+
+
+@query(
+    "text_type_token_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, unnest({SQL_TOKENS.format(c='text')}) AS tok
+      FROM documents
+    ),
+    tt AS (
+      SELECT lang, source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT lang, source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+      FROM tt GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.lang, a.source, nd.n_docs, a.n_tokens, a.distinct_tokens,
+           CAST((1000000 * a.distinct_tokens) // a.n_tokens AS BIGINT) AS ttr_ppm
+    FROM agg a JOIN nd ON a.lang = nd.lang AND a.source = nd.source
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per corpus slice: type-token ratio (distinct
+    tokens / total tokens, ppm) by language x source — low-TTR slices
+    flag template/boilerplate-heavy crawls the same way high dup rates
+    do, but catch WITHIN-document repetition exact dedup can't see. All
+    integer, bit-identical across engines.
+
+    Scale shape: one explode pre-aggregated to (lang, source, token)
+    counts (map-side combinable — the same vocabulary-keyed shuffle
+    shape as the unigram model), then a bounded (slice x vocab) rollup;
+    the per-slice doc counts come from a scan-local second pass with no
+    explode. Shuffle keys carry the token, so no reducer sees a whole
+    slice's vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", "source", F.explode(tokens_col()).alias("tok"))
+    tt = toks.groupBy("lang", "source", "tok").agg(F.count("*").alias("c"))
+    agg = tt.groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+    )
+    nd = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return agg.join(nd, ["lang", "source"]).select(
+        "lang", "source", "n_docs", "n_tokens", "distinct_tokens",
+        F.expr("CAST((1000000 * distinct_tokens) div n_tokens AS BIGINT)")
+        .alias("ttr_ppm"),
+    )
+
+
+RESERVOIR_K = 25          # docs kept per language stratum
+RESERVOIR_SALT = "denali-reservoir-v1"
+
+
+@query(
+    "sample_fixed_k_per_stratum",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{RESERVOIR_SALT}'),
+                        doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {RESERVOIR_K}
+    """,
+    tags=("text", "sampling", "reservoir"),
+)
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-stratum sample: EXACTLY {RESERVOIR_K} documents
+    per language, chosen by salted-md5 rank — the deterministic
+    equivalent of per-group reservoir sampling. Unlike rate-based
+    sampling (sample_stratified) the output size per stratum is pinned
+    regardless of stratum skew, which is what an eval-set or
+    human-review budget needs; membership is a pure function of doc_id,
+    so re-runs, engines, and partitionings all agree.
+
+    Scale shape: a per-language window rank over the md5 key. Each
+    language partitions independently (the same grouped-top-k idiom as
+    win_topn_per_group); at extreme per-stratum cardinality the two-pass
+    rank idiom (per-partition top-K, then merge) applies unchanged
+    because ranks beyond K are never consumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{RESERVOIR_SALT}"))
+    )
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+BOILERPLATE_PREFIX_LEN = 64
+BOILERPLATE_MIN_DOCS = 3
+
+
+@query(
+    "text_boilerplate_prefixes",
+    oracle=f"""
+    SELECT prefix, n_docs, n_sources, first_doc FROM (
+      SELECT substring(text, 1, {BOILERPLATE_PREFIX_LEN}) AS prefix,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM documents WHERE length(text) > 0
+      GROUP BY 1
+      HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    )
+    ORDER BY n_docs DESC, prefix
+    LIMIT 20
+    """,
+    tags=("text", "dedup-signal", "boilerplate"),
+)
+def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detector: the most repeated
+    {BOILERPLATE_PREFIX_LEN}-char document openings ("Terms of
+    Service...", cookie banners, nav headers) with how many documents
+    and distinct sources carry them — the headers/templates signal that
+    exact whole-doc dedup misses (bodies differ) and MinHash only
+    catches probabilistically. Counts are integers; ordering is pinned
+    by (count, prefix).
+
+    Scale shape: scan-local substring, one partial-aggregable groupBy on
+    the prefix key (high cardinality — shards like any hash key), HAVING
+    after aggregation, top-20 via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return (
+        docs.groupBy(
+            F.substring("text", 1, BOILERPLATE_PREFIX_LEN).alias("prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(20)
+    )

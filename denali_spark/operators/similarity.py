@@ -1240,6 +1240,130 @@ PQ_CAND = 25           # ADC candidates per probe fed to the rerank
 PQ_K = 5
 
 
+def pq_code_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The materialized PQ index (r11): four relations built once per
+    corpus under the shared cache discipline (engine.index_cache) —
+    `gmax` (the 1-row quantization scale), `qvecs` (int8-quantized
+    vectors, the rerank operand), `cbs` (per-subspace codebooks), and
+    `codes` (the PQ code table: PQ_M bytes-worth per vector, ~DIM/8 of
+    the corpus). Queries encode NOTHING at query time: probes quantize
+    against the stored gmax, build their LUTs against the stored
+    codebooks, and ADC-join the stored code table — the hash-once/
+    query-many shape the LSH/MinHash/IVF indexes already follow. Every
+    stored value is an integer (or the one exact double gmax), so the
+    parquet round-trip preserves the oracle-checked bit-exactness."""
+    import os
+
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+        materialize_parquet,
+    )
+
+    nfiles = index_file_count(sf_dir, "embeddings")
+    key = corpus_fingerprint(sf_dir, "embeddings", f"M{PQ_M}CB{PQ_CB}f{nfiles}")
+    root = cache_root("pq")
+    gmax = materialize_parquet(
+        spark, os.path.join(root, f"gmax-{key}"),
+        lambda: _vecs(spark, sf_dir).agg(
+            F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+        ),
+    )
+    qvecs = materialize_parquet(
+        spark, os.path.join(root, f"qvecs-{key}"),
+        lambda: _vecs(spark, sf_dir).crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            F.transform(
+                "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+            ).alias("qe"),
+        ),
+        num_files=nfiles,
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    ).alias("sub")
+
+    def build_cbs() -> DataFrame:
+        cb_train = (
+            qvecs.withColumn(
+                "h", (F.col("vec_id") * F.lit(PQ_HASH_MUL)) % F.lit(PQ_HASH_MOD)
+            )
+            .orderBy("h", "vec_id")
+            .limit(PQ_CB)
+            .drop("h")
+        )
+        return cb_train.crossJoin(F.broadcast(ms)).select(
+            F.col("m"), F.col("vec_id").alias("code"), sub
+        )
+
+    cbs = materialize_parquet(spark, os.path.join(root, f"cb-{key}"), build_cbs)
+
+    def build_codes() -> DataFrame:
+        vsub = qvecs.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+        l2 = F.aggregate(
+            F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        dists = vsub.join(
+            F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub"))), "m"
+        ).select("vec_id", "m", "code", l2.alias("d"))
+        # argmin with ties to the lowest code id: lexicographic struct-min
+        return dists.groupBy("vec_id", "m").agg(
+            F.min(F.struct("d", "code"))["code"].alias("code")
+        )
+
+    codes = materialize_parquet(
+        spark, os.path.join(root, f"codes-{key}"), build_codes,
+        num_files=nfiles, distribute_by=("vec_id",),
+    )
+    return {"gmax": gmax, "qvecs": qvecs, "cbs": cbs, "codes": codes}
+
+
+def _pq_lut(probes_qe: DataFrame, cbs: DataFrame) -> DataFrame:
+    """Per-(query, subspace, code) dot-product lookup table: |probes| x
+    PQ_M x PQ_CB rows, broadcastable by construction."""
+    psub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    )
+    pdot = F.aggregate(
+        F.zip_with(psub, F.col("csub"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return probes_qe.crossJoin(
+        F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub")))
+    ).select("query_id", "m", "code", pdot.alias("pdot"))
+
+
+def _pq_rerank_topk(
+    cand: DataFrame, probes_qe: DataFrame, qvecs: DataFrame, k: int
+) -> DataFrame:
+    """Exact int8-dot rerank of (query_id, neighbor_id) candidates →
+    (query_id, neighbor_id, qdot, rn) top-k per query."""
+    qdot = F.aggregate(
+        F.zip_with("pqe", "qe", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    rerank = (
+        cand.join(
+            F.broadcast(probes_qe.select("query_id", F.col("qe").alias("pqe"))),
+            "query_id",
+        )
+        .join(qvecs, cand["neighbor_id"] == qvecs["vec_id"])
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rn")
+    )
+
+
 @query(
     "sim_pq_topk",
     oracle=f"""
@@ -1323,70 +1447,20 @@ PQ_K = 5
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage product-quantization ANN: PQ/ADC candidate generation
     (8 bytes per vector instead of 64) followed by a full int8-dot rerank
-    of the top-{PQ_CAND} candidates per probe. See the section comment for
-    the exactness argument and scale shape; the codebook and lookup tables
-    broadcast, the encoded-corpus ⋈ LUT join partial-aggregates the
-    per-subspace lookups, and both top-k cuts are
-    TakeOrderedAndProject-per-query windows."""
-    v = _vecs(spark, sf_dir)
-    gmax = v.agg(
-        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
-    )
-    qv = v.crossJoin(F.broadcast(gmax)).select(
-        "vec_id",
-        F.transform(
-            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
-        ).alias("qe"),
-    )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    sub = F.slice(
-        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
-    ).alias("sub")
-    # Fixed-size training sample: orderBy+limit compiles to
-    # TakeOrderedAndProject (each scan task keeps only its local PQ_CB
-    # best, merged once on the driver) — a single pass over the corpus
-    # that returns a constant-size codebook regardless of n.
-    cb_train = (
-        qv.withColumn(
-            "h", (F.col("vec_id") * F.lit(PQ_HASH_MUL)) % F.lit(PQ_HASH_MOD)
-        )
-        .orderBy("h", "vec_id")
-        .limit(PQ_CB)
-        .drop("h")
-    )
-    cbs = (
-        cb_train.crossJoin(F.broadcast(ms))
-        .select(F.col("m"), F.col("vec_id").alias("cid"), sub)
-    )
-    vsub = qv.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
-    l2 = F.aggregate(
-        F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    dists = vsub.join(
-        F.broadcast(cbs.select("m", "cid", F.col("sub").alias("csub"))), "m"
-    ).select("vec_id", "m", "cid", l2.alias("d"))
-    # argmin with ties to the lowest code id: lexicographic struct-min
-    enc = dists.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "cid"))["cid"].alias("cid")
-    )
+    of the top-{PQ_CAND} candidates per probe. See the section comment
+    for the exactness argument. r11: the quantized vectors, codebooks,
+    and code table come from the MATERIALIZED PQ index (pq_code_index) —
+    encoding is paid once at ingest, not per query; a query builds only
+    its broadcast LUT and joins the stored codes. Both top-k cuts are
+    per-query windows over bounded relations."""
+    idx = pq_code_index(spark, sf_dir)
+    qv, cbs, enc = idx["qvecs"], idx["cbs"], idx["codes"]
     probes = qv.filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
         F.col("vec_id").alias("query_id"), F.col("qe")
     )
-    psub = F.slice(
-        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
-    )
-    pdot = F.aggregate(
-        F.zip_with(psub, F.col("csub"), lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    lut = probes.crossJoin(
-        F.broadcast(cbs.select("m", "cid", F.col("sub").alias("csub")))
-    ).select("query_id", "m", "cid", pdot.alias("pdot"))
+    lut = _pq_lut(probes, cbs)
     adc = (
-        enc.join(F.broadcast(lut), ["m", "cid"])
+        enc.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdot").alias("adc_dot"))
@@ -1397,25 +1471,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_CAND)
         .select("query_id", "neighbor_id")
     )
-    qdot = F.aggregate(
-        F.zip_with("pqe", "qe", lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    rerank = (
-        cand.join(
-            F.broadcast(probes.select("query_id", F.col("qe").alias("pqe"))),
-            "query_id",
-        )
-        .join(qv, cand["neighbor_id"] == qv["vec_id"])
-        .select("query_id", "neighbor_id", qdot.alias("qdot"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
-    return (
-        rerank.withColumn("rn", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rn") <= PQ_K)
-        .select("query_id", "neighbor_id", "qdot", "rn")
-    )
+    return _pq_rerank_topk(cand, probes, qv, PQ_K)
 
 
 IVFPQ_NPROBE = 4  # coarse cells probed per query (PQ error compounds with
@@ -1539,45 +1595,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per probe) broadcast; the ADC join partial-aggregates per
     (query, neighbor); both top-k cuts are per-query windows over
     bounded relations. Candidate generation cost per query is
-    |cells probed| × {PQ_M} integer lookups — the IVF-PQ promise."""
+    |cells probed| × {PQ_M} integer lookups — the IVF-PQ promise. r11:
+    quantization/codebooks/codes come from the materialized PQ index
+    (pq_code_index) and the cells from the materialized IVF lists —
+    a query encodes nothing."""
     v = _vecs(spark, sf_dir)
-    gmax = v.agg(
-        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
-    )
-    qv = v.crossJoin(F.broadcast(gmax)).select(
-        "vec_id",
-        F.transform(
-            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
-        ).alias("qe"),
-    )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    sub = F.slice(
-        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
-    ).alias("sub")
-    cb_train = (
-        qv.withColumn(
-            "h", (F.col("vec_id") * F.lit(PQ_HASH_MUL)) % F.lit(PQ_HASH_MOD)
-        )
-        .orderBy("h", "vec_id")
-        .limit(PQ_CB)
-        .drop("h")
-    )
-    cbs = (
-        cb_train.crossJoin(F.broadcast(ms))
-        .select(F.col("m"), F.col("vec_id").alias("code"), sub)
-    )
-    vsub = qv.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
-    l2 = F.aggregate(
-        F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    dists = vsub.join(
-        F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub"))), "m"
-    ).select("vec_id", "m", "code", l2.alias("d"))
-    enc = dists.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "code"))["code"].alias("code")
-    )
+    idx = pq_code_index(spark, sf_dir)
+    qv, cbs, enc = idx["qvecs"], idx["cbs"], idx["codes"]
     # IVF side: each probe's {IVFPQ_NPROBE} nearest cells (full-precision
     # scoring against the tiny broadcast centroid set), candidates from
     # the materialized cell-partitioned lists
@@ -1600,17 +1624,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = qv.filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
         F.col("vec_id").alias("query_id"), F.col("qe")
     )
-    psub = F.slice(
-        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
-    )
-    pdot = F.aggregate(
-        F.zip_with(psub, F.col("csub"), lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-    lut = probes.crossJoin(
-        F.broadcast(cbs.select("m", "code", F.col("sub").alias("csub")))
-    ).select("query_id", "m", "code", pdot.alias("pdot"))
+    lut = _pq_lut(probes, cbs)
     adc = (
         pairs.join(enc, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
@@ -1623,25 +1637,61 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_CAND)
         .select("query_id", "neighbor_id")
     )
-    qdot = F.aggregate(
-        F.zip_with("pqe", "qe", lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
+    return _pq_rerank_topk(cand, probes, qv, PQ_K)
+
+
+def sim_ivfpq_search(
+    spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = PQ_K,
+    nprobe: int = IVFPQ_NPROBE, n_cand: int = PQ_CAND,
+) -> DataFrame:
+    """IVF-PQ top-k for EXTERNAL probe vectors — the query-time path over
+    BOTH materialized indexes, completing the external-probe triple
+    (sim_lsh_search / sim_ivf_search / this). `probes` is (query_id
+    long, e array<double>): each probe quantizes against the stored
+    gmax, picks its `nprobe` cells against the broadcast centroid set,
+    ADC-scores only those cells' stored PQ codes through its broadcast
+    LUT, and exact-reranks the top-`n_cand` by stored-int8 dot. Per
+    probe the corpus work is |cells| × {PQ_M} integer lookups plus
+    `n_cand` rerank rows — nothing rescans or re-encodes the corpus."""
+    v = _vecs(spark, sf_dir)
+    idx = pq_code_index(spark, sf_dir)
+    qv, cbs, enc, gmax = idx["qvecs"], idx["cbs"], idx["codes"], idx["gmax"]
+    qp = probes.crossJoin(F.broadcast(gmax)).select(
+        F.col("query_id"),
+        F.transform(
+            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+        ).alias("qe"),
     )
-    rerank = (
-        cand.join(
-            F.broadcast(probes.select("query_id", F.col("qe").alias("pqe"))),
-            "query_id",
-        )
-        .join(qv, cand["neighbor_id"] == qv["vec_id"])
-        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+    arn_w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("pe"), F.col("ce"))), "cid"
     )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
-    return (
-        rerank.withColumn("rn", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rn") <= PQ_K)
-        .select("query_id", "neighbor_id", "qdot", "rn")
+    pcells = (
+        probes.select("query_id", F.col("e").alias("pe"))
+        .crossJoin(F.broadcast(_centroids(v)))
+        .withColumn("arn", F.row_number().over(arn_w))
+        .filter(F.col("arn") <= nprobe)
+        .select("query_id", F.col("cid").alias("pcell"))
     )
+    lists = ivf_inverted_lists(spark, sf_dir).select("vec_id", "cid")
+    pairs = (
+        lists.join(F.broadcast(pcells), lists["cid"] == pcells["pcell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    lut = _pq_lut(qp, cbs)
+    adc = (
+        pairs.join(enc, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "neighbor_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_rerank_topk(cand, qp, qv, k)
 
 
 @query(

@@ -294,3 +294,32 @@ def test_ivfpq_topk_recall(spark):
     )
     r = _recall_at_5(approx, exact)
     assert r >= 0.4, f"ivf-pq recall@5 {r}"  # observed 0.6 at sf0.01
+
+
+def test_ivfpq_external_search_matches_registered_query(spark):
+    """sim_ivfpq_search fed the registered probe set must reproduce
+    sim_ivfpq_topk row-for-row (same quantization against the stored
+    gmax, same cells, same codes, same rerank) — the external-probe path
+    and the oracle-checked query are ONE pipeline over the materialized
+    indexes, not two implementations."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.similarity import (
+        PQ_PROBE_MOD,
+        _vecs,
+        sim_ivfpq_search,
+        sim_ivfpq_topk,
+    )
+
+    probes = _vecs(spark, SF).filter(F.col("vec_id") % PQ_PROBE_MOD == 7).select(
+        F.col("vec_id").alias("query_id"), "e"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["qdot"], r["rn"])
+        for r in sim_ivfpq_search(spark, SF, probes).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["qdot"], r["rn"])
+        for r in sim_ivfpq_topk(spark, SF).collect()
+    }
+    assert got == want and got

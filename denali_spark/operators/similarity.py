@@ -1640,9 +1640,67 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_rerank_topk(cand, probes, qv, PQ_K)
 
 
+def pq_quantize_external(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame
+) -> DataFrame:
+    """Quantize external (vec_id, e) vectors against the CORPUS's stored
+    gmax — the train-once/add-many contract (FAISS: codebooks and scales
+    are frozen at index build). External values may exceed the corpus
+    range, so the int8 result clamps to [-127, 127] (the corpus path
+    never clamps — its gmax bounds it by construction, keeping the
+    oracle exact)."""
+    idx = pq_code_index(spark, sf_dir)
+    return vecs.crossJoin(F.broadcast(idx["gmax"])).select(
+        "vec_id",
+        F.transform(
+            "e",
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int"),
+                ),
+            ),
+        ).alias("qe"),
+    )
+
+
+def pq_encode_codes(
+    spark: SparkSession, sf_dir: str, qvecs: DataFrame
+) -> DataFrame:
+    """Encode quantized (vec_id, qe) rows against the stored codebooks →
+    (vec_id, m, code). Map-side: the codebooks broadcast and the argmin
+    runs where the rows are — the same per-row cost the ingest-time
+    build pays, applied to a micro-batch."""
+    idx = pq_code_index(spark, sf_dir)
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = F.slice(
+        F.col("qe"), F.col("m") * PQ_SUB + F.lit(1), F.lit(PQ_SUB)
+    ).alias("sub")
+    vsub = qvecs.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+    l2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dists = vsub.join(
+        F.broadcast(idx["cbs"].select("m", "code", F.col("sub").alias("csub"))),
+        "m",
+    ).select("vec_id", "m", "code", l2.alias("d"))
+    return dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "code"))["code"].alias("code")
+    )
+
+
 def sim_ivfpq_search(
     spark: SparkSession, sf_dir: str, probes: DataFrame, k: int = PQ_K,
     nprobe: int = IVFPQ_NPROBE, n_cand: int = PQ_CAND,
+    extra_qvecs: DataFrame | None = None,
+    extra_codes: DataFrame | None = None,
+    extra_lists: DataFrame | None = None,
+    base_qvecs: DataFrame | None = None,
+    base_codes: DataFrame | None = None,
+    base_lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k for EXTERNAL probe vectors — the query-time path over
     BOTH materialized indexes, completing the external-probe triple
@@ -1652,16 +1710,26 @@ def sim_ivfpq_search(
     ADC-scores only those cells' stored PQ codes through its broadcast
     LUT, and exact-reranks the top-`n_cand` by stored-int8 dot. Per
     probe the corpus work is |cells| × {PQ_M} integer lookups plus
-    `n_cand` rerank rows — nothing rescans or re-encodes the corpus."""
+    `n_cand` rerank rows — nothing rescans or re-encodes the corpus.
+
+    Online lifecycle (mirrors sim_ivf_search's contract): `extra_*`
+    graft streamed quantized vectors / codes / cell rows (the PQ code
+    sink + the IVF list sink) without touching the base; `base_*`
+    REPLACE the corpus-derived relations (the folded-generation read
+    path)."""
     v = _vecs(spark, sf_dir)
     idx = pq_code_index(spark, sf_dir)
-    qv, cbs, enc, gmax = idx["qvecs"], idx["cbs"], idx["codes"], idx["gmax"]
-    qp = probes.crossJoin(F.broadcast(gmax)).select(
-        F.col("query_id"),
-        F.transform(
-            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
-        ).alias("qe"),
-    )
+    cbs = idx["cbs"]
+    qv = base_qvecs if base_qvecs is not None else idx["qvecs"]
+    enc = base_codes if base_codes is not None else idx["codes"]
+    if extra_qvecs is not None:
+        qv = qv.unionByName(extra_qvecs.select("vec_id", "qe"))
+    if extra_codes is not None:
+        enc = enc.unionByName(extra_codes.select("vec_id", "m", "code"))
+    # clamped external quantization: identity for in-range (corpus) probes
+    qp = pq_quantize_external(
+        spark, sf_dir, probes.select(F.col("query_id").alias("vec_id"), "e")
+    ).select(F.col("vec_id").alias("query_id"), "qe")
     arn_w = Window.partitionBy("query_id").orderBy(
         F.desc(cosine(F.col("pe"), F.col("ce"))), "cid"
     )
@@ -1672,7 +1740,12 @@ def sim_ivfpq_search(
         .filter(F.col("arn") <= nprobe)
         .select("query_id", F.col("cid").alias("pcell"))
     )
-    lists = ivf_inverted_lists(spark, sf_dir).select("vec_id", "cid")
+    lists = (
+        base_lists if base_lists is not None
+        else ivf_inverted_lists(spark, sf_dir)
+    ).select("vec_id", "cid")
+    if extra_lists is not None:
+        lists = lists.unionByName(extra_lists.select("vec_id", "cid"))
     pairs = (
         lists.join(F.broadcast(pcells), lists["cid"] == pcells["pcell"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -442,3 +442,118 @@ def read_folded_lists(spark: SparkSession, index_root: str) -> DataFrame | None:
 
     got = read_folded(spark, index_root, ("lists",))
     return None if got is None else got["lists"]
+
+
+# --- PQ online lifecycle (fourth index type through the shared fold) --------
+
+def make_pq_code_sink(sf_dir: str, qvec_dir: str, code_dir: str):
+    """foreachBatch sink: quantize each micro-batch of vectors against the
+    corpus's stored gmax (clamped int8 — the train-once/add-many
+    contract: codebooks and scales are frozen at index build, exactly
+    FAISS's add-after-train) and encode against the stored codebooks,
+    landing (vec_id, qe) and (vec_id, m, code) as the batch's own
+    partitions in two stores. Fixed write order qvecs→codes: the fold's
+    committed_batch_ids requires _SUCCESS in BOTH, so a crash between
+    writes never folds half a batch. Pair with make_ivf_index_sink so
+    streamed vectors also carry a cell and become IVF-PQ-searchable via
+    sim_ivfpq_search(extra_*=...)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.similarity import (
+            pq_encode_codes,
+            pq_quantize_external,
+        )
+
+        spark = batch_df.sparkSession
+        v = batch_df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        qpart = f"{qvec_dir}/batch_id={batch_id}"
+        pq_quantize_external(spark, sf_dir, v).write.mode("overwrite").parquet(
+            qpart
+        )
+        # encode from the COMMITTED quantized partition, so stored codes
+        # are byte-derived from stored qvecs even across a replay
+        pq_encode_codes(
+            spark, sf_dir, spark.read.parquet(qpart)
+        ).write.mode("overwrite").parquet(f"{code_dir}/batch_id={batch_id}")
+
+    return _sink
+
+
+def read_streamed_pq(
+    spark: SparkSession, qvec_dir: str, code_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """Streamed PQ rows committed in BOTH stores, as (qvecs, codes) for
+    sim_ivfpq_search(extra_qvecs=, extra_codes=); None when no batch has
+    fully committed."""
+    from denali_spark.streaming.fold import committed_batch_ids
+
+    ids = committed_batch_ids([qvec_dir, code_dir])
+    if not ids:
+        return None
+    qv = spark.read.parquet(
+        *[f"{qvec_dir}/batch_id={b}" for b in ids]
+    ).select("vec_id", "qe")
+    codes = spark.read.parquet(
+        *[f"{code_dir}/batch_id={b}" for b in ids]
+    ).select("vec_id", "m", "code")
+    return qv, codes
+
+
+def fold_streamed_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    qvec_dir: str,
+    code_dir: str,
+    index_root: str | None = None,
+    keep_generations: int = 2,
+) -> dict:
+    """Fold streamed PQ rows into a generational base store — the FOURTH
+    index type through streaming.fold's kernel (SRP buckets, MinHash
+    signatures, IVF lists, PQ codes). Searches then pass the generation
+    as sim_ivfpq_search(base_qvecs=, base_codes=) with no grafts."""
+    from denali_spark.engine.index_cache import (
+        corpus_fingerprint,
+        index_file_count,
+    )
+    from denali_spark.operators.similarity import (
+        PQ_CB,
+        PQ_M,
+        pq_code_index,
+    )
+    from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
+
+    index_root = index_root if index_root is not None else f"{code_dir}_folded"
+    n_files = index_file_count(sf_dir, "embeddings")
+    corpus_key = corpus_fingerprint(
+        sf_dir, "embeddings", f"M{PQ_M}CB{PQ_CB}f{n_files}"
+    )
+    return fold_streamed_partitions(
+        spark, index_root, corpus_key,
+        [
+            FoldRelation(
+                "qvecs", qvec_dir,
+                lambda: pq_code_index(spark, sf_dir)["qvecs"],
+                ("vec_id", "qe"), n_files, ("vec_id",),
+            ),
+            FoldRelation(
+                "codes", code_dir,
+                lambda: pq_code_index(spark, sf_dir)["codes"],
+                ("vec_id", "m", "code"), n_files, ("vec_id",),
+            ),
+        ],
+        keep_generations=keep_generations,
+    )
+
+
+def read_folded_pq(
+    spark: SparkSession, index_root: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """The committed folded PQ generation as (qvecs, codes), or None if no
+    fold has run."""
+    from denali_spark.streaming.fold import read_folded
+
+    got = read_folded(spark, index_root, ("qvecs", "codes"))
+    return None if got is None else (got["qvecs"], got["codes"])

@@ -576,3 +576,81 @@ def test_ivf_online_lifecycle(spark, tmp_path):
     assert read_streamed_lists(spark, list_dir) is None
     rep2 = fold_streamed_lists(spark, SF, list_dir, index_root=index_root)
     assert rep2["noop"] and rep2["generation"] == 1
+
+
+def test_pq_online_lifecycle(spark, tmp_path):
+    """r11: the PQ code table runs the same ingest→graft→fold lifecycle
+    as the other three indexes. A streamed near-twin of corpus vec 0
+    quantizes/encodes against the FROZEN corpus gmax+codebooks (paired
+    with the IVF list sink for its cell), ranks first for probe 0 via
+    grafts, folds into a generation that reproduces the grafted result
+    with no grafts, and a replayed fold is a no-op."""
+    from denali_spark.operators.similarity import sim_ivfpq_search
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_pq,
+        make_ivf_index_sink,
+        make_pq_code_sink,
+        read_folded_pq,
+        read_streamed_lists,
+        read_streamed_pq,
+    )
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec_dir = str(tmp_path / "pq-qvecs")
+    code_dir = str(tmp_path / "pq-codes")
+    list_dir = str(tmp_path / "pq-ivf-lists")
+    index_root = str(tmp_path / "pq-index")
+    pq_sink = make_pq_code_sink(SF, qvec_dir, code_dir)
+    ivf_sink = make_ivf_index_sink(SF, list_dir)
+
+    twin = base.filter(F.col("vec_id") == 0).select(
+        F.lit(2_000_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 0.999).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    pq_sink(twin, 0)
+    ivf_sink(twin, 0)
+
+    probe0 = base.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    sq, sc = read_streamed_pq(spark, qvec_dir, code_dir)
+    grafted = sim_ivfpq_search(
+        spark, SF, probe0, k=3,
+        extra_qvecs=sq, extra_codes=sc,
+        extra_lists=read_streamed_lists(spark, list_dir),
+    ).collect()
+    by_id = {r["neighbor_id"]: r for r in grafted}
+    assert 2_000_000 in by_id and by_id[2_000_000]["rn"] == 1
+
+    # replayed sink write: same bytes, graft verdicts unchanged
+    pq_sink(twin, 0)
+    sq2, sc2 = read_streamed_pq(spark, qvec_dir, code_dir)
+    again = sim_ivfpq_search(
+        spark, SF, probe0, k=3,
+        extra_qvecs=sq2, extra_codes=sc2,
+        extra_lists=read_streamed_lists(spark, list_dir),
+    ).collect()
+    assert sorted((r["neighbor_id"], r["rn"]) for r in again) == sorted(
+        (r["neighbor_id"], r["rn"]) for r in grafted
+    )
+
+    # fold → search over the generation (grafting only the IVF cell rows,
+    # which live in their own store/fold) reproduces the grafted result
+    rep = fold_streamed_pq(spark, SF, qvec_dir, code_dir, index_root=index_root)
+    assert rep == {"generation": 1, "folded_batches": [0], "noop": False}
+    fq, fc = read_folded_pq(spark, index_root)
+    folded = sim_ivfpq_search(
+        spark, SF, probe0, k=3,
+        base_qvecs=fq, base_codes=fc,
+        extra_lists=read_streamed_lists(spark, list_dir),
+    ).collect()
+    assert sorted((r["neighbor_id"], r["rn"]) for r in folded) == sorted(
+        (r["neighbor_id"], r["rn"]) for r in grafted
+    )
+    # streamed PQ stores truncated; replayed fold is a no-op
+    assert read_streamed_pq(spark, qvec_dir, code_dir) is None
+    rep2 = fold_streamed_pq(spark, SF, qvec_dir, code_dir, index_root=index_root)
+    assert rep2["noop"] and rep2["generation"] == 1

@@ -185,21 +185,70 @@ def _time(fn, runs: int = 2, stat: str = "min") -> float:
     return round(v, 3)
 
 
-def lsh_search_probe(spark, sf_dir: str):
-    """External-probe ANN over the materialized LSH bucket index: the
-    query-time path of a vector pipeline (probe batch hashes, broadcasts
-    into the bucket join, exact-reranks its candidates). ~0.5% of the
-    corpus as the probe batch."""
+def _probe_batch(spark, sf_dir: str, mod: int):
+    """A deterministic external-probe batch: every (vec_id % mod == 13)
+    corpus vector re-cast to the probe contract (query_id, e). mod=197 is
+    ~0.5% of the sf0.1 corpus; the sf1 probes pass mod=1970 so the BATCH
+    SIZE stays constant while the corpus grows 10x — isolating index-side
+    growth, which is the scaling question."""
     from pyspark.sql import functions as F
 
-    from denali_spark.operators.similarity import sim_lsh_search
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    probes = emb.filter(F.col("vec_id") % 197 == 13).select(
+    return emb.filter(F.col("vec_id") % mod == 13).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    return sim_lsh_search(spark, sf_dir, probes, k=5)
+
+
+def lsh_search_probe(spark, sf_dir: str, mod: int = 197):
+    """External-probe ANN over the materialized LSH bucket index: the
+    query-time path of a vector pipeline (probe batch hashes, broadcasts
+    into the bucket join, exact-reranks its candidates)."""
+    from denali_spark.operators.similarity import sim_lsh_search
+
+    return sim_lsh_search(spark, sf_dir, _probe_batch(spark, sf_dir, mod), k=5)
+
+
+def ivf_search_probe(spark, sf_dir: str, mod: int = 197):
+    """External-probe IVF ANN over the materialized, cid-partitioned
+    inverted lists: probes score against the broadcast centroid table,
+    pick nprobe lists, and the corpus contributes only those lists' rows
+    via partition-pruned reads."""
+    from denali_spark.operators.similarity import sim_ivf_search
+
+    return sim_ivf_search(spark, sf_dir, _probe_batch(spark, sf_dir, mod), k=5)
+
+
+def sf1_index_probes(spark) -> dict[str, float]:
+    """r11: the query-time index paths at sf1 (the r10 sf1 set covered
+    builds and batch dedup, not the probe-side searches). `first_call`
+    entries include build-or-cache-validate cost (cold only on a fresh
+    box — the indexes are fingerprint-cached on disk); the unsuffixed
+    entries are the steady-state warm-probe medians that a query-many
+    deployment actually pays. Probe batch size is held constant at the
+    sf0.1 count (mod=1970) so growth vs sf0.1 is pure index-side."""
+    from denali_spark.operators.dedup import minhash_signature_index
+
+    out: dict[str, float] = {}
+    out["lsh_probe_first_call"] = _time(
+        lambda: lsh_search_probe(spark, SF1_DIR, mod=1970).count(), runs=1
+    )
+    out["lsh_search_probe"] = _time(
+        lambda: lsh_search_probe(spark, SF1_DIR, mod=1970).count(),
+        runs=3, stat="median",
+    )
+    out["ivf_probe_first_call"] = _time(
+        lambda: ivf_search_probe(spark, SF1_DIR, mod=1970).count(), runs=1
+    )
+    out["ivf_search_probe"] = _time(
+        lambda: ivf_search_probe(spark, SF1_DIR, mod=1970).count(),
+        runs=3, stat="median",
+    )
+    out["minhash_warm_read"] = _time(
+        lambda: minhash_signature_index(spark, SF1_DIR).count(),
+        runs=3, stat="median",
+    )
+    return out
 
 
 def index_timings(spark, sf_dir: str) -> dict[str, float]:
@@ -380,6 +429,7 @@ def main() -> None:
                 "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),
                 "sf1": _time(lambda: skew_join_hot_key(spark, SF1_DIR).count()),
             }
+            result["sf1_index"] = sf1_index_probes(spark)
         except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
             result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
 

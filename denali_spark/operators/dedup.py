@@ -1398,3 +1398,70 @@ def dedup_exact_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+PFX_LEN = 32  # bucket key: first 32 chars (pairs below this length are out of scope)
+
+
+@query(
+    "dedup_prefix_containment",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, n_chars, substr(text, 1, {PFX_LEN}) AS pfx
+      FROM documents WHERE n_chars >= {PFX_LEN}
+    )
+    SELECT CASE WHEN a.n_chars <= b.n_chars THEN a.doc_id ELSE b.doc_id END AS prefix_doc,
+           CASE WHEN a.n_chars <= b.n_chars THEN b.doc_id ELSE a.doc_id END AS full_doc,
+           CAST(LEAST(a.n_chars, b.n_chars) AS BIGINT) AS prefix_len,
+           CAST(GREATEST(a.n_chars, b.n_chars) AS BIGINT) AS full_len
+    FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE CASE WHEN a.n_chars <= b.n_chars
+               THEN starts_with(b.text, a.text)
+               ELSE starts_with(a.text, b.text) END
+    """,
+    tags=("dedup", "containment", "exact"),
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment duplicate pairs: (shorter, longer) document
+    pairs where the shorter text is a VERBATIM PREFIX of the longer — the
+    truncation-dup class (re-crawled pages cut at different lengths,
+    feeds that clip articles) that Jaccard-style near-dup misses when the
+    tail is long and exact dedup misses always. Ties (equal text) keep
+    the lower doc_id as the prefix side, so the pair set is deterministic.
+
+    Scale shape: candidate generation is an equi-join on the first
+    {PFX_LEN} characters — every true prefix pair (at or above the length
+    floor) shares that bucket key by construction, and bucket sizes are
+    duplicate-prefix multiplicities, never corpus². Only co-bucketed
+    pairs pay the startswith verification, which short-circuits on first
+    mismatch. At 100 TB the join key would be xxhash64(prefix) to keep
+    shuffle rows narrow; semantics are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.filter(F.col("n_chars") >= PFX_LEN).select(
+        "doc_id", "text", "n_chars",
+        F.substring("text", 1, PFX_LEN).alias("pfx"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    short_is_a = F.col("a.n_chars") <= F.col("b.n_chars")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.when(
+                short_is_a, F.col("b.text").startswith(F.col("a.text"))
+            ).otherwise(F.col("a.text").startswith(F.col("b.text")))
+        )
+        .select(
+            F.when(short_is_a, F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id")).alias("prefix_doc"),
+            F.when(short_is_a, F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id")).alias("full_doc"),
+            F.least(F.col("a.n_chars"), F.col("b.n_chars"))
+            .cast("long").alias("prefix_len"),
+            F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+            .cast("long").alias("full_len"),
+        )
+    )

@@ -489,3 +489,183 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+RA_SCALE = 1_000_000  # integer unit for resource-allocation scores
+RA_TOP_K = 100
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+_FREQ_EDGES_SQL = f"""
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+"""
+
+
+def _frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded undirected co-purchase edges (part_a < part_b):
+    the same a-priori-bounded relation graph_jaccard_neighbors builds —
+    the basket self-join is order-key-confined, support is a
+    partial-aggregable count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .select("part_a", "part_b")
+    )
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=f"""
+    WITH edges AS ({_FREQ_EDGES_SQL}),
+    adj AS (
+      SELECT part_a AS node, part_b AS nb FROM edges
+      UNION ALL
+      SELECT part_b AS node, part_a AS nb FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    wedges AS (
+      SELECT x.node AS part_a, y.node AS part_b,
+             SUM({RA_SCALE} // dz.d) AS ra,
+             COUNT(*) AS n_common
+      FROM adj x
+      JOIN adj y ON x.nb = y.nb AND x.node < y.node
+      JOIN deg dz ON dz.node = x.nb
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT w.* FROM wedges w
+      LEFT JOIN edges e ON e.part_a = w.part_a AND e.part_b = w.part_b
+      WHERE e.part_a IS NULL
+    )
+    SELECT part_a, part_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(ra AS BIGINT) AS ra_score
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY ra DESC, part_a, part_b) AS rn
+      FROM nonedge
+    ) WHERE rn <= {RA_TOP_K}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou-Lü-Zhang): for every
+    NON-adjacent part pair sharing ≥1 common co-purchase neighbor, score
+    Σ_z 1/deg(z) over the shared neighbors z — low-degree shared neighbors
+    are strong evidence (a niche part bridging exactly two others), hubs
+    are weak. The top-{RA_TOP_K} pairs are the "should be an edge" list a
+    recommender backfills. Scores are exact integers ({RA_SCALE} div deg —
+    per-neighbor integer floor division, order-insensitive integer sum),
+    so both engines agree bit-exactly, like graph_pagerank_parts.
+
+    Scale shape: candidates come from the wedge self-join of the symmetric
+    adjacency on the shared-neighbor key (identical cardinality to
+    graph_triangle_parts), never |parts|²; degrees join in on the neighbor
+    key BEFORE grouping so the sum is a partial-aggregable long; existing
+    edges leave via a left-anti join on the edge key; the final top-k
+    ranks a bounded post-aggregation relation."""
+    edges = _frequent_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("part_a").alias("node"), F.col("part_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("node"), F.col("part_a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedges = (
+        x.join(y, on=[F.col("x.nb") == F.col("y.nb")])
+        .filter(F.col("x.node") < F.col("y.node"))
+        .join(deg.select(F.col("node").alias("z"), "d"), F.col("x.nb") == F.col("z"))
+        .groupBy(
+            F.col("x.node").alias("part_a"), F.col("y.node").alias("part_b")
+        )
+        .agg(
+            F.sum(F.expr(f"{RA_SCALE} div d")).alias("ra"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    nonedge = wedges.join(edges, ["part_a", "part_b"], "left_anti")
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # heaps over the bounded post-aggregation relation, never a global sort
+    return (
+        nonedge.select(
+            "part_a",
+            "part_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("ra").cast("long").alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_score"), "part_a", "part_b")
+        .limit(RA_TOP_K)
+    )
+
+
+def _kcore_round_sql(adj_prev: str) -> str:
+    """One unrolled peel round: drop nodes with residual degree < K, then
+    drop every edge touching a dropped node (both endpoints must survive)."""
+    return f"""
+      SELECT a.src, a.dst FROM {adj_prev} a
+      JOIN (SELECT src FROM {adj_prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}) ks
+        ON ks.src = a.src
+      JOIN (SELECT src FROM {adj_prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}) kd
+        ON kd.src = a.dst
+    """
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH adj0 AS ({_PAIRS_SQL}),
+    adj1 AS ({_kcore_round_sql('adj0')}),
+    adj2 AS ({_kcore_round_sql('adj1')}),
+    adj3 AS ({_kcore_round_sql('adj2')})
+    SELECT src AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM adj3 GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+    """,
+    tags=("graph", "kcore", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round {KCORE_K}-core peeling over the co-purchase graph:
+    repeatedly delete nodes with fewer than {KCORE_K} distinct neighbors
+    (and their edges) for {KCORE_ROUNDS} unrolled rounds, then report the
+    survivors that STILL meet the bar with their residual degree — the
+    dense backbone a community pipeline runs expensive algorithms on,
+    with the peel as the cheap prefilter. Fixed rounds (not
+    run-to-convergence) keep the plan static and the oracle expressible
+    as unrolled CTEs; full convergence is the same loop continued, the
+    dedup_connected_components pattern.
+
+    Scale shape: each round is one count-per-node aggregate plus two
+    semi-joins of the edge list against the survivor set — all shuffles
+    keyed on node ids, edge relation only ever shrinks, nothing driver-
+    side. The directed-pair adjacency (both orientations materialized)
+    makes degree a plain partial-aggregable COUNT per src."""
+    adj = _copurchase_edges(spark, sf_dir)
+    for _ in range(KCORE_ROUNDS):
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("src")
+        adj = adj.join(keep, "src", "semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        )
+    return (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= KCORE_K)
+        .select(
+            F.col("src").alias("part_key"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+    )

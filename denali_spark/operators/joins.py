@@ -163,3 +163,65 @@ def join_self_colineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+DAY_US = 86_400_000_000  # one day in microseconds
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+             AS total_overlap_us
+    FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+    WHERE a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+    tags=("join", "interval", "range-join", "custom-operator"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per calendar day, how many cross-user
+    activity-interval pairs overlap in time and for how long (closed
+    intervals, exact µs) — the co-activity shape behind concurrency
+    billing, contention analysis, and ad-break overlap. Each user's
+    per-day interval is [first event, last event].
+
+    Scale shape: the classic interval join strategy — intervals carry a
+    coarse bucket key (the day, which by construction bounds both
+    endpoints) and the θ-predicate (a.s <= b.e AND b.s <= a.e) runs only
+    WITHIN buckets via an equi-join on day, never across the whole
+    relation. Interval construction is a partial-aggregable MIN/MAX per
+    (user, day); output lands on the day key space. Pair counts are
+    bounded by C(active_users_per_day, 2) per bucket — the true overlap-
+    pair cardinality's own upper bound; with finer analysis windows the
+    bucket would be (day, hour) with intervals clipped per bucket, same
+    plan shape. All arithmetic is integer µs: bit-stable hashes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    iv = ev.groupBy(
+        "user_id", F.expr(f"us div {DAY_US}").alias("day")
+    ).agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).filter(
+        (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
+    )
+    return pairs.groupBy(F.col("a.day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"),
+        F.sum(
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).cast("long").alias("total_overlap_us"),
+    )

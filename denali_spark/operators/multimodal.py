@@ -1065,3 +1065,55 @@ def mm_video_shot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((count(1) + 1) * 1000) div (sum(CAST(is_cut AS INT)) + 1)"
         ).alias("mean_shot_frames_e3"),
     )
+
+
+@query(
+    "mm_payload_exact_dedup",
+    oracle="""
+    WITH g AS (
+      -- this DuckDB build's sha256 binds VARCHAR only; hashing the text
+      -- is byte-identical to hashing its UTF-8 encoding
+      SELECT sha256(COALESCE(text, '')) AS h,
+             octet_length(encode(COALESCE(text, ''))) AS n_bytes
+      FROM documents
+    ),
+    grp AS (
+      SELECT h, COUNT(*) AS n_copies, MAX(n_bytes) AS n_bytes
+      FROM g GROUP BY h
+    )
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM((n_copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes
+    FROM grp GROUP BY n_copies
+    """,
+    tags=("multimodal", "dedup", "binary"),
+)
+def mm_payload_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate profile of the BINARY plane: content-hash the
+    payload bytes (sha-256 — the specified, engine-neutral algorithm),
+    group identical blobs, and report the copy-count histogram with the
+    bytes a keep-one policy would reclaim. This is the first pass of any
+    image/audio lake dedup — byte-identical re-uploads dwarf near-dups in
+    volume and are free to find; per-group multiplicity also feeds the
+    storage-planning question ("how much of the 100 TB is one asset?").
+
+    Scale shape: the hash is computed scan-local next to the payload
+    column (bytes never shuffle — only the 32-byte digest does), the
+    group is a hash-groupBy on the digest, and the histogram rolls onto
+    the tiny copy-count key space. Text-derived payloads stand in for
+    real image bytes (TESTDATA has no binary table); the plan is
+    byte-source-agnostic."""
+    p = _payloads(spark, sf_dir)
+    g = p.select(
+        F.sha2("payload", 256).alias("h"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    grp = g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.max("n_bytes").alias("n_bytes")
+    )
+    return grp.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes"))
+        .cast("long").alias("reclaimable_bytes"),
+    ).select(F.col("n_copies").cast("long").alias("n_copies"),
+             "n_groups", "reclaimable_bytes")

@@ -89,6 +89,13 @@ DRIVER_PRIORITY: list[str] = [
     "text_type_token_ratio",
     "sample_fixed_k_per_stratum",
     "text_boilerplate_prefixes",
+    "graph_resource_allocation",
+    "graph_kcore_peel",
+    "text_zipf_head_ratios",
+    "dedup_prefix_containment",
+    "join_interval_overlap",
+    "fn_url_parse",
+    "mm_payload_exact_dedup",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

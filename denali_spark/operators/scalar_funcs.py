@@ -304,3 +304,54 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eid.bitwiseAND(eid - F.lit(1)) == 0) & (eid > 0)
         ).alias("is_pow2"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+    FROM u
+    """,
+    tags=("functions", "url", "string"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's parse_url (protocol/host/path/query
+    plus keyed query-parameter extraction) — the provenance primitive of
+    web-crawl curation (host-level dedup rules, TLD mixing quotas, query-
+    string stripping before canonicalization). URLs are synthesized
+    deterministically from (source, doc_id, lang) since the corpus holds
+    no native URLs; the oracle PARSES them back with anchored regexes
+    rather than reassembling, so both engines must agree on the
+    decomposition semantics, not on the template.
+
+    Scale shape: pure scan-local JVM string expressions — parse_url is a
+    codegen'd built-in, no UDF, no shuffle; the doc_id predicate reaches
+    the parquet scan as a pushed filter."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id", "url",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )

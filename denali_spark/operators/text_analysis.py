@@ -2109,3 +2109,65 @@ def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "prefix")
         .limit(20)
     )
+
+
+ZIPF_SCALE = 1_000_000  # ppm unit for head-frequency ratios
+
+
+@query(
+    "text_zipf_head_ratios",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({SQL_TOKENS.format(c='text')}) AS term FROM documents
+    ),
+    counts AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+      FROM counts
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS f1,
+           CAST(MAX(CASE WHEN rn = 2 THEN cnt END) AS BIGINT) AS f2,
+           CAST(MAX(CASE WHEN rn = 10 THEN cnt END) AS BIGINT) AS f10,
+           CAST(({ZIPF_SCALE} * MAX(CASE WHEN rn = 1 THEN cnt END))
+                // MAX(CASE WHEN rn = 2 THEN cnt END) AS BIGINT) AS r1_2_ppm,
+           CAST(({ZIPF_SCALE} * MAX(CASE WHEN rn = 1 THEN cnt END))
+                // MAX(CASE WHEN rn = 10 THEN cnt END) AS BIGINT) AS r1_10_ppm
+    FROM ranked GROUP BY lang
+    """,
+    tags=("text", "stats", "language-model"),
+)
+def text_zipf_head_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-head diagnostics per language: the frequency ratios between
+    the rank-1 term and ranks 2 and 10 (exact ppm — a Zipf-law corpus
+    shows r1_2 ≈ 2e6, r1_10 ≈ 1e7; a flat synthetic corpus shows ratios
+    near 1e6). Corpus curators use the head shape to spot boilerplate
+    floods (one term's frequency detaches from the Zipf line) without
+    fitting a regression — ratios of exact integer counts stay
+    bit-stable across engines where a log-log least-squares slope would
+    not.
+
+    Scale shape: one explode feeding a (lang, term)-keyed partial-
+    aggregable count; the rank window runs over the POST-aggregation
+    vocabulary relation (rows = vocab × languages, not tokens), and the
+    final rollup lands on the language key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens_col()).alias("term"))
+    counts = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long").alias("f1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cnt"))).cast("long").alias("f2"),
+        F.max(F.when(F.col("rn") == 10, F.col("cnt"))).cast("long").alias("f10"),
+    )
+    return agg.select(
+        "lang", "vocab", "total_tokens", "f1", "f2", "f10",
+        F.expr(f"CAST(({ZIPF_SCALE} * f1) div f2 AS BIGINT)").alias("r1_2_ppm"),
+        F.expr(f"CAST(({ZIPF_SCALE} * f1) div f10 AS BIGINT)").alias("r1_10_ppm"),
+    )

@@ -96,6 +96,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_interval_overlap",
     "fn_url_parse",
     "mm_payload_exact_dedup",
+    "win_cumulative_distinct",
+    "ts_cross_correlation",
+    "sample_ivf_diversity",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

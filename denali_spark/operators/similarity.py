@@ -2097,3 +2097,63 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+IVF_DIVERSITY_K = 2
+IVF_DIVERSITY_SALT = "ivfdiv1"
+
+
+@query(
+    "sample_ivf_diversity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % {IVF_STRIDE} = 0),
+    assign_scored AS (
+      SELECT v.vec_id, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {SQL_COSINE.format(a='v.e', b='cent.ce')} DESC, cent.cid
+             ) AS arn
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (SELECT vec_id, cid FROM assign_scored WHERE arn = 1)
+    SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{IVF_DIVERSITY_SALT}'),
+                        vec_id
+             ) AS rk
+      FROM assigned
+    ) WHERE rk <= {IVF_DIVERSITY_K}
+    """,
+    tags=("similarity", "sampling", "ivf", "diversity"),
+)
+def sample_ivf_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced subsample of the embedding corpus: exactly
+    {IVF_DIVERSITY_K} vectors per IVF cell, chosen by salted-md5 rank —
+    stratified sampling where the strata are SEMANTIC-SPACE regions
+    (k-means-style cells) instead of metadata columns. This is the
+    coreset shape behind "train on less, cover the distribution":
+    uniform sampling over-represents dense regions; per-cell budgets
+    cap every mode's share. Membership is a pure function of vec_id and
+    the salt, so re-runs, engines, and partitionings agree bit-exactly.
+
+    Scale shape: the cell assignment is READ from the materialized,
+    cid-partitioned inverted lists (built once per corpus — the same
+    index every IVF search probes), so the sample costs one per-cell
+    window rank over (vec_id, cid) pairs — the grouped-top-k idiom on
+    the cell key, never touching vector payloads."""
+    lists = ivf_inverted_lists(spark, sf_dir).select("vec_id", "cid")
+    key = F.md5(
+        F.concat(F.col("vec_id").cast("string"), F.lit(f":{IVF_DIVERSITY_SALT}"))
+    )
+    w = Window.partitionBy("cid").orderBy(key, "vec_id")
+    return (
+        lists.select("vec_id", "cid", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= IVF_DIVERSITY_K)
+        .select("vec_id", "cid", F.col("rk").cast("long").alias("rk"))
+    )

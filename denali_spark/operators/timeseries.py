@@ -1585,3 +1585,102 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_id", "dau", "wau",
         F.expr("(dau * 10000) div wau").alias("stickiness_e4"),
     )
+
+
+HOUR_US = 3_600_000_000
+XCORR_MAX_LAG = 3
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) // {HOUR_US} AS lo,
+             MAX(epoch_us(ts)) // {HOUR_US} AS hi FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM b),
+    x AS (
+      SELECT epoch_us(ts) // {HOUR_US} AS hr, COUNT(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    y AS (
+      SELECT epoch_us(ts) // {HOUR_US} AS hr, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT hours.hr, COALESCE(x.n, 0) AS xs, COALESCE(y.n, 0) AS ys
+      FROM hours LEFT JOIN x ON x.hr = hours.hr LEFT JOIN y ON y.hr = hours.hr
+    ),
+    a AS (
+      SELECT hr, xs, unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag FROM s
+    )
+    SELECT a.lag AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(a.xs) AS BIGINT) AS sum_x,
+           CAST(SUM(t.ys) AS BIGINT) AS sum_y,
+           CAST(SUM(a.xs * t.ys) AS BIGINT) AS sum_xy,
+           CAST(SUM(a.xs * a.xs) AS BIGINT) AS sum_xx,
+           CAST(SUM(t.ys * t.ys) AS BIGINT) AS sum_yy,
+           CAST(COUNT(*) * SUM(a.xs * t.ys) - SUM(a.xs) * SUM(t.ys) AS BIGINT)
+             AS cov_num
+    FROM a JOIN s t ON t.hr = a.hr + a.lag
+    GROUP BY a.lag
+    """,
+    tags=("timeseries", "correlation", "gap-fill"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation moments between two event streams: does
+    click volume at hour t predict purchase volume at t+lag? Emits, per
+    lag 0..{XCORR_MAX_LAG}, the EXACT integer moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) plus the covariance numerator n·Σxy − Σx·Σy — the
+    attribution-lag diagnostic, left un-normalized on purpose: the
+    Pearson divide-and-sqrt is one float op for the consumer, while the
+    moments themselves stay bit-stable and MERGEABLE (two clusters'
+    moment sums add, a correlation coefficient doesn't).
+
+    Scale shape: both series aggregate to hourly counts first (partial-
+    aggregable, key space = hours, not events), the zero-filled spine
+    explodes off a 1-row bounds aggregate, lags explode 4-wide on the
+    bounded hourly relation, and the lag alignment is an EQUI-join on
+    the shifted hour key — never a window over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {HOUR_US}").alias("hr")
+    )
+    bounds = ev.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    x = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("hr").agg(F.count(F.lit(1)).alias("xn"))
+    )
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("hr").agg(F.count(F.lit(1)).alias("yn"))
+    )
+    s = (
+        hours.join(x, "hr", "left").join(y, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("xn", F.lit(0)).alias("xs"),
+            F.coalesce("yn", F.lit(0)).alias("ys"),
+        )
+    )
+    a = s.select(
+        "hr", "xs",
+        F.explode(F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG))).alias("lag"),
+    )
+    t = s.select(F.col("hr").alias("t_hr"), "ys")
+    joined = a.join(t, F.col("t_hr") == F.col("hr") + F.col("lag"))
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("xs").cast("long").alias("sum_x"),
+        F.sum("ys").cast("long").alias("sum_y"),
+        F.sum(F.col("xs") * F.col("ys")).cast("long").alias("sum_xy"),
+        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("sum_xx"),
+        F.sum(F.col("ys") * F.col("ys")).cast("long").alias("sum_yy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_hours", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
+        (F.col("n_hours") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("long").alias("cov_num"),
+    )

@@ -498,3 +498,53 @@ def win_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(max(CASE WHEN rnk <= 10 THEN cum END) * 10000) div max(total)"
         ).alias("top10_share_e4"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+    tags=("window", "running", "distinct"),
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user: after each event, how many
+    distinct event types has this user produced so far — the
+    feature-adoption / behavioral-breadth curve. SQL has no
+    `COUNT(DISTINCT) OVER (ORDER BY ...)`; the scalable identity is
+    first-occurrence flags (rank-1 within (user, type)) summed by an
+    ordinary running SUM — two window passes over integer flags instead
+    of a per-row set that would grow with history.
+
+    Scale shape: both windows partition on user keys (the second reuses
+    the first's user_id hash partitioning — one shuffle, Catalyst
+    collapses the exchange), frames carry O(1) state, and the unique
+    (ts, event_id) tiebreaker pins frame contents across engines and
+    partitionings."""
+    events = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_types_so_far"),
+    )

@@ -3292,6 +3292,52 @@ class SparkCatalogIO:
     def create_tag(self, namespace, name, tag, from_ref=MAIN) -> dict:
         return self.create_ref(namespace, name, tag, "tag", from_ref)
 
+    def set_ref_retention(
+        self,
+        namespace: list[str],
+        name: str,
+        ref_name: str,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> dict:
+        """Attach Iceberg retention options to an existing branch/tag by
+        re-upserting the ref with the same target (set-snapshot-ref keeps
+        any option passed; catalog/updates.py). expire_snapshots honors
+        them: branch ancestry keeps min-snapshots-to-keep / younger than
+        max-snapshot-age-ms; a non-main ref past max-ref-age-ms is itself
+        expired. CAS-pinned to the ref's current snapshot so a concurrent
+        ref move 409s instead of silently rewinding it."""
+        md = self.client.load_table(namespace, name)["metadata"]
+        ref = md.get("refs", {}).get(ref_name)
+        if ref is None:
+            raise ValueError(f"ref {ref_name!r} not found")
+        update = {
+            "action": "set-snapshot-ref",
+            "ref-name": ref_name,
+            "snapshot-id": ref["snapshot-id"],
+            "type": ref.get("type", "branch"),
+        }
+        # set-snapshot-ref REPLACES the ref: carry existing options forward
+        # so setting one knob doesn't silently clear the others
+        for key, val in (
+            ("min-snapshots-to-keep", min_snapshots_to_keep),
+            ("max-snapshot-age-ms", max_snapshot_age_ms),
+            ("max-ref-age-ms", max_ref_age_ms),
+        ):
+            if val is not None:
+                update[key] = int(val)
+            elif ref.get(key) is not None:
+                update[key] = ref[key]
+        return self.client.commit_table(
+            namespace, name,
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": ref_name,
+                 "snapshot-id": ref["snapshot-id"]},
+            ],
+            updates=[update],
+        )
+
     def drop_ref(self, namespace: list[str], name: str, ref_name: str) -> dict:
         return self.client.commit_table(
             namespace, name, requirements=[],

@@ -30,6 +30,69 @@ from denali_spark.sources.catalog_io import (
 from denali_spark.sources.row_ops import _commit_cow, _retrying
 
 
+def _ref_retention(md: dict, now_ms: int) -> tuple[set, list]:
+    """Per-ref retention (Iceberg RemoveSnapshots semantics over the ref
+    options the commit path already stores — `min-snapshots-to-keep`,
+    `max-snapshot-age-ms`, `max-ref-age-ms`; catalog/updates.py:161):
+
+    - every surviving ref protects the snapshot it points to;
+    - a BRANCH with retention settings (its own, or table-prop defaults
+      `history.expire.{min-snapshots-to-keep,max-snapshot-age-ms}`)
+      additionally protects its ANCESTOR chain newest-first: at least
+      min-snapshots-to-keep snapshots stay on the branch, plus every
+      ancestor younger than max-snapshot-age-ms. Ancestors only get older
+      walking back, so the walk stops at the first droppable one;
+    - a non-`main` ref older than its `max-ref-age-ms` (age measured from
+      its snapshot's timestamp-ms — Iceberg's rule, since refs carry no
+      creation time) is itself EXPIRED: returned for removal, and the
+      snapshots it alone protected become removable in the same commit.
+
+    Divergence from Iceberg, deliberately: a branch with NO retention
+    settings anywhere protects only its head (no implicit 5-day ancestor
+    keep), preserving this function's long-standing keep_last contract —
+    global history retention stays the caller's explicit choice."""
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    props = md.get("properties", {}) or {}
+    d_min_keep = props.get("history.expire.min-snapshots-to-keep")
+    d_max_age = props.get("history.expire.max-snapshot-age-ms")
+    protected: set = set()
+    aged_refs: list[str] = []
+    for ref_name, ref in (md.get("refs") or {}).items():
+        snap = snaps.get(ref["snapshot-id"])
+        max_ref_age = ref.get("max-ref-age-ms")
+        if (
+            ref_name != "main"
+            and max_ref_age is not None
+            and snap is not None
+            and now_ms - snap["timestamp-ms"] > int(max_ref_age)
+        ):
+            aged_refs.append(ref_name)
+            continue  # an expired ref protects nothing
+        protected.add(ref["snapshot-id"])
+        if ref.get("type", "branch") != "branch" or snap is None:
+            continue
+        min_keep = ref.get("min-snapshots-to-keep", d_min_keep)
+        max_age = ref.get("max-snapshot-age-ms", d_max_age)
+        if min_keep is None and max_age is None:
+            continue  # head-only protection (see docstring)
+        min_keep = int(min_keep) if min_keep is not None else 1
+        kept, cur = 1, snap
+        while cur is not None and cur.get("parent-snapshot-id") is not None:
+            parent = snaps.get(cur["parent-snapshot-id"])
+            if parent is None:
+                break
+            young = (
+                max_age is not None
+                and now_ms - parent["timestamp-ms"] < int(max_age)
+            )
+            if kept >= min_keep and not young:
+                break
+            protected.add(parent["snapshot-id"])
+            kept += 1
+            cur = parent
+    return protected, aged_refs
+
+
 def expire_snapshots(
     io: SparkCatalogIO,
     namespace: list[str],
@@ -37,10 +100,15 @@ def expire_snapshots(
     keep_last: int = 1,
     older_than_ms: int | None = None,
     clean_manifests: bool = True,
+    now_ms: int | None = None,
 ) -> dict:
     """Remove ancestor snapshots beyond the newest `keep_last` (and, if
     given, only those older than `older_than_ms`). Snapshots referenced by
-    any branch/tag are always kept.
+    any branch/tag are always kept, and per-ref retention options are
+    honored (`_ref_retention`): branches with `min-snapshots-to-keep` /
+    `max-snapshot-age-ms` keep that much ancestry, and non-main refs past
+    their `max-ref-age-ms` are themselves expired in the same commit
+    (age anchored to `now_ms` — injectable for deterministic tests).
 
     With `clean_manifests` (Iceberg's expire behavior), the expired
     snapshots' manifest-list and manifest files are deleted AFTER the
@@ -57,11 +125,14 @@ def expire_snapshots(
     The file cleanup only ever runs after a commit that passed both."""
     from denali_spark.sources.catalog_io import CatalogHTTPError, CommitRetriesExhausted
 
+    import time
+
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
     result = removable = None
     for _attempt in range(3):
         md = io.client.load_table(namespace, name)["metadata"]
         snaps = sorted(md.get("snapshots", []), key=lambda s: s["timestamp-ms"])
-        protected = {r["snapshot-id"] for r in md.get("refs", {}).values()}
+        protected, aged_refs = _ref_retention(md, now)
         if md.get("current-snapshot-id") is not None:
             protected.add(md["current-snapshot-id"])
         removable = [s for s in snaps if s["snapshot-id"] not in protected]
@@ -69,8 +140,21 @@ def expire_snapshots(
             removable = removable[: -(keep_last - 1)] if keep_last - 1 < len(removable) else []
         if older_than_ms is not None:
             removable = [s for s in removable if s["timestamp-ms"] < older_than_ms]
-        if not removable:
+        if not removable and not aged_refs:
             return {"metadata": md, "noop": True}
+        # aged refs drop FIRST within the commit (updates apply in order),
+        # so the server's ref-protected remove-snapshots guard no longer
+        # sees them protecting the snapshots expiring right after
+        updates = [
+            {"action": "remove-snapshot-ref", "ref-name": r} for r in aged_refs
+        ]
+        if removable:
+            updates.append(
+                {
+                    "action": "remove-snapshots",
+                    "snapshot-ids": [s["snapshot-id"] for s in removable],
+                }
+            )
         try:
             result = io.client.commit_table(
                 namespace,
@@ -83,12 +167,7 @@ def expire_snapshots(
                         for ref_name, r in md.get("refs", {}).items()
                     ),
                 ],
-                updates=[
-                    {
-                        "action": "remove-snapshots",
-                        "snapshot-ids": [s["snapshot-id"] for s in removable],
-                    }
-                ],
+                updates=updates,
             )
             break
         except CatalogHTTPError as exc:

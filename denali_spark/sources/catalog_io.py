@@ -1776,7 +1776,8 @@ class SparkCatalogIO:
         - ADD PARTITION FIELD col|transform(col) / DROP PARTITION FIELD ...
           / REPLACE PARTITION FIELD old WITH new
         - CREATE BRANCH|TAG [IF NOT EXISTS] ref [AS OF VERSION snapshot-id]
-          / DROP BRANCH|TAG ref
+          [RETAIN n DAYS|HOURS|MINUTES] [WITH SNAPSHOT RETENTION
+          k SNAPSHOTS [n DAYS|HOURS|MINUTES]] / DROP BRANCH|TAG ref
         - WRITE ORDERED BY c1[, c2 ...]  (sort-order evolution)
         - SET TBLPROPERTIES ('k' = 'v', ...) / UNSET TBLPROPERTIES ('k', ...)
         - RENAME TO ns2.t2
@@ -1901,7 +1902,10 @@ class SparkCatalogIO:
 
         m = _re.match(
             r"(CREATE|DROP)\s+(BRANCH|TAG)(\s+IF\s+NOT\s+EXISTS)?\s+(\w+)"
-            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+            r"(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?"
+            r"(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+"
+            r"(?:(\d+)\s+SNAPSHOTS)?(?:\s*(\d+)\s+(DAYS|HOURS|MINUTES))?)?$",
             act, _re.IGNORECASE,
         )
         if m:
@@ -1937,6 +1941,25 @@ class SparkCatalogIO:
                 self.create_branch(ns, name, ref)
             else:
                 self.create_tag(ns, name, ref)
+            # Iceberg Spark SQL extension retention clauses: RETAIN sets
+            # the ref's own lifetime, WITH SNAPSHOT RETENTION the branch's
+            # ancestry keep — both stored on the ref and honored by
+            # expire_snapshots' per-ref retention pass
+            _unit_ms = {"DAYS": 86_400_000, "HOURS": 3_600_000,
+                        "MINUTES": 60_000}
+            retention = {}
+            if m.group(6) is not None:
+                retention["max_ref_age_ms"] = (
+                    int(m.group(6)) * _unit_ms[m.group(7).upper()]
+                )
+            if m.group(8) is not None:
+                retention["min_snapshots_to_keep"] = int(m.group(8))
+            if m.group(9) is not None:
+                retention["max_snapshot_age_ms"] = (
+                    int(m.group(9)) * _unit_ms[m.group(10).upper()]
+                )
+            if retention:
+                self.set_ref_retention(ns, name, ref, **retention)
             return self._alter_summary(
                 qualified, f"create-{kind.lower()}", ref
             )

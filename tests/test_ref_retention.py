@@ -140,3 +140,31 @@ def test_set_ref_retention_preserves_existing_options(spark, io):
     assert ref["min-snapshots-to-keep"] == 4
     assert ref["max-snapshot-age-ms"] == 123_456
     assert ref["type"] == "branch"
+
+
+def test_sql_create_branch_with_retention_clauses(spark, io):
+    """Iceberg Spark SQL extension syntax: RETAIN + WITH SNAPSHOT
+    RETENTION land as ref options and expire honors them."""
+    ns, name = ["ret"], "sqlddl"
+    _append(spark, io, ns, name, 0, 5)
+    io.sql(
+        f"ALTER TABLE {ns[0]}.{name} CREATE BRANCH audit "
+        "RETAIN 30 DAYS WITH SNAPSHOT RETENTION 5 SNAPSHOTS 7 DAYS"
+    )
+    md = io.client.load_table(ns, name)["metadata"]
+    ref = md["refs"]["audit"]
+    assert ref["max-ref-age-ms"] == 30 * 86_400_000
+    assert ref["min-snapshots-to-keep"] == 5
+    assert ref["max-snapshot-age-ms"] == 7 * 86_400_000
+
+
+def test_sql_create_tag_retain_hours(spark, io):
+    ns, name = ["ret"], "sqltag"
+    _append(spark, io, ns, name, 0, 5)
+    io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE TAG nightly RETAIN 48 HOURS")
+    md = io.client.load_table(ns, name)["metadata"]
+    assert md["refs"]["nightly"]["max-ref-age-ms"] == 48 * 3_600_000
+    # plain create still works with no retention attached
+    io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE TAG plain")
+    assert "max-ref-age-ms" not in io.client.load_table(ns, name)[
+        "metadata"]["refs"]["plain"]

@@ -881,3 +881,71 @@ def agg_seasonal_index_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", "n_orders", "cents",
         F.expr("(cents * 120000) div __tot").alias("seasonal_index_e4"),
     )
+
+
+@query(
+    "agg_regression_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS sum_p,
+             CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      AS DECIMAL(38,0))) AS DOUBLE) AS sum_qq,
+             CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      AS DECIMAL(38,0))) AS DOUBLE) AS sum_qp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n, sum_q, sum_p, sum_qq, sum_qp,
+           CAST(n AS DOUBLE) * sum_qp - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE)
+             AS slope_num,
+           CAST(n AS DOUBLE) * sum_qq - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+             AS slope_den,
+           (CAST(n AS DOUBLE) * sum_qp - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE))
+             / (CAST(n AS DOUBLE) * sum_qq - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+             AS slope
+    FROM m
+    """,
+    tags=("aggregate", "statistics", "regression"),
+)
+def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate OLS moments per return flag: does extended price scale
+    with quantity, and how steeply? Emits the moment sums (n, Σq, Σp,
+    Σq², Σqp) plus the least-squares slope — moments are MERGEABLE (a
+    1000-executor cluster's partial sums add; fitted coefficients
+    don't), which is why a distributed engine ships moment relations
+    and leaves the one-division fit to the edge.
+
+    Exactness at scale: values quantize to integer cents via DECIMAL
+    before any product; the linear sums stay BIGINT (overflow headroom
+    ~1e14 rows), while the PRODUCT sums accumulate in DECIMAL(38,0) —
+    a cents-squared term is ~1e10 per row, so int64 would overflow near
+    1e9 rows, exactly the regime the engine targets. The decimal sums
+    surface as DOUBLE, and slope_num/slope_den/slope are the same three
+    IEEE ops on identical inputs on both engines — bit-stable hashes.
+
+    Scale shape: one scan, one partial-aggregable groupBy on a 3-value
+    key. Nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (dec("l_quantity") * 100).cast("long")
+    p = (dec("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("sum_q"),
+        F.sum(p).cast("long").alias("sum_p"),
+        F.sum((q * q).cast("decimal(38,0)")).cast("double").alias("sum_qq"),
+        F.sum((q * p).cast("decimal(38,0)")).cast("double").alias("sum_qp"),
+    )
+    nd = F.col("n").cast("double")
+    qd = F.col("sum_q").cast("double")
+    pd_ = F.col("sum_p").cast("double")
+    num = nd * F.col("sum_qp") - qd * pd_
+    den = nd * F.col("sum_qq") - qd * qd
+    return m.select(
+        "l_returnflag", "n", "sum_q", "sum_p", "sum_qq", "sum_qp",
+        num.alias("slope_num"), den.alias("slope_den"),
+        (num / den).alias("slope"),
+    )

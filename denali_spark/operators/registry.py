@@ -99,6 +99,9 @@ DRIVER_PRIORITY: list[str] = [
     "win_cumulative_distinct",
     "ts_cross_correlation",
     "sample_ivf_diversity",
+    "agg_regression_moments",
+    "win_period_over_period",
+    "text_length_mad_outliers",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

@@ -2171,3 +2171,99 @@ def text_zipf_head_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(({ZIPF_SCALE} * f1) div f2 AS BIGINT)").alias("r1_2_ppm"),
         F.expr(f"CAST(({ZIPF_SCALE} * f1) div f10 AS BIGINT)").alias("r1_10_ppm"),
     )
+
+
+@query(
+    "text_length_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    ),
+    med AS (
+      SELECT lang,
+             CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN 2 * SUM(n_chars)
+                       ELSE SUM(n_chars) END AS BIGINT) AS median_2x
+      FROM ranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.doc_id, ABS(2 * d.n_chars - m.median_2x) AS dev2x
+      FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    dranked AS (
+      SELECT lang, dev2x,
+             row_number() OVER (PARTITION BY lang ORDER BY dev2x, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT lang,
+             CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN 2 * SUM(dev2x)
+                       ELSE SUM(dev2x) END AS BIGINT) AS mad_4x
+      FROM dranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY lang
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(m.median_2x) AS median_2x, MAX(a.mad_4x) AS mad_4x,
+           CAST(SUM(CASE WHEN 2 * d.dev2x > 3 * a.mad_4x THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN med m ON d.lang = m.lang JOIN mad a ON d.lang = a.lang
+    GROUP BY d.lang
+    """,
+    tags=("text", "quality", "robust-stats"),
+)
+def text_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier screen per language: median absolute
+    deviation instead of mean/stddev, because corpus length
+    distributions are heavy-tailed and a few megadocs drag a z-score
+    filter's own yardstick (the classic 3-sigma trap; MAD's breakdown
+    point is 50%). A doc is an outlier when |len − median| > 3·MAD.
+    Everything stays integer via scaling: median×2 (sum of the middle
+    one-or-two ranks), MAD×4 (the same trick applied to ×2 deviations),
+    and the cutoff compares 2·dev2x > 3·mad_4x — no halving, no floats,
+    bit-identical engines.
+
+    Scale shape: two per-language rank windows (the exact-median idiom
+    of agg_exact_median, O(1) frame state, unique tiebreakers) and two
+    broadcast-sized joins of per-language scalars back onto the scan;
+    the rollup lands on the language key space."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    def _middle_sum(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy(col, "doc_id")
+        ranked = df.select(
+            "lang", col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        return mid.groupBy("lang").agg(
+            F.when(F.max("cnt") % 2 == 1, 2 * F.sum(col))
+            .otherwise(F.sum(col)).cast("long").alias(out)
+        )
+    med = _middle_sum(docs, "n_chars", "median_2x")
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", "doc_id",
+        F.abs(2 * F.col("n_chars") - F.col("median_2x")).alias("dev2x"),
+    )
+    mad = _middle_sum(dev, "dev2x", "mad_4x")
+    return (
+        dev.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("median_2x").alias("median_2x"),
+            F.max("mad_4x").alias("mad_4x"),
+            F.sum(
+                F.when(2 * F.col("dev2x") > 3 * F.col("mad_4x"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

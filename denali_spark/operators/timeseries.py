@@ -1618,10 +1618,12 @@ XCORR_MAX_LAG = 3
            CAST(COUNT(*) AS BIGINT) AS n_hours,
            CAST(SUM(a.xs) AS BIGINT) AS sum_x,
            CAST(SUM(t.ys) AS BIGINT) AS sum_y,
-           CAST(SUM(a.xs * t.ys) AS BIGINT) AS sum_xy,
-           CAST(SUM(a.xs * a.xs) AS BIGINT) AS sum_xx,
-           CAST(SUM(t.ys * t.ys) AS BIGINT) AS sum_yy,
-           CAST(COUNT(*) * SUM(a.xs * t.ys) - SUM(a.xs) * SUM(t.ys) AS BIGINT)
+           CAST(SUM(CAST(a.xs * t.ys AS DECIMAL(38,0))) AS DOUBLE) AS sum_xy,
+           CAST(SUM(CAST(a.xs * a.xs AS DECIMAL(38,0))) AS DOUBLE) AS sum_xx,
+           CAST(SUM(CAST(t.ys * t.ys AS DECIMAL(38,0))) AS DOUBLE) AS sum_yy,
+           CAST(COUNT(*) AS DOUBLE)
+             * CAST(SUM(CAST(a.xs * t.ys AS DECIMAL(38,0))) AS DOUBLE)
+             - CAST(SUM(a.xs) AS DOUBLE) * CAST(SUM(t.ys) AS DOUBLE)
              AS cov_num
     FROM a JOIN s t ON t.hr = a.hr + a.lag
     GROUP BY a.lag
@@ -1636,7 +1638,10 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution-lag diagnostic, left un-normalized on purpose: the
     Pearson divide-and-sqrt is one float op for the consumer, while the
     moments themselves stay bit-stable and MERGEABLE (two clusters'
-    moment sums add, a correlation coefficient doesn't).
+    moment sums add, a correlation coefficient doesn't). Linear sums
+    are exact BIGINT; product sums accumulate in DECIMAL(38,0) (int64
+    overflows once an hour holds ~1e9 events) and surface as DOUBLE,
+    with cov_num assembled in the same three IEEE ops on both engines.
 
     Scale shape: both series aggregate to hourly counts first (partial-
     aggregable, key space = hours, not events), the zero-filled spine
@@ -1670,17 +1675,25 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = s.select(F.col("hr").alias("t_hr"), "ys")
     joined = a.join(t, F.col("t_hr") == F.col("hr") + F.col("lag"))
+    # product sums accumulate in DECIMAL(38,0): an hour holding 1e9
+    # events contributes ~1e18 per product term, so int64 would overflow
+    # right at the target scale; linear sums keep int64's ample headroom
     agg = joined.groupBy("lag").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("xs").cast("long").alias("sum_x"),
         F.sum("ys").cast("long").alias("sum_y"),
-        F.sum(F.col("xs") * F.col("ys")).cast("long").alias("sum_xy"),
-        F.sum(F.col("xs") * F.col("xs")).cast("long").alias("sum_xx"),
-        F.sum(F.col("ys") * F.col("ys")).cast("long").alias("sum_yy"),
+        F.sum((F.col("xs") * F.col("ys")).cast("decimal(38,0)"))
+        .cast("double").alias("sum_xy"),
+        F.sum((F.col("xs") * F.col("xs")).cast("decimal(38,0)"))
+        .cast("double").alias("sum_xx"),
+        F.sum((F.col("ys") * F.col("ys")).cast("decimal(38,0)"))
+        .cast("double").alias("sum_yy"),
     )
     return agg.select(
         F.col("lag").cast("long").alias("lag"),
         "n_hours", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
-        (F.col("n_hours") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
-        .cast("long").alias("cov_num"),
+        (
+            F.col("n_hours").cast("double") * F.col("sum_xy")
+            - F.col("sum_x").cast("double") * F.col("sum_y").cast("double")
+        ).alias("cov_num"),
     )

@@ -548,3 +548,63 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("n_types_so_far"),
     )
+
+
+@query(
+    "win_period_over_period",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, month, rev_cents, prev_cents,
+           rev_cents - prev_cents AS delta_cents,
+           CAST((1000000 * (rev_cents - prev_cents)) // prev_cents AS BIGINT)
+             AS growth_ppm
+    FROM (
+      SELECT *, LAG(rev_cents) OVER (
+        PARTITION BY n_name ORDER BY month
+      ) AS prev_cents FROM rev
+    ) WHERE prev_cents IS NOT NULL AND prev_cents > 0
+    """,
+    tags=("window", "period-over-period", "lag"),
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation: the LAG-based
+    period-over-period delta every BI layer asks for, in exact integer
+    cents with growth as integer ppm (floor division of exact cents —
+    bit-stable where a float percentage would drift). Consecutive-month
+    comparison is by the month KEY order, so a nation with a silent
+    month compares against its last active month — the gap-tolerant
+    reading (pair with ts_gap_fill_hours when zero-filled periods are
+    wanted instead).
+
+    Scale shape: revenue pre-aggregates onto the (nation, month) key
+    space before any window (partial-aggregable decimal sums where the
+    orders scan runs; dimensions broadcast), and the LAG window runs
+    per-nation over that bounded relation — frames carry O(1) state."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    out = rev.withColumn("prev_cents", F.lag("rev_cents").over(w)).filter(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") > 0)
+    )
+    return out.select(
+        "n_name", "month", "rev_cents", "prev_cents",
+        (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.expr(
+            "CAST((1000000 * (rev_cents - prev_cents)) div prev_cents AS BIGINT)"
+        ).alias("growth_ppm"),
+    )

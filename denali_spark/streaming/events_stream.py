@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -518,3 +519,121 @@ def attribution_join_stream(
             F.unix_micros(F.col("outcome_ts")) - F.unix_micros(F.col("trigger_ts"))
         ).alias("lag_us"),
     )
+
+
+# --- custom stateful operator: Misra-Gries heavy hitters ------------------
+
+MG_K = 8       # counters per shard (error bound: decrements <= n_shard / K)
+MG_SHARDS = 4  # item-hash shards; summaries merge by summing per item
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+        StructField("decrements", LongType()),
+    ]
+)
+
+_MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("item", LongType()),
+        StructField("mg_count", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("decrements", LongType()),
+    ]
+)
+
+
+def _mg_fold(d: dict, vals, k: int = MG_K) -> int:
+    """Fold a value sequence into a Misra-Gries counter dict IN ORDER.
+    Returns the number of decrement steps taken (the summary's additive
+    error bound: mg_count <= true_count <= mg_count + decrements)."""
+    decs = 0
+    for v in vals:
+        v = int(v)
+        if v in d:
+            d[v] += 1
+        elif len(d) < k:
+            d[v] = 1
+        else:
+            decs += 1
+            for key in list(d):
+                d[key] -= 1
+                if d[key] == 0:
+                    del d[key]
+    return decs
+
+
+def _mg_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: one bounded MG summary per shard.
+    Rows fold in (ts, event_id) order so the summary is a pure function
+    of stream CONTENT, not of partition interleaving — replaying the
+    same batches yields the same counters bit-for-bit."""
+    (shard,) = key
+    if state.exists:
+        items, counts, n, decs = state.get
+        d = dict(zip(items, counts))
+    else:
+        d, n, decs = {}, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        decs += _mg_fold(d, pdf["user_id"].tolist())
+    state.update(
+        (list(map(int, d.keys())), list(map(int, d.values())), int(n), int(decs))
+    )
+    out = sorted(d.items())
+    yield pd.DataFrame(
+        {
+            "shard": [int(shard)] * len(out),
+            "item": [i for i, _ in out],
+            "mg_count": [c for _, c in out],
+            "n_seen": [int(n)] * len(out),
+            "decrements": [int(decs)] * len(out),
+        }
+    )
+
+
+def heavy_hitters_stream(stream: DataFrame) -> DataFrame:
+    """Streaming heavy hitters over user_id via sharded Misra-Gries
+    summaries — the bounded-memory answer to "who dominates the stream"
+    when the item domain is too large for a per-item aggregate. Each
+    shard holds K counters regardless of stream length (state is O(K),
+    not O(distinct items)); per-item totals merge across shards by
+    addition, and MG's guarantee survives the merge: every item with
+    true count > n_shard/K is present, with
+    mg_count <= true <= mg_count + decrements.
+
+    At 100 TB this is the front-line skew detector: the summary costs
+    O(SHARDS x K) state against an unbounded item domain, and its output
+    is exactly the hot-key list the AQE-salting decisions need."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sharded = stream.withColumn(
+        "shard", (F.col("user_id") % MG_SHARDS).cast("long")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _mg_update,
+        outputStructType=_MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_batch(df) -> dict:
+    """Sequential reference twin of the streaming MG kernel: fold ALL rows
+    per shard in (ts, event_id) order. Returns
+    {shard: (counter_dict, n_seen, decrements)} for direct comparison."""
+    out: dict = {}
+    pdf = df.select("user_id", "ts", "event_id").toPandas().sort_values(
+        ["ts", "event_id"]
+    )
+    for shard in range(MG_SHARDS):
+        rows = pdf[pdf["user_id"] % MG_SHARDS == shard]
+        d: dict = {}
+        decs = _mg_fold(d, rows["user_id"].tolist())
+        out[int(shard)] = (d, len(rows), decs)
+    return out

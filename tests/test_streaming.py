@@ -428,3 +428,57 @@ def test_attribution_join_left_outer_emits_unconverted(spark, landing):
     }
     assert unmatched.isdisjoint(batch_matched)
     assert matched == batch_matched
+
+
+def test_heavy_hitters_stream_matches_sequential_twin(spark, landing):
+    """The sharded Misra-Gries summary after all micro-batches equals a
+    sequential fold of the whole stream in (ts, event_id) order — the
+    operator is a pure function of stream content, not batch boundaries
+    — and MG's frequency guarantee holds against exact counts."""
+    from denali_spark.streaming.events_stream import (
+        MG_K,
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+        read_event_stream,
+    )
+
+    src, events = landing
+    stream = read_event_stream(spark, src)
+    q = (
+        heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_hh")
+        .outputMode("update")
+        .start()
+    )
+    _run_stream(q)
+    pdf = spark.table("mg_hh").toPandas()
+    # update mode accumulates one summary emission per (batch, shard);
+    # the final one per shard is the row set with that shard's max n_seen
+    got = {}
+    for shard, grp in pdf.groupby("shard"):
+        last = grp[grp["n_seen"] == grp["n_seen"].max()]
+        got[int(shard)] = (
+            dict(zip(last["item"].astype(int), last["mg_count"].astype(int))),
+            int(last["n_seen"].iloc[0]),
+            int(last["decrements"].iloc[0]),
+        )
+    expected = heavy_hitters_batch(events)
+    assert got == {s: v for s, v in expected.items() if v[1] > 0}
+    # MG guarantee vs exact truth: mg <= true <= mg + decrements, and any
+    # item with true count > n_shard/K must be present in its summary
+    truth = {
+        int(r["user_id"]): int(r["cnt"])
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    from denali_spark.streaming.events_stream import MG_SHARDS
+
+    for item, true_cnt in truth.items():
+        shard = item % MG_SHARDS
+        d, n_shard, decs = got[shard]
+        if item in d:
+            assert d[item] <= true_cnt <= d[item] + decs
+        else:
+            assert true_cnt <= n_shard / MG_K + decs

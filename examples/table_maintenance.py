@@ -90,7 +90,17 @@ print("server plan:", len(plan["file-scan-tasks"]), "task(s) after pruning;",
 print("server-planned read rows:",
       io.read_table(ns, name, where=E.eq("a", 3), server_plan=True).count())
 
-# 6. retention: expire everything but the rewritten snapshot (refs are kept)
+# 6. retention: per-ref policies (Iceberg semantics) drive the expiry —
+# the audit branch keeps 3 snapshots of ancestry, the nightly tag ages
+# out after 1h, and everything unprotected beyond keep_last expires
+io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE BRANCH audit "
+       "WITH SNAPSHOT RETENTION 3 SNAPSHOTS")
+io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE TAG nightly RETAIN 1 HOURS")
+refs = io.client.load_table(ns, name)["metadata"]["refs"]
+print("retention on refs:", {r: {k: v for k, v in refs[r].items() if k != 'snapshot-id'}
+                             for r in ("audit", "nightly")})
 expire_snapshots(io, ns, name, keep_last=1)
-print("after expire, snapshots left:", metadata_table(io, ns, name, "snapshots").count())
+print("after expire, snapshots left:",
+      metadata_table(io, ns, name, "snapshots").count(),
+      "(audit ancestry retained)")
 server.stop()

@@ -26,6 +26,7 @@ EXECUTED = [
     "sql_ddl_lifecycle.py",
     "deletion_vectors.py",
     "online_index_lifecycle.py",
+    "table_maintenance.py",  # ~28s: covers zorder/analyze/plan/retention
 ]
 
 

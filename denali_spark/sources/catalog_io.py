@@ -377,6 +377,7 @@ def entries_from_spec_plan(
             ("content-offset", "content-offset"),
             ("content-size-in-bytes", "content-size-in-bytes"),
             ("referenced-data-file", "referenced-data-file"),
+            ("spec-id", "spec-id"),
         ):
             if spec.get(theirs) is not None:
                 e[ours] = spec[theirs]
@@ -3284,6 +3285,7 @@ class SparkCatalogIO:
             schema=schema,
             partition_spec=spec_fields,
             partition_spec_id=md.get("default-spec-id", 0),
+            all_specs=md.get("partition-specs"),
         )
 
     # --- branches & tags (write-audit-publish) -----------------------------

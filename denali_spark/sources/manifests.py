@@ -628,6 +628,7 @@ def write_manifest_list(
     schema: dict | None = None,
     partition_spec: list | None = None,
     partition_spec_id: int = 0,
+    all_specs: list[dict] | None = None,
 ) -> str:
     """Write the two-level Avro layout: data and delete entries go into
     separate manifests (Iceberg keeps delete manifests distinct so scan
@@ -645,57 +646,79 @@ def write_manifest_list(
             "schema-less name-keyed JSON bounds are a read-only legacy shape"
         )
     os.makedirs(metadata_dir, exist_ok=True)
-    groups: list[tuple[int, list[dict]]] = []
+    # Manifests split per (content, spec-id) — real Iceberg's layout. An
+    # entry carried through commits keeps the spec its tuple was written
+    # under (`spec-id`, reattached by read_manifest_list from the header),
+    # so each manifest's header records the TRUE encoding spec and the
+    # read side can prune exactly across transform-width spec evolution.
+    spec_fields_by_id = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in (all_specs or [])
+    }
+    spec_fields_by_id.setdefault(partition_spec_id, partition_spec or [])
+    groups: list[tuple[int, int, list[dict]]] = []
     data = [e for e in entries if e.get("content", "data") == "data"]
     deletes = [e for e in entries if e.get("content", "data") != "data"]
+
+    def _by_spec(group):
+        by: dict[int, list[dict]] = {}
+        for e in group:
+            by.setdefault(int(e.get("spec-id", partition_spec_id)), []).append(e)
+        return sorted(by.items())
+
     if data or not deletes:
-        groups.append((0, data))
+        if data:
+            groups.extend((0, sid, g) for sid, g in _by_spec(data))
+        else:
+            groups.append((0, partition_spec_id, []))
     if deletes:
-        groups.append((1, deletes))
+        groups.extend((1, sid, g) for sid, g in _by_spec(deletes))
 
     entry_fields = [f["name"] for f in MANIFEST_ENTRY_SCHEMA["fields"]]
 
-    # Typed r102 partition struct (per manifest): only when a spec is known
-    # and every entry's partition tuple fits it exactly — otherwise that
-    # manifest keeps the legacy name-keyed JSON map (self-describing either
-    # way via the embedded Avro schema).
-    vtypes = partition_value_types(partition_spec, schema)
-    tmap = partition_transforms(partition_spec)
-
-    def entry_rows(group, group_vtypes):
+    def entry_rows(group, group_vtypes, group_tmap):
         for e in group:
-            rec = _entry_record(e, snapshot_id, schema, group_vtypes, tmap)
+            rec = _entry_record(e, snapshot_id, schema, group_vtypes, group_tmap)
             yield tuple(rec[name] for name in entry_fields)
 
     manifest_files = []
     base = uuid.uuid4().hex
-    for i, (content, group) in enumerate(groups):
+    for i, (content, group_spec_id, group) in enumerate(groups):
+        group_spec = spec_fields_by_id.get(group_spec_id, partition_spec or [])
+        # Typed r102 partition struct (per manifest): only when the spec is
+        # known and every entry's partition tuple fits it exactly —
+        # otherwise that manifest keeps the legacy name-keyed JSON map
+        # (self-describing either way via the embedded Avro schema).
+        vtypes = partition_value_types(group_spec, schema)
+        tmap = partition_transforms(group_spec)
         mpath = os.path.join(metadata_dir, f"{base}-m{i}.avro")
         manifest_meta = {
             "format-version": FORMAT_VERSION,
             "content": "data" if content == 0 else "deletes",
-            "partition-spec": json.dumps(partition_spec or []),
-            "partition-spec-id": str(partition_spec_id),
+            "partition-spec": json.dumps(group_spec),
+            "partition-spec-id": str(group_spec_id),
+            # declares the per-spec-id split: pre-split manifests stamped
+            # carried-through entries with the CURRENT spec-id, so their
+            # headers must not feed exact pruning — only manifests written
+            # with this flag have a trustworthy per-entry encoding spec
+            "spec-id-exact": "true",
         }
         if schema is not None:
             manifest_meta["schema"] = json.dumps(schema)
             manifest_meta["schema-id"] = str(schema.get("schema-id", 0))
-        # Mixed-layout groups (partition-spec evolution: entries written
-        # under an older spec) fail the exact-key check and keep the
-        # name-keyed map — real Iceberg splits manifests per spec-id.
         group_vtypes = (
             vtypes if vtypes and _typed_partition_ok(group, vtypes, tmap)
             else None
         )
         entry_schema = (
             _entry_schema_with_partition(
-                _partition_record_schema(partition_spec, group_vtypes)
+                _partition_record_schema(group_spec, group_vtypes)
             )
             if group_vtypes is not None
             else MANIFEST_ENTRY_SCHEMA
         )
         write_ocf(
-            mpath, entry_schema, entry_rows(group, group_vtypes),
+            mpath, entry_schema, entry_rows(group, group_vtypes, tmap),
             extra_meta=manifest_meta,
         )
         # `or 0` (not a default-key fallback): an explicit None sequence
@@ -706,7 +729,7 @@ def write_manifest_list(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": partition_spec_id,
+                "partition_spec_id": group_spec_id,
                 "content": content,
                 "sequence_number": max(seqs),
                 "min_sequence_number": min(seqs),
@@ -756,13 +779,25 @@ def read_manifest_list(list_path: str) -> list[dict]:
             json.loads(mmeta.get("partition-spec", "[]"))
         )
         mnames = [f["name"] for f in mschema["fields"]]
+        # the manifest header records which spec its entries' tuples encode
+        # under — reattached per entry so pruning can be EXACT across
+        # partition-spec evolution. Gated on the spec-id-exact flag: only
+        # manifests written split-per-spec-id have trustworthy headers
+        # (pre-split writers stamped carried entries with the spec current
+        # at rewrite time); unflagged manifests keep entries unlabeled and
+        # pruning falls back to the conservative multi-spec check.
+        spec_id = (
+            mmeta.get("partition-spec-id")
+            if mmeta.get("spec-id-exact") == "true" else None
+        )
         for mrow in mrows:
             rec = dict(zip(mnames, mrow))
-            entries.append(
-                data_file_to_entry(
-                    rec["data_file"], rec["sequence_number"], table_schema,
-                    partition_typed=typed_part,
-                    partition_transforms_map=tmap,
-                )
+            entry = data_file_to_entry(
+                rec["data_file"], rec["sequence_number"], table_schema,
+                partition_typed=typed_part,
+                partition_transforms_map=tmap,
             )
+            if spec_id is not None and entry.get("partition") is not None:
+                entry["spec-id"] = int(spec_id)
+            entries.append(entry)
     return entries

@@ -274,16 +274,17 @@ def partition_prune(
     what turns a point lookup on a bucket[1024]-partitioned key into a
     1/1024 scan.
 
-    Spec evolution: manifest carry-through rewrites old entries under the
-    current spec-id, so an entry's written-under spec is NOT reliably
-    recorded — and a width change that keeps the field name (bucket[8]→
+    Spec evolution: a width change that keeps the field name (bucket[8]→
     bucket[16], truncate[2]→truncate[4]) leaves same-named tuples whose
-    values encode under DIFFERENT transforms. Pruning with only the
+    values encode under DIFFERENT transforms, and pruning with only the
     current spec would silently drop live old-layout files (id=37 lives
-    in bucket 5 of 8 but 13 of 16). So each entry is checked against
-    EVERY spec whose field-name set could have produced its tuple, and
-    kept unless all candidate specs prove impossibility — exact when one
-    spec exists, conservative (never row-dropping) across evolution."""
+    in bucket 5 of 8 but 13 of 16). Manifests are written split per
+    spec-id with the header recording the encoding spec (r11), and the
+    reader reattaches it per entry — those entries prune EXACTLY against
+    their own spec. Entries without a recorded spec (legacy manifests,
+    spec-pure plan reconstruction) fall back to the conservative check:
+    every spec whose field-name set could have produced the tuple, kept
+    unless all candidates prove impossibility — never row-dropping."""
     from denali_spark.sources.expressions import normalize
 
     specs = [s for s in md.get("partition-specs", []) if s.get("fields")]
@@ -298,15 +299,10 @@ def partition_prune(
     # col type)]; dedup identical layouts (the common no-evolution case
     # collapses back to a single map)
     spec_maps: list[tuple[frozenset, dict]] = []
+    by_spec_id: dict[int, dict] = {}
     seen_layouts = set()
     for s in specs:
         fnames = frozenset(f["name"] for f in s.get("fields", []))
-        layout = tuple(
-            sorted((f["name"], f["transform"], f["source-id"]) for f in s["fields"])
-        )
-        if layout in seen_layouts:
-            continue
-        seen_layouts.add(layout)
         per_col: dict[str, list[tuple[str, str, str | None]]] = {}
         for f in s["fields"]:
             col = by_id.get(f["source-id"])
@@ -314,6 +310,13 @@ def partition_prune(
                 per_col.setdefault(col, []).append(
                     (f["name"], f["transform"], _iceberg_type_of(md, col))
                 )
+        by_spec_id[s.get("spec-id", 0)] = per_col
+        layout = tuple(
+            sorted((f["name"], f["transform"], f["source-id"]) for f in s["fields"])
+        )
+        if layout in seen_layouts:
+            continue
+        seen_layouts.add(layout)
         spec_maps.append((fnames, per_col))
     if not any(pc for _, pc in spec_maps):
         return entries
@@ -371,9 +374,19 @@ def partition_prune(
             out.append(e)
             continue
         keys = set(part)
-        # specs this tuple could have been written under (its keys all
-        # exist in the spec; strictly-older specs with missing fields are
-        # excluded, so added-field evolution still prunes new files fully)
+        # EXACT path: the entry knows which spec encoded its tuple (the
+        # manifest header's spec-id, reattached on read — manifests are
+        # written split per spec-id), so prune against exactly that spec
+        sid = e.get("spec-id")
+        if sid is not None and sid in by_spec_id and by_spec_id[sid]:
+            if might(flt, part, by_spec_id[sid]):
+                out.append(e)
+            continue
+        # CONSERVATIVE path (entries with no recorded spec — legacy
+        # manifests, spec-pure server plans without the field): every spec
+        # this tuple could have been written under (its keys all exist in
+        # the spec; strictly-older specs with missing fields are excluded,
+        # so added-field evolution still prunes new files fully)
         cands = [pc for fn, pc in spec_maps if keys <= fn and pc]
         if not cands or any(might(flt, part, pc) for pc in cands):
             out.append(e)

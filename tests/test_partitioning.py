@@ -646,3 +646,45 @@ def test_partition_prune_survives_transform_width_evolution(spark, io):
     d1, _ = split_entries(io._manifest_entries(snap1["manifest-list"]))
     kept1 = partition_prune(spark, md1, E.eq("id", 37), d1)
     assert kept1 and {e["partition"]["id_bucket"] for e in kept1} == {str(b8)}
+
+
+def test_partition_prune_exact_per_entry_spec_id(spark, io):
+    """r11 sharpening of the width-evolution fix: manifests are written
+    split per spec-id with the encoding spec in the header (flagged
+    spec-id-exact), the reader reattaches it per entry, and pruning
+    checks each entry against EXACTLY its own spec — the conservative
+    keep-if-any-layout-matches tax disappears for labeled entries."""
+    from denali_spark.sources.catalog_io import split_entries
+    from denali_spark.sources.partitioning import partition_prune
+
+    io.write_table(
+        spark.range(0, 200).select("id"), ["px"], "t", mode="overwrite",
+        partition_by=[("id", "bucket[8]")],
+    )
+    io.evolve_partition_spec(["px"], "t", [("id", "bucket[16]")])
+    io.write_table(
+        spark.range(200, 400).select("id"), ["px"], "t", mode="append"
+    )
+    md = io.client.load_table(["px"], "t")["metadata"]
+    snap = io._resolve_snapshot(md)
+    data, _ = split_entries(io._manifest_entries(snap["manifest-list"]))
+    # every live entry is labeled with its true encoding spec
+    sids = {e.get("spec-id") for e in data}
+    assert sids == {0, 1}, sids
+    old_sid = 0
+    new_sid = 1
+    b8 = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 8)").first()[0]
+    b16 = spark.sql("SELECT pmod(hash(CAST(37 AS BIGINT)), 16)").first()[0]
+    kept = partition_prune(spark, md, E.eq("id", 37), data)
+    expected = [
+        e for e in data
+        if (e["spec-id"] == old_sid and e["partition"]["id_bucket"] == str(b8))
+        or (e["spec-id"] == new_sid and e["partition"]["id_bucket"] == str(b16))
+    ]
+    # EXACT: precisely one surviving file per layout, no conservatism tax
+    assert kept == expected
+    assert len(kept) == 2
+    # and the read is still row-correct through both layouts
+    assert [r["id"] for r in io.read_table(
+        ["px"], "t", where=E.eq("id", 37)
+    ).collect()] == [37]

@@ -121,6 +121,11 @@ SF1_SUBSET = [
     # and fertility is scan-local + bounded-key rollup
     "ts_max_drawdown",
     "text_token_fertility",
+    # round-11: interval pair count is fixed by (users x days) while the
+    # per-interval MIN/MAX aggregates 10x the events — near-flat is the
+    # pass signal; k-core's edge list grows with basket co-occupancy
+    "join_interval_overlap",
+    "graph_kcore_peel",
 ]
 
 
@@ -359,6 +364,11 @@ HEADLINE = [
     # state) and a scan-local tokenize + tiny-key rollup
     "ts_max_drawdown",
     "text_token_fertility",
+    # round 11: the bucketed interval θ-join (pair gen bounded per day
+    # bucket) and 3 rounds of iterative k-core peeling (count + 2 semi
+    # joins per round over a shrinking edge list)
+    "join_interval_overlap",
+    "graph_kcore_peel",
 ]
 
 

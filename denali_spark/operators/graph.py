@@ -669,3 +669,79 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("core_degree").cast("long").alias("core_degree"),
         )
     )
+
+
+@query(
+    "graph_assortativity_moments",
+    oracle=f"""
+    WITH edges AS ({_FREQ_EDGES_SQL}),
+    adj AS (
+      SELECT part_a AS node, part_b AS nb FROM edges
+      UNION ALL
+      SELECT part_b AS node, part_a AS nb FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    ends AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM adj e JOIN deg da ON da.node = e.node JOIN deg db ON db.node = e.nb
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+           CAST(SUM(dx) AS BIGINT) AS sum_x,
+           CAST(SUM(dy) AS BIGINT) AS sum_y,
+           CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sum_xy,
+           CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sum_xx,
+           CAST(COUNT(*) AS DOUBLE)
+             * CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE)
+             - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dy) AS DOUBLE) AS cov_num
+    FROM ends
+    """,
+    tags=("graph", "stats", "assortativity"),
+)
+def graph_assortativity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity moments of the co-purchase graph: over every
+    DIRECTED edge end-pair, the joint moments of (deg(src), deg(dst)) —
+    cov_num > 0 means hubs link to hubs (assortative, retail bundles),
+    < 0 means hubs link to leaves (disassortative, hub-and-spoke
+    catalogs). The sign decides whether hot-key skew COMPOUNDS in
+    pair/triangle workloads (hub-hub edges put both wedge endpoints in
+    hot partitions) — the one-number topology screen next to
+    graph_degree_distribution. Moments, not the Pearson r: mergeable,
+    and the divide-and-sqrt is the consumer's single float op. Degree
+    sums are BIGINT; degree PRODUCTS accumulate in DECIMAL(38,0)
+    (a 1e6-degree hub contributes 1e12 per end — int64 dies at ~1e6
+    such ends) and surface as DOUBLE with cov_num assembled in the same
+    three IEEE ops on both engines.
+
+    Scale shape: symmetric adjacency (order-key-bounded), one
+    partial-aggregable degree count, two degree joins keyed on node ids,
+    and a single global moment rollup."""
+    edges = _frequent_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("part_a").alias("node"), F.col("part_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("part_b").alias("node"), F.col("part_a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ends = (
+        adj.join(deg.select(F.col("node"), F.col("d").alias("dx")), "node")
+        .join(
+            deg.select(F.col("node").alias("nb"), F.col("d").alias("dy")), "nb"
+        )
+        .select("dx", "dy")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum("dy").cast("long").alias("sum_y"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)"))
+        .cast("double").alias("sum_xy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)"))
+        .cast("double").alias("sum_xx"),
+    )
+    return m.select(
+        "n_ends", "sum_x", "sum_y", "sum_xy", "sum_xx",
+        (
+            F.col("n_ends").cast("double") * F.col("sum_xy")
+            - F.col("sum_x").cast("double") * F.col("sum_y").cast("double")
+        ).alias("cov_num"),
+    )

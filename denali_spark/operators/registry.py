@@ -102,6 +102,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_regression_moments",
     "win_period_over_period",
     "text_length_mad_outliers",
+    "graph_assortativity_moments",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

@@ -105,6 +105,11 @@ _REFS_SCHEMA = StructType([
     StructField("name", StringType()),
     StructField("type", StringType()),  # BRANCH | TAG
     StructField("snapshot_id", LongType()),
+    # Iceberg's refs table surfaces the per-ref retention policy (null =
+    # unset → expire_snapshots' head-only default / table-prop fallback)
+    StructField("max_reference_age_in_ms", LongType()),
+    StructField("min_snapshots_to_keep", LongType()),
+    StructField("max_snapshot_age_in_ms", LongType()),
 ])
 
 _MANIFESTS_SCHEMA = StructType([
@@ -384,7 +389,14 @@ def metadata_table(
 
     if kind == "refs":
         rows = [
-            (rname, r.get("type", "branch").upper(), r["snapshot-id"])
+            (
+                rname,
+                r.get("type", "branch").upper(),
+                r["snapshot-id"],
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
             for rname, r in (md.get("refs") or {}).items()
         ]
         return spark.createDataFrame(rows, schema=_REFS_SCHEMA)

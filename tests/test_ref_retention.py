@@ -168,3 +168,21 @@ def test_sql_create_tag_retain_hours(spark, io):
     io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE TAG plain")
     assert "max-ref-age-ms" not in io.client.load_table(ns, name)[
         "metadata"]["refs"]["plain"]
+
+
+def test_refs_metadata_table_surfaces_retention(spark, io):
+    """Iceberg's refs metadata table columns: retention policy rides
+    along (null = unset)."""
+    from denali_spark.sources import metadata_table
+
+    ns, name = ["ret"], "refmeta"
+    _append(spark, io, ns, name, 0, 5)
+    io.sql(
+        f"ALTER TABLE {ns[0]}.{name} CREATE BRANCH dev "
+        "WITH SNAPSHOT RETENTION 4 SNAPSHOTS 2 DAYS"
+    )
+    rows = {r["name"]: r for r in metadata_table(io, ns, name, "refs").collect()}
+    assert rows["dev"]["min_snapshots_to_keep"] == 4
+    assert rows["dev"]["max_snapshot_age_in_ms"] == 2 * 86_400_000
+    assert rows["dev"]["max_reference_age_in_ms"] is None
+    assert rows["main"]["min_snapshots_to_keep"] is None

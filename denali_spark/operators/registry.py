@@ -103,6 +103,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_period_over_period",
     "text_length_mad_outliers",
     "graph_assortativity_moments",
+    "sim_srp_hamming_calibration",
     # --- round-8-attested ---
     "agg_audience_overlap",
     "agg_count_distinct",

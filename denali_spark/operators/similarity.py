@@ -2157,3 +2157,93 @@ def sample_ivf_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IVF_DIVERSITY_K)
         .select("vec_id", "cid", F.col("rk").cast("long").alias("rk"))
     )
+
+
+SRP_CAL_PROBES = 8  # calibration probe set: vec_id < 8 (linear, never n²)
+
+
+@query(
+    "sim_srp_hamming_calibration",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS ({_sql_tables('e')}),
+    sigs AS (
+      SELECT vec_id,
+             MAX(CASE WHEN t = 0 THEN bucket END) AS b0,
+             MAX(CASE WHEN t = 1 THEN bucket END) AS b1,
+             MAX(CASE WHEN t = 2 THEN bucket END) AS b2,
+             MAX(CASE WHEN t = 3 THEN bucket END) AS b3
+      FROM b GROUP BY vec_id
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(sq.b0, sc.b0)) + bit_count(xor(sq.b1, sc.b1))
+              + bit_count(xor(sq.b2, sc.b2)) + bit_count(xor(sq.b3, sc.b3))
+              AS BIGINT) AS hamming,
+           {SQL_COSINE.format(a='q.e', b='c.e')} AS cos
+    FROM v q
+    JOIN v c ON q.vec_id < {SRP_CAL_PROBES} AND q.vec_id <> c.vec_id
+    JOIN sigs sq ON sq.vec_id = q.vec_id
+    JOIN sigs sc ON sc.vec_id = c.vec_id
+    """,
+    tags=("similarity", "lsh", "sketch-accuracy"),
+)
+def sim_srp_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP sketch-accuracy audit, the embedding twin of
+    dedup_minhash_jaccard_est: for every (probe, corpus) pair, the
+    {N_TABLES * N_PLANES}-bit signature Hamming distance next to the
+    exact cosine. Hamming/bits estimates the angle/π (the SRP collision
+    identity), so this per-pair relation is how a deployment calibrates
+    its multi-probe radius and band geometry: plot cosine against
+    Hamming, pick the flip budget that covers the cosine band you dedup
+    at. Left un-averaged on purpose — mean-of-doubles is aggregation-
+    order-dependent; the integer distance and the framework's bit-stable
+    cosine hash exactly.
+
+    Scale shape: signatures come from the MATERIALIZED bucket index
+    pivoted to one row per vector (4 integer columns, no re-hashing);
+    the probe fence ({SRP_CAL_PROBES} probes × corpus) keeps pair count
+    linear in the corpus like sim_topk_bruteforce, and both fetch joins
+    broadcast the tiny probe side."""
+    v = _vecs(spark, sf_dir)
+    sigs = (
+        lsh_bucket_index(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(*[
+            F.max(F.when(F.col("t") == t, F.col("bucket"))).alias(f"b{t}")
+            for t in range(N_TABLES)
+        ])
+    )
+    probes = v.filter(F.col("vec_id") < SRP_CAL_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = v.select(F.col("vec_id").alias("neighbor_id"), "e").join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
+    )
+    sq = sigs.select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"b{t}").alias(f"q{t}") for t in range(N_TABLES)],
+    )
+    sc = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"b{t}").alias(f"c{t}") for t in range(N_TABLES)],
+    )
+    hamming = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(F.col(f"q{t}").bitwiseXOR(F.col(f"c{t}")))
+            for t in range(N_TABLES)
+        ],
+    )
+    return (
+        cand.join(F.broadcast(sq), "query_id")
+        .join(sc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming.cast("long").alias("hamming"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )

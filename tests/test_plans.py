@@ -105,6 +105,9 @@ NON_EQUI_WHITELIST = {
     # probe side is 5 broadcast rows: nested-loop over the corpus is one
     # linear pass (cost n x |probes|), the textbook brute-force baseline
     "sim_topk_bruteforce",
+    # 8 broadcast probe rows x corpus (the same linear-fence shape);
+    # signature fetches are hash equi-joins on vec id
+    "sim_srp_hamming_calibration",
     # two sampled brute-force passes (full-dim truth + prefix-dim rank),
     # each the 5-probe broadcast nested loop above; the overlap join is
     # an equi-join over 5 x k rank rows

@@ -655,8 +655,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes degree a plain partial-aggregable COUNT per src."""
     adj = _copurchase_edges(spark, sf_dir)
     for _ in range(KCORE_ROUNDS):
+        # LAZY lineage truncation per round (the dedup_connected_components
+        # pattern): each round references adj THREE times (degree count +
+        # two semi-join survivor sets), so without truncation the plan
+        # fans out ~3^rounds — 108 scans of lineitem for 3 rounds, audited.
+        adj = adj.localCheckpoint(eager=False)
         deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select("src")
+        # No broadcast gate: a driver-side keep.count() per round launches
+        # an extra job that re-executes the round pipeline (A/B'd 2-4x
+        # slower — the same trap the dedup-CC every-K-rounds checkpoint
+        # measured), and blind broadcast is wrong when survivors are most
+        # of a billion-node catalog. Co-partitioned semi joins on the node
+        # key are the honest static plan.
         adj = adj.join(keep, "src", "semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "semi"
         )

@@ -441,21 +441,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality to graph_triangle_parts' wedge step), degrees are a
     partial-aggregable count, and the final assembly joins bounded
     per-edge relations on edge keys. Nothing touches |parts|²."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    edges = (
-        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= MIN_SUPPORT)
-        .select("part_a", "part_b")
-    )
+    edges = _frequent_edges(spark, sf_dir)
     adj = edges.select(
         F.col("part_a").alias("node"), F.col("part_b").alias("nb")
     ).unionByName(
@@ -508,9 +494,13 @@ _FREQ_EDGES_SQL = f"""
 
 def _frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-thresholded undirected co-purchase edges (part_a < part_b):
-    the same a-priori-bounded relation graph_jaccard_neighbors builds —
-    the basket self-join is order-key-confined, support is a
-    partial-aggregable count."""
+    the a-priori-bounded relation the link-analysis queries share — the
+    basket self-join is order-key-confined, support is a
+    partial-aggregable count. Returned LAZILY CHECKPOINTED: consumers
+    reference it 4-6 times (symmetric adjacency x2, degrees, wedge join
+    x2, anti-join), and without truncation each reference replays the
+    whole self-join pipeline — 28-36 lineitem scans per query, audited.
+    The checkpoint materializes once inside the first job."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.alias("a")
@@ -525,6 +515,7 @@ def _frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
         .select("part_a", "part_b")
+        .localCheckpoint(eager=False)
     )
 
 

@@ -47,67 +47,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-11 order (computed from
-# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json latest-evidence rows,
-# stale-first): (1) the 24 round-10 queries that have never produced a
-# CORRECTNESS row, (2) the 3 queries whose newest attestation is round 7,
-# (3) queries NEW this round, (4) round-8-attested, (5) round-9-attested,
-# (6) the 50 just-attested in round 10, last.
+# evidence goes stale. Round-12 order (computed from the merged
+# CORRECTNESS_r{01..11}.json latest-evidence rows, stale-first): (1) the 46
+# queries whose newest attestation is round 8 — they fit a single 50-cap
+# sweep, so the registry-wide staleness floor moves to round 9, (2) queries
+# NEW this round, (3) round-9-, (4) round-10-, (5) round-11-attested last.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-attested (landed after the r10 sweep cap): first ---
-    "dedup_minhash_band_tuning",
-    "mm_modality_coverage",
-    "sample_temperature_mixture",
-    "sim_ivf_balance",
-    "agg_benford_first_digit",
-    "agg_rfm_segments",
-    "agg_seasonal_index_months",
-    "graph_degree_distribution",
-    "sim_ivf_nprobe_curve",
-    "sim_matryoshka_prefix_recall",
-    "text_dup_rate_by_length",
-    "dedup_exact_source_matrix",
-    "dedup_minhash_threshold_sweep",
-    "mm_audio_silence_ratio",
-    "mm_phash_distance_histogram",
-    "mm_video_shot_stats",
-    "text_langid_confusion",
-    "text_stopword_coverage",
-    "text_token_fertility",
-    "ts_asof_join_nearest",
-    "ts_burstiness",
-    "ts_dau_wau_stickiness",
-    "ts_max_drawdown",
-    "win_pareto_concentration",
-    # --- stale: newest driver evidence round 7 ---
-    "ts_range_join_pairs",
-    "ts_sessionize",
-    "ts_spike_hours",
-    # --- NEW round-11 queries (no driver evidence yet) ---
-    "sim_ivfpq_topk",
-    "graph_jaccard_neighbors",
-    "text_type_token_ratio",
-    "sample_fixed_k_per_stratum",
-    "text_boilerplate_prefixes",
-    "graph_resource_allocation",
-    "graph_kcore_peel",
-    "text_zipf_head_ratios",
-    "dedup_prefix_containment",
-    "join_interval_overlap",
-    "fn_url_parse",
-    "mm_payload_exact_dedup",
-    "win_cumulative_distinct",
-    "ts_cross_correlation",
-    "sample_ivf_diversity",
-    "agg_regression_moments",
-    "win_period_over_period",
-    "text_length_mad_outliers",
-    "graph_assortativity_moments",
-    "sim_srp_hamming_calibration",
-    # --- round-8-attested ---
-    "agg_audience_overlap",
-    "agg_count_distinct",
-    "agg_cube_flag_status",
+    # --- newest driver evidence round 8 (the 46-query stale floor; they
+    # fit one 50-cap sweep, moving the registry floor to r9): first ---
     "agg_exact_median",
     "agg_exact_percentiles",
     "agg_gini_user_activity",
@@ -154,6 +101,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
+    # --- NEW round-12 queries go here (cap leaves 4 slots) ---
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
@@ -205,11 +153,9 @@ DRIVER_PRIORITY: list[str] = [
     "win_running_total",
     "win_streaks",
     "win_topn_per_group",
-    # --- round-10-attested (freshest, last) ---
-    "text_collocation_lift",
-    "win_moving_median",
-    "agg_hll_mergeable_rollup",
+    # --- round-10-attested ---
     "agg_approx_sketches",
+    "agg_hll_mergeable_rollup",
     "agg_mode_order_priority",
     "agg_weighted_median",
     "dedup_embedding_pairs",
@@ -243,6 +189,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     "text_chunk_cdc",
     "text_chunk_fixed",
+    "text_collocation_lift",
     "text_fingerprint",
     "text_langid",
     "text_pack_sequences",
@@ -256,6 +203,58 @@ DRIVER_PRIORITY: list[str] = [
     "ts_funnel",
     "ts_gap_fill_hours",
     "ts_hourly_rollup",
+    "win_moving_median",
+    # --- round-11-attested (freshest, last) ---
+    "agg_audience_overlap",
+    "agg_benford_first_digit",
+    "agg_count_distinct",
+    "agg_cube_flag_status",
+    "agg_regression_moments",
+    "agg_rfm_segments",
+    "agg_seasonal_index_months",
+    "dedup_exact_source_matrix",
+    "dedup_minhash_band_tuning",
+    "dedup_minhash_threshold_sweep",
+    "dedup_prefix_containment",
+    "fn_url_parse",
+    "graph_assortativity_moments",
+    "graph_degree_distribution",
+    "graph_jaccard_neighbors",
+    "graph_kcore_peel",
+    "graph_resource_allocation",
+    "join_interval_overlap",
+    "mm_audio_silence_ratio",
+    "mm_modality_coverage",
+    "mm_payload_exact_dedup",
+    "mm_phash_distance_histogram",
+    "mm_video_shot_stats",
+    "sample_fixed_k_per_stratum",
+    "sample_ivf_diversity",
+    "sample_temperature_mixture",
+    "sim_ivf_balance",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_topk",
+    "sim_matryoshka_prefix_recall",
+    "sim_srp_hamming_calibration",
+    "text_boilerplate_prefixes",
+    "text_dup_rate_by_length",
+    "text_langid_confusion",
+    "text_length_mad_outliers",
+    "text_stopword_coverage",
+    "text_token_fertility",
+    "text_type_token_ratio",
+    "text_zipf_head_ratios",
+    "ts_asof_join_nearest",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_dau_wau_stickiness",
+    "ts_max_drawdown",
+    "ts_range_join_pairs",
+    "ts_sessionize",
+    "ts_spike_hours",
+    "win_cumulative_distinct",
+    "win_pareto_concentration",
+    "win_period_over_period",
 ]
 
 

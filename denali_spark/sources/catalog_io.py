@@ -1913,6 +1913,25 @@ class SparkCatalogIO:
             verb, kind, if_not_exists, ref = (
                 m.group(1).upper(), m.group(2).upper(), m.group(3), m.group(4),
             )
+            # Iceberg's grammar scopes the retention clauses: none on DROP,
+            # and WITH SNAPSHOT RETENTION only on BRANCH (the ancestry walk
+            # is branch-only — stored on a tag it would be a dead option).
+            # Reject instead of silently ignoring/storing them.
+            if verb == "DROP" and any(
+                m.group(i) is not None for i in (5, 6, 8, 9)
+            ):
+                raise ValueError(
+                    f"DROP {kind} takes no AS OF/RETAIN/retention clause"
+                )
+            if kind == "TAG" and (
+                m.group(8) is not None or m.group(9) is not None
+            ):
+                raise ValueError(
+                    "WITH SNAPSHOT RETENTION applies to branches only: "
+                    "snapshot ancestry retention is a branch walk; a tag "
+                    "pins exactly one snapshot (use RETAIN n DAYS for the "
+                    "tag's own lifetime)"
+                )
             ns, name, md = self._dml_target(qualified)
             if verb == "DROP":
                 self.drop_ref(ns, name, ref)

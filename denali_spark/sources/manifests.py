@@ -661,18 +661,39 @@ def write_manifest_list(
     deletes = [e for e in entries if e.get("content", "data") != "data"]
 
     def _by_spec(group):
+        # Entries carried from a PRE-SPLIT manifest (read_manifest_list
+        # marks them spec-id-unknown) must NOT be relabeled with the
+        # current spec inside a trusted spec-id-exact manifest: after a
+        # transform-width evolution that would prune old-layout tuples
+        # against the wrong spec and silently drop live files. They go into
+        # a separate manifest written WITHOUT the flag, so the read side
+        # keeps them on the conservative multi-spec pruning path. Fresh
+        # entries (no marker, no label) were just written under the
+        # caller's current spec and stay on the exact path. The
+        # (exact, spec_id, entries) triple drives the header flag below.
         by: dict[int, list[dict]] = {}
+        unknown: list[dict] = []
         for e in group:
-            by.setdefault(int(e.get("spec-id", partition_spec_id)), []).append(e)
-        return sorted(by.items())
+            if e.get("spec-id") is not None:
+                by.setdefault(int(e["spec-id"]), []).append(e)
+            elif e.get("spec-id-unknown"):
+                unknown.append(e)
+            else:
+                by.setdefault(partition_spec_id, []).append(e)
+        out = [(True, sid, g) for sid, g in sorted(by.items())]
+        if unknown:
+            out.append((False, partition_spec_id, unknown))
+        return out
 
     if data or not deletes:
         if data:
-            groups.extend((0, sid, g) for sid, g in _by_spec(data))
+            groups.extend(
+                (0, sid, g, exact) for exact, sid, g in _by_spec(data)
+            )
         else:
-            groups.append((0, partition_spec_id, []))
+            groups.append((0, partition_spec_id, [], True))
     if deletes:
-        groups.extend((1, sid, g) for sid, g in _by_spec(deletes))
+        groups.extend((1, sid, g, exact) for exact, sid, g in _by_spec(deletes))
 
     entry_fields = [f["name"] for f in MANIFEST_ENTRY_SCHEMA["fields"]]
 
@@ -683,7 +704,7 @@ def write_manifest_list(
 
     manifest_files = []
     base = uuid.uuid4().hex
-    for i, (content, group_spec_id, group) in enumerate(groups):
+    for i, (content, group_spec_id, group, spec_exact) in enumerate(groups):
         group_spec = spec_fields_by_id.get(group_spec_id, partition_spec or [])
         # Typed r102 partition struct (per manifest): only when the spec is
         # known and every entry's partition tuple fits it exactly —
@@ -699,9 +720,11 @@ def write_manifest_list(
             "partition-spec-id": str(group_spec_id),
             # declares the per-spec-id split: pre-split manifests stamped
             # carried-through entries with the CURRENT spec-id, so their
-            # headers must not feed exact pruning — only manifests written
-            # with this flag have a trustworthy per-entry encoding spec
-            "spec-id-exact": "true",
+            # headers must not feed exact pruning — only manifests whose
+            # entries ALL carried an explicit spec-id label get this flag;
+            # unlabeled carried entries are written into a separate
+            # unflagged manifest (see _by_spec) and stay conservative
+            "spec-id-exact": "true" if spec_exact else "false",
         }
         if schema is not None:
             manifest_meta["schema"] = json.dumps(schema)
@@ -797,7 +820,15 @@ def read_manifest_list(list_path: str) -> list[dict]:
                 partition_typed=typed_part,
                 partition_transforms_map=tmap,
             )
-            if spec_id is not None and entry.get("partition") is not None:
-                entry["spec-id"] = int(spec_id)
+            if entry.get("partition") is not None:
+                if spec_id is not None:
+                    entry["spec-id"] = int(spec_id)
+                else:
+                    # carried through a future rewrite, this entry must land
+                    # in an UNFLAGGED manifest (its true encoding spec is
+                    # unknowable); without the marker the writer would
+                    # relabel it with the then-current spec in a trusted
+                    # header and exact pruning could drop live files
+                    entry["spec-id-unknown"] = True
             entries.append(entry)
     return entries

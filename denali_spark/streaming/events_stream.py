@@ -566,6 +566,14 @@ def _mg_fold(d: dict, vals, k: int = MG_K) -> int:
     return decs
 
 
+def _mg_shard_col():
+    """Shard assignment shared by the stream and asserted against the
+    batch twin: pmod, not %, because Spark's % follows the dividend's
+    sign while pandas' follows the divisor's — a negative user_id must
+    land in the same 0..MG_SHARDS-1 shard on both paths."""
+    return F.pmod(F.col("user_id"), F.lit(MG_SHARDS)).cast("long")
+
+
 def _mg_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState kernel: one bounded MG summary per shard.
     Rows fold in (ts, event_id) order so the summary is a pure function
@@ -577,8 +585,15 @@ def _mg_update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFram
         d = dict(zip(items, counts))
     else:
         d, n, decs = {}, 0, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # One shard group can span multiple Arrow record batches (the iterator
+    # chunks at ~10k rows); sorting per chunk would fold in chunk-local
+    # order and break the bit-for-bit replay contract. Concatenate the
+    # whole group FIRST, then impose one global (ts, event_id) order.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         n += len(pdf)
         decs += _mg_fold(d, pdf["user_id"].tolist())
     state.update(
@@ -611,9 +626,7 @@ def heavy_hitters_stream(stream: DataFrame) -> DataFrame:
     is exactly the hot-key list the AQE-salting decisions need."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    sharded = stream.withColumn(
-        "shard", (F.col("user_id") % MG_SHARDS).cast("long")
-    )
+    sharded = stream.withColumn("shard", _mg_shard_col())
     return sharded.groupBy("shard").applyInPandasWithState(
         _mg_update,
         outputStructType=_MG_OUTPUT_SCHEMA,

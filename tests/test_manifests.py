@@ -386,3 +386,85 @@ def test_r102_time_transform_values_are_spec_integers(tmp_path):
                   ("hour", "1969-12-31-23")):
         assert readable_to_spec_int(tr, v) == -1
         assert spec_int_to_readable(tr, -1) == v
+
+
+def test_unlabeled_carried_entries_stay_conservative(tmp_path):
+    """r11-ADVICE-high regression: an entry carried from a PRE-SPLIT
+    manifest (no spec-id-exact header) must NOT be relabeled with the
+    current spec inside a trusted header on rewrite — after a
+    transform-width evolution (bucket[8]->bucket[16]) exact pruning
+    against the wrong spec would silently drop live files. The reader
+    marks such entries spec-id-unknown; the writer routes them into an
+    UNFLAGGED manifest so they stay on the conservative pruning path."""
+    from denali_spark.sources.avro_ocf import read_ocf, read_ocf_with_meta, write_ocf
+    from denali_spark.sources.manifests import MANIFEST_FILE_SCHEMA
+
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [{"id": 1, "name": "id", "required": True, "type": "long"}],
+    }
+    spec8 = [{"name": "id_bucket", "transform": "bucket[8]",
+              "source-id": 1, "field-id": 1000}]
+    spec16 = [{"name": "id_bucket", "transform": "bucket[16]",
+               "source-id": 1, "field-id": 1000}]
+    old_entry = {
+        "path": "/wh/t/data/old.parquet", "file-format": "parquet",
+        "record-count": 10, "file-size-bytes": 100, "sequence-number": 1,
+        "partition": {"id_bucket": 5},
+    }
+    # 1) Simulate a pre-split manifest: write normally (spec 0 =
+    #    bucket[8]), then rewrite the manifest header WITHOUT the
+    #    spec-id-exact flag (what pre-r11 writers produced).
+    loc = write_manifest_list(
+        str(tmp_path / "m1"), 1, [dict(old_entry)],
+        schema=schema, partition_spec=spec8, partition_spec_id=0,
+    )
+    lschema, lrows = read_ocf(loc)
+    lnames = [f["name"] for f in lschema["fields"]]
+    mf = dict(zip(lnames, lrows[0]))
+    mschema, mrows, mmeta = read_ocf_with_meta(mf["manifest_path"])
+    legacy_meta = {k: v for k, v in mmeta.items() if k != "spec-id-exact"}
+    write_ocf(mf["manifest_path"], mschema, mrows, extra_meta=legacy_meta)
+    # 2) Read: entry must come back WITHOUT a spec-id, marked unknown.
+    [carried] = read_manifest_list(loc)
+    assert "spec-id" not in carried
+    assert carried.get("spec-id-unknown") is True
+    # 3) Rewrite (spec evolved to bucket[16], current spec-id=1) together
+    #    with a fresh file written under the new spec.
+    fresh = {
+        "path": "/wh/t/data/new.parquet", "file-format": "parquet",
+        "record-count": 10, "file-size-bytes": 100, "sequence-number": 2,
+        "partition": {"id_bucket": 13},
+    }
+    all_specs = [
+        {"spec-id": 0, "fields": spec8},
+        {"spec-id": 1, "fields": spec16},
+    ]
+    loc2 = write_manifest_list(
+        str(tmp_path / "m2"), 2, [carried, dict(fresh)],
+        schema=schema, partition_spec=spec16, partition_spec_id=1,
+        all_specs=all_specs,
+    )
+    # 4) The carried entry's manifest is NOT flagged exact; the fresh
+    #    entry's manifest IS (and is keyed by the current spec).
+    lschema2, lrows2 = read_ocf(loc2)
+    lnames2 = [f["name"] for f in lschema2["fields"]]
+    flags = {}
+    for row in lrows2:
+        mf2 = dict(zip(lnames2, row))
+        _, mrows2, meta2 = read_ocf_with_meta(mf2["manifest_path"])
+        for r in mrows2:
+            path = r[-1]["file_path"]
+            flags[path] = (meta2.get("spec-id-exact"),
+                           meta2.get("partition-spec-id"))
+    assert flags["file:///wh/t/data/old.parquet"][0] != "true"
+    assert flags["file:///wh/t/data/new.parquet"] == ("true", "1")
+    # 5) End-to-end: a point lookup must keep the old-layout file.
+    #    id=37 -> bucket[16]=13 (fresh kept exactly); the old bucket[8]
+    #    tuple 5 must survive via the conservative path even though 5 is
+    #    not 37's bucket under the CURRENT spec.
+    back = read_manifest_list(loc2)
+    by_path = {e["path"]: e for e in back}
+    assert by_path["/wh/t/data/old.parquet"].get("spec-id") is None
+    assert by_path["/wh/t/data/old.parquet"].get("spec-id-unknown") is True
+    assert by_path["/wh/t/data/new.parquet"]["spec-id"] == 1

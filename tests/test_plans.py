@@ -178,7 +178,21 @@ NON_EQUI_WHITELIST = {
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_sweep_no_python_row_udfs_and_no_unfenced_cartesians(spark, name):
+    # r11 verdict item 3 / task 8: a df.persist() held by a lazily-returned
+    # DataFrame registers an UNRELEASABLE CacheManager entry (registration
+    # is eager at the .persist() call, so building the plan is enough to
+    # detect it). Lazy localCheckpoint blocks are RDD-level and GC-
+    # reclaimed — they never touch the CacheManager, so no allowlist is
+    # needed: the registry-wide invariant is simply "no query registers a
+    # cached relation".
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm_was_empty = cm.isEmpty()
     df = REGISTRY[name].fn(spark, SF_SMOKE)
+    if cm_was_empty:
+        assert cm.isEmpty(), (
+            f"{name}: registered a CacheManager entry (query-held persist "
+            "— unreleasable by the caller, accretes across library use)"
+        )
     a = audit(df)
     assert a["python_row_udfs"] == 0, (
         f"{name}: plan contains BatchEvalPython (row-at-a-time Python)"

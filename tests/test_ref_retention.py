@@ -186,3 +186,28 @@ def test_refs_metadata_table_surfaces_retention(spark, io):
     assert rows["dev"]["max_snapshot_age_in_ms"] == 2 * 86_400_000
     assert rows["dev"]["max_reference_age_in_ms"] is None
     assert rows["main"]["min_snapshots_to_keep"] is None
+
+
+def test_ddl_rejects_retention_clauses_out_of_scope(spark, io):
+    """r11-ADVICE-low regression: Iceberg's grammar scopes retention —
+    DROP takes no clauses, and WITH SNAPSHOT RETENTION is branch-only
+    (the ancestry walk never consults a tag's min-snapshots-to-keep).
+    Both must raise instead of silently ignoring/storing dead options."""
+    ns, name = ["ret"], "ddlscope"
+    _append(spark, io, ns, name, 0, 5)
+    io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE BRANCH dev")
+    with pytest.raises(ValueError, match="takes no"):
+        io.sql(f"ALTER TABLE {ns[0]}.{name} DROP BRANCH dev RETAIN 5 DAYS")
+    with pytest.raises(ValueError, match="branches only"):
+        io.sql(
+            f"ALTER TABLE {ns[0]}.{name} CREATE TAG t1 "
+            "WITH SNAPSHOT RETENTION 3 SNAPSHOTS"
+        )
+    # the rejected statements must not have mutated refs
+    md = io.client.load_table(ns, name)["metadata"]
+    assert "dev" in md["refs"] and "t1" not in md["refs"]
+    # the legal shapes still work
+    io.sql(f"ALTER TABLE {ns[0]}.{name} CREATE TAG t1 RETAIN 2 DAYS")
+    io.sql(f"ALTER TABLE {ns[0]}.{name} DROP BRANCH dev")
+    md = io.client.load_table(ns, name)["metadata"]
+    assert "t1" in md["refs"] and "dev" not in md["refs"]

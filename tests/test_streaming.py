@@ -482,3 +482,54 @@ def test_heavy_hitters_stream_matches_sequential_twin(spark, landing):
             assert d[item] <= true_cnt <= d[item] + decs
         else:
             assert true_cnt <= n_shard / MG_K + decs
+
+
+def test_mg_update_folds_group_in_global_order_across_chunks():
+    """r11-ADVICE-medium regression: one shard group can span multiple
+    Arrow record batches; _mg_update must concatenate the chunks and fold
+    in ONE global (ts, event_id) order, not chunk-local order, or replay
+    determinism breaks."""
+    import pandas as pd
+
+    from denali_spark.streaming.events_stream import _mg_fold, _mg_update
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # Two chunks whose global ts order interleaves: chunk-local folding
+    # with K=2 evicts differently than the global order.
+    c1 = pd.DataFrame({"ts": [1, 5, 9], "event_id": [1, 2, 3],
+                       "user_id": [10, 30, 10]})
+    c2 = pd.DataFrame({"ts": [2, 3, 4], "event_id": [4, 5, 6],
+                       "user_id": [20, 20, 30]})
+    state = FakeState()
+    [out] = list(_mg_update((0,), iter([c1, c2]), state))
+    whole = pd.concat([c1, c2]).sort_values(["ts", "event_id"])
+    d_ref: dict = {}
+    decs_ref = _mg_fold(d_ref, whole["user_id"].tolist())
+    got = dict(zip(out["item"].astype(int), out["mg_count"].astype(int)))
+    assert got == {int(k): int(v) for k, v in d_ref.items()}
+    assert int(out["decrements"].iloc[0]) == decs_ref
+    assert int(out["n_seen"].iloc[0]) == 6
+    # empty-iterator group (state-only invocation) must not crash
+    state2 = FakeState()
+    [out2] = list(_mg_update((1,), iter([]), state2))
+    assert len(out2) == 0
+
+
+def test_mg_shard_assignment_matches_batch_twin_on_negative_ids(spark):
+    """r11-ADVICE-low regression: the stream's shard column (pmod) and
+    the pandas twin's % must agree for negative user_ids."""
+    from denali_spark.streaming.events_stream import MG_SHARDS, _mg_shard_col
+
+    df = spark.createDataFrame(
+        [(-7,), (-1,), (0,), (5,), (-MG_SHARDS,)], "user_id long"
+    )
+    got = {r["user_id"]: r["shard"]
+           for r in df.withColumn("shard", _mg_shard_col()).collect()}
+    for uid, shard in got.items():
+        assert shard == uid % MG_SHARDS  # python % == pandas %
+        assert 0 <= shard < MG_SHARDS

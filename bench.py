@@ -66,6 +66,38 @@ a spill hazard at 100 TB), so the explode is now re-read twice — a
 documented trade at sub-second absolute cost. The sf1 CC probe confirms
 the round's label-propagation fix: 4.0s (r9 driver) -> 3.30/3.43s local.
 
+Round-12 protocol check + adjudication of the four r11 movers (the r11
+verdict's open item: driver-recorded common-31 ratio r10->r11 was 1.114x,
+above the 1.10x trigger, unadjudicated). Same-box worktree A/B/A: the r10
+round-end commit vs the r11 round-end commit run back-to-back, with the
+r11 leg run THREE times (fresh process each, SCALE_BENCH=0, median-of-3
+per query). Identical-code r11 legs measured common-31 ratios of 0.900,
+1.062, and 1.117 vs the r10 leg — a 24% spread between byte-identical
+legs — so a 1.114x round-over-round ratio is INSIDE same-code variance on
+this class of box: noise, no plan regression. Per-mover verdicts:
+- text_decontaminate 1.94x: REAL (1.64/1.94/2.29x across all three r11
+  legs, 0.487 -> 0.80-1.12s). The r11 one-pass rework dropped the
+  persisted exploded-gram relation; the old persist had made bench
+  re-runs nearly free through CacheManager logical-plan reuse ACROSS
+  calls — the same unreleasable-cache artifact the r11 verdict flagged.
+  ~0.9s is the honest single-pass cost; the trade stands (the r10
+  unigram precedent).
+- ts_sessionize 1.34x: NOISE (not a mover in any local leg).
+- text_token_fertility 1.33x: NOISE (locally r11 is FASTER: 0.55-0.67x).
+- graph_pagerank_parts 1.26x: NOISE at r11 (local r11 leg 0.79x vs r10).
+  The round-12 persist-class closure then exposed the query's honest
+  uncached cost (3.9s, 1.81x vs r10) — fixed in-round by materializing
+  the degree-annotated adjacency as a second graph-index artifact:
+  2.14s median, at r10 parity with zero cache accretion, and
+  graph_kcore_peel fell 2.78 -> 1.40s off the same parquet base.
+Round-12 context for the NEXT comparison: graph/dedup pair queries now
+read materialized indexes (pair-support + adjacency + the signature
+index's hashed shingles), so their recorded costs are warm-index reads
+plus real work — dedup_ngram_jaccard_pairs 26.8 -> 1.4s and
+dedup_containment_pairs 27.8 -> 1.3s steady-state at sf0.1, while
+index_timings gains graph_pairs/adj cold-build lines that price the
+ingest-time step honestly.
+
 Server-plan probe (r9 verdict item 4, `server_plan` key): 64-file sorted
 lineitem table, stats-pruning filter, median-of-3 — engine-planned
 0.284s vs server-planned 0.241s at sf0.1. Server planning wins even
@@ -276,15 +308,30 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     # this leaves it warm for the graph headline queries below, like a
     # real pipeline would — its build replaced the per-query basket
     # self-join the r8-r11 graph queries re-ran on every call).
-    from denali_spark.operators.graph import graph_index_path, pair_support_index
+    from denali_spark.operators.graph import (
+        adjacency_index,
+        graph_index_path,
+        pair_support_index,
+    )
 
-    shutil.rmtree(graph_index_path(sf_dir), ignore_errors=True)
+    gpath = graph_index_path(sf_dir)
+    shutil.rmtree(gpath, ignore_errors=True)
+    shutil.rmtree(
+        os.path.join(
+            os.path.dirname(gpath),
+            os.path.basename(gpath).replace("pairs-", "adj-"),
+        ),
+        ignore_errors=True,
+    )
+    # cold = pairs (the fact-table self-join) + the derived adjacency
     gcold = _time(lambda: pair_support_index(spark, sf_dir).count(), runs=1)
+    gcold_adj = _time(lambda: adjacency_index(spark, sf_dir).count(), runs=1)
     gwarm = _time(lambda: pair_support_index(spark, sf_dir).count())
     return {
         "minhash_cold_build": cold,
         "minhash_warm_read": warm,
         "graph_pairs_cold_build": gcold,
+        "graph_adj_cold_build": gcold_adj,
         "graph_pairs_warm_read": gwarm,
     }
 
@@ -448,10 +495,17 @@ def main() -> None:
             # build separately, so the single-run sf1 graph queries below
             # measure the warm query-time path (the minhash precedent) and
             # the ~linear-scaling signal stays clean.
-            from denali_spark.operators.graph import pair_support_index
+            from denali_spark.operators.graph import (
+                adjacency_index,
+                pair_support_index,
+            )
 
             result["sf1_graph_index_first_call"] = _time(
-                lambda: pair_support_index(spark, SF1_DIR).count(), runs=1
+                lambda: (
+                    pair_support_index(spark, SF1_DIR).count(),
+                    adjacency_index(spark, SF1_DIR).count(),
+                ),
+                runs=1,
             )
             result["sf1_queries"] = {
                 n: _time(lambda: REGISTRY[n].fn(spark, SF1_DIR).count())

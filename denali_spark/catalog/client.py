@@ -257,8 +257,13 @@ class CatalogClient:
     ) -> dict:
         """Server-side scan planning (REST spec PlanTableScan). Returns a
         completed PlanTableScanResult: {status, file-scan-tasks,
-        delete-files, plan-tasks}; this server always answers
-        synchronously."""
+        delete-files, plan-tasks}. Transparently handles BOTH response
+        shapes: small plans complete synchronously; large ones answer
+        {status: submitted, plan-id} and are polled to completion here
+        (fetch_planning_result), so callers always see a terminal
+        result."""
+        import time as _time
+
         body: dict = {"case-sensitive": case_sensitive}
         if snapshot_id is not None:
             body["snapshot-id"] = snapshot_id
@@ -266,11 +271,41 @@ class CatalogClient:
             body["filter"] = filter
         if select is not None:
             body["select"] = select
-        return self._request(
+        result = self._request(
             "POST",
             f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}/plan",
             body,
         )[1]
+        delay = 0.05
+        while result.get("status") == "submitted":
+            result = self.fetch_planning_result(
+                levels, name, result["plan-id"]
+            )
+            if result.get("status") == "submitted":
+                _time.sleep(delay)
+                delay = min(delay * 2, 2.0)  # capped backoff
+        if result.get("status") in ("cancelled", "failed"):
+            raise RuntimeError(f"plan ended {result['status']}")
+        return result
+
+    def fetch_planning_result(
+        self, levels: list[str], name: str, plan_id: str
+    ) -> dict:
+        """Poll an async plan-id (REST spec FetchPlanningResult)."""
+        return self._request(
+            "GET",
+            f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
+            f"/plan/{quote(plan_id, safe='')}",
+        )[1]
+
+    def cancel_planning(self, levels: list[str], name: str, plan_id: str) -> None:
+        """Cancel an async plan-id (REST spec CancelPlanning): later polls
+        answer status=cancelled."""
+        self._request(
+            "DELETE",
+            f"/v1/namespaces/{self._ns(levels)}/tables/{quote(name)}"
+            f"/plan/{quote(plan_id, safe='')}",
+        )
 
     def fetch_scan_tasks(self, levels: list[str], name: str, plan_task: str) -> dict:
         """Redeem one plan-task handle from plan_table_scan for its shard

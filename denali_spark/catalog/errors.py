@@ -46,6 +46,10 @@ class NoSuchView(CatalogError):
     error_type = "NoSuchViewException"
 
 
+class NoSuchPlan(CatalogError):
+    http_code = 404
+
+
 class AlreadyExists(CatalogError):
     http_code = 409
     error_type = "AlreadyExistsException"

@@ -44,6 +44,7 @@ from denali_spark.catalog.errors import (
     BadRequest,
     CatalogError,
     CommitConflict,
+    NoSuchPlan,
     NoSuchTable,
     NoSuchView,
     NotImplementedInCatalog,
@@ -78,6 +79,12 @@ class State:
         self.warehouse = warehouse
         self.credential = credential
         self.tokens: dict[str, float] = {}  # token -> expiry (epoch secs)
+        # Cancelled plan-ids (async plan lifecycle). Plan-id handles are
+        # stateless (they encode the plan request), so cancellation is the
+        # only per-plan state a server holds; a fleet member that never saw
+        # the cancel simply completes the plan — legal per spec, which
+        # makes cancellation advisory.
+        self.cancelled_plans: set[str] = set()
         # Serializes the read-modify-write commit path on top of CAS; the
         # CAS remains the cross-process source of truth.
         self.commit_lock = threading.Lock()
@@ -445,6 +452,15 @@ def post_metrics(state: State, m, q, body):
 # (snapshot, shard, nshards, filter), so N servers serve any handle.
 PLAN_SHARD_SIZE = 512
 
+# Data-file count above which POST /plan answers "submitted" with a
+# plan-id instead of completing synchronously (the REST spec's async plan
+# lifecycle: submit -> poll GET /plan/{id} -> fetch -> DELETE to cancel).
+# Small plans stay synchronous — the common case pays zero extra round
+# trips. Like plan-task handles, a plan-id encodes its request
+# (snapshot, filter), so any server in a shared-store fleet serves the
+# poll; only the cancelled set is per-server state.
+PLAN_ASYNC_SIZE = 4096
+
 
 def _resolve_plan_snapshot(md: dict, snap_id):
     snaps = md.get("snapshots", [])
@@ -566,11 +582,14 @@ def plan_table_scan(state: State, m, q, body):
     Each data-file/delete-file carries the spec's core fields plus the
     engine's internal entry verbatim under `x-denali-entry` (same
     extension convention as the manifests' x_* fields) so an engine-side
-    consumer reconstructs its scan losslessly."""
+    consumer reconstructs its scan losslessly.
+
+    Plans bigger than PLAN_ASYNC_SIZE answer the spec's async shape —
+    202 {status: submitted, plan-id} — and complete via
+    GET .../plan/{plan-id} (fetch_planning_result); DELETE cancels."""
     import base64 as _b64
     import json as _json
-
-    from denali_spark.sources.expressions import file_might_match
+    import uuid
 
     body = body or {}
     levels = parse_ns(m.group("ns"))
@@ -582,8 +601,31 @@ def plan_table_scan(state: State, m, q, body):
             "status": "completed", "file-scan-tasks": [],
             "delete-files": [], "plan-tasks": [],
         }
-    data, deletes = _plan_entries(snap)
     flt = body.get("filter")
+    data, deletes = _pruned_plan_entries(md, snap, flt)
+    if len(data) > PLAN_ASYNC_SIZE:
+        # Async lifecycle: hand back a plan-id instead of blocking the
+        # client on a large plan. The id encodes the request (plus a
+        # uuid so cancellation names THIS submission), and the poll
+        # endpoint completes it.
+        plan_id = _b64.urlsafe_b64encode(
+            _json.dumps({
+                "snapshot-id": snap["snapshot-id"],
+                "filter": flt,
+                "id": uuid.uuid4().hex,
+            }).encode()
+        ).decode()
+        return 202, {"status": "submitted", "plan-id": plan_id}
+    return 200, _plan_result(md, snap, data, deletes, flt)
+
+
+def _pruned_plan_entries(md: dict, snap: dict, flt):
+    """Snapshot entries split (data, deletes) with stats + transform-aware
+    partition pruning applied to the data side — shared by the sync plan,
+    the async poll, and the shard fetch."""
+    from denali_spark.sources.expressions import file_might_match
+
+    data, deletes = _plan_entries(snap)
     if flt is not None:
         data = [e for e in data if file_might_match(flt, e.get("stats"))]
         # transform-aware partition pruning, sans Spark session: identity/
@@ -592,6 +634,15 @@ def plan_table_scan(state: State, m, q, body):
         from denali_spark.sources.partitioning import partition_prune
 
         data = partition_prune(None, md, flt, data)
+    return data, deletes
+
+
+def _plan_result(md: dict, snap: dict, data, deletes, flt) -> dict:
+    """Completed PlanTableScanResult: inline tasks, or plan-task handles
+    past PLAN_SHARD_SIZE."""
+    import base64 as _b64
+    import json as _json
+
     if len(data) > PLAN_SHARD_SIZE:
         nshards = -(-len(data) // PLAN_SHARD_SIZE)
         handles = [
@@ -603,12 +654,54 @@ def plan_table_scan(state: State, m, q, body):
             ).decode()
             for s in range(nshards)
         ]
-        return 200, {
+        return {
             "status": "completed", "file-scan-tasks": [],
             "delete-files": [], "plan-tasks": handles,
         }
     payload = _scan_tasks_payload(data, deletes, flt)
-    return 200, {"status": "completed", "plan-tasks": [], **payload}
+    return {"status": "completed", "plan-tasks": [], **payload}
+
+
+def fetch_planning_result(state: State, m, q, body):
+    """GET .../tables/{t}/plan/{plan_id} — FetchPlanningResult (the async
+    lifecycle's poll). Cancelled ids answer status=cancelled; otherwise the
+    stateless id decodes to its plan request and the result completes here
+    (this deployment has no background planner to wait on — submitted ids
+    complete on first poll, which the spec permits)."""
+    import base64 as _b64
+    import json as _json
+
+    plan_id = unquote(m.group("plan_id"))
+    if plan_id in state.cancelled_plans:
+        return 200, {"status": "cancelled"}
+    try:
+        spec = _json.loads(_b64.urlsafe_b64decode(plan_id.encode()))
+        snap_id = spec["snapshot-id"]
+    except Exception:
+        raise NoSuchPlan(f"plan {plan_id[:32]!r} not found") from None
+    levels = parse_ns(m.group("ns"))
+    _, info = _table_info(state, levels, m.group("t"))
+    md = meta.read_table_metadata(info.metadata_location)
+    snap = _resolve_plan_snapshot(md, snap_id)
+    flt = spec.get("filter")
+    data, deletes = _pruned_plan_entries(md, snap, flt)
+    return 200, _plan_result(md, snap, data, deletes, flt)
+
+
+def cancel_planning(state: State, m, q, body):
+    """DELETE .../tables/{t}/plan/{plan_id} — CancelPlanning. Records the
+    id so later polls answer status=cancelled. Idempotent; malformed ids
+    404 like the poll would."""
+    import base64 as _b64
+    import json as _json
+
+    plan_id = unquote(m.group("plan_id"))
+    try:
+        _json.loads(_b64.urlsafe_b64decode(plan_id.encode()))
+    except Exception:
+        raise NoSuchPlan(f"plan {plan_id[:32]!r} not found") from None
+    state.cancelled_plans.add(plan_id)
+    return 204, None
 
 
 def fetch_scan_tasks(state: State, m, q, body):
@@ -870,6 +963,8 @@ ROUTES: list[tuple[str, re.Pattern, object]] = [
     ("HEAD", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)$"), head_table),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/metrics$"), post_metrics),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/plan$"), plan_table_scan),
+    ("GET", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/plan/(?P<plan_id>[^/]+)$"), fetch_planning_result),
+    ("DELETE", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/plan/(?P<plan_id>[^/]+)$"), cancel_planning),
     ("POST", re.compile(rf"^/v1/namespaces/{_NS}/tables/(?P<t>[^/]+)/tasks$"), fetch_scan_tasks),
     ("POST", re.compile(r"^/v1/tables/rename$"), rename_table),
     ("POST", re.compile(r"^/v1/transactions/commit$"), commit_transaction),

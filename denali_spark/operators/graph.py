@@ -106,19 +106,51 @@ def pair_support_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adjacency_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized degree-annotated directed adjacency (src, dst, outdeg):
+    both orientations of every pair_support_index pair, each row carrying
+    its source's out-degree. The second graph-index artifact — derived
+    from the pairs index (its build reads parquet, never the fact table)
+    and materialized because the iterative consumers (PageRank's
+    share = rank div outdeg) would otherwise recompute the degree
+    aggregate + join on EVERY call; at ingest it's one window/join over
+    the pair relation, paid once per corpus."""
+    from denali_spark.engine.index_cache import (
+        index_file_count,
+        materialize_parquet,
+    )
+    import os
+
+    path = os.path.join(
+        os.path.dirname(graph_index_path(sf_dir)),
+        os.path.basename(graph_index_path(sf_dir)).replace("pairs-", "adj-"),
+    )
+
+    def build() -> DataFrame:
+        pairs = pair_support_index(spark, sf_dir).select("part_a", "part_b")
+        fwd = pairs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        )
+        rev = pairs.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+        edges = fwd.unionByName(rev)
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        return edges.join(deg, "src")
+
+    return materialize_parquet(
+        spark, path, build,
+        num_files=index_file_count(sf_dir, "lineitem"),
+        distribute_by=("src",),
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct directed edge list (src, dst), both directions of every
-    co-purchase pair — the canonical pairs of pair_support_index
-    symmetrized by projection (they are distinct by construction, so the
-    union of both orientations is the distinct directed set)."""
-    pairs = pair_support_index(spark, sf_dir).select("part_a", "part_b")
-    fwd = pairs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-    )
-    rev = pairs.select(
-        F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-    )
-    return fwd.unionByName(rev)
+    co-purchase pair — a projection of the materialized adjacency index
+    (the canonical pairs are distinct by construction, so the union of
+    both orientations is the distinct directed set)."""
+    return adjacency_index(spark, sf_dir).select("src", "dst")
 
 
 _PAIRS_SQL = """
@@ -163,19 +195,16 @@ def _iter_sql(prev: str) -> str:
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 parts by 3-iteration PageRank over the co-purchase graph.
     Integer fixed-point arithmetic end to end — see module docstring."""
-    # The edge relation is a parquet read of the materialized
-    # pair_support_index (hash-once/query-many), so no query-held cache is
-    # needed for it. edges_deg is referenced once per iteration and its
-    # lineage would otherwise nest multiplicatively through the rank
-    # recursion — one LAZY localCheckpoint truncates the plan without the
-    # unreleasable CacheManager entry a persist would leave (r11 verdict
-    # item 3); its blocks are GC-reclaimed with the DataFrame.
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # share(u) is recomputed per iteration from the CURRENT rank; the edge
-    # and degree relations are reused across all iterations.
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r"))
+    # The degree-annotated edge relation is a parquet read of the
+    # materialized adjacency index (hash-once/query-many): no query-held
+    # cache, no per-call degree aggregate, and each of the 3 unrolled
+    # iterations references ONE cheap scan (the rank recursion nests each
+    # prior level once, so lineage stays linear — the checkpoint the old
+    # in-query join needed is unnecessary over a parquet base).
+    edges_deg = adjacency_index(spark, sf_dir)
+    ranks = edges_deg.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r")
+    )
     for _ in range(N_ITER):
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
@@ -776,4 +805,86 @@ def graph_assortativity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ends").cast("double") * F.col("sum_xy")
             - F.col("sum_x").cast("double") * F.col("sum_y").cast("double")
         ).alias("cov_num"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_FREQ_EDGES_SQL}),
+    adj AS (
+      SELECT part_a AS node, part_b AS nb FROM edges
+      UNION ALL
+      SELECT part_b AS node, part_a AS nb FROM edges
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    wedges AS (
+      SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+      FROM edges e1 JOIN edges e2 ON e1.part_b = e2.part_a
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN edges e ON e.part_a = w.a AND e.part_b = w.c
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS t
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node AS part_key,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+           CAST((1000000 * 2 * COALESCE(p.t, 0)) // (d.d * (d.d - 1))
+                AS BIGINT) AS clustering_ppm
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    WHERE d.d >= 2
+    """,
+    tags=("graph", "clustering", "link-analysis"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the frequent co-purchase
+    graph: 2·triangles(v) / (deg(v)·(deg(v)-1)) in ppm integer arithmetic
+    — how close each part's neighborhood is to a clique. The
+    community-density profile that separates "hub bridging many contexts"
+    (low coefficient) from "member of one tight kit" (high) — the
+    per-node refinement of graph_triangle_parts' top-k.
+
+    Scale shape: all relations derive from the materialized
+    pair_support_index (parquet reads, no query-time self-join on the
+    fact table). Triangle counting is the canonical-order wedge join +
+    closing equi-join (a<b<c counts each triangle once, exploded to its
+    three corners for per-node credit); degree is a plain count over the
+    symmetrized distinct pairs; all shuffles keyed on node ids. ppm
+    products stay far under 2^63 (degree ≤ |parts|)."""
+    edges = _frequent_edges(spark, sf_dir)
+    adj = edges.select(F.col("part_a").alias("node")).unionByName(
+        edges.select(F.col("part_b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, on=[F.col("e1.part_b") == F.col("e2.part_a")]).select(
+        F.col("e1.part_a").alias("a"),
+        F.col("e1.part_b").alias("b"),
+        F.col("e2.part_b").alias("c"),
+    )
+    closing = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    tri = wedges.join(closing, on=["a", "c"], how="left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST((1000000 * 2 * coalesce(t, 0)) div (d * (d - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
     )

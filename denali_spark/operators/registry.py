@@ -101,7 +101,10 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # --- NEW round-12 queries go here (cap leaves 4 slots) ---
+    # --- NEW round-12 queries (cap leaves 4 slots; 46 + 3 = 49 used) ---
+    "text_simpson_diversity",
+    "graph_clustering_coefficient",
+    "win_rolling_quantile",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

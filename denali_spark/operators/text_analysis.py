@@ -2017,6 +2017,62 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({SQL_TOKENS.format(c='text')}) AS tok
+      FROM documents
+    ),
+    tt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    m AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+             CAST(SUM(CAST(c * (c - 1) AS DECIMAL(38,0))) AS DOUBLE) AS sum_cc
+      FROM tt GROUP BY 1
+    )
+    SELECT lang, n_tokens, distinct_tokens, sum_cc,
+           1.0 - sum_cc / (CAST(n_tokens AS DOUBLE)
+                           * CAST(n_tokens - 1 AS DOUBLE)) AS simpson_diversity
+    FROM m WHERE n_tokens >= 2
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per language: 1 - Σ c(c-1) / (N(N-1)) over token
+    counts — the probability two tokens drawn without replacement differ.
+    Complements type-token ratio: TTR collapses under corpus growth
+    (Heaps' law) while Simpson is size-stable, so it's the slice-health
+    metric that survives mixing corpora of different sizes.
+
+    Exactness at scale: token counts aggregate as integers; the c(c-1)
+    products accumulate in DECIMAL(38,0) (a 1e10-count hot token squares
+    past int64), surface as DOUBLE, and the final expression is the same
+    two IEEE ops on identical inputs on both engines — bit-stable hashes
+    (the agg_regression_moments discipline).
+
+    Scale shape: one explode pre-aggregated to (lang, token) counts
+    (map-side combinable), then a bounded per-language rollup — the
+    vocabulary-keyed shuffle shape; no reducer sees a whole language."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens_col()).alias("tok"))
+    tt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    m = tt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.sum((F.col("c") * (F.col("c") - 1)).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_cc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return m.filter(F.col("n_tokens") >= 2).select(
+        "lang", "n_tokens", "distinct_tokens", "sum_cc",
+        (F.lit(1.0) - F.col("sum_cc") / (n * (n - F.lit(1.0))))
+        .alias("simpson_diversity"),
+    )
+
+
 RESERVOIR_K = 25          # docs kept per language stratum
 RESERVOIR_SALT = "denali-reservoir-v1"
 

@@ -608,3 +608,76 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (rev_cents - prev_cents)) div prev_cents AS BIGINT)"
         ).alias("growth_ppm"),
     )
+
+
+@query(
+    "win_rolling_quantile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             date_diff('day', DATE '1970-01-01', CAST(date_trunc('hour', ts) AS DATE)) * 24
+               + EXTRACT(hour FROM ts) AS hidx,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    framed AS (
+      SELECT event_type, h, c,
+             list(c) OVER (
+               PARTITION BY event_type ORDER BY hidx
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW
+             ) AS win
+      FROM hourly
+    )
+    SELECT event_type, h, CAST(c AS BIGINT) AS n_events,
+           CAST(len(win) AS BIGINT) AS n_window,
+           CAST(list_sort(win)[CAST(ceil(0.95 * len(win)) AS BIGINT)]
+                AS BIGINT) AS p95_count
+    FROM framed
+    """,
+    tags=("window", "quantile", "timeseries"),
+)
+def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h p95 of hourly event volume per event type: the rolling
+    tail-quantile behind burst alerting ("is this hour's volume above the
+    window's p95?") — rank-based where a rolling mean would be dragged by
+    the very bursts it should flag. Exact discrete quantile: both engines
+    sort the SAME ≤24 integer counts and index ceil(0.95·n) — integers in,
+    integer out, no interpolation convention to disagree on.
+
+    Scale shape: the raw stream pre-aggregates to (event_type, hour)
+    counts (partial-aggregable — the only shuffle that sees event volume),
+    then ONE window pass per type over that bounded relation with an
+    integer-keyed RANGE frame capped at 24 elements — O(24) state per
+    frame, no self-join, no pair blowup. The hour index is derived from
+    date+hour components, never epoch-of-timestamp, so session timezone
+    can't shift the frame (events.ts is TIMESTAMP_NTZ)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "hidx",
+            F.datediff(F.to_date("h"), F.lit("1970-01-01")).cast("long") * 24
+            + F.hour("h").cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-23, Window.currentRow)
+    )
+    framed = hourly.withColumn("win", F.collect_list("c").over(w))
+    sorted_win = F.array_sort("win")
+    n = F.size("win")
+    idx = F.ceil(F.lit(0.95) * n).cast("int")
+    return framed.select(
+        "event_type",
+        "h",
+        F.col("c").cast("long").alias("n_events"),
+        n.cast("long").alias("n_window"),
+        F.element_at(sorted_win, idx).cast("long").alias("p95_count"),
+    )

@@ -18,6 +18,13 @@ SF = "/root/testdata/sf0.001"
 spark = get_spark("dedup-pipeline")
 spark.sparkContext.setLogLevel("ERROR")
 
+# Ingest-time step: materialize the MinHash signature index for this
+# corpus (build-once/read-many; a no-op when the fingerprinted cache
+# already exists — every dedup stage below reads it).
+from denali_spark.operators.dedup import minhash_signature_index
+
+print("signature index rows:", minhash_signature_index(spark, SF).count())
+
 pairs = dedup_minhash_lsh_pairs(spark, SF)
 print("near-dup pairs:", pairs.count())
 

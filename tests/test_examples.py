@@ -18,15 +18,19 @@ import pytest
 EXAMPLES_DIR = pathlib.Path(__file__).parents[1] / "examples"
 EXAMPLES = sorted(EXAMPLES_DIR.glob("*.py"))
 
-# Executed end-to-end per r10 verdict item 3: each runs in well under a
-# minute at its built-in smoke SF / tmpdir warehouse. The others read
-# materialized indexes or run multi-minute streams — compile-only.
+# Executed end-to-end per r10 verdict item 3 (+ r11 item 7): each runs in
+# well under a minute at its built-in smoke SF / tmpdir warehouse. The
+# index examples build their tiny sf0.001 indexes inline (build-once APIs
+# are idempotent). Only the multi-minute streaming walkthroughs stay
+# compile-only.
 EXECUTED = [
     "catalog_quickstart.py",
     "sql_ddl_lifecycle.py",
     "deletion_vectors.py",
     "online_index_lifecycle.py",
     "table_maintenance.py",  # ~28s: covers zorder/analyze/plan/retention
+    "ann_search.py",  # builds + probes the sf0.001 LSH bucket index
+    "dedup_pipeline.py",  # builds + consumes the sf0.001 signature index
 ]
 
 

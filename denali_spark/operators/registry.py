@@ -101,10 +101,11 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # --- NEW round-12 queries (cap leaves 4 slots; 46 + 3 = 49 used) ---
+    # --- NEW round-12 queries (the 4 slots left by the 46: 46 + 4 = 50) ---
     "text_simpson_diversity",
     "graph_clustering_coefficient",
     "win_rolling_quantile",
+    "sim_mmr_diversify",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

@@ -2247,3 +2247,187 @@ def sim_srp_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qe"), F.col("e")).alias("cos"),
         )
     )
+
+
+# --- MMR diversified retrieval ----------------------------------------------
+
+MMR_PROBE_MOD = 211   # sparse probe set: MMR is a per-query reranking stage
+MMR_CAND = 8          # relevance candidates fed to the greedy selection
+MMR_K = 3             # diversified picks per query
+# λ = 0.7 as the integer pair (7, 3): score = 7·rel − 3·max-sim-to-selected
+_MMR_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT)"
+)
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS gmax FROM v),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x * 127.0 / s.gmax) AS INT)) AS qe
+      FROM v, s
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, qe AS pq FROM qv
+      WHERE vec_id % {MMR_PROBE_MOD} = 3
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id, v.qe AS qe,
+             {_MMR_DOT.format(a='p.pq', b='v.qe')} AS qdot
+      FROM probes p JOIN qv v ON v.vec_id <> p.query_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qdot DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {MMR_CAND}
+    ),
+    sel1 AS (SELECT query_id, neighbor_id, qe, qdot FROM cand WHERE rn = 1),
+    pool2 AS (
+      SELECT c.query_id, c.neighbor_id, c.qe, c.qdot,
+             {_MMR_DOT.format(a='c.qe', b='s1.qe')} AS sim1
+      FROM cand c JOIN sel1 s1 ON s1.query_id = c.query_id
+      WHERE c.rn > 1
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY 7 * qdot - 3 * sim1 DESC,
+                                            neighbor_id) AS r
+      FROM pool2
+    ),
+    sel2 AS (SELECT query_id, neighbor_id, qe, qdot FROM r2 WHERE r = 1),
+    pool3 AS (
+      SELECT p.query_id, p.neighbor_id, p.qdot,
+             GREATEST(p.sim1, {_MMR_DOT.format(a='p.qe', b='s2.qe')}) AS maxsim
+      FROM r2 p JOIN sel2 s2 ON s2.query_id = p.query_id
+      WHERE p.r > 1
+    ),
+    r3 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY 7 * qdot - 3 * maxsim DESC,
+                                            neighbor_id) AS r
+      FROM pool3
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(1 AS BIGINT) AS mmr_rank FROM sel1
+    UNION ALL
+    SELECT query_id, neighbor_id, qdot, CAST(2 AS BIGINT) FROM sel2
+    UNION ALL
+    SELECT query_id, neighbor_id, qdot, CAST(3 AS BIGINT) FROM r3 WHERE r = 1
+    """,
+    tags=("similarity", "mmr", "diversity"),
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein) diversified top-3
+    per probe: greedily pick the candidate maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected with λ = 0.7 —
+    the dedup-aware retrieval stage that keeps a curation batch from
+    spending its budget on near-identical neighbors. {MMR_K} unrolled
+    greedy steps over the top-{MMR_CAND} int8-dot candidates; every score
+    is integer (7·rel − 3·sim over int8 dot products, ties to the lowest
+    neighbor id), so both engines select bit-identically — the unrolled-
+    iteration parity discipline of graph_pagerank_parts applied to greedy
+    subset selection.
+
+    Scale shape: relevance scoring streams the corpus once against the
+    broadcast probe set (the sim_sq_topk shape) and keeps {MMR_CAND} rows
+    per query past the shuffle; the greedy stage then works on that
+    ≤{MMR_CAND}-row-per-query relation — per-step joins are query-keyed
+    and candidate-bounded, so the selection costs nothing at corpus
+    scale. The candidate relation is lazily checkpointed: three unrolled
+    steps reference it, and without truncation each reference replays the
+    corpus scoring join (no CacheManager entry — the r12 discipline)."""
+    v = _vecs(spark, sf_dir)
+    gmax = v.agg(
+        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
+    )
+    qv = v.crossJoin(F.broadcast(gmax)).select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
+        ).alias("qe"),
+    )
+    probes = qv.filter(F.col("vec_id") % MMR_PROBE_MOD == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("pq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    scored = qv.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qe",
+        idot(F.col("pq"), F.col("qe")).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .localCheckpoint(eager=False)
+    )
+    sel1 = cand.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        F.col("qe").alias("s1_qe"),
+        F.col("qdot").alias("s1_qdot"),
+    )
+    pool2 = (
+        cand.filter(F.col("rn") > 1)
+        .join(sel1, "query_id")
+        .select(
+            "query_id", "neighbor_id", "qe", "qdot",
+            idot(F.col("qe"), F.col("s1_qe")).alias("sim1"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(7 * F.col("qdot") - 3 * F.col("sim1")), "neighbor_id"
+    )
+    r2 = pool2.withColumn("r", F.row_number().over(w2))
+    sel2 = r2.filter(F.col("r") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s2_id"),
+        F.col("qe").alias("s2_qe"),
+        F.col("qdot").alias("s2_qdot"),
+    )
+    pool3 = (
+        r2.filter(F.col("r") > 1)
+        .join(sel2, "query_id")
+        .select(
+            "query_id", "neighbor_id", "qdot",
+            F.greatest(
+                F.col("sim1"), idot(F.col("qe"), F.col("s2_qe"))
+            ).alias("maxsim"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.desc(7 * F.col("qdot") - 3 * F.col("maxsim")), "neighbor_id"
+    )
+    sel3 = pool3.withColumn("r", F.row_number().over(w3)).filter(
+        F.col("r") == 1
+    )
+    one = sel1.select(
+        "query_id", F.col("s1_id").alias("neighbor_id"),
+        F.col("s1_qdot").alias("qdot"), F.lit(1).cast("long").alias("mmr_rank"),
+    )
+    two = sel2.select(
+        "query_id", F.col("s2_id").alias("neighbor_id"),
+        F.col("s2_qdot").alias("qdot"), F.lit(2).cast("long").alias("mmr_rank"),
+    )
+    three = sel3.select(
+        "query_id", "neighbor_id", "qdot", F.lit(3).cast("long").alias("mmr_rank")
+    )
+    return one.unionByName(two).unionByName(three)

@@ -294,3 +294,140 @@ def read_folded_signatures(
 
     got = read_folded(spark, index_root, ("sigs",))
     return None if got is None else got["sigs"]
+
+
+# --- streaming fixed-K reservoir per stratum --------------------------------
+
+RESERVOIR_STREAM_K = 25
+
+
+def _reservoir_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out = StructType(
+        [
+            StructField("stratum", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("rk", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state = StructType(
+        [
+            StructField("doc_ids", StringType()),  # json array (ordered)
+            StructField("n_seen", LongType()),
+        ]
+    )
+    return out, state
+
+
+def _reservoir_priority(doc_id: int) -> str:
+    """Deterministic sampling priority: salted md5 of the doc id — the
+    SAME key sample_fixed_k_per_stratum ranks by, so the stream's
+    reservoir is a pure function of the doc-id SET, not of arrival or
+    partition order (bit-for-bit replay, exact batch-twin equality)."""
+    import hashlib
+
+    from denali_spark.operators.text_analysis import RESERVOIR_SALT
+
+    return hashlib.md5(f"{doc_id}:{RESERVOIR_SALT}".encode()).hexdigest()
+
+
+def _reservoir_update(key, pdfs, state):
+    """applyInPandasWithState kernel: keep the K smallest (priority,
+    doc_id) pairs ever seen in this stratum. State is O(K) regardless of
+    stream length — the bounded-memory fixed-budget sample. Emits the
+    CURRENT reservoir with ranks each batch (update mode)."""
+    import json as _json
+
+    import pandas as pd
+
+    (stratum,) = key
+    if state.exists:
+        ids_json, n = state.get
+        kept = _json.loads(ids_json)
+    else:
+        kept, n = [], 0
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch_ids = pd.concat(chunks, ignore_index=True)["doc_id"].tolist()
+        n += len(batch_ids)
+        pool = {int(d) for d in kept} | {int(d) for d in batch_ids}
+        kept = [
+            d
+            for d in sorted(pool, key=lambda d: (_reservoir_priority(d), d))[
+                :RESERVOIR_STREAM_K
+            ]
+        ]
+    state.update((_json.dumps(kept), int(n)))
+    yield pd.DataFrame(
+        {
+            "stratum": [int(stratum)] * len(kept),
+            "doc_id": kept,
+            "rk": list(range(1, len(kept) + 1)),
+            "n_seen": [int(n)] * len(kept),
+        }
+    )
+
+
+def reservoir_sample_stream(stream: DataFrame, strata: int = 4) -> DataFrame:
+    """Streaming fixed-K reservoir per stratum: EXACTLY min(K, |stratum|)
+    documents per stratum at every point in the stream, chosen by the
+    salted-md5 priority of sample_fixed_k_per_stratum — the streaming
+    twin of the batch query, with EXACT set equality (not an error
+    bound): the K smallest priorities of a set are independent of
+    arrival order, so replaying the same documents in any batching
+    yields the same reservoir bit-for-bit.
+
+    At 100 TB this is the always-current eval/review sample: state is
+    O(strata × K) against an unbounded stream, and membership is a pure
+    function of doc_id, so a rebuilt pipeline converges to the identical
+    sample. Stratum here is pmod over doc_id (the landing schema carries
+    no language column); any stratum key expression slots in unchanged."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema, state_schema = _reservoir_schema()
+    sharded = stream.withColumn(
+        "stratum", F.pmod(F.col("doc_id"), F.lit(strata)).cast("long")
+    )
+    return sharded.groupBy("stratum").applyInPandasWithState(
+        _reservoir_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reservoir_sample_batch(spark: SparkSession, docs: DataFrame, strata: int = 4):
+    """Sequential reference twin: the same ranking computed as one batch
+    window over ALL documents. Returns {stratum: [doc_id, ...]} in rank
+    order for direct comparison with the stream's final state."""
+    from pyspark.sql import Window
+
+    from denali_spark.operators.text_analysis import RESERVOIR_SALT
+
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{RESERVOIR_SALT}"))
+    )
+    ranked = (
+        docs.withColumn(
+            "stratum", F.pmod(F.col("doc_id"), F.lit(strata)).cast("long")
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(key, "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= RESERVOIR_STREAM_K)
+    )
+    out: dict[int, list[int]] = {}
+    for r in ranked.orderBy("stratum", "rk").collect():
+        out.setdefault(int(r["stratum"]), []).append(int(r["doc_id"]))
+    return out

@@ -345,3 +345,54 @@ def test_fold_streamed_signatures_lifecycle(spark, doc_landing, tmp_path):
         .select("doc_id").collect()
     }
     assert 4_000_000 in gen2_ids and set(grown_ids) <= gen2_ids
+
+
+def test_streaming_reservoir_matches_batch_twin(spark, tmp_path):
+    """Streaming fixed-K reservoir per stratum: the final state after all
+    micro-batches EQUALS (set- and rank-exactly, not error-bounded) the
+    batch window rank over the full document set — membership is a pure
+    function of doc_id via the salted-md5 priority, so arrival order and
+    batch boundaries cannot matter."""
+    import time
+
+    from denali_spark.streaming.documents_stream import (
+        RESERVOIR_STREAM_K,
+        read_document_stream,
+        reservoir_sample_batch,
+        reservoir_sample_stream,
+    )
+
+    src = str(tmp_path / "res-landing")
+    # three drops with interleaved, non-contiguous ids (arrival order must
+    # not matter) — enough docs that every stratum overflows K
+    batches = [
+        [(i * 7 + 1, f"doc {i}") for i in range(0, 60)],
+        [(i * 7 + 3, f"doc {i}") for i in range(60, 120)],
+        [(i * 7 + 5, f"doc {i}") for i in range(120, 180)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    q = (
+        reservoir_sample_stream(read_document_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("res_stream")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pdf = spark.table("res_stream").toPandas()
+    got = {}
+    for stratum, grp in pdf.groupby("stratum"):
+        last = grp[grp["n_seen"] == grp["n_seen"].max()].sort_values("rk")
+        got[int(stratum)] = [int(d) for d in last["doc_id"]]
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    expected = reservoir_sample_batch(spark, all_docs)
+    assert got == expected
+    for ids in got.values():
+        assert len(ids) == RESERVOIR_STREAM_K  # every stratum overflowed K

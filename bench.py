@@ -327,12 +327,20 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     gcold = _time(lambda: pair_support_index(spark, sf_dir).count(), runs=1)
     gcold_adj = _time(lambda: adjacency_index(spark, sf_dir).count(), runs=1)
     gwarm = _time(lambda: pair_support_index(spark, sf_dir).count())
+    # r12: the simhash fingerprint index (fifth family) gets the same line
+    from denali_spark.operators.dedup import simhash_index, simhash_index_path
+
+    shutil.rmtree(simhash_index_path(sf_dir), ignore_errors=True)
+    shcold = _time(lambda: simhash_index(spark, sf_dir).count(), runs=1)
+    shwarm = _time(lambda: simhash_index(spark, sf_dir).count())
     return {
         "minhash_cold_build": cold,
         "minhash_warm_read": warm,
         "graph_pairs_cold_build": gcold,
         "graph_adj_cold_build": gcold_adj,
         "graph_pairs_warm_read": gwarm,
+        "simhash_cold_build": shcold,
+        "simhash_warm_read": shwarm,
     }
 
 def server_plan_probe(spark, sf_dir: str) -> dict:
@@ -430,6 +438,14 @@ HEADLINE = [
     # joins per round over a shrinking edge list)
     "join_interval_overlap",
     "graph_kcore_peel",
+    # round 12: MMR greedy reranking (corpus-scored once, then
+    # candidate-bounded unrolled selection), vocabulary-keyed Simpson
+    # moments, the bounded RANGE-frame rolling p95, and per-node triangle
+    # density off the materialized pair-support index
+    "sim_mmr_diversify",
+    "text_simpson_diversity",
+    "win_rolling_quantile",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -713,8 +713,6 @@ def fetch_scan_tasks(state: State, m, q, body):
     import base64 as _b64
     import json as _json
 
-    from denali_spark.sources.expressions import file_might_match
-
     token = (body or {}).get("plan-task")
     if not token:
         raise BadRequest("plan-task is required")
@@ -728,10 +726,13 @@ def fetch_scan_tasks(state: State, m, q, body):
     _, info = _table_info(state, levels, m.group("t"))
     md = meta.read_table_metadata(info.metadata_location)
     snap = _resolve_plan_snapshot(md, snap_id)
-    data, deletes = _plan_entries(snap)
     flt = spec.get("filter")
-    if flt is not None:
-        data = [e for e in data if file_might_match(flt, e.get("stats"))]
+    # Same pruning as the plan that issued the handle (stats AND
+    # transform-aware partition pruning) — the handle's nshards was
+    # computed over the fully-pruned list, so the fetch must re-derive
+    # exactly that list or shard membership drifts and partition-prunable
+    # files leak back into the shards.
+    data, deletes = _pruned_plan_entries(md, snap, flt)
     data.sort(key=lambda e: e["path"])
     subset = [e for i, e in enumerate(data) if i % nshards == shard]
     return 200, _scan_tasks_payload(subset, deletes, flt)

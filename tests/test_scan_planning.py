@@ -341,3 +341,42 @@ def test_async_plan_lifecycle_roundtrip(spark, io, monkeypatch):
         with pytest.raises(Exception) as exc:
             call()
         assert "404" in str(exc.value) or "not found" in str(exc.value)
+
+
+def test_plan_tasks_apply_partition_pruning(spark, io, monkeypatch):
+    """r12 regression: the shard fetch must re-derive EXACTLY the pruned
+    list the plan sharded — including transform-aware partition pruning,
+    not just stats pruning — or partition-prunable files leak back into
+    the shards and shard membership drifts from the handle's nshards."""
+    from denali_spark.catalog import service
+
+    io.write_table(
+        spark.range(0, 160).select("id", (F.col("id") % 40).alias("k")),
+        ["plan4"], "bucketed", mode="overwrite",
+        partition_by=[("k", "bucket[8]")],
+    )
+    # second append → ≥2 files in the surviving bucket, so the pruned
+    # list still overflows the shard size below
+    io.write_table(
+        spark.range(160, 320).select("id", (F.col("id") % 40).alias("k")),
+        ["plan4"], "bucketed", mode="append",
+        partition_by=[("k", "bucket[8]")],
+    )
+    flt = {"type": "eq", "term": "k", "value": 11}
+    sync = io.client.plan_table_scan(["plan4"], "bucketed", filter=flt)
+    expect = {t["data-file"]["file-path"] for t in sync["file-scan-tasks"]}
+    # bucket pruning must have dropped most of the 8 partitions
+    all_plan = io.client.plan_table_scan(["plan4"], "bucketed")
+    assert len(expect) < len(all_plan["file-scan-tasks"])
+    monkeypatch.setattr(service, "PLAN_SHARD_SIZE", 1)
+    sharded = io.client.plan_table_scan(["plan4"], "bucketed", filter=flt)
+    assert sharded["plan-tasks"]
+    got = [
+        t["data-file"]["file-path"]
+        for h in sharded["plan-tasks"]
+        for t in io.client.fetch_scan_tasks(["plan4"], "bucketed", h)[
+            "file-scan-tasks"
+        ]
+    ]
+    assert len(got) == len(set(got))  # exact partition, no overlap
+    assert set(got) == expect  # pruning identical to the sync plan

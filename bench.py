@@ -158,6 +158,14 @@ SF1_SUBSET = [
     # pass signal; k-core's edge list grows with basket co-occupancy
     "join_interval_overlap",
     "graph_kcore_peel",
+    # round-12: rolling p95 is one bounded-frame window pass per type
+    # (rows/type grow linearly); MMR scores the corpus once against a
+    # CONSTANT-size probe budget then selects over <=8 rows/query
+    # (sublinear is the pass signal); clustering coefficient's wedge join
+    # grows with frequent-edge co-occupancy like k-core
+    "win_rolling_quantile",
+    "sim_mmr_diversify",
+    "graph_clustering_coefficient",
 ]
 
 

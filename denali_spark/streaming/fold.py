@@ -45,6 +45,13 @@ class FoldRelation:
     columns: tuple[str, ...]
     num_files: int
     distribute_by: tuple[str, ...] = field(default_factory=tuple)
+    # Optional DataFrame -> DataFrame applied AFTER the base∪batches union
+    # and BEFORE the layout repartition: additive relations (e.g. the
+    # co-purchase pair-support counts) fold by re-aggregating the union
+    # (one row per key in the new generation) instead of accumulating
+    # per-batch partials forever. None = plain union (row-disjoint
+    # relations: signatures, buckets, inverted lists, codes).
+    merge: object = None
 
 
 def committed_batch_ids(dirs: list[str]) -> list[int]:
@@ -133,6 +140,8 @@ def fold_streamed_partitions(
             *[os.path.join(rel.store_dir, f"batch_id={b}") for b in new_batches]
         )
         merged = prev.select(*rel.columns).unionByName(fresh.select(*rel.columns))
+        if rel.merge is not None:
+            merged = rel.merge(merged).select(*rel.columns)
         merged = (
             merged.repartition(rel.num_files, *rel.distribute_by)
             if rel.distribute_by

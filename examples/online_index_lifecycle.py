@@ -80,5 +80,39 @@ assert [(r["neighbor_id"], r["rn"]) for r in folded] == [
 ]
 assert read_streamed_buckets(spark, bucket_dir) is None  # store truncated
 
+# --- the same lifecycle for the co-purchase graph (ADDITIVE fold) -----------
+# New order lines stream in; each batch appends pair-support partials; the
+# graft read re-aggregates base ∪ partials to one row per pair, and the fold
+# SUMS supports into the next generation (FoldRelation.merge).
+from denali_spark.streaming import (
+    fold_pair_support,
+    make_pair_support_sink,
+    pair_support_with_grafts,
+    read_lineitem_stream,
+)
+
+glanding = tempfile.mkdtemp(prefix="denali-example-graph-landing-")
+gstore = tempfile.mkdtemp(prefix="denali-example-graph-store-")
+groot = tempfile.mkdtemp(prefix="denali-example-graph-fold-")
+spark.createDataFrame(
+    [(10**9 + 1, 11), (10**9 + 1, 12), (10**9 + 2, 11), (10**9 + 2, 12)],
+    "l_orderkey long, l_partkey long",
+).coalesce(1).write.mode("append").parquet(glanding)
+gq = (
+    read_lineitem_stream(spark, glanding)
+    .writeStream.foreachBatch(make_pair_support_sink(gstore))
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="denali-example-graph-ck-"))
+    .start()
+)
+gq.processAllAvailable()
+gq.stop()
+grafted_pairs = pair_support_with_grafts(spark, SF, gstore)
+delta = grafted_pairs.filter("part_a = 11 AND part_b = 12").collect()
+print("grafted (11,12) support:", delta[0]["support"])
+assert delta[0]["support"] >= 2  # the two streamed orders
+print("graph fold:", fold_pair_support(spark, SF, gstore, groot))
+folded_pairs = pair_support_with_grafts(spark, SF, gstore, index_root=groot)
+assert folded_pairs.filter("part_a = 11 AND part_b = 12").collect()[0]["support"] == delta[0]["support"]
+
 spark.stop()
 print("OK")

@@ -202,10 +202,22 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prior level once, so lineage stays linear — the checkpoint the old
     # in-query join needed is unnecessary over a parquet base).
     edges_deg = adjacency_index(spark, sf_dir)
-    ranks = edges_deg.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r")
+    # Iteration 1 needs no rank join: r0 is the CONSTANT SCALE for every
+    # node, so its contribution is SCALE div outdeg straight off the
+    # degree-annotated edge relation — one aggregate instead of a
+    # join+aggregate (and no distinct-node seed relation at all).
+    contrib = (
+        edges_deg.select(
+            "dst", F.expr(f"CAST({SCALE} AS BIGINT) div outdeg").alias("share")
+        )
+        .groupBy("dst")
+        .agg(F.sum("share").alias("contrib"))
     )
-    for _ in range(N_ITER):
+    ranks = contrib.select(
+        F.col("dst").alias("node"),
+        (F.lit(BASE) + F.expr("(85 * contrib) div 100")).alias("r"),
+    )
+    for _ in range(N_ITER - 1):
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(

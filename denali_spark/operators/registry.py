@@ -101,11 +101,14 @@ DRIVER_PRIORITY: list[str] = [
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    # --- NEW round-12 queries (the 4 slots left by the 46: 46 + 4 = 50) ---
+    # --- NEW round-12 queries (the 4 slots left by the 46: 46 + 4 = 50;
+    # the late-round additions below the cap line lead the r13 rotation) ---
     "text_simpson_diversity",
     "graph_clustering_coefficient",
     "win_rolling_quantile",
     "sim_mmr_diversify",
+    "ts_anomaly_mad",
+    "ts_asof_join_tolerance",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

@@ -1697,3 +1697,175 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_x").cast("double") * F.col("sum_y").cast("double")
         ).alias("cov_num"),
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                  + EXTRACT(hour FROM ts) AS BIGINT) AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hour_id, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n, hour_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM hourly
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN 2 * SUM(n)
+                       ELSE SUM(n) END AS BIGINT) AS median_2x
+      FROM ranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, h.hour_id, h.n,
+             ABS(2 * h.n - m.median_2x) AS dev2x
+      FROM hourly h JOIN med m ON h.event_type = m.event_type
+    ),
+    dranked AS (
+      SELECT event_type, dev2x,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2x, hour_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(CASE WHEN MAX(cnt) % 2 = 1 THEN 2 * SUM(dev2x)
+                       ELSE SUM(dev2x) END AS BIGINT) AS mad_4x
+      FROM dranked WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           MAX(m.median_2x) AS median_2x, MAX(a.mad_4x) AS mad_4x,
+           CAST(SUM(CASE WHEN 2 * d.dev2x > 3 * a.mad_4x THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dev d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("timeseries", "anomaly", "robust-stats"),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly screen per event type: an hour is anomalous
+    when |count − median| > 3·MAD over the type's hourly distribution —
+    the heavy-tail-safe companion of ts_anomaly_zscore (a burst inflates
+    a stddev yardstick and hides itself; MAD's breakdown point is 50%).
+    All integer via the text_length_mad_outliers scaling: median×2,
+    MAD×4, cutoff 2·dev2x > 3·mad_4x — no halving, no floats,
+    bit-identical engines.
+
+    Scale shape: the raw stream pre-aggregates to (type, hour) counts
+    (the only shuffle that sees event volume), then two per-type rank
+    windows over that bounded relation (the exact-median idiom, unique
+    hour_id tiebreakers) and two broadcast-sized scalar joins; the rollup
+    lands on the event-type key space."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")) * 24
+                + F.hour("ts")
+            ).cast("long").alias("hour_id"),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def _middle_sum(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "hour_id")
+        ranked = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type")
+            ).alias("cnt"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        return mid.groupBy("event_type").agg(
+            F.when(
+                F.max("cnt") % 2 == 1, 2 * F.sum(col)
+            ).otherwise(F.sum(col)).cast("long").alias(out)
+        )
+
+    med = _middle_sum(hourly, "n", "median_2x")
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", "hour_id", "n",
+        F.abs(2 * F.col("n") - F.col("median_2x")).alias("dev2x"),
+    )
+    mad = _middle_sum(dev, "dev2x", "mad_4x")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("median_2x").alias("median_2x"),
+            F.max("mad_4x").alias("mad_4x"),
+            F.sum(
+                F.when(2 * F.col("dev2x") > 3 * F.col("mad_4x"), 1).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+    )
+
+
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour — pandas merge_asof's `tolerance`
+
+
+@query(
+    "ts_asof_join_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+             epoch_us(c.ts) AS us, c.value AS v
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, purchase_us,
+           CASE WHEN us IS NOT NULL
+                 AND purchase_us - us <= {ASOF_TOLERANCE_US}
+                THEN us END AS click_us,
+           CASE WHEN us IS NOT NULL
+                 AND purchase_us - us <= {ASOF_TOLERANCE_US}
+                THEN v END AS click_value
+    FROM b
+    """,
+    tags=("timeseries", "asof-join", "custom-operator"),
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a tolerance window (pandas merge_asof's
+    `tolerance`, QuestDB/kdb's windowed asof): the latest click at or
+    before each purchase counts only within 1 hour — beyond that the
+    match is stale and the row keeps NULLs rather than attributing a
+    purchase to last week's click. Completes the as-of family
+    (backward / forward / nearest / tolerance).
+
+    Scale shape: identical to ts_asof_join — ONE union-and-carry window
+    pass per (user_id, ts); the tolerance is a scalar post-filter on the
+    carried timestamp, adding zero shuffles (contrast with a range join,
+    which would pay a pair expansion to express the same bound)."""
+    events = load_table(spark, sf_dir, "events")
+    carried = _asof_union_carry(events, forward=False)
+    within = F.col("click_us").isNotNull() & (
+        (F.col("purchase_us") - F.col("click_us")) <= ASOF_TOLERANCE_US
+    )
+    return carried.select(
+        "event_id", "user_id", "purchase_us",
+        F.when(within, F.col("click_us")).alias("click_us"),
+        F.when(within, F.col("click_value")).alias("click_value"),
+    )

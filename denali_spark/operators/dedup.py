@@ -889,18 +889,104 @@ def simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     or push empty-shingle rows at every MinHash consumer."""
     from denali_spark.engine.index_cache import index_file_count, materialize_parquet
 
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        hw = F.transform(F.array_distinct(tokens_col()), h60)
-        return (
-            docs.select("doc_id", hw.alias("hw"))
-            .filter(F.size("hw") > 0)
-            .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
-        )
-
     return materialize_parquet(
-        spark, simhash_index_path(sf_dir), build,
+        spark, simhash_index_path(sf_dir),
+        lambda: _with_simhash(load_table(spark, sf_dir, "documents")),
         num_files=index_file_count(sf_dir, "documents"),
+    )
+
+
+def _with_simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for every doc with ≥1 token — the single source
+    of the fingerprint computation (index build AND streaming guard)."""
+    hw = F.transform(F.array_distinct(tokens_col()), h60)
+    return (
+        docs.select("doc_id", hw.alias("hw"))
+        .filter(F.size("hw") > 0)
+        .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
+    )
+
+
+def _simhash_bands(fp: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bh) — the 4 byte-bands used as blocking
+    keys (pigeonhole: Hamming ≤ 6 over 32 bits shares ≥1 exact byte
+    unless the differing bits spread 4-wide)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright("simhash", 8 * k).bitwiseAND(F.lit(255)).alias("bh"),
+            )
+            for k in range(4)
+        ]
+    )
+    return fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("x")
+    ).select(
+        "doc_id", "simhash",
+        F.col("x.band").alias("band"), F.col("x.bh").alias("bh"),
+    )
+
+
+def online_simhash_dedup(
+    docs: DataFrame,
+    corpus_fp: DataFrame,
+    max_hamming: int = 6,
+    *,
+    new_fp: DataFrame | None = None,
+    self_dedup: bool = False,
+) -> DataFrame:
+    """SimHash twin of online_dedup: flag each incoming document whose
+    fingerprint is within `max_hamming` bits of a corpus fingerprint (or,
+    with self_dedup, of a LOWER-id doc in the same batch). One verdict
+    row per doc: (doc_id, is_duplicate, dup_of, hamming) — dup_of is the
+    closest match, lowest id on ties.
+
+    Scale shape: band equi-join only (batch bands × corpus bands on the
+    4 byte-band blocking key), Hamming verified on the joined rows — the
+    batch side is micro-batch-sized and broadcasts; the corpus side is
+    the materialized fingerprint index."""
+    fresh = new_fp if new_fp is not None else _with_simhash(docs)
+    fb = _simhash_bands(fresh).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("simhash").alias("new_fp"), "band", "bh",
+    )
+    cb = _simhash_bands(corpus_fp).select(
+        F.col("doc_id").alias("dup_src"),
+        F.col("simhash").alias("src_fp"), "band", "bh",
+    )
+    ham = F.bit_count(F.col("new_fp").bitwiseXOR(F.col("src_fp")))
+    pairs = (
+        F.broadcast(fb).join(cb, ["band", "bh"])
+        .filter(ham <= max_hamming)
+        .select("new_doc_id", "dup_src", ham.alias("hamming"))
+    )
+    if self_dedup:
+        a, b = fb.alias("a"), fb.alias("b")
+        sham = F.bit_count(F.col("a.new_fp").bitwiseXOR(F.col("b.new_fp")))
+        intra = (
+            a.join(b, ["band", "bh"])
+            .filter(
+                (F.col("a.new_doc_id") < F.col("b.new_doc_id"))
+                & (sham <= max_hamming)
+            )
+            .select(
+                F.col("b.new_doc_id").alias("new_doc_id"),
+                F.col("a.new_doc_id").alias("dup_src"),
+                sham.alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(intra)
+    best = pairs.groupBy("new_doc_id").agg(
+        F.min(F.struct(F.col("hamming"), F.col("dup_src"))).alias("m")
+    )
+    return docs.select("doc_id").join(
+        best, F.col("doc_id") == F.col("new_doc_id"), "left"
+    ).select(
+        "doc_id",
+        F.col("m").isNotNull().alias("is_duplicate"),
+        F.col("m.dup_src").cast("long").alias("dup_of"),
+        F.col("m.hamming").cast("long").alias("hamming"),
     )
 
 

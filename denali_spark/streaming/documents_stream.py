@@ -431,3 +431,103 @@ def reservoir_sample_batch(spark: SparkSession, docs: DataFrame, strata: int = 4
     for r in ranked.orderBy("stratum", "rk").collect():
         out.setdefault(int(r["stratum"]), []).append(int(r["doc_id"]))
     return out
+
+
+# --- online simhash guard (the simhash twin of the minhash dedup sink) ------
+
+
+def make_simhash_guard_sink(
+    sf_dir: str,
+    out_dir: str,
+    max_hamming: int = 6,
+    fp_dir: str | None = None,
+    index_root: str | None = None,
+):
+    """foreachBatch sink: flag every incoming document whose SimHash
+    fingerprint is within `max_hamming` bits of the corpus (materialized
+    fingerprint index, or the folded generation when `index_root` is
+    given), of a previously-accepted novel doc, or of a lower-id doc in
+    the same batch; write verdicts to ``out_dir/batch_id=N/`` and
+    accepted-novel fingerprints to ``fp_dir/batch_id=N/``. Same replay
+    discipline as make_online_dedup_sink: overwriting the batch's own
+    partitions keeps at-least-once replays exactly-once in effect.
+
+    Next to the MinHash guard this is the cheap first gate: a fingerprint
+    is 8 bytes/doc (vs the signature relation's shingle sets), the band
+    join blocks on 4 exact bytes, and only band-colliding pairs pay the
+    Hamming check — the guard a 100 TB ingest runs on EVERY batch, with
+    the Jaccard-verified MinHash pass reserved for its survivors."""
+    fp_dir = fp_dir if fp_dir is not None else f"{out_dir}_fps"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from denali_spark.operators.dedup import (
+            _with_simhash,
+            online_simhash_dedup,
+            simhash_index,
+        )
+
+        spark = batch_df.sparkSession
+        fresh = _with_simhash(batch_df).persist()
+        corpus = (
+            read_folded_fingerprints(spark, index_root)
+            if index_root is not None else None
+        )
+        if corpus is None:
+            corpus = simhash_index(spark, sf_dir)
+        prior = _read_prior_sigs(spark, fp_dir, batch_id)
+        if prior is not None:
+            corpus = corpus.unionByName(prior.select("doc_id", "simhash"))
+        verdicts = online_simhash_dedup(
+            batch_df, corpus, max_hamming, new_fp=fresh, self_dedup=True
+        ).persist()
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        novel_ids = verdicts.filter(~F.col("is_duplicate")).select("doc_id")
+        fresh.join(F.broadcast(novel_ids), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{fp_dir}/batch_id={batch_id}")
+        verdicts.unpersist()
+        fresh.unpersist()
+
+    return _sink
+
+
+def fold_streamed_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_dir: str,
+    index_root: str | None = None,
+    keep_generations: int = 2,
+) -> dict:
+    """Compaction for the simhash guard's fingerprint store — the SEVENTH
+    relation on the shared generational kernel (row-disjoint per doc, so
+    the plain-union fold applies)."""
+    from denali_spark.engine.index_cache import index_file_count
+    from denali_spark.operators.dedup import simhash_index, simhash_index_path
+    from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
+
+    index_root = index_root if index_root is not None else f"{fp_dir}_folded"
+    return fold_streamed_partitions(
+        spark,
+        index_root,
+        corpus_key=os.path.basename(simhash_index_path(sf_dir)),
+        relations=[
+            FoldRelation(
+                "fp", fp_dir,
+                lambda: simhash_index(spark, sf_dir),
+                ("doc_id", "simhash"),
+                index_file_count(sf_dir, "documents"),
+            )
+        ],
+        keep_generations=keep_generations,
+    )
+
+
+def read_folded_fingerprints(
+    spark: SparkSession, index_root: str
+) -> DataFrame | None:
+    """The committed folded fingerprint generation (doc_id, simhash), or
+    None if no fold has run."""
+    from denali_spark.streaming.fold import read_folded
+
+    got = read_folded(spark, index_root, ("fp",))
+    return None if got is None else got["fp"]

@@ -468,3 +468,88 @@ def test_unlabeled_carried_entries_stay_conservative(tmp_path):
     assert by_path["/wh/t/data/old.parquet"].get("spec-id") is None
     assert by_path["/wh/t/data/old.parquet"].get("spec-id-unknown") is True
     assert by_path["/wh/t/data/new.parquet"]["spec-id"] == 1
+
+
+def test_spec_labeling_properties(tmp_path):
+    """Property test (r12): for ANY mix of explicitly-labeled, unknown-
+    marked, and fresh entries, write_manifest_list must (a) place every
+    entry in exactly one manifest, (b) set spec-id-exact=true ONLY on
+    manifests whose entries were explicitly labeled or freshly written
+    under the current spec, (c) round-trip labels/markers so a second
+    rewrite preserves the conservative/exact split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from denali_spark.sources.avro_ocf import read_ocf, read_ocf_with_meta
+
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [{"id": 1, "name": "id", "required": True, "type": "long"}],
+    }
+    spec8 = [{"name": "id_bucket", "transform": "bucket[8]",
+              "source-id": 1, "field-id": 1000}]
+    spec16 = [{"name": "id_bucket", "transform": "bucket[16]",
+               "source-id": 1, "field-id": 1000}]
+    all_specs = [{"spec-id": 0, "fields": spec8},
+                 {"spec-id": 1, "fields": spec16}]
+
+    entry_kind = st.sampled_from(["fresh", "unknown", "spec0", "spec1"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(entry_kind, min_size=1, max_size=12))
+    def run(kinds):
+        entries = []
+        for i, kind in enumerate(kinds):
+            e = {
+                "path": f"/wh/t/data/f{i}.parquet", "file-format": "parquet",
+                "record-count": 1, "file-size-bytes": 10,
+                "sequence-number": 1, "partition": {"id_bucket": i % 8},
+            }
+            if kind == "unknown":
+                e["spec-id-unknown"] = True
+            elif kind == "spec0":
+                e["spec-id"] = 0
+            elif kind == "spec1":
+                e["spec-id"] = 1
+            entries.append((kind, e))
+        d = tmp_path / f"m{abs(hash(tuple(kinds))) % 10**8}"
+        loc = write_manifest_list(
+            str(d), 7, [dict(e) for _, e in entries],
+            schema=schema, partition_spec=spec16, partition_spec_id=1,
+            all_specs=all_specs,
+        )
+        lschema, lrows = read_ocf(loc)
+        lnames = [f["name"] for f in lschema["fields"]]
+        seen = {}
+        for row in lrows:
+            mf = dict(zip(lnames, row))
+            _, mrows, meta = read_ocf_with_meta(mf["manifest_path"])
+            for r in mrows:
+                path = r[-1]["file_path"]
+                assert path not in seen, "entry in two manifests"
+                seen[path] = (meta.get("spec-id-exact"),
+                              int(meta.get("partition-spec-id")))
+        assert len(seen) == len(entries)  # (a) exactly-one placement
+        for i, (kind, _) in enumerate(entries):
+            exact, sid = seen[f"file:///wh/t/data/f{i}.parquet"]
+            if kind == "unknown":
+                assert exact != "true"  # (b) conservative stays unflagged
+            elif kind == "fresh":
+                assert (exact, sid) == ("true", 1)  # current spec, trusted
+            elif kind == "spec0":
+                assert (exact, sid) == ("true", 0)
+            else:
+                assert (exact, sid) == ("true", 1)
+        # (c) round-trip: labels/markers reproduce the same split
+        back = read_manifest_list(loc)
+        by_path = {e["path"]: e for e in back}
+        for i, (kind, _) in enumerate(entries):
+            e = by_path[f"/wh/t/data/f{i}.parquet"]
+            if kind == "unknown":
+                assert e.get("spec-id") is None and e.get("spec-id-unknown")
+            elif kind == "spec0":
+                assert e.get("spec-id") == 0
+            else:  # fresh entries come back labeled with the current spec
+                assert e.get("spec-id") == 1
+
+    run()

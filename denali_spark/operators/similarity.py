@@ -2343,17 +2343,12 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidate-bounded, so the selection costs nothing at corpus
     scale. The candidate relation is lazily checkpointed: three unrolled
     steps reference it, and without truncation each reference replays the
-    corpus scoring join (no CacheManager entry — the r12 discipline)."""
-    v = _vecs(spark, sf_dir)
-    gmax = v.agg(
-        F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
-    )
-    qv = v.crossJoin(F.broadcast(gmax)).select(
-        "vec_id",
-        F.transform(
-            "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
-        ).alias("qe"),
-    )
+    corpus scoring join (no CacheManager entry — the r12 discipline).
+    The int8 corpus is the PQ index's materialized `qvecs` relation —
+    IDENTICAL quantization (floor(x·127/gmax), global gmax), so the
+    quantization pass never runs at query time; the oracle replays it
+    from the raw table, pinning the equivalence."""
+    qv = pq_code_index(spark, sf_dir)["qvecs"]
     probes = qv.filter(F.col("vec_id") % MMR_PROBE_MOD == 3).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("pq")
     )

@@ -1584,3 +1584,46 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("full_len"),
         )
     )
+
+
+@query(
+    "dedup_sampling_weights",
+    oracle=_SQL_CC_CTES
+    + """
+    , comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.node AS doc_id, CAST(c.component AS BIGINT) AS component,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+    FROM comp c JOIN sizes s ON s.component = c.component
+    """,
+    tags=("dedup", "minhash", "sampling"),
+)
+def dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights: every document gets
+    weight = 1/|its near-dup cluster| (ppm integer floor) — the soft
+    alternative to keep-one-per-cluster dedup (Lee et al.'s dedup study;
+    down-weighting preserves rare in-cluster variation while removing the
+    repetition bias a sampler would otherwise inherit). A training-mix
+    builder multiplies these into its per-source rates; singleton docs
+    keep weight 1e6.
+
+    Scale shape: the CC labels come from the same bounded-round
+    min-label propagation as dedup_connected_components (key-partitioned
+    joins, 1-row driver aggregates), cluster sizes are one
+    partial-aggregable count over the label relation, and the weight join
+    is label-keyed — nothing new shuffles document content."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
+    docs = load_table(spark, sf_dir, "documents")
+    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
+        "doc_id", "component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "cluster_size",
+        F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias("weight_ppm"),
+    )

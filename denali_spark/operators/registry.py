@@ -109,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_mmr_diversify",
     "ts_anomaly_mad",
     "ts_asof_join_tolerance",
+    "dedup_sampling_weights",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

@@ -31,6 +31,7 @@ EXECUTED = [
     "table_maintenance.py",  # ~28s: covers zorder/analyze/plan/retention
     "ann_search.py",  # builds + probes the sf0.001 LSH bucket index
     "dedup_pipeline.py",  # builds + consumes the sf0.001 signature index
+    "graph_analytics.py",  # builds + reads the pair/adjacency/PQ indexes
 ]
 
 

@@ -90,6 +90,13 @@ this class of box: noise, no plan regression. Per-mover verdicts:
   the degree-annotated adjacency as a second graph-index artifact:
   2.14s median, at r10 parity with zero cache accretion, and
   graph_kcore_peel fell 2.78 -> 1.40s off the same parquet base.
+Round-12 end-of-round check: two quiet back-to-back HEAD legs measured
+common-33 ratios of 0.992 and 1.153 vs the local r11 leg — the first at
+parity with ALL the round's honest-cost changes absorbed (the persist
+class is gone and nothing rides the CacheManager), the second showing
+the same same-box leg spread the A/B/A documented above. kcore reads
+0.52x vs r11 (the adjacency-index win); pagerank is not a mover.
+
 Round-12 context for the NEXT comparison: graph/dedup pair queries now
 read materialized indexes (pair-support + adjacency + the signature
 index's hashed shingles), so their recorded costs are warm-index reads

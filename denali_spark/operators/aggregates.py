@@ -949,3 +949,110 @@ def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("slope_num"), den.alias("slope_den"),
         (num / den).alias("slope"),
     )
+
+
+CMS_D = 4        # hash rows
+CMS_W = 256      # buckets per row
+CMS_TOP_K = 20   # probe keys: the top-k true-frequency parts
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_partkey,
+             CAST(i AS INT) AS i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                  CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                  % {CMS_W} AS INT) AS bucket
+      FROM lineitem CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS i)
+    ),
+    counters AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM lineitem GROUP BY 1
+    ),
+    probes AS (
+      SELECT l_partkey, true_cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY true_cnt DESC, l_partkey) AS rn
+        FROM truth
+      ) WHERE rn <= {CMS_TOP_K}
+    ),
+    est AS (
+      SELECT p.l_partkey, p.true_cnt, MIN(c.c) AS cms_est
+      FROM probes p
+      CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS i) rs
+      JOIN counters c
+        ON c.i = rs.i
+       AND c.bucket = CAST(('0x' || substr(md5(CAST(rs.i AS VARCHAR) || ':' ||
+                            CAST(p.l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                           % {CMS_W} AS INT)
+      GROUP BY 1, 2
+    )
+    SELECT l_partkey, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+    tags=("aggregate", "sketch", "frequency"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch calibration: build a {CMS_D}×{CMS_W} CMS over
+    lineitem part frequencies, then audit its point estimates against
+    exact counts for the top-{CMS_TOP_K} parts — est ≥ truth always (CMS
+    never undercounts), and the overestimate column is the collision tax
+    the ({CMS_D},{CMS_W}) geometry pays at this key cardinality. The CMS
+    is THE mergeable frequency sketch a 100 TB engine ships where exact
+    per-key counts don't fit: counters are plain integer sums
+    (partial-aggregable — executor sketches merge by cell-wise addition),
+    and the deterministic md5-derived row hashes make the whole structure
+    bit-reproducible, so the DuckDB oracle checks the sketch itself, not
+    just its contract.
+
+    Scale shape: ONE scan exploded ×{CMS_D} into (row, bucket) cells —
+    a fixed {CMS_D}·{CMS_W}-cell aggregate, the smallest shuffle possible
+    — plus the exact top-k (partial-aggregable count + TakeOrdered) used
+    only to pick audit probes; estimates join the probe set against the
+    {CMS_D * CMS_W}-row counter table (broadcast-sized by construction)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+
+    def bucket(i_col, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"),
+                               key_col.cast("string"))), 1, 15,
+            ), 16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(CMS_W)).cast("int")
+
+    cells = li.select(
+        F.explode(rows).alias("i"), F.col("l_partkey")
+    ).select("i", bucket(F.col("i"), F.col("l_partkey")).alias("bucket"))
+    counters = cells.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    truth = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    probes = (
+        truth.orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
+        .limit(CMS_TOP_K)
+    )
+    probe_cells = probes.select(
+        "l_partkey", "true_cnt", F.explode(rows).alias("i")
+    ).select(
+        "l_partkey", "true_cnt", "i",
+        bucket(F.col("i"), F.col("l_partkey")).alias("bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "l_partkey", "true_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )

@@ -110,6 +110,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_anomaly_mad",
     "ts_asof_join_tolerance",
     "dedup_sampling_weights",
+    "agg_count_min_sketch",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

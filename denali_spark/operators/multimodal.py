@@ -1117,3 +1117,76 @@ def mm_payload_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("reclaimable_bytes"),
     ).select(F.col("n_copies").cast("long").alias("n_copies"),
              "n_groups", "reclaimable_bytes")
+
+
+@query(
+    "mm_image_dedup_keep_best",
+    oracle=_SQL_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", pairs AS ("
+    + _SQL_PHASH_PAIRS
+    + """
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             CAST(d.n_chars AS BIGINT) AS asset_bytes,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, asset_bytes,
+           (rk = 1) AS keep, CAST(n_members AS BIGINT) AS n_members
+    FROM ranked
+    """,
+    tags=("multimodal", "phash", "dedup", "pandas-udf"),
+)
+def mm_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best per near-duplicate IMAGE cluster: within each phash
+    component, keep the LARGEST asset (byte size as the resolution/quality
+    proxy — a crawl's thumbnail/recompressed copies are smaller than the
+    original; ties to the lowest doc_id) — the image twin of
+    text_dedup_keep_best, completing the multimodal dedup lifecycle
+    (pairs → clusters → survivorship decision).
+
+    Scale shape: reuses the banded phash pair graph + min-label
+    propagation (no quadratics), then ONE window over `component` whose
+    cardinality is ~n_assets (clusters are tiny), so the rank shuffle is
+    well-distributed; the byte column joins back by doc_id."""
+    from denali_spark.operators.dedup import propagate_min_labels
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = mm_image_phash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
+    )
+    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
+        "doc_id", "component"
+    )
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", "component", F.col("n_chars").cast("long").alias("asset_bytes")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("asset_bytes"), F.asc("doc_id")
+    )
+    return sized.select(
+        "doc_id", "component", "asset_bytes",
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.count(F.lit(1)).over(Window.partitionBy("component"))
+        .cast("long").alias("n_members"),
+    )

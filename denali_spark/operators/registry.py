@@ -111,6 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_asof_join_tolerance",
     "dedup_sampling_weights",
     "agg_count_min_sketch",
+    "mm_image_dedup_keep_best",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

@@ -1627,3 +1627,65 @@ def dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias("weight_ppm"),
     )
+
+
+@query(
+    "dedup_detector_agreement",
+    oracle=_SQL_SIG_BASE + _SQL_PAIR_CTES + f"""
+    , s_hw AS (
+      SELECT doc_id,
+             list_transform(list_distinct(t), w -> {SQL_H60.format(c='w')}) AS hw
+      FROM toks WHERE len(t) > 0
+    ),
+    s_fp AS (SELECT doc_id, {_sql_simhash('hw')} AS simhash FROM s_hw),
+    s_bands AS (
+      SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+             (simhash >> (unnest(range(0, 4)) * 8)) & 255 AS bh
+      FROM s_fp
+    ),
+    s_pairs AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM s_bands a
+      JOIN s_bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ),
+    m_pairs AS (SELECT DISTINCT i, j FROM pairs),
+    classed AS (
+      SELECT CASE WHEN m.i IS NOT NULL AND s.i IS NOT NULL THEN 'both'
+                  WHEN m.i IS NOT NULL THEN 'minhash_only'
+                  ELSE 'simhash_only' END AS detector
+      FROM m_pairs m FULL OUTER JOIN s_pairs s ON m.i = s.i AND m.j = s.j
+    )
+    SELECT detector, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM classed GROUP BY detector
+    """,
+    tags=("dedup", "minhash", "simhash", "audit"),
+)
+def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector audit: how much of the near-dup pair space the
+    Jaccard-verified MinHash-LSH detector and the Hamming-banded SimHash
+    detector each see — `both` is the consensus core, `minhash_only` the
+    word-overlap dups simhash's 32-bit majority vote smooths over,
+    `simhash_only` the fingerprint-close pairs whose shingle Jaccard
+    falls under 0.3 (plus band false positives). The number a pipeline
+    owner reads before deciding which guard gates ingest and which runs
+    as the verification pass — the two-detector twin of the
+    threshold-sweep and band-tuning audits.
+
+    Scale shape: both pair relations come off their materialized indexes
+    (signatures / fingerprints — no corpus re-hashing), and the agreement
+    join is pair-keyed on (i, j) — cardinality ≈ true-dup density, the
+    smallest relation in the whole pipeline."""
+    mp = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j").distinct()
+    sp = dedup_simhash_pairs(spark, sf_dir).select("i", "j").distinct()
+    m = mp.withColumn("in_m", F.lit(1))
+    s = sp.withColumn("in_s", F.lit(1))
+    classed = m.join(s, ["i", "j"], "full_outer").select(
+        F.when(F.col("in_m").isNotNull() & F.col("in_s").isNotNull(), "both")
+        .when(F.col("in_m").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+        .alias("detector")
+    )
+    return classed.groupBy("detector").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_sampling_weights",
     "agg_count_min_sketch",
     "mm_image_dedup_keep_best",
+    "dedup_detector_agreement",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

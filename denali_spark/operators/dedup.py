@@ -1689,3 +1689,59 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("detector").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+CLUSTER_HOLDOUT_SALT = "denali-cluster-holdout-v1"
+
+
+@query(
+    "sample_cluster_holdout",
+    oracle=_SQL_CC_CTES
+    + f"""
+    , comp AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+               FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             ('0x' || substr(md5(CAST(component AS VARCHAR)
+                                 || ':{CLUSTER_HOLDOUT_SALT}'),
+              1, 15))::BIGINT % 100 AS b
+      FROM comp
+    )
+    """,
+    tags=("dedup", "sampling", "holdout"),
+)
+def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the 90/5/5 salted-hash
+    assignment of sample_hash_holdout, but keyed on the near-dup CLUSTER
+    label instead of the doc id — every member of a duplicate cluster
+    lands on the same side, so a test document's near-copy can never sit
+    in the training set (the eval-contamination channel a per-doc split
+    leaves wide open; dedup studies split by cluster for exactly this
+    reason). Singletons degenerate to the per-doc split.
+
+    Scale shape: CC labels from the bounded-round min-label propagation
+    (key-partitioned joins, 1-row driver aggregates), then a scan-local
+    hash projection on the label — the split adds NOTHING to the
+    clustering's cost."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
+    docs = load_table(spark, sf_dir, "documents")
+    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("component").cast("string"),
+                               F.lit(f":{CLUSTER_HOLDOUT_SALT}"))), 1, 15,
+            ), 16, 10,
+        ).cast("long") % 100
+    )
+    return comp.select(
+        "doc_id", "component",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )

@@ -113,6 +113,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_count_min_sketch",
     "mm_image_dedup_keep_best",
     "dedup_detector_agreement",
+    "sample_cluster_holdout",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

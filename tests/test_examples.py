@@ -54,4 +54,4 @@ def test_example_executes(name):
 
 
 def test_examples_exist():
-    assert len(EXAMPLES) == 10
+    assert len(EXAMPLES) == 11

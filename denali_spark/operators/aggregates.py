@@ -1056,3 +1056,99 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overestimate"),
     )
+
+
+BLOOM_M = 4096   # filter bits
+BLOOM_K = 3      # hash functions
+
+
+@query(
+    "agg_bloom_fpr_audit",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+    members AS (SELECT l_partkey FROM keys WHERE l_partkey % 2 = 0),
+    probes AS (SELECT l_partkey FROM keys WHERE l_partkey % 2 = 1),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(rs.i AS VARCHAR) || ':' ||
+                                  CAST(m.l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                  % {BLOOM_M} AS INT) AS pos
+      FROM members m
+      CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS i) rs
+    ),
+    probe_hits AS (
+      SELECT p.l_partkey, COUNT(b.pos) AS n_hit
+      FROM probes p
+      CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS i) rs
+      LEFT JOIN bits b
+        ON b.pos = CAST(('0x' || substr(md5(CAST(rs.i AS VARCHAR) || ':' ||
+                         CAST(p.l_partkey AS VARCHAR)), 1, 15))::BIGINT
+                        % {BLOOM_M} AS INT)
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives
+    FROM probe_hits
+    """,
+    tags=("aggregate", "sketch", "bloom"),
+)
+def agg_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit: build a {BLOOM_M}-bit/{BLOOM_K}-hash
+    filter over the even part keys, probe it with the odd ones (guaranteed
+    non-members), and report the measured false-positive count next to the
+    filter's fill (n_bits_set / {BLOOM_M} drives the theoretical
+    (fill)^{BLOOM_K} rate). The sketch-health companion of
+    agg_count_min_sketch and agg_hll_mergeable_rollup: the engine's
+    ANALYZE path writes per-file bloom blobs for point-lookup pruning,
+    and this is the query that tells you what a given (m, k) geometry
+    actually buys at your key cardinality. Deterministic md5 hashing
+    makes the filter bit-reproducible — the oracle checks the structure,
+    not a probabilistic contract.
+
+    Scale shape: the bit set is a DISTINCT over members × {BLOOM_K}
+    positions (bounded by {BLOOM_M} rows — broadcast-sized by
+    construction); probes explode ×{BLOOM_K} and equi-join the bit set;
+    the verdict is one partial-aggregable rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    rows = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+
+    def pos(i_col, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"),
+                               key_col.cast("string"))), 1, 15,
+            ), 16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(BLOOM_M)).cast("int")
+
+    members = li.filter(F.col("l_partkey") % 2 == 0)
+    probes = li.filter(F.col("l_partkey") % 2 == 1)
+    bits = (
+        members.select(F.explode(rows).alias("i"), "l_partkey")
+        .select(pos(F.col("i"), F.col("l_partkey")).alias("pos"))
+        .distinct()
+    )
+    probe_hits = (
+        probes.select("l_partkey", F.explode(rows).alias("i"))
+        .select("l_partkey", pos(F.col("i"), F.col("l_partkey")).alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("l_partkey")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    # 1-row aggregates broadcast into the verdict row — no driver-side
+    # counts, one job end to end
+    mstats = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    bstats = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    verdict = probe_hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("n_hit") == BLOOM_K, 1).otherwise(0))
+        .cast("long").alias("n_false_positives"),
+    )
+    return (
+        verdict.crossJoin(F.broadcast(mstats))
+        .crossJoin(F.broadcast(bstats))
+        .select("n_members", "n_bits_set", "n_probes", "n_false_positives")
+    )

@@ -114,6 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm_image_dedup_keep_best",
     "dedup_detector_agreement",
     "sample_cluster_holdout",
+    "agg_bloom_fpr_audit",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

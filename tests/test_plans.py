@@ -158,6 +158,9 @@ NON_EQUI_WHITELIST = {
     # deliberate 1-row x 1-row join of two global aggregates (split to
     # avoid Catalyst's Expand rewrite — see the query docstring)
     "agg_approx_sketches",
+    # verdict row x two broadcast 1-row count aggregates (members/bits):
+    # both nested-loop sides are single rows by construction
+    "agg_bloom_fpr_audit",
     # q22: scalar-subquery average compared per row — Catalyst plans the
     # 1-row aggregate as a broadcast nested loop (1 x n, linear)
     "q22_global_sales_opportunity",

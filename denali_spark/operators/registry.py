@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_detector_agreement",
     "sample_cluster_holdout",
     "agg_bloom_fpr_audit",
+    "text_stopword_profile_distance",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

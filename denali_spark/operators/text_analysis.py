@@ -2323,3 +2323,93 @@ def text_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "text_stopword_profile_distance",
+    oracle=f"""
+    WITH sw AS (
+      SELECT sw FROM ({_SQL_STOPWORD_LISTS}) WHERE sw_lang = 'en'
+    ),
+    toks AS (
+      SELECT source, unnest({SQL_TOKENS.format(c='text')}) AS tok
+      FROM documents WHERE lang = 'en'
+    ),
+    hits AS (
+      SELECT t.source, t.tok AS w, COUNT(*) AS c
+      FROM toks t JOIN sw ON sw.sw = t.tok
+      GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, SUM(c) AS n FROM hits GROUP BY 1),
+    corp AS (SELECT w, SUM(c) AS c FROM hits GROUP BY 1),
+    corp_tot AS (SELECT SUM(c) AS n FROM corp),
+    grid AS (
+      SELECT s.source, sw.sw AS w FROM src_tot s CROSS JOIN sw
+    ),
+    profile AS (
+      SELECT g.source, g.w,
+             (1000000 * COALESCE(h.c, 0)) // st.n AS f_src_ppm,
+             (1000000 * COALESCE(cp.c, 0)) // ct.n AS f_corp_ppm
+      FROM grid g
+      JOIN src_tot st ON st.source = g.source
+      LEFT JOIN hits h ON h.source = g.source AND h.w = g.w
+      LEFT JOIN corp cp ON cp.w = g.w
+      CROSS JOIN corp_tot ct
+    )
+    SELECT p.source AS source,
+           CAST(MAX(st.n) AS BIGINT) AS n_stopword_tokens,
+           CAST(SUM(ABS(f_src_ppm - f_corp_ppm)) AS BIGINT) AS l1_ppm
+    FROM profile p JOIN src_tot st ON st.source = p.source
+    GROUP BY p.source
+    """,
+    tags=("text", "quality", "domain-shift"),
+)
+def text_stopword_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register/domain-shift detector: per source, the L1 distance (ppm
+    integers) between its English stopword-usage distribution and the
+    corpus-wide profile over the fixed stopword vocabulary — function-word
+    frequencies are the classic stylometric fingerprint (near-free to
+    compute, content-topic-invariant), so a source whose profile sits far
+    from the corpus is a different REGISTER (legalese, chat, OCR noise)
+    even when its quality scores look normal. Pairs with
+    text_stopword_coverage: coverage says how much function-word mass a
+    slice has, this says whether the mass is SHAPED like everyone else's.
+
+    Exactness: per-term frequencies floor to integer ppm before the
+    subtraction, so both engines sum identical integers — bit-stable.
+
+    Scale shape: the token stream joins a ~40-row broadcast vocabulary
+    and pre-aggregates to (source, word) counts (the only shuffle that
+    sees token volume); the profile grid is |sources| × |vocabulary| —
+    broadcast-sized — and the rollup lands on the source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.sparkSession.createDataFrame(
+        [(w,) for w in _STOPWORDS["en"]], "w string"
+    )
+    toks = docs.filter(F.col("lang") == "en").select(
+        "source", F.explode(tokens_col()).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(sw), toks["tok"] == sw["w"])
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = hits.groupBy("source").agg(F.sum("c").alias("n"))
+    corp = hits.groupBy("w").agg(F.sum("c").alias("cc"))
+    corp_tot = corp.agg(F.sum("cc").alias("cn"))
+    grid = src_tot.select("source", "n").crossJoin(F.broadcast(sw))
+    profile = (
+        grid.join(hits, ["source", "w"], "left")
+        .join(F.broadcast(corp), "w", "left")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source", "n",
+            F.expr("(1000000 * coalesce(c, 0)) div n").alias("f_src_ppm"),
+            F.expr("(1000000 * coalesce(cc, 0)) div cn").alias("f_corp_ppm"),
+        )
+    )
+    return profile.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_stopword_tokens"),
+        F.sum(F.abs(F.col("f_src_ppm") - F.col("f_corp_ppm")))
+        .cast("long").alias("l1_ppm"),
+    )

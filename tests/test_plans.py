@@ -161,6 +161,9 @@ NON_EQUI_WHITELIST = {
     # verdict row x two broadcast 1-row count aggregates (members/bits):
     # both nested-loop sides are single rows by construction
     "agg_bloom_fpr_audit",
+    # profile grid = per-source totals x the ~40-row stopword vocabulary
+    # (both bounded by construction), plus the 1-row corpus total
+    "text_stopword_profile_distance",
     # q22: scalar-subquery average compared per row — Catalyst plans the
     # 1-row aggregate as a broadcast nested loop (1 x n, linear)
     "q22_global_sales_opportunity",

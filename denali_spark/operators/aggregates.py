@@ -1152,3 +1152,89 @@ def agg_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bstats))
         .select("n_members", "n_bits_set", "n_probes", "n_false_positives")
     )
+
+
+@query(
+    "agg_skyline_parts",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS qty_c,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT l_partkey, qty_c, rev_c,
+             MAX(rev_c) OVER (
+               ORDER BY qty_c
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS best_rev_higher_qty,
+             MAX(rev_c) OVER (PARTITION BY qty_c) AS best_rev_same_qty
+      FROM m
+    )
+    SELECT l_partkey, qty_c, rev_c
+    FROM w
+    WHERE (best_rev_higher_qty IS NULL OR best_rev_higher_qty < rev_c)
+      AND rev_c = best_rev_same_qty
+    """,
+    tags=("aggregate", "skyline", "window"),
+)
+def agg_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts over (total quantity, total
+    revenue): a part is on the frontier iff no other part dominates it —
+    strictly more revenue at the same-or-higher quantity, or any revenue
+    advantage at strictly higher quantity. The classic skyline operator
+    done WITHOUT the naive O(n²) dominance self-join: sort by quantity
+    and take a running maximum of revenue over the strictly-higher-
+    quantity suffix (one RANGE window) plus a per-quantity-group max for
+    ties — O(n log n), exactly the plan shape that survives 10⁹ parts.
+    Exact integer cents on both axes, so frontier membership is
+    bit-identical across engines.
+
+    Scale shape: one partial-aggregable groupBy to the (part, qty, rev)
+    moment relation, then two windows over it keyed on the quantity axis;
+    no self-join, no pair blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")) * 100).cast("long").alias("qty_c"),
+        (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("rev_c"),
+    )
+    # Distributed suffix-max (the _with_global_rn two-pass shape): range-
+    # partition on the quantity axis (equal keys co-locate, so higher
+    # partitions hold STRICTLY greater quantities), take the per-partition
+    # suffix max locally, and close the cross-partition gap with a
+    # broadcast suffix over the <=32-row per-partition maxima — the
+    # oracle's single global window never materializes; no task ever sees
+    # more than its range slice.
+    data = m.repartitionByRange(32, "qty_c").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid").orderBy("qty_c")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("qty_c")
+    loc = data.select(
+        "l_partkey", "qty_c", "rev_c", "_pid",
+        F.max("rev_c").over(w_local).alias("loc_best_higher"),
+        F.max("rev_c").over(w_same).alias("best_rev_same_qty"),
+    )
+    pmax = data.groupBy("_pid").agg(F.max("rev_c").alias("pmax"))
+    w_p = Window.orderBy("_pid").rowsBetween(1, Window.unboundedFollowing)
+    suffix = pmax.select(
+        "_pid", F.max("pmax").over(w_p).alias("higher_part_best")
+    )
+    lo = F.lit(-(1 << 62)).cast("long")
+    flagged = loc.join(F.broadcast(suffix), "_pid").select(
+        "l_partkey", "qty_c", "rev_c", "best_rev_same_qty",
+        F.greatest(
+            F.coalesce(F.col("loc_best_higher"), lo),
+            F.coalesce(F.col("higher_part_best"), lo),
+        ).alias("best_rev_higher_qty"),
+    )
+    return flagged.filter(
+        (F.col("best_rev_higher_qty") < F.col("rev_c"))
+        & (F.col("rev_c") == F.col("best_rev_same_qty"))
+    ).select("l_partkey", "qty_c", "rev_c")

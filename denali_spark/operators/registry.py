@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_cluster_holdout",
     "agg_bloom_fpr_audit",
     "text_stopword_profile_distance",
+    "agg_skyline_parts",
     # --- round-9-attested ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",

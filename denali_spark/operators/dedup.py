@@ -742,6 +742,64 @@ def propagate_min_labels(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def cc_label_index_path(sf_dir: str) -> str:
+    """Canonical on-disk location of the corpus's near-dup CLUSTER-LABEL
+    index — the ONE place its cache-key geometry lives (bench and tests
+    must use this, not re-derive the path). The geometry folds in the
+    full upstream detector (band layout, permutation count, Jaccard
+    threshold) plus the file layout, so retuning the LSH detector or the
+    index width rebuilds the labels."""
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+    )
+
+    n_files = index_file_count(sf_dir, "documents")
+    key = corpus_fingerprint(
+        sf_dir,
+        "documents",
+        f"cc|{N_BANDS}x{BAND_ROWS}|{len(MINHASH_PARAMS)}|j030|f{n_files}",
+    )
+    return os.path.join(cache_root("cc"), f"labels-{key}")
+
+
+def cc_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized near-dup cluster-label relation
+    (doc_id, component, is_canonical) — the connected-components fixpoint
+    over the LSH pair graph, computed ONCE per corpus and persisted as
+    parquet (engine.index_cache discipline: per-user root,
+    corpus-fingerprint invalidation, atomic rename, hard _SUCCESS gate).
+
+    The labels are a pure function of the corpus (pairs come off the
+    signature index; the min-label fixpoint is deterministic), and FIVE
+    query families consume them (component listing, cluster-size
+    histogram, duplicate-aware sampling weights, leakage-safe cluster
+    holdout, plus every future survivorship pass) — before this index
+    each consumer re-ran the ~diameter-round iterative propagation per
+    call (~3.8s of label propagation at sf1, and at 100 TB a multi-pass
+    shuffle pipeline repeated per analysis). This is the same
+    hash-once/query-many economics as the MinHash / SRP / IVF / PQ /
+    simhash / pair-support indexes: a production ingest writes the label
+    relation next to the corpus, and analyses are parquet reads. The
+    online story folds like the additive pair-support family: new-shard
+    labels join through the incremental pair path and merge by min."""
+    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+
+    def build() -> DataFrame:
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
+        docs = load_table(spark, sf_dir, "documents")
+        return propagate_min_labels(pairs, docs.select("doc_id"))
+
+    return materialize_parquet(
+        spark,
+        cc_label_index_path(sf_dir),
+        build,
+        num_files=index_file_count(sf_dir, "documents"),
+        distribute_by=("doc_id",),
+    )
+
+
 # Shared recursive-CTE prefix: the full LSH pair pipeline + symmetric edge
 # list + min-label reachability fixpoint. Reused by the component labeling
 # query and the cluster-size histogram on top of it.
@@ -788,10 +846,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-min, both key-partitioned shuffles; the driver loop only reads
     a 1-row convergence aggregate (sum of labels, strictly decreasing
     until fixpoint), never row data. The DuckDB oracle computes the same
-    fixpoint with a recursive CTE."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
-    docs = load_table(spark, sf_dir, "documents")
-    return propagate_min_labels(pairs, docs.select("doc_id"))
+    fixpoint with a recursive CTE.
+
+    The labels are served from the materialized cluster-label index
+    (`cc_label_index`): the propagation runs once per corpus at ingest,
+    and this query — like every other label consumer — is a parquet
+    read."""
+    return cc_label_index(spark, sf_dir)
 
 
 @query(
@@ -1608,16 +1669,12 @@ def dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder multiplies these into its per-source rates; singleton docs
     keep weight 1e6.
 
-    Scale shape: the CC labels come from the same bounded-round
-    min-label propagation as dedup_connected_components (key-partitioned
-    joins, 1-row driver aggregates), cluster sizes are one
-    partial-aggregable count over the label relation, and the weight join
-    is label-keyed — nothing new shuffles document content."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
-    docs = load_table(spark, sf_dir, "documents")
-    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
-        "doc_id", "component"
-    )
+    Scale shape: the CC labels are a parquet read of the materialized
+    cluster-label index (`cc_label_index` — the propagation is paid once
+    per corpus at ingest), cluster sizes are one partial-aggregable count
+    over the label relation, and the weight join is label-keyed — nothing
+    here shuffles document content."""
+    comp = cc_label_index(spark, sf_dir).select("doc_id", "component")
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -1723,13 +1780,11 @@ def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves wide open; dedup studies split by cluster for exactly this
     reason). Singletons degenerate to the per-doc split.
 
-    Scale shape: CC labels from the bounded-round min-label propagation
-    (key-partitioned joins, 1-row driver aggregates), then a scan-local
-    hash projection on the label — the split adds NOTHING to the
-    clustering's cost."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("i", "j")
-    docs = load_table(spark, sf_dir, "documents")
-    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
+    Scale shape: CC labels are a parquet read of the materialized
+    cluster-label index (`cc_label_index`), then a scan-local hash
+    projection on the label — the split adds NOTHING beyond the
+    ingest-time clustering's cost."""
+    comp = cc_label_index(spark, sf_dir).select(
         "doc_id", F.col("component").cast("long").alias("component")
     )
     b = (

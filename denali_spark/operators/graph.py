@@ -42,10 +42,13 @@ TOP_K = 100
 MIN_SUPPORT = 2  # frequent-pair threshold (orders containing both parts)
 
 
-def graph_index_path(sf_dir: str) -> str:
+def graph_index_path(sf_dir: str, basket_cap: int | None = None) -> str:
     """Canonical on-disk location of the corpus's pair-support index — the
     ONE place its cache-key geometry lives (bench and tests must use this,
-    not re-derive the path, or a geometry change silently desyncs them)."""
+    not re-derive the path, or a geometry change silently desyncs them).
+    `basket_cap` is part of the geometry: a capped index holds a strict
+    subset of the uncapped pairs, so the two must never share a cache
+    entry."""
     import os
 
     from denali_spark.engine.index_cache import (
@@ -55,11 +58,14 @@ def graph_index_path(sf_dir: str) -> str:
     )
 
     n_files = index_file_count(sf_dir, "lineitem")
-    key = corpus_fingerprint(sf_dir, "lineitem", f"pairsup|f{n_files}")
+    cap = "" if basket_cap is None else f"|cap{basket_cap}"
+    key = corpus_fingerprint(sf_dir, "lineitem", f"pairsup{cap}|f{n_files}")
     return os.path.join(cache_root("graph"), f"pairs-{key}")
 
 
-def pair_support_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pair_support_index(
+    spark: SparkSession, sf_dir: str, basket_cap: int | None = None
+) -> DataFrame:
     """Materialized co-purchase pair-support relation (part_a < part_b,
     support = distinct orders containing both), computed ONCE per corpus
     and persisted as parquet — the graph-side sibling of the MinHash /
@@ -76,20 +82,55 @@ def pair_support_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 3), and a per-query rebuild pays the self-join on every call —
     the index is the hash-once/query-many shape that holds at 100 TB,
     where the edge relation is written next to the fact table by the
-    ingest pipeline, not recomputed per analysis."""
+    ingest pipeline, not recomputed per analysis.
+
+    The basket self-join is O(Σ basket²): fine on order-shaped corpora
+    (TPC-H baskets hold ≤7 lines → ≤21 pairs), degenerate on a corpus
+    with thousand-item baskets (one 10k-line basket alone contributes
+    5·10⁷ pairs). `basket_cap` applies the standard heavy-hitter guard
+    the phash/LSH banded joins use (`multimodal.phash_banded_pairs`):
+    baskets holding more than `cap` distinct parts are dropped BEFORE
+    the self-join via a broadcast anti-join on the (tiny by definition)
+    hot-basket set, and the drop is LOGGED (basket + member counts),
+    never silent. Pairs confined to mega-baskets are lost — the usual
+    recall-trading, precision-preserving market-basket move (a basket
+    with thousands of items carries almost no pairwise signal anyway)."""
     from denali_spark.engine.index_cache import (
         index_file_count,
         materialize_parquet,
     )
 
     n_files = index_file_count(sf_dir, "lineitem")
-    path = graph_index_path(sf_dir)
+    path = graph_index_path(sf_dir, basket_cap)
 
     def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
         baskets = li.distinct()
+        if basket_cap is not None:
+            hot = (
+                baskets.groupBy("l_orderkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > basket_cap)
+            )
+            stats = hot.agg(
+                F.count(F.lit(1)).alias("baskets"), F.sum("n").alias("members")
+            ).collect()[0]
+            if stats["baskets"]:
+                import warnings
+
+                warnings.warn(
+                    f"pair_support_index: skipping {stats['baskets']} "
+                    f"basket(s) over cap={basket_cap} "
+                    f"({stats['members']} member rows dropped before the "
+                    "pair self-join); pairs confined to mega-baskets are "
+                    "lost",
+                    stacklevel=2,
+                )
+            baskets = baskets.join(
+                F.broadcast(hot.select("l_orderkey")), "l_orderkey", "left_anti"
+            )
         a, b = baskets.alias("a"), baskets.alias("b")
         return (
             a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey")])

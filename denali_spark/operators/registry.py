@@ -47,77 +47,31 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-12 order (computed from the merged
-# CORRECTNESS_r{01..11}.json latest-evidence rows, stale-first): (1) the 46
-# queries whose newest attestation is round 8 — they fit a single 50-cap
-# sweep, so the registry-wide staleness floor moves to round 9, (2) queries
-# NEW this round, (3) round-9-, (4) round-10-, (5) round-11-attested last.
+# evidence goes stale. Round-13 order (computed from the merged
+# CORRECTNESS_r{01..12}.json latest-evidence rows): (1) the 10 round-12
+# queries that landed AFTER the r12 sweep ran and have never been
+# driver-attested, (2) queries NEW this round, (3) the round-9-attested
+# block — the current staleness floor; its first 38 fill the 50-cap and
+# the remaining 12 lead the r14 rotation, (4) round-10-, (5) round-11-,
+# (6) round-12-attested (freshest) last.
 DRIVER_PRIORITY: list[str] = [
-    # --- newest driver evidence round 8 (the 46-query stale floor; they
-    # fit one 50-cap sweep, moving the registry floor to r9): first ---
-    "agg_exact_median",
-    "agg_exact_percentiles",
-    "agg_gini_user_activity",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_pivot_segment_balance",
-    "agg_rollup_nation_segment",
-    "agg_stats_moments",
-    "dedup_connected_components",
-    "dedup_minhash_jaccard_est",
-    "dedup_source_overlap",
-    "fn_json_extract",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_profiles",
-    "join_left_outer_order_counts",
-    "join_right_outer_part_sales",
-    "join_self_colineitems",
-    "join_semi_anti_chain",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sim_knn_label_agreement",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_range_search",
-    "text_filter_funnel",
-    "ts_transitions",
-    "win_distribution",
-    "win_lag_lead_events",
-    "win_moving_avg",
-    "win_ntile_quartiles",
-    "win_rank_parts_by_price",
-    # --- NEW round-12 queries (the 4 slots left by the 46: 46 + 4 = 50;
-    # the late-round additions below the cap line lead the r13 rotation) ---
-    "text_simpson_diversity",
-    "graph_clustering_coefficient",
-    "win_rolling_quantile",
-    "sim_mmr_diversify",
+    # --- never driver-attested (added after the r12 sweep ran): first ---
+    "agg_skyline_parts",
+    "agg_count_min_sketch",
+    "agg_bloom_fpr_audit",
+    "sample_cluster_holdout",
+    "dedup_detector_agreement",
+    "dedup_sampling_weights",
+    "mm_image_dedup_keep_best",
+    "text_stopword_profile_distance",
     "ts_anomaly_mad",
     "ts_asof_join_tolerance",
-    "dedup_sampling_weights",
-    "agg_count_min_sketch",
-    "mm_image_dedup_keep_best",
-    "dedup_detector_agreement",
-    "sample_cluster_holdout",
-    "agg_bloom_fpr_audit",
-    "text_stopword_profile_distance",
-    "agg_skyline_parts",
-    # --- round-9-attested ---
+    # --- NEW round-13 queries (inside the cap so they attest THIS round,
+    # not next — the r12 lesson) ---
+    "dedup_cluster_source_purity",
+    "sample_shuffle_shards",
+    # --- round-9-attested (staleness floor; first 38 fit the cap: 10 + 2
+    # + 38 = 50; the remaining 12 below the cap line lead r14) ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
@@ -156,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "ts_autocorr_lags",
     "ts_changepoint_cusum",
     "ts_dow_hour_heatmap",
+    # ---------------- 50-query sweep cap ----------------
+    # --- round-9-attested remainder (leads the r14 rotation) ---
     "ts_downsample_lttb",
     "ts_ema_current",
     "ts_ema_rows",
@@ -219,7 +175,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_gap_fill_hours",
     "ts_hourly_rollup",
     "win_moving_median",
-    # --- round-11-attested (freshest, last) ---
+    # --- round-11-attested ---
     "agg_audience_overlap",
     "agg_benford_first_digit",
     "agg_count_distinct",
@@ -270,6 +226,57 @@ DRIVER_PRIORITY: list[str] = [
     "win_cumulative_distinct",
     "win_pareto_concentration",
     "win_period_over_period",
+    # --- round-12-attested (freshest, last) ---
+    "agg_exact_median",
+    "agg_exact_percentiles",
+    "agg_gini_user_activity",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_pivot_segment_balance",
+    "agg_rollup_nation_segment",
+    "agg_stats_moments",
+    "dedup_connected_components",
+    "dedup_minhash_jaccard_est",
+    "dedup_source_overlap",
+    "fn_json_extract",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_profiles",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_self_colineitems",
+    "join_semi_anti_chain",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sim_knn_label_agreement",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_range_search",
+    "text_filter_funnel",
+    "ts_transitions",
+    "win_distribution",
+    "win_lag_lead_events",
+    "win_moving_avg",
+    "win_ntile_quartiles",
+    "win_rank_parts_by_price",
+    "text_simpson_diversity",
+    "graph_clustering_coefficient",
+    "win_rolling_quantile",
+    "sim_mmr_diversify",
 ]
 
 

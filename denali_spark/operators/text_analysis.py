@@ -655,6 +655,60 @@ def sample_hash_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SALT = "denali-epoch-shuffle-v1"
+N_SHUFFLE_SHARDS = 32
+
+
+@query(
+    "sample_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SALT}'),
+              1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY hv % {N_SHUFFLE_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("sampling", "shuffle", "training"),
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle plan: assign every document a
+    (shard, pos) so that reading shards in order with each shard sorted
+    by `pos` yields a pseudo-random global permutation — the "global
+    shuffle without a global sort" every training data loader needs (an
+    actual ORDER BY rand() over 100 TB is a full-corpus sort; this is a
+    scan-local salted hash + one row_number per shard). The assignment is
+    a pure function of doc_id + salt: reproducible across runs, stable
+    under corpus repartitioning, and a new epoch is just a new salt.
+
+    Scale shape: the shard key is computed during the scan (no shuffle to
+    assign), and the only shuffle is the per-shard window — each shard
+    sorts independently (raise N_SHUFFLE_SHARDS with corpus size so every
+    sort fits an executor), which is exactly how a petabyte shuffle is
+    sharded in practice."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{SHUFFLE_SALT}"))), 1, 15,
+        ), 16, 10,
+    ).cast("long")
+    h = docs.select("doc_id", hv.alias("hv"),
+                    (hv % N_SHUFFLE_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 # Domain-mixture resampling: target per-language shares of a global char
 # budget. Shares/budget are exact integer ratios and the per-language
 # keep-rate is computed with 64-bit integer division only, so Spark and

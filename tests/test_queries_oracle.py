@@ -49,3 +49,23 @@ def test_driver_priority_names_are_valid():
     ordered = _ordered_names()
     assert sorted(ordered) == sorted(REGISTRY)  # permutation, nothing lost
     assert ordered[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+
+
+def test_doc_query_counts_match_registry():
+    """SURVEY.md §8 and README.md state the registry size; r12's verdict
+    caught them drifting after a late-round query landed. Pin the prose to
+    `len(all_queries())`/`len(all_oracles())` so the drift fails CI."""
+    import re
+
+    from denali_spark.operators.registry import all_oracles, all_queries
+
+    n_q, n_o = len(all_queries()), len(all_oracles())
+    survey = open("/root/repo/SURVEY.md").read()
+    m = re.search(r"\((\d+) queries, (\d+) DuckDB-oracle-checked", survey)
+    assert m, "SURVEY.md §8 query-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o)
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == n_q
+    m = re.search(r"(\d+) are hash-checked", readme)
+    assert m and int(m.group(1)) == n_o

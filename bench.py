@@ -97,6 +97,31 @@ class is gone and nothing rides the CacheManager), the second showing
 the same same-box leg spread the A/B/A documented above. kcore reads
 0.52x vs r11 (the adjacency-index win); pagerank is not a mover.
 
+Round-13 adjudication of the three r12 movers the verdict flagged (all
+untouched code; the common-33 r11->r12 ratio was 1.041x — inside the
+1.10x trigger — but q21's 1.76x exceeded the documented 24% same-code
+leg spread). One quiet same-box re-leg each (fresh process, warmed
+index/codegen, median-of-3 at sf0.1):
+- q21_suppliers_kept_waiting: driver r12 2.11s -> re-leg 1.331s — back
+  INSIDE its 11-round 1.08-1.43s band. NOISE.
+- ts_hourly_rollup: driver r12 0.48s -> re-leg 0.288s — at its r11 value
+  (0.31s), nowhere near the 1.98x-of-best the driver leg showed. NOISE.
+- graph_triangle_parts: driver r12 0.53s -> re-leg 0.400s — 1.18x vs its
+  r11 0.34s, inside the +-25% sub-second jitter band. NOISE.
+All three were single-sided driver-leg excursions that vanish on a quiet
+box; no plan changes warranted.
+
+Round-13 context for the NEXT comparison: the near-dup CLUSTER-LABEL
+relation is now a materialized index (cc_label_index — the sixth batch
+family; phash_cluster_index is its image twin), so
+dedup_connected_components / cluster-size histogram / sampling weights /
+cluster holdout / phash clusters / image keep-best record warm label
+reads plus their own rollups instead of re-running the ~diameter-round
+propagation per query; index_timings gains cc_labels_cold_build /
+cc_labels_warm_read pricing the one-off ingest step, and the sf1 section
+records sf1_cc_index_first_call before the (now-warm)
+dedup_connected_components probe.
+
 Round-12 context for the NEXT comparison: graph/dedup pair queries now
 read materialized indexes (pair-support + adjacency + the signature
 index's hashed shingles), so their recorded costs are warm-index reads
@@ -348,6 +373,16 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     shutil.rmtree(simhash_index_path(sf_dir), ignore_errors=True)
     shcold = _time(lambda: simhash_index(spark, sf_dir).count(), runs=1)
     shwarm = _time(lambda: simhash_index(spark, sf_dir).count())
+    # r13: the near-dup cluster-label index (sixth family) — its one-off
+    # build runs the full LSH pair generation + min-label propagation that
+    # five consumers previously re-ran per query; the warm read is what
+    # those consumers now pay. Built after the signature index above, so
+    # the cold number prices pairs + propagation, not corpus re-hashing.
+    from denali_spark.operators.dedup import cc_label_index, cc_label_index_path
+
+    shutil.rmtree(cc_label_index_path(sf_dir), ignore_errors=True)
+    cccold = _time(lambda: cc_label_index(spark, sf_dir).count(), runs=1)
+    ccwarm = _time(lambda: cc_label_index(spark, sf_dir).count())
     return {
         "minhash_cold_build": cold,
         "minhash_warm_read": warm,
@@ -356,6 +391,8 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
         "graph_pairs_warm_read": gwarm,
         "simhash_cold_build": shcold,
         "simhash_warm_read": shwarm,
+        "cc_labels_cold_build": cccold,
+        "cc_labels_warm_read": ccwarm,
     }
 
 def server_plan_probe(spark, sf_dir: str) -> dict:
@@ -538,6 +575,14 @@ def main() -> None:
                 ),
                 runs=1,
             )
+            # r13: same pre-warm + honest one-off price for the cluster
+            # label index, so the sf1 dedup_connected_components run below
+            # measures the warm consumer path its five consumers now share.
+            from denali_spark.operators.dedup import cc_label_index
+
+            result["sf1_cc_index_first_call"] = _time(
+                lambda: cc_label_index(spark, SF1_DIR).count(), runs=1
+            )
             result["sf1_queries"] = {
                 n: _time(lambda: REGISTRY[n].fn(spark, SF1_DIR).count())
                 for n in SF1_SUBSET
@@ -550,6 +595,32 @@ def main() -> None:
             result["sf1_index"] = sf1_index_probes(spark)
         except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
             result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
+
+    # BENCH_r12 lesson: the driver's tail window truncated even the full
+    # printed line (index_timings + the sf0.1 head were lost from the
+    # artifact). Persist the COMPLETE result as a committed repo file so
+    # round artifacts stop depending on anyone's stdout capture. Round
+    # number: $SPARK_GRAFT_ROUND, else one past the newest driver
+    # BENCH_r{N}.json present.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import glob
+        import re
+
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round:
+            rnd = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+                if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+            ]
+            rnd = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(repo, f"BENCH_local_r{rnd:02d}.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception:  # noqa: BLE001 — the file is a convenience, never break the prints
+        pass
 
     # BENCH_r11 lesson: the driver records the TAIL of stdout and parses
     # the LAST line — r11's single line outgrew the capture and the head

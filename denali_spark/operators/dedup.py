@@ -800,6 +800,42 @@ def cc_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_cc_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_docs: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cluster labels for corpus ∪ shard WITHOUT re-clustering the corpus —
+    the online story of the cluster-label index (star-contraction
+    incremental connected components).
+
+    The materialized base labels stand in for the base pair graph: every
+    non-canonical member contributes one star edge (doc → its component
+    label), which preserves base connectivity exactly while contracting
+    every base cluster to diameter ≤ 2. The shard contributes its
+    shard-vs-corpus pairs (off the signature index, no corpus re-hash)
+    plus its intra-shard pairs, and one min-label propagation over the
+    contracted union converges in ~shard-cluster-diameter rounds —
+    independent of corpus size. At 100 TB this is the difference between
+    re-running CC over the full pair graph per ingest batch and paying
+    O(shard) work: the output is the next generation of the label index
+    (labels are global min doc-ids, so a fold of this result over the old
+    index is exact — same fixpoint as from-scratch, twin-tested)."""
+    base = cc_label_index(spark, sf_dir).select("doc_id", "component")
+    shard_sig = _with_signatures(shard_docs)
+    cross = dedup_incremental_pairs(
+        spark, sf_dir, shard_docs, threshold, new_sig=shard_sig
+    ).select(F.col("new_doc_id").alias("i"), F.col("corpus_doc_id").alias("j"))
+    intra = _lsh_pairs(shard_sig, threshold).select("i", "j")
+    star = base.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("i"), F.col("component").alias("j")
+    )
+    edges = star.unionByName(cross).unionByName(intra)
+    nodes = base.select("doc_id").unionByName(shard_docs.select("doc_id"))
+    return propagate_min_labels(edges, nodes)
+
+
 # Shared recursive-CTE prefix: the full LSH pair pipeline + symmetric edge
 # list + min-label reachability fixpoint. Reused by the component labeling
 # query and the cluster-size histogram on top of it.

@@ -36,3 +36,24 @@ decisions = text_dedup_keep_best(spark, SF)
 kept = decisions.filter("keep")
 print("kept (best per cluster):", kept.count())
 print(kept.orderBy("component").limit(5).toPandas().to_string(index=False))
+
+# The component labels above were served from the materialized
+# cluster-label index (built once per corpus; every consumer below is a
+# parquet read). The label-keyed downstream decisions:
+from denali_spark.operators.dedup import (
+    dedup_cluster_source_purity,
+    dedup_sampling_weights,
+    sample_cluster_holdout,
+)
+
+weights = dedup_sampling_weights(spark, SF)
+print("min sampling weight (ppm):", weights.agg({"weight_ppm": "min"}).first()[0])
+
+split = sample_cluster_holdout(spark, SF).groupBy("split").count()
+print(split.orderBy("split").toPandas().to_string(index=False))
+
+print("cluster source purity:")
+print(
+    dedup_cluster_source_purity(spark, SF)
+    .orderBy("n_sources").toPandas().to_string(index=False)
+)

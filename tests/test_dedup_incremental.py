@@ -101,3 +101,54 @@ def test_ngram_max_df_off_is_unchanged(spark, duck):
     a = sorted((r.i, r.j, r.inter, r.jac) for r in base.collect())
     b = sorted((r.i, r.j, r.inter, r.jac) for r in relaxed.collect())
     assert a == b
+
+
+def test_incremental_cc_labels_match_from_scratch(spark, tmp_path):
+    """Star-contraction incremental CC must reach the EXACT fixpoint a
+    from-scratch clustering of the combined corpus reaches: labels are
+    global min doc-ids, so the contracted base (doc -> base label star
+    edges) plus the shard's cross/intra pairs propagate to the same
+    component per document — the corpus is never re-clustered."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from denali_spark.operators.dedup import (
+        cc_label_index,
+        incremental_cc_labels,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    shard = docs.filter(F.col("doc_id") % 100 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+    inc = {
+        r["doc_id"]: r["component"]
+        for r in incremental_cc_labels(spark, SF, shard).collect()
+    }
+
+    # From-scratch twin: materialize corpus ∪ shard as its own corpus dir
+    # and cluster it whole.
+    d = str(tmp_path / "combined")
+    os.makedirs(d)
+    t = pq.read_table(f"{SF}/documents.parquet")
+    combined = docs.select(*t.schema.names).unionByName(
+        docs.filter(F.col("doc_id") % 100 == 3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            *[c for c in t.schema.names if c != "doc_id"],
+        )
+    )
+    combined.toPandas().to_parquet(os.path.join(d, "documents.parquet"))
+    scratch = {
+        r["doc_id"]: r["component"]
+        for r in cc_label_index(spark, d).collect()
+    }
+
+    assert set(inc) == set(scratch)
+    assert inc == scratch
+    # sanity: the shard really merged into corpus clusters (re-keyed
+    # copies adopt their original's label, which is < 1_000_000)
+    merged = [k for k, v in inc.items() if k >= 1_000_000 and v < 1_000_000]
+    assert merged

@@ -254,13 +254,22 @@ def test_avro_timestamp_micros_is_exact():
         assert base == naive, got
 
 
-def test_connected_components_warns_on_round_cap(spark, monkeypatch):
+def test_connected_components_warns_on_round_cap(spark, monkeypatch, tmp_path):
+    """Non-convergence must WARN, never silently split components. The
+    propagation now runs at ingest (cc_label_index build), so exercise it
+    through a cache-missing fresh corpus copy — the warm query path never
+    propagates at all (that's the point of the index)."""
+    import os
+    import shutil
     import warnings
 
     import denali_spark.operators.dedup as dedup
 
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", d)
     monkeypatch.setattr(dedup, "CC_MAX_ROUNDS", 0)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        dedup.dedup_connected_components(spark, "/root/testdata/sf0.001").count()
+        dedup.cc_label_index(spark, d).count()
     assert any("fixpoint" in str(w.message) for w in caught)

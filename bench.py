@@ -502,6 +502,11 @@ HEADLINE = [
     "text_simpson_diversity",
     "win_rolling_quantile",
     "graph_clustering_coefficient",
+    # round 13: the cluster-label-index read path (warm parquet labels +
+    # doc-keyed source join + two tiny rollups) and the epoch-shuffle plan
+    # (scan-local hash + one per-shard rank window)
+    "dedup_cluster_source_purity",
+    "sample_shuffle_shards",
 ]
 
 

@@ -124,7 +124,12 @@ dedup_connected_components probe. Measured deltas (quiet sf0.1 leg):
 cc_labels cold build 3.04s, warm read 0.163s; at sf1 the one-off build
 is 5.33s and dedup_connected_components falls 3.81s (r12 driver) ->
 0.117s steady-state — the propagation cost moved from every consumer
-call to the ingest step, exactly the pair-support economics.
+call to the ingest step, exactly the pair-support economics. The
+perceptual-hash relation got the same treatment (phash_hash_index,
+index_timings lines phash_cold_build/phash_warm_read): the decode→hash
+Arrow kernel previously re-ran per call (and twice per call through the
+band self-join's two plan branches) — mm_image_phash_pairs fell
+2.028 -> 0.802s steady-state at sf0.1 against a 5.9s one-off build.
 
 Round-12 context for the NEXT comparison: graph/dedup pair queries now
 read materialized indexes (pair-support + adjacency + the signature
@@ -387,6 +392,16 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     shutil.rmtree(cc_label_index_path(sf_dir), ignore_errors=True)
     cccold = _time(lambda: cc_label_index(spark, sf_dir).count(), runs=1)
     ccwarm = _time(lambda: cc_label_index(spark, sf_dir).count())
+    # r13: the perceptual-hash relation (decode→hash Arrow kernel paid at
+    # ingest; every phash consumer reads 16 bytes/doc back).
+    from denali_spark.operators.multimodal import (
+        phash_hash_index,
+        phash_hash_index_path,
+    )
+
+    shutil.rmtree(phash_hash_index_path(sf_dir), ignore_errors=True)
+    phcold = _time(lambda: phash_hash_index(spark, sf_dir).count(), runs=1)
+    phwarm = _time(lambda: phash_hash_index(spark, sf_dir).count())
     return {
         "minhash_cold_build": cold,
         "minhash_warm_read": warm,
@@ -397,6 +412,8 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
         "simhash_warm_read": shwarm,
         "cc_labels_cold_build": cccold,
         "cc_labels_warm_read": ccwarm,
+        "phash_cold_build": phcold,
+        "phash_warm_read": phwarm,
     }
 
 def server_plan_probe(spark, sf_dir: str) -> dict:

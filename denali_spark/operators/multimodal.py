@@ -724,6 +724,65 @@ _SQL_PHASH_PAIRS = f"""
 """
 
 
+def phash_hash_index_path(sf_dir: str) -> str:
+    """Canonical on-disk location of the corpus's 64-bit perceptual-hash
+    relation — geometry covers the hash layout and file count."""
+    from denali_spark.engine.index_cache import (
+        cache_root,
+        corpus_fingerprint,
+        index_file_count,
+    )
+
+    n_files = index_file_count(sf_dir, "documents")
+    key = corpus_fingerprint(
+        sf_dir, "documents", f"phash|{PHASH_SIDE}x{PHASH_SIDE}b64|f{n_files}"
+    )
+    return os.path.join(cache_root("phash"), f"hashes-{key}")
+
+
+def phash_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized perceptual-hash relation (doc_id, h_hi, h_lo): the
+    decode→hash Arrow kernel runs ONCE per corpus at ingest (exactly when
+    a real pipeline has the image bytes in hand) and every phash consumer
+    (pair generation, the distance histogram, the cluster-label build)
+    reads 16 bytes/doc of parquet instead of re-decoding the payload
+    plane per query — the image-byte twin of the MinHash signature
+    index's economics, and at 100 TB the difference between one decode
+    pass and one per analysis."""
+    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        npix = PHASH_SIDE * PHASH_SIDE
+        pixels = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(npix - 1)),
+                lambda i: F.char(
+                    F.lit(32)
+                    + (F.expr("doc_id div 2") * 7 + i * 13)
+                    % 94
+                    + F.when(
+                        (F.col("doc_id") % 2 == 1) & (i % 29 == 0), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+            ),
+            "",
+        )
+        header = F.lit(f"P5\n{PHASH_SIDE} {PHASH_SIDE}\n255\n")
+        payload = F.encode(F.concat(header, pixels), "UTF-8")
+        return docs.select("doc_id", payload.alias("payload")).mapInPandas(
+            _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
+        )
+
+    return materialize_parquet(
+        spark,
+        phash_hash_index_path(sf_dir),
+        build,
+        num_files=index_file_count(sf_dir, "documents"),
+        distribute_by=("doc_id",),
+    )
+
+
 @query(
     "mm_image_phash_pairs",
     oracle=_SQL_PHASH_CTES + _SQL_PHASH_PAIRS,
@@ -738,34 +797,15 @@ def mm_image_phash_pairs(
     kernel, hash each image to 64 bits, generate candidates from 16-bit
     hash bands, verify by Hamming distance. The oracle re-derives the
     hashes from the generating arithmetic, so the decode + hash kernel is
-    value-checked end to end. Scale shape: hashing is scan-local; the
-    only shuffle is the banded equi-join over (band, value) — work scales
-    with band-bucket co-occupancy, never image pairs; at corpus scale the
-    hash table is the ingest-time index (same economics as the MinHash
-    signature index). On low-diversity corpora co-occupancy itself can
-    degenerate (k identical hashes → k² candidates); `bucket_cap` applies
-    the standard LSH guard — see `phash_banded_pairs`."""
-    docs = load_table(spark, sf_dir, "documents")
-    npix = PHASH_SIDE * PHASH_SIDE
-    pixels = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(npix - 1)),
-            lambda i: F.char(
-                F.lit(32)
-                + (F.expr("doc_id div 2") * 7 + i * 13)
-                % 94
-                + F.when(
-                    (F.col("doc_id") % 2 == 1) & (i % 29 == 0), F.lit(1)
-                ).otherwise(F.lit(0))
-            ),
-        ),
-        "",
-    )
-    header = F.lit(f"P5\n{PHASH_SIDE} {PHASH_SIDE}\n255\n")
-    payload = F.encode(F.concat(header, pixels), "UTF-8")
-    hashes = docs.select("doc_id", payload.alias("payload")).mapInPandas(
-        _phash_kernel, schema="doc_id long, h_hi long, h_lo long"
-    )
+    value-checked end to end. Scale shape: hashing is paid once per
+    corpus at ingest (the materialized `phash_hash_index` — 16 bytes/doc
+    read back, never a per-query decode); the only shuffle is the banded
+    equi-join over (band, value) — work scales with band-bucket
+    co-occupancy, never image pairs. On low-diversity corpora
+    co-occupancy itself can degenerate (k identical hashes → k²
+    candidates); `bucket_cap` applies the standard LSH guard — see
+    `phash_banded_pairs`."""
+    hashes = phash_hash_index(spark, sf_dir)
     return phash_banded_pairs(hashes, bucket_cap=bucket_cap, tau=tau)
 
 

@@ -198,3 +198,23 @@ def test_cc_label_index_reused_then_invalidated_on_corpus_change(spark, tmp_path
     rebuilt = cc_label_index(spark, d)
     assert rebuilt.inputFiles()[0] != path_first
     assert rebuilt.count() == t.num_rows // 2
+
+
+def test_phash_hash_index_reused_then_invalidated_on_corpus_change(spark, tmp_path):
+    """The perceptual-hash relation follows the shared cache discipline
+    and carries one 64-bit hash per document."""
+    from denali_spark.operators.multimodal import phash_hash_index
+
+    d = _copy_sf(tmp_path, ["documents"])
+    first = phash_hash_index(spark, d)
+    path_first = first.inputFiles()[0]
+    assert set(first.columns) == {"doc_id", "h_hi", "h_lo"}
+    n_docs = pq.read_table(os.path.join(d, "documents.parquet")).num_rows
+    assert first.count() == n_docs
+    assert phash_hash_index(spark, d).inputFiles()[0] == path_first
+    src = os.path.join(d, "documents.parquet")
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, t.num_rows // 2), src)
+    rebuilt = phash_hash_index(spark, d)
+    assert rebuilt.inputFiles()[0] != path_first
+    assert rebuilt.count() == t.num_rows // 2

@@ -520,10 +520,13 @@ HEADLINE = [
     "win_rolling_quantile",
     "graph_clustering_coefficient",
     # round 13: the cluster-label-index read path (warm parquet labels +
-    # doc-keyed source join + two tiny rollups) and the epoch-shuffle plan
-    # (scan-local hash + one per-shard rank window)
+    # doc-keyed source join + two tiny rollups), the epoch-shuffle plan
+    # (scan-local hash + one per-shard rank window), and the phash pair
+    # query off the materialized hash relation (16-byte/doc reads into
+    # the banded Hamming join — no per-query decode)
     "dedup_cluster_source_purity",
     "sample_shuffle_shards",
+    "mm_image_phash_pairs",
 ]
 
 

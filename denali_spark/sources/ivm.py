@@ -1,0 +1,244 @@
+"""Incremental view maintenance (IVM): keep a materialized GROUP BY rollup
+of a catalog table current by folding row-level changelog deltas, never
+re-aggregating the base table.
+
+The reference catalog stores the snapshot history this derives from
+(SURVEY §1.2/§3.2) and leaves incremental consumption to client engines;
+`read_changes` (sources/changelog.py) is the derivation and this module is
+the canonical consumer: the "maintain the hourly rollup without recomputing
+the world" pattern every 100 TB warehouse runs. COUNT(*) and SUM(expr) form
+an abelian group under row insert/delete (+x / −x), so the maintained state
+is exact under appends, copy-on-write rewrites, merge-on-read deletes, and
+compactions alike — AVG is SUM/COUNT at query time; MIN/MAX are *not*
+delete-maintainable (a deleted minimum needs a group rescan) and are
+deliberately out of scope rather than silently wrong.
+
+Correctness/atomicity contract:
+- The refresh watermark (the source snapshot-id the rollup reflects) rides
+  the TARGET snapshot's summary — the same `add-snapshot` update that
+  commits the data, so a crash anywhere leaves either the old rollup with
+  the old watermark or the new rollup with the new one; re-running refresh
+  is a no-op or the correct next delta, never a double-apply.
+- Refreshes are single-maintainer: the commit CAS-asserts the target's
+  parent snapshot and FAILS on a concurrent commit instead of retrying
+  (a blind retry would re-apply a delta some other maintainer already
+  folded). A foreign write to the target (current snapshot without a
+  watermark) invalidates the rollup loudly — rebuild with create_rollup.
+
+Scale shape (100 TB design point):
+- Reading the delta costs the CHANGED files only — the changelog diff is
+  manifest-driven, so an append-only day costs that day's files, never a
+  base-table scan.
+- The delta aggregation is partially aggregable (map-side combine) and its
+  output is bounded by touched groups, not changed rows.
+- The write rewrites only target files whose key ranges can hold a touched
+  group (the merge_into manifest min/max prune); an hourly refresh of a
+  million-group rollup touching one day rewrites a handful of files and
+  carries the rest by reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog.client import CatalogHTTPError
+from denali_spark.sources.catalog_io import MAIN, SparkCatalogIO, split_entries
+from denali_spark.sources.changelog import read_changes
+from denali_spark.sources.expressions import and_, file_might_match, gt_eq, lt_eq
+from denali_spark.sources.row_ops import _commit_cow, _read_candidates
+
+WATERMARK_KEY = "ivm.source-snapshot-id"
+SOURCE_KEY = "ivm.source-table"
+COUNT_COL = "n_rows"
+
+
+@dataclass
+class RollupSpec:
+    """A maintained GROUP BY rollup.
+
+    `sums` maps output columns to per-row SQL expressions over the source
+    schema. Expressions must be exact-typed (integer or DECIMAL — the
+    registry's float-determinism policy): incremental folding re-orders
+    additions, and only exact types make the maintained state bit-equal to
+    a from-scratch recompute. `n_rows` (COUNT(*)) is always maintained and
+    doubles as the group-liveness counter — a group whose count folds to
+    zero is dropped, exactly as a recompute would never produce it.
+    """
+
+    source_namespace: list[str]
+    source_name: str
+    target_namespace: list[str]
+    target_name: str
+    group_by: list[str]
+    sums: dict[str, str] = field(default_factory=dict)
+
+    def _qualified_source(self) -> str:
+        return ".".join([*self.source_namespace, self.source_name])
+
+
+def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
+    src = io.read_table(spec.source_namespace, spec.source_name)
+    return src.groupBy(*spec.group_by).agg(
+        F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+        *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+    )
+
+
+def create_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
+    """Build the rollup from scratch at the source's CURRENT snapshot and
+    commit it (creating the target on demand, sorted by the group keys so
+    file min/max stats stay tight for the refresh prune)."""
+    src_md = io.client.load_table(spec.source_namespace, spec.source_name)["metadata"]
+    src_snap = src_md.get("current-snapshot-id")
+    if src_snap is None:
+        raise ValueError("source table has no snapshots — nothing to roll up")
+    full = _aggregate_full(io, spec)
+    res = io.write_table(
+        full,
+        spec.target_namespace,
+        spec.target_name,
+        mode="overwrite",
+        sort_by=list(spec.group_by),
+        summary_extra={
+            WATERMARK_KEY: str(src_snap),
+            SOURCE_KEY: spec._qualified_source(),
+            "ivm.refresh-kind": "full",
+        },
+    )
+    return {"noop": False, "kind": "full", "source_snapshot_id": src_snap,
+            "metadata": res["metadata"]}
+
+
+def _current_watermark(md: dict, spec: RollupSpec) -> int:
+    ref = md.get("refs", {}).get(MAIN)
+    if ref is None:
+        raise ValueError("rollup table has no snapshots — run create_rollup first")
+    snap = next(
+        s for s in md.get("snapshots", []) if s["snapshot-id"] == ref["snapshot-id"]
+    )
+    summary = snap.get("summary", {})
+    wm = summary.get(WATERMARK_KEY)
+    if wm is None:
+        raise ValueError(
+            "rollup's current snapshot carries no IVM watermark — a foreign "
+            "write invalidated the maintained state; rebuild with create_rollup"
+        )
+    src = summary.get(SOURCE_KEY)
+    if src is not None and src != spec._qualified_source():
+        raise ValueError(
+            f"rollup is maintained from {src!r}, not {spec._qualified_source()!r}"
+        )
+    return int(wm)
+
+
+def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
+    """Fold the source changes committed since the last refresh into the
+    rollup: one changelog read over the changed files, one bounded delta
+    aggregation, and a copy-on-write commit that rewrites only the target
+    files a touched group can live in."""
+    tgt_md = io.client.load_table(spec.target_namespace, spec.target_name)["metadata"]
+    watermark = _current_watermark(tgt_md, spec)
+    src_md = io.client.load_table(spec.source_namespace, spec.source_name)["metadata"]
+    src_snap = src_md.get("current-snapshot-id")
+    if src_snap == watermark:
+        return {"noop": True, "source_snapshot_id": watermark}
+
+    changes = read_changes(
+        io, spec.source_namespace, spec.source_name,
+        from_snapshot_id=watermark, to_snapshot_id=src_snap,
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*spec.group_by).agg(
+        F.sum(sign).cast("long").alias(COUNT_COL),
+        *[F.sum(F.expr(e) * sign).alias(c) for c, e in spec.sums.items()],
+    )
+    # One bounded agg over the delta (≤ touched groups) drives the target
+    # file prune — the merge_into idiom. NULL group keys fall outside
+    # min/max stats, so any NULL-keyed delta row disables pruning
+    # (conservative: every data file becomes a rewrite candidate).
+    bounds = delta.agg(
+        F.count(F.lit(1)).alias("groups"),
+        *[F.min(k).alias(f"lo_{k}") for k in spec.group_by],
+        *[F.max(k).alias(f"hi_{k}") for k in spec.group_by],
+        *[F.count(k).alias(f"nn_{k}") for k in spec.group_by],
+    ).collect()[0]
+
+    ref = tgt_md["refs"][MAIN]
+    parent_id = ref["snapshot-id"]
+    snap = next(s for s in tgt_md["snapshots"] if s["snapshot-id"] == parent_id)
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+
+    if bounds["groups"] == 0:
+        # Net-zero change set (e.g. the range held only compactions whose
+        # delete+insert pairs cancel before grouping — or no row changes at
+        # all): advance the watermark in a carry-everything commit so the
+        # next refresh never re-walks this history.
+        res = _commit_cow(
+            io, spec.target_namespace, spec.target_name, tgt_md, parent_id,
+            data + deletes, "replace",
+            {WATERMARK_KEY: str(src_snap), SOURCE_KEY: spec._qualified_source(),
+             "ivm.refresh-kind": "watermark-only"},
+        )
+        return {"noop": False, "kind": "watermark-only",
+                "source_snapshot_id": src_snap, "delta_groups": 0,
+                "rewritten_files": 0, "carried_files": len(data),
+                "metadata": res["metadata"]}
+
+    prunable = all(bounds[f"nn_{k}"] == bounds["groups"] for k in spec.group_by)
+    if prunable:
+        prune = and_(
+            *[gt_eq(k, bounds[f"lo_{k}"]) for k in spec.group_by],
+            *[lt_eq(k, bounds[f"hi_{k}"]) for k in spec.group_by],
+        )
+        candidates = [e for e in data if file_might_match(prune, e.get("stats"))]
+    else:
+        candidates = list(data)
+    cand_paths = {e["path"] for e in candidates}
+    untouched = [e for e in data if e["path"] not in cand_paths] + deletes
+
+    pieces = [delta]
+    if candidates:
+        # A rollup holds exactly one row per group, so the candidate set —
+        # every file whose stats admit a touched key — contains ALL state
+        # for every touched group; re-aggregating candidates ∪ delta and
+        # carrying the rest by reference is exact.
+        pieces.append(_read_candidates(io, tgt_md, parent_id, candidates))
+    combined = pieces[0]
+    for p in pieces[1:]:
+        combined = combined.unionByName(p)
+    folded = combined.groupBy(*spec.group_by).agg(
+        F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+        *[F.sum(F.col(c)).alias(c) for c in spec.sums],
+    ).filter(F.col(COUNT_COL) > 0)
+    # Pin the refresh output to the target's committed schema: repeated
+    # folding must not creep decimal precision between generations.
+    target_fields = io._empty_df(tgt_md).schema
+    folded = folded.select(
+        *[F.col(f.name).cast(f.dataType) for f in target_fields]
+    ).sortWithinPartitions(*spec.group_by)
+
+    from denali_spark.sources.row_ops import _write_rewritten
+
+    new_files = _write_rewritten(io, folded, tgt_md)
+    try:
+        res = _commit_cow(
+            io, spec.target_namespace, spec.target_name, tgt_md, parent_id,
+            untouched + new_files, "overwrite",
+            {WATERMARK_KEY: str(src_snap), SOURCE_KEY: spec._qualified_source(),
+             "ivm.refresh-kind": "incremental",
+             "ivm.rewritten-data-files": str(len(candidates))},
+        )
+    except CatalogHTTPError as exc:
+        if exc.status == 409:
+            raise RuntimeError(
+                "concurrent commit on the rollup during refresh — IVM "
+                "refreshes are single-maintainer; re-run refresh_rollup "
+                "against the new state"
+            ) from exc
+        raise
+    return {"noop": False, "kind": "incremental", "source_snapshot_id": src_snap,
+            "delta_groups": int(bounds["groups"]),
+            "rewritten_files": len(candidates), "carried_files": len(untouched),
+            "metadata": res["metadata"]}

@@ -1,0 +1,91 @@
+"""Incremental view maintenance: keep a materialized GROUP BY rollup
+current by folding changelog deltas instead of re-aggregating the base
+table — appends, deletes, CDC upserts, and compactions all fold exactly,
+and the refresh watermark rides each rollup commit atomically. At 100 TB
+this is the difference between an hourly rollup that costs one hour of
+changed files and one that re-scans the corpus."""
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.engine.session import get_spark
+from denali_spark.sources import (
+    RollupSpec,
+    SparkCatalogIO,
+    compact_data_files,
+    create_rollup,
+    delete_where,
+    refresh_rollup,
+)
+from denali_spark.sources import expressions as E
+
+spark = get_spark("incremental-rollup")
+spark.sparkContext.setLogLevel("ERROR")
+server = CatalogServer(make_state(tempfile.mkdtemp(prefix="denali-example-wh-"))).start()
+io = SparkCatalogIO(spark, server.uri)
+
+
+def day(lo, hi):
+    """A day's worth of fact rows: (id, region k, exact-decimal amount)."""
+    return spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 5).alias("k"),
+        (F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    ).coalesce(1)
+
+
+spec = RollupSpec(
+    source_namespace=["shop"], source_name="sales",
+    target_namespace=["shop"], target_name="sales_by_region",
+    group_by=["k"],
+    # measures must be exact-typed (integer / DECIMAL): incremental folding
+    # re-orders additions, and only exact arithmetic keeps the maintained
+    # state bit-equal to a recompute. AVG = amount_sum / n_rows at read time.
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+)
+
+# day 1: load facts, build the rollup once
+io.write_table(day(0, 10_000), ["shop"], "sales", mode="append")
+create_rollup(io, spec)
+print("initial rollup:")
+io.read_table(["shop"], "sales_by_region").orderBy("k").show()
+
+# day 2: an append and a GDPR-style delete land on the base table;
+# refresh folds ONLY the changed rows — no base-table re-aggregation
+io.write_table(day(10_000, 12_500), ["shop"], "sales", mode="append")
+delete_where(io, ["shop"], "sales", E.lt("id", 1_000))
+res = refresh_rollup(io, spec)
+print(f"refresh: {res['kind']}, delta_groups={res['delta_groups']}, "
+      f"rewrote {res['rewritten_files']} file(s), carried {res['carried_files']}")
+io.read_table(["shop"], "sales_by_region").orderBy("k").show()
+
+# maintenance churn is invisible: compaction rewrites files, its changelog
+# delete+insert pairs cancel per group, and the refresh just advances the
+# watermark
+compact_data_files(io, ["shop"], "sales")
+print("after compaction:", refresh_rollup(io, spec)["kind"])
+
+# idempotent: nothing new on the source → no-op, no new rollup snapshot
+print("steady state noop:", refresh_rollup(io, spec)["noop"])
+
+# trust but verify: the maintained state equals a from-scratch recompute
+maintained = {(r.k, r.n_rows, r.amount_sum)
+              for r in io.read_table(["shop"], "sales_by_region").collect()}
+recomputed = {
+    (r.k, r.n_rows, r.amount_sum)
+    for r in io.read_table(["shop"], "sales")
+    .groupBy("k")
+    .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+         F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("amount_sum"))
+    .collect()
+}
+assert maintained == recomputed, "maintained rollup diverged from recompute"
+print("maintained == recomputed: True")
+
+server.stop()
+spark.stop()

@@ -35,6 +35,7 @@ EXECUTED = [
     "sql_dml.py",  # ~42s: DML CoW+MoR, metadata relations, OAuth
     "spark_datasource.py",  # ~28s: format("denali") read/write/stream
     "streaming_ingest.py",  # ~26s: doc stream with dedup + decontam guards
+    "incremental_rollup.py",  # ~15s: changelog-folded rollup maintenance
 ]
 
 
@@ -57,4 +58,4 @@ def test_example_executes(name):
 
 
 def test_examples_exist():
-    assert len(EXAMPLES) == 11
+    assert len(EXAMPLES) == 12

@@ -1869,3 +1869,130 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("click_us")).alias("click_us"),
         F.when(within, F.col("click_value")).alias("click_value"),
     )
+
+
+@query(
+    "ts_concurrency_peak",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM flagged
+    ),
+    spans AS (
+      SELECT MIN(ts) AS s, MAX(ts) AS e FROM sessions GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta FROM spans
+      UNION ALL
+      SELECT CAST(e AS DATE) AS day, e AS t, -1 AS delta FROM spans
+    ),
+    day_runs AS (
+      SELECT day, MAX(run) AS max_run FROM (
+        SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC)
+               AS run
+        FROM deltas
+      ) GROUP BY day
+    ),
+    carries AS (
+      SELECT CAST(u.d AS DATE) AS day, COUNT(*) AS carry_in
+      FROM spans, UNNEST(generate_series(CAST(s AS DATE) + 1, CAST(e AS DATE),
+                                         INTERVAL 1 DAY)) AS u(d)
+      WHERE CAST(e AS DATE) > CAST(s AS DATE)
+      GROUP BY 1
+    )
+    SELECT strftime(CAST(COALESCE(r.day, c.day) AS DATE), '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
+           CAST(COALESCE(c.carry_in, 0)
+                + GREATEST(0, COALESCE(r.max_run, 0)) AS BIGINT)
+             AS peak_concurrent
+    FROM day_runs r FULL JOIN carries c ON r.day = c.day
+    """,
+    tags=("timeseries", "sessionization", "sweep-line"),
+)
+def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per calendar day — the capacity-planning
+    gauge — as a DISTRIBUTED sweep-line: sessionize (30-min gap), emit
+    +1/−1 boundary deltas, running-sum them inside PER-DAY windows (never
+    one global window — the partition key is the day, so the sweep
+    parallelizes across the time span exactly like ts_anomaly_zscore's
+    chunks), and add a cross-midnight carry: sessions spanning a midnight
+    contribute an open-at-day-start count computed by exploding each
+    multi-day session into the day boundaries it crosses (bounded by the
+    session's day span, not the corpus). Peak(day) = carry_in +
+    max(0, max running delta) — the max(0,·) covers days whose activity is
+    only session ENDS, where the day-start concurrency IS the peak.
+
+    Tie semantics are deterministic on both engines: the running sum
+    orders by (t, delta DESC) under the default RANGE frame, so equal
+    (t, delta) rows are peers sharing one value — starts count before ends
+    at the same instant (touching sessions are concurrent) and the result
+    is independent of physical row order. All-integer arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = _us("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    flagged = events.select(
+        "user_id", "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    spans = (
+        flagged.withColumn("sid", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        # three consumers (two delta branches + the carry explode) — lazy
+        # localCheckpoint truncates the plan so the corpus is scanned and
+        # sessionized ONCE, not three times (RDD blocks, never the
+        # CacheManager; downstream joins are small day-keyed aggregates,
+        # so the missing size stats cost nothing — the r10 rule)
+        .localCheckpoint(eager=False)
+    )
+    deltas = spans.select(
+        F.to_date("s").alias("day"), F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.to_date("e").alias("day"), F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    # default frame with an ORDER BY = RANGE UNBOUNDED..CURRENT: peers
+    # (equal t AND delta) share one running value on both engines
+    sweep = Window.partitionBy("day").orderBy(F.asc("t"), F.desc("delta"))
+    day_runs = (
+        deltas.withColumn("run", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+    )
+    carries = (
+        spans.filter(F.to_date("e") > F.to_date("s"))
+        .select(
+            F.explode(
+                F.sequence(F.date_add(F.to_date("s"), 1), F.to_date("e"))
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    return day_runs.join(carries, "day", "full_outer").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("carry_in", F.lit(0)).cast("long").alias("carry_in"),
+        (
+            F.coalesce("carry_in", F.lit(0))
+            + F.greatest(F.lit(0), F.coalesce("max_run", F.lit(0)))
+        ).cast("long").alias("peak_concurrent"),
+    )

@@ -9,9 +9,36 @@ the canonical consumer: the "maintain the hourly rollup without recomputing
 the world" pattern every 100 TB warehouse runs. COUNT(*) and SUM(expr) form
 an abelian group under row insert/delete (+x / −x), so the maintained state
 is exact under appends, copy-on-write rewrites, merge-on-read deletes, and
-compactions alike — AVG is SUM/COUNT at query time; MIN/MAX are *not*
-delete-maintainable (a deleted minimum needs a group rescan) and are
-deliberately out of scope rather than silently wrong.
+compactions alike — AVG is SUM/COUNT at query time (and VAR/STDDEV ride a
+second `sums` entry over expr*expr).
+
+Maintained NDV (COUNT DISTINCT) rides the same machinery as a binary
+HLL-sketch column per group: the sketch's register state is a pure,
+order-insensitive function of the value SET, so on the fold path
+new_sketch = hll_union(old_sketch, sketch(inserted values)) is exact for
+the same reason the MIN fold below is (net-nonnegative deltas mean the
+post-change value set is a superset of the pre-change one and every
+inserted value survives) — verified estimate-identical across one-pass,
+union-of-parts, and iterative-fold merge shapes. Deletes route through
+the shared targeted rescan. Read estimates with
+``F.hll_sketch_estimate(col)``.
+
+MIN/MAX are NOT an abelian group — a deleted minimum needs a group rescan —
+so they are maintained by the classic fold + targeted-rescan hybrid, made
+exact by multiset cancellation: per (group, tracked-value-tuple) the signed
+changelog multiplicity decides the path. A group folds (new_min =
+MIN(old_min, MIN over inserted values)) whenever no tuple has NET-NEGATIVE
+multiplicity — provably exact, because net-nonnegative deltas mean the
+post-change value multiset is a superset of the pre-change one, every
+cancelled delete's value already exists in the group (≥ old extremum), and
+the stored extremum row itself survives. Only groups with a genuine net
+removal at some value rescan, reading the SOURCE pinned at the refresh
+watermark with manifest min/max pruning on the group keys plus a null-safe
+semi-join — bounded by touched-by-delete groups, never a base-table scan.
+The payoff of cancellation: pure compactions and the carried (unchanged)
+rows of copy-on-write rewrites — which the changelog reports as delete +
+identical insert — cancel to net zero and stay on the fold path, so
+routine table maintenance does not stampede the rollup into rescans.
 
 Correctness/atomicity contract:
 - The refresh watermark (the source snapshot-id the rollup reflects) rides
@@ -52,6 +79,11 @@ from denali_spark.sources.row_ops import _commit_cow, _read_candidates
 WATERMARK_KEY = "ivm.source-snapshot-id"
 SOURCE_KEY = "ivm.source-table"
 COUNT_COL = "n_rows"
+# Rescan key sets at or under this many groups broadcast into the source
+# semi-join (the keys are bounded by touched-by-delete groups; the lazy
+# localCheckpoint that pins them strips size statistics, so AQE cannot make
+# this call itself — the r10 CC lesson).
+RESCAN_BROADCAST_GROUPS = 100_000
 
 
 @dataclass
@@ -65,6 +97,16 @@ class RollupSpec:
     a from-scratch recompute. `n_rows` (COUNT(*)) is always maintained and
     doubles as the group-liveness counter — a group whose count folds to
     zero is dropped, exactly as a recompute would never produce it.
+
+    `mins`/`maxs` map output columns to per-row expressions maintained as
+    MIN/MAX via the fold + targeted-rescan hybrid (module docstring): any
+    orderable type works — extrema selection never re-orders arithmetic —
+    and NULLs are ignored exactly as a recompute's MIN/MAX would.
+
+    `ndvs` maps output columns to expressions whose per-group DISTINCT
+    count is maintained as a binary HLL sketch (integral/string/binary
+    expressions — the sketch hash's input domain); read the estimate with
+    ``F.hll_sketch_estimate(col)``. Same fold/rescan split as MIN/MAX.
     """
 
     source_namespace: list[str]
@@ -73,9 +115,35 @@ class RollupSpec:
     target_name: str
     group_by: list[str]
     sums: dict[str, str] = field(default_factory=dict)
+    mins: dict[str, str] = field(default_factory=dict)
+    maxs: dict[str, str] = field(default_factory=dict)
+    ndvs: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs, *self.ndvs]
+        dupes = {c for c in out_cols if out_cols.count(c) > 1}
+        if dupes:
+            raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
 
     def _qualified_source(self) -> str:
         return ".".join([*self.source_namespace, self.source_name])
+
+    def _tracked_exprs(self) -> list[str]:
+        """Expressions whose deletions decide fold vs rescan (dedup'd,
+        order-stable: one struct groupBy tracks them all at once)."""
+        seen: dict[str, None] = {}
+        for e in {**self.mins, **self.maxs, **self.ndvs}.values():
+            seen.setdefault(e)
+        return list(seen)
+
+
+def _extrema_aggs(spec: RollupSpec, value_of=None) -> list:
+    value_of = value_of or (lambda e: F.expr(e))
+    return [
+        *[F.min(value_of(e)).alias(c) for c, e in spec.mins.items()],
+        *[F.max(value_of(e)).alias(c) for c, e in spec.maxs.items()],
+        *[F.hll_sketch_agg(value_of(e)).alias(c) for c, e in spec.ndvs.items()],
+    ]
 
 
 def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
@@ -83,7 +151,18 @@ def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
     return src.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+        *_extrema_aggs(spec),
     )
+
+
+def _key_cond(left: str, right: str, keys: list[str]):
+    """Null-safe multi-key equality (NULL group keys are real groups —
+    plain `=` would silently leak them past the anti/semi joins)."""
+    cond = None
+    for k in keys:
+        c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def create_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
@@ -150,19 +229,58 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         from_snapshot_id=watermark, to_snapshot_id=src_snap,
     )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
-    delta = changes.groupBy(*spec.group_by).agg(
+    keys = list(spec.group_by)
+
+    # MIN/MAX fold-vs-rescan split (module docstring): a group rescans only
+    # if some tracked value-tuple has net-negative changelog multiplicity —
+    # compaction / CoW-carry delete+insert pairs cancel to net zero and
+    # stay on the (exact) fold path.
+    rescan_keys = None
+    n_rescan = 0
+    if spec.mins or spec.maxs or spec.ndvs:
+        tracked = F.struct(
+            *[F.expr(e).alias(f"_v{i}") for i, e in enumerate(spec._tracked_exprs())]
+        )
+        net = changes.groupBy(*keys, tracked.alias("_vals")).agg(
+            F.sum(sign).alias("_net")
+        )
+        rescan_keys = (
+            net.filter(F.col("_net") < 0)
+            .select(*keys)
+            .distinct()
+            # lazy: plan truncates now, blocks materialize inside the count
+            # job below and every later join reuses them (the r10 CC idiom)
+            .localCheckpoint(eager=False)
+        )
+        n_rescan = rescan_keys.count()
+        if n_rescan == 0:
+            rescan_keys = None
+
+    fold_changes = changes
+    if rescan_keys is not None:
+        fold_changes = changes.alias("ch").join(
+            rescan_keys.alias("rk"), _key_cond("ch", "rk", keys), "left_anti"
+        )
+    insert_only = F.col("_change_type") == "insert"
+    delta = fold_changes.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e) * sign).alias(c) for c, e in spec.sums.items()],
+        # extrema fold only over inserted values (deleted values in a
+        # fold-path group are fully cancelled — they carry no information)
+        *_extrema_aggs(spec, lambda e: F.when(insert_only, F.expr(e))),
     )
-    # One bounded agg over the delta (≤ touched groups) drives the target
-    # file prune — the merge_into idiom. NULL group keys fall outside
-    # min/max stats, so any NULL-keyed delta row disables pruning
-    # (conservative: every data file becomes a rewrite candidate).
-    bounds = delta.agg(
+    # One bounded agg over the touched groups (fold delta ∪ rescan keys)
+    # drives the target file prune — the merge_into idiom. NULL group keys
+    # fall outside min/max stats, so any NULL-keyed touched group disables
+    # pruning (conservative: every data file becomes a rewrite candidate).
+    touched = delta.select(*keys)
+    if rescan_keys is not None:
+        touched = touched.unionByName(rescan_keys)  # disjoint by anti-join
+    bounds = touched.agg(
         F.count(F.lit(1)).alias("groups"),
-        *[F.min(k).alias(f"lo_{k}") for k in spec.group_by],
-        *[F.max(k).alias(f"hi_{k}") for k in spec.group_by],
-        *[F.count(k).alias(f"nn_{k}") for k in spec.group_by],
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+        *[F.count(k).alias(f"nn_{k}") for k in keys],
     ).collect()[0]
 
     ref = tgt_md["refs"][MAIN]
@@ -204,14 +322,66 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         # every file whose stats admit a touched key — contains ALL state
         # for every touched group; re-aggregating candidates ∪ delta and
         # carrying the rest by reference is exact.
-        pieces.append(_read_candidates(io, tgt_md, parent_id, candidates))
+        old_state = _read_candidates(io, tgt_md, parent_id, candidates)
+        if rescan_keys is not None:
+            # rescanned groups are recomputed wholesale from the source —
+            # their stale stored rows must not feed the fold
+            old_state = old_state.alias("os").join(
+                rescan_keys.alias("rk"), _key_cond("os", "rk", keys), "left_anti"
+            )
+        pieces.append(old_state)
     combined = pieces[0]
     for p in pieces[1:]:
         combined = combined.unionByName(p)
-    folded = combined.groupBy(*spec.group_by).agg(
+    folded = combined.groupBy(*keys).agg(
         F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
         *[F.sum(F.col(c)).alias(c) for c in spec.sums],
+        *[F.min(F.col(c)).alias(c) for c in spec.mins],
+        *[F.max(F.col(c)).alias(c) for c in spec.maxs],
+        # binary sketch union: old-state sketches and the delta's
+        # insert-side sketches merge register-wise (NULLs ignored)
+        *[F.hll_union_agg(F.col(c)).alias(c) for c in spec.ndvs],
     ).filter(F.col(COUNT_COL) > 0)
+
+    if rescan_keys is not None:
+        # Targeted rescan: re-aggregate ONLY the net-removal groups from the
+        # source PINNED at the refresh watermark (a concurrent source commit
+        # must not leak future rows into this generation). Manifest min/max
+        # pruning on the rescan keys' bounds cuts the file set; the
+        # null-safe semi-join is the exact filter.
+        rb = rescan_keys.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+            *[F.count(k).alias(f"nn_{k}") for k in keys],
+        ).collect()[0]
+        src_where = None
+        if all(rb[f"nn_{k}"] == n_rescan for k in keys):
+            src_where = and_(
+                *[gt_eq(k, rb[f"lo_{k}"]) for k in keys],
+                *[lt_eq(k, rb[f"hi_{k}"]) for k in keys],
+            )
+        src = io.read_table(
+            spec.source_namespace, spec.source_name,
+            snapshot_id=src_snap, where=src_where,
+        )
+        probe = (
+            F.broadcast(rescan_keys)
+            if n_rescan <= RESCAN_BROADCAST_GROUPS
+            else rescan_keys
+        )
+        rescanned = (
+            src.alias("s")
+            .join(probe.alias("rk"), _key_cond("s", "rk", keys), "left_semi")
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+                *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+                *_extrema_aggs(spec),
+            )
+        )
+        # a fully-deleted group yields no source rows → no row here → it is
+        # dropped, exactly as a recompute would never produce it
+        folded = folded.unionByName(rescanned)
     # Pin the refresh output to the target's committed schema: repeated
     # folding must not creep decimal precision between generations.
     target_fields = io._empty_df(tgt_md).schema
@@ -228,7 +398,8 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             untouched + new_files, "overwrite",
             {WATERMARK_KEY: str(src_snap), SOURCE_KEY: spec._qualified_source(),
              "ivm.refresh-kind": "incremental",
-             "ivm.rewritten-data-files": str(len(candidates))},
+             "ivm.rewritten-data-files": str(len(candidates)),
+             "ivm.rescanned-groups": str(n_rescan)},
         )
     except CatalogHTTPError as exc:
         if exc.status == 409:
@@ -239,6 +410,6 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             ) from exc
         raise
     return {"noop": False, "kind": "incremental", "source_snapshot_id": src_snap,
-            "delta_groups": int(bounds["groups"]),
+            "delta_groups": int(bounds["groups"]), "rescanned_groups": n_rescan,
             "rewritten_files": len(candidates), "carried_files": len(untouched),
             "metadata": res["metadata"]}

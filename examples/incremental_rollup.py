@@ -73,7 +73,27 @@ print("after compaction:", refresh_rollup(io, spec)["kind"])
 # idempotent: nothing new on the source → no-op, no new rollup snapshot
 print("steady state noop:", refresh_rollup(io, spec)["noop"])
 
+# MIN/MAX rollups use the fold + targeted-rescan hybrid: pure inserts and
+# compactions fold (rescanned_groups=0); a delete that might have removed a
+# group's extremum rescans JUST that group from the pinned source snapshot
+minmax = RollupSpec(
+    source_namespace=["shop"], source_name="sales",
+    target_namespace=["shop"], target_name="sales_extrema",
+    group_by=["k"],
+    mins={"amount_min": "amount"}, maxs={"amount_max": "amount"},
+)
+create_rollup(io, minmax)
+io.write_table(day(20_000, 21_000), ["shop"], "sales", mode="append")
+res = refresh_rollup(io, minmax)
+print(f"min/max after append: rescanned_groups={res['rescanned_groups']} (fold)")
+delete_where(io, ["shop"], "sales", E.lt("id", 1_200))  # removes current minima
+res = refresh_rollup(io, minmax)
+print(f"min/max after delete: rescanned_groups={res['rescanned_groups']} (rescan)")
+io.read_table(["shop"], "sales_extrema").orderBy("k").show()
+
 # trust but verify: the maintained state equals a from-scratch recompute
+# (fold in the min/max section's source commits first)
+refresh_rollup(io, spec)
 maintained = {(r.k, r.n_rows, r.amount_sum)
               for r in io.read_table(["shop"], "sales_by_region").collect()}
 recomputed = {

@@ -187,3 +187,222 @@ def test_refresh_prunes_untouched_files(spark, io):
     if n_files >= 2:
         # keys 90..94 live only in the high file; the low file is carried
         assert res["rewritten_files"] < n_files
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX: fold + targeted-rescan hybrid (net-negative multiset rule)
+# ---------------------------------------------------------------------------
+
+EXTREMA_SPEC = RollupSpec(
+    source_namespace=["ivm"],
+    source_name="facts",
+    target_namespace=["ivm"],
+    target_name="facts_minmax",
+    group_by=["k"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    mins={"amount_min": "amount", "id_min": "id"},
+    maxs={"amount_max": "amount", "id_max": "id"},
+)
+
+
+def _assert_rollup_matches(io, spec):
+    tgt = io.read_table(spec.target_namespace, spec.target_name)
+    cols = sorted(tgt.columns)
+    got = {tuple(r) for r in tgt.select(*cols).collect()}
+    want = {tuple(r) for r in _aggregate_full(io, spec).select(*cols).collect()}
+    assert got == want
+    return got
+
+
+def test_minmax_appends_fold_without_rescan(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+    # new rows include a new global minimum for k=0 (id 100..250 only raise
+    # maxes) — pure inserts must stay on the fold path
+    _append(spark, io, 100, 250)
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    assert res["kind"] == "incremental" and res["rescanned_groups"] == 0
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_minmax_delete_of_minimum_rescans(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    # ids < 40 hold every group's current min — genuine net removals
+    delete_where(io, ["ivm"], "facts", E.lt("id", 40))
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    assert res["rescanned_groups"] == 5
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_minmax_cow_update_moves_extrema(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    # id=95 is k=0's max id; moving its amount off the extremes is a net
+    # removal at the old value tuple -> rescan of k=0 only
+    io.sql(
+        "UPDATE ivm.facts SET amount = CAST(-1 AS DECIMAL(18,2)) WHERE id = 95"
+    )
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    assert res["rescanned_groups"] == 1
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_minmax_compaction_stays_on_fold_path(spark, io):
+    _append(spark, io, 0, 50)
+    _append(spark, io, 50, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    compact_data_files(io, ["ivm"], "facts")
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    # compaction's delete+insert pairs cancel per (group, value tuple):
+    # NO group rescans even though every row was rewritten
+    assert res.get("rescanned_groups", 0) == 0
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+    assert refresh_rollup(io, EXTREMA_SPEC)["noop"] is True
+
+
+def test_minmax_mor_equality_delete(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    keys = spark.createDataFrame([(i,) for i in range(0, 100, 3)], "id long")
+    equality_delete(io, ["ivm"], "facts", keys, on=["id"])
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    assert res["rescanned_groups"] > 0
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_minmax_group_fully_deleted_drops(spark, io):
+    _append(spark, io, 0, 100, k_mod=10)
+    create_rollup(io, EXTREMA_SPEC)
+    delete_where(io, ["ivm"], "facts", E.eq("k", 7))
+    refresh_rollup(io, EXTREMA_SPEC)
+    got = _assert_rollup_matches(io, EXTREMA_SPEC)
+    ks = {t[sorted(["amount_max", "amount_min", "amount_sum", "id_max",
+                    "id_min", "k", "n_rows"]).index("k")] for t in got}
+    assert ks == set(range(10)) - {7}
+
+
+def test_minmax_null_group_key_and_null_values(spark, io):
+    rows = [
+        (1, None, None),        # NULL group, NULL value
+        (2, None, 5.00),        # NULL group's real min/max
+        (3, None, 9.00),
+        (4, 1, 3.00),
+        (5, 1, None),           # NULL value inside a real group
+        (6, 1, 8.00),
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, amount_raw double").select(
+        "id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount")
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "facts", mode="append")
+    create_rollup(io, EXTREMA_SPEC)
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+    # delete the NULL group's maximum (id=3) AND k=1's minimum (id=4):
+    # both groups must rescan, reached through NULL-SAFE anti/semi joins
+    keys = spark.createDataFrame([(3,), (4,)], "id long")
+    equality_delete(io, ["ivm"], "facts", keys, on=["id"])
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    assert res["rescanned_groups"] == 2
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_minmax_rescan_pins_source_snapshot(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 20))
+    # the refresh below folds changes up to THIS snapshot; rows appended
+    # mid-refresh belong to the NEXT refresh, so the rescan must read the
+    # pinned snapshot, not current. Simulate by appending BEFORE refresh
+    # but verifying the watermark lands on the pre-append snapshot when we
+    # pass the already-loaded metadata path: simplest observable contract —
+    # two sequential refreshes each match a recompute at their watermark.
+    refresh_rollup(io, EXTREMA_SPEC)
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+    _append(spark, io, 200, 240)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 25))
+    refresh_rollup(io, EXTREMA_SPEC)
+    _assert_rollup_matches(io, EXTREMA_SPEC)
+
+
+def test_duplicate_output_columns_rejected():
+    with pytest.raises(ValueError, match="duplicate rollup output columns"):
+        RollupSpec(
+            source_namespace=["ivm"], source_name="facts",
+            target_namespace=["ivm"], target_name="t",
+            group_by=["k"],
+            sums={"x": "a"}, mins={"x": "a"},
+        )
+
+
+# ---------------------------------------------------------------------------
+# Maintained NDV: per-group HLL sketch columns
+# ---------------------------------------------------------------------------
+
+NDV_SPEC = RollupSpec(
+    source_namespace=["ivm"],
+    source_name="facts",
+    target_namespace=["ivm"],
+    target_name="facts_ndv",
+    group_by=["k"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    ndvs={"uniq_ids": "id", "uniq_cents": "CAST(amount * 100 AS BIGINT)"},
+)
+
+
+def _assert_ndv_matches_recompute(io, spec=NDV_SPEC):
+    def rows(df):
+        # sketch BYTES may differ by representation mode; the ESTIMATE is
+        # the maintained value and is merge-shape-invariant
+        plain = [c for c in df.columns if c not in spec.ndvs]
+        ests = [F.hll_sketch_estimate(c).alias(f"{c}_est") for c in spec.ndvs]
+        return {tuple(r) for r in df.select(*plain, *ests).collect()}
+
+    got = rows(io.read_table(spec.target_namespace, spec.target_name))
+    expect = rows(_aggregate_full(io, spec))
+    assert got == expect
+    return got
+
+
+def test_ndv_appends_fold_without_rescan(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, NDV_SPEC)
+    _assert_ndv_matches_recompute(io)
+    _append(spark, io, 100, 300)
+    res = refresh_rollup(io, NDV_SPEC)
+    assert res["kind"] == "incremental" and res["rescanned_groups"] == 0
+    _assert_ndv_matches_recompute(io)
+
+
+def test_ndv_delete_rescans_and_matches(spark, io):
+    _append(spark, io, 0, 200)
+    create_rollup(io, NDV_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 60))
+    res = refresh_rollup(io, NDV_SPEC)
+    assert res["rescanned_groups"] == 5
+    _assert_ndv_matches_recompute(io)
+
+
+def test_ndv_duplicate_value_delete_still_exact(spark, io):
+    # two rows per (k, amount-cents) value; deleting ONE copy leaves the
+    # distinct set unchanged — the rescan recomputes it correctly anyway
+    df = _rows(spark, 0, 50).unionByName(
+        _rows(spark, 0, 50).withColumn("id", F.col("id") + 1_000_000)
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "facts", mode="append")
+    create_rollup(io, NDV_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 10))
+    refresh_rollup(io, NDV_SPEC)
+    _assert_ndv_matches_recompute(io)
+
+
+def test_ndv_compaction_stays_on_fold_path(spark, io):
+    _append(spark, io, 0, 60)
+    _append(spark, io, 60, 120)
+    create_rollup(io, NDV_SPEC)
+    compact_data_files(io, ["ivm"], "facts")
+    res = refresh_rollup(io, NDV_SPEC)
+    assert res.get("rescanned_groups", 0) == 0
+    _assert_ndv_matches_recompute(io)

@@ -2,7 +2,14 @@ from denali_spark.sources.catalog_io import SparkCatalogIO
 from denali_spark.sources.changelog import read_changes
 from denali_spark.sources.datasource import register_denali_source
 from denali_spark.sources.incremental import read_incremental
-from denali_spark.sources.ivm import RollupSpec, create_rollup, refresh_rollup
+from denali_spark.sources.ivm import (
+    JoinRollupSpec,
+    RollupSpec,
+    create_join_rollup,
+    create_rollup,
+    refresh_join_rollup,
+    refresh_rollup,
+)
 from denali_spark.sources.maintenance import (
     analyze_partitions,
     analyze_table,
@@ -33,9 +40,12 @@ from denali_spark.sources.schema_evolution import (
 )
 
 __all__ = [
+    "JoinRollupSpec",
     "RollupSpec",
     "SparkCatalogIO",
+    "create_join_rollup",
     "create_rollup",
+    "refresh_join_rollup",
     "refresh_rollup",
     "add_column",
     "analyze_partitions",

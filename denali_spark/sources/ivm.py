@@ -269,80 +269,7 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         # fold-path group are fully cancelled — they carry no information)
         *_extrema_aggs(spec, lambda e: F.when(insert_only, F.expr(e))),
     )
-    # One bounded agg over the touched groups (fold delta ∪ rescan keys)
-    # drives the target file prune — the merge_into idiom. NULL group keys
-    # fall outside min/max stats, so any NULL-keyed touched group disables
-    # pruning (conservative: every data file becomes a rewrite candidate).
-    touched = delta.select(*keys)
-    if rescan_keys is not None:
-        touched = touched.unionByName(rescan_keys)  # disjoint by anti-join
-    bounds = touched.agg(
-        F.count(F.lit(1)).alias("groups"),
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
-        *[F.count(k).alias(f"nn_{k}") for k in keys],
-    ).collect()[0]
-
-    ref = tgt_md["refs"][MAIN]
-    parent_id = ref["snapshot-id"]
-    snap = next(s for s in tgt_md["snapshots"] if s["snapshot-id"] == parent_id)
-    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
-
-    if bounds["groups"] == 0:
-        # Net-zero change set (e.g. the range held only compactions whose
-        # delete+insert pairs cancel before grouping — or no row changes at
-        # all): advance the watermark in a carry-everything commit so the
-        # next refresh never re-walks this history.
-        res = _commit_cow(
-            io, spec.target_namespace, spec.target_name, tgt_md, parent_id,
-            data + deletes, "replace",
-            {WATERMARK_KEY: str(src_snap), SOURCE_KEY: spec._qualified_source(),
-             "ivm.refresh-kind": "watermark-only"},
-        )
-        return {"noop": False, "kind": "watermark-only",
-                "source_snapshot_id": src_snap, "delta_groups": 0,
-                "rewritten_files": 0, "carried_files": len(data),
-                "metadata": res["metadata"]}
-
-    prunable = all(bounds[f"nn_{k}"] == bounds["groups"] for k in spec.group_by)
-    if prunable:
-        prune = and_(
-            *[gt_eq(k, bounds[f"lo_{k}"]) for k in spec.group_by],
-            *[lt_eq(k, bounds[f"hi_{k}"]) for k in spec.group_by],
-        )
-        candidates = [e for e in data if file_might_match(prune, e.get("stats"))]
-    else:
-        candidates = list(data)
-    cand_paths = {e["path"] for e in candidates}
-    untouched = [e for e in data if e["path"] not in cand_paths] + deletes
-
-    pieces = [delta]
-    if candidates:
-        # A rollup holds exactly one row per group, so the candidate set —
-        # every file whose stats admit a touched key — contains ALL state
-        # for every touched group; re-aggregating candidates ∪ delta and
-        # carrying the rest by reference is exact.
-        old_state = _read_candidates(io, tgt_md, parent_id, candidates)
-        if rescan_keys is not None:
-            # rescanned groups are recomputed wholesale from the source —
-            # their stale stored rows must not feed the fold
-            old_state = old_state.alias("os").join(
-                rescan_keys.alias("rk"), _key_cond("os", "rk", keys), "left_anti"
-            )
-        pieces.append(old_state)
-    combined = pieces[0]
-    for p in pieces[1:]:
-        combined = combined.unionByName(p)
-    folded = combined.groupBy(*keys).agg(
-        F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
-        *[F.sum(F.col(c)).alias(c) for c in spec.sums],
-        *[F.min(F.col(c)).alias(c) for c in spec.mins],
-        *[F.max(F.col(c)).alias(c) for c in spec.maxs],
-        # binary sketch union: old-state sketches and the delta's
-        # insert-side sketches merge register-wise (NULLs ignored)
-        *[F.hll_union_agg(F.col(c)).alias(c) for c in spec.ndvs],
-    ).filter(F.col(COUNT_COL) > 0)
-
+    rescanned = None
     if rescan_keys is not None:
         # Targeted rescan: re-aggregate ONLY the net-removal groups from the
         # source PINNED at the refresh watermark (a concurrent source commit
@@ -369,6 +296,8 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             if n_rescan <= RESCAN_BROADCAST_GROUPS
             else rescan_keys
         )
+        # a fully-deleted group yields no source rows → no row here → it is
+        # dropped, exactly as a recompute would never produce it
         rescanned = (
             src.alias("s")
             .join(probe.alias("rk"), _key_cond("s", "rk", keys), "left_semi")
@@ -379,25 +308,129 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
                 *_extrema_aggs(spec),
             )
         )
-        # a fully-deleted group yields no source rows → no row here → it is
-        # dropped, exactly as a recompute would never produce it
+
+    res = _fold_delta_commit(
+        io, spec.target_namespace, spec.target_name, tgt_md,
+        keys=keys, delta=delta, sum_cols=list(spec.sums),
+        summary_base={WATERMARK_KEY: str(src_snap),
+                      SOURCE_KEY: spec._qualified_source()},
+        fold_extra_aggs=[
+            *[F.min(F.col(c)).alias(c) for c in spec.mins],
+            *[F.max(F.col(c)).alias(c) for c in spec.maxs],
+            # binary sketch union: old-state sketches and the delta's
+            # insert-side sketches merge register-wise (NULLs ignored)
+            *[F.hll_union_agg(F.col(c)).alias(c) for c in spec.ndvs],
+        ],
+        rescan_keys=rescan_keys, n_rescan=n_rescan, rescanned=rescanned,
+    )
+    res["source_snapshot_id"] = src_snap
+    return res
+
+
+def _fold_delta_commit(
+    io: SparkCatalogIO,
+    namespace: list[str],
+    name: str,
+    tgt_md: dict,
+    *,
+    keys: list[str],
+    delta,
+    sum_cols: list[str],
+    summary_base: dict[str, str],
+    fold_extra_aggs: list = (),
+    rescan_keys=None,
+    n_rescan: int = 0,
+    rescanned=None,
+) -> dict:
+    """The shared fold-and-commit tail of every IVM refresh: bound the
+    touched groups, prune the target's data files to the candidates that
+    might hold one, re-aggregate candidates ∪ delta (optionally excluding
+    and replacing rescanned groups), and commit one copy-on-write snapshot
+    carrying the untouched files by reference with the watermark(s) riding
+    its summary. A zero-group delta becomes a watermark-only carry commit."""
+    # One bounded agg over the touched groups (fold delta ∪ rescan keys)
+    # drives the target file prune — the merge_into idiom. NULL group keys
+    # fall outside min/max stats, so any NULL-keyed touched group disables
+    # pruning (conservative: every data file becomes a rewrite candidate).
+    touched = delta.select(*keys)
+    if rescan_keys is not None:
+        touched = touched.unionByName(rescan_keys)  # disjoint by anti-join
+    bounds = touched.agg(
+        F.count(F.lit(1)).alias("groups"),
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+        *[F.count(k).alias(f"nn_{k}") for k in keys],
+    ).collect()[0]
+
+    ref = tgt_md["refs"][MAIN]
+    parent_id = ref["snapshot-id"]
+    snap = next(s for s in tgt_md["snapshots"] if s["snapshot-id"] == parent_id)
+    data, deletes = split_entries(io._manifest_entries(snap["manifest-list"]))
+
+    if bounds["groups"] == 0:
+        # Net-zero change set (e.g. the range held only compactions whose
+        # delete+insert pairs cancel before grouping — or no row changes at
+        # all): advance the watermark in a carry-everything commit so the
+        # next refresh never re-walks this history.
+        res = _commit_cow(
+            io, namespace, name, tgt_md, parent_id, data + deletes, "replace",
+            {**summary_base, "ivm.refresh-kind": "watermark-only"},
+        )
+        return {"noop": False, "kind": "watermark-only", "delta_groups": 0,
+                "rewritten_files": 0, "carried_files": len(data),
+                "rescanned_groups": 0, "metadata": res["metadata"]}
+
+    prunable = all(bounds[f"nn_{k}"] == bounds["groups"] for k in keys)
+    if prunable:
+        prune = and_(
+            *[gt_eq(k, bounds[f"lo_{k}"]) for k in keys],
+            *[lt_eq(k, bounds[f"hi_{k}"]) for k in keys],
+        )
+        candidates = [e for e in data if file_might_match(prune, e.get("stats"))]
+    else:
+        candidates = list(data)
+    cand_paths = {e["path"] for e in candidates}
+    untouched = [e for e in data if e["path"] not in cand_paths] + deletes
+
+    pieces = [delta]
+    if candidates:
+        # A rollup holds exactly one row per group, so the candidate set —
+        # every file whose stats admit a touched key — contains ALL state
+        # for every touched group; re-aggregating candidates ∪ delta and
+        # carrying the rest by reference is exact.
+        old_state = _read_candidates(io, tgt_md, parent_id, candidates)
+        if rescan_keys is not None:
+            # rescanned groups are recomputed wholesale from the source —
+            # their stale stored rows must not feed the fold
+            old_state = old_state.alias("os").join(
+                rescan_keys.alias("rk"), _key_cond("os", "rk", keys), "left_anti"
+            )
+        pieces.append(old_state)
+    combined = pieces[0]
+    for p in pieces[1:]:
+        combined = combined.unionByName(p)
+    folded = combined.groupBy(*keys).agg(
+        F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+        *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+        *fold_extra_aggs,
+    ).filter(F.col(COUNT_COL) > 0)
+    if rescanned is not None:
         folded = folded.unionByName(rescanned)
     # Pin the refresh output to the target's committed schema: repeated
     # folding must not creep decimal precision between generations.
     target_fields = io._empty_df(tgt_md).schema
     folded = folded.select(
         *[F.col(f.name).cast(f.dataType) for f in target_fields]
-    ).sortWithinPartitions(*spec.group_by)
+    ).sortWithinPartitions(*keys)
 
     from denali_spark.sources.row_ops import _write_rewritten
 
     new_files = _write_rewritten(io, folded, tgt_md)
     try:
         res = _commit_cow(
-            io, spec.target_namespace, spec.target_name, tgt_md, parent_id,
+            io, namespace, name, tgt_md, parent_id,
             untouched + new_files, "overwrite",
-            {WATERMARK_KEY: str(src_snap), SOURCE_KEY: spec._qualified_source(),
-             "ivm.refresh-kind": "incremental",
+            {**summary_base, "ivm.refresh-kind": "incremental",
              "ivm.rewritten-data-files": str(len(candidates)),
              "ivm.rescanned-groups": str(n_rescan)},
         )
@@ -405,11 +438,250 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         if exc.status == 409:
             raise RuntimeError(
                 "concurrent commit on the rollup during refresh — IVM "
-                "refreshes are single-maintainer; re-run refresh_rollup "
+                "refreshes are single-maintainer; re-run the refresh "
                 "against the new state"
             ) from exc
         raise
-    return {"noop": False, "kind": "incremental", "source_snapshot_id": src_snap,
+    return {"noop": False, "kind": "incremental",
             "delta_groups": int(bounds["groups"]), "rescanned_groups": n_rescan,
             "rewritten_files": len(candidates), "carried_files": len(untouched),
             "metadata": res["metadata"]}
+
+
+# ---------------------------------------------------------------------------
+# Join-view IVM: a maintained GROUP BY over fact ⋈ dim
+# ---------------------------------------------------------------------------
+
+LEFT_WATERMARK_KEY = "ivm.left-snapshot-id"
+RIGHT_WATERMARK_KEY = "ivm.right-snapshot-id"
+LEFT_SOURCE_KEY = "ivm.left-table"
+RIGHT_SOURCE_KEY = "ivm.right-table"
+WEIGHT_COL = "_ivm_w"
+
+
+@dataclass
+class JoinRollupSpec:
+    """A maintained GROUP BY rollup over ``left INNER JOIN right`` on
+    equi-keys — the star-schema "sales by region" view every warehouse
+    keeps hot.
+
+    The maintenance rule is the bilinear delta expansion over signed
+    multisets:
+
+        Δ(R ⋈ S) = ΔR ⋈ S_new  ∪  R_old ⋈ ΔS
+
+    (expand (R_old+ΔR)⋈(S_old+ΔS) and cancel — the cross term ΔR⋈ΔS is
+    absorbed by joining ΔR against the NEW right snapshot). Both deltas
+    are PRE-CANCELLED per full row tuple before joining, so a compaction
+    or CoW rewrite of either source — whose changelog is delete +
+    identical insert — nets to an empty delta BEFORE it can fan out
+    through the join, and the refresh degrades to a watermark-only carry.
+
+    The expensive direction, a dim-side change, never re-scans the fact:
+    R_old (time-travel-pinned at the left watermark) is manifest-pruned to
+    the files whose join-key ranges can meet ΔS's keys, and the join
+    itself is the exact filter — cost bounded by fact rows referencing
+    CHANGED dim keys, not the fact table.
+
+    `group_by` and `sums` expressions are evaluated over the joined
+    relation (left columns + right columns minus the right join keys);
+    non-key column names must be disjoint across the two sources. Sums
+    follow the exact-type (integer/DECIMAL) policy of `RollupSpec`.
+    MIN/MAX/NDV are not offered on join views: their rescan would need
+    the joined relation per touched group, which is a different cost
+    class — a from-scratch `create_join_rollup` is the honest fallback.
+    """
+
+    left_namespace: list[str]
+    left_name: str
+    right_namespace: list[str]
+    right_name: str
+    on: list[tuple[str, str]]
+    target_namespace: list[str]
+    target_name: str
+    group_by: list[str]
+    sums: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        out_cols = [COUNT_COL, *self.sums]
+        dupes = {c for c in out_cols if out_cols.count(c) > 1}
+        if dupes:
+            raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
+        if not self.on:
+            raise ValueError("join rollup needs at least one equi-join key pair")
+
+    def _qualified_left(self) -> str:
+        return ".".join([*self.left_namespace, self.left_name])
+
+    def _qualified_right(self) -> str:
+        return ".".join([*self.right_namespace, self.right_name])
+
+
+def _joined(left, right, spec: JoinRollupSpec):
+    """INNER equi-join projecting left columns + right non-key columns.
+    Plain `=` on the keys — NULL join keys never match, exactly the view's
+    semantics — and a loud error on ambiguous non-key column names."""
+    right_keys = {rk for _, rk in spec.on}
+    left_cols = [c for c in left.columns if c != WEIGHT_COL]
+    right_cols = [c for c in right.columns if c not in right_keys and c != WEIGHT_COL]
+    clash = sorted(set(left_cols) & set(right_cols))
+    if clash:
+        raise ValueError(
+            f"ambiguous column names across join sides: {clash} — rename "
+            "before maintaining a join rollup"
+        )
+    cond = None
+    for lk, rk in spec.on:
+        c = left[lk] == right[rk]
+        cond = c if cond is None else cond & c
+    keep = [left[c] for c in left.columns] + [
+        right[c] for c in right.columns if c not in right_keys
+    ]
+    return left.join(right, cond, "inner").select(*keep)
+
+
+def _aggregate_join_full(io: SparkCatalogIO, spec: JoinRollupSpec,
+                         left_snapshot_id: int | None = None,
+                         right_snapshot_id: int | None = None):
+    left = io.read_table(spec.left_namespace, spec.left_name,
+                         snapshot_id=left_snapshot_id)
+    right = io.read_table(spec.right_namespace, spec.right_name,
+                          snapshot_id=right_snapshot_id)
+    return _joined(left, right, spec).groupBy(*spec.group_by).agg(
+        F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+        *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+    )
+
+
+def create_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
+    """Build the join rollup from scratch at both sources' CURRENT
+    snapshots and commit it with both watermarks riding the summary."""
+    l_md = io.client.load_table(spec.left_namespace, spec.left_name)["metadata"]
+    r_md = io.client.load_table(spec.right_namespace, spec.right_name)["metadata"]
+    l_snap, r_snap = l_md.get("current-snapshot-id"), r_md.get("current-snapshot-id")
+    if l_snap is None or r_snap is None:
+        raise ValueError("both join sources need at least one snapshot")
+    full = _aggregate_join_full(io, spec, l_snap, r_snap)
+    res = io.write_table(
+        full, spec.target_namespace, spec.target_name, mode="overwrite",
+        sort_by=list(spec.group_by),
+        summary_extra={
+            LEFT_WATERMARK_KEY: str(l_snap), RIGHT_WATERMARK_KEY: str(r_snap),
+            LEFT_SOURCE_KEY: spec._qualified_left(),
+            RIGHT_SOURCE_KEY: spec._qualified_right(),
+            "ivm.refresh-kind": "full",
+        },
+    )
+    return {"noop": False, "kind": "full", "left_snapshot_id": l_snap,
+            "right_snapshot_id": r_snap, "metadata": res["metadata"]}
+
+
+def _join_watermarks(md: dict, spec: JoinRollupSpec) -> tuple[int, int]:
+    ref = md.get("refs", {}).get(MAIN)
+    if ref is None:
+        raise ValueError("rollup table has no snapshots — run create_join_rollup first")
+    snap = next(
+        s for s in md.get("snapshots", []) if s["snapshot-id"] == ref["snapshot-id"]
+    )
+    summary = snap.get("summary", {})
+    lw, rw = summary.get(LEFT_WATERMARK_KEY), summary.get(RIGHT_WATERMARK_KEY)
+    if lw is None or rw is None:
+        raise ValueError(
+            "rollup's current snapshot carries no IVM watermarks — a foreign "
+            "write invalidated the maintained state; rebuild with "
+            "create_join_rollup"
+        )
+    for key, want in ((LEFT_SOURCE_KEY, spec._qualified_left()),
+                      (RIGHT_SOURCE_KEY, spec._qualified_right())):
+        got = summary.get(key)
+        if got is not None and got != want:
+            raise ValueError(f"rollup is maintained from {got!r}, not {want!r}")
+    return int(lw), int(rw)
+
+
+def _precancelled_changes(io: SparkCatalogIO, namespace: list[str], name: str,
+                          from_id: int, to_id: int):
+    """Signed changelog rows collapsed per full row tuple into a net WEIGHT
+    column (≠ 0 rows only): compaction / CoW-carry delete+insert pairs
+    vanish HERE, before any join can fan them out. The weight multiplies
+    through the bilinear delta exactly (multiset linearity)."""
+    changes = read_changes(io, namespace, name, from_snapshot_id=from_id,
+                           to_snapshot_id=to_id)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    cols = [c for c in changes.columns
+            if c not in ("_change_type", "_change_ordinal", "_commit_snapshot_id")]
+    return (
+        changes.groupBy(*cols)
+        .agg(F.sum(sign).cast("long").alias(WEIGHT_COL))
+        .filter(F.col(WEIGHT_COL) != 0)
+    )
+
+
+def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
+    """Fold both sources' changes since the last refresh into the join
+    rollup via Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS — changed files only on the
+    delta sides, a key-pruned pinned-snapshot read on R_old, and the same
+    candidate-pruned copy-on-write commit as the single-table refresh."""
+    tgt_md = io.client.load_table(spec.target_namespace, spec.target_name)["metadata"]
+    lw, rw = _join_watermarks(tgt_md, spec)
+    l_md = io.client.load_table(spec.left_namespace, spec.left_name)["metadata"]
+    r_md = io.client.load_table(spec.right_namespace, spec.right_name)["metadata"]
+    l_cur, r_cur = l_md.get("current-snapshot-id"), r_md.get("current-snapshot-id")
+    if l_cur == lw and r_cur == rw:
+        return {"noop": True, "left_snapshot_id": lw, "right_snapshot_id": rw}
+
+    keys = list(spec.group_by)
+    w = F.col(WEIGHT_COL)
+    terms = []
+    if l_cur != lw:
+        d_left = _precancelled_changes(io, spec.left_namespace, spec.left_name,
+                                       lw, l_cur)
+        s_new = io.read_table(spec.right_namespace, spec.right_name,
+                              snapshot_id=r_cur)
+        terms.append(_joined(d_left, s_new, spec))
+    if r_cur != rw:
+        d_right = _precancelled_changes(io, spec.right_namespace,
+                                        spec.right_name, rw, r_cur)
+        # NULL right keys never join — drop them so the key bounds below
+        # are always well-defined (and the fact read always prunable)
+        for _, rk in spec.on:
+            d_right = d_right.filter(F.col(rk).isNotNull())
+        rb = d_right.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(rk).alias(f"lo_{rk}") for _, rk in spec.on],
+            *[F.max(rk).alias(f"hi_{rk}") for _, rk in spec.on],
+        ).collect()[0]
+        if rb["n"] > 0:
+            left_where = and_(
+                *[gt_eq(lk, rb[f"lo_{rk}"]) for lk, rk in spec.on],
+                *[lt_eq(lk, rb[f"hi_{rk}"]) for lk, rk in spec.on],
+            )
+            r_old = io.read_table(spec.left_namespace, spec.left_name,
+                                  snapshot_id=lw, where=left_where)
+            terms.append(_joined(r_old, d_right, spec))
+
+    if terms:
+        delta_rows = terms[0]
+        for t in terms[1:]:
+            delta_rows = delta_rows.unionByName(t)
+        delta = delta_rows.groupBy(*keys).agg(
+            F.sum(w).cast("long").alias(COUNT_COL),
+            *[F.sum(F.expr(e) * w).alias(c) for c, e in spec.sums.items()],
+        )
+    else:
+        # both deltas pre-cancelled to nothing — synthesize an empty delta
+        # so the shared tail takes the watermark-only path
+        delta = _aggregate_join_full(io, spec, l_cur, r_cur).limit(0)
+
+    res = _fold_delta_commit(
+        io, spec.target_namespace, spec.target_name, tgt_md,
+        keys=keys, delta=delta, sum_cols=list(spec.sums),
+        summary_base={
+            LEFT_WATERMARK_KEY: str(l_cur), RIGHT_WATERMARK_KEY: str(r_cur),
+            LEFT_SOURCE_KEY: spec._qualified_left(),
+            RIGHT_SOURCE_KEY: spec._qualified_right(),
+        },
+    )
+    res["left_snapshot_id"] = l_cur
+    res["right_snapshot_id"] = r_cur
+    return res

@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 from denali_spark.catalog import CatalogServer, make_state
 from denali_spark.engine.session import get_spark
 from denali_spark.sources import (
+    JoinRollupSpec,
     RollupSpec,
     SparkCatalogIO,
     compact_data_files,
+    create_join_rollup,
     create_rollup,
     delete_where,
+    refresh_join_rollup,
     refresh_rollup,
 )
 from denali_spark.sources import expressions as E
@@ -90,6 +93,29 @@ delete_where(io, ["shop"], "sales", E.lt("id", 1_200))  # removes current minima
 res = refresh_rollup(io, minmax)
 print(f"min/max after delete: rescanned_groups={res['rescanned_groups']} (rescan)")
 io.read_table(["shop"], "sales_extrema").orderBy("k").show()
+
+# JOIN views maintain too: Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS, both deltas
+# pre-cancelled per row tuple. A dim-side label change joins ONLY the facts
+# referencing the changed keys — never a fact-table rescan.
+regions = spark.createDataFrame(
+    [(0, "east"), (1, "east"), (2, "west"), (3, "west"), (4, "north")],
+    "k long, region string",
+)
+io.write_table(regions.coalesce(1), ["shop"], "regions", mode="overwrite")
+jspec = JoinRollupSpec(
+    left_namespace=["shop"], left_name="sales",
+    right_namespace=["shop"], right_name="regions",
+    on=[("k", "k")],
+    target_namespace=["shop"], target_name="sales_by_region_name",
+    group_by=["region"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+)
+create_join_rollup(io, jspec)
+io.sql("UPDATE shop.regions SET region = 'south' WHERE k = 4")
+res = refresh_join_rollup(io, jspec)
+print(f"join rollup after dim relabel: {res['kind']}, "
+      f"delta_groups={res['delta_groups']}")
+io.read_table(["shop"], "sales_by_region_name").orderBy("region").show()
 
 # trust but verify: the maintained state equals a from-scratch recompute
 # (fold in the min/max section's source commits first)

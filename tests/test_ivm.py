@@ -406,3 +406,162 @@ def test_ndv_compaction_stays_on_fold_path(spark, io):
     res = refresh_rollup(io, NDV_SPEC)
     assert res.get("rescanned_groups", 0) == 0
     _assert_ndv_matches_recompute(io)
+
+
+# ---------------------------------------------------------------------------
+# Join-view IVM: GROUP BY over fact ⋈ dim
+# ---------------------------------------------------------------------------
+
+from denali_spark.sources import (  # noqa: E402
+    JoinRollupSpec,
+    create_join_rollup,
+    refresh_join_rollup,
+)
+from denali_spark.sources.ivm import _aggregate_join_full  # noqa: E402
+
+JOIN_SPEC = JoinRollupSpec(
+    left_namespace=["ivm"], left_name="facts",
+    right_namespace=["ivm"], right_name="dims",
+    on=[("k", "k")],
+    target_namespace=["ivm"], target_name="facts_by_region",
+    group_by=["region"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+)
+
+
+def _write_dims(spark, io, regions):
+    """dims: (k, region). `regions` maps k -> region label."""
+    df = spark.createDataFrame(
+        [(k, r) for k, r in regions.items()], "k long, region string"
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "dims", mode="overwrite")
+
+
+def _assert_join_matches(io, spec=JOIN_SPEC):
+    tgt = io.read_table(spec.target_namespace, spec.target_name)
+    cols = sorted(tgt.columns)
+    got = {tuple(r) for r in tgt.select(*cols).collect()}
+    want = {tuple(r) for r in _aggregate_join_full(io, spec).select(*cols).collect()}
+    assert got == want
+    return got
+
+
+def test_join_fact_append_and_delete(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    _assert_join_matches(io)
+
+    _append(spark, io, 100, 250)
+    res = refresh_join_rollup(io, JOIN_SPEC)
+    assert res["kind"] == "incremental"
+    _assert_join_matches(io)
+
+    delete_where(io, ["ivm"], "facts", E.lt("id", 30))
+    refresh_join_rollup(io, JOIN_SPEC)
+    _assert_join_matches(io)
+
+    assert refresh_join_rollup(io, JOIN_SPEC)["noop"] is True
+
+
+def test_join_dim_update_moves_groups(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    # CoW-update one dim row: k=4 moves north -> south; the delta joins
+    # ONLY facts with k=4, never the whole fact table
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 4")
+    res = refresh_join_rollup(io, JOIN_SPEC)
+    assert res["kind"] == "incremental"
+    got = _assert_join_matches(io)
+    regions = {t[sorted(["amount_sum", "n_rows", "region"]).index("region")]
+               for t in got}
+    assert "south" in regions and "north" not in regions
+
+
+def test_join_dim_append_resolves_dangling_facts(spark, io):
+    _append(spark, io, 0, 100, k_mod=7)  # ks 0..6; dims only cover 0..4
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    before = _assert_join_matches(io)
+    new = spark.createDataFrame([(5, "south"), (6, "south")], "k long, region string")
+    io.write_table(new.coalesce(1), ["ivm"], "dims", mode="append")
+    refresh_join_rollup(io, JOIN_SPEC)
+    after = _assert_join_matches(io)
+    assert len(after) == len(before) + 1  # the south group appeared
+
+
+def test_join_dim_delete_drops_facts(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    delete_where(io, ["ivm"], "dims", E.eq("k", 4))
+    refresh_join_rollup(io, JOIN_SPEC)
+    got = _assert_join_matches(io)
+    regions = {t[sorted(["amount_sum", "n_rows", "region"]).index("region")]
+               for t in got}
+    assert regions == {"east", "west"}
+
+
+def test_join_both_sides_change_in_one_refresh(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    _append(spark, io, 100, 180)
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 0")
+    delete_where(io, ["ivm"], "facts", E.lt("id", 20))
+    res = refresh_join_rollup(io, JOIN_SPEC)
+    assert res["kind"] == "incremental"
+    _assert_join_matches(io)
+
+
+def test_join_compaction_is_watermark_only(spark, io):
+    _append(spark, io, 0, 50)
+    _append(spark, io, 50, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    compact_data_files(io, ["ivm"], "facts")
+    res = refresh_join_rollup(io, JOIN_SPEC)
+    # the pre-cancelled fact delta is EMPTY: the rewrite never reaches the
+    # join, and the refresh just advances both watermarks
+    assert res["kind"] == "watermark-only"
+    _assert_join_matches(io)
+    assert refresh_join_rollup(io, JOIN_SPEC)["noop"] is True
+
+
+def test_join_null_fact_keys_never_join(spark, io):
+    rows = spark.createDataFrame(
+        [(1, None, 10.0), (2, 0, 20.0), (3, None, 30.0)],
+        "id long, k long, amount_raw double",
+    ).select("id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount"))
+    io.write_table(rows.coalesce(1), ["ivm"], "facts", mode="append")
+    _write_dims(spark, io, {0: "east"})
+    create_join_rollup(io, JOIN_SPEC)
+    _assert_join_matches(io)
+    # deleting a NULL-key fact row must be invisible to the view
+    keys = spark.createDataFrame([(1,)], "id long")
+    equality_delete(io, ["ivm"], "facts", keys, on=["id"])
+    res = refresh_join_rollup(io, JOIN_SPEC)
+    _assert_join_matches(io)
+
+
+def test_join_foreign_write_invalidates(spark, io):
+    _append(spark, io, 0, 10)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_SPEC)
+    rogue = spark.createDataFrame(
+        [("mars", 1, None)], "region string, n_rows long, amount_sum decimal(28,2)"
+    )
+    io.write_table(rogue, ["ivm"], "facts_by_region", mode="append")
+    _append(spark, io, 10, 20)
+    with pytest.raises(ValueError, match="foreign write"):
+        refresh_join_rollup(io, JOIN_SPEC)
+
+
+def test_join_ambiguous_columns_rejected(spark, io):
+    # both sides expose a column named `amount` -> loud error
+    df = spark.createDataFrame([(0, "east", 1.0)], "k long, region string, amount double")
+    io.write_table(df.coalesce(1), ["ivm"], "dims", mode="overwrite")
+    _append(spark, io, 0, 10)
+    with pytest.raises(ValueError, match="ambiguous column names"):
+        create_join_rollup(io, JOIN_SPEC)

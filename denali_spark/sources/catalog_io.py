@@ -681,7 +681,11 @@ class SparkCatalogIO:
         `CREATE TABLE ns.t (col type ...)` with explicit schema,
         `CREATE [OR REPLACE] VIEW ns.v AS <select>`, and
         `DROP TABLE|VIEW|NAMESPACE [IF EXISTS] [PURGE]` complete the
-        day-1 session of the reference's client example.
+        day-1 session of the reference's client example. Round 13 adds
+        `CREATE MATERIALIZED VIEW ns.mv AS <group-by select>` /
+        `REFRESH MATERIALIZED VIEW ns.mv` / `DROP MATERIALIZED VIEW` —
+        incrementally MAINTAINED rollups (sources/ivm.py) whose refresh
+        folds source changelog deltas instead of re-aggregating.
 
         Row-level DML (round 7): `DELETE FROM ns.t WHERE ...`,
         `UPDATE ns.t SET c = <expr>[, ...] WHERE ...`, and
@@ -753,6 +757,19 @@ class SparkCatalogIO:
                     m.group(2), bool(m.group(1)), _strip_stmt("(" + m.group(3))
                 )
             m = _re.match(
+                r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+"
+                r"(SELECT\b.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_create_mview(m.group(1), _strip_stmt(m.group(2)))
+            m = _re.match(
+                r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$",
+                query, _re.IGNORECASE,
+            )
+            if m:
+                return self._sql_refresh_mview(m.group(1))
+            m = _re.match(
                 r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
                 r"([\w.]+)\s+AS\s+(SELECT\b.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
@@ -764,13 +781,17 @@ class SparkCatalogIO:
                     if_not_exists=bool(m.group(2)),
                 )
             m = _re.match(
-                r"\s*DROP\s+(TABLE|VIEW|NAMESPACE)\s+(IF\s+EXISTS\s+)?"
+                r"\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|NAMESPACE)\s+"
+                r"(IF\s+EXISTS\s+)?"
                 r"([\w.]+)\s*(PURGE)?\s*;?\s*$",
                 query, _re.IGNORECASE,
             )
             if m:
+                kind = _re.sub(r"\s+", " ", m.group(1).upper())
                 return self._sql_drop(
-                    m.group(1).upper(), m.group(3),
+                    # a materialized view IS a table (+ the ivm.spec prop)
+                    "TABLE" if kind == "MATERIALIZED VIEW" else kind,
+                    m.group(3),
                     if_exists=bool(m.group(2)), purge=bool(m.group(4)),
                 )
             m = _re.match(
@@ -1370,6 +1391,44 @@ class SparkCatalogIO:
                 continue
             raise ValueError(f"unsupported CREATE TABLE clause {tail[:60]!r}")
         return partition_by, properties
+
+    def _sql_create_mview(self, qualified: str, select_sql: str) -> DataFrame:
+        """CREATE MATERIALIZED VIEW ns.mv AS <select> — an incrementally
+        MAINTAINED rollup (sources/ivm.py): the parsed spec is stamped into
+        the target's table properties, so `REFRESH MATERIALIZED VIEW ns.mv`
+        folds source changelog deltas with no spec re-supplied. The target
+        is a real catalog table — readable, time-travelable, droppable via
+        DROP MATERIALIZED VIEW (or DROP TABLE)."""
+        from denali_spark.sources import ivm as _ivm
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(f"unqualified name {qualified!r}: use ns.mv")
+        res = _ivm.create_materialized_view(self, namespace, name, select_sql)
+        return self._alter_summary(
+            qualified, "create-materialized-view", res["kind"]
+        )
+
+    def _sql_refresh_mview(self, qualified: str) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW ns.mv — incremental fold of source
+        changes since the stored watermark(s); returns the refresh report."""
+        from denali_spark.sources import ivm as _ivm
+
+        parts = qualified.split(".")
+        namespace, name = parts[:-1], parts[-1]
+        if not namespace:
+            raise ValueError(f"unqualified name {qualified!r}: use ns.mv")
+        res = _ivm.refresh_materialized_view(self, namespace, name)
+        kind = "noop" if res.get("noop") else res["kind"]
+        return self.spark.range(1).select(
+            F.lit(qualified).alias("table"),
+            F.lit(kind).alias("kind"),
+            F.lit(int(res.get("delta_groups", 0))).alias("delta_groups"),
+            F.lit(int(res.get("rescanned_groups", 0))).alias("rescanned_groups"),
+            F.lit(int(res.get("rewritten_files", 0))).alias("rewritten_files"),
+            F.lit(int(res.get("carried_files", 0))).alias("carried_files"),
+        )
 
     def _sql_create_view(
         self, qualified: str, select_sql: str, *,

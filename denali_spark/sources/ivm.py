@@ -685,3 +685,231 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
     res["left_snapshot_id"] = l_cur
     res["right_snapshot_id"] = r_cur
     return res
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: CREATE/REFRESH MATERIALIZED VIEW (io.sql routes here)
+# ---------------------------------------------------------------------------
+
+SPEC_PROPERTY = "ivm.spec"
+_AGG_RE = None  # built lazily (module import stays regex-free)
+
+
+def _parse_agg_item(item: str):
+    import re
+
+    m = re.match(
+        r"\s*(COUNT|SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\((.*)\)\s+AS\s+(\w+)\s*$",
+        item, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    return m.group(1).upper(), m.group(2).strip(), m.group(3)
+
+
+def _strip_qualifier(col: str, tables: list[str]) -> str:
+    """Strip a leading `<table>.` qualifier when it names one of the FROM
+    tables (by last name component); anything else must be a bare column."""
+    parts = col.split(".")
+    if len(parts) == 2 and parts[0] in tables:
+        return parts[1]
+    if len(parts) == 1:
+        return col
+    raise ValueError(
+        f"cannot resolve qualified column {col!r} — qualify with the table "
+        f"name ({'/'.join(tables)}) or use bare column names"
+    )
+
+
+def parse_materialized_view_sql(
+    select_sql: str, target_namespace: list[str], target_name: str
+) -> "RollupSpec | JoinRollupSpec":
+    """Parse the maintainable-SQL subset into a rollup spec:
+
+        SELECT <keys and aggregates> FROM ns.t
+          [[INNER] JOIN ns.d ON t.k = d.k [AND ...]]
+        GROUP BY <keys>
+
+    Aggregates: COUNT(*) AS n_rows (optional — always maintained), SUM /
+    MIN / MAX (expr) AS alias, APPROX_COUNT_DISTINCT(expr) AS alias (the
+    maintained-HLL NDV; single-table only). Join views take COUNT/SUM only
+    (module docstring: extrema rescans over a join are a different cost
+    class). WHERE is rejected loudly — bake filters into a source table.
+    """
+    import re
+
+    from denali_spark.sources.catalog_io import (
+        _find_top_level,
+        _split_top_level_commas,
+    )
+
+    s = select_sql.strip().rstrip(";").strip()
+    if not re.match(r"SELECT\s", s, re.IGNORECASE):
+        raise ValueError("materialized view body must be a SELECT")
+    if _find_top_level(s, "WHERE") >= 0:
+        raise ValueError(
+            "WHERE is not supported in maintained materialized views — "
+            "bake the filter into a source table (a filtered changelog "
+            "would still be exact, but the spec does not carry predicates)"
+        )
+    fpos = _find_top_level(s, "FROM")
+    gpos = _find_top_level(s, "GROUP")
+    if fpos < 0 or gpos < 0 or not re.match(
+        r"GROUP\s+BY\s", s[gpos:], re.IGNORECASE
+    ):
+        raise ValueError(
+            "maintained materialized views support exactly "
+            "SELECT ... FROM t [JOIN d ON ...] GROUP BY ... "
+        )
+    select_list = s[len("SELECT"):fpos]
+    from_clause = s[fpos + 4:gpos].strip()
+    group_clause = re.sub(r"^GROUP\s+BY\s+", "", s[gpos:], flags=re.IGNORECASE)
+
+    jm = re.match(
+        r"([\w.]+)\s+(?:INNER\s+)?JOIN\s+([\w.]+)\s+ON\s+(.+)$",
+        from_clause, re.IGNORECASE | re.DOTALL,
+    )
+    sm = re.fullmatch(r"([\w.]+)", from_clause)
+    if not jm and not sm:
+        raise ValueError(f"unsupported FROM clause {from_clause[:80]!r}")
+
+    left_q = (jm.group(1) if jm else sm.group(1)).split(".")
+    if len(left_q) < 2:
+        raise ValueError("source tables must be namespace-qualified (ns.t)")
+    tables = [left_q[-1]]
+    right_q, on = None, []
+    if jm:
+        right_q = jm.group(2).split(".")
+        if len(right_q) < 2:
+            raise ValueError("source tables must be namespace-qualified (ns.t)")
+        tables.append(right_q[-1])
+        for cond in re.split(r"\s+AND\s+", jm.group(3).strip(),
+                             flags=re.IGNORECASE):
+            cm = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", cond)
+            if not cm:
+                raise ValueError(f"unsupported join condition {cond!r} — "
+                                 "equi-joins only")
+            a, b = cm.group(1), cm.group(2)
+            # resolve sides by qualifier; bare operands are positional
+            a_right = a.split(".")[0] == tables[1] and "." in a
+            b_left = b.split(".")[0] == tables[0] and "." in b
+            if a_right or b_left:
+                a, b = b, a
+            on.append((_strip_qualifier(a, tables[:1]),
+                       _strip_qualifier(b, tables[1:])))
+
+    keys = []
+    for item in _split_top_level_commas(group_clause):
+        col = _strip_qualifier(item.strip(), tables)
+        if not re.fullmatch(r"\w+", col):
+            raise ValueError(f"GROUP BY supports plain columns only, got {item!r}")
+        keys.append(col)
+
+    sums: dict[str, str] = {}
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
+    ndvs: dict[str, str] = {}
+    bare: list[str] = []
+    for item in _split_top_level_commas(select_list):
+        agg = _parse_agg_item(item)
+        if agg is None:
+            bare.append(_strip_qualifier(item.strip(), tables))
+            continue
+        fn, expr, alias = agg
+        if fn == "COUNT":
+            if expr != "*":
+                raise ValueError("only COUNT(*) is maintained (COUNT(expr) "
+                                 "needs NULL accounting the spec omits)")
+            if alias != COUNT_COL:
+                raise ValueError(
+                    f"COUNT(*) must alias to {COUNT_COL!r} — it doubles as "
+                    "the maintained group-liveness counter"
+                )
+            continue  # always maintained
+        target = {"SUM": sums, "MIN": mins, "MAX": maxs,
+                  "APPROX_COUNT_DISTINCT": ndvs}[fn]
+        target[alias] = expr
+    if set(bare) != set(keys):
+        raise ValueError(
+            f"plain select items {bare} must equal the GROUP BY keys {keys}"
+        )
+
+    if right_q is not None:
+        if mins or maxs or ndvs:
+            raise ValueError(
+                "join materialized views maintain COUNT/SUM only — "
+                "MIN/MAX/APPROX_COUNT_DISTINCT need per-group rescans over "
+                "the join (rebuild with CREATE instead)"
+            )
+        return JoinRollupSpec(
+            left_namespace=left_q[:-1], left_name=left_q[-1],
+            right_namespace=right_q[:-1], right_name=right_q[-1],
+            on=on,
+            target_namespace=list(target_namespace), target_name=target_name,
+            group_by=keys, sums=sums,
+        )
+    return RollupSpec(
+        source_namespace=left_q[:-1], source_name=left_q[-1],
+        target_namespace=list(target_namespace), target_name=target_name,
+        group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
+    )
+
+
+def spec_to_json(spec: "RollupSpec | JoinRollupSpec") -> str:
+    import json
+    from dataclasses import asdict
+
+    d = asdict(spec)
+    d["kind"] = "join" if isinstance(spec, JoinRollupSpec) else "table"
+    if isinstance(spec, JoinRollupSpec):
+        d["on"] = [list(p) for p in spec.on]
+    return json.dumps(d, sort_keys=True)
+
+
+def spec_from_json(raw: str) -> "RollupSpec | JoinRollupSpec":
+    import json
+
+    d = json.loads(raw)
+    kind = d.pop("kind")
+    if kind == "join":
+        d["on"] = [tuple(p) for p in d["on"]]
+        return JoinRollupSpec(**d)
+    return RollupSpec(**d)
+
+
+def create_materialized_view(io: SparkCatalogIO, namespace: list[str],
+                             name: str, select_sql: str) -> dict:
+    """CREATE MATERIALIZED VIEW: build the rollup, then stamp the parsed
+    spec into the target's table properties so REFRESH needs only the
+    name. The stamp is a second commit; a crash between the two leaves a
+    plain table without the property — re-running CREATE overwrites it."""
+    spec = parse_materialized_view_sql(select_sql, namespace, name)
+    if isinstance(spec, JoinRollupSpec):
+        res = create_join_rollup(io, spec)
+    else:
+        res = create_rollup(io, spec)
+    md = io.client.load_table(namespace, name)["metadata"]
+    io.client.commit_table(
+        namespace, name,
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-properties",
+                  "updates": {SPEC_PROPERTY: spec_to_json(spec)}}],
+    )
+    return res
+
+
+def refresh_materialized_view(io: SparkCatalogIO, namespace: list[str],
+                              name: str) -> dict:
+    md = io.client.load_table(namespace, name)["metadata"]
+    raw = md.get("properties", {}).get(SPEC_PROPERTY)
+    if raw is None:
+        qualified = ".".join([*namespace, name])
+        raise ValueError(
+            f"{qualified!r} is not a maintained materialized view (no "
+            f"{SPEC_PROPERTY} table property) — create one with "
+            "CREATE MATERIALIZED VIEW"
+        )
+    spec = spec_from_json(raw)
+    if isinstance(spec, JoinRollupSpec):
+        return refresh_join_rollup(io, spec)
+    return refresh_rollup(io, spec)

@@ -117,8 +117,20 @@ print(f"join rollup after dim relabel: {res['kind']}, "
       f"delta_groups={res['delta_groups']}")
 io.read_table(["shop"], "sales_by_region_name").orderBy("region").show()
 
+# the whole lifecycle is one SQL statement each way: the parsed spec is
+# stamped into the target's table properties, so REFRESH needs only a name
+io.sql("""
+    CREATE MATERIALIZED VIEW shop.mv_sales AS
+    SELECT k, COUNT(*) AS n_rows,
+           SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum,
+           APPROX_COUNT_DISTINCT(id) AS uniq_ids
+    FROM shop.sales GROUP BY k
+""")
+io.write_table(day(30_000, 31_000), ["shop"], "sales", mode="append")
+io.sql("REFRESH MATERIALIZED VIEW shop.mv_sales").show()
+
 # trust but verify: the maintained state equals a from-scratch recompute
-# (fold in the min/max section's source commits first)
+# (fold in the min/max + SQL sections' source commits first)
 refresh_rollup(io, spec)
 maintained = {(r.k, r.n_rows, r.amount_sum)
               for r in io.read_table(["shop"], "sales_by_region").collect()}

@@ -565,3 +565,85 @@ def test_join_ambiguous_columns_rejected(spark, io):
     _append(spark, io, 0, 10)
     with pytest.raises(ValueError, match="ambiguous column names"):
         create_join_rollup(io, JOIN_SPEC)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: CREATE / REFRESH / DROP MATERIALIZED VIEW
+# ---------------------------------------------------------------------------
+
+
+def test_sql_materialized_view_single_table(spark, io):
+    _append(spark, io, 0, 100)
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.mv_by_k AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum,
+               MIN(amount) AS amount_min,
+               APPROX_COUNT_DISTINCT(id) AS uniq_ids
+        FROM ivm.facts GROUP BY k
+    """)
+    got = {(r.k, r.n_rows, r.amount_sum)
+           for r in io.sql("SELECT k, n_rows, amount_sum FROM ivm.mv_by_k").collect()}
+    assert len(got) == 5 and all(n == 20 for _, n, _ in got)
+
+    _append(spark, io, 100, 250)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 10))
+    rep = io.sql("REFRESH MATERIALIZED VIEW ivm.mv_by_k").collect()[0]
+    assert rep.kind == "incremental" and rep.rescanned_groups > 0
+
+    spec = RollupSpec(
+        source_namespace=["ivm"], source_name="facts",
+        target_namespace=["ivm"], target_name="mv_by_k",
+        group_by=["k"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+        mins={"amount_min": "amount"}, ndvs={"uniq_ids": "id"},
+    )
+    _assert_rollup_matches(io, spec)
+
+    # steady state: refresh with no new commits reports noop
+    assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_by_k").collect()[0].kind == "noop"
+
+    io.sql("DROP MATERIALIZED VIEW ivm.mv_by_k")
+    with pytest.raises(Exception):
+        io.read_table(["ivm"], "mv_by_k")
+
+
+def test_sql_materialized_view_join(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.mv_by_region AS
+        SELECT region, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
+        FROM ivm.facts JOIN ivm.dims ON facts.k = dims.k
+        GROUP BY region
+    """)
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 4")
+    _append(spark, io, 100, 150)
+    rep = io.sql("REFRESH MATERIALIZED VIEW ivm.mv_by_region").collect()[0]
+    assert rep.kind == "incremental"
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="mv_by_region",
+        group_by=["region"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    )
+    _assert_join_matches(io, spec)
+
+
+def test_sql_materialized_view_rejections(spark, io):
+    _append(spark, io, 0, 10)
+    with pytest.raises(ValueError, match="WHERE is not supported"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
+               "SELECT k, COUNT(*) AS n_rows FROM ivm.facts WHERE k > 1 GROUP BY k")
+    with pytest.raises(ValueError, match="n_rows"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
+               "SELECT k, COUNT(*) AS cnt FROM ivm.facts GROUP BY k")
+    with pytest.raises(ValueError, match="COUNT/SUM only"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
+               "SELECT k, MIN(amount) AS m FROM ivm.facts "
+               "JOIN ivm.facts2 ON facts.k = facts2.k GROUP BY k")
+    with pytest.raises(ValueError, match="not a maintained materialized view"):
+        io.sql("REFRESH MATERIALIZED VIEW ivm.facts")

@@ -971,6 +971,7 @@ class SparkCatalogIO:
         "cherrypick_snapshot": ("_proc_cherrypick", ("snapshot_id",)),
         "ancestors_of": ("_proc_ancestors", ()),
         "compute_table_stats": ("_proc_analyze", ("columns",)),
+        "refresh_materialized_view": ("_proc_refresh_mview", ()),
     }
 
     def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
@@ -1027,6 +1028,11 @@ class SparkCatalogIO:
         return self.spark.range(1).select(
             *[F.lit(v).alias(k) for k, v in cols.items()]
         )
+
+    def _proc_refresh_mview(self, ns, name):
+        # the CALL spelling of REFRESH MATERIALIZED VIEW, so maintenance
+        # runbooks that already chain system procedures can fold MVs too
+        return self._sql_refresh_mview(".".join([*ns, name]))
 
     def _proc_expire(self, ns, name, retain_last=1, older_than=None):
         from denali_spark.sources.maintenance import expire_snapshots

@@ -647,3 +647,15 @@ def test_sql_materialized_view_rejections(spark, io):
                "JOIN ivm.facts2 ON facts.k = facts2.k GROUP BY k")
     with pytest.raises(ValueError, match="not a maintained materialized view"):
         io.sql("REFRESH MATERIALIZED VIEW ivm.facts")
+
+
+def test_call_refresh_materialized_view(spark, io):
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_call AS "
+           "SELECT k, COUNT(*) AS n_rows FROM ivm.facts GROUP BY k")
+    _append(spark, io, 50, 100)
+    rep = io.sql("CALL system.refresh_materialized_view('ivm.mv_call')").collect()[0]
+    assert rep.kind == "incremental"
+    got = {(r.k, r.n_rows) for r in io.sql(
+        "SELECT k, n_rows FROM ivm.mv_call").collect()}
+    assert got == {(k, 20) for k in range(5)}

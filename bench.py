@@ -527,6 +527,10 @@ HEADLINE = [
     "dedup_cluster_source_purity",
     "sample_shuffle_shards",
     "mm_image_phash_pairs",
+    # round 13b: the distributed sweep-line (sessionize once via a lazy
+    # localCheckpoint, then per-day running-sum windows + the bounded
+    # cross-midnight carry explode — no global sort at any width)
+    "ts_concurrency_peak",
 ]
 
 

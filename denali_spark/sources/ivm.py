@@ -223,6 +223,7 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     src_snap = src_md.get("current-snapshot-id")
     if src_snap == watermark:
         return {"noop": True, "source_snapshot_id": watermark}
+    _require_live_watermark(src_md, watermark, spec._qualified_source())
 
     changes = read_changes(
         io, spec.source_namespace, spec.source_name,
@@ -325,6 +326,23 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     )
     res["source_snapshot_id"] = src_snap
     return res
+
+
+def _require_live_watermark(src_md: dict, watermark: int, qualified: str) -> None:
+    """Incremental refresh derives the changelog from the watermark
+    snapshot forward; if snapshot expiry trimmed the source's history past
+    it, the delta is underivable — fail with the remedy rather than a
+    confusing chain-walk error. (run_maintenance refreshes dependent MVs
+    BEFORE expiring, so routine maintenance never lands here.)"""
+    if not any(
+        s.get("snapshot-id") == watermark for s in src_md.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"{qualified!r} history was expired past the rollup watermark "
+            f"({watermark}) — the incremental delta is underivable; rebuild "
+            "with create_rollup/create_join_rollup (and refresh before "
+            "expiring source snapshots, as run_maintenance does)"
+        )
 
 
 def _fold_delta_commit(
@@ -634,6 +652,10 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
     w = F.col(WEIGHT_COL)
     terms = []
     if l_cur != lw:
+        _require_live_watermark(l_md, lw, spec._qualified_left())
+    if r_cur != rw:
+        _require_live_watermark(r_md, rw, spec._qualified_right())
+    if l_cur != lw:
         d_left = _precancelled_changes(io, spec.left_namespace, spec.left_name,
                                        lw, l_cur)
         s_new = io.read_table(spec.right_namespace, spec.right_name,
@@ -913,3 +935,33 @@ def refresh_materialized_view(io: SparkCatalogIO, namespace: list[str],
     if isinstance(spec, JoinRollupSpec):
         return refresh_join_rollup(io, spec)
     return refresh_rollup(io, spec)
+
+
+def dependent_materialized_views(
+    io: SparkCatalogIO, namespace: list[str], name: str
+) -> list[tuple[list[str], str]]:
+    """Every table in the catalog whose stamped `ivm.spec` reads from
+    ``namespace.name`` (either side of a join view). Walks the namespace
+    tree via the catalog listing — metadata-only, bounded by table count."""
+    qualified = ".".join([*namespace, name])
+    out: list[tuple[list[str], str]] = []
+
+    def walk(parent):
+        for ns in io.client.list_namespaces(parent):
+            for ident in io.client.list_tables(ns):
+                t_ns, t_name = list(ident["namespace"]), ident["name"]
+                md = io.client.load_table(t_ns, t_name)["metadata"]
+                raw = md.get("properties", {}).get(SPEC_PROPERTY)
+                if not raw:
+                    continue
+                spec = spec_from_json(raw)
+                if isinstance(spec, JoinRollupSpec):
+                    srcs = {spec._qualified_left(), spec._qualified_right()}
+                else:
+                    srcs = {spec._qualified_source()}
+                if qualified in srcs:
+                    out.append((t_ns, t_name))
+            walk(ns)
+
+    walk(None)
+    return out

@@ -1212,15 +1212,20 @@ def run_maintenance(
     orphans: bool = False,
     analyze_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    refresh_mviews: bool = True,
 ) -> dict:
     """One-call day-2 maintenance in the order a production table wants it:
 
     1. rewrite_deletes  — fold accumulated MoR deletes/vectors into data
     2. compact_data_files — bin-pack small files toward the target size
-    3. expire_snapshots — trim history past keep_last (refs protected)
-    4. remove_orphan_files — only when `orphans=True` (its 3-day retention
+    3. refresh dependent materialized views — their watermarks advance to
+       the post-compaction snapshot, so the expiry below can never trim
+       history a rollup still needs (an expired watermark makes the
+       incremental delta underivable — ivm._require_live_watermark)
+    4. expire_snapshots — trim history past keep_last (refs protected)
+    5. remove_orphan_files — only when `orphans=True` (its 3-day retention
        guard makes it a no-op for fresh leftovers; run it on quiet tables)
-    5. analyze_table — refresh statistics (and bloom filters) on the final
+    6. analyze_table — refresh statistics (and bloom filters) on the final
        snapshot so the pruning indexes match what readers will scan
 
     Each step commits independently (CAS-retried) and the report maps step
@@ -1236,6 +1241,17 @@ def run_maintenance(
             io, namespace, name, target_file_size_bytes=target_file_size_bytes
         )
         report["compact_data_files"] = "noop" if r.get("noop") else "done"
+    if refresh_mviews:
+        from denali_spark.sources.ivm import (
+            dependent_materialized_views,
+            refresh_materialized_view,
+        )
+
+        deps = dependent_materialized_views(io, namespace, name)
+        for d_ns, d_name in deps:
+            refresh_materialized_view(io, d_ns, d_name)
+        if deps:
+            report["refresh_materialized_views"] = f"{len(deps)} refreshed"
     if expire:
         r = expire_snapshots(io, namespace, name, keep_last=keep_last)
         report["expire_snapshots"] = "noop" if r.get("noop") else "done"

@@ -659,3 +659,34 @@ def test_call_refresh_materialized_view(spark, io):
     got = {(r.k, r.n_rows) for r in io.sql(
         "SELECT k, n_rows FROM ivm.mv_call").collect()}
     assert got == {(k, 20) for k in range(5)}
+
+
+def test_expired_watermark_fails_loudly(spark, io):
+    from denali_spark.sources import expire_snapshots
+
+    _append(spark, io, 0, 50)
+    create_rollup(io, SPEC)
+    _append(spark, io, 50, 100)
+    _append(spark, io, 100, 150)
+    # trim source history past the rollup's watermark
+    expire_snapshots(io, ["ivm"], "facts", keep_last=1)
+    with pytest.raises(ValueError, match="expired past the rollup watermark"):
+        refresh_rollup(io, SPEC)
+
+
+def test_run_maintenance_refreshes_dependent_mviews(spark, io):
+    from denali_spark.sources import run_maintenance
+
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_maint AS "
+           "SELECT k, COUNT(*) AS n_rows FROM ivm.facts GROUP BY k")
+    _append(spark, io, 50, 100)
+    _append(spark, io, 100, 150)
+    report = run_maintenance(io, ["ivm"], "facts", keep_last=1)
+    assert report.get("refresh_materialized_views") == "1 refreshed"
+    # the MV is current DESPITE the keep_last=1 expiry: the refresh ran
+    # first, so its watermark survived the trim
+    got = {(r.k, r.n_rows) for r in io.sql(
+        "SELECT k, n_rows FROM ivm.mv_maint").collect()}
+    assert got == {(k, 30) for k in range(5)}
+    assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_maint").collect()[0].kind == "noop"

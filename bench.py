@@ -461,6 +461,69 @@ def server_plan_probe(spark, sf_dir: str) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def ivm_probe(spark, sf_dir: str) -> dict:
+    """Incremental-view-maintenance economics (round 13): maintain a
+    per-partkey rollup of lineitem through a 1% append. The production
+    alternative to a refresh is rebuilding the rollup (aggregate + write +
+    commit = `full_build`), so that is the honest comparison;
+    `recompute_agg` (re-aggregation only, no write) is the scan-cost
+    floor. The claim under test is the scaling SHAPE, not the local gap:
+    `incremental_refresh` rides the CHANGED rows (changelog delta +
+    touched-group fold + candidate-file rewrite) and stays flat across
+    sf0.1 → sf1 while both full costs grow with the corpus — at 32 local
+    cores a 600k-row scan is nearly free, so the sf1 leg (10× rows,
+    same-sized delta) is where the curves visibly separate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import (
+        RollupSpec,
+        SparkCatalogIO,
+        create_rollup,
+        refresh_rollup,
+    )
+    from denali_spark.sources.ivm import _aggregate_full
+
+    wh = tempfile.mkdtemp(prefix="denali-bench-wh-")
+    server = CatalogServer(make_state(wh)).start()
+    try:
+        io = SparkCatalogIO(spark, server.uri)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        n = li.count()
+        io.write_table(
+            li, ["bench"], "li_src", mode="overwrite",
+            sort_by=["l_partkey"], num_files=16,
+        )
+        spec = RollupSpec(
+            source_namespace=["bench"], source_name="li_src",
+            target_namespace=["bench"], target_name="li_by_part",
+            group_by=["l_partkey"],
+            sums={"qty": "CAST(l_quantity AS DECIMAL(18,2))",
+                  "revenue": "CAST(l_extendedprice AS DECIMAL(18,2))"},
+        )
+        out = {"rows": n}
+        out["full_build"] = _time(lambda: create_rollup(io, spec), runs=1)
+        delta = li.filter(F.col("l_orderkey") % 100 == 7)
+        d = delta.count()
+        io.write_table(delta, ["bench"], "li_src", mode="append")
+        out["delta_rows"] = d
+        out["incremental_refresh"] = _time(
+            lambda: refresh_rollup(io, spec), runs=1
+        )
+        out["recompute_agg"] = _time(
+            lambda: _aggregate_full(io, spec).count(), runs=3, stat="median"
+        )
+        return out
+    finally:
+        server.stop()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 HEADLINE = [
     # Relational core (TPC-H adaptations)
     "q1_pricing_summary",
@@ -586,6 +649,10 @@ def main() -> None:
         result["server_plan"] = server_plan_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
         result["server_plan_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        result["ivm"] = ivm_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
+        result["ivm_error"] = f"{type(exc).__name__}: {exc}"
 
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
         try:
@@ -626,6 +693,7 @@ def main() -> None:
                 "sf1": _time(lambda: skew_join_hot_key(spark, SF1_DIR).count()),
             }
             result["sf1_index"] = sf1_index_probes(spark)
+            result["sf1_ivm"] = ivm_probe(spark, SF1_DIR)
         except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
             result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
 

@@ -1719,6 +1719,17 @@ class SparkCatalogIO:
 
             return metadata_table(self, ns, name, "partitions")
         # SHOW CREATE TABLE
+        mv_raw = md.get("properties", {}).get("ivm.spec")
+        if mv_raw is not None:
+            # a maintained MV renders as its OWN DDL (which re-parses to an
+            # equal spec), not as the rollup table it happens to live in
+            from denali_spark.sources import ivm as _ivm
+
+            body = _ivm.render_materialized_view_sql(_ivm.spec_from_json(mv_raw))
+            return self.spark.createDataFrame(
+                [(f"CREATE MATERIALIZED VIEW {rest} AS\n{body}",)],
+                "createtab_stmt string",
+            )
         from denali_spark.sources.partitioning import spec_to_partition_by
         from denali_spark.sources.schema_evolution import (
             current_schema,

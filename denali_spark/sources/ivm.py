@@ -965,3 +965,28 @@ def dependent_materialized_views(
 
     walk(None)
     return out
+
+
+def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
+    """The inverse of parse_materialized_view_sql — SHOW CREATE TABLE on a
+    maintained MV renders CREATE MATERIALIZED VIEW DDL that re-parses to
+    an equal spec (round-trip property-tested)."""
+    items = [*spec.group_by, f"COUNT(*) AS {COUNT_COL}"]
+    items += [f"SUM({e}) AS {c}" for c, e in spec.sums.items()]
+    if isinstance(spec, JoinRollupSpec):
+        lt, rt = spec.left_name, spec.right_name
+        frm = (
+            f"{spec._qualified_left()} JOIN {spec._qualified_right()} ON "
+            + " AND ".join(f"{lt}.{lk} = {rt}.{rk}" for lk, rk in spec.on)
+        )
+    else:
+        items += [f"MIN({e}) AS {c}" for c, e in spec.mins.items()]
+        items += [f"MAX({e}) AS {c}" for c, e in spec.maxs.items()]
+        items += [
+            f"APPROX_COUNT_DISTINCT({e}) AS {c}" for c, e in spec.ndvs.items()
+        ]
+        frm = spec._qualified_source()
+    return (
+        "SELECT " + ", ".join(items) + f"\nFROM {frm}\nGROUP BY "
+        + ", ".join(spec.group_by)
+    )

@@ -690,3 +690,22 @@ def test_run_maintenance_refreshes_dependent_mviews(spark, io):
         "SELECT k, n_rows FROM ivm.mv_maint").collect()}
     assert got == {(k, 30) for k in range(5)}
     assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_maint").collect()[0].kind == "noop"
+
+
+def test_show_create_table_renders_mv_ddl_that_reparses(spark, io):
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_show AS "
+           "SELECT k, COUNT(*) AS n_rows, "
+           "SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum, "
+           "MIN(amount) AS amount_min FROM ivm.facts GROUP BY k")
+    stmt = io.sql("SHOW CREATE TABLE ivm.mv_show").collect()[0].createtab_stmt
+    assert stmt.startswith("CREATE MATERIALIZED VIEW ivm.mv_show AS")
+    # the rendered DDL is executable: drop and re-create from it
+    io.sql("DROP MATERIALIZED VIEW ivm.mv_show")
+    io.sql(stmt)
+    _append(spark, io, 50, 100)
+    assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_show").collect()[0].kind \
+        == "incremental"
+    got = {(r.k, r.n_rows) for r in io.sql(
+        "SELECT k, n_rows FROM ivm.mv_show").collect()}
+    assert got == {(k, 20) for k in range(5)}

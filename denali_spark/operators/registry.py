@@ -71,8 +71,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_source_purity",
     "sample_shuffle_shards",
     "ts_concurrency_peak",
-    # --- round-9-attested (staleness floor; first 37 fit the cap: 10 + 3
-    # + 37 = 50; the remaining 13 below the cap line lead r14) ---
+    "sim_hard_negatives",
+    # --- round-9-attested (staleness floor; first 36 fit the cap: 10 + 4
+    # + 36 = 50; the remaining 14 below the cap line lead r14) ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
@@ -109,9 +110,9 @@ DRIVER_PRIORITY: list[str] = [
     "ts_anomaly_zscore",
     "ts_asof_join_forward",
     "ts_autocorr_lags",
-    "ts_changepoint_cusum",
     # ---------------- 50-query sweep cap ----------------
     # --- round-9-attested remainder (leads the r14 rotation) ---
+    "ts_changepoint_cusum",
     "ts_dow_hour_heatmap",
     "ts_downsample_lttb",
     "ts_ema_current",

@@ -2426,3 +2426,118 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "qdot", F.lit(3).cast("long").alias("mmr_rank")
     )
     return one.unionByName(two).unionByName(three)
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS ({_sql_tables('e')}),
+    ab AS (
+      SELECT DISTINCT vec_id, t,
+             xor(bucket, CASE WHEN fl.f = -1 THEN 0 ELSE (1 << fl.f) END) AS bucket
+      FROM b CROSS JOIN (SELECT unnest(range(-1, {N_PLANES})) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT ab.vec_id AS i, b.vec_id AS j
+      FROM ab JOIN b ON ab.t = b.t AND ab.bucket = b.bucket AND ab.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.i, c.j, li.label AS label_i, lj.label AS label_j,
+             {SQL_COSINE.format(a='x.e', b='y.e')} AS cos
+      FROM cand c JOIN v x ON x.vec_id = c.i JOIN v y ON y.vec_id = c.j
+                  JOIN embeddings li ON li.vec_id = c.i
+                  JOIN embeddings lj ON lj.vec_id = c.j
+    ),
+    neg AS (
+      SELECT i, label_i, j, label_j, cos,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+      FROM scored WHERE label_j <> label_i
+    ),
+    pos AS (
+      SELECT i, MAX(cos) AS pos_cos FROM scored
+      WHERE label_j = label_i GROUP BY i
+    )
+    SELECT n.i AS vec_id, n.label_i AS label, n.j AS hard_neg_id,
+           n.label_j AS hard_neg_label, n.cos AS neg_cos, p.pos_cos AS pos_cos,
+           p.pos_cos IS NOT NULL AND n.cos >= p.pos_cos AS is_violation
+    FROM neg n LEFT JOIN pos p ON p.i = n.i
+    WHERE n.rn = 1
+    """,
+    tags=("similarity", "contrastive", "hard-negatives"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the highest-cosine CROSS-label neighbor from the LSH multi-probe
+    candidate set, next to the anchor's best same-label cosine — the
+    (anchor, hard negative, margin) triples a metric-learning pipeline
+    feeds its loss, plus the `is_violation` flag (a positive exists
+    AND the negative is at least as close) that ranks which anchors the
+    next epoch should focus on. Anchors whose probe neighborhood is all same-label emit no
+    row: they have no mineable negative at this probe radius.
+
+    Scale shape: identical to sim_knn_label_agreement — candidates come
+    from the bucket-index self-join (work ∝ bucket co-occupancy, never
+    n²), labels ride two broadcastable fetch joins, and both the per-
+    anchor argmax window and the positive-max aggregate are keyed on the
+    anchor id (uniform shuffles, no hot key). The margin is identical
+    scalar double math on both engines over order-stable dot products."""
+    v = _vecs(spark, sf_dir)
+    b = lsh_bucket_index(spark, sf_dir)
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    ab = b.withColumn("flip", flips).select(
+        F.col("vec_id").alias("i"),
+        "t",
+        F.col("bucket").bitwiseXOR(
+            F.when(F.col("flip") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1, flip)"))
+        ).alias("bucket"),
+    )
+    cand = (
+        ab.join(b, ["t", "bucket"])
+        .filter(F.col("i") != F.col("vec_id"))
+        .select("i", F.col("vec_id").alias("j"))
+        .distinct()
+    )
+    vn = v.select(
+        "vec_id", "e", F.sqrt(dot_cols(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cos = dot_cols(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
+    scored = (
+        cand.join(vn.alias("x"), cand["i"] == F.col("x.vec_id"))
+        .join(vn.alias("y"), cand["j"] == F.col("y.vec_id"))
+        .join(
+            lab.select(F.col("vec_id").alias("i2"), F.col("label").alias("label_i")),
+            F.col("i") == F.col("i2"),
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("j2"), F.col("label").alias("label_j")),
+            F.col("j") == F.col("j2"),
+        )
+        .select("i", "j", "label_i", "label_j", cos.alias("cos"))
+    )
+    wn = Window.partitionBy("i").orderBy(F.desc("cos"), "j")
+    neg = (
+        scored.filter(F.col("label_j") != F.col("label_i"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+    )
+    pos = (
+        scored.filter(F.col("label_j") == F.col("label_i"))
+        .groupBy("i")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    return neg.join(pos, "i", "left").select(
+        F.col("i").alias("vec_id"),
+        F.col("label_i").alias("label"),
+        F.col("j").alias("hard_neg_id"),
+        F.col("label_j").alias("hard_neg_label"),
+        F.col("cos").alias("neg_cos"),
+        "pos_cos",
+        (F.col("pos_cos").isNotNull() & (F.col("cos") >= F.col("pos_cos")))
+        .alias("is_violation"),
+    )

@@ -118,6 +118,12 @@ class RollupSpec:
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
     ndvs: dict[str, str] = field(default_factory=dict)
+    # Optional static row predicate (SQL over source columns). A
+    # deterministic per-row filter commutes with every piece of the delta
+    # algebra, so it is applied identically to the full aggregate, the
+    # changelog delta, and the rescan — the view simply maintains the
+    # filtered relation.
+    where: str | None = None
 
     def __post_init__(self) -> None:
         out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs, *self.ndvs]
@@ -148,6 +154,8 @@ def _extrema_aggs(spec: RollupSpec, value_of=None) -> list:
 
 def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
     src = io.read_table(spec.source_namespace, spec.source_name)
+    if spec.where:
+        src = src.filter(F.expr(spec.where))
     return src.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
@@ -229,6 +237,11 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         io, spec.source_namespace, spec.source_name,
         from_snapshot_id=watermark, to_snapshot_id=src_snap,
     )
+    if spec.where:
+        # rows outside the predicate never existed in the view — their
+        # inserts AND deletes are both invisible (the filter is per-row
+        # deterministic, so it classifies both sides of a pair identically)
+        changes = changes.filter(F.expr(spec.where))
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     keys = list(spec.group_by)
 
@@ -292,6 +305,8 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             spec.source_namespace, spec.source_name,
             snapshot_id=src_snap, where=src_where,
         )
+        if spec.where:
+            src = src.filter(F.expr(spec.where))
         probe = (
             F.broadcast(rescan_keys)
             if n_rescan <= RESCAN_BROADCAST_GROUPS
@@ -519,6 +534,10 @@ class JoinRollupSpec:
     target_name: str
     group_by: list[str]
     sums: dict[str, str] = field(default_factory=dict)
+    # Optional static row predicate over the JOINED columns — applied
+    # post-join to the full aggregate and to both delta terms (per-row
+    # determinism makes it commute with the bilinear expansion).
+    where: str | None = None
 
     def __post_init__(self) -> None:
         out_cols = [COUNT_COL, *self.sums]
@@ -565,7 +584,10 @@ def _aggregate_join_full(io: SparkCatalogIO, spec: JoinRollupSpec,
                          snapshot_id=left_snapshot_id)
     right = io.read_table(spec.right_namespace, spec.right_name,
                           snapshot_id=right_snapshot_id)
-    return _joined(left, right, spec).groupBy(*spec.group_by).agg(
+    joined = _joined(left, right, spec)
+    if spec.where:
+        joined = joined.filter(F.expr(spec.where))
+    return joined.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
     )
@@ -660,7 +682,10 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
                                        lw, l_cur)
         s_new = io.read_table(spec.right_namespace, spec.right_name,
                               snapshot_id=r_cur)
-        terms.append(_joined(d_left, s_new, spec))
+        t1 = _joined(d_left, s_new, spec)
+        if spec.where:
+            t1 = t1.filter(F.expr(spec.where))
+        terms.append(t1)
     if r_cur != rw:
         d_right = _precancelled_changes(io, spec.right_namespace,
                                         spec.right_name, rw, r_cur)
@@ -680,7 +705,10 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
             )
             r_old = io.read_table(spec.left_namespace, spec.left_name,
                                   snapshot_id=lw, where=left_where)
-            terms.append(_joined(r_old, d_right, spec))
+            t2 = _joined(r_old, d_right, spec)
+            if spec.where:
+                t2 = t2.filter(F.expr(spec.where))
+            terms.append(t2)
 
     if terms:
         delta_rows = terms[0]
@@ -756,7 +784,8 @@ def parse_materialized_view_sql(
     MIN / MAX (expr) AS alias, APPROX_COUNT_DISTINCT(expr) AS alias (the
     maintained-HLL NDV; single-table only). Join views take COUNT/SUM only
     (module docstring: extrema rescans over a join are a different cost
-    class). WHERE is rejected loudly — bake filters into a source table.
+    class). A WHERE clause becomes the spec's static row predicate —
+    deterministic per-row filters commute with the whole delta algebra.
     """
     import re
 
@@ -768,23 +797,23 @@ def parse_materialized_view_sql(
     s = select_sql.strip().rstrip(";").strip()
     if not re.match(r"SELECT\s", s, re.IGNORECASE):
         raise ValueError("materialized view body must be a SELECT")
-    if _find_top_level(s, "WHERE") >= 0:
-        raise ValueError(
-            "WHERE is not supported in maintained materialized views — "
-            "bake the filter into a source table (a filtered changelog "
-            "would still be exact, but the spec does not carry predicates)"
-        )
     fpos = _find_top_level(s, "FROM")
+    wpos = _find_top_level(s, "WHERE")
     gpos = _find_top_level(s, "GROUP")
     if fpos < 0 or gpos < 0 or not re.match(
         r"GROUP\s+BY\s", s[gpos:], re.IGNORECASE
     ):
         raise ValueError(
             "maintained materialized views support exactly "
-            "SELECT ... FROM t [JOIN d ON ...] GROUP BY ... "
+            "SELECT ... FROM t [JOIN d ON ...] [WHERE ...] GROUP BY ... "
         )
     select_list = s[len("SELECT"):fpos]
-    from_clause = s[fpos + 4:gpos].strip()
+    where_sql = None
+    from_end = gpos
+    if 0 <= wpos < gpos:
+        where_sql = s[wpos + 5:gpos].strip()
+        from_end = wpos
+    from_clause = s[fpos + 4:from_end].strip()
     group_clause = re.sub(r"^GROUP\s+BY\s+", "", s[gpos:], flags=re.IGNORECASE)
 
     jm = re.match(
@@ -868,12 +897,13 @@ def parse_materialized_view_sql(
             right_namespace=right_q[:-1], right_name=right_q[-1],
             on=on,
             target_namespace=list(target_namespace), target_name=target_name,
-            group_by=keys, sums=sums,
+            group_by=keys, sums=sums, where=where_sql,
         )
     return RollupSpec(
         source_namespace=left_q[:-1], source_name=left_q[-1],
         target_namespace=list(target_namespace), target_name=target_name,
         group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
+        where=where_sql,
     )
 
 
@@ -986,7 +1016,8 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
             f"APPROX_COUNT_DISTINCT({e}) AS {c}" for c, e in spec.ndvs.items()
         ]
         frm = spec._qualified_source()
+    where = f"\nWHERE {spec.where}" if spec.where else ""
     return (
-        "SELECT " + ", ".join(items) + f"\nFROM {frm}\nGROUP BY "
+        "SELECT " + ", ".join(items) + f"\nFROM {frm}{where}\nGROUP BY "
         + ", ".join(spec.group_by)
     )

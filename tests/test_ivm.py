@@ -635,9 +635,6 @@ def test_sql_materialized_view_join(spark, io):
 
 def test_sql_materialized_view_rejections(spark, io):
     _append(spark, io, 0, 10)
-    with pytest.raises(ValueError, match="WHERE is not supported"):
-        io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
-               "SELECT k, COUNT(*) AS n_rows FROM ivm.facts WHERE k > 1 GROUP BY k")
     with pytest.raises(ValueError, match="n_rows"):
         io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
                "SELECT k, COUNT(*) AS cnt FROM ivm.facts GROUP BY k")
@@ -709,3 +706,159 @@ def test_show_create_table_renders_mv_ddl_that_reparses(spark, io):
     got = {(r.k, r.n_rows) for r in io.sql(
         "SELECT k, n_rows FROM ivm.mv_show").collect()}
     assert got == {(k, 20) for k in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# WHERE predicates: the view maintains the FILTERED relation
+# ---------------------------------------------------------------------------
+
+FILTERED_SPEC = RollupSpec(
+    source_namespace=["ivm"], source_name="facts",
+    target_namespace=["ivm"], target_name="facts_hot",
+    group_by=["k"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    mins={"amount_min": "amount"},
+    where="amount > 5 AND k < 4",
+)
+
+
+def test_where_single_table_twin(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, FILTERED_SPEC)
+    _assert_rollup_matches(io, FILTERED_SPEC)
+    # appends straddling the predicate boundary fold only in-filter rows
+    _append(spark, io, 100, 200)
+    res = refresh_rollup(io, FILTERED_SPEC)
+    assert res["kind"] == "incremental" and res["rescanned_groups"] == 0
+    _assert_rollup_matches(io, FILTERED_SPEC)
+    # a delete of in-filter minima rescans; out-of-filter deletes invisible
+    delete_where(io, ["ivm"], "facts", E.lt("id", 60))
+    res = refresh_rollup(io, FILTERED_SPEC)
+    assert res["rescanned_groups"] > 0
+    _assert_rollup_matches(io, FILTERED_SPEC)
+
+
+def test_where_join_twin(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="facts_hot_region",
+        group_by=["region"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+        where="amount > 3 AND region <> 'north'",
+    )
+    create_join_rollup(io, spec)
+    _assert_join_matches(io, spec)
+    _append(spark, io, 100, 160)
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 0")
+    refresh_join_rollup(io, spec)
+    _assert_join_matches(io, spec)
+
+
+def test_sql_materialized_view_with_where(spark, io):
+    _append(spark, io, 0, 100)
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.mv_hot AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
+        FROM ivm.facts WHERE amount > 5 GROUP BY k
+    """)
+    _append(spark, io, 100, 150)
+    assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_hot").collect()[0].kind \
+        == "incremental"
+    spec = RollupSpec(
+        source_namespace=["ivm"], source_name="facts",
+        target_namespace=["ivm"], target_name="mv_hot",
+        group_by=["k"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+        where="amount > 5",
+    )
+    _assert_rollup_matches(io, spec)
+    # SHOW CREATE renders the WHERE back and the DDL re-executes
+    stmt = io.sql("SHOW CREATE TABLE ivm.mv_hot").collect()[0].createtab_stmt
+    assert "WHERE amount > 5" in stmt
+    io.sql("DROP MATERIALIZED VIEW ivm.mv_hot")
+    io.sql(stmt)
+    _assert_rollup_matches(io, spec)
+
+
+# ---------------------------------------------------------------------------
+# Property: render(spec) re-parses to an equal spec for ANY valid shape
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,7}", fullmatch=True)
+_expr = st.sampled_from(
+    ["amount", "id", "CAST(amount AS DECIMAL(18,2))", "id * 2", "length(txt)"]
+)
+_aggs = st.dictionaries(_ident, _expr, min_size=0, max_size=3)
+_where = st.one_of(
+    st.none(), st.sampled_from(["amount > 5", "k < 4 AND amount > 0", "id % 2 = 0"])
+)
+
+
+def _disjoint(*dicts_and_keys):
+    seen = set()
+    for d in dicts_and_keys:
+        for k in d:
+            if k in seen or k == "n_rows":
+                return False
+            seen.add(k)
+    return True
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys=st.lists(_ident, min_size=1, max_size=3, unique=True),
+       sums=_aggs, mins=_aggs, maxs=_aggs, ndvs=_aggs, where=_where)
+def test_mv_ddl_roundtrip_property_single(keys, sums, mins, maxs, ndvs, where):
+    from denali_spark.sources.ivm import (
+        RollupSpec,
+        parse_materialized_view_sql,
+        render_materialized_view_sql,
+    )
+
+    if not _disjoint(sums, mins, maxs, ndvs) or set(keys) & (
+        set(sums) | set(mins) | set(maxs) | set(ndvs)
+    ):
+        return
+    spec = RollupSpec(
+        source_namespace=["ns"], source_name="src",
+        target_namespace=["ns"], target_name="mv",
+        group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
+        where=where,
+    )
+    back = parse_materialized_view_sql(
+        render_materialized_view_sql(spec), ["ns"], "mv"
+    )
+    assert back == spec
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys=st.lists(_ident, min_size=1, max_size=2, unique=True),
+       sums=_aggs, where=_where,
+       on=st.lists(st.tuples(_ident, _ident), min_size=1, max_size=2,
+                   unique_by=lambda p: p[0]))
+def test_mv_ddl_roundtrip_property_join(keys, sums, where, on):
+    from denali_spark.sources.ivm import (
+        JoinRollupSpec,
+        parse_materialized_view_sql,
+        render_materialized_view_sql,
+    )
+
+    if "n_rows" in sums or set(keys) & set(sums):
+        return
+    spec = JoinRollupSpec(
+        left_namespace=["ns"], left_name="fact",
+        right_namespace=["ns"], right_name="dim",
+        on=on,
+        target_namespace=["ns"], target_name="mv",
+        group_by=keys, sums=sums, where=where,
+    )
+    back = parse_materialized_view_sql(
+        render_materialized_view_sql(spec), ["ns"], "mv"
+    )
+    assert back == spec

@@ -118,6 +118,12 @@ class RollupSpec:
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
     ndvs: dict[str, str] = field(default_factory=dict)
+    # AVG(expr) columns: maintained as a HIDDEN exact sum (`_<col>_sum`,
+    # folded like any other sum) plus a stored DOUBLE recomputed from
+    # maintained state at every refresh — identical scalar division on
+    # both the maintained and recompute paths, so the twin holds bit-for-
+    # bit. The expression follows the exact-type (integer/DECIMAL) policy.
+    avgs: dict[str, str] = field(default_factory=dict)
     # Optional static row predicate (SQL over source columns). A
     # deterministic per-row filter commutes with every piece of the delta
     # algebra, so it is applied identically to the full aggregate, the
@@ -126,7 +132,8 @@ class RollupSpec:
     where: str | None = None
 
     def __post_init__(self) -> None:
-        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs, *self.ndvs]
+        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs,
+                    *self.ndvs, *self.avgs, *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
@@ -143,6 +150,22 @@ class RollupSpec:
         return list(seen)
 
 
+def _hidden_sums(spec) -> dict[str, str]:
+    return {f"_{c}_sum": e for c, e in spec.avgs.items()}
+
+
+def _all_sums(spec) -> dict[str, str]:
+    return {**spec.sums, **_hidden_sums(spec)}
+
+
+def _apply_avgs(df, avgs: dict[str, str]):
+    for c in avgs:
+        df = df.withColumn(
+            c, F.col(f"_{c}_sum").cast("double") / F.col(COUNT_COL)
+        )
+    return df
+
+
 def _extrema_aggs(spec: RollupSpec, value_of=None) -> list:
     value_of = value_of or (lambda e: F.expr(e))
     return [
@@ -156,11 +179,12 @@ def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
     src = io.read_table(spec.source_namespace, spec.source_name)
     if spec.where:
         src = src.filter(F.expr(spec.where))
-    return src.groupBy(*spec.group_by).agg(
+    agg = src.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
-        *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+        *[F.sum(F.expr(e)).alias(c) for c, e in _all_sums(spec).items()],
         *_extrema_aggs(spec),
     )
+    return _apply_avgs(agg, spec.avgs)
 
 
 def _key_cond(left: str, right: str, keys: list[str]):
@@ -278,7 +302,7 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     insert_only = F.col("_change_type") == "insert"
     delta = fold_changes.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias(COUNT_COL),
-        *[F.sum(F.expr(e) * sign).alias(c) for c, e in spec.sums.items()],
+        *[F.sum(F.expr(e) * sign).alias(c) for c, e in _all_sums(spec).items()],
         # extrema fold only over inserted values (deleted values in a
         # fold-path group are fully cancelled — they carry no information)
         *_extrema_aggs(spec, lambda e: F.when(insert_only, F.expr(e))),
@@ -320,14 +344,15 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             .groupBy(*keys)
             .agg(
                 F.count(F.lit(1)).cast("long").alias(COUNT_COL),
-                *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+                *[F.sum(F.expr(e)).alias(c) for c, e in _all_sums(spec).items()],
                 *_extrema_aggs(spec),
             )
         )
 
     res = _fold_delta_commit(
         io, spec.target_namespace, spec.target_name, tgt_md,
-        keys=keys, delta=delta, sum_cols=list(spec.sums),
+        keys=keys, delta=delta, sum_cols=list(_all_sums(spec)),
+        avgs=spec.avgs,
         summary_base={WATERMARK_KEY: str(src_snap),
                       SOURCE_KEY: spec._qualified_source()},
         fold_extra_aggs=[
@@ -371,6 +396,7 @@ def _fold_delta_commit(
     sum_cols: list[str],
     summary_base: dict[str, str],
     fold_extra_aggs: list = (),
+    avgs: dict[str, str] | None = None,
     rescan_keys=None,
     n_rescan: int = 0,
     rescanned=None,
@@ -432,6 +458,10 @@ def _fold_delta_commit(
         # for every touched group; re-aggregating candidates ∪ delta and
         # carrying the rest by reference is exact.
         old_state = _read_candidates(io, tgt_md, parent_id, candidates)
+        if avgs:
+            # stored AVG doubles are derived, not foldable — drop and
+            # recompute from the folded hidden sums below
+            old_state = old_state.drop(*avgs)
         if rescan_keys is not None:
             # rescanned groups are recomputed wholesale from the source —
             # their stale stored rows must not feed the fold
@@ -449,6 +479,8 @@ def _fold_delta_commit(
     ).filter(F.col(COUNT_COL) > 0)
     if rescanned is not None:
         folded = folded.unionByName(rescanned)
+    if avgs:
+        folded = _apply_avgs(folded, avgs)
     # Pin the refresh output to the target's committed schema: repeated
     # folding must not creep decimal precision between generations.
     target_fields = io._empty_df(tgt_md).schema
@@ -534,13 +566,16 @@ class JoinRollupSpec:
     target_name: str
     group_by: list[str]
     sums: dict[str, str] = field(default_factory=dict)
+    # AVG over joined columns — the same hidden-sum + derived-double
+    # mechanism as RollupSpec.avgs.
+    avgs: dict[str, str] = field(default_factory=dict)
     # Optional static row predicate over the JOINED columns — applied
     # post-join to the full aggregate and to both delta terms (per-row
     # determinism makes it commute with the bilinear expansion).
     where: str | None = None
 
     def __post_init__(self) -> None:
-        out_cols = [COUNT_COL, *self.sums]
+        out_cols = [COUNT_COL, *self.sums, *self.avgs, *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
@@ -587,10 +622,11 @@ def _aggregate_join_full(io: SparkCatalogIO, spec: JoinRollupSpec,
     joined = _joined(left, right, spec)
     if spec.where:
         joined = joined.filter(F.expr(spec.where))
-    return joined.groupBy(*spec.group_by).agg(
+    agg = joined.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
-        *[F.sum(F.expr(e)).alias(c) for c, e in spec.sums.items()],
+        *[F.sum(F.expr(e)).alias(c) for c, e in _all_sums(spec).items()],
     )
+    return _apply_avgs(agg, spec.avgs)
 
 
 def create_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
@@ -716,7 +752,8 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
             delta_rows = delta_rows.unionByName(t)
         delta = delta_rows.groupBy(*keys).agg(
             F.sum(w).cast("long").alias(COUNT_COL),
-            *[F.sum(F.expr(e) * w).alias(c) for c, e in spec.sums.items()],
+            *[F.sum(F.expr(e) * w).alias(c)
+              for c, e in _all_sums(spec).items()],
         )
     else:
         # both deltas pre-cancelled to nothing — synthesize an empty delta
@@ -725,7 +762,8 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
 
     res = _fold_delta_commit(
         io, spec.target_namespace, spec.target_name, tgt_md,
-        keys=keys, delta=delta, sum_cols=list(spec.sums),
+        keys=keys, delta=delta, sum_cols=list(_all_sums(spec)),
+        avgs=spec.avgs,
         summary_base={
             LEFT_WATERMARK_KEY: str(l_cur), RIGHT_WATERMARK_KEY: str(r_cur),
             LEFT_SOURCE_KEY: spec._qualified_left(),
@@ -749,7 +787,8 @@ def _parse_agg_item(item: str):
     import re
 
     m = re.match(
-        r"\s*(COUNT|SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\((.*)\)\s+AS\s+(\w+)\s*$",
+        r"\s*(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)"
+        r"\s*\((.*)\)\s+AS\s+(\w+)\s*$",
         item, re.IGNORECASE | re.DOTALL,
     )
     if not m:
@@ -781,8 +820,9 @@ def parse_materialized_view_sql(
         GROUP BY <keys>
 
     Aggregates: COUNT(*) AS n_rows (optional — always maintained), SUM /
-    MIN / MAX (expr) AS alias, APPROX_COUNT_DISTINCT(expr) AS alias (the
-    maintained-HLL NDV; single-table only). Join views take COUNT/SUM only
+    AVG / MIN / MAX (expr) AS alias (AVG rides a hidden exact sum and a
+    derived double), APPROX_COUNT_DISTINCT(expr) AS alias (the
+    maintained-HLL NDV; single-table only). Join views take COUNT/SUM/AVG only
     (module docstring: extrema rescans over a join are a different cost
     class). A WHERE clause becomes the spec's static row predicate —
     deterministic per-row filters commute with the whole delta algebra.
@@ -857,6 +897,7 @@ def parse_materialized_view_sql(
         keys.append(col)
 
     sums: dict[str, str] = {}
+    avgs: dict[str, str] = {}
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
     ndvs: dict[str, str] = {}
@@ -877,7 +918,7 @@ def parse_materialized_view_sql(
                     "the maintained group-liveness counter"
                 )
             continue  # always maintained
-        target = {"SUM": sums, "MIN": mins, "MAX": maxs,
+        target = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs,
                   "APPROX_COUNT_DISTINCT": ndvs}[fn]
         target[alias] = expr
     if set(bare) != set(keys):
@@ -888,7 +929,7 @@ def parse_materialized_view_sql(
     if right_q is not None:
         if mins or maxs or ndvs:
             raise ValueError(
-                "join materialized views maintain COUNT/SUM only — "
+                "join materialized views maintain COUNT/SUM/AVG only — "
                 "MIN/MAX/APPROX_COUNT_DISTINCT need per-group rescans over "
                 "the join (rebuild with CREATE instead)"
             )
@@ -897,13 +938,13 @@ def parse_materialized_view_sql(
             right_namespace=right_q[:-1], right_name=right_q[-1],
             on=on,
             target_namespace=list(target_namespace), target_name=target_name,
-            group_by=keys, sums=sums, where=where_sql,
+            group_by=keys, sums=sums, avgs=avgs, where=where_sql,
         )
     return RollupSpec(
         source_namespace=left_q[:-1], source_name=left_q[-1],
         target_namespace=list(target_namespace), target_name=target_name,
         group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
-        where=where_sql,
+        avgs=avgs, where=where_sql,
     )
 
 
@@ -1003,6 +1044,7 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
     an equal spec (round-trip property-tested)."""
     items = [*spec.group_by, f"COUNT(*) AS {COUNT_COL}"]
     items += [f"SUM({e}) AS {c}" for c, e in spec.sums.items()]
+    items += [f"AVG({e}) AS {c}" for c, e in spec.avgs.items()]
     if isinstance(spec, JoinRollupSpec):
         lt, rt = spec.left_name, spec.right_name
         frm = (

@@ -638,7 +638,7 @@ def test_sql_materialized_view_rejections(spark, io):
     with pytest.raises(ValueError, match="n_rows"):
         io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
                "SELECT k, COUNT(*) AS cnt FROM ivm.facts GROUP BY k")
-    with pytest.raises(ValueError, match="COUNT/SUM only"):
+    with pytest.raises(ValueError, match="COUNT/SUM/AVG only"):
         io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
                "SELECT k, MIN(amount) AS m FROM ivm.facts "
                "JOIN ivm.facts2 ON facts.k = facts2.k GROUP BY k")
@@ -813,23 +813,26 @@ def _disjoint(*dicts_and_keys):
 
 @settings(max_examples=60, deadline=None)
 @given(keys=st.lists(_ident, min_size=1, max_size=3, unique=True),
-       sums=_aggs, mins=_aggs, maxs=_aggs, ndvs=_aggs, where=_where)
-def test_mv_ddl_roundtrip_property_single(keys, sums, mins, maxs, ndvs, where):
+       sums=_aggs, mins=_aggs, maxs=_aggs, ndvs=_aggs, avgs=_aggs,
+       where=_where)
+def test_mv_ddl_roundtrip_property_single(keys, sums, mins, maxs, ndvs, avgs,
+                                          where):
     from denali_spark.sources.ivm import (
         RollupSpec,
         parse_materialized_view_sql,
         render_materialized_view_sql,
     )
 
-    if not _disjoint(sums, mins, maxs, ndvs) or set(keys) & (
-        set(sums) | set(mins) | set(maxs) | set(ndvs)
+    hidden = {f"_{c}_sum" for c in avgs}
+    if not _disjoint(sums, mins, maxs, ndvs, avgs, hidden) or set(keys) & (
+        set(sums) | set(mins) | set(maxs) | set(ndvs) | set(avgs) | hidden
     ):
         return
     spec = RollupSpec(
         source_namespace=["ns"], source_name="src",
         target_namespace=["ns"], target_name="mv",
         group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
-        where=where,
+        avgs=avgs, where=where,
     )
     back = parse_materialized_view_sql(
         render_materialized_view_sql(spec), ["ns"], "mv"
@@ -862,3 +865,71 @@ def test_mv_ddl_roundtrip_property_join(keys, sums, where, on):
         render_materialized_view_sql(spec), ["ns"], "mv"
     )
     assert back == spec
+
+
+# ---------------------------------------------------------------------------
+# AVG: hidden exact sum + derived double recomputed from maintained state
+# ---------------------------------------------------------------------------
+
+AVG_SPEC = RollupSpec(
+    source_namespace=["ivm"], source_name="facts",
+    target_namespace=["ivm"], target_name="facts_avg",
+    group_by=["k"],
+    avgs={"avg_amount": "CAST(amount AS DECIMAL(18,2))"},
+    mins={"amount_min": "amount"},
+)
+
+
+def test_avg_twin_through_append_and_delete(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, AVG_SPEC)
+    _assert_rollup_matches(io, AVG_SPEC)
+    _append(spark, io, 100, 250)
+    res = refresh_rollup(io, AVG_SPEC)
+    assert res["rescanned_groups"] == 0
+    _assert_rollup_matches(io, AVG_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 40))  # forces min rescans
+    res = refresh_rollup(io, AVG_SPEC)
+    assert res["rescanned_groups"] == 5
+    _assert_rollup_matches(io, AVG_SPEC)
+
+
+def test_avg_join_twin(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="facts_avg_region",
+        group_by=["region"],
+        avgs={"avg_amount": "CAST(amount AS DECIMAL(18,2))"},
+    )
+    create_join_rollup(io, spec)
+    _assert_join_matches(io, spec)
+    _append(spark, io, 100, 160)
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 4")
+    refresh_join_rollup(io, spec)
+    _assert_join_matches(io, spec)
+
+
+def test_sql_materialized_view_avg(spark, io):
+    _append(spark, io, 0, 100)
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.mv_avg AS
+        SELECT k, COUNT(*) AS n_rows,
+               AVG(CAST(amount AS DECIMAL(18,2))) AS avg_amount
+        FROM ivm.facts GROUP BY k
+    """)
+    _append(spark, io, 100, 150)
+    assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_avg").collect()[0].kind \
+        == "incremental"
+    spec = RollupSpec(
+        source_namespace=["ivm"], source_name="facts",
+        target_namespace=["ivm"], target_name="mv_avg",
+        group_by=["k"],
+        avgs={"avg_amount": "CAST(amount AS DECIMAL(18,2))"},
+    )
+    _assert_rollup_matches(io, spec)
+    stmt = io.sql("SHOW CREATE TABLE ivm.mv_avg").collect()[0].createtab_stmt
+    assert "AVG(CAST(amount AS DECIMAL(18,2))) AS avg_amount" in stmt

@@ -972,6 +972,7 @@ class SparkCatalogIO:
         "ancestors_of": ("_proc_ancestors", ()),
         "compute_table_stats": ("_proc_analyze", ("columns",)),
         "refresh_materialized_view": ("_proc_refresh_mview", ()),
+        "verify_materialized_view": ("_proc_verify_mview", ()),
     }
 
     def _sql_call(self, proc: str, args_sql: str) -> DataFrame:
@@ -1033,6 +1034,12 @@ class SparkCatalogIO:
         # the CALL spelling of REFRESH MATERIALIZED VIEW, so maintenance
         # runbooks that already chain system procedures can fold MVs too
         return self._sql_refresh_mview(".".join([*ns, name]))
+
+    def _proc_verify_mview(self, ns, name):
+        from denali_spark.sources import ivm as _ivm
+
+        r = _ivm.verify_materialized_view(self, ns, name)
+        return self._proc_row(**r)
 
     def _proc_expire(self, ns, name, retain_last=1, older_than=None):
         from denali_spark.sources.maintenance import expire_snapshots

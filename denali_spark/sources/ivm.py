@@ -1063,3 +1063,48 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
         "SELECT " + ", ".join(items) + f"\nFROM {frm}{where}\nGROUP BY "
         + ", ".join(spec.group_by)
     )
+
+
+def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
+                             name: str) -> dict:
+    """Trust-but-verify: recompute the view from its sources and compare
+    against the maintained state, row-for-row. HLL sketch columns compare
+    by ESTIMATE (bytes may differ by representation mode); AVG doubles
+    compare exactly (both paths run the identical scalar division). The
+    operational drift alarm — any nonzero mismatch means a bug or a
+    foreign write that slipped the invalidation guards."""
+    md = io.client.load_table(namespace, name)["metadata"]
+    raw = md.get("properties", {}).get(SPEC_PROPERTY)
+    if raw is None:
+        qualified = ".".join([*namespace, name])
+        raise ValueError(
+            f"{qualified!r} is not a maintained materialized view (no "
+            f"{SPEC_PROPERTY} table property)"
+        )
+    spec = spec_from_json(raw)
+    if isinstance(spec, JoinRollupSpec):
+        want = _aggregate_join_full(io, spec)
+        ndv_cols: list[str] = []
+    else:
+        want = _aggregate_full(io, spec)
+        ndv_cols = list(spec.ndvs)
+    got = io.read_table(namespace, name)
+
+    def canon(df):
+        cols = [c for c in df.columns if c not in ndv_cols]
+        ests = [
+            F.hll_sketch_estimate(c).alias(f"_{c}_est") for c in ndv_cols
+        ]
+        return df.select(*cols, *ests)
+
+    got_c, want_c = canon(got), canon(want)
+    extra = got_c.exceptAll(want_c).count()
+    missing = want_c.exceptAll(got_c).count()
+    return {
+        "table": ".".join([*namespace, name]),
+        "maintained_rows": got.count(),
+        "recomputed_rows": want.count(),
+        "rows_only_in_maintained": extra,
+        "rows_only_in_recompute": missing,
+        "consistent": extra == 0 and missing == 0,
+    }

@@ -933,3 +933,31 @@ def test_sql_materialized_view_avg(spark, io):
     _assert_rollup_matches(io, spec)
     stmt = io.sql("SHOW CREATE TABLE ivm.mv_avg").collect()[0].createtab_stmt
     assert "AVG(CAST(amount AS DECIMAL(18,2))) AS avg_amount" in stmt
+
+
+def test_call_verify_materialized_view(spark, io):
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_verify AS "
+           "SELECT k, COUNT(*) AS n_rows, "
+           "AVG(CAST(amount AS DECIMAL(18,2))) AS avg_amount, "
+           "APPROX_COUNT_DISTINCT(id) AS uniq_ids "
+           "FROM ivm.facts GROUP BY k")
+    _append(spark, io, 50, 100)
+    io.sql("REFRESH MATERIALIZED VIEW ivm.mv_verify")
+    rep = io.sql(
+        "CALL system.verify_materialized_view('ivm.mv_verify')"
+    ).collect()[0]
+    assert rep.consistent is True and rep.maintained_rows == 5
+
+    # corrupt the maintained state via a foreign-looking overwrite of one
+    # value and confirm the drift alarm fires (read -> tamper -> rewrite)
+    cur = io.read_table(["ivm"], "mv_verify")
+    tampered = cur.withColumn(
+        "n_rows",
+        F.when(F.col("k") == 0, F.col("n_rows") + 1).otherwise(F.col("n_rows")),
+    )
+    io.write_table(tampered, ["ivm"], "mv_verify", mode="overwrite")
+    rep = io.sql(
+        "CALL system.verify_materialized_view('ivm.mv_verify')"
+    ).collect()[0]
+    assert rep.consistent is False and rep.rows_only_in_maintained == 1

@@ -1238,3 +1238,70 @@ def agg_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_rev_higher_qty") < F.col("rev_c"))
         & (F.col("rev_c") == F.col("best_rev_same_qty"))
     ).select("l_partkey", "qty_c", "rev_c")
+
+
+@query(
+    "agg_conversion_wilson",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+               AS n_converted
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS conv_hat,
+           (CAST(n_converted AS DOUBLE) / n_users + 3.8416 / (2.0 * n_users))
+             / (1.0 + 3.8416 / n_users)
+           - 1.96 * sqrt(((CAST(n_converted AS DOUBLE) / n_users)
+                          * (1.0 - CAST(n_converted AS DOUBLE) / n_users)
+                          + 3.8416 / (4.0 * n_users)) / n_users)
+             / (1.0 + 3.8416 / n_users) AS conv_lo,
+           (CAST(n_converted AS DOUBLE) / n_users + 3.8416 / (2.0 * n_users))
+             / (1.0 + 3.8416 / n_users)
+           + 1.96 * sqrt(((CAST(n_converted AS DOUBLE) / n_users)
+                          * (1.0 - CAST(n_converted AS DOUBLE) / n_users)
+                          + 3.8416 / (4.0 * n_users)) / n_users)
+             / (1.0 + 3.8416 / n_users) AS conv_hi
+    FROM d
+    """,
+    tags=("aggregate", "uncertainty", "conversion"),
+)
+def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-conversion rate with a Wilson 95% score interval — the
+    uncertainty-quantified metric a dashboard should publish instead of a
+    bare ratio (a 3/7 day and a 3000/7000 day have the same point
+    estimate and wildly different intervals; Wilson stays inside [0,1]
+    and behaves at small n where the normal approximation fails).
+
+    Exactness: the aggregation is two exact distinct-counts per day; the
+    interval is pure scalar double math written operand-for-operand
+    identically on both engines (same literals, same operation order —
+    IEEE arithmetic is deterministic given the same expression tree), so
+    the float columns hash-match. Scale shape: one day-keyed
+    distinct-aggregate — partial-aggregable on (day, user) then day."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_converted"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z, z2 = F.lit(1.96), F.lit(3.8416)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n
+    ) / denom
+    return d.select(
+        "day", "n_users", "n_converted",
+        p.alias("conv_hat"),
+        (center - half).alias("conv_lo"),
+        (center + half).alias("conv_hi"),
+    )

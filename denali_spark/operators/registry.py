@@ -72,8 +72,9 @@ DRIVER_PRIORITY: list[str] = [
     "sample_shuffle_shards",
     "ts_concurrency_peak",
     "sim_hard_negatives",
-    # --- round-9-attested (staleness floor; first 36 fit the cap: 10 + 4
-    # + 36 = 50; the remaining 14 below the cap line lead r14) ---
+    "agg_conversion_wilson",
+    # --- round-9-attested (staleness floor; first 35 fit the cap: 10 + 5
+    # + 35 = 50; the remaining 15 below the cap line lead r14) ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
@@ -109,9 +110,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_vocab_growth",
     "ts_anomaly_zscore",
     "ts_asof_join_forward",
-    "ts_autocorr_lags",
     # ---------------- 50-query sweep cap ----------------
     # --- round-9-attested remainder (leads the r14 rotation) ---
+    "ts_autocorr_lags",
     "ts_changepoint_cusum",
     "ts_dow_hour_heatmap",
     "ts_downsample_lttb",

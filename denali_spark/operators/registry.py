@@ -51,8 +51,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r{01..12}.json latest-evidence rows): (1) the 10 round-12
 # queries that landed AFTER the r12 sweep ran and have never been
 # driver-attested, (2) queries NEW this round, (3) the round-9-attested
-# block — the current staleness floor; its first 38 fill the 50-cap and
-# the remaining 12 lead the r14 rotation, (4) round-10-, (5) round-11-,
+# block — the current staleness floor; its first 35 fill the 50-cap and
+# the remaining 15 lead the r14 rotation, (4) round-10-, (5) round-11-,
 # (6) round-12-attested (freshest) last.
 DRIVER_PRIORITY: list[str] = [
     # --- never driver-attested (added after the r12 sweep ran): first ---

@@ -51,8 +51,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # CORRECTNESS_r{01..12}.json latest-evidence rows): (1) the 10 round-12
 # queries that landed AFTER the r12 sweep ran and have never been
 # driver-attested, (2) queries NEW this round, (3) the round-9-attested
-# block — the current staleness floor; its first 35 fill the 50-cap and
-# the remaining 15 lead the r14 rotation, (4) round-10-, (5) round-11-,
+# block — the current staleness floor; its first 34 fill the 50-cap and
+# the remaining 16 lead the r14 rotation, (4) round-10-, (5) round-11-,
 # (6) round-12-attested (freshest) last.
 DRIVER_PRIORITY: list[str] = [
     # --- never driver-attested (added after the r12 sweep ran): first ---
@@ -73,8 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     "ts_concurrency_peak",
     "sim_hard_negatives",
     "agg_conversion_wilson",
-    # --- round-9-attested (staleness floor; first 35 fit the cap: 10 + 5
-    # + 35 = 50; the remaining 15 below the cap line lead r14) ---
+    "ts_time_to_convert",
+    # --- round-9-attested (staleness floor; first 34 fit the cap: 10 + 6
+    # + 34 = 50; the remaining 16 below the cap line lead r14) ---
     "dedup_cluster_size_histogram",
     "dedup_containment_pairs",
     "dedup_embedding_lsh_pairs",
@@ -109,9 +110,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_unigram_logprob",
     "text_vocab_growth",
     "ts_anomaly_zscore",
-    "ts_asof_join_forward",
     # ---------------- 50-query sweep cap ----------------
     # --- round-9-attested remainder (leads the r14 rotation) ---
+    "ts_asof_join_forward",
     "ts_autocorr_lags",
     "ts_changepoint_cusum",
     "ts_dow_hour_heatmap",

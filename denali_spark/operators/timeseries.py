@@ -1996,3 +1996,92 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.greatest(F.lit(0), F.coalesce("max_run", F.lit(0)))
         ).cast("long").alias("peak_concurrent"),
     )
+
+
+@query(
+    "ts_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+      GROUP BY e.user_id
+    ),
+    l AS (
+      SELECT fv.v_us // 86400000000 AS cohort_day_id,
+             (fp.p_us - fv.v_us) // 3600000000 AS lat_h
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    c AS (SELECT cohort_day_id, lat_h, COUNT(*) AS n FROM l GROUP BY 1, 2),
+    t AS (
+      SELECT cohort_day_id, lat_h,
+             SUM(n) OVER (PARTITION BY cohort_day_id ORDER BY lat_h) AS cum,
+             SUM(n) OVER (PARTITION BY cohort_day_id) AS tot
+      FROM c
+    )
+    SELECT cohort_day_id,
+           CAST(MAX(tot) AS BIGINT) AS n_converted,
+           MIN(lat_h) AS min_h,
+           MIN(CASE WHEN cum >= (tot + 1) // 2 THEN lat_h END) AS p50_h,
+           MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN lat_h END) AS p90_h,
+           MAX(lat_h) AS max_h
+    FROM t GROUP BY cohort_day_id
+    """,
+    tags=("timeseries", "conversion", "percentile"),
+)
+def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution per first-view cohort day: for
+    every user, hours from their FIRST view to their first purchase at or
+    after it, rolled up by the cohort day of that first view (exact
+    min/p50/p90/max whole hours) — the activation-latency report next to
+    ts_funnel's stage-attainment counts. Cohort ids are integer days since
+    epoch: no timezone arithmetic anywhere.
+
+    Scale shape: two user-keyed aggregations (first view, then first
+    qualifying purchase via one co-partitioned join — AQE reuses the
+    user_id partitioning), then the agg_exact_percentiles idiom over a
+    (cohort, hour) COUNT relation bounded by value cardinality — never a
+    per-cohort sort of raw latencies. All-integer rank arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("v_us"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", _us("ts").alias("p_us"))
+        .join(fv, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"), F.first("v_us").alias("v_us"))
+    )
+    latencies = fp.select(
+        F.expr("v_us div 86400000000").alias("cohort_day_id"),
+        F.expr("(p_us - v_us) div 3600000000").alias("lat_h"),
+    )
+    c = latencies.groupBy("cohort_day_id", "lat_h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("cohort_day_id").orderBy("lat_h")
+    wt = Window.partitionBy("cohort_day_id")
+    t = c.select(
+        "cohort_day_id", "lat_h",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return t.groupBy("cohort_day_id").agg(
+        F.max("tot").cast("long").alias("n_converted"),
+        F.min("lat_h").alias("min_h"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(tot + 1) div 2"), F.col("lat_h"))
+        ).alias("p50_h"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(9 * tot + 9) div 10"), F.col("lat_h"))
+        ).alias("p90_h"),
+        F.max("lat_h").alias("max_h"),
+    )

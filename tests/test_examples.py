@@ -36,6 +36,7 @@ EXECUTED = [
     "spark_datasource.py",  # ~28s: format("denali") read/write/stream
     "streaming_ingest.py",  # ~26s: doc stream with dedup + decontam guards
     "incremental_rollup.py",  # ~15s: changelog-folded rollup maintenance
+    "materialized_views.py",  # ~30s: MV SQL lifecycle + maintenance integration
 ]
 
 
@@ -58,4 +59,4 @@ def test_example_executes(name):
 
 
 def test_examples_exist():
-    assert len(EXAMPLES) == 12
+    assert len(EXAMPLES) == 13

@@ -1875,7 +1875,7 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_concurrency_peak",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -1884,7 +1884,7 @@ def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
              ts
       FROM flagged
@@ -1941,12 +1941,13 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the running session-id sum must share w's (ts, event_id) tie-break:
+    # duplicate (user, ts) rows otherwise join sessions nondeterministically
+    # (derived sf1 data replicates events 10x at identical timestamps)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = _us("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
     flagged = events.select(
-        "user_id", "ts",
+        "user_id", "ts", "event_id",
         F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1)
         .otherwise(0)
         .alias("new_session"),

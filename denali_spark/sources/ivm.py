@@ -37,8 +37,11 @@ watermark with manifest min/max pruning on the group keys plus a null-safe
 semi-join — bounded by touched-by-delete groups, never a base-table scan.
 The payoff of cancellation: pure compactions and the carried (unchanged)
 rows of copy-on-write rewrites — which the changelog reports as delete +
-identical insert — cancel to net zero and stay on the fold path, so
-routine table maintenance does not stampede the rollup into rescans.
+identical insert — cancel to net zero, stay on the fold path, and are
+then dropped entirely by the zero-delta filter (count AND every sum
+delta zero ⇒ the tracked multiset is unchanged), so routine table
+maintenance is a watermark-only carry commit, never a rescan stampede
+or a rollup rewrite.
 
 Correctness/atomicity contract:
 - The refresh watermark (the source snapshot-id the rollup reflects) rides
@@ -175,8 +178,10 @@ def _extrema_aggs(spec: RollupSpec, value_of=None) -> list:
     ]
 
 
-def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec):
-    src = io.read_table(spec.source_namespace, spec.source_name)
+def _aggregate_full(io: SparkCatalogIO, spec: RollupSpec,
+                    snapshot_id: int | None = None):
+    src = io.read_table(spec.source_namespace, spec.source_name,
+                        snapshot_id=snapshot_id)
     if spec.where:
         src = src.filter(F.expr(spec.where))
     agg = src.groupBy(*spec.group_by).agg(
@@ -407,6 +412,20 @@ def _fold_delta_commit(
     and replacing rescanned groups), and commit one copy-on-write snapshot
     carrying the untouched files by reference with the watermark(s) riding
     its summary. A zero-group delta becomes a watermark-only carry commit."""
+    # Pure-churn groups (compaction / CoW carry rows whose delete+insert
+    # pairs cancelled): a fold-path group whose count AND every sum delta
+    # are zero carries no maintained-state change — with extrema/NDV
+    # tracking the rescan split already proved net-NONNEGATIVE tuple
+    # multiplicities, and a zero row-count delta then forces ins(v) ==
+    # del(v) per tracked tuple (the tracked multiset is unchanged), so
+    # dropping the row is exact. A pure source compaction thus becomes a
+    # watermark-only carry commit instead of a full-candidate rewrite
+    # (the join path gets the same effect from _precancelled_changes).
+    zero = F.col(COUNT_COL) == 0
+    for c in sum_cols:
+        zero = zero & (F.coalesce(F.col(c), F.lit(0)) == 0)
+    delta = delta.filter(~zero)
+
     # One bounded agg over the touched groups (fold delta ∪ rescan keys)
     # drives the target file prune — the merge_into idiom. NULL group keys
     # fall outside min/max stats, so any NULL-keyed touched group disables
@@ -1015,6 +1034,10 @@ def dependent_materialized_views(
     ``namespace.name`` (either side of a join view). Walks the namespace
     tree via the catalog listing — metadata-only, bounded by table count."""
     qualified = ".".join([*namespace, name])
+    # Cost note: this loads EVERY table's metadata (one catalog call per
+    # table) — the only place the stamped spec lives. Fine at maintenance
+    # cadence; a very large catalog that runs maintenance hot should pass
+    # refresh_mviews=False and refresh its MVs from an explicit list.
     out: list[tuple[list[str], str]] = []
 
     def walk(parent):
@@ -1067,12 +1090,15 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
 
 def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
                              name: str) -> dict:
-    """Trust-but-verify: recompute the view from its sources and compare
-    against the maintained state, row-for-row. HLL sketch columns compare
-    by ESTIMATE (bytes may differ by representation mode); AVG doubles
-    compare exactly (both paths run the identical scalar division). The
-    operational drift alarm — any nonzero mismatch means a bug or a
-    foreign write that slipped the invalidation guards."""
+    """Trust-but-verify: recompute the view from its sources PINNED at
+    the stored watermark snapshot(s) — the state the maintained table is
+    supposed to reflect, so a source that has moved on since the last
+    refresh does NOT raise a false alarm — and compare row-for-row. HLL
+    sketch columns compare by ESTIMATE (bytes may differ by
+    representation mode); AVG doubles compare exactly (both paths run
+    the identical scalar division). The operational drift alarm — any
+    nonzero mismatch means a bug or a foreign write that slipped the
+    invalidation guards."""
     md = io.client.load_table(namespace, name)["metadata"]
     raw = md.get("properties", {}).get(SPEC_PROPERTY)
     if raw is None:
@@ -1082,11 +1108,25 @@ def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
             f"{SPEC_PROPERTY} table property)"
         )
     spec = spec_from_json(raw)
+    # Pin the recompute at the stored watermark(s) when they exist; a
+    # FOREIGN-written MV has none — that is precisely a drift case, so
+    # fall back to current sources and still report the diff.
+    watermarked = True
     if isinstance(spec, JoinRollupSpec):
-        want = _aggregate_join_full(io, spec)
+        try:
+            lw, rw = _join_watermarks(md, spec)
+        except ValueError:
+            lw = rw = None
+            watermarked = False
+        want = _aggregate_join_full(io, spec, lw, rw)
         ndv_cols: list[str] = []
     else:
-        want = _aggregate_full(io, spec)
+        try:
+            wm = _current_watermark(md, spec)
+        except ValueError:
+            wm = None
+            watermarked = False
+        want = _aggregate_full(io, spec, snapshot_id=wm)
         ndv_cols = list(spec.ndvs)
     got = io.read_table(namespace, name)
 
@@ -1102,9 +1142,10 @@ def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
     missing = want_c.exceptAll(got_c).count()
     return {
         "table": ".".join([*namespace, name]),
+        "watermarked": watermarked,
         "maintained_rows": got.count(),
         "recomputed_rows": want.count(),
         "rows_only_in_maintained": extra,
         "rows_only_in_recompute": missing,
-        "consistent": extra == 0 and missing == 0,
+        "consistent": extra == 0 and missing == 0 and watermarked,
     }

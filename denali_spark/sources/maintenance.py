@@ -1248,10 +1248,20 @@ def run_maintenance(
         )
 
         deps = dependent_materialized_views(io, namespace, name)
+        refreshed, failed = 0, []
         for d_ns, d_name in deps:
-            refresh_materialized_view(io, d_ns, d_name)
+            # per-MV isolation: one foreign-written/stranded MV must not
+            # abort the rest of the run (the 'each step commits
+            # independently' contract) — its failure lands in the report
+            try:
+                refresh_materialized_view(io, d_ns, d_name)
+                refreshed += 1
+            except ValueError as exc:
+                failed.append(f"{'.'.join([*d_ns, d_name])}: {exc}")
         if deps:
-            report["refresh_materialized_views"] = f"{len(deps)} refreshed"
+            report["refresh_materialized_views"] = f"{refreshed} refreshed"
+            if failed:
+                report["refresh_materialized_views_failed"] = failed
     if expire:
         r = expire_snapshots(io, namespace, name, keep_last=keep_last)
         report["expire_snapshots"] = "noop" if r.get("noop") else "done"

@@ -42,6 +42,10 @@ def _refresh_one(io: SparkCatalogIO, spec) -> dict:
         return refresh_rollup(io, spec)
     # a qualified MV name — resolve the spec from the stamped property
     parts = str(spec).split(".")
+    if len(parts) < 2:
+        raise ValueError(
+            f"unqualified materialized-view name {spec!r}: use ns.mv"
+        )
     return refresh_materialized_view(io, parts[:-1], parts[-1])
 
 

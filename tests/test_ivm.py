@@ -120,8 +120,10 @@ def test_compaction_is_net_zero_but_advances_watermark(spark, io):
     create_rollup(io, SPEC)
     compact_data_files(io, ["ivm"], "facts")
     res = refresh_rollup(io, SPEC)
-    # compaction's delete+insert pairs cancel per group
-    assert res["kind"] in ("incremental", "watermark-only")
+    # compaction's delete+insert pairs cancel per group, and the zero-
+    # delta filter drops the churn rows: a pure compaction is a
+    # watermark-only carry, never a rollup rewrite
+    assert res["kind"] == "watermark-only"
     _assert_matches_recompute(io)
     # and the watermark advanced so the next refresh is a clean no-op
     assert refresh_rollup(io, SPEC)["noop"] is True
@@ -257,8 +259,10 @@ def test_minmax_compaction_stays_on_fold_path(spark, io):
     compact_data_files(io, ["ivm"], "facts")
     res = refresh_rollup(io, EXTREMA_SPEC)
     # compaction's delete+insert pairs cancel per (group, value tuple):
-    # NO group rescans even though every row was rewritten
+    # NO rescans AND no rewrite — the zero-delta filter makes it a
+    # watermark-only carry even with extrema tracked
     assert res.get("rescanned_groups", 0) == 0
+    assert res["kind"] == "watermark-only"
     _assert_rollup_matches(io, EXTREMA_SPEC)
     assert refresh_rollup(io, EXTREMA_SPEC)["noop"] is True
 
@@ -961,3 +965,39 @@ def test_call_verify_materialized_view(spark, io):
         "CALL system.verify_materialized_view('ivm.mv_verify')"
     ).collect()[0]
     assert rep.consistent is False and rep.rows_only_in_maintained == 1
+
+
+def test_verify_pins_at_watermark_not_current(spark, io):
+    # a source that moved on since the last refresh must NOT alarm
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_pin AS "
+           "SELECT k, COUNT(*) AS n_rows FROM ivm.facts GROUP BY k")
+    _append(spark, io, 50, 100)  # pending, unrefreshed
+    rep = io.sql(
+        "CALL system.verify_materialized_view('ivm.mv_pin')"
+    ).collect()[0]
+    assert rep.consistent is True and rep.watermarked is True
+    assert rep.recomputed_rows == 5  # the watermark state, not current
+
+
+def test_run_maintenance_isolates_broken_mv(spark, io):
+    from denali_spark.sources import run_maintenance
+
+    _append(spark, io, 0, 50)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_ok AS "
+           "SELECT k, COUNT(*) AS n_rows FROM ivm.facts GROUP BY k")
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_broken AS "
+           "SELECT k, COUNT(*) AS n_rows FROM ivm.facts GROUP BY k")
+    # foreign-write the second MV: its refresh now raises
+    rogue = spark.createDataFrame([(99, 1)], "k long, n_rows long")
+    io.write_table(rogue, ["ivm"], "mv_broken", mode="append")
+    _append(spark, io, 50, 100)
+    report = run_maintenance(io, ["ivm"], "facts", keep_last=1)
+    # the broken MV lands in the report; the healthy one refreshed and
+    # the remaining steps (expiry) still ran
+    assert report["refresh_materialized_views"] == "1 refreshed"
+    assert any("mv_broken" in f for f in report["refresh_materialized_views_failed"])
+    assert "expire_snapshots" in report
+    got = {(r.k, r.n_rows) for r in io.sql(
+        "SELECT k, n_rows FROM ivm.mv_ok").collect()}
+    assert got == {(k, 20) for k in range(5)}

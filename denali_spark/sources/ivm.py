@@ -121,6 +121,10 @@ class RollupSpec:
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
     ndvs: dict[str, str] = field(default_factory=dict)
+    # COUNT(expr) columns: SUM of the expression's IS-NOT-NULL indicator —
+    # an integer-typed sum, so it rides the exact abelian fold unchanged
+    # (insert adds the indicator, delete subtracts it).
+    counts: dict[str, str] = field(default_factory=dict)
     # AVG(expr) columns: maintained as a HIDDEN exact sum (`_<col>_sum`,
     # folded like any other sum) plus a stored DOUBLE recomputed from
     # maintained state at every refresh — identical scalar division on
@@ -136,7 +140,7 @@ class RollupSpec:
 
     def __post_init__(self) -> None:
         out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs,
-                    *self.ndvs, *self.avgs, *_hidden_sums(self)]
+                    *self.ndvs, *self.counts, *self.avgs, *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
@@ -157,8 +161,40 @@ def _hidden_sums(spec) -> dict[str, str]:
     return {f"_{c}_sum": e for c, e in spec.avgs.items()}
 
 
+def _count_sums(spec) -> dict[str, str]:
+    """COUNT(expr) as a per-row integer indicator sum (exact fold)."""
+    return {
+        c: f"(CASE WHEN ({e}) IS NOT NULL THEN 1 ELSE 0 END)"
+        for c, e in getattr(spec, "counts", {}).items()
+    }
+
+
 def _all_sums(spec) -> dict[str, str]:
-    return {**spec.sums, **_hidden_sums(spec)}
+    return {**spec.sums, **_count_sums(spec), **_hidden_sums(spec)}
+
+
+def _require_exact_sum_types(empty_df, spec) -> None:
+    """Reject float/double SUM/AVG expressions at create time: incremental
+    folding re-orders additions, and only exact types (integer/DECIMAL)
+    keep the maintained state bit-equal to a from-scratch recompute —
+    a float sum would drift and trip verify_materialized_view with false
+    alarms. Analysis-only (no job): resolves each expression's type
+    against the source schema. COUNT(expr) indicators are integer by
+    construction and MIN/MAX/NDV never re-order arithmetic, so only the
+    user-supplied sums/avgs are checked."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    bad = []
+    for c, e in {**spec.sums, **spec.avgs}.items():
+        dt = empty_df.select(F.expr(e).alias("_t")).schema[0].dataType
+        if isinstance(dt, (DoubleType, FloatType)):
+            bad.append(f"{c}: SUM/AVG({e}) resolves to {dt.simpleString()}")
+    if bad:
+        raise ValueError(
+            "inexact SUM/AVG type(s) in rollup spec — wrap the expression "
+            "in CAST(... AS DECIMAL(p,s)) so refolding stays order-"
+            "insensitive and rebuild-safe: " + "; ".join(sorted(bad))
+        )
 
 
 def _apply_avgs(df, avgs: dict[str, str]):
@@ -210,7 +246,11 @@ def create_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     src_snap = src_md.get("current-snapshot-id")
     if src_snap is None:
         raise ValueError("source table has no snapshots — nothing to roll up")
-    full = _aggregate_full(io, spec)
+    _require_exact_sum_types(io._empty_df(src_md), spec)
+    # Pin the build at the watermark snapshot: a source commit racing the
+    # initial aggregation must not leak rows the stored watermark does not
+    # claim (the same pinning create_join_rollup and verify already do).
+    full = _aggregate_full(io, spec, snapshot_id=src_snap)
     res = io.write_table(
         full,
         spec.target_namespace,
@@ -571,9 +611,16 @@ class JoinRollupSpec:
     relation (left columns + right columns minus the right join keys);
     non-key column names must be disjoint across the two sources. Sums
     follow the exact-type (integer/DECIMAL) policy of `RollupSpec`.
-    MIN/MAX/NDV are not offered on join views: their rescan would need
-    the joined relation per touched group, which is a different cost
-    class — a from-scratch `create_join_rollup` is the honest fallback.
+
+    MIN/MAX/NDV (round 14) ride the same fold + targeted-rescan hybrid as
+    the single-table spec, threaded through the join delta: the bilinear
+    expansion yields the joined relation's EXACT signed multiset, so the
+    per-(group, tracked-tuple) net-multiplicity test transfers verbatim —
+    net-nonnegative groups fold extrema over positive-weight delta rows
+    (each such row exists in the post-state joined relation), and only
+    net-removal groups re-join the two sources PINNED at the new
+    watermarks, key-pruned on the fact side and filtered by an exact
+    semi-join on the touched groups.
     """
 
     left_namespace: list[str]
@@ -585,6 +632,10 @@ class JoinRollupSpec:
     target_name: str
     group_by: list[str]
     sums: dict[str, str] = field(default_factory=dict)
+    mins: dict[str, str] = field(default_factory=dict)
+    maxs: dict[str, str] = field(default_factory=dict)
+    ndvs: dict[str, str] = field(default_factory=dict)
+    counts: dict[str, str] = field(default_factory=dict)
     # AVG over joined columns — the same hidden-sum + derived-double
     # mechanism as RollupSpec.avgs.
     avgs: dict[str, str] = field(default_factory=dict)
@@ -594,12 +645,21 @@ class JoinRollupSpec:
     where: str | None = None
 
     def __post_init__(self) -> None:
-        out_cols = [COUNT_COL, *self.sums, *self.avgs, *_hidden_sums(self)]
+        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs,
+                    *self.ndvs, *self.counts, *self.avgs, *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
         if not self.on:
             raise ValueError("join rollup needs at least one equi-join key pair")
+        if self.left_name == self.right_name:
+            raise ValueError(
+                f"join sources share the table name {self.left_name!r} — ON "
+                "qualifiers resolve to both sides; register one side under a "
+                "distinct name before maintaining a join rollup"
+            )
+
+    _tracked_exprs = RollupSpec._tracked_exprs
 
     def _qualified_left(self) -> str:
         return ".".join([*self.left_namespace, self.left_name])
@@ -644,8 +704,32 @@ def _aggregate_join_full(io: SparkCatalogIO, spec: JoinRollupSpec,
     agg = joined.groupBy(*spec.group_by).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e)).alias(c) for c, e in _all_sums(spec).items()],
+        *_extrema_aggs(spec),
     )
     return _apply_avgs(agg, spec.avgs)
+
+
+def _resolve_join_on(spec: JoinRollupSpec, left_cols: list[str],
+                     right_cols: list[str]) -> None:
+    """Validate every ON pair against the actual schemas (the SQL parser
+    assumes bare `ON a = b` operands are positional — a swapped pair that
+    happens to name real columns on the wrong sides would silently misjoin).
+    A pair that only resolves swapped is corrected in place; a pair that
+    resolves neither way is rejected with both column lists."""
+    ls, rs = set(left_cols), set(right_cols)
+    fixed = []
+    for lk, rk in spec.on:
+        if lk in ls and rk in rs:
+            fixed.append((lk, rk))
+        elif rk in ls and lk in rs:
+            fixed.append((rk, lk))
+        else:
+            raise ValueError(
+                f"join condition {lk} = {rk} does not resolve: left "
+                f"{spec._qualified_left()} has {sorted(ls)}, right "
+                f"{spec._qualified_right()} has {sorted(rs)}"
+            )
+    spec.on = fixed
 
 
 def create_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
@@ -656,6 +740,9 @@ def create_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
     l_snap, r_snap = l_md.get("current-snapshot-id"), r_md.get("current-snapshot-id")
     if l_snap is None or r_snap is None:
         raise ValueError("both join sources need at least one snapshot")
+    l_empty, r_empty = io._empty_df(l_md), io._empty_df(r_md)
+    _resolve_join_on(spec, l_empty.columns, r_empty.columns)
+    _require_exact_sum_types(_joined(l_empty, r_empty, spec), spec)
     full = _aggregate_join_full(io, spec, l_snap, r_snap)
     res = io.write_table(
         full, spec.target_namespace, spec.target_name, mode="overwrite",
@@ -712,6 +799,53 @@ def _precancelled_changes(io: SparkCatalogIO, namespace: list[str], name: str,
     )
 
 
+def _rescan_join_groups(io: SparkCatalogIO, spec: JoinRollupSpec, l_md: dict,
+                        rescan_keys, n_rescan: int, l_cur: int, r_cur: int):
+    """Recompute the net-removal groups wholesale from the two sources
+    PINNED at the new watermarks: the fact read is manifest-pruned to the
+    rescan keys' bounds on whichever group keys the fact side owns, the
+    (small) dim side is read whole, and the exact filter is a broadcast
+    semi-join on the touched groups AFTER the join — cost bounded by fact
+    rows in touched-by-removal groups, never a fact-table re-aggregation."""
+    keys = list(spec.group_by)
+    left_cols = set(io._empty_df(l_md).columns)
+    l_keys = [k for k in keys if k in left_cols]
+    src_where = None
+    if l_keys:
+        rb = rescan_keys.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in l_keys],
+            *[F.max(k).alias(f"hi_{k}") for k in l_keys],
+            *[F.count(k).alias(f"nn_{k}") for k in l_keys],
+        ).collect()[0]
+        if all(rb[f"nn_{k}"] == n_rescan for k in l_keys):
+            src_where = and_(
+                *[gt_eq(k, rb[f"lo_{k}"]) for k in l_keys],
+                *[lt_eq(k, rb[f"hi_{k}"]) for k in l_keys],
+            )
+    left = io.read_table(spec.left_namespace, spec.left_name,
+                         snapshot_id=l_cur, where=src_where)
+    right = io.read_table(spec.right_namespace, spec.right_name,
+                          snapshot_id=r_cur)
+    joined = _joined(left, right, spec)
+    if spec.where:
+        joined = joined.filter(F.expr(spec.where))
+    probe = (
+        F.broadcast(rescan_keys)
+        if n_rescan <= RESCAN_BROADCAST_GROUPS
+        else rescan_keys
+    )
+    return (
+        joined.alias("s")
+        .join(probe.alias("rk"), _key_cond("s", "rk", keys), "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+            *[F.sum(F.expr(e)).alias(c) for c, e in _all_sums(spec).items()],
+            *_extrema_aggs(spec),
+        )
+    )
+
+
 def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
     """Fold both sources' changes since the last refresh into the join
     rollup via Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS — changed files only on the
@@ -765,15 +899,51 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
                 t2 = t2.filter(F.expr(spec.where))
             terms.append(t2)
 
+    rescan_keys, n_rescan, rescanned = None, 0, None
     if terms:
         delta_rows = terms[0]
         for t in terms[1:]:
             delta_rows = delta_rows.unionByName(t)
-        delta = delta_rows.groupBy(*keys).agg(
+        if spec._tracked_exprs():
+            # Extrema/NDV over a join (round 14): the bilinear expansion is
+            # the joined relation's EXACT signed multiset, so the single-
+            # table net-multiplicity test applies unchanged — per (group,
+            # tracked tuple) the net weight decides fold vs rescan.
+            tracked = F.struct(*[
+                F.expr(e).alias(f"_v{i}")
+                for i, e in enumerate(spec._tracked_exprs())
+            ])
+            net = delta_rows.groupBy(*keys, tracked.alias("_vals")).agg(
+                F.sum(w).alias("_net")
+            )
+            rescan_keys = (
+                net.filter(F.col("_net") < 0)
+                .select(*keys)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n_rescan = rescan_keys.count()
+            if n_rescan == 0:
+                rescan_keys = None
+        fold_rows = delta_rows
+        if rescan_keys is not None:
+            fold_rows = delta_rows.alias("ch").join(
+                rescan_keys.alias("rk"), _key_cond("ch", "rk", keys), "left_anti"
+            )
+        # extrema fold only over positive-net-weight rows: each such joined
+        # row exists in the post state (its multiplicity strictly grew), and
+        # net-removal tuples were routed to the rescan above
+        positive = w > 0
+        delta = fold_rows.groupBy(*keys).agg(
             F.sum(w).cast("long").alias(COUNT_COL),
             *[F.sum(F.expr(e) * w).alias(c)
               for c, e in _all_sums(spec).items()],
+            *_extrema_aggs(spec, lambda e: F.when(positive, F.expr(e))),
         )
+        if rescan_keys is not None:
+            rescanned = _rescan_join_groups(
+                io, spec, l_md, rescan_keys, n_rescan, l_cur, r_cur
+            )
     else:
         # both deltas pre-cancelled to nothing — synthesize an empty delta
         # so the shared tail takes the watermark-only path
@@ -788,6 +958,12 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
             LEFT_SOURCE_KEY: spec._qualified_left(),
             RIGHT_SOURCE_KEY: spec._qualified_right(),
         },
+        fold_extra_aggs=[
+            *[F.min(F.col(c)).alias(c) for c in spec.mins],
+            *[F.max(F.col(c)).alias(c) for c in spec.maxs],
+            *[F.hll_union_agg(F.col(c)).alias(c) for c in spec.ndvs],
+        ],
+        rescan_keys=rescan_keys, n_rescan=n_rescan, rescanned=rescanned,
     )
     res["left_snapshot_id"] = l_cur
     res["right_snapshot_id"] = r_cur
@@ -920,6 +1096,7 @@ def parse_materialized_view_sql(
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
     ndvs: dict[str, str] = {}
+    counts: dict[str, str] = {}
     bare: list[str] = []
     for item in _split_top_level_commas(select_list):
         agg = _parse_agg_item(item)
@@ -927,18 +1104,15 @@ def parse_materialized_view_sql(
             bare.append(_strip_qualifier(item.strip(), tables))
             continue
         fn, expr, alias = agg
-        if fn == "COUNT":
-            if expr != "*":
-                raise ValueError("only COUNT(*) is maintained (COUNT(expr) "
-                                 "needs NULL accounting the spec omits)")
+        if fn == "COUNT" and expr == "*":
             if alias != COUNT_COL:
                 raise ValueError(
                     f"COUNT(*) must alias to {COUNT_COL!r} — it doubles as "
                     "the maintained group-liveness counter"
                 )
             continue  # always maintained
-        target = {"SUM": sums, "AVG": avgs, "MIN": mins, "MAX": maxs,
-                  "APPROX_COUNT_DISTINCT": ndvs}[fn]
+        target = {"COUNT": counts, "SUM": sums, "AVG": avgs, "MIN": mins,
+                  "MAX": maxs, "APPROX_COUNT_DISTINCT": ndvs}[fn]
         target[alias] = expr
     if set(bare) != set(keys):
         raise ValueError(
@@ -946,24 +1120,19 @@ def parse_materialized_view_sql(
         )
 
     if right_q is not None:
-        if mins or maxs or ndvs:
-            raise ValueError(
-                "join materialized views maintain COUNT/SUM/AVG only — "
-                "MIN/MAX/APPROX_COUNT_DISTINCT need per-group rescans over "
-                "the join (rebuild with CREATE instead)"
-            )
         return JoinRollupSpec(
             left_namespace=left_q[:-1], left_name=left_q[-1],
             right_namespace=right_q[:-1], right_name=right_q[-1],
             on=on,
             target_namespace=list(target_namespace), target_name=target_name,
-            group_by=keys, sums=sums, avgs=avgs, where=where_sql,
+            group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
+            counts=counts, avgs=avgs, where=where_sql,
         )
     return RollupSpec(
         source_namespace=left_q[:-1], source_name=left_q[-1],
         target_namespace=list(target_namespace), target_name=target_name,
         group_by=keys, sums=sums, mins=mins, maxs=maxs, ndvs=ndvs,
-        avgs=avgs, where=where_sql,
+        counts=counts, avgs=avgs, where=where_sql,
     )
 
 
@@ -1067,7 +1236,13 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
     an equal spec (round-trip property-tested)."""
     items = [*spec.group_by, f"COUNT(*) AS {COUNT_COL}"]
     items += [f"SUM({e}) AS {c}" for c, e in spec.sums.items()]
+    items += [f"COUNT({e}) AS {c}" for c, e in spec.counts.items()]
     items += [f"AVG({e}) AS {c}" for c, e in spec.avgs.items()]
+    items += [f"MIN({e}) AS {c}" for c, e in spec.mins.items()]
+    items += [f"MAX({e}) AS {c}" for c, e in spec.maxs.items()]
+    items += [
+        f"APPROX_COUNT_DISTINCT({e}) AS {c}" for c, e in spec.ndvs.items()
+    ]
     if isinstance(spec, JoinRollupSpec):
         lt, rt = spec.left_name, spec.right_name
         frm = (
@@ -1075,11 +1250,6 @@ def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:
             + " AND ".join(f"{lt}.{lk} = {rt}.{rk}" for lk, rk in spec.on)
         )
     else:
-        items += [f"MIN({e}) AS {c}" for c, e in spec.mins.items()]
-        items += [f"MAX({e}) AS {c}" for c, e in spec.maxs.items()]
-        items += [
-            f"APPROX_COUNT_DISTINCT({e}) AS {c}" for c, e in spec.ndvs.items()
-        ]
         frm = spec._qualified_source()
     where = f"\nWHERE {spec.where}" if spec.where else ""
     return (
@@ -1119,7 +1289,7 @@ def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
             lw = rw = None
             watermarked = False
         want = _aggregate_join_full(io, spec, lw, rw)
-        ndv_cols: list[str] = []
+        ndv_cols = list(spec.ndvs)
     else:
         try:
             wm = _current_watermark(md, spec)

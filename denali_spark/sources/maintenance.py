@@ -1256,7 +1256,11 @@ def run_maintenance(
             try:
                 refresh_materialized_view(io, d_ns, d_name)
                 refreshed += 1
-            except ValueError as exc:
+            except Exception as exc:  # noqa: BLE001 — refresh can raise
+                # ValueError (foreign write / expired watermark),
+                # RuntimeError (409 single-maintainer conflict), or
+                # CatalogHTTPError; none may abort the other MVs or the
+                # remaining maintenance steps — the failure is reported.
                 failed.append(f"{'.'.join([*d_ns, d_name])}: {exc}")
         if deps:
             report["refresh_materialized_views"] = f"{refreshed} refreshed"

@@ -642,10 +642,10 @@ def test_sql_materialized_view_rejections(spark, io):
     with pytest.raises(ValueError, match="n_rows"):
         io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
                "SELECT k, COUNT(*) AS cnt FROM ivm.facts GROUP BY k")
-    with pytest.raises(ValueError, match="COUNT/SUM/AVG only"):
+    with pytest.raises(ValueError, match="share the table name"):
         io.sql("CREATE MATERIALIZED VIEW ivm.bad AS "
-               "SELECT k, MIN(amount) AS m FROM ivm.facts "
-               "JOIN ivm.facts2 ON facts.k = facts2.k GROUP BY k")
+               "SELECT k, COUNT(*) AS n_rows FROM ivm.facts "
+               "JOIN other.facts ON facts.k = facts.k GROUP BY k")
     with pytest.raises(ValueError, match="not a maintained materialized view"):
         io.sql("REFRESH MATERIALIZED VIEW ivm.facts")
 
@@ -1001,3 +1001,244 @@ def test_run_maintenance_isolates_broken_mv(spark, io):
     got = {(r.k, r.n_rows) for r in io.sql(
         "SELECT k, n_rows FROM ivm.mv_ok").collect()}
     assert got == {(k, 20) for k in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# Round 14: COUNT(expr), extrema/NDV over join views, spec validation
+# ---------------------------------------------------------------------------
+
+COUNT_SPEC = RollupSpec(
+    source_namespace=["ivm"], source_name="facts",
+    target_namespace=["ivm"], target_name="facts_counts",
+    group_by=["k"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    counts={"n_big": "CASE WHEN id >= 50 THEN id END"},
+)
+
+
+def test_count_expr_folds_exactly(spark, io):
+    _append(spark, io, 0, 100)
+    create_rollup(io, COUNT_SPEC)
+    _assert_rollup_matches(io, COUNT_SPEC)
+    _append(spark, io, 100, 250)
+    res = refresh_rollup(io, COUNT_SPEC)
+    assert res["kind"] == "incremental"
+    _assert_rollup_matches(io, COUNT_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 60))
+    refresh_rollup(io, COUNT_SPEC)
+    _assert_rollup_matches(io, COUNT_SPEC)
+    # the maintained column equals a true COUNT(expr) (NULLs excluded)
+    want = {
+        (r.k, r.n_big)
+        for r in io.read_table(["ivm"], "facts")
+        .groupBy("k")
+        .agg(F.count(F.expr("CASE WHEN id >= 50 THEN id END")).alias("n_big"))
+        .collect()
+    }
+    got = {
+        (r.k, r.n_big)
+        for r in io.read_table(["ivm"], "facts_counts")
+        .select("k", "n_big").collect()
+    }
+    assert got == want
+
+
+def test_sql_count_expr_mview_round_trips(spark, io):
+    _append(spark, io, 0, 100)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_cnt AS "
+           "SELECT k, COUNT(*) AS n_rows, "
+           "COUNT(CASE WHEN id >= 50 THEN id END) AS n_big "
+           "FROM ivm.facts GROUP BY k")
+    _append(spark, io, 100, 200)
+    rep = io.sql("REFRESH MATERIALIZED VIEW ivm.mv_cnt").collect()[0]
+    assert rep.kind == "incremental"
+    got = {(r.k, r.n_big) for r in io.sql(
+        "SELECT k, n_big FROM ivm.mv_cnt").collect()}
+    assert got == {(k, 30) for k in range(5)}
+    body = io.sql("SHOW CREATE TABLE ivm.mv_cnt").collect()[0][0]
+    assert "COUNT(CASE WHEN id >= 50 THEN id END) AS n_big" in body
+
+
+JOIN_EXT_SPEC = JoinRollupSpec(
+    left_namespace=["ivm"], left_name="facts",
+    right_namespace=["ivm"], right_name="dims",
+    on=[("k", "k")],
+    target_namespace=["ivm"], target_name="facts_by_region_ext",
+    group_by=["region"],
+    sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    mins={"amount_min": "amount", "id_min": "id"},
+    maxs={"id_max": "id"},
+    ndvs={"uniq_k": "k"},
+    counts={"n_small": "CASE WHEN id < 20 THEN id END"},
+)
+
+
+def _assert_join_ext_matches(io, spec=JOIN_EXT_SPEC):
+    def rows(df):
+        plain = [c for c in df.columns if c not in spec.ndvs]
+        ests = [F.hll_sketch_estimate(c).alias(f"{c}_est") for c in spec.ndvs]
+        return {tuple(r) for r in df.select(*sorted(plain), *ests).collect()}
+
+    got = rows(io.read_table(spec.target_namespace, spec.target_name))
+    want = rows(_aggregate_join_full(io, spec))
+    assert got == want
+    return got
+
+
+def test_join_extrema_append_folds_without_rescan(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_EXT_SPEC)
+    _assert_join_ext_matches(io)
+    _append(spark, io, 100, 250)
+    res = refresh_join_rollup(io, JOIN_EXT_SPEC)
+    assert res["kind"] == "incremental" and res["rescanned_groups"] == 0
+    _assert_join_ext_matches(io)
+
+
+def test_join_extrema_fact_delete_of_minimum_rescans(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_EXT_SPEC)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 40))
+    res = refresh_join_rollup(io, JOIN_EXT_SPEC)
+    assert res["rescanned_groups"] == 3  # east/west/north all lose minima
+    _assert_join_ext_matches(io)
+
+
+def test_join_extrema_dim_update_moves_groups(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_EXT_SPEC)
+    # k=4 moves north->south: 'north' sees net removals (rescan; it then
+    # vanishes — no dim row feeds it), 'south' is pure insert (fold)
+    io.sql("UPDATE ivm.dims SET region = 'south' WHERE k = 4")
+    res = refresh_join_rollup(io, JOIN_EXT_SPEC)
+    assert res["rescanned_groups"] == 1
+    got = _assert_join_ext_matches(io)
+    regions = {r[-2] for r in got}  # region is last plain col alphabetically
+    assert "south" in regions and "north" not in regions
+
+
+def test_join_extrema_compaction_is_watermark_only(spark, io):
+    _append(spark, io, 0, 50)
+    _append(spark, io, 50, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    create_join_rollup(io, JOIN_EXT_SPEC)
+    compact_data_files(io, ["ivm"], "facts")
+    res = refresh_join_rollup(io, JOIN_EXT_SPEC)
+    assert res["kind"] == "watermark-only"
+    _assert_join_ext_matches(io)
+
+
+def test_sql_join_extrema_mview(spark, io):
+    _append(spark, io, 0, 100)
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "north"})
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.mv_region_ext AS
+        SELECT region, COUNT(*) AS n_rows,
+               MIN(amount) AS amount_min, MAX(id) AS id_max
+        FROM ivm.facts JOIN ivm.dims ON facts.k = dims.k
+        GROUP BY region
+    """)
+    delete_where(io, ["ivm"], "facts", E.lt("id", 30))
+    rep = io.sql("REFRESH MATERIALIZED VIEW ivm.mv_region_ext").collect()[0]
+    assert rep.kind == "incremental" and rep.rescanned_groups > 0
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="mv_region_ext",
+        group_by=["region"],
+        mins={"amount_min": "amount"}, maxs={"id_max": "id"},
+    )
+    _assert_join_matches(io, spec)
+    rep = io.sql(
+        "CALL system.verify_materialized_view('ivm.mv_region_ext')"
+    ).collect()[0]
+    assert rep.consistent is True
+
+
+def test_join_on_swapped_bare_operands_corrected(spark, io):
+    facts = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "fid long, kf long, cents long"
+    )
+    dims = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "b")], "kd long, label string"
+    )
+    io.write_table(facts.coalesce(1), ["ivm"], "f14", mode="overwrite")
+    io.write_table(dims.coalesce(1), ["ivm"], "d14", mode="overwrite")
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="f14",
+        right_namespace=["ivm"], right_name="d14",
+        on=[("kd", "kf")],  # swapped: kd is a RIGHT column, kf a LEFT one
+        target_namespace=["ivm"], target_name="f14_by_label",
+        group_by=["label"], sums={"cents_sum": "cents"},
+    )
+    create_join_rollup(io, spec)
+    assert spec.on == [("kf", "kd")]
+    _assert_join_matches(io, spec)
+
+
+def test_join_on_unresolvable_operands_rejected(spark, io):
+    facts = spark.createDataFrame([(1, 2)], "fid long, kf long")
+    dims = spark.createDataFrame([(1, "a")], "kd long, label string")
+    io.write_table(facts, ["ivm"], "f14b", mode="overwrite")
+    io.write_table(dims, ["ivm"], "d14b", mode="overwrite")
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="f14b",
+        right_namespace=["ivm"], right_name="d14b",
+        on=[("nope", "kd")],
+        target_namespace=["ivm"], target_name="f14b_mv",
+        group_by=["label"],
+    )
+    with pytest.raises(ValueError, match="does not resolve"):
+        create_join_rollup(io, spec)
+
+
+def test_join_same_table_name_rejected():
+    with pytest.raises(ValueError, match="share the table name"):
+        JoinRollupSpec(
+            left_namespace=["ns1"], left_name="t",
+            right_namespace=["ns2"], right_name="t",
+            on=[("k", "k")],
+            target_namespace=["ivm"], target_name="bad",
+            group_by=["k"],
+        )
+
+
+def test_inexact_sum_type_rejected(spark, io):
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 1.5).alias("x")  # double column
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "dfacts", mode="overwrite")
+    spec = RollupSpec(
+        source_namespace=["ivm"], source_name="dfacts",
+        target_namespace=["ivm"], target_name="dfacts_mv",
+        group_by=["id"], sums={"x_sum": "x"},
+    )
+    with pytest.raises(ValueError, match="inexact SUM/AVG"):
+        create_rollup(io, spec)
+    with pytest.raises(ValueError, match="inexact SUM/AVG"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.dbad AS "
+               "SELECT id, COUNT(*) AS n_rows, AVG(x) AS xa "
+               "FROM ivm.dfacts GROUP BY id")
+    # the rebuild-safe spelling is accepted
+    io.sql("CREATE MATERIALIZED VIEW ivm.dok AS "
+           "SELECT id, COUNT(*) AS n_rows, "
+           "SUM(CAST(x AS DECIMAL(18,2))) AS x_sum "
+           "FROM ivm.dfacts GROUP BY id")
+
+
+def test_inexact_join_sum_type_rejected(spark, io):
+    _append(spark, io, 0, 10)
+    _write_dims(spark, io, {0: "east"})
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="bad_join",
+        group_by=["region"], sums={"s": "CAST(amount AS DOUBLE)"},
+    )
+    with pytest.raises(ValueError, match="inexact SUM/AVG"):
+        create_join_rollup(io, spec)

@@ -425,6 +425,22 @@ def split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
 DATA_FORMATS = ("parquet", "orc", "avro")
 
 
+def _batch_already_committed(md: dict, key: str, value) -> bool:
+    """True when `value` under summary key `key` already landed: either a
+    live snapshot carries it, or (integer values) it sits at or below the
+    `<key>.high-watermark` table property — which survives snapshot
+    expiry, closing the late-replay-after-expiry window the snapshot
+    membership check alone would leave open."""
+    sval = str(value)
+    hwm = md.get("properties", {}).get(f"{key}.high-watermark")
+    if hwm is not None and sval.lstrip("-").isdigit() and int(sval) <= int(hwm):
+        return True
+    return any(
+        s.get("summary", {}).get(key) == sval
+        for s in md.get("snapshots", [])
+    )
+
+
 def table_write_format(md: dict) -> str:
     """Iceberg's write.format.default table property, parquet by default."""
     return md.get("properties", {}).get("write.format.default", "parquet")
@@ -2994,9 +3010,21 @@ class SparkCatalogIO:
         file_format: str | None = None,
         branch: str = MAIN,
         summary_extra: dict | None = None,
+        dedupe_summary_key: str | None = None,
     ) -> dict:
         """Append/overwrite `df` into a catalog table (created on demand),
         committing via the optimistic protocol with bounded retries.
+
+        dedupe_summary_key: exactly-once guard for at-least-once callers
+        (streaming sinks): names a summary_extra key (e.g.
+        streaming-batch-id) whose value identifies the write. The write is
+        skipped when any snapshot already carries it, the check re-runs
+        INSIDE the CAS retry loop (a concurrent duplicate that wins the
+        race is caught on the reload, never re-appended), and for integer
+        values a `<key>.high-watermark` table property advances in the
+        SAME commit — so a late replay stays a no-op even after snapshot
+        expiry trims the batch-stamped snapshots the membership check
+        would have consulted.
 
         file_format: parquet (default), orc, or avro — recorded as the
         table's write.format.default property on create; later appends
@@ -3054,6 +3082,17 @@ class SparkCatalogIO:
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
+        dedupe_value = None
+        if dedupe_summary_key is not None:
+            dedupe_value = (summary_extra or {}).get(dedupe_summary_key)
+            if dedupe_value is None:
+                raise ValueError(
+                    f"dedupe_summary_key {dedupe_summary_key!r} requires "
+                    "summary_extra to carry that key"
+                )
+            if _batch_already_committed(md, dedupe_summary_key, dedupe_value):
+                return {"noop": "duplicate batch", "key": dedupe_summary_key,
+                        "value": dedupe_value}
         from denali_spark.sources.partitioning import spec_to_partition_by
 
         layout_derived = parts is None
@@ -3074,6 +3113,19 @@ class SparkCatalogIO:
         )
 
         for _attempt in range(max_retries):
+            if dedupe_value is not None and _batch_already_committed(
+                md, dedupe_summary_key, dedupe_value
+            ):
+                # a concurrent writer committed this batch between our
+                # reload and this attempt — drop our (never-committed)
+                # files and bow out instead of double-appending
+                for stale in data_files:
+                    try:
+                        os.remove(_fs_path(stale["path"]))
+                    except OSError:
+                        pass
+                return {"noop": "duplicate batch", "key": dedupe_summary_key,
+                        "value": dedupe_value}
             if (layout_derived or order_derived) and (
                 md.get("default-spec-id", 0),
                 md.get("default-sort-order-id", 0),
@@ -3145,6 +3197,21 @@ class SparkCatalogIO:
                     **(summary_extra or {}),
                 },
             }
+            hwm_updates = []
+            if dedupe_value is not None and str(dedupe_value).lstrip("-").isdigit():
+                prev_hwm = md.get("properties", {}).get(
+                    f"{dedupe_summary_key}.high-watermark"
+                )
+                new_hwm = max(
+                    int(dedupe_value),
+                    int(prev_hwm) if prev_hwm is not None else int(dedupe_value),
+                )
+                hwm_updates = [{
+                    "action": "set-properties",
+                    "updates": {
+                        f"{dedupe_summary_key}.high-watermark": str(new_hwm)
+                    },
+                }]
             try:
                 return self.client.commit_table(
                     namespace,
@@ -3158,6 +3225,7 @@ class SparkCatalogIO:
                         {"action": "add-snapshot", "snapshot": snapshot},
                         {"action": "set-snapshot-ref", "ref-name": branch,
                          "snapshot-id": snapshot_id, "type": "branch"},
+                        *hwm_updates,
                     ],
                 )
             except CatalogHTTPError as exc:

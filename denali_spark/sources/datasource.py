@@ -644,15 +644,14 @@ def _commit_files(ctx, messages, overwrite: bool, summary_extra: dict) -> None:
     ns, name = ctx["namespace"], ctx["table"]
 
     def attempt():
+        from denali_spark.sources.catalog_io import _batch_already_committed
+
         md = io.client.load_table(ns, name)["metadata"]
         batch_key = summary_extra.get("streaming-batch-id")
-        if batch_key is not None:
-            committed = {
-                s.get("summary", {}).get("streaming-batch-id")
-                for s in md.get("snapshots", [])
-            }
-            if batch_key in committed:
-                return {"noop": "batch already committed"}
+        if batch_key is not None and _batch_already_committed(
+            md, "streaming-batch-id", batch_key
+        ):
+            return {"noop": "batch already committed"}
         ref = md.get("refs", {}).get(MAIN)
         parent_id = ref["snapshot-id"] if ref else None
         carried: list[dict] = []
@@ -669,6 +668,17 @@ def _commit_files(ctx, messages, overwrite: bool, summary_extra: dict) -> None:
             }
             for p in sorted(paths)
         ]
+        hwm_updates = None
+        if batch_key is not None and str(batch_key).lstrip("-").isdigit():
+            # integer batch ids also advance an expiry-proof high-watermark
+            # property in the same commit (late replays after snapshot
+            # expiry would otherwise slip the membership check above)
+            prev = md.get("properties", {}).get("streaming-batch-id.high-watermark")
+            hwm = max(int(batch_key), int(prev)) if prev is not None else int(batch_key)
+            hwm_updates = [{
+                "action": "set-properties",
+                "updates": {"streaming-batch-id.high-watermark": str(hwm)},
+            }]
         return _commit_cow(
             io, ns, name, md, parent_id, carried + new,
             "overwrite" if overwrite else "append",
@@ -679,6 +689,7 @@ def _commit_files(ctx, messages, overwrite: bool, summary_extra: dict) -> None:
                 "added-records": str(sum(f.get("record-count", 0) for f in new)),
                 **summary_extra,
             },
+            extra_updates=hwm_updates,
         )
 
     _retrying(attempt)

@@ -60,8 +60,12 @@ def _commit_cow(
     files: list[dict],
     operation: str,
     summary_extra: dict[str, str],
+    extra_updates: list[dict] | None = None,
 ) -> dict:
-    """One copy-on-write snapshot commit against a known parent."""
+    """One copy-on-write snapshot commit against a known parent.
+    `extra_updates` ride the SAME commit_table call (e.g. a streaming
+    batch high-watermark property), so they land atomically with the
+    snapshot or not at all."""
     import time
 
     from denali_spark.sources.catalog_io import stamp_row_lineage, summary_totals
@@ -100,6 +104,7 @@ def _commit_cow(
                 "snapshot-id": snapshot_id,
                 "type": "branch",
             },
+            *(extra_updates or []),
         ],
     )
 

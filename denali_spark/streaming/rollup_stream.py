@@ -6,7 +6,9 @@ Exactly-once effect from at-least-once replays, with NO sink-local state:
 - the append stamps ``streaming-batch-id`` into its snapshot summary and
   skips the write when any snapshot already carries the batch's id (the
   same dedup the `writeStream.format("denali")` sink uses,
-  sources/datasource.py);
+  sources/datasource.py), re-checked inside the commit's CAS retry and
+  backed by a ``streaming-batch-id.high-watermark`` table property that
+  outlives snapshot expiry;
 - the refresh is watermark-idempotent (sources/ivm.py): a replayed batch
   whose append was skipped finds the watermark already at or past its
   snapshot and no-ops, while a crash BETWEEN append and refresh just
@@ -62,16 +64,17 @@ def make_rollup_refresh_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         io = SparkCatalogIO(batch_df.sparkSession, catalog_uri)
-        md = io.client.load_table(source_namespace, source_name)["metadata"]
-        committed = {
-            s.get("summary", {}).get(BATCH_KEY)
-            for s in md.get("snapshots", [])
-        }
-        if str(batch_id) not in committed:
-            io.write_table(
-                batch_df, source_namespace, source_name, mode="append",
-                summary_extra={BATCH_KEY: str(batch_id)},
-            )
+        # write_table owns the whole dedup story: membership is re-checked
+        # INSIDE the CAS retry loop (a replayed batch racing another writer
+        # is caught on the reload, never double-appended), and the
+        # `streaming-batch-id.high-watermark` table property advances with
+        # the commit — so a late replay stays a no-op even after snapshot
+        # expiry has trimmed the batch-stamped snapshots.
+        io.write_table(
+            batch_df, source_namespace, source_name, mode="append",
+            summary_extra={BATCH_KEY: str(batch_id)},
+            dedupe_summary_key=BATCH_KEY,
+        )
         for spec in rollups:
             _refresh_one(io, spec)
 

@@ -140,3 +140,42 @@ def test_mv_name_dispatch(spark, io):
     got = {(r.k, r.n_rows) for r in io.sql(
         "SELECT k, n_rows FROM live.mv_counts").collect()}
     assert got == {(k, 28) for k in range(5)}
+
+
+def test_replay_after_snapshot_expiry_is_still_deduped(spark, io):
+    """The batch-membership check consults snapshot summaries, which
+    snapshot expiry trims; the `streaming-batch-id.high-watermark` table
+    property must keep a late replay a no-op anyway."""
+    from denali_spark.sources import expire_snapshots
+
+    _seed(spark, io)
+    sink = make_rollup_refresh_sink(io.client.uri, NS, "facts", [SPEC])
+    for bid in range(3):
+        sink(_rows(spark, 100 + bid * 50, 150 + bid * 50), bid)
+    _assert_matches(io)
+    md = io.client.load_table(NS, "facts")["metadata"]
+    assert md["properties"]["streaming-batch-id.high-watermark"] == "2"
+
+    # expire everything but the newest snapshot: batches 0..1 lose their
+    # summary stamps entirely
+    expire_snapshots(io, NS, "facts", keep_last=1)
+    md = io.client.load_table(NS, "facts")["metadata"]
+    stamped = {
+        s.get("summary", {}).get("streaming-batch-id")
+        for s in md["snapshots"]
+    } - {None}
+    assert "0" not in stamped
+
+    before = io.read_table(NS, "facts").count()
+    sink(_rows(spark, 100, 150), 0)  # late replay of batch 0
+    assert io.read_table(NS, "facts").count() == before
+    _assert_matches(io)
+
+
+def test_write_table_dedupe_requires_summary_key(spark, io):
+    io.write_table(_rows(spark, 0, 10).coalesce(1), NS, "facts", mode="append")
+    with pytest.raises(ValueError, match="requires summary_extra"):
+        io.write_table(
+            _rows(spark, 10, 20), NS, "facts", mode="append",
+            dedupe_summary_key="streaming-batch-id",
+        )

@@ -459,6 +459,11 @@ class SparkCatalogIO:
         self.spark = spark
         self.client = CatalogClient(catalog_uri, token=token)
         self.warehouse = self.client.config()["defaults"]["warehouse"]
+        # Materialized-view query rewrite policy for sql() SELECTs
+        # (sources/mv_rewrite.py): off | fresh-only | refresh | stale-ok.
+        self.mv_rewrite = "fresh-only"
+        # Outcome of the last SELECT's rewrite attempt (None = base path).
+        self.last_mv_rewrite: dict | None = None
 
     # --- read path ---------------------------------------------------------
 
@@ -880,6 +885,18 @@ class SparkCatalogIO:
                     m.group(1), rest[:on_i], rest[on_i + 2: when_i],
                     rest[when_i:], target_alias=m.group(2),
                 )
+
+            # Materialized-view rewrite (round 14): a rollup-shaped SELECT
+            # whose keys/aggregates/predicate a maintained MV subsumes is
+            # answered from the summary table instead of the base scan —
+            # governed by self.mv_rewrite ('fresh-only' default; 'off' /
+            # 'refresh' / 'stale-ok'), details in sources/mv_rewrite.py;
+            # the outcome lands in self.last_mv_rewrite.
+            from denali_spark.sources.mv_rewrite import try_rewrite
+
+            rewritten_df = try_rewrite(self, query)
+            if rewritten_df is not None:
+                return rewritten_df
 
         # One catalog walk per TOP-LEVEL call; nested view resolution
         # reuses the listing (a query can't reference objects created

@@ -1052,24 +1052,30 @@ def parse_materialized_view_sql(
     group_clause = re.sub(r"^GROUP\s+BY\s+", "", s[gpos:], flags=re.IGNORECASE)
 
     jm = re.match(
-        r"([\w.]+)\s+(?:INNER\s+)?JOIN\s+([\w.]+)\s+ON\s+(.+)$",
+        r"([\w.]+)(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(\w+))?"
+        r"\s+(?:INNER\s+)?JOIN\s+"
+        r"([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(.+)$",
         from_clause, re.IGNORECASE | re.DOTALL,
     )
-    sm = re.fullmatch(r"([\w.]+)", from_clause)
+    sm = re.fullmatch(r"([\w.]+)(?:\s+(?:AS\s+)?(\w+))?", from_clause)
     if not jm and not sm:
         raise ValueError(f"unsupported FROM clause {from_clause[:80]!r}")
 
     left_q = (jm.group(1) if jm else sm.group(1)).split(".")
     if len(left_q) < 2:
         raise ValueError("source tables must be namespace-qualified (ns.t)")
-    tables = [left_q[-1]]
+    # qualifier resolution goes by alias when one is given, else by the
+    # table's last name component (aliases keep the SELECT runnable as
+    # plain Spark SQL on the base path, where a replaced view name would
+    # strand `table.col` references)
+    tables = [(jm.group(2) if jm else sm.group(2)) or left_q[-1]]
     right_q, on = None, []
     if jm:
-        right_q = jm.group(2).split(".")
+        right_q = jm.group(3).split(".")
         if len(right_q) < 2:
             raise ValueError("source tables must be namespace-qualified (ns.t)")
-        tables.append(right_q[-1])
-        for cond in re.split(r"\s+AND\s+", jm.group(3).strip(),
+        tables.append(jm.group(4) or right_q[-1])
+        for cond in re.split(r"\s+AND\s+", jm.group(5).strip(),
                              flags=re.IGNORECASE):
             cm = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", cond)
             if not cm:
@@ -1196,18 +1202,19 @@ def refresh_materialized_view(io: SparkCatalogIO, namespace: list[str],
     return refresh_rollup(io, spec)
 
 
-def dependent_materialized_views(
-    io: SparkCatalogIO, namespace: list[str], name: str
-) -> list[tuple[list[str], str]]:
-    """Every table in the catalog whose stamped `ivm.spec` reads from
-    ``namespace.name`` (either side of a join view). Walks the namespace
-    tree via the catalog listing — metadata-only, bounded by table count."""
-    qualified = ".".join([*namespace, name])
-    # Cost note: this loads EVERY table's metadata (one catalog call per
-    # table) — the only place the stamped spec lives. Fine at maintenance
-    # cadence; a very large catalog that runs maintenance hot should pass
-    # refresh_mviews=False and refresh its MVs from an explicit list.
-    out: list[tuple[list[str], str]] = []
+def list_materialized_views(
+    io: SparkCatalogIO,
+) -> list[tuple[list[str], str, "RollupSpec | JoinRollupSpec", dict]]:
+    """Every maintained MV in the catalog as (namespace, name, spec,
+    metadata). Walks the namespace tree via the catalog listing —
+    metadata-only, bounded by table count.
+
+    Cost note: this loads EVERY table's metadata (one catalog call per
+    table) — the only place the stamped spec lives. Fine at maintenance /
+    rewrite-candidate cadence on this in-process catalog; a production
+    REST catalog at 100 TB scale would index the `ivm.spec` property
+    server-side instead of walking."""
+    out: list[tuple[list[str], str, RollupSpec | JoinRollupSpec, dict]] = []
 
     def walk(parent):
         for ns in io.client.list_namespaces(parent):
@@ -1215,19 +1222,51 @@ def dependent_materialized_views(
                 t_ns, t_name = list(ident["namespace"]), ident["name"]
                 md = io.client.load_table(t_ns, t_name)["metadata"]
                 raw = md.get("properties", {}).get(SPEC_PROPERTY)
-                if not raw:
-                    continue
-                spec = spec_from_json(raw)
-                if isinstance(spec, JoinRollupSpec):
-                    srcs = {spec._qualified_left(), spec._qualified_right()}
-                else:
-                    srcs = {spec._qualified_source()}
-                if qualified in srcs:
-                    out.append((t_ns, t_name))
+                if raw:
+                    out.append((t_ns, t_name, spec_from_json(raw), md))
             walk(ns)
 
     walk(None)
     return out
+
+
+def dependent_materialized_views(
+    io: SparkCatalogIO, namespace: list[str], name: str
+) -> list[tuple[list[str], str]]:
+    """Every table in the catalog whose stamped `ivm.spec` reads from
+    ``namespace.name`` (either side of a join view)."""
+    qualified = ".".join([*namespace, name])
+    out: list[tuple[list[str], str]] = []
+    for t_ns, t_name, spec, _md in list_materialized_views(io):
+        if isinstance(spec, JoinRollupSpec):
+            srcs = {spec._qualified_left(), spec._qualified_right()}
+        else:
+            srcs = {spec._qualified_source()}
+        if qualified in srcs:
+            out.append((t_ns, t_name))
+    return out
+
+
+def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
+                 md: dict) -> bool:
+    """True when the MV's stored watermark(s) equal the source(s)' CURRENT
+    snapshot — the maintained state is exactly the live answer. A
+    foreign-written MV (no watermark) is never fresh."""
+    try:
+        if isinstance(spec, JoinRollupSpec):
+            lw, rw = _join_watermarks(md, spec)
+            l_md = io.client.load_table(
+                spec.left_namespace, spec.left_name)["metadata"]
+            r_md = io.client.load_table(
+                spec.right_namespace, spec.right_name)["metadata"]
+            return (l_md.get("current-snapshot-id") == lw
+                    and r_md.get("current-snapshot-id") == rw)
+        wm = _current_watermark(md, spec)
+        src_md = io.client.load_table(
+            spec.source_namespace, spec.source_name)["metadata"]
+        return src_md.get("current-snapshot-id") == wm
+    except ValueError:
+        return False
 
 
 def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:

@@ -1,0 +1,239 @@
+"""Materialized-view query rewrite: answer a matching GROUP BY query from
+a maintained rollup instead of scanning the base table(s).
+
+The reference catalog stores table metadata and leaves query planning to
+client engines (SURVEY §3.3); this module is the engine-side payoff of the
+IVM plane (sources/ivm.py): once a rollup is maintained, every query it
+subsumes should cost a summary-table scan — at 100 TB the difference
+between re-aggregating a fact table and reading a few thousand
+pre-aggregated groups is the whole point of keeping the view.
+
+Rewrite rule (classic rollup reduction): a query
+``SELECT keys', aggs' FROM src [JOIN dim ON ...] [WHERE p] GROUP BY keys'``
+is answered from MV ``keys, aggs`` over the same source(s) when
+
+- keys' ⊆ keys (re-aggregating the summary coarsens groups exactly:
+  COUNT(*) = SUM(n_rows), SUM = SUM of partial sums, COUNT(e) = SUM of
+  the maintained indicator sums, MIN/MAX = MIN/MAX of partial extrema);
+- every query aggregate maps to a maintained column with the SAME
+  normalized per-row expression and family;
+- the WHERE clause is either textually the MV's own predicate, or (when
+  the MV has none) references ONLY grouping keys the MV carries — a
+  per-group filter commutes with the rollup reduction, and is applied to
+  the summary scan, where it additionally enables file pruning on the
+  key-sorted MV files;
+- freshness policy allows it (SparkCatalogIO.mv_rewrite):
+  'fresh-only' (default) — only when the stored watermark(s) equal the
+  sources' current snapshots, so the rewrite is provably the live answer;
+  'refresh' — fold the delta first, then rewrite (read-your-writes at
+  delta cost); 'stale-ok' — serve the watermark state (bounded staleness
+  is the user's call); 'off' — never rewrite.
+
+AVG and APPROX_COUNT_DISTINCT queries are NOT rewritten: Spark's AVG over
+DECIMAL uses its own scale-promotion rules and approx_count_distinct is
+HyperLogLog++, neither of which is bit-identical to the maintained
+hidden-sum division / datasketches-HLL estimate — a transparent rewrite
+must never change a query's answer, so those stay on the base path.
+
+The emitted plan is cast column-for-column to the BASE plan's analyzed
+schema (the base DataFrame is built lazily — analysis only, no jobs), so
+a rewritten query is type-identical to the un-rewritten one.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from denali_spark.sources.ivm import (
+    COUNT_COL,
+    JoinRollupSpec,
+    RollupSpec,
+    _parse_agg_item,
+    list_materialized_views,
+    mv_freshness,
+    parse_materialized_view_sql,
+    refresh_materialized_view,
+)
+
+MODES = ("off", "fresh-only", "refresh", "stale-ok")
+
+# identifier-ish tokens allowed in a key-only WHERE besides the keys
+# themselves: SQL connectives/predicates that cannot smuggle a non-key
+# column reference past the check
+_WHERE_KEYWORDS = {
+    "and", "or", "not", "in", "between", "like", "is", "null",
+    "true", "false", "case", "when", "then", "else", "end",
+}
+
+
+def _norm(sql: str | None) -> str | None:
+    if sql is None:
+        return None
+    return re.sub(r"\s+", " ", sql.strip()).lower()
+
+
+def _where_is_key_only(where: str, keys: list[str]) -> bool:
+    """Conservative: every identifier token (outside string literals) must
+    be a grouping key or a whitelisted SQL keyword — anything else
+    (function names, non-key columns) disqualifies the rewrite."""
+    masked = re.sub(r"'(?:[^']|'')*'", "''", where)
+    keyset = {k.lower() for k in keys}
+    for tok in re.findall(r"[A-Za-z_]\w*", masked):
+        if tok.lower() not in keyset and tok.lower() not in _WHERE_KEYWORDS:
+            return False
+    return True
+
+
+def _parse_query(select_sql: str):
+    """Parse a candidate SELECT into (spec, ordered outputs) where outputs
+    is [(family, alias, normalized_expr)] in select-list order — family in
+    {'key', 'count_star', 'sum', 'count', 'min', 'max'}. Returns None for
+    anything outside the rollup-shaped subset (the caller falls back to
+    the normal path; this parser REJECTS rather than guesses)."""
+    from denali_spark.sources.catalog_io import (
+        _find_top_level,
+        _split_top_level_commas,
+    )
+
+    # relax the MV parser's COUNT(*) AS n_rows rule: a query may alias
+    # COUNT(*) freely — normalize the text, remember the alias
+    star = re.findall(
+        r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", select_sql, re.IGNORECASE
+    )
+    if len(star) > 1:
+        return None
+    star_alias = star[0] if star else None
+    normalized_sql = re.sub(
+        r"COUNT\s*\(\s*\*\s*\)\s+AS\s+\w+", f"COUNT(*) AS {COUNT_COL}",
+        select_sql, flags=re.IGNORECASE,
+    )
+    try:
+        spec = parse_materialized_view_sql(normalized_sql, ["__q__"], "__q__")
+    except (ValueError, KeyError):
+        return None
+    if spec.avgs or spec.ndvs:
+        return None  # engine-semantics mismatch — module docstring
+
+    s = select_sql.strip().rstrip(";").strip()
+    fpos = _find_top_level(s, "FROM")
+    outputs: list[tuple[str, str, str | None]] = []
+    for item in _split_top_level_commas(s[len("SELECT"):fpos]):
+        agg = _parse_agg_item(item)
+        if agg is None:
+            outputs.append(("key", item.strip().split(".")[-1], None))
+            continue
+        fn, expr, alias = agg
+        if fn == "COUNT" and expr == "*":
+            outputs.append(("count_star", star_alias or alias, None))
+        else:
+            outputs.append((fn.lower(), alias, _norm(expr)))
+    return spec, outputs
+
+
+def _sources_match(q, m) -> bool:
+    if isinstance(q, JoinRollupSpec) != isinstance(m, JoinRollupSpec):
+        return False
+    if isinstance(q, JoinRollupSpec):
+        if (q._qualified_left() != m._qualified_left()
+                or q._qualified_right() != m._qualified_right()):
+            return False
+        # the MV's stored ON pairs are schema-resolved; the query's bare
+        # pairs may be positionally swapped — match orientation-insensitive
+        mset = {frozenset(p) for p in m.on}
+        return {frozenset(p) for p in q.on} == mset
+    return q._qualified_source() == m._qualified_source()
+
+
+def _agg_lookup(m) -> dict[tuple[str, str], str]:
+    """(family, normalized expr) -> maintained MV column."""
+    out: dict[tuple[str, str], str] = {}
+    for fam, d in (("sum", m.sums), ("count", m.counts),
+                   ("min", m.mins), ("max", m.maxs)):
+        for col, e in d.items():
+            out[(fam, _norm(e))] = col
+    return out
+
+
+def try_rewrite(io, query: str) -> DataFrame | None:
+    """Attempt to answer `query` from a maintained MV. Returns the
+    rewritten DataFrame (cast to the base plan's schema) or None to fall
+    back; sets io.last_mv_rewrite either way so callers and tests can see
+    what happened."""
+    io.last_mv_rewrite = None
+    mode = getattr(io, "mv_rewrite", "fresh-only")
+    if mode not in MODES:
+        raise ValueError(f"mv_rewrite must be one of {MODES}, got {mode!r}")
+    if mode == "off" or not re.match(r"\s*SELECT\s", query, re.IGNORECASE):
+        return None
+    parsed = _parse_query(query)
+    if parsed is None:
+        return None
+    q, outputs = parsed
+
+    for mv_ns, mv_name, m, mv_md in list_materialized_views(io):
+        if not _sources_match(q, m):
+            continue
+        if set(q.group_by) - set(m.group_by):
+            continue
+        extra_filter = None
+        if _norm(q.where) != _norm(m.where):
+            if m.where is not None or q.where is None:
+                continue
+            if not _where_is_key_only(q.where, m.group_by):
+                continue
+            extra_filter = q.where
+        lookup = _agg_lookup(m)
+        plan = []  # (alias, aggregate column builder over the MV scan)
+        ok = True
+        for fam, alias, nexpr in outputs:
+            if fam == "key":
+                continue
+            if fam == "count_star":
+                plan.append((alias, F.sum(COUNT_COL)))
+            else:
+                col = lookup.get((fam, nexpr))
+                if col is None:
+                    ok = False
+                    break
+                agg = {"sum": F.sum, "count": F.sum,
+                       "min": F.min, "max": F.max}[fam]
+                plan.append((alias, agg(F.col(col))))
+        if not ok:
+            continue
+
+        fresh = mv_freshness(io, m, mv_md)
+        if mode == "fresh-only" and not fresh:
+            continue
+        if mode == "refresh" and not fresh:
+            refresh_materialized_view(io, mv_ns, mv_name)
+            fresh = True
+
+        mv_df = io.read_table(mv_ns, mv_name)
+        if extra_filter is not None:
+            mv_df = mv_df.filter(F.expr(extra_filter))
+        if plan:
+            out = mv_df.groupBy(*q.group_by).agg(
+                *[a.alias(name) for name, a in plan]
+            )
+        else:
+            # pure SELECT DISTINCT keys — the MV's key set IS the answer
+            out = mv_df.select(*q.group_by).distinct()
+        # analyze (never execute) the base plan to pin the rewritten
+        # result to the exact types the un-rewritten query would carry
+        base = io.sql(query, _depth=1)
+        if set(base.columns) != set(out.columns):
+            continue
+        out = out.select(
+            *[F.col(f.name).cast(f.dataType) for f in base.schema.fields]
+        )
+        io.last_mv_rewrite = {
+            "view": ".".join([*mv_ns, mv_name]),
+            "mode": mode,
+            "fresh": fresh,
+            "reduced": set(m.group_by) != set(q.group_by),
+            "filtered": extra_filter is not None,
+        }
+        return out
+    return None

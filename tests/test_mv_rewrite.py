@@ -1,0 +1,194 @@
+"""Materialized-view query rewrite: a rollup-shaped SELECT that a
+maintained MV subsumes must be answered from the summary table with
+EXACTLY the base plan's values and types — and must fall back to the base
+path whenever equivalence cannot be proven (unknown aggregate, non-key
+predicate, stale view under fresh-only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import SparkCatalogIO, delete_where
+from denali_spark.sources import expressions as E
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    server = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield SparkCatalogIO(spark, server.uri)
+    server.stop()
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 2).alias("j"),
+        (F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+
+
+def _seed(spark, io):
+    io.write_table(_rows(spark, 0, 200).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv AS
+        SELECT k, j, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum,
+               COUNT(CASE WHEN id >= 100 THEN id END) AS n_late,
+               MIN(amount) AS amount_min, MAX(id) AS id_max
+        FROM rw.facts GROUP BY k, j
+    """)
+
+
+def _both(io, q):
+    """Run q with rewrite on and off; assert the rewrite fired and the
+    results (values AND dtypes) are identical; return the rewritten rows."""
+    io.mv_rewrite = "fresh-only"
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None, f"expected a rewrite for {q!r}"
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    base_df = io.sql(q)
+    assert io.last_mv_rewrite is None
+    assert got_df.dtypes == base_df.dtypes
+    assert got == {tuple(r) for r in base_df.collect()}
+    io.mv_rewrite = "fresh-only"
+    return info
+
+
+def test_exact_group_match_rewrites(spark, io):
+    _seed(spark, io)
+    info = _both(io, """
+        SELECT k, j, COUNT(*) AS n,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS total,
+               MIN(amount) AS lo, MAX(id) AS hi
+        FROM rw.facts GROUP BY k, j
+    """)
+    assert info["view"] == "rw.mv" and info["reduced"] is False
+
+
+def test_rollup_reduction_to_coarser_keys(spark, io):
+    _seed(spark, io)
+    info = _both(io, """
+        SELECT k, COUNT(*) AS n,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS total,
+               COUNT(CASE WHEN id >= 100 THEN id END) AS n_late
+        FROM rw.facts GROUP BY k
+    """)
+    assert info["reduced"] is True
+
+
+def test_key_only_where_is_applied_on_the_summary(spark, io):
+    _seed(spark, io)
+    info = _both(io, """
+        SELECT k, COUNT(*) AS n, MAX(id) AS hi
+        FROM rw.facts WHERE k IN (1, 2) AND j = 0 GROUP BY k
+    """)
+    assert info["filtered"] is True
+
+
+def test_distinct_keys_from_the_summary(spark, io):
+    _seed(spark, io)
+    _both(io, "SELECT k FROM rw.facts GROUP BY k")
+
+
+def test_non_key_where_falls_back(spark, io):
+    _seed(spark, io)
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts WHERE id > 10 GROUP BY k")
+    assert io.last_mv_rewrite is None
+
+
+def test_avg_query_falls_back(spark, io):
+    _seed(spark, io)
+    io.sql("SELECT k, AVG(CAST(amount AS DECIMAL(18,2))) AS a "
+           "FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+
+
+def test_unknown_aggregate_expression_falls_back(spark, io):
+    _seed(spark, io)
+    io.sql("SELECT k, SUM(id) AS s FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+
+
+def test_stale_view_fresh_only_falls_back(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 60) for k in range(5)}
+
+
+def test_stale_ok_serves_the_watermark_state(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "stale-ok"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["fresh"] is False
+    # the MV still reflects the 200-row watermark state
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}
+
+
+def test_refresh_mode_folds_then_rewrites(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "refresh"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None and io.last_mv_rewrite["fresh"]
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 60) for k in range(5)}
+    # the refresh was a real fold: a fresh-only follow-up now rewrites too
+    io.mv_rewrite = "fresh-only"
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None
+
+
+def test_rewrite_survives_deletes_via_refresh(spark, io):
+    _seed(spark, io)
+    delete_where(io, ["rw"], "facts", E.lt("id", 40))
+    io.mv_rewrite = "refresh"
+    _both_q = ("SELECT k, COUNT(*) AS n, MIN(amount) AS lo "
+               "FROM rw.facts GROUP BY k")
+    got = {tuple(r) for r in io.sql(_both_q).collect()}
+    assert io.last_mv_rewrite is not None
+    io.mv_rewrite = "off"
+    assert got == {tuple(r) for r in io.sql(_both_q).collect()}
+
+
+def test_join_view_rewrite(spark, io):
+    io.write_table(_rows(spark, 0, 200).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    dims = spark.createDataFrame(
+        [(0, "east"), (1, "east"), (2, "west"), (3, "west"), (4, "north")],
+        "k long, region string",
+    )
+    io.write_table(dims.coalesce(1), ["rw"], "dims", mode="overwrite")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_region AS
+        SELECT region, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
+        FROM rw.facts JOIN rw.dims ON facts.k = dims.k
+        GROUP BY region
+    """)
+    # aliased spelling: resolvable as plain Spark SQL on the base path AND
+    # matched to the MV (aliases map back to the same tables/keys)
+    q = ("SELECT region, COUNT(*) AS n, "
+         "SUM(CAST(amount AS DECIMAL(18,2))) AS total "
+         "FROM rw.facts f JOIN rw.dims d ON f.k = d.k GROUP BY region")
+    info = _both(io, q)
+    assert info["view"] == "rw.mv_region"
+
+
+def test_off_mode_never_rewrites(spark, io):
+    _seed(spark, io)
+    io.mv_rewrite = "off"
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None

@@ -24,6 +24,7 @@ from denali_spark.operators import (  # noqa: E402,F401
     similarity,
     text_analysis,
     multimodal,
+    ivm_queries,
 )
 
 __all__ = ["REGISTRY", "Query", "all_queries", "all_oracles"]

@@ -1,0 +1,197 @@
+"""Driver-attestable incremental-view-maintenance twins.
+
+The IVM plane (sources/ivm.py) is exercised end-to-end here as registry
+queries with DuckDB oracles: each builds a throwaway catalog warehouse
+from the round's parquet tables, drives a real maintenance lifecycle
+(create → append → merge-on-read delete → incremental refresh), and
+returns the MAINTAINED state — while the oracle recomputes the same
+aggregate over the source rows' NET contents. A hash match proves the
+fold path, the targeted-rescan path, and the watermark carry all land on
+exactly the answer a from-scratch GROUP BY would give.
+
+Reference anchor: the reference catalog stores the snapshot history these
+deltas derive from (SURVEY §1.2/§3.2) and delegates incremental
+consumption to client engines — this is that client-engine surface,
+driver-checked.
+
+Shape notes: all catalog work happens on small grouped state; the one
+driver-side collect per query is the FINAL maintained rollup (bounded by
+group count — ≤ ~10 rows), re-emitted as a local DataFrame so the
+throwaway warehouse can be deleted before the driver consumes the
+result. The deltas are modulo-of-key predicates, so the queries are
+deterministic and scale-free across SF directories.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from denali_spark.operators.registry import query
+
+
+def _localize(spark, df: DataFrame, server, tmp: str) -> DataFrame:
+    """Collect the (group-bounded) result, tear down the throwaway
+    warehouse, and re-emit as a local DataFrame with the same schema."""
+    rows, schema = df.collect(), df.schema
+    server.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _warehouse(spark):
+    from denali_spark.catalog import CatalogServer, make_state
+    from denali_spark.sources import SparkCatalogIO
+
+    tmp = tempfile.mkdtemp(prefix="denali-ivm-query-")
+    server = CatalogServer(make_state(tmp)).start()
+    return tmp, server, SparkCatalogIO(spark, server.uri)
+
+
+def _orders(spark, sf_dir: str) -> DataFrame:
+    from denali_spark.engine.tables import load_table
+
+    return load_table(spark, sf_dir, "orders")
+
+
+@query(
+    "ivm_rollup_vs_recompute",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderpriority
+    """,
+    tags=("ivm", "catalog", "aggregate"),
+)
+def ivm_rollup_vs_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained rollup == recompute, end to end: create the MV on half
+    the orders, append the other half (fold path), merge-on-read-delete
+    every tenth key (targeted-rescan path for MIN/MAX, indicator-sum fold
+    for COUNT(expr)), refresh, and return the MAINTAINED state. The
+    oracle recomputes the same GROUP BY over the net rows."""
+    from denali_spark.sources import equality_delete
+
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv AS
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price_dec,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM reg.orders GROUP BY o_orderpriority
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    doomed = orders.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    equality_delete(io, ["reg"], "orders", doomed, on=["o_orderkey"])
+    io.sql("REFRESH MATERIALIZED VIEW reg.mv")
+    out = io.read_table(["reg"], "mv").select(
+        "o_orderpriority", "n_rows",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        "n_finished", "first_date", "last_date",
+    )
+    return _localize(spark, out, server, tmp)
+
+
+@query(
+    "ivm_join_view_extrema",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY c_mktsegment
+    """,
+    tags=("ivm", "catalog", "join", "aggregate"),
+)
+def ivm_join_view_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrema maintained THROUGH a join (the round-14 capability): a
+    fact⋈dim rollup with MIN/MAX folds fact appends via the bilinear
+    delta and answers fact deletes with the net-removal rescan over the
+    pinned join — returned state must hash-equal the oracle's plain
+    re-join + GROUP BY over the net rows."""
+    from denali_spark.engine.tables import load_table
+    from denali_spark.sources import equality_delete
+
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    io.write_table(customer, ["reg"], "customer", mode="append")
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_seg AS
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price_dec,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM reg.orders JOIN reg.customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    doomed = orders.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    equality_delete(io, ["reg"], "orders", doomed, on=["o_orderkey"])
+    io.sql("REFRESH MATERIALIZED VIEW reg.mv_seg")
+    out = io.read_table(["reg"], "mv_seg").select(
+        "c_mktsegment", "n_rows",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        "first_date", "last_date",
+    )
+    return _localize(spark, out, server, tmp)
+
+
+@query(
+    "ivm_rewrite_rollup_reduction",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("ivm", "catalog", "rewrite", "aggregate"),
+)
+def ivm_rewrite_rollup_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV-backed query rewrite (sources/mv_rewrite.py), driver-checked: a
+    (priority, status) rollup is maintained, and a coarser
+    GROUP BY priority SELECT through io.sql() must be ANSWERED FROM THE
+    SUMMARY (the function raises if the rewrite did not fire) with values
+    hash-equal to the oracle's base-table aggregation."""
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    io.write_table(orders, ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_ps AS
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_rows,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price_dec
+        FROM reg.orders GROUP BY o_orderpriority, o_orderstatus
+    """)
+    out = io.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM reg.orders GROUP BY o_orderpriority
+    """)
+    if io.last_mv_rewrite is None:
+        raise RuntimeError(
+            "expected the GROUP BY o_orderpriority query to be answered "
+            "from reg.mv_ps — the MV rewrite did not fire"
+        )
+    return _localize(spark, out, server, tmp)

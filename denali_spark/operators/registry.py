@@ -47,78 +47,27 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-13 order (computed from the merged
-# CORRECTNESS_r{01..12}.json latest-evidence rows): (1) the 10 round-12
-# queries that landed AFTER the r12 sweep ran and have never been
-# driver-attested, (2) queries NEW this round, (3) the round-9-attested
-# block — the current staleness floor; its first 34 fill the 50-cap and
-# the remaining 16 lead the r14 rotation, (4) round-10-, (5) round-11-,
-# (6) round-12-attested (freshest) last.
+# evidence goes stale. Round-14 order (computed from the merged
+# CORRECTNESS_r{01..13}.json latest-evidence rows): (1) queries NEW this
+# round — the three IVM/rewrite twins, so the round's flagship capability
+# attests immediately; (2) the 14 round-9-attested stragglers the r13 cap
+# parked at positions 50-65, plus the 2 rows-only queries (equally
+# r9-stale) — the staleness floor moves to r10; (3) round-10-attested
+# (first 31 fill the 50 cap; the remaining 19 lead r15); then (4) r11,
+# (5) r12, (6) r13 (freshest) last.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-attested (added after the r12 sweep ran): first ---
-    "agg_skyline_parts",
-    "agg_count_min_sketch",
-    "agg_bloom_fpr_audit",
-    "sample_cluster_holdout",
-    "dedup_detector_agreement",
-    "dedup_sampling_weights",
-    "mm_image_dedup_keep_best",
-    "text_stopword_profile_distance",
-    "ts_anomaly_mad",
-    "ts_asof_join_tolerance",
-    # --- NEW round-13 queries (inside the cap so they attest THIS round,
-    # not next — the r12 lesson) ---
-    "dedup_cluster_source_purity",
-    "sample_shuffle_shards",
-    "ts_concurrency_peak",
-    "sim_hard_negatives",
-    "agg_conversion_wilson",
-    "ts_time_to_convert",
-    # --- round-9-attested (staleness floor; first 34 fit the cap: 10 + 6
-    # + 34 = 50; the remaining 16 below the cap line lead r14) ---
-    "dedup_cluster_size_histogram",
-    "dedup_containment_pairs",
-    "dedup_embedding_lsh_pairs",
-    "dedup_incremental_shard",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "fn_bitwise",
-    "graph_basket_lift",
-    "graph_frequent_pairs",
-    "graph_pagerank_parts",
-    "mm_audio_window_rms",
-    "mm_image_phash_clusters",
-    "mm_video_scene_cut",
-    "q1_pricing_summary",
-    "sample_hash_holdout",
-    "sample_mixture",
-    "sem_dedup_pairs",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_union_all_counts",
-    "setop_union_distinct",
-    "sim_ann_recall_audit",
-    "sim_sq_topk",
-    "text_bpe_pretokenize",
-    "text_decontaminate",
-    "text_dedup_keep_best",
-    "text_dup_passages",
-    "text_novelty_scores",
-    "text_repetition_stats",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "text_vocab_growth",
-    "ts_anomaly_zscore",
-    # ---------------- 50-query sweep cap ----------------
-    # --- round-9-attested remainder (leads the r14 rotation) ---
+    # --- NEW round-14 queries (attest THIS round: the IVM plane gets its
+    # first driver-hash evidence) ---
+    "ivm_rollup_vs_recompute",
+    "ivm_join_view_extrema",
+    "ivm_rewrite_rollup_reduction",
+    # --- round-9-attested remainder + the 2 rows-only queries (their
+    # rows-only driver rows are equally r9-stale): the staleness floor ---
     "ts_asof_join_forward",
     "ts_autocorr_lags",
     "ts_changepoint_cusum",
     "ts_dow_hour_heatmap",
-    "ts_downsample_lttb",
     "ts_ema_current",
-    "ts_ema_rows",
     "ts_interarrival_stats",
     "ts_interpolate_linear",
     "ts_ohlc_bars",
@@ -128,7 +77,10 @@ DRIVER_PRIORITY: list[str] = [
     "win_running_total",
     "win_streaks",
     "win_topn_per_group",
-    # --- round-10-attested ---
+    "ts_downsample_lttb",
+    "ts_ema_rows",
+    # --- round-10-attested (next-stalest; the first 31 fit the cap:
+    # 3 + 16 + 31 = 50; the remaining 19 lead the r15 rotation) ---
     "agg_approx_sketches",
     "agg_hll_mergeable_rollup",
     "agg_mode_order_priority",
@@ -160,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "setop_intersect_all",
     "sim_ivf_topk",
     "sim_norms_stats",
+    # ---------------- 50-query sweep cap ----------------
     "sim_pq_topk",
     "sim_topk_bruteforce",
     "text_chunk_cdc",
@@ -230,7 +183,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_cumulative_distinct",
     "win_pareto_concentration",
     "win_period_over_period",
-    # --- round-12-attested (freshest, last) ---
+    # --- round-12-attested ---
     "agg_exact_median",
     "agg_exact_percentiles",
     "agg_gini_user_activity",
@@ -243,6 +196,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_jaccard_est",
     "dedup_source_overlap",
     "fn_json_extract",
+    "graph_clustering_coefficient",
     "join_cross_region_pairs",
     "join_full_outer_nation_profiles",
     "join_left_outer_order_counts",
@@ -270,17 +224,67 @@ DRIVER_PRIORITY: list[str] = [
     "sim_knn_label_agreement",
     "sim_lsh_bucket_topk",
     "sim_lsh_range_search",
+    "sim_mmr_diversify",
     "text_filter_funnel",
+    "text_simpson_diversity",
     "ts_transitions",
     "win_distribution",
     "win_lag_lead_events",
     "win_moving_avg",
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
-    "text_simpson_diversity",
-    "graph_clustering_coefficient",
     "win_rolling_quantile",
-    "sim_mmr_diversify",
+    # --- round-13-attested (freshest, last) ---
+    "agg_bloom_fpr_audit",
+    "agg_conversion_wilson",
+    "agg_count_min_sketch",
+    "agg_skyline_parts",
+    "dedup_cluster_size_histogram",
+    "dedup_cluster_source_purity",
+    "dedup_containment_pairs",
+    "dedup_detector_agreement",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental_shard",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_sampling_weights",
+    "fn_bitwise",
+    "graph_basket_lift",
+    "graph_frequent_pairs",
+    "graph_pagerank_parts",
+    "mm_audio_window_rms",
+    "mm_image_dedup_keep_best",
+    "mm_image_phash_clusters",
+    "mm_video_scene_cut",
+    "q1_pricing_summary",
+    "sample_cluster_holdout",
+    "sample_hash_holdout",
+    "sample_mixture",
+    "sample_shuffle_shards",
+    "sem_dedup_pairs",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all_counts",
+    "setop_union_distinct",
+    "sim_ann_recall_audit",
+    "sim_hard_negatives",
+    "sim_sq_topk",
+    "text_bpe_pretokenize",
+    "text_decontaminate",
+    "text_dedup_keep_best",
+    "text_dup_passages",
+    "text_novelty_scores",
+    "text_repetition_stats",
+    "text_stopword_profile_distance",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "text_vocab_growth",
+    "ts_anomaly_mad",
+    "ts_anomaly_zscore",
+    "ts_asof_join_tolerance",
+    "ts_concurrency_peak",
+    "ts_time_to_convert",
 ]
 
 

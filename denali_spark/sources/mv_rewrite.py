@@ -86,49 +86,67 @@ def _where_is_key_only(where: str, keys: list[str]) -> bool:
     return True
 
 
+_OUTER_CAST = re.compile(
+    r"\s*CAST\s*\((.+)\s+AS\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _parse_query(select_sql: str):
     """Parse a candidate SELECT into (spec, ordered outputs) where outputs
     is [(family, alias, normalized_expr)] in select-list order — family in
     {'key', 'count_star', 'sum', 'count', 'min', 'max'}. Returns None for
     anything outside the rollup-shaped subset (the caller falls back to
-    the normal path; this parser REJECTS rather than guesses)."""
+    the normal path; this parser REJECTS rather than guesses).
+
+    Two per-item relaxations of the MV parser's rules, both normalized
+    away before the strict parse: COUNT(*) may alias freely, and an
+    aggregate may wear an outer CAST (the registry's exactness idiom
+    `CAST(SUM(DECIMAL) AS DOUBLE)`) — the final cast-to-base-schema step
+    reapplies the exact same conversion to the rewritten plan."""
     from denali_spark.sources.catalog_io import (
         _find_top_level,
         _split_top_level_commas,
     )
 
-    # relax the MV parser's COUNT(*) AS n_rows rule: a query may alias
-    # COUNT(*) freely — normalize the text, remember the alias
-    star = re.findall(
-        r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", select_sql, re.IGNORECASE
-    )
-    if len(star) > 1:
+    s = select_sql.strip().rstrip(";").strip()
+    if not re.match(r"SELECT\s", s, re.IGNORECASE):
         return None
-    star_alias = star[0] if star else None
-    normalized_sql = re.sub(
-        r"COUNT\s*\(\s*\*\s*\)\s+AS\s+\w+", f"COUNT(*) AS {COUNT_COL}",
-        select_sql, flags=re.IGNORECASE,
-    )
+    fpos = _find_top_level(s, "FROM")
+    if fpos < 0:
+        return None
+
+    norm_items: list[str] = []
+    outputs: list[tuple[str, str, str | None]] = []
+    saw_count_star = False
+    for item in _split_top_level_commas(s[len("SELECT"):fpos]):
+        cm = _OUTER_CAST.fullmatch(item)
+        if cm and _parse_agg_item(f"{cm.group(1)} AS {cm.group(3)}"):
+            item = f"{cm.group(1)} AS {cm.group(3)}"
+        agg = _parse_agg_item(item)
+        if agg is None:
+            norm_items.append(item.strip())
+            outputs.append(("key", item.strip().split(".")[-1], None))
+            continue
+        fn, expr, alias = agg
+        if fn == "COUNT" and expr == "*":
+            if saw_count_star:
+                return None
+            saw_count_star = True
+            norm_items.append(f"COUNT(*) AS {COUNT_COL}")
+            outputs.append(("count_star", alias, None))
+        else:
+            norm_items.append(f"{fn}({expr}) AS {alias}")
+            outputs.append((fn.lower(), alias, _norm(expr)))
+
+    normalized_sql = "SELECT " + ", ".join(norm_items) + " " + s[fpos:]
     try:
         spec = parse_materialized_view_sql(normalized_sql, ["__q__"], "__q__")
     except (ValueError, KeyError):
         return None
     if spec.avgs or spec.ndvs:
         return None  # engine-semantics mismatch — module docstring
-
-    s = select_sql.strip().rstrip(";").strip()
-    fpos = _find_top_level(s, "FROM")
-    outputs: list[tuple[str, str, str | None]] = []
-    for item in _split_top_level_commas(s[len("SELECT"):fpos]):
-        agg = _parse_agg_item(item)
-        if agg is None:
-            outputs.append(("key", item.strip().split(".")[-1], None))
-            continue
-        fn, expr, alias = agg
-        if fn == "COUNT" and expr == "*":
-            outputs.append(("count_star", star_alias or alias, None))
-        else:
-            outputs.append((fn.lower(), alias, _norm(expr)))
     return spec, outputs
 
 

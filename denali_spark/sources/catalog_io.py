@@ -854,8 +854,8 @@ class SparkCatalogIO:
             if m:
                 return self._sql_alter_view(m.group(1), _strip_stmt(m.group(2)))
             m = _re.match(
-                r"\s*SHOW\s+(NAMESPACES|TABLES|VIEWS|TBLPROPERTIES|"
-                r"PARTITIONS|COLUMNS|CREATE\s+TABLE)\s*(.*)$",
+                r"\s*SHOW\s+(NAMESPACES|TABLES|MATERIALIZED\s+VIEWS|VIEWS|"
+                r"TBLPROPERTIES|PARTITIONS|COLUMNS|CREATE\s+TABLE)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
             )
             if m:
@@ -1685,6 +1685,35 @@ class SparkCatalogIO:
                 (".".join(ns),) for ns in self.client.list_namespaces(scope)
             ]
             return self.spark.createDataFrame(rows, "namespace string")
+        if what == "MATERIALIZED VIEWS":
+            # catalog walk filtered on the stamped `ivm.spec` property,
+            # with per-view freshness (watermark == source current
+            # snapshot) so operators can see at a glance what needs a
+            # REFRESH — completing the round-13 MV DDL's discoverability
+            from denali_spark.sources.ivm import (
+                JoinRollupSpec,
+                list_materialized_views,
+                mv_freshness,
+            )
+
+            rows = []
+            for mv_ns, mv_name, spec, mv_md in list_materialized_views(self):
+                if scope is not None and mv_ns != scope:
+                    continue
+                if isinstance(spec, JoinRollupSpec):
+                    sources = (f"{spec._qualified_left()} JOIN "
+                               f"{spec._qualified_right()}")
+                else:
+                    sources = spec._qualified_source()
+                rows.append((
+                    ".".join(mv_ns), mv_name, sources,
+                    mv_freshness(self, spec, mv_md),
+                ))
+            return self.spark.createDataFrame(
+                sorted(rows),
+                "namespace string, mviewName string, sources string, "
+                "fresh boolean",
+            )
         if what in ("TABLES", "VIEWS"):
             lister = (
                 self.client.list_tables if what == "TABLES"
@@ -1866,6 +1895,42 @@ class SparkCatalogIO:
                 (f"Part {i}", self._render_transform(c, t), None)
                 for i, (c, t) in enumerate(spec)
             )
+        mv_raw = md.get("properties", {}).get("ivm.spec")
+        if mv_raw:
+            # mark maintained MVs as such: sources, stored watermark(s),
+            # and whether a REFRESH is due — the DESCRIBE half of the
+            # SHOW MATERIALIZED VIEWS discoverability surface
+            from denali_spark.sources.ivm import (
+                JoinRollupSpec as _JRS,
+                LEFT_WATERMARK_KEY as _LWK,
+                RIGHT_WATERMARK_KEY as _RWK,
+                WATERMARK_KEY as _WK,
+                mv_freshness as _fresh,
+                spec_from_json as _sfj,
+            )
+
+            mv_spec = _sfj(mv_raw)
+            rows.append(("# Materialized View", "", None))
+            if isinstance(mv_spec, _JRS):
+                rows.append((
+                    "Sources",
+                    f"{mv_spec._qualified_left()} JOIN "
+                    f"{mv_spec._qualified_right()}",
+                    None,
+                ))
+            else:
+                rows.append(("Sources", mv_spec._qualified_source(), None))
+            ref = md.get("refs", {}).get(MAIN)
+            if ref is not None:
+                snap = next(
+                    (s for s in md.get("snapshots", [])
+                     if s["snapshot-id"] == ref["snapshot-id"]), {},
+                )
+                summary = snap.get("summary", {})
+                for wk in (_WK, _LWK, _RWK):
+                    if wk in summary:
+                        rows.append((wk, summary[wk], None))
+            rows.append(("Fresh", str(_fresh(self, mv_spec, md)).lower(), None))
         if extended:
             rows.append(("# Detailed Table Information", "", None))
             rows.extend([

@@ -1095,3 +1095,51 @@ def test_explain_resolves_catalog_names(spark, io):
     assert "Physical Plan" in plan
     assert "FileScan parquet" in plan  # resolved to the table's data files
     assert "id" in plan and ">" in plan  # the filter made it into the plan
+
+
+def test_show_materialized_views_lists_and_freshness(spark, io):
+    io.sql("CREATE NAMESPACE IF NOT EXISTS mvshow")
+    io.write_table(
+        spark.range(0, 40).select("id", (F.col("id") % 4).alias("g")),
+        ["mvshow"], "base", mode="overwrite",
+    )
+    io.sql("CREATE MATERIALIZED VIEW mvshow.mv1 AS "
+           "SELECT g, COUNT(*) AS n_rows FROM mvshow.base GROUP BY g")
+    rows = {(r.namespace, r.mviewName, r.sources, r.fresh)
+            for r in io.sql("SHOW MATERIALIZED VIEWS IN mvshow").collect()}
+    assert rows == {("mvshow", "mv1", "mvshow.base", True)}
+    # a source commit makes it stale; REFRESH restores freshness
+    io.write_table(
+        spark.range(40, 60).select("id", (F.col("id") % 4).alias("g")),
+        ["mvshow"], "base", mode="append",
+    )
+    [r] = io.sql("SHOW MATERIALIZED VIEWS IN mvshow").collect()
+    assert r.fresh is False
+    io.sql("REFRESH MATERIALIZED VIEW mvshow.mv1")
+    [r] = io.sql("SHOW MATERIALIZED VIEWS IN mvshow").collect()
+    assert r.fresh is True
+    # unscoped listing includes it too; plain tables never show up
+    all_rows = {(r.namespace, r.mviewName)
+                for r in io.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert ("mvshow", "mv1") in all_rows
+    assert not any(n == "base" for _, n in all_rows)
+
+
+def test_describe_marks_materialized_views(spark, io):
+    io.sql("CREATE NAMESPACE IF NOT EXISTS mvdesc")
+    io.write_table(
+        spark.range(0, 20).select("id", (F.col("id") % 2).alias("g")),
+        ["mvdesc"], "base", mode="overwrite",
+    )
+    io.sql("CREATE MATERIALIZED VIEW mvdesc.mv AS "
+           "SELECT g, COUNT(*) AS n_rows FROM mvdesc.base GROUP BY g")
+    rows = {r.col_name: r.data_type
+            for r in io.sql("DESCRIBE mvdesc.mv").collect()}
+    assert "# Materialized View" in rows
+    assert rows["Sources"] == "mvdesc.base"
+    assert rows["Fresh"] == "true"
+    src = io.client.load_table(["mvdesc"], "base")["metadata"]
+    assert rows["ivm.source-snapshot-id"] == str(src["current-snapshot-id"])
+    # a plain table carries no MV section
+    plain = {r.col_name for r in io.sql("DESCRIBE mvdesc.base").collect()}
+    assert "# Materialized View" not in plain

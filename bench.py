@@ -179,6 +179,24 @@ the r10 protocol documents (single-run sf1 legs occasionally spike
 full_build 2.39s/2.63s; across ALL recorded legs the refresh
 (1.07-2.4s) tracks at or under the rebuild (1.2-2.6s) and stays flat
 vs the 10x corpus step.
+
+Round-14 context for the NEXT comparison: the headline is unchanged
+from r13b (41 queries; common-set ratio vs r13 computes over all of
+them). sf1_queries gained ts_concurrency_peak + sim_hard_negatives
+(r13 verdict item 5 — the sweep-line and the bucket-index negative
+miner get 10x-step evidence). The `ivm`/`sf1_ivm` extras gained the
+MV-rewrite economics pair: `rewrite_from_mv` (the same GROUP BY
+answered from the maintained summary via io.sql's round-14 rewrite
+plane) vs `base_agg_sql` (rewrite off) — the rewrite reads |groups|
+rows instead of aggregating the corpus, so flat-vs-growing across the
+10x step is the pass signal, same shape as incremental_refresh vs
+full_build. Watch items carried from r13: graph_triangle_parts and
+text_token_fertility (both adjudicated sub-second jitter; name them
+again if they move). IVM registry twins (ivm_rollup_vs_recompute,
+ivm_join_view_extrema, ivm_rewrite_rollup_reduction) are correctness
+queries that build throwaway warehouses — deliberately NOT in the
+headline (their cost is commit-protocol latency, not operator
+throughput; the ivm extras already time that economics cleanly).
 """
 
 from __future__ import annotations
@@ -233,6 +251,12 @@ SF1_SUBSET = [
     "win_rolling_quantile",
     "sim_mmr_diversify",
     "graph_clustering_coefficient",
+    # round 14 (r13 verdict item 5): the global sweep-line — the query
+    # class most at risk from a hot day — and hard-negative mining off
+    # the bucket index (work ∝ bucket co-occupancy, never n²) both get
+    # 10×-step evidence
+    "ts_concurrency_peak",
+    "sim_hard_negatives",
 ]
 
 
@@ -544,6 +568,33 @@ def ivm_probe(spark, sf_dir: str) -> dict:
         out["recompute_agg"] = _time(
             lambda: _aggregate_full(io, spec).count(), runs=3, stat="median"
         )
+        # r14: MV-backed query-rewrite economics — the same GROUP BY
+        # through io.sql() answered from the maintained summary
+        # (`rewrite_from_mv`) vs the base-table aggregation with the
+        # rewrite off (`base_agg_sql`). The rewrite's win is the scan: a
+        # |groups|-row summary read instead of the corpus aggregation, so
+        # the gap widens with the corpus while the rewrite stays flat.
+        from denali_spark.sources.ivm import SPEC_PROPERTY, spec_to_json
+
+        md = io.client.load_table(["bench"], "li_by_part")["metadata"]
+        io.client.commit_table(
+            ["bench"], "li_by_part",
+            requirements=[{"type": "assert-table-uuid",
+                           "uuid": md["table-uuid"]}],
+            updates=[{"action": "set-properties",
+                      "updates": {SPEC_PROPERTY: spec_to_json(spec)}}],
+        )
+        q = ("SELECT l_partkey, "
+             "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty, "
+             "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue "
+             "FROM bench.li_src GROUP BY l_partkey")
+        io.mv_rewrite = "fresh-only"
+        out["rewrite_from_mv"] = _time(lambda: io.sql(q).count(),
+                                       runs=3, stat="median")
+        out["rewrite_fired"] = io.last_mv_rewrite is not None
+        io.mv_rewrite = "off"
+        out["base_agg_sql"] = _time(lambda: io.sql(q).count(),
+                                    runs=3, stat="median")
         return out
     finally:
         server.stop()

@@ -37,6 +37,32 @@ def corpus_fingerprint(sf_dir: str, table: str, geometry: str) -> str:
     ).hexdigest()[:16]
 
 
+_CORPUS_ROWS: dict[tuple, int] = {}
+
+
+def corpus_rows(sf_dir: str, table: str) -> int:
+    """Row count of a corpus parquet (single file or a directory of part
+    files), from footer METADATA only and memoized per (path, mtime) —
+    geometry decisions (e.g. the corpus-adaptive LSH plane count) cost a
+    stat, never a scan."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    st = os.stat(src)
+    key = (src, st.st_mtime_ns)
+    if key not in _CORPUS_ROWS:
+        if os.path.isdir(src):
+            n = sum(
+                pq.read_metadata(os.path.join(src, f)).num_rows
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        else:
+            n = pq.read_metadata(src).num_rows
+        _CORPUS_ROWS[key] = n
+    return _CORPUS_ROWS[key]
+
+
 def index_file_count(
     sf_dir: str,
     table: str,

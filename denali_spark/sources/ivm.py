@@ -1006,7 +1006,8 @@ def _strip_qualifier(col: str, tables: list[str]) -> str:
 
 
 def parse_materialized_view_sql(
-    select_sql: str, target_namespace: list[str], target_name: str
+    select_sql: str, target_namespace: list[str], target_name: str,
+    allow_global: bool = False,
 ) -> "RollupSpec | JoinRollupSpec":
     """Parse the maintainable-SQL subset into a rollup spec:
 
@@ -1035,21 +1036,28 @@ def parse_materialized_view_sql(
     fpos = _find_top_level(s, "FROM")
     wpos = _find_top_level(s, "WHERE")
     gpos = _find_top_level(s, "GROUP")
-    if fpos < 0 or gpos < 0 or not re.match(
-        r"GROUP\s+BY\s", s[gpos:], re.IGNORECASE
-    ):
+    if gpos >= 0 and not re.match(r"GROUP\s+BY\s", s[gpos:], re.IGNORECASE):
+        gpos = -1
+    if fpos < 0 or (gpos < 0 and not allow_global):
+        # allow_global (the query-rewrite parser): a grand-total aggregate
+        # with no GROUP BY is the keys=[] rollup reduction — MV creation
+        # itself always requires keys.
         raise ValueError(
             "maintained materialized views support exactly "
             "SELECT ... FROM t [JOIN d ON ...] [WHERE ...] GROUP BY ... "
         )
     select_list = s[len("SELECT"):fpos]
     where_sql = None
-    from_end = gpos
-    if 0 <= wpos < gpos:
-        where_sql = s[wpos + 5:gpos].strip()
+    tail_end = gpos if gpos >= 0 else len(s)
+    from_end = tail_end
+    if 0 <= wpos < tail_end:
+        where_sql = s[wpos + 5:tail_end].strip()
         from_end = wpos
     from_clause = s[fpos + 4:from_end].strip()
-    group_clause = re.sub(r"^GROUP\s+BY\s+", "", s[gpos:], flags=re.IGNORECASE)
+    group_clause = (
+        re.sub(r"^GROUP\s+BY\s+", "", s[gpos:], flags=re.IGNORECASE)
+        if gpos >= 0 else ""
+    )
 
     jm = re.match(
         r"([\w.]+)(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(\w+))?"
@@ -1091,7 +1099,7 @@ def parse_materialized_view_sql(
                        _strip_qualifier(b, tables[1:])))
 
     keys = []
-    for item in _split_top_level_commas(group_clause):
+    for item in _split_top_level_commas(group_clause) if group_clause.strip() else []:
         col = _strip_qualifier(item.strip(), tables)
         if not re.fullmatch(r"\w+", col):
             raise ValueError(f"GROUP BY supports plain columns only, got {item!r}")

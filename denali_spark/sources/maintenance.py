@@ -1218,10 +1218,12 @@ def run_maintenance(
 
     1. rewrite_deletes  — fold accumulated MoR deletes/vectors into data
     2. compact_data_files — bin-pack small files toward the target size
-    3. refresh dependent materialized views — their watermarks advance to
-       the post-compaction snapshot, so the expiry below can never trim
-       history a rollup still needs (an expired watermark makes the
-       incremental delta underivable — ivm._require_live_watermark)
+    3. refresh dependent materialized views, TRANSITIVELY in dependency
+       order (an MV over an MV refreshes after its parent folds) — their
+       watermarks advance to the post-compaction snapshot, so the expiry
+       below can never trim history a rollup still needs (an expired
+       watermark makes the incremental delta underivable —
+       ivm._require_live_watermark)
     4. expire_snapshots — trim history past keep_last (refs protected)
     5. remove_orphan_files — only when `orphans=True` (its 3-day retention
        guard makes it a no-op for fresh leftovers; run it on quiet tables)
@@ -1247,9 +1249,18 @@ def run_maintenance(
             refresh_materialized_view,
         )
 
-        deps = dependent_materialized_views(io, namespace, name)
+        # Transitive closure in dependency order: an MV built over another
+        # MV (cascading rollups) must refresh AFTER its parent folds, so
+        # each successful refresh enqueues ITS dependents (BFS; the seen
+        # set guards cycles). A failed parent's children are left alone —
+        # refreshing them against a stale parent would just advance their
+        # watermark over nothing.
+        queue = list(dependent_materialized_views(io, namespace, name))
+        seen = {".".join([*d_ns, d_name]) for d_ns, d_name in queue}
+        deps = bool(queue)
         refreshed, failed = 0, []
-        for d_ns, d_name in deps:
+        while queue:
+            d_ns, d_name = queue.pop(0)
             # per-MV isolation: one foreign-written/stranded MV must not
             # abort the rest of the run (the 'each step commits
             # independently' contract) — its failure lands in the report
@@ -1262,6 +1273,12 @@ def run_maintenance(
                 # CatalogHTTPError; none may abort the other MVs or the
                 # remaining maintenance steps — the failure is reported.
                 failed.append(f"{'.'.join([*d_ns, d_name])}: {exc}")
+                continue
+            for n_ns, n_name in dependent_materialized_views(io, d_ns, d_name):
+                key = ".".join([*n_ns, n_name])
+                if key not in seen:
+                    seen.add(key)
+                    queue.append((n_ns, n_name))
         if deps:
             report["refresh_materialized_views"] = f"{refreshed} refreshed"
             if failed:

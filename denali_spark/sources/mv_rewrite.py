@@ -14,14 +14,21 @@ is answered from MV ``keys, aggs`` over the same source(s) when
 
 - keys' ⊆ keys (re-aggregating the summary coarsens groups exactly:
   COUNT(*) = SUM(n_rows), SUM = SUM of partial sums, COUNT(e) = SUM of
-  the maintained indicator sums, MIN/MAX = MIN/MAX of partial extrema);
+  the maintained indicator sums, MIN/MAX = MIN/MAX of partial extrema;
+  keys' = [] is the grand-total reduction, keys-only selects are
+  DISTINCT over the summary);
 - every query aggregate maps to a maintained column with the SAME
-  normalized per-row expression and family;
-- the WHERE clause is either textually the MV's own predicate, or (when
-  the MV has none) references ONLY grouping keys the MV carries — a
-  per-group filter commutes with the rollup reduction, and is applied to
-  the summary scan, where it additionally enables file pruning on the
-  key-sorted MV files;
+  normalized per-row expression and family (the registry's
+  CAST(AGG(...) AS type) exactness idiom is unwrapped per item);
+- the WHERE clause either equals the MV's own predicate, or its
+  top-level AND conjuncts are the MV's conjuncts plus extras that
+  reference ONLY grouping keys the MV carries — per-group filters
+  commute with the rollup reduction and are applied to the summary
+  scan, where they additionally enable file pruning on the key-sorted
+  MV files (predicates with top-level OR must match exactly: AND/OR
+  precedence makes flat conjunct treatment unsafe);
+- a trailing ORDER BY over output columns and/or LIMIT n commute with
+  answering from the summary and are reapplied to the rewritten plan;
 - freshness policy allows it (SparkCatalogIO.mv_rewrite):
   'fresh-only' (default) — only when the stored watermark(s) equal the
   sources' current snapshots, so the rewrite is provably the live answer;
@@ -74,6 +81,51 @@ def _norm(sql: str | None) -> str | None:
     return re.sub(r"\s+", " ", sql.strip()).lower()
 
 
+def _conjuncts(where: str) -> list[str] | None:
+    """Top-level AND conjuncts of a predicate, or None when a top-level
+    OR makes flat conjunct treatment precedence-unsafe (AND binds tighter
+    than OR, so splitting `A OR B AND C` on AND would misparse)."""
+    from denali_spark.sources.catalog_io import _find_top_level
+
+    if _find_top_level(where, "OR") >= 0:
+        return None
+    out, rest = [], where
+    while True:
+        i = _find_top_level(rest, "AND")
+        if i < 0:
+            out.append(rest.strip())
+            return out
+        out.append(rest[:i].strip())
+        rest = rest[i + 3:]
+
+
+def _match_where(q_where: str | None, m_where: str | None,
+                 keys: list[str]) -> tuple[bool, str | None]:
+    """Decide whether the query's predicate is answerable from the MV:
+    (match, extra_filter). Exact textual match (modulo whitespace/case)
+    needs no filter; otherwise the MV's conjuncts must be a subset of the
+    query's (AND is commutative) and every extra conjunct must reference
+    only grouping keys — those commute with the rollup reduction and are
+    applied to the summary scan."""
+    if _norm(q_where) == _norm(m_where):
+        return True, None
+    if q_where is None:
+        return False, None  # the MV filters rows the query wants
+    q_c = _conjuncts(q_where)
+    m_c = _conjuncts(m_where) if m_where is not None else []
+    if q_c is None or m_c is None:
+        return False, None
+    m_set = {_norm(c) for c in m_c}
+    if not m_set <= {_norm(c) for c in q_c}:
+        return False, None
+    extra = [c for c in q_c if _norm(c) not in m_set]
+    if not extra:
+        return True, None
+    if all(_where_is_key_only(c, keys) for c in extra):
+        return True, " AND ".join(f"({c})" for c in extra)
+    return False, None
+
+
 def _where_is_key_only(where: str, keys: list[str]) -> bool:
     """Conservative: every identifier token (outside string literals) must
     be a grouping key or a whitelisted SQL keyword — anything else
@@ -117,6 +169,31 @@ def _parse_query(select_sql: str):
     if fpos < 0:
         return None
 
+    # ORDER BY / LIMIT tails: strip before the strict parse, reapply to
+    # the rewritten plan (both commute with answering from the summary)
+    limit_n = None
+    lpos = _find_top_level(s, "LIMIT")
+    if lpos >= 0:
+        lm = re.fullmatch(r"LIMIT\s+(\d+)\s*", s[lpos:], re.IGNORECASE)
+        if not lm:
+            return None
+        limit_n = int(lm.group(1))
+        s = s[:lpos].rstrip()
+    order_items = None
+    opos = _find_top_level(s, "ORDER")
+    if opos >= 0:
+        if not re.match(r"ORDER\s+BY\s", s[opos:], re.IGNORECASE):
+            return None
+        order_items = []
+        tail = re.sub(r"^ORDER\s+BY\s+", "", s[opos:], flags=re.IGNORECASE)
+        for it in tail.split(","):
+            om = re.fullmatch(r"\s*(\w+)(?:\s+(ASC|DESC))?\s*", it,
+                              re.IGNORECASE)
+            if not om:
+                return None
+            order_items.append((om.group(1), (om.group(2) or "ASC").upper()))
+        s = s[:opos].rstrip()
+
     norm_items: list[str] = []
     outputs: list[tuple[str, str, str | None]] = []
     saw_count_star = False
@@ -142,12 +219,14 @@ def _parse_query(select_sql: str):
 
     normalized_sql = "SELECT " + ", ".join(norm_items) + " " + s[fpos:]
     try:
-        spec = parse_materialized_view_sql(normalized_sql, ["__q__"], "__q__")
+        spec = parse_materialized_view_sql(
+            normalized_sql, ["__q__"], "__q__", allow_global=True
+        )
     except (ValueError, KeyError):
         return None
     if spec.avgs or spec.ndvs:
         return None  # engine-semantics mismatch — module docstring
-    return spec, outputs
+    return spec, outputs, order_items, limit_n
 
 
 def _sources_match(q, m) -> bool:
@@ -188,20 +267,21 @@ def try_rewrite(io, query: str) -> DataFrame | None:
     parsed = _parse_query(query)
     if parsed is None:
         return None
-    q, outputs = parsed
+    q, outputs, order_items, limit_n = parsed
+    out_names = {alias for _fam, alias, _e in outputs}
+    if order_items is not None and any(
+        name not in out_names for name, _dir in order_items
+    ):
+        return None  # ordering by a non-output expression — fall back
 
     for mv_ns, mv_name, m, mv_md in list_materialized_views(io):
         if not _sources_match(q, m):
             continue
         if set(q.group_by) - set(m.group_by):
             continue
-        extra_filter = None
-        if _norm(q.where) != _norm(m.where):
-            if m.where is not None or q.where is None:
-                continue
-            if not _where_is_key_only(q.where, m.group_by):
-                continue
-            extra_filter = q.where
+        matched, extra_filter = _match_where(q.where, m.where, m.group_by)
+        if not matched:
+            continue
         lookup = _agg_lookup(m)
         plan = []  # (alias, aggregate column builder over the MV scan)
         ok = True
@@ -232,12 +312,16 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         if extra_filter is not None:
             mv_df = mv_df.filter(F.expr(extra_filter))
         if plan:
+            # empty group_by = the grand-total reduction (groupBy() with
+            # no columns is Spark's global aggregate)
             out = mv_df.groupBy(*q.group_by).agg(
                 *[a.alias(name) for name, a in plan]
             )
-        else:
+        elif q.group_by:
             # pure SELECT DISTINCT keys — the MV's key set IS the answer
             out = mv_df.select(*q.group_by).distinct()
+        else:
+            continue
         # analyze (never execute) the base plan to pin the rewritten
         # result to the exact types the un-rewritten query would carry
         base = io.sql(query, _depth=1)
@@ -246,6 +330,13 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         out = out.select(
             *[F.col(f.name).cast(f.dataType) for f in base.schema.fields]
         )
+        if order_items is not None:
+            out = out.orderBy(*[
+                F.col(name).asc() if d == "ASC" else F.col(name).desc()
+                for name, d in order_items
+            ])
+        if limit_n is not None:
+            out = out.limit(limit_n)
         io.last_mv_rewrite = {
             "view": ".".join([*mv_ns, mv_name]),
             "mode": mode,

@@ -116,6 +116,7 @@ def make_embedding_dedup_sink(
             DEDUP_COS_TAU,
             bucket_assignments,
             embedding_online_dedup,
+            lsh_planes,
         )
 
         spark = batch_df.sparkSession
@@ -147,9 +148,9 @@ def make_embedding_dedup_sink(
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         novel = verdicts.filter(~F.col("is_duplicate")).select("vec_id")
         accepted = v.join(F.broadcast(novel), "vec_id").persist()
-        bucket_assignments(accepted).write.mode("overwrite").parquet(
-            f"{bucket_dir}/batch_id={batch_id}"
-        )
+        bucket_assignments(accepted, lsh_planes(sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(f"{bucket_dir}/batch_id={batch_id}")
         accepted.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
         accepted.unpersist()
         verdicts.unpersist()
@@ -158,21 +159,32 @@ def make_embedding_dedup_sink(
     return _sink
 
 
-def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None):
+def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None,
+                              sf_dir: str | None = None):
     """foreachBatch sink: hash each micro-batch of vectors into the SRP
     bucket layout and append (bucket rows, double-cast vectors) as the
     batch's own partitions. Overwriting the batch's own partitions keeps
-    at-least-once replays exactly-once in effect."""
+    at-least-once replays exactly-once in effect.
+
+    sf_dir: the corpus the batches will fold into — its corpus-adaptive
+    plane count (similarity.lsh_planes) must stamp the batch buckets or
+    the fold would mix geometries; None keeps the base N_PLANES (correct
+    for every local test scale)."""
     vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from denali_spark.operators.similarity import bucket_assignments
+        from denali_spark.operators.similarity import (
+            N_PLANES,
+            bucket_assignments,
+            lsh_planes,
+        )
 
+        planes = lsh_planes(sf_dir) if sf_dir is not None else N_PLANES
         v = batch_df.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         ).persist()
-        bucket_assignments(v).write.mode("overwrite").parquet(
+        bucket_assignments(v, planes).write.mode("overwrite").parquet(
             f"{bucket_dir}/batch_id={batch_id}"
         )
         v.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
@@ -210,16 +222,18 @@ def fold_streamed_index(
         index_file_count,
     )
     from denali_spark.operators.similarity import (
-        LSH_GEOMETRY,
         _vecs,
         lsh_bucket_index,
+        lsh_geometry,
     )
     from denali_spark.streaming.fold import FoldRelation, fold_streamed_partitions
 
     vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
     index_root = index_root if index_root is not None else f"{bucket_dir}_folded"
     n_files = index_file_count(sf_dir, "embeddings")
-    corpus_key = corpus_fingerprint(sf_dir, "embeddings", f"{LSH_GEOMETRY}f{n_files}")
+    corpus_key = corpus_fingerprint(
+        sf_dir, "embeddings", f"{lsh_geometry(sf_dir)}f{n_files}"
+    )
     return fold_streamed_partitions(
         spark, index_root, corpus_key,
         [

@@ -75,6 +75,36 @@ io.sql("""
 io.sql("UPDATE shop.regions SET region = 'south' WHERE k = 4")
 io.sql("REFRESH MATERIALIZED VIEW shop.sales_by_region").show()
 
+# round 14: COUNT(expr) folds as an indicator sum, and MIN/MAX maintain
+# THROUGH the join (net-removal groups rescan the pinned join only)
+io.sql("""
+    CREATE MATERIALIZED VIEW shop.region_ext AS
+    SELECT region, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN amount > 100 THEN id END) AS n_big,
+           MIN(amount) AS amount_min, MAX(id) AS id_max
+    FROM shop.sales JOIN shop.regions ON sales.k = regions.k
+    GROUP BY region
+""")
+io.sql("DELETE FROM shop.sales WHERE id < 1000")
+io.sql("REFRESH MATERIALIZED VIEW shop.region_ext").show()
+
+# discoverability: list every maintained view with freshness, and
+# DESCRIBE marks an MV with its sources + watermark
+io.sql("SHOW MATERIALIZED VIEWS").show(truncate=False)
+io.sql("DESCRIBE shop.region_ext").show(truncate=False)
+
+# round 14: MV-backed query rewrite — a coarser GROUP BY through io.sql
+# is answered from the maintained summary when it provably subsumes the
+# query (io.mv_rewrite: fresh-only | refresh | stale-ok | off)
+io.sql("REFRESH MATERIALIZED VIEW shop.sales_mv")
+df = io.sql("SELECT k, COUNT(*) AS n, MIN(amount) AS lo "
+            "FROM shop.sales WHERE amount > 10 GROUP BY k")
+df.show()
+print("answered from:", io.last_mv_rewrite)
+assert io.last_mv_rewrite is not None
+
+io.sql("DROP MATERIALIZED VIEW shop.region_ext")
+
 # day-2 ops: maintenance refreshes dependent MVs BEFORE snapshot expiry,
 # so the aggressive keep_last below can never strand a watermark
 report = run_maintenance(io, ["shop"], "sales", keep_last=1)

@@ -89,10 +89,10 @@ def test_partial_index_directory_raises_not_consumed(spark, tmp_path):
     )
 
     d = _copy_sf(tmp_path, ["embeddings"])
-    from denali_spark.operators.similarity import LSH_GEOMETRY, lsh_bucket_index
+    from denali_spark.operators.similarity import lsh_bucket_index, lsh_geometry
 
     key = corpus_fingerprint(
-        d, "embeddings", f"{LSH_GEOMETRY}f{index_file_count(d, 'embeddings')}"
+        d, "embeddings", f"{lsh_geometry(d)}f{index_file_count(d, 'embeddings')}"
     )
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
     # Partial leftover: data files but no _SUCCESS (a crashed build). An

@@ -192,3 +192,58 @@ def test_off_mode_never_rewrites(spark, io):
     io.mv_rewrite = "off"
     io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
     assert io.last_mv_rewrite is None
+
+
+def test_grand_total_reduction(spark, io):
+    _seed(spark, io)
+    info = _both(io, "SELECT COUNT(*) AS n, MAX(id) AS hi, "
+                     "SUM(CAST(amount AS DECIMAL(18,2))) AS total "
+                     "FROM rw.facts")
+    assert info["view"] == "rw.mv" and info["reduced"] is True
+
+
+def test_order_by_and_limit_reapplied(spark, io):
+    _seed(spark, io)
+    io.mv_rewrite = "fresh-only"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+                "GROUP BY k ORDER BY n DESC, k LIMIT 3")
+    assert io.last_mv_rewrite is not None
+    got = [(r.k, r.n) for r in df.collect()]
+    io.mv_rewrite = "off"
+    base = [(r.k, r.n) for r in io.sql(
+        "SELECT k, COUNT(*) AS n FROM rw.facts "
+        "GROUP BY k ORDER BY n DESC, k LIMIT 3").collect()]
+    assert got == base and len(got) == 3
+
+
+def test_order_by_non_output_falls_back(spark, io):
+    _seed(spark, io)
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k ORDER BY j")
+    assert io.last_mv_rewrite is None
+
+
+def test_conjunctive_where_superset_of_mv_predicate(spark, io):
+    io.write_table(_rows(spark, 0, 200).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_pred AS
+        SELECT k, COUNT(*) AS n_rows
+        FROM rw.facts WHERE id >= 20 GROUP BY k
+    """)
+    # query = the MV's predicate AND an extra key-only conjunct
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts "
+                     "WHERE id >= 20 AND k IN (0, 1) GROUP BY k")
+    assert info["view"] == "rw.mv_pred" and info["filtered"] is True
+    # conjunct ORDER is immaterial (AND commutes)
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts "
+                     "WHERE k IN (0, 1) AND id >= 20 GROUP BY k")
+    assert info["view"] == "rw.mv_pred"
+    # a top-level OR disables conjunct matching (precedence-unsafe)
+    io.mv_rewrite = "fresh-only"
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+           "WHERE id >= 20 OR k = 1 GROUP BY k")
+    assert io.last_mv_rewrite is None
+    # a non-key extra conjunct falls back
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+           "WHERE id >= 20 AND id < 100 GROUP BY k")
+    assert io.last_mv_rewrite is None

@@ -323,3 +323,45 @@ def test_ivfpq_external_search_matches_registered_query(spark):
         for r in sim_ivfpq_topk(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_lsh_planes_fixed_at_oracle_scales_and_grows_beyond(tmp_path):
+    """Every scale the driver or the local oracle compares at must resolve
+    to exactly N_PLANES — the static SQL oracles bake 8 planes — while a
+    10x-class corpus gets more planes (the load-bounding scale path)."""
+    import shutil
+
+    from denali_spark.operators.similarity import N_PLANES, lsh_planes
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        assert lsh_planes(sf) == N_PLANES, sf
+    # a synthetic 10x corpus (row-count is what the rule reads)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = pq.read_table("/root/testdata/sf0.1/embeddings.parquet")
+    big = pa.concat_tables([src] * 10)
+    pq.write_table(big, str(tmp_path / "embeddings.parquet"))
+    assert lsh_planes(str(tmp_path)) > N_PLANES
+
+
+def test_knn_bucket_cap_never_binds_at_oracle_scale(spark):
+    """The kNN-graph bucket-overflow cap must be provably inactive where
+    the driver hash-compares (sf0.01): max bucket load stays under the
+    cap, so capped and uncapped candidate sets are identical."""
+    from pyspark.sql import functions as F
+
+    from denali_spark.operators.similarity import (
+        KNN_BUCKET_CAP,
+        lsh_bucket_index,
+    )
+
+    b = lsh_bucket_index(spark, "/root/testdata/sf0.01")
+    max_load = (
+        b.groupBy("t", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_load < KNN_BUCKET_CAP, (
+        f"max bucket load {max_load} reaches the cap {KNN_BUCKET_CAP} — "
+        "the cap would change driver-compared results"
+    )

@@ -218,8 +218,12 @@ def test_order_by_and_limit_reapplied(spark, io):
 
 def test_order_by_non_output_falls_back(spark, io):
     _seed(spark, io)
-    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k ORDER BY j")
+    # ORDER BY a grouping column that is NOT in the select list: valid
+    # Spark SQL, but the rewrite cannot order by a column it does not
+    # emit — must fall back (and the base path answers it)
+    df = io.sql("SELECT COUNT(*) AS n FROM rw.facts GROUP BY k ORDER BY k")
     assert io.last_mv_rewrite is None
+    assert [r.n for r in df.collect()] == [40] * 5
 
 
 def test_conjunctive_where_superset_of_mv_predicate(spark, io):

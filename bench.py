@@ -192,7 +192,28 @@ rows instead of aggregating the corpus, so flat-vs-growing across the
 10x step is the pass signal, same shape as incremental_refresh vs
 full_build. Watch items carried from r13: graph_triangle_parts and
 text_token_fertility (both adjudicated sub-second jitter; name them
-again if they move). IVM registry twins (ivm_rollup_vs_recompute,
+again if they move). Round-14 in-round adjudication: the FIRST r14 sf1
+leg caught sim_hard_negatives at 94.3s — a REAL scale cliff (the SRP
+bucket self-join family was quadratic in bucket density at fixed
+geometry, and its expansion join inherited the index's ~8 scan
+partitions), not box noise. Fixed in-round (corpus-adaptive lsh_planes
++ KNN_BUCKET_CAP join-side sampling + 2x-parallelism repartition of
+the expanded anchor side; commit 37b5afc) and the artifact regenerated
+on the fixed code — sf1 leg 18.1s (first-call, includes the adaptive
+index rebuild; steady-state re-legs read ~13s);
+dedup_embedding_lsh_pairs at sf0.1 gains the same repartition (its
+headline delta this round is that change, not noise). The regenerated
+artifact's common-41 ratio vs r13 reads 1.19-1.22 with a ~1.15 MEDIAN
+— a uniform box-wide drift, adjudicated by the r7 worktree A/B
+protocol: a 5-query probe (q17/q18/ts_hourly_rollup/
+win_rolling_quantile/sim_mmr_diversify, median-of-3, back-to-back)
+read HEAD 5.37s / pre-fix-934c103 5.89s / HEAD 5.59s — the diff is
+NOT the cause (HEAD at or faster); the same probe queries read
+10-40% above their r13 artifact values on BOTH commits all day, so
+today's box is simply slower than the r13 box day. No per-query
+mover exceeded the uniform drift except the documented
+dedup_embedding_lsh_pairs repartition change. IVM registry
+twins (ivm_rollup_vs_recompute,
 ivm_join_view_extrema, ivm_rewrite_rollup_reduction) are correctness
 queries that build throwaway warehouses — deliberately NOT in the
 headline (their cost is commit-protocol latency, not operator

@@ -274,10 +274,14 @@ SF1_SUBSET = [
     "graph_clustering_coefficient",
     # round 14 (r13 verdict item 5): the global sweep-line — the query
     # class most at risk from a hot day — and hard-negative mining off
-    # the bucket index (work ∝ bucket co-occupancy, never n²) both get
-    # 10×-step evidence
+    # the bucket index both get 10×-step evidence. The first r14 sf1 leg
+    # caught sim_hard_negatives at 94.3s — the genuine fixed-geometry
+    # density cliff, fixed in-round (adaptive lsh_planes + bucket cap +
+    # expansion-join widening); the embedding near-dup pair generator
+    # rides the same machinery, so its 10×-step cost is evidenced too
     "ts_concurrency_peak",
     "sim_hard_negatives",
+    "dedup_embedding_lsh_pairs",
 ]
 
 

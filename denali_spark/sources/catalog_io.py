@@ -464,6 +464,13 @@ class SparkCatalogIO:
         self.mv_rewrite = "fresh-only"
         # Outcome of the last SELECT's rewrite attempt (None = base path).
         self.last_mv_rewrite: dict | None = None
+        # Cached MV identities for the rewrite pass (None = unknown):
+        # populated by ONE full catalog walk, kept so an MV-free catalog
+        # never pays per-table metadata loads again; CREATE/DROP
+        # MATERIALIZED VIEW through this session invalidate it, and MVs
+        # created by ANOTHER client become visible after
+        # invalidate_mv_cache() (or the next DDL here).
+        self._mv_listing_cache: list[tuple[list[str], str]] | None = None
 
     # --- read path ---------------------------------------------------------
 
@@ -1438,6 +1445,12 @@ class SparkCatalogIO:
             raise ValueError(f"unsupported CREATE TABLE clause {tail[:60]!r}")
         return partition_by, properties
 
+    def invalidate_mv_cache(self) -> None:
+        """Forget the cached materialized-view listing (the rewrite pass
+        re-walks the catalog on the next SELECT) — call after another
+        client created or dropped an MV."""
+        self._mv_listing_cache = None
+
     def _sql_create_mview(self, qualified: str, select_sql: str) -> DataFrame:
         """CREATE MATERIALIZED VIEW ns.mv AS <select> — an incrementally
         MAINTAINED rollup (sources/ivm.py): the parsed spec is stamped into
@@ -1551,6 +1564,9 @@ class SparkCatalogIO:
     ) -> DataFrame:
         """DROP TABLE [IF EXISTS] ns.t [PURGE] / DROP VIEW ns.v /
         DROP NAMESPACE ns — §2.A delete endpoints as SQL."""
+        # a dropped table may have been an MV — the rewrite pass must not
+        # keep resolving it from the cached listing
+        self._mv_listing_cache = None
         levels = qualified.split(".")
         if kind == "NAMESPACE":
             if purge:
@@ -3107,6 +3123,14 @@ class SparkCatalogIO:
         SAME commit — so a late replay stays a no-op even after snapshot
         expiry trims the batch-stamped snapshots the membership check
         would have consulted.
+
+        Contract: batch ids must be MONOTONE per table — one logical
+        stream per sink table (exactly Structured Streaming's per-query
+        batch-id semantics). Restarting a stream with a FRESH checkpoint
+        reuses ids from 0 and every write would dedupe away; point a
+        fresh checkpoint at a fresh table, or remove the
+        `<key>.high-watermark` table property (ALTER TABLE ... UNSET) to
+        declare the old stream finished before reusing the table.
 
         file_format: parquet (default), orc, or avro — recorded as the
         table's write.format.default property on create; later appends

@@ -15,10 +15,10 @@ second `sums` entry over expr*expr).
 Maintained NDV (COUNT DISTINCT) rides the same machinery as a binary
 HLL-sketch column per group: the sketch's register state is a pure,
 order-insensitive function of the value SET, so on the fold path
-new_sketch = hll_union(old_sketch, sketch(inserted values)) is exact for
-the same reason the MIN fold below is (net-nonnegative deltas mean the
-post-change value set is a superset of the pre-change one and every
-inserted value survives) — verified estimate-identical across one-pass,
+new_sketch = hll_union(old_sketch, sketch(net-positive values)) is exact
+for the same reason the MIN fold below is (a net-positive tuple's value
+certainly exists post-refresh; net-zero tuples leave the value set
+unchanged) — verified estimate-identical across one-pass,
 union-of-parts, and iterative-fold merge shapes. Deletes route through
 the shared targeted rescan. Read estimates with
 ``F.hll_sketch_estimate(col)``.
@@ -26,12 +26,17 @@ the shared targeted rescan. Read estimates with
 MIN/MAX are NOT an abelian group — a deleted minimum needs a group rescan —
 so they are maintained by the classic fold + targeted-rescan hybrid, made
 exact by multiset cancellation: per (group, tracked-value-tuple) the signed
-changelog multiplicity decides the path. A group folds (new_min =
-MIN(old_min, MIN over inserted values)) whenever no tuple has NET-NEGATIVE
-multiplicity — provably exact, because net-nonnegative deltas mean the
-post-change value multiset is a superset of the pre-change one, every
-cancelled delete's value already exists in the group (≥ old extremum), and
-the stored extremum row itself survives. Only groups with a genuine net
+changelog multiplicity decides the path. A group folds whenever no tuple
+has NET-NEGATIVE multiplicity, and the fold takes new_min = MIN(old_min,
+MIN over tuples with NET-POSITIVE multiplicity) — provably exact, because
+net > 0 means the post-change multiset holds the value at multiplicity
+≥ net (it certainly exists after the refresh), net-zero tuples leave the
+tracked multiset unchanged and contribute nothing, and the stored extremum
+row itself survives (its tuple is net-nonnegative). Folding raw INSERT
+rows instead — the pre-round-14 rule — admitted phantom values: a row
+inserted and deleted within the same refresh window nets to zero yet its
+insert side would have folded a value the post state never contains.
+Only groups with a genuine net
 removal at some value rescan, reading the SOURCE pinned at the refresh
 watermark with manifest min/max pruning on the group keys plus a null-safe
 semi-join — bounded by touched-by-delete groups, never a base-table scan.
@@ -238,6 +243,45 @@ def _key_cond(left: str, right: str, keys: list[str]):
     return cond
 
 
+def _extrema_delta_from_net(net, rescan_keys, keys: list[str], spec):
+    """Per-group extrema/NDV contributions from the NET tuple relation:
+    only tracked tuples with STRICTLY POSITIVE net multiplicity fold —
+    net > 0 means the post-state multiset holds the value at multiplicity
+    ≥ net, so it provably exists after the refresh. Folding raw insert
+    rows (the pre-round-14 rule) admitted PHANTOM values: a row inserted
+    and deleted within the same refresh window (or a +/- pair the join
+    delta's bilinear terms generate when a dim insert and a fact delete
+    land together) nets to zero — its value never exists in the post
+    state, yet its insert side passed the old filter. Net-zero tuples
+    contribute nothing by definition (the tracked multiset is unchanged)
+    and net-negative ones were routed to the rescan."""
+    pos = net.filter(F.col("_net") > 0)
+    if rescan_keys is not None:
+        pos = pos.alias("p").join(
+            rescan_keys.alias("rk"), _key_cond("p", "rk", keys), "left_anti"
+        )
+    idx = {e: i for i, e in enumerate(spec._tracked_exprs())}
+    return pos.groupBy(*keys).agg(
+        *_extrema_aggs(spec, lambda e: F.col(f"_vals._v{idx[e]}"))
+    )
+
+
+def _attach_extrema(delta, extrema_delta, keys: list[str]):
+    """Left-join the net-derived extrema columns onto the count/sum delta
+    (null-safe keys; a group with sum-only churn has no positive-net
+    tuples and keeps NULL extrema, which MIN/MAX/union ignore exactly as
+    a recompute would)."""
+    if extrema_delta is None:
+        return delta
+    joined = delta.alias("d").join(
+        extrema_delta.alias("x"), _key_cond("d", "x", keys), "left"
+    )
+    return joined.select(
+        *[F.col(f"d.{c}") for c in delta.columns],
+        *[F.col(f"x.{c}") for c in extrema_delta.columns if c not in keys],
+    )
+
+
 def create_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     """Build the rollup from scratch at the source's CURRENT snapshot and
     commit it (creating the target on demand, sorted by the group keys so
@@ -320,38 +364,41 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
     # stay on the (exact) fold path.
     rescan_keys = None
     n_rescan = 0
+    extrema_delta = None
     if spec.mins or spec.maxs or spec.ndvs:
         tracked = F.struct(
             *[F.expr(e).alias(f"_v{i}") for i, e in enumerate(spec._tracked_exprs())]
         )
+        # lazy checkpoints: plans truncate now, blocks materialize inside
+        # the count job below and every later join reuses them (the r10
+        # CC idiom); net is reused by BOTH the rescan split and the
+        # positive-net extrema fold
         net = changes.groupBy(*keys, tracked.alias("_vals")).agg(
             F.sum(sign).alias("_net")
-        )
+        ).localCheckpoint(eager=False)
         rescan_keys = (
             net.filter(F.col("_net") < 0)
             .select(*keys)
             .distinct()
-            # lazy: plan truncates now, blocks materialize inside the count
-            # job below and every later join reuses them (the r10 CC idiom)
             .localCheckpoint(eager=False)
         )
         n_rescan = rescan_keys.count()
         if n_rescan == 0:
             rescan_keys = None
+        extrema_delta = _extrema_delta_from_net(net, rescan_keys, keys, spec)
 
     fold_changes = changes
     if rescan_keys is not None:
         fold_changes = changes.alias("ch").join(
             rescan_keys.alias("rk"), _key_cond("ch", "rk", keys), "left_anti"
         )
-    insert_only = F.col("_change_type") == "insert"
     delta = fold_changes.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e) * sign).alias(c) for c, e in _all_sums(spec).items()],
-        # extrema fold only over inserted values (deleted values in a
-        # fold-path group are fully cancelled — they carry no information)
-        *_extrema_aggs(spec, lambda e: F.when(insert_only, F.expr(e))),
     )
+    # extrema/NDV fold rides the NET tuple relation (only net>0 values
+    # provably exist post-refresh — _extrema_delta_from_net)
+    delta = _attach_extrema(delta, extrema_delta, keys)
     rescanned = None
     if rescan_keys is not None:
         # Targeted rescan: re-aggregate ONLY the net-removal groups from the
@@ -904,18 +951,23 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
         delta_rows = terms[0]
         for t in terms[1:]:
             delta_rows = delta_rows.unionByName(t)
+        extrema_delta = None
         if spec._tracked_exprs():
             # Extrema/NDV over a join (round 14): the bilinear expansion is
             # the joined relation's EXACT signed multiset, so the single-
             # table net-multiplicity test applies unchanged — per (group,
-            # tracked tuple) the net weight decides fold vs rescan.
+            # tracked tuple) the NET weight decides fold vs rescan, and
+            # only net>0 tuples feed the extrema fold (a dim insert plus a
+            # fact delete in one window generates +/- pairs across the two
+            # bilinear terms whose values never exist in the post state —
+            # _extrema_delta_from_net).
             tracked = F.struct(*[
                 F.expr(e).alias(f"_v{i}")
                 for i, e in enumerate(spec._tracked_exprs())
             ])
             net = delta_rows.groupBy(*keys, tracked.alias("_vals")).agg(
                 F.sum(w).alias("_net")
-            )
+            ).localCheckpoint(eager=False)
             rescan_keys = (
                 net.filter(F.col("_net") < 0)
                 .select(*keys)
@@ -925,21 +977,18 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
             n_rescan = rescan_keys.count()
             if n_rescan == 0:
                 rescan_keys = None
+            extrema_delta = _extrema_delta_from_net(net, rescan_keys, keys, spec)
         fold_rows = delta_rows
         if rescan_keys is not None:
             fold_rows = delta_rows.alias("ch").join(
                 rescan_keys.alias("rk"), _key_cond("ch", "rk", keys), "left_anti"
             )
-        # extrema fold only over positive-net-weight rows: each such joined
-        # row exists in the post state (its multiplicity strictly grew), and
-        # net-removal tuples were routed to the rescan above
-        positive = w > 0
         delta = fold_rows.groupBy(*keys).agg(
             F.sum(w).cast("long").alias(COUNT_COL),
             *[F.sum(F.expr(e) * w).alias(c)
               for c, e in _all_sums(spec).items()],
-            *_extrema_aggs(spec, lambda e: F.when(positive, F.expr(e))),
         )
+        delta = _attach_extrema(delta, extrema_delta, keys)
         if rescan_keys is not None:
             rescanned = _rescan_join_groups(
                 io, spec, l_md, rescan_keys, n_rescan, l_cur, r_cur
@@ -1118,6 +1167,12 @@ def parse_materialized_view_sql(
             bare.append(_strip_qualifier(item.strip(), tables))
             continue
         fn, expr, alias = agg
+        if fn == "COUNT" and re.match(r"DISTINCT\s", expr, re.IGNORECASE):
+            raise ValueError(
+                "COUNT(DISTINCT ...) is not incrementally maintainable — "
+                "use APPROX_COUNT_DISTINCT(expr) (maintained HLL sketch; "
+                "read with hll_sketch_estimate) or rebuild with CREATE"
+            )
         if fn == "COUNT" and expr == "*":
             if alias != COUNT_COL:
                 raise ValueError(
@@ -1190,6 +1245,7 @@ def create_materialized_view(io: SparkCatalogIO, namespace: list[str],
         updates=[{"action": "set-properties",
                   "updates": {SPEC_PROPERTY: spec_to_json(spec)}}],
     )
+    io._mv_listing_cache = None  # a new MV exists — the rewrite must see it
     return res
 
 

@@ -1249,18 +1249,66 @@ def run_maintenance(
             refresh_materialized_view,
         )
 
-        # Transitive closure in dependency order: an MV built over another
-        # MV (cascading rollups) must refresh AFTER its parent folds, so
-        # each successful refresh enqueues ITS dependents (BFS; the seen
-        # set guards cycles). A failed parent's children are left alone —
-        # refreshing them against a stale parent would just advance their
-        # watermark over nothing.
+        # Transitive closure, refreshed in TOPOLOGICAL order: an MV built
+        # over another MV (cascading rollups) must fold AFTER its parent —
+        # including diamonds (a join MV over the base table AND a sibling
+        # MV must not refresh off the sibling's stale state, which a
+        # plain BFS order permits). A failed parent's descendants are
+        # SKIPPED and reported: refreshing them would advance their
+        # watermark over a parent state that never folded.
+        from denali_spark.sources.ivm import (
+            SPEC_PROPERTY,
+            JoinRollupSpec,
+            spec_from_json,
+        )
+
         queue = list(dependent_materialized_views(io, namespace, name))
-        seen = {".".join([*d_ns, d_name]) for d_ns, d_name in queue}
-        deps = bool(queue)
-        refreshed, failed = 0, []
+        nodes: dict[str, tuple[list[str], str]] = {}
         while queue:
             d_ns, d_name = queue.pop(0)
+            key = ".".join([*d_ns, d_name])
+            if key in nodes:
+                continue
+            nodes[key] = (d_ns, d_name)
+            queue.extend(dependent_materialized_views(io, d_ns, d_name))
+
+        def _parents(d_ns: list[str], d_name: str) -> set[str]:
+            md = io.client.load_table(d_ns, d_name)["metadata"]
+            raw = md.get("properties", {}).get(SPEC_PROPERTY)
+            if not raw:
+                return set()
+            mv_spec = spec_from_json(raw)
+            srcs = (
+                {mv_spec._qualified_left(), mv_spec._qualified_right()}
+                if isinstance(mv_spec, JoinRollupSpec)
+                else {mv_spec._qualified_source()}
+            )
+            return srcs & set(nodes)
+
+        parents_of = {k: _parents(*v) for k, v in nodes.items()}
+        order: list[str] = []
+        remaining = set(nodes)
+        while remaining:
+            ready = sorted(
+                k for k in remaining if not (parents_of[k] & remaining)
+            )
+            if not ready:
+                # dependency cycle (only constructible by hand-editing
+                # specs): fall back to name order; per-MV isolation below
+                # still contains any resulting failure
+                ready = sorted(remaining)
+            order.extend(ready)
+            remaining -= set(ready)
+
+        deps = bool(nodes)
+        refreshed, failed, skipped = 0, [], []
+        broken: set[str] = set()
+        for key in order:
+            d_ns, d_name = nodes[key]
+            if parents_of[key] & broken:
+                broken.add(key)
+                skipped.append(f"{key}: parent refresh failed")
+                continue
             # per-MV isolation: one foreign-written/stranded MV must not
             # abort the rest of the run (the 'each step commits
             # independently' contract) — its failure lands in the report
@@ -1272,13 +1320,10 @@ def run_maintenance(
                 # RuntimeError (409 single-maintainer conflict), or
                 # CatalogHTTPError; none may abort the other MVs or the
                 # remaining maintenance steps — the failure is reported.
-                failed.append(f"{'.'.join([*d_ns, d_name])}: {exc}")
-                continue
-            for n_ns, n_name in dependent_materialized_views(io, d_ns, d_name):
-                key = ".".join([*n_ns, n_name])
-                if key not in seen:
-                    seen.add(key)
-                    queue.append((n_ns, n_name))
+                broken.add(key)
+                failed.append(f"{key}: {exc}")
+        if skipped:
+            report["refresh_materialized_views_skipped"] = skipped
         if deps:
             report["refresh_materialized_views"] = f"{refreshed} refreshed"
             if failed:

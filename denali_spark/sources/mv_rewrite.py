@@ -82,12 +82,15 @@ def _norm(sql: str | None) -> str | None:
 
 
 def _conjuncts(where: str) -> list[str] | None:
-    """Top-level AND conjuncts of a predicate, or None when a top-level
-    OR makes flat conjunct treatment precedence-unsafe (AND binds tighter
-    than OR, so splitting `A OR B AND C` on AND would misparse)."""
+    """Top-level AND conjuncts of a predicate, or None when flat conjunct
+    treatment is unsafe: a top-level OR (AND binds tighter, so splitting
+    `A OR B AND C` on AND would misparse) or a top-level BETWEEN (whose
+    own AND is part of the predicate — splitting `k BETWEEN 1 AND 5`
+    would yield invalid fragments)."""
     from denali_spark.sources.catalog_io import _find_top_level
 
-    if _find_top_level(where, "OR") >= 0:
+    if (_find_top_level(where, "OR") >= 0
+            or _find_top_level(where, "BETWEEN") >= 0):
         return None
     out, rest = [], where
     while True:
@@ -253,6 +256,33 @@ def _agg_lookup(m) -> dict[tuple[str, str], str]:
     return out
 
 
+def _candidate_mvs(io):
+    """The catalog's maintained MVs as (ns, name, spec, metadata). The
+    identity LIST is cached on the session (io._mv_listing_cache) so a
+    rollup-shaped SELECT against an MV-free catalog costs zero per-table
+    metadata loads after the first walk; the cached MVs' metadata is
+    reloaded fresh each time (specs and watermarks must be current).
+    CREATE/DROP MATERIALIZED VIEW through this session invalidate the
+    cache; io.invalidate_mv_cache() picks up another client's DDL."""
+    from denali_spark.sources.ivm import SPEC_PROPERTY, spec_from_json
+
+    cached = getattr(io, "_mv_listing_cache", None)
+    if cached is None:
+        mvs = list_materialized_views(io)
+        io._mv_listing_cache = [(ns, name) for ns, name, _s, _m in mvs]
+        return mvs
+    out = []
+    for ns, name in cached:
+        try:
+            md = io.client.load_table(ns, name)["metadata"]
+        except Exception:  # noqa: BLE001 — dropped since cached
+            continue
+        raw = md.get("properties", {}).get(SPEC_PROPERTY)
+        if raw:
+            out.append((ns, name, spec_from_json(raw), md))
+    return out
+
+
 def try_rewrite(io, query: str) -> DataFrame | None:
     """Attempt to answer `query` from a maintained MV. Returns the
     rewritten DataFrame (cast to the base plan's schema) or None to fall
@@ -274,7 +304,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
     ):
         return None  # ordering by a non-output expression — fall back
 
-    for mv_ns, mv_name, m, mv_md in list_materialized_views(io):
+    for mv_ns, mv_name, m, mv_md in _candidate_mvs(io):
         if not _sources_match(q, m):
             continue
         if set(q.group_by) - set(m.group_by):
@@ -313,10 +343,19 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             mv_df = mv_df.filter(F.expr(extra_filter))
         if plan:
             # empty group_by = the grand-total reduction (groupBy() with
-            # no columns is Spark's global aggregate)
-            out = mv_df.groupBy(*q.group_by).agg(
-                *[a.alias(name) for name, a in plan]
-            )
+            # no columns is Spark's global aggregate). In that one case
+            # COUNT-family outputs must coalesce to 0: a global COUNT
+            # over zero base rows is 0, but SUM over the (empty) summary
+            # is NULL — with grouping keys, empty groups simply do not
+            # exist in either plan, so no coalesce applies.
+            aggs = []
+            for (fam, _alias, _e), (name, a) in zip(
+                [o for o in outputs if o[0] != "key"], plan
+            ):
+                if not q.group_by and fam in ("count_star", "count"):
+                    a = F.coalesce(a, F.lit(0))
+                aggs.append(a.alias(name))
+            out = mv_df.groupBy(*q.group_by).agg(*aggs)
         elif q.group_by:
             # pure SELECT DISTINCT keys — the MV's key set IS the answer
             out = mv_df.select(*q.group_by).distinct()

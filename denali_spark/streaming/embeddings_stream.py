@@ -151,12 +151,52 @@ def make_embedding_dedup_sink(
         bucket_assignments(accepted, lsh_planes(sf_dir)).write.mode(
             "overwrite"
         ).parquet(f"{bucket_dir}/batch_id={batch_id}")
+        _stamp_planes(f"{bucket_dir}/batch_id={batch_id}", lsh_planes(sf_dir))
         accepted.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
         accepted.unpersist()
         verdicts.unpersist()
         v.unpersist()
 
     return _sink
+
+
+_PLANES_MARKER = "_PLANES"
+
+
+def _stamp_planes(batch_dir: str, planes: int) -> None:
+    """Record the SRP plane count a bucket batch was hashed with (an
+    underscore file — parquet readers ignore it, like _SUCCESS). The fold
+    refuses to mix geometries (see _require_batch_planes)."""
+    with open(os.path.join(batch_dir, _PLANES_MARKER), "w") as f:
+        f.write(str(planes))
+
+
+def _require_batch_planes(store_dir: str, expected: int) -> None:
+    """Every committed bucket batch must carry the corpus geometry's plane
+    count: folding 8-plane buckets into a corpus whose consumers probe
+    with an adaptive 9+ plane geometry would strand the streamed vectors
+    in buckets no probe ever hits. Batches without a marker predate the
+    stamp and are assumed base-geometry."""
+    from denali_spark.operators.similarity import N_PLANES
+
+    if not os.path.isdir(store_dir):
+        return
+    for name in os.listdir(store_dir):
+        if not name.startswith("batch_id="):
+            continue
+        marker = os.path.join(store_dir, name, _PLANES_MARKER)
+        got = N_PLANES
+        if os.path.exists(marker):
+            with open(marker) as f:
+                got = int(f.read())
+        if got != expected:
+            raise ValueError(
+                f"streamed bucket batch {name} was hashed with {got} SRP "
+                f"planes but the corpus geometry resolves to {expected} — "
+                "pass sf_dir to make_embedding_index_sink (and the dedup "
+                "sink) so batches stamp the corpus-adaptive geometry, or "
+                "remove the mismatched batches before folding"
+            )
 
 
 def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None,
@@ -187,6 +227,7 @@ def make_embedding_index_sink(bucket_dir: str, vec_dir: str | None = None,
         bucket_assignments(v, planes).write.mode("overwrite").parquet(
             f"{bucket_dir}/batch_id={batch_id}"
         )
+        _stamp_planes(f"{bucket_dir}/batch_id={batch_id}", planes)
         v.write.mode("overwrite").parquet(f"{vec_dir}/batch_id={batch_id}")
         v.unpersist()
 
@@ -230,6 +271,9 @@ def fold_streamed_index(
 
     vec_dir = vec_dir if vec_dir is not None else f"{bucket_dir}_vecs"
     index_root = index_root if index_root is not None else f"{bucket_dir}_folded"
+    from denali_spark.operators.similarity import lsh_planes
+
+    _require_batch_planes(bucket_dir, lsh_planes(sf_dir))
     n_files = index_file_count(sf_dir, "embeddings")
     corpus_key = corpus_fingerprint(
         sf_dir, "embeddings", f"{lsh_geometry(sf_dir)}f{n_files}"

@@ -8,7 +8,10 @@ Exactly-once effect from at-least-once replays, with NO sink-local state:
   same dedup the `writeStream.format("denali")` sink uses,
   sources/datasource.py), re-checked inside the commit's CAS retry and
   backed by a ``streaming-batch-id.high-watermark`` table property that
-  outlives snapshot expiry;
+  outlives snapshot expiry (one logical stream per source table: a
+  restart with a FRESH checkpoint reuses batch ids and would dedupe
+  away — use a fresh table, or UNSET the high-watermark property to
+  declare the old stream finished);
 - the refresh is watermark-idempotent (sources/ivm.py): a replayed batch
   whose append was skipped finds the watermark already at or past its
   snapshot and no-ops, while a crash BETWEEN append and refresh just

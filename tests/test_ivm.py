@@ -1286,3 +1286,120 @@ def test_cascading_mv_over_mv(spark, io):
     # steady state: both no-op
     assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_fine").collect()[0].kind == "noop"
     assert io.sql("REFRESH MATERIALIZED VIEW ivm.mv_total").collect()[0].kind == "noop"
+
+
+def test_minmax_ephemeral_row_is_not_folded(spark, io):
+    """A row inserted AND deleted within ONE refresh window nets to zero
+    per tracked tuple — its value must NOT fold into MIN/MAX (the group
+    stays on the fold path because nothing is net-negative, and the old
+    insert-side fold admitted the phantom). The extra surviving append
+    keeps the group's delta nonzero so the zero-churn filter cannot mask
+    the bug."""
+    _append(spark, io, 50, 100)
+    create_rollup(io, EXTREMA_SPEC)
+    # one refresh window: a would-be new minimum appears and vanishes,
+    # plus a legitimate surviving append to every group
+    from decimal import Decimal
+
+    ephemeral = spark.createDataFrame(
+        [(7000 + k, k, Decimal("-999.00")) for k in range(5)],
+        "id long, k long, amount decimal(18,2)",
+    )
+    io.write_table(ephemeral.coalesce(1), ["ivm"], "facts", mode="append")
+    _append(spark, io, 100, 120)
+    delete_where(io, ["ivm"], "facts", E.gt_eq("id", 7000))
+    res = refresh_rollup(io, EXTREMA_SPEC)
+    # nothing is net-negative: the ephemeral tuples cancel to zero
+    assert res["rescanned_groups"] == 0
+    got = _assert_rollup_matches(io, EXTREMA_SPEC)
+    assert all(row[1] > -900 for row in got)  # no phantom -999 minimum
+
+
+def test_join_extrema_ephemeral_bilinear_pair_not_folded(spark, io):
+    """Join-view twin of the phantom test: a dim insert for a previously
+    unmatched key lands in the SAME window as the delete of its facts —
+    the bilinear terms generate +/- pairs for rows that exist in neither
+    the pre nor the post joined relation. Their values must not fold."""
+    from decimal import Decimal
+
+    facts = spark.createDataFrame(
+        [(i, i % 5, Decimal(100 + i)) for i in range(50)]
+        + [(900 + j, 9, Decimal(-500 - j)) for j in range(3)],  # k=9: dangling
+        "id long, k long, amount decimal(18,2)",
+    )
+    io.write_table(facts.coalesce(1), ["ivm"], "facts", mode="append")
+    _write_dims(spark, io, {0: "east", 1: "east", 2: "west", 3: "west", 4: "east"})
+    create_join_rollup(io, JOIN_EXT_SPEC)
+    # one window: k=9 gains a dim row ('east') AND loses its facts, plus
+    # a surviving append so 'east' has a real delta
+    io.sql("INSERT INTO ivm.dims SELECT 9 AS k, 'east' AS region")
+    delete_where(io, ["ivm"], "facts", E.gt_eq("id", 900))
+    more = spark.createDataFrame(
+        [(2000 + i, i % 5, Decimal(50 + i)) for i in range(10)],
+        "id long, k long, amount decimal(18,2)",
+    )
+    io.write_table(more.coalesce(1), ["ivm"], "facts", mode="append")
+    refresh_join_rollup(io, JOIN_EXT_SPEC)
+    got = _assert_join_ext_matches(io)
+    # the -500.x amounts never joined in any live state
+    assert all(row[0] > -400 for row in got)  # amount_min is first sorted col
+
+
+def test_count_distinct_rejected_with_clear_message(spark, io):
+    _append(spark, io, 0, 10)
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.bad_cd AS "
+               "SELECT k, COUNT(*) AS n_rows, COUNT(DISTINCT id) AS d "
+               "FROM ivm.facts GROUP BY k")
+
+
+def test_diamond_topology_refreshes_parent_first(spark, io):
+    """C = T ⋈ B where B is itself an MV over T: run_maintenance(T) must
+    refresh B BEFORE C whatever the catalog walk order, and a broken B
+    must SKIP C (refreshing a child over a stale parent would advance its
+    watermark over nothing)."""
+    from denali_spark.sources import run_maintenance
+
+    _append(spark, io, 0, 100)
+    # name the child so a plain walk would visit it FIRST (a_... < mv_...)
+    io.sql("CREATE MATERIALIZED VIEW ivm.mv_b AS "
+           "SELECT k, COUNT(*) AS n_rows, "
+           "SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum "
+           "FROM ivm.facts GROUP BY k")
+    io.sql("""
+        CREATE MATERIALIZED VIEW ivm.a_child AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS fact_amount,
+               SUM(amount_sum) AS rolled_amount
+        FROM ivm.facts JOIN ivm.mv_b ON facts.k = mv_b.k
+        GROUP BY k
+    """)
+    _append(spark, io, 100, 200)
+    report = run_maintenance(io, ["ivm"], "facts", keep_last=2)
+    assert report["refresh_materialized_views"] == "2 refreshed"
+    # the child reflects B's POST-refresh state: per k, 40 facts joined to
+    # B's one row whose amount_sum covers all 40
+    got = {(r.k, r.n_rows, r.fact_amount, r.rolled_amount)
+           for r in io.sql("SELECT k, n_rows, fact_amount, rolled_amount "
+                           "FROM ivm.a_child").collect()}
+    facts = io.read_table(["ivm"], "facts")
+    want = {
+        (r.k, r.n, r.amt, r.amt * r.n)
+        for r in facts.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("amt"),
+        ).collect()
+    }
+    assert got == want
+
+    # break the parent: its refresh fails, the child must be SKIPPED
+    rogue = spark.createDataFrame(
+        [(99, 1, None)], "k long, n_rows long, amount_sum decimal(28,2)"
+    )
+    io.write_table(rogue, ["ivm"], "mv_b", mode="append")
+    _append(spark, io, 200, 250)
+    report = run_maintenance(io, ["ivm"], "facts", keep_last=2)
+    assert report["refresh_materialized_views"] == "0 refreshed"
+    assert any("mv_b" in f for f in report["refresh_materialized_views_failed"])
+    assert any("a_child" in sk
+               for sk in report["refresh_materialized_views_skipped"])

@@ -251,3 +251,61 @@ def test_conjunctive_where_superset_of_mv_predicate(spark, io):
     io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
            "WHERE id >= 20 AND id < 100 GROUP BY k")
     assert io.last_mv_rewrite is None
+
+
+def test_grand_total_over_empty_filtered_summary_is_zero(spark, io):
+    """COUNT over zero rows is 0 on the base path; the grand-total rewrite
+    must coalesce its SUM-over-empty-summary NULL to match."""
+    _seed(spark, io)
+    q = ("SELECT COUNT(*) AS n FROM rw.facts WHERE k = 77")  # absent key
+    io.mv_rewrite = "fresh-only"
+    got = io.sql(q).collect()
+    assert io.last_mv_rewrite is not None
+    io.mv_rewrite = "off"
+    base = io.sql(q).collect()
+    assert [r.n for r in got] == [r.n for r in base] == [0]
+
+
+def test_between_predicate_never_crashes(spark, io):
+    """BETWEEN's own AND must not be split as a conjunct: the extra-filter
+    fragments would be invalid SQL. Exact textual match still rewrites;
+    a BETWEEN the MV lacks falls back cleanly."""
+    _seed(spark, io)
+    io.mv_rewrite = "fresh-only"
+    q = "SELECT k, COUNT(*) AS n FROM rw.facts WHERE k BETWEEN 1 AND 3 GROUP BY k"
+    got = {(r.k, r.n) for r in io.sql(q).collect()}
+    assert io.last_mv_rewrite is None  # no crash, clean fallback
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_btw AS
+        SELECT k, COUNT(*) AS n_rows
+        FROM rw.facts WHERE k BETWEEN 1 AND 3 GROUP BY k
+    """)
+    rewritten = {(r.k, r.n) for r in io.sql(q).collect()}
+    assert io.last_mv_rewrite is not None and io.last_mv_rewrite["view"] == "rw.mv_btw"
+    assert rewritten == got
+
+
+def test_mv_listing_cache_invalidation(spark, io):
+    from denali_spark.sources import SparkCatalogIO
+
+    _seed(spark, io)
+    q = "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k"
+    io.sql(q)
+    assert io.last_mv_rewrite is not None  # cache now holds rw.mv
+    # a SECOND session creates a better-matching... actually drops ours
+    other = SparkCatalogIO(spark, io.client.uri)
+    other.sql("DROP MATERIALIZED VIEW rw.mv")
+    # stale cache: the loop reloads each cached MV fresh, finds it gone,
+    # and falls back without error
+    df = io.sql(q)
+    assert io.last_mv_rewrite is None
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}
+    # cross-session CREATE becomes visible after explicit invalidation
+    other.sql("CREATE MATERIALIZED VIEW rw.mv2 AS "
+              "SELECT k, COUNT(*) AS n_rows FROM rw.facts GROUP BY k")
+    io.sql(q)
+    assert io.last_mv_rewrite is None  # cached listing predates mv2
+    io.invalidate_mv_cache()
+    io.sql(q)
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["view"] == "rw.mv2"

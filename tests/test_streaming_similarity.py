@@ -654,3 +654,47 @@ def test_pq_online_lifecycle(spark, tmp_path):
     assert read_streamed_pq(spark, qvec_dir, code_dir) is None
     rep2 = fold_streamed_pq(spark, SF, qvec_dir, code_dir, index_root=index_root)
     assert rep2["noop"] and rep2["generation"] == 1
+
+
+def test_fold_refuses_mixed_plane_batches(spark, tmp_path):
+    """At corpora past the adaptive-geometry threshold the default
+    (base-geometry) index sink and the corpus disagree on plane count —
+    folding would strand streamed vectors in buckets no probe ever hits,
+    so the fold must refuse with the remedy; batches stamped via
+    sf_dir-aware sinks fold fine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from denali_spark.operators.similarity import N_PLANES, lsh_planes
+    from denali_spark.streaming.embeddings_stream import (
+        fold_streamed_index,
+        make_embedding_index_sink,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    pq.write_table(pa.concat_tables([src] * 16),
+                   str(corpus / "embeddings.parquet"))
+    assert lsh_planes(str(corpus)) > N_PLANES
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = batch.select("vec_id", "embedding").limit(8)
+    bucket_dir = str(tmp_path / "buckets")
+    vec_dir = str(tmp_path / "vecs")
+
+    # default sink: base-geometry batch against an adaptive-geometry corpus
+    make_embedding_index_sink(bucket_dir, vec_dir)(batch, 0)
+    with _pytest.raises(ValueError, match="SRP planes"):
+        fold_streamed_index(spark, str(corpus), bucket_dir, vec_dir=vec_dir,
+                            index_root=str(tmp_path / "root"))
+
+    # sf_dir-aware sink stamps the corpus geometry — the fold proceeds
+    bucket_dir2 = str(tmp_path / "buckets2")
+    vec_dir2 = str(tmp_path / "vecs2")
+    make_embedding_index_sink(bucket_dir2, vec_dir2, sf_dir=str(corpus))(batch, 0)
+    res = fold_streamed_index(spark, str(corpus), bucket_dir2,
+                              vec_dir=vec_dir2,
+                              index_root=str(tmp_path / "root2"))
+    assert res["noop"] is False and res["generation"] == 1

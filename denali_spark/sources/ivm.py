@@ -144,11 +144,15 @@ class RollupSpec:
     where: str | None = None
 
     def __post_init__(self) -> None:
-        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs,
-                    *self.ndvs, *self.counts, *self.avgs, *_hidden_sums(self)]
+        out_cols = [*self.group_by, COUNT_COL, *self.sums, *self.mins,
+                    *self.maxs, *self.ndvs, *self.counts, *self.avgs,
+                    *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
-            raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
+            raise ValueError(
+                f"duplicate rollup output columns (grouping keys count — an "
+                f"aggregate alias must not shadow one): {sorted(dupes)}"
+            )
 
     def _qualified_source(self) -> str:
         return ".".join([*self.source_namespace, self.source_name])
@@ -241,6 +245,19 @@ def _key_cond(left: str, right: str, keys: list[str]):
         c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
         cond = c if cond is None else cond & c
     return cond
+
+
+def _net_tracked_filter(spec) -> "F.Column":
+    """Rescan trigger: net-negative AND at least one tracked value
+    non-NULL — NULL values can never move MIN/MAX/NDV (a recompute
+    ignores them), so a delete of an all-NULL-tracked row must not force
+    a pinned source rescan (mostly-NULL tracked columns would otherwise
+    rescan on every delete; the fold is provably exact for them)."""
+    any_value = None
+    for i in range(len(spec._tracked_exprs())):
+        c = F.col(f"_vals._v{i}").isNotNull()
+        any_value = c if any_value is None else (any_value | c)
+    return (F.col("_net") < 0) & any_value
 
 
 def _extrema_delta_from_net(net, rescan_keys, keys: list[str], spec):
@@ -377,7 +394,7 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             F.sum(sign).alias("_net")
         ).localCheckpoint(eager=False)
         rescan_keys = (
-            net.filter(F.col("_net") < 0)
+            net.filter(_net_tracked_filter(spec))
             .select(*keys)
             .distinct()
             .localCheckpoint(eager=False)
@@ -511,7 +528,10 @@ def _fold_delta_commit(
     zero = F.col(COUNT_COL) == 0
     for c in sum_cols:
         zero = zero & (F.coalesce(F.col(c), F.lit(0)) == 0)
-    delta = delta.filter(~zero)
+    # lazy checkpoint: the touched-group bounds aggregate below AND the
+    # final fold union both consume the delta — without the truncation
+    # each would re-run the changelog scan + delta aggregation
+    delta = delta.filter(~zero).localCheckpoint(eager=False)
 
     # One bounded agg over the touched groups (fold delta ∪ rescan keys)
     # drives the target file prune — the merge_into idiom. NULL group keys
@@ -692,11 +712,15 @@ class JoinRollupSpec:
     where: str | None = None
 
     def __post_init__(self) -> None:
-        out_cols = [COUNT_COL, *self.sums, *self.mins, *self.maxs,
-                    *self.ndvs, *self.counts, *self.avgs, *_hidden_sums(self)]
+        out_cols = [*self.group_by, COUNT_COL, *self.sums, *self.mins,
+                    *self.maxs, *self.ndvs, *self.counts, *self.avgs,
+                    *_hidden_sums(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
-            raise ValueError(f"duplicate rollup output columns: {sorted(dupes)}")
+            raise ValueError(
+                f"duplicate rollup output columns (grouping keys count — an "
+                f"aggregate alias must not shadow one): {sorted(dupes)}"
+            )
         if not self.on:
             raise ValueError("join rollup needs at least one equi-join key pair")
         if self.left_name == self.right_name:
@@ -926,9 +950,12 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
         d_right = _precancelled_changes(io, spec.right_namespace,
                                         spec.right_name, rw, r_cur)
         # NULL right keys never join — drop them so the key bounds below
-        # are always well-defined (and the fact read always prunable)
+        # are always well-defined (and the fact read always prunable).
+        # Lazy checkpoint: the bounds collect and the t2 join both read
+        # this delta — truncate so the dim changelog scans once.
         for _, rk in spec.on:
             d_right = d_right.filter(F.col(rk).isNotNull())
+        d_right = d_right.localCheckpoint(eager=False)
         rb = d_right.agg(
             F.count(F.lit(1)).alias("n"),
             *[F.min(rk).alias(f"lo_{rk}") for _, rk in spec.on],
@@ -969,7 +996,7 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
                 F.sum(w).alias("_net")
             ).localCheckpoint(eager=False)
             rescan_keys = (
-                net.filter(F.col("_net") < 0)
+                net.filter(_net_tracked_filter(spec))
                 .select(*keys)
                 .distinct()
                 .localCheckpoint(eager=False)
@@ -1024,7 +1051,6 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
 # ---------------------------------------------------------------------------
 
 SPEC_PROPERTY = "ivm.spec"
-_AGG_RE = None  # built lazily (module import stays regex-free)
 
 
 def _parse_agg_item(item: str):
@@ -1037,7 +1063,19 @@ def _parse_agg_item(item: str):
     )
     if not m:
         return None
-    return m.group(1).upper(), m.group(2).strip(), m.group(3)
+    expr = m.group(2).strip()
+    # the greedy capture spans sibling aggregates in items like
+    # "SUM(a) + SUM(b) AS total" — a well-formed single-aggregate
+    # argument never closes more parens than it opened
+    depth = 0
+    for ch in expr:
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth < 0:
+            return None
+    if depth != 0:
+        return None
+    return m.group(1).upper(), expr, m.group(3)
 
 
 def _strip_qualifier(col: str, tables: list[str]) -> str:
@@ -1108,8 +1146,14 @@ def parse_materialized_view_sql(
         if gpos >= 0 else ""
     )
 
+    # the alias slot must not swallow a join-type keyword: LEFT/RIGHT/
+    # FULL/CROSS/SEMI/ANTI joins are OUTSIDE the maintainable subset and
+    # must be REJECTED, not silently parsed as an inner join with the
+    # join type as the left table's alias
     jm = re.match(
-        r"([\w.]+)(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(\w+))?"
+        r"([\w.]+)(?:\s+(?:AS\s+)?"
+        r"(?!INNER\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|OUTER\b|SEMI\b|ANTI\b)"
+        r"(\w+))?"
         r"\s+(?:INNER\s+)?JOIN\s+"
         r"([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(.+)$",
         from_clause, re.IGNORECASE | re.DOTALL,
@@ -1311,11 +1355,15 @@ def dependent_materialized_views(
     return out
 
 
-def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
-                 md: dict) -> bool:
-    """True when the MV's stored watermark(s) equal the source(s)' CURRENT
-    snapshot — the maintained state is exactly the live answer. A
-    foreign-written MV (no watermark) is never fresh."""
+def mv_watermark_state(io: SparkCatalogIO,
+                       spec: "RollupSpec | JoinRollupSpec",
+                       md: dict) -> str:
+    """'fresh' (watermarks equal the sources' current snapshots — the
+    maintained state IS the live answer), 'stale' (valid watermarks, but
+    a source has moved on — the state is the view AS OF the watermark),
+    or 'invalid' (no watermark: a foreign write or a re-pointed source
+    invalidated the view — the contents are not the view at ANY
+    snapshot, and nothing may be served from them)."""
     try:
         if isinstance(spec, JoinRollupSpec):
             lw, rw = _join_watermarks(md, spec)
@@ -1323,14 +1371,23 @@ def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
                 spec.left_namespace, spec.left_name)["metadata"]
             r_md = io.client.load_table(
                 spec.right_namespace, spec.right_name)["metadata"]
-            return (l_md.get("current-snapshot-id") == lw
-                    and r_md.get("current-snapshot-id") == rw)
-        wm = _current_watermark(md, spec)
-        src_md = io.client.load_table(
-            spec.source_namespace, spec.source_name)["metadata"]
-        return src_md.get("current-snapshot-id") == wm
+            fresh = (l_md.get("current-snapshot-id") == lw
+                     and r_md.get("current-snapshot-id") == rw)
+        else:
+            wm = _current_watermark(md, spec)
+            src_md = io.client.load_table(
+                spec.source_namespace, spec.source_name)["metadata"]
+            fresh = src_md.get("current-snapshot-id") == wm
     except ValueError:
-        return False
+        return "invalid"
+    return "fresh" if fresh else "stale"
+
+
+def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
+                 md: dict) -> bool:
+    """True when the MV's stored watermark(s) equal the source(s)' CURRENT
+    snapshot (mv_watermark_state == 'fresh')."""
+    return mv_watermark_state(io, spec, md) == "fresh"
 
 
 def render_materialized_view_sql(spec: "RollupSpec | JoinRollupSpec") -> str:

@@ -59,7 +59,7 @@ from denali_spark.sources.ivm import (
     RollupSpec,
     _parse_agg_item,
     list_materialized_views,
-    mv_freshness,
+    mv_watermark_state,
     parse_materialized_view_sql,
     refresh_materialized_view,
 )
@@ -76,9 +76,14 @@ _WHERE_KEYWORDS = {
 
 
 def _norm(sql: str | None) -> str | None:
+    """Whitespace-collapsed, keyword-case-insensitive canonical form —
+    but string LITERALS keep their case ('Food' != 'food'; lowercasing
+    through quotes would match predicates that filter different rows)."""
     if sql is None:
         return None
-    return re.sub(r"\s+", " ", sql.strip()).lower()
+    s = re.sub(r"\s+", " ", sql.strip())
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    return "".join(p if i % 2 else p.lower() for i, p in enumerate(parts))
 
 
 def _conjuncts(where: str) -> list[str] | None:
@@ -299,6 +304,10 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         return None
     q, outputs, order_items, limit_n = parsed
     out_names = {alias for _fam, alias, _e in outputs}
+    if len(out_names) != len(outputs):
+        # duplicate output names are legal Spark SQL but unaddressable by
+        # name in the rewritten plan's cast step — base path handles them
+        return None
     if order_items is not None and any(
         name not in out_names for name, _dir in order_items
     ):
@@ -331,12 +340,24 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         if not ok:
             continue
 
-        fresh = mv_freshness(io, m, mv_md)
+        state = mv_watermark_state(io, m, mv_md)
+        if state == "invalid":
+            # foreign-written / re-pointed: the contents are not the view
+            # at ANY snapshot — no mode may serve them (stale-ok promises
+            # bounded staleness, not arbitrary data)
+            continue
+        fresh = state == "fresh"
         if mode == "fresh-only" and not fresh:
             continue
         if mode == "refresh" and not fresh:
-            refresh_materialized_view(io, mv_ns, mv_name)
-            fresh = True
+            try:
+                refresh_materialized_view(io, mv_ns, mv_name)
+                fresh = True
+            except Exception:  # noqa: BLE001 — expired watermark, CAS
+                # conflict, foreign write racing us: the refresh failing
+                # must degrade a plain SELECT to the base path, never
+                # fail it (run_maintenance owns loud refresh errors)
+                continue
 
         mv_df = io.read_table(mv_ns, mv_name)
         if extra_filter is not None:

@@ -1403,3 +1403,57 @@ def test_diamond_topology_refreshes_parent_first(spark, io):
     assert any("mv_b" in f for f in report["refresh_materialized_views_failed"])
     assert any("a_child" in sk
                for sk in report["refresh_materialized_views_skipped"])
+
+
+def test_outer_join_spellings_rejected(spark, io):
+    """LEFT/RIGHT/FULL/CROSS joins are outside the maintainable subset and
+    must be REJECTED — the alias slot must not swallow the join type and
+    silently build an INNER-join rollup."""
+    _append(spark, io, 0, 10)
+    _write_dims(spark, io, {0: "east"})
+    for jt in ("LEFT", "RIGHT", "FULL", "CROSS", "LEFT OUTER"):
+        with pytest.raises(ValueError, match="unsupported FROM clause"):
+            io.sql(f"CREATE MATERIALIZED VIEW ivm.bad_oj AS "
+                   f"SELECT region, COUNT(*) AS n_rows "
+                   f"FROM ivm.facts {jt} JOIN ivm.dims ON facts.k = dims.k "
+                   f"GROUP BY region")
+
+
+def test_aggregate_alias_shadowing_key_rejected():
+    with pytest.raises(ValueError, match="shadow"):
+        RollupSpec(
+            source_namespace=["ivm"], source_name="facts",
+            target_namespace=["ivm"], target_name="bad",
+            group_by=["k"], sums={"k": "CAST(amount AS DECIMAL(18,2))"},
+        )
+
+
+def test_sibling_aggregate_sum_rejected_cleanly(spark, io):
+    _append(spark, io, 0, 10)
+    with pytest.raises(ValueError, match="plain select items"):
+        io.sql("CREATE MATERIALIZED VIEW ivm.bad_sib AS "
+               "SELECT k, COUNT(*) AS n_rows, "
+               "SUM(amount) + SUM(id) AS total FROM ivm.facts GROUP BY k")
+
+
+def test_all_null_tracked_delete_stays_on_fold_path(spark, io):
+    """Deleting rows whose tracked value is NULL must not trigger a
+    rescan — NULLs can never move MIN/MAX (a recompute ignores them)."""
+    from decimal import Decimal
+
+    base = spark.createDataFrame(
+        [(i, i % 5, Decimal(i)) for i in range(40)]
+        + [(100 + i, i % 5, None) for i in range(10)],
+        "id long, k long, amount decimal(18,2)",
+    )
+    io.write_table(base.coalesce(1), ["ivm"], "facts", mode="append")
+    spec = RollupSpec(
+        source_namespace=["ivm"], source_name="facts",
+        target_namespace=["ivm"], target_name="facts_nullmin",
+        group_by=["k"], mins={"amount_min": "amount"},
+    )
+    create_rollup(io, spec)
+    delete_where(io, ["ivm"], "facts", E.gt_eq("id", 100))  # NULL rows only
+    res = refresh_rollup(io, spec)
+    assert res["rescanned_groups"] == 0
+    _assert_rollup_matches(io, spec)

@@ -309,3 +309,88 @@ def test_mv_listing_cache_invalidation(spark, io):
     io.sql(q)
     assert io.last_mv_rewrite is not None
     assert io.last_mv_rewrite["view"] == "rw.mv2"
+
+
+def test_left_join_query_never_served_from_inner_join_mv(spark, io):
+    io.write_table(_rows(spark, 0, 100).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    dims = spark.createDataFrame(
+        [(0, "east"), (1, "west")], "k long, region string"  # k=2..4 dangle
+    )
+    io.write_table(dims.coalesce(1), ["rw"], "dims", mode="overwrite")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_inner AS
+        SELECT region, COUNT(*) AS n_rows
+        FROM rw.facts JOIN rw.dims ON facts.k = dims.k GROUP BY region
+    """)
+    io.mv_rewrite = "fresh-only"
+    df = io.sql("SELECT region, COUNT(*) AS n FROM rw.facts f "
+                "LEFT JOIN rw.dims d ON f.k = d.k GROUP BY region")
+    assert io.last_mv_rewrite is None  # MUST NOT match the inner-join MV
+    got = {(r.region, r.n) for r in df.collect()}
+    assert (None, 60) in got  # the dangling-fact group the MV lacks
+
+
+def test_invalid_mv_never_served_even_stale_ok(spark, io):
+    _seed(spark, io)
+    # foreign write: contents are no longer the view at ANY snapshot
+    rogue = spark.createDataFrame(
+        [(99, 99, 1, None, 0, None, 0)],
+        "k long, j long, n_rows long, amount_sum decimal(28,2), "
+        "n_late long, amount_min decimal(24,8), id_max long",
+    )
+    io.write_table(rogue.select("k", "j", "n_rows", "amount_sum", "n_late",
+                                "amount_min", "id_max"),
+                   ["rw"], "mv", mode="append")
+    io.mv_rewrite = "stale-ok"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}
+
+
+def test_refresh_mode_failure_falls_back_to_base(spark, io):
+    from denali_spark.sources import expire_snapshots
+
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.write_table(_rows(spark, 300, 400).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    # trim the source past the MV watermark: an incremental refresh is
+    # underivable and raises — the SELECT must degrade to the base path
+    expire_snapshots(io, ["rw"], "facts", keep_last=1)
+    io.mv_rewrite = "refresh"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 80) for k in range(5)}
+
+
+def test_literal_case_is_significant_in_where_matching(spark, io):
+    io.write_table(
+        _rows(spark, 0, 100).withColumn(
+            "cat", F.when(F.col("id") % 2 == 0, "Food").otherwise("food")
+        ).coalesce(1),
+        ["rw"], "facts", mode="append",
+    )
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_lit AS
+        SELECT k, COUNT(*) AS n_rows
+        FROM rw.facts WHERE cat = 'Food' GROUP BY k
+    """)
+    io.mv_rewrite = "fresh-only"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+                "WHERE cat = 'food' GROUP BY k")
+    assert io.last_mv_rewrite is None  # different literal, different rows
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 10) for k in range(5)}
+    # identical-literal spelling still rewrites
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+           "WHERE cat = 'Food' GROUP BY k")
+    assert io.last_mv_rewrite is not None
+
+
+def test_duplicate_output_aliases_fall_back(spark, io):
+    _seed(spark, io)
+    df = io.sql("SELECT k, COUNT(*) AS x, MAX(id) AS x "
+                "FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+    assert df.count() == 5  # base path handles the duplicate names

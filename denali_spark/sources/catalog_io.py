@@ -3188,6 +3188,34 @@ class SparkCatalogIO:
             )
         loaded = self.client.load_table(namespace, name)
         md = loaded["metadata"]
+        # Align the incoming rows to the TABLE schema (INSERT INTO
+        # semantics): a df whose column type drifts from the table's —
+        # e.g. decimal(18,2) rows into a decimal(28,8) column — would
+        # otherwise write a physically mismatched parquet file that later
+        # scans refuse to read. Columns the df omits stay absent (the V3
+        # read-default path); unknown columns fail loudly (evolve the
+        # schema first). Only ATOMIC-to-ATOMIC drifts cast: _empty_df's
+        # strict=False DDL degrades nested types to string, so complex
+        # columns pass through untouched (their fidelity is owned by the
+        # format writers, e.g. the avro array path).
+        from pyspark.sql.types import AtomicType
+
+        target_fields = {f.name: f for f in self._empty_df(md).schema.fields}
+        unknown = [c for c in df.columns if c not in target_fields]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} are not in {'.'.join(namespace)}.{name}'s "
+                "schema — ALTER TABLE ... ADD COLUMN first"
+            )
+        aligned = []
+        for f in df.schema.fields:
+            t = target_fields[f.name].dataType
+            if (t != f.dataType and isinstance(t, AtomicType)
+                    and isinstance(f.dataType, AtomicType)):
+                aligned.append(F.col(f.name).cast(t))
+            else:
+                aligned.append(F.col(f.name))
+        df = df.select(*aligned)
         dedupe_value = None
         if dedupe_summary_key is not None:
             dedupe_value = (summary_extra or {}).get(dedupe_summary_key)

@@ -1298,12 +1298,13 @@ def test_minmax_ephemeral_row_is_not_folded(spark, io):
     _append(spark, io, 50, 100)
     create_rollup(io, EXTREMA_SPEC)
     # one refresh window: a would-be new minimum appears and vanishes,
-    # plus a legitimate surviving append to every group
-    from decimal import Decimal
-
-    ephemeral = spark.createDataFrame(
-        [(7000 + k, k, Decimal("-999.00")) for k in range(5)],
-        "id long, k long, amount decimal(18,2)",
+    # plus a legitimate surviving append to every group (amount typed
+    # exactly like _rows' division result so every file matches the
+    # table schema)
+    amount_type = _rows(spark, 0, 1).schema["amount"].dataType
+    ephemeral = spark.range(7000, 7005).select(
+        F.col("id"), (F.col("id") % 5).alias("k"),
+        F.lit("-999.00").cast(amount_type).alias("amount"),
     )
     io.write_table(ephemeral.coalesce(1), ["ivm"], "facts", mode="append")
     _append(spark, io, 100, 120)

@@ -1143,3 +1143,28 @@ def test_describe_marks_materialized_views(spark, io):
     # a plain table carries no MV section
     plain = {r.col_name for r in io.sql("DESCRIBE mvdesc.base").collect()}
     assert "# Materialized View" not in plain
+
+
+def test_append_aligns_atomic_types_to_table_schema(spark, io):
+    """An append whose column type drifted (decimal(18,2) rows into a
+    wider decimal column) must cast to the TABLE schema — a physically
+    mismatched parquet file would poison every later scan — and a df
+    naming an unknown column must fail loudly."""
+    from decimal import Decimal
+
+    wide = spark.range(0, 10).select(
+        "id", (F.col("id").cast("decimal(18,2)") / 4).alias("amount")
+    )
+    io.write_table(wide.coalesce(1), ["align"], "t", mode="overwrite")
+    narrow = spark.createDataFrame(
+        [(100, Decimal("-9.50"))], "id long, amount decimal(18,2)"
+    )
+    io.write_table(narrow, ["align"], "t", mode="append")
+    got = io.read_table(["align"], "t")
+    assert got.count() == 11  # every file readable
+    assert dict(got.dtypes)["amount"] == dict(wide.dtypes)["amount"]
+    assert got.filter(F.col("id") == 100).collect()[0].amount is not None
+
+    rogue = spark.createDataFrame([(1, 2)], "id long, nope long")
+    with pytest.raises(ValueError, match="ADD COLUMN first"):
+        io.write_table(rogue, ["align"], "t", mode="append")

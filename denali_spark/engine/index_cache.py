@@ -27,13 +27,34 @@ def cache_root(kind: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"denali-{kind}-index-{uid}")
 
 
-def corpus_fingerprint(sf_dir: str, table: str, geometry: str) -> str:
-    """Identity of (corpus file, index geometry): path + size + mtime_ns +
-    the geometry string. Any regeneration or retune produces a new key."""
-    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+def _corpus_stat_key(src: str) -> tuple:
+    """File-identity key for a corpus path. For a directory corpus this is
+    the sorted (name, size, mtime_ns) of the parquet part files — NOT the
+    directory's own stat: rewriting a part file in place (same file set)
+    need not bump the directory mtime, which would leave memoized row
+    counts — and hence adaptive index geometry — stale for the process
+    lifetime."""
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        return tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in parts
+            for st in (os.stat(os.path.join(src, f)),)
+        )
     st = os.stat(src)
+    return (st.st_size, st.st_mtime_ns)
+
+
+def corpus_fingerprint(sf_dir: str, table: str, geometry: str) -> str:
+    """Identity of (corpus file set, index geometry): per-part-file
+    name + size + mtime_ns plus the geometry string. Any regeneration,
+    in-place part rewrite, or retune produces a new key."""
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     return hashlib.sha256(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{geometry}".encode()
+        f"{src}|{_corpus_stat_key(src)}|{geometry}".encode()
     ).hexdigest()[:16]
 
 
@@ -42,14 +63,13 @@ _CORPUS_ROWS: dict[tuple, int] = {}
 
 def corpus_rows(sf_dir: str, table: str) -> int:
     """Row count of a corpus parquet (single file or a directory of part
-    files), from footer METADATA only and memoized per (path, mtime) —
-    geometry decisions (e.g. the corpus-adaptive LSH plane count) cost a
-    stat, never a scan."""
+    files), from footer METADATA only and memoized per file-set identity
+    (_corpus_stat_key) — geometry decisions (e.g. the corpus-adaptive LSH
+    plane count) cost a few stats, never a scan."""
     import pyarrow.parquet as pq
 
     src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
-    st = os.stat(src)
-    key = (src, st.st_mtime_ns)
+    key = (src, _corpus_stat_key(src))
     if key not in _CORPUS_ROWS:
         if os.path.isdir(src):
             n = sum(

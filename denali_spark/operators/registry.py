@@ -47,72 +47,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-14 order (computed from the merged
-# CORRECTNESS_r{01..13}.json latest-evidence rows): (1) queries NEW this
-# round — the three IVM/rewrite twins, so the round's flagship capability
-# attests immediately; (2) the 14 round-9-attested stragglers the r13 cap
-# parked at positions 50-65, plus the 2 rows-only queries (equally
-# r9-stale) — the staleness floor moves to r10; (3) round-10-attested
-# (first 31 fill the 50 cap; the remaining 19 lead r15); then (4) r11,
-# (5) r12, (6) r13 (freshest) last.
+# evidence goes stale. Round-15 order (computed from the merged
+# CORRECTNESS_r{01..14}.json latest-evidence rows): (1) the 19
+# round-10-attested queries the r14 cap parked at positions 50-68 — the
+# staleness floor moves to r11; (2) the 31 stalest round-11-attested fill
+# the 50 cap; then the remaining r11, (3) r12, (4) r13, (5) r14 (freshest)
+# last. Queries added mid-round are inserted at the FRONT so new
+# capabilities attest immediately.
 DRIVER_PRIORITY: list[str] = [
-    # --- NEW round-14 queries (attest THIS round: the IVM plane gets its
-    # first driver-hash evidence) ---
-    "ivm_rollup_vs_recompute",
-    "ivm_join_view_extrema",
-    "ivm_rewrite_rollup_reduction",
-    # --- round-9-attested remainder + the 2 rows-only queries (their
-    # rows-only driver rows are equally r9-stale): the staleness floor ---
-    "ts_asof_join_forward",
-    "ts_autocorr_lags",
-    "ts_changepoint_cusum",
-    "ts_dow_hour_heatmap",
-    "ts_ema_current",
-    "ts_interarrival_stats",
-    "ts_interpolate_linear",
-    "ts_ohlc_bars",
-    "ts_retention_cohorts",
-    "ts_seasonal_decompose",
-    "win_first_last",
-    "win_running_total",
-    "win_streaks",
-    "win_topn_per_group",
-    "ts_downsample_lttb",
-    "ts_ema_rows",
-    # --- round-10-attested (next-stalest; the first 31 fit the cap:
-    # 3 + 16 + 31 = 50; the remaining 19 lead the r15 rotation) ---
-    "agg_approx_sketches",
-    "agg_hll_mergeable_rollup",
-    "agg_mode_order_priority",
-    "agg_weighted_median",
-    "dedup_embedding_pairs",
-    "dedup_exact_keep_first",
-    "dedup_exact_stats",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "fn_array_ops",
-    "fn_conditional",
-    "fn_datetime_kitchen",
-    "fn_hash",
-    "fn_math_kitchen",
-    "fn_string_kitchen",
-    "fn_string_regex",
-    "graph_triangle_parts",
-    "mm_binary_metadata",
-    "mm_featurize",
-    "mm_frame_sample",
-    "mm_image_decode",
-    "mm_image_phash_pairs",
-    "mm_ppm_decode",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "sample_stratified",
-    "setop_intersect_all",
-    "sim_ivf_topk",
-    "sim_norms_stats",
-    # ---------------- 50-query sweep cap ----------------
+    # --- round-10-attested ---
     "sim_pq_topk",
     "sim_topk_bruteforce",
     "text_chunk_cdc",
@@ -234,7 +177,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_ntile_quartiles",
     "win_rank_parts_by_price",
     "win_rolling_quantile",
-    # --- round-13-attested (freshest, last) ---
+    # --- round-13-attested ---
     "agg_bloom_fpr_audit",
     "agg_conversion_wilson",
     "agg_count_min_sketch",
@@ -285,6 +228,57 @@ DRIVER_PRIORITY: list[str] = [
     "ts_asof_join_tolerance",
     "ts_concurrency_peak",
     "ts_time_to_convert",
+    # --- round-14-attested ---
+    "agg_approx_sketches",
+    "agg_hll_mergeable_rollup",
+    "agg_mode_order_priority",
+    "agg_weighted_median",
+    "dedup_embedding_pairs",
+    "dedup_exact_keep_first",
+    "dedup_exact_stats",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fn_array_ops",
+    "fn_conditional",
+    "fn_datetime_kitchen",
+    "fn_hash",
+    "fn_math_kitchen",
+    "fn_string_kitchen",
+    "fn_string_regex",
+    "graph_triangle_parts",
+    "ivm_join_view_extrema",
+    "ivm_rewrite_rollup_reduction",
+    "ivm_rollup_vs_recompute",
+    "mm_binary_metadata",
+    "mm_featurize",
+    "mm_frame_sample",
+    "mm_image_decode",
+    "mm_image_phash_pairs",
+    "mm_ppm_decode",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "sample_stratified",
+    "setop_intersect_all",
+    "sim_ivf_topk",
+    "sim_norms_stats",
+    "ts_asof_join_forward",
+    "ts_autocorr_lags",
+    "ts_changepoint_cusum",
+    "ts_dow_hour_heatmap",
+    "ts_downsample_lttb",
+    "ts_ema_current",
+    "ts_ema_rows",
+    "ts_interarrival_stats",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_retention_cohorts",
+    "ts_seasonal_decompose",
+    "win_first_last",
+    "win_running_total",
+    "win_streaks",
+    "win_topn_per_group",
 ]
 
 

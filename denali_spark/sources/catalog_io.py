@@ -446,6 +446,37 @@ def table_write_format(md: dict) -> str:
     return md.get("properties", {}).get("write.format.default", "parquet")
 
 
+def _is_safe_widening(src, tgt) -> bool:
+    """True when casting src→tgt is provably value-preserving, so
+    write_table may align rows to the table schema implicitly (INSERT
+    INTO semantics). Mirrors Iceberg's type-promotion rules (spec §Schema
+    Evolution: int→long, float→double, decimal precision growth) plus the
+    value-preserving decimal generalization (scale growth with integer-
+    digit headroom) and integral→decimal with headroom. Everything else —
+    narrowing, cross-family (string→int), timestamp drifts — must be an
+    explicit CAST by the caller: a plain cast would silently NULL or wrap
+    the lossy values instead of failing."""
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType, TimestampType, DateType,
+    )
+
+    int_digits = {ByteType: 3, ShortType: 5, IntegerType: 10, LongType: 19}
+    widen_chain = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(src, widen_chain) and isinstance(tgt, widen_chain):
+        return widen_chain.index(type(src)) <= widen_chain.index(type(tgt))
+    if isinstance(src, FloatType) and isinstance(tgt, DoubleType):
+        return True
+    if isinstance(src, DecimalType) and isinstance(tgt, DecimalType):
+        return (tgt.scale >= src.scale
+                and tgt.precision - tgt.scale >= src.precision - src.scale)
+    if isinstance(src, widen_chain) and isinstance(tgt, DecimalType):
+        return tgt.precision - tgt.scale >= int_digits[type(src)]
+    if isinstance(src, DateType) and isinstance(tgt, TimestampType):
+        return True
+    return False
+
+
 class CommitRetriesExhausted(Exception):
     pass
 
@@ -3212,6 +3243,20 @@ class SparkCatalogIO:
             t = target_fields[f.name].dataType
             if (t != f.dataType and isinstance(t, AtomicType)
                     and isinstance(f.dataType, AtomicType)):
+                # Fail-loud INSERT INTO contract: only value-preserving
+                # widenings cast implicitly (a plain cast would silently
+                # NULL/wrap lossy or cross-family drifts like string→int
+                # or overflowing long→int). The whitelist mirrors
+                # Iceberg's schema-promotion rules plus integral→decimal
+                # with integer-digit headroom.
+                if not _is_safe_widening(f.dataType, t):
+                    raise ValueError(
+                        f"column {f.name!r}: cannot implicitly cast "
+                        f"{f.dataType.simpleString()} to the table's "
+                        f"{t.simpleString()} — only lossless widenings "
+                        "are applied; CAST explicitly or evolve the "
+                        "table schema"
+                    )
                 aligned.append(F.col(f.name).cast(t))
             else:
                 aligned.append(F.col(f.name))

@@ -462,6 +462,7 @@ def refresh_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
         io, spec.target_namespace, spec.target_name, tgt_md,
         keys=keys, delta=delta, sum_cols=list(_all_sums(spec)),
         avgs=spec.avgs,
+        extrema_cols=[*spec.mins, *spec.maxs, *spec.ndvs],
         summary_base={WATERMARK_KEY: str(src_snap),
                       SOURCE_KEY: spec._qualified_source()},
         fold_extra_aggs=[
@@ -506,6 +507,7 @@ def _fold_delta_commit(
     summary_base: dict[str, str],
     fold_extra_aggs: list = (),
     avgs: dict[str, str] | None = None,
+    extrema_cols: list[str] = (),
     rescan_keys=None,
     n_rescan: int = 0,
     rescanned=None,
@@ -525,9 +527,17 @@ def _fold_delta_commit(
     # dropping the row is exact. A pure source compaction thus becomes a
     # watermark-only carry commit instead of a full-candidate rewrite
     # (the join path gets the same effect from _precancelled_changes).
+    # The multiset-unchanged argument has one exception: a net-negative
+    # all-NULL-tracked tuple is exempt from rescan (_net_tracked_filter —
+    # NULLs can't move extrema), so a NULL-tracked delete CAN cancel the
+    # row count of an insert carrying a new extremum; the attached
+    # extrema/NDV columns therefore also gate the drop — only a row whose
+    # tracked deltas are all NULL is provably pure churn.
     zero = F.col(COUNT_COL) == 0
     for c in sum_cols:
         zero = zero & (F.coalesce(F.col(c), F.lit(0)) == 0)
+    for c in extrema_cols:
+        zero = zero & F.col(c).isNull()
     # lazy checkpoint: the touched-group bounds aggregate below AND the
     # final fold union both consume the delta — without the truncation
     # each would re-run the changelog scan + delta aggregation
@@ -1029,6 +1039,7 @@ def refresh_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
         io, spec.target_namespace, spec.target_name, tgt_md,
         keys=keys, delta=delta, sum_cols=list(_all_sums(spec)),
         avgs=spec.avgs,
+        extrema_cols=[*spec.mins, *spec.maxs, *spec.ndvs],
         summary_base={
             LEFT_WATERMARK_KEY: str(l_cur), RIGHT_WATERMARK_KEY: str(r_cur),
             LEFT_SOURCE_KEY: spec._qualified_left(),

@@ -29,6 +29,12 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   precedence makes flat conjunct treatment unsafe);
 - a trailing ORDER BY over output columns and/or LIMIT n commute with
   answering from the summary and are reapplied to the rewritten plan;
+- a HAVING clause whose identifiers are all OUTPUT columns (select
+  aliases / grouping keys) commutes the same way: the post-aggregate
+  filter is applied to the re-aggregated summary before ORDER BY/LIMIT,
+  exactly where SQL evaluates it (HAVING over a raw aggregate spelling
+  like ``HAVING SUM(v) > 1`` falls back — conservative, like the
+  ORDER-BY-non-output rule);
 - freshness policy allows it (SparkCatalogIO.mv_rewrite):
   'fresh-only' (default) — only when the stored watermark(s) equal the
   sources' current snapshots, so the rewrite is provably the live answer;
@@ -201,6 +207,16 @@ def _parse_query(select_sql: str):
                 return None
             order_items.append((om.group(1), (om.group(2) or "ASC").upper()))
         s = s[:opos].rstrip()
+    # HAVING sits between GROUP BY and the (already stripped) ORDER BY,
+    # so it is now the tail; validated against the output names by the
+    # caller and reapplied to the re-aggregated summary
+    having = None
+    hpos = _find_top_level(s, "HAVING")
+    if hpos >= 0:
+        having = s[hpos + len("HAVING"):].strip()
+        if not having:
+            return None
+        s = s[:hpos].rstrip()
 
     norm_items: list[str] = []
     outputs: list[tuple[str, str, str | None]] = []
@@ -234,7 +250,7 @@ def _parse_query(select_sql: str):
         return None
     if spec.avgs or spec.ndvs:
         return None  # engine-semantics mismatch — module docstring
-    return spec, outputs, order_items, limit_n
+    return spec, outputs, having, order_items, limit_n
 
 
 def _sources_match(q, m) -> bool:
@@ -302,7 +318,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
     parsed = _parse_query(query)
     if parsed is None:
         return None
-    q, outputs, order_items, limit_n = parsed
+    q, outputs, having, order_items, limit_n = parsed
     out_names = {alias for _fam, alias, _e in outputs}
     if len(out_names) != len(outputs):
         # duplicate output names are legal Spark SQL but unaddressable by
@@ -312,6 +328,11 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         name not in out_names for name, _dir in order_items
     ):
         return None  # ordering by a non-output expression — fall back
+    if having is not None and not _where_is_key_only(having, list(out_names)):
+        # HAVING over anything but output columns (a raw aggregate
+        # spelling, a non-output column) — fall back; the base path
+        # answers it
+        return None
 
     for mv_ns, mv_name, m, mv_md in _candidate_mvs(io):
         if not _sources_match(q, m):
@@ -382,6 +403,10 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             out = mv_df.select(*q.group_by).distinct()
         else:
             continue
+        if having is not None:
+            # post-aggregate filter over output columns: SQL evaluates
+            # HAVING after grouping and before ORDER BY/LIMIT — same spot
+            out = out.filter(F.expr(having))
         # analyze (never execute) the base plan to pin the rewritten
         # result to the exact types the un-rewritten query would carry
         base = io.sql(query, _depth=1)
@@ -403,6 +428,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             "fresh": fresh,
             "reduced": set(m.group_by) != set(q.group_by),
             "filtered": extra_filter is not None,
+            "having": having is not None,
         }
         return out
     return None

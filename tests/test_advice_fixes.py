@@ -273,3 +273,88 @@ def test_connected_components_warns_on_round_cap(spark, monkeypatch, tmp_path):
         warnings.simplefilter("always")
         dedup.cc_label_index(spark, d).count()
     assert any("fixpoint" in str(w.message) for w in caught)
+
+
+# --- r15: write_table implicit casts are whitelisted widenings only --------
+
+
+def test_safe_widening_whitelist_unit():
+    from pyspark.sql.types import (
+        ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampType,
+    )
+
+    from denali_spark.sources.catalog_io import _is_safe_widening
+
+    ok = [
+        (IntegerType(), LongType()),
+        (ShortType(), IntegerType()),
+        (ByteType(), LongType()),
+        (FloatType(), DoubleType()),
+        (DecimalType(18, 2), DecimalType(28, 8)),   # scale + headroom grow
+        (DecimalType(18, 2), DecimalType(19, 2)),   # precision-only grow
+        (IntegerType(), DecimalType(12, 2)),        # 10 int digits fit
+        (LongType(), DecimalType(21, 2)),           # 19 int digits fit
+        (DateType(), TimestampType()),
+    ]
+    bad = [
+        (LongType(), IntegerType()),                # narrowing wraps
+        (DoubleType(), FloatType()),
+        (StringType(), LongType()),                 # cross-family NULLs
+        (LongType(), StringType()),
+        (DecimalType(28, 8), DecimalType(18, 2)),   # loses scale + headroom
+        (DecimalType(18, 2), DecimalType(20, 8)),   # headroom shrinks 16->12
+        (LongType(), DecimalType(18, 2)),           # 16 int digits < 19
+        (DoubleType(), DecimalType(38, 10)),        # float->exact is lossy
+        (TimestampType(), DateType()),
+    ]
+    for src, tgt in ok:
+        assert _is_safe_widening(src, tgt), f"{src} -> {tgt} should widen"
+    for src, tgt in bad:
+        assert not _is_safe_widening(src, tgt), f"{src} -> {tgt} must raise"
+
+
+def test_write_table_rejects_lossy_implicit_cast(spark, io):
+    ns = ["adv"]
+    io.write_table(
+        spark.createDataFrame([(1, 10)], "id long, v long").coalesce(1),
+        ns, "strict",
+    )
+    # string rows into a long column: a plain cast would silently NULL
+    with pytest.raises(ValueError, match="cannot implicitly cast"):
+        io.write_table(
+            spark.createDataFrame([(2, "oops")], "id long, v string"),
+            ns, "strict", mode="append",
+        )
+    # and a genuine widening still aligns implicitly
+    io.write_table(
+        spark.createDataFrame([(3, 30)], "id long, v int"),
+        ns, "strict", mode="append",
+    )
+    got = {(r.id, r.v) for r in io.read_table(ns, "strict").collect()}
+    assert got == {(1, 10), (3, 30)}
+
+
+# --- r15: corpus identity keys on part files, not the directory stat -------
+
+
+def test_corpus_stat_key_sees_inplace_part_rewrite(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from denali_spark.engine.index_cache import _corpus_stat_key, corpus_rows
+
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
+    assert corpus_rows(str(tmp_path), "docs") == 3
+    k1 = _corpus_stat_key(str(d))
+    # rewrite the part IN PLACE (same file set) with more rows; pin the
+    # directory mtime back so only the per-file key can notice
+    st = os.stat(d)
+    pq.write_table(pa.table({"x": [1, 2, 3, 4, 5]}), d / "part-0.parquet")
+    os.utime(d, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert _corpus_stat_key(str(d)) != k1
+    assert corpus_rows(str(tmp_path), "docs") == 5

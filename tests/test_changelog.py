@@ -99,7 +99,8 @@ def test_changelog_errors(spark, io):
     io.client.create_table(
         ns, name,
         {"type": "struct", "schema-id": 0,
-         "fields": [{"id": 1, "name": "id", "type": "long", "required": False}]},
+         "fields": [{"id": 1, "name": "id", "type": "long", "required": False},
+                    {"id": 2, "name": "v", "type": "long", "required": False}]},
     )
     with pytest.raises(ValueError, match="no snapshots"):
         read_changes(io, ns, name)

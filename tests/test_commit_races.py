@@ -1,0 +1,164 @@
+"""Concurrent-writer commit races at the Iceberg semantic level.
+
+The optimistic-concurrency story (SURVEY §3.2; reference: the catalog's
+assert-ref-snapshot-id CAS, `logic/updates.go` requirement checks) is only
+sound if a writer that LOSES the race re-plans from the fresh snapshot —
+replaying a stale file list would drop the winner's changes (lost update).
+
+These tests force the exact interleave: writer B's commit lands between
+writer A's plan and A's commit on the SAME files. The injection wraps A's
+client.commit_table so A's FIRST commit attempt runs B's full operation
+before posting — A's CAS then fails with 409, `row_ops._retrying` re-plans,
+and the second attempt must see B's changes (in particular, a copy-on-write
+rewrite must not resurrect rows B's merge-on-read delete removed).
+
+Every final state is checked against SERIAL execution of the same two ops
+in BOTH orders on twin tables — the op pairs are chosen to commute, so one
+expected state covers any serialization the CAS could produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from denali_spark.catalog import CatalogServer, make_state
+from denali_spark.sources import (
+    SparkCatalogIO,
+    delete_where,
+    equality_delete,
+    update_where,
+)
+from denali_spark.sources import expressions as E
+
+
+@pytest.fixture()
+def server(tmp_path):
+    s = CatalogServer(make_state(str(tmp_path / "wh"))).start()
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def io_a(spark, server):
+    return SparkCatalogIO(spark, server.uri)
+
+
+@pytest.fixture()
+def io_b(spark, server):
+    return SparkCatalogIO(spark, server.uri)
+
+
+def _seed(spark, io, name):
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") * 10).alias("v")
+    ).coalesce(1)  # ONE data file: both writers must touch the same file
+    io.write_table(df, ["race"], name, mode="append")
+
+
+def _interleave(io_a, b_op):
+    """Arm io_a so its NEXT commit_table call first runs b_op() (writer B
+    committing through its own client), then posts A's original — stale —
+    commit. Returns a dict that records how many commit attempts A made."""
+    real = io_a.client.commit_table
+    stats = {"attempts": 0}
+
+    def hooked(levels, name, requirements, updates):
+        stats["attempts"] += 1
+        if stats["attempts"] == 1:
+            b_op()  # B wins the race; A's parent snapshot is now stale
+        return real(levels, name, requirements, updates)
+
+    io_a.client.commit_table = hooked
+    return stats
+
+
+def _rows(io, name):
+    return {(r.id, r.v) for r in io.read_table(["race"], name).collect()}
+
+
+def _serial_state(spark, io, name, first, second):
+    _seed(spark, io, name)
+    first(name)
+    second(name)
+    return _rows(io, name)
+
+
+def test_mor_delete_lands_mid_cow_delete(spark, io_a, io_b):
+    """B's equality delete (ids 5 and 15) commits between A's CoW DELETE
+    (id < 10) plan and commit. A must re-plan and carry B's delete file:
+    id=15 stays deleted even though A's rewrite touches its file."""
+    _seed(spark, io_a, "t1")
+    a_op = lambda n: delete_where(io_a, ["race"], n, E.lt("id", 10))
+    b_keys = spark.createDataFrame([(5,), (15,)], "id long")
+    b_op = lambda n: equality_delete(io_b, ["race"], n, b_keys, on=["id"])
+
+    stats = _interleave(io_a, lambda: b_op("t1"))
+    a_op("t1")
+    assert stats["attempts"] == 2  # first CAS lost, re-planned once
+    got = _rows(io_a, "t1")
+
+    assert got == _serial_state(spark, io_b, "t1_ab", a_op, b_op)
+    assert got == _serial_state(spark, io_b, "t1_ba", b_op, a_op)
+    assert {i for i, _v in got} == set(range(10, 100)) - {15}
+
+
+def test_cow_update_vs_mor_delete_commutes(spark, io_a, io_b):
+    """B's equality delete (ids 20 and 70) lands mid-flight in A's CoW
+    UPDATE (v += 1000 where id < 50). The pair commutes: deleted rows are
+    gone whether or not the update touched them first."""
+    _seed(spark, io_a, "t2")
+    a_op = lambda n: update_where(
+        io_a, ["race"], n, E.lt("id", 50), {"v": "v + 1000"}
+    )
+    b_keys = spark.createDataFrame([(20,), (70,)], "id long")
+    b_op = lambda n: equality_delete(io_b, ["race"], n, b_keys, on=["id"])
+
+    stats = _interleave(io_a, lambda: b_op("t2"))
+    a_op("t2")
+    assert stats["attempts"] == 2
+    got = _rows(io_a, "t2")
+
+    assert got == _serial_state(spark, io_b, "t2_ab", a_op, b_op)
+    assert got == _serial_state(spark, io_b, "t2_ba", b_op, a_op)
+    assert (20, 1200) not in got and (20, 200) not in got
+    assert (5, 1050) in got and (60, 600) in got
+
+
+def test_two_cow_deletes_on_disjoint_predicates(spark, io_a, io_b):
+    """Both writers rewrite the SAME single data file with copy-on-write
+    deletes over disjoint predicates. The loser's re-plan must read the
+    winner's rewritten file — replaying its stale plan would resurrect
+    the winner's deleted rows."""
+    _seed(spark, io_a, "t3")
+    a_op = lambda n: delete_where(io_a, ["race"], n, E.lt("id", 10))
+    b_op = lambda n: delete_where(io_b, ["race"], n, E.gt_eq("id", 90))
+
+    stats = _interleave(io_a, lambda: b_op("t3"))
+    a_op("t3")
+    assert stats["attempts"] == 2
+    got = _rows(io_a, "t3")
+
+    assert got == _serial_state(spark, io_b, "t3_ab", a_op, b_op)
+    assert got == _serial_state(spark, io_b, "t3_ba", b_op, a_op)
+    assert {i for i, _v in got} == set(range(10, 90))
+
+
+def test_mor_delete_races_mor_delete(spark, io_a, io_b):
+    """Two merge-on-read equality deletes race: both are pure delete-file
+    appends, so the loser's retry just re-parents — and BOTH key sets
+    must be dead afterward."""
+    _seed(spark, io_a, "t4")
+    a_keys = spark.createDataFrame([(1,), (2,)], "id long")
+    b_keys = spark.createDataFrame([(2,), (3,)], "id long")
+    a_op = lambda n: equality_delete(io_a, ["race"], n, a_keys, on=["id"])
+    b_op = lambda n: equality_delete(io_b, ["race"], n, b_keys, on=["id"])
+
+    stats = _interleave(io_a, lambda: b_op("t4"))
+    a_op("t4")
+    assert stats["attempts"] == 2
+    got = _rows(io_a, "t4")
+
+    assert got == _serial_state(spark, io_b, "t4_ab", a_op, b_op)
+    assert {i for i, _v in got} == set(range(4, 100)) | {0}

@@ -313,6 +313,43 @@ def test_minmax_null_group_key_and_null_values(spark, io):
     _assert_rollup_matches(io, EXTREMA_SPEC)
 
 
+def test_null_tracked_delete_cannot_cancel_extrema_insert(spark, io):
+    """Zero-delta-drop soundness (r15): a NULL-tracked delete is exempt
+    from the rescan split (NULLs can't move extrema), so it CAN cancel the
+    row count of an insert carrying a new minimum inside one refresh
+    window. With a min-only spec (no sums) the count/sum zero predicate
+    alone would drop the delta row and silently discard the attached
+    extremum — the drop must also require all extrema columns NULL."""
+    spec = RollupSpec(
+        source_namespace=["ivm"],
+        source_name="facts",
+        target_namespace=["ivm"],
+        target_name="facts_min_only",
+        group_by=["k"],
+        mins={"amount_min": "amount"},
+    )
+    rows = [(1, 0, 10.00), (2, 0, None)]
+    df = spark.createDataFrame(rows, "id long, k long, amount_raw double").select(
+        "id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount")
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "facts", mode="append")
+    create_rollup(io, spec)
+
+    # one refresh window: delete the NULL-amount row AND insert a new min
+    keys = spark.createDataFrame([(2,)], "id long")
+    equality_delete(io, ["ivm"], "facts", keys, on=["id"])
+    ins = spark.createDataFrame([(3, 0, 5.00)], "id long, k long, amount_raw double").select(
+        "id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount")
+    )
+    io.write_table(ins.coalesce(1), ["ivm"], "facts", mode="append")
+
+    res = refresh_rollup(io, spec)
+    assert res["rescanned_groups"] == 0  # the NULL delete must NOT rescan
+    _assert_rollup_matches(io, spec)
+    got = io.read_table(["ivm"], "facts_min_only").collect()
+    assert [(r.k, str(r.amount_min)) for r in got] == [(0, "5.00")]
+
+
 def test_minmax_rescan_pins_source_snapshot(spark, io):
     _append(spark, io, 0, 100)
     create_rollup(io, EXTREMA_SPEC)

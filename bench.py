@@ -218,6 +218,33 @@ ivm_join_view_extrema, ivm_rewrite_rollup_reduction) are correctness
 queries that build throwaway warehouses — deliberately NOT in the
 headline (their cost is commit-protocol latency, not operator
 throughput; the ivm extras already time that economics cleanly).
+
+Round-15 per-mover adjudication (r14 verdict tasks 3+4). The three r14
+movers outside the uniform ~1.15x drift band, re-legged quiet-box
+(median-of-3, warm indexes, q1 as control reading 0.37s ~= its r13
+0.41s — i.e. box conditions at-or-faster than the r13 day):
+  - sim_lsh_bucket_topk: r13 0.79 -> r14 artifact 1.68 (2.11x) -> r15
+    warm re-leg 0.96 (1.21x, inside the sub-second jitter band).
+    Verdict: NOT a code regression — the r14 adaptive-lsh_planes change
+    altered the SRP bucket index cache key, so the driver's first timed
+    legs paid a cold index rebuild; the family was not pre-warmed by
+    index_timings. CLOSED structurally this round: index_timings now
+    prices sim-bucket + IVF-list builds on their own economics line and
+    leaves both warm before the headline loop (the same treatment every
+    other index family already had).
+  - dedup_incremental_shard: r13 1.40 -> r14 2.34 (1.67x) -> r15 warm
+    re-leg 1.27 (0.91x, FASTER than r13). Same verdict: cold signature/
+    bucket artifacts inside the timed region + box drift.
+  - sem_dedup_pairs: r13 0.47 -> r14 0.64 (1.37x) -> r15 warm re-leg
+    0.49 (1.06x). Same verdict; the IVF pre-warm closes it.
+NOTE for the r15-vs-r14 comparison: r15's per-part-file corpus
+fingerprints (engine/index_cache.py) change EVERY family's cache key
+once, so the r15 driver bench pays one rebuild per family — now inside
+index_timings' cold-build lines, not the headline medians. sf1_queries'
+kNN-family entries become {first_call, steady} pairs this round
+(sim_hard_negatives, dedup_embedding_lsh_pairs): first_call prices the
+index rebuild, steady is the min-of-2 warm cost — downstream ratio
+tooling should read the steady leg for scalar comparisons.
 """
 
 from __future__ import annotations
@@ -477,6 +504,27 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
     shutil.rmtree(phash_hash_index_path(sf_dir), ignore_errors=True)
     phcold = _time(lambda: phash_hash_index(spark, sf_dir).count(), runs=1)
     phwarm = _time(lambda: phash_hash_index(spark, sf_dir).count())
+    # r15 (r14 verdict task 3 adjudication): the SRP bucket index and the
+    # IVF inverted lists were the two headline-feeding families NOT
+    # pre-warmed here, so their one-off cold build landed inside the first
+    # timed leg of sim_lsh_bucket_topk / sem_dedup_pairs whenever the
+    # cache key changed (r14's adaptive-lsh_planes key change is exactly
+    # what put sim_lsh_bucket_topk at 2.11x in BENCH_r14; quiet-box warm
+    # re-leg reads 0.96s ~= the r13 0.79s + box drift). Price the builds
+    # on their own economics line and leave the indexes warm, like every
+    # other family.
+    from denali_spark.engine.index_cache import cache_root
+    from denali_spark.operators.similarity import (
+        ivf_inverted_lists,
+        lsh_bucket_index,
+    )
+
+    shutil.rmtree(cache_root("sim"), ignore_errors=True)
+    simcold = _time(lambda: lsh_bucket_index(spark, sf_dir).count(), runs=1)
+    simwarm = _time(lambda: lsh_bucket_index(spark, sf_dir).count())
+    shutil.rmtree(cache_root("ivf"), ignore_errors=True)
+    ivfcold = _time(lambda: ivf_inverted_lists(spark, sf_dir).count(), runs=1)
+    ivfwarm = _time(lambda: ivf_inverted_lists(spark, sf_dir).count())
     return {
         "minhash_cold_build": cold,
         "minhash_warm_read": warm,
@@ -489,6 +537,10 @@ def index_timings(spark, sf_dir: str) -> dict[str, float]:
         "cc_labels_warm_read": ccwarm,
         "phash_cold_build": phcold,
         "phash_warm_read": phwarm,
+        "sim_buckets_cold_build": simcold,
+        "sim_buckets_warm_read": simwarm,
+        "ivf_lists_cold_build": ivfcold,
+        "ivf_lists_warm_read": ivfwarm,
     }
 
 def server_plan_probe(spark, sf_dir: str) -> dict:
@@ -785,11 +837,32 @@ def main() -> None:
             result["sf1_cc_index_first_call"] = _time(
                 lambda: cc_label_index(spark, SF1_DIR).count(), runs=1
             )
-            result["sf1_queries"] = {
-                n: _time(lambda: REGISTRY[n].fn(spark, SF1_DIR).count())
-                for n in SF1_SUBSET
-                if n in REGISTRY
-            }
+            # r15 (r14 verdict task 4): the kNN-index family records
+            # {first_call, steady} PAIRS — the r14 artifact held only
+            # first-call legs (sim_hard_negatives 14.85s includes the
+            # adaptive index rebuild) and the ~13s steady-state claim
+            # lived in prose. first_call prices any index (re)build;
+            # steady is min-of-2 warm runs, the per-query cost that
+            # actually scales.
+            paired = ("sim_hard_negatives", "dedup_embedding_lsh_pairs")
+            sf1q: dict = {}
+            for n in SF1_SUBSET:
+                if n not in REGISTRY:
+                    continue
+                if n in paired:
+                    first = _time(
+                        lambda n=n: REGISTRY[n].fn(spark, SF1_DIR).count(),
+                        runs=1,
+                    )
+                    steady = _time(
+                        lambda n=n: REGISTRY[n].fn(spark, SF1_DIR).count()
+                    )
+                    sf1q[n] = {"first_call": first, "steady": steady}
+                else:
+                    sf1q[n] = _time(
+                        lambda n=n: REGISTRY[n].fn(spark, SF1_DIR).count()
+                    )
+            result["sf1_queries"] = sf1q
             result["skew"] = {
                 "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),
                 "sf1": _time(lambda: skew_join_hot_key(spark, SF1_DIR).count()),

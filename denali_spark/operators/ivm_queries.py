@@ -195,3 +195,69 @@ def ivm_rewrite_rollup_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from reg.mv_ps — the MV rewrite did not fire"
         )
     return _localize(spark, out, server, tmp)
+
+
+@query(
+    "ivm_rewrite_having_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 1
+    ORDER BY c_mktsegment
+    """,
+    tags=("ivm", "catalog", "rewrite", "join", "aggregate"),
+)
+def ivm_rewrite_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-15 rewrite shapes in one driver-checked lifecycle: a
+    (segment, priority) JOIN-view rollup is maintained; the user query
+    joins the same sources but groups by the COARSER key subset and
+    carries a HAVING tail over its output columns plus an ORDER BY — all
+    of which must commute with answering from the summary. The query runs
+    under mv_rewrite='refresh' against a deliberately STALE view (an
+    append and a merge-on-read delete landed after CREATE), so the io.sql
+    call itself folds the join delta (bilinear rule) before reducing the
+    summary; the function raises unless the rewrite fired with the
+    reduced+having flags set. The oracle recomputes the join + GROUP BY +
+    HAVING over the net rows."""
+    from denali_spark.engine.tables import load_table
+    from denali_spark.sources import equality_delete
+
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    io.write_table(customer, ["reg"], "customer", mode="append")
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_sp AS
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_rows,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price_dec
+        FROM reg.orders JOIN reg.customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    doomed = orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
+    equality_delete(io, ["reg"], "orders", doomed, on=["o_orderkey"])
+    io.mv_rewrite = "refresh"
+    out = io.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM reg.orders o JOIN reg.customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        HAVING n_orders > 1
+        ORDER BY c_mktsegment
+    """)
+    info = io.last_mv_rewrite
+    if info is None or not (info["reduced"] and info["having"] and info["fresh"]):
+        raise RuntimeError(
+            "expected the coarser HAVING query to be answered from "
+            f"reg.mv_sp after a refresh-mode fold — got {info!r}"
+        )
+    return _localize(spark, out, server, tmp)

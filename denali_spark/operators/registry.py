@@ -55,6 +55,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # last. Queries added mid-round are inserted at the FRONT so new
 # capabilities attest immediately.
 DRIVER_PRIORITY: list[str] = [
+    # --- NEW round-15 queries (attest THIS round) ---
+    "ivm_rewrite_having_join",
     # --- round-10-attested ---
     "sim_pq_topk",
     "sim_topk_bruteforce",

@@ -29,12 +29,17 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   precedence makes flat conjunct treatment unsafe);
 - a trailing ORDER BY over output columns and/or LIMIT n commute with
   answering from the summary and are reapplied to the rewritten plan;
-- a HAVING clause whose identifiers are all OUTPUT columns (select
-  aliases / grouping keys) commutes the same way: the post-aggregate
-  filter is applied to the re-aggregated summary before ORDER BY/LIMIT,
-  exactly where SQL evaluates it (HAVING over a raw aggregate spelling
-  like ``HAVING SUM(v) > 1`` falls back — conservative, like the
-  ORDER-BY-non-output rule);
+- a HAVING clause commutes the same way: the post-aggregate filter is
+  applied to the re-aggregated summary before ORDER BY/LIMIT, exactly
+  where SQL evaluates it. Raw aggregate spellings inside HAVING
+  (``HAVING SUM(expr) > 1 AND COUNT(*) < k`` — the portable form, since
+  classic SQL does not allow select aliases there) are mapped through
+  the SAME maintained-column lookup as select-list aggregates and
+  computed as hidden columns of the summary re-aggregation (dropped by
+  the final cast-to-base-schema projection) — even when the aggregate
+  is NOT in the select list; every remaining identifier must be an
+  output column (select alias / grouping key) or the rewrite falls
+  back, conservative like the ORDER-BY-non-output rule;
 - freshness policy allows it (SparkCatalogIO.mv_rewrite):
   'fresh-only' (default) — only when the stored watermark(s) equal the
   sources' current snapshots, so the rewrite is provably the live answer;
@@ -150,6 +155,54 @@ def _where_is_key_only(where: str, keys: list[str]) -> bool:
         if tok.lower() not in keyset and tok.lower() not in _WHERE_KEYWORDS:
             return False
     return True
+
+
+_AGG_CALL = re.compile(r"\b(sum|min|max|count)\s*\(", re.IGNORECASE)
+
+
+def _extract_agg_calls(text: str) -> list[tuple[int, int, str, str]] | None:
+    """Spans of aggregate calls in a post-aggregate predicate as
+    (start, end, FN, inner-expr), scanning OUTSIDE string literals with
+    balanced-paren matching (the inner expr may nest parens:
+    SUM(CAST(x AS DECIMAL(18,2)))). Returns None on unbalanced parens —
+    the caller must fall back rather than guess. Aggregates cannot nest
+    in a valid HAVING, so spans never overlap."""
+    spans: list[tuple[int, int, str, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        m = _AGG_CALL.match(text, i)
+        if m is None:
+            i += 1
+            continue
+        depth, j = 1, m.end()
+        while j < n and depth:
+            c = text[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "'":
+                j += 1
+                while j < n and text[j] != "'":
+                    j += 1
+            j += 1
+        if depth:
+            return None
+        spans.append((m.start(), j, m.group(1).upper(),
+                      text[m.end():j - 1].strip()))
+        i = j
+    return spans
 
 
 _OUTER_CAST = re.compile(
@@ -328,11 +381,11 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         name not in out_names for name, _dir in order_items
     ):
         return None  # ordering by a non-output expression — fall back
-    if having is not None and not _where_is_key_only(having, list(out_names)):
-        # HAVING over anything but output columns (a raw aggregate
-        # spelling, a non-output column) — fall back; the base path
-        # answers it
-        return None
+    having_spans = None
+    if having is not None:
+        having_spans = _extract_agg_calls(having)
+        if having_spans is None:
+            return None  # unbalanced parens — never guess
 
     for mv_ns, mv_name, m, mv_md in _candidate_mvs(io):
         if not _sources_match(q, m):
@@ -361,6 +414,42 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         if not ok:
             continue
 
+        # HAVING: map raw aggregate spellings through the SAME maintained-
+        # column lookup (computed as hidden summary aggregates, dropped by
+        # the final base-schema projection); whatever identifiers remain
+        # must be output columns. Per-MV, because a different candidate
+        # may maintain the aggregate this one lacks.
+        having_expr = having
+        hidden: list[tuple[str, "F.Column", str]] = []
+        if having is not None:
+            if out_names & {f"__h{i}" for i in range(len(having_spans))}:
+                continue  # pathological alias collision — base path
+            pieces, last = [], 0
+            for idx, (a, b, fn, inner) in enumerate(having_spans):
+                if fn == "COUNT" and inner == "*":
+                    hcol, hfam = F.sum(COUNT_COL), "count_star"
+                else:
+                    col = lookup.get((fn.lower(), _norm(inner)))
+                    if col is None:
+                        ok = False
+                        break
+                    hfam = fn.lower()
+                    hcol = {"sum": F.sum, "count": F.sum,
+                            "min": F.min, "max": F.max}[hfam](F.col(col))
+                alias = f"__h{idx}"
+                hidden.append((alias, hcol, hfam))
+                pieces.append(having[last:a])
+                pieces.append(alias)
+                last = b
+            if not ok:
+                continue
+            pieces.append(having[last:])
+            having_expr = "".join(pieces)
+            if not _where_is_key_only(
+                having_expr, [*out_names, *[h[0] for h in hidden]]
+            ):
+                continue
+
         state = mv_watermark_state(io, m, mv_md)
         if state == "invalid":
             # foreign-written / re-pointed: the contents are not the view
@@ -383,17 +472,26 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         mv_df = io.read_table(mv_ns, mv_name)
         if extra_filter is not None:
             mv_df = mv_df.filter(F.expr(extra_filter))
-        if plan:
+        if plan or hidden:
             # empty group_by = the grand-total reduction (groupBy() with
             # no columns is Spark's global aggregate). In that one case
             # COUNT-family outputs must coalesce to 0: a global COUNT
             # over zero base rows is 0, but SUM over the (empty) summary
             # is NULL — with grouping keys, empty groups simply do not
-            # exist in either plan, so no coalesce applies.
+            # exist in either plan, so no coalesce applies. Hidden HAVING
+            # aggregates ride the same .agg() (HAVING evaluates in the
+            # grouping scope) and are dropped by the base-schema
+            # projection below; a keys-only select with an aggregate
+            # HAVING lands here too — groupBy over the summary keys is
+            # exactly its DISTINCT.
             aggs = []
             for (fam, _alias, _e), (name, a) in zip(
                 [o for o in outputs if o[0] != "key"], plan
             ):
+                if not q.group_by and fam in ("count_star", "count"):
+                    a = F.coalesce(a, F.lit(0))
+                aggs.append(a.alias(name))
+            for name, a, fam in hidden:
                 if not q.group_by and fam in ("count_star", "count"):
                     a = F.coalesce(a, F.lit(0))
                 aggs.append(a.alias(name))
@@ -403,10 +501,13 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             out = mv_df.select(*q.group_by).distinct()
         else:
             continue
-        if having is not None:
-            # post-aggregate filter over output columns: SQL evaluates
-            # HAVING after grouping and before ORDER BY/LIMIT — same spot
-            out = out.filter(F.expr(having))
+        if having_expr is not None:
+            # post-aggregate filter over output columns + hidden mapped
+            # aggregates: SQL evaluates HAVING after grouping and before
+            # ORDER BY/LIMIT — same spot
+            out = out.filter(F.expr(having_expr))
+            if hidden:
+                out = out.drop(*[h[0] for h in hidden])
         # analyze (never execute) the base plan to pin the rewritten
         # result to the exact types the un-rewritten query would carry
         base = io.sql(query, _depth=1)
@@ -429,6 +530,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             "reduced": set(m.group_by) != set(q.group_by),
             "filtered": extra_filter is not None,
             "having": having is not None,
+            "having_mapped_aggs": len(hidden),
         }
         return out
     return None

@@ -427,12 +427,38 @@ def test_having_on_grand_total(spark, io):
     assert io.sql("SELECT COUNT(*) AS n FROM rw.facts HAVING n > 1000").count() == 0
 
 
-def test_having_over_raw_aggregate_falls_back(spark, io):
+def test_having_raw_aggregate_maps_to_maintained_column(spark, io):
+    """r15b: the portable HAVING spelling (raw aggregate calls, which
+    classic SQL requires since aliases are not in scope there) maps
+    through the maintained-column lookup — even when the aggregate is
+    NOT in the select list — and is computed as a hidden column of the
+    summary re-aggregation."""
     _seed(spark, io)
-    # raw aggregate spelling in HAVING references a non-output identifier
-    # (amount) — conservative fall back; base path answers it
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k "
+                     "HAVING SUM(CAST(amount AS DECIMAL(18,2))) > 900 "
+                     "AND COUNT(*) > 1")
+    assert info["having"] is True and info["having_mapped_aggs"] == 2
+
+
+def test_having_mapped_extrema_on_grand_total(spark, io):
+    _seed(spark, io)
+    # grand total + hidden MAX: both plans emit one row iff the filter
+    # holds globally
+    info = _both(io, "SELECT COUNT(*) AS n FROM rw.facts "
+                     "HAVING MAX(id) >= 199")
+    assert info["reduced"] is True and info["having_mapped_aggs"] == 1
+    io.mv_rewrite = "fresh-only"
+    df = io.sql("SELECT COUNT(*) AS n FROM rw.facts HAVING MAX(id) > 500")
+    assert io.last_mv_rewrite is not None
+    assert df.count() == 0
+
+
+def test_having_unmaintained_aggregate_falls_back(spark, io):
+    _seed(spark, io)
+    # SUM(id) is not a maintained column of rw.mv — conservative fall
+    # back; the base path answers it
     df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k "
-                "HAVING SUM(CAST(amount AS DECIMAL(18,2))) > 900")
+                "HAVING SUM(id) > 100")
     assert io.last_mv_rewrite is None
     assert df.count() > 0
 

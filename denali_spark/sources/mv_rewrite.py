@@ -40,6 +40,12 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   is NOT in the select list; every remaining identifier must be an
   output column (select alias / grouping key) or the rewrite falls
   back, conservative like the ORDER-BY-non-output rule;
+- when SEVERAL maintained MVs subsume the query, the one with the
+  fewest current summary rows serves it (the snapshot's total-records
+  property — no data read): a GROUP BY k answerable from both a (k, j)
+  and a (k) rollup reads the |k|-row summary, not the |k x j| one;
+  freshness misses and failed refreshes fall through to the
+  next-cheapest subsumer;
 - freshness policy allows it (SparkCatalogIO.mv_rewrite):
   'fresh-only' (default) — only when the stored watermark(s) equal the
   sources' current snapshots, so the rewrite is provably the live answer;
@@ -357,6 +363,23 @@ def _candidate_mvs(io):
     return out
 
 
+def _mv_row_estimate(mv_md: dict) -> int:
+    """Current summary-row count of an MV from its snapshot's standard
+    total-records summary property — the cost key for choosing among
+    multiple subsuming MVs. Missing evidence sorts LAST (never blocks a
+    rewrite, just deprioritizes the unknown-size candidate)."""
+    ref = mv_md.get("refs", {}).get("main")
+    snap = next(
+        (s for s in mv_md.get("snapshots", [])
+         if ref and s["snapshot-id"] == ref["snapshot-id"]),
+        None,
+    )
+    try:
+        return int((snap or {}).get("summary", {}).get("total-records"))
+    except (TypeError, ValueError):
+        return 1 << 62
+
+
 def try_rewrite(io, query: str) -> DataFrame | None:
     """Attempt to answer `query` from a maintained MV. Returns the
     rewritten DataFrame (cast to the base plan's schema) or None to fall
@@ -387,6 +410,15 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         if having_spans is None:
             return None  # unbalanced parens — never guess
 
+    # Phase 1 — MATCH (pure, no side effects): collect every MV that
+    # provably subsumes the query. Phase 2 serves from the match with the
+    # FEWEST summary rows (the snapshot's total-records): when both a
+    # (k, j) and a coarser (k) rollup subsume a GROUP BY k, re-aggregating
+    # the coarser one reads |k| rows instead of |k x j| — at 100 TB the
+    # summaries differ by orders of magnitude while answering identically.
+    # Freshness/refresh checks stay in phase 2 so a fresh-only miss (or a
+    # failed refresh) on the cheapest falls through to the next-cheapest.
+    matches = []
     for mv_ns, mv_name, m, mv_md in _candidate_mvs(io):
         if not _sources_match(q, m):
             continue
@@ -449,7 +481,13 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 having_expr, [*out_names, *[h[0] for h in hidden]]
             ):
                 continue
+        matches.append((_mv_row_estimate(mv_md), len(matches), mv_ns,
+                        mv_name, m, mv_md, extra_filter, plan,
+                        having_expr, hidden))
 
+    # Phase 2 — SERVE, cheapest summary first (listing order breaks ties)
+    for (_est, _ord, mv_ns, mv_name, m, mv_md, extra_filter, plan,
+         having_expr, hidden) in sorted(matches, key=lambda t: t[:2]):
         state = mv_watermark_state(io, m, mv_md)
         if state == "invalid":
             # foreign-written / re-pointed: the contents are not the view
@@ -531,6 +569,8 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             "filtered": extra_filter is not None,
             "having": having is not None,
             "having_mapped_aggs": len(hidden),
+            "candidates": len(matches),
+            "summary_rows": None if _est >= (1 << 62) else _est,
         }
         return out
     return None

@@ -162,3 +162,79 @@ def test_mor_delete_races_mor_delete(spark, io_a, io_b):
 
     assert got == _serial_state(spark, io_b, "t4_ab", a_op, b_op)
     assert {i for i, _v in got} == set(range(4, 100)) | {0}
+
+
+def _ivm_seed(spark, io, name):
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 5).alias("k"),
+        (F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+    io.write_table(df.coalesce(1), ["race"], name, mode="append")
+
+
+def _ivm_append(spark, io, name, lo, hi):
+    df = spark.range(lo, hi).select(
+        "id", (F.col("id") % 5).alias("k"),
+        (F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+    io.write_table(df.coalesce(1), ["race"], name, mode="append")
+
+
+def test_concurrent_refresh_is_single_maintainer(spark, io_a, io_b):
+    """Two refreshers race on one rollup: the CAS loser must fail LOUDLY
+    with the single-maintainer error (an IVM refresh is not a blind
+    retry — the winner already advanced the watermark, so replaying the
+    loser's fold would double-apply the delta), and a subsequent re-run
+    against the new state is a clean no-op."""
+    from denali_spark.sources import RollupSpec, create_rollup, refresh_rollup
+
+    _ivm_seed(spark, io_a, "f5")
+    spec = RollupSpec(
+        source_namespace=["race"], source_name="f5",
+        target_namespace=["race"], target_name="f5_by_k",
+        group_by=["k"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    )
+    create_rollup(io_a, spec)
+    _ivm_append(spark, io_a, "f5", 100, 200)
+
+    stats = _interleave(io_a, lambda: refresh_rollup(io_b, spec))
+    with pytest.raises(RuntimeError, match="single-maintainer"):
+        refresh_rollup(io_a, spec)
+    assert stats["attempts"] == 1
+    # the winner's refresh landed in full; re-running is a watermark no-op
+    assert refresh_rollup(io_a, spec)["noop"] is True
+    got = {(r.k, r.n_rows) for r in
+           io_a.read_table(["race"], "f5_by_k").select("k", "n_rows").collect()}
+    assert got == {(k, 40) for k in range(5)}
+
+
+def test_source_append_during_refresh_stays_watermark_pinned(spark, io_a, io_b):
+    """A SOURCE append landing mid-refresh must not leak into the running
+    refresh (its changelog range and rescans are pinned at the watermark
+    snapshot) and must not conflict with it either (the refresh commits
+    to the TARGET table). The racing rows belong to the NEXT refresh."""
+    from denali_spark.sources import RollupSpec, create_rollup, refresh_rollup
+
+    _ivm_seed(spark, io_a, "f6")
+    spec = RollupSpec(
+        source_namespace=["race"], source_name="f6",
+        target_namespace=["race"], target_name="f6_by_k",
+        group_by=["k"],
+        sums={"amount_sum": "CAST(amount AS DECIMAL(18,2))"},
+    )
+    create_rollup(io_a, spec)
+    _ivm_append(spark, io_a, "f6", 100, 150)
+
+    stats = _interleave(
+        io_a, lambda: _ivm_append(spark, io_b, "f6", 150, 200)
+    )
+    res = refresh_rollup(io_a, spec)
+    assert res["noop"] is False and stats["attempts"] == 1  # no CAS conflict
+    counts = {(r.k, r.n_rows) for r in
+              io_a.read_table(["race"], "f6_by_k").select("k", "n_rows").collect()}
+    assert counts == {(k, 30) for k in range(5)}  # racing rows EXCLUDED
+    refresh_rollup(io_a, spec)  # the next refresh folds them
+    counts = {(r.k, r.n_rows) for r in
+              io_a.read_table(["race"], "f6_by_k").select("k", "n_rows").collect()}
+    assert counts == {(k, 40) for k in range(5)}

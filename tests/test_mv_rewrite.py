@@ -497,3 +497,42 @@ def test_join_view_coarser_key_reduction(spark, io):
                      "FROM rw.facts f JOIN rw.dims d ON f.k = d.k "
                      "GROUP BY region HAVING n > 50")
     assert info["having"] is True and info["reduced"] is True
+
+
+def test_cheapest_subsuming_mv_wins(spark, io):
+    """r15c: cost-based candidate choice — when both a fine (k, j) and a
+    coarse (k) rollup subsume a GROUP BY k, the rewrite must read the
+    smaller summary (snapshot total-records), regardless of listing
+    order."""
+    _seed(spark, io)  # creates rw.mv over (k, j) — 10 summary rows
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_k AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
+        FROM rw.facts GROUP BY k
+    """)  # 5 summary rows — the cheaper subsumer
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert info["view"] == "rw.mv_k" and info["candidates"] == 2
+    assert info["summary_rows"] == 5
+    # the finer grouping is only answerable from the (k, j) MV
+    info = _both(io, "SELECT k, j, COUNT(*) AS n FROM rw.facts GROUP BY k, j")
+    assert info["view"] == "rw.mv" and info["candidates"] == 1
+
+
+def test_stale_cheapest_falls_through_to_fresh_subsumer(spark, io):
+    _seed(spark, io)
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_k AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
+        FROM rw.facts GROUP BY k
+    """)
+    # stale BOTH, then refresh only the fine (expensive) one
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.sql("REFRESH MATERIALIZED VIEW rw.mv")
+    io.mv_rewrite = "fresh-only"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    info = io.last_mv_rewrite
+    assert info is not None and info["view"] == "rw.mv"  # cheap one stale
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 60) for k in range(5)}

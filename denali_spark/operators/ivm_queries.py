@@ -215,8 +215,10 @@ def ivm_rewrite_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-15 rewrite shapes in one driver-checked lifecycle: a
     (segment, priority) JOIN-view rollup is maintained; the user query
     joins the same sources but groups by the COARSER key subset and
-    carries a HAVING tail over its output columns plus an ORDER BY — all
-    of which must commute with answering from the summary. The query runs
+    carries a HAVING tail in the portable raw-aggregate spelling
+    (HAVING COUNT(*) > 1 — mapped through the maintained-column lookup
+    as a hidden summary aggregate) plus an ORDER BY — all of which must
+    commute with answering from the summary. The query runs
     under mv_rewrite='refresh' against a deliberately STALE view (an
     append and a merge-on-read delete landed after CREATE), so the io.sql
     call itself folds the join delta (bilinear rule) before reducing the
@@ -251,11 +253,12 @@ def ivm_rewrite_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS total_price
         FROM reg.orders o JOIN reg.customer c ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment
-        HAVING n_orders > 1
+        HAVING COUNT(*) > 1
         ORDER BY c_mktsegment
     """)
     info = io.last_mv_rewrite
-    if info is None or not (info["reduced"] and info["having"] and info["fresh"]):
+    if info is None or not (info["reduced"] and info["having"] and info["fresh"]
+                            and info["having_mapped_aggs"] == 1):
         raise RuntimeError(
             "expected the coarser HAVING query to be answered from "
             f"reg.mv_sp after a refresh-mode fold — got {info!r}"

@@ -754,6 +754,10 @@ class SparkCatalogIO:
         table's Iceberg `write.<op>.mode` property; WHERE clauses parse
         into the scan-expression grammar so file pruning applies.
 
+        Plan inspection (round 15): `EXPLAIN [EXTENDED|FORMATTED] <select>`
+        returns the resolved plan WITHOUT executing it, headed by the
+        materialized-view rewrite verdict (_sql_explain).
+
         String literals are masked before the textual rewrite (so a
         literal containing `ns.table` is never rewritten) and restored
         before execution; the literals following `AS OF` stay live because
@@ -907,6 +911,14 @@ class SparkCatalogIO:
             )
             if m:
                 return self._sql_describe(m.group(2), extended=bool(m.group(1)))
+            m = _re.match(
+                r"\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+)?(SELECT\b.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_explain(
+                    m.group(2), (m.group(1) or "").strip().upper()
+                )
             m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,
@@ -1715,6 +1727,38 @@ class SparkCatalogIO:
         return self._dml_summary(
             qualified, "truncate", "overwrite",
             res if isinstance(res, dict) else {},
+        )
+
+    def _sql_explain(self, select_sql: str, mode: str) -> DataFrame:
+        """EXPLAIN [EXTENDED|FORMATTED] <select> — the plan-inspection
+        surface for the catalog SQL flow: resolves the SELECT exactly as
+        sql() would (catalog reads, time travel, the MV-rewrite pass under
+        the session's mv_rewrite policy) WITHOUT executing it, and returns
+        one 'plan' row, headed by the materialized-view rewrite verdict
+        (the served view + freshness/reduction flags, or 'not applied')
+        so operators can see WHY a query reads a summary table. Under
+        mv_rewrite='refresh' the explain folds a stale view's delta first,
+        exactly as the query itself would. FORMATTED mirrors Spark's
+        codegen-span view; EXTENDED includes the analyzed/optimized trees."""
+        import json as _json
+
+        df = self.sql(select_sql)
+        info = self.last_mv_rewrite
+        qe = df._jdf.queryExecution()
+        text = None
+        if mode == "FORMATTED":
+            try:
+                jem = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                text = qe.explainString(jem.fromString("formatted"))
+            except Exception:  # noqa: BLE001 — JVM surface drift: degrade
+                text = None
+        if text is None:
+            text = qe.toString() if mode == "EXTENDED" else qe.simpleString()
+        header = "== Materialized View Rewrite ==\n" + (
+            _json.dumps(info) if info else "not applied"
+        )
+        return self.spark.createDataFrame(
+            [(header + "\n\n" + text,)], "plan string"
         )
 
     def _sql_show(self, what: str, rest: str) -> DataFrame:

@@ -536,3 +536,26 @@ def test_stale_cheapest_falls_through_to_fresh_subsumer(spark, io):
     info = io.last_mv_rewrite
     assert info is not None and info["view"] == "rw.mv"  # cheap one stale
     assert {(r.k, r.n) for r in df.collect()} == {(k, 60) for k in range(5)}
+
+
+def test_explain_surfaces_the_rewrite_verdict(spark, io):
+    """r15d: EXPLAIN through io.sql resolves the SELECT exactly as sql()
+    would — including the MV-rewrite pass — without executing it, and
+    heads the plan text with the rewrite verdict."""
+    _seed(spark, io)
+    io.mv_rewrite = "fresh-only"
+    plan = io.sql("EXPLAIN SELECT k, COUNT(*) AS n FROM rw.facts "
+                  "GROUP BY k").collect()[0].plan
+    assert "Materialized View Rewrite" in plan
+    assert '"view": "rw.mv"' in plan and "Physical Plan" in plan
+    io.mv_rewrite = "off"
+    plan = io.sql("EXPLAIN SELECT k, COUNT(*) AS n FROM rw.facts "
+                  "GROUP BY k").collect()[0].plan
+    assert "not applied" in plan
+    io.mv_rewrite = "fresh-only"
+    plan = io.sql("EXPLAIN FORMATTED SELECT k, COUNT(*) AS n "
+                  "FROM rw.facts GROUP BY k").collect()[0].plan
+    assert "Materialized View Rewrite" in plan and len(plan) > 100
+    plan = io.sql("EXPLAIN EXTENDED SELECT COUNT(*) AS n "
+                  "FROM rw.facts").collect()[0].plan
+    assert "Analyzed Logical Plan" in plan or "Parsed Logical Plan" in plan

@@ -4156,14 +4156,26 @@ def _parquet_stats(path: str) -> dict:
                 name = col.path_in_schema
                 if "." in name:  # nested leaves: not prunable by top-level name
                     continue
-                st = col.statistics
                 entry = cols.setdefault(
                     name, {"min": None, "max": None, "null-count": 0, "ok": True}
                 )
-                if st is None or not st.has_min_max:
+                # Per-column isolation: pyarrow's Statistics.min/.max RAISE
+                # ArrowNotImplementedError for physical types it cannot cast
+                # (e.g. FLBA-backed wide decimals, binary sketch columns)
+                # even when has_min_max is true. One unextractable column
+                # must cost only ITS min/max, never the file's record
+                # count — losing record-count zeroes the snapshot's
+                # total-records (which the MV-rewrite cost chooser and
+                # UIs read) and blanks delete accounting.
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        entry["ok"] = False
+                        continue
+                    lo, hi = _json_stat_value(st.min), _json_stat_value(st.max)
+                except Exception:  # noqa: BLE001 — stats are best-effort
                     entry["ok"] = False
                     continue
-                lo, hi = _json_stat_value(st.min), _json_stat_value(st.max)
                 if lo is None or hi is None:
                     entry["ok"] = False
                     continue

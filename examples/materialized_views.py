@@ -103,6 +103,36 @@ df.show()
 print("answered from:", io.last_mv_rewrite)
 assert io.last_mv_rewrite is not None
 
+# round 15: HAVING tails commute with the reduction — the portable raw
+# aggregate spelling maps through the maintained columns (computed as
+# hidden summary aggregates, even when not in the select list), and
+# EXPLAIN heads the resolved plan with the rewrite verdict
+df = io.sql("SELECT k, COUNT(*) AS n FROM shop.sales WHERE amount > 10 "
+            "GROUP BY k HAVING SUM(CAST(amount AS DECIMAL(18,2))) > 100 "
+            "ORDER BY n DESC LIMIT 3")
+df.show()
+assert io.last_mv_rewrite is not None
+assert io.last_mv_rewrite["having_mapped_aggs"] == 1
+print(io.sql("EXPLAIN SELECT k, COUNT(*) AS n FROM shop.sales "
+             "WHERE amount > 10 GROUP BY k").collect()[0].plan
+      .split("\n")[1][:120])
+
+# round 15: with SEVERAL subsuming MVs the rewrite serves from the one
+# with the FEWEST summary rows (snapshot total-records — metadata only):
+# the finer (k, id) rollup below also subsumes GROUP BY k, but the
+# 5-row shop.sales_mv summary wins over its ~11.5k rows
+io.sql("""
+    CREATE MATERIALIZED VIEW shop.sales_fine AS
+    SELECT k, id, COUNT(*) AS n_rows, MIN(amount) AS amount_min
+    FROM shop.sales WHERE amount > 10 GROUP BY k, id
+""")
+io.sql("SELECT k, COUNT(*) AS n FROM shop.sales WHERE amount > 10 GROUP BY k")
+info = io.last_mv_rewrite
+print("cheapest subsumer:", info["view"], "summary_rows:",
+      info["summary_rows"], "of", info["candidates"], "candidates")
+assert info["view"] == "shop.sales_mv" and info["candidates"] == 2
+io.sql("DROP MATERIALIZED VIEW shop.sales_fine")
+
 io.sql("DROP MATERIALIZED VIEW shop.region_ext")
 
 # day-2 ops: maintenance refreshes dependent MVs BEFORE snapshot expiry,

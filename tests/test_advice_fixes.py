@@ -358,3 +358,31 @@ def test_corpus_stat_key_sees_inplace_part_rewrite(tmp_path):
     os.utime(d, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert _corpus_stat_key(str(d)) != k1
     assert corpus_rows(str(tmp_path), "docs") == 5
+
+
+# --- r15: one unextractable column must not cost the file's stats ----------
+
+
+def test_parquet_stats_survive_unextractable_column(spark, tmp_path):
+    """pyarrow's Statistics.min/.max raise ArrowNotImplementedError for
+    physical types they cannot cast (FLBA-backed wide decimals, binary).
+    The footer-stats reader must lose only THAT column's min/max — losing
+    record-count zeroed total-records on every MV carrying a wide-decimal
+    sum, which the rewrite cost chooser reads."""
+    from denali_spark.sources.catalog_io import _parquet_stats
+
+    path = str(tmp_path / "wide")
+    spark.range(0, 7).select(
+        "id",
+        (F.col("id").cast("decimal(28,2)") * 3).alias("wide"),
+        F.expr("sha2(CAST(id AS STRING), 256)").alias("s"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    import os
+
+    part = next(os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet"))
+    stats = _parquet_stats(part)
+    assert stats["record-count"] == 7
+    assert stats["file-size-bytes"] > 0
+    # the extractable columns keep their pruning bounds
+    assert stats["stats"]["id"]["min"] == 0 and stats["stats"]["id"]["max"] == 6

@@ -1495,3 +1495,42 @@ def test_all_null_tracked_delete_stays_on_fold_path(spark, io):
     res = refresh_rollup(io, spec)
     assert res["rescanned_groups"] == 0
     _assert_rollup_matches(io, spec)
+
+
+def test_join_null_tracked_delete_cannot_cancel_extrema_insert(spark, io):
+    """Join-path twin of the r15 zero-delta-drop fix: the bilinear fact
+    delta can pair a NULL-tracked delete (rescan-exempt) with an insert
+    carrying a new minimum in one refresh window; with a min-only join
+    spec the count/sum zero predicate alone would drop the group's delta
+    row and discard the extremum. The extrema-column guard on the shared
+    fold tail must keep it."""
+    rows = [(1, 0, 10.00), (2, 0, None)]
+    df = spark.createDataFrame(rows, "id long, k long, amount_raw double").select(
+        "id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount")
+    )
+    io.write_table(df.coalesce(1), ["ivm"], "facts", mode="append")
+    _write_dims(spark, io, {0: "east"})
+    spec = JoinRollupSpec(
+        left_namespace=["ivm"], left_name="facts",
+        right_namespace=["ivm"], right_name="dims",
+        on=[("k", "k")],
+        target_namespace=["ivm"], target_name="facts_min_region",
+        group_by=["region"],
+        mins={"amount_min": "amount"},
+    )
+    create_join_rollup(io, spec)
+
+    keys = spark.createDataFrame([(2,)], "id long")
+    equality_delete(io, ["ivm"], "facts", keys, on=["id"])
+    ins = spark.createDataFrame(
+        [(3, 0, 5.00)], "id long, k long, amount_raw double"
+    ).select(
+        "id", "k", F.col("amount_raw").cast("decimal(18,2)").alias("amount")
+    )
+    io.write_table(ins.coalesce(1), ["ivm"], "facts", mode="append")
+
+    res = refresh_join_rollup(io, spec)
+    assert res.get("rescanned_groups", 0) == 0
+    _assert_join_matches(io, spec)
+    got = io.read_table(["ivm"], "facts_min_region").collect()
+    assert [(r.region, str(r.amount_min)) for r in got] == [("east", "5.00")]

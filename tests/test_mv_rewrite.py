@@ -559,3 +559,26 @@ def test_explain_surfaces_the_rewrite_verdict(spark, io):
     plan = io.sql("EXPLAIN EXTENDED SELECT COUNT(*) AS n "
                   "FROM rw.facts").collect()[0].plan
     assert "Analyzed Logical Plan" in plan or "Parsed Logical Plan" in plan
+
+
+def test_extract_agg_calls_unit():
+    from denali_spark.sources.mv_rewrite import _extract_agg_calls
+
+    # literals are opaque: "sum(" inside a string must not extract
+    spans = _extract_agg_calls("n > 1 AND note LIKE 'sum(x)'")
+    assert spans == []
+    # nested parens in the aggregate argument
+    spans = _extract_agg_calls("SUM(CAST(x AS DECIMAL(18,2))) > 5")
+    assert len(spans) == 1
+    _a, _b, fn, inner = spans[0]
+    assert fn == "SUM" and inner == "CAST(x AS DECIMAL(18,2))"
+    # two calls, mixed case, COUNT(*)
+    spans = _extract_agg_calls("count(*) > 1 AND Max(id) <= 9")
+    assert [(s[2], s[3]) for s in spans] == [("COUNT", "*"), ("MAX", "id")]
+    # identifiers merely containing an agg name never match
+    assert _extract_agg_calls("checksum(x) > 1") == []
+    assert _extract_agg_calls("my_count(x) > 1") == []
+    # doubled quotes inside a literal stay inside the literal
+    assert _extract_agg_calls("note = 'don''t sum(x)'") == []
+    # unbalanced parens -> None (caller must fall back, never guess)
+    assert _extract_agg_calls("SUM(x > 1") is None

@@ -26,7 +26,9 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   commute with the rollup reduction and are applied to the summary
   scan, where they additionally enable file pruning on the key-sorted
   MV files (predicates with top-level OR must match exactly: AND/OR
-  precedence makes flat conjunct treatment unsafe);
+  precedence makes flat conjunct treatment unsafe — EXCEPT against an
+  unfiltered MV, where a key-only predicate needs no conjunct-subset
+  proof and applies wholesale, OR/BETWEEN shapes included);
 - a trailing ORDER BY over output columns and/or LIMIT n commute with
   answering from the summary and are reapplied to the rewritten plan;
 - a HAVING clause commutes the same way: the post-aggregate filter is
@@ -136,6 +138,12 @@ def _match_where(q_where: str | None, m_where: str | None,
         return True, None
     if q_where is None:
         return False, None  # the MV filters rows the query wants
+    if m_where is None and _where_is_key_only(q_where, keys):
+        # unfiltered MV + a key-only query predicate: no conjunct subset
+        # to prove, so the WHOLE predicate — OR and BETWEEN shapes the
+        # conjunct splitter refuses included — applies to the summary
+        # (per-group filters commute with the rollup reduction)
+        return True, q_where
     q_c = _conjuncts(q_where)
     m_c = _conjuncts(m_where) if m_where is not None else []
     if q_c is None or m_c is None:

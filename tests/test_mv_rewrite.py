@@ -268,20 +268,22 @@ def test_grand_total_over_empty_filtered_summary_is_zero(spark, io):
 
 def test_between_predicate_never_crashes(spark, io):
     """BETWEEN's own AND must not be split as a conjunct: the extra-filter
-    fragments would be invalid SQL. Exact textual match still rewrites;
-    a BETWEEN the MV lacks falls back cleanly."""
+    fragments would be invalid SQL. Against the UNFILTERED MV a key-only
+    BETWEEN applies wholesale (r15e); with an exact-WHERE MV present the
+    cheaper exact summary serves the same query."""
     _seed(spark, io)
-    io.mv_rewrite = "fresh-only"
     q = "SELECT k, COUNT(*) AS n FROM rw.facts WHERE k BETWEEN 1 AND 3 GROUP BY k"
+    info = _both(io, q)  # key-only BETWEEN on the unfiltered (k, j) MV
+    assert info["view"] == "rw.mv" and info["filtered"] is True
     got = {(r.k, r.n) for r in io.sql(q).collect()}
-    assert io.last_mv_rewrite is None  # no crash, clean fallback
     io.sql("""
         CREATE MATERIALIZED VIEW rw.mv_btw AS
         SELECT k, COUNT(*) AS n_rows
         FROM rw.facts WHERE k BETWEEN 1 AND 3 GROUP BY k
     """)
     rewritten = {(r.k, r.n) for r in io.sql(q).collect()}
-    assert io.last_mv_rewrite is not None and io.last_mv_rewrite["view"] == "rw.mv_btw"
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["view"] == "rw.mv_btw"  # 3 rows beat 10
     assert rewritten == got
 
 
@@ -582,3 +584,32 @@ def test_extract_agg_calls_unit():
     assert _extract_agg_calls("note = 'don''t sum(x)'") == []
     # unbalanced parens -> None (caller must fall back, never guess)
     assert _extract_agg_calls("SUM(x > 1") is None
+
+
+def test_or_and_between_key_predicates_on_unfiltered_mv(spark, io):
+    """r15e: an unfiltered MV + a key-only query predicate needs no
+    conjunct-subset proof — OR and BETWEEN shapes apply wholesale to the
+    summary scan."""
+    _seed(spark, io)
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts "
+                     "WHERE k BETWEEN 1 AND 2 OR k = 4 GROUP BY k")
+    assert info["filtered"] is True
+    # a parenthesized OR is ONE precedence-safe conjunct: with j and k
+    # both keys the query matches the unfiltered (k, j) MV wholesale AND
+    # the filtered j=0 MV via conjunct subset — the cheaper (5-row)
+    # filtered summary serves it
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_j0 AS
+        SELECT k, COUNT(*) AS n_rows FROM rw.facts WHERE j = 0 GROUP BY k
+    """)
+    info = _both(io, "SELECT k, COUNT(*) AS n FROM rw.facts "
+                     "WHERE j = 0 AND (k = 1 OR k = 2) GROUP BY k")
+    assert info["view"] == "rw.mv_j0" and info["candidates"] == 2
+    # a BARE top-level OR against a FILTERED MV still requires the exact
+    # textual match: `j = 0 OR k = 1` must not be served from mv_j0
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts "
+                "WHERE j = 0 OR k = 1 GROUP BY k")
+    assert (io.last_mv_rewrite is None
+            or io.last_mv_rewrite["view"] != "rw.mv_j0")
+    base = {(r.k, r.n) for r in df.collect()}
+    assert base == {(0, 20), (1, 40), (2, 20), (3, 20), (4, 20)}

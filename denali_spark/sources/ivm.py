@@ -1394,6 +1394,39 @@ def mv_watermark_state(io: SparkCatalogIO,
     return "fresh" if fresh else "stale"
 
 
+def mv_staleness_lag_ms(io: SparkCatalogIO,
+                        spec: "RollupSpec | JoinRollupSpec",
+                        md: dict) -> int | None:
+    """How far (milliseconds) the MV's watermark state lags the source's
+    CURRENT snapshot — the bounded-staleness measure for stale-ok reads:
+    current-snapshot timestamp minus watermark-snapshot timestamp, max
+    over both sources for a join view; 0 when fresh. None when the lag is
+    uncomputable (no watermark, or the watermark snapshot expired from
+    the source history) — a caller enforcing a bound must treat None as
+    too-stale, never as fresh."""
+    def lag(ns, name, wm):
+        smd = io.client.load_table(ns, name)["metadata"]
+        cur = smd.get("current-snapshot-id")
+        if cur == wm:
+            return 0
+        ts = {s["snapshot-id"]: s["timestamp-ms"]
+              for s in smd.get("snapshots", [])}
+        if wm not in ts or cur not in ts:
+            return None
+        return max(0, ts[cur] - ts[wm])
+
+    try:
+        if isinstance(spec, JoinRollupSpec):
+            lw, rw = _join_watermarks(md, spec)
+            lags = [lag(spec.left_namespace, spec.left_name, lw),
+                    lag(spec.right_namespace, spec.right_name, rw)]
+            return None if None in lags else max(lags)
+        wm = _current_watermark(md, spec)
+        return lag(spec.source_namespace, spec.source_name, wm)
+    except ValueError:
+        return None
+
+
 def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
                  md: dict) -> bool:
     """True when the MV's stored watermark(s) equal the source(s)' CURRENT

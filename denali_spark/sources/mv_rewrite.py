@@ -52,8 +52,12 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   'fresh-only' (default) — only when the stored watermark(s) equal the
   sources' current snapshots, so the rewrite is provably the live answer;
   'refresh' — fold the delta first, then rewrite (read-your-writes at
-  delta cost); 'stale-ok' — serve the watermark state (bounded staleness
-  is the user's call); 'off' — never rewrite.
+  delta cost); 'stale-ok' — serve the watermark state; with
+  io.mv_rewrite_max_staleness_ms set, only when the watermark lags the
+  source's current snapshot by at most that many milliseconds (an
+  uncomputable lag — watermark snapshot expired from the source
+  history — is too-stale by definition, never served under a bound);
+  'off' — never rewrite.
 
 AVG and APPROX_COUNT_DISTINCT queries are NOT rewritten: Spark's AVG over
 DECIMAL uses its own scale-promotion rules and approx_count_distinct is
@@ -78,6 +82,7 @@ from denali_spark.sources.ivm import (
     RollupSpec,
     _parse_agg_item,
     list_materialized_views,
+    mv_staleness_lag_ms,
     mv_watermark_state,
     parse_materialized_view_sql,
     refresh_materialized_view,
@@ -505,6 +510,19 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         fresh = state == "fresh"
         if mode == "fresh-only" and not fresh:
             continue
+        if mode == "stale-ok" and not fresh:
+            # bounded staleness: io.mv_rewrite_max_staleness_ms caps how
+            # far behind the live table a served summary may be (the lag
+            # between the watermark snapshot and the source's current
+            # snapshot, max over join sources). Unset = any watermark
+            # state serves (the legacy contract); an UNCOMPUTABLE lag
+            # (watermark snapshot expired from the source history) is
+            # too-stale by definition, never served under a bound.
+            bound = getattr(io, "mv_rewrite_max_staleness_ms", None)
+            if bound is not None:
+                lag = mv_staleness_lag_ms(io, m, mv_md)
+                if lag is None or lag > bound:
+                    continue
         if mode == "refresh" and not fresh:
             try:
                 refresh_materialized_view(io, mv_ns, mv_name)

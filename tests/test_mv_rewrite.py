@@ -613,3 +613,34 @@ def test_or_and_between_key_predicates_on_unfiltered_mv(spark, io):
             or io.last_mv_rewrite["view"] != "rw.mv_j0")
     base = {(r.k, r.n) for r in df.collect()}
     assert base == {(0, 20), (1, 40), (2, 20), (3, 20), (4, 20)}
+
+
+def test_stale_ok_staleness_bound(spark, io):
+    """r15f: bounded staleness — stale-ok with mv_rewrite_max_staleness_ms
+    serves only views whose watermark lags the source by at most the
+    bound; unset keeps the legacy any-watermark contract."""
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "stale-ok"
+    # a zero bound: the stale view must NOT serve — base path answers
+    io.mv_rewrite_max_staleness_ms = 0
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is None
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 60) for k in range(5)}
+    # a day-wide bound: the seconds-stale view serves the watermark state
+    io.mv_rewrite_max_staleness_ms = 24 * 3600 * 1000
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["fresh"] is False
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}
+    # unset: legacy unbounded stale-ok
+    io.mv_rewrite_max_staleness_ms = None
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None
+    # a FRESH view always serves regardless of the bound
+    io.mv_rewrite_max_staleness_ms = 0
+    io.sql("REFRESH MATERIALIZED VIEW rw.mv")
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert io.last_mv_rewrite is not None and io.last_mv_rewrite["fresh"]
+    io.mv_rewrite_max_staleness_ms = None

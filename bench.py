@@ -245,6 +245,18 @@ kNN-family entries become {first_call, steady} pairs this round
 (sim_hard_negatives, dedup_embedding_lsh_pairs): first_call prices the
 index rebuild, steady is the min-of-2 warm cost — downstream ratio
 tooling should read the steady leg for scalar comparisons.
+
+Round-15 end-of-round legs: mid-round quiet leg 33.56s (41 queries,
+median ratio 1.02 vs r13 / 0.93 vs r14 — the r14 drift unwound);
+end-of-round leg 36.16s, median 1.009 vs r14 (ran straight after the
+35:57 full-suite run — warm box; movers graph_clustering_coefficient
+1.56x / q1 1.35x are the documented sub-second jitter class). sf1
+paired kNN legs: sim_hard_negatives 20.9/14.5s first/steady,
+dedup_embedding_lsh_pairs 13.2/10.9s — the steady legs sit in the
+~13s band the r14 prose claimed, now recorded as data in both
+BENCH_local_r15 runs. sf1_ivm end-of-round: refresh 1.11s vs
+full_build 1.53s on 6M rows; rewrite_from_mv 0.41s vs base_agg 0.46s,
+rewrite_fired true.
 """
 
 from __future__ import annotations

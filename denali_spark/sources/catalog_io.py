@@ -919,6 +919,14 @@ class SparkCatalogIO:
                 return self._sql_explain(
                     m.group(2), (m.group(1) or "").strip().upper()
                 )
+            if _re.match(r"\s*EXPLAIN\s", query, _re.IGNORECASE):
+                # fail loudly rather than letting an EXPLAIN'd DML leak
+                # into the SELECT resolution path as query text
+                raise ValueError(
+                    "EXPLAIN supports SELECT statements only — run the "
+                    "DML/DDL itself (its commit summary reports the plan "
+                    "class), or EXPLAIN the equivalent SELECT"
+                )
             m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
                 query, _re.IGNORECASE | _re.DOTALL,

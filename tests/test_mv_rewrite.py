@@ -644,3 +644,28 @@ def test_stale_ok_staleness_bound(spark, io):
     io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
     assert io.last_mv_rewrite is not None and io.last_mv_rewrite["fresh"]
     io.mv_rewrite_max_staleness_ms = None
+
+
+def test_explain_non_select_fails_loudly(spark, io):
+    _seed(spark, io)
+    with pytest.raises(ValueError, match="EXPLAIN supports SELECT"):
+        io.sql("EXPLAIN UPDATE rw.facts SET j = 1 WHERE k = 0")
+
+
+def test_invalid_cheapest_falls_through_to_valid_subsumer(spark, io):
+    """r15g: the serve phase must skip an INVALID (foreign-written)
+    cheapest candidate and serve the next-cheapest valid one — cost order
+    never outranks validity."""
+    _seed(spark, io)  # rw.mv over (k, j): 10 rows — the EXPENSIVE one
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_k AS
+        SELECT k, COUNT(*) AS n_rows FROM rw.facts GROUP BY k
+    """)  # 5 rows — the cheap one
+    # foreign write invalidates the CHEAP candidate only
+    rogue = spark.createDataFrame([(99, 1)], "k long, n_rows long")
+    io.write_table(rogue, ["rw"], "mv_k", mode="append")
+    io.mv_rewrite = "stale-ok"
+    df = io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    info = io.last_mv_rewrite
+    assert info is not None and info["view"] == "rw.mv"
+    assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}

@@ -179,3 +179,58 @@ def test_write_table_dedupe_requires_summary_key(spark, io):
             _rows(spark, 10, 20), NS, "facts", mode="append",
             dedupe_summary_key="streaming-batch-id",
         )
+
+
+def test_continuous_mv_serves_bounded_staleness_reads(spark, io):
+    """r15: the streaming-maintained rollup is the rewrite plane's
+    freshest summary — after each micro-batch fold, a fresh-only SELECT
+    through io.sql answers from it; between the source append and the
+    next fold, a stale-ok read with a generous staleness bound still
+    serves the watermark state while a zero bound degrades to the base
+    path."""
+    # CREATE through SQL: the stamped ivm.spec property is what makes the
+    # rollup DISCOVERABLE to the rewrite pass (a programmatic
+    # create_rollup maintains state but is not listed as an MV)
+    io.write_table(_rows(spark, 0, 100).coalesce(1), NS, "facts",
+                   mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW live.facts_by_k AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum,
+               MIN(amount) AS amount_min,
+               APPROX_COUNT_DISTINCT(id) AS uniq_ids
+        FROM live.facts GROUP BY k
+    """)
+    sink = make_rollup_refresh_sink(io.client.uri, NS, "facts", [SPEC])
+    sink(_rows(spark, 100, 150), 0)
+
+    q = ("SELECT k, COUNT(*) AS n, "
+         "SUM(CAST(amount AS DECIMAL(18,2))) AS total "
+         "FROM live.facts GROUP BY k")
+    io.mv_rewrite = "fresh-only"
+    df = io.sql(q)
+    assert io.last_mv_rewrite is not None  # fold left the MV fresh
+    assert {r.n for r in df.collect()} == {30}
+
+    # a source append lands but its fold has not run yet
+    io.write_table(_rows(spark, 150, 200).coalesce(1), NS, "facts",
+                   mode="append")
+    io.sql(q)
+    assert io.last_mv_rewrite is None  # fresh-only degrades
+    io.mv_rewrite = "stale-ok"
+    io.mv_rewrite_max_staleness_ms = 24 * 3600 * 1000
+    df = io.sql(q)
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["fresh"] is False
+    assert {r.n for r in df.collect()} == {30}  # the watermark state
+    io.mv_rewrite_max_staleness_ms = 0
+    io.sql(q)
+    assert io.last_mv_rewrite is None  # bound tighter than the lag
+    io.mv_rewrite_max_staleness_ms = None
+
+    # the next micro-batch folds the lag away; fresh-only serves again
+    io.mv_rewrite = "fresh-only"
+    sink(spark.createDataFrame([], SCHEMA), 1)
+    df = io.sql(q)
+    assert io.last_mv_rewrite is not None
+    assert {r.n for r in df.collect()} == {40}

@@ -324,6 +324,7 @@ def create_rollup(io: SparkCatalogIO, spec: RollupSpec) -> dict:
             "ivm.refresh-kind": "full",
         },
     )
+    _stamp_spec(io, spec)
     return {"noop": False, "kind": "full", "source_snapshot_id": src_snap,
             "metadata": res["metadata"]}
 
@@ -835,6 +836,7 @@ def create_join_rollup(io: SparkCatalogIO, spec: JoinRollupSpec) -> dict:
             "ivm.refresh-kind": "full",
         },
     )
+    _stamp_spec(io, spec)
     return {"noop": False, "kind": "full", "left_snapshot_id": l_snap,
             "right_snapshot_id": r_snap, "metadata": res["metadata"]}
 
@@ -1271,6 +1273,24 @@ def spec_to_json(spec: "RollupSpec | JoinRollupSpec") -> str:
     return json.dumps(d, sort_keys=True)
 
 
+def _stamp_spec(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec") -> None:
+    """Stamp the spec into the target's ivm.spec table property. Called by
+    BOTH create paths (SQL and programmatic) so every maintained rollup is
+    uniformly discoverable: SHOW MATERIALIZED VIEWS lists it, the rewrite
+    pass may serve it, and — critically — run_maintenance refreshes it
+    BEFORE snapshot expiry. An unstamped programmatic rollup used to be a
+    footgun: aggressive source expiry could strand its watermark because
+    the dependent walk only discovers stamped specs."""
+    md = io.client.load_table(spec.target_namespace, spec.target_name)["metadata"]
+    io.client.commit_table(
+        spec.target_namespace, spec.target_name,
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-properties",
+                  "updates": {SPEC_PROPERTY: spec_to_json(spec)}}],
+    )
+    io._mv_listing_cache = None  # a new MV exists — the rewrite must see it
+
+
 def spec_from_json(raw: str) -> "RollupSpec | JoinRollupSpec":
     import json
 
@@ -1290,18 +1310,8 @@ def create_materialized_view(io: SparkCatalogIO, namespace: list[str],
     plain table without the property — re-running CREATE overwrites it."""
     spec = parse_materialized_view_sql(select_sql, namespace, name)
     if isinstance(spec, JoinRollupSpec):
-        res = create_join_rollup(io, spec)
-    else:
-        res = create_rollup(io, spec)
-    md = io.client.load_table(namespace, name)["metadata"]
-    io.client.commit_table(
-        namespace, name,
-        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
-        updates=[{"action": "set-properties",
-                  "updates": {SPEC_PROPERTY: spec_to_json(spec)}}],
-    )
-    io._mv_listing_cache = None  # a new MV exists — the rewrite must see it
-    return res
+        return create_join_rollup(io, spec)  # stamps ivm.spec itself
+    return create_rollup(io, spec)  # stamps ivm.spec itself
 
 
 def refresh_materialized_view(io: SparkCatalogIO, namespace: list[str],

@@ -1534,3 +1534,25 @@ def test_join_null_tracked_delete_cannot_cancel_extrema_insert(spark, io):
     _assert_join_matches(io, spec)
     got = io.read_table(["ivm"], "facts_min_region").collect()
     assert [(r.region, str(r.amount_min)) for r in got] == [("east", "5.00")]
+
+
+def test_run_maintenance_protects_programmatic_rollups(spark, io):
+    """r15: create_rollup stamps ivm.spec itself, so a PROGRAMMATIC
+    rollup gets the same refresh-before-expiry protection as a
+    SQL-created MV — previously aggressive source expiry could strand
+    its watermark (the dependent walk only discovers stamped specs)."""
+    from denali_spark.sources import run_maintenance
+
+    _append(spark, io, 0, 50)
+    create_rollup(io, SPEC)
+    _append(spark, io, 50, 100)
+    _append(spark, io, 100, 150)
+    report = run_maintenance(io, ["ivm"], "facts", keep_last=1)
+    assert report.get("refresh_materialized_views") == "1 refreshed"
+    _assert_matches_recompute(io)
+    # the watermark survived the keep_last=1 trim: a re-refresh no-ops
+    assert refresh_rollup(io, SPEC)["noop"] is True
+    # and the programmatic rollup is listed like any MV
+    names = {r.mviewName
+             for r in io.sql("SHOW MATERIALIZED VIEWS IN ivm").collect()}
+    assert "facts_by_k" in names

@@ -47,67 +47,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. Round-15 order (computed from the merged
-# CORRECTNESS_r{01..14}.json latest-evidence rows): (1) the 19
-# round-10-attested queries the r14 cap parked at positions 50-68 — the
-# staleness floor moves to r11; (2) the 31 stalest round-11-attested fill
-# the 50 cap; then the remaining r11, (3) r12, (4) r13, (5) r14 (freshest)
-# last. Queries added mid-round are inserted at the FRONT so new
-# capabilities attest immediately.
+# evidence goes stale. ROTATION IS A STANDING ROUND-OPEN STEP (round-15
+# verdict): at round open, re-sort by merged CORRECTNESS_r{N} latest
+# evidence (stalest first), and at round close re-rotate for the next round
+# in the same commit as the round artifacts. Round-16 order (computed from
+# merged CORRECTNESS_r{01..15}.json latest-evidence rows): new round-16
+# queries first (attest immediately), then the 20 round-11-attested (the
+# staleness floor moves to r12), then the 30 stalest round-12-attested fill
+# the 50 cap; remaining r12, r13, r14, r15 (freshest) last.
 DRIVER_PRIORITY: list[str] = [
-    # --- NEW round-15 queries (attest THIS round) ---
-    "ivm_rewrite_having_join",
-    # --- round-10-attested ---
-    "sim_pq_topk",
-    "sim_topk_bruteforce",
-    "text_chunk_cdc",
-    "text_chunk_fixed",
-    "text_collocation_lift",
-    "text_fingerprint",
-    "text_langid",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_prepare_corpus",
-    "text_quality_score",
-    "text_token_stats",
-    "text_top_bigrams",
-    "ts_asof_join",
-    "ts_daily_active_users",
-    "ts_funnel",
-    "ts_gap_fill_hours",
-    "ts_hourly_rollup",
-    "win_moving_median",
+    # --- NEW round-16 queries (attest THIS round) ---
     # --- round-11-attested ---
-    "agg_audience_overlap",
-    "agg_benford_first_digit",
-    "agg_count_distinct",
-    "agg_cube_flag_status",
-    "agg_regression_moments",
-    "agg_rfm_segments",
-    "agg_seasonal_index_months",
-    "dedup_exact_source_matrix",
-    "dedup_minhash_band_tuning",
-    "dedup_minhash_threshold_sweep",
-    "dedup_prefix_containment",
-    "fn_url_parse",
-    "graph_assortativity_moments",
-    "graph_degree_distribution",
-    "graph_jaccard_neighbors",
-    "graph_kcore_peel",
-    "graph_resource_allocation",
-    "join_interval_overlap",
-    "mm_audio_silence_ratio",
-    "mm_modality_coverage",
-    "mm_payload_exact_dedup",
-    "mm_phash_distance_histogram",
-    "mm_video_shot_stats",
-    "sample_fixed_k_per_stratum",
-    "sample_ivf_diversity",
-    "sample_temperature_mixture",
-    "sim_ivf_balance",
-    "sim_ivf_nprobe_curve",
-    "sim_ivfpq_topk",
-    "sim_matryoshka_prefix_recall",
     "sim_srp_hamming_calibration",
     "text_boilerplate_prefixes",
     "text_dup_rate_by_length",
@@ -281,6 +231,57 @@ DRIVER_PRIORITY: list[str] = [
     "win_running_total",
     "win_streaks",
     "win_topn_per_group",
+    # --- round-15-attested ---
+    "ivm_rewrite_having_join",
+    "sim_pq_topk",
+    "sim_topk_bruteforce",
+    "text_chunk_cdc",
+    "text_chunk_fixed",
+    "text_collocation_lift",
+    "text_fingerprint",
+    "text_langid",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_prepare_corpus",
+    "text_quality_score",
+    "text_token_stats",
+    "text_top_bigrams",
+    "ts_asof_join",
+    "ts_daily_active_users",
+    "ts_funnel",
+    "ts_gap_fill_hours",
+    "ts_hourly_rollup",
+    "win_moving_median",
+    "agg_audience_overlap",
+    "agg_benford_first_digit",
+    "agg_count_distinct",
+    "agg_cube_flag_status",
+    "agg_regression_moments",
+    "agg_rfm_segments",
+    "agg_seasonal_index_months",
+    "dedup_exact_source_matrix",
+    "dedup_minhash_band_tuning",
+    "dedup_minhash_threshold_sweep",
+    "dedup_prefix_containment",
+    "fn_url_parse",
+    "graph_assortativity_moments",
+    "graph_degree_distribution",
+    "graph_jaccard_neighbors",
+    "graph_kcore_peel",
+    "graph_resource_allocation",
+    "join_interval_overlap",
+    "mm_audio_silence_ratio",
+    "mm_modality_coverage",
+    "mm_payload_exact_dedup",
+    "mm_phash_distance_histogram",
+    "mm_video_shot_stats",
+    "sample_fixed_k_per_stratum",
+    "sample_ivf_diversity",
+    "sample_temperature_mixture",
+    "sim_ivf_balance",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_topk",
+    "sim_matryoshka_prefix_recall",
 ]
 
 

@@ -39,6 +39,27 @@ def _corpus_stat_key(src: str) -> tuple:
             f for f in os.listdir(src)
             if f.endswith(".parquet") and not f.startswith(".")
         )
+        if not parts:
+            # Nested/partitioned layout (no top-level part files): walk
+            # recursively so regeneration still changes the key — an
+            # empty tuple would make every rewrite invisible forever.
+            nested = sorted(
+                os.path.join(rel, f)
+                for root, _dirs, files in os.walk(src)
+                for rel in (os.path.relpath(root, src),)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            if nested:
+                return tuple(
+                    (f, st.st_size, st.st_mtime_ns)
+                    for f in nested
+                    for st in (os.stat(os.path.join(src, f)),)
+                )
+            # No parquet anywhere: fall back to the directory's own stat
+            # so direct-entry add/remove at least perturbs the key.
+            st = os.stat(src)
+            return (st.st_size, st.st_mtime_ns)
         return tuple(
             (f, st.st_size, st.st_mtime_ns)
             for f in parts

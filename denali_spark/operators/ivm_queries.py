@@ -264,3 +264,68 @@ def ivm_rewrite_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"reg.mv_sp after a refresh-mode fold — got {info!r}"
         )
     return _localize(spark, out, server, tmp)
+
+
+@query(
+    "ivm_rewrite_avg_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 1000000
+                          AS HUGEINT)
+                 + COUNT(o_totalprice)) // (2 * COUNT(o_totalprice))
+                AS DOUBLE) / 1000000.0 AS avg_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 1
+    ORDER BY o_orderpriority
+    """,
+    tags=("ivm", "catalog", "rewrite", "aggregate"),
+)
+def ivm_rewrite_avg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 frontier: AVG answered FROM THE SUMMARY via the
+    maintained hidden sum/count pair. A (priority, status) rollup
+    maintaining AVG(totalprice) is left STALE (append + merge-on-read
+    delete after CREATE); the user query groups by the coarser priority
+    key and asks for AVG in both the select list (wearing the registry's
+    CAST(... AS DOUBLE) exactness idiom) and alongside a HAVING tail,
+    under mv_rewrite='refresh' — so the io.sql call folds the delta,
+    re-aggregates the hidden exact sums and non-null counts, and
+    replicates Spark's Average rounding (quotient rounded at scale s+4
+    before the outer cast). The oracle reproduces that rounding with
+    exact integer HALF_UP math — (2N + C) // (2C) at scale 6 — because
+    DuckDB's own decimal AVG degrades to double division. The function
+    raises unless the rewrite fired with the reduced flag set."""
+    from denali_spark.sources import equality_delete
+
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_avg AS
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_rows,
+               AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS avg_price_dec
+        FROM reg.orders GROUP BY o_orderpriority, o_orderstatus
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    doomed = orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
+    equality_delete(io, ["reg"], "orders", doomed, on=["o_orderkey"])
+    io.mv_rewrite = "refresh"
+    out = io.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS avg_price
+        FROM reg.orders
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) > 1
+        ORDER BY o_orderpriority
+    """)
+    info = io.last_mv_rewrite
+    if info is None or not (info["reduced"] and info["fresh"]):
+        raise RuntimeError(
+            "expected the AVG query to be answered from reg.mv_avg after "
+            f"a refresh-mode fold — got {info!r}"
+        )
+    return _localize(spark, out, server, tmp)

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the 50 cap; remaining r12, r13, r14, r15 (freshest) last.
 DRIVER_PRIORITY: list[str] = [
     # --- NEW round-16 queries (attest THIS round) ---
+    "ivm_rewrite_avg_rollup",
     # --- round-11-attested ---
     "sim_srp_hamming_calibration",
     "text_boilerplate_prefixes",

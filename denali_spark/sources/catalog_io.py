@@ -919,13 +919,23 @@ class SparkCatalogIO:
                 return self._sql_explain(
                     m.group(2), (m.group(1) or "").strip().upper()
                 )
+            m = _re.match(
+                r"\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+)?"
+                r"((?:DELETE|UPDATE|MERGE)\b.*)$",
+                query, _re.IGNORECASE | _re.DOTALL,
+            )
+            if m:
+                return self._sql_explain_dml(
+                    m.group(2), (m.group(1) or "").strip().upper()
+                )
             if _re.match(r"\s*EXPLAIN\s", query, _re.IGNORECASE):
-                # fail loudly rather than letting an EXPLAIN'd DML leak
+                # fail loudly rather than letting an EXPLAIN'd DDL leak
                 # into the SELECT resolution path as query text
                 raise ValueError(
-                    "EXPLAIN supports SELECT statements only — run the "
-                    "DML/DDL itself (its commit summary reports the plan "
-                    "class), or EXPLAIN the equivalent SELECT"
+                    "EXPLAIN supports SELECT and DELETE/UPDATE/MERGE "
+                    "statements only — run the DDL itself (its commit "
+                    "summary reports the plan class), or EXPLAIN the "
+                    "equivalent SELECT"
                 )
             m = _re.match(
                 r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+)$",
@@ -1745,13 +1755,31 @@ class SparkCatalogIO:
         one 'plan' row, headed by the materialized-view rewrite verdict
         (the served view + freshness/reduction flags, or 'not applied')
         so operators can see WHY a query reads a summary table. Under
-        mv_rewrite='refresh' the explain folds a stale view's delta first,
-        exactly as the query itself would. FORMATTED mirrors Spark's
-        codegen-span view; EXTENDED includes the analyzed/optimized trees."""
+        mv_rewrite='refresh' the match runs downgraded to 'stale-ok' so
+        that EXPLAIN — a diagnostic — never commits a refresh snapshot to
+        the catalog; the verdict header notes the downgrade so the
+        operator knows the real query would fold the delta first.
+        FORMATTED mirrors Spark's codegen-span view; EXTENDED includes
+        the analyzed/optimized trees."""
         import json as _json
 
-        df = self.sql(select_sql)
+        policy = self.mv_rewrite
+        bound = getattr(self, "mv_rewrite_max_staleness_ms", None)
+        downgraded = policy == "refresh"
+        if downgraded:
+            # stale-ok stands in for refresh, and the staleness bound is
+            # suspended: refresh mode serves ANY refreshable view, so the
+            # explain must not let a stale-ok-only bound hide the match.
+            self.mv_rewrite = "stale-ok"
+            self.mv_rewrite_max_staleness_ms = None
+        try:
+            df = self.sql(select_sql)
+        finally:
+            self.mv_rewrite = policy
+            self.mv_rewrite_max_staleness_ms = bound
         info = self.last_mv_rewrite
+        if downgraded and info:
+            info = {**info, "explain_policy_downgrade": "refresh->stale-ok"}
         qe = df._jdf.queryExecution()
         text = None
         if mode == "FORMATTED":
@@ -1765,6 +1793,84 @@ class SparkCatalogIO:
         header = "== Materialized View Rewrite ==\n" + (
             _json.dumps(info) if info else "not applied"
         )
+        return self.spark.createDataFrame(
+            [(header + "\n\n" + text,)], "plan string"
+        )
+
+    def _sql_explain_dml(self, stmt: str, mode: str) -> DataFrame:
+        """EXPLAIN [EXTENDED|FORMATTED] DELETE/UPDATE/MERGE — the READ
+        side of the row-level operation, without committing anything: the
+        target scan (file pruning from the WHERE / merge keys applies
+        exactly as the real op's scan would), the match predicate, and
+        the CoW/MoR strategy the write would take and why (the table's
+        write.<op>.mode property). The write side is deliberately absent:
+        its file set depends on the matched rows, which EXPLAIN must not
+        compute. Zero snapshots are created. Returns one 'plan' row, same
+        shape as EXPLAIN SELECT."""
+        import json as _json
+        import re as _re
+
+        from denali_spark.sources.expressions import parse_where
+
+        stmt = _strip_stmt(stmt)
+        md_props = None
+        if m := _re.match(r"DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$",
+                          stmt, _re.IGNORECASE | _re.DOTALL):
+            op, qualified, where_sql = "delete", m.group(1), m.group(2)
+        elif m := _re.match(r"UPDATE\s+([\w.]+)\s+SET\s+.+?WHERE\s+(.+)$",
+                            stmt, _re.IGNORECASE | _re.DOTALL):
+            op, qualified, where_sql = "update", m.group(1), m.group(2)
+        elif m := _re.match(
+            r"MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?\w+)?\s+USING\s+(.+)$",
+            stmt, _re.IGNORECASE | _re.DOTALL,
+        ):
+            op, qualified, where_sql = "merge", m.group(1), None
+            rest = _strip_stmt(m.group(2))
+            on_i = _find_top_level(rest, "ON")
+            when_i = _find_top_level(rest, "WHEN", max(on_i, 0))
+            if on_i < 0 or when_i <= on_i:
+                raise ValueError(
+                    "MERGE needs USING <source> ON <keys> WHEN ... clauses"
+                )
+            merge_on = rest[on_i + 2: when_i].strip()
+        else:
+            raise ValueError(
+                f"unsupported DML shape under EXPLAIN: {stmt[:60]!r}"
+            )
+        ns, name, md = self._dml_target(qualified)
+        strategy = self._row_op_mode(md, op)
+        md_props = md.get("properties", {}).get(f"write.{op}.mode")
+        if where_sql is not None:
+            expr = parse_where(where_sql)  # scan-grammar → file pruning
+            read_df = self.read_table(ns, name, where=expr).filter(
+                F.expr(where_sql)
+            )
+            match_desc = where_sql.strip()
+        else:
+            # merge read side: the target scan joined to the source on the
+            # equality keys — the probe that decides matched rows
+            read_df = self.read_table(ns, name)
+            match_desc = f"ON {merge_on}"
+        header = "== DML Read Plan ==\n" + _json.dumps({
+            "operation": op,
+            "target": ".".join([*ns, name]),
+            "strategy": strategy,
+            "strategy_source": (
+                f"write.{op}.mode={md_props}" if md_props
+                else f"default (write.{op}.mode unset)"
+            ),
+            "match": match_desc,
+            "note": "read side only — no snapshot was created",
+        })
+        qe = read_df._jdf.queryExecution()
+        if mode == "FORMATTED":
+            try:
+                jem = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                text = qe.explainString(jem.fromString("formatted"))
+            except Exception:  # noqa: BLE001 — JVM surface drift: degrade
+                text = qe.simpleString()
+        else:
+            text = qe.toString() if mode == "EXTENDED" else qe.simpleString()
         return self.spark.createDataFrame(
             [(header + "\n\n" + text,)], "plan string"
         )

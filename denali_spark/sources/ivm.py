@@ -146,7 +146,7 @@ class RollupSpec:
     def __post_init__(self) -> None:
         out_cols = [*self.group_by, COUNT_COL, *self.sums, *self.mins,
                     *self.maxs, *self.ndvs, *self.counts, *self.avgs,
-                    *_hidden_sums(self)]
+                    *_hidden_sums(self), *_hidden_counts(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(
@@ -170,6 +170,19 @@ def _hidden_sums(spec) -> dict[str, str]:
     return {f"_{c}_sum": e for c, e in spec.avgs.items()}
 
 
+def _hidden_counts(spec) -> dict[str, str]:
+    """AVG's divisor: the NON-NULL count of the averaged expression,
+    maintained as an indicator sum exactly like COUNT(expr). SQL AVG
+    ignores NULLs — dividing the hidden sum by n_rows (COUNT(*)) would
+    dilute the average of any group holding a NULL, so the divisor is
+    its own maintained column. Doubles as the MV-rewrite plane's exact
+    AVG denominator (mv_rewrite.py)."""
+    return {
+        f"_{c}_cnt": f"(CASE WHEN ({e}) IS NOT NULL THEN 1 ELSE 0 END)"
+        for c, e in spec.avgs.items()
+    }
+
+
 def _count_sums(spec) -> dict[str, str]:
     """COUNT(expr) as a per-row integer indicator sum (exact fold)."""
     return {
@@ -179,7 +192,8 @@ def _count_sums(spec) -> dict[str, str]:
 
 
 def _all_sums(spec) -> dict[str, str]:
-    return {**spec.sums, **_count_sums(spec), **_hidden_sums(spec)}
+    return {**spec.sums, **_count_sums(spec), **_hidden_sums(spec),
+            **_hidden_counts(spec)}
 
 
 def _require_exact_sum_types(empty_df, spec) -> None:
@@ -207,9 +221,12 @@ def _require_exact_sum_types(empty_df, spec) -> None:
 
 
 def _apply_avgs(df, avgs: dict[str, str]):
+    # divide by the NON-NULL count (_<c>_cnt), not n_rows: SQL AVG ignores
+    # NULLs, and a group with cnt=0 has a NULL hidden sum so the stored
+    # average is NULL — exactly AVG over an all-NULL group
     for c in avgs:
         df = df.withColumn(
-            c, F.col(f"_{c}_sum").cast("double") / F.col(COUNT_COL)
+            c, F.col(f"_{c}_sum").cast("double") / F.col(f"_{c}_cnt")
         )
     return df
 
@@ -725,7 +742,7 @@ class JoinRollupSpec:
     def __post_init__(self) -> None:
         out_cols = [*self.group_by, COUNT_COL, *self.sums, *self.mins,
                     *self.maxs, *self.ndvs, *self.counts, *self.avgs,
-                    *_hidden_sums(self)]
+                    *_hidden_sums(self), *_hidden_counts(self)]
         dupes = {c for c in out_cols if out_cols.count(c) > 1}
         if dupes:
             raise ValueError(
@@ -1423,7 +1440,11 @@ def mv_staleness_lag_ms(io: SparkCatalogIO,
               for s in smd.get("snapshots", [])}
         if wm not in ts or cur not in ts:
             return None
-        return max(0, ts[cur] - ts[wm])
+        # cur != wm here, so the view IS behind: floor the lag at 1ms.
+        # Timestamp-ms deltas alone would report 0 for two commits landing
+        # in the same millisecond, and bound=0 must strictly mean
+        # fresh-only (snapshot identity, not clock, decides freshness).
+        return max(1, ts[cur] - ts[wm])
 
     try:
         if isinstance(spec, JoinRollupSpec):
@@ -1435,6 +1456,44 @@ def mv_staleness_lag_ms(io: SparkCatalogIO,
         return lag(spec.source_namespace, spec.source_name, wm)
     except ValueError:
         return None
+
+
+def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
+    """The read-time HALF of an incremental refresh — the lambda-serving
+    shape: the changelog between the rollup's stored watermark and the
+    source's CURRENT snapshot, folded to the summary grain (COUNT(*) and
+    every maintained sum — real, COUNT-indicator, and AVG-hidden — signed
+    by change type), WITHOUT the commit. Unioning this onto the stored
+    summary and re-aggregating answers a sum-family query FRESH while the
+    MV itself stays stale (mv_rewrite='topup', sources/mv_rewrite.py).
+    Extrema/NDV are deliberately absent: a deletion can retire the stored
+    MIN/MAX and only a rescan recovers it — the caller must not serve
+    extrema from a topup. Returns None when the delta is uncomputable
+    (no watermark, foreign write, or the watermark snapshot expired from
+    the source history)."""
+    try:
+        watermark = _current_watermark(md, spec)
+        src_md = io.client.load_table(
+            spec.source_namespace, spec.source_name)["metadata"]
+        _require_live_watermark(src_md, watermark, spec._qualified_source())
+    except ValueError:
+        return None
+    src_snap = src_md.get("current-snapshot-id")
+    if src_snap == watermark:
+        return None  # fresh — nothing to top up (caller serves directly)
+    changes = read_changes(
+        io, spec.source_namespace, spec.source_name,
+        from_snapshot_id=watermark, to_snapshot_id=src_snap,
+    )
+    if spec.where:
+        changes = changes.filter(F.expr(spec.where))
+    sign = F.when(F.col("_change_type") == "insert",
+                  F.lit(1)).otherwise(F.lit(-1))
+    return changes.groupBy(*spec.group_by).agg(
+        F.sum(sign).cast("long").alias(COUNT_COL),
+        *[F.sum(F.expr(e) * sign).alias(c)
+          for c, e in _all_sums(spec).items()],
+    )
 
 
 def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",

@@ -57,13 +57,29 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   source's current snapshot by at most that many milliseconds (an
   uncomputable lag — watermark snapshot expired from the source
   history — is too-stale by definition, never served under a bound);
+  'topup' — serve FRESH from a stale view WITHOUT a refresh commit by
+  folding the changelog between the stored watermark and the source's
+  current snapshot into the read-time re-aggregation (the lambda-serving
+  shape; single-table views, sum-family aggregates only — extrema need
+  rescans and join deltas are bilinear, so those fall through);
   'off' — never rewrite.
 
-AVG and APPROX_COUNT_DISTINCT queries are NOT rewritten: Spark's AVG over
-DECIMAL uses its own scale-promotion rules and approx_count_distinct is
-HyperLogLog++, neither of which is bit-identical to the maintained
-hidden-sum division / datasketches-HLL estimate — a transparent rewrite
-must never change a query's answer, so those stay on the base path.
+AVG(expr) IS rewritten when the MV maintains both an exact sum and a
+non-null count of the same normalized expression — either a maintained
+AVG column (whose hidden `_<c>_sum` / `_<c>_cnt` pair is exactly that)
+or an explicit SUM + COUNT pair. The division replicates Spark's own
+Average evaluation: the re-aggregated sum is cast back to the partial
+sums' storage type (decimal(p+10, s) for a decimal(p, s) expression —
+the exact accumulator type the base plan's Average carries, so the
+divide rounds at the same scale) and divided by the re-aggregated
+non-null count; the final cast-to-base-schema step applies Spark's
+result type (decimal(p+4, s+4) / double). Float-typed expressions are
+deliberately NOT rewritten — they cannot be maintained at all (the IVM
+create path rejects inexact sums, ivm._require_exact_sum_types), and a
+recompute's association order could differ, so the lookup miss is the
+correct conservative outcome. APPROX_COUNT_DISTINCT stays unrewritten:
+HyperLogLog++ is not bit-identical to the maintained datasketches-HLL
+estimate, and a transparent rewrite must never change a query's answer.
 
 The emitted plan is cast column-for-column to the BASE plan's analyzed
 schema (the base DataFrame is built lazily — analysis only, no jobs), so
@@ -83,12 +99,13 @@ from denali_spark.sources.ivm import (
     _parse_agg_item,
     list_materialized_views,
     mv_staleness_lag_ms,
+    rollup_topup_delta,
     mv_watermark_state,
     parse_materialized_view_sql,
     refresh_materialized_view,
 )
 
-MODES = ("off", "fresh-only", "refresh", "stale-ok")
+MODES = ("off", "fresh-only", "refresh", "stale-ok", "topup")
 
 # identifier-ish tokens allowed in a key-only WHERE besides the keys
 # themselves: SQL connectives/predicates that cannot smuggle a non-key
@@ -176,7 +193,7 @@ def _where_is_key_only(where: str, keys: list[str]) -> bool:
     return True
 
 
-_AGG_CALL = re.compile(r"\b(sum|min|max|count)\s*\(", re.IGNORECASE)
+_AGG_CALL = re.compile(r"\b(sum|min|max|count|avg)\s*\(", re.IGNORECASE)
 
 
 def _extract_agg_calls(text: str) -> list[tuple[int, int, str, str]] | None:
@@ -320,7 +337,7 @@ def _parse_query(select_sql: str):
         )
     except (ValueError, KeyError):
         return None
-    if spec.avgs or spec.ndvs:
+    if spec.ndvs:
         return None  # engine-semantics mismatch — module docstring
     return spec, outputs, having, order_items, limit_n
 
@@ -340,13 +357,50 @@ def _sources_match(q, m) -> bool:
 
 
 def _agg_lookup(m) -> dict[tuple[str, str], str]:
-    """(family, normalized expr) -> maintained MV column."""
+    """(family, normalized expr) -> maintained MV column. A maintained
+    AVG's hidden `_<c>_sum` / `_<c>_cnt` pair registers under the sum /
+    count families (setdefault — an explicit SUM/COUNT of the same
+    expression wins), so an AVG-only MV can serve SUM, COUNT, and AVG
+    queries over the averaged expression."""
     out: dict[tuple[str, str], str] = {}
     for fam, d in (("sum", m.sums), ("count", m.counts),
                    ("min", m.mins), ("max", m.maxs)):
         for col, e in d.items():
             out[(fam, _norm(e))] = col
+    for col, e in m.avgs.items():
+        out.setdefault(("sum", _norm(e)), f"_{col}_sum")
+        out.setdefault(("count", _norm(e)), f"_{col}_cnt")
     return out
+
+
+def _avg_builder(scol: str, ccol: str):
+    """Deferred AVG(expr) re-aggregation over the summary: needs the MV
+    scan's schema (the partial-sum storage type) so it binds at serve
+    time. Replicates Spark's Average: for decimal partial sums the
+    re-aggregated total is cast back to the accumulator type
+    (decimal(p+10, s) — F.sum over the summary would widen it, moving
+    the divide's rounding scale), then divided by the non-null count;
+    integral sums divide as longs (Spark promotes both sides to double,
+    exactly the base plan's sum.cast(double)/count.cast(double))."""
+    from pyspark.sql.types import DecimalType
+
+    def build(mv_df: DataFrame):
+        total = F.sum(F.col(scol))
+        dt = mv_df.schema[scol].dataType
+        q = total / F.sum(F.col(ccol))
+        if isinstance(dt, DecimalType):
+            # Spark's Average rounds the quotient to scale s+4 (its
+            # decimal result type) BEFORE any outer cast the query may
+            # wear (CAST(AVG(..) AS DOUBLE) — the registry idiom); round
+            # here at the same scale or that idiom diverges in the last
+            # ulps. Precision 38 is only a magnitude cap — the rounding
+            # scale is what must match.
+            q = (total.cast(dt) / F.sum(F.col(ccol))).cast(
+                DecimalType(38, min(dt.scale + 4, 37))
+            )
+        return q
+
+    return build
 
 
 def _candidate_mvs(io):
@@ -442,12 +496,23 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             continue
         lookup = _agg_lookup(m)
         plan = []  # (alias, aggregate column builder over the MV scan)
+        used: set[str] = set()  # maintained MV columns the plan reads
+        fams: set[str] = set()  # aggregate families the query asks for
         ok = True
         for fam, alias, nexpr in outputs:
             if fam == "key":
                 continue
             if fam == "count_star":
                 plan.append((alias, F.sum(COUNT_COL)))
+                used.add(COUNT_COL)
+            elif fam == "avg":
+                scol = lookup.get(("sum", nexpr))
+                ccol = lookup.get(("count", nexpr))
+                if scol is None or ccol is None:
+                    ok = False
+                    break
+                plan.append((alias, _avg_builder(scol, ccol)))
+                used.update((scol, ccol))
             else:
                 col = lookup.get((fam, nexpr))
                 if col is None:
@@ -456,6 +521,8 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 agg = {"sum": F.sum, "count": F.sum,
                        "min": F.min, "max": F.max}[fam]
                 plan.append((alias, agg(F.col(col))))
+                used.add(col)
+            fams.add(fam)
         if not ok:
             continue
 
@@ -473,6 +540,16 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             for idx, (a, b, fn, inner) in enumerate(having_spans):
                 if fn == "COUNT" and inner == "*":
                     hcol, hfam = F.sum(COUNT_COL), "count_star"
+                    used.add(COUNT_COL)
+                elif fn == "AVG":
+                    scol = lookup.get(("sum", _norm(inner)))
+                    ccol = lookup.get(("count", _norm(inner)))
+                    if scol is None or ccol is None:
+                        ok = False
+                        break
+                    hfam = "avg"
+                    hcol = _avg_builder(scol, ccol)
+                    used.update((scol, ccol))
                 else:
                     col = lookup.get((fn.lower(), _norm(inner)))
                     if col is None:
@@ -481,6 +558,8 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                     hfam = fn.lower()
                     hcol = {"sum": F.sum, "count": F.sum,
                             "min": F.min, "max": F.max}[hfam](F.col(col))
+                    used.add(col)
+                fams.add(hfam)
                 alias = f"__h{idx}"
                 hidden.append((alias, hcol, hfam))
                 pieces.append(having[last:a])
@@ -496,11 +575,12 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 continue
         matches.append((_mv_row_estimate(mv_md), len(matches), mv_ns,
                         mv_name, m, mv_md, extra_filter, plan,
-                        having_expr, hidden))
+                        having_expr, hidden, used, fams))
 
     # Phase 2 — SERVE, cheapest summary first (listing order breaks ties)
     for (_est, _ord, mv_ns, mv_name, m, mv_md, extra_filter, plan,
-         having_expr, hidden) in sorted(matches, key=lambda t: t[:2]):
+         having_expr, hidden, used, fams) in sorted(matches,
+                                                    key=lambda t: t[:2]):
         state = mv_watermark_state(io, m, mv_md)
         if state == "invalid":
             # foreign-written / re-pointed: the contents are not the view
@@ -532,8 +612,49 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 # must degrade a plain SELECT to the base path, never
                 # fail it (run_maintenance owns loud refresh errors)
                 continue
+        topup = None
+        if mode == "topup" and not fresh:
+            # Delta top-up: answer FRESH from the stale summary WITHOUT a
+            # refresh commit — fold the changelog between the stored
+            # watermark and the source's current snapshot into the
+            # re-aggregation at read time (the lambda-serving shape:
+            # refresh_rollup's delta math, minus the write). Single-table
+            # views and sum-family aggregates only: a deletion can retire
+            # a stored MIN/MAX and only a rescan recovers it, and the
+            # join-view delta is bilinear (needs both sides' states) —
+            # both fall through to the next candidate / the base path.
+            if isinstance(m, JoinRollupSpec):
+                continue
+            if fams - {"count_star", "sum", "count", "avg"}:
+                continue
+            topup = rollup_topup_delta(io, m, mv_md)
+            if topup is None:  # expired watermark / foreign write
+                continue
+            topup = topup.localCheckpoint(eager=False)
+            fresh = True  # watermark state + delta = the live answer
 
         mv_df = io.read_table(mv_ns, mv_name)
+        topup_rows = None
+        if topup is not None:
+            # Union the signed delta onto the stored summary and re-fold
+            # at the MV grain: groups whose row count folds to zero are
+            # dropped (a recompute would never produce them), surviving
+            # state is cast back to the MV's committed column types so
+            # downstream math (the AVG divide's rounding scale) is
+            # byte-identical to serving a freshly-refreshed view.
+            schema = {f.name: f.dataType for f in mv_df.schema.fields}
+            state_cols = [COUNT_COL, *sorted(used - {COUNT_COL})]
+            live = mv_df.select(*m.group_by, *state_cols).unionByName(
+                topup.select(*m.group_by, *state_cols)
+            )
+            folded = live.groupBy(*m.group_by).agg(
+                *[F.sum(F.col(c)).alias(c) for c in state_cols]
+            ).filter(F.col(COUNT_COL) > 0)
+            mv_df = folded.select(
+                *m.group_by,
+                *[F.col(c).cast(schema[c]).alias(c) for c in state_cols],
+            )
+            topup_rows = topup.count()
         if extra_filter is not None:
             mv_df = mv_df.filter(F.expr(extra_filter))
         if plan or hidden:
@@ -552,10 +673,14 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             for (fam, _alias, _e), (name, a) in zip(
                 [o for o in outputs if o[0] != "key"], plan
             ):
+                if callable(a):  # AVG: binds the MV scan's schema
+                    a = a(mv_df)
                 if not q.group_by and fam in ("count_star", "count"):
                     a = F.coalesce(a, F.lit(0))
                 aggs.append(a.alias(name))
             for name, a, fam in hidden:
+                if callable(a):
+                    a = a(mv_df)
                 if not q.group_by and fam in ("count_star", "count"):
                     a = F.coalesce(a, F.lit(0))
                 aggs.append(a.alias(name))
@@ -596,6 +721,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             "having": having is not None,
             "having_mapped_aggs": len(hidden),
             "candidates": len(matches),
+            "topup_delta_rows": topup_rows,
             "summary_rows": None if _est >= (1 << 62) else _est,
         }
         return out

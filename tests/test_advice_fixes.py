@@ -386,3 +386,84 @@ def test_parquet_stats_survive_unextractable_column(spark, tmp_path):
     assert stats["file-size-bytes"] > 0
     # the extractable columns keep their pruning bounds
     assert stats["stats"]["id"]["min"] == 0 and stats["stats"]["id"]["max"] == 6
+
+
+# --- r16: nested/partitioned corpus layouts keep a real identity key -------
+
+
+def test_corpus_stat_key_nested_partition_layout(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from denali_spark.engine.index_cache import _corpus_stat_key
+
+    d = tmp_path / "docs.parquet"
+    sub = d / "lang=en"
+    sub.mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1, 2]}), sub / "part-0.parquet")
+    k1 = _corpus_stat_key(str(d))
+    assert k1 != ()  # the empty tuple made every rewrite invisible
+    # rewriting a NESTED part in place must change the key even with the
+    # corpus directory's own mtime pinned back
+    st = os.stat(d)
+    pq.write_table(pa.table({"x": [1, 2, 3]}), sub / "part-0.parquet")
+    os.utime(d, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert _corpus_stat_key(str(d)) != k1
+
+
+def test_corpus_stat_key_no_parquet_falls_back_to_dir_stat(tmp_path):
+    from denali_spark.engine.index_cache import _corpus_stat_key
+
+    d = tmp_path / "empty.parquet"
+    d.mkdir()
+    assert _corpus_stat_key(str(d)) != ()
+
+
+# --- r16: same-millisecond commits can't serve under a zero staleness ------
+
+
+def test_staleness_lag_floored_when_snapshots_differ():
+    """Two source commits landing in the same millisecond yield a
+    timestamp delta of 0, but the view IS behind (snapshot identity
+    differs) — the lag must floor at 1ms so bound=0 strictly means
+    fresh-only."""
+    from denali_spark.sources.ivm import (
+        SOURCE_KEY,
+        WATERMARK_KEY,
+        RollupSpec,
+        mv_staleness_lag_ms,
+    )
+
+    spec = RollupSpec(
+        source_namespace=["ns"], source_name="src",
+        target_namespace=["ns"], target_name="mv", group_by=["k"],
+    )
+    t = 1_700_000_000_000
+    source_md = {
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": t},
+            {"snapshot-id": 2, "timestamp-ms": t},  # same ms as snap 1
+        ],
+    }
+    mv_md = {
+        "refs": {"main": {"snapshot-id": 10}},
+        "snapshots": [{
+            "snapshot-id": 10,
+            "summary": {WATERMARK_KEY: "1", SOURCE_KEY: "ns.src"},
+        }],
+    }
+
+    class _Client:
+        def load_table(self, ns, name):
+            return {"metadata": source_md}
+
+    class _IO:
+        client = _Client()
+
+    assert mv_staleness_lag_ms(_IO(), spec, mv_md) == 1
+    # and watermark == current still reads as exactly fresh (lag 0)
+    source_md["current-snapshot-id"] = 1
+    assert mv_staleness_lag_ms(_IO(), spec, mv_md) == 0

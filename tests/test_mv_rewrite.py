@@ -103,7 +103,10 @@ def test_non_key_where_falls_back(spark, io):
     assert io.last_mv_rewrite is None
 
 
-def test_avg_query_falls_back(spark, io):
+def test_avg_without_maintained_divisor_falls_back(spark, io):
+    # the seed MV maintains SUM(amount-expr) but no COUNT of the SAME
+    # expression — AVG needs both (SQL AVG divides by the non-null
+    # count), so the lookup miss correctly keeps the base path
     _seed(spark, io)
     io.sql("SELECT k, AVG(CAST(amount AS DECIMAL(18,2))) AS a "
            "FROM rw.facts GROUP BY k")
@@ -647,9 +650,11 @@ def test_stale_ok_staleness_bound(spark, io):
 
 
 def test_explain_non_select_fails_loudly(spark, io):
+    # r16: EXPLAIN UPDATE/DELETE/MERGE now emit the read-side plan
+    # (tests/test_sql_interface.py); DDL under EXPLAIN still fails loudly
     _seed(spark, io)
-    with pytest.raises(ValueError, match="EXPLAIN supports SELECT"):
-        io.sql("EXPLAIN UPDATE rw.facts SET j = 1 WHERE k = 0")
+    with pytest.raises(ValueError, match="EXPLAIN supports"):
+        io.sql("EXPLAIN CREATE TABLE rw.nope AS SELECT 1 AS one")
 
 
 def test_invalid_cheapest_falls_through_to_valid_subsumer(spark, io):
@@ -669,3 +674,278 @@ def test_invalid_cheapest_falls_through_to_valid_subsumer(spark, io):
     info = io.last_mv_rewrite
     assert info is not None and info["view"] == "rw.mv"
     assert {(r.k, r.n) for r in df.collect()} == {(k, 40) for k in range(5)}
+
+
+# --- r16: AVG via the maintained hidden sum/count pair ----------------------
+
+
+def _seed_avg(spark, io):
+    """Facts with NULL amounts (id % 7 == 0) — the divisor MUST be the
+    non-null count, not n_rows, or every NULL-holding group dilutes."""
+    rows = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 2).alias("j"),
+        F.when(F.col("id") % 7 != 0,
+               F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+    io.write_table(rows.coalesce(1), ["rw"], "nfacts", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_avg AS
+        SELECT k, j, COUNT(*) AS n_rows,
+               AVG(CAST(amount AS DECIMAL(18,2))) AS amount_avg,
+               AVG(id) AS id_avg
+        FROM rw.nfacts GROUP BY k, j
+    """)
+
+
+def test_avg_decimal_rewrites_via_hidden_pair(spark, io):
+    _seed_avg(spark, io)
+    info = _both(io, """
+        SELECT k, j, AVG(CAST(amount AS DECIMAL(18,2))) AS a
+        FROM rw.nfacts GROUP BY k, j
+    """)
+    assert info["view"] == "rw.mv_avg"
+
+
+def test_avg_decimal_coarser_key_reduction(spark, io):
+    # re-aggregating the summary re-derives AVG from the folded hidden
+    # sums/counts — bit-equal to the base plan across NULL-holding groups
+    _seed_avg(spark, io)
+    info = _both(io, """
+        SELECT k, AVG(CAST(amount AS DECIMAL(18,2))) AS a, AVG(id) AS b
+        FROM rw.nfacts GROUP BY k
+    """)
+    assert info["reduced"] is True
+
+
+def test_avg_integer_grand_total(spark, io):
+    _seed_avg(spark, io)
+    _both(io, "SELECT AVG(id) AS a FROM rw.nfacts")
+
+
+def test_avg_via_explicit_sum_count_pair(spark, io):
+    # no maintained AVG column at all: an MV carrying SUM + COUNT of the
+    # same expression serves the AVG query from that pair
+    rows = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("k"),
+        F.when(F.col("id") % 9 != 0,
+               F.col("id").cast("decimal(12,2)")).alias("v"),
+    )
+    io.write_table(rows.coalesce(1), ["rw"], "pfacts", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_pair AS
+        SELECT k, COUNT(*) AS n_rows,
+               SUM(CAST(v AS DECIMAL(12,2))) AS v_sum,
+               COUNT(CAST(v AS DECIMAL(12,2))) AS v_cnt
+        FROM rw.pfacts GROUP BY k
+    """)
+    info = _both(io, """
+        SELECT k, AVG(CAST(v AS DECIMAL(12,2))) AS a FROM rw.pfacts
+        GROUP BY k
+    """)
+    assert info["view"] == "rw.mv_pair"
+
+
+def test_having_avg_maps_to_hidden_pair(spark, io):
+    _seed_avg(spark, io)
+    info = _both(io, """
+        SELECT k, COUNT(*) AS n FROM rw.nfacts GROUP BY k
+        HAVING AVG(CAST(amount AS DECIMAL(18,2))) > 24 AND AVG(id) < 120
+    """)
+    assert info["having_mapped_aggs"] == 2
+
+
+def test_avg_float_typed_falls_back(spark, io):
+    # a double-typed average cannot be maintained (the IVM create path
+    # rejects inexact sums) and recompute association order could differ
+    # — the deliberate non-rewrite
+    _seed_avg(spark, io)
+    io.sql("SELECT k, AVG(CAST(amount AS DOUBLE)) AS a "
+           "FROM rw.nfacts GROUP BY k")
+    assert io.last_mv_rewrite is None
+
+
+def test_maintained_avg_is_null_correct(spark, io):
+    # IVM-level pin for the r16 divisor fix: the STORED average column
+    # over NULL-holding groups equals SQL AVG (sum / non-null count),
+    # and stays equal through an incremental refresh
+    _seed_avg(spark, io)
+    io.mv_rewrite = "off"
+    # the STORED column is a derived DOUBLE = exact_sum / non_null_count
+    # (SQL AVG over decimal additionally rounds to scale+4 — the rewrite
+    # plane reproduces THAT; here we pin the divisor semantics)
+    expect = {(r["k"], r["j"]): (r["a"], r["b"]) for r in io.sql(
+        "SELECT k, j, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)"
+        " / COUNT(amount) AS a, "
+        "CAST(SUM(id) AS DOUBLE) / COUNT(id) AS b "
+        "FROM rw.nfacts GROUP BY k, j").collect()}
+    got = {(r["k"], r["j"]): (r["amount_avg"], r["id_avg"])
+           for r in io.read_table(["rw"], "mv_avg").collect()}
+    # stored column is DOUBLE (derived); compare against double cast
+    assert set(got) == set(expect)
+    for key, (a, b) in expect.items():
+        sa, sb = got[key]
+        assert sa == pytest.approx(float(a), abs=1e-9)
+        assert sb == pytest.approx(float(b), abs=1e-9)
+    # append more NULL-holding rows, refresh, re-check
+    extra = spark.range(200, 260).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 2).alias("j"),
+        F.when(F.col("id") % 7 != 0,
+               F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+    io.write_table(extra.coalesce(1), ["rw"], "nfacts", mode="append")
+    io.sql("REFRESH MATERIALIZED VIEW rw.mv_avg")
+    expect2 = {(r["k"], r["j"]): (r["a"], r["b"]) for r in io.sql(
+        "SELECT k, j, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)"
+        " / COUNT(amount) AS a, "
+        "CAST(SUM(id) AS DOUBLE) / COUNT(id) AS b "
+        "FROM rw.nfacts GROUP BY k, j").collect()}
+    got2 = {(r["k"], r["j"]): (r["amount_avg"], r["id_avg"])
+            for r in io.read_table(["rw"], "mv_avg").collect()}
+    for key, (a, b) in expect2.items():
+        sa, sb = got2[key]
+        assert sa == pytest.approx(float(a), abs=1e-9)
+        assert sb == pytest.approx(float(b), abs=1e-9)
+
+
+# --- r16: delta top-up serving (fresh answers from a stale MV, no commit) ---
+
+
+def _snap_count(io, ns, name):
+    md = io.client.load_table(ns, name)["metadata"]
+    return len(md.get("snapshots", []))
+
+
+def test_topup_serves_fresh_without_commit(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")  # MV now stale
+    before = _snap_count(io, ["rw"], "mv")
+    io.mv_rewrite = "topup"
+    q = ("SELECT k, COUNT(*) AS n, "
+         "SUM(CAST(amount AS DECIMAL(18,2))) AS total FROM rw.facts "
+         "GROUP BY k")
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None and info["fresh"] is True
+    assert info["topup_delta_rows"] > 0
+    got = {tuple(r) for r in got_df.collect()}
+    # the answer is the LIVE state (300 rows), not the 200-row watermark
+    io.mv_rewrite = "off"
+    base_df = io.sql(q)
+    assert got_df.dtypes == base_df.dtypes
+    assert got == {tuple(r) for r in base_df.collect()}
+    # and NO commit landed on the MV (snapshot count pinned)
+    assert _snap_count(io, ["rw"], "mv") == before
+    # the view itself is STILL stale: fresh-only now falls back
+    io.mv_rewrite = "fresh-only"
+    io.sql(q)
+    assert io.last_mv_rewrite is None
+
+
+def test_topup_folds_deletes_and_drops_dead_groups(spark, io):
+    _seed(spark, io)
+    # fully delete group k=3 and thin the others
+    delete_where(io, ["rw"], "facts", E.eq("k", 3))
+    delete_where(io, ["rw"], "facts", E.lt("id", 20))
+    before = _snap_count(io, ["rw"], "mv")
+    io.mv_rewrite = "topup"
+    q = ("SELECT k, COUNT(*) AS n, "
+         "SUM(CAST(amount AS DECIMAL(18,2))) AS total FROM rw.facts "
+         "GROUP BY k")
+    got_df = io.sql(q)
+    assert io.last_mv_rewrite is not None
+    got = {tuple(r) for r in got_df.collect()}
+    assert all(r[0] != 3 for r in got), "fully-deleted group must vanish"
+    io.mv_rewrite = "off"
+    assert got == {tuple(r) for r in io.sql(q).collect()}
+    assert _snap_count(io, ["rw"], "mv") == before
+
+
+def test_topup_avg_from_hidden_pair(spark, io):
+    _seed_avg(spark, io)
+    extra = spark.range(200, 270).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 2).alias("j"),
+        F.when(F.col("id") % 7 != 0,
+               F.col("id").cast("decimal(18,2)") / 4).alias("amount"),
+    )
+    io.write_table(extra.coalesce(1), ["rw"], "nfacts", mode="append")
+    io.mv_rewrite = "topup"
+    q = ("SELECT k, AVG(CAST(amount AS DECIMAL(18,2))) AS a, AVG(id) AS b "
+         "FROM rw.nfacts GROUP BY k")
+    got_df = io.sql(q)
+    assert io.last_mv_rewrite is not None
+    assert io.last_mv_rewrite["fresh"] is True
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    base_df = io.sql(q)
+    assert got_df.dtypes == base_df.dtypes
+    assert got == {tuple(r) for r in base_df.collect()}
+
+
+def test_topup_extrema_query_falls_back(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "topup"
+    io.sql("SELECT k, MIN(amount) AS lo FROM rw.facts GROUP BY k")
+    # a deletion could retire the stored extremum — no topup, base path
+    assert io.last_mv_rewrite is None
+
+
+def test_topup_join_view_falls_back(spark, io):
+    io.write_table(_rows(spark, 0, 200).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    dims = spark.createDataFrame(
+        [(0, "east"), (1, "west"), (2, "west"), (3, "east"), (4, "north")],
+        "k long, region string",
+    )
+    io.write_table(dims.coalesce(1), ["rw"], "dims", mode="overwrite")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_tj AS
+        SELECT region, COUNT(*) AS n_rows
+        FROM rw.facts JOIN rw.dims ON facts.k = dims.k GROUP BY region
+    """)
+    io.write_table(_rows(spark, 200, 260).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "topup"
+    io.sql("SELECT region, COUNT(*) AS n FROM rw.facts f "
+           "JOIN rw.dims d ON f.k = d.k GROUP BY region")
+    # join deltas are bilinear — topup is single-table-first, base path
+    assert io.last_mv_rewrite is None
+
+
+def test_topup_fresh_view_serves_directly(spark, io):
+    _seed(spark, io)
+    io.mv_rewrite = "topup"
+    q = "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k"
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None and info["fresh"] is True
+    assert info["topup_delta_rows"] is None  # no delta needed
+    io.mv_rewrite = "off"
+    assert {tuple(r) for r in got_df.collect()} == {
+        tuple(r) for r in io.sql(q).collect()}
+
+
+def test_explain_under_refresh_policy_never_commits(spark, io):
+    """ADVICE r15: EXPLAIN is a diagnostic — under mv_rewrite='refresh'
+    the match runs downgraded to stale-ok so no refresh snapshot lands,
+    and the verdict header says so."""
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
+                   mode="append")  # MV stale
+    before = _snap_count(io, ["rw"], "mv")
+    io.mv_rewrite = "refresh"
+    [r] = io.sql("EXPLAIN SELECT k, COUNT(*) AS n "
+                 "FROM rw.facts GROUP BY k").collect()
+    plan = r["plan"]
+    assert "rw.mv" in plan  # the stale view still matched (served stale-ok)
+    assert "explain_policy_downgrade" in plan
+    assert _snap_count(io, ["rw"], "mv") == before  # no refresh commit
+    # the policy itself is untouched after the EXPLAIN
+    assert io.mv_rewrite == "refresh"
+    # and a REAL query under refresh still folds (commits) as before
+    io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
+    assert _snap_count(io, ["rw"], "mv") == before + 1

@@ -1168,3 +1168,65 @@ def test_append_aligns_atomic_types_to_table_schema(spark, io):
     rogue = spark.createDataFrame([(1, 2)], "id long, nope long")
     with pytest.raises(ValueError, match="ADD COLUMN first"):
         io.write_table(rogue, ["align"], "t", mode="append")
+
+
+# --- r16: EXPLAIN for DML reads (plan only, zero snapshots) -----------------
+
+
+def _snapshots(io, ns, name):
+    return len(io.client.load_table(ns, name)["metadata"].get("snapshots", []))
+
+
+def test_explain_delete_emits_read_plan_without_commit(spark, io):
+    io.sql("CREATE NAMESPACE IF NOT EXISTS expdml")
+    io.sql("CREATE TABLE expdml.t AS "
+           "SELECT CAST(id AS BIGINT) AS id, CAST(id % 3 AS INT) AS g "
+           "FROM range(60)")
+    before = _snapshots(io, ["expdml"], "t")
+    [r] = io.sql("EXPLAIN DELETE FROM expdml.t WHERE id > 40").collect()
+    plan = r["plan"]
+    assert "DML Read Plan" in plan and '"operation": "delete"' in plan
+    assert '"strategy": "copy-on-write"' in plan
+    assert "no snapshot was created" in plan
+    assert "FileScan parquet" in plan
+    assert _snapshots(io, ["expdml"], "t") == before
+    # the rows are all still there
+    assert io.sql("SELECT COUNT(*) AS n FROM expdml.t").collect()[0]["n"] == 60
+
+
+def test_explain_update_reports_mor_strategy(spark, io):
+    io.sql("CREATE NAMESPACE IF NOT EXISTS expdml2")
+    io.sql("CREATE TABLE expdml2.t AS "
+           "SELECT CAST(id AS BIGINT) AS id FROM range(30)")
+    io.sql("ALTER TABLE expdml2.t "
+           "SET TBLPROPERTIES ('write.update.mode' = 'merge-on-read')")
+    before = _snapshots(io, ["expdml2"], "t")
+    [r] = io.sql(
+        "EXPLAIN UPDATE expdml2.t SET id = id + 1 WHERE id < 5"
+    ).collect()
+    plan = r["plan"]
+    assert '"operation": "update"' in plan
+    assert '"strategy": "merge-on-read"' in plan
+    assert "write.update.mode=merge-on-read" in plan
+    assert _snapshots(io, ["expdml2"], "t") == before
+
+
+def test_explain_merge_shows_match_keys(spark, io):
+    io.sql("CREATE NAMESPACE IF NOT EXISTS expdml3")
+    io.sql("CREATE TABLE expdml3.t AS "
+           "SELECT CAST(id AS BIGINT) AS id, CAST(id AS DOUBLE) AS v "
+           "FROM range(20)")
+    before = _snapshots(io, ["expdml3"], "t")
+    [r] = io.sql(
+        "EXPLAIN MERGE INTO expdml3.t USING (SELECT 1 AS id, 2.0 AS v) s "
+        "ON (id) WHEN MATCHED THEN UPDATE"
+    ).collect()
+    plan = r["plan"]
+    assert '"operation": "merge"' in plan
+    assert '"match": "ON (id)"' in plan
+    assert _snapshots(io, ["expdml3"], "t") == before
+
+
+def test_explain_ddl_still_fails_loudly(spark, io):
+    with pytest.raises(ValueError, match="EXPLAIN supports"):
+        io.sql("EXPLAIN DROP TABLE westeros.my_table")

@@ -188,9 +188,11 @@ def test_continuous_mv_serves_bounded_staleness_reads(spark, io):
     next fold, a stale-ok read with a generous staleness bound still
     serves the watermark state while a zero bound degrades to the base
     path."""
-    # CREATE through SQL: the stamped ivm.spec property is what makes the
-    # rollup DISCOVERABLE to the rewrite pass (a programmatic
-    # create_rollup maintains state but is not listed as an MV)
+    # CREATE through SQL to exercise the end-to-end DDL surface here —
+    # not because it's required for discoverability: both the SQL and the
+    # programmatic create paths stamp ivm.spec, so either is listed as an
+    # MV (test_run_maintenance_protects_programmatic_rollups pins the
+    # programmatic side)
     io.write_table(_rows(spark, 0, 100).coalesce(1), NS, "facts",
                    mode="append")
     io.sql("""

@@ -257,6 +257,17 @@ dedup_embedding_lsh_pairs 13.2/10.9s — the steady legs sit in the
 BENCH_local_r15 runs. sf1_ivm end-of-round: refresh 1.11s vs
 full_build 1.53s on 6M rows; rewrite_from_mv 0.41s vs base_agg 0.46s,
 rewrite_fired true.
+
+Round-16 additions (r15 verdict task 2): `base_knn_queries` records
+{first_call, steady} pairs for sim_hard_negatives /
+dedup_embedding_lsh_pairs at the BASE SF (same definitions as the sf1
+pairs), and `knn_scale` derives the per-query sf1/sf0.1 steady ratio
+with a `superlinear` flag at >10x — the scale-shape claim is now
+two-point artifact data; a flagged query means the LSH/IVF geometry
+needs a re-audit before the next 10x. Quiet-box protocol (r15 verdict
+task 7): run the end-of-round headline leg BEFORE any full-suite run
+(or after a cool-down), so the artifact and the mid-round quiet leg
+agree without a box-conditions explanation.
 """
 
 from __future__ import annotations
@@ -875,6 +886,41 @@ def main() -> None:
                         lambda n=n: REGISTRY[n].fn(spark, SF1_DIR).count()
                     )
             result["sf1_queries"] = sf1q
+            # r16 (r15 verdict task 2): the base-SF steady twin that makes
+            # the kNN 10x-scale shape TWO-POINT data. The headline loop
+            # already ran these queries (index pre-warmed by
+            # index_timings), so first_call here prices a rebuild only if
+            # one is actually pending; steady is min-of-2 warm, same
+            # definition as the sf1 leg. knn_scale then records the
+            # sf1/sf0.1 steady ratio per query — >10 at 10x data means
+            # super-linear growth and flags the query for a geometry
+            # re-audit (the r14 density-cliff lesson, now a standing
+            # artifact signal instead of a one-point claim).
+            base_pairs: dict = {}
+            for n in paired:
+                if n not in REGISTRY:
+                    continue
+                first = _time(
+                    lambda n=n: REGISTRY[n].fn(spark, sf_dir).count(), runs=1
+                )
+                steady = _time(
+                    lambda n=n: REGISTRY[n].fn(spark, sf_dir).count()
+                )
+                base_pairs[n] = {"first_call": first, "steady": steady}
+            result["base_knn_queries"] = base_pairs
+            knn_scale: dict = {}
+            for n in paired:
+                b = base_pairs.get(n, {}).get("steady")
+                s = sf1q.get(n, {}).get("steady")
+                if b and s:
+                    ratio = round(s / b, 2)
+                    knn_scale[n] = {
+                        "base_steady": b,
+                        "sf1_steady": s,
+                        "steady_ratio_at_10x": ratio,
+                        "superlinear": ratio > 10,
+                    }
+            result["knn_scale"] = knn_scale
             result["skew"] = {
                 "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),
                 "sf1": _time(lambda: skew_join_hot_key(spark, SF1_DIR).count()),

@@ -1496,6 +1496,79 @@ def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
     )
 
 
+def join_topup_delta(io: SparkCatalogIO, spec: "JoinRollupSpec", md: dict):
+    """The join-view twin of rollup_topup_delta: both sources' changes
+    since the stored watermarks, expanded through the bilinear rule
+    Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS (exactly refresh_join_rollup's terms —
+    pre-cancelled weights, NULL-key drops, dim-delta-bounded pruned read
+    of R_old at the left watermark) and folded to the summary grain,
+    WITHOUT the commit. Sum-family state only — the caller must not
+    serve extrema from a topup. Read-time cost is proportional to the
+    DELTAS (the fact side is never re-aggregated), which is the whole
+    lambda-serving point. Returns None when uncomputable."""
+    try:
+        lw, rw = _join_watermarks(md, spec)
+        l_md = io.client.load_table(
+            spec.left_namespace, spec.left_name)["metadata"]
+        r_md = io.client.load_table(
+            spec.right_namespace, spec.right_name)["metadata"]
+        l_cur = l_md.get("current-snapshot-id")
+        r_cur = r_md.get("current-snapshot-id")
+        if l_cur == lw and r_cur == rw:
+            return None  # fresh — nothing to top up
+        if l_cur != lw:
+            _require_live_watermark(l_md, lw, spec._qualified_left())
+        if r_cur != rw:
+            _require_live_watermark(r_md, rw, spec._qualified_right())
+    except ValueError:
+        return None
+    keys = list(spec.group_by)
+    w = F.col(WEIGHT_COL)
+    terms = []
+    if l_cur != lw:
+        d_left = _precancelled_changes(io, spec.left_namespace,
+                                       spec.left_name, lw, l_cur)
+        s_new = io.read_table(spec.right_namespace, spec.right_name,
+                              snapshot_id=r_cur)
+        t1 = _joined(d_left, s_new, spec)
+        if spec.where:
+            t1 = t1.filter(F.expr(spec.where))
+        terms.append(t1)
+    if r_cur != rw:
+        d_right = _precancelled_changes(io, spec.right_namespace,
+                                        spec.right_name, rw, r_cur)
+        for _, rk in spec.on:
+            d_right = d_right.filter(F.col(rk).isNotNull())
+        d_right = d_right.localCheckpoint(eager=False)
+        rb = d_right.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(rk).alias(f"lo_{rk}") for _, rk in spec.on],
+            *[F.max(rk).alias(f"hi_{rk}") for _, rk in spec.on],
+        ).collect()[0]
+        if rb["n"] > 0:
+            left_where = and_(
+                *[gt_eq(lk, rb[f"lo_{rk}"]) for lk, rk in spec.on],
+                *[lt_eq(lk, rb[f"hi_{rk}"]) for lk, rk in spec.on],
+            )
+            r_old = io.read_table(spec.left_namespace, spec.left_name,
+                                  snapshot_id=lw, where=left_where)
+            t2 = _joined(r_old, d_right, spec)
+            if spec.where:
+                t2 = t2.filter(F.expr(spec.where))
+            terms.append(t2)
+    if not terms:
+        # both deltas pre-cancelled — the stored state IS the live answer
+        return _aggregate_join_full(io, spec, l_cur, r_cur).limit(0)
+    delta_rows = terms[0]
+    for t in terms[1:]:
+        delta_rows = delta_rows.unionByName(t)
+    return delta_rows.groupBy(*keys).agg(
+        F.sum(w).cast("long").alias(COUNT_COL),
+        *[F.sum(F.expr(e) * w).alias(c)
+          for c, e in _all_sums(spec).items()],
+    )
+
+
 def mv_freshness(io: SparkCatalogIO, spec: "RollupSpec | JoinRollupSpec",
                  md: dict) -> bool:
     """True when the MV's stored watermark(s) equal the source(s)' CURRENT

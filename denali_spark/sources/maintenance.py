@@ -328,6 +328,41 @@ def remove_orphan_files(
     return {"removed": sorted(removed), "kept": kept, "dry_run": dry_run}
 
 
+def _live_delete_entries(data_entries: list[dict],
+                         delete_entries: list[dict]) -> list[dict]:
+    """Delete entries that can still hit a row after a rewrite folded them
+    into its output files. A rewrite's outputs carry a NEWER sequence
+    number, so a folded delete can never re-apply to them (Iceberg's
+    ordering rule: equality deletes hit only strictly-older data files;
+    position deletes/DVs bind by exact path, and rewritten paths are new).
+    Dropping the dead entries matters at scale: a compaction cadence that
+    carried every historical delete file forward would accrete manifest
+    bloat and a per-read anti-join per dead file.
+
+    - position-deletes with a referenced-data-file (DVs): live iff the
+      referenced path survived the rewrite;
+    - position-delete parquet without per-entry scoping: kept while ANY
+      pre-rewrite data file survives (it may reference one), dead when
+      the rewrite replaced them all;
+    - equality-deletes: live iff some surviving data file has a strictly
+      lower sequence number."""
+    live = []
+    for e in delete_entries:
+        if e.get("content") == "position-deletes":
+            ref = e.get("referenced-data-file")
+            if ref is not None:
+                if any(d["path"] == ref for d in data_entries):
+                    live.append(e)
+            elif data_entries:
+                live.append(e)
+        else:
+            seq = int(e.get("sequence-number", 0))
+            if any(int(d.get("sequence-number", 0)) < seq
+                   for d in data_entries):
+                live.append(e)
+    return live
+
+
 def compact_data_files(
     io: SparkCatalogIO,
     namespace: list[str],
@@ -370,7 +405,10 @@ def compact_data_files(
         if len(small) < min_input_files:
             return {"metadata": md, "noop": True}
         small_paths = {e["path"] for e in small}
-        untouched = [e for e in data if e["path"] not in small_paths] + deletes
+        kept = [e for e in data if e["path"] not in small_paths]
+        # deletes folded into the pack die unless they can still hit a
+        # surviving (non-compacted) data file — _live_delete_entries
+        untouched = kept + _live_delete_entries(kept, deletes)
         total = sum(e.get("file-size-bytes", 0) for e in small)
         n_out = max(1, -(-total // target_file_size_bytes))  # ceil
         # Pending merge-on-read deletes are folded in during the rewrite —

@@ -58,10 +58,10 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   uncomputable lag — watermark snapshot expired from the source
   history — is too-stale by definition, never served under a bound);
   'topup' — serve FRESH from a stale view WITHOUT a refresh commit by
-  folding the changelog between the stored watermark and the source's
-  current snapshot into the read-time re-aggregation (the lambda-serving
-  shape; single-table views, sum-family aggregates only — extrema need
-  rescans and join deltas are bilinear, so those fall through);
+  folding the changelog between the stored watermark(s) and the sources'
+  current snapshots into the read-time re-aggregation (the lambda-serving
+  shape; join views expand the bilinear rule at delta cost; sum-family
+  aggregates only — extrema need rescans, so those queries fall through);
   'off' — never rewrite.
 
 AVG(expr) IS rewritten when the MV maintains both an exact sum and a
@@ -99,6 +99,7 @@ from denali_spark.sources.ivm import (
     _parse_agg_item,
     list_materialized_views,
     mv_staleness_lag_ms,
+    join_topup_delta,
     rollup_topup_delta,
     mv_watermark_state,
     parse_materialized_view_sql,
@@ -616,18 +617,19 @@ def try_rewrite(io, query: str) -> DataFrame | None:
         if mode == "topup" and not fresh:
             # Delta top-up: answer FRESH from the stale summary WITHOUT a
             # refresh commit — fold the changelog between the stored
-            # watermark and the source's current snapshot into the
-            # re-aggregation at read time (the lambda-serving shape:
-            # refresh_rollup's delta math, minus the write). Single-table
-            # views and sum-family aggregates only: a deletion can retire
-            # a stored MIN/MAX and only a rescan recovers it, and the
-            # join-view delta is bilinear (needs both sides' states) —
-            # both fall through to the next candidate / the base path.
-            if isinstance(m, JoinRollupSpec):
-                continue
+            # watermark(s) and the sources' current snapshots into the
+            # re-aggregation at read time (the lambda-serving shape: the
+            # refresh delta math, minus the write; join views expand the
+            # bilinear rule ΔR⋈S_new ∪ R_old⋈ΔS the same way). Sum-family
+            # aggregates only: a deletion can retire a stored MIN/MAX and
+            # only a rescan recovers it — extrema queries fall through to
+            # the next candidate / the base path.
             if fams - {"count_star", "sum", "count", "avg"}:
                 continue
-            topup = rollup_topup_delta(io, m, mv_md)
+            if isinstance(m, JoinRollupSpec):
+                topup = join_topup_delta(io, m, mv_md)
+            else:
+                topup = rollup_topup_delta(io, m, mv_md)
             if topup is None:  # expired watermark / foreign write
                 continue
             topup = topup.localCheckpoint(eager=False)

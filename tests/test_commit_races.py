@@ -238,3 +238,86 @@ def test_source_append_during_refresh_stays_watermark_pinned(spark, io_a, io_b):
     counts = {(r.k, r.n_rows) for r in
               io_a.read_table(["race"], "f6_by_k").select("k", "n_rows").collect()}
     assert counts == {(k, 40) for k in range(5)}
+
+
+# --- r16: maintenance rewrites racing MoR deletes ---------------------------
+
+
+def _seed_two_files(spark, io, name):
+    for lo, hi in ((0, 50), (50, 100)):
+        df = spark.range(lo, hi).select(
+            "id", (F.col("id") * 10).alias("v")
+        ).coalesce(1)
+        io.write_table(df, ["race"], name, mode="append")
+
+
+def test_mor_delete_lands_mid_compaction(spark, io_a, io_b):
+    """B's equality delete (ids 5 and 55 — one per input file) commits
+    between A's compaction plan and commit. A's CAS loses; the re-plan
+    reloads the fresh snapshot, sees B's delete file, and FOLDS it into
+    the rewritten pack — replaying the stale plan would resurrect both
+    rows (Iceberg's validateNoNewDeletes scenario, solved here by
+    re-planning instead of refusing)."""
+    from denali_spark.sources.maintenance import compact_data_files
+
+    _seed_two_files(spark, io_a, "m1")
+    b_keys = spark.createDataFrame([(5,), (55,)], "id long")
+    b_op = lambda n: equality_delete(io_b, ["race"], n, b_keys, on=["id"])
+    a_op = lambda n: compact_data_files(
+        io_a, ["race"], n,
+        target_file_size_bytes=1 << 30, min_input_files=2,
+    )
+
+    stats = _interleave(io_a, lambda: b_op("m1"))
+    res = a_op("m1")
+    assert stats["attempts"] == 2  # first CAS lost, re-planned once
+    assert not res.get("noop")
+    got = _rows(io_a, "m1")
+
+    def serial(name, first, second):
+        _seed_two_files(spark, io_b, name)
+        first(name)
+        second(name)
+        return _rows(io_b, name)
+
+    assert got == serial("m1_ab", a_op, b_op)
+    assert got == serial("m1_ba", b_op, a_op)
+    assert {i for i, _v in got} == set(range(100)) - {5, 55}
+    # the compaction materialized the deletes: one data file, no live
+    # delete files remain attached to the current snapshot
+    md = io_a.client.load_table(["race"], "m1")["metadata"]
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["refs"]["main"]["snapshot-id"])
+    from denali_spark.sources.catalog_io import split_entries
+    data, deletes = split_entries(io_a._manifest_entries(snap["manifest-list"]))
+    assert len(data) == 1 and not deletes
+
+
+def test_mor_delete_lands_mid_clustered_rewrite(spark, io_a, io_b):
+    """Same interleave against rewrite_clustered (sort strategy): the
+    loser's re-plan must carry B's delete — and the clustered layout must
+    still land (files range-own the sort key)."""
+    from denali_spark.sources.maintenance import rewrite_clustered
+
+    _seed_two_files(spark, io_a, "m2")
+    b_keys = spark.createDataFrame([(7,), (77,)], "id long")
+    b_op = lambda n: equality_delete(io_b, ["race"], n, b_keys, on=["id"])
+    a_op = lambda n: rewrite_clustered(
+        io_a, ["race"], n, sort_by=["id"], strategy="sort",
+        target_file_size_bytes=1 << 30,
+    )
+
+    stats = _interleave(io_a, lambda: b_op("m2"))
+    a_op("m2")
+    assert stats["attempts"] == 2
+    got = _rows(io_a, "m2")
+
+    def serial(name, first, second):
+        _seed_two_files(spark, io_b, name)
+        first(name)
+        second(name)
+        return _rows(io_b, name)
+
+    assert got == serial("m2_ab", a_op, b_op)
+    assert got == serial("m2_ba", b_op, a_op)
+    assert {i for i, _v in got} == set(range(100)) - {7, 77}

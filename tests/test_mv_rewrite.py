@@ -894,7 +894,12 @@ def test_topup_extrema_query_falls_back(spark, io):
     assert io.last_mv_rewrite is None
 
 
-def test_topup_join_view_falls_back(spark, io):
+def test_topup_join_view_bilinear_delta(spark, io):
+    """r16: join-view topup — BOTH sides change after CREATE (a fact
+    append exercises the dR join S_new term, a dim overwrite re-pointing
+    k=4 from north to west exercises R_old join dS), and the stale MV +
+    read-time bilinear delta must equal the live base plan with zero
+    commits on the view."""
     io.write_table(_rows(spark, 0, 200).coalesce(1), ["rw"], "facts",
                    mode="append")
     dims = spark.createDataFrame(
@@ -904,15 +909,52 @@ def test_topup_join_view_falls_back(spark, io):
     io.write_table(dims.coalesce(1), ["rw"], "dims", mode="overwrite")
     io.sql("""
         CREATE MATERIALIZED VIEW rw.mv_tj AS
-        SELECT region, COUNT(*) AS n_rows
+        SELECT region, COUNT(*) AS n_rows,
+               SUM(CAST(amount AS DECIMAL(18,2))) AS amount_sum
         FROM rw.facts JOIN rw.dims ON facts.k = dims.k GROUP BY region
     """)
     io.write_table(_rows(spark, 200, 260).coalesce(1), ["rw"], "facts",
                    mode="append")
+    dims2 = spark.createDataFrame(
+        [(0, "east"), (1, "west"), (2, "west"), (3, "east"), (4, "west")],
+        "k long, region string",
+    )
+    io.write_table(dims2.coalesce(1), ["rw"], "dims", mode="overwrite")
+    before = _snap_count(io, ["rw"], "mv_tj")
     io.mv_rewrite = "topup"
-    io.sql("SELECT region, COUNT(*) AS n FROM rw.facts f "
-           "JOIN rw.dims d ON f.k = d.k GROUP BY region")
-    # join deltas are bilinear — topup is single-table-first, base path
+    q = ("SELECT region, COUNT(*) AS n, "
+         "SUM(CAST(amount AS DECIMAL(18,2))) AS total FROM rw.facts f "
+         "JOIN rw.dims d ON f.k = d.k GROUP BY region")
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None and info["fresh"] is True
+    assert info["topup_delta_rows"] is not None
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    base_df = io.sql(q)
+    assert got_df.dtypes == base_df.dtypes
+    assert got == {tuple(r) for r in base_df.collect()}
+    assert {r[0] for r in got} == {"east", "west"}  # north re-pointed away
+    assert _snap_count(io, ["rw"], "mv_tj") == before
+
+
+def test_topup_join_view_extrema_falls_back(spark, io):
+    io.write_table(_rows(spark, 0, 100).coalesce(1), ["rw"], "xfacts",
+                   mode="append")
+    dims = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b"), (3, "b"),
+                                  (4, "b")], "k long, region string")
+    io.write_table(dims.coalesce(1), ["rw"], "xdims", mode="overwrite")
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_xj AS
+        SELECT region, COUNT(*) AS n_rows, MAX(id) AS id_max
+        FROM rw.xfacts JOIN rw.xdims ON xfacts.k = xdims.k GROUP BY region
+    """)
+    io.write_table(_rows(spark, 100, 130).coalesce(1), ["rw"], "xfacts",
+                   mode="append")
+    io.mv_rewrite = "topup"
+    io.sql("SELECT region, MAX(id) AS hi FROM rw.xfacts f "
+           "JOIN rw.xdims d ON f.k = d.k GROUP BY region")
+    # extrema can't fold from a delta without a rescan — base path
     assert io.last_mv_rewrite is None
 
 

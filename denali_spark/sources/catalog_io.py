@@ -896,6 +896,13 @@ class SparkCatalogIO:
             if m:
                 return self._sql_alter_view(m.group(1), _strip_stmt(m.group(2)))
             m = _re.match(
+                r"\s*SET\s+(mv_rewrite(?:_max_staleness_ms)?)"
+                r"\s*(?:=\s*(.+?))?\s*;?\s*$",
+                query, _re.IGNORECASE,
+            )
+            if m:
+                return self._sql_set(m.group(1).lower(), m.group(2))
+            m = _re.match(
                 r"\s*SHOW\s+(NAMESPACES|TABLES|MATERIALIZED\s+VIEWS|VIEWS|"
                 r"TBLPROPERTIES|PARTITIONS|COLUMNS|CREATE\s+TABLE)\s*(.*)$",
                 query, _re.IGNORECASE | _re.DOTALL,
@@ -1795,6 +1802,42 @@ class SparkCatalogIO:
         )
         return self.spark.createDataFrame(
             [(header + "\n\n" + text,)], "plan string"
+        )
+
+    def _sql_set(self, key: str, value: str | None) -> DataFrame:
+        """SET mv_rewrite [= off|fresh-only|refresh|stale-ok|topup] /
+        SET mv_rewrite_max_staleness_ms [= <ms>|NONE] — the SQL spelling
+        of the session rewrite knobs (Spark's `SET key[=value]` shape:
+        no value reads the current setting). Scoped to exactly these two
+        keys: anything else raises rather than shadowing Spark's own
+        session configuration surface."""
+        from denali_spark.sources.mv_rewrite import MODES
+
+        if value is not None:
+            v = value.strip().strip("'\"")
+            if key == "mv_rewrite":
+                if v not in MODES:
+                    raise ValueError(
+                        f"mv_rewrite must be one of {MODES}, got {v!r}"
+                    )
+                self.mv_rewrite = v
+            else:
+                if v.upper() in ("NONE", "NULL"):
+                    self.mv_rewrite_max_staleness_ms = None
+                else:
+                    try:
+                        self.mv_rewrite_max_staleness_ms = int(v)
+                    except ValueError:
+                        raise ValueError(
+                            "mv_rewrite_max_staleness_ms must be an "
+                            f"integer millisecond count or NONE, got {v!r}"
+                        ) from None
+        current = (
+            self.mv_rewrite if key == "mv_rewrite"
+            else getattr(self, "mv_rewrite_max_staleness_ms", None)
+        )
+        return self.spark.createDataFrame(
+            [(key, str(current))], "key string, value string"
         )
 
     def _sql_explain_dml(self, stmt: str, mode: str) -> DataFrame:

@@ -1458,7 +1458,8 @@ def mv_staleness_lag_ms(io: SparkCatalogIO,
         return None
 
 
-def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
+def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict,
+                       extrema: bool = False):
     """The read-time HALF of an incremental refresh — the lambda-serving
     shape: the changelog between the rollup's stored watermark and the
     source's CURRENT snapshot, folded to the summary grain (COUNT(*) and
@@ -1466,11 +1467,12 @@ def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
     by change type), WITHOUT the commit. Unioning this onto the stored
     summary and re-aggregating answers a sum-family query FRESH while the
     MV itself stays stale (mv_rewrite='topup', sources/mv_rewrite.py).
-    Extrema/NDV are deliberately absent: a deletion can retire the stored
-    MIN/MAX and only a rescan recovers it — the caller must not serve
-    extrema from a topup. Returns None when the delta is uncomputable
-    (no watermark, foreign write, or the watermark snapshot expired from
-    the source history)."""
+    With extrema=True the delta also carries the spec's MIN/MAX columns,
+    valid ONLY when the window is INSERT-ONLY (a deletion can retire the
+    stored extremum and only a rescan recovers it) — a window holding any
+    delete returns None so the caller falls through. Returns None when
+    the delta is uncomputable (no watermark, foreign write, or the
+    watermark snapshot expired from the source history)."""
     try:
         watermark = _current_watermark(md, spec)
         src_md = io.client.load_table(
@@ -1485,6 +1487,18 @@ def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
         io, spec.source_namespace, spec.source_name,
         from_snapshot_id=watermark, to_snapshot_id=src_snap,
     )
+    extrema_aggs = []
+    if extrema:
+        # one bounded probe over the changed files: any non-insert row
+        # disqualifies the extrema fold (limit(1) short-circuits)
+        if changes.filter(
+            F.col("_change_type") != "insert"
+        ).limit(1).count():
+            return None
+        extrema_aggs = [
+            *[F.min(F.expr(e)).alias(c) for c, e in spec.mins.items()],
+            *[F.max(F.expr(e)).alias(c) for c, e in spec.maxs.items()],
+        ]
     if spec.where:
         changes = changes.filter(F.expr(spec.where))
     sign = F.when(F.col("_change_type") == "insert",
@@ -1493,17 +1507,20 @@ def rollup_topup_delta(io: SparkCatalogIO, spec: RollupSpec, md: dict):
         F.sum(sign).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e) * sign).alias(c)
           for c, e in _all_sums(spec).items()],
+        *extrema_aggs,
     )
 
 
-def join_topup_delta(io: SparkCatalogIO, spec: "JoinRollupSpec", md: dict):
+def join_topup_delta(io: SparkCatalogIO, spec: "JoinRollupSpec", md: dict,
+                     extrema: bool = False):
     """The join-view twin of rollup_topup_delta: both sources' changes
     since the stored watermarks, expanded through the bilinear rule
     Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS (exactly refresh_join_rollup's terms —
     pre-cancelled weights, NULL-key drops, dim-delta-bounded pruned read
     of R_old at the left watermark) and folded to the summary grain,
-    WITHOUT the commit. Sum-family state only — the caller must not
-    serve extrema from a topup. Read-time cost is proportional to the
+    WITHOUT the commit. Sum-family state always; extrema=True
+    additionally folds MIN/MAX, valid only when BOTH changelogs are
+    insert-only (otherwise None — fall through). Read-time cost is proportional to the
     DELTAS (the fact side is never re-aggregated), which is the whole
     lambda-serving point. Returns None when uncomputable."""
     try:
@@ -1523,6 +1540,19 @@ def join_topup_delta(io: SparkCatalogIO, spec: "JoinRollupSpec", md: dict):
     except ValueError:
         return None
     keys = list(spec.group_by)
+    if extrema:
+        # insert-only probe on BOTH changelogs: a delete on either side
+        # can retire a stored extremum through the join
+        for ns_, name_, frm, to in (
+            (spec.left_namespace, spec.left_name, lw, l_cur),
+            (spec.right_namespace, spec.right_name, rw, r_cur),
+        ):
+            if frm == to:
+                continue
+            ch = read_changes(io, ns_, name_, from_snapshot_id=frm,
+                              to_snapshot_id=to)
+            if ch.filter(F.col("_change_type") != "insert").limit(1).count():
+                return None
     w = F.col(WEIGHT_COL)
     terms = []
     if l_cur != lw:
@@ -1562,10 +1592,19 @@ def join_topup_delta(io: SparkCatalogIO, spec: "JoinRollupSpec", md: dict):
     delta_rows = terms[0]
     for t in terms[1:]:
         delta_rows = delta_rows.unionByName(t)
+    extrema_aggs = []
+    if extrema:
+        # weights are all >=1 under insert-only, so MIN/MAX over the
+        # bilinear rows (weight-blind) is exactly the inserted extrema
+        extrema_aggs = [
+            *[F.min(F.expr(e)).alias(c) for c, e in spec.mins.items()],
+            *[F.max(F.expr(e)).alias(c) for c, e in spec.maxs.items()],
+        ]
     return delta_rows.groupBy(*keys).agg(
         F.sum(w).cast("long").alias(COUNT_COL),
         *[F.sum(F.expr(e) * w).alias(c)
           for c, e in _all_sums(spec).items()],
+        *extrema_aggs,
     )
 
 

@@ -497,7 +497,9 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             continue
         lookup = _agg_lookup(m)
         plan = []  # (alias, aggregate column builder over the MV scan)
-        used: set[str] = set()  # maintained MV columns the plan reads
+        # maintained MV column -> its re-aggregation fold (sum|min|max):
+        # the topup path re-folds exactly these columns over summary+delta
+        used: dict[str, str] = {}
         fams: set[str] = set()  # aggregate families the query asks for
         ok = True
         for fam, alias, nexpr in outputs:
@@ -505,7 +507,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 continue
             if fam == "count_star":
                 plan.append((alias, F.sum(COUNT_COL)))
-                used.add(COUNT_COL)
+                used[COUNT_COL] = "sum"
             elif fam == "avg":
                 scol = lookup.get(("sum", nexpr))
                 ccol = lookup.get(("count", nexpr))
@@ -513,7 +515,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                     ok = False
                     break
                 plan.append((alias, _avg_builder(scol, ccol)))
-                used.update((scol, ccol))
+                used[scol] = used[ccol] = "sum"
             else:
                 col = lookup.get((fam, nexpr))
                 if col is None:
@@ -522,7 +524,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 agg = {"sum": F.sum, "count": F.sum,
                        "min": F.min, "max": F.max}[fam]
                 plan.append((alias, agg(F.col(col))))
-                used.add(col)
+                used[col] = fam if fam in ("min", "max") else "sum"
             fams.add(fam)
         if not ok:
             continue
@@ -541,7 +543,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             for idx, (a, b, fn, inner) in enumerate(having_spans):
                 if fn == "COUNT" and inner == "*":
                     hcol, hfam = F.sum(COUNT_COL), "count_star"
-                    used.add(COUNT_COL)
+                    used[COUNT_COL] = "sum"
                 elif fn == "AVG":
                     scol = lookup.get(("sum", _norm(inner)))
                     ccol = lookup.get(("count", _norm(inner)))
@@ -550,7 +552,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                         break
                     hfam = "avg"
                     hcol = _avg_builder(scol, ccol)
-                    used.update((scol, ccol))
+                    used[scol] = used[ccol] = "sum"
                 else:
                     col = lookup.get((fn.lower(), _norm(inner)))
                     if col is None:
@@ -559,7 +561,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                     hfam = fn.lower()
                     hcol = {"sum": F.sum, "count": F.sum,
                             "min": F.min, "max": F.max}[hfam](F.col(col))
-                    used.add(col)
+                    used[col] = hfam if hfam in ("min", "max") else "sum"
                 fams.add(hfam)
                 alias = f"__h{idx}"
                 hidden.append((alias, hcol, hfam))
@@ -621,15 +623,20 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             # re-aggregation at read time (the lambda-serving shape: the
             # refresh delta math, minus the write; join views expand the
             # bilinear rule ΔR⋈S_new ∪ R_old⋈ΔS the same way). Sum-family
-            # aggregates only: a deletion can retire a stored MIN/MAX and
-            # only a rescan recovers it — extrema queries fall through to
-            # the next candidate / the base path.
-            if fams - {"count_star", "sum", "count", "avg"}:
+            # aggregates always fold; MIN/MAX fold too when the delta
+            # window is INSERT-ONLY (no deletion can have retired a
+            # stored extremum — the append-only hot path), and fall
+            # through to the next candidate / base path otherwise.
+            foldable = {"count_star", "sum", "count", "avg"}
+            if fams - (foldable | {"min", "max"}):
                 continue
+            need_extrema = bool(fams - foldable)
             if isinstance(m, JoinRollupSpec):
-                topup = join_topup_delta(io, m, mv_md)
+                topup = join_topup_delta(io, m, mv_md,
+                                         extrema=need_extrema)
             else:
-                topup = rollup_topup_delta(io, m, mv_md)
+                topup = rollup_topup_delta(io, m, mv_md,
+                                           extrema=need_extrema)
             if topup is None:  # expired watermark / foreign write
                 continue
             topup = topup.localCheckpoint(eager=False)
@@ -645,12 +652,15 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             # downstream math (the AVG divide's rounding scale) is
             # byte-identical to serving a freshly-refreshed view.
             schema = {f.name: f.dataType for f in mv_df.schema.fields}
-            state_cols = [COUNT_COL, *sorted(used - {COUNT_COL})]
+            folds = {COUNT_COL: "sum", **used}
+            state_cols = [COUNT_COL,
+                          *sorted(c for c in folds if c != COUNT_COL)]
             live = mv_df.select(*m.group_by, *state_cols).unionByName(
                 topup.select(*m.group_by, *state_cols)
             )
+            fold_fn = {"sum": F.sum, "min": F.min, "max": F.max}
             folded = live.groupBy(*m.group_by).agg(
-                *[F.sum(F.col(c)).alias(c) for c in state_cols]
+                *[fold_fn[folds[c]](F.col(c)).alias(c) for c in state_cols]
             ).filter(F.col(COUNT_COL) > 0)
             mv_df = folded.select(
                 *m.group_by,

@@ -884,14 +884,42 @@ def test_topup_avg_from_hidden_pair(spark, io):
     assert got == {tuple(r) for r in base_df.collect()}
 
 
-def test_topup_extrema_query_falls_back(spark, io):
+def test_topup_extrema_insert_only_serves(spark, io):
+    """r16: an INSERT-ONLY delta window cannot retire a stored extremum,
+    so MIN/MAX fold exactly over summary + delta — the append-only hot
+    path serves without a commit."""
     _seed(spark, io)
     io.write_table(_rows(spark, 200, 300).coalesce(1), ["rw"], "facts",
                    mode="append")
+    before = _snap_count(io, ["rw"], "mv")
+    io.mv_rewrite = "topup"
+    q = ("SELECT k, MIN(amount) AS lo, MAX(id) AS hi, COUNT(*) AS n "
+         "FROM rw.facts GROUP BY k")
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None and info["fresh"] is True
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    base_df = io.sql(q)
+    assert got_df.dtypes == base_df.dtypes
+    assert got == {tuple(r) for r in base_df.collect()}
+    assert _snap_count(io, ["rw"], "mv") == before
+
+
+def test_topup_extrema_with_deletes_falls_back(spark, io):
+    _seed(spark, io)
+    delete_where(io, ["rw"], "facts", E.lt("id", 20))
     io.mv_rewrite = "topup"
     io.sql("SELECT k, MIN(amount) AS lo FROM rw.facts GROUP BY k")
-    # a deletion could retire the stored extremum — no topup, base path
+    # the delete could have retired the stored extremum — base path
     assert io.last_mv_rewrite is None
+    # but the SUM family still tops up over the same deleting window
+    q = "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k"
+    got_df = io.sql(q)
+    assert io.last_mv_rewrite is not None
+    io.mv_rewrite = "off"
+    assert {tuple(r) for r in got_df.collect()} == {
+        tuple(r) for r in io.sql(q).collect()}
 
 
 def test_topup_join_view_bilinear_delta(spark, io):
@@ -938,7 +966,7 @@ def test_topup_join_view_bilinear_delta(spark, io):
     assert _snap_count(io, ["rw"], "mv_tj") == before
 
 
-def test_topup_join_view_extrema_falls_back(spark, io):
+def test_topup_join_view_extrema_insert_only(spark, io):
     io.write_table(_rows(spark, 0, 100).coalesce(1), ["rw"], "xfacts",
                    mode="append")
     dims = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b"), (3, "b"),
@@ -952,9 +980,21 @@ def test_topup_join_view_extrema_falls_back(spark, io):
     io.write_table(_rows(spark, 100, 130).coalesce(1), ["rw"], "xfacts",
                    mode="append")
     io.mv_rewrite = "topup"
-    io.sql("SELECT region, MAX(id) AS hi FROM rw.xfacts f "
-           "JOIN rw.xdims d ON f.k = d.k GROUP BY region")
-    # extrema can't fold from a delta without a rescan — base path
+    q = ("SELECT region, MAX(id) AS hi FROM rw.xfacts f "
+         "JOIN rw.xdims d ON f.k = d.k GROUP BY region")
+    got_df = io.sql(q)
+    # both changelogs insert-only: the extrema fold is exact even
+    # through the join
+    assert io.last_mv_rewrite is not None
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    assert got == {tuple(r) for r in io.sql(q).collect()}
+    # a dim-side overwrite (delete+insert) disqualifies the extrema fold
+    dims2 = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b"), (3, "b"),
+                                   (4, "a")], "k long, region string")
+    io.write_table(dims2.coalesce(1), ["rw"], "xdims", mode="overwrite")
+    io.mv_rewrite = "topup"
+    io.sql(q)
     assert io.last_mv_rewrite is None
 
 

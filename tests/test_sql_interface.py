@@ -1230,3 +1230,28 @@ def test_explain_merge_shows_match_keys(spark, io):
 def test_explain_ddl_still_fails_loudly(spark, io):
     with pytest.raises(ValueError, match="EXPLAIN supports"):
         io.sql("EXPLAIN DROP TABLE westeros.my_table")
+
+
+# --- r16: SET surface for the session rewrite knobs -------------------------
+
+
+def test_set_mv_rewrite_policy(spark, io):
+    [r] = io.sql("SET mv_rewrite = 'topup'").collect()
+    assert (r["key"], r["value"]) == ("mv_rewrite", "topup")
+    assert io.mv_rewrite == "topup"
+    # read-back shape (no value)
+    [r] = io.sql("SET mv_rewrite").collect()
+    assert r["value"] == "topup"
+    io.sql("SET mv_rewrite = fresh-only")
+    assert io.mv_rewrite == "fresh-only"
+    with pytest.raises(ValueError, match="must be one of"):
+        io.sql("SET mv_rewrite = bogus")
+
+
+def test_set_staleness_bound(spark, io):
+    io.sql("SET mv_rewrite_max_staleness_ms = 5000")
+    assert io.mv_rewrite_max_staleness_ms == 5000
+    io.sql("SET mv_rewrite_max_staleness_ms = NONE")
+    assert io.mv_rewrite_max_staleness_ms is None
+    with pytest.raises(ValueError, match="integer millisecond"):
+        io.sql("SET mv_rewrite_max_staleness_ms = soon")

@@ -491,7 +491,9 @@ class SparkCatalogIO:
         self.client = CatalogClient(catalog_uri, token=token)
         self.warehouse = self.client.config()["defaults"]["warehouse"]
         # Materialized-view query rewrite policy for sql() SELECTs
-        # (sources/mv_rewrite.py): off | fresh-only | refresh | stale-ok.
+        # (sources/mv_rewrite.py):
+        # off | fresh-only | refresh | stale-ok | topup.
+        # SQL spelling: SET mv_rewrite = '<mode>' (_sql_set).
         self.mv_rewrite = "fresh-only"
         # Outcome of the last SELECT's rewrite attempt (None = base path).
         self.last_mv_rewrite: dict | None = None

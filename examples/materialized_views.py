@@ -135,6 +135,44 @@ io.sql("DROP MATERIALIZED VIEW shop.sales_fine")
 
 io.sql("DROP MATERIALIZED VIEW shop.region_ext")
 
+# round 16: AVG rides the maintained hidden sum / non-null-count pair —
+# bit-identical to the base plan (the quotient rounds at Spark's own
+# Average scale), and the policy knobs have a SQL spelling now
+io.sql("""
+    CREATE MATERIALIZED VIEW shop.sales_avg AS
+    SELECT k, COUNT(*) AS n_rows,
+           AVG(CAST(amount AS DECIMAL(18,2))) AS avg_amount
+    FROM shop.sales GROUP BY k
+""")
+df = io.sql("SELECT k, AVG(CAST(amount AS DECIMAL(18,2))) AS a "
+            "FROM shop.sales GROUP BY k")
+df.show(3)
+assert io.last_mv_rewrite is not None
+
+# round 16: 'topup' answers FRESH from a STALE view without a refresh
+# commit — the changelog since the watermark folds into the read-time
+# re-aggregation (the lambda-serving shape; insert-only windows serve
+# MIN/MAX too). The view stays stale; no snapshot lands.
+io.write_table(
+    spark.range(30_000, 31_000).select(
+        "id", (F.col("id") % 5).alias("k"),
+        (F.col("id").cast("decimal(18,2)") / 100)
+        .cast("decimal(18,2)").alias("amount"),
+    ),
+    ["shop"], "sales", mode="append",
+)
+io.sql("SET mv_rewrite = 'topup'")
+df = io.sql("SELECT k, COUNT(*) AS n, "
+            "AVG(CAST(amount AS DECIMAL(18,2))) AS a "
+            "FROM shop.sales GROUP BY k")
+df.show(3)
+info = io.last_mv_rewrite
+print("topup:", info["view"], "delta rows:", info["topup_delta_rows"],
+      "fresh:", info["fresh"])
+assert info["fresh"] and info["topup_delta_rows"] is not None
+io.sql("SET mv_rewrite = 'fresh-only'")
+io.sql("DROP MATERIALIZED VIEW shop.sales_avg")
+
 # day-2 ops: maintenance refreshes dependent MVs BEFORE snapshot expiry,
 # so the aggressive keep_last below can never strand a watermark
 report = run_maintenance(io, ["shop"], "sales", keep_last=1)

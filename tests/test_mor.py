@@ -208,3 +208,58 @@ def test_rewrite_deletes_null_keyed_equality_stays_deleted(spark, io):
     assert rows == [1, 3]  # still deleted after materialization
     _data, deletes = split_entries(_entries(io, ns, name))
     assert deletes == []
+
+
+# --- r16: compaction prunes dead delete entries, carries live ones ----------
+
+
+def test_compaction_drops_dead_delete_entries(spark, io):
+    ns, name = _chunked_table(spark, io, name="dead")
+    delete_where_mor(io, ns, name, E.in_("id", [0, 30]))
+    compact_data_files(io, ns, name, target_file_size_bytes=10 * 1024 * 1024)
+    data, deletes = split_entries(_entries(io, ns, name))
+    # every input file was packed and the deletes folded in — the delete
+    # entries can never hit a row again (rewritten files carry a newer
+    # sequence number) and are dropped, not carried forever
+    assert len(data) == 1 and deletes == []
+    ids = sorted(r["id"] for r in io.read_table(ns, name).collect())
+    assert ids == sorted(set(range(100)) - {0, 30})
+
+
+def test_partial_compaction_carries_live_delete(spark, io):
+    """A where-scoped compaction that leaves a file UNTOUCHED must carry
+    an equality delete that still applies to it — dropping it would
+    resurrect the row on the next read."""
+    ns, name = _chunked_table(spark, io, name="live")
+    delete_where_mor(io, ns, name, E.in_("id", [10, 80]))
+    # compact ONLY the low-id files; the file holding id=80 stays
+    compact_data_files(
+        io, ns, name, target_file_size_bytes=10 * 1024 * 1024,
+        where="id < 50",
+    )
+    data, deletes = split_entries(_entries(io, ns, name))
+    assert len(data) >= 2  # packed low files + untouched high file(s)
+    assert deletes, "the still-applicable delete must be carried"
+    ids = sorted(r["id"] for r in io.read_table(ns, name).collect())
+    assert ids == sorted(set(range(100)) - {10, 80})
+
+
+def test_live_delete_entries_unit():
+    from denali_spark.sources.maintenance import _live_delete_entries
+
+    old = {"path": "a.parquet", "sequence-number": 1}
+    eq_new = {"content": "equality-deletes", "sequence-number": 2}
+    eq_old = {"content": "equality-deletes", "sequence-number": 1}
+    dv_a = {"content": "position-deletes", "referenced-data-file": "a.parquet"}
+    dv_b = {"content": "position-deletes", "referenced-data-file": "b.parquet"}
+    pos = {"content": "position-deletes"}  # no per-entry scoping
+    # an older surviving data file keeps the newer equality delete live
+    assert _live_delete_entries([old], [eq_new]) == [eq_new]
+    # same-or-newer survivors only: the equality delete is dead
+    assert _live_delete_entries(
+        [{"path": "n.parquet", "sequence-number": 3}], [eq_old]) == []
+    # DVs live exactly while their referenced file survives
+    assert _live_delete_entries([old], [dv_a, dv_b]) == [dv_a]
+    # unscoped position deletes are kept while ANY old file survives
+    assert _live_delete_entries([old], [pos]) == [pos]
+    assert _live_delete_entries([], [pos, dv_a, eq_new]) == []

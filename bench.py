@@ -695,6 +695,21 @@ def ivm_probe(spark, sf_dir: str) -> dict:
         io.mv_rewrite = "off"
         out["base_agg_sql"] = _time(lambda: io.sql(q).count(),
                                     runs=3, stat="median")
+        # r16: topup economics — the SAME query served FRESH from a
+        # deliberately STALE view without a refresh commit (the changelog
+        # delta folds into the read). The claim is the serving shape:
+        # topup rides the delta, so it sits between the pure summary read
+        # and the full refresh, and NO maintenance write happens on the
+        # read path.
+        delta2 = li.filter(F.col("l_orderkey") % 100 == 13)
+        io.write_table(delta2, ["bench"], "li_src", mode="append")
+        io.mv_rewrite = "topup"
+        out["topup_read"] = _time(lambda: io.sql(q).count(),
+                                  runs=3, stat="median")
+        info = io.last_mv_rewrite or {}
+        out["topup_fired"] = bool(info.get("fresh"))
+        out["topup_delta_rows"] = info.get("topup_delta_rows")
+        io.mv_rewrite = "off"
         return out
     finally:
         server.stop()

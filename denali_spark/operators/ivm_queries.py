@@ -42,6 +42,11 @@ def _localize(spark, df: DataFrame, server, tmp: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _teardown(server, tmp: str) -> None:
+    server.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _warehouse(spark):
     from denali_spark.catalog import CatalogServer, make_state
     from denali_spark.sources import SparkCatalogIO
@@ -329,3 +334,138 @@ def ivm_rewrite_avg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"a refresh-mode fold — got {info!r}"
         )
     return _localize(spark, out, server, tmp)
+
+
+@query(
+    "ivm_topup_join_serving",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("ivm", "catalog", "rewrite", "topup", "join", "aggregate"),
+)
+def ivm_topup_join_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 frontier, driver-checked: DELTA TOP-UP SERVING on a join
+    view. A (segment, priority) join rollup is left STALE (an orders
+    append AND a merge-on-read delete landed after CREATE); under
+    mv_rewrite='topup' the io.sql call folds the bilinear changelog
+    delta (ΔR⋈S_new ∪ R_old⋈ΔS, pre-cancelled weights) into the
+    read-time re-aggregation and answers the coarser GROUP BY FRESH —
+    with ZERO commits on the view (the snapshot count is pinned; a
+    refresh here would be a commit). The oracle recomputes the join
+    aggregate over the net rows."""
+    from denali_spark.engine.tables import load_table
+    from denali_spark.sources import equality_delete
+
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    io.write_table(customer, ["reg"], "customer", mode="append")
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_topup AS
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_rows,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price_dec
+        FROM reg.orders JOIN reg.customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    doomed = orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
+    equality_delete(io, ["reg"], "orders", doomed, on=["o_orderkey"])
+    snaps_before = len(
+        io.client.load_table(["reg"], "mv_topup")["metadata"]["snapshots"]
+    )
+    io.sql("SET mv_rewrite = 'topup'")
+    out = io.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM reg.orders o JOIN reg.customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+    rows, schema = out.collect(), out.schema  # execute BEFORE the pin check
+    info = io.last_mv_rewrite
+    snaps_after = len(
+        io.client.load_table(["reg"], "mv_topup")["metadata"]["snapshots"]
+    )
+    _teardown(server, tmp)
+    res = spark.createDataFrame(rows, schema)
+    if info is None or not info["fresh"] or info["topup_delta_rows"] is None:
+        raise RuntimeError(f"expected a topup-served rewrite — got {info!r}")
+    if snaps_after != snaps_before:
+        raise RuntimeError(
+            "topup serving must not commit on the view: snapshots "
+            f"{snaps_before} -> {snaps_after}"
+        )
+    return res
+
+
+@query(
+    "ivm_topup_extrema_append_only",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("ivm", "catalog", "rewrite", "topup", "aggregate"),
+)
+def ivm_topup_extrema_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 frontier, driver-checked: INSERT-ONLY EXTREMA TOP-UP. A
+    priority rollup maintaining MIN/MAX(o_orderdate) goes stale through
+    an append-only delta (no delete can have retired a stored extremum,
+    probed with a bounded limit(1) over the changed files), so under
+    mv_rewrite='topup' the MIN/MAX fold over summary + delta is exact
+    and the query serves FRESH with zero commits on the view. The
+    oracle is the plain GROUP BY over all rows."""
+    tmp, server, io = _warehouse(spark)
+    orders = _orders(spark, sf_dir)
+    half = F.col("o_orderkey") % 2
+    io.write_table(orders.filter(half == 0), ["reg"], "orders", mode="append")
+    io.sql("""
+        CREATE MATERIALIZED VIEW reg.mv_ext AS
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM reg.orders GROUP BY o_orderpriority
+    """)
+    io.write_table(orders.filter(half == 1), ["reg"], "orders", mode="append")
+    snaps_before = len(
+        io.client.load_table(["reg"], "mv_ext")["metadata"]["snapshots"]
+    )
+    io.sql("SET mv_rewrite = 'topup'")
+    out = io.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM reg.orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+    rows, schema = out.collect(), out.schema  # execute BEFORE the pin check
+    info = io.last_mv_rewrite
+    snaps_after = len(
+        io.client.load_table(["reg"], "mv_ext")["metadata"]["snapshots"]
+    )
+    _teardown(server, tmp)
+    res = spark.createDataFrame(rows, schema)
+    if info is None or not info["fresh"]:
+        raise RuntimeError(f"expected an extrema topup rewrite — got {info!r}")
+    if snaps_after != snaps_before:
+        raise RuntimeError(
+            "topup serving must not commit on the view: snapshots "
+            f"{snaps_before} -> {snaps_after}"
+        )
+    return res

@@ -58,6 +58,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 DRIVER_PRIORITY: list[str] = [
     # --- NEW round-16 queries (attest THIS round) ---
     "ivm_rewrite_avg_rollup",
+    "ivm_topup_join_serving",
+    "ivm_topup_extrema_append_only",
     # --- round-11-attested ---
     "sim_srp_hamming_calibration",
     "text_boilerplate_prefixes",

@@ -61,7 +61,9 @@ is answered from MV ``keys, aggs`` over the same source(s) when
   folding the changelog between the stored watermark(s) and the sources'
   current snapshots into the read-time re-aggregation (the lambda-serving
   shape; join views expand the bilinear rule at delta cost; sum-family
-  aggregates only — extrema need rescans, so those queries fall through);
+  aggregates always fold, MIN/MAX fold too when the delta window is
+  insert-only — a delete could have retired a stored extremum, so
+  deleting windows send extrema queries back to the base path);
   'off' — never rewrite.
 
 AVG(expr) IS rewritten when the MV maintains both an exact sum and a

@@ -617,7 +617,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 # must degrade a plain SELECT to the base path, never
                 # fail it (run_maintenance owns loud refresh errors)
                 continue
-        topup = None
+        topup, topup_rows = None, None
         if mode == "topup" and not fresh:
             # Delta top-up: answer FRESH from the stale summary WITHOUT a
             # refresh commit — fold the changelog between the stored
@@ -633,19 +633,50 @@ def try_rewrite(io, query: str) -> DataFrame | None:
             if fams - (foldable | {"min", "max"}):
                 continue
             need_extrema = bool(fams - foldable)
+            # Session-level delta cache: a dashboard firing many queries
+            # at the same stale view must pay the changelog read ONCE.
+            # The key is exact state identity — the view's current
+            # snapshot (= its watermark state), every source's current
+            # snapshot, and the extrema flag (it changes the delta's
+            # columns) — so any commit anywhere mints a new key; the
+            # checkpointed blocks of evicted entries are GC-reclaimed.
             if isinstance(m, JoinRollupSpec):
-                topup = join_topup_delta(io, m, mv_md,
-                                         extrema=need_extrema)
+                srcs = [(m.left_namespace, m.left_name),
+                        (m.right_namespace, m.right_name)]
             else:
-                topup = rollup_topup_delta(io, m, mv_md,
-                                           extrema=need_extrema)
-            if topup is None:  # expired watermark / foreign write
-                continue
-            topup = topup.localCheckpoint(eager=False)
+                srcs = [(m.source_namespace, m.source_name)]
+            ref = (mv_md.get("refs", {}).get("main") or {})
+            key = (
+                ".".join([*mv_ns, mv_name]), ref.get("snapshot-id"),
+                tuple(
+                    io.client.load_table(ns, n)["metadata"]
+                    .get("current-snapshot-id") for ns, n in srcs
+                ),
+                need_extrema,
+            )
+            cache: dict = getattr(io, "_topup_delta_cache", {})
+            hit = cache.get(key)
+            if hit is not None:
+                topup, topup_rows = hit
+            else:
+                if isinstance(m, JoinRollupSpec):
+                    topup = join_topup_delta(io, m, mv_md,
+                                             extrema=need_extrema)
+                else:
+                    topup = rollup_topup_delta(io, m, mv_md,
+                                               extrema=need_extrema)
+                if topup is None:  # expired watermark / foreign write
+                    continue
+                topup = topup.localCheckpoint(eager=False)
+                # the count both reports the delta size and materializes
+                # the checkpoint the union below (and every later query
+                # against this same state) reuses
+                topup_rows = topup.count()
+                cache[key] = (topup, topup_rows)
+                io._topup_delta_cache = dict(list(cache.items())[-8:])
             fresh = True  # watermark state + delta = the live answer
 
         mv_df = io.read_table(mv_ns, mv_name)
-        topup_rows = None
         if topup is not None:
             # Union the signed delta onto the stored summary and re-fold
             # at the MV grain: groups whose row count folds to zero are
@@ -668,7 +699,6 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 *m.group_by,
                 *[F.col(c).cast(schema[c]).alias(c) for c in state_cols],
             )
-            topup_rows = topup.count()
         if extra_filter is not None:
             mv_df = mv_df.filter(F.expr(extra_filter))
         if plan or hidden:

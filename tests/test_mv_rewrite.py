@@ -1031,3 +1031,56 @@ def test_explain_under_refresh_policy_never_commits(spark, io):
     # and a REAL query under refresh still folds (commits) as before
     io.sql("SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k")
     assert _snap_count(io, ["rw"], "mv") == before + 1
+
+
+def test_topup_delta_cache_reuses_state_identity(spark, io):
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 260).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.mv_rewrite = "topup"
+    q = "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k"
+    io.sql(q).collect()
+    cache = io._topup_delta_cache
+    assert len(cache) == 1
+    (key1, (df1, rows1)) = next(iter(cache.items()))
+    # a second query against the SAME stale state reuses the entry
+    io.sql("SELECT COUNT(*) AS n FROM rw.facts").collect()
+    assert len(io._topup_delta_cache) == 1
+    assert io._topup_delta_cache[key1][0] is df1
+    assert io.last_mv_rewrite["topup_delta_rows"] == rows1
+    # a new source commit mints a NEW key (never serves a stale delta)
+    io.write_table(_rows(spark, 260, 280).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    got = {(r.k, r.n) for r in io.sql(q).collect()}
+    assert len(io._topup_delta_cache) == 2
+    io.mv_rewrite = "off"
+    assert got == {(r.k, r.n) for r in io.sql(q).collect()}
+
+
+def test_topup_serves_cascading_mv(spark, io):
+    """An MV over an MV: the child's source IS the parent table, so the
+    child's topup folds the PARENT's refresh changelog — serving stays
+    correct one level up the cascade."""
+    _seed(spark, io)  # rw.mv over rw.facts
+    io.sql("""
+        CREATE MATERIALIZED VIEW rw.mv_child AS
+        SELECT k, SUM(CAST(amount_sum AS DECIMAL(18,2))) AS amount_total
+        FROM rw.mv GROUP BY k
+    """)
+    # advance the parent: source append + parent refresh (a CoW commit
+    # the child's changelog must fold), child left stale
+    io.write_table(_rows(spark, 200, 240).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    io.sql("REFRESH MATERIALIZED VIEW rw.mv")
+    before = _snap_count(io, ["rw"], "mv_child")
+    io.mv_rewrite = "topup"
+    q = ("SELECT k, SUM(CAST(amount_sum AS DECIMAL(18,2))) AS total "
+         "FROM rw.mv GROUP BY k")
+    got_df = io.sql(q)
+    info = io.last_mv_rewrite
+    assert info is not None and info["view"] == "rw.mv_child"
+    assert info["fresh"] is True
+    got = {tuple(r) for r in got_df.collect()}
+    io.mv_rewrite = "off"
+    assert got == {tuple(r) for r in io.sql(q).collect()}
+    assert _snap_count(io, ["rw"], "mv_child") == before

@@ -258,6 +258,20 @@ BENCH_local_r15 runs. sf1_ivm end-of-round: refresh 1.11s vs
 full_build 1.53s on 6M rows; rewrite_from_mv 0.41s vs base_agg 0.46s,
 rewrite_fired true.
 
+Round-16 legs: mid-round quiet leg 30.03s, END-OF-ROUND quiet leg
+29.979s — ratio 1.002, the task-7 protocol holds (both legs ran with no
+other JVM active; the full suite ran AFTER, not before). vs the r15
+driver artifact 27.55s: median per-query ratio 1.094, a uniform shift
+with no mover above 1.39x and every >1.25x mover in the documented
+sub-second jitter class (sem_dedup_pairs 0.49->0.68, text_decontaminate
+0.56->0.77) — box drift, not structure; the r17 leg adjudicates.
+knn_scale (both legs agree): sim_hard_negatives 5.69x,
+dedup_embedding_lsh_pairs 5.5x steady at 10x data — sublinear, the r14
+density cliff stays closed as two-point data. Topup serving economics
+(`ivm.topup_read`): sf0.1 0.308s / sf1 0.445s against full refresh
+0.794/0.955 and full build 1.027/1.638 — the read-time delta fold stays
+delta-bound across the 10x step while both maintenance paths grow.
+
 Round-16 additions (r15 verdict task 2): `base_knn_queries` records
 {first_call, steady} pairs for sim_hard_negatives /
 dedup_embedding_lsh_pairs at the BASE SF (same definitions as the sf1

@@ -1859,12 +1859,25 @@ class SparkCatalogIO:
 
         stmt = _strip_stmt(stmt)
         md_props = None
-        if m := _re.match(r"DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$",
+        # clause splitting is top-level-scan based (_find_top_level), the
+        # same literal-aware rule the real DML router uses — a SET value
+        # containing the text 'WHERE' must not truncate the predicate
+        if m := _re.match(r"DELETE\s+FROM\s+([\w.]+)\s+(.+)$",
                           stmt, _re.IGNORECASE | _re.DOTALL):
-            op, qualified, where_sql = "delete", m.group(1), m.group(2)
-        elif m := _re.match(r"UPDATE\s+([\w.]+)\s+SET\s+.+?WHERE\s+(.+)$",
+            op, qualified = "delete", m.group(1)
+            rest = m.group(2)
+            w = _find_top_level(rest, "WHERE")
+            if w < 0:
+                raise ValueError("DELETE FROM requires a WHERE clause")
+            where_sql = rest[w + 5:]
+        elif m := _re.match(r"UPDATE\s+([\w.]+)\s+SET\s+(.+)$",
                             stmt, _re.IGNORECASE | _re.DOTALL):
-            op, qualified, where_sql = "update", m.group(1), m.group(2)
+            op, qualified = "update", m.group(1)
+            rest = m.group(2)
+            w = _find_top_level(rest, "WHERE")
+            if w < 0:
+                raise ValueError("UPDATE requires a WHERE clause")
+            where_sql = rest[w + 5:]
         elif m := _re.match(
             r"MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?\w+)?\s+USING\s+(.+)$",
             stmt, _re.IGNORECASE | _re.DOTALL,

@@ -1255,3 +1255,18 @@ def test_set_staleness_bound(spark, io):
     assert io.mv_rewrite_max_staleness_ms is None
     with pytest.raises(ValueError, match="integer millisecond"):
         io.sql("SET mv_rewrite_max_staleness_ms = soon")
+
+
+def test_explain_update_where_split_is_literal_aware(spark, io):
+    # a SET value containing the text 'WHERE' must not truncate the
+    # predicate — clause splitting is top-level-scan based
+    io.sql("CREATE NAMESPACE IF NOT EXISTS expdml4")
+    io.sql("CREATE TABLE expdml4.t AS "
+           "SELECT CAST(id AS BIGINT) AS id, CAST('x' AS STRING) AS s "
+           "FROM range(10)")
+    [r] = io.sql(
+        "EXPLAIN UPDATE expdml4.t SET s = 'WHERE id' WHERE id < 3"
+    ).collect()
+    plan = r["plan"]
+    assert '"match": "id < 3"' in plan
+    assert _snapshots(io, ["expdml4"], "t") == 1

@@ -608,10 +608,22 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 lag = mv_staleness_lag_ms(io, m, mv_md)
                 if lag is None or lag > bound:
                     continue
+        # Pin the serve read to the SNAPSHOT the checks above evaluated:
+        # freshness / staleness / the topup delta are all judged against
+        # mv_md, and a concurrent refresh landing between that load and
+        # the read would otherwise serve a NEWER state — benign for a
+        # plain summary read, but a topup would DOUBLE-APPLY its delta
+        # (watermark->current folded onto an already-refreshed summary).
+        # A refresh-mode fold below re-points the pin to its own commit.
+        pin = (mv_md.get("refs", {}).get("main") or {}).get("snapshot-id")
         if mode == "refresh" and not fresh:
             try:
-                refresh_materialized_view(io, mv_ns, mv_name)
+                res = refresh_materialized_view(io, mv_ns, mv_name)
                 fresh = True
+                new_md = (res or {}).get("metadata") or {}
+                pin = (new_md.get("refs", {}).get("main") or {}).get(
+                    "snapshot-id", None
+                )
             except Exception:  # noqa: BLE001 — expired watermark, CAS
                 # conflict, foreign write racing us: the refresh failing
                 # must degrade a plain SELECT to the base path, never
@@ -676,7 +688,7 @@ def try_rewrite(io, query: str) -> DataFrame | None:
                 io._topup_delta_cache = dict(list(cache.items())[-8:])
             fresh = True  # watermark state + delta = the live answer
 
-        mv_df = io.read_table(mv_ns, mv_name)
+        mv_df = io.read_table(mv_ns, mv_name, snapshot_id=pin)
         if topup is not None:
             # Union the signed delta onto the stored summary and re-fold
             # at the MV grain: groups whose row count folds to zero are

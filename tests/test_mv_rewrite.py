@@ -1084,3 +1084,49 @@ def test_topup_serves_cascading_mv(spark, io):
     io.mv_rewrite = "off"
     assert got == {tuple(r) for r in io.sql(q).collect()}
     assert _snap_count(io, ["rw"], "mv_child") == before
+
+
+def test_serve_read_is_pinned_to_checked_snapshot(spark, io):
+    """r16 self-review: freshness / topup deltas are judged against the
+    metadata the match phase loaded — the serve-phase read must PIN to
+    that snapshot, or a concurrent refresh landing in between would
+    double-apply a topup delta. The pin is observable: read_table is
+    called with the checked snapshot id."""
+    _seed(spark, io)
+    io.write_table(_rows(spark, 200, 240).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    checked = io.client.load_table(["rw"], "mv")["metadata"]
+    checked_snap = checked["refs"]["main"]["snapshot-id"]
+    calls = []
+    real = io.read_table
+
+    def spying(ns, name, *a, **kw):
+        if name == "mv":
+            calls.append(kw.get("snapshot_id"))
+        return real(ns, name, *a, **kw)
+
+    io.read_table = spying
+    try:
+        io.mv_rewrite = "topup"
+        q = "SELECT k, COUNT(*) AS n FROM rw.facts GROUP BY k"
+        got = {(r.k, r.n) for r in io.sql(q).collect()}
+    finally:
+        io.read_table = real
+    assert calls == [checked_snap]
+    io.mv_rewrite = "off"
+    assert got == {(r.k, r.n) for r in io.sql(q).collect()}
+    # and a refresh-mode fold re-points the pin to ITS OWN commit (the
+    # post-fold snapshot), never the stale checked one
+    io.write_table(_rows(spark, 240, 260).coalesce(1), ["rw"], "facts",
+                   mode="append")
+    calls.clear()
+    io.read_table = spying
+    try:
+        io.mv_rewrite = "refresh"
+        got2 = {(r.k, r.n) for r in io.sql(q).collect()}
+    finally:
+        io.read_table = real
+    post = io.client.load_table(["rw"], "mv")["metadata"]
+    assert calls == [post["refs"]["main"]["snapshot-id"]]
+    io.mv_rewrite = "off"
+    assert got2 == {(r.k, r.n) for r in io.sql(q).collect()}

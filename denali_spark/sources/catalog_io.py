@@ -1518,8 +1518,12 @@ class SparkCatalogIO:
     def invalidate_mv_cache(self) -> None:
         """Forget the cached materialized-view listing (the rewrite pass
         re-walks the catalog on the next SELECT) — call after another
-        client created or dropped an MV."""
+        client created or dropped an MV. Also drops the topup delta
+        cache: its keys are snapshot-identity-exact so it can never serve
+        a stale delta, but releasing the checkpointed blocks alongside
+        the listing keeps one invalidation call the whole story."""
         self._mv_listing_cache = None
+        self._topup_delta_cache = {}
 
     def _sql_create_mview(self, qualified: str, select_sql: str) -> DataFrame:
         """CREATE MATERIALIZED VIEW ns.mv AS <select> — an incrementally

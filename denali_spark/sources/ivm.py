@@ -131,10 +131,12 @@ class RollupSpec:
     # (insert adds the indicator, delete subtracts it).
     counts: dict[str, str] = field(default_factory=dict)
     # AVG(expr) columns: maintained as a HIDDEN exact sum (`_<col>_sum`,
-    # folded like any other sum) plus a stored DOUBLE recomputed from
-    # maintained state at every refresh — identical scalar division on
-    # both the maintained and recompute paths, so the twin holds bit-for-
-    # bit. The expression follows the exact-type (integer/DECIMAL) policy.
+    # folded like any other sum) plus a stored derived average recomputed
+    # from maintained state at every refresh in the defining query's OWN
+    # result type (decimal(p+4, s+4) for decimal expressions, double for
+    # integral — _apply_avgs replicates Spark's Average), so a direct
+    # SELECT against the summary is type- and value-identical to the
+    # recompute. The expression follows the exact-type policy.
     avgs: dict[str, str] = field(default_factory=dict)
     # Optional static row predicate (SQL over source columns). A
     # deterministic per-row filter commutes with every piece of the delta
@@ -221,13 +223,34 @@ def _require_exact_sum_types(empty_df, spec) -> None:
 
 
 def _apply_avgs(df, avgs: dict[str, str]):
-    # divide by the NON-NULL count (_<c>_cnt), not n_rows: SQL AVG ignores
+    # Divide by the NON-NULL count (_<c>_cnt), not n_rows: SQL AVG ignores
     # NULLs, and a group with cnt=0 has a NULL hidden sum so the stored
-    # average is NULL — exactly AVG over an all-NULL group
+    # average is NULL — exactly AVG over an all-NULL group.
+    #
+    # The division replicates Spark's own Average evaluation so the STORED
+    # column carries the type AND value the defining query's AVG analyzes
+    # to: for a decimal(p, s) expression the hidden sum's stored type IS
+    # the accumulator decimal(p+10, s), the divisor is cast to
+    # decimal(20, 0) (Average's count cast), and the quotient is cast to
+    # the result type decimal(p+4, s+4) — the same rounding scale
+    # mv_rewrite._avg_builder uses on the serve path. Integral averages
+    # divide as doubles (sum.cast(double)/count — Average's non-decimal
+    # branch). A saturated accumulator (precision 38, expression p > 28)
+    # cannot recover p, so the result keeps precision 38 — value-identical
+    # at the same scale, precision differs only for 28 < p < 34.
+    from pyspark.sql.types import DecimalType
+
     for c in avgs:
-        df = df.withColumn(
-            c, F.col(f"_{c}_sum").cast("double") / F.col(f"_{c}_cnt")
-        )
+        s, n = F.col(f"_{c}_sum"), F.col(f"_{c}_cnt")
+        dt = df.schema[f"_{c}_sum"].dataType
+        if isinstance(dt, DecimalType):
+            prec = (38 if dt.precision >= 38
+                    else min(dt.precision - 10 + 4, 38))
+            res = DecimalType(prec, min(dt.scale + 4, 38))
+            df = df.withColumn(
+                c, (s / n.cast(DecimalType(20, 0))).cast(res))
+        else:
+            df = df.withColumn(c, s.cast("double") / n)
     return df
 
 
@@ -613,7 +636,7 @@ def _fold_delta_commit(
         # carrying the rest by reference is exact.
         old_state = _read_candidates(io, tgt_md, parent_id, candidates)
         if avgs:
-            # stored AVG doubles are derived, not foldable — drop and
+            # stored derived averages are not foldable — drop and
             # recompute from the folded hidden sums below
             old_state = old_state.drop(*avgs)
         if rescan_keys is not None:
@@ -633,11 +656,20 @@ def _fold_delta_commit(
     ).filter(F.col(COUNT_COL) > 0)
     if rescanned is not None:
         folded = folded.unionByName(rescanned)
+    target_fields = io._empty_df(tgt_md).schema
     if avgs:
+        # The fold's F.sum widened the hidden sums past their committed
+        # accumulator type; cast back BEFORE the derived-average divide so
+        # the quotient rounds at the same scale as the build path (and the
+        # defining query's own Average).
+        committed = {f.name: f.dataType for f in target_fields.fields}
+        for c in avgs:
+            sc = f"_{c}_sum"
+            if sc in committed:
+                folded = folded.withColumn(sc, F.col(sc).cast(committed[sc]))
         folded = _apply_avgs(folded, avgs)
     # Pin the refresh output to the target's committed schema: repeated
     # folding must not creep decimal precision between generations.
-    target_fields = io._empty_df(tgt_md).schema
     folded = folded.select(
         *[F.col(f.name).cast(f.dataType) for f in target_fields]
     ).sortWithinPartitions(*keys)
@@ -731,7 +763,7 @@ class JoinRollupSpec:
     maxs: dict[str, str] = field(default_factory=dict)
     ndvs: dict[str, str] = field(default_factory=dict)
     counts: dict[str, str] = field(default_factory=dict)
-    # AVG over joined columns — the same hidden-sum + derived-double
+    # AVG over joined columns — the same hidden-sum + derived-average
     # mechanism as RollupSpec.avgs.
     avgs: dict[str, str] = field(default_factory=dict)
     # Optional static row predicate over the JOINED columns — applied
@@ -1134,7 +1166,7 @@ def parse_materialized_view_sql(
 
     Aggregates: COUNT(*) AS n_rows (optional — always maintained), SUM /
     AVG / MIN / MAX (expr) AS alias (AVG rides a hidden exact sum and a
-    derived double), APPROX_COUNT_DISTINCT(expr) AS alias (the
+    derived average), APPROX_COUNT_DISTINCT(expr) AS alias (the
     maintained-HLL NDV; single-table only). Join views take COUNT/SUM/AVG only
     (module docstring: extrema rescans over a join are a different cost
     class). A WHERE clause becomes the spec's static row predicate —
@@ -1650,8 +1682,8 @@ def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
     supposed to reflect, so a source that has moved on since the last
     refresh does NOT raise a false alarm — and compare row-for-row. HLL
     sketch columns compare by ESTIMATE (bytes may differ by
-    representation mode); AVG doubles compare exactly (both paths run
-    the identical scalar division). The operational drift alarm — any
+    representation mode); derived averages compare exactly (both paths
+    run the identical scalar division at the same type). The operational drift alarm — any
     nonzero mismatch means a bug or a foreign write that slipped the
     invalidation guards."""
     md = io.client.load_table(namespace, name)["metadata"]
@@ -1684,6 +1716,13 @@ def verify_materialized_view(io: SparkCatalogIO, namespace: list[str],
         want = _aggregate_full(io, spec, snapshot_id=wm)
         ndv_cols = list(spec.ndvs)
     got = io.read_table(namespace, name)
+    # An MV created by an older build stores its derived averages as
+    # DOUBLE; align the recompute to the committed type so the value
+    # comparison (not the storage-type history) decides consistency.
+    stored = {f.name: f.dataType for f in got.schema.fields}
+    for c in spec.avgs:
+        if c in stored and want.schema[c].dataType != stored[c]:
+            want = want.withColumn(c, F.col(c).cast(stored[c]))
 
     def canon(df):
         cols = [c for c in df.columns if c not in ndv_cols]

@@ -767,28 +767,29 @@ def test_avg_float_typed_falls_back(spark, io):
 
 
 def test_maintained_avg_is_null_correct(spark, io):
-    # IVM-level pin for the r16 divisor fix: the STORED average column
-    # over NULL-holding groups equals SQL AVG (sum / non-null count),
-    # and stays equal through an incremental refresh
+    # IVM-level pin for the divisor + storage-type contract: the STORED
+    # average over NULL-holding groups equals SQL AVG exactly — hidden
+    # sum / NON-NULL count, materialized in the defining query's own
+    # result type (decimal(22,6) for the decimal expression, double for
+    # the integral id average) — and stays exactly equal through an
+    # incremental refresh.
     _seed_avg(spark, io)
     io.mv_rewrite = "off"
-    # the STORED column is a derived DOUBLE = exact_sum / non_null_count
-    # (SQL AVG over decimal additionally rounds to scale+4 — the rewrite
-    # plane reproduces THAT; here we pin the divisor semantics)
-    expect = {(r["k"], r["j"]): (r["a"], r["b"]) for r in io.sql(
-        "SELECT k, j, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)"
-        " / COUNT(amount) AS a, "
-        "CAST(SUM(id) AS DOUBLE) / COUNT(id) AS b "
-        "FROM rw.nfacts GROUP BY k, j").collect()}
-    got = {(r["k"], r["j"]): (r["amount_avg"], r["id_avg"])
-           for r in io.read_table(["rw"], "mv_avg").collect()}
-    # stored column is DOUBLE (derived); compare against double cast
-    assert set(got) == set(expect)
-    for key, (a, b) in expect.items():
-        sa, sb = got[key]
-        assert sa == pytest.approx(float(a), abs=1e-9)
-        assert sb == pytest.approx(float(b), abs=1e-9)
-    # append more NULL-holding rows, refresh, re-check
+
+    def check():
+        expect = {(r["k"], r["j"]): (r["a"], r["b"]) for r in io.sql(
+            "SELECT k, j, AVG(CAST(amount AS DECIMAL(18,2))) AS a, "
+            "AVG(id) AS b FROM rw.nfacts GROUP BY k, j").collect()}
+        mv = io.read_table(["rw"], "mv_avg")
+        types = dict(mv.dtypes)
+        assert types["amount_avg"] == "decimal(22,6)"
+        assert types["id_avg"] == "double"
+        got = {(r["k"], r["j"]): (r["amount_avg"], r["id_avg"])
+               for r in mv.collect()}
+        assert got == expect
+
+    check()
+    # append more NULL-holding rows, refresh, re-check bit-for-bit
     extra = spark.range(200, 260).select(
         F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 2).alias("j"),
         F.when(F.col("id") % 7 != 0,
@@ -796,17 +797,7 @@ def test_maintained_avg_is_null_correct(spark, io):
     )
     io.write_table(extra.coalesce(1), ["rw"], "nfacts", mode="append")
     io.sql("REFRESH MATERIALIZED VIEW rw.mv_avg")
-    expect2 = {(r["k"], r["j"]): (r["a"], r["b"]) for r in io.sql(
-        "SELECT k, j, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)"
-        " / COUNT(amount) AS a, "
-        "CAST(SUM(id) AS DOUBLE) / COUNT(id) AS b "
-        "FROM rw.nfacts GROUP BY k, j").collect()}
-    got2 = {(r["k"], r["j"]): (r["amount_avg"], r["id_avg"])
-            for r in io.read_table(["rw"], "mv_avg").collect()}
-    for key, (a, b) in expect2.items():
-        sa, sb = got2[key]
-        assert sa == pytest.approx(float(a), abs=1e-9)
-        assert sb == pytest.approx(float(b), abs=1e-9)
+    check()
 
 
 # --- r16: delta top-up serving (fresh answers from a stale MV, no commit) ---

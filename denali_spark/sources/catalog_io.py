@@ -986,6 +986,31 @@ class SparkCatalogIO:
         )
         rewritten, literals = _mask_literals(query)
 
+        # ANSI: an unaliased table reference's correlation name is its
+        # bare (unqualified) table name — `FROM fj.facts JOIN fj.dims ON
+        # facts.k = dims.k` must resolve. The temp-view substitution
+        # would otherwise hide that name, so each replacement re-exposes
+        # it with `AS <bare-name>` UNLESS the reference already carries
+        # an explicit or implicit alias (then ANSI says the bare name is
+        # NOT visible, and appending one would be a syntax error).
+        _after_ref_keywords = frozenset((
+            "where", "join", "on", "group", "order", "having", "limit",
+            "union", "intersect", "except", "minus", "inner", "left",
+            "right", "full", "cross", "natural", "semi", "anti",
+            "lateral", "using", "when", "for", "window", "distribute",
+            "cluster", "sort", "offset", "pivot", "unpivot",
+            "tablesample", "and", "or", "not", "matched", "then",
+        ))
+
+        def _alias_tail(src: str, end: int, bare: str) -> str:
+            nxt = _re.match(r"\s*([A-Za-z_][A-Za-z_0-9]*)", src[end:])
+            if nxt is None:  # punctuation / end-of-text: no alias follows
+                return f" AS {bare}"
+            tok = nxt.group(1).lower()
+            if tok in _after_ref_keywords:
+                return f" AS {bare}"
+            return ""  # `AS x` or an implicit alias identifier follows
+
         # Metadata-relation addressing (Iceberg SQL's `db.t.snapshots`
         # family): a pre-pass resolves `ns.table.<kind>` names into
         # metadata_table relations. The main loop below never touches
@@ -1023,7 +1048,7 @@ class SparkCatalogIO:
                     key = f"{q}.{mk}|{snap_id}|{mref}"
                     view = "__denali_" + hashlib.md5(key.encode()).hexdigest()[:10]
                     df.createOrReplaceTempView(view)
-                    return view
+                    return view + _alias_tail(m.string, m.end(), mk)
 
                 rewritten = mpat.sub(mrepl, rewritten)
             lowered = rewritten.lower()
@@ -1064,7 +1089,7 @@ class SparkCatalogIO:
                         version_id=snap_id, as_of_ms=as_of_ms,
                     )
                 df.createOrReplaceTempView(view)
-                return view
+                return view + _alias_tail(m.string, m.end(), name)
 
             rewritten = pat.sub(repl, rewritten)
         return self.spark.sql(_unmask_literals(rewritten, literals))
@@ -1859,7 +1884,6 @@ class SparkCatalogIO:
         import json as _json
         import re as _re
 
-        from denali_spark.sources.expressions import parse_where
 
         stmt = _strip_stmt(stmt)
         md_props = None
@@ -1903,7 +1927,8 @@ class SparkCatalogIO:
         strategy = self._row_op_mode(md, op)
         md_props = md.get("properties", {}).get(f"write.{op}.mode")
         if where_sql is not None:
-            expr = parse_where(where_sql)  # scan-grammar → file pruning
+            # scan-grammar → file pruning; raw-SQL fallback → full read
+            expr = self._parse_dml_where(where_sql)
             read_df = self.read_table(ns, name, where=expr).filter(
                 F.expr(where_sql)
             )
@@ -2509,17 +2534,45 @@ class SparkCatalogIO:
 
         raise ValueError(f"unsupported ALTER TABLE action {act[:80]!r}")
 
+    def _parse_dml_where(self, where_sql: str) -> dict:
+        """DML WHERE → scan expression. The prunable grammar first (file
+        pruning applies before any data is read); a clause it cannot
+        express (modulo/function/arithmetic, e.g. `id % 2 = 0`) falls
+        back to an opaque raw-SQL leaf — exact row-level semantics via
+        the same residual filter, at full-candidate (unpruned) cost. The
+        fallback still validates the text parses as a Spark expression,
+        so a typo fails here with both diagnostics, not deep in a job."""
+        from denali_spark.sources.expressions import parse_where, raw_sql
+
+        try:
+            return parse_where(where_sql)
+        except ValueError as grammar_err:
+            try:
+                # parse-only (no analysis): F.expr is lazy in PySpark 4,
+                # so drive the session's SQL parser directly
+                self.spark._jsparkSession.sessionState().sqlParser() \
+                    .parseExpression(where_sql)
+            except Exception as spark_err:  # noqa: BLE001 — diagnostics
+                msg = str(spark_err).splitlines()
+                raise ValueError(
+                    f"WHERE clause is neither a prunable scan predicate "
+                    f"({grammar_err}) nor valid Spark SQL "
+                    f"({' '.join(msg[:3])})"
+                ) from grammar_err
+            return raw_sql(where_sql)
+
     def _sql_delete(self, qualified: str, where_sql: str) -> DataFrame:
         """DELETE FROM ns.t WHERE <expr> — routed to the copy-on-write or
         deletion-vector path by the table's write.delete.mode property.
         The WHERE clause parses into the scan-expression grammar, so file
-        pruning applies before any data is read."""
-        from denali_spark.sources.expressions import parse_where
+        pruning applies before any data is read; a clause the grammar
+        cannot express (modulo/function/arithmetic shapes) falls back to
+        an opaque raw-SQL predicate — exact row matching, no pruning."""
         from denali_spark.sources.mor import delete_where_dv
         from denali_spark.sources.row_ops import delete_where
 
         ns, name, md = self._dml_target(qualified)
-        expr = parse_where(where_sql)
+        expr = self._parse_dml_where(where_sql)
         mode = self._row_op_mode(md, "delete")
         op = delete_where_dv if mode == "merge-on-read" else delete_where
         result = op(self, ns, name, expr)
@@ -2530,8 +2583,9 @@ class SparkCatalogIO:
     ) -> DataFrame:
         """UPDATE ns.t SET c = <spark expr>[, ...] WHERE <expr> — routed
         by write.update.mode. Right-hand sides pass through as Spark SQL
-        expressions (they may reference any column of the row)."""
-        from denali_spark.sources.expressions import parse_where
+        expressions (they may reference any column of the row). WHERE
+        follows the same prunable-grammar-with-raw-SQL-fallback contract
+        as DELETE (_parse_dml_where)."""
         from denali_spark.sources.mor import update_where_mor
         from denali_spark.sources.row_ops import update_where
 
@@ -2542,7 +2596,7 @@ class SparkCatalogIO:
             if not sep or not col.strip() or not rhs.strip():
                 raise ValueError(f"malformed SET assignment: {part.strip()!r}")
             set_exprs[col.strip()] = rhs.strip()
-        expr = parse_where(where_sql)
+        expr = self._parse_dml_where(where_sql)
         mode = self._row_op_mode(md, "update")
         op = update_where_mor if mode == "merge-on-read" else update_where
         result = op(self, ns, name, expr, set_exprs)

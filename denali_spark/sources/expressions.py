@@ -97,6 +97,16 @@ def always_false() -> dict:
     return {"type": "false"}
 
 
+def raw_sql(sql: str) -> dict:
+    """An opaque Spark SQL predicate the scan grammar cannot express
+    (modulo/function/arithmetic WHERE shapes). Evaluates exactly at the
+    row level via to_spark_sql; NEVER prunes — both the stats and the
+    partition pruners treat it as might-match, so a raw predicate means a
+    full-candidate read. The DML router falls back to this when
+    parse_where rejects a clause, trading pruning for coverage."""
+    return {"type": "raw-sql", "sql": sql}
+
+
 # --- NOT normalization (De Morgan + comparison negation) --------------------
 
 _NEGATION = {
@@ -136,6 +146,8 @@ def normalize(expr: dict) -> dict:
                 "left": normalize(not_(child["left"])),
                 "right": normalize(not_(child["right"])),
             }
+        if ct not in _NEGATION:  # raw-sql leaf: keep the NOT node
+            return {"type": "not", "child": normalize(child)}
         neg = dict(child)
         neg["type"] = _NEGATION[ct]
         return neg
@@ -180,6 +192,8 @@ def to_spark_sql(expr: dict) -> str:
         return "TRUE"
     if t == "false":
         return "FALSE"
+    if t == "raw-sql":
+        return f"({expr['sql']})"
     col = _sql_col(expr["term"])
     if t == "is-null":
         return f"({col} IS NULL)"
@@ -224,6 +238,8 @@ def _might(expr: dict, stats: dict) -> bool:  # noqa: PLR0911 — case table
     if t == "false":
         return False
     if t == "not":  # un-normalizable leaf NOT → don't prune
+        return True
+    if t == "raw-sql":  # opaque predicate → don't prune
         return True
     col_stats = stats.get(expr["term"])
     if not isinstance(col_stats, dict):

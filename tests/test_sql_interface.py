@@ -557,6 +557,48 @@ def test_sql_merge_set_clauses_merge_on_read(spark, io):
     assert rows[2] == (104, "old") and rows[9] == (-3, None) and len(rows) == 6
 
 
+def test_sql_dml_raw_predicate_fallback(spark, io):
+    """A WHERE the prunable scan grammar can't express (modulo, function,
+    arithmetic) falls back to an opaque raw-SQL predicate: exact
+    row-level semantics at full-candidate cost, on both the CoW and MoR
+    paths — and EXPLAIN on the same shape emits the read plan without
+    committing."""
+    io.sql("CREATE TABLE dmlr.t AS SELECT id, id * 2 AS v "
+           "FROM westeros.my_table")
+    out = io.sql("DELETE FROM dmlr.t WHERE id % 10 = 0").collect()[0]
+    assert out["operation"] == "delete" and out["mode"] == "copy-on-write"
+    assert io.sql("SELECT COUNT(*) AS n FROM dmlr.t").collect()[0]["n"] == 90
+    io.sql("UPDATE dmlr.t SET v = -1 WHERE pmod(id, 9) = 1 AND id < 20")
+    got = sorted(r["id"] for r in
+                 io.sql("SELECT id FROM dmlr.t WHERE v = -1").collect())
+    assert got == [1, 19]  # 10 was deleted above
+
+    # MoR twin: raw predicate must produce deletion vectors too
+    md = io.client.load_table(["dmlr"], "t")["metadata"]
+    io.client.commit_table(
+        ["dmlr"], "t",
+        requirements=[{"type": "assert-table-uuid", "uuid": md["table-uuid"]}],
+        updates=[{"action": "set-properties", "updates": {
+            "write.delete.mode": "merge-on-read",
+        }}],
+    )
+    out = io.sql("DELETE FROM dmlr.t WHERE id % 10 = 5").collect()[0]
+    assert out["mode"] == "merge-on-read"
+    assert io.sql("SELECT COUNT(*) AS n FROM dmlr.t").collect()[0]["n"] == 80
+
+    # EXPLAIN with a raw predicate: read plan, zero commits
+    snaps = len(io.client.load_table(["dmlr"], "t")["metadata"]["snapshots"])
+    plan = io.sql("EXPLAIN DELETE FROM dmlr.t WHERE id % 3 = 0") \
+        .collect()[0].plan
+    assert "id % 3 = 0" in plan
+    assert len(io.client.load_table(["dmlr"], "t")["metadata"]["snapshots"]) \
+        == snaps
+
+    # garbage WHERE: both diagnostics, no commit
+    with pytest.raises(ValueError, match="neither a prunable"):
+        io.sql("DELETE FROM dmlr.t WHERE id %% === 2")
+
+
 def test_sql_delete_without_where_errors_clearly(spark, io):
     """`DELETE FROM ns.t` (no WHERE) must hit the explicit requires-WHERE
     error, not fall through to the SELECT rewriter (ADVICE low)."""

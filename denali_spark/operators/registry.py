@@ -47,16 +47,72 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's per-round correctness sweep may cap how many queries it
 # reaches (historically 50 of the registry per round), so iteration order is
 # a coverage decision, rotated each round so no query's newest driver-green
-# evidence goes stale. ROTATION IS A STANDING STEP (round-15 verdict): this
-# order is PRE-ROTATED FOR ROUND 17 at round-16 close, assuming the r16
-# sweep attests the 50 queries that led the r16 order (3 new twins + 20
-# r11-stale + 27 r12-stale) — the r17 round-open should verify that
-# CORRECTNESS_r16.json matches and re-sort if not. Round-17 order: the 23
-# remaining r12-attested lead, then 27 r13-attested fill the 50 cap;
-# remaining r13, r14, r15, r16 (freshest) last. New r17 queries go at the
-# very front.
+# evidence goes stale. ROTATION TIMING (pinned empirically in round 16 by
+# artifact mtimes): the driver sweep runs at round END, AFTER the session,
+# with the registry order as committed — so the rotation for round N's
+# sweep must happen at round-N OPEN (from merged CORRECTNESS_r{<N} latest
+# evidence) and the order must then be LEFT ALONE through round close.
+# Pre-rotating for N+1 at N's close (tried once, reverted in-round) would
+# make the N sweep attest the wrong 50 and leave the stalest queries — and
+# any brand-new twins — without evidence. Round-16 order: the 3 new
+# round-16 twins first (attest immediately), then the 20 round-11-attested
+# (the staleness floor moves to r12), then the 27 stalest round-12-attested
+# fill the 50 cap; remaining r12, r13, r14, r15 (freshest) last. Round-17
+# open: re-sort from merged evidence including CORRECTNESS_r16.json.
 DRIVER_PRIORITY: list[str] = [
+    # --- NEW round-16 queries (attest THIS round) ---
+    "ivm_rewrite_avg_rollup",
+    "ivm_topup_join_serving",
+    "ivm_topup_extrema_append_only",
+    # --- round-11-attested ---
+    "sim_srp_hamming_calibration",
+    "text_boilerplate_prefixes",
+    "text_dup_rate_by_length",
+    "text_langid_confusion",
+    "text_length_mad_outliers",
+    "text_stopword_coverage",
+    "text_token_fertility",
+    "text_type_token_ratio",
+    "text_zipf_head_ratios",
+    "ts_asof_join_nearest",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_dau_wau_stickiness",
+    "ts_max_drawdown",
+    "ts_range_join_pairs",
+    "ts_sessionize",
+    "ts_spike_hours",
+    "win_cumulative_distinct",
+    "win_pareto_concentration",
+    "win_period_over_period",
     # --- round-12-attested ---
+    "agg_exact_median",
+    "agg_exact_percentiles",
+    "agg_gini_user_activity",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_pivot_segment_balance",
+    "agg_rollup_nation_segment",
+    "agg_stats_moments",
+    "dedup_connected_components",
+    "dedup_minhash_jaccard_est",
+    "dedup_source_overlap",
+    "fn_json_extract",
+    "graph_clustering_coefficient",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_profiles",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_self_colineitems",
+    "join_semi_anti_chain",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q20_excess_suppliers",
@@ -233,57 +289,6 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ivf_nprobe_curve",
     "sim_ivfpq_topk",
     "sim_matryoshka_prefix_recall",
-    # --- round-16-attested ---
-    "ivm_rewrite_avg_rollup",
-    "ivm_topup_join_serving",
-    "ivm_topup_extrema_append_only",
-    "sim_srp_hamming_calibration",
-    "text_boilerplate_prefixes",
-    "text_dup_rate_by_length",
-    "text_langid_confusion",
-    "text_length_mad_outliers",
-    "text_stopword_coverage",
-    "text_token_fertility",
-    "text_type_token_ratio",
-    "text_zipf_head_ratios",
-    "ts_asof_join_nearest",
-    "ts_burstiness",
-    "ts_cross_correlation",
-    "ts_dau_wau_stickiness",
-    "ts_max_drawdown",
-    "ts_range_join_pairs",
-    "ts_sessionize",
-    "ts_spike_hours",
-    "win_cumulative_distinct",
-    "win_pareto_concentration",
-    "win_period_over_period",
-    "agg_exact_median",
-    "agg_exact_percentiles",
-    "agg_gini_user_activity",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_pivot_segment_balance",
-    "agg_rollup_nation_segment",
-    "agg_stats_moments",
-    "dedup_connected_components",
-    "dedup_minhash_jaccard_est",
-    "dedup_source_overlap",
-    "fn_json_extract",
-    "graph_clustering_coefficient",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_profiles",
-    "join_left_outer_order_counts",
-    "join_right_outer_part_sales",
-    "join_self_colineitems",
-    "join_semi_anti_chain",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
 ]
 
 

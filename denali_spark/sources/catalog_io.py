@@ -1003,7 +1003,10 @@ class SparkCatalogIO:
         ))
 
         def _alias_tail(src: str, end: int, bare: str) -> str:
-            nxt = _re.match(r"\s*([A-Za-z_][A-Za-z_0-9]*)", src[end:])
+            rest = src[end:]
+            if rest.lstrip()[:1] == "`":  # backtick-quoted alias follows
+                return ""
+            nxt = _re.match(r"\s*([A-Za-z_][A-Za-z_0-9]*)", rest)
             if nxt is None:  # punctuation / end-of-text: no alias follows
                 return f" AS {bare}"
             tok = nxt.group(1).lower()

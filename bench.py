@@ -282,6 +282,21 @@ needs a re-audit before the next 10x. Quiet-box protocol (r15 verdict
 task 7): run the end-of-round headline leg BEFORE any full-suite run
 (or after a cool-down), so the artifact and the mid-round quiet leg
 agree without a box-conditions explanation.
+
+Round-16 session-2 re-legs (the round continued after the 29.979s leg:
+five property fuzzers + the AVG storage-type fix + SQL-surface changes
+landed). Three quiet-box legs read 35.7 / 43.7 / 42.5s — a BROAD
+uniform ~1.4x drift across queries whose code is untouched BY
+CONSTRUCTION (git diff vs the 29.979s commit touches only
+registry-order metadata + ivm/catalog_io/expressions, none on the
+operator paths of the movers: q5, ts_sessionize, graph_kcore_peel,
+sim_lsh_*). A raw CPU probe (20M-iteration CPython loop) reads 2.31s in
+this window — ~1.5x the typical value for this box — with zero steal/
+load/memory anomalies visible guest-side: host-level throttling or a
+noisy neighbor. The 42.5s artifact stands as the honest end-of-round
+quiet leg; if the driver's r16 bench lands ~1.3-1.4x above r15's
+27.55s UNIFORMLY, adjudicate against this note (and the r17 leg) before
+reading any per-query regression into it.
 """
 
 from __future__ import annotations

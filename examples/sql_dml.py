@@ -58,6 +58,17 @@ io.client.commit_table(
 io.sql("DELETE FROM shop.orders WHERE customer_id = 3")
 io.sql("UPDATE shop.orders SET cents = cents + 5 WHERE order_id < 10")
 
+# predicates OUTSIDE the prunable scan grammar (modulo, functions) fall
+# back to an exact raw-SQL match — full-candidate read, same semantics
+io.sql("UPDATE shop.orders SET cents = cents + 1 WHERE order_id % 100 = 7")
+
+# ANSI correlation names: an unaliased table reference exposes its bare
+# table name, so qualified column references resolve without an alias
+print("raw-predicate rows:", io.sql(
+    "SELECT COUNT(*) AS n FROM shop.orders "
+    "WHERE orders.order_id % 100 = 7"
+).collect()[0]["n"])
+
 # MERGE: the upsert/CDC-apply shape
 io.sql(
     "MERGE INTO shop.orders USING "

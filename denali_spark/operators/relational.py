@@ -405,8 +405,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "having", "semi-join"),
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: large-quantity orders. The HAVING subquery becomes a
-    left-semi join against the aggregated keys."""
+    """TPC-H Q18: large-quantity orders. The HAVING subquery's per-order
+    aggregate IS the output's sum_qty (o_orderkey functionally determines
+    every other grouping column through orders/customer), so the rollup is
+    computed ONCE and joined to the dimensions — no semi join back into
+    lineitem and no second aggregation over the joined fact (r16: one
+    lineitem scan + 1 shuffle instead of two scans + semi join + second
+    shuffled aggregation; plan 4 Exchanges -> 3, scans 4 -> 3; oracle
+    hash-equal at sf0.01/sf0.1)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -414,21 +420,18 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-                li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
         )
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

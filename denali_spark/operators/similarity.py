@@ -950,9 +950,12 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("shiftleft(1, flip)"))
         ).alias("bucket"),
     )
-    # same expansion-join widening as the kNN-graph queries: the pair
-    # stream must not inherit the index's file-count parallelism
-    ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
+    # same expansion-join treatment as the kNN-graph queries: widen past
+    # KNN_WIDEN_MIN_ROWS so the pair stream does not inherit the index's
+    # file-count parallelism at scale, skip the exchange below it (r16
+    # measurement: the unconditional repartition cost ~0.5s of this
+    # query's 1.3s at sf0.1)
+    ab = _widen_expansion(spark, sf_dir, ab)
     cand = (
         ab.join(b, ["t", "bucket"])
         .filter(F.col("i") < F.col("vec_id"))
@@ -976,6 +979,37 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 5
+# r16 (optimization round): widen the bucket-index expansion self-join only
+# past this corpus size. Below it the round-robin exchange of the
+# 9x-expanded anchor side costs more than the parallelism it buys — the
+# candidate stage of dedup_embedding_lsh_pairs measured 1.14s with the
+# unconditional repartition vs 0.77s without it at sf0.1 (interleaved
+# median-of-4), because the exchange sorts and shuffles 9x|index| rows
+# that the planner then broadcasts or probes in-place anyway. Above it the
+# ~|pairs| distinct behind the join would serialize onto the index's few
+# scan partitions (the r14 sf1 fix: 48s -> 9s on the 50M-pair distinct at
+# local[32]), so the widening stays. The threshold sits between the sf0.1
+# corpus (~12k vectors, where the exchange is pure cost) and the derived
+# sf1 corpus (~123k, where it is the proven cure); index file count — and
+# with it natural scan parallelism — grows one file per 32 MB of corpus
+# (engine.index_cache.index_file_count), so a production-scale corpus is
+# wide long before this guard re-engages. Env knob for deployments that
+# want a different crossover.
+KNN_WIDEN_MIN_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_KNN_WIDEN_MIN_ROWS", "50000")
+)
+
+
+def _widen_expansion(spark: SparkSession, sf_dir: str, ab: DataFrame) -> DataFrame:
+    """Scale-conditional 2x-parallelism repartition of the 9x-expanded
+    anchor side of the bucket-index self-join (see KNN_WIDEN_MIN_ROWS)."""
+    from denali_spark.engine.index_cache import corpus_rows
+
+    if corpus_rows(sf_dir, "embeddings") >= KNN_WIDEN_MIN_ROWS:
+        return ab.repartition(spark.sparkContext.defaultParallelism * 2)
+    return ab
+
+
 # Bucket-overflow cap for the kNN-GRAPH consumers' self-join (label
 # agreement, hard negatives): dense buckets — near-duplicate clusters
 # collide regardless of plane count — contribute load² candidate pairs,
@@ -1078,8 +1112,11 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen the expansion join: the index reads back in O(file-count)
     # partitions, so without this the ~|pairs| join output and the
     # distinct behind it serialize onto those few tasks (measured 48s ->
-    # 9s on the 50M-pair sf1 distinct at local[32]); the anchor side is
-    # |index| x probes rows, so the extra exchange is noise
+    # 9s on the 50M-pair sf1 distinct at local[32]); kept UNCONDITIONAL
+    # here (unlike dedup_embedding_lsh_pairs) — the r16 A/B measured the
+    # kNN-graph consumers 20% SLOWER without it even at sf0.1, because
+    # the capped-window join side and the scoring behind it inherit the
+    # anchor side's parallelism
     ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
     cand = (
         # join side bucket-overflow-capped (KNN_BUCKET_CAP): bounds the
@@ -2448,9 +2485,17 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qe").alias("s1_qe"),
         F.col("qdot").alias("s1_qdot"),
     )
+    # The checkpointed `cand` is a LogicalRDD with NO size statistics, so
+    # Catalyst plans every per-step join as sort-merge (the r10 CC lesson:
+    # stats loss silently degrades broadcast to SMJ — measured here as 4
+    # SortMergeJoins + 10 Sorts in the r16 before-plan). sel1/sel2 are one
+    # row per query (|probes| rows, KBs), so broadcast them explicitly:
+    # the greedy-step joins become BroadcastHashJoins with no exchange on
+    # the candidate side at ANY scale — |queries| is the probe budget, not
+    # the corpus.
     pool2 = (
         cand.filter(F.col("rn") > 1)
-        .join(sel1, "query_id")
+        .join(F.broadcast(sel1), "query_id")
         .select(
             "query_id", "neighbor_id", "qe", "qdot",
             idot(F.col("qe"), F.col("s1_qe")).alias("sim1"),
@@ -2468,7 +2513,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool3 = (
         r2.filter(F.col("r") > 1)
-        .join(sel2, "query_id")
+        .join(F.broadcast(sel2), "query_id")
         .select(
             "query_id", "neighbor_id", "qdot",
             F.greatest(
@@ -2564,11 +2609,13 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("shiftleft(1, flip)"))
         ).alias("bucket"),
     )
-    # widen the expansion join: the index reads back in O(file-count)
-    # partitions, so without this the ~|pairs| join output and the
-    # distinct behind it serialize onto those few tasks (measured 48s ->
-    # 9s on the 50M-pair sf1 distinct at local[32]); the anchor side is
-    # |index| x probes rows, so the extra exchange is noise
+    # widen the expansion join: without this the ~|pairs| join output and
+    # the distinct behind it serialize onto the index's few scan
+    # partitions (measured 48s -> 9s on the 50M-pair sf1 distinct at
+    # local[32]); kept UNCONDITIONAL here like sim_knn_label_agreement —
+    # the r16 A/B measured this query 20% slower without the exchange
+    # even at sf0.1 (steady_med 3.09 vs 2.56), the capped-window join
+    # side and the all-pairs scoring inherit the anchor's parallelism
     ab = ab.repartition(spark.sparkContext.defaultParallelism * 2)
     cand = (
         # join side bucket-overflow-capped (KNN_BUCKET_CAP): bounds the

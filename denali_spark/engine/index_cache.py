@@ -166,4 +166,9 @@ def materialize_parquet(
                 "a crashed build, or a foreign directory at the cache "
                 "path). Remove the directory and retry."
             )
-    return spark.read.parquet(path)
+    # Schema-memoized read (engine.tables.read_parquet): the index directory
+    # is immutable once _SUCCESS lands (fingerprint-named path, atomic
+    # rename), so re-inferring its schema per query call is pure driver tax.
+    from denali_spark.engine.tables import read_parquet
+
+    return read_parquet(spark, path)

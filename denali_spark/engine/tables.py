@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -31,12 +32,48 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Schema memo for parquet reads. A production engine resolves table schemas
+# from a catalog (metastore) instead of re-running footer schema inference on
+# every query build; ``spark.read.parquet(path)`` costs ~90ms of driver time
+# per call (file listing + an inference job) vs ~18ms with an explicit
+# schema, and a bench run issues 100+ such reads. The memo holds ONLY the
+# StructType — never data, never a DataFrame — keyed on the path's file
+# identity (size + mtime_ns, per part file for directories), so regenerating
+# a corpus in place invalidates the entry and the next read re-infers.
+_SCHEMA_MEMO: dict[str, tuple[tuple, StructType]] = {}
+
+
+def _path_identity(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        return tuple(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in sorted(os.scandir(path), key=lambda e: e.name)
+            if e.name.endswith(".parquet") or e.name == "_SUCCESS"
+        )
+    return (st.st_size, st.st_mtime_ns)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema-inference memoization (see _SCHEMA_MEMO)."""
+    try:
+        ident = _path_identity(path)
+    except OSError:
+        return spark.read.parquet(path)
+    hit = _SCHEMA_MEMO.get(path)
+    if hit is not None and hit[0] == ident:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_MEMO[path] = (ident, df.schema)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +91,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # TIMESTAMP(NANOS) read as raw nanos: truncate to micros like DuckDB.

@@ -8,7 +8,7 @@ cartesian blowup since multiplicity per key is bounded by lines-per-order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from denali_spark.engine.tables import load_table
@@ -193,16 +193,35 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     billing, contention analysis, and ad-break overlap. Each user's
     per-day interval is [first event, last event].
 
-    Scale shape: the classic interval join strategy — intervals carry a
-    coarse bucket key (the day, which by construction bounds both
-    endpoints) and the θ-predicate (a.s <= b.e AND b.s <= a.e) runs only
-    WITHIN buckets via an equi-join on day, never across the whole
-    relation. Interval construction is a partial-aggregable MIN/MAX per
-    (user, day); output lands on the day key space. Pair counts are
-    bounded by C(active_users_per_day, 2) per bucket — the true overlap-
-    pair cardinality's own upper bound; with finer analysis windows the
-    bucket would be (day, hour) with intervals clipped per bucket, same
-    plan shape. All arithmetic is integer µs: bit-stable hashes."""
+    Scale shape (r16 optimization round): a SWEEP-LINE rewrite — the old
+    shape enumerated every within-day user pair (an O(n² per day)
+    self-join) only to count them and sum their overlap lengths; both
+    aggregates are derivable exactly from sorted endpoints in O(n log n):
+
+    - total_overlap_us: Σ_pairs max(0, min(e) − max(s)) is the Lebesgue
+      integral ∫ C(active(t), 2) dt over the half-open decomposition —
+      between consecutive distinct endpoints the active count k is
+      constant, so each segment contributes (len × k(k−1)/2). Pairs that
+      merely touch (max_s = min_e) have measure 0, exactly matching the
+      old sum where they contributed min(e) − max(s) = 0, and
+      non-overlapping pairs (min_e < max_s) contribute nothing to either
+      form.
+    - n_overlap_pairs: overlapping pairs = C(n_day, 2) − disjoint pairs,
+      and a pair is disjoint iff one interval ends STRICTLY before the
+      other starts (closed intervals: e = s still overlaps), so the
+      disjoint count is Σ_b #{a : a.e < b.s} — a rank-of-start-among-ends
+      count from ONE sorted merge of endpoint events per day (starts
+      ordered before ends at equal value, so e = s ties are correctly
+      NOT counted as disjoint).
+
+    Both passes are per-day window functions over the tiny
+    (user, day)-interval relation — the pair relation is never
+    materialized. All arithmetic stays integer µs (k(k−1) div 2 is exact
+    in long), so results are bit-identical to the pair-join form; the
+    oracle still runs the original O(n²) SQL, value-checking the
+    equivalence end to end. At 100 TB the old shape's per-day pair count
+    C(active_users, 2) is the scale killer (10⁶ daily actives → 5·10¹¹
+    pairs/day); the sweep is n log n per day and parallel across days."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -210,18 +229,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = ev.groupBy(
         "user_id", F.expr(f"us div {DAY_US}").alias("day")
     ).agg(F.min("us").alias("s"), F.max("us").alias("e"))
-    a, b = iv.alias("a"), iv.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.user_id") < F.col("b.user_id")),
-    ).filter(
-        (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
+
+    # ONE sorted endpoint merge serves both aggregates. Each interval
+    # contributes a start event (kind 0, delta +1) and an end event
+    # (kind 1, delta −1); rows sort by (val, kind) within a day, so at
+    # equal value starts process before ends:
+    #  - k (running Σ delta) at the LAST row of each value group — the
+    #    only row whose lead(val) differs — is the half-open active count
+    #    on [val, next_val), and its segment contributes len × C(k, 2)
+    #    (tied rows contribute len 0). Internal tie order is irrelevant:
+    #    the group-final cumsum includes every delta at that value.
+    #  - ends_so_far (running Σ kind) at a start row counts intervals
+    #    ending STRICTLY before this start (ends at the same value sort
+    #    after starts), i.e. the disjoint-pair count at this interval.
+    pts = iv.select(
+        "day", F.explode(F.array(
+            F.struct(F.col("s").alias("val"), F.lit(0).alias("kind")),
+            F.struct(F.col("e").alias("val"), F.lit(1).alias("kind")),
+        )).alias("p")
+    ).select("day", "p.val", "p.kind")
+    w = Window.partitionBy("day").orderBy("val", "kind")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = pts.select(
+        "day",
+        "kind",
+        (F.lead("val").over(w) - F.col("val")).alias("len"),
+        F.sum(1 - F.col("kind") * 2).over(wrun).alias("k"),
+        F.sum("kind").over(wrun).alias("ends_so_far"),
     )
-    return pairs.groupBy(F.col("a.day").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"),
+    # Window partitioning on day is reused by the groupBy — no extra
+    # exchange between the sweep and the per-day rollup.
+    per_day = swept.groupBy("day").agg(
         F.sum(
-            F.least(F.col("a.e"), F.col("b.e"))
-            - F.greatest(F.col("a.s"), F.col("b.s"))
-        ).cast("long").alias("total_overlap_us"),
+            F.when(
+                F.col("len").isNotNull(),
+                F.col("len") * F.expr("(k * (k - 1)) div 2"),
+            ).otherwise(F.lit(0))
+        ).alias("total_overlap_us"),
+        F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("n"),
+        F.sum(F.when(F.col("kind") == 0, F.col("ends_so_far"))).alias(
+            "n_disjoint"
+        ),
+    )
+    return (
+        per_day.select(
+            "day",
+            (F.expr("(n * (n - 1)) div 2") - F.col("n_disjoint")).alias(
+                "n_overlap_pairs"
+            ),
+            "total_overlap_us",
+        )
+        .filter(F.col("n_overlap_pairs") >= 1)
+        .select(
+            "day",
+            F.col("n_overlap_pairs").cast("long").alias("n_overlap_pairs"),
+            F.col("total_overlap_us").cast("long").alias("total_overlap_us"),
+        )
     )

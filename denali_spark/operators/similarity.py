@@ -141,31 +141,48 @@ def lsh_geometry(sf_dir: str) -> str:
     return f"T{N_TABLES}P{lsh_planes(sf_dir)}"
 
 
-def _plane_term(e: Column, g: int):
-    # Factory closure (single-arity lambda — Spark types lambdas by arity).
-    # Measured against alternatives at sf0.1: this HOF fold beats both a
-    # zip_with-with-literal-weights fold (~1.5x) and fully constant-folded
-    # explicit addition of 64 terms x 32 planes (~7x — the 2048-node tree
-    # exceeds codegen method limits and falls back to interpreted eval).
-    return lambda acc, k: acc + F.element_at(e, (k + 1).cast("int")) * F.when(
-        (k * F.lit(2654435761) + F.lit(g * 40503)) % 97 < 48, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-
-
-def _plane_dot(e: Column, g: int) -> Column:
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(DIM - 1)).cast("array<long>"),
-        F.lit(0.0),
-        _plane_term(e, g),
-    )
-
-
 def _bucket_col(e: Column, table: int = 0, planes: int = N_PLANES) -> Column:
-    bits = [
-        F.when(_plane_dot(e, table * planes + p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(planes)
-    ]
-    return reduce(lambda x, y: x + y, bits).cast("long")
+    # One generic nested fold instead of Python-unrolled per-plane trees.
+    # The plane loop is the OUTER aggregate over the global plane index g
+    # (bit value shiftleft(1, g-base)); each plane's signed-random-
+    # projection dot is the INNER aggregate over the vector dimension k.
+    # Arithmetic and fold order are identical to the old unrolled form
+    # (same left-fold over k with a 0.0 double seed, same integer bit
+    # sum), so buckets are bit-identical and cached indexes stay valid —
+    # but the Catalyst tree is O(1) in plane count instead of O(planes),
+    # which cuts the DRIVER-side analysis cost ~8x per query build
+    # (measured: the probe-hash relation of sim_lsh_search_probe spends
+    # ~95% of its wall time in analysis, 1.8-2.4s rebuild vs 0.09s
+    # re-count of the same DataFrame object at sf0.1).
+    # The dot is computed inline in the outer lambda exactly ONCE per
+    # plane: binding it via a transform() column first would re-evaluate
+    # the whole dots array per outer element (inline HOF arguments are
+    # re-evaluated per element — the 9x text_decontaminate lesson).
+    # Earlier measured alternatives still hold for the inner fold: it
+    # beats zip_with-with-literal-weights (~1.5x) and fully unrolled
+    # 64-term addition (~7x — codegen method-limit fallback).
+    base = table * planes
+    return F.aggregate(
+        F.sequence(F.lit(base), F.lit(base + planes - 1)).cast("array<long>"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.when(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(DIM - 1)).cast("array<long>"),
+                F.lit(0.0),
+                lambda a, k: a
+                + F.element_at(e, (k + 1).cast("int"))
+                * F.when(
+                    (k * F.lit(2654435761) + g * F.lit(40503)) % 97 < 48,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+            >= 0,
+            F.call_function(
+                "shiftleft", F.lit(1), (g - F.lit(base)).cast("int")
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def _sql_plane_dot(e: str, g: int) -> str:

@@ -614,7 +614,15 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = docs.filter(F.col("doc_id") % 100 == 3).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return dedup_incremental_pairs(spark, sf_dir, shard)
+    # The shard signature relation feeds BOTH branches of the pair kernel
+    # (bands and shingle sets); without truncation each branch re-scans
+    # documents and re-runs the tokenize->shingle->hash->16-permutation
+    # pipeline. A LAZY localCheckpoint computes the tiny shard signatures
+    # once (r16 A/B: 1.45s -> 1.24s at sf0.1) — the same one-relation-
+    # many-consumers treatment the streaming sink already applies via its
+    # new_sig override.
+    sig = _with_signatures(shard).localCheckpoint(eager=False)
+    return dedup_incremental_pairs(spark, sf_dir, shard, new_sig=sig)
 
 
 # Label propagation needs ~cluster-diameter rounds; real near-dup clusters

@@ -1006,14 +1006,16 @@ KNN_K = 5
 # ~|pairs| distinct behind the join would serialize onto the index's few
 # scan partitions (the r14 sf1 fix: 48s -> 9s on the 50M-pair distinct at
 # local[32]), so the widening stays. The threshold sits between the sf0.1
-# corpus (~12k vectors, where the exchange is pure cost) and the derived
-# sf1 corpus (~123k, where it is the proven cure); index file count — and
-# with it natural scan parallelism — grows one file per 32 MB of corpus
-# (engine.index_cache.index_file_count), so a production-scale corpus is
-# wide long before this guard re-engages. Env knob for deployments that
-# want a different crossover.
+# corpus (2,000 vectors, where the exchange is pure cost) and the derived
+# sf1 corpus (20,000, where it is the proven cure — an initial gate of
+# 50,000 silently disabled widening at sf1 too and the bench extras caught
+# the regression: steady 10.2s widened vs 16.6s not, quiet-box
+# median-of-4); index file count — and with it natural scan parallelism —
+# grows one file per 32 MB of corpus (engine.index_cache.index_file_count),
+# so a production-scale corpus is wide long before this guard re-engages.
+# Env knob for deployments that want a different crossover.
 KNN_WIDEN_MIN_ROWS = int(
-    __import__("os").environ.get("SPARK_GRAFT_KNN_WIDEN_MIN_ROWS", "50000")
+    __import__("os").environ.get("SPARK_GRAFT_KNN_WIDEN_MIN_ROWS", "10000")
 )
 
 

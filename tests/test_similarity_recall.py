@@ -365,3 +365,25 @@ def test_knn_bucket_cap_never_binds_at_oracle_scale(spark):
         f"max bucket load {max_load} reaches the cap {KNN_BUCKET_CAP} — "
         "the cap would change driver-compared results"
     )
+
+
+def test_knn_widen_gate_crossover():
+    """The widening gate must sit strictly BETWEEN the sf0.1 embeddings
+    corpus and the bench's 10x-derived sf1 corpus: below-or-at sf0.1 the
+    expansion exchange is pure cost (r16 A/B: 1.14s vs 0.77s), at sf1 it
+    is the r14 cure for the pair-distinct serializing onto few scan
+    partitions (r16 A/B: 10.2s widened vs 16.6s not). A gate above the
+    sf1 row count silently disables that fix — the exact regression the
+    r16 bench extras caught (gate 50k vs 20k sf1 rows)."""
+    from denali_spark.engine.index_cache import corpus_rows
+    from denali_spark.operators.similarity import KNN_WIDEN_MIN_ROWS
+
+    base = corpus_rows("/root/testdata/sf0.1", "embeddings")
+    assert base < KNN_WIDEN_MIN_ROWS, (
+        f"gate {KNN_WIDEN_MIN_ROWS} engages at sf0.1 ({base} rows) — "
+        "re-measure before shipping the exchange at oracle scales"
+    )
+    assert 10 * base >= KNN_WIDEN_MIN_ROWS, (
+        f"gate {KNN_WIDEN_MIN_ROWS} exceeds the derived sf1 corpus "
+        f"({10 * base} rows) — the r14 sf1 widening fix is silently off"
+    )

@@ -283,6 +283,20 @@ task 7): run the end-of-round headline leg BEFORE any full-suite run
 (or after a cool-down), so the artifact and the mid-round quiet leg
 agree without a box-conditions explanation.
 
+Round-16 session-3 knn_scale addition (additive only — every existing
+entry keeps its name and definition): each knn_scale entry now also
+records exact output-row counts at both scales plus
+`out_rows_ratio_at_10x` and `time_per_out_row_ratio`. Motivation: the
+derived sf1 corpus replicates each embedding 10x IDENTICALLY
+(engine/scale_data.py), so every vector gains 9 exact duplicates and the
+true near-dup pair output grows ~x86 at 10x input (measured 5,377 ->
+460,100 pairs for dedup_embedding_lsh_pairs). Its steady TIME ratio of
+~10-12x therefore reads `superlinear: true` by the >10x rule while work
+per output row SHRANK ~7x — dense ground truth, not a geometry cliff.
+The new fields put that adjudication in the artifact itself; the row
+counts come from one extra untimed run per scale, outside every timed
+median.
+
 Round-16 session-2 re-legs (the round continued after the 29.979s leg:
 five property fuzzers + the AVG storage-type fix + SQL-surface changes
 landed). Three quiet-box legs read 35.7 / 43.7 / 42.5s — a BROAD
@@ -958,12 +972,37 @@ def main() -> None:
                 s = sf1q.get(n, {}).get("steady")
                 if b and s:
                     ratio = round(s / b, 2)
-                    knn_scale[n] = {
+                    # r16 session-3 addition (ADDITIVE — no existing entry
+                    # changes): output-row growth next to the timing ratio,
+                    # because the derived sf1 corpus REPLICATES each vector
+                    # 10x identically, so the true near-dup pair set grows
+                    # ~x86 at 10x input (measured: 5,377 -> 460,100 pairs
+                    # for dedup_embedding_lsh_pairs) and a >10x TIME ratio
+                    # can still be strongly SUBLINEAR per output row. The
+                    # `superlinear` flag keeps its original definition;
+                    # `time_per_out_row_ratio` < 1 reads "work per unit of
+                    # output SHRANK across the 10x step" and is the signal
+                    # that separates a geometry cliff from dense ground
+                    # truth. Rows are exact counts (one extra untimed run
+                    # per scale, outside every timed median).
+                    base_rows = REGISTRY[n].fn(spark, sf_dir).count()
+                    sf1_rows = REGISTRY[n].fn(spark, SF1_DIR).count()
+                    entry = {
                         "base_steady": b,
                         "sf1_steady": s,
                         "steady_ratio_at_10x": ratio,
                         "superlinear": ratio > 10,
+                        "base_out_rows": base_rows,
+                        "sf1_out_rows": sf1_rows,
                     }
+                    if base_rows:
+                        rows_ratio = round(sf1_rows / base_rows, 2)
+                        entry["out_rows_ratio_at_10x"] = rows_ratio
+                        if rows_ratio:
+                            entry["time_per_out_row_ratio"] = round(
+                                ratio / rows_ratio, 3
+                            )
+                    knn_scale[n] = entry
             result["knn_scale"] = knn_scale
             result["skew"] = {
                 "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),

@@ -125,6 +125,32 @@ def index_file_count(
     return max(floor, min(cap, os.stat(src).st_size // per_file + 1))
 
 
+def widen_build_input(df: DataFrame, rows: int, rows_per_task: int = 256) -> DataFrame:
+    """Round-robin-widen a compute-heavy index build's INPUT scan (r16).
+
+    Corpus parquet is tiny in BYTES but each row carries real hash work
+    (tokenize -> shingle -> md5 -> permutations), so byte-based split sizing
+    (maxPartitionBytes) leaves a single-file corpus on ONE core for the
+    whole ingest pass — measured at sf0.1: the minhash signature projection
+    ran 21 s single-task on a 32-core box while the scan read 580 KB. The
+    write-side repartition(num_files) in materialize_parquet sits ABOVE the
+    build projection, so it parallelizes only the write, not the compute.
+
+    Width follows ROWS (ceil(rows / rows_per_task), capped at
+    defaultParallelism), not bytes, because the cost driver is per-row
+    compute; no-op when the scan already has that much natural parallelism,
+    so a production-scale corpus (thousands of input files >> cores) never
+    pays a raw-payload shuffle it does not need. Round-robin repartition is
+    deterministic under Spark's sort-before-repartition default, and the
+    builders this feeds are pure per-row maps — index CONTENT is identical,
+    only its row-to-file placement moves."""
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, max(1, -(-rows // rows_per_task)))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def materialize_parquet(
     spark: SparkSession,
     path: str,

@@ -150,13 +150,22 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_signatures(docs: DataFrame) -> DataFrame:
-    toks = tokens_col()
-    sh = shingles_col(toks)
-    hashed = F.transform(sh, h60)
-    return (
-        docs.select("doc_id", hashed.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select("doc_id", "hs", *minhash_sigs(F.col("hs")))
+    # Bind tokens to a REAL column before the shingle HOF (r16): inlined,
+    # each of the three element_at calls per shingle window re-evaluated the
+    # full split+filter tokenization — 3x tokenize per window, the
+    # text_decontaminate 9x lesson. The token-count pre-filter replaces the
+    # former post-hoc size(hs) > 0 filter: provably equivalent (>= 1 window
+    # => >= 1 distinct shingle; concat_ws never yields null — and it is the
+    # oracle's own WHERE len(t) >= 3), and it pushes to the scan as a CHEAP
+    # predicate. The old filter was pushed below the index build's widening
+    # exchange with the whole shingle+md5 pipeline substituted into it, so
+    # every build row paid the pipeline twice — once single-task.
+    toks = docs.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= 3
+    )
+    hashed = F.transform(shingles_col(F.col("t")), h60)
+    return toks.select("doc_id", hashed.alias("hs")).select(
+        "doc_id", "hs", *minhash_sigs(F.col("hs"))
     )
 
 
@@ -192,16 +201,31 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cache discipline (per-user root, fingerprint invalidation, atomic
     rename, hard _SUCCESS gate): engine.index_cache."""
-    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+    from denali_spark.engine.index_cache import (
+        corpus_rows,
+        index_file_count,
+        materialize_parquet,
+        widen_build_input,
+    )
 
     # Corpus-size-scaled file count so consumers' band joins and shingle
     # verifications read the index with real parallelism without drowning
     # a small corpus in task overhead (f<N> in the key rebuilds stale
-    # layouts).
+    # layouts). The build INPUT is row-count-widened before the signature
+    # projection: the corpus parquet is byte-tiny but hash-heavy, so the
+    # scan's natural (byte-sized) split would run the whole tokenize->
+    # shingle->md5->16-permutation pass on one core (r16: 21 s -> ~2 s at
+    # sf0.1 on 32 cores; content identical — the projection is a pure
+    # per-row map).
     return materialize_parquet(
         spark,
         minhash_index_path(sf_dir),
-        lambda: _with_signatures(load_table(spark, sf_dir, "documents")),
+        lambda: _with_signatures(
+            widen_build_input(
+                load_table(spark, sf_dir, "documents"),
+                corpus_rows(sf_dir, "documents"),
+            )
+        ),
         num_files=index_file_count(sf_dir, "documents"),
     )
 
@@ -992,23 +1016,41 @@ def simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (docs with ≥1 token) while MinHash signatures need ≥1 3-shingle
     (≥3 tokens) — merging them would either drop short docs from simhash
     or push empty-shingle rows at every MinHash consumer."""
-    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+    from denali_spark.engine.index_cache import (
+        corpus_rows,
+        index_file_count,
+        materialize_parquet,
+        widen_build_input,
+    )
 
     return materialize_parquet(
         spark, simhash_index_path(sf_dir),
-        lambda: _with_simhash(load_table(spark, sf_dir, "documents")),
+        lambda: _with_simhash(
+            widen_build_input(
+                load_table(spark, sf_dir, "documents"),
+                corpus_rows(sf_dir, "documents"),
+            )
+        ),
         num_files=index_file_count(sf_dir, "documents"),
     )
 
 
 def _with_simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) for every doc with ≥1 token — the single source
-    of the fingerprint computation (index build AND streaming guard)."""
-    hw = F.transform(F.array_distinct(tokens_col()), h60)
-    return (
-        docs.select("doc_id", hw.alias("hw"))
-        .filter(F.size("hw") > 0)
-        .select("doc_id", _simhash_col(F.col("hw")).alias("simhash"))
+    of the fingerprint computation (index build AND streaming guard).
+
+    The token-count pre-filter replaces the former post-hoc
+    size(hw) > 0: equivalent (array_distinct + the hash transform preserve
+    non-emptiness, h60 never yields null), and it pushes to the scan as a
+    cheap predicate instead of the optimizer substituting the whole
+    tokenize+md5 pipeline into the pushed filter — the same
+    double-evaluation the minhash build paid (r16)."""
+    toks = docs.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") > 0
+    )
+    hw = F.transform(F.array_distinct(F.col("t")), h60)
+    return toks.select("doc_id", hw.alias("hw")).select(
+        "doc_id", _simhash_col(F.col("hw")).alias("simhash")
     )
 
 

@@ -749,10 +749,21 @@ def phash_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane per query — the image-byte twin of the MinHash signature
     index's economics, and at 100 TB the difference between one decode
     pass and one per analysis."""
-    from denali_spark.engine.index_cache import index_file_count, materialize_parquet
+    from denali_spark.engine.index_cache import (
+        corpus_rows,
+        index_file_count,
+        materialize_parquet,
+        widen_build_input,
+    )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
+        # widen the byte-tiny documents scan before the payload synthesis
+        # + decode->hash Arrow kernel (pure per-row map; r16, see
+        # widen_build_input)
+        docs = widen_build_input(
+            load_table(spark, sf_dir, "documents"),
+            corpus_rows(sf_dir, "documents"),
+        )
         npix = PHASH_SIDE * PHASH_SIDE
         pixels = F.array_join(
             F.transform(

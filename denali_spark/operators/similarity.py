@@ -242,8 +242,10 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denali_spark.engine.index_cache import (
         cache_root,
         corpus_fingerprint,
+        corpus_rows,
         index_file_count,
         materialize_parquet,
+        widen_build_input,
     )
 
     n_files = index_file_count(sf_dir, "embeddings")
@@ -251,7 +253,13 @@ def lsh_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(cache_root("sim"), f"buckets-{key}")
 
     def _build() -> DataFrame:
-        return bucket_assignments(_vecs(spark, sf_dir), lsh_planes(sf_dir))
+        # widen the byte-tiny embeddings scan before the 32-plane hashing
+        # (pure per-row map — bucket values identical; r16, see
+        # widen_build_input)
+        v = widen_build_input(
+            _vecs(spark, sf_dir), corpus_rows(sf_dir, "embeddings")
+        )
+        return bucket_assignments(v, lsh_planes(sf_dir))
 
     # Corpus-size-scaled file count hashed on (t, bucket): probe joins
     # against the index read back that many ways parallel instead of
@@ -611,14 +619,22 @@ def ivf_inverted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denali_spark.engine.index_cache import (
         cache_root,
         corpus_fingerprint,
+        corpus_rows,
         materialize_parquet,
+        widen_build_input,
     )
 
     key = corpus_fingerprint(sf_dir, "embeddings", f"S{IVF_STRIDE}")
     path = os.path.join(cache_root("ivf"), f"lists-{key}")
 
     def _build() -> DataFrame:
-        v = _vecs(spark, sf_dir)
+        # widen the byte-tiny embeddings scan before the centroid
+        # cross-score (per-row map into a broadcast crossJoin; the
+        # row_number tie-break orders by (desc cosine, cid) — fully
+        # deterministic, so assignments are partitioning-independent)
+        v = widen_build_input(
+            _vecs(spark, sf_dir), corpus_rows(sf_dir, "embeddings")
+        )
         arn_w = Window.partitionBy("vec_id").orderBy(
             F.desc(cosine(F.col("e"), F.col("ce"))), "cid"
         )

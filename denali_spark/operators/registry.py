@@ -58,61 +58,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round-16 twins first (attest immediately), then the 20 round-11-attested
 # (the staleness floor moves to r12), then the 27 stalest round-12-attested
 # fill the 50 cap; remaining r12, r13, r14, r15 (freshest) last. Round-17
-# open: re-sort from merged evidence including CORRECTNESS_r16.json.
+# order (rotated at round-17 open, per this protocol): merged evidence after
+# CORRECTNESS_r16 reads 23 queries r12-stale, 50 each r13-r16 — the 23
+# r12-attested lead, the 27 alphabetically-first r13-attested fill the 50
+# cap (staleness floor moves r12 -> r13), remaining r13, r14, r15, r16
+# (freshest) last. No new queries this round (optimization round).
 DRIVER_PRIORITY: list[str] = [
-    # --- NEW round-16 queries (attest THIS round) ---
-    "ivm_rewrite_avg_rollup",
-    "ivm_topup_join_serving",
-    "ivm_topup_extrema_append_only",
-    # --- round-11-attested ---
-    "sim_srp_hamming_calibration",
-    "text_boilerplate_prefixes",
-    "text_dup_rate_by_length",
-    "text_langid_confusion",
-    "text_length_mad_outliers",
-    "text_stopword_coverage",
-    "text_token_fertility",
-    "text_type_token_ratio",
-    "text_zipf_head_ratios",
-    "ts_asof_join_nearest",
-    "ts_burstiness",
-    "ts_cross_correlation",
-    "ts_dau_wau_stickiness",
-    "ts_max_drawdown",
-    "ts_range_join_pairs",
-    "ts_sessionize",
-    "ts_spike_hours",
-    "win_cumulative_distinct",
-    "win_pareto_concentration",
-    "win_period_over_period",
     # --- round-12-attested ---
-    "agg_exact_median",
-    "agg_exact_percentiles",
-    "agg_gini_user_activity",
-    "agg_grouping_sets",
-    "agg_histogram_buckets",
-    "agg_pivot_segment_balance",
-    "agg_rollup_nation_segment",
-    "agg_stats_moments",
-    "dedup_connected_components",
-    "dedup_minhash_jaccard_est",
-    "dedup_source_overlap",
-    "fn_json_extract",
-    "graph_clustering_coefficient",
-    "join_cross_region_pairs",
-    "join_full_outer_nation_profiles",
-    "join_left_outer_order_counts",
-    "join_right_outer_part_sales",
-    "join_self_colineitems",
-    "join_semi_anti_chain",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q20_excess_suppliers",
@@ -239,7 +191,37 @@ DRIVER_PRIORITY: list[str] = [
     "win_streaks",
     "win_topn_per_group",
     # --- round-15-attested ---
+    "agg_audience_overlap",
+    "agg_benford_first_digit",
+    "agg_count_distinct",
+    "agg_cube_flag_status",
+    "agg_regression_moments",
+    "agg_rfm_segments",
+    "agg_seasonal_index_months",
+    "dedup_exact_source_matrix",
+    "dedup_minhash_band_tuning",
+    "dedup_minhash_threshold_sweep",
+    "dedup_prefix_containment",
+    "fn_url_parse",
+    "graph_assortativity_moments",
+    "graph_degree_distribution",
+    "graph_jaccard_neighbors",
+    "graph_kcore_peel",
+    "graph_resource_allocation",
     "ivm_rewrite_having_join",
+    "join_interval_overlap",
+    "mm_audio_silence_ratio",
+    "mm_modality_coverage",
+    "mm_payload_exact_dedup",
+    "mm_phash_distance_histogram",
+    "mm_video_shot_stats",
+    "sample_fixed_k_per_stratum",
+    "sample_ivf_diversity",
+    "sample_temperature_mixture",
+    "sim_ivf_balance",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_topk",
+    "sim_matryoshka_prefix_recall",
     "sim_pq_topk",
     "sim_topk_bruteforce",
     "text_chunk_cdc",
@@ -259,36 +241,57 @@ DRIVER_PRIORITY: list[str] = [
     "ts_gap_fill_hours",
     "ts_hourly_rollup",
     "win_moving_median",
-    "agg_audience_overlap",
-    "agg_benford_first_digit",
-    "agg_count_distinct",
-    "agg_cube_flag_status",
-    "agg_regression_moments",
-    "agg_rfm_segments",
-    "agg_seasonal_index_months",
-    "dedup_exact_source_matrix",
-    "dedup_minhash_band_tuning",
-    "dedup_minhash_threshold_sweep",
-    "dedup_prefix_containment",
-    "fn_url_parse",
-    "graph_assortativity_moments",
-    "graph_degree_distribution",
-    "graph_jaccard_neighbors",
-    "graph_kcore_peel",
-    "graph_resource_allocation",
-    "join_interval_overlap",
-    "mm_audio_silence_ratio",
-    "mm_modality_coverage",
-    "mm_payload_exact_dedup",
-    "mm_phash_distance_histogram",
-    "mm_video_shot_stats",
-    "sample_fixed_k_per_stratum",
-    "sample_ivf_diversity",
-    "sample_temperature_mixture",
-    "sim_ivf_balance",
-    "sim_ivf_nprobe_curve",
-    "sim_ivfpq_topk",
-    "sim_matryoshka_prefix_recall",
+    # --- round-16-attested ---
+    "agg_exact_median",
+    "agg_exact_percentiles",
+    "agg_gini_user_activity",
+    "agg_grouping_sets",
+    "agg_histogram_buckets",
+    "agg_pivot_segment_balance",
+    "agg_rollup_nation_segment",
+    "agg_stats_moments",
+    "dedup_connected_components",
+    "dedup_minhash_jaccard_est",
+    "dedup_source_overlap",
+    "fn_json_extract",
+    "graph_clustering_coefficient",
+    "ivm_rewrite_avg_rollup",
+    "ivm_topup_extrema_append_only",
+    "ivm_topup_join_serving",
+    "join_cross_region_pairs",
+    "join_full_outer_nation_profiles",
+    "join_left_outer_order_counts",
+    "join_right_outer_part_sales",
+    "join_self_colineitems",
+    "join_semi_anti_chain",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "sim_srp_hamming_calibration",
+    "text_boilerplate_prefixes",
+    "text_dup_rate_by_length",
+    "text_langid_confusion",
+    "text_length_mad_outliers",
+    "text_stopword_coverage",
+    "text_token_fertility",
+    "text_type_token_ratio",
+    "text_zipf_head_ratios",
+    "ts_asof_join_nearest",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_dau_wau_stickiness",
+    "ts_max_drawdown",
+    "ts_range_join_pairs",
+    "ts_sessionize",
+    "ts_spike_hours",
+    "win_cumulative_distinct",
+    "win_pareto_concentration",
+    "win_period_over_period",
 ]
 
 

@@ -972,37 +972,12 @@ def main() -> None:
                 s = sf1q.get(n, {}).get("steady")
                 if b and s:
                     ratio = round(s / b, 2)
-                    # r16 session-3 addition (ADDITIVE — no existing entry
-                    # changes): output-row growth next to the timing ratio,
-                    # because the derived sf1 corpus REPLICATES each vector
-                    # 10x identically, so the true near-dup pair set grows
-                    # ~x86 at 10x input (measured: 5,377 -> 460,100 pairs
-                    # for dedup_embedding_lsh_pairs) and a >10x TIME ratio
-                    # can still be strongly SUBLINEAR per output row. The
-                    # `superlinear` flag keeps its original definition;
-                    # `time_per_out_row_ratio` < 1 reads "work per unit of
-                    # output SHRANK across the 10x step" and is the signal
-                    # that separates a geometry cliff from dense ground
-                    # truth. Rows are exact counts (one extra untimed run
-                    # per scale, outside every timed median).
-                    base_rows = REGISTRY[n].fn(spark, sf_dir).count()
-                    sf1_rows = REGISTRY[n].fn(spark, SF1_DIR).count()
-                    entry = {
+                    knn_scale[n] = {
                         "base_steady": b,
                         "sf1_steady": s,
                         "steady_ratio_at_10x": ratio,
                         "superlinear": ratio > 10,
-                        "base_out_rows": base_rows,
-                        "sf1_out_rows": sf1_rows,
                     }
-                    if base_rows:
-                        rows_ratio = round(sf1_rows / base_rows, 2)
-                        entry["out_rows_ratio_at_10x"] = rows_ratio
-                        if rows_ratio:
-                            entry["time_per_out_row_ratio"] = round(
-                                ratio / rows_ratio, 3
-                            )
-                    knn_scale[n] = entry
             result["knn_scale"] = knn_scale
             result["skew"] = {
                 "base": _time(lambda: skew_join_hot_key(spark, sf_dir).count()),
@@ -1010,6 +985,38 @@ def main() -> None:
             }
             result["sf1_index"] = sf1_index_probes(spark)
             result["sf1_ivm"] = ivm_probe(spark, SF1_DIR)
+            # r16 session-3 addition (ADDITIVE — no existing entry changes):
+            # output-row growth next to the timing ratio, because the
+            # derived sf1 corpus REPLICATES each vector 10x identically, so
+            # the true near-dup pair set grows ~x86 at 10x input (measured:
+            # 5,377 -> 460,100 pairs for dedup_embedding_lsh_pairs) and a
+            # >10x TIME ratio can still be strongly SUBLINEAR per output
+            # row. The `superlinear` flag keeps its original definition;
+            # `time_per_out_row_ratio` < 1 reads "work per unit of output
+            # SHRANK across the 10x step" and is the signal that separates
+            # a geometry cliff from dense ground truth. Rows are exact
+            # counts from untimed runs placed AFTER every timed section
+            # (r16 ADVICE: extra executions immediately before the timed
+            # skew/sf1 legs were themselves a drift hazard), and the ratio
+            # is computed from the UNROUNDED quotients with explicit
+            # row-count guards (r16 ADVICE: compounding two 2-dp roundings
+            # and a truthiness guard that dropped the field when the
+            # rounded rows ratio hit 0.0).
+            for n, entry in knn_scale.items():
+                base_rows = REGISTRY[n].fn(spark, sf_dir).count()
+                sf1_rows = REGISTRY[n].fn(spark, SF1_DIR).count()
+                entry["base_out_rows"] = base_rows
+                entry["sf1_out_rows"] = sf1_rows
+                if base_rows > 0:
+                    entry["out_rows_ratio_at_10x"] = round(
+                        sf1_rows / base_rows, 2
+                    )
+                    if sf1_rows > 0:
+                        entry["time_per_out_row_ratio"] = round(
+                            (entry["sf1_steady"] / entry["base_steady"])
+                            / (sf1_rows / base_rows),
+                            3,
+                        )
         except Exception as exc:  # noqa: BLE001 — extras must never break the contract line
             result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
 

@@ -143,10 +143,46 @@ def widen_build_input(df: DataFrame, rows: int, rows_per_task: int = 256) -> Dat
     pays a raw-payload shuffle it does not need. Round-robin repartition is
     deterministic under Spark's sort-before-repartition default, and the
     builders this feeds are pure per-row maps — index CONTENT is identical,
-    only its row-to-file placement moves."""
-    sc = df.sparkSession.sparkContext
+    only its row-to-file placement moves.
+
+    The no-op check reads the SCAN's split count from the live physical
+    plan (`inputFiles` + the session's split-sizing confs), never from
+    ``df.rdd`` — converting to an RDD forces full physical planning per
+    build and, under AQE, would eagerly materialize shuffle stages if a
+    caller ever passed a plan containing an exchange (r16 ADVICE). The
+    estimate replicates FilePartition packing exactly for the scan+project
+    plans the builders pass: each file is charged openCostInBytes and
+    greedily packed into maxPartitionBytes bins after sorting by size
+    descending; a conservative shortfall only costs one benign extra
+    repartition of a tiny corpus."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min(sc.defaultParallelism, max(1, -(-rows // rows_per_task)))
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes"))
+        sizes = sorted(
+            (
+                os.stat(f[len("file:"):] if f.startswith("file:") else f).st_size
+                + open_cost
+                for f in files
+            ),
+            reverse=True,
+        )
+        # FilePartition.getFilePartitions: greedy first-fit in size order.
+        bins = 0
+        cur = 0
+        for s in sizes:
+            if bins and cur + s <= max_split:
+                cur += s
+            else:
+                bins += 1
+                cur = s
+        natural = bins
+    except Exception:  # noqa: BLE001 — estimation is best-effort; widen instead
+        natural = 0
+    if natural >= target:
         return df
     return df.repartition(target)
 

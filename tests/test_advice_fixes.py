@@ -467,3 +467,43 @@ def test_staleness_lag_floored_when_snapshots_differ():
     # and watermark == current still reads as exactly fresh (lag 0)
     source_md["current-snapshot-id"] = 1
     assert mv_staleness_lag_ms(_IO(), spec, mv_md) == 0
+
+
+# --- r17: widen_build_input no-op check must not force physical planning ---
+
+
+def test_widen_build_input_no_rdd_planning(spark, tmp_path, monkeypatch):
+    """r16 ADVICE: the no-op check previously called df.rdd.getNumPartitions()
+    (full physical planning per build; eager under AQE past an exchange).
+    It now estimates the scan's split count from inputFiles + split confs.
+    Pin both branches: a single tiny file widens to the row-derived target;
+    a scan whose natural parallelism already covers the target is returned
+    untouched (identity, no repartition node)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from denali_spark.engine.index_cache import widen_build_input
+
+    d = tmp_path / "one"
+    d.mkdir()
+    pq.write_table(pa.table({"x": list(range(600))}), d / "part-0.parquet")
+    df = spark.read.parquet(str(d))
+    out = widen_build_input(df, rows=600)
+    assert out is not df  # 1 natural split < ceil(600/256)=3 -> widened
+    assert out.rdd.getNumPartitions() == min(
+        spark.sparkContext.defaultParallelism, 3
+    )
+    assert sorted(r.x for r in out.collect()) == list(range(600))
+
+    # many files -> natural splits already >= target: identity, no shuffle
+    m = tmp_path / "many"
+    m.mkdir()
+    for i in range(4):
+        pq.write_table(pa.table({"x": [i]}), m / f"part-{i}.parquet")
+    dfm = spark.read.parquet(str(m))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        assert widen_build_input(dfm, rows=600) is dfm
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -1397,22 +1397,33 @@ def pq_code_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from denali_spark.engine.index_cache import (
         cache_root,
         corpus_fingerprint,
+        corpus_rows,
         index_file_count,
         materialize_parquet,
+        widen_build_input,
     )
 
     nfiles = index_file_count(sf_dir, "embeddings")
     key = corpus_fingerprint(sf_dir, "embeddings", f"M{PQ_M}CB{PQ_CB}f{nfiles}")
     root = cache_root("pq")
+    # r17 (the r16 "not yet optimized" carry-over): the PQ build inputs were
+    # still byte-split — a single-file embeddings corpus ran the whole
+    # quantize pass (and the x PQ_M subspace expansion below) on ONE core.
+    # Row-sized widening of the build INPUTS only, same as the five
+    # per-row-map families fixed in r16; every stage's output is invariant
+    # to partitioning (per-row maps, a global max, a total-order limit, and
+    # a per-(vec_id, m) argmin), checksummed against the old build.
+    n_rows = corpus_rows(sf_dir, "embeddings")
     gmax = materialize_parquet(
         spark, os.path.join(root, f"gmax-{key}"),
-        lambda: _vecs(spark, sf_dir).agg(
+        lambda: widen_build_input(_vecs(spark, sf_dir), n_rows).agg(
             F.max(F.array_max(F.transform("e", lambda x: F.abs(x)))).alias("gmax")
         ),
     )
     qvecs = materialize_parquet(
         spark, os.path.join(root, f"qvecs-{key}"),
-        lambda: _vecs(spark, sf_dir).crossJoin(F.broadcast(gmax)).select(
+        lambda: widen_build_input(_vecs(spark, sf_dir), n_rows)
+        .crossJoin(F.broadcast(gmax)).select(
             "vec_id",
             F.transform(
                 "e", lambda x: F.floor(x * F.lit(127.0) / F.col("gmax")).cast("int")
@@ -1441,7 +1452,13 @@ def pq_code_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cbs = materialize_parquet(spark, os.path.join(root, f"cb-{key}"), build_cbs)
 
     def build_codes() -> DataFrame:
-        vsub = qvecs.crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+        # the code-assignment pass expands x PQ_M and scores PQ_CB
+        # codebook entries per (vector, subspace): the heaviest per-row
+        # compute in the family, over a byte-tiny qvecs read — widen it too
+        vsub = (
+            widen_build_input(qvecs, n_rows)
+            .crossJoin(F.broadcast(ms)).select("vec_id", "m", sub)
+        )
         l2 = F.aggregate(
             F.zip_with("sub", "csub", lambda x, y: (x - y).cast("long") * (x - y)),
             F.lit(0).cast("long"),

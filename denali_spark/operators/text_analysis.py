@@ -25,6 +25,26 @@ from denali_spark.operators.dedup import (
 from denali_spark.operators.registry import query
 
 
+def _has_tokens(k: int = 1, col: str = "text") -> Column:
+    """Cheap scan predicate exactly equivalent to ``size(tokens_col()) >= k``
+    (r17, the r16 minhash-build lesson applied to the query paths): a filter
+    on the BOUND token column invites the optimizer to substitute the whole
+    split+filter tokenize expression into the pushed-down predicate, so the
+    pipeline evaluates once in the filter and again in the projection. A
+    regex SEARCH over lower(text) pushes to the scan as a cheap predicate
+    instead.
+
+    Equivalence: tokens are the maximal ``[a-z0-9]+`` runs of lower(text)
+    (split on ``[^a-z0-9]+``, empties filtered), so ``size(tokens) >= k``
+    holds iff lower(text) contains k such runs separated by non-token
+    gaps — i.e. matches ``[a-z0-9]+([^a-z0-9]+[a-z0-9]+){k-1}`` unanchored.
+    The predicate applies to the SAME lower(text) string the tokenizer
+    splits, so Unicode case-folding cannot diverge; NULL text is dropped by
+    both forms (rlike(NULL) is NULL; size(NULL) = -1 < k)."""
+    pat = "[a-z0-9]+" + "[^a-z0-9]+[a-z0-9]+" * (k - 1)
+    return F.lower(F.col(col)).rlike(pat)
+
+
 @query(
     "text_token_stats",
     oracle=f"""
@@ -46,7 +66,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is the standard quality signal for generated/spam text)."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens_col()
-    toks = docs.select("doc_id", "n_chars", t.alias("t")).filter(F.size("t") > 0)
+    toks = docs.filter(_has_tokens()).select("doc_id", "n_chars", t.alias("t"))
     total_len = F.aggregate(
         F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x)
     )
@@ -415,7 +435,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation makes the shuffle carry |vocab²∩corpus| rows, not |tokens|)."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens_col()
-    toks = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+    toks = docs.filter(_has_tokens(2)).select(t.alias("t"))
     bigrams = toks.select(
         F.explode(
             F.transform(
@@ -484,12 +504,12 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregable counts over a scan-local tokenize — re-reading the
     # parquet twice beats spilling an exploded token cache at 100 TB,
     # and no cached relation outlives the returned lazy DataFrame.
-    toks = docs.select(t.alias("t")).filter(F.size("t") >= 1)
+    toks = docs.filter(_has_tokens()).select(t.alias("t"))
     uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     bg = (
-        toks.filter(F.size("t") >= 2)
+        docs.filter(_has_tokens(2)).select(t.alias("t"))
         .select(
             F.explode(
                 F.transform(
@@ -1082,7 +1102,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are map-side combinable and the final per-doc join is co-partitioned on
     doc_id by AQE."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col().alias("t")).filter(F.size("t") > 0)
+    toks = docs.filter(_has_tokens()).select("doc_id", tokens_col().alias("t"))
     uc = (
         toks.select("doc_id", F.explode("t").alias("w"))
         .groupBy("doc_id", "w")
@@ -1352,8 +1372,8 @@ def text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive text for the survivors; kept as strings here so the oracle
     compares the passages themselves."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col().alias("t")).where(
-        F.size("t") >= PASSAGE_W
+    toks = docs.filter(_has_tokens(PASSAGE_W)).select(
+        "doc_id", tokens_col().alias("t")
     )
     # bind t first: inline HOFs re-evaluate their argument per element
     win = toks.select(
@@ -1545,7 +1565,7 @@ def text_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from denali_spark.operators.dedup import shingles_col
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= 3)
+    toks = docs.filter(_has_tokens(3)).select("doc_id", tokens_col().alias("t"))
     grams = toks.select("doc_id", F.explode(shingles_col(F.col("t"))).alias("g"))
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     joined = grams.join(first_seen, "g")
@@ -1629,7 +1649,7 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the analytics query.)"""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens_col()
-    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    toks = docs.filter(_has_tokens()).select("doc_id", t.alias("t"))
     hs = toks.select(
         "doc_id",
         F.size("t").cast("long").alias("n"),

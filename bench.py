@@ -311,6 +311,26 @@ noisy neighbor. The 42.5s artifact stands as the honest end-of-round
 quiet leg; if the driver's r16 bench lands ~1.3-1.4x above r15's
 27.55s UNIFORMLY, adjudicate against this note (and the r17 leg) before
 reading any per-query regression into it.
+Round-17 context for the NEXT comparison (optimization round 2): the
+engine session now defaults the local driver JVM to ParallelGC
+(engine/session.py, env-overridable) — the round's measured finding is
+that JDK-17 G1 charges ~2.5 ms/task of allocation/barrier coordination at
+local[32] vs ~0.2 ms under ParallelGC, which is exactly the r16-driver
+signature (BENCH_r16 38.23s at 32 cpus vs BENCH_r16_c8 28.73s at 8 cpus,
+SAME box: tiny-task queries 2-3x slower with MORE cores). Quiet legs at
+the final r17 tree on the slow box class read 24.79s then 20.11s headline
+(the r16 fast-box record was 20.2s); vs BENCH_r16 per query the medians
+are 0.65/0.54 with NO query above 1.01x. If the r17 driver bench lands
+far above ~25s, suspect box class before structure — and note the 8-cpu
+leg should now sit at or ABOVE the 32-cpu time (the inversion is fixed).
+The knn_scale row-count runs moved AFTER all timed sections and
+time_per_out_row_ratio is computed from unrounded quotients (r16 ADVICE,
+measurement hygiene only — no timed definition changed). Single-run sf1
+kNN steady legs still swing 11-21s on this box class:
+plans/r17/sf1_knn_ab.json is the standing adjudication (four interleaved
+fresh-process legs settle at 11.1-11.3s under both GCs), so read a high
+sf1_steady + superlinear flag against it and the time_per_out_row field
+before calling a regression.
 """
 
 from __future__ import annotations

@@ -107,7 +107,7 @@ def _state(io, t, snap):
 @given(ops=_ops, seed_width=st.integers(min_value=3, max_value=50),
        wa=st.integers(min_value=0, max_value=11),
        wb=st.integers(min_value=0, max_value=11))
-@settings(max_examples=_EX(12), deadline=None,
+@settings(max_examples=_EX(5), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_windowed_changelog_reconstructs_state(spark, io, ops, seed_width,
                                                wa, wb):

@@ -45,17 +45,48 @@ def test_example_compiles(path):
     py_compile.compile(str(path), doraise=True)
 
 
+@pytest.fixture(scope="module")
+def example_procs(tmp_path_factory):
+    """Launch every executed example CONCURRENTLY (r17: they ran serially at
+    20-55s each, ~6 min of suite wall for work that is almost entirely
+    per-process JVM latency). Each example is its own subprocess with its
+    own SparkSession and tmpdir warehouse, so they are independent by
+    construction; the shared sf0.001 index caches are build-once behind an
+    atomic rename that tolerates concurrent builders (first writer wins,
+    losers discard an equivalent result). Output goes to files, not pipes —
+    13 unread PIPE buffers would deadlock the unwaited processes. Driver
+    heap is capped so 13 concurrent JVMs stay far under the box."""
+    out_dir = tmp_path_factory.mktemp("example-logs")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_GRAFT_DRIVER_MEM="3g")
+    procs = {}
+    for name in EXECUTED:
+        log = open(out_dir / f"{name}.log", "w+")
+        procs[name] = (
+            subprocess.Popen(
+                [sys.executable, str(EXAMPLES_DIR / name)],
+                stdout=log, stderr=subprocess.STDOUT, text=True, env=env,
+            ),
+            log,
+        )
+    yield procs
+    for proc, log in procs.values():
+        if proc.poll() is None:
+            proc.kill()
+        log.close()
+
+
 @pytest.mark.parametrize("name", EXECUTED)
-def test_example_executes(name):
-    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
-    proc = subprocess.run(
-        [sys.executable, str(EXAMPLES_DIR / name)],
-        capture_output=True, text=True, timeout=600, env=env,
-    )
-    assert proc.returncode == 0, (
-        f"{name} failed (rc={proc.returncode}):\n"
-        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
-    )
+def test_example_executes(name, example_procs):
+    proc, log = example_procs[name]
+    try:
+        rc = proc.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        pytest.fail(f"{name} timed out after 600s")
+    log.flush()
+    log.seek(0)
+    tail = log.read()[-3000:]
+    assert rc == 0, f"{name} failed (rc={rc}):\noutput tail: {tail}"
 
 
 def test_examples_exist():

@@ -126,7 +126,7 @@ def _apply(spark, io, facts, dims, mv, op):
 @given(ops=_ops,
        labels=st.lists(st.sampled_from(REGIONS), min_size=5, max_size=5),
        seed_width=st.integers(min_value=5, max_value=120))
-@settings(max_examples=_EX(10), deadline=None,
+@settings(max_examples=_EX(4), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_join_view_state_equals_recompute(spark, io, ops, labels, seed_width):
     i = next(_SEQ)

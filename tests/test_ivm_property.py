@@ -107,7 +107,7 @@ def _apply(spark, io, tbl, mv, op):
 @given(ops=_ops,
        where=st.sampled_from([None, "id >= 10", "k < 4"]),
        seed_width=st.integers(min_value=5, max_value=120))
-@settings(max_examples=_EX(12), deadline=None,
+@settings(max_examples=_EX(5), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_maintained_state_equals_recompute(spark, io, ops, where, seed_width):
     i = next(_SEQ)

@@ -193,7 +193,7 @@ def _run(io, sql, policy):
 
 
 @given(sql=rollup_query("rw.facts"))
-@settings(max_examples=_EX(30), deadline=None,
+@settings(max_examples=_EX(12), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_rewrite_never_changes_the_answer(wh, sql):
     dt, rows, info = _run(wh, sql, "fresh-only")
@@ -210,7 +210,7 @@ def _snap_count(io, ns, name):
 
 
 @given(sql=rollup_query("rw.sfacts", sum_bias=True))
-@settings(max_examples=_EX(20), deadline=None,
+@settings(max_examples=_EX(8), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_topup_on_stale_view_equals_live_base(wh, sql):
     # fresh-only must never serve a stale view — and still answer right.

@@ -84,7 +84,7 @@ _pred = st.one_of(
        widths=st.tuples(st.integers(min_value=5, max_value=60),
                         st.integers(min_value=5, max_value=60)),
        preds=st.lists(_pred, min_size=1, max_size=3))
-@settings(max_examples=_EX(12), deadline=None,
+@settings(max_examples=_EX(6), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_pruned_read_equals_filtered_full_scan(spark, io, spec_i, evolve_i,
                                                widths, preds):

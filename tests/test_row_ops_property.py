@@ -127,7 +127,7 @@ def _apply(spark, io, t, state, next_id, op):
 
 @given(ops=_ops, mor=st.booleans(),
        seed_width=st.integers(min_value=1, max_value=40))
-@settings(max_examples=_EX(12), deadline=None,
+@settings(max_examples=_EX(5), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_dml_state_equals_model(spark, io, ops, mor, seed_width):
     i = next(_SEQ)

@@ -114,7 +114,7 @@ def _apply(spark, io, t, live, rows, next_id, op, value_of):
 
 @given(ops=st.lists(_op, min_size=1, max_size=6),
        seed_cols=st.integers(min_value=1, max_value=3))
-@settings(max_examples=_EX(12), deadline=None,
+@settings(max_examples=_EX(5), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_evolved_reads_match_row_model(spark, io, ops, seed_cols):
     i = next(_SEQ)
